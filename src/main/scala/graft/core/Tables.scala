@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the test corpus plus the adapter that shapes
+  * the generic `events` table into the engine's time-series contract:
+  * `(stream_id BIGINT, timestamp BIGINT /*epoch s*/, metric columns…)`.
+  *
+  * In the reference every collection stores rows keyed by
+  * `(stream_id, timestamp)` (see /root/reference/libnntsc/database.py:868-882);
+  * here a single partitioned columnar table replaces table-per-stream, and
+  * Parquet min/max skipping + partition pruning replace the reference's
+  * hand-rolled stream-activity pruning (dbselect.py:576-612).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events → NNTSC-shaped data frame. The parquet `ts` column is
+    * TIMESTAMP(NANOS), which Spark only reads as a raw nanos LONG (via
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench); integer
+    * division by 1e9 truncates to epoch seconds, matching
+    * `CAST(floor(epoch(ts)) AS BIGINT)` in the DuckDB oracle.
+    */
+  def tsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    // `div` = exact integer division (a double `/` would lose precision on
+    // 1.7e18-scale nano values: doubles only hold 53 mantissa bits)
+    val tsSec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => col("ts").cast("long")
+    }
+    ev.select(
+      col("user_id").as("stream_id"),
+      tsSec.cast("long").as("timestamp"),
+      col("event_id"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+  1. (caller) sbt "runMain graft.Verify <sfDir> <outDir>" first
+  2. this script loads each <outDir>/<name> parquet, runs the matching
+     oracle SQL from <outDir>/oracle_sql.json in DuckDB over <sfDir>'s
+     tables, and compares: row count, column names/types, and values
+     (columns sorted by name, rows sorted by all columns).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # make lists hashable for sorting
+    def key(col):
+        if df[col].map(lambda v: isinstance(v, (list, tuple)) or
+                       getattr(v, "__len__", None) is not None and
+                       not isinstance(v, str), na_action="ignore").any():
+            return df[col].map(lambda v: str(list(v)) if v is not None and not isinstance(v, str) else str(v))
+        return df[col]
+    df = df.iloc[df.astype(str).sort_values(by=list(df.columns)).index].reset_index(drop=True)
+    return df
+
+def cell(v):
+    import math
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(cell(x) for x in v)
+    if isinstance(v, float):
+        return "__nan__" if math.isnan(v) else round(v, 9)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = pd.read_parquet(d)
+        if name not in oracle:
+            print(f"[rows-only] {name}: rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"[FAIL] {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
+            ok = False
+        else:
+            g, e = canon(got), canon(exp)
+            gv = [tuple(cell(v) for v in row) for row in g.itertuples(index=False)]
+            ev = [tuple(cell(v) for v in row) for row in e.itertuples(index=False)]
+            gv.sort(key=str); ev.sort(key=str)
+            if gv != ev:
+                diffs = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
+                print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"[ok] {name}: rows={len(got)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
