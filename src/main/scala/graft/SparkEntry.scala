@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import graft.query.{AggSpec, QueryEngine}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -128,10 +129,81 @@ object SparkEntry {
 
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
+    }),
+
+    // ---- Text analysis: token counts, quality ratios ------------------
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
       Tables.documents(s, dir)
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .orderBy("canonical_id")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          TextAnalysis.stopwordCount(t).cast("long").as("n_stopwords"),
+          TextAnalysis.meanTokenLen(t).as("mean_token_len"),
+          TextAnalysis.punctRatio(t).as("punct_ratio"),
+          TextAnalysis.digitRatio(t).as("digit_ratio"),
+          TextAnalysis.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Language ID heuristic ---------------------------------------
+    "q_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Document fingerprint (normalized content hash) ---------------
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index blocking) ------
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- MinHash+LSH near-dup pairs (rows-only check: xxhash64 has no
+    //      DuckDB equivalent; correctness covered by DedupSpec recall test)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash fingerprints (md5-based, engine-reproducible) --------
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---- SimHash near-dup pairs (quarter-blocking + exact hamming) ----
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Brute-force cosine top-k (ANN baseline) ----------------------
+    "q_sim_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", (0L until 10L), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- Embedding near-dup pairs (label-blocked cosine) --------------
+    "q_embed_dup" -> ((s, dir) => {
+      Similarity.embeddingDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- LSH-bucketed ANN (rows-only; recall vs brute force in specs) -
+    "q_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", (0L until 10L), 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -242,6 +314,151 @@ object SparkEntry {
         |       count(*) AS n_copies
         |FROM documents
         |GROUP BY 1
-        |ORDER BY canonical_id""".stripMargin
+        |ORDER BY canonical_id""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','an','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio
+        |  FROM w
+        |)
+        |SELECT doc_id, n_tokens, n_stopwords, mean_token_len, punct_ratio, digit_ratio,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - punct_ratio) * 0.2
+        |    + (1.0 - digit_ratio) * 0.2
+        |    + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 4.0, 1.0) * 0.2 AS quality
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(w, t -> t IN ('el','la','de','y','es'))) AS s_es,
+        |    len(list_filter(w, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+        |    len(list_filter(w, t -> t IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(regexp_replace(lower(text), '[\.,;:!\?''"]', '', 'g')), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), e AS (
+        |  SELECT doc_id, unnest(g) AS s, len(g) AS n FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+        |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |       CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+        |FROM p
+        |WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(60)) AS b)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(60)) AS b)
+        |  GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sim_topk" -> {
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS va FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS vb FROM embeddings
+         |), s AS (
+         |  SELECT query_id, neighbor_id, $cos AS sim
+         |  FROM q, c WHERE neighbor_id != query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_embed_dup" -> {
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         a.embedding AS va, b.embedding AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, $cos AS sim
+         |FROM p
+         |WHERE $cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

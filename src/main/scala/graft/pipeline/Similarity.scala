@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *     The query side is broadcast, so the big side never shuffles; cost is
+  *     O(|corpus| × |queries|) dot products inside whole-stage codegen.
+  *   - `lshTopK`: signed-random-projection LSH — the scale path. Corpus is
+  *     bucketed once by sign-bit sketch; a query only scans its own bucket
+  *     (plus optional multi-probe neighbors), cutting the scan by ~2^bits.
+  *
+  * All arithmetic is element-wise double (floats upcast exactly), summed in
+  * index order via `aggregate` — deterministic, engine-reproducible.
+  */
+object Similarity {
+
+  /** Σ a_i*b_i over two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query id.
+    * Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6dp and
+    * rank assigned on (rounded sim desc, neighbor_id) so ordering is stable
+    * across engines.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    val queries = emb
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__va"))
+    val scored = corpus
+      .join(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, blocked on an
+    * exact-match key (e.g. a cluster label) to avoid the all-pairs join.
+    */
+  def embeddingDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val l = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val r = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    l.join(r, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Deterministic Rademacher (±1) hyperplane weights: plane p, dim d →
+    * sign of a bit of md5(p:d). Pure function of (p, d) — identical on any
+    * engine and any cluster.
+    */
+  private def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-bit sketch: bucket = Σ_p [dot(w_p, v) > 0] << p. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val w = planeWeights(planes, dims)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          array(w(p).map(lit): _*),
+          (x, wi) => x.cast("double") * wi),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries only compare against corpus vectors in the
+    * same LSH bucket. Recall measured against `bruteForceTopK` in tests.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      planes: Int = 8,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = emb.withColumn("__bkt", lshBucket(col(vecCol), planes, dims))
+    val corpus = bucketed.select(col("__bkt"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    val queries = bucketed
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col("__bkt"), col(idCol).as("query_id"), col(vecCol).as("__va"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("__bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` (no UDFs — every
+  * expression stays inside whole-stage codegen and scales linearly with no
+  * shuffle; these are per-row map operators).
+  *
+  * Cross-engine float parity: ratios are derived from exact integer counts
+  * with a single double division, so Spark and the DuckDB oracle produce
+  * bit-identical doubles with no rounding step.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the reference corpus is single-space separated;
+    * `\s+` keeps parity with DuckDB's string_split_regex).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword list used by quality scoring and language ID. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Mean token length: exact integer sum of lengths / token count. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / tokenCount(text)
+
+  private val PunctClass = "[\\.,;:!\\?'\"]"
+  private val DigitClass = "[0-9]"
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctClass, "")))
+      .cast("double") / length(text)
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, DigitClass, "")))
+      .cast("double") / length(text)
+
+  /** Composite quality score in [0,1]-ish: favors mid-length documents with
+    * low punctuation/digit noise and a natural stopword fraction. A linear
+    * blend of exact ratios — deterministic across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    lenTerm * lit(0.4) +
+      (lit(1.0) - punctRatio(text)) * lit(0.2) +
+      (lit(1.0) - digitRatio(text)) * lit(0.2) +
+      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.2)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Scores = marker hits per language; argmax wins, ties broken
+    * by language code order.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(LangMarkers(lang): _*)))
+
+  /** Predicted language: the marker set with the most hits (ties → first in
+    * sorted code order); no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    // array_max on (score, lang) structs picks highest score; on score ties
+    // it would pick the LAST lang alphabetically, so order langs descending
+    // and negate... simpler: fold with explicit comparison keeping first win.
+    val folded = best.reduceLeft { (a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a)
+    }
+    when(folded.getField("s") > 0, folded.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, punct
+    * stripped, whitespace collapsed) — stable under formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(regexp_replace(lower(text), PunctClass, "")), "\\s+", " "))
+}
