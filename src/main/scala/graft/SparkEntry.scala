@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
+import graft.ingest.Normalize
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
-import graft.query.{AggSpec, QueryEngine}
+import graft.query.{AggSpec, Frequency, QueryEngine}
+import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -204,6 +206,112 @@ object SparkEntry {
       Similarity.lshTopK(
           Tables.embeddings(s, dir), "vec_id", "embedding", (0L until 10L), 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- A13 rollup build + partial→final merge (matrix pipeline) -----
+    "q_rollup_merge" -> ((s, dir) => {
+      val ro = Rollup.build(Tables.tsEvents(s, dir), 3600, "value")
+      Rollup.merge(ro, labelsFor(s, dir), Start, Stop, "value")
+    }),
+
+    // ---- W3 frequency inference over a binned history ----------------
+    "q_freq" -> ((s, dir) => {
+      val binned = QueryEngine.selectAggregatedData(
+        Tables.tsEvents(s, dir), labelsFor(s, dir),
+        Seq(AggSpec("value", "count")), Start, Stop, binsize = 600)
+      Frequency.infer(binned, 600)
+    }),
+
+    // ---- U3 missing-label anti-join (labels with no data → empty) -----
+    "q_missing_labels" -> ((s, dir) => {
+      val labels = labelsFor(s, dir) + ("ghost" -> Seq(10000000L))
+      QueryEngine.missingLabels(
+        Tables.tsEvents(s, dir), labels, Start, Start + 86400)
+    }),
+
+    // ---- A15 ingest-time aggregation: int-truncating median, loss -----
+    "q_ingest_median" -> ((s, dir) => {
+      val ev = QueryEngine
+        .filterTime(Tables.tsEvents(s, dir), Start, Stop)
+        .withColumn("v", col("value").cast("int"))
+        .withColumn("binstart", col("timestamp") - (col("timestamp") % 21600))
+      ev.groupBy("stream_id", "binstart")
+        .agg(
+          Normalize.medianInt(col("v")).as("median"),
+          count(col("v")).as("results"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("loss"))
+        .withColumn("lossrate", col("loss").cast("double") / col("results"))
+        .orderBy("stream_id", "binstart")
+    }),
+
+    // ---- F-series scalar functions: JSON props, unit conv, safe rate --
+    "q_scalar_funcs" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      QueryEngine
+        .filterTime(Tables.tsEvents(s, dir), Start, Stop)
+        .select(
+          col("stream_id"), col("timestamp"), col("event_id"),
+          k.as("k"),
+          (col("value") * 1000).as("value_ms"),
+          Normalize.safeRate(col("value"), k).as("rate"))
+        .orderBy("event_id")
+    }),
+
+    // ---- TPC-H Q3-style shipping-priority join (bench headliner) ------
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("od_epoch"),
+          col("o_orderpriority"))
+        .agg(
+          OracleParity.decOut(
+            sum(OracleParity.dec(col("l_extendedprice")) *
+              (OracleParity.dec(lit(1.0)) - OracleParity.dec(col("l_discount"))))
+          ).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- J2-style dimension left joins (broadcast dims) ---------------
+    "q_dims_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left_outer")
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"), "left_outer")
+        .groupBy("p_brand", "s_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          OracleParity.decSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand", "s_name")
+    }),
+
+    // ---- Gap-based sessionization (window-function suite) -------------
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("stream_id").orderBy("timestamp", "event_id")
+      QueryEngine
+        .filterTime(Tables.tsEvents(s, dir), Start, Stop)
+        .withColumn("prev", lag("timestamp", 1).over(w))
+        .withColumn(
+          "newsess",
+          when(col("prev").isNull || col("timestamp") - col("prev") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn(
+          "session_id",
+          sum("newsess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("stream_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("timestamp").as("t_start"),
+          max("timestamp").as("t_end"))
+        .withColumn("duration", col("t_end") - col("t_start"))
+        .orderBy("stream_id", "session_id")
     })
   )
 
@@ -459,6 +567,174 @@ object SparkEntry {
          |FROM p
          |WHERE $cos >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    "q_rollup_merge" ->
+      s"""WITH r AS (
+         |  SELECT stream_id, nntsclabel,
+         |         "timestamp" - ("timestamp" % 3600) AS binstart,
+         |         count(value) AS cnt,
+         |         sum(CAST(value AS DECIMAL(18,6))) AS s1,
+         |         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2,
+         |         min(value) AS mn, max(value) AS mx, max("timestamp") AS ts
+         |  FROM ($OracleEvents)
+         |  GROUP BY 1, 2, 3
+         |), v AS (
+         |  SELECT *,
+         |         CASE WHEN cnt >= 2 THEN
+         |           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / cnt) / (cnt - 1)
+         |         END AS var
+         |  FROM r WHERE binstart BETWEEN $Start AND ${Stop - 1}
+         |)
+         |SELECT nntsclabel,
+         |  CAST(sum(s1) AS DOUBLE) / sum(cnt) AS value_avg,
+         |  CAST(sum(s1) AS DOUBLE) AS value_sum,
+         |  min(mn) AS value_min, max(mx) AS value_max,
+         |  CAST(sum(cnt) AS BIGINT) AS value_count,
+         |  CASE WHEN sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) > 0 THEN
+         |    round(sqrt(sum(CASE WHEN cnt >= 2 THEN var * cnt ELSE 0.0 END)
+         |               / sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)), 6)
+         |  END AS value_stddev,
+         |  max(ts) AS "timestamp"
+         |FROM v GROUP BY 1 ORDER BY nntsclabel""".stripMargin,
+
+    "q_freq" ->
+      s"""WITH agg AS (
+         |  SELECT nntsclabel, "timestamp" - ("timestamp" % 600) AS binstart,
+         |         max("timestamp") AS ts
+         |  FROM ($oracleEventsWindow) GROUP BY 1, 2
+         |), d0 AS (
+         |  SELECT nntsclabel,
+         |         ts - lag(ts) OVER (PARTITION BY nntsclabel ORDER BY ts) AS tsdiff,
+         |         binstart - lag(binstart) OVER (PARTITION BY nntsclabel ORDER BY ts) AS bindiff,
+         |         ts
+         |  FROM agg
+         |), d AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nntsclabel ORDER BY ts) AS rn
+         |    FROM d0 WHERE tsdiff IS NOT NULL)
+         |  WHERE rn <= 200
+         |), stats AS (
+         |  SELECT nntsclabel, count(*) AS total,
+         |         sum(CASE WHEN bindiff = 600 THEN 1 ELSE 0 END) AS perfect,
+         |         CAST(sum(tsdiff) AS DOUBLE) / count(*) AS mean
+         |  FROM d GROUP BY 1
+         |), byd AS (
+         |  SELECT nntsclabel, tsdiff, count(*) AS cnt FROM d GROUP BY 1, 2
+         |), strong AS (
+         |  SELECT nntsclabel, tsdiff AS strongmode FROM (
+         |    SELECT b.nntsclabel, b.tsdiff,
+         |           row_number() OVER (PARTITION BY b.nntsclabel
+         |                              ORDER BY b.cnt DESC, b.tsdiff) AS rn
+         |    FROM byd b JOIN stats s ON b.nntsclabel = s.nntsclabel
+         |    WHERE b.cnt * 2 >= s.total)
+         |  WHERE rn = 1
+         |), prom AS (
+         |  SELECT b.nntsclabel, min(b.tsdiff) AS prominent
+         |  FROM byd b JOIN stats s ON b.nntsclabel = s.nntsclabel
+         |  WHERE b.cnt * 5 >= s.total GROUP BY 1
+         |), lbls AS (SELECT DISTINCT nntsclabel FROM agg)
+         |SELECT l.nntsclabel,
+         |  CAST(CASE
+         |    WHEN s.total IS NULL OR s.total = 0 THEN 300
+         |    WHEN CAST(s.perfect AS DOUBLE) / s.total > 0.9 THEN 600
+         |    WHEN st.strongmode IS NOT NULL THEN st.strongmode
+         |    WHEN p.prominent IS NOT NULL THEN p.prominent
+         |    WHEN s.mean <= 10 THEN 10
+         |    WHEN s.mean <= 60 THEN floor((floor(s.mean) + 5) / 10) * 10
+         |    WHEN s.mean <= 300 THEN floor((floor(s.mean) + 30) / 60) * 60
+         |    WHEN s.mean <= 3600 THEN floor((floor(s.mean) + 150) / 300) * 300
+         |    ELSE floor((floor(s.mean) + 1800) / 3600) * 3600
+         |  END AS BIGINT) AS freq
+         |FROM lbls l
+         |LEFT JOIN stats s ON l.nntsclabel = s.nntsclabel
+         |LEFT JOIN strong st ON l.nntsclabel = st.nntsclabel
+         |LEFT JOIN prom p ON l.nntsclabel = p.nntsclabel
+         |ORDER BY l.nntsclabel""".stripMargin,
+
+    "q_missing_labels" ->
+      s"""WITH all_l AS (
+         |  SELECT unnest(['g0', 'g1', 'g2', 'ghost']) AS nntsclabel
+         |), obs AS (
+         |  SELECT DISTINCT nntsclabel FROM ($OracleEvents)
+         |  WHERE "timestamp" BETWEEN $Start AND ${Start + 86400}
+         |)
+         |SELECT nntsclabel FROM all_l
+         |WHERE nntsclabel NOT IN (SELECT nntsclabel FROM obs)
+         |ORDER BY nntsclabel""".stripMargin,
+
+    "q_ingest_median" ->
+      s"""WITH d AS (
+         |  SELECT stream_id, "timestamp" - ("timestamp" % 21600) AS binstart,
+         |         CAST(trunc(value) AS INTEGER) AS v, event_type
+         |  FROM ($oracleEventsWindow)
+         |), g AS (
+         |  SELECT stream_id, binstart, list(v ORDER BY v) AS l,
+         |         count(v) AS results,
+         |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS loss
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT stream_id, binstart,
+         |  CAST(CASE WHEN results % 2 = 1 THEN l[CAST(results // 2 AS INTEGER) + 1]
+         |       ELSE (l[CAST(results // 2 AS INTEGER)] + l[CAST(results // 2 AS INTEGER) + 1]) // 2
+         |  END AS INTEGER) AS median,
+         |  results, loss,
+         |  CAST(loss AS DOUBLE) / results AS lossrate
+         |FROM g ORDER BY stream_id, binstart""".stripMargin,
+
+    "q_scalar_funcs" ->
+      s"""SELECT stream_id, "timestamp", event_id,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |  value * 1000 AS value_ms,
+         |  CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+         |            AND CAST(json_extract_string(props, '$$.k') AS BIGINT) != 0
+         |       THEN value / CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |  END AS rate
+         |FROM ($oracleEventsWindow)
+         |ORDER BY event_id""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch,
+        |  o_orderpriority,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_dims_join" ->
+      """SELECT p_brand, s_name, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY p_brand, s_name""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT stream_id, "timestamp", event_id FROM ($oracleEventsWindow)
+         |), d AS (
+         |  SELECT stream_id, "timestamp", event_id,
+         |         lag("timestamp") OVER w AS prev
+         |  FROM e WINDOW w AS (PARTITION BY stream_id ORDER BY "timestamp", event_id)
+         |), s AS (
+         |  SELECT stream_id, "timestamp", event_id,
+         |         CAST(sum(CASE WHEN prev IS NULL OR "timestamp" - prev > 1800
+         |                       THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY stream_id ORDER BY "timestamp", event_id
+         |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM d
+         |)
+         |SELECT stream_id, session_id, count(*) AS n_events,
+         |       min("timestamp") AS t_start, max("timestamp") AS t_end,
+         |       max("timestamp") - min("timestamp") AS duration
+         |FROM s GROUP BY 1, 2 ORDER BY stream_id, session_id""".stripMargin
   )
 }

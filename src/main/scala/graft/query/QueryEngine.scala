@@ -139,6 +139,21 @@ object QueryEngine {
       parity: Boolean = false): DataFrame =
     selectAggregatedData(data, labels, aggs, start, stop, binsize = 0, parity = parity)
 
+  /** Labels with no data in the window (U3, exporter.py:470-478): the
+    * exporter emits explicit empty history for these. Left-anti join of the
+    * label list against observed labels.
+    */
+  def missingLabels(
+      data: DataFrame,
+      labels: Map[String, Seq[Long]],
+      start: Long,
+      stop: Long): DataFrame = {
+    val all = labelFrame(data.sparkSession, labels).select(LabelCol).distinct()
+    val observed =
+      attachLabels(filterTime(data, start, stop), labels).select(LabelCol).distinct()
+    all.join(observed, Seq(LabelCol), "left_anti").orderBy(LabelCol)
+  }
+
   /** Duplicate-aggregation renaming (dbselect.py:806-821): output keeps the
     * bare column name unless the same column appears twice or is also a
     * group column — then `col_func`.

@@ -1,0 +1,78 @@
+package graft.rollup
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.OracleParity
+import graft.query.QueryEngine
+
+/** Pre-aggregated rollup tables + partial→final merge — the Spark-native
+  * form of the reference's matrix pipeline (1-min/1-h InfluxDB continuous
+  * queries, /root/reference/libnntsc/influx.py:158-195, merged in Python at
+  * query time, influx.py:384-517).
+  *
+  * Differences by design:
+  *   - Partials are kept EXACT (decimal sums s1=Σv, s2=Σv², count, min,
+  *     max) instead of (mean, magiccount). Merging exact partials is
+  *     order-independent and gives the same answer as aggregating the raw
+  *     rows — the reference's Σ(mean·n)/Σn dance exists only because Influx
+  *     stored means. The stddev merge keeps the reference's RMS
+  *     approximation semantics (influx.py:478-491) on top of exact partials.
+  *   - At scale the rollup table is itself a partitioned table maintained by
+  *     a streaming windowed aggregation (SURVEY §2.9 X4); `build` is the
+  *     batch form of that maintenance job.
+  */
+object Rollup {
+
+  /** Rollup table: exact partial aggregates per (stream_id, binstart). */
+  def build(data: DataFrame, binsize: Long, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val d = OracleParity.dec(v)
+    data
+      .withColumn("binstart", col("timestamp") - (col("timestamp") % binsize))
+      .groupBy("stream_id", "binstart")
+      .agg(
+        count(v).as("cnt"),
+        sum(d).as("s1"),
+        sum(d * d).as("s2"),
+        min(v).as("mn"),
+        max(v).as("mx"),
+        max("timestamp").as("ts"))
+  }
+
+  /** Partial→final merge over [start, stop) per label (matrix semantics:
+    * one output row per label). Output column names follow the duplicate-agg
+    * convention (`value_avg` etc. for the merged metric named by `outPrefix`).
+    */
+  def merge(
+      rollup: DataFrame,
+      labels: Map[String, Seq[Long]],
+      start: Long,
+      stop: Long,
+      outPrefix: String): DataFrame = {
+    val tagged = QueryEngine
+      .attachLabels(rollup.filter(col("binstart").between(start, stop - 1)), labels)
+    // per-bin sample variance from exact partials, in double (identical
+    // operands on any engine → identical bits)
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val varbin = when(
+      col("cnt") >= 2,
+      (s2d - s1d * s1d / col("cnt")) / (col("cnt") - 1))
+    val withVar = tagged.withColumn("__var", varbin)
+    val stdNum = sum(when(col("cnt") >= 2, col("__var") * col("cnt")).otherwise(lit(0.0)))
+    val stdDen = sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L)))
+    withVar
+      .groupBy(col(QueryEngine.LabelCol))
+      .agg(
+        (sum(col("s1")).cast("double") / sum(col("cnt"))).as(s"${outPrefix}_avg"),
+        sum(col("s1")).cast("double").as(s"${outPrefix}_sum"),
+        min(col("mn")).as(s"${outPrefix}_min"),
+        max(col("mx")).as(s"${outPrefix}_max"),
+        sum(col("cnt")).as(s"${outPrefix}_count"),
+        // reference RMS merge: sqrt(Σ(var_i·n_i)/Σn_i) over bins with n>=2
+        when(stdDen > 0, round(sqrt(stdNum / stdDen), 6)).as(s"${outPrefix}_stddev"),
+        max(col("ts")).as("timestamp"))
+      .orderBy(QueryEngine.LabelCol)
+  }
+}
