@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
 import graft.ingest.Normalize
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{AggSpec, Frequency, QueryEngine}
 import graft.rollup.Rollup
 
@@ -135,24 +135,34 @@ object SparkEntry {
     }),
 
     // ---- Text analysis: token counts, quality ratios ------------------
+    // (tokenize ONCE into a column; every ratio reuses it — at 100 TB the
+    // repeated regex-split would dominate the scan)
     "q_text_stats" -> ((s, dir) => {
-      val t = col("text")
       Tables.documents(s, dir)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-          TextAnalysis.stopwordCount(t).cast("long").as("n_stopwords"),
-          TextAnalysis.meanTokenLen(t).as("mean_token_len"),
-          TextAnalysis.punctRatio(t).as("punct_ratio"),
-          TextAnalysis.digitRatio(t).as("digit_ratio"),
-          TextAnalysis.qualityScore(t).as("quality"))
+          TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+          TextAnalysis.stopwordCountOf(col("__toks")).cast("long").as("n_stopwords"),
+          TextAnalysis.meanTokenLenOf(col("__toks")).as("mean_token_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.digitRatio(col("text")).as("digit_ratio"))
+        .withColumn(
+          "quality",
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+            (lit(1.0) - col("punct_ratio")) * lit(0.2) +
+            (lit(1.0) - col("digit_ratio")) * lit(0.2) +
+            least(
+              (col("n_stopwords").cast("double") / col("n_tokens")) * lit(4.0),
+              lit(1.0)) * lit(0.2))
         .orderBy("doc_id")
     }),
 
     // ---- Language ID heuristic ---------------------------------------
     "q_text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -289,6 +299,13 @@ object SparkEntry {
           count(lit(1)).as("n_items"),
           OracleParity.decSum(col("l_extendedprice")).as("sum_price"))
         .orderBy("p_brand", "s_name")
+    }),
+
+    // ---- Multimodal: binary payload column + typed metadata -----------
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractMeta(Multimodal.mediaTable(Tables.documents(s, dir)))
+        .withColumn("n_bytes", col("n_bytes").cast("long"))
+        .orderBy("media_id")
     }),
 
     // ---- Gap-based sessionization (window-function suite) -------------
@@ -716,6 +733,15 @@ object SparkEntry {
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, s_name""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       substr(text, 1, 8) AS header,
+        |       md5(text) AS checksum,
+        |       source AS origin
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (

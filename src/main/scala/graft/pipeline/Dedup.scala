@@ -4,14 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
-  * Jaccard, MinHash+LSH, and SimHash. All are expressed as DataFrame
-  * pipelines over shuffles Spark already optimizes (map-side combine,
-  * AQE-sized partitions) — no driver-side loops, no per-group collects
-  * except bounded signature arrays.
+  * Jaccard, MinHash+LSH, and SimHash.
   *
-  * Scale notes (100 TB): every candidate-generation step is blocking-based
-  * (hash buckets / shared shingles / LSH bands), never an all-pairs cross
-  * join; the verify step only touches candidate pairs.
+  * Execution design (learned the hard way, see git history):
+  *   - Higher-order lambda expressions (`transform`, `aggregate`) are
+  *     INTERPRETED (no codegen) and Catalyst freely inlines their inputs
+  *     into every consumer — a shingle array referenced by 64 hash lambdas
+  *     is recomputed 64×/row (~35 ms/doc measured). So: per-document
+  *     arrays are computed ONCE into a persisted (eagerly materialized)
+  *     frame, and all hot loops are relational — explode + codegen'd
+  *     scalar functions + map-side-combined aggregation.
+  *   - Candidate generation is blocking-based (hash buckets / shared
+  *     shingles / LSH bands), never an all-pairs cross join; candidate
+  *     pairs carry only ids, signatures re-join afterwards.
+  *   - At 100 TB the persisted set/signature frames become materialized
+  *     tables (one scan of the corpus each); everything downstream touches
+  *     only ids + fixed-width signatures.
   */
 object Dedup {
 
@@ -32,19 +40,25 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Exploded (id, shingle, n_shingles) relation — the inverted index that
-    * drives both Jaccard verification and candidate blocking.
+  /** Materialized per-document shingle sets: (__id, __set: sorted distinct
+    * 64-bit shingle hashes, __n). Persisted AND eagerly counted — every
+    * consumer reads plain columns from the cache instead of re-running the
+    * interpreted array build.
     */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val s = df
+      .select(
         col(idCol).as("__id"),
-        wordShingles(col(textCol), n).as("__sh"))
-      .withColumn("__n", size(col("__sh")))
-      .select(col("__id"), col("__n"), explode(col("__sh")).as("__s"))
+        array_sort(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("__set"))
+      .withColumn("__n", size(col("__set")))
+      .persist()
+    s.count() // eager: one pass computes and pins the sets
+    s
+  }
 
-  /** n-gram Jaccard near-duplicate pairs: candidates = pairs sharing >= 1
-    * shingle (inverted-index self-join — blocking, not cross join);
-    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
+  /** n-gram Jaccard near-duplicate pairs, exact: inverted-index self-join
+    * on shingle hashes (codegen end-to-end), shared counts via
+    * map-side-combined groupBy, jaccard from exact integer counts.
     * Output: (id_a < id_b, jaccard) for jaccard >= threshold.
     */
   def ngramJaccardPairs(
@@ -53,7 +67,8 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val idx = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__s"))
     val a = idx.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
     val b = idx.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
     a.join(b, Seq("__s"))
@@ -67,31 +82,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64(seed, shingle) over the document's shingle set.
-    * Computed relationally: explode shingles × hash index, min per
-    * (doc, index), collect ordered signature. Shuffles carry (id, idx, min)
-    * triples — bounded by docs × numHashes regardless of document size.
+  /** MinHash signatures: signature[i] = min over shingles of
+    * xxhash64(i, shingle_hash). Relational form: exploded shingles × a
+    * broadcast seed table (whole-stage codegen), min per (doc, seed) with
+    * map-side combine, ordered collect into the signature array.
     */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      numHashes: Int): DataFrame =
-    shingleIndex(df, idCol, textCol, n)
-      .select(
-        col("__id"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, col("__s"))))
-          .as(Seq("__hi", "__hv")))
-      .groupBy("__id", "__hi")
-      .agg(min("__hv").as("__mh"))
+      numHashes: Int): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    // one hash-aggregation with numHashes MIN buffers — no row blow-up, no
+    // cross join (a ×64 BroadcastNestedLoopJoin runs outside codegen and
+    // costs ~10× this shape), everything whole-stage codegen'd
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
+    sets
+      .select(col("__id"), explode(col("__set")).as("__s"))
       .groupBy("__id")
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("__hi"), col("__mh")))),
-          p => p.getField("__mh")).as("signature"))
-      .withColumnRenamed("__id", idCol)
+      .agg(minCols.head, minCols.tail: _*)
+      .select(
+        col("__id").as(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("signature"))
+  }
 
   /** MinHash + LSH near-dup candidate pairs. Signatures are cut into
     * `bands` bands; docs colliding on any band hash become candidates;
@@ -108,21 +123,26 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
+    sigs.count() // eager: band fan-out must read cached signatures
     val banded = sigs.select(
       col(idCol).as("__id"),
-      col("signature"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))))
         .as(Seq("__band", "__bh")))
-    val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"), col("signature").as("__sa"))
-    val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"), col("signature").as("__sb"))
-    l.join(r, Seq("__band", "__bh"))
+    val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .select("id_a", "id_b")
       .distinct()
+    val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    candidates
+      .join(broadcast(sa), Seq("id_a"))
+      .join(broadcast(sb), Seq("id_b"))
       .withColumn(
         "est_jaccard",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
@@ -131,28 +151,31 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 60-bit SimHash fingerprint from md5-derived token hashes (md5 keeps the
-    * hash reproducible in any engine). Bit j of the fingerprint is the sign
-    * of Σ_tokens (bit_j(h(token)) ? +1 : -1).
+  /** 60-bit SimHash fingerprint from md5-derived token hashes (md5 keeps
+    * the hash reproducible in any engine — the DuckDB oracle recomputes
+    * it). Bit j of the fingerprint is the sign of
+    * Σ_tokens (bit_j(h(token)) ? +1 : -1). Relational: exploded token
+    * hashes × a broadcast 60-row bit table, all codegen, two
+    * map-side-combined aggregations.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol).as("__id"), explode(toks).as("__t"))
-      .withColumn("__h", conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+    // one hash-aggregation with 60 bit-count buffers (plus the token
+    // count): bit j of the fingerprint is set iff 2·ones_j > n_tokens,
+    // which equals the reference Σ(±1) > 0 vote. No ×60 row blow-up.
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1)).as(s"__b$j"))
+    val aggd = df
+      .select(col(idCol).as("__id"), explode(toks).as("__t"))
       .select(
         col("__id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(59)),
-            b => when(call_function("shiftright", col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)))
-          .as(Seq("__bit", "__sgn")))
-      .groupBy("__id", "__bit")
-      .agg(sum("__sgn").as("__s"))
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
       .groupBy("__id")
-      .agg(
-        sum(when(col("__s") > 0, call_function("shiftleft", lit(1L), col("__bit"))).otherwise(0L))
-          .as("simhash"))
-      .withColumnRenamed("__id", idCol)
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("__n")): _*)
+    val fpExpr = (0 until 60)
+      .map(j => when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    aggd.select(col("__id").as(idCol), fpExpr.as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on 15-bit quarters of the fingerprint
@@ -160,7 +183,8 @@ object Dedup {
     * one quarter — pigeonhole), then verify with an exact popcount.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
+    val fp = simhash(df, idCol, textCol).persist()
+    fp.count() // eager: quarter fan-out must read cached fingerprints
     val blocked = fp.select(
       col(idCol).as("__id"),
       col("simhash"),
@@ -169,13 +193,23 @@ object Dedup {
           sequence(lit(0), lit(3)),
           q => call_function("shiftright", col("simhash"), q * 15).bitwiseAND(0x7fff)))
         .as(Seq("__q", "__qk")))
+    // fingerprints are single longs, so both sides carry them through the
+    // block join; duplicates (a pair agreeing on several quarters) are
+    // eliminated AT THE SOURCE by keeping only the first matching quarter —
+    // no distinct() shuffle, no fingerprint re-join: the join output flows
+    // through codegen filters straight to the (tiny) result.
     val l = blocked.select(col("__q"), col("__qk"), col("__id").as("id_a"), col("simhash").as("__fa"))
     val r = blocked.select(col("__q"), col("__qk"), col("__id").as("id_b"), col("simhash").as("__fb"))
+    val x = col("__fa").bitwiseXOR(col("__fb"))
+    def quarterMatches(j: Int) = shiftright(x, 15 * j).bitwiseAND(0x7fff) === 0
+    val firstMatch = when(quarterMatches(0), 0)
+      .when(quarterMatches(1), 1)
+      .when(quarterMatches(2), 2)
+      .otherwise(3)
     l.join(r, Seq("__q", "__qk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__fa"), col("__fb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .filter(col("__q") === firstMatch)
+      .withColumn("hamming", bit_count(x))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -103,7 +103,10 @@ object Similarity {
   }
 
   /** Approximate top-k: queries only compare against corpus vectors in the
-    * same LSH bucket. Recall measured against `bruteForceTopK` in tests.
+    * same LSH bucket, plus (multi-probe) every bucket at hamming distance 1
+    * — the standard recall/scan-fraction trade: probing p+1 of 2^p buckets
+    * scans ~(p+1)/2^p of the corpus instead of all of it. Recall measured
+    * against `bruteForceTopK` in tests.
     */
   def lshTopK(
       emb: DataFrame,
@@ -112,13 +115,24 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       planes: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = emb.withColumn("__bkt", lshBucket(col(vecCol), planes, dims))
     val corpus = bucketed.select(col("__bkt"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    val probes =
+      if (multiProbe)
+        explode(
+          concat(
+            array(col("__bkt")),
+            transform(
+              sequence(lit(0), lit(planes - 1)),
+              i => col("__bkt").bitwiseXOR(call_function("shiftleft", lit(1), i)))))
+      else col("__bkt")
     val queries = bucketed
       .filter(col(idCol).isInCollection(queryIds))
-      .select(col("__bkt"), col(idCol).as("query_id"), col(vecCol).as("__va"))
+      .withColumn("__probe", probes)
+      .select(col("__probe").as("__bkt"), col(idCol).as("query_id"), col(vecCol).as("__va"))
     val scored = corpus
       .join(broadcast(queries), Seq("__bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -19,22 +19,27 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+  def tokenCountOf(toks: Column): Column = size(toks)
 
   /** Stopword list used by quality scoring and language ID. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+  def stopwordCount(text: Column): Column = stopwordCountOf(tokens(text))
+  def stopwordCountOf(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*)))
 
-  def stopwordRatio(text: Column): Column =
-    stopwordCount(text).cast("double") / tokenCount(text)
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    stopwordCountOf(t).cast("double") / tokenCountOf(t)
+  }
 
   /** Mean token length: exact integer sum of lengths / token count. */
-  def meanTokenLen(text: Column): Column =
-    aggregate(transform(tokens(text), t => length(t)), lit(0), (acc, x) => acc + x)
-      .cast("double") / tokenCount(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+  def meanTokenLenOf(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(toks)
 
   private val PunctClass = "[\\.,;:!\\?'\"]"
   private val DigitClass = "[0-9]"
@@ -70,15 +75,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langScore(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isin(LangMarkers(lang): _*)))
+  def langScore(text: Column, lang: String): Column = langScoreOf(tokens(text), lang)
+  def langScoreOf(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(LangMarkers(lang): _*)))
 
   /** Predicted language: the marker set with the most hits (ties → first in
     * sorted code order); no hits at all → "und" (undetermined).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOf(tokens(text))
+  def langIdOf(toks: Column): Column = {
     val langs = LangMarkers.keys.toSeq.sorted
-    val best = langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = langs.map(l => struct(langScoreOf(toks, l).as("s"), lit(l).as("l")))
     // array_max on (score, lang) structs picks highest score; on score ties
     // it would pick the LAST lang alphabetically, so order langs descending
     // and negate... simpler: fold with explicit comparison keeping first win.

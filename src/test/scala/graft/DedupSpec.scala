@@ -1,0 +1,57 @@
+package graft
+
+import graft.pipeline.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different words about spark query engines and big data"),
+    (5L, "another unrelated sentence talking about music and art and cooking"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+      .orderBy("canonical_id").collect()
+    assert(out.length === 4)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the same dup pairs as exact jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh) || lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs hash identically; near dups are close") {
+    val fps = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(1L) === fps(2L))
+    val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashPairs finds the identical pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+}

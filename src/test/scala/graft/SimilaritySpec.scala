@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Tables
+import graft.pipeline.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("sim") > 0.99)
+  }
+
+  test("lshTopK achieves usable recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = (0L until 20L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5, planes = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 4 planes → 16 buckets over 500 vecs; random unclustered embeddings
+    // put a fair share of true neighbors in other buckets — demand a
+    // nontrivial floor, exact recall is measured in the report
+    assert(recall >= 0.2, s"LSH recall too low: $recall")
+  }
+
+  test("embeddingDupPairs finds planted near-duplicates within a block") {
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, 0, base), (2L, 0, near), (3L, 0, far))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDupPairs(df, "vec_id", "embedding", "label", 0.99)
+      .collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
+  }
+}
