@@ -1,0 +1,138 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.Catalog
+import graft.query.{AggSpec, Frequency, QueryEngine}
+import graft.schema.{Collections, CollectionSpec}
+
+/** The service surface mirroring the reference's TCP protocol
+  * (README:326-355; /root/reference/libnntsc/exporter.py): collection
+  * listing, schema introspection, incremental stream listing, raw history,
+  * binned/aggregated history, matrix summaries — with the reference's
+  * paging contract (streams in pages of 1000, exporter.py:641-657; history
+  * chunks of 10 000 rows with a `more` flag + inferred frequency,
+  * exporter.py:380-512).
+  *
+  * Wire encoding (pickle+zlib in the reference) is out of scope — any
+  * serialization can wrap these replies; the query semantics live here.
+  */
+object Service {
+  val StreamsPageSize = 1000
+  val HistoryChunkRows = 10000
+
+  final case class StreamsReply(rows: Seq[Row], more: Boolean)
+  final case class HistoryChunk(label: String, rows: Seq[Row], more: Boolean, freq: Long)
+}
+
+final class Service(
+    spark: SparkSession,
+    data: Map[String, DataFrame],
+    streams: Map[String, DataFrame]) {
+  import Service._
+
+  /** NNTSC_REQ_COLLECTION → the registry. */
+  def collections(): Seq[(Int, String, String)] =
+    Catalog.collectionsTable(spark).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+
+  /** NNTSC_REQ_SCHEMA → (streams schema, data schema) (dbselect.py:112-139). */
+  def schema(collection: String): (StructType, StructType) = {
+    val spec = spec0(collection)
+    (spec.streamSchema, spec.dataSchema)
+  }
+
+  /** NNTSC_REQ_STREAMS with `minid` incremental listing + paging
+    * (database.py:296-364; exporter.py:641-657).
+    */
+  def streamsPage(collection: String, minId: Int): StreamsReply = {
+    val page = streams(collection)
+      .filter(col("stream_id") > minId)
+      .orderBy("stream_id")
+      .limit(StreamsPageSize + 1)
+      .collect()
+    StreamsReply(page.take(StreamsPageSize).toSeq, page.length > StreamsPageSize)
+  }
+
+  /** NNTSC_REQ_HISTORY raw (dbselect.py:390-532), chunked per label with
+    * the 10k `more` contract and per-label frequency inference.
+    */
+  def history(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      columns: Seq[String],
+      start: Long,
+      stop: Long): Iterator[HistoryChunk] = {
+    val result = QueryEngine
+      .selectData(data(collection), labels, columns, start, stop)
+      .withColumn("binstart", col("timestamp"))
+      .orderBy(QueryEngine.LabelCol, "timestamp")
+    chunked(result, binsize = 0)
+  }
+
+  /** NNTSC_AGGREGATE (dbselect.py:208-387). */
+  def aggregate(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[AggSpec],
+      start: Long,
+      stop: Long,
+      binsize: Long,
+      groupcols: Seq[String] = Nil): Iterator[HistoryChunk] = {
+    val result = QueryEngine.selectAggregatedData(
+      data(collection), labels, aggs, start, stop, binsize, groupcols)
+    chunked(result, binsize)
+  }
+
+  /** NNTSC_MATRIX (dbselect.py:181-205): one summary row per label. */
+  def matrix(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[AggSpec],
+      start: Long,
+      stop: Long): Seq[Row] =
+    QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
+      .collect().toSeq
+
+  private def spec0(name: String): CollectionSpec =
+    Collections.byName.getOrElse(
+      name, throw new NoSuchElementException(s"unknown collection: $name"))
+
+  /** Chunk a labeled result into HistoryChunks: rows stream out via
+    * toLocalIterator (the named-cursor replacement, dbselect.py:64-76),
+    * flushed per label every HistoryChunkRows with `more=true` between
+    * flushes; each label's final chunk carries the inferred frequency (W3).
+    */
+  private def chunked(result: DataFrame, binsize: Long): Iterator[HistoryChunk] = {
+    val freqs: Map[String, Long] = Frequency
+      .infer(result.select(QueryEngine.LabelCol, "binstart", "timestamp"), binsize)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val labelIdx = result.schema.fieldIndex(QueryEngine.LabelCol)
+    new Iterator[HistoryChunk] {
+      private val rows = result.toLocalIterator()
+      private var pending: Option[Row] = None
+      def hasNext: Boolean = pending.isDefined || rows.hasNext
+      def next(): HistoryChunk = {
+        val buf = Vector.newBuilder[Row]
+        var n = 0
+        val first = pending.getOrElse(rows.next())
+        val label = first.getString(labelIdx)
+        pending = None
+        buf += first; n += 1
+        var more = false
+        var break = false
+        while (!break && rows.hasNext) {
+          val r = rows.next()
+          if (r.getString(labelIdx) != label) { pending = Some(r); break = true }
+          else if (n >= HistoryChunkRows) { pending = Some(r); more = true; break = true }
+          else { buf += r; n += 1 }
+        }
+        HistoryChunk(label, buf.result(), more, freqs.getOrElse(label, 0L))
+      }
+    }
+  }
+}

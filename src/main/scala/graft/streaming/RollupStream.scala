@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.OracleParity
+
+/** Streaming rollup maintenance — the Spark-native form of the reference's
+  * InfluxDB continuous queries (X4, /root/reference/libnntsc/influx.py:183-195):
+  * 1-min bins recomputed every minute over a trailing 15 min, 1-h bins
+  * hourly over a trailing 3 h — i.e. bounded late-data tolerance via
+  * re-aggregation.
+  *
+  * Here: event-time tumbling windows with a watermark equal to the
+  * reference's recompute horizon (15 min short / 3 h long). Late rows inside
+  * the watermark update their bin; later rows are dropped from rollups
+  * (raw appends still accept them, matching the reference: history sees
+  * all data, rollups only what arrived within the horizon).
+  *
+  * Partials kept are the exact-decimal set of `graft.rollup.Rollup.build`
+  * (count, Σv, Σv², min, max), so merged results equal raw aggregation —
+  * see Rollup's scaladoc for why this beats the reference's (mean,
+  * magiccount) partials.
+  */
+object RollupStream {
+
+  /** Attach to a streaming frame with (stream_id, timestamp epoch-s, value)
+    * and produce the streaming rollup aggregation. Caller writes it with
+    * outputMode("update") (bin rows re-emitted as late data arrives) or
+    * "append" (bin emitted once the watermark passes).
+    */
+  def rollup(events: DataFrame, binsize: Long, watermark: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val d = OracleParity.dec(v)
+    events
+      .withColumn("__ts", timestamp_seconds(col("timestamp")))
+      .withWatermark("__ts", watermark)
+      .groupBy(
+        col("stream_id"),
+        window(col("__ts"), s"$binsize seconds").as("__w"))
+      .agg(
+        count(v).as("cnt"),
+        sum(d).as("s1"),
+        sum(d * d).as("s2"),
+        min(v).as("mn"),
+        max(v).as("mx"),
+        max("timestamp").as("ts"))
+      .select(
+        col("stream_id"),
+        col("__w.start").cast("long").as("binstart"),
+        col("cnt"), col("s1"), col("s2"), col("mn"), col("mx"), col("ts"))
+  }
+
+  /** The reference's two tiers (influx.py:183-195). */
+  def shortRollup(events: DataFrame, valueCol: String): DataFrame =
+    rollup(events, 60, "14 minutes", valueCol)
+  def longRollup(events: DataFrame, valueCol: String): DataFrame =
+    rollup(events, 3600, "2 hours", valueCol)
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.query.AggSpec
+import graft.schema.Collections
+import graft.serve.Service
+import graft.streaming.{IngestStream, Subscribe}
+
+/** End-to-end demo: streaming ingest → catalog → service queries →
+  * subscribe seam. Drives the library through its public API the way a
+  * collector deployment would.
+  */
+object Demo {
+  case class R(source: String, destination: String, command: String,
+      timestamp: Long, value: Long)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graftdemo").toString
+
+    // 1. streaming ingest of two micro-batches (amp-external shaped)
+    val in = MemoryStream[R](spark)
+    val q = IngestStream.start(
+      in.toDF(), Collections.ampExternal,
+      s"$dir/streams", s"$dir/data", s"$dir/ckpt")
+    in.addData(R("amp", "web01", "ping", 1000L, 12L), R("amp", "web02", "ping", 1000L, 31L))
+    q.processAllAvailable()
+    in.addData(R("amp", "web01", "ping", 1300L, 14L), R("amp", "web03", "ping", 1300L, 9L))
+    q.processAllAvailable(); q.stop()
+
+    val streams = spark.read.parquet(s"$dir/streams")
+    val data = spark.read.parquet(s"$dir/data")
+    println(s"DEMO streams=${streams.count()} data_rows=${data.count()}")
+    streams.orderBy("stream_id").show(false)
+
+    // 2. service queries over the ingested collection
+    val svc = new Service(spark,
+      data = Map("amp-external" -> data.withColumn("stream_id", col("stream_id").cast("long"))),
+      streams = Map("amp-external" -> streams))
+    println(s"DEMO collections=${svc.collections().size}")
+    val labels = Map("web" -> Seq(1L, 2L, 3L))
+    val chunks = svc.aggregate(
+      "amp-external", labels, Seq(AggSpec("value", "avg"), AggSpec("value", "count")),
+      0L, 10000L, binsize = 300).toSeq
+    chunks.foreach(c => println(s"DEMO chunk label=${c.label} rows=${c.rows.size} more=${c.more} freq=${c.freq}"))
+
+    // 3. subscribe seam: backfill + buffered live with dedupe
+    val session = new Subscribe.Session(
+      Subscribe.Subscription(labels, 0L, 0L, Seq("value")))
+    val hist = data.withColumn("stream_id", col("stream_id").cast("long"))
+    session.onHistory(hist)
+    session.onLive(Seq((1L, 1300L, 99.0), (1L, 1500L, 15.0)).toDF("stream_id", "timestamp", "value"))
+    val released = session.finish().map(_.collect().toSeq).getOrElse(Nil)
+    println(s"DEMO subscribe released=${released.map(_.getAs[Long]("timestamp")).mkString(",")} (expect only 1500 > lasthist=1300)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.Tables
+import graft.ingest.PathIntern
+import graft.query.AggSpec
+import graft.serve.Service
+
+class ServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.tsEvents(spark, sf("sf0.001"))
+  private lazy val streamsDim = events.select("stream_id").distinct()
+  private lazy val svc = new Service(
+    spark,
+    data = Map("amp-external" -> events),
+    streams = Map("amp-external" -> streamsDim))
+  private val labels = Map("a" -> (0L until 8L), "b" -> (8L until 15L))
+
+  test("collections + schema replies mirror the registry") {
+    val cols = svc.collections()
+    assert(cols.size === 14)
+    val (ss, ds) = svc.schema("amp-icmp")
+    assert(ss.fieldNames.contains("source"))
+    assert(ds.fieldNames.take(2).toSeq === Seq("stream_id", "timestamp"))
+    intercept[NoSuchElementException](svc.schema("nope"))
+  }
+
+  test("streams paging honors minid + page size (S7/T4)") {
+    val page = svc.streamsPage("amp-external", minId = 5)
+    assert(page.rows.forall(_.getLong(0) > 5))
+    assert(!page.more) // only 15 streams at sf0.001
+  }
+
+  test("history chunks: per-label, ordered, with frequency") {
+    val chunks = svc.history(
+      "amp-external", labels, Seq("value", "event_id"),
+      1704067200L, 1704067200L + 31 * 86400).toSeq
+    assert(chunks.map(_.label).distinct.sorted === Seq("a", "b"))
+    chunks.foreach { c =>
+      val ts = c.rows.map(_.getAs[Long]("timestamp"))
+      assert(ts === ts.sorted)
+      assert(c.freq > 0)
+    }
+    // raw history of a small window never exceeds a chunk
+    assert(chunks.forall(!_.more))
+  }
+
+  test("aggregate + matrix replies") {
+    val chunks = svc.aggregate(
+      "amp-external", labels, Seq(AggSpec("value", "avg")),
+      1704067200L, 1704067200L + 31 * 86400, binsize = 86400).toSeq
+    assert(chunks.nonEmpty)
+    val m = svc.matrix(
+      "amp-external", labels, Seq(AggSpec("value", "count")),
+      1704067200L, 1704067200L + 31 * 86400)
+    assert(m.size === 2)
+  }
+
+  test("path interning: join-or-insert semantics (J3)") {
+    val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
+    val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
+    val dim1 = PathIntern.intern(empty, batch1)
+    assert(dim1.count() === 2)
+    // re-interning the same paths plus one new: ids stable, one added
+    val batch2 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("x", "y", "z"))).toDF("path")
+    val dim2 = PathIntern.intern(dim1, batch2)
+    assert(dim2.count() === 3)
+    val ids1 = dim1.collect().map(r => r.getSeq[String](1) -> r.getInt(0)).toMap
+    val ids2 = dim2.collect().map(r => r.getSeq[String](1) -> r.getInt(0)).toMap
+    assert(ids1.forall { case (p, id) => ids2(p) == id })
+    // resolve maps rows to interned ids
+    val rows = Seq((100L, Seq("a", "b")), (200L, Seq("x", "y", "z")))
+      .toDF("timestamp", "path")
+    val resolved = PathIntern.resolve(rows, dim2).collect()
+    assert(resolved.forall(!_.isNullAt(resolved(0).fieldIndex("path_id"))))
+  }
+}

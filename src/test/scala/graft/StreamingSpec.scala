@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.schema.Collections
+import graft.streaming.{IngestStream, RollupStream, Subscribe}
+
+// raw amp-external-ish result rows: property tuple + measurement
+case class RawResult(
+    source: String, destination: String, command: String,
+    timestamp: Long, value: Long)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graftstream").toString
+
+  test("ingest: stream registration + data append across batches (X6/X9)") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    val in = MemoryStream[RawResult](spark)
+    val q = IngestStream.start(
+      in.toDF(), spec,
+      s"$dir/streams", s"$dir/data", s"$dir/ckpt")
+    in.addData(
+      RawResult("s1", "d1", "ping", 100L, 5L),
+      RawResult("s1", "d2", "ping", 100L, 7L))
+    q.processAllAvailable()
+    q.stop()
+
+    val q2 = IngestStream.start(
+      in.toDF(), spec,
+      s"$dir/streams", s"$dir/data", s"$dir/ckpt")
+    in.addData(
+      RawResult("s1", "d1", "ping", 200L, 6L), // existing stream → same id
+      RawResult("s9", "d9", "ping", 200L, 9L)) // new stream → new id
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streams = spark.read.parquet(s"$dir/streams")
+    assert(streams.count() === 3)
+    assert(
+      streams.select(max("stream_id")).collect()(0).getInt(0) === 3)
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() === 4)
+    // same property tuple resolved to the same stream id in both batches
+    val s1d1 = streams.filter($"source" === "s1" && $"destination" === "d1")
+      .select("stream_id").collect()(0).getInt(0)
+    assert(data.filter($"stream_id" === s1d1).count() === 2)
+  }
+
+  test("rollup stream: windowed partials with watermark (X4)") {
+    val in = MemoryStream[(Long, Long, Double)](spark)
+    val events = in.toDF().toDF("stream_id", "timestamp", "value")
+    val q = RollupStream.rollup(events, 60, "14 minutes", "value")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    in.addData((1L, 30L, 2.0), (1L, 45L, 4.0), (1L, 70L, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rollup_out").collect()
+    assert(rows.length === 2)
+    val bin0 = rows.find(_.getAs[Long]("binstart") == 0L).get
+    assert(bin0.getAs[Long]("cnt") === 2L)
+    assert(bin0.getAs[java.math.BigDecimal]("s1").doubleValue() === 6.0)
+    val bin60 = rows.find(_.getAs[Long]("binstart") == 60L).get
+    assert(bin60.getAs[Double]("mx") === 10.0)
+  }
+
+  test("subscribe: history-before-live with lasthist dedupe (X1)") {
+    val sub = Subscribe.Subscription(
+      Map("a" -> Seq(1L)), start = 0L, end = 0L, columns = Seq("value"))
+    val session = new Subscribe.Session(sub)
+
+    val history = Seq((1L, 10L, 1.0), (1L, 20L, 2.0))
+      .toDF("stream_id", "timestamp", "value")
+    val liveDuringBackfill = Seq(
+      (1L, 20L, 2.0),  // duplicate of the last history row → dropped
+      (1L, 30L, 3.0),  // genuinely new → released
+      (2L, 40L, 9.0))  // unsubscribed stream → filtered
+      .toDF("stream_id", "timestamp", "value")
+
+    assert(session.currentState === Subscribe.Backfilling)
+    session.onHistory(history)
+    assert(session.onLive(liveDuringBackfill).isEmpty) // buffered
+    val released = session.finish().get.collect()
+    assert(session.currentState === Subscribe.Live)
+    assert(released.length === 1)
+    assert(released(0).getAs[Long]("timestamp") === 30L)
+
+    // after backfill completes, live batches flow through directly
+    val after = session.onLive(
+      Seq((1L, 50L, 5.0)).toDF("stream_id", "timestamp", "value"))
+    assert(after.get.collect().map(_.getAs[Long]("timestamp")).toSeq === Seq(50L))
+  }
+
+  test("subscribe liveFilter honors window and labels (X2)") {
+    val sub = Subscribe.Subscription(Map("a" -> Seq(1L)), 100L, 200L, Seq("value"))
+    val live = Seq((1L, 50L, 1.0), (1L, 150L, 2.0), (1L, 250L, 3.0), (2L, 150L, 4.0))
+      .toDF("stream_id", "timestamp", "value")
+    val out = Subscribe.liveFilter(live, sub).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("timestamp") === 150L)
+  }
+}
