@@ -64,6 +64,17 @@ object Demo {
     session.onLive(Seq((1L, 1300L, 99.0), (1L, 1500L, 15.0)).toDF("stream_id", "timestamp", "value"))
     val released = session.finish().map(_.collect().toSeq).getOrElse(Nil)
     println(s"DEMO subscribe released=${released.map(_.getAs[Long]("timestamp")).mkString(",")} (expect only 1500 > lasthist=1300)")
+
+    // 4. native Catalyst aggregates through SQL (as the reference's
+    //    in-database smoke/most functions)
+    graft.functions.GraftExtensions.register(spark)
+    Tables.tsEvents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev")
+    spark.sql(
+      """SELECT stream_id, most(event_type) AS mode_type,
+        |       round(smoke(value)[19], 2) AS p_top_bucket
+        |FROM ev GROUP BY stream_id ORDER BY stream_id LIMIT 5""".stripMargin)
+      .collect()
+      .foreach(r => println(s"DEMO sql stream=${r.getLong(0)} most=${r.getString(1)} smoke20=${r.getDouble(2)}"))
     spark.stop()
   }
 }

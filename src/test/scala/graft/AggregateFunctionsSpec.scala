@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, MostAggregate, SmokeAggregate}
+import graft.query.{AggSpec, QueryEngine}
+import graft.core.Tables
+
+class AggregateFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SmokeAggregate.ntileAverages matches SQL ntile semantics") {
+    // 7 values, 3 buckets → sizes 3,2,2
+    val got = SmokeAggregate.ntileAverages(Array(1, 2, 3, 4, 5, 6, 7).map(_.toDouble), 3)
+    assert(got.toSeq === Seq(2.0, 4.5, 6.5))
+    // fewer values than buckets → identity
+    assert(SmokeAggregate.ntileAverages(Array(5.0, 9.0), 20).toSeq === Seq(5.0, 9.0))
+  }
+
+  test("native smoke equals the compositional smokeByGroup on real data") {
+    val ev = Tables.tsEvents(spark, sf("sf0.001"))
+    val native = ev.groupBy("stream_id")
+      .agg(SmokeAggregate.smoke(col("value")).as("smoke"))
+      .orderBy("stream_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val compositional = QueryEngine
+      .smokeByGroup(ev, Seq("stream_id"), col("value"), "smoke")
+      .orderBy("stream_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(native.length === compositional.length)
+    native.zip(compositional).foreach { case ((id1, s1), (id2, s2)) =>
+      assert(id1 === id2)
+      s1.zip(s2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("native most: mode with deterministic tie-break; null-only group → null") {
+    val df = Seq(
+      (1, Some("x")), (1, Some("x")), (1, Some("y")), (1, Some("y")), (1, Some("z")),
+      (2, None), (2, None))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(MostAggregate.most(col("v")).as("m"))
+      .orderBy("g").collect()
+    assert(out(0).getString(1) === "x") // tie x/y → smaller wins
+    assert(out(1).isNullAt(1))
+  }
+
+  test("native most agrees with compositional mostByGroup on real data") {
+    val ev = Tables.tsEvents(spark, sf("sf0.001"))
+    val native = ev.groupBy("stream_id")
+      .agg(MostAggregate.most(col("event_type")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val comp = QueryEngine.mostByGroup(ev, Seq("stream_id"), "event_type", "m")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native === comp)
+  }
+
+  test("SQL registration: smoke/most usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Tables.tsEvents(spark, sf("sf0.001")).createOrReplaceTempView("ev")
+    val rows = spark.sql(
+      """SELECT stream_id, smoke(value) AS sm, most(event_type) AS mo
+        |FROM ev GROUP BY stream_id ORDER BY stream_id""".stripMargin).collect()
+    assert(rows.length === 15)
+    assert(rows.forall(r => r.getSeq[Double](1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
+  test("smokearray semantics: flatten array column then smoke (A5)") {
+    val df = Seq(
+      (1, Seq(1.0, 5.0)), (1, Seq(3.0)), (1, Seq(2.0, 4.0)))
+      .toDF("g", "arr")
+    val out = QueryEngine.smokeByGroup(
+      df.withColumn("__sv", explode(col("arr"))), Seq("g"), col("__sv"), "sm")
+      .collect()(0).getSeq[Double](1)
+    assert(out === Seq(1.0, 2.0, 3.0, 4.0, 5.0)) // 5 values < 20 buckets
+  }
+}
