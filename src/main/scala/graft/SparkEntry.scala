@@ -103,6 +103,16 @@ object SparkEntry {
         Start, Stop, binsize = 21600, parity = true)
     }),
 
+    // ---- A10 groupcols + A11 renaming: extra group column, agg on a
+    //      column that is also grouped → `col_func` naming
+    "q_groupcols" -> ((s, dir) => {
+      QueryEngine.selectAggregatedData(
+        Tables.tsEvents(s, dir), labelsFor(s, dir),
+        Seq(AggSpec("value", "avg"), AggSpec("event_type", "count")),
+        Start, Stop, binsize = 7 * 86400, groupcols = Seq("event_type"),
+        parity = true)
+    }),
+
     // ---- A2 `most` (mode) aggregation, deterministic tie-break
     "q_most" -> ((s, dir) => {
       QueryEngine.selectAggregatedData(
@@ -373,6 +383,16 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY nntsclabel, binstart""".stripMargin
     },
+
+    "q_groupcols" ->
+      s"""SELECT nntsclabel, event_type,
+         |  "timestamp" - ("timestamp" % ${7 * 86400}) AS binstart,
+         |  ${OracleParity.Sql.exactAvg("value")} AS value,
+         |  count(event_type) AS event_type_count,
+         |  max("timestamp") AS "timestamp"
+         |FROM ($oracleEventsWindow)
+         |GROUP BY 1, 2, 3
+         |ORDER BY nntsclabel, event_type, binstart""".stripMargin,
 
     "q_most" ->
       s"""WITH b AS (

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.query.{AggSpec, QueryEngine}
+import graft.storage.Layout
+
+/** Plan hygiene audit: asserts the physical-plan properties the 100 TB
+  * design depends on — filter pushdown reaching parquet, column-pruned
+  * scans, broadcast joins for dimensions, partition pruning under the
+  * Layout scheme, whole-stage codegen coverage. Prints AUDIT lines; exits
+  * nonzero on violation.
+  */
+object PlanAudit {
+  private var failures = 0
+
+  private def check(name: String, plan: String, mustContain: Seq[String], mustNot: Seq[String] = Nil): Unit = {
+    val missing = mustContain.filterNot(plan.contains)
+    val illegal = mustNot.filter(plan.contains)
+    if (missing.isEmpty && illegal.isEmpty) println(s"AUDIT ok   $name")
+    else {
+      failures += 1
+      println(s"AUDIT FAIL $name missing=$missing illegal=$illegal")
+    }
+  }
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. filter + projection pushdown on a plain parquet scan
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+    check("lineitem scan: pushed filter + pruned schema", plan(li),
+      mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      mustNot = Seq("l_comment", "l_extendedprice"))
+
+    // 2. label join is a broadcast hash join, no shuffle of the fact side
+    val labels = Map("g0" -> Seq(0L, 3L), "g1" -> Seq(1L, 2L))
+    val agg = QueryEngine.selectAggregatedData(
+      Tables.tsEvents(spark, sfDir), labels,
+      Seq(AggSpec("value", "avg")), 0L, 1900000000L, 3600)
+    agg.collect() // run once so AQE finalizes the plan (codegen stages appear)
+    // whole-stage codegen shows as "*(n) " stage prefixes in the simple
+    // plan string
+    check("binned agg: broadcast label join + codegen", plan(agg),
+      mustContain = Seq("BroadcastHashJoin", "*(1)"),
+      mustNot = Seq("SortMergeJoin"))
+
+    // 3. TPC-H-style join: dimension broadcast
+    val q3 = graft.SparkEntry.queries("q3_shipping")(spark, sfDir)
+    check("q3: broadcast dimension join", plan(q3),
+      mustContain = Seq("BroadcastHashJoin"))
+
+    // 4. Layout table: partition pruning (sbucket) + timestamp pushdown
+    val dir = java.nio.file.Files.createTempDirectory("graftaudit").toString + "/data"
+    Layout.writeData(
+      Tables.tsEvents(spark, sfDir).select("stream_id", "timestamp", "value"),
+      dir, buckets = 16)
+    val pruned = Layout.readData(spark, dir)
+      .filter(Layout.streamPredicate(Seq(1L, 2L), buckets = 16))
+      .filter(col("timestamp").between(1704067200L, 1704672000L))
+    check("layout scan: partition pruning + timestamp pushdown", plan(pruned),
+      mustContain = Seq(
+        "PartitionFilters",
+        "sbucket",
+        "GreaterThanOrEqual(timestamp,1704067200)"))
+    val nFiles = pruned.select(input_file_name()).distinct().count()
+    val totalFiles = Layout.readData(spark, dir).select(input_file_name()).distinct().count()
+    println(s"AUDIT info layout files scanned: $nFiles of $totalFiles")
+    if (nFiles * 4 > totalFiles) { failures += 1; println("AUDIT FAIL pruning ineffective") }
+
+    // 5. documented caveat: the events NANOS adapter derives epoch seconds,
+    //    so its time filter is NOT pushable (engine tables store epoch-s
+    //    longs physically — case 4 — so this only affects the test corpus
+    //    adapter)
+    val adapterPlan = plan(QueryEngine.filterTime(Tables.tsEvents(spark, sfDir), 1L, 2L))
+    println(s"AUDIT info adapter pushdown (expected absent): " +
+      (if (adapterPlan.contains("PushedFilters: []")) "absent as documented" else "present"))
+
+    spark.stop()
+    if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
+    println("AUDIT: all checks passed")
+  }
+}
