@@ -145,34 +145,16 @@ object SparkEntry {
     }),
 
     // ---- Text analysis: token counts, quality ratios ------------------
-    // (tokenize ONCE into a column; every ratio reuses it — at 100 TB the
-    // repeated regex-split would dominate the scan)
+    // (relational explode + codegen aggregation — the higher-order-lambda
+    // column form re-tokenizes per consumer and runs interpreted)
     "q_text_stats" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .select(
-          col("doc_id"),
-          TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
-          TextAnalysis.stopwordCountOf(col("__toks")).cast("long").as("n_stopwords"),
-          TextAnalysis.meanTokenLenOf(col("__toks")).as("mean_token_len"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-          TextAnalysis.digitRatio(col("text")).as("digit_ratio"))
-        .withColumn(
-          "quality",
-          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-            (lit(1.0) - col("punct_ratio")) * lit(0.2) +
-            (lit(1.0) - col("digit_ratio")) * lit(0.2) +
-            least(
-              (col("n_stopwords").cast("double") / col("n_tokens")) * lit(4.0),
-              lit(1.0)) * lit(0.2))
+      TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
     // ---- Language ID heuristic ---------------------------------------
     "q_text_langid" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"), TextAnalysis.langIdOf(col("__toks")).as("lang_pred"))
+      TextAnalysis.docLangId(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 

@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a_i*b_i over two float-array columns, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ a_i*b_i over two float-array columns, computed in double — a native
+    * codegen'd expression (graft.functions.DotProduct); the higher-order-
+    * function fold runs interpreted and is ~10× slower, with identical
+    * result bits (double accumulation in index order).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -90,13 +90,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
     val w = planeWeights(planes, dims)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(
-          vec,
-          array(w(p).map(lit): _*),
-          (x, wi) => x.cast("double") * wi),
-        lit(0.0),
-        (acc, x) => acc + x)
+      val proj = graft.functions.VectorOps.dot(vec, array(w(p).map(lit): _*))
       when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
     }
     bits.reduce(_ + _)
