@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{OracleParity, Tables}
 import graft.ingest.Normalize
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.query.{AggSpec, Frequency, QueryEngine}
+import graft.query.{AggSpec, Frequency, QueryEngine, TimeSeriesOps}
 import graft.rollup.Rollup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -298,6 +298,26 @@ object SparkEntry {
       Multimodal.extractMeta(Multimodal.mediaTable(Tables.documents(s, dir)))
         .withColumn("n_bytes", col("n_bytes").cast("long"))
         .orderBy("media_id")
+    }),
+
+    // ---- As-of join: each click aligned with the latest prior purchase
+    //      of the same stream (union + carry-forward window, one shuffle)
+    "q_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = QueryEngine.filterTime(Tables.tsEvents(s, dir), Start, Stop)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("stream_id", "timestamp", "event_id", "value")
+      // dedupe purchases to one per (stream, ts) — keep max event_id — so
+      // the as-of match is well-defined in both engines
+      val wDedup = Window.partitionBy("stream_id", "timestamp").orderBy(desc("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1)
+        .select("stream_id", "timestamp", "value")
+      TimeSeriesOps.asofJoin(
+          clicks, purchases.withColumnRenamed("value", "purchase_value"),
+          Seq("stream_id"), "timestamp", Seq("purchase_value"))
+        .orderBy("stream_id", "timestamp", "event_id")
     }),
 
     // ---- Gap-based sessionization (window-function suite) -------------
@@ -744,6 +764,26 @@ object SparkEntry {
         |       source AS origin
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH ev AS (
+         |  SELECT * FROM ($oracleEventsWindow)
+         |), clicks AS (
+         |  SELECT stream_id, "timestamp", event_id, value
+         |  FROM ev WHERE event_type = 'click'
+         |), purchases AS (
+         |  SELECT stream_id, "timestamp", value AS purchase_value FROM (
+         |    SELECT stream_id, "timestamp", value,
+         |           row_number() OVER (PARTITION BY stream_id, "timestamp"
+         |                              ORDER BY event_id DESC) AS rn
+         |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+         |)
+         |SELECT c.stream_id, c."timestamp", c.event_id, c.value,
+         |       p."timestamp" AS asof_timestamp,
+         |       p.purchase_value AS asof_purchase_value
+         |FROM clicks c ASOF JOIN purchases p
+         |  ON c.stream_id = p.stream_id AND c."timestamp" >= p."timestamp"
+         |ORDER BY c.stream_id, c."timestamp", c.event_id""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (

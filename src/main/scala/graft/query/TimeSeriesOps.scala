@@ -1,0 +1,67 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators beyond the reference's equi-join surface —
+  * the as-of join every metrics store eventually needs (align a series
+  * with the most recent observation of another).
+  *
+  * Composition strategy (preference (a) of the custom-operator ladder):
+  * tag both sides, union, and carry the right side's values forward with a
+  * `last(_, ignoreNulls)` running window ordered by (ts, side). ONE shuffle
+  * on the join keys, no custom physical operator, scales like any window —
+  * and Catalyst/AQE still size the exchange. Right rows sort before left
+  * rows at equal timestamps, so `right.ts <= left.ts` is inclusive,
+  * matching DuckDB's ASOF JOIN (the oracle).
+  */
+object TimeSeriesOps {
+
+  /** For each left row, attach the latest right row with
+    * `right.tsCol <= left.tsCol` per `keyCols`. Right must be unique per
+    * (keyCols, tsCol) — pre-deduplicate for deterministic results.
+    * Inner semantics: left rows with no prior right row are dropped
+    * (`leftOuter = true` keeps them with NULLs).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightValueCols: Seq[String],
+      leftOuter: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // the right timestamp is always carried: it is the match indicator for
+    // inner semantics (value columns may be legitimately NULL)
+    val carried = s"__r___ts" +: rightValueCols.map(c => s"__r_$c")
+
+    val l0 = left.withColumn("__side", lit(1))
+      .withColumn("__r___ts", lit(null).cast(right.schema(tsCol).dataType))
+    val l = rightValueCols.foldLeft(l0) {
+      (df, c) => df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rBase = right.select(
+      (keyCols.map(col) :+ col(tsCol) :+ col(tsCol).as("__r___ts")) ++
+        rightValueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val r = leftCols.filterNot((keyCols :+ tsCol).contains)
+      .foldLeft(rBase.withColumn("__side", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCarry = carried.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val matchedOnly =
+      if (leftOuter) withCarry
+      else withCarry.filter(col("__r___ts").isNotNull)
+    matchedOnly
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ col("__r___ts").as(s"asof_$tsCol")) ++
+        rightValueCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+}

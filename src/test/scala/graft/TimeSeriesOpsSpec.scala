@@ -1,0 +1,39 @@
+package graft
+
+import graft.query.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 10L, "a"), (1L, 25L, "b"), (1L, 30L, "c"),
+    (2L, 15L, "d"))
+    .toDF("stream_id", "timestamp", "tag")
+  private lazy val right = Seq(
+    (1L, 5L, 100.0), (1L, 25L, 200.0), (1L, 40L, 300.0),
+    (3L, 1L, 999.0))
+    .toDF("stream_id", "timestamp", "price")
+
+  test("asof join: latest right row at or before each left row") {
+    val out = TimeSeriesOps.asofJoin(
+        left, right, Seq("stream_id"), "timestamp", Seq("price"))
+      .orderBy("stream_id", "timestamp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 5L, 100.0),   // 10 → right@5
+      (1L, 25L, 25L, 200.0),  // inclusive: 25 → right@25
+      (1L, 30L, 25L, 200.0))) // 30 → right@25 (40 is in the future)
+    // stream 2 has no right rows → dropped (inner)
+  }
+
+  test("asof left-outer keeps unmatched left rows with NULLs") {
+    val out = TimeSeriesOps.asofJoin(
+        left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = true)
+      .orderBy("stream_id", "timestamp").collect()
+    assert(out.length === 4)
+    val s2 = out.find(_.getLong(0) == 2L).get
+    assert(s2.isNullAt(s2.fieldIndex("asof_timestamp")))
+    assert(s2.isNullAt(s2.fieldIndex("asof_price")))
+  }
+}
