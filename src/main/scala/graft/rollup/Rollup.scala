@@ -24,6 +24,18 @@ import graft.query.QueryEngine
   */
 object Rollup {
 
+  /** Rollup tiers mirroring the reference (influx.py:183-195). */
+  val ShortBin = 60L   // 1-min bins, 14-min late horizon
+  val LongBin = 3600L  // 1-h bins, 2-h late horizon
+
+  /** Matrix tier routing (influx.py:387-394): ranges of at least an hour
+    * read the 1-h rollup, shorter ranges the 1-min rollup. Exposed as a
+    * query-layer dispatch (the reference's planner-equivalent); callers
+    * hand the chosen tier's table to `merge`.
+    */
+  def tierFor(start: Long, stop: Long): Long =
+    if (stop - start >= 3600) LongBin else ShortBin
+
   /** Rollup table: exact partial aggregates per (stream_id, binstart). */
   def build(data: DataFrame, binsize: Long, valueCol: String): DataFrame = {
     val v = col(valueCol)
