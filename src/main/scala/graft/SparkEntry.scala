@@ -300,6 +300,23 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Approximate sketches for 100 TB interactive profiling: HLL
+    //      distinct + KLL-style quantiles per label (rows-only check —
+    //      sketch internals differ across engines by construction)
+    "q_sketches" -> ((s, dir) => {
+      QueryEngine
+        .attachLabels(
+          QueryEngine.filterTime(Tables.tsEvents(s, dir), Start, Stop),
+          labelsFor(s, dir))
+        .groupBy("nntsclabel")
+        .agg(
+          approx_count_distinct(col("value"), 0.01).as("approx_values"),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+            .as("approx_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy("nntsclabel")
+    }),
+
     // ---- As-of join: each click aligned with the latest prior purchase
     //      of the same stream (union + carry-forward window, one shuffle)
     "q_asof_join" -> ((s, dir) => {

@@ -23,6 +23,11 @@ import graft.schema.CollectionSpec
   * the reference's commit+ack (at-least-once with redelivery,
   * amp.py:190-273). `commitfreq`-style batching maps to the micro-batch
   * trigger.
+  *
+  * The RRD file scraper (S2, parsers/rrd.py:107-238) is the same shape with
+  * a file source: `spark.readStream.schema(…).parquet/csv(dir)` +
+  * `Trigger.ProcessingTime("30 seconds")` — checkpointed file offsets
+  * replace the reference's lasttimestamp/revert bookkeeping.
   */
 object IngestStream {
 

@@ -65,6 +65,19 @@ class AggregateFunctionsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("most_array: mode over an array-valued column (A3)") {
+    // the reference round-trips arrays through array_to_string; Spark
+    // groups on array values directly
+    val df = Seq(
+      (1, Seq(1, 2)), (1, Seq(1, 2)), (1, Seq(9)),
+      (2, Seq(7)))
+      .toDF("g", "arr")
+    val out = QueryEngine.mostByGroup(df, Seq("g"), "arr", "m")
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Int](1) === Seq(1, 2))
+    assert(out(1).getSeq[Int](1) === Seq(7))
+  }
+
   test("smokearray semantics: flatten array column then smoke (A5)") {
     val df = Seq(
       (1, Seq(1.0, 5.0)), (1, Seq(3.0)), (1, Seq(2.0, 4.0)))
