@@ -101,64 +101,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), PunctClass, "")), "\\s+", " "))
 
-  // ---- relational (codegen) forms --------------------------------------
-  // The Column helpers above use higher-order array functions, which run
-  // interpreted and re-tokenize per consumer; for whole-table statistics
-  // the explode + codegen-aggregate forms below are the hot-path versions
-  // (~one shuffle of (id, token), identical math → identical oracle bits).
+  // ---- whole-table forms -----------------------------------------------
+  // Measured (tools/Profile3): for ~50-token documents the single-select
+  // column form (a few interpreted lambda evals per ROW) beats both the
+  // explode-relational form (generator-input re-evaluation per OUTPUT row,
+  // ~6×) and a persist-barrier variant (~3×). Explode-based stats only pay
+  // off when per-row array work dwarfs tokenization (see Dedup).
 
   /** Per-document stats table: (id, n_tokens, n_stopwords, mean_token_len,
     * punct_ratio, digit_ratio, quality).
     */
   def docStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val toks = df.select(
-      c(idCol),
-      explode(split(trim(c(textCol)), "\\s+")).as("__t"))
-    val tokAgg = toks
-      .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(c("__t").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stopwords"),
-        sum(length(c("__t"))).cast("long").as("__sumlen"))
-    val charStats = df.select(
-      c(idCol),
-      punctRatio(c(textCol)).as("punct_ratio"),
-      digitRatio(c(textCol)).as("digit_ratio"))
-    tokAgg
-      .join(charStats, idCol)
-      .withColumn("mean_token_len", c("__sumlen").cast("double") / c("n_tokens"))
-      .withColumn(
-        "quality",
-        least(c("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+    val toks = tokens(c(textCol))
+    df.select(
+        c(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordCountOf(toks).cast("long").as("n_stopwords"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long").as("__sumlen"),
+        punctRatio(c(textCol)).as("punct_ratio"),
+        digitRatio(c(textCol)).as("digit_ratio"))
+      .select(
+        c(idCol), c("n_tokens"), c("n_stopwords"),
+        (c("__sumlen").cast("double") / c("n_tokens")).as("mean_token_len"),
+        c("punct_ratio"), c("digit_ratio"),
+        (least(c("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
           (lit(1.0) - c("punct_ratio")) * lit(0.2) +
           (lit(1.0) - c("digit_ratio")) * lit(0.2) +
           least((c("n_stopwords").cast("double") / c("n_tokens")) * lit(4.0), lit(1.0)) * lit(0.2))
-      .select(idCol, "n_tokens", "n_stopwords", "mean_token_len",
-        "punct_ratio", "digit_ratio", "quality")
+          .as("quality"))
   }
 
-  /** Per-document language prediction (relational argmax over marker
-    * counts; ties → first language in sorted code order, no hits → "und").
+  /** Per-document language prediction: argmax over marker counts; ties →
+    * first language in sorted code order, no hits → "und".
     */
   def docLangId(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val langs = LangMarkers.keys.toSeq.sorted
-    val toks = df.select(
-      c(idCol),
-      explode(split(trim(c(textCol)), "\\s+")).as("__t"))
-    val scoreCols = langs.map(l =>
-      sum(when(c("__t").isin(LangMarkers(l): _*), 1L).otherwise(0L)).as(s"__s_$l"))
-    val scored = toks.groupBy(idCol).agg(scoreCols.head, scoreCols.tail: _*)
-    // first-max cascade: lang_i wins iff its score >= every later score
-    def gmax(cs: Seq[Column]): Column = if (cs.size == 1) cs.head else greatest(cs: _*)
-    val cascade = langs.zipWithIndex.foldLeft(
-      when(gmax(langs.map(l => c(s"__s_$l"))) === 0, lit("und"))) {
-      case (acc, (l, i)) =>
-        val later = langs.drop(i + 1).map(x => c(s"__s_$x"))
-        if (later.isEmpty) acc.otherwise(lit(l))
-        else acc.when(c(s"__s_$l") >= gmax(later), lit(l))
-    }
-    scored.select(c(idCol), cascade.as("lang_pred"))
+    df.select(c(idCol), langIdOf(tokens(c(textCol))).as("lang_pred"))
   }
 }
