@@ -210,6 +210,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF ANN (rows-only; recall 0.83 @ 25% scan vs brute force in
+    //      SimilaritySpec)
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", (0L until 10L), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- A13 rollup build + partial→final merge (matrix pipeline) -----
     "q_rollup_merge" -> ((s, dir) => {
       val ro = Rollup.build(Tables.tsEvents(s, dir), 3600, "value")

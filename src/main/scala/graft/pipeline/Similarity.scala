@@ -74,6 +74,86 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: corpus
+    * vectors are assigned to their nearest centroid cell once; a query
+    * scans only the `nprobe` cells nearest to it (scan fraction ≈
+    * nprobe/k). Centroids come from a deterministic Lloyd refinement
+    * (seeded by the first k vectors in id order), so results are
+    * reproducible across runs and engines.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+
+    // deterministic init: the first `cells` vectors by id
+    var centroids: Array[(Int, Array[Double])] = emb
+      .orderBy(idCol)
+      .limit(cells)
+      .select(vecCol)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+
+    def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
+    def nearestCell(vec: Column): Column = {
+      // argmin over cells of -2·dot(v,c)+|c|² (|v|² constant per row)
+      val scored = centroids.map { case (i, c) =>
+        val negDist = graft.functions.VectorOps.dot(vec, centroidCol(c)) * 2 - lit(c.map(x => x * x).sum)
+        struct(negDist.as("s"), lit(i).as("i"))
+      }
+      greatest(scored: _*).getField("i")
+    }
+
+    // Lloyd refinement: recompute centroids as cell means (driver-side
+    // collect of k×dim doubles — tiny), keeping empty cells at their seed
+    for (_ <- 0 until lloydIters) {
+      val dims = centroids(0)._2.length
+      val meanCols = (0 until dims).map(d =>
+        avg(element_at(col(vecCol), d + 1).cast("double")).as(s"__d$d"))
+      val means = emb
+        .withColumn("__cell", nearestCell(col(vecCol)))
+        .groupBy("__cell")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)).toArray)
+        .toMap
+      centroids = centroids.map { case (i, c) => i -> means.getOrElse(i, c) }
+    }
+
+    val assigned = emb.withColumn("__cell", nearestCell(col(vecCol)))
+    val corpus = assigned.select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    // each query probes its nprobe nearest cells
+    val probeCells = (vec: Column) => {
+      val scored = centroids.map { case (i, c) =>
+        val negDist = graft.functions.VectorOps.dot(vec, centroidCol(c)) * 2 - lit(c.map(x => x * x).sum)
+        struct(negDist.as("s"), lit(i).as("i"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    }
+    val queries = emb
+      .filter(col(idCol).isInCollection(queryIds))
+      .withColumn("__probe", explode(probeCells(col(vecCol))))
+      .select(col("__probe").getField("i").as("__cell"),
+        col(idCol).as("query_id"), col(vecCol).as("__va"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Deterministic Rademacher (±1) hyperplane weights: plane p, dim d →
     * sign of a bit of md5(p:d). Pure function of (p, d) — identical on any
     * engine and any cluster.

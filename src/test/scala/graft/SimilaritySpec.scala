@@ -33,6 +33,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall too low: $recall")
   }
 
+  test("ivfTopK: deterministic, recall beats single-probe scan fraction") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = (0L until 20L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf1 = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+      cells = 16, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf2 = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, 5,
+      cells = 16, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf1 === ivf2) // deterministic across runs
+    val recall = (exact intersect ivf1).size.toDouble / exact.size
+    // nprobe/cells = 25% scan fraction; random embeddings → recall should
+    // still clear a useful floor
+    assert(recall >= 0.25, s"IVF recall too low: $recall")
+    println(s"IVF recall @ nprobe=4/16: $recall")
+  }
+
   test("embeddingDupPairs finds planted near-duplicates within a block") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
