@@ -24,6 +24,10 @@ object Tables {
     * `CAST(floor(epoch(ts)) AS BIGINT)` in the DuckDB oracle.
     */
   def tsEvents(spark: SparkSession, dir: String): DataFrame = {
+    // defensive: callers (e.g. the driver's smoke test) may hand us a
+    // session without this conf; it is runtime-settable and required to
+    // read TIMESTAMP(NANOS) parquet at all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = load(spark, dir, "events")
     // `div` = exact integer division (a double `/` would lose precision on
     // 1.7e18-scale nano values: doubles only hold 53 mantissa bits)

