@@ -13,6 +13,20 @@ class DedupSpec extends SparkSpec {
     (5L, "another unrelated sentence talking about music and art and cooking"))
     .toDF("doc_id", "text")
 
+  test("WordNgramHashes equals the compositional shingle-hash pipeline") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(100)
+    val compositional = docs.select(
+      col("doc_id"),
+      array_sort(transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs.select(
+      col("doc_id"),
+      graft.functions.WordNgramHashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === compositional) // bit-identical hash sets
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(corpus, "text", "doc_id")
       .orderBy("canonical_id").collect()
