@@ -65,6 +65,22 @@ object Demo {
     val released = session.finish().map(_.collect().toSeq).getOrElse(Nil)
     println(s"DEMO subscribe released=${released.map(_.getAs[Long]("timestamp")).mkString(",")} (expect only 1500 > lasthist=1300)")
 
+    // 3b. stateful streaming live fan-out: lasthist gate + redelivery dedupe
+    {
+      import graft.streaming.LiveFanout
+      import graft.streaming.LiveFanout.LiveRow
+      val live = MemoryStream[LiveRow](spark)
+      val fq = LiveFanout.gated(spark, live.toDS(), Map(1L -> 1300L))
+        .writeStream.outputMode("append").format("memory").queryName("demo_fanout").start()
+      live.addData(LiveRow(1L, 1300L, 14.0), LiveRow(1L, 1600L, 16.0))
+      fq.processAllAvailable()
+      live.addData(LiveRow(1L, 1600L, 16.0), LiveRow(1L, 1700L, 17.0)) // redelivery
+      fq.processAllAvailable(); fq.stop()
+      val emitted = spark.table("demo_fanout").collect()
+        .map(_.getAs[Long]("timestamp")).sorted.mkString(",")
+      println(s"DEMO fanout emitted=$emitted (expect 1600,1700: gate 1300, dedupe redelivery)")
+    }
+
     // 4. native Catalyst aggregates through SQL (as the reference's
     //    in-database smoke/most functions)
     graft.functions.GraftExtensions.register(spark)

@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     assert(after.get.collect().map(_.getAs[Long]("timestamp")).toSeq === Seq(50L))
   }
 
+  test("stateful live fan-out: lasthist seed + cross-batch dedupe (X1 streaming form)") {
+    import graft.streaming.LiveFanout
+    import graft.streaming.LiveFanout.LiveRow
+    val in = MemoryStream[LiveRow](spark)
+    val q = LiveFanout.gated(spark, in.toDS(), initialGate = Map(1L -> 100L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fanout_out").start()
+    // batch 1: 90 gated out (<= lasthist), 150 admitted, 150 duplicate dropped
+    in.addData(LiveRow(1L, 90L, 1.0), LiveRow(1L, 150L, 2.0), LiveRow(1L, 150L, 2.0))
+    q.processAllAvailable()
+    // batch 2: 150 redelivered (dropped by state), 200 admitted; stream 2
+    // has no gate → everything admitted
+    in.addData(LiveRow(1L, 150L, 2.0), LiveRow(1L, 200L, 3.0), LiveRow(2L, 10L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fanout_out").collect()
+      .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("timestamp")))
+      .sorted.toSeq
+    assert(out === Seq((1L, 150L), (1L, 200L), (2L, 10L)))
+  }
+
   test("subscribe liveFilter honors window and labels (X2)") {
     val sub = Subscribe.Subscription(Map("a" -> Seq(1L)), 100L, 200L, Seq("value"))
     val live = Seq((1L, 50L, 1.0), (1L, 150L, 2.0), (1L, 250L, 3.0), (2L, 150L, 4.0))
