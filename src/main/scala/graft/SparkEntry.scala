@@ -24,20 +24,27 @@ object SparkEntry {
 
   /** Standard label map: streams grouped by user_id % 3 → g0/g1/g2
     * (explicit id lists, as NNTSC clients pass them; the oracle mirrors it
-    * with a CASE expression — dbselect.py:615-630).
+    * with a CASE expression — dbselect.py:615-630). Memoized per data dir —
+    * label resolution is a client-side constant, not a per-query job.
     */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[Long]]]()
+
   private def labelsFor(spark: SparkSession, dir: String): Map[String, Seq[Long]] =
-    Tables
-      .tsEvents(spark, dir)
-      .select("stream_id")
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .toSeq
-      .groupBy(id => s"g${id % 3}")
-      .view
-      .mapValues(_.sorted)
-      .toMap
+    labelsCache.computeIfAbsent(
+      dir,
+      _ =>
+        Tables
+          .tsEvents(spark, dir)
+          .select("stream_id")
+          .distinct()
+          .collect()
+          .map(_.getLong(0))
+          .toSeq
+          .groupBy(id => s"g${id % 3}")
+          .view
+          .mapValues(_.sorted)
+          .toMap)
 
   /** DuckDB side of `labelsFor` + `Tables.tsEvents`. */
   private val OracleEvents =
