@@ -86,6 +86,44 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- TPC-H Q6-style forecasting-revenue scan-aggregate ------------
+    "q6_forecast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          OracleParity.decOut(
+            sum(OracleParity.dec(col("l_extendedprice")) * OracleParity.dec(col("l_discount")))
+          ).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- TPC-H Q5-style local-supplier revenue (5-way join) -----------
+    "q5_region_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          OracleParity.decOut(
+            sum(OracleParity.dec(col("l_extendedprice")) *
+              (OracleParity.dec(lit(1.0)) - OracleParity.dec(col("l_discount"))))
+          ).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ---- NNTSC raw history: P1 projection + P2 time range + P3 streams
     //      + J1 broadcast label join (dbselect.py:390-532)
     "q_raw_select" -> ((s, dir) => {
@@ -393,6 +431,29 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |                 * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q_raw_select" -> {
       val lo = Start + 7 * 86400; val hi = Start + 14 * 86400
