@@ -166,12 +166,48 @@ object SparkEntry {
         Start, Stop, binsize = 7 * 86400)
     }),
 
-    // ---- A4 `smoke` (ntile-20 sketch) + W1 ntile window
+    // ---- A3 `most_array` + A6 `arraysize` (dbselect.py:824-829): mode
+    // and max-length over an array-valued column, here an AS-path-like
+    // digit array derived from the props payload. The winning array is
+    // emitted '|'-joined (string, engine-neutral) because the driver's
+    // comparator cannot sort ArrayType columns; arraysize is cast to long
+    // (Spark size() is INT, DuckDB len() is BIGINT).
+    "q_most_array" -> ((s, dir) => {
+      val withPath = Tables.tsEvents(s, dir)
+        .withColumn(
+          "path",
+          array_remove(split(regexp_replace(col("props"), "[^0-9]", ""), ""), ""))
+      QueryEngine
+        .selectAggregatedData(
+          withPath, labelsFor(s, dir),
+          Seq(
+            AggSpec("path", "most_array"), AggSpec("path", "arraysize"),
+            AggSpec("value", "count")),
+          Start, Stop, binsize = 7 * 86400)
+        .select(
+          col("nntsclabel"), col("binstart"),
+          concat_ws("|", col("path_most_array")).as("path_most_array"),
+          col("path_arraysize").cast("long").as("path_arraysize"),
+          col("value"), col("timestamp"))
+    }),
+
+    // ---- A4 `smoke` (ntile-20 sketch) + W1 ntile window.
+    // The library API returns the sketch as an ordered array (A5 consumes it
+    // that way); for the oracle gate the array is pivoted into 20 scalar
+    // double columns (smoke_01..smoke_20) because the driver's pandas
+    // comparator cannot sort ArrayType columns. ntile buckets are contiguous
+    // 1..min(n,20), so position i == bucket i; exact doubles, no
+    // cross-engine stringification.
     "q_smoke" -> ((s, dir) => {
-      QueryEngine.selectAggregatedData(
+      val arr = QueryEngine.selectAggregatedData(
         Tables.tsEvents(s, dir), labelsFor(s, dir),
         Seq(AggSpec("value", "smoke"), AggSpec("value", "count")),
         Start, Stop, binsize = 7 * 86400, parity = true)
+      val buckets = (1 to 20).map(i =>
+        try_element_at(col("value_smoke"), lit(i)).as(f"smoke_$i%02d"))
+      arr.select(
+        Seq(col("nntsclabel"), col("binstart")) ++ buckets ++
+          Seq(col("value_count"), col("timestamp")): _*)
     }),
 
     // ---- A12 matrix (whole-period single bin) + A9 min_timestamp
@@ -355,7 +391,9 @@ object SparkEntry {
 
     // ---- Approximate sketches for 100 TB interactive profiling: HLL
     //      distinct + KLL-style quantiles per label (rows-only check —
-    //      sketch internals differ across engines by construction)
+    //      sketch internals differ across engines by construction).
+    //      Quantiles are emitted as scalar p50/p95/p99 columns: the driver's
+    //      pandas comparator cannot sort ArrayType output.
     "q_sketches" -> ((s, dir) => {
       QueryEngine
         .attachLabels(
@@ -367,6 +405,12 @@ object SparkEntry {
           percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
             .as("approx_pcts"),
           count(lit(1)).as("n"))
+        .select(
+          col("nntsclabel"), col("approx_values"),
+          try_element_at(col("approx_pcts"), lit(1)).as("p50"),
+          try_element_at(col("approx_pcts"), lit(2)).as("p95"),
+          try_element_at(col("approx_pcts"), lit(3)).as("p99"),
+          col("n"))
         .orderBy("nntsclabel")
     }),
 
@@ -510,6 +554,33 @@ object SparkEntry {
          |  ON base.nntsclabel = m.nntsclabel AND base.binstart = m.binstart AND m.rn = 1
          |ORDER BY base.nntsclabel, base.binstart""".stripMargin,
 
+    "q_most_array" ->
+      s"""WITH b AS (
+         |  SELECT nntsclabel, "timestamp" - ("timestamp" % ${7 * 86400}) AS binstart,
+         |         "timestamp", value,
+         |         array_to_string(
+         |           string_split(regexp_replace(props, '[^0-9]', '', 'g'), ''),
+         |           '|') AS pstr,
+         |         CAST(len(string_split(regexp_replace(props, '[^0-9]', '', 'g'), ''))
+         |              AS BIGINT) AS plen
+         |  FROM ($oracleEventsWindow)
+         |), base AS (
+         |  SELECT nntsclabel, binstart, count(value) AS value,
+         |         max(plen) AS path_arraysize,
+         |         max("timestamp") AS "timestamp"
+         |  FROM b GROUP BY 1, 2
+         |), m AS (
+         |  SELECT nntsclabel, binstart, pstr,
+         |         row_number() OVER (PARTITION BY nntsclabel, binstart
+         |                            ORDER BY count(*) DESC, pstr ASC) AS rn
+         |  FROM b WHERE pstr IS NOT NULL GROUP BY 1, 2, 3
+         |)
+         |SELECT base.nntsclabel, base.binstart, m.pstr AS path_most_array,
+         |       base.path_arraysize, base.value, base."timestamp"
+         |FROM base LEFT JOIN m
+         |  ON base.nntsclabel = m.nntsclabel AND base.binstart = m.binstart AND m.rn = 1
+         |ORDER BY base.nntsclabel, base.binstart""".stripMargin,
+
     "q_smoke" ->
       s"""WITH b AS (
          |  SELECT nntsclabel, "timestamp" - ("timestamp" % ${7 * 86400}) AS binstart,
@@ -529,11 +600,12 @@ object SparkEntry {
          |  FROM t GROUP BY 1, 2, 3
          |), sm AS (
          |  SELECT nntsclabel, binstart,
-         |         list(bavg ORDER BY bucket) AS value_smoke
+         |         ${(1 to 20).map(i => s"max(CASE WHEN bucket = $i THEN bavg END) AS smoke_${f"$i%02d"}").mkString(",\n         ")}
          |  FROM ba GROUP BY 1, 2
          |)
-         |SELECT base.nntsclabel, base.binstart, sm.value_smoke, base.value_count,
-         |       base."timestamp"
+         |SELECT base.nntsclabel, base.binstart,
+         |       ${(1 to 20).map(i => f"sm.smoke_$i%02d").mkString(", ")},
+         |       base.value_count, base."timestamp"
          |FROM base LEFT JOIN sm
          |  ON base.nntsclabel = sm.nntsclabel AND base.binstart = sm.binstart
          |ORDER BY base.nntsclabel, base.binstart""".stripMargin,

@@ -115,6 +115,7 @@ object QueryEngine {
     special.foreach { case (a, n) =>
       val part = a.func match {
         case "most"       => mostByGroup(base, keys, a.column, n)
+        case "most_array" => mostArrayByGroup(base, keys, a.column, n)
         case "smoke"      => smokeByGroup(base, keys, col(a.column), n, parity)
         case "smokearray" =>
           smokeByGroup(
@@ -200,6 +201,31 @@ object QueryEngine {
       .groupBy((keys :+ column).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(desc("__cnt"), col(column).asc)
+    counted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col(column).as(outName)): _*)
+  }
+
+  /** `most_array` (A3) — mode over an array-valued column
+    * (dbselect.py:824-829: the reference round-trips arrays through
+    * `array_to_string` before its `most` aggregate). Groups on the array
+    * value itself; the deterministic tie-break (higher count, then smaller
+    * value) orders on the `'|'`-joined string form so ordering is
+    * engine-portable — exactly the collation the reference's
+    * array_to_string round-trip imposes.
+    */
+  def mostArrayByGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      column: String,
+      outName: String): DataFrame = {
+    val counted = df
+      .filter(col(column).isNotNull)
+      .groupBy((keys :+ column).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__str", concat_ws("|", col(column)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(desc("__cnt"), col("__str").asc)
     counted
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

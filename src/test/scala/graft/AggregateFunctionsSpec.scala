@@ -78,6 +78,18 @@ class AggregateFunctionsSpec extends SparkSpec {
     assert(out(1).getSeq[Int](1) === Seq(7))
   }
 
+  test("most_array: string-form tie-break is deterministic (A3)") {
+    // two arrays tie on count → winner is the smaller '|'-joined string,
+    // matching the reference's array_to_string round-trip collation
+    val df = Seq(
+      (1, Seq("b", "x")), (1, Seq("b", "x")),
+      (1, Seq("a", "z")), (1, Seq("a", "z")))
+      .toDF("g", "arr")
+    val out = QueryEngine.mostArrayByGroup(df, Seq("g"), "arr", "m").collect()
+    assert(out.length === 1)
+    assert(out(0).getSeq[String](1) === Seq("a", "z"))
+  }
+
   test("smokearray semantics: flatten array column then smoke (A5)") {
     val df = Seq(
       (1, Seq(1.0, 5.0)), (1, Seq(3.0)), (1, Seq(2.0, 4.0)))
