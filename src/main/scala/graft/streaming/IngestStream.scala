@@ -19,10 +19,18 @@ import graft.schema.CollectionSpec
   *      the caller's `normalize` function);
   *   3. append to the partitioned data table.
   *
-  * Exactly-once: checkpointed offsets + idempotent append per epoch replace
-  * the reference's commit+ack (at-least-once with redelivery,
-  * amp.py:190-273). `commitfreq`-style batching maps to the micro-batch
-  * trigger.
+  * Exactly-once: checkpointed offsets + idempotent epoch-keyed appends
+  * replace the reference's commit+ack (at-least-once with redelivery,
+  * amp.py:190-273). Each micro-batch writes its rows under a `__epoch=N`
+  * partition with dynamic partition overwrite, so a batch replayed after a
+  * mid-write failure REPLACES its own partition instead of double-appending
+  * — the storage-level idempotence that upgrades foreachBatch's
+  * at-least-once delivery to effective exactly-once. `commitfreq`-style
+  * batching maps to the micro-batch trigger.
+  *
+  * The streams dimension rewrite is convergent rather than idempotent: a
+  * replayed batch anti-joins against the already-registered tuples and
+  * registers nothing new, so replay cannot duplicate or re-id streams.
   *
   * The RRD file scraper (S2, parsers/rrd.py:107-238) is the same shape with
   * a file source: `spark.readStream.schema(…).parquet/csv(dir)` +
@@ -43,8 +51,22 @@ object IngestStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.streamSchema)
   }
 
+  /** Read the data table back without the ingest bookkeeping column. */
+  def readData(spark: SparkSession, dataPath: String): DataFrame = {
+    val df = spark.read.parquet(dataPath)
+    if (df.columns.contains(EpochCol)) df.drop(EpochCol) else df
+  }
+
+  /** Epoch bookkeeping partition column (leading underscores are reserved
+    * by parquet readers, so a plain name with a `__` prefix convention). */
+  val EpochCol = "__epoch"
+
   private def writeStreams(streams: DataFrame, path: String): Unit = {
-    // small dimension: collect → rewrite atomically via temp dir rename
+    // Small dimension: collect → rewrite atomically via temp dir rename.
+    // KNOWN LIMIT: this is driver-side and single-threaded by design — the
+    // dimension is broadcast-size (thousands of streams). A first backfill
+    // that registers millions of streams in one batch should go through a
+    // batch job with Catalog.registerStreams + a distributed write instead.
     val spark = streams.sparkSession
     val rows = streams.collect().toSeq
     val df = spark.createDataFrame(
@@ -79,19 +101,25 @@ object IngestStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, spec, streamsPath, dataPath, normalize)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestBatch(batch, spec, streamsPath, dataPath, normalize, Some(epochId))
       }
       .start()
 
   /** One transactional micro-batch (also callable on static frames for
-    * backfill). */
+    * backfill, where `epoch = None` falls back to a plain append).
+    *
+    * With an epoch id the write is idempotent: rows land under
+    * `__epoch=<id>/` and `partitionOverwriteMode=dynamic` replaces exactly
+    * that partition on replay, leaving every other epoch untouched.
+    */
   def ingestBatch(
       batch: DataFrame,
       spec: CollectionSpec,
       streamsPath: String,
       dataPath: String,
-      normalize: DataFrame => DataFrame): Unit = {
+      normalize: DataFrame => DataFrame,
+      epoch: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val existing = readStreams(spark, streamsPath, spec)
     val updated = Catalog.registerStreams(existing, batch, spec)
@@ -99,10 +127,18 @@ object IngestStream {
     val streams = spark.read.parquet(streamsPath)
     val resolved = Catalog.resolveStreamIds(normalize(batch), streams, spec)
     val dataCols = spec.dataSchema.fieldNames.filter(resolved.columns.contains)
-    resolved
-      .select(dataCols.map(col): _*)
-      .write
-      .mode("append")
-      .parquet(dataPath)
+    val out = resolved.select(dataCols.map(col): _*)
+    epoch match {
+      case Some(id) =>
+        out
+          .withColumn(EpochCol, lit(id))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(EpochCol)
+          .parquet(dataPath)
+      case None =>
+        out.write.mode("append").parquet(dataPath)
+    }
   }
 }

@@ -41,7 +41,7 @@ object Demo {
     q.processAllAvailable(); q.stop()
 
     val streams = spark.read.parquet(s"$dir/streams")
-    val data = spark.read.parquet(s"$dir/data")
+    val data = IngestStream.readData(spark, s"$dir/data")
     println(s"DEMO streams=${streams.count()} data_rows=${data.count()}")
     streams.orderBy("stream_id").show(false)
 

@@ -53,6 +53,30 @@ class StreamingSpec extends SparkSpec {
     assert(data.filter($"stream_id" === s1d1).count() === 2)
   }
 
+  test("ingest: replayed epoch is idempotent, not double-appended (X9)") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    val b1 = Seq(
+      RawResult("s1", "d1", "ping", 100L, 5L),
+      RawResult("s1", "d2", "ping", 100L, 7L)).toDF()
+    val b2 = Seq(RawResult("s2", "d1", "ping", 160L, 6L)).toDF()
+
+    IngestStream.ingestBatch(
+      b1, spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(
+      b2, spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    // simulate a post-failure redelivery: epoch 1 runs again verbatim
+    IngestStream.ingestBatch(
+      b2, spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+
+    val data = IngestStream.readData(spark, s"$dir/data")
+    assert(data.count() === 3) // 2 + 1, NOT 2 + 1 + 1
+    // replay registered nothing new either (convergent dimension)
+    assert(spark.read.parquet(s"$dir/streams").count() === 3)
+    // a replayed epoch resolves to the same stream ids
+    assert(data.select("stream_id").distinct().count() === 3)
+  }
+
   test("rollup stream: windowed partials with watermark (X4)") {
     val in = MemoryStream[(Long, Long, Double)](spark)
     val events = in.toDF().toDF("stream_id", "timestamp", "value")
