@@ -80,6 +80,15 @@ object Similarity {
     * nprobe/k). Centroids come from a deterministic Lloyd refinement
     * (seeded by the first k vectors in id order), so results are
     * reproducible across runs and engines.
+    *
+    * Cell assignment and probing are one native `NearestCells` expression
+    * carrying the centroid matrix as a plan reference object — the plan
+    * stays the same size whatever k×dims is (the literal-array form
+    * produced k·d constant nodes and a truncated-plan warning). The Lloyd
+    * means are computed distributed (groupBy cell over per-dim averages);
+    * only the k×d centroid matrix itself ever reaches the driver. At 100 TB
+    * the quantizer trains the same way on `trainFraction` of the corpus —
+    * standard IVF practice; assignment still covers every vector.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -89,60 +98,51 @@ object Similarity {
       k: Int,
       cells: Int = 16,
       nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
+    import graft.functions.NearestCells
 
     // deterministic init: the first `cells` vectors by id
-    var centroids: Array[(Int, Array[Double])] = emb
+    var centroids: Seq[Seq[Double]] = emb
       .orderBy(idCol)
       .limit(cells)
       .select(vecCol)
       .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .toSeq
 
-    def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
-    def nearestCell(vec: Column): Column = {
-      // argmin over cells of -2·dot(v,c)+|c|² (|v|² constant per row)
-      val scored = centroids.map { case (i, c) =>
-        val negDist = graft.functions.VectorOps.dot(vec, centroidCol(c)) * 2 - lit(c.map(x => x * x).sum)
-        struct(negDist.as("s"), lit(i).as("i"))
-      }
-      greatest(scored: _*).getField("i")
-    }
+    def nearestCell(vec: Column): Column =
+      NearestCells.nearestCells(vec, centroids, 1).getItem(0)
 
-    // Lloyd refinement: recompute centroids as cell means (driver-side
-    // collect of k×dim doubles — tiny), keeping empty cells at their seed
+    // deterministic training subset (id-hash sample, not a random split)
+    val train =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(1000)) < lit((trainFraction * 1000).toInt))
+
+    // Lloyd refinement: per-cell per-dim means, computed distributed; the
+    // only driver traffic is the k×d matrix (tiny), not a data scan result
     for (_ <- 0 until lloydIters) {
-      val dims = centroids(0)._2.length
+      val dims = centroids.head.length
       val meanCols = (0 until dims).map(d =>
         avg(element_at(col(vecCol), d + 1).cast("double")).as(s"__d$d"))
-      val means = emb
+      val means = train
         .withColumn("__cell", nearestCell(col(vecCol)))
         .groupBy("__cell")
         .agg(meanCols.head, meanCols.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)).toArray)
+        .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)))
         .toMap
-      centroids = centroids.map { case (i, c) => i -> means.getOrElse(i, c) }
+      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
     }
 
     val assigned = emb.withColumn("__cell", nearestCell(col(vecCol)))
     val corpus = assigned.select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     // each query probes its nprobe nearest cells
-    val probeCells = (vec: Column) => {
-      val scored = centroids.map { case (i, c) =>
-        val negDist = graft.functions.VectorOps.dot(vec, centroidCol(c)) * 2 - lit(c.map(x => x * x).sum)
-        struct(negDist.as("s"), lit(i).as("i"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-    }
     val queries = emb
       .filter(col(idCol).isInCollection(queryIds))
-      .withColumn("__probe", explode(probeCells(col(vecCol))))
-      .select(col("__probe").getField("i").as("__cell"),
-        col(idCol).as("query_id"), col(vecCol).as("__va"))
+      .withColumn("__cell", explode(NearestCells.nearestCells(col(vecCol), centroids, nprobe)))
+      .select(col("__cell"), col(idCol).as("query_id"), col(vecCol).as("__va"))
     val scored = corpus
       .join(broadcast(queries), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
