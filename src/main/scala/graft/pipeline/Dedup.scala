@@ -85,9 +85,14 @@ object Dedup {
   }
 
   /** MinHash signatures: signature[i] = min over shingles of
-    * xxhash64(i, shingle_hash). Relational form: exploded shingles × a
-    * broadcast seed table (whole-stage codegen), min per (doc, seed) with
-    * map-side combine, ordered collect into the signature array.
+    * xxhash64(i, shingle_hash), computed by the fused native
+    * `MinHashSignature` expression — a map-only projection over the
+    * materialized sets (no explode, no shuffle; the relational 64-MIN-buffer
+    * aggregation it replaces cost one full shuffle of (doc, shingle) pairs
+    * plus 64 builtin-hash evals per exploded row). Bit-identical hashes;
+    * parity vs the compositional form asserted in DedupSpec. Documents with
+    * empty shingle sets (shorter than n words) produce no signature row,
+    * matching the relational MIN-over-nothing behavior.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -96,18 +101,11 @@ object Dedup {
       n: Int,
       numHashes: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    // one hash-aggregation with numHashes MIN buffers — no row blow-up, no
-    // cross join (a ×64 BroadcastNestedLoopJoin runs outside codegen and
-    // costs ~10× this shape), everything whole-stage codegen'd
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
     sets
-      .select(col("__id"), explode(col("__set")).as("__s"))
-      .groupBy("__id")
-      .agg(minCols.head, minCols.tail: _*)
+      .filter(size(col("__set")) > 0)
       .select(
         col("__id").as(idCol),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("signature"))
+        graft.functions.MinHashSignature(col("__set"), numHashes).as("signature"))
   }
 
   /** MinHash + LSH near-dup candidate pairs. Signatures are cut into

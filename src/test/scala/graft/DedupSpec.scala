@@ -27,6 +27,25 @@ class DedupSpec extends SparkSpec {
     assert(native === compositional) // bit-identical hash sets
   }
 
+  test("MinHashSignature equals the relational 64-min-buffer aggregation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(100)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size(col("__set")) > 0)
+    val k = 64
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("__s"))).as(s"__m$i"))
+    val relational = sets
+      .select(col("__id"), explode(col("__set")).as("__s"))
+      .groupBy("__id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("__id"), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = sets
+      .select(col("__id"), graft.functions.MinHashSignature(col("__set"), k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === relational) // bit-identical signatures
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(corpus, "text", "doc_id")
       .orderBy("canonical_id").collect()
