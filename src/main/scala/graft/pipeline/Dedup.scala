@@ -154,29 +154,20 @@ object Dedup {
   /** 60-bit SimHash fingerprint from md5-derived token hashes (md5 keeps
     * the hash reproducible in any engine — the DuckDB oracle recomputes
     * it). Bit j of the fingerprint is the sign of
-    * Σ_tokens (bit_j(h(token)) ? +1 : -1). Relational: exploded token
-    * hashes × a broadcast 60-row bit table, all codegen, two
-    * map-side-combined aggregations.
+    * Σ_tokens (bit_j(h(token)) ? +1 : -1).
+    *
+    * Computed by the fused native `SimHash60` expression — a map-only
+    * projection (no explode, no shuffle; the relational 60-bit-sum-buffer
+    * aggregation it replaces paid a hex md5 + substring + base-16 parse per
+    * token plus a (doc, token-hash) shuffle). Bit parity with the
+    * compositional form is asserted in DedupSpec; the DuckDB oracle
+    * recomputes the same construction from the text.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    // one hash-aggregation with 60 bit-count buffers (plus the token
-    // count): bit j of the fingerprint is set iff 2·ones_j > n_tokens,
-    // which equals the reference Σ(±1) > 0 vote. No ×60 row blow-up.
-    val bitSums = (0 until 60).map(j =>
-      sum(shiftright(col("__h"), j).bitwiseAND(1)).as(s"__b$j"))
-    val aggd = df
-      .select(col(idCol).as("__id"), explode(toks).as("__t"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull) // the exploded form dropped null texts
       .select(
-        col("__id"),
-        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
-      .groupBy("__id")
-      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("__n")): _*)
-    val fpExpr = (0 until 60)
-      .map(j => when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    aggd.select(col("__id").as(idCol), fpExpr.as("simhash"))
-  }
+        col(idCol),
+        graft.functions.SimHash60(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: block on 15-bit quarters of the fingerprint
     * (a pair within hamming distance <= 3 of 60 bits must agree on at least

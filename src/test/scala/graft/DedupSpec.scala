@@ -46,6 +46,34 @@ class DedupSpec extends SparkSpec {
     assert(fused === relational) // bit-identical signatures
   }
 
+  test("SimHash60 equals the relational md5 bit-vote aggregation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(100)
+      .union(Seq((90001L, "", "x", "x", 0L), (90002L, "  ", "x", "x", 0L),
+        (90003L, "\tleading tab", "x", "x", 0L)).toDF(docs0Cols: _*))
+    val toks = split(trim(col("text")), "\\s+")
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("__h"), j).bitwiseAND(1)).as(s"__b$j"))
+    val aggd = docs
+      .select(col("doc_id").as("__id"), explode(toks).as("__t"))
+      .select(
+        col("__id"),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"))
+      .groupBy("__id")
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("__n")): _*)
+    val fpExpr = (0 until 60)
+      .map(j => when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val relational = aggd.select(col("__id"), fpExpr.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === relational) // bit-identical fingerprints, edge cases included
+  }
+
+  private lazy val docs0Cols =
+    graft.core.Tables.documents(spark, sf("sf0.001")).columns.toSeq
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(corpus, "text", "doc_id")
       .orderBy("canonical_id").collect()
