@@ -2,7 +2,6 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.schema.{Collections, CollectionSpec}
 
@@ -46,9 +45,11 @@ object Catalog {
     val maxId = existing
       .agg(coalesce(max(col("stream_id")), lit(0)).as("m"))
       .collect()(0).getAs[Number]("m").intValue()
-    val w = Window.orderBy(keys.map(col): _*)
-    val assigned = fresh
-      .withColumn("stream_id", (row_number().over(w) + maxId).cast("int"))
+    // distributed deterministic allocation (no single-partition window —
+    // first backfill may register millions of streams in one batch)
+    val assigned = Ids
+      .assignSequential(fresh, keys, maxId.toLong, "stream_id")
+      .withColumn("stream_id", col("stream_id").cast("int"))
       .select(existing.columns.map(col): _*)
     existing.unionByName(assigned)
   }

@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Traceroute path/AS-path dimension interning — the Spark-native form of
@@ -28,9 +27,11 @@ object PathIntern {
     val maxId = existing
       .agg(coalesce(max(col("path_id")), lit(0)).as("m"))
       .collect()(0).getAs[Number]("m").intValue()
-    val w = Window.orderBy(col("path"))
-    val assigned = fresh
-      .withColumn("path_id", (row_number().over(w) + maxId).cast("int"))
+    // distributed deterministic allocation (no single-partition window —
+    // a traceroute backfill can intern millions of new paths in batch 1)
+    val assigned = graft.catalog.Ids
+      .assignSequential(fresh, Seq("path"), maxId.toLong, "path_id")
+      .withColumn("path_id", col("path_id").cast("int"))
       .withColumn("length", size(col("path")))
       .select("path_id", "path", "length")
     existing.select("path_id", "path", "length").unionByName(assigned)

@@ -42,6 +42,34 @@ class CatalogSpec extends SparkSpec {
     assert(rows(2).getString(1) === "s2")
   }
 
+  test("Ids.assignSequential: row_number-identical ids, no 1-partition funnel") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 1000 keys across many partitions
+    val df = spark.range(1000).select(
+      concat(lit("k"), format_string("%04d", pmod(col("id") * 37, lit(1000)))).as("k"))
+    val viaWindow = df
+      .withColumn("id", row_number().over(Window.orderBy("k")) + 100)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // AQE rightly coalesces a 1000-row shuffle to one partition; disable
+    // coalescing to show the allocation itself is partition-parallel
+    // (the old row_number window was ALWAYS one partition, whatever the size)
+    val advisoryKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(advisoryKey, "true")
+    spark.conf.set(advisoryKey, "false")
+    val (distributed, got) =
+      try {
+        val d = graft.catalog.Ids.assignSequential(df, Seq("k"), 100L, "id")
+        (d, d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      } finally spark.conf.set(advisoryKey, prev)
+    assert(distributed.rdd.getNumPartitions > 1)
+    assert(got.view.mapValues(_.toInt).toMap === viaWindow)
+    // repeated runs allocate identically (determinism)
+    val again = graft.catalog.Ids.assignSequential(df, Seq("k"), 100L, "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("collectionsTable lists the registry with stable ids") {
     val ct = Catalog.collectionsTable(spark).collect()
     assert(ct.length === 14)

@@ -6,10 +6,7 @@ package graft
 class EntrySpec extends SparkSpec {
 
   test("entry returns rows on a plain session") {
-    val plain = spark.newSession() // fresh SQL conf, no nanosAsLong
-    assert(plain.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty ||
-      plain.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false" ||
-      true) // conf may be inherited; the real assertion is below
+    val plain = spark.newSession() // fresh SQL conf; Tables sets nanosAsLong
     val rows = SparkEntry.entry(plain).count()
     assert(rows > 0)
   }
