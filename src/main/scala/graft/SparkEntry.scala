@@ -191,6 +191,32 @@ object SparkEntry {
           col("value"), col("timestamp"))
     }),
 
+    // ---- traceroute_pathlen shape (amp_traceroute_pathlen.py:61-157):
+    // fractional path-length adjustment over hop arrays with trailing
+    // no-response hops, then per-(label, bin) mode. Hop arrays are derived
+    // from the props digits ('0' = unanswered hop), exercising the real
+    // AmpTraceroutePathlen operators end-to-end.
+    "q_pathlen" -> ((s, dir) => {
+      import graft.ingest.AmpTraceroutePathlen
+      val withPath = QueryEngine
+        .attachLabels(
+          QueryEngine.filterTime(Tables.tsEvents(s, dir), Start, Stop),
+          labelsFor(s, dir))
+        .withColumn("__digits", regexp_replace(col("props"), "[^0-9]", ""))
+        .withColumn(
+          "path",
+          transform(
+            array_remove(split(col("__digits"), ""), ""),
+            c => when(c === "0", lit(null)).otherwise(c)))
+        .withColumn(
+          "path_length",
+          AmpTraceroutePathlen.ipPathLength(col("path"), size(col("path"))))
+        .withColumn("binstart", col("timestamp") - col("timestamp") % (7 * 86400))
+      AmpTraceroutePathlen
+        .reduce(withPath, Seq("nntsclabel", "binstart"), "path_length")
+        .orderBy("nntsclabel", "binstart")
+    }),
+
     // ---- A4 `smoke` (ntile-20 sketch) + W1 ntile window.
     // The library API returns the sketch as an ordered array (A5 consumes it
     // that way); for the oracle gate the array is pivoted into 20 scalar
@@ -553,6 +579,30 @@ object SparkEntry {
          |FROM base LEFT JOIN m
          |  ON base.nntsclabel = m.nntsclabel AND base.binstart = m.binstart AND m.rn = 1
          |ORDER BY base.nntsclabel, base.binstart""".stripMargin,
+
+    "q_pathlen" ->
+      s"""WITH b AS (
+         |  SELECT nntsclabel, "timestamp" - ("timestamp" % ${7 * 86400}) AS binstart,
+         |         regexp_replace(props, '[^0-9]', '', 'g') AS digits
+         |  FROM ($oracleEventsWindow)
+         |), adj AS (
+         |  SELECT nntsclabel, binstart,
+         |         CASE WHEN len(digits) = 0 THEN 0.5
+         |              WHEN digits LIKE '%0'
+         |                THEN len(digits) + 0.5 - (len(digits) - len(rtrim(digits, '0')))
+         |              ELSE CAST(len(digits) AS DOUBLE) END AS path_length
+         |  FROM b
+         |), counted AS (
+         |  SELECT nntsclabel, binstart, path_length, count(*) AS "count"
+         |  FROM adj GROUP BY 1, 2, 3
+         |), win AS (
+         |  SELECT *, row_number() OVER (PARTITION BY nntsclabel, binstart
+         |             ORDER BY "count" DESC, path_length ASC NULLS LAST) AS rn
+         |  FROM counted
+         |)
+         |SELECT nntsclabel, binstart, path_length, "count"
+         |FROM win WHERE rn = 1
+         |ORDER BY nntsclabel, binstart""".stripMargin,
 
     "q_most_array" ->
       s"""WITH b AS (

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.query.QueryEngine
@@ -64,4 +65,53 @@ object AmpTraceroute {
       Seq("stream_id", "timestamp"),
       pathIdCol,
       pathIdCol + "_most")
+
+  /** The AS-traceroute data-table reduction (amp_traceroute.py:408-478):
+    * per (key, timestamp) —
+    *   - addresses  = null-safe count of results with a real address
+    *     (not 0.0.0.0/::)
+    *   - errors     = null-safe count of results carrying error_type/code,
+    *     floored at 0 once any real address was seen (the reference's
+    *     `_add_maybe_none(errors, 0)` initialization)
+    *   - the most frequent AS path wins and carries its
+    *     aspath_length/uniqueas/responses; all NULL when no result had one.
+    * Ties break deterministically (count desc, then RLE-string order); the
+    * reference keeps first-observed (dict order) — documented deviation.
+    *
+    * Input: rows already through `extractAsPath`, plus address/error_type/
+    * error_code/packet_size columns.
+    */
+  def asStreamReduce(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val goodAddr =
+      col("address").isNotNull && col("address") =!= "0.0.0.0" && col("address") =!= "::"
+    val errRow = col("error_type").isNotNull || col("error_code").isNotNull
+    val base = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        first(col("packet_size")).as("packet_size"),
+        sum(when(goodAddr, 1)).cast("int").as("addresses"),
+        sum(when(errRow, 1)).cast("int").as("__errsum"))
+      .withColumn(
+        "errors",
+        coalesce(col("__errsum"), when(col("addresses").isNotNull, lit(0))))
+      .drop("__errsum")
+    val counted = df
+      .filter(col("aspath").isNotNull)
+      .groupBy((keys.map(col) :+ col("aspath")): _*)
+      .agg(
+        count(lit(1)).as("__cnt"),
+        first(col("aspath_length")).as("aspath_length"),
+        first(col("uniqueas")).as("uniqueas"),
+        first(col("responses")).as("responses"))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(desc("__cnt"), concat_ws(" ", col("aspath")).asc)
+    val winner = counted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        (keys.map(col) :+ col("aspath") :+ col("aspath_length") :+
+          col("uniqueas") :+ col("responses")): _*)
+    base.join(winner, keys, "left_outer")
+  }
 }

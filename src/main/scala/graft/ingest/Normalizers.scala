@@ -67,4 +67,73 @@ object Normalizers {
       when(
         col("requests").isNotNull && col("requests") > 0,
         (col("requests") - col("responses")).cast("double") / col("requests")))
+
+  /** amp-http (amp_http.py:85-147 `_stream_key` + `_mangle_result`): the
+    * AMPsave field names are mangled onto the storage columns — destination
+    * is the URL, `keep_alive`→`persist`, `pipelining_maxrequests`→
+    * `pipelining_max_requests` — and duration is truncated to int; bytes /
+    * server_count / object_count pass through.
+    */
+  def http(df: DataFrame): DataFrame =
+    df.withColumn("destination", col("url"))
+      .withColumn("persist", col("keep_alive"))
+      .withColumn("pipelining_max_requests", col("pipelining_maxrequests"))
+      .withColumn("duration", col("duration").cast("int"))
+
+  /** amp-youtube (amp_youtube.py:109-131 `_mangle_result`): destination is
+    * the video id, `requested_quality`→`quality`, and the six timing
+    * counters are truncated to int.
+    */
+  def youtube(df: DataFrame): DataFrame = {
+    val ints = Seq(
+      "total_time", "pre_time", "initial_buffering", "playing_time",
+      "stall_time", "stall_count")
+    ints.foldLeft(
+      df.withColumn("destination", col("video"))
+        .withColumn("quality", col("requested_quality")))(
+      (d, c) => d.withColumn(c, col(c).cast("int")))
+  }
+
+  /** amp-sip (amp_sip.py:132-196 `process_data`): each result fans out into
+    * an rx and a tx row; the shared timing fields ride along on both, the
+    * per-direction block (packets/bytes/lost/discarded/reordered/duplicated
+    * + mos.itu_mos) and the rtt block flatten to columns — all NULL when
+    * the block is missing (struct access on a NULL struct is NULL). The
+    * proxy list collapses to a comma-joined string (:139).
+    *
+    * Input structs: rtt{maximum,minimum,mean,sd},
+    * rx/tx{packets,bytes,lost,discarded,reordered,duplicated,mos{itu_mos}}.
+    */
+  def sip(df: DataFrame): DataFrame =
+    df.withColumn("destination", col("uri"))
+      .withColumn("proxy", concat_ws(",", col("proxy")))
+      .withColumn("response_time", col("time_till_first_response"))
+      .withColumn("connect_time", col("time_till_connected"))
+      .withColumn("rtt_max", col("rtt.maximum"))
+      .withColumn("rtt_min", col("rtt.minimum"))
+      .withColumn("rtt_mean", col("rtt.mean"))
+      .withColumn("rtt_sd", col("rtt.sd"))
+      .withColumn(
+        "__dir",
+        explode(array(
+          struct(lit("rx").as("direction"), col("rx").as("block")),
+          struct(lit("tx").as("direction"), col("tx").as("block")))))
+      .withColumn("direction", col("__dir.direction"))
+      .withColumn("packets", col("__dir.block.packets"))
+      .withColumn("bytes", col("__dir.block.bytes"))
+      .withColumn("lost", col("__dir.block.lost"))
+      .withColumn("discarded", col("__dir.block.discarded"))
+      .withColumn("reordered", col("__dir.block.reordered"))
+      .withColumn("duplicated", col("__dir.block.duplicated"))
+      .withColumn("mos", col("__dir.block.mos.itu_mos"))
+      .withColumn("unused", lit(true))
+      .drop("__dir", "rx", "tx", "rtt", "uri",
+        "time_till_first_response", "time_till_connected")
+
+  /** amp-external (amp_external.py:84-99): a result with no destination
+    * uses the source as its destination; the measurement value passes
+    * through untouched (NULL = test failed to run).
+    */
+  def external(df: DataFrame): DataFrame =
+    df.withColumn("destination", coalesce(col("destination"), col("source")))
 }
