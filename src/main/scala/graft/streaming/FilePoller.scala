@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.schema.CollectionSpec
+
+/** S2 — the file-scraper ingest path, the Spark-native form of the
+  * reference's RRD poller loop (/root/reference/libnntsc/parsers/
+  * rrd.py:107-238): poll on a timer, read whatever new data appeared since
+  * the last committed position, normalize, insert, announce.
+  *
+  * Structured Streaming's file source replaces every piece of the
+  * reference's bookkeeping:
+  *   - `lasttimestamp` / `rejig_ts` window arithmetic → checkpointed file
+  *     offsets (a file is consumed exactly once, restart-safe);
+  *   - the poll timer → `Trigger.ProcessingTime("30 seconds")`;
+  *   - commit-then-announce → `foreachBatch` (epoch-idempotent ingest
+  *     append, then live fan-out, then the X3 push marker — the same
+  *     ordering as the reference's insert → export_live → export_push).
+  *
+  * At scale the same query shape runs against an object-store landing
+  * prefix with thousands of files per trigger; `maxFilesPerTrigger` caps
+  * batch size.
+  */
+object FilePoller {
+
+  def start(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      spec: CollectionSpec,
+      streamsPath: String,
+      dataPath: String,
+      checkpointPath: String,
+      normalize: DataFrame => DataFrame = identity,
+      format: String = "parquet",
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      // X3: (collection name, bus) — a marker is published after each
+      // batch commits, carrying the batch's max timestamp
+      markers: Option[(String, Markers.MarkerBus)] = None,
+      // live fan-out: receives the normalized, id-resolved rows that were
+      // just committed (exporter.export_live analog)
+      onLive: DataFrame => Unit = _ => ()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .format(format)
+      .load(inDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val written = IngestStream.ingestBatch(
+          batch, spec, streamsPath, dataPath, normalize, Some(epochId))
+        onLive(written)
+        markers.foreach { case (collection, bus) =>
+          val mx = written.agg(max("timestamp")).collect()(0)
+          if (!mx.isNullAt(0))
+            bus.publish(Markers.Marker(collection, mx.getLong(0), epochId))
+        }
+      }
+      .start()
+}

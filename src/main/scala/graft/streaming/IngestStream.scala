@@ -103,6 +103,7 @@ object IngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         ingestBatch(batch, spec, streamsPath, dataPath, normalize, Some(epochId))
+        ()
       }
       .start()
 
@@ -112,6 +113,9 @@ object IngestStream {
     * With an epoch id the write is idempotent: rows land under
     * `__epoch=<id>/` and `partitionOverwriteMode=dynamic` replaces exactly
     * that partition on replay, leaving every other epoch untouched.
+    *
+    * Returns the normalized, stream-id-resolved rows that were written
+    * (callers fan them out live / derive push markers).
     */
   def ingestBatch(
       batch: DataFrame,
@@ -119,7 +123,7 @@ object IngestStream {
       streamsPath: String,
       dataPath: String,
       normalize: DataFrame => DataFrame,
-      epoch: Option[Long] = None): Unit = {
+      epoch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val existing = readStreams(spark, streamsPath, spec)
     val updated = Catalog.registerStreams(existing, batch, spec)
@@ -140,5 +144,6 @@ object IngestStream {
       case None =>
         out.write.mode("append").parquet(dataPath)
     }
+    out
   }
 }

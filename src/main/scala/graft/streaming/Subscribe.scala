@@ -62,8 +62,19 @@ object Subscribe {
     private var state: State = Backfilling
     private var buffered: Vector[DataFrame] = Vector.empty
     private var lastHist: Long = Long.MinValue
+    private var pushed: Option[Long] = None
 
     def currentState: State = state
+
+    /** X3: record a PUSH marker — "all data <= marker.timestamp delivered".
+      * Clients poll `pushedUpTo` to know a batch boundary has passed
+      * (exporter.py:1304-1349; the reference client treats PUSH as the
+      * signal that a timestamp's data is complete).
+      */
+    def onMarker(m: Markers.Marker): Unit =
+      pushed = Some(pushed.fold(m.timestamp)(math.max(_, m.timestamp)))
+
+    def pushedUpTo: Option[Long] = pushed
 
     def onHistory(history: DataFrame): Unit = {
       require(state == Backfilling)
@@ -80,8 +91,8 @@ object Subscribe {
     }
 
     /** Release buffered live rows `> lasthist`; afterwards live batches
-      * flow straight through (PUSH markers X3 are the caller's batch-commit
-      * callback).
+      * flow straight through (X3 PUSH markers arrive via `onMarker`,
+      * published by the ingest's batch-commit callback — see FilePoller).
       */
     def finish(): Option[DataFrame] = {
       require(state == Backfilling)

@@ -81,6 +81,31 @@ object Demo {
       println(s"DEMO fanout emitted=$emitted (expect 1600,1700: gate 1300, dedupe redelivery)")
     }
 
+    // 3c. S2 file-poller chain: files land → poll → ingest (epoch
+    //     idempotent) → X3 push marker → rollup over the landed data
+    {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.{FilePoller, Markers}
+      import graft.rollup.Rollup
+      val pdir = java.nio.file.Files.createTempDirectory("graftpoll").toString
+      val schema = Seq.empty[R].toDF().schema
+      val bus = new Markers.MarkerBus
+      bus.subscribe("amp-external")(m =>
+        println(s"DEMO marker collection=${m.collection} ts=${m.timestamp} epoch=${m.epoch}"))
+      Seq(R("amp", "web01", "ping", 1000L, 12L), R("amp", "web01", "ping", 1300L, 14L))
+        .toDF().write.mode("append").parquet(s"$pdir/in")
+      val pq = FilePoller.start(
+        spark, s"$pdir/in", schema, Collections.ampExternal,
+        s"$pdir/streams", s"$pdir/data", s"$pdir/ckpt",
+        trigger = Trigger.AvailableNow(), // prod: ProcessingTime("30 seconds")
+        markers = Some(("amp-external", bus)))
+      pq.awaitTermination()
+      val landed = IngestStream.readData(spark, s"$pdir/data")
+        .withColumn("stream_id", col("stream_id").cast("long"))
+      val rolled = Rollup.build(landed, 300, "value").collect()
+      println(s"DEMO poller rows=${landed.count()} rollup_bins=${rolled.length}")
+    }
+
     // 4. native Catalyst aggregates through SQL (as the reference's
     //    in-database smoke/most functions)
     graft.functions.GraftExtensions.register(spark)

@@ -143,6 +143,68 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 150L), (1L, 200L), (2L, 10L)))
   }
 
+  test("S2 file poller e2e: history-before-live with X3 push markers") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{FilePoller, Markers}
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    val schema = Seq.empty[RawResult].toDF().schema
+
+    val bus = new Markers.MarkerBus
+    val session = new Subscribe.Session(
+      Subscribe.Subscription(Map("a" -> Seq(1L, 2L, 3L)), 0L, 0L, Seq("value")))
+    var markers = Vector.empty[Markers.Marker]
+    bus.subscribe("amp-external") { m => markers :+= m; session.onMarker(m) }
+    bus.subscribe("other-collection") { _ => fail("marker leaked across collections") }
+
+    // live fan-out: materialize the micro-batch (it is only valid during
+    // the batch), resolve id type, hand to the session
+    val live: org.apache.spark.sql.DataFrame => Unit = df => {
+      val rows = df.withColumn("stream_id", col("stream_id").cast("long"))
+      val static = spark.createDataFrame(
+        java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+      session.onLive(static)
+    }
+
+    def pollOnce(): Unit = {
+      val q = FilePoller.start(
+        spark, s"$dir/in", schema, spec,
+        s"$dir/streams", s"$dir/data", s"$dir/ckpt",
+        trigger = Trigger.AvailableNow(),
+        markers = Some(("amp-external", bus)),
+        onLive = live)
+      q.awaitTermination()
+    }
+
+    // history lands while the subscriber is backfilling
+    Seq(RawResult("s1", "d1", "ping", 100L, 5L), RawResult("s1", "d2", "ping", 200L, 7L))
+      .toDF().write.mode("append").parquet(s"$dir/in")
+    pollOnce()
+    assert(markers.map(_.timestamp) === Vector(200L))
+
+    assert(session.currentState === Subscribe.Backfilling)
+    session.onHistory(
+      IngestStream.readData(spark, s"$dir/data")
+        .withColumn("stream_id", col("stream_id").cast("long"))) // lasthist=200
+
+    // a new file arrives mid-backfill → buffered as live
+    Seq(RawResult("s1", "d1", "ping", 300L, 6L))
+      .toDF().write.mode("append").parquet(s"$dir/in")
+    pollOnce()
+    assert(markers.map(_.timestamp) === Vector(200L, 300L))
+    assert(session.pushedUpTo === Some(300L))
+
+    // history-before-live seam: only rows past lasthist are released
+    val released = session.finish().get.collect()
+    assert(session.currentState === Subscribe.Live)
+    assert(released.map(_.getAs[Long]("timestamp")).toSeq === Seq(300L))
+
+    // storage agrees with the markers: everything <= pushedUpTo is readable
+    val data = IngestStream.readData(spark, s"$dir/data")
+    assert(data.count() === 3)
+    assert(data.agg(max("timestamp")).collect()(0).getLong(0) === 300L)
+  }
+
   test("subscribe liveFilter honors window and labels (X2)") {
     val sub = Subscribe.Subscription(Map("a" -> Seq(1L)), 100L, 200L, Seq("value"))
     val live = Seq((1L, 50L, 1.0), (1L, 150L, 2.0), (1L, 250L, 3.0), (2L, 150L, 4.0))
