@@ -22,16 +22,70 @@ import graft.schema.{Collections, CollectionSpec}
 object Service {
   val StreamsPageSize = 1000
   val HistoryChunkRows = 10000
+  val MaxCancelFires = 30
 
   final case class StreamsReply(rows: Seq[Row], more: Boolean)
   final case class HistoryChunk(label: String, rows: Seq[Row], more: Boolean, freq: Long)
+
+  /** The NNTSC_QUERY_CANCELLED analog (exporter.py:362-378): tells the
+    * client the absence of data is a timeout, not an empty range.
+    */
+  final class QueryCancelledException(val op: String, cause: Throwable)
+    extends RuntimeException(s"query cancelled after timeout: $op", cause)
+
+  /** Shared watchdog for query timeouts (daemon — never blocks JVM exit). */
+  private[serve] val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-watchdog")
+      t.setDaemon(true)
+      t
+    })
 }
 
+/** @param queryTimeoutSec 0 = no timeout (the reference's
+  *   `statement_timeout` default, database.py:256-257); > 0 arms a
+  *   watchdog per service call that cancels the call's Spark job group —
+  *   a runaway 100 TB scan dies at the timeout instead of holding
+  *   executors, and the caller gets QueryCancelledException
+  *   (NNTSC_QUERY_CANCELLED).
+  */
 final class Service(
     spark: SparkSession,
     data: Map[String, DataFrame],
-    streams: Map[String, DataFrame]) {
+    streams: Map[String, DataFrame],
+    queryTimeoutSec: Long = 0) {
   import Service._
+
+  /** Tag the calling thread with a fresh job group and arm the watchdog.
+    * The group is deliberately NOT cleared on exit: chunked history
+    * iterators submit their jobs lazily from the caller's thread and must
+    * stay cancellable; the next service call overwrites the group.
+    */
+  private def withCancellation[T](op: String)(body: => T): T =
+    if (queryTimeoutSec <= 0) body
+    else {
+      val sc = spark.sparkContext
+      val group = s"graft-$op-${java.util.UUID.randomUUID()}"
+      sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
+        interruptOnCancel = true)
+      // fire repeatedly once past the deadline: one query = several
+      // sequential AQE jobs, and cancelJobGroup only kills jobs running at
+      // the instant of the call — later stages must be re-cancelled
+      val timer = watchdog.scheduleWithFixedDelay(
+        new Runnable { def run(): Unit = sc.cancelJobGroup(group) },
+        queryTimeoutSec, 1, java.util.concurrent.TimeUnit.SECONDS)
+      try body
+      catch {
+        case e: Throwable if isCancellation(e) =>
+          throw new QueryCancelledException(op, e)
+      } finally timer.cancel(false)
+    }
+
+  private def isCancellation(e: Throwable): Boolean =
+    e != null && (
+      Option(e.getMessage).exists(m =>
+        m.contains("cancelled") || m.contains("canceled")) ||
+        isCancellation(e.getCause))
 
   /** NNTSC_REQ_COLLECTION → the registry. */
   def collections(): Seq[(Int, String, String)] =
@@ -47,14 +101,15 @@ final class Service(
   /** NNTSC_REQ_STREAMS with `minid` incremental listing + paging
     * (database.py:296-364; exporter.py:641-657).
     */
-  def streamsPage(collection: String, minId: Int): StreamsReply = {
-    val page = streams(collection)
-      .filter(col("stream_id") > minId)
-      .orderBy("stream_id")
-      .limit(StreamsPageSize + 1)
-      .collect()
-    StreamsReply(page.take(StreamsPageSize).toSeq, page.length > StreamsPageSize)
-  }
+  def streamsPage(collection: String, minId: Int): StreamsReply =
+    withCancellation("streams") {
+      val page = streams(collection)
+        .filter(col("stream_id") > minId)
+        .orderBy("stream_id")
+        .limit(StreamsPageSize + 1)
+        .collect()
+      StreamsReply(page.take(StreamsPageSize).toSeq, page.length > StreamsPageSize)
+    }
 
   /** NNTSC_REQ_HISTORY raw (dbselect.py:390-532), chunked per label with
     * the 10k `more` contract and per-label frequency inference.
@@ -69,7 +124,7 @@ final class Service(
       .selectData(data(collection), labels, columns, start, stop)
       .withColumn("binstart", col("timestamp"))
       .orderBy(QueryEngine.LabelCol, "timestamp")
-    chunked(result, binsize = 0)
+    withCancellationIt("history")(chunked(result, binsize = 0))
   }
 
   /** NNTSC_AGGREGATE (dbselect.py:208-387). */
@@ -83,7 +138,7 @@ final class Service(
       groupcols: Seq[String] = Nil): Iterator[HistoryChunk] = {
     val result = QueryEngine.selectAggregatedData(
       data(collection), labels, aggs, start, stop, binsize, groupcols)
-    chunked(result, binsize)
+    withCancellationIt("aggregate")(chunked(result, binsize))
   }
 
   /** NNTSC_MATRIX (dbselect.py:181-205): one summary row per label. */
@@ -93,8 +148,55 @@ final class Service(
       aggs: Seq[AggSpec],
       start: Long,
       stop: Long): Seq[Row] =
-    QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
-      .collect().toSeq
+    withCancellation("matrix") {
+      QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
+        .collect().toSeq
+    }
+
+  /** Iterator-returning ops (chunked history): the timer must outlive the
+    * call — toLocalIterator submits its jobs lazily as the client drains
+    * chunks. Disarmed on exhaustion or error; a watchdog that has already
+    * fired `MaxCancelFires` times deschedules itself (the rogue jobs are
+    * long dead), so an abandoned iterator cannot leak a periodic task.
+    */
+  private def withCancellationIt[T](op: String)(make: => Iterator[T]): Iterator[T] =
+    if (queryTimeoutSec <= 0) make
+    else {
+      val sc = spark.sparkContext
+      val group = s"graft-$op-${java.util.UUID.randomUUID()}"
+      sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
+        interruptOnCancel = true)
+      @volatile var done = false
+      val timer = watchdog.scheduleWithFixedDelay(
+        new Runnable {
+          private var fires = 0
+          def run(): Unit = {
+            if (done) throw new java.util.concurrent.CancellationException()
+            sc.cancelJobGroup(group)
+            fires += 1
+            if (fires >= MaxCancelFires)
+              throw new java.util.concurrent.CancellationException()
+          }
+        },
+        queryTimeoutSec, 1, java.util.concurrent.TimeUnit.SECONDS)
+      def wrap[A](a: => A): A =
+        try a
+        catch {
+          case e: Throwable if isCancellation(e) =>
+            done = true
+            timer.cancel(false)
+            throw new QueryCancelledException(op, e)
+        }
+      val inner = wrap(make)
+      new Iterator[T] {
+        def hasNext: Boolean = wrap {
+          val h = inner.hasNext
+          if (!h) { done = true; timer.cancel(false) }
+          h
+        }
+        def next(): T = wrap(inner.next())
+      }
+    }
 
   private def spec0(name: String): CollectionSpec =
     Collections.byName.getOrElse(

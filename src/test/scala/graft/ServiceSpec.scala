@@ -16,6 +16,36 @@ class ServiceSpec extends SparkSpec {
     streams = Map("amp-external" -> streamsDim))
   private val labels = Map("a" -> (0L until 8L), "b" -> (8L until 15L))
 
+  test("query timeout cancels a runaway query (NNTSC_QUERY_CANCELLED, exporter.py:362-378)") {
+    import org.apache.spark.sql.functions._
+    // a matrix query over a deliberately slow table: 640 rows × 100 ms
+    // sleep ≈ 2 s on 32 threads, against a 1-second timeout
+    val napMs = 100
+    val sleepy = udf((v: Double) => { Thread.sleep(napMs); v })
+    val slow = spark.range(640).select(
+      (col("id") % 4).as("stream_id"),
+      lit(1704067200L).as("timestamp"),
+      sleepy(col("id").cast("double")).as("value"))
+    val slowSvc = new Service(
+      spark,
+      data = Map("amp-external" -> slow),
+      streams = Map("amp-external" -> streamsDim),
+      queryTimeoutSec = 1)
+    val t0 = System.nanoTime()
+    intercept[Service.QueryCancelledException] {
+      slowSvc.matrix(
+        "amp-external", Map("a" -> Seq(0L, 1L, 2L, 3L)),
+        Seq(AggSpec("value", "avg")), 0L, Long.MaxValue / 2)
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec < 15.0, s"cancel took too long: $elapsedSec s")
+
+    // an untimed service keeps working after the cancel
+    assert(svc.matrix(
+      "amp-external", labels, Seq(AggSpec("value", "count")),
+      0L, Long.MaxValue / 2).nonEmpty)
+  }
+
   test("collections + schema replies mirror the registry") {
     val cols = svc.collections()
     assert(cols.size === 14)
