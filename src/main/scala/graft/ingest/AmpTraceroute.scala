@@ -66,6 +66,30 @@ object AmpTraceroute {
       pathIdCol,
       pathIdCol + "_most")
 
+  /** Dual-collection routing (SURVEY hard part #5; amp_traceroute.py:
+    * 120-153, 507-518): ONE streams table serves TWO collections —
+    * amp-traceroute (IP results) and amp-astraceroute (AS results) share
+    * stream ids. A result routes to the IP table when its `ip` flag is
+    * missing/non-zero (old ampsave predates AS support → assume IP),
+    * otherwise to the AS table when its `as` flag is set.
+    */
+  def routeDual(df: DataFrame): (DataFrame, DataFrame) = {
+    val hasIpFlag = df.columns.contains("ip")
+    val isIp = if (!hasIpFlag) lit(true) else col("ip").isNull || col("ip") =!= 0
+    val isAs =
+      if (!hasIpFlag) lit(false)
+      else col("ip") === 0 && col("as").isNotNull && col("as") =!= 0
+    (df.filter(isIp), df.filter(isAs))
+  }
+
+  /** Live-export routing (exporter.py:1430-1437): stream ids are shared
+    * across both collections, so a subscriber to one must not receive the
+    * other's rows — live frames carry a collection column and each
+    * subscription filters on its own.
+    */
+  def liveForCollection(live: DataFrame, collectionCol: String, collection: String): DataFrame =
+    live.filter(col(collectionCol) === collection)
+
   /** The AS-traceroute data-table reduction (amp_traceroute.py:408-478):
     * per (key, timestamp) —
     *   - addresses  = null-safe count of results with a real address

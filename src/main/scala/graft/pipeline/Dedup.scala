@@ -62,15 +62,36 @@ object Dedup {
     * on shingle hashes (codegen end-to-end), shared counts via
     * map-side-combined groupBy, jaccard from exact integer counts.
     * Output: (id_a < id_b, jaccard) for jaccard >= threshold.
+    *
+    * `maxDf` is the scale lever against hot-shingle skew: a shingle
+    * appearing in more than `maxDf` documents contributes O(df²) candidate
+    * pairs to the self-join (one near-universal boilerplate shingle at
+    * 100 TB is a single-key shuffle bomb). With the cut, such shingles are
+    * dropped from BOTH the index and the per-document sizes, so the
+    * measure stays a well-defined Jaccard — over the informative shingles
+    * only (stopword-removal semantics, standard in near-dup mining). None
+    * (the default) keeps the exact measure.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val idx = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__s"))
+    val exploded = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__s"))
+    val idx = maxDf.fold(exploded) { cap =>
+      val rare = exploded
+        .groupBy("__s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap)
+        .select("__s")
+      val kept = exploded.join(rare, Seq("__s"), "left_semi")
+      // per-doc sizes over the surviving shingles
+      kept
+        .drop("__n")
+        .join(kept.groupBy("__id").agg(count(lit(1)).as("__n")), Seq("__id"))
+    }
     val a = idx.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
     val b = idx.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
     a.join(b, Seq("__s"))

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram maxDf cut drops hot-shingle-only candidates, keeps real dups") {
+    // docs 6/7 share ONLY the boilerplate opener (a hot shingle present in
+    // every doc); 1/2 are genuine dups through distinctive shingles
+    val boiler = "terms of service apply here"
+    val withBoiler = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (6L, s"$boiler one unique sentence about gardening tools"),
+      (7L, s"$boiler a wholly separate line regarding astronomy charts"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(withBoiler, "doc_id", "text", 3, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((6L, 7L))) // connected only via the boilerplate
+    val cut = Dedup.ngramJaccardPairs(withBoiler, "doc_id", "text", 3, 0.05, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut.contains((1L, 2L)))   // real dup survives (distinctive shingles)
+    assert(!cut.contains((6L, 7L)))  // hot-shingle-only pair gone
+  }
+
   test("minhash LSH recovers the same dup pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

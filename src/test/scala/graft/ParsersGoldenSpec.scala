@@ -229,6 +229,58 @@ class ParsersGoldenSpec extends SparkSpec {
     assert(gotAs(4L) === None)
   }
 
+  test("dual-collection routing: shared streams, split IP/AS data (amp_traceroute.py:507-518)") {
+    val batch = Seq(
+      (1L, Some(1), Some(0), "ip result"),          // ip flag set → IP
+      (1L, Some(0), Some(1), "as result"),          // ip=0, as=1 → AS
+      (2L, Some(0), Some(0), "neither"),            // ip=0, as=0 → dropped
+      (3L, None: Option[Int], Some(1), "null ip"))  // null ip → IP (old ampsave)
+      .toDF("stream_id", "ip", "as", "tag")
+    val (ip, as) = AmpTraceroute.routeDual(batch)
+    assert(ip.select("tag").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("ip result", "null ip"))
+    assert(as.select("tag").collect().map(_.getString(0)).toSeq === Seq("as result"))
+
+    // no ip column at all → everything is an IP traceroute
+    val legacy = Seq((1L, "x")).toDF("stream_id", "tag")
+    val (ipL, asL) = AmpTraceroute.routeDual(legacy)
+    assert(ipL.count() === 1 && asL.count() === 0)
+
+    // live routing: same stream id, two collections, per-subscription split
+    val live = Seq(
+      (1L, 100L, "amp-traceroute"), (1L, 100L, "amp-astraceroute"))
+      .toDF("stream_id", "timestamp", "collection")
+    val ipLive = AmpTraceroute.liveForCollection(live, "collection", "amp-traceroute")
+    assert(ipLive.collect().map(_.getString(2)).toSeq === Seq("amp-traceroute"))
+  }
+
+  test("X7 TTL path cache: memoized lookups, pending commit, flush (amp_traceroute.py:536-559)") {
+    import graft.ingest.PathIntern
+    val cache = new PathIntern.TtlCache(ttlSeconds = 3600)
+    val dim0 = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
+
+    val b1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
+    val dim1 = PathIntern.internCached(dim0, b1, cache, now = 1000L)
+    assert(dim1.count() === 2)
+    assert(cache.size === 0) // staged, not yet visible
+    cache.commit(now = 1000L)
+    assert(cache.size === 2)
+
+    // same paths again: resolved from the memo, no new dimension rows
+    val dim2 = PathIntern.internCached(dim1, b1, cache, now = 2000L)
+    assert(dim2.count() === 2)
+
+    // a failed batch's staged ids vanish
+    val b2 = Seq(Tuple1(Seq("d"))).toDF("path")
+    PathIntern.internCached(dim2, b2, cache, now = 2500L)
+    cache.abort()
+    assert(cache.size === 2)
+
+    // flush evicts entries idle past the TTL ("a","b"/"c" last used 2000)
+    cache.flush(now = 2000L + 3601L)
+    assert(cache.size === 0)
+  }
+
   test("AS-traceroute stream reduction (amp_traceroute.py:408-478)") {
     val rows = Seq(
       // stream 1: two results with the same aspath, one error, real addrs
