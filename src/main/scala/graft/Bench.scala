@@ -15,8 +15,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+    // deterministic execution order: args order when given, else by name
+    // (Map iteration order made "which query absorbs JVM warmup" random)
+    val selected =
+      if (args.nonEmpty) args.toSeq.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = selected
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop v2 sink: fully materializes every row and column — count()
@@ -28,7 +32,7 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -102,29 +102,31 @@ object TextAnalysis {
     md5(regexp_replace(trim(regexp_replace(lower(text), PunctClass, "")), "\\s+", " "))
 
   // ---- whole-table forms -----------------------------------------------
-  // Measured (tools/Profile3): for ~50-token documents the single-select
-  // column form (a few interpreted lambda evals per ROW) beats both the
-  // explode-relational form (generator-input re-evaluation per OUTPUT row,
-  // ~6×) and a persist-barrier variant (~3×). Explode-based stats only pay
-  // off when per-row array work dwarfs tokenization (see Dedup).
+  // All counts come from ONE fused native expression
+  // (graft.functions.TextProfile): the compositional column form
+  // re-tokenizes per consumer (Catalyst inlines the split into every
+  // interpreted higher-order lambda — ~6 tokenizations/row measured), the
+  // explode-relational form pays generator-input re-evaluation per OUTPUT
+  // row. The fused scan emits exact integers, so every derived ratio stays
+  // bit-identical to the compositional form AND the DuckDB oracle
+  // (parity asserted in TextAnalysisSpec).
 
   /** Per-document stats table: (id, n_tokens, n_stopwords, mean_token_len,
     * punct_ratio, digit_ratio, quality).
     */
   def docStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val toks = tokens(c(textCol))
-    df.select(
-        c(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        stopwordCountOf(toks).cast("long").as("n_stopwords"),
-        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-          .cast("long").as("__sumlen"),
-        punctRatio(c(textCol)).as("punct_ratio"),
-        digitRatio(c(textCol)).as("digit_ratio"))
+    df.select(c(idCol), graft.functions.TextProfile(c(textCol)).as("__p"))
       .select(
-        c(idCol), c("n_tokens"), c("n_stopwords"),
-        (c("__sumlen").cast("double") / c("n_tokens")).as("mean_token_len"),
+        c(idCol),
+        c("__p.n_tokens").as("n_tokens"),
+        c("__p.n_stopwords").as("n_stopwords"),
+        (c("__p.sum_token_len").cast("double") / c("__p.n_tokens")).as("mean_token_len"),
+        (c("__p.n_punct").cast("double") / c("__p.n_chars")).as("punct_ratio"),
+        (c("__p.n_digit").cast("double") / c("__p.n_chars")).as("digit_ratio"),
+        c("__p"))
+      .select(
+        c(idCol), c("n_tokens"), c("n_stopwords"), c("mean_token_len"),
         c("punct_ratio"), c("digit_ratio"),
         (least(c("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
           (lit(1.0) - c("punct_ratio")) * lit(0.2) +
@@ -138,6 +140,14 @@ object TextAnalysis {
     */
   def docLangId(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    df.select(c(idCol), langIdOf(tokens(c(textCol))).as("lang_pred"))
+    val langs = graft.functions.TextProfile.Langs
+    val withP = df.select(c(idCol), graft.functions.TextProfile(c(textCol)).as("__p"))
+    val best = langs
+      .map(l => struct(c("__p").getField(l).as("s"), lit(l).as("l")))
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    withP.select(
+      c(idCol),
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+        .as("lang_pred"))
   }
 }

@@ -60,13 +60,13 @@ object Frequency {
         (sum(col("tsdiff")).cast("double") / count(lit(1))).as("mean"))
 
     val byDiff = diffs.groupBy(col(label), col("tsdiff")).agg(count(lit(1)).as("cnt"))
-    val wPick = Window.partitionBy(col(label)).orderBy(desc("cnt"), col("tsdiff").asc)
+    // top-1 by (count desc, diff asc) as a hash aggregate — no window sort
     val strong = byDiff
       .join(stats.select(col(label), col("total")), Seq(label))
       .filter(col("cnt") * 2 >= col("total"))
-      .withColumn("__rn", row_number().over(wPick))
-      .filter(col("__rn") === 1)
-      .select(col(label), col("tsdiff").as("strongmode"))
+      .groupBy(col(label))
+      .agg(min_by(col("tsdiff"), struct((-col("cnt")).as("nc"), col("tsdiff").as("v")))
+        .as("strongmode"))
     val prominent = byDiff
       .join(stats.select(col(label), col("total")), Seq(label))
       .filter(col("cnt") * 5 >= col("total"))

@@ -192,20 +192,21 @@ object QueryEngine {
   /** `most` (mode) — most frequent value per group, deterministic tie-break
     * (higher count first, then smaller value). Re-expresses the reference's
     * custom Postgres aggregate `unnest → GROUP BY → ORDER BY count DESC
-    * LIMIT 1` (database.py:405-451) as two shuffled aggregations — fully
+    * LIMIT 1` (database.py:405-451) as two hash aggregations — fully
     * distributed, map-side-combined, no per-group memory.
+    *
+    * The top-1 is `min_by(value, (-count, value))` — a hash aggregate with
+    * the same (count desc, value asc) collation the row_number window had,
+    * minus the window's per-partition sort. Deterministic: the ordering
+    * struct is unique per group row (value is a group key).
     */
-  def mostByGroup(df: DataFrame, keys: Seq[String], column: String, outName: String): DataFrame = {
-    val counted = df
-      .filter(col(column).isNotNull)
+  def mostByGroup(df: DataFrame, keys: Seq[String], column: String, outName: String): DataFrame =
+    df.filter(col(column).isNotNull)
       .groupBy((keys :+ column).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(desc("__cnt"), col(column).asc)
-    counted
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((keys.map(col) :+ col(column).as(outName)): _*)
-  }
+      .groupBy(keys.map(col): _*)
+      .agg(min_by(col(column), struct((-col("__cnt")).as("nc"), col(column).as("v")))
+        .as(outName))
 
   /** `most_array` (A3) — mode over an array-valued column
     * (dbselect.py:824-829: the reference round-trips arrays through
@@ -219,18 +220,16 @@ object QueryEngine {
       df: DataFrame,
       keys: Seq[String],
       column: String,
-      outName: String): DataFrame = {
-    val counted = df
-      .filter(col(column).isNotNull)
+      outName: String): DataFrame =
+    df.filter(col(column).isNotNull)
       .groupBy((keys :+ column).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__str", concat_ws("|", col(column)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(desc("__cnt"), col("__str").asc)
-    counted
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((keys.map(col) :+ col(column).as(outName)): _*)
-  }
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min_by(
+          col(column),
+          struct((-col("__cnt")).as("nc"), concat_ws("|", col(column)).as("v")))
+          .as(outName))
 
   /** `smoke` — the reference's 20-point percentile sketch: NULLs dropped,
     * values ranked into ntile(20) ordered buckets, per-bucket averages

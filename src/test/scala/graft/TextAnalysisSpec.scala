@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cols = graft.core.Tables.documents(spark, sf("sf0.001")).columns.toSeq
+
+  // ratios are undefined on zero-char text (ANSI divide-by-zero in both the
+  // compositional and fused forms — the operator contract assumes text)
+  private def corpus = graft.core.Tables.documents(spark, sf("sf0.001")).limit(200)
+    .union(Seq(
+      (90003L, "\tder die das, und ist! 42", "x", "x", 0L), // leading tab + markers
+      (90004L, "的 是 了 在 我", "x", "x", 0L))             // zh markers
+      .toDF(cols: _*))
+
+  private def langCorpus = corpus
+    .union(Seq(
+      (90001L, "", "x", "x", 0L),    // empty → 1 empty token
+      (90002L, "   ", "x", "x", 0L)) // spaces only
+      .toDF(cols: _*))
+
+  test("fused TextProfile docStats equals the compositional column form") {
+    val toks = TextAnalysis.tokens(col("text"))
+    val compositional = corpus.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordCountOf(toks).cast("long").as("n_stopwords"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long").as("__sumlen"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.digitRatio(col("text")).as("digit_ratio"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        (col("__sumlen").cast("double") / col("n_tokens")).as("mean_token_len"),
+        col("punct_ratio"), col("digit_ratio"),
+        (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+          (lit(1.0) - col("punct_ratio")) * lit(0.2) +
+          (lit(1.0) - col("digit_ratio")) * lit(0.2) +
+          least((col("n_stopwords").cast("double") / col("n_tokens")) * lit(4.0), lit(1.0)) * lit(0.2))
+          .as("quality"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fused = TextAnalysis.docStats(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(fused === compositional) // bit-identical longs and doubles
+  }
+
+  test("fused docLangId equals the compositional argmax, ties and und included") {
+    val compositional = langCorpus
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fused = TextAnalysis.docLangId(langCorpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused === compositional)
+    assert(fused(90003L) === "de")
+    assert(fused(90004L) === "zh")
+    assert(fused(90002L) === "und")
+  }
+
+  test("TextProfile is evaluated once per row, not once per consumer") {
+    val plan = TextAnalysis.docStats(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val evals = "text_profile".r.findAllIn(plan).length
+    assert(evals === 1, s"text_profile appears $evals times in the physical plan")
+  }
+}
