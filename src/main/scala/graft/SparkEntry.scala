@@ -415,6 +415,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Embedding near-dup with a DERIVED block key: sign-bit LSH bucket
+    //      + 2-probe, exact-cosine verify — the 100 TB path where no label
+    //      column exists to block on. Fully oracle-checked: the md5-derived
+    //      hyperplanes are engine-reproducible, DuckDB recomputes the
+    //      buckets and probe set.
+    "q_embed_dup_lsh" -> ((s, dir) => {
+      Similarity
+        .embeddingDupPairsLsh(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.3,
+          planes = 8, dims = 64, probes = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Approximate sketches for 100 TB interactive profiling: HLL
     //      distinct + KLL-style quantiles per label (rows-only check —
     //      sketch internals differ across engines by construction).
@@ -819,6 +832,37 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, $cos AS sim
          |FROM p
+         |WHERE $cos >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_embed_dup_lsh" -> {
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      val w = graft.pipeline.Similarity.planeWeights(8, 64)
+      def wLit(p: Int) =
+        w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bucket = (0 until 8).map { p =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+           |  i -> CAST(v[i] AS DOUBLE) * (${wLit(p)})[i])) > 0
+           |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT vec_id AS id, embedding AS v, $bucket AS home
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT id, v, home, unnest([home, xor(home, 1), xor(home, 2)]) AS bkt
+         |  FROM b
+         |), c AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b, a.v AS va, b2.v AS vb
+         |  FROM p a JOIN p b2 ON a.bkt = b2.bkt AND a.id < b2.id
+         |  WHERE a.bkt = least(a.home, b2.home)
+         |)
+         |SELECT id_a, id_b, $cos AS sim
+         |FROM c
          |WHERE $cos >= 0.3
          |ORDER BY id_a, id_b""".stripMargin
     },

@@ -74,6 +74,50 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Embedding near-duplicate pairs at scale: the block key is DERIVED from
+    * the vectors themselves — the sign-bit LSH bucket — rather than a
+    * pre-existing label column (which a raw 100 TB corpus does not have).
+    * Same shape as `embeddingDupPairs`: equi-join on the bucket, verify
+    * with exact cosine. With `probes > 0`, each vector additionally joins
+    * into the buckets at Hamming distance 1 on its lowest `probes` planes
+    * (near-dups straddling one hyperplane are recovered; candidates grow
+    * ~(probes+1)×). Deterministic end-to-end: the hyperplanes are
+    * md5-derived (engine-reproducible — the DuckDB oracle recomputes the
+    * buckets), and duplicate candidate pairs from multi-probe are
+    * collapsed by keying each pair on ONE canonical bucket.
+    */
+  def embeddingDupPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8,
+      dims: Int = 64,
+      probes: Int = 0): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes, dims).as("__home"))
+    // each row lands in its home bucket plus `probes` neighbor buckets;
+    // a pair is emitted ONLY from the smaller of the two home buckets
+    // (canonical key), so multi-probe cannot duplicate it
+    val probed =
+      if (probes == 0) bucketed.withColumn("__bkt", col("__home"))
+      else bucketed.withColumn(
+        "__bkt",
+        explode(concat(
+          array(col("__home")),
+          (0 until probes).map(p =>
+            array(col("__home").bitwiseXOR(lit(1 << p)))).reduce(concat(_, _)))))
+    val l = probed.select(col("__bkt"), col("__home").as("__ha"), col("id").as("id_a"), col("v").as("__va"))
+    val r = probed.select(col("__bkt"), col("__home").as("__hb"), col("id").as("id_b"), col("v").as("__vb"))
+    l.join(r, Seq("__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__bkt") === least(col("__ha"), col("__hb")))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: corpus
     * vectors are assigned to their nearest centroid cell once; a query
     * scans only the `nprobe` cells nearest to it (scan fraction ≈
@@ -158,7 +202,7 @@ object Similarity {
     * sign of a bit of md5(p:d). Pure function of (p, d) — identical on any
     * engine and any cluster.
     */
-  private def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+  private[graft] def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(planes, dims) { (p, d) =>
       val h = md.digest(s"$p:$d".getBytes("UTF-8"))

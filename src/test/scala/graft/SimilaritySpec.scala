@@ -33,6 +33,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall too low: $recall")
   }
 
+  test("embeddingDupPairsLsh: derived block key, multi-probe recovers more, no dup pairs") {
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Similarity.embeddingDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val home = Similarity.embeddingDupPairsLsh(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probed = Similarity
+      .embeddingDupPairsLsh(emb, "vec_id", "embedding", 0.3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // canonical-bucket dedup: multi-probe never emits a pair twice
+    assert(probed.length === probed.toSet.size)
+    // probing only ADDS candidates
+    assert(home.toSet.subsetOf(probed.toSet))
+    assert(probed.length >= home.length)
+    // every emitted pair is a true >= threshold pair; label-blocked exact
+    // pairs are a reference point, not a superset (labels and buckets are
+    // different blockings) — but the two should overlap on real near-dups
+    assert((probed.toSet intersect exact).nonEmpty)
+  }
+
   test("ivfTopK: deterministic, recall beats single-probe scan fraction") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = (0L until 20L)
