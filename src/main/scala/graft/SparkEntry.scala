@@ -473,6 +473,25 @@ object SparkEntry {
         .orderBy("stream_id", "timestamp", "event_id")
     }),
 
+    // ---- Same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    //      (rung (c): AsOfJoinNode + strategy + sort-merge AsOfJoinExec);
+    //      shares q_asof_join's oracle SQL — both must hash-match it.
+    "q_asof_native" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = QueryEngine.filterTime(Tables.tsEvents(s, dir), Start, Stop)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("stream_id", "timestamp", "event_id", "value")
+      val wDedup = Window.partitionBy("stream_id", "timestamp").orderBy(desc("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1)
+        .select("stream_id", "timestamp", "value")
+      TimeSeriesOps.asofJoinNative(
+          clicks, purchases.withColumnRenamed("value", "purchase_value"),
+          Seq("stream_id"), "timestamp", Seq("purchase_value"))
+        .orderBy("stream_id", "timestamp", "event_id")
+    }),
+
     // ---- Gap-based sessionization (window-function suite) -------------
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1025,6 +1044,27 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin,
 
     "q_asof_join" ->
+      s"""WITH ev AS (
+         |  SELECT * FROM ($oracleEventsWindow)
+         |), clicks AS (
+         |  SELECT stream_id, "timestamp", event_id, value
+         |  FROM ev WHERE event_type = 'click'
+         |), purchases AS (
+         |  SELECT stream_id, "timestamp", value AS purchase_value FROM (
+         |    SELECT stream_id, "timestamp", value,
+         |           row_number() OVER (PARTITION BY stream_id, "timestamp"
+         |                              ORDER BY event_id DESC) AS rn
+         |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1
+         |)
+         |SELECT c.stream_id, c."timestamp", c.event_id, c.value,
+         |       p."timestamp" AS asof_timestamp,
+         |       p.purchase_value AS asof_purchase_value
+         |FROM clicks c ASOF JOIN purchases p
+         |  ON c.stream_id = p.stream_id AND c."timestamp" >= p."timestamp"
+         |ORDER BY c.stream_id, c."timestamp", c.event_id""".stripMargin,
+
+    // the custom physical operator must match the exact same oracle
+    "q_asof_native" ->
       s"""WITH ev AS (
          |  SELECT * FROM ($oracleEventsWindow)
          |), clicks AS (

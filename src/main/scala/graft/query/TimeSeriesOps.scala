@@ -64,4 +64,42 @@ object TimeSeriesOps {
       .select((leftCols.map(col) :+ col("__r___ts").as(s"asof_$tsCol")) ++
         rightValueCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
   }
+
+  /** The same as-of semantics as a CUSTOM PHYSICAL OPERATOR (rung (c):
+    * logical node + strategy + SparkPlan, `graft.plans.AsOfJoinPlan`).
+    * Each side is exchanged+sorted separately and merged in one forward
+    * pass, instead of window-scanning the sorted union. Output schema and
+    * rows are identical to `asofJoin` (asserted in TimeSeriesOpsSpec and
+    * by the shared q_asof oracle SQL). Timestamp columns must be BIGINT.
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightValueCols: Seq[String],
+      leftOuter: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    val spark = left.sparkSession
+    GraftShim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+
+    val lPlan = GraftShim.analyzed(left)
+    val rPlan = GraftShim.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+
+    // types come from the right side NOW; the node itself carries only
+    // names (analyzer rewrites may re-alias the children's exprIds)
+    val carried = attr(rPlan, tsCol) +: rightValueCols.map(attr(rPlan, _))
+    val carriedNames = s"asof_$tsCol" +: rightValueCols.map(c => s"asof_$c")
+    val asofAttrs = carried.zip(carriedNames).map { case (a, n) =>
+      AttributeReference(n, a.dataType, nullable = true)()
+    }
+    keyCols.foreach(attr(lPlan, _)); keyCols.foreach(attr(rPlan, _)) // fail fast
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan, keyCols, tsCol, rightValueCols, asofAttrs, leftOuter)
+    GraftShim.ofRows(spark, node)
+  }
 }

@@ -11,6 +11,24 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an arbitrary logical plan (custom operator nodes). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Register an extra planner strategy on a live session (idempotent). */
+  def addStrategy(
+      spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val em = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!em.extraStrategies.contains(s)) em.extraStrategies = em.extraStrategies :+ s
+  }
+
   // type aliases laundering `private[sql]` type-system members for graft's
   // Catalyst extensions (Spark 4 hid these from the public surface)
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType

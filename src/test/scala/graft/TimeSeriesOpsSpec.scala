@@ -27,6 +27,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // stream 2 has no right rows → dropped (inner)
   }
 
+  test("native physical asof join matches the window composition exactly") {
+    for (outer <- Seq(false, true)) {
+      val composed = TimeSeriesOps.asofJoin(
+          left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = outer)
+        .orderBy("stream_id", "timestamp").collect().map(_.toSeq).toSeq
+      val native = TimeSeriesOps.asofJoinNative(
+          left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = outer)
+        .orderBy("stream_id", "timestamp").collect().map(_.toSeq).toSeq
+      assert(native === composed, s"leftOuter=$outer")
+    }
+    // schema parity too
+    assert(
+      TimeSeriesOps.asofJoinNative(left, right, Seq("stream_id"), "timestamp", Seq("price"))
+        .columns.toSeq ===
+        TimeSeriesOps.asofJoin(left, right, Seq("stream_id"), "timestamp", Seq("price"))
+          .columns.toSeq)
+  }
+
+  test("native asof join plans a merge, not a union window") {
+    val plan = TimeSeriesOps.asofJoinNative(
+      left, right, Seq("stream_id"), "timestamp", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // AsOfJoinExec renders as AsOfJoin
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("asof left-outer keeps unmatched left rows with NULLs") {
     val out = TimeSeriesOps.asofJoin(
         left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = true)
