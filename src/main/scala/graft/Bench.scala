@@ -22,6 +22,11 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1)
     val results = selected
       .map { case (name, fn) =>
+        // isolate queries: dedup/similarity paths persist intermediate
+        // frames; letting them accumulate across 36 queries turns the run
+        // into a GC lottery (observed: the same query swinging 1.3s->13s
+        // depending on what ran before it)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop v2 sink: fully materializes every row and column — count()
         // lets Catalyst prune projection work and understates map-heavy

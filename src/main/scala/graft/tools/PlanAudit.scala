@@ -90,6 +90,46 @@ object PlanAudit {
     println(s"AUDIT info adapter pushdown (expected absent): " +
       (if (adapterPlan.contains("PushedFilters: []")) "absent as documented" else "present"))
 
+    // 6. fused signature paths are MAP-ONLY: no exchange anywhere between
+    //    the cached shingle sets / raw text and the signature output
+    val docs = Tables.documents(spark, sfDir) // no limit: GlobalLimit would add its own exchange
+    val sigPlan = plan(graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64))
+    check("minhash signatures: map-only (no shuffle)", sigPlan,
+      mustContain = Seq("minhash_signature"),
+      mustNot = Seq("Exchange"))
+    val shPlan = plan(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
+    check("simhash fingerprints: map-only (no shuffle)", shPlan,
+      mustContain = Seq("simhash60"),
+      mustNot = Seq("Exchange"))
+
+    // 7. the custom physical as-of join: AsOfJoinExec planned, each side
+    //    exchanged+sorted once, and no window machinery
+    import org.apache.spark.sql.expressions.Window
+    val ev = QueryEngine.filterTime(Tables.tsEvents(spark, sfDir), 0L, 1900000000L)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("stream_id", "timestamp", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("stream_id", "timestamp", "value")
+      .dropDuplicates("stream_id", "timestamp")
+    val asofPlan = plan(graft.query.TimeSeriesOps.asofJoinNative(
+      clicks, purchases, Seq("stream_id"), "timestamp", Seq("value")))
+    check("native as-of join: merge operator, no window", asofPlan,
+      mustContain = Seq("AsOfJoin"),
+      mustNot = Seq("Window", "SortMergeJoin"))
+
+    // 8. IVF assignment: one compact nearest_cells node, no literal blow-up
+    //    (the plan string stays small) and no nested-loop join
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Seq.fill(16)(Seq.fill(64)(0.5))
+    val assignPlan = plan(emb.select(
+      graft.functions.NearestCells.nearestCells(col("embedding"), centroids, 1)))
+    check("ivf assignment: reference-object centroids", assignPlan,
+      mustContain = Seq("nearest_cells"),
+      mustNot = Seq("BroadcastNestedLoopJoin"))
+    if (assignPlan.length > 10000) {
+      failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
+    }
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
