@@ -20,6 +20,12 @@ object Bench {
     val selected =
       if (args.nonEmpty) args.toSeq.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       else SparkEntry.queries.toSeq.sortBy(_._1)
+    // absorb one-time costs (codegen compiler, parquet footer readers,
+    // noop sink init, first-shuffle machinery) so they aren't billed to
+    // whichever query happens to run first
+    try SparkEntry.queries("q_raw_select")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = selected
       .map { case (name, fn) =>
         // isolate queries: dedup/similarity paths persist intermediate

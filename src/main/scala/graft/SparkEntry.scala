@@ -236,6 +236,27 @@ object SparkEntry {
           Seq(col("value_count"), col("timestamp")): _*)
     }),
 
+    // ---- A5 `smokearray` (dbselect.py:824-829 array form of the smoke
+    // sketch): per-row ping arrays (digits of props, as the smokeping
+    // pings column) flattened then ntile-20 sketched; output pivoted to
+    // scalar columns like q_smoke.
+    "q_smokearray" -> ((s, dir) => {
+      val withArr = Tables.tsEvents(s, dir).withColumn(
+        "pings",
+        transform(
+          array_remove(split(regexp_replace(col("props"), "[^0-9]", ""), ""), ""),
+          c => c.cast("int")))
+      val arr = QueryEngine.selectAggregatedData(
+        withArr, labelsFor(s, dir),
+        Seq(AggSpec("pings", "smokearray"), AggSpec("value", "count")),
+        Start, Stop, binsize = 7 * 86400, parity = true)
+      val buckets = (1 to 20).map(i =>
+        try_element_at(col("pings"), lit(i)).as(f"pings_$i%02d"))
+      arr.select(
+        Seq(col("nntsclabel"), col("binstart")) ++ buckets ++
+          Seq(col("value"), col("timestamp")): _*)
+    }),
+
     // ---- A12 matrix (whole-period single bin) + A9 min_timestamp
     "q_matrix" -> ((s, dir) => {
       QueryEngine.selectMatrixData(
@@ -688,6 +709,41 @@ object SparkEntry {
          |SELECT base.nntsclabel, base.binstart,
          |       ${(1 to 20).map(i => f"sm.smoke_$i%02d").mkString(", ")},
          |       base.value_count, base."timestamp"
+         |FROM base LEFT JOIN sm
+         |  ON base.nntsclabel = sm.nntsclabel AND base.binstart = sm.binstart
+         |ORDER BY base.nntsclabel, base.binstart""".stripMargin,
+
+    "q_smokearray" ->
+      s"""WITH b AS (
+         |  SELECT nntsclabel, "timestamp" - ("timestamp" % ${7 * 86400}) AS binstart,
+         |         "timestamp", value, props
+         |  FROM ($oracleEventsWindow)
+         |), base AS (
+         |  SELECT nntsclabel, binstart, count(value) AS value,
+         |         max("timestamp") AS "timestamp"
+         |  FROM b GROUP BY 1, 2
+         |), x AS (
+         |  SELECT nntsclabel, binstart,
+         |         unnest(list_transform(
+         |           string_split(regexp_replace(props, '[^0-9]', '', 'g'), ''),
+         |           c -> CAST(c AS INT))) AS sv
+         |  FROM b
+         |), t AS (
+         |  SELECT nntsclabel, binstart, sv,
+         |         ntile(20) OVER (PARTITION BY nntsclabel, binstart ORDER BY sv) AS bucket
+         |  FROM x WHERE sv IS NOT NULL
+         |), ba AS (
+         |  SELECT nntsclabel, binstart, bucket,
+         |         ${OracleParity.Sql.exactAvg("sv")} AS bavg
+         |  FROM t GROUP BY 1, 2, 3
+         |), sm AS (
+         |  SELECT nntsclabel, binstart,
+         |         ${(1 to 20).map(i => s"max(CASE WHEN bucket = $i THEN bavg END) AS pings_${f"$i%02d"}").mkString(",\n         ")}
+         |  FROM ba GROUP BY 1, 2
+         |)
+         |SELECT base.nntsclabel, base.binstart,
+         |       ${(1 to 20).map(i => f"sm.pings_$i%02d").mkString(", ")},
+         |       base.value, base."timestamp"
          |FROM base LEFT JOIN sm
          |  ON base.nntsclabel = sm.nntsclabel AND base.binstart = sm.binstart
          |ORDER BY base.nntsclabel, base.binstart""".stripMargin,

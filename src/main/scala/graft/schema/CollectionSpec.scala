@@ -62,6 +62,20 @@ final case class CollectionSpec(
         StructField("stream_id", IntegerType, nullable = false),
         StructField("timestamp", LongType, nullable = false)) ++
         dataColumns.map(_.field))
+
+  /** The decoded result-message shape (the parser input, before stream
+    * resolution): property columns + timestamp + measurement columns, names
+    * deduplicated (a column like packet_size can be both a stream property
+    * and a measurement).
+    */
+  def rawSchema: StructType = {
+    val fields = streamColumns.map(_.field) ++
+      Seq(StructField("timestamp", LongType, nullable = false)) ++
+      dataColumns.map(_.field)
+    StructType(
+      fields.foldLeft(Vector.empty[StructField])((acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f))
+  }
 }
 
 /** The 14 collections of SURVEY.md §2.11 (13 AMP parsers + smokeping),

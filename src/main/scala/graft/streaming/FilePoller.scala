@@ -36,6 +36,10 @@ object FilePoller {
       dataPath: String,
       checkpointPath: String,
       normalize: DataFrame => DataFrame = identity,
+      // message decoding (S1): applied to the raw batch BEFORE stream
+      // registration — e.g. IngestStream.decodeJson(_, spec)._1 for
+      // JSON-lines sources (format = "text")
+      decode: DataFrame => DataFrame = identity,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       // X3: (collection name, bus) — a marker is published after each
@@ -54,7 +58,7 @@ object FilePoller {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val written = IngestStream.ingestBatch(
-          batch, spec, streamsPath, dataPath, normalize, Some(epochId))
+          decode(batch), spec, streamsPath, dataPath, normalize, Some(epochId))
         onLive(written)
         markers.foreach { case (collection, bus) =>
           val mx = written.agg(max("timestamp")).collect()(0)

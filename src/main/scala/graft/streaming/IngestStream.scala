@@ -51,6 +51,29 @@ object IngestStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.streamSchema)
   }
 
+  /** S1 message decoding — the reference's consumer parses AMP result
+    * messages off RabbitMQ into property+measurement dicts
+    * (amp.py:181-273 + pikaqueue.py). Spark-native: any line source (file,
+    * socket, Kafka) delivers a string `value` column; the collection's raw
+    * schema decodes it in one codegen'd `from_json`. Returns
+    * (decoded rows, dead letters): undecodable lines become NULL structs
+    * and are routed out explicitly rather than dropped silently (the
+    * corrupt-message guard, amp.py:203-210).
+    */
+  def decodeJson(
+      messages: DataFrame,
+      spec: CollectionSpec,
+      valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val parsed = messages.withColumn("__m", from_json(col(valueCol), spec.rawSchema))
+    // PERMISSIVE from_json renders a corrupt line as an all-NULL struct; a
+    // real result always carries at least its property tuple + timestamp
+    val corrupt = col("__m").isNull ||
+      spec.rawSchema.fieldNames.map(n => col(s"__m.$n").isNull).reduce(_ && _)
+    val good = parsed.filter(!corrupt).select(col("__m.*"))
+    val dead = parsed.filter(corrupt).select(col(valueCol))
+    (good, dead)
+  }
+
   /** Read the data table back without the ingest bookkeeping column. */
   def readData(spark: SparkSession, dataPath: String): DataFrame = {
     val df = spark.read.parquet(dataPath)

@@ -56,4 +56,66 @@ object RollupStream {
     rollup(events, 60, "14 minutes", valueCol)
   def longRollup(events: DataFrame, valueCol: String): DataFrame =
     rollup(events, 3600, "2 hours", valueCol)
+
+  /** File-backed tier maintenance without watermark latency: each
+    * micro-batch appends ITS OWN exact partials per (stream, bin) under an
+    * `__epoch` partition (idempotent on replay, same mechanism as
+    * IngestStream) — a late row simply lands another partial row in its
+    * bin. The exact-partial set (cnt, Σv, Σv², min, max, ts) is closed
+    * under addition, so any number of partial rows per bin folds to the
+    * same numbers raw aggregation gives.
+    */
+  def appendPartials(
+      batch: DataFrame,
+      binsize: Long,
+      valueCol: String,
+      path: String,
+      epoch: Long): Unit =
+    graft.rollup.Rollup.build(batch, binsize, valueCol)
+      .withColumn(IngestStream.EpochCol, lit(epoch))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(IngestStream.EpochCol)
+      .parquet(path)
+
+  /** Fold accumulated per-epoch partials back to ONE row per (stream, bin)
+    * and atomically swap the tier — the reference's trailing-window CQ
+    * recompute (influx.py:183-195) as a tidy periodic batch job. Readers
+    * (`Rollup.merge`) are agnostic: the merge is associative, so querying
+    * an uncompacted tier gives identical results; compaction only buys
+    * back file count and scan width.
+    *
+    * Single-writer contract: run between ingest triggers (the reference's
+    * CQs are likewise serialized per tier). The two-rename swap is not
+    * crash-atomic on plain files — a transactional table format provides
+    * that at production scale; the fold itself is what this encodes.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val df = IngestStream.readData(spark, path)
+    val folded = df
+      .groupBy("stream_id", "binstart")
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("s1")).cast(df.schema("s1").dataType).as("s1"),
+        sum(col("s2")).cast(df.schema("s2").dataType).as("s2"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"),
+        max(col("ts")).as("ts"))
+      .withColumn(IngestStream.EpochCol, lit(0L))
+    val tmp = path + ".compact"
+    folded.write.mode("overwrite")
+      .partitionBy(IngestStream.EpochCol).parquet(tmp)
+    val dst = new java.io.File(path)
+    val bak = new java.io.File(path + ".old")
+    if (bak.exists) { bak.listFiles.foreach(deleteRec); bak.delete() }
+    dst.renameTo(bak)
+    new java.io.File(tmp).renameTo(dst)
+    bak.listFiles.foreach(deleteRec); bak.delete()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)
+    f.delete()
+  }
 }

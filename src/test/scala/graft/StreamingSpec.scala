@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     assert(bin60.getAs[Double]("mx") === 10.0)
   }
 
+  test("rollup partial appends are epoch-idempotent; compaction preserves results (X4)") {
+    import graft.rollup.Rollup
+    val dir = tmpDir() + "/short"
+    val b1 = Seq((1L, 30L, 2.0), (1L, 45L, 4.0), (1L, 70L, 10.0))
+      .toDF("stream_id", "timestamp", "value")
+    val b2 = Seq((1L, 50L, 6.0), (2L, 10L, 1.0)) // late row lands in bin 0
+      .toDF("stream_id", "timestamp", "value")
+
+    RollupStream.appendPartials(b1, 60, "value", dir, epoch = 0L)
+    RollupStream.appendPartials(b2, 60, "value", dir, epoch = 1L)
+    RollupStream.appendPartials(b2, 60, "value", dir, epoch = 1L) // replay
+    // bin (1, 0) now holds TWO partial rows (one per epoch), none duplicated
+    val partials = graft.streaming.IngestStream.readData(spark, dir)
+    assert(partials.filter($"stream_id" === 1 && $"binstart" === 0).count() === 2)
+
+    // folding partials == aggregating all raw rows in one go
+    val expected = Rollup.build(b1.unionByName(b2), 60, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    RollupStream.compact(spark, dir)
+    val compacted = graft.streaming.IngestStream.readData(spark, dir)
+    assert(compacted.groupBy("stream_id", "binstart").count()
+      .filter($"count" > 1).count() === 0) // one row per bin
+    val got = compacted
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2).dropRight(0)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(v === expected(k), s"bin $k")
+    }
+  }
+
   test("subscribe: history-before-live with lasthist dedupe (X1)") {
     val sub = Subscribe.Subscription(
       Map("a" -> Seq(1L)), start = 0L, end = 0L, columns = Seq("value"))
@@ -141,6 +171,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("timestamp")))
       .sorted.toSeq
     assert(out === Seq((1L, 150L), (1L, 200L), (2L, 10L)))
+  }
+
+  test("S1 JSON message decoding: raw schema, dead-letter routing, e2e ingest") {
+    val spec = Collections.ampExternal
+    val lines = Seq(
+      """{"source":"s1","destination":"d1","command":"ping","timestamp":100,"value":5}""",
+      """{"source":"s1","destination":"d2","command":"ping","timestamp":100,"value":null}""",
+      """this is not json at all""",
+      """{"source":"s2""destination":broken}""")
+      .toDF("value")
+    val (good, dead) = IngestStream.decodeJson(lines, spec)
+    assert(dead.count() === 2) // corrupt messages routed, not dropped
+    val rows = good.collect()
+    assert(rows.length === 2)
+    assert(good.columns.contains("source") && good.columns.contains("timestamp"))
+    val d2 = rows.find(_.getAs[String]("destination") == "d2").get
+    assert(d2.isNullAt(d2.fieldIndex("value"))) // failed measurement stays NULL
+
+    // decoded rows flow straight through the transactional ingest
+    val dir = tmpDir()
+    IngestStream.ingestBatch(
+      good, spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    assert(IngestStream.readData(spark, s"$dir/data").count() === 2)
+    assert(spark.read.parquet(s"$dir/streams").count() === 2)
   }
 
   test("S2 file poller e2e: history-before-live with X3 push markers") {
