@@ -415,6 +415,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- TPC-H Q18 shape: big-big shuffle join gated by a semi join on
+    //      an aggregate (large-volume orders). lineitem⋈orders shuffle on
+    //      orderkey; the HAVING set re-joins as a broadcast-able semi
+    //      side; customer broadcasts.
+    "q18_big_orders" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val big = l.groupBy("l_orderkey")
+        .agg(OracleParity.decSum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 250)
+        .select("l_orderkey")
+      l.join(big, Seq("l_orderkey"), "left_semi")
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(
+          col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("od_epoch"),
+          OracleParity.decOut(col("o_totalprice").cast("decimal(18,6)")).as("o_totalprice"))
+        .agg(OracleParity.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ---- J2-style dimension left joins (broadcast dims) ---------------
     "q_dims_join" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
@@ -773,6 +797,7 @@ object SparkEntry {
         |), s AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens,
         |    CAST(len(list_filter(toks, t -> t IN
         |      ('the','a','an','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords,
         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
@@ -780,7 +805,7 @@ object SparkEntry {
         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio
         |  FROM w
         |)
-        |SELECT doc_id, n_tokens, n_stopwords, mean_token_len, punct_ratio, digit_ratio,
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_stopwords, mean_token_len, punct_ratio, digit_ratio,
         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
         |    + (1.0 - punct_ratio) * 0.2
         |    + (1.0 - digit_ratio) * 0.2
@@ -1080,6 +1105,21 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_epoch,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS o_totalprice,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_dims_join" ->
       """SELECT p_brand, s_name, count(*) AS n_items,

@@ -22,6 +22,18 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
   def tokenCountOf(toks: Column): Column = size(toks)
 
+  /** BPE-ish token estimate: counts the pre-tokenizer pieces a byte-pair
+    * encoder would start from — letter runs, digit runs, and individual
+    * non-space symbols (the GPT-style pre-tokenization split, simplified
+    * to ASCII classes so Java regex and DuckDB RE2 agree byte-for-byte).
+    * A codegen'd `regexp_count`; ~1.3 pieces per whitespace token on
+    * English text.
+    */
+  val BpePiecePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePiecePattern)).cast("long")
+
   /** Stopword list used by quality scoring and language ID. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -116,18 +128,22 @@ object TextAnalysis {
     */
   def docStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    df.select(c(idCol), graft.functions.TextProfile(c(textCol)).as("__p"))
+    df.select(
+        c(idCol),
+        graft.functions.TextProfile(c(textCol)).as("__p"),
+        bpeTokenCount(c(textCol)).as("n_bpe_tokens"))
       .select(
         c(idCol),
         c("__p.n_tokens").as("n_tokens"),
+        c("n_bpe_tokens"),
         c("__p.n_stopwords").as("n_stopwords"),
         (c("__p.sum_token_len").cast("double") / c("__p.n_tokens")).as("mean_token_len"),
         (c("__p.n_punct").cast("double") / c("__p.n_chars")).as("punct_ratio"),
         (c("__p.n_digit").cast("double") / c("__p.n_chars")).as("digit_ratio"),
         c("__p"))
       .select(
-        c(idCol), c("n_tokens"), c("n_stopwords"), c("mean_token_len"),
-        c("punct_ratio"), c("digit_ratio"),
+        c(idCol), c("n_tokens"), c("n_bpe_tokens"), c("n_stopwords"),
+        c("mean_token_len"), c("punct_ratio"), c("digit_ratio"),
         (least(c("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
           (lit(1.0) - c("punct_ratio")) * lit(0.2) +
           (lit(1.0) - c("digit_ratio")) * lit(0.2) +

@@ -58,6 +58,53 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule completing the Catalyst citizenship: Catalyst cannot
+  * push filters through an UNKNOWN node, so a time-range or key predicate
+  * above the as-of join would otherwise run after the exchange+merge
+  * instead of reaching the parquet scan. Safe pushes:
+  *
+  *   - predicates over LEFT columns → into the left child (each left row
+  *     is joined independently, inner or outer alike);
+  *   - the subset of those over the JOIN KEYS → additionally into the
+  *     right child with the key attributes substituted (rows of a pruned
+  *     key can never match a surviving left row).
+  *
+  * Predicates touching the produced `asof_*` columns stay above the join.
+  * Registered alongside the strategy in `TimeSeriesOps.asofJoinNative`.
+  */
+object AsOfJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val leftKeyAttrs = aj.keyCols.flatMap(n => aj.left.output.find(_.name == n))
+        val keyToRight = leftKeyAttrs.flatMap(lk =>
+          aj.right.output.find(_.name == lk.name).map(lk -> _)).toMap
+        val keyOnly = pushable.filter(
+          _.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(leftKeyAttrs)))
+        val newLeft = Filter(pushable.reduce(And), aj.left)
+        val newRight = keyOnly.reduceOption(And).fold(aj.right) { kp =>
+          Filter(
+            kp.transform {
+              case a: AttributeReference if keyToRight.contains(a) => keyToRight(a)
+            },
+            aj.right)
+        }
+        val rewritten = aj.copy(left = newLeft, right = newRight)
+        kept.reduceOption(And).map(Filter(_, rewritten)).getOrElse(rewritten)
+      }
+  }
+}
+
 /** Plans AsOfJoinNode → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -83,6 +83,7 @@ object TimeSeriesOps {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     val spark = left.sparkSession
     GraftShim.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    GraftShim.addOptimization(spark, graft.plans.AsOfJoinFilterPushdown)
 
     val lPlan = GraftShim.analyzed(left)
     val rPlan = GraftShim.analyzed(right)

@@ -29,6 +29,16 @@ object GraftShim {
     if (!em.extraStrategies.contains(s)) em.extraStrategies = em.extraStrategies :+ s
   }
 
+  /** Register an extra optimizer rule on a live session (idempotent). */
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val em = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!em.extraOptimizations.contains(r))
+      em.extraOptimizations = em.extraOptimizations :+ r
+  }
+
   // type aliases laundering `private[sql]` type-system members for graft's
   // Catalyst extensions (Spark 4 hid these from the public surface)
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType

@@ -28,13 +28,14 @@ class TextAnalysisSpec extends SparkSpec {
     val compositional = corpus.select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         TextAnalysis.stopwordCountOf(toks).cast("long").as("n_stopwords"),
         aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
           .cast("long").as("__sumlen"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.digitRatio(col("text")).as("digit_ratio"))
       .select(
-        col("doc_id"), col("n_tokens"), col("n_stopwords"),
+        col("doc_id"), col("n_tokens"), col("n_bpe_tokens"), col("n_stopwords"),
         (col("__sumlen").cast("double") / col("n_tokens")).as("mean_token_len"),
         col("punct_ratio"), col("digit_ratio"),
         (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.query.TimeSeriesOps
 
 class TimeSeriesOpsSpec extends SparkSpec {
@@ -51,6 +53,36 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan) // AsOfJoinExec renders as AsOfJoin
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("filters push through the custom as-of node (left + key-mapped right)") {
+    val joined = TimeSeriesOps.asofJoinNative(
+      left, right, Seq("stream_id"), "timestamp", Seq("price"))
+    // key predicate + left-only predicate + a produced-column predicate
+    val q = joined
+      .filter(col("stream_id") === 1L)
+      .filter(col("tag") =!= "zzz")
+      .filter(col("asof_price") > 0)
+    val opt = q.queryExecution.optimizedPlan
+    val ajNode = opt.collect { case n: graft.plans.AsOfJoinNode => n }.head
+    // pushed below the join on BOTH children (key predicate maps to right)
+    assert(ajNode.left.toString.contains("stream_id"), ajNode.left.toString)
+    assert(
+      ajNode.right.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.exists(_.condition.toString.contains("stream_id")),
+      ajNode.right.toString)
+    // the asof_* predicate stays above the join
+    assert(opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("asof_price") => f
+    }.nonEmpty)
+    // and results match the unoptimizable composition under the same filters
+    val expected = TimeSeriesOps.asofJoin(
+        left, right, Seq("stream_id"), "timestamp", Seq("price"))
+      .filter(col("stream_id") === 1L && col("tag") =!= "zzz" && col("asof_price") > 0)
+      .orderBy("timestamp").collect().map(_.toSeq).toSeq
+    assert(q.orderBy("timestamp").collect().map(_.toSeq).toSeq === expected)
   }
 
   test("asof left-outer keeps unmatched left rows with NULLs") {
