@@ -72,6 +72,38 @@ object Multimodal {
       }
   }
 
+  /** "Resize" analogue: average-pool the payload down to a FIXED target
+    * length — stands in for image resizing to a model's input resolution
+    * (every row leaves with the same shape, the property resize exists
+    * for). ===== DECODE STUB =====: a real implementation decodes and
+    * resamples pixels; the fixed-output-shape contract, binary batching
+    * and per-partition execution are the real design.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, targetLen: Int): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = new Array[Byte](targetLen)
+        val n = r.payload.length
+        if (n > 0) {
+          var b = 0
+          while (b < targetLen) {
+            val lo = (b.toLong * n / targetLen).toInt
+            val hi = math.max(lo + 1, ((b + 1).toLong * n / targetLen).toInt)
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += r.payload(i) & 0xff; i += 1 }
+            out(b) = (s / (hi - lo)).toByte
+            b += 1
+          }
+        }
+        (r.media_id, out)
+      })
+      .toDF("media_id", "resized")
+  }
+
   /** "Frame sampling" analogue: keep every k-th byte of the payload —
     * stands in for temporal downsampling of audio/video, preserving the
     * binary-in/binary-out operator shape.

@@ -22,6 +22,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.n_bytes > 0 && f.byte_sum > 0))
   }
 
+  test("resizeStub pools every payload to the same fixed shape") {
+    val out = Multimodal.resizeStub(spark, media, 32).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Array[Byte]]("resized").length === 32))
+    // deterministic: same input, same pooled bytes
+    val again = Multimodal.resizeStub(spark, media, 32).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    out.foreach(r => assert(again(r.getLong(0)) === r.getAs[Array[Byte]](1).toSeq))
+  }
+
   test("sampleBytes keeps every k-th byte") {
     val out = Multimodal.sampleBytes(spark, media, 4)
       .join(media, "media_id")
