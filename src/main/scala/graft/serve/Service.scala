@@ -16,8 +16,10 @@ import graft.schema.{Collections, CollectionSpec}
   * chunks of 10 000 rows with a `more` flag + inferred frequency,
   * exporter.py:380-512).
   *
-  * Wire encoding (pickle+zlib in the reference) is out of scope — any
-  * serialization can wrap these replies; the query semantics live here.
+  * Wire encoding: `Wire` implements the reference's framing contract
+  * (version/type/length header + zlib-compressed history bodies,
+  * exporter.py:516-586) with JSON bodies — pickle is Python-VM-specific;
+  * the deviation is documented in Wire's scaladoc.
   */
 object Service {
   val StreamsPageSize = 1000

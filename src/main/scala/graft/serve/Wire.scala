@@ -1,0 +1,97 @@
+package graft.serve
+
+import java.nio.ByteBuffer
+import java.util.zip.{Deflater, Inflater}
+
+/** F13 — the export wire envelope
+  * (/root/reference/libnntsc/exporter.py:516-586): every reply is
+  * `struct.pack(nntsc_hdr_fmt, 1, msgtype, len(body)) + body`, with
+  * history bodies zlib-compressed (exporter.py:528) and all bodies
+  * Python-pickled.
+  *
+  * Portable here: the framing and the compression. The header is packed
+  * big-endian (network order) as (version: u8, msgtype: u16, length: u32)
+  * — `nntsc_hdr_fmt` itself lives in the external libnntscclient package
+  * (not part of the reference repo), so the exact field widths are an
+  * assumption, documented and isolated in `HeaderLen`/pack/unpack.
+  * DOCUMENTED DEVIATION: bodies are UTF-8 JSON, not pickle — pickle is a
+  * Python-VM serialization with no faithful JVM twin, and any structured
+  * client can consume JSON; message semantics (type ids, compression
+  * rule, length framing) are preserved.
+  */
+object Wire {
+
+  // message types, mirroring the exporter's reply vocabulary
+  val Collections = 0
+  val Schemas = 1
+  val Streams = 2
+  val History = 3
+  val Subscribe = 4
+  val Push = 5
+  val QueryCancelled = 6
+
+  val Version = 1
+  val HeaderLen = 7 // u8 + u16 + u32
+
+  final case class Message(version: Int, msgType: Int, body: Array[Byte])
+
+  def pack(msgType: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(HeaderLen + body.length) // big-endian default
+    buf.put(Version.toByte)
+    buf.putShort(msgType.toShort)
+    buf.putInt(body.length)
+    buf.put(body)
+    buf.array()
+  }
+
+  def unpack(bytes: Array[Byte]): Message = {
+    require(bytes.length >= HeaderLen, "short header")
+    val buf = ByteBuffer.wrap(bytes)
+    val version = buf.get() & 0xff
+    val msgType = buf.getShort() & 0xffff
+    val len = buf.getInt()
+    require(bytes.length >= HeaderLen + len, "short body")
+    val body = new Array[Byte](len)
+    buf.get(body)
+    Message(version, msgType, body)
+  }
+
+  /** zlib (RFC 1950) — byte-compatible with Python's zlib.compress. */
+  def compress(body: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(body); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, body.length / 2))
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    out.toByteArray
+  }
+
+  def decompress(body: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(body)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, body.length * 2))
+    val chunk = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(chunk)
+      require(n > 0 || inf.finished() || !inf.needsInput(), "truncated zlib body")
+      out.write(chunk, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** History replies ship compressed, like the reference (exporter.py:528). */
+  def packHistory(json: String): Array[Byte] =
+    pack(History, compress(json.getBytes("UTF-8")))
+
+  def unpackHistory(bytes: Array[Byte]): String = {
+    val m = unpack(bytes)
+    require(m.msgType == History, s"not a history message: ${m.msgType}")
+    new String(decompress(m.body), "UTF-8")
+  }
+
+  /** X3 push marker frame: (collection id, timestamp) (exporter.py:1313). */
+  def packPush(colId: Int, timestamp: Long): Array[Byte] =
+    pack(Push, s"""{"colid":$colId,"timestamp":$timestamp}""".getBytes("UTF-8"))
+}

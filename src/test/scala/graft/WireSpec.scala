@@ -1,0 +1,42 @@
+package graft
+
+import graft.serve.Wire
+
+class WireSpec extends SparkSpec {
+
+  test("header framing roundtrips and is network byte order") {
+    val body = "hello".getBytes("UTF-8")
+    val framed = Wire.pack(Wire.Streams, body)
+    assert(framed.length === Wire.HeaderLen + body.length)
+    assert(framed(0) === 1.toByte) // version
+    assert(framed(1) === 0.toByte && framed(2) === Wire.Streams.toByte) // u16 BE
+    // u32 big-endian length
+    assert(framed(3) === 0 && framed(4) === 0 && framed(5) === 0 && framed(6) === 5)
+    val m = Wire.unpack(framed)
+    assert(m.version === 1 && m.msgType === Wire.Streams)
+    assert(new String(m.body, "UTF-8") === "hello")
+  }
+
+  test("history bodies compress like the reference and roundtrip") {
+    val json = """[{"nntsclabel":"a","timestamp":100,"value":1.5}]""" * 200
+    val framed = Wire.packHistory(json)
+    // zlib actually compresses the repetitive payload
+    assert(framed.length < json.length / 4)
+    assert(Wire.unpackHistory(framed) === json)
+    // RFC 1950 magic (0x78) — Python zlib.decompress accepts this stream
+    val m = Wire.unpack(framed)
+    assert((m.body(0) & 0xff) === 0x78)
+  }
+
+  test("push marker frame carries (colid, timestamp)") {
+    val m = Wire.unpack(Wire.packPush(7, 123456L))
+    assert(m.msgType === Wire.Push)
+    assert(new String(m.body, "UTF-8") === """{"colid":7,"timestamp":123456}""")
+  }
+
+  test("truncated frames are rejected, not misread") {
+    val framed = Wire.pack(Wire.History, "abc".getBytes)
+    intercept[IllegalArgumentException](Wire.unpack(framed.take(Wire.HeaderLen - 1)))
+    intercept[IllegalArgumentException](Wire.unpack(framed.take(framed.length - 1)))
+  }
+}
