@@ -43,9 +43,15 @@ object Frequency {
   def infer(binned: DataFrame, binsize: Long): DataFrame = {
     val label = QueryEngine.LabelCol
     val w = Window.partitionBy(col(label)).orderBy(col("timestamp"))
-    val diffs = binned
+    // NOTE: the inference tree reads the binned input three ways (diff
+    // stats, per-diff counts, the label universe) and recomputes it per
+    // consumer. Measured at sf0.1: recompute beats pinning — persist+count
+    // materializes the cached subplan WITHOUT AQE and costs more than the
+    // three straight evaluations (see the execution-pitfalls memory note).
+    val dd = binned
       .select(col(label), col("binstart"), col("timestamp"))
       .dropDuplicates(label, "timestamp")
+    val diffs = dd
       .withColumn("tsdiff", col("timestamp") - lag("timestamp", 1).over(w))
       .withColumn("bindiff", col("binstart") - lag("binstart", 1).over(w))
       .filter(col("tsdiff").isNotNull)
@@ -60,24 +66,23 @@ object Frequency {
         (sum(col("tsdiff")).cast("double") / count(lit(1))).as("mean"))
 
     val byDiff = diffs.groupBy(col(label), col("tsdiff")).agg(count(lit(1)).as("cnt"))
-    // top-1 by (count desc, diff asc) as a hash aggregate — no window sort
-    val strong = byDiff
+    // both picks in ONE aggregation over one join: conditional min over a
+    // (-count, diff) struct = "top share" by (count desc, diff asc) among
+    // qualifying rows; plain conditional min for the 20%-share diff. No
+    // window sort, no per-pick join.
+    val picks = byDiff
       .join(stats.select(col(label), col("total")), Seq(label))
-      .filter(col("cnt") * 2 >= col("total"))
       .groupBy(col(label))
-      .agg(min_by(col("tsdiff"), struct((-col("cnt")).as("nc"), col("tsdiff").as("v")))
-        .as("strongmode"))
-    val prominent = byDiff
-      .join(stats.select(col(label), col("total")), Seq(label))
-      .filter(col("cnt") * 5 >= col("total"))
-      .groupBy(col(label))
-      .agg(min(col("tsdiff")).as("prominent"))
+      .agg(
+        min(when(col("cnt") * 2 >= col("total"),
+          struct((-col("cnt")).as("nc"), col("tsdiff").as("v"))))
+          .getField("v").as("strongmode"),
+        min(when(col("cnt") * 5 >= col("total"), col("tsdiff"))).as("prominent"))
 
-    val allLabels = binned.select(col(label)).distinct()
+    val allLabels = dd.select(col(label)).distinct()
     allLabels
       .join(stats, Seq(label), "left_outer")
-      .join(strong, Seq(label), "left_outer")
-      .join(prominent, Seq(label), "left_outer")
+      .join(picks, Seq(label), "left_outer")
       .select(
         col(label),
         when(col("total").isNull || col("total") === 0,
