@@ -1,0 +1,93 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+
+import graft.core.Tables
+import graft.serve.{Service, Wire, WireServer}
+
+/** Drives the S6 wire layer end-to-end over a real TCP socket: framed JSON
+  * requests in, framed (and, for history, zlib-compressed) replies out.
+  */
+class WireServerSpec extends SparkSpec {
+
+  private lazy val events = Tables.tsEvents(spark, sf("sf0.001"))
+  private lazy val svc = new Service(
+    spark,
+    data = Map("amp-external" -> events),
+    streams = Map("amp-external" -> events.select("stream_id").distinct()))
+
+  private def roundtrip(server: WireServer, request: String): Seq[Wire.Message] = {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(Wire.pack(0, request.getBytes("UTF-8")))
+      out.flush()
+      sock.shutdownOutput() // one request per connection in the test
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      // split concatenated frames
+      var bytes = buf.toByteArray
+      val msgs = Seq.newBuilder[Wire.Message]
+      while (bytes.length >= Wire.HeaderLen) {
+        val m = Wire.unpack(bytes)
+        msgs += m
+        bytes = bytes.drop(Wire.HeaderLen + m.body.length)
+      }
+      msgs.result()
+    } finally sock.close()
+  }
+
+  test("collections / schema / streams over the socket") {
+    val server = new WireServer(svc)
+    try {
+      val cols = roundtrip(server, """{"request":"collections"}""")
+      assert(cols.length === 1 && cols.head.msgType === Wire.Collections)
+      val colsJson = new String(cols.head.body, "UTF-8")
+      assert(colsJson.contains(""""module":"amp"""") && colsJson.contains("icmp"))
+
+      val sch = roundtrip(server,
+        """{"request":"schema","collection":"amp-icmp"}""")
+      assert(new String(sch.head.body, "UTF-8").contains(""""name":"stream_id""""))
+
+      val streams = roundtrip(server,
+        """{"request":"streams","collection":"amp-external","minid":5}""")
+      val sJson = new String(streams.head.body, "UTF-8")
+      assert(streams.head.msgType === Wire.Streams)
+      assert(sJson.contains(""""more":false"""))
+      assert(!sJson.contains(""""stream_id":5""") && sJson.contains(""""stream_id":6"""))
+    } finally server.close()
+  }
+
+  test("aggregate streams chunked, compressed history frames") {
+    val server = new WireServer(svc)
+    try {
+      val frames = roundtrip(server,
+        """{"request":"aggregate","collection":"amp-external",
+          |"labels":{"a":[0,1,2,3,4,5,6,7],"b":[8,9,10,11,12,13,14]},
+          |"start":1704067200,"stop":1706745600,"binsize":604800,
+          |"aggs":[["value","avg"],["value","count"]]}""".stripMargin)
+      assert(frames.nonEmpty)
+      assert(frames.forall(_.msgType === Wire.History))
+      val bodies = frames.map(f => new String(Wire.decompress(f.body), "UTF-8"))
+      assert(bodies.exists(_.contains(""""label":"a"""")))
+      assert(bodies.exists(_.contains(""""label":"b"""")))
+      assert(bodies.forall(_.contains(""""freq":""")))
+      assert(bodies.forall(_.contains("value_avg")))
+    } finally server.close()
+  }
+
+  test("unknown requests and errors come back as protocol errors") {
+    val server = new WireServer(svc)
+    try {
+      val bad = roundtrip(server, """{"request":"nope"}""")
+      assert(bad.head.msgType === Wire.QueryCancelled)
+      val badColl = roundtrip(server,
+        """{"request":"schema","collection":"missing"}""")
+      assert(badColl.head.msgType === Wire.QueryCancelled)
+    } finally server.close()
+  }
+}
