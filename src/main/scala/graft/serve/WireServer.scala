@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   *   {"request":"aggregate","collection":...,"labels":{"g0":[1,2]},
   *    "start":...,"stop":...,"binsize":...,"aggs":[["value","avg"],...]}
   */
-final class WireServer(service: Service, port: Int = 0) {
+final class WireServer(
+    service: Service,
+    port: Int = 0,
+    // X3-over-the-wire: subscribe replies keep the connection open and
+    // forward this bus's push markers for the subscribed collection
+    markers: Option[graft.streaming.Markers.MarkerBus] = None) {
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
@@ -59,9 +64,8 @@ final class WireServer(service: Service, port: Int = 0) {
           val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
           val body = new Array[Byte](len)
           in.readFully(body)
-          val reply = dispatch(new String(body, "UTF-8"))
-          out.write(reply)
-          out.flush()
+          val reply = dispatch(new String(body, "UTF-8"), out)
+          out.synchronized { out.write(reply); out.flush() }
         }
       }
     } catch {
@@ -69,10 +73,40 @@ final class WireServer(service: Service, port: Int = 0) {
     } finally sock.close()
   }
 
-  private def dispatch(request: String): Array[Byte] =
+  private def dispatch(request: String, out: DataOutputStream): Array[Byte] =
     try {
       val req = JsonMini.parse(request)
       req("request") match {
+        case "subscribe" =>
+          // X1-X3 over the wire: backfill history frames now, then keep
+          // forwarding the collection's PUSH markers on this connection
+          // (exporter.py: subscribe -> history -> live/push stream)
+          val coll = req("collection").asInstanceOf[String]
+          val labels = req("labels").asInstanceOf[Map[String, Any]]
+            .map { case (k, v) =>
+              k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+            }
+          val columns = req("columns").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+          val chunks = service.history(
+            coll, labels, columns,
+            req("start").asInstanceOf[Double].toLong,
+            req("stop").asInstanceOf[Double].toLong)
+          chunks.foreach { c =>
+            val body =
+              s"""{"label":${JsonMini.str(c.label)},"more":${c.more},""" +
+                s""""freq":${c.freq},"rows":${JsonMini.rows(c.rows)}}"""
+            val frame = Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
+            out.synchronized { out.write(frame); out.flush() }
+          }
+          markers.foreach(_.subscribe(coll) { m =>
+            val frame = Wire.pack(
+              Wire.Push,
+              s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
+                .getBytes("UTF-8"))
+            try out.synchronized { out.write(frame); out.flush() }
+            catch { case _: Throwable => () } // client gone; exporter drops it too
+          })
+          Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8"))
         case "collections" =>
           val body = service.collections()
             .map { case (id, m, s) =>

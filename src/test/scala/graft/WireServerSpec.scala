@@ -80,6 +80,47 @@ class WireServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("subscribe: history frames, then live PUSH markers on one connection") {
+    import graft.streaming.Markers
+    val bus = new Markers.MarkerBus
+    val server = new WireServer(svc, markers = Some(bus))
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      sock.setSoTimeout(30000)
+      out.write(Wire.pack(0,
+        """{"request":"subscribe","collection":"amp-external",
+          |"labels":{"a":[0,1,2]},"columns":["value"],
+          |"start":1704067200,"stop":1704672000}""".stripMargin.getBytes("UTF-8")))
+      out.flush()
+
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+      }
+
+      // history first (zero or more frames), then the subscribe ack
+      var m = readFrame()
+      var sawHistory = false
+      while (m.msgType == Wire.History) { sawHistory = true; m = readFrame() }
+      assert(m.msgType === Wire.Subscribe)
+      assert(sawHistory) // window overlaps data → at least one chunk
+
+      // a batch commits → marker flows to the subscribed client
+      bus.publish(Markers.Marker("amp-external", 1704070000L, 3L))
+      val push = readFrame()
+      assert(push.msgType === Wire.Push)
+      val body = new String(push.body, "UTF-8")
+      assert(body.contains(""""collection":"amp-external""""))
+      assert(body.contains("1704070000"))
+    } finally { sock.close(); server.close() }
+  }
+
   test("unknown requests and errors come back as protocol errors") {
     val server = new WireServer(svc)
     try {
