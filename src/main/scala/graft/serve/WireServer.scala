@@ -151,6 +151,21 @@ final class WireServer(
           }.reduceOption(_ ++ _).getOrElse(
             Wire.pack(Wire.History,
               Wire.compress("""{"label":null,"more":false,"rows":[]}""".getBytes("UTF-8"))))
+        case "matrix" =>
+          val coll = req("collection").asInstanceOf[String]
+          val labels = req("labels").asInstanceOf[Map[String, Any]]
+            .map { case (k, v) =>
+              k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+            }
+          val aggs = req("aggs").asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Seq[Any]])
+            .map(p => graft.query.AggSpec(p(0).asInstanceOf[String], p(1).asInstanceOf[String]))
+          val rows = service.matrix(
+            coll, labels, aggs,
+            req("start").asInstanceOf[Double].toLong,
+            req("stop").asInstanceOf[Double].toLong)
+          Wire.pack(Wire.History,
+            Wire.compress(s"""{"rows":${JsonMini.rows(rows)}}""".getBytes("UTF-8")))
         case other =>
           Wire.pack(Wire.QueryCancelled,
             s"""{"error":"unknown request ${other}"}""".getBytes("UTF-8"))

@@ -27,6 +27,26 @@ import graft.schema.CollectionSpec
   */
 object FilePoller {
 
+  /** Ready-made decode hook for JSON-lines sources: parses against the
+    * collection's raw schema and appends undecodable lines to
+    * `deadLetterPath` (epoch-keyed, so replays don't duplicate them)
+    * before passing the good rows on — the corrupt-message guard with an
+    * audit trail instead of a log line.
+    */
+  def jsonDecoder(
+      spec: CollectionSpec,
+      deadLetterPath: String): (DataFrame, Long) => DataFrame = {
+    (batch: DataFrame, epochId: Long) =>
+      val (good, dead) = IngestStream.decodeJson(batch, spec)
+      dead
+        .withColumn(IngestStream.EpochCol, org.apache.spark.sql.functions.lit(epochId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(IngestStream.EpochCol)
+        .parquet(deadLetterPath)
+      good
+  }
+
   def start(
       spark: SparkSession,
       inDir: String,
@@ -36,10 +56,10 @@ object FilePoller {
       dataPath: String,
       checkpointPath: String,
       normalize: DataFrame => DataFrame = identity,
-      // message decoding (S1): applied to the raw batch BEFORE stream
-      // registration — e.g. IngestStream.decodeJson(_, spec)._1 for
-      // JSON-lines sources (format = "text")
-      decode: DataFrame => DataFrame = identity,
+      // message decoding (S1): applied to the raw batch (with its epoch id)
+      // BEFORE stream registration — see `jsonDecoder` for the JSON-lines
+      // form with dead-letter capture (format = "text")
+      decode: (DataFrame, Long) => DataFrame = (b, _) => b,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       // X3: (collection name, bus) — a marker is published after each
@@ -58,7 +78,7 @@ object FilePoller {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val written = IngestStream.ingestBatch(
-          decode(batch), spec, streamsPath, dataPath, normalize, Some(epochId))
+          decode(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
         onLive(written)
         markers.foreach { case (collection, bus) =>
           val mx = written.agg(max("timestamp")).collect()(0)

@@ -195,6 +195,21 @@ class StreamingSpec extends SparkSpec {
       good, spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
     assert(IngestStream.readData(spark, s"$dir/data").count() === 2)
     assert(spark.read.parquet(s"$dir/streams").count() === 2)
+
+    // full chain: JSON-lines files → poller with dead-letter capture
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.FilePoller
+    val pd = tmpDir()
+    lines.select("value").write.mode("append").text(s"$pd/in")
+    val q = FilePoller.start(
+      spark, s"$pd/in", Seq.empty[String].toDF("value").schema, spec,
+      s"$pd/streams", s"$pd/data", s"$pd/ckpt",
+      decode = FilePoller.jsonDecoder(spec, s"$pd/dead"),
+      format = "text",
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(IngestStream.readData(spark, s"$pd/data").count() === 2)
+    assert(IngestStream.readData(spark, s"$pd/dead").count() === 2)
   }
 
   test("S2 file poller e2e: history-before-live with X3 push markers") {

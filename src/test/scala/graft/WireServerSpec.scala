@@ -121,6 +121,20 @@ class WireServerSpec extends SparkSpec {
     } finally { sock.close(); server.close() }
   }
 
+  test("matrix request returns one summary row per label") {
+    val server = new WireServer(svc)
+    try {
+      val frames = roundtrip(server,
+        """{"request":"matrix","collection":"amp-external",
+          |"labels":{"a":[0,1,2],"b":[8,9]},
+          |"start":1704067200,"stop":1706745600,
+          |"aggs":[["value","avg"],["value","max"]]}""".stripMargin)
+      val body = new String(Wire.decompress(frames.head.body), "UTF-8")
+      assert(body.contains(""""nntsclabel":"a"""") && body.contains(""""nntsclabel":"b""""))
+      assert(body.contains("value_avg") && body.contains("value_max"))
+    } finally server.close()
+  }
+
   test("unknown requests and errors come back as protocol errors") {
     val server = new WireServer(svc)
     try {
