@@ -130,6 +130,14 @@ object PlanAudit {
       failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
     }
 
+    // 9. Q18 shape: the HAVING gate is a semi join, the customer side
+    //    broadcasts, the big-big join shuffles (no nested loop anywhere)
+    val q18 = graft.SparkEntry.queries("q18_big_orders")(spark, sfDir)
+    q18.collect() // AQE finalizes join strategies
+    check("q18: semi-join gate + broadcast customer", plan(q18),
+      mustContain = Seq("LeftSemi", "BroadcastHashJoin"),
+      mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
