@@ -106,6 +106,25 @@ object Demo {
       println(s"DEMO poller rows=${landed.count()} rollup_bins=${rolled.length}")
     }
 
+    // 3d. the S6 wire endpoint: a real TCP client asks for collections
+    {
+      import graft.serve.{Wire, WireServer}
+      val server = new WireServer(svc)
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.write(Wire.pack(0, """{"request":"collections"}""".getBytes("UTF-8")))
+      out.flush(); sock.shutdownOutput()
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      val in = sock.getInputStream
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      val reply = Wire.unpack(buf.toByteArray)
+      println(s"DEMO wire collections bytes=${reply.body.length} " +
+        s"first=${new String(reply.body, "UTF-8").take(60)}...")
+      sock.close(); server.close()
+    }
+
     // 4. native Catalyst aggregates through SQL (as the reference's
     //    in-database smoke/most functions)
     graft.functions.GraftExtensions.register(spark)
