@@ -80,6 +80,55 @@ object IngestStream {
     if (df.columns.contains(EpochCol)) df.drop(EpochCol) else df
   }
 
+  /** Fold settled ingest epochs into the query-optimized Layout table
+    * (sbucket/day partitions, rows sorted for row-group pruning) and drop
+    * their epoch directories — the landing-zone → warehouse compaction
+    * every streaming table needs: the epoch layout is write-optimized
+    * (idempotent replay), the Layout is read-optimized; queries use
+    * `readCombined` and never see the seam.
+    *
+    * Epochs strictly BELOW `settledBelow` compact (recent epochs stay
+    * replayable for the streaming query's retry window). Single-writer,
+    * like the rollup compactor; crash between append and delete duplicates
+    * the compacted epochs — a transactional table format closes that at
+    * production scale, the fold itself is what this encodes.
+    */
+  def compactToLayout(
+      spark: SparkSession,
+      dataPath: String,
+      layoutPath: String,
+      settledBelow: Long,
+      buckets: Int = graft.storage.Layout.DefaultBuckets): Unit = {
+    val settled = spark.read.parquet(dataPath)
+      .filter(col(EpochCol) < settledBelow) // partition-pruned to those dirs
+    if (!settled.isEmpty) {
+      graft.storage.Layout.writeData(settled.drop(EpochCol), layoutPath, buckets)
+      new java.io.File(dataPath)
+        .listFiles()
+        .filter { f =>
+          f.isDirectory && f.getName.startsWith(s"$EpochCol=") &&
+            f.getName.stripPrefix(s"$EpochCol=").toLong < settledBelow
+        }
+        .foreach(deleteRecursively)
+    }
+  }
+
+  /** The serving view: compacted Layout history + not-yet-settled epochs. */
+  def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
+    val recent = readData(spark, dataPath)
+    if (!new java.io.File(layoutPath).exists) recent
+    else {
+      val settled = graft.storage.Layout.readData(spark, layoutPath)
+        .drop("sbucket", "day")
+      settled.unionByName(recent, allowMissingColumns = true)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Epoch bookkeeping partition column (leading underscores are reserved
     * by parquet readers, so a plain name with a `__` prefix convention). */
   val EpochCol = "__epoch"

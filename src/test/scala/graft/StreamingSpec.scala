@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     assert(bin60.getAs[Double]("mx") === 10.0)
   }
 
+  test("epoch landing zone compacts into the Layout table; serving view seamless") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.ingestBatch(batch("s3", 1704240000L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
+
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", settledBelow = 2L, buckets = 8)
+    // settled epoch dirs gone, the unsettled one remains
+    val left = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("__epoch=")).map(_.getName).toSeq
+    assert(left === Seq("__epoch=2"))
+    // layout holds the settled rows, partition-pruned by day
+    val layout = graft.storage.Layout.readData(spark, s"$dir/layout")
+    assert(layout.count() === 2)
+    assert(layout.columns.contains("sbucket") && layout.columns.contains("day"))
+    // the serving view sees everything exactly once
+    val all = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+    assert(all.count() === 3)
+    assert(all.select("timestamp").distinct().count() === 3)
+    // re-running with the same watermark is a no-op
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", settledBelow = 2L, buckets = 8)
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 3)
+  }
+
   test("rollup partial appends are epoch-idempotent; compaction preserves results (X4)") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/short"
