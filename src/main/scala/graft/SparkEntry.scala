@@ -936,6 +936,44 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q_ann_lsh" -> {
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      val w = graft.pipeline.Similarity.planeWeights(8, 64)
+      def wLit(p: Int) =
+        w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val bucket = (0 until 8).map { p =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+           |  i -> CAST(v[i] AS DOUBLE) * (${wLit(p)})[i])) > 0
+           |  THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      val probes = ("home" +: (0 until 8).map(p => s"xor(home, ${1 << p})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding AS v, $bucket AS home
+         |  FROM embeddings
+         |), corpus AS (
+         |  SELECT vec_id AS neighbor_id, v AS vb, home AS cb FROM b
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS va, unnest($probes) AS bkt
+         |  FROM b WHERE vec_id < 10
+         |), s AS (
+         |  SELECT query_id, neighbor_id, $cos AS sim
+         |  FROM q JOIN corpus ON q.bkt = corpus.cb
+         |  WHERE neighbor_id != query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_embed_dup_lsh" -> {
       val cos =
         """round(

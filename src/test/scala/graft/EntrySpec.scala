@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the intentional rows-only set (xxhash/LSH/IVF/sketches — not
     // expressible in DuckDB)
-    assert(rowsOnly === Set("q_dedup_minhash", "q_ann_lsh", "q_ann_ivf", "q_sketches"))
+    assert(rowsOnly === Set("q_dedup_minhash", "q_ann_ivf", "q_sketches"))
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
