@@ -109,8 +109,16 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the normalized text (lowercase, punct
     * stripped, whitespace collapsed) — stable under formatting noise.
+    * Fused single-pass native expression; bit-identical to
+    * [[fingerprintCompositional]] (parity asserted in TextAnalysisSpec) but
+    * without the two full-text regex NFA passes per row.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = graft.functions.TextFingerprint(text)
+
+  /** The compositional built-in-functions form of [[fingerprint]] — the
+    * parity witness (and the shape the DuckDB oracle runs verbatim).
+    */
+  def fingerprintCompositional(text: Column): Column =
     md5(regexp_replace(trim(regexp_replace(lower(text), PunctClass, "")), "\\s+", " "))
 
   // ---- whole-table forms -----------------------------------------------

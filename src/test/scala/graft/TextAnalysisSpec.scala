@@ -61,6 +61,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fused(90002L) === "und")
   }
 
+  test("fused TextFingerprint equals the compositional md5(normalize) form") {
+    // edge cases the char-loop must get right: leading tab (survives the
+    // spaces-only trim → leading " " after collapse), punct splitting a
+    // whitespace run in two, non-ASCII lowercase, empty and spaces-only text
+    val edge = corpus.union(Seq(
+        (91001L, "", "x", "x", 0L),
+        (91002L, "   ", "x", "x", 0L),
+        (91003L, "A .\tB", "x", "x", 0L),     // punct inside a \s run
+        (91004L, " \t. \t ", "x", "x", 0L),   // collapses to " "
+        (91005L, "ÄÖÜ Straße ÇŞ", "x", "x", 0L), // non-ASCII lower path
+        (91006L, "xy\n\rz", "x", "x", 0L)) // every \s class member
+      .toDF(cols: _*))
+    val both = edge.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fused"),
+        TextAnalysis.fingerprintCompositional(col("text")).as("comp"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("TextProfile is evaluated once per row, not once per consumer") {
     val plan = TextAnalysis.docStats(corpus, "doc_id", "text")
       .queryExecution.executedPlan.toString
