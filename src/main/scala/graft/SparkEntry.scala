@@ -356,7 +356,8 @@ object SparkEntry {
     "q_freq" -> ((s, dir) => {
       val binned = QueryEngine.selectAggregatedData(
         Tables.tsEvents(s, dir), labelsFor(s, dir),
-        Seq(AggSpec("value", "count")), Start, Stop, binsize = 600)
+        Seq(AggSpec("value", "count")), Start, Stop, binsize = 600,
+        ordered = false) // infer() re-partitions by label immediately
       Frequency.infer(binned, 600)
     }),
 

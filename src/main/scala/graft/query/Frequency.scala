@@ -39,50 +39,75 @@ object Frequency {
 
   /** Infer the measurement frequency per label from a binned-history result
     * (columns: nntsclabel, binstart, timestamp). Returns (nntsclabel, freq).
+    *
+    * Single-pass shape: the binned input (itself an aggregation) is scanned
+    * ONCE, shuffled ONCE (the per-label window), and everything downstream
+    * stays map-side — the round-2 form recomputed the binned subplan three
+    * times (diff stats, per-diff counts, label universe; 7.6 s at sf0.1,
+    * second-slowest bench line) because pinning it with persist+count ran
+    * the cached subplan without AQE and cost even more.
+    *
+    *  - dedup happens INSIDE the window pass: a row whose timestamp equals
+    *    its predecessor's is dropped before diffs are taken (the reference
+    *    skips repeated timestamps, exporter.py:490-497); no dropDuplicates
+    *    shuffle.
+    *  - each label's first row (null diff) is kept as its presence marker,
+    *    so the label universe needs no separate scan; labels with zero
+    *    diffs surface as total=NULL, same as the old left-outer join.
+    *  - per-(label,diff) counts, the per-label total, and both share-based
+    *    picks all derive from one (label, tsdiff) aggregation + a label
+    *    window; the window stage already hash-partitions by label, and
+    *    every later groupBy/window clusters on a superset of {label}, so
+    *    EnsureRequirements inserts no further exchange.
     */
   def infer(binned: DataFrame, binsize: Long): DataFrame = {
     val label = QueryEngine.LabelCol
     val w = Window.partitionBy(col(label)).orderBy(col("timestamp"))
-    // NOTE: the inference tree reads the binned input three ways (diff
-    // stats, per-diff counts, the label universe) and recomputes it per
-    // consumer. Measured at sf0.1: recompute beats pinning — persist+count
-    // materializes the cached subplan WITHOUT AQE and costs more than the
-    // three straight evaluations (see the execution-pitfalls memory note).
-    val dd = binned
+
+    // dedup-in-window: equal-timestamp successors dropped (the kept row is
+    // the tie-group's first, like dropDuplicates, and for real flows
+    // binstart is a function of timestamp so the choice is immaterial);
+    // the second Window reuses the first's sort and partitioning.
+    val deduped = binned
       .select(col(label), col("binstart"), col("timestamp"))
-      .dropDuplicates(label, "timestamp")
-    val diffs = dd
+      .withColumn("__dup", col("timestamp") === lag("timestamp", 1).over(w))
+      .filter(col("__dup").isNull || !col("__dup"))
+    val rows = deduped
       .withColumn("tsdiff", col("timestamp") - lag("timestamp", 1).over(w))
       .withColumn("bindiff", col("binstart") - lag("binstart", 1).over(w))
-      .filter(col("tsdiff").isNotNull)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 200)
+      .filter(col("__rn") <= 201) // marker row + the first 200 diffs
 
-    val stats = diffs
+    // one partial-aggregatable pass: count + perfect-bin count + exact diff
+    // sum per (label, diff); the NULL-diff group is the label marker.
+    val byDiff = rows
+      .groupBy(col(label), col("tsdiff"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("bindiff") === binsize, 1).otherwise(0)).as("perfect_part"),
+        sum(col("tsdiff")).as("ts_sum"))
+
+    // per-label diff total alongside the per-diff rows (no self-join);
+    // marker rows excluded so total matches the old count-of-diffs exactly.
+    val wl = Window.partitionBy(col(label))
+    val withTotal = byDiff.withColumn(
+      "total", sum(when(col("tsdiff").isNotNull, col("cnt"))).over(wl))
+
+    // both picks in the SAME final aggregation as the stats: conditional
+    // min over a (-count, diff) struct = "top share" by (count desc, diff
+    // asc); plain conditional min for the 20%-share diff. mean keeps the
+    // exact-integer-sum / count double division of the old form bit-for-bit.
+    withTotal
       .groupBy(col(label))
       .agg(
-        count(lit(1)).as("total"),
-        sum(when(col("bindiff") === binsize, 1).otherwise(0)).as("perfect"),
-        (sum(col("tsdiff")).cast("double") / count(lit(1))).as("mean"))
-
-    val byDiff = diffs.groupBy(col(label), col("tsdiff")).agg(count(lit(1)).as("cnt"))
-    // both picks in ONE aggregation over one join: conditional min over a
-    // (-count, diff) struct = "top share" by (count desc, diff asc) among
-    // qualifying rows; plain conditional min for the 20%-share diff. No
-    // window sort, no per-pick join.
-    val picks = byDiff
-      .join(stats.select(col(label), col("total")), Seq(label))
-      .groupBy(col(label))
-      .agg(
-        min(when(col("cnt") * 2 >= col("total"),
+        max(col("total")).as("total"),
+        sum(col("perfect_part")).as("perfect"),
+        (sum(col("ts_sum")).cast("double") / max(col("total"))).as("mean"),
+        min(when(col("tsdiff").isNotNull && col("cnt") * 2 >= col("total"),
           struct((-col("cnt")).as("nc"), col("tsdiff").as("v"))))
           .getField("v").as("strongmode"),
-        min(when(col("cnt") * 5 >= col("total"), col("tsdiff"))).as("prominent"))
-
-    val allLabels = dd.select(col(label)).distinct()
-    allLabels
-      .join(stats, Seq(label), "left_outer")
-      .join(picks, Seq(label), "left_outer")
+        min(when(col("tsdiff").isNotNull && col("cnt") * 5 >= col("total"),
+          col("tsdiff"))).as("prominent"))
       .select(
         col(label),
         when(col("total").isNull || col("total") === 0,

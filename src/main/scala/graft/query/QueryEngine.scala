@@ -95,7 +95,8 @@ object QueryEngine {
       stop: Long,
       binsize: Long,
       groupcols: Seq[String] = Nil,
-      parity: Boolean = false): DataFrame = {
+      parity: Boolean = false,
+      ordered: Boolean = true): DataFrame = {
     val singleBin = binsize <= 0 || binsize >= (stop - start)
     val effBin = if (singleBin) 0L else binsize
     val base = attachLabels(filterTime(data, start, stop), labels)
@@ -125,7 +126,10 @@ object QueryEngine {
       out = out.join(part, keys, "left_outer")
     }
 
-    out.orderBy((keys :+ "timestamp").map(col): _*)
+    // ordered=false skips the W2 presentation sort for callers that
+    // immediately re-partition (frequency inference's per-label window) —
+    // the range exchange would be pure waste in their plans
+    if (ordered) out.orderBy((keys :+ "timestamp").map(col): _*) else out
   }
 
   /** Whole-period summary = one bin over [start, stop) (dbselect.py:181-205,

@@ -138,6 +138,23 @@ object PlanAudit {
       mustContain = Seq("LeftSemi", "BroadcastHashJoin"),
       mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
 
+    // 10. q_freq single-pass: the binned aggregation feeds the whole
+    //     inference tree exactly once — the events scan appears ONCE in the
+    //     physical plan (round-2 shape recomputed it three times), and the
+    //     post-window pipeline needs no further exchange (one window
+    //     shuffle by label; byDiff/total/picks cluster on supersets of it)
+    val freqPlan = plan(graft.SparkEntry.queries("q_freq")(spark, sfDir))
+    val nScans = "Scan parquet".r.findAllIn(freqPlan).length
+    if (nScans == 1) println("AUDIT ok   q_freq: single scan of the binned input")
+    else { failures += 1; println(s"AUDIT FAIL q_freq scans binned input $nScans times") }
+    val nExch = "Exchange".r.findAllIn(freqPlan).length
+    // binned agg shuffle + label broadcast + label window shuffle + the
+    // final orderBy range exchange = 4; more means a downstream stage
+    // (byDiff / total window / final agg) failed to reuse the label
+    // partitioning and re-shuffled
+    if (nExch <= 4) println(s"AUDIT ok   q_freq: $nExch exchanges (agg, broadcast, window, sort)")
+    else { failures += 1; println(s"AUDIT FAIL q_freq has $nExch exchanges") }
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
