@@ -73,20 +73,25 @@ final class Service(
       // fire repeatedly once past the deadline: one query = several
       // sequential AQE jobs, and cancelJobGroup only kills jobs running at
       // the instant of the call — later stages must be re-cancelled
+      @volatile var fired = false
       val timer = watchdog.scheduleWithFixedDelay(
-        new Runnable { def run(): Unit = sc.cancelJobGroup(group) },
+        new Runnable { def run(): Unit = { fired = true; sc.cancelJobGroup(group) } },
         queryTimeoutSec, 1, java.util.concurrent.TimeUnit.SECONDS)
       try body
       catch {
-        case e: Throwable if isCancellation(e) =>
+        // any failure after the watchdog fired IS the timeout: an
+        // interruptOnCancel kill can surface as InterruptedException or an
+        // IO error with no "cancelled" in its message
+        case e: Throwable if fired || isCancellation(e) =>
           throw new QueryCancelledException(op, e)
       } finally timer.cancel(false)
     }
 
   private def isCancellation(e: Throwable): Boolean =
     e != null && (
-      Option(e.getMessage).exists(m =>
-        m.contains("cancelled") || m.contains("canceled")) ||
+      e.isInstanceOf[InterruptedException] ||
+        Option(e.getMessage).exists(m =>
+          m.contains("cancelled") || m.contains("canceled")) ||
         isCancellation(e.getCause))
 
   /** NNTSC_REQ_COLLECTION → the registry. */
@@ -169,11 +174,13 @@ final class Service(
       sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
         interruptOnCancel = true)
       @volatile var done = false
+      @volatile var fired = false
       val timer = watchdog.scheduleWithFixedDelay(
         new Runnable {
           private var fires = 0
           def run(): Unit = {
             if (done) throw new java.util.concurrent.CancellationException()
+            fired = true
             sc.cancelJobGroup(group)
             fires += 1
             if (fires >= MaxCancelFires)
@@ -184,7 +191,9 @@ final class Service(
       def wrap[A](a: => A): A =
         try a
         catch {
-          case e: Throwable if isCancellation(e) =>
+          // post-deadline failures classify as timeout even when the kill
+          // surfaces as InterruptedException / IO error (see isCancellation)
+          case e: Throwable if fired || isCancellation(e) =>
             done = true
             timer.cancel(false)
             throw new QueryCancelledException(op, e)

@@ -29,9 +29,17 @@ object Wire {
   val Subscribe = 4
   val Push = 5
   val QueryCancelled = 6
+  val Live = 7 // NNTSC_LIVE: committed rows pushed to subscribers
 
   val Version = 1
   val HeaderLen = 7 // u8 + u16 + u32
+
+  /** Upper bound on a request frame's body (exporter requests are small
+    * JSON objects). The length header is attacker-controlled on an
+    * unauthenticated socket — a server must validate BEFORE allocating, or
+    * a single bogus frame claims a ~2 GB buffer.
+    */
+  val MaxFrameLen: Int = 16 * 1024 * 1024
 
   final case class Message(version: Int, msgType: Int, body: Array[Byte])
 

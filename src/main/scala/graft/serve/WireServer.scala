@@ -6,6 +6,8 @@ import java.net.{ServerSocket, Socket}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
+import graft.streaming.Markers
+
 /** S6 — the export protocol endpoint: the reference serves clients over a
   * TCP socket with length-framed request/reply messages
   * (/root/reference/libnntsc/exporter.py:NNTSCExporter + clientthreads).
@@ -17,19 +19,32 @@ import org.apache.spark.sql.types._
   * per client (the reference likewise threads per client). The heavy
   * lifting is Spark's; the server only frames results.
   *
+  * Hardening: the u32 frame-length header is validated against
+  * `Wire.MaxFrameLen` BEFORE the body buffer is allocated, and the version
+  * byte is checked — a malformed or hostile frame drops the connection
+  * instead of provoking a ~2 GB allocation in the driver JVM. Per-client
+  * bus subscriptions are tracked and closed when the connection ends, so
+  * a long-running server does not leak a callback per dead client.
+  *
   * Request vocabulary (JSON, one object per frame):
   *   {"request":"collections"}
   *   {"request":"schema","collection":"amp-icmp"}
   *   {"request":"streams","collection":"amp-external","minid":0}
   *   {"request":"aggregate","collection":...,"labels":{"g0":[1,2]},
   *    "start":...,"stop":...,"binsize":...,"aggs":[["value","avg"],...]}
+  *   {"request":"subscribe","collection":...,"labels":...,"columns":[...],
+  *    "start":...,"stop":...}   (stop=0 ⇒ forever)
   */
 final class WireServer(
     service: Service,
     port: Int = 0,
     // X3-over-the-wire: subscribe replies keep the connection open and
     // forward this bus's push markers for the subscribed collection
-    markers: Option[graft.streaming.Markers.MarkerBus] = None) {
+    markers: Option[Markers.MarkerBus] = None,
+    // X1/X2-over-the-wire: committed rows published here flow to
+    // subscribed clients as NNTSC_LIVE frames (exporter.py:1408-1489),
+    // buffered during backfill and released across the history seam
+    live: Option[Markers.LiveBus] = None) {
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
@@ -54,6 +69,8 @@ final class WireServer(
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // bus subscriptions made on behalf of this connection; closed on exit
+    val handles = scala.collection.mutable.ArrayBuffer.empty[Markers.Handle]
     try {
       var open = true
       while (open) {
@@ -61,52 +78,103 @@ final class WireServer(
         try in.readFully(header)
         catch { case _: java.io.EOFException => open = false }
         if (open) {
+          val version = header(0) & 0xff
           val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
-          val body = new Array[Byte](len)
-          in.readFully(body)
-          val reply = dispatch(new String(body, "UTF-8"), out)
-          out.synchronized { out.write(reply); out.flush() }
+          // validate BEFORE allocating: the length is client-controlled
+          if (version != Wire.Version || len < 0 || len > Wire.MaxFrameLen) {
+            open = false
+          } else {
+            val body = new Array[Byte](len)
+            in.readFully(body)
+            val reply = dispatch(new String(body, "UTF-8"), out, handles)
+            if (reply.nonEmpty) out.synchronized { out.write(reply); out.flush() }
+          }
         }
       }
     } catch {
       case _: Throwable => () // client went away; the reference drops it too
-    } finally sock.close()
+    } finally {
+      handles.foreach(h => try h.close() catch { case _: Throwable => () })
+      sock.close()
+    }
   }
 
-  private def dispatch(request: String, out: DataOutputStream): Array[Byte] =
+  private def parseLabels(req: Map[String, Any]): Map[String, Seq[Long]] =
+    req("labels").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) =>
+        k -> v.asInstanceOf[Seq[Any]].map(JsonMini.asLong)
+      }
+
+  private def parseAggs(req: Map[String, Any]): Seq[graft.query.AggSpec] =
+    req("aggs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Seq[Any]])
+      .map(p => graft.query.AggSpec(p(0).asInstanceOf[String], p(1).asInstanceOf[String]))
+
+  private def historyBody(c: Service.HistoryChunk): Array[Byte] = {
+    val body =
+      s"""{"label":${JsonMini.str(c.label)},"more":${c.more},""" +
+        s""""freq":${c.freq},"rows":${JsonMini.rows(c.rows)}}"""
+    Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
+  }
+
+  private def dispatch(
+      request: String,
+      out: DataOutputStream,
+      handles: scala.collection.mutable.ArrayBuffer[Markers.Handle]): Array[Byte] =
     try {
       val req = JsonMini.parse(request)
       req("request") match {
         case "subscribe" =>
-          // X1-X3 over the wire: backfill history frames now, then keep
-          // forwarding the collection's PUSH markers on this connection
-          // (exporter.py: subscribe -> history -> live/push stream)
+          // X1-X3 over the wire (exporter.py:875-971, 1408-1489): register
+          // the live relay FIRST (rows committed during backfill are
+          // buffered, not lost), stream history frames, ack, then release
+          // the buffer across the `lasthist` seam and go passthrough; PUSH
+          // markers ride the same connection.
           val coll = req("collection").asInstanceOf[String]
-          val labels = req("labels").asInstanceOf[Map[String, Any]]
-            .map { case (k, v) =>
-              k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
-            }
+          val labels = parseLabels(req)
           val columns = req("columns").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
-          val chunks = service.history(
-            coll, labels, columns,
-            req("start").asInstanceOf[Double].toLong,
-            req("stop").asInstanceOf[Double].toLong)
+          val start = JsonMini.asLong(req("start"))
+          val stop = JsonMini.asLong(req("stop"))
+          val relay = live.map { bus =>
+            val r = new LiveRelay(coll, labels, columns, start, stop, out)
+            handles += bus.subscribe(coll)(r.onBatch)
+            r
+          }
+          var lastHist = Long.MinValue
+          // stop=0 means the live feed never ends (exporter.py:899-906);
+          // the backfill then covers everything up to the present
+          val histStop = if (stop == 0) Long.MaxValue else stop
+          val chunks = service.history(coll, labels, columns, start, histStop)
           chunks.foreach { c =>
-            val body =
-              s"""{"label":${JsonMini.str(c.label)},"more":${c.more},""" +
-                s""""freq":${c.freq},"rows":${JsonMini.rows(c.rows)}}"""
-            val frame = Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
+            c.rows.foreach { r =>
+              val i = r.schema.fieldIndex("timestamp")
+              if (!r.isNullAt(i)) lastHist = math.max(lastHist, r.getLong(i))
+            }
+            val frame = historyBody(c)
             out.synchronized { out.write(frame); out.flush() }
           }
-          markers.foreach(_.subscribe(coll) { m =>
-            val frame = Wire.pack(
-              Wire.Push,
-              s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
-                .getBytes("UTF-8"))
-            try out.synchronized { out.write(frame); out.flush() }
-            catch { case _: Throwable => () } // client gone; exporter drops it too
-          })
-          Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8"))
+          // markers registered BEFORE the ack: once the client sees the
+          // ack, batch commits are guaranteed to reach it
+          markers.foreach { bus =>
+            handles += bus.subscribe(coll) { m =>
+              val frame = Wire.pack(
+                Wire.Push,
+                s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
+                  .getBytes("UTF-8"))
+              // a failed write throws out of the bus callback → the bus
+              // auto-unsubscribes this dead client
+              out.synchronized { out.write(frame); out.flush() }
+            }
+          }
+          // ack between history and live: the client's seam marker
+          out.synchronized {
+            out.write(Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8")))
+            out.flush()
+          }
+          // release rows buffered during backfill (seam rule: > lasthist),
+          // then passthrough
+          relay.foreach(_.finish(lastHist))
+          Array.emptyByteArray
         case "collections" =>
           val body = service.collections()
             .map { case (id, m, s) =>
@@ -122,48 +190,30 @@ final class WireServer(
             s"""{"streams":${fields(ss)},"data":${fields(ds)}}""".getBytes("UTF-8"))
         case "streams" =>
           val coll = req("collection").asInstanceOf[String]
-          val minid = req.getOrElse("minid", 0d).asInstanceOf[Double].toInt
+          val minid = req.get("minid").map(JsonMini.asLong).getOrElse(0L).toInt
           val page = service.streamsPage(coll, minid)
           val body =
             s"""{"rows":${JsonMini.rows(page.rows)},"more":${page.more}}"""
           Wire.pack(Wire.Streams, body.getBytes("UTF-8"))
         case "aggregate" =>
           val coll = req("collection").asInstanceOf[String]
-          val labels = req("labels").asInstanceOf[Map[String, Any]]
-            .map { case (k, v) =>
-              k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
-            }
-          val aggs = req("aggs").asInstanceOf[Seq[Any]]
-            .map(_.asInstanceOf[Seq[Any]])
-            .map(p => graft.query.AggSpec(p(0).asInstanceOf[String], p(1).asInstanceOf[String]))
           val chunks = service.aggregate(
-            coll, labels, aggs,
-            req("start").asInstanceOf[Double].toLong,
-            req("stop").asInstanceOf[Double].toLong,
-            req("binsize").asInstanceOf[Double].toLong)
+            coll, parseLabels(req), parseAggs(req),
+            JsonMini.asLong(req("start")),
+            JsonMini.asLong(req("stop")),
+            JsonMini.asLong(req("binsize")))
           // one frame per chunk (the reference's chunked HISTORY stream),
           // compressed like the reference's history bodies
-          chunks.map { c =>
-            val body =
-              s"""{"label":${JsonMini.str(c.label)},"more":${c.more},""" +
-                s""""freq":${c.freq},"rows":${JsonMini.rows(c.rows)}}"""
-            Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
-          }.reduceOption(_ ++ _).getOrElse(
-            Wire.pack(Wire.History,
-              Wire.compress("""{"label":null,"more":false,"rows":[]}""".getBytes("UTF-8"))))
+          chunks.map(historyBody)
+            .reduceOption(_ ++ _).getOrElse(
+              Wire.pack(Wire.History,
+                Wire.compress("""{"label":null,"more":false,"rows":[]}""".getBytes("UTF-8"))))
         case "matrix" =>
           val coll = req("collection").asInstanceOf[String]
-          val labels = req("labels").asInstanceOf[Map[String, Any]]
-            .map { case (k, v) =>
-              k -> v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
-            }
-          val aggs = req("aggs").asInstanceOf[Seq[Any]]
-            .map(_.asInstanceOf[Seq[Any]])
-            .map(p => graft.query.AggSpec(p(0).asInstanceOf[String], p(1).asInstanceOf[String]))
           val rows = service.matrix(
-            coll, labels, aggs,
-            req("start").asInstanceOf[Double].toLong,
-            req("stop").asInstanceOf[Double].toLong)
+            coll, parseLabels(req), parseAggs(req),
+            JsonMini.asLong(req("start")),
+            JsonMini.asLong(req("stop")))
           Wire.pack(Wire.History,
             Wire.compress(s"""{"rows":${JsonMini.rows(rows)}}""".getBytes("UTF-8")))
         case other =>
@@ -178,13 +228,133 @@ final class WireServer(
         Wire.pack(Wire.QueryCancelled,
           s"""{"error":${JsonMini.str(String.valueOf(e.getMessage))}}""".getBytes("UTF-8"))
     }
+
+  /** Per-subscription live-row relay — the wire twin of
+    * `Subscribe.Session` + `LiveFanout.gated` (X1/X2,
+    * exporter.py:907-971, 1408-1489): batches arriving during backfill are
+    * buffered; `finish(lasthist)` seeds a PER-STREAM high-water gate with
+    * the history's last timestamp, releases buffered rows through it, and
+    * flips to passthrough — where the gate keeps enforcing strictly-newer
+    * delivery, so an at-least-once upstream (the reference's RabbitMQ
+    * feed) still yields exactly-once frames per stream on the socket.
+    * Rows are admitted when their stream belongs to the subscription (a
+    * stream in several label groups fans out once per label, like
+    * attachLabels) and their timestamp is inside [start, stop]
+    * (stop=0 ⇒ forever). Emitted frames:
+    * `{"collection":…,"label":…,"rows":[…]}` with msgType `Wire.Live`,
+    * rows restricted to timestamp + stream_id + the subscribed columns.
+    */
+  private final class LiveRelay(
+      coll: String,
+      labels: Map[String, Seq[Long]],
+      columns: Seq[String],
+      start: Long,
+      stop: Long,
+      out: DataOutputStream) {
+
+    private val streamLabels: Map[Long, Seq[String]] =
+      labels.toSeq
+        .flatMap { case (l, sids) => sids.map(_ -> l) }
+        .groupBy(_._1)
+        .map { case (sid, ps) => sid -> ps.map(_._2).sorted }
+
+    private var buffered = Vector.empty[Row]
+    private var liveMode = false
+    // per-stream high-water mark, seeded with the global lasthist at the
+    // seam (Subscribe.Session semantics); only consulted in live mode
+    private var gate = Map.empty[Long, Long]
+
+    private def ts(r: Row): Long = r.getLong(r.schema.fieldIndex("timestamp"))
+    private def sid(r: Row): Long = r.getLong(r.schema.fieldIndex("stream_id"))
+
+    /** Stream subscribed + timestamp inside the window. */
+    private def admit(rows: Seq[Row]): Seq[Row] =
+      rows.filter { r =>
+        val ti = r.schema.fieldIndex("timestamp")
+        val si = r.schema.fieldIndex("stream_id")
+        !r.isNullAt(ti) && !r.isNullAt(si) && {
+          val t = r.getLong(ti)
+          t >= start && (stop == 0 || t <= stop) &&
+            streamLabels.contains(r.getLong(si))
+        }
+      }
+
+    /** Apply the per-stream monotonic gate (in timestamp order, equal
+      * timestamps deduped — LiveFanout's rule) and advance it.
+      */
+    private def gated(rows: Seq[Row]): Seq[Row] =
+      rows
+        .groupBy(sid)
+        .toSeq.sortBy(_._1)
+        .flatMap { case (s, rs) =>
+          var hwm = gate.getOrElse(s, Long.MinValue)
+          val outRows = rs.sortBy(ts).filter { r =>
+            val t = ts(r)
+            if (t > hwm) { hwm = t; true } else false
+          }
+          gate += s -> hwm
+          outRows
+        }
+
+    def onBatch(b: Markers.LiveBatch): Unit = synchronized {
+      val adm = admit(b.rows)
+      if (!liveMode) buffered ++= adm
+      else emit(gated(adm))
+    }
+
+    def finish(lastHist: Long): Unit = synchronized {
+      liveMode = true
+      gate = streamLabels.keys.map(_ -> lastHist).toMap
+      emit(gated(buffered))
+      buffered = Vector.empty
+    }
+
+    private def rowJson(r: Row): String = {
+      val wanted = Seq("timestamp", "stream_id") ++
+        columns.filterNot(Seq("timestamp", "stream_id").contains)
+      wanted
+        .filter(r.schema.fieldNames.contains)
+        .map { n =>
+          val i = r.schema.fieldIndex(n)
+          s"${JsonMini.str(n)}:${JsonMini.value(if (r.isNullAt(i)) null else r.get(i))}"
+        }
+        .mkString("{", ",", "}")
+    }
+
+    /** Fan out per label (a stream in several groups appears under each)
+      * and write one Live frame per label.
+      */
+    private def emit(rows: Seq[Row]): Unit =
+      rows
+        .flatMap(r => streamLabels(sid(r)).map(_ -> r))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .foreach { case (label, rs) =>
+          val body =
+            s"""{"collection":${JsonMini.str(coll)},"label":${JsonMini.str(label)},""" +
+              s""""rows":${rs.map { case (_, r) => rowJson(r) }.mkString("[", ",", "]")}}"""
+          val frame = Wire.pack(Wire.Live, body.getBytes("UTF-8"))
+          // write failures propagate to the bus, which drops this subscriber
+          out.synchronized { out.write(frame); out.flush() }
+        }
+  }
 }
 
 /** Tiny JSON helpers — enough for the protocol surface, no dependencies.
   * Parsing accepts the request vocabulary above (objects, arrays, strings,
-  * numbers, booleans); numbers surface as Double (callers convert).
+  * numbers, booleans). Integral numbers (no '.', no exponent) surface as
+  * Long — epoch-nanosecond timestamps and wide ids above 2^53 survive
+  * exactly, like the reference's pickle ints; fractional numbers surface
+  * as Double. Convert with `asLong`.
   */
 private[serve] object JsonMini {
+
+  /** Integral JSON numbers parse as Long, fractional as Double. */
+  def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case d: Double => d.toLong
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
 
   def str(s: String): String =
     "\"" + s.flatMap {
@@ -285,10 +455,13 @@ private[serve] object JsonMini {
       i += 1
       sb.toString
     }
-    private def number(): Double = {
+    private def number(): Any = {
       val start = i
       while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
-      s.substring(start, i).toDouble
+      val lit = s.substring(start, i)
+      // integral literals stay exact (no double round-trip above 2^53)
+      if (lit.exists(c => c == '.' || c == 'e' || c == 'E')) lit.toDouble
+      else lit.toLong
     }
   }
 }

@@ -65,6 +65,11 @@ object FilePoller {
       // X3: (collection name, bus) — a marker is published after each
       // batch commits, carrying the batch's max timestamp
       markers: Option[(String, Markers.MarkerBus)] = None,
+      // NNTSC_LIVE over the wire: committed rows are collected and
+      // published as a LiveBatch BEFORE the push marker (the reference's
+      // insert → export_live → export_push order); WireServer relays them
+      // to subscribed sockets
+      liveBus: Option[(String, Markers.LiveBus)] = None,
       // live fan-out: receives the normalized, id-resolved rows that were
       // just committed (exporter.export_live analog)
       onLive: DataFrame => Unit = _ => ()): StreamingQuery =
@@ -80,6 +85,13 @@ object FilePoller {
         val written = IngestStream.ingestBatch(
           decode(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
         onLive(written)
+        liveBus.foreach { case (collection, bus) =>
+          // collected on the driver: foreachBatch frames die with their
+          // batch, and the export fan-out is driver-side by construction
+          // (one socket per client) — same shape as the reference exporter
+          val rows = written.collect().toSeq
+          if (rows.nonEmpty) bus.publish(Markers.LiveBatch(collection, rows))
+        }
         markers.foreach { case (collection, bus) =>
           val mx = written.agg(max("timestamp")).collect()(0)
           if (!mx.isNullAt(0))

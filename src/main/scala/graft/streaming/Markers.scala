@@ -1,33 +1,67 @@
 package graft.streaming
 
-/** X3 PUSH markers (/root/reference/libnntsc/exporter.py:1304-1349): after
-  * a batch commits, the ingest announces `(collection, timestamp)` —
-  * "all data with timestamp <= this has been delivered for this
-  * collection". Subscribers use the marker to know a batch boundary has
-  * passed (the reference's NNTSC_PUSH message).
+/** X3 PUSH markers and live-row fan-out
+  * (/root/reference/libnntsc/exporter.py:1304-1349, 1408-1489): after a
+  * batch commits, the ingest announces `(collection, timestamp)` — "all
+  * data with timestamp <= this has been delivered for this collection" —
+  * and the committed rows themselves flow to live subscribers (the
+  * reference's NNTSC_PUSH and NNTSC_LIVE messages).
   */
 object Markers {
 
   final case class Marker(collection: String, timestamp: Long, epoch: Long)
 
-  /** In-process pub/sub bus. Like the reference exporter, a marker is only
-    * delivered to subscribers of its collection (exporter.py:1318-1322);
-    * with no subscribers it is dropped.
+  /** One committed batch's rows for a collection (NNTSC_LIVE payload).
+    * Rows are already collected — foreachBatch frames die with their batch,
+    * so the publisher materializes before handing off (see the
+    * execution-pitfalls note); the exporter is driver-side by construction,
+    * exactly like the reference's.
     */
-  final class MarkerBus {
+  final case class LiveBatch(collection: String, rows: Seq[org.apache.spark.sql.Row])
+
+  /** Subscription handle: `close()` detaches the callback. Long-running
+    * servers MUST close handles when a client disconnects — otherwise every
+    * dead connection leaks a callback (plus a swallowed socket write per
+    * publish).
+    */
+  final class Handle private[Markers] (
+      list: java.util.concurrent.CopyOnWriteArrayList[AnyRef],
+      f: AnyRef) {
+    def close(): Unit = list.remove(f)
+  }
+
+  /** In-process pub/sub bus keyed by collection. Like the reference
+    * exporter, a message is only delivered to subscribers of its collection
+    * (exporter.py:1318-1322); with no subscribers it is dropped. A callback
+    * that THROWS during publish is auto-unsubscribed — a failed socket
+    * write means the client is gone, and the reference likewise drops dead
+    * clients (exporter.py:560-576).
+    */
+  sealed class Bus[T] {
     private val subs = new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.concurrent.CopyOnWriteArrayList[Marker => Unit]]()
+      String, java.util.concurrent.CopyOnWriteArrayList[AnyRef]]()
 
-    def subscribe(collection: String)(f: Marker => Unit): Unit =
-      subs
-        .computeIfAbsent(
-          collection,
-          _ => new java.util.concurrent.CopyOnWriteArrayList[Marker => Unit]())
-        .add(f)
-
-    def publish(m: Marker): Unit = {
-      val l = subs.get(m.collection)
-      if (l != null) l.forEach(f => f(m))
+    def subscribe(collection: String)(f: T => Unit): Handle = {
+      val list = subs.computeIfAbsent(
+        collection, _ => new java.util.concurrent.CopyOnWriteArrayList[AnyRef]())
+      list.add(f)
+      new Handle(list, f)
     }
+
+    protected def publishTo(collection: String, m: T): Unit = {
+      val l = subs.get(collection)
+      if (l != null) l.forEach { f =>
+        try f.asInstanceOf[T => Unit](m)
+        catch { case _: Throwable => l.remove(f) } // dead subscriber: detach
+      }
+    }
+  }
+
+  final class MarkerBus extends Bus[Marker] {
+    def publish(m: Marker): Unit = publishTo(m.collection, m)
+  }
+
+  final class LiveBus extends Bus[LiveBatch] {
+    def publish(b: LiveBatch): Unit = publishTo(b.collection, b)
   }
 }

@@ -121,6 +121,140 @@ class WireServerSpec extends SparkSpec {
     } finally { sock.close(); server.close() }
   }
 
+  test("subscribe: history rows, then live data frames, then PUSH — one socket") {
+    import graft.streaming.Markers
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+    val mbus = new Markers.MarkerBus
+    val lbus = new Markers.LiveBus
+    val server = new WireServer(svc, markers = Some(mbus), live = Some(lbus))
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      sock.setSoTimeout(30000)
+      out.write(Wire.pack(0,
+        """{"request":"subscribe","collection":"amp-external",
+          |"labels":{"a":[0,1,2]},"columns":["value"],
+          |"start":1704067200,"stop":0}""".stripMargin.getBytes("UTF-8")))
+      out.flush()
+
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+      }
+
+      // 1. history frames, then the ack
+      var m = readFrame()
+      var sawHistory = false
+      while (m.msgType == Wire.History) { sawHistory = true; m = readFrame() }
+      assert(m.msgType === Wire.Subscribe)
+      assert(sawHistory)
+
+      // 2. a batch commits → its rows arrive as a live data frame,
+      //    filtered to the subscribed streams (99 is not subscribed) and
+      //    restricted to the subscribed columns
+      val schema = StructType(Seq(
+        StructField("stream_id", LongType), StructField("timestamp", LongType),
+        StructField("value", DoubleType), StructField("secret", DoubleType)))
+      def row(sid: Long, ts: Long, v: Double) =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](sid, ts, v, 1.23), schema)
+      lbus.publish(Markers.LiveBatch("amp-external",
+        Seq(row(1L, 1906745601L, 7.5), row(99L, 1906745602L, 8.5))))
+      val liveFrame = readFrame()
+      assert(liveFrame.msgType === Wire.Live)
+      val liveJson = new String(liveFrame.body, "UTF-8")
+      assert(liveJson.contains(""""label":"a""""))
+      assert(liveJson.contains(""""stream_id":1""") && liveJson.contains("7.5"))
+      assert(!liveJson.contains(""""stream_id":99""") && !liveJson.contains("8.5"))
+      assert(!liveJson.contains("secret")) // column filter (P6/X2)
+
+      // 3. then the batch's PUSH marker on the same connection
+      mbus.publish(Markers.Marker("amp-external", 1906745601L, 9L))
+      val push = readFrame()
+      assert(push.msgType === Wire.Push)
+      assert(new String(push.body, "UTF-8").contains("1906745601"))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("live relay: rows during backfill buffer and release across the seam") {
+    import graft.serve.{WireServer => _}
+    import graft.streaming.Markers
+    // Unit-level via the bus: subscribe with a history window covering the
+    // corpus; publish a batch BEFORE the server finishes backfill is racy
+    // over a socket, so instead verify the seam rule end to end: a live row
+    // with a timestamp inside the history range (<= lasthist) must NOT be
+    // re-delivered after backfill, one beyond it must.
+    import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+    val lbus = new Markers.LiveBus
+    val server = new WireServer(svc, live = Some(lbus))
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      sock.setSoTimeout(30000)
+      out.write(Wire.pack(0,
+        """{"request":"subscribe","collection":"amp-external",
+          |"labels":{"a":[0]},"columns":["value"],
+          |"start":1704067200,"stop":0}""".stripMargin.getBytes("UTF-8")))
+      out.flush()
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+      }
+      var m = readFrame()
+      var lastHist = Long.MinValue
+      while (m.msgType == Wire.History) {
+        val body = new String(Wire.decompress(m.body), "UTF-8")
+        """"timestamp":(\d+)""".r.findAllMatchIn(body)
+          .foreach(mm => lastHist = math.max(lastHist, mm.group(1).toLong))
+        m = readFrame()
+      }
+      assert(m.msgType === Wire.Subscribe)
+      assert(lastHist > 0)
+
+      val schema = StructType(Seq(
+        StructField("stream_id", LongType), StructField("timestamp", LongType),
+        StructField("value", DoubleType)))
+      def row(ts: Long) =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](0L, ts, 1.0), schema)
+      // one stale row (== lastHist, already served in history) and one new:
+      // only the new one comes through
+      lbus.publish(Markers.LiveBatch("amp-external", Seq(row(lastHist))))
+      lbus.publish(Markers.LiveBatch("amp-external", Seq(row(lastHist + 10))))
+      val live = readFrame()
+      assert(live.msgType === Wire.Live)
+      val json = new String(live.body, "UTF-8")
+      assert(json.contains(s""""timestamp":${lastHist + 10}"""))
+      assert(!json.contains(s""""timestamp":$lastHist,"""))
+    } finally { sock.close(); server.close() }
+  }
+
+  test("oversized or bad-version frames drop the connection, no allocation") {
+    val server = new WireServer(svc)
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      sock.setSoTimeout(30000)
+      // header claiming a ~2GB body: server must close without reading it
+      val buf = java.nio.ByteBuffer.allocate(Wire.HeaderLen)
+      buf.put(Wire.Version.toByte).putShort(0).putInt(Int.MaxValue - 7)
+      out.write(buf.array()); out.flush()
+      assert(in.read() === -1) // EOF: connection dropped
+    } finally { sock.close(); server.close() }
+  }
+
   test("matrix request returns one summary row per label") {
     val server = new WireServer(svc)
     try {
