@@ -63,6 +63,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_bins")(spark, "/root/testdata/sf0.001")
 
+  /** IVF quantizer cache: trained once per data dir (training is fully
+    * deterministic — seeded init + fixed Lloyd iterations), reused by the
+    * query AND inlined into the q_ann_ivf oracle SQL at dump time (Verify
+    * runs every query before dumping `oracleSql`, same JVM). The "last
+    * trained" pointer is what the oracle reads — Verify runs one dir.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  @volatile private var ivfLastTrained: Option[Seq[Seq[Double]]] = None
+
+  private def ivfCentroidsFor(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val c = ivfCache.computeIfAbsent(
+      dir,
+      d => Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding"))
+    ivfLastTrained = Some(c)
+    c
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -338,11 +356,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- IVF ANN (rows-only; recall 0.83 @ 25% scan vs brute force in
-    //      SimilaritySpec)
+    // ---- IVF ANN (hash-checked: the deterministically-trained centroid
+    //      matrix is inlined into the oracle SQL; recall 0.83 @ 25% scan
+    //      vs brute force in SimilaritySpec)
     "q_ann_ivf" -> ((s, dir) => {
-      Similarity.ivfTopK(
-          Tables.embeddings(s, dir), "vec_id", "embedding", (0L until 10L), 5)
+      Similarity.ivfTopKWith(
+          Tables.embeddings(s, dir), ivfCentroidsFor(s, dir),
+          "vec_id", "embedding", (0L until 10L), 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -565,6 +585,70 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Oracles
   // ---------------------------------------------------------------------
+
+  /** q_ann_ivf oracle: reproduces the NearestCells assignment + probing in
+    * DuckDB against the trained centroid matrix inlined as literals (the
+    * q_ann_lsh planeWeights pattern — training itself stays Spark-side,
+    * everything after it is hash-checked). Score = 2·v·c − |c|² with the
+    * dot product summed in index order (list_sum over list_transform walks
+    * the list left to right, same as the expression's loop); |c|² is the
+    * same Scala-side fold NearestCells precomputes, inlined as a literal;
+    * ties rank toward the HIGHER cell index, matching NearestCells.
+    */
+  private def ivfOracle: String = ivfLastTrained match {
+    case None =>
+      // oracle dumped without the query having run (not the Verify flow,
+      // which always runs queries first): typed empty result, never stale
+      // centroids
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |       CAST(NULL AS BIGINT) AS neighbor_id,
+        |       CAST(NULL AS INTEGER) AS rank,
+        |       CAST(NULL AS DOUBLE) AS sim
+        |WHERE 1 = 0""".stripMargin
+    case Some(cents) =>
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        val lst = c.map(java.lang.Double.toString).mkString("[", ",", "]")
+        val nrm = java.lang.Double.toString(c.map(x => x * x).sum)
+        s"($i, $lst, $nrm)"
+      }.mkString(",\n")
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(cell, w, nrm)
+         |), sc AS (
+         |  SELECT e.vec_id, c.cell,
+         |         2 * list_sum(list_transform(range(1, len(e.embedding)+1),
+         |               d -> CAST(e.embedding[d] AS DOUBLE) * c.w[d])) - c.nrm AS s
+         |  FROM embeddings e, cent c
+         |), rk AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+         |  FROM sc
+         |), corpus AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS vb, r.cell AS cb
+         |  FROM embeddings e JOIN rk r ON e.vec_id = r.vec_id AND r.rn = 1
+         |), q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS va, r.cell AS bkt
+         |  FROM embeddings e JOIN rk r ON e.vec_id = r.vec_id AND r.rn <= 4
+         |  WHERE e.vec_id < 10
+         |), s2 AS (
+         |  SELECT query_id, neighbor_id, $cos AS sim
+         |  FROM q JOIN corpus ON q.bkt = corpus.cb
+         |  WHERE neighbor_id != query_id
+         |), r2 AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM s2
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -974,6 +1058,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_ann_ivf" -> ivfOracle,
 
     "q_embed_dup_lsh" -> {
       val cos =

@@ -143,8 +143,25 @@ object Similarity {
       cells: Int = 16,
       nprobe: Int = 4,
       lloydIters: Int = 2,
-      trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      trainFraction: Double = 1.0): DataFrame =
+    ivfTopKWith(
+      emb,
+      ivfCentroids(emb, idCol, vecCol, cells, lloydIters, trainFraction),
+      idCol, vecCol, queryIds, k, nprobe)
+
+  /** Train the IVF coarse quantizer: deterministic init (first `cells`
+    * vectors in id order) + `lloydIters` distributed Lloyd refinements.
+    * Fully deterministic given the table — the trained matrix can be
+    * inlined verbatim into an oracle query (the planeWeights trick), which
+    * is how q_ann_ivf is hash-checked against DuckDB.
+    */
+  def ivfCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int = 16,
+      lloydIters: Int = 2,
+      trainFraction: Double = 1.0): Seq[Seq[Double]] = {
     import graft.functions.NearestCells
 
     // deterministic init: the first `cells` vectors by id
@@ -179,6 +196,23 @@ object Similarity {
         .toMap
       centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
     }
+    centroids
+  }
+
+  /** IVF search against an already-trained centroid matrix. */
+  def ivfTopKWith(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NearestCells
+
+    def nearestCell(vec: Column): Column =
+      NearestCells.nearestCells(vec, centroids, 1).getItem(0)
 
     val assigned = emb.withColumn("__cell", nearestCell(col(vecCol)))
     val corpus = assigned.select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
