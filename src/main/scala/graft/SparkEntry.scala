@@ -317,10 +317,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- MinHash+LSH near-dup pairs (rows-only check: xxhash64 has no
-    //      DuckDB equivalent; correctness covered by DedupSpec recall test)
+    // ---- MinHash+LSH near-dup pairs (hash-checked via the md5 hash
+    //      family — DuckDB recomputes every hash; xxhash64 stays the
+    //      production default in Dedup.minhashLshPairs, and DedupSpec
+    //      bridges the two families' pair sets)
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.minhashLshPairsMd5(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
     }),
 
@@ -942,6 +944,57 @@ object SparkEntry {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      // md5-family MinHash (see MinHashSignatureMd5): base = lower-60-bit
+      // md5 of the shingle, plane hash = (base * A_p) mod 2^60 (HUGEINT
+      // product — 2^60 divides 2^64, so it equals Java's wrap-multiply
+      // masked to 60 bits), signature = per-plane min, band key = the
+      // band's 4 minhashes joined with ','.
+      val mults = graft.functions.MinHashSignatureMd5.multipliers(64)
+      val planeValues = mults.zipWithIndex
+        .map { case (a, p) => s"($p, $a)" }
+        .mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
+         |  FROM t WHERE len(w) >= 3
+         |), e AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS base
+         |  FROM sh
+         |), planes AS (
+         |  SELECT * FROM (VALUES
+         |$planeValues
+         |  ) AS pl(p, a)
+         |), ph AS (
+         |  SELECT doc_id, p,
+         |         min(CAST((base::HUGEINT * a) % 1152921504606846976 AS BIGINT)) AS mh
+         |  FROM e, planes GROUP BY doc_id, p
+         |), sig AS (
+         |  SELECT doc_id, list(mh ORDER BY p) AS sg FROM ph GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b,
+         |         array_to_string(sg[b*4+1:b*4+4], ',') AS bh
+         |  FROM sig, (SELECT unnest(range(0, 16)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
+         |  WHERE l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT id_a, id_b,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |                i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 64 AS est_jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.id_a
+         |  JOIN sig sb ON sb.doc_id = cand.id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_simhash" ->
       """WITH tok AS (

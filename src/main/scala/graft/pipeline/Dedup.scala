@@ -172,6 +172,60 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** md5-family MinHash + LSH near-dup pairs — the oracle-parity twin of
+    * [[minhashLshPairs]]: identical pipeline shape (map-only signatures →
+    * band-bucket join → signature re-join), but every hash derives from
+    * md5, so a DuckDB oracle can recompute the whole thing bit-for-bit
+    * (see MinHashSignatureMd5 for the arithmetic both engines share).
+    * Band buckets are the band's minhash values joined as a string —
+    * no extra hash needed for the equality join, and trivially portable.
+    * xxhash64 remains the production default; DedupSpec bridges the two
+    * families by comparing their pair sets on the corpus.
+    */
+  def minhashLshPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("signature"))
+      .filter(size(col("signature")) > 0) // < n tokens ⇒ no signature
+      .persist()
+    sigs.count() // eager: band fan-out must read cached signatures
+    val banded = sigs.select(
+      col(idCol).as("__id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))
+        .as(Seq("__band", "__bh")))
+    val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    candidates
+      .join(broadcast(sa), Seq("id_a"))
+      .join(broadcast(sb), Seq("id_b"))
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("__sa")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** 60-bit SimHash fingerprint from md5-derived token hashes (md5 keeps
     * the hash reproducible in any engine — the DuckDB oracle recomputes
     * it). Bit j of the fingerprint is the sign of

@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("md5-family minhash bridges the xxhash64 production family") {
+    // the two hash families estimate the same Jaccard; on the real corpus
+    // their LSH pair sets coincide (deterministic — both pipelines are
+    // pure functions of the fixed corpus), and both recover the known dup
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(300)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .union(corpus)
+    val xx = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md.contains((1L, 2L)))
+    // families agree on the corpus (any drift would be a borderline pair;
+    // require symmetric-difference empty so regressions surface loudly)
+    assert(md === xx, s"families disagree: only-md5=${md -- xx} only-xx=${xx -- md}")
+  }
+
   test("simhash: identical docs hash identically; near dups are close") {
     val fps = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

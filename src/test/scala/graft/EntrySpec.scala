@@ -13,9 +13,9 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the intentional rows-only set (xxhash has no DuckDB twin; sketch
-    // internals differ across engines by construction)
-    assert(rowsOnly === Set("q_dedup_minhash", "q_sketches"))
+    // the intentional rows-only set (sketch internals differ across
+    // engines by construction; everything else is hash-checked)
+    assert(rowsOnly === Set("q_sketches"))
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
