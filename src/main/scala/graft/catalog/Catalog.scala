@@ -36,6 +36,18 @@ object Catalog {
   def registerStreams(
       existing: DataFrame,
       incoming: DataFrame,
+      spec: CollectionSpec): DataFrame =
+    existing.unionByName(newStreams(existing, incoming, spec))
+
+  /** Just the genuinely-new streams of a batch, with ids assigned above the
+    * existing maximum — the incremental-dimension-append building block:
+    * the ingest hot path appends ONLY these rows (O(|new|) per batch)
+    * instead of rewriting the dimension (O(|dimension|), and it collected
+    * the whole table to the driver first).
+    */
+  def newStreams(
+      existing: DataFrame,
+      incoming: DataFrame,
       spec: CollectionSpec): DataFrame = {
     val keys = spec.uniqueColumns
     val fresh = incoming
@@ -47,11 +59,10 @@ object Catalog {
       .collect()(0).getAs[Number]("m").intValue()
     // distributed deterministic allocation (no single-partition window —
     // first backfill may register millions of streams in one batch)
-    val assigned = Ids
+    Ids
       .assignSequential(fresh, keys, maxId.toLong, "stream_id")
       .withColumn("stream_id", col("stream_id").cast("int"))
       .select(existing.columns.map(col): _*)
-    existing.unionByName(assigned)
   }
 
   /** Resolve stream ids for result rows by their property tuple (the

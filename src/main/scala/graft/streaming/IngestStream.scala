@@ -14,7 +14,8 @@ import graft.schema.CollectionSpec
   * Shape: source stream → per-batch (foreachBatch):
   *   1. resolve/register streams (X6, database.py:731-787): anti-join the
   *      batch's property tuples against the streams dimension, allocate ids
-  *      for new tuples, rewrite the (broadcast-size) dimension;
+  *      for new tuples, APPEND only those rows (O(|new|) per batch;
+  *      `compactStreams` periodically folds the append files);
   *   2. normalize rows (the per-collection A15-A17 reductions, applied by
   *      the caller's `normalize` function);
   *   3. append to the partitioned data table.
@@ -133,23 +134,36 @@ object IngestStream {
     * by parquet readers, so a plain name with a `__` prefix convention). */
   val EpochCol = "__epoch"
 
-  private def writeStreams(streams: DataFrame, path: String): Unit = {
-    // Small dimension: collect → rewrite atomically via temp dir rename.
-    // KNOWN LIMIT: this is driver-side and single-threaded by design — the
-    // dimension is broadcast-size (thousands of streams). A first backfill
-    // that registers millions of streams in one batch should go through a
-    // batch job with Catalog.registerStreams + a distributed write instead.
-    val spark = streams.sparkSession
-    val rows = streams.collect().toSeq
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), streams.schema)
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(path)
-    if (dst.exists) {
-      dst.listFiles.foreach(_.delete()); dst.delete()
+  /** Append ONLY a batch's new streams to the dimension — O(|new|) per
+    * batch, fully distributed (no driver collect: the write appends new
+    * files without touching the existing ones, so reading `path` inside
+    * the same plan is safe — the old full-rewrite had to collect first
+    * precisely because it overwrote the files it was reading).
+    *
+    * Replay-safe by convergence: a replayed batch anti-joins against the
+    * already-appended tuples and produces nothing. One small file per
+    * stream-registering batch accumulates; `compactStreams` folds them.
+    */
+  private def appendStreams(fresh: DataFrame, path: String): Unit =
+    if (!fresh.isEmpty)
+      fresh.coalesce(1).write.mode("append").parquet(path)
+
+  /** Fold the dimension's per-batch append files into one — periodic
+    * maintenance (run alongside `compactToLayout`), collect-free:
+    * read → single-file tmp write → directory swap. Single-writer, like
+    * the other compactors.
+    */
+  def compactStreams(spark: SparkSession, path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists && dir.listFiles != null &&
+        dir.listFiles.count(_.getName.endsWith(".parquet")) > 1) {
+      val tmp = path + ".tmp"
+      spark.read.parquet(path).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      dir.listFiles.foreach(_.delete()); dir.delete()
+      if (!new java.io.File(tmp).renameTo(dir))
+        throw new java.io.IOException(s"compactStreams: rename $tmp -> $path failed")
     }
-    new java.io.File(tmp).renameTo(dst)
   }
 
   /** Start the ingest query. `raw` is a streaming DataFrame of decoded
@@ -198,9 +212,11 @@ object IngestStream {
       epoch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val existing = readStreams(spark, streamsPath, spec)
-    val updated = Catalog.registerStreams(existing, batch, spec)
-    writeStreams(updated, streamsPath)
-    val streams = spark.read.parquet(streamsPath)
+    // incremental registration: append only the anti-join's fresh rows
+    // (O(|new|)); the full-dimension collect+rewrite is gone from the hot
+    // path (it cost O(|dimension|) per micro-batch)
+    appendStreams(Catalog.newStreams(existing, batch, spec), streamsPath)
+    val streams = readStreams(spark, streamsPath, spec)
     val resolved = Catalog.resolveStreamIds(normalize(batch), streams, spec)
     val dataCols = spec.dataSchema.fieldNames.filter(resolved.columns.contains)
     val out = resolved.select(dataCols.map(col): _*)

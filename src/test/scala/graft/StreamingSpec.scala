@@ -75,6 +75,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/streams").count() === 3)
     // a replayed epoch resolves to the same stream ids
     assert(data.select("stream_id").distinct().count() === 3)
+
+    // the dimension grew by APPEND (one file per registering batch, none
+    // for the no-new-streams replay), not by per-batch rewrite …
+    val partFiles = new java.io.File(s"$dir/streams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(partFiles === 2, s"expected 2 append files, got $partFiles")
+    // … and compaction folds them without changing content
+    val before = spark.read.parquet(s"$dir/streams")
+      .collect().map(_.toSeq).toSet
+    IngestStream.compactStreams(spark, s"$dir/streams")
+    val afterFiles = new java.io.File(s"$dir/streams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(afterFiles === 1)
+    val after = spark.read.parquet(s"$dir/streams")
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // ingest keeps working against the compacted dimension
+    IngestStream.ingestBatch(
+      Seq(RawResult("s3", "d1", "ping", 200L, 8L)).toDF(),
+      spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
+    assert(spark.read.parquet(s"$dir/streams").count() === 4)
+    assert(spark.read.parquet(s"$dir/streams")
+      .select("stream_id").distinct().count() === 4)
   }
 
   test("rollup stream: windowed partials with watermark (X4)") {
