@@ -89,37 +89,91 @@ object IngestStream {
     * `readCombined` and never see the seam.
     *
     * Epochs strictly BELOW `settledBelow` compact (recent epochs stay
-    * replayable for the streaming query's retry window). Single-writer,
-    * like the rollup compactor; crash between append and delete duplicates
-    * the compacted epochs — a transactional table format closes that at
-    * production scale, the fold itself is what this encodes.
+    * replayable for the streaming query's retry window). Single-writer.
+    *
+    * CRASH-ATOMIC via a commit marker: each run writes its rows under
+    * `layoutPath/cset=<settledBelow>/…` and then atomically creates
+    * `_committed_cset_<settledBelow>` — readers only see committed csets,
+    * and take `max(committed cset)` as the landing-zone visibility cutoff
+    * (epochs below it are ignored even if not yet deleted). So a crash
+    * before the marker leaves an invisible orphan dir (deleted on the next
+    * run), a crash after it leaves already-hidden epoch dirs (GC'd on the
+    * next run); at no point can a reader double-count. `onStep` is the
+    * crash-injection seam for the spec.
     */
   def compactToLayout(
       spark: SparkSession,
       dataPath: String,
       layoutPath: String,
       settledBelow: Long,
-      buckets: Int = graft.storage.Layout.DefaultBuckets): Unit = {
-    val settled = spark.read.parquet(dataPath)
-      .filter(col(EpochCol) < settledBelow) // partition-pruned to those dirs
-    if (!settled.isEmpty) {
-      graft.storage.Layout.writeData(settled.drop(EpochCol), layoutPath, buckets)
-      new java.io.File(dataPath)
-        .listFiles()
-        .filter { f =>
-          f.isDirectory && f.getName.startsWith(s"$EpochCol=") &&
-            f.getName.stripPrefix(s"$EpochCol=").toLong < settledBelow
-        }
+      buckets: Int = graft.storage.Layout.DefaultBuckets,
+      onStep: String => Unit = _ => ()): Unit = {
+    val layoutDir = new java.io.File(layoutPath)
+    // recovery: a cset dir without its marker is a dead previous attempt
+    if (layoutDir.exists && layoutDir.listFiles != null) {
+      val committed = committedCsets(layoutPath).toSet
+      layoutDir.listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("cset="))
+        .filter(f => !committed(f.getName.stripPrefix("cset=").toLong))
         .foreach(deleteRecursively)
     }
+    val already = committedCsets(layoutPath).lastOption.getOrElse(0L)
+    if (settledBelow > already) {
+      val settled = spark.read.parquet(dataPath) // partition-pruned below
+        .filter(col(EpochCol) >= already && col(EpochCol) < settledBelow)
+      if (!settled.isEmpty) {
+        graft.storage.Layout.writeData(
+          settled.drop(EpochCol), s"$layoutPath/cset=$settledBelow", buckets)
+        onStep("layout-written")
+        // COMMIT POINT: atomic file creation flips visibility
+        if (!new java.io.File(layoutDir, s"_committed_cset_$settledBelow").createNewFile())
+          throw new java.io.IOException(s"cset marker $settledBelow already exists")
+        onStep("committed")
+      }
+    }
+    // GC — everything below the committed cutoff is invisible already;
+    // dying here just defers cleanup to the next run
+    val cutoff = committedCsets(layoutPath).lastOption.getOrElse(0L)
+    val dataDir = new java.io.File(dataPath)
+    if (dataDir.exists && dataDir.listFiles != null)
+      dataDir.listFiles
+        .filter { f =>
+          f.isDirectory && f.getName.startsWith(s"$EpochCol=") &&
+            f.getName.stripPrefix(s"$EpochCol=").toLong < cutoff
+        }
+        .foreach(deleteRecursively)
   }
 
-  /** The serving view: compacted Layout history + not-yet-settled epochs. */
+  /** Committed compaction-set ids, ascending (the `_committed_cset_<N>`
+    * markers in the layout dir).
+    */
+  private[streaming] def committedCsets(layoutPath: String): Seq[Long] = {
+    val d = new java.io.File(layoutPath)
+    if (!d.exists || d.listFiles == null) Nil
+    else d.listFiles.toSeq
+      .map(_.getName)
+      .filter(_.startsWith("_committed_cset_"))
+      .map(_.stripPrefix("_committed_cset_").toLong)
+      .sorted
+  }
+
+  /** The serving view: committed Layout csets + epochs at or above the
+    * visibility cutoff (= max committed cset). Epoch dirs below the cutoff
+    * may still exist briefly (GC pending) — they are filtered out, never
+    * double-counted.
+    */
   def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
-    val recent = readData(spark, dataPath)
-    if (!new java.io.File(layoutPath).exists) recent
+    val committed = committedCsets(layoutPath)
+    val cutoff = committed.lastOption.getOrElse(0L)
+    val raw = spark.read.parquet(dataPath)
+    val recent =
+      if (raw.columns.contains(EpochCol))
+        raw.filter(col(EpochCol) >= cutoff).drop(EpochCol)
+      else raw
+    if (committed.isEmpty) recent
     else {
-      val settled = graft.storage.Layout.readData(spark, layoutPath)
+      val settled = spark.read
+        .parquet(committed.map(c => s"$layoutPath/cset=$c"): _*)
         .drop("sbucket", "day")
       settled.unionByName(recent, allowMissingColumns = true)
     }

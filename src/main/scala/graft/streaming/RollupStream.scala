@@ -80,20 +80,53 @@ object RollupStream {
       .parquet(path)
 
   /** Fold accumulated per-epoch partials back to ONE row per (stream, bin)
-    * and atomically swap the tier — the reference's trailing-window CQ
-    * recompute (influx.py:183-195) as a tidy periodic batch job. Readers
-    * (`Rollup.merge`) are agnostic: the merge is associative, so querying
-    * an uncompacted tier gives identical results; compaction only buys
-    * back file count and scan width.
+    * — the reference's trailing-window CQ recompute (influx.py:183-195) as
+    * a tidy periodic batch job. Readers (`Rollup.merge`) are agnostic: the
+    * merge is associative, so querying an uncompacted tier gives identical
+    * results; compaction only buys back file count and scan width.
     *
     * Single-writer contract: run between ingest triggers (the reference's
-    * CQs are likewise serialized per tier). The two-rename swap is not
-    * crash-atomic on plain files — a transactional table format provides
-    * that at production scale; the fold itself is what this encodes.
+    * CQs are likewise serialized per tier).
+    *
+    * CRASH-ATOMIC via a commit marker (the old two-rename swap could die
+    * mid-swap and leave a mixed tier): fold `k` writes its single-row-per-
+    * bin partials under `__epoch=-k`, covering all source epochs below
+    * `boundary` plus the previous fold, then atomically creates
+    * `_fold_<k>_<boundary>`. `readTier` takes the HIGHEST committed fold
+    * and source epochs >= its boundary; an uncommitted fold dir is
+    * invisible (deleted on the next run), and after the marker the covered
+    * sources are already hidden, so GC is deferrable. `onStep` is the
+    * crash-injection seam for the spec.
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val df = IngestStream.readData(spark, path)
-    val folded = df
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.exists || dir.listFiles == null) return
+    val committed = committedFolds(path)
+    val committedKs = committed.map(_._1).toSet
+    // recovery: fold dirs without markers are dead attempts
+    dir.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}=-"))
+      .filter(f => !committedKs(-f.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong))
+      .foreach(deleteRec)
+    val (prevK, prevBoundary) = committed.lastOption.getOrElse((0L, 0L))
+    val sourceEpochs = dir.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}="))
+      .map(_.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong)
+      .filter(e => e >= prevBoundary && e >= 0)
+    if (sourceEpochs.isEmpty) return
+    val boundary = sourceEpochs.max + 1
+    val k = prevK + 1
+
+    val df = spark.read.parquet(path)
+    val input = df.filter(
+      col(IngestStream.EpochCol) === -prevK && lit(prevK > 0) ||
+        (col(IngestStream.EpochCol) >= prevBoundary &&
+          col(IngestStream.EpochCol) >= 0 &&
+          col(IngestStream.EpochCol) < boundary))
+    val folded = input
       .groupBy("stream_id", "binstart")
       .agg(
         sum(col("cnt")).as("cnt"),
@@ -102,17 +135,62 @@ object RollupStream {
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"),
         max(col("ts")).as("ts"))
-      .withColumn(IngestStream.EpochCol, lit(0L))
-    val tmp = path + ".compact"
+      .withColumn(IngestStream.EpochCol, lit(-k))
     folded.write.mode("overwrite")
-      .partitionBy(IngestStream.EpochCol).parquet(tmp)
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(path + ".old")
-    if (bak.exists) { bak.listFiles.foreach(deleteRec); bak.delete() }
-    dst.renameTo(bak)
-    new java.io.File(tmp).renameTo(dst)
-    bak.listFiles.foreach(deleteRec); bak.delete()
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(IngestStream.EpochCol).parquet(path)
+    onStep("fold-written")
+    // COMMIT POINT: atomic marker creation flips visibility
+    if (!new java.io.File(dir, s"_fold_${k}_$boundary").createNewFile())
+      throw new java.io.IOException(s"fold marker $k already exists")
+    onStep("committed")
+    // GC: the superseded fold and the covered sources are invisible now
+    dir.listFiles
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}=") && {
+          val e = f.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong
+          (e < 0 && e != -k) || (e >= 0 && e < boundary)
+        }
+      }
+      .foreach(deleteRec)
+    committed.foreach { case (j, b) =>
+      if (j != k) new java.io.File(dir, s"_fold_${j}_$b").delete()
+    }
   }
+
+  /** Committed (k, boundary) fold markers, ascending by k. */
+  private[streaming] def committedFolds(path: String): Seq[(Long, Long)] = {
+    val d = new java.io.File(path)
+    if (!d.exists || d.listFiles == null) Nil
+    else d.listFiles.toSeq
+      .map(_.getName)
+      .collect { case n if n.startsWith("_fold_") =>
+        val parts = n.stripPrefix("_fold_").split("_")
+        (parts(0).toLong, parts(1).toLong)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Crash-consistent tier read: the highest committed fold plus source
+    * epochs at or above its boundary; uncommitted folds and covered-but-
+    * not-yet-GC'd sources are filtered out. With no fold committed this is
+    * a plain read of the epoch partials.
+    */
+  def readTier(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    committedFolds(path).lastOption match {
+      case None =>
+        // no committed fold: sources only — a fold dir may exist from a
+        // crashed attempt and must NOT be read
+        val df = spark.read.parquet(path)
+        if (df.columns.contains(IngestStream.EpochCol))
+          df.filter(col(IngestStream.EpochCol) >= 0).drop(IngestStream.EpochCol)
+        else df
+      case Some((k, boundary)) =>
+        spark.read.parquet(path)
+          .filter(col(IngestStream.EpochCol) === -k ||
+            col(IngestStream.EpochCol) >= boundary)
+          .drop(IngestStream.EpochCol)
+    }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)

@@ -148,6 +148,89 @@ class StreamingSpec extends SparkSpec {
     assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 3)
   }
 
+  test("compactToLayout crash-atomicity: readers never double-count (X9)") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.ingestBatch(batch("s3", 1704240000L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
+    def total = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count()
+
+    // crash AFTER the layout write, BEFORE the marker: the cset dir exists
+    // on disk but is uncommitted → invisible; epochs still serve
+    intercept[RuntimeException] {
+      IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+        settledBelow = 2L, buckets = 8,
+        onStep = s => if (s == "layout-written") throw new RuntimeException("boom"))
+    }
+    assert(new java.io.File(s"$dir/layout/cset=2").exists) // orphan present
+    assert(total === 3) // ... but never counted twice
+
+    // crash AFTER the marker, BEFORE epoch GC: epochs 0/1 still on disk
+    // but hidden by the cutoff
+    intercept[RuntimeException] {
+      IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+        settledBelow = 2L, buckets = 8,
+        onStep = s => if (s == "committed") throw new RuntimeException("boom"))
+    }
+    assert(new java.io.File(s"$dir/data/__epoch=0").exists) // GC pending
+    assert(total === 3) // cutoff hides them
+
+    // clean re-run: recovery + GC converge to the steady state
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+    assert(!new java.io.File(s"$dir/data/__epoch=0").exists)
+    assert(!new java.io.File(s"$dir/data/__epoch=1").exists)
+    assert(total === 3)
+  }
+
+  test("rollup compact crash-atomicity: readTier never double-counts") {
+    import graft.rollup.Rollup
+    val dir = tmpDir() + "/tier"
+    val b1 = Seq((1L, 30L, 2.0), (1L, 45L, 4.0), (1L, 70L, 10.0))
+      .toDF("stream_id", "timestamp", "value")
+    val b2 = Seq((1L, 50L, 6.0), (2L, 10L, 1.0))
+      .toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(b1, 60, "value", dir, epoch = 0L)
+    RollupStream.appendPartials(b2, 60, "value", dir, epoch = 1L)
+    val expected = Rollup.build(b1.unionByName(b2), 60, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    def got = RollupStream.readTier(spark, dir)
+      .groupBy("stream_id", "binstart").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+
+    // crash after the fold write, before the marker → fold invisible
+    intercept[RuntimeException] {
+      RollupStream.compact(spark, dir,
+        onStep = s => if (s == "fold-written") throw new RuntimeException("boom"))
+    }
+    assert(new java.io.File(s"$dir/__epoch=-1").exists)
+    assert(got === expected)
+
+    // crash after the marker, before GC → sources hidden, fold serves
+    intercept[RuntimeException] {
+      RollupStream.compact(spark, dir,
+        onStep = s => if (s == "committed") throw new RuntimeException("boom"))
+    }
+    assert(new java.io.File(s"$dir/__epoch=0").exists) // GC pending
+    assert(got === expected)
+
+    // clean re-run converges: nothing new to fold, stale dirs vanish on
+    // the next real compaction; a further append + compact still folds
+    RollupStream.appendPartials(b2, 60, "value", dir, epoch = 2L)
+    RollupStream.compact(spark, dir)
+    val expected2 = Rollup.build(b1.unionByName(b2).unionByName(b2), 60, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(got === expected2)
+    assert(!new java.io.File(s"$dir/__epoch=0").exists)
+    assert(!new java.io.File(s"$dir/__epoch=1").exists)
+  }
+
   test("rollup partial appends are epoch-idempotent; compaction preserves results (X4)") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/short"
