@@ -41,9 +41,47 @@ object Bench {
         catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // wire/serve layer: one aggregate served over a real TCP socket
+    // (Service chunking + frequency inference + JSON encode + zlib + Wire
+    // framing), so serialization cost is measured before a client hits it
+    val wire =
+      if (only.nonEmpty && !only("q_wire_aggregate")) Nil
+      else try {
+        val events = graft.core.Tables.tsEvents(spark, sfDir)
+        val svc = new graft.serve.Service(
+          spark,
+          data = Map("amp-external" -> events),
+          streams = Map("amp-external" -> events.select("stream_id").distinct()))
+        val server = new graft.serve.WireServer(svc)
+        val ids = events.select("stream_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val (la, lb) = ids.splitAt(ids.length / 2)
+        val req =
+          s"""{"request":"aggregate","collection":"amp-external",
+             |"labels":{"a":[${la.mkString(",")}],"b":[${lb.mkString(",")}]},
+             |"start":1704067200,"stop":1706745600,"binsize":600,
+             |"aggs":[["value","avg"],["value","max"],["value","count"]]}""".stripMargin
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+        try {
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          out.write(graft.serve.Wire.pack(0, req.getBytes("UTF-8")))
+          out.flush()
+          sock.shutdownOutput()
+          val in = sock.getInputStream
+          val buf = new Array[Byte](1 << 16)
+          var bytes = 0L
+          var n = in.read(buf)
+          while (n >= 0) { bytes += n; n = in.read(buf) } // drain to EOF
+          require(bytes > 0, "empty wire reply")
+        } finally { sock.close(); server.close() }
+        Seq("q_wire_aggregate" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => Nil }
+    val all = results ++ wire
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

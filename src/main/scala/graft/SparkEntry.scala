@@ -313,7 +313,11 @@ object SparkEntry {
 
     // ---- n-gram Jaccard near-dup pairs (inverted-index blocking) ------
     "q_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.2)
+      // hot-shingle safety ON by default: a shingle in >500 docs is
+      // boilerplate, not signal, and contributes O(df^2) candidate pairs
+      // (a single-key shuffle bomb at 100 TB); the oracle mirrors the cut
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.2,
+        maxDf = Some(500L))
         .orderBy("id_a", "id_b")
     }),
 
@@ -931,18 +935,25 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), e0 AS (
+        |  SELECT doc_id, unnest(g) AS s FROM t
+        |), df AS (
+        |  SELECT s FROM e0 GROUP BY s HAVING count(*) <= 500
         |), e AS (
-        |  SELECT doc_id, unnest(g) AS s, len(g) AS n FROM t
+        |  SELECT e0.doc_id, e0.s FROM e0 JOIN df USING (s)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
         |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-        |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
-        |       CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+        |       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
         |FROM p
-        |WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
+        |JOIN sz na ON na.doc_id = p.id_a
+        |JOIN sz nb ON nb.doc_id = p.id_b
+        |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_minhash" -> {

