@@ -37,6 +37,61 @@ object Frequency {
       .cast("long")
   }
 
+  /** Driver-side twin of [[infer]] for rows that are ALREADY streaming
+    * through the driver (the serve path's chunked history iterator): the
+    * reference computes frequency exactly this way, from the first rows of
+    * each label as they stream (exporter.py:484-512). Semantics identical
+    * to the distributed form — repeated timestamps skipped, first 200
+    * diffs, the same decision tree — asserted against [[infer]] in
+    * FrequencySpec. Feeding it more than ~201 rows is wasted work; callers
+    * cap the prefix.
+    *
+    * Saves the serve path a second full scan+aggregation of the history
+    * subplan per request: the rows reach the driver once either way.
+    */
+  def inferLocal(rows: Seq[(Long, Long)], binsize: Long): Long = {
+    // rows: (binstart, timestamp) in timestamp order for ONE label
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last: Option[(Long, Long)] = None
+    val it = rows.iterator
+    while (it.hasNext && diffs.length < 200) {
+      val (b, t) = it.next()
+      last match {
+        case Some((_, lt)) if t == lt => () // repeated timestamp: skip
+        case Some((lb, lt)) =>
+          diffs += ((t - lt, b - lb))
+          last = Some((b, t))
+        case None =>
+          last = Some((b, t))
+      }
+    }
+    val total = diffs.length
+    if (total == 0) return if (binsize != 0) 300L else 0L
+    val perfect = diffs.count(_._2 == binsize)
+    if (perfect.toDouble / total > 0.9) return binsize
+    val byDiff = diffs.groupBy(_._1).view.mapValues(_.length).toMap
+    // strong mode: >=50% share, ties by (count desc, diff asc)
+    val strong = byDiff.toSeq
+      .filter { case (_, c) => c * 2 >= total }
+      .sortBy { case (d, c) => (-c, d) }
+      .headOption.map(_._1)
+    if (strong.isDefined) return strong.get
+    // prominent: smallest diff with >=20% share
+    val prominent = byDiff.toSeq
+      .filter { case (_, c) => c * 5 >= total }
+      .map(_._1).sorted.headOption
+    if (prominent.isDefined) return prominent.get
+    // rounded mean ladder (identical arithmetic to roundFrequency)
+    val mean = diffs.map(_._1).sum.toDouble / total
+    val m = math.floor(mean).toLong
+    def snap(off: Int, step: Int): Long = math.floorDiv(m + off, step) * step
+    if (mean <= 10) 10L
+    else if (mean <= 60) snap(5, 10)
+    else if (mean <= 300) snap(30, 60)
+    else if (mean <= 3600) snap(150, 300)
+    else snap(1800, 3600)
+  }
+
   /** Infer the measurement frequency per label from a binned-history result
     * (columns: nntsclabel, binstart, timestamp). Returns (nntsclabel, freq).
     *

@@ -216,18 +216,43 @@ final class Service(
   /** Chunk a labeled result into HistoryChunks: rows stream out via
     * toLocalIterator (the named-cursor replacement, dbselect.py:64-76),
     * flushed per label every HistoryChunkRows with `more=true` between
-    * flushes; each label's final chunk carries the inferred frequency (W3).
+    * flushes; each chunk carries the label's inferred frequency (W3).
+    *
+    * Frequency is computed DRIVER-SIDE from the rows already streaming
+    * through this iterator (`Frequency.inferLocal` — bit-compatible with
+    * the distributed `infer`, asserted in FrequencySpec), exactly like the
+    * reference's exporter computes it from streamed result rows
+    * (exporter.py:484-512). The round-2 form ran a second full
+    * scan+aggregation of the history subplan per request just for the
+    * frequencies; at 100 TB that doubled every history query. Like the
+    * reference, the frequency freezes once a label's first 200 diffs have
+    * streamed (a chunk is 10k rows, so in practice the first chunk decides).
     */
   private def chunked(result: DataFrame, binsize: Long): Iterator[HistoryChunk] = {
-    val freqs: Map[String, Long] = Frequency
-      .infer(result.select(QueryEngine.LabelCol, "binstart", "timestamp"), binsize)
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
     val labelIdx = result.schema.fieldIndex(QueryEngine.LabelCol)
+    val tsIdx = result.schema.fieldIndex("timestamp")
+    val binIdx = result.schema.fieldIndex("binstart")
     new Iterator[HistoryChunk] {
       private val rows = result.toLocalIterator()
       private var pending: Option[Row] = None
+      // per-label frequency state: prefix of (binstart, timestamp) pairs
+      // (consecutive duplicate timestamps skipped; 201 distinct rows give
+      // the full 200 diffs), frozen into a frequency at first use
+      private var curLabel: String = null
+      private var freqBuf = Vector.empty[(Long, Long)]
+      private var curFreq: Option[Long] = None
+      private def feed(label: String, r: Row): Unit = {
+        if (label != curLabel) {
+          curLabel = label; freqBuf = Vector.empty; curFreq = None
+        }
+        if (freqBuf.length <= 201 && !r.isNullAt(tsIdx)) {
+          val t = r.getLong(tsIdx)
+          if (freqBuf.isEmpty || freqBuf.last._2 != t) {
+            val b = if (r.isNullAt(binIdx)) 0L else r.getLong(binIdx)
+            freqBuf = freqBuf :+ ((b, t))
+          }
+        }
+      }
       def hasNext: Boolean = pending.isDefined || rows.hasNext
       def next(): HistoryChunk = {
         val buf = Vector.newBuilder[Row]
@@ -235,6 +260,7 @@ final class Service(
         val first = pending.getOrElse(rows.next())
         val label = first.getString(labelIdx)
         pending = None
+        feed(label, first)
         buf += first; n += 1
         var more = false
         var break = false
@@ -242,9 +268,14 @@ final class Service(
           val r = rows.next()
           if (r.getString(labelIdx) != label) { pending = Some(r); break = true }
           else if (n >= HistoryChunkRows) { pending = Some(r); more = true; break = true }
-          else { buf += r; n += 1 }
+          else { feed(label, r); buf += r; n += 1 }
         }
-        HistoryChunk(label, buf.result(), more, freqs.getOrElse(label, 0L))
+        val freq = curFreq.getOrElse {
+          val f = Frequency.inferLocal(freqBuf, binsize)
+          curFreq = Some(f)
+          f
+        }
+        HistoryChunk(label, buf.result(), more, freq)
       }
     }
   }

@@ -48,6 +48,26 @@ class FrequencySpec extends SparkSpec {
     assert(out.getAs[Long]("freq") === 300L)
   }
 
+  test("inferLocal (driver-side serve path) matches the distributed infer") {
+    // every decision-tree branch + duplicate-timestamp and cap behavior
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      (0 until 50).map(i => (i * 60L, i * 60L + 5)),           // perfect bins
+      (0 until 50).map(i => (i * 300L, i * 300L + 1)),         // strong mode
+      Seq(0L, 100L, 300L, 600L, 700L, 1000L, 1400L, 1500L, 1900L, 2400L)
+        .map(t => (t, t)),                                     // prominent
+      Seq(150L, 160L, 170L, 180L, 190L, 200L, 210L, 220L, 230L)
+        .scanLeft(0L)(_ + _).map(t => (t, t)),                 // mean ladder
+      Seq((0L, 0L)),                                           // no diffs
+      Seq((0L, 0L), (0L, 0L), (60L, 60L), (60L, 60L), (120L, 120L)), // dups
+      (0 until 400).map(i => (i * 60L, i * 60L + 7)))          // beyond cap
+    cases.zipWithIndex.foreach { case (rows, i) =>
+      val dist = Frequency.infer(binned("a", rows), 60)
+        .collect()(0).getAs[Long]("freq")
+      val local = Frequency.inferLocal(rows, 60)
+      assert(local === dist, s"case $i")
+    }
+  }
+
   test("rounding ladder boundaries") {
     val df = Seq(5.0, 37.0, 140.0, 2000.0, 7300.0).toDF("mean")
     val out = df.select(Frequency.roundFrequency(org.apache.spark.sql.functions.col("mean")))
