@@ -81,6 +81,20 @@ object SparkEntry {
     c
   }
 
+  /** Persisted-IVF-index cache: built once per data dir into a temp
+    * directory (train once, query many — the 100 TB usage shape).
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      Similarity.ivfWriteIndexWith(
+        Tables.embeddings(s, d), ivfCentroidsFor(s, d), "vec_id", "embedding", p)
+      p
+    })
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -369,6 +383,14 @@ object SparkEntry {
       Similarity.ivfTopKWith(
           Tables.embeddings(s, dir), ivfCentroidsFor(s, dir),
           "vec_id", "embedding", (0L until 10L), 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- IVF ANN over the PERSISTED index (train once / query many;
+    //      probe join dynamic-partition-prunes to the probed cell dirs;
+    //      same oracle as q_ann_ivf — identical results by construction)
+    "q_ann_ivf_index" -> ((s, dir) => {
+      Similarity.ivfQueryIndex(s, ivfIndexFor(s, dir), (0L until 10L), 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -1124,6 +1146,8 @@ object SparkEntry {
     },
 
     "q_ann_ivf" -> ivfOracle,
+
+    "q_ann_ivf_index" -> ivfOracle,
 
     "q_embed_dup_lsh" -> {
       val cos =

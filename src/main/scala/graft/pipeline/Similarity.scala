@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -221,6 +221,97 @@ object Similarity {
       .filter(col(idCol).isInCollection(queryIds))
       .withColumn("__cell", explode(NearestCells.nearestCells(col(vecCol), centroids, nprobe)))
       .select(col("__cell"), col(idCol).as("query_id"), col(vecCol).as("__va"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  // ---- persisted IVF index --------------------------------------------
+
+  /** Build and PERSIST an IVF index: the trained centroid matrix plus the
+    * corpus assigned to cells and partitioned BY cell on disk —
+    *
+    *   path/centroids/part-*.parquet          (cell, w: array<double>)
+    *   path/corpus/__cell=<c>/part-*.parquet  (id, vec)
+    *
+    * At 100 TB you train once and query many times; `ivfQueryIndex` then
+    * reads ONLY the probed cell directories (Spark's dynamic partition
+    * pruning turns the broadcast probe join into directory pruning), so a
+    * query touches ~nprobe/cells of the corpus at the FILESYSTEM level,
+    * not just post-scan.
+    */
+  def ivfWriteIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      cells: Int = 16,
+      lloydIters: Int = 2,
+      trainFraction: Double = 1.0): Unit =
+    ivfWriteIndexWith(
+      emb, ivfCentroids(emb, idCol, vecCol, cells, lloydIters, trainFraction),
+      idCol, vecCol, path)
+
+  /** Index write against an already-trained centroid matrix. */
+  def ivfWriteIndexWith(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    import graft.functions.NearestCells
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (w, c) => (c, w) }
+      .toDF("cell", "w")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    emb
+      .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
+      .repartition(col("__cell"))
+      .write.mode("overwrite")
+      .partitionBy("__cell")
+      .parquet(s"$path/corpus")
+  }
+
+  def ivfReadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+
+  /** Query a persisted IVF index. The probe join keys on the index's
+    * partition column, so Catalyst inserts a dynamic-partition-pruning
+    * subquery: only the ≤ |queries|·nprobe probed cell directories are
+    * listed and scanned (asserted in SimilaritySpec via the plan's
+    * `dynamicpruning` filter). Results are identical to `ivfTopKWith`
+    * over the same centroids.
+    */
+  def ivfQueryIndex(
+      spark: SparkSession,
+      path: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NearestCells
+    val centroids = ivfReadCentroids(spark, path)
+    val corpusRaw = spark.read.parquet(s"$path/corpus")
+    val corpus = corpusRaw
+      .select(col("__cell"), col("id").as("neighbor_id"), col("vec").as("__vb"))
+    val queries = corpusRaw
+      .filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("query_id"), col("vec").as("__va"))
+      .withColumn("__cell", explode(NearestCells.nearestCells(col("__va"), centroids, nprobe)))
     val scored = corpus
       .join(broadcast(queries), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -72,6 +72,33 @@ class SimilaritySpec extends SparkSpec {
     println(s"IVF recall @ nprobe=4/16: $recall")
   }
 
+  test("persisted IVF index: identical results, probe join prunes cell dirs") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = (0L until 10L)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-ivfindex").toString + "/idx"
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding")
+    Similarity.ivfWriteIndexWith(emb, cents, "vec_id", "embedding", path)
+
+    // round-trip: persisted centroids == trained centroids, bit for bit
+    assert(Similarity.ivfReadCentroids(spark, path) === cents)
+
+    // querying the index == querying in-memory with the same centroids
+    val direct = Similarity.ivfTopKWith(emb, cents, "vec_id", "embedding", queries, 5)
+      .collect().map(r => r.toSeq).toSet
+    val indexed = Similarity.ivfQueryIndex(spark, path, queries, 5)
+      .collect().map(r => r.toSeq).toSet
+    assert(indexed === direct)
+
+    // the probe join reaches the scan as a dynamic-partition-pruning
+    // filter on __cell: only probed cell directories are read
+    val q = Similarity.ivfQueryIndex(spark, path, queries, 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(2000)}")
+  }
+
   test("embeddingDupPairs finds planted near-duplicates within a block") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
