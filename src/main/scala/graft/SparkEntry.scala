@@ -469,21 +469,25 @@ object SparkEntry {
     //      orderkey; the HAVING set re-joins as a broadcast-able semi
     //      side; customer broadcasts.
     "q18_big_orders" -> ((s, dir) => {
+      // the HAVING aggregate IS the output aggregate: sum_qty per final
+      // group (keyed by o_orderkey) equals the per-order sum already
+      // computed for the > 250 gate — so lineitem is scanned ONCE, the
+      // tiny gated order set broadcasts into orders/customer, and the
+      // round-2 semi-join + second scan + re-aggregation disappear
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir).select("c_custkey", "c_name")
       val big = l.groupBy("l_orderkey")
-        .agg(OracleParity.decSum(col("l_quantity")).as("__q"))
-        .filter(col("__q") > 250)
-        .select("l_orderkey")
-      l.join(big, Seq("l_orderkey"), "left_semi")
-        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .agg(OracleParity.decSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      broadcast(big)
+        .join(o, big("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(
+        .select(
           col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("timestamp_ltz").cast("long").as("od_epoch"),
-          OracleParity.decOut(col("o_totalprice").cast("decimal(18,6)")).as("o_totalprice"))
-        .agg(OracleParity.decSum(col("l_quantity")).as("sum_qty"))
+          OracleParity.decOut(col("o_totalprice").cast("decimal(18,6)")).as("o_totalprice"),
+          col("sum_qty"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)
     }),

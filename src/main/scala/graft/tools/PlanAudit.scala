@@ -130,13 +130,20 @@ object PlanAudit {
       failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
     }
 
-    // 9. Q18 shape: the HAVING gate is a semi join, the customer side
-    //    broadcasts, the big-big join shuffles (no nested loop anywhere)
+    // 9. Q18 shape: lineitem aggregated ONCE (the HAVING sum doubles as
+    //    the output sum), the gated order set broadcasts — every join is
+    //    a broadcast hash join, no second lineitem scan, no shuffled join
     val q18 = graft.SparkEntry.queries("q18_big_orders")(spark, sfDir)
     q18.collect() // AQE finalizes join strategies
-    check("q18: semi-join gate + broadcast customer", plan(q18),
-      mustContain = Seq("LeftSemi", "BroadcastHashJoin"),
-      mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+    check("q18: single lineitem agg + all-broadcast joins", plan(q18),
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"))
+    // AQE's string repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val q18Final = plan(q18).split("== Initial Plan ==")(0)
+    val q18Scans = "Scan parquet".r.findAllIn(q18Final).length
+    if (q18Scans == 3) println("AUDIT ok   q18: 3 scans (lineitem once)")
+    else { failures += 1; println(s"AUDIT FAIL q18 has $q18Scans scans") }
 
     // 10. q_freq single-pass: the binned aggregation feeds the whole
     //     inference tree exactly once — the events scan appears ONCE in the
