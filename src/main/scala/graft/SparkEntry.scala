@@ -325,6 +325,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Composed corpus-cleaning pipeline: ONE TextProfile pass per
+    //      document drives lang-id + quality scoring, fused fingerprint
+    //      drives exact dedup — the whole training-data cleaning flow as
+    //      one declarative plan (filter -> canonicalize), hash-checked
+    "q_pipeline_clean" -> ((s, dir) => {
+      import graft.functions.TextProfile
+      val docs = Tables.documents(s, dir)
+      val langs = TextProfile.Langs
+      val p = docs.select(
+        col("doc_id"),
+        TextProfile(col("text")).as("__p"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val best = langs
+        .map(l => struct(col("__p").getField(l).as("s"), lit(l).as("l")))
+        .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      p.select(
+          col("doc_id"), col("fp"),
+          when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+            .as("lang_pred"),
+          (least(col("__p.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+            (lit(1.0) - col("__p.n_punct").cast("double") / col("__p.n_chars")) * lit(0.2) +
+            (lit(1.0) - col("__p.n_digit").cast("double") / col("__p.n_chars")) * lit(0.2) +
+            least((col("__p.n_stopwords").cast("double") / col("__p.n_tokens")) * lit(4.0),
+              lit(1.0)) * lit(0.2)).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "fp", "n_copies")
+        .orderBy("doc_id")
+    }),
+
     // ---- n-gram Jaccard near-dup pairs (inverted-index blocking) ------
     "q_dedup_ngram" -> ((s, dir) => {
       // hot-shingle safety ON by default: a shingle in >500 docs is
@@ -954,6 +985,41 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(regexp_replace(lower(text), '[\.,;:!\?''"]', '', 'g')), '\s+', ' ', 'g')) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_clean" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','de','et','est'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM w
+        |), q AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(regexp_replace(lower(text), '[\.,;:!\?''"]', '', 'g')), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred,
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+        |      + (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)) * 0.2
+        |      + least((CAST(len(list_filter(toks, t -> t IN
+        |          ('the','a','an','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |          / len(toks)) * 4.0, 1.0) * 0.2 AS quality
+        |  FROM sc
+        |)
+        |SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+        |FROM q
+        |WHERE lang_pred = 'en' AND quality >= 0.5
+        |GROUP BY fp
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->

@@ -21,6 +21,15 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name)
 
+  /** Extract a foldable non-negative int argument (plane counts, n-gram
+    * sizes) from a SQL call site.
+    */
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("smoke"),
@@ -29,7 +38,39 @@ object GraftExtensions {
     (
       FunctionIdentifier("most"),
       info("most", "most(col) - most frequent value"),
-      (exprs: Seq[Expression]) => MostAggregate(exprs.head)))
+      (exprs: Seq[Expression]) => MostAggregate(exprs.head)),
+    // fused scalar expressions — the LLM-pipeline primitives, SQL-callable
+    (
+      FunctionIdentifier("text_profile"),
+      info("text_profile", "text_profile(text) - single-pass token/char/lang counters struct"),
+      (exprs: Seq[Expression]) => TextProfile(exprs.head)),
+    (
+      FunctionIdentifier("text_fingerprint"),
+      info("text_fingerprint", "text_fingerprint(text) - md5 of normalized text"),
+      (exprs: Seq[Expression]) => TextFingerprint(exprs.head)),
+    (
+      FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text) - 60-bit md5-family SimHash"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    (
+      FunctionIdentifier("word_ngram_hashes"),
+      info("word_ngram_hashes", "word_ngram_hashes(text, n) - sorted distinct xxhash64 shingle hashes"),
+      (exprs: Seq[Expression]) =>
+        WordNgramHashes(exprs.head, intArg(exprs(1), "n"))),
+    (
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(hashes, k) - k-plane xxhash64 MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, intArg(exprs(1), "numHashes"))),
+    (
+      FunctionIdentifier("minhash_signature_md5"),
+      info("minhash_signature_md5", "minhash_signature_md5(text, n, k) - md5-family MinHash signature"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignatureMd5(exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
+    (
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot product of float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -65,6 +65,30 @@ class AggregateFunctionsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("SQL registration: fused pipeline scalars usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf("sf0.001")).limit(50)
+      .createOrReplaceTempView("docs_sql")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |       text_fingerprint(text) AS fp,
+        |       simhash60(text) AS sh,
+        |       text_profile(text).n_tokens AS nt,
+        |       size(word_ngram_hashes(text, 3)) AS ng,
+        |       size(minhash_signature(word_ngram_hashes(text, 3), 16)) AS mh,
+        |       size(minhash_signature_md5(text, 3, 16)) AS mhm
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(rows.length === 50)
+    assert(rows.forall(_.getString(1).length === 32))
+    assert(rows.forall(r => r.getLong(3) > 0))
+    assert(rows.forall(r => r.getInt(5) === 16 && r.getInt(6) === 16))
+    Tables.embeddings(spark, sf("sf0.001")).limit(5)
+      .createOrReplaceTempView("emb_sql")
+    val dots = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS d FROM emb_sql").collect()
+    assert(dots.forall(_.getDouble(0) > 0))
+  }
+
   test("most_array: mode over an array-valued column (A3)") {
     // the reference round-trips arrays through array_to_string; Spark
     // groups on array values directly
