@@ -333,10 +333,14 @@ object SparkEntry {
       import graft.functions.TextProfile
       val docs = Tables.documents(s, dir)
       val langs = TextProfile.Langs
-      val p = docs.select(
-        col("doc_id"),
-        TextProfile(col("text")).as("__p"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      // groupBy(doc_id) is an AGGREGATION BARRIER, not a dedup: filters
+      // on derived columns cannot be alias-substituted through it, so the
+      // profile is evaluated ONCE per document — a plain projection let
+      // PushDownPredicates inline text_profile into every reference
+      // (101 evals/row measured; EntrySpec asserts the count stays 1)
+      val p = docs.groupBy(col("doc_id")).agg(
+        first(TextProfile(col("text"))).as("__p"),
+        first(TextAnalysis.fingerprint(col("text"))).as("fp"))
       val best = langs
         .map(l => struct(col("__p").getField(l).as("s"), lit(l).as("l")))
         .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))

@@ -19,4 +19,13 @@ class EntrySpec extends SparkSpec {
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("q_pipeline_clean evaluates the text profile once per document") {
+    val plan = SparkEntry.queries("q_pipeline_clean")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val evals = "text_profile".r.findAllIn(plan).length
+    // the aggregation barrier keeps PushDownPredicates from inlining the
+    // profile into every filter/projection reference (was 101 evals/row)
+    assert(evals <= 2, s"text_profile appears $evals times in the plan")
+  }
 }
