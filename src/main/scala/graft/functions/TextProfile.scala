@@ -95,8 +95,10 @@ object TextProfile {
     while (lo < hi && text.charAt(lo) == ' ') lo += 1
     while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
     val trimmed = text.substring(lo, hi)
+    // limit -1: Spark's split KEEPS trailing empty tokens (Java's
+    // String.split default drops them) — e.g. "a\t" → ["a", ""]
     val toks: Array[String] =
-      if (trimmed.isEmpty) Array("") else trimmed.split("\\s+")
+      if (trimmed.isEmpty) Array("") else trimmed.split("\\s+", -1)
 
     var nStop = 0L
     var sumLen = 0L

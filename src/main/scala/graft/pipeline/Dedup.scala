@@ -94,6 +94,11 @@ object Dedup {
         .filter(col("__df") > cap)
         .select("__s")
         .persist()
+      // NOTE: `lost` is one row per document touching a hot shingle — in
+      // the boilerplate-heavy case the cut exists for, that is close to
+      // |corpus|. No broadcast hint: AQE broadcasts it when it is small
+      // (the local case) and falls back to a shuffle join when it is not
+      // (the 100 TB case); only `hot` is small by construction.
       val lost = exploded
         .join(broadcast(hot), Seq("__s"), "left_semi")
         .groupBy("__id").agg(count(lit(1)).as("__lost"))
@@ -101,7 +106,7 @@ object Dedup {
       lost.count() // eager: materializes hot too (lost reads it)
       exploded
         .join(broadcast(hot), Seq("__s"), "left_anti")
-        .join(broadcast(lost), Seq("__id"), "left_outer")
+        .join(lost, Seq("__id"), "left_outer")
         .withColumn("__n", col("__n") - coalesce(col("__lost"), lit(0)))
         .drop("__lost")
     }

@@ -135,46 +135,58 @@ final class WireServer(
           val columns = req("columns").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
           val start = JsonMini.asLong(req("start"))
           val stop = JsonMini.asLong(req("stop"))
-          val relay = live.map { bus =>
-            val r = new LiveRelay(coll, labels, columns, start, stop, out)
-            handles += bus.subscribe(coll)(r.onBatch)
-            r
-          }
-          var lastHist = Long.MinValue
-          // stop=0 means the live feed never ends (exporter.py:899-906);
-          // the backfill then covers everything up to the present
-          val histStop = if (stop == 0) Long.MaxValue else stop
-          val chunks = service.history(coll, labels, columns, start, histStop)
-          chunks.foreach { c =>
-            c.rows.foreach { r =>
-              val i = r.schema.fieldIndex("timestamp")
-              if (!r.isNullAt(i)) lastHist = math.max(lastHist, r.getLong(i))
+          // a FAILED subscribe must not leave a buffering relay (or a
+          // marker callback) registered: it would accumulate every future
+          // batch's rows for the life of the connection — close this
+          // dispatch's own handles on the way out of any failure
+          val mine = scala.collection.mutable.ArrayBuffer.empty[Markers.Handle]
+          try {
+            val relay = live.map { bus =>
+              val r = new LiveRelay(coll, labels, columns, start, stop, out)
+              mine += bus.subscribe(coll)(r.onBatch)
+              r
             }
-            val frame = historyBody(c)
-            out.synchronized { out.write(frame); out.flush() }
-          }
-          // markers registered BEFORE the ack: once the client sees the
-          // ack, batch commits are guaranteed to reach it
-          markers.foreach { bus =>
-            handles += bus.subscribe(coll) { m =>
-              val frame = Wire.pack(
-                Wire.Push,
-                s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
-                  .getBytes("UTF-8"))
-              // a failed write throws out of the bus callback → the bus
-              // auto-unsubscribes this dead client
+            var lastHist = Long.MinValue
+            // stop=0 means the live feed never ends (exporter.py:899-906);
+            // the backfill then covers everything up to the present
+            val histStop = if (stop == 0) Long.MaxValue else stop
+            val chunks = service.history(coll, labels, columns, start, histStop)
+            chunks.foreach { c =>
+              c.rows.foreach { r =>
+                val i = r.schema.fieldIndex("timestamp")
+                if (!r.isNullAt(i)) lastHist = math.max(lastHist, r.getLong(i))
+              }
+              val frame = historyBody(c)
               out.synchronized { out.write(frame); out.flush() }
             }
+            // markers registered BEFORE the ack: once the client sees the
+            // ack, batch commits are guaranteed to reach it
+            markers.foreach { bus =>
+              mine += bus.subscribe(coll) { m =>
+                val frame = Wire.pack(
+                  Wire.Push,
+                  s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
+                    .getBytes("UTF-8"))
+                // a failed write throws out of the bus callback → the bus
+                // auto-unsubscribes this dead client
+                out.synchronized { out.write(frame); out.flush() }
+              }
+            }
+            // ack between history and live: the client's seam marker
+            out.synchronized {
+              out.write(Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8")))
+              out.flush()
+            }
+            // release rows buffered during backfill (seam rule: > lasthist),
+            // then passthrough
+            relay.foreach(_.finish(lastHist))
+            handles ++= mine // survive until the connection closes
+            Array.emptyByteArray
+          } catch {
+            case e: Throwable =>
+              mine.foreach(h => try h.close() catch { case _: Throwable => () })
+              throw e
           }
-          // ack between history and live: the client's seam marker
-          out.synchronized {
-            out.write(Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8")))
-            out.flush()
-          }
-          // release rows buffered during backfill (seam rule: > lasthist),
-          // then passthrough
-          relay.foreach(_.finish(lastHist))
-          Array.emptyByteArray
         case "collections" =>
           val body = service.collections()
             .map { case (id, m, s) =>
@@ -190,7 +202,10 @@ final class WireServer(
             s"""{"streams":${fields(ss)},"data":${fields(ds)}}""".getBytes("UTF-8"))
         case "streams" =>
           val coll = req("collection").asInstanceOf[String]
-          val minid = req.get("minid").map(JsonMini.asLong).getOrElse(0L).toInt
+          // exact conversion: a minid outside Int range is a protocol
+          // error, not a silent wrap back to page zero
+          val minid = java.lang.Math.toIntExact(
+            req.get("minid").map(JsonMini.asLong).getOrElse(0L))
           val page = service.streamsPage(coll, minid)
           val body =
             s"""{"rows":${JsonMini.rows(page.rows)},"more":${page.more}}"""

@@ -44,7 +44,19 @@ object IngestStream {
     * (dimension is broadcast-size by design; the fact table is the big one).
     */
   def readStreams(spark: SparkSession, path: String, spec: CollectionSpec): DataFrame = {
+    // crash recovery: compactStreams renames the live dir to .bak before
+    // swapping the compacted one in — if we died between the two renames,
+    // the .bak IS the dimension; restore it before reading (losing the
+    // dimension would silently restart id allocation at 1 and corrupt
+    // every stored stream_id)
     val p = new java.io.File(path)
+    val bak = new java.io.File(path + ".bak")
+    if (!(p.exists && p.listFiles != null && p.listFiles.exists(_.getName.endsWith(".parquet"))) &&
+        bak.exists && bak.listFiles != null && bak.listFiles.exists(_.getName.endsWith(".parquet"))) {
+      if (p.exists) { if (p.listFiles != null) p.listFiles.foreach(_.delete()); p.delete() }
+      if (!bak.renameTo(p))
+        throw new java.io.IOException(s"readStreams: could not restore $bak")
+    }
     if (p.exists && p.listFiles != null && p.listFiles.exists(_.getName.endsWith(".parquet")))
       spark.read.parquet(path)
     else
@@ -198,25 +210,41 @@ object IngestStream {
     * already-appended tuples and produces nothing. One small file per
     * stream-registering batch accumulates; `compactStreams` folds them.
     */
-  private def appendStreams(fresh: DataFrame, path: String): Unit =
-    if (!fresh.isEmpty)
-      fresh.coalesce(1).write.mode("append").parquet(path)
+  private def appendStreams(fresh: DataFrame, path: String): Unit = {
+    // pin before the emptiness probe: isEmpty and the write would
+    // otherwise each run the anti-join + id assignment (two jobs per
+    // micro-batch on the hot path); the frame is O(|new|) — tiny
+    val pinned = fresh.persist()
+    try {
+      if (!pinned.isEmpty)
+        pinned.coalesce(1).write.mode("append").parquet(path)
+    } finally pinned.unpersist()
+  }
 
   /** Fold the dimension's per-batch append files into one — periodic
-    * maintenance (run alongside `compactToLayout`), collect-free:
-    * read → single-file tmp write → directory swap. Single-writer, like
-    * the other compactors.
+    * maintenance (run alongside `compactToLayout`), collect-free.
+    * Crash-safe swap: the live dir is renamed to `.bak` (never deleted in
+    * place), the compacted dir renamed in, then the backup dropped; every
+    * rename result is checked, and `readStreams` restores from `.bak` if
+    * a crash lands between the renames. Single-writer, like the other
+    * compactors.
     */
   def compactStreams(spark: SparkSession, path: String): Unit = {
     val dir = new java.io.File(path)
     if (dir.exists && dir.listFiles != null &&
         dir.listFiles.count(_.getName.endsWith(".parquet")) > 1) {
-      val tmp = path + ".tmp"
+      val tmp = new java.io.File(path + ".tmp")
+      val bak = new java.io.File(path + ".bak")
       spark.read.parquet(path).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      dir.listFiles.foreach(_.delete()); dir.delete()
-      if (!new java.io.File(tmp).renameTo(dir))
+        .write.mode("overwrite").parquet(tmp.getPath)
+      if (bak.exists) { deleteRecursively(bak) }
+      if (!dir.renameTo(bak))
+        throw new java.io.IOException(s"compactStreams: rename $path -> $bak failed")
+      if (!tmp.renameTo(dir)) {
+        bak.renameTo(dir) // roll back; check is the throw below
         throw new java.io.IOException(s"compactStreams: rename $tmp -> $path failed")
+      }
+      deleteRecursively(bak)
     }
   }
 

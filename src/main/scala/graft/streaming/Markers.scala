@@ -52,7 +52,14 @@ object Markers {
       val l = subs.get(collection)
       if (l != null) l.forEach { f =>
         try f.asInstanceOf[T => Unit](m)
-        catch { case _: Throwable => l.remove(f) } // dead subscriber: detach
+        catch {
+          // IO failure = the client's socket is gone → detach. Any other
+          // exception (e.g. one malformed batch) is isolated from the
+          // other subscribers but does NOT silently kill a live
+          // subscription whose connection is still healthy.
+          case _: java.io.IOException => l.remove(f)
+          case _: Throwable => ()
+        }
       }
     }
   }

@@ -15,7 +15,15 @@ class DedupSpec extends SparkSpec {
 
   test("WordNgramHashes equals the compositional shingle-hash pipeline") {
     import org.apache.spark.sql.functions._
+    // edge docs: leading tab (Java split KEEPS one leading empty token —
+    // the shingle " a b" differs from "a b"), trailing tab (Java split
+    // DROPS trailing empties), interior whitespace runs
     val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(100)
+      .union(Seq(
+        (91001L, "\talpha beta gamma delta", "x", "x", 0L),
+        (91002L, "alpha beta gamma delta\t", "x", "x", 0L),
+        (91003L, "alpha \t beta\n\ngamma  delta", "x", "x", 0L))
+        .toDF(docs0Cols: _*))
     val compositional = docs.select(
       col("doc_id"),
       array_sort(transform(Dedup.wordShingles(col("text"), 3), s => xxhash64(s))).as("h"))

@@ -14,7 +14,8 @@ class TextAnalysisSpec extends SparkSpec {
   private def corpus = graft.core.Tables.documents(spark, sf("sf0.001")).limit(200)
     .union(Seq(
       (90003L, "\tder die das, und ist! 42", "x", "x", 0L), // leading tab + markers
-      (90004L, "的 是 了 在 我", "x", "x", 0L))             // zh markers
+      (90004L, "的 是 了 在 我", "x", "x", 0L),             // zh markers
+      (90005L, "trailing tab doc\t", "x", "x", 0L))        // Spark split keeps ["" ] tail
       .toDF(cols: _*))
 
   private def langCorpus = corpus
