@@ -361,6 +361,12 @@ class StreamingSpec extends SparkSpec {
     var markers = Vector.empty[Markers.Marker]
     bus.subscribe("amp-external") { m => markers :+= m; session.onMarker(m) }
     bus.subscribe("other-collection") { _ => fail("marker leaked across collections") }
+    // NNTSC_LIVE path: committed rows publish on the LiveBus BEFORE the
+    // batch's marker (insert → export_live → export_push); record how many
+    // markers had arrived when each live batch was published
+    val liveBus = new Markers.LiveBus
+    var liveBatches = Vector.empty[(Markers.LiveBatch, Int)]
+    liveBus.subscribe("amp-external") { b => liveBatches :+= ((b, markers.size)) }
 
     // live fan-out: materialize the micro-batch (it is only valid during
     // the batch), resolve id type, hand to the session
@@ -377,6 +383,7 @@ class StreamingSpec extends SparkSpec {
         s"$dir/streams", s"$dir/data", s"$dir/ckpt",
         trigger = Trigger.AvailableNow(),
         markers = Some(("amp-external", bus)),
+        liveBus = Some(("amp-external", liveBus)),
         onLive = live)
       q.awaitTermination()
     }
@@ -408,6 +415,13 @@ class StreamingSpec extends SparkSpec {
     val data = IngestStream.readData(spark, s"$dir/data")
     assert(data.count() === 3)
     assert(data.agg(max("timestamp")).collect()(0).getLong(0) === 300L)
+
+    // the LiveBus carried each batch's committed rows, and each batch's
+    // rows were published BEFORE its own marker (reference ordering:
+    // insert → export_live → export_push)
+    assert(liveBatches.map(_._1.rows.size) === Vector(2, 1))
+    assert(liveBatches.map(_._2) === Vector(0, 1)) // markers seen at publish
+    assert(liveBatches.last._1.rows.map(_.getAs[Long]("timestamp")) === Seq(300L))
   }
 
   test("subscribe liveFilter honors window and labels (X2)") {
