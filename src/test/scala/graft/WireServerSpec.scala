@@ -240,6 +240,61 @@ class WireServerSpec extends SparkSpec {
     } finally { sock.close(); server.close() }
   }
 
+  test("two concurrent subscribers each get only their own live rows") {
+    import graft.streaming.Markers
+    import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+    val lbus = new Markers.LiveBus
+    val server = new WireServer(svc, live = Some(lbus))
+    def connect(streams: Seq[Long]): (Socket, DataInputStream) = {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      sock.setSoTimeout(30000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(Wire.pack(0,
+        s"""{"request":"subscribe","collection":"amp-external",
+           |"labels":{"x":[${streams.mkString(",")}]},"columns":["value"],
+           |"start":1704067200,"stop":0}""".stripMargin.getBytes("UTF-8")))
+      out.flush()
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+      }
+      var m = readFrame()
+      while (m.msgType == Wire.History) m = readFrame()
+      assert(m.msgType === Wire.Subscribe)
+      (sock, in)
+    }
+    val (s1, in1) = connect(Seq(1L))
+    val (s2, in2) = connect(Seq(2L))
+    try {
+      val schema = StructType(Seq(
+        StructField("stream_id", LongType), StructField("timestamp", LongType),
+        StructField("value", DoubleType)))
+      def row(sid: Long, ts: Long, v: Double) =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](sid, ts, v), schema)
+      lbus.publish(Markers.LiveBatch("amp-external",
+        Seq(row(1L, 1906745601L, 1.5), row(2L, 1906745602L, 2.5))))
+      def readLive(in: DataInputStream): String = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        assert((header(0) & 0xff) === Wire.Version)
+        new String(body, "UTF-8")
+      }
+      val j1 = readLive(in1)
+      val j2 = readLive(in2)
+      assert(j1.contains(""""stream_id":1""") && !j1.contains(""""stream_id":2"""))
+      assert(j2.contains(""""stream_id":2""") && !j2.contains(""""stream_id":1"""))
+    } finally { s1.close(); s2.close(); server.close() }
+  }
+
   test("oversized or bad-version frames drop the connection, no allocation") {
     val server = new WireServer(svc)
     val sock = new Socket("127.0.0.1", server.boundPort)
