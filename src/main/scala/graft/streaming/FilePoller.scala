@@ -62,6 +62,13 @@ object FilePoller {
       decode: (DataFrame, Long) => DataFrame = (b, _) => b,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      // X4: rollup tiers maintained with ingest, like the reference's
+      // continuous queries (influx.py:183-195) — each committed batch
+      // appends its exact partials per (binsize, path) tier under the
+      // batch's epoch (replay-idempotent like the data itself; fold with
+      // RollupStream.compact, read with readTier)
+      rollupTiers: Seq[(Long, String)] = Nil,
+      rollupValueCol: String = "value",
       // X3: (collection name, bus) — a marker is published after each
       // batch commits, carrying the batch's max timestamp
       markers: Option[(String, Markers.MarkerBus)] = None,
@@ -84,6 +91,10 @@ object FilePoller {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val written = IngestStream.ingestBatch(
           decode(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
+        rollupTiers.foreach { case (binsize, tierPath) =>
+          RollupStream.appendPartials(
+            written, binsize, rollupValueCol, tierPath, epochId)
+        }
         onLive(written)
         liveBus.foreach { case (collection, bus) =>
           // collected on the driver: foreachBatch frames die with their

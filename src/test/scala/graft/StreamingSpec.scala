@@ -382,6 +382,7 @@ class StreamingSpec extends SparkSpec {
         spark, s"$dir/in", schema, spec,
         s"$dir/streams", s"$dir/data", s"$dir/ckpt",
         trigger = Trigger.AvailableNow(),
+        rollupTiers = Seq((60L, s"$dir/rollup60")), // X4 rides the poller
         markers = Some(("amp-external", bus)),
         liveBus = Some(("amp-external", liveBus)),
         onLive = live)
@@ -422,6 +423,22 @@ class StreamingSpec extends SparkSpec {
     assert(liveBatches.map(_._1.rows.size) === Vector(2, 1))
     assert(liveBatches.map(_._2) === Vector(0, 1)) // markers seen at publish
     assert(liveBatches.last._1.rows.map(_.getAs[Long]("timestamp")) === Seq(300L))
+
+    // the rollup tier rode the poller (X4): its folded partials equal
+    // aggregating everything ingested so far in one go
+    val tier = RollupStream.readTier(spark, s"$dir/rollup60")
+      .groupBy("stream_id", "binstart")
+      .agg(sum("cnt").as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1)) -> r.getAs[Long]("cnt"))
+      .toMap
+    val expectTier = graft.rollup.Rollup
+      .build(
+        IngestStream.readData(spark, s"$dir/data")
+          .withColumn("stream_id", col("stream_id").cast("long")),
+        60, "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+    assert(tier === expectTier)
   }
 
   test("subscribe liveFilter honors window and labels (X2)") {
