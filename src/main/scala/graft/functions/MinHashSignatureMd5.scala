@@ -94,31 +94,9 @@ object MinHashSignatureMd5 {
     Array.tabulate(numHashes)(i => md5Base60(s"plane:$i") | 1L)
 
   def signature(text: String, n: Int, mults: Array[Long]): ArrayData = {
-    // tokenize exactly like WordNgramHashes / split(trim, "\\s+"): trim
-    // 0x20, Java-\s runs separate, Java split's leading-empty-token edge
-    // replicated, trailing empties dropped
-    var lo = 0
-    var hi = text.length
-    while (lo < hi && text.charAt(lo) == ' ') lo += 1
-    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
-
-    def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
-    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
-    if (lo < hi && isWs(text.charAt(lo))) { starts += lo; ends += lo }
-    var i = lo
-    var inTok = false
-    while (i < hi) {
-      val ws = isWs(text.charAt(i))
-      if (!ws && !inTok) { starts += i; inTok = true }
-      if (ws && inTok) { ends += i; inTok = false }
-      i += 1
-    }
-    if (inTok) ends += hi
-    // Spark's split (limit -1) also KEEPS one trailing empty token when
-    // the string ends with a separator — unlike Java's String.split
-    if (hi > lo && isWs(text.charAt(hi - 1))) { starts += hi; ends += hi }
+    // the one shared Spark-split tokenizer — identical boundaries to
+    // WordNgramHashes by construction (see Tokenize's scaladoc)
+    val (starts, ends) = Tokenize.boundaries(text)
     val ntok = starts.length
     if (ntok < n) return new GenericArrayData(Array.empty[Long])
 

@@ -41,34 +41,9 @@ case class WordNgramHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    // trim 0x20 like Spark's trim()
-    var lo = 0
-    var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-
-    // token boundaries over Java-regex \s runs — NOT Character.isWhitespace
-    // (a superset: U+2028 etc. would split here but not in `split("\\s+")`)
-    def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
-    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
-    // Spark's split (limit -1) keeps ONE leading empty token when the
-    // string starts with a separator (only non-space whitespace survives
-    // the trim here) — and a trailing one, added below
-    if (lo < hi && isWs(s.charAt(lo))) { starts += lo; ends += lo }
-    var i = lo
-    var inTok = false
-    while (i < hi) {
-      val ws = isWs(s.charAt(i))
-      if (!ws && !inTok) { starts += i; inTok = true }
-      if (ws && inTok) { ends += i; inTok = false }
-      i += 1
-    }
-    if (inTok) ends += hi
-    // Spark's split (limit -1) also KEEPS one trailing empty token when
-    // the string ends with a separator — unlike Java's String.split
-    if (hi > lo && isWs(s.charAt(hi - 1))) { starts += hi; ends += hi }
+    // the one shared Spark-split tokenizer (see Tokenize's scaladoc for
+    // the trim / edge-empty-token contract)
+    val (starts, ends) = Tokenize.boundaries(s)
     val ntok = starts.length
     if (ntok < n) return new GenericArrayData(Array.empty[Long])
 

@@ -89,25 +89,32 @@ object FilePoller {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // pin the written rows: tiers + live fan-out + marker each act on
+        // this frame, and without the cache every consumer re-runs the
+        // whole ingest plan (source read, dimension reads, anti-join,
+        // normalize) — the double-evaluation class of bug again
         val written = IngestStream.ingestBatch(
           decode(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
-        rollupTiers.foreach { case (binsize, tierPath) =>
-          RollupStream.appendPartials(
-            written, binsize, rollupValueCol, tierPath, epochId)
-        }
-        onLive(written)
-        liveBus.foreach { case (collection, bus) =>
-          // collected on the driver: foreachBatch frames die with their
-          // batch, and the export fan-out is driver-side by construction
-          // (one socket per client) — same shape as the reference exporter
-          val rows = written.collect().toSeq
-          if (rows.nonEmpty) bus.publish(Markers.LiveBatch(collection, rows))
-        }
-        markers.foreach { case (collection, bus) =>
-          val mx = written.agg(max("timestamp")).collect()(0)
-          if (!mx.isNullAt(0))
-            bus.publish(Markers.Marker(collection, mx.getLong(0), epochId))
-        }
+          .persist()
+        try {
+          rollupTiers.foreach { case (binsize, tierPath) =>
+            RollupStream.appendPartials(
+              written, binsize, rollupValueCol, tierPath, epochId)
+          }
+          onLive(written)
+          liveBus.foreach { case (collection, bus) =>
+            // collected on the driver: foreachBatch frames die with their
+            // batch, and the export fan-out is driver-side by construction
+            // (one socket per client) — same shape as the reference exporter
+            val rows = written.collect().toSeq
+            if (rows.nonEmpty) bus.publish(Markers.LiveBatch(collection, rows))
+          }
+          markers.foreach { case (collection, bus) =>
+            val mx = written.agg(max("timestamp")).collect()(0)
+            if (!mx.isNullAt(0))
+              bus.publish(Markers.Marker(collection, mx.getLong(0), epochId))
+          }
+        } finally written.unpersist()
       }
       .start()
 }

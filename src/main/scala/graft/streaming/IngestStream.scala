@@ -43,21 +43,33 @@ object IngestStream {
   /** Streams-dimension storage: tiny parquet table rewritten per batch
     * (dimension is broadcast-size by design; the fact table is the big one).
     */
+  /** Serializes the compactStreams swap against reader-side crash
+    * recovery within this JVM (single-writer across processes is the
+    * documented deployment contract, as for every compactor here).
+    */
+  private val streamsSwapLock = new Object
+
+  private def hasParquet(d: java.io.File): Boolean =
+    d.exists && d.listFiles != null && d.listFiles.exists(_.getName.endsWith(".parquet"))
+
   def readStreams(spark: SparkSession, path: String, spec: CollectionSpec): DataFrame = {
     // crash recovery: compactStreams renames the live dir to .bak before
     // swapping the compacted one in — if we died between the two renames,
     // the .bak IS the dimension; restore it before reading (losing the
     // dimension would silently restart id allocation at 1 and corrupt
-    // every stored stream_id)
+    // every stored stream_id). The lock + re-check keeps two readers (or
+    // a reader racing the compactor mid-swap) from double-restoring and
+    // deleting each other's files.
     val p = new java.io.File(path)
     val bak = new java.io.File(path + ".bak")
-    if (!(p.exists && p.listFiles != null && p.listFiles.exists(_.getName.endsWith(".parquet"))) &&
-        bak.exists && bak.listFiles != null && bak.listFiles.exists(_.getName.endsWith(".parquet"))) {
-      if (p.exists) { if (p.listFiles != null) p.listFiles.foreach(_.delete()); p.delete() }
-      if (!bak.renameTo(p))
-        throw new java.io.IOException(s"readStreams: could not restore $bak")
+    if (!hasParquet(p) && hasParquet(bak)) streamsSwapLock.synchronized {
+      if (!hasParquet(p) && hasParquet(bak)) {
+        if (p.exists) deleteRecursively(p) // leftovers (e.g. _temporary)
+        if (!bak.renameTo(p))
+          throw new java.io.IOException(s"readStreams: could not restore $bak")
+      }
     }
-    if (p.exists && p.listFiles != null && p.listFiles.exists(_.getName.endsWith(".parquet")))
+    if (hasParquet(p))
       spark.read.parquet(path)
     else
       spark.createDataFrame(
@@ -237,14 +249,16 @@ object IngestStream {
       val bak = new java.io.File(path + ".bak")
       spark.read.parquet(path).coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
-      if (bak.exists) { deleteRecursively(bak) }
-      if (!dir.renameTo(bak))
-        throw new java.io.IOException(s"compactStreams: rename $path -> $bak failed")
-      if (!tmp.renameTo(dir)) {
-        bak.renameTo(dir) // roll back; check is the throw below
-        throw new java.io.IOException(s"compactStreams: rename $tmp -> $path failed")
+      streamsSwapLock.synchronized {
+        if (bak.exists) { deleteRecursively(bak) }
+        if (!dir.renameTo(bak))
+          throw new java.io.IOException(s"compactStreams: rename $path -> $bak failed")
+        if (!tmp.renameTo(dir)) {
+          bak.renameTo(dir) // roll back; check is the throw below
+          throw new java.io.IOException(s"compactStreams: rename $tmp -> $path failed")
+        }
+        deleteRecursively(bak)
       }
-      deleteRecursively(bak)
     }
   }
 

@@ -54,11 +54,14 @@ object Markers {
         try f.asInstanceOf[T => Unit](m)
         catch {
           // IO failure = the client's socket is gone → detach. Any other
-          // exception (e.g. one malformed batch) is isolated from the
-          // other subscribers but does NOT silently kill a live
-          // subscription whose connection is still healthy.
+          // NON-FATAL exception (e.g. one malformed batch) is isolated
+          // from the other subscribers — logged, subscription kept (the
+          // connection may be healthy). Fatal errors (OOM, interruption)
+          // propagate.
           case _: java.io.IOException => l.remove(f)
-          case _: Throwable => ()
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] bus subscriber for '$collection' threw: $e (kept subscribed)")
         }
       }
     }
