@@ -32,6 +32,7 @@ object Bench {
         // frames; letting them accumulate across 36 queries turns the run
         // into a GC lottery (observed: the same query swinging 1.3s->13s
         // depending on what ran before it)
+        graft.pipeline.Dedup.unpersistIntermediates()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop v2 sink: fully materializes every row and column — count()

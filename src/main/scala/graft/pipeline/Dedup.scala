@@ -23,6 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Frames pinned by [[pin]] — the eager per-document set/signature caches
+    * the pair pipelines are built on. The RETURNED pair frames are lazy and
+    * read these caches, so they cannot be unpersisted inside the builders;
+    * a long-lived session calls [[unpersistIntermediates]] once the results
+    * are materialized (written / collected) to release the blocks.
+    */
+  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist + eagerly materialize an intermediate frame and register it
+    * for [[unpersistIntermediates]].
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    df.persist()
+    df.count() // eager: one pass computes and pins the frame
+    pinned.synchronized { pinned += df }
+    df
+  }
+
+  /** Release every intermediate cache pinned by the builders in this
+    * object. Call AFTER materializing the returned pair frames — they are
+    * lazy plans over these caches and would recompute (correct, but slow)
+    * if run again afterwards.
+    */
+  def unpersistIntermediates(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist())
+    pinned.clear()
+  }
+
   /** Exact dedup: group rows by content digest, keep the smallest id as the
     * canonical document. Hashing first means the shuffle moves 16-byte
     * digests, not full document bodies.
@@ -46,16 +74,13 @@ object Dedup {
     * interpreted array build.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val s = df
+    pin(df
       .select(
         col(idCol).as("__id"),
         // fused native expression: ~40× the interpreted lambda pipeline,
         // bit-identical hashes (graft.functions.WordNgramHashes)
         graft.functions.WordNgramHashes(col(textCol), n).as("__set"))
-      .withColumn("__n", size(col("__set")))
-      .persist()
-    s.count() // eager: one pass computes and pins the sets
-    s
+      .withColumn("__n", size(col("__set"))))
   }
 
   /** n-gram Jaccard near-duplicate pairs, exact: inverted-index self-join
@@ -89,21 +114,18 @@ object Dedup {
       // (|kept| = |set| − |doc ∩ hot|), so the index stays a map-only
       // projection of the cached sets — no window, no re-join of
       // recomputed frames (measured 2.4× slower as groupBy+semi+re-join)
-      val hot = exploded
+      val hot = pin(exploded
         .groupBy("__s").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > cap)
-        .select("__s")
-        .persist()
+        .select("__s"))
       // NOTE: `lost` is one row per document touching a hot shingle — in
       // the boilerplate-heavy case the cut exists for, that is close to
       // |corpus|. No broadcast hint: AQE broadcasts it when it is small
       // (the local case) and falls back to a shuffle join when it is not
       // (the 100 TB case); only `hot` is small by construction.
-      val lost = exploded
+      val lost = pin(exploded
         .join(broadcast(hot), Seq("__s"), "left_semi")
-        .groupBy("__id").agg(count(lit(1)).as("__lost"))
-        .persist()
-      lost.count() // eager: materializes hot too (lost reads it)
+        .groupBy("__id").agg(count(lit(1)).as("__lost")))
       exploded
         .join(broadcast(hot), Seq("__s"), "left_anti")
         .join(lost, Seq("__id"), "left_outer")
@@ -162,8 +184,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes).persist()
-    sigs.count() // eager: band fan-out must read cached signatures
+    val sigs = pin(minhashSignatures(df, idCol, textCol, n, numHashes))
     val banded = sigs.select(
       col(idCol).as("__id"),
       posexplode(
@@ -179,9 +200,13 @@ object Dedup {
       .distinct()
     val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
     val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    // NO broadcast hint on the signature re-join: sa/sb are one row per
+    // document (corpus-sized) — a forced broadcast dies at the 8 GB limit
+    // at 100 TB. AQE broadcasts them when they are small (the local case)
+    // and shuffle-joins otherwise. Same policy as `lost` above.
     candidates
-      .join(broadcast(sa), Seq("id_a"))
-      .join(broadcast(sb), Seq("id_b"))
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
       .withColumn(
         "est_jaccard",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
@@ -210,14 +235,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df
+    val sigs = pin(df
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol),
         graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("signature"))
-      .filter(size(col("signature")) > 0) // < n tokens ⇒ no signature
-      .persist()
-    sigs.count() // eager: band fan-out must read cached signatures
+      .filter(size(col("signature")) > 0)) // < n tokens ⇒ no signature
     val banded = sigs.select(
       col(idCol).as("__id"),
       posexplode(
@@ -233,9 +256,10 @@ object Dedup {
       .distinct()
     val sa = sigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
     val sb = sigs.select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    // unhinted for the same corpus-size reason as minhashLshPairs
     candidates
-      .join(broadcast(sa), Seq("id_a"))
-      .join(broadcast(sb), Seq("id_b"))
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
       .withColumn(
         "est_jaccard",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
@@ -267,8 +291,7 @@ object Dedup {
     * one quarter — pigeonhole), then verify with an exact popcount.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol).persist()
-    fp.count() // eager: quarter fan-out must read cached fingerprints
+    val fp = pin(simhash(df, idCol, textCol))
     val blocked = fp.select(
       col(idCol).as("__id"),
       col("simhash"),

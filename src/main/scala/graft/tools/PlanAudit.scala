@@ -102,6 +102,23 @@ object PlanAudit {
       mustContain = Seq("simhash60"),
       mustNot = Seq("Exchange"))
 
+    // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
+    //     (one row per document), so a forced broadcast would die at the
+    //     8 GB limit at 100 TB — the analyzed plan must carry no broadcast
+    //     ResolvedHint anywhere in the minhash pair pipelines (AQE picks
+    //     the strategy at runtime instead)
+    val lshPairs = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
+    check("minhash lsh pairs: no forced broadcast of signatures",
+      lshPairs.queryExecution.analyzed.toString,
+      mustContain = Seq("Join"),
+      mustNot = Seq("ResolvedHint"))
+    val lshPairsMd5 = graft.pipeline.Dedup.minhashLshPairsMd5(docs, "doc_id", "text")
+    check("minhash lsh pairs (md5 family): no forced broadcast of signatures",
+      lshPairsMd5.queryExecution.analyzed.toString,
+      mustContain = Seq("Join"),
+      mustNot = Seq("ResolvedHint"))
+    graft.pipeline.Dedup.unpersistIntermediates()
+
     // 7. the custom physical as-of join: AsOfJoinExec planned, each side
     //    exchanged+sorted once, and no window machinery
     import org.apache.spark.sql.expressions.Window
