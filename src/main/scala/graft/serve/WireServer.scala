@@ -146,7 +146,9 @@ final class WireServer(
               mine += bus.subscribe(coll)(r.onBatch)
               r
             }
-            var lastHist = Long.MinValue
+            // per-label lasthist (exporter.py:907-946: finish_subscribe
+            // releases each label against its OWN last history timestamp)
+            val lastHist = scala.collection.mutable.Map.empty[String, Long]
             // stop=0 means the live feed never ends (exporter.py:899-906);
             // the backfill then covers everything up to the present
             val histStop = if (stop == 0) Long.MaxValue else stop
@@ -154,22 +156,34 @@ final class WireServer(
             chunks.foreach { c =>
               c.rows.foreach { r =>
                 val i = r.schema.fieldIndex("timestamp")
-                if (!r.isNullAt(i)) lastHist = math.max(lastHist, r.getLong(i))
+                if (!r.isNullAt(i)) {
+                  val t = r.getLong(i)
+                  lastHist(c.label) =
+                    math.max(lastHist.getOrElse(c.label, Long.MinValue), t)
+                }
               }
               val frame = historyBody(c)
               out.synchronized { out.write(frame); out.flush() }
             }
             // markers registered BEFORE the ack: once the client sees the
-            // ack, batch commits are guaranteed to reach it
+            // ack, batch commits are guaranteed to reach it. With a live
+            // relay present the frames ride it — buffered until finish(),
+            // so PUSH(T) can never overtake the buffered rows <= T it
+            // covers (the reference interleaves markers with the released
+            // buffer, exporter.py:928-956).
             markers.foreach { bus =>
               mine += bus.subscribe(coll) { m =>
                 val frame = Wire.pack(
                   Wire.Push,
                   s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
                     .getBytes("UTF-8"))
-                // a failed write throws out of the bus callback → the bus
-                // auto-unsubscribes this dead client
-                out.synchronized { out.write(frame); out.flush() }
+                relay match {
+                  case Some(r) => r.onMarker(frame)
+                  case None =>
+                    // a failed write throws out of the bus callback → the
+                    // bus auto-unsubscribes this dead client
+                    out.synchronized { out.write(frame); out.flush() }
+                }
               }
             }
             // ack between history and live: the client's seam marker
@@ -177,9 +191,9 @@ final class WireServer(
               out.write(Wire.pack(Wire.Subscribe, """{"subscribed":true}""".getBytes("UTF-8")))
               out.flush()
             }
-            // release rows buffered during backfill (seam rule: > lasthist),
-            // then passthrough
-            relay.foreach(_.finish(lastHist))
+            // release rows buffered during backfill (per-label seam rule:
+            // > that label's own lasthist), then passthrough
+            relay.foreach(_.finish(lastHist.toMap))
             handles ++= mine // survive until the connection closes
             Array.emptyByteArray
           } catch {
@@ -244,114 +258,138 @@ final class WireServer(
           s"""{"error":${JsonMini.str(String.valueOf(e.getMessage))}}""".getBytes("UTF-8"))
     }
 
-  /** Per-subscription live-row relay — the wire twin of
-    * `Subscribe.Session` + `LiveFanout.gated` (X1/X2,
-    * exporter.py:907-971, 1408-1489): batches arriving during backfill are
-    * buffered; `finish(lasthist)` seeds a PER-STREAM high-water gate with
-    * the history's last timestamp, releases buffered rows through it, and
-    * flips to passthrough — where the gate keeps enforcing strictly-newer
-    * delivery, so an at-least-once upstream (the reference's RabbitMQ
-    * feed) still yields exactly-once frames per stream on the socket.
-    * Rows are admitted when their stream belongs to the subscription (a
-    * stream in several label groups fans out once per label, like
-    * attachLabels) and their timestamp is inside [start, stop]
-    * (stop=0 ⇒ forever). Emitted frames:
-    * `{"collection":…,"label":…,"rows":[…]}` with msgType `Wire.Live`,
-    * rows restricted to timestamp + stream_id + the subscribed columns.
+}
+
+/** Per-subscription live-row relay — the wire twin of
+  * `Subscribe.Session` + `LiveFanout.gated` (X1/X2,
+  * exporter.py:907-971, 1408-1489): batches arriving during backfill are
+  * buffered; `finish(lasthist)` seeds a PER-(LABEL, STREAM) high-water gate
+  * with that LABEL's own last history timestamp (`Long.MinValue` for labels
+  * with no history — the reference's finish_subscribe runs per label,
+  * exporter.py:907-946), releases buffered rows through it, and flips to
+  * passthrough — where the gate keeps enforcing strictly-newer delivery,
+  * so an at-least-once upstream (the reference's RabbitMQ feed) still
+  * yields exactly-once frames per (label, stream) on the socket.
+  * Rows are admitted when their stream belongs to the subscription (a
+  * stream in several label groups fans out once per label, like
+  * attachLabels) and their timestamp is inside [start, stop]
+  * (stop=0 ⇒ forever). Emitted frames:
+  * `{"collection":…,"label":…,"rows":[…]}` with msgType `Wire.Live`,
+  * rows restricted to timestamp + stream_id + the subscribed columns.
+  *
+  * PUSH marker frames also ride the relay (`onMarker`): buffered while
+  * backfilling, written after the released rows at `finish`, passthrough
+  * once live — so a marker PUSH(T) can never reach the client before the
+  * buffered rows <= T it covers (the reference interleaves markers with
+  * the released buffer, exporter.py:928-956).
+  */
+private[serve] final class LiveRelay(
+    coll: String,
+    labels: Map[String, Seq[Long]],
+    columns: Seq[String],
+    start: Long,
+    stop: Long,
+    out: DataOutputStream) {
+
+  import graft.streaming.Markers
+
+  private val streamLabels: Map[Long, Seq[String]] =
+    labels.toSeq
+      .flatMap { case (l, sids) => sids.map(_ -> l) }
+      .groupBy(_._1)
+      .map { case (sid, ps) => sid -> ps.map(_._2).sorted }
+
+  private var buffered = Vector.empty[Row]
+  private var bufferedMarkers = Vector.empty[Array[Byte]]
+  private var liveMode = false
+  // per-(label, stream) high-water mark, seeded at the seam with the
+  // label's OWN lasthist; only consulted in live mode
+  private var gate = Map.empty[(String, Long), Long]
+
+  private def ts(r: Row): Long = r.getLong(r.schema.fieldIndex("timestamp"))
+  private def sid(r: Row): Long = r.getLong(r.schema.fieldIndex("stream_id"))
+
+  /** Stream subscribed + timestamp inside the window. */
+  private def admit(rows: Seq[Row]): Seq[Row] =
+    rows.filter { r =>
+      val ti = r.schema.fieldIndex("timestamp")
+      val si = r.schema.fieldIndex("stream_id")
+      !r.isNullAt(ti) && !r.isNullAt(si) && {
+        val t = r.getLong(ti)
+        t >= start && (stop == 0 || t <= stop) &&
+          streamLabels.contains(r.getLong(si))
+      }
+    }
+
+  /** Fan rows out per label and apply the per-(label, stream) monotonic
+    * gate (in timestamp order, equal timestamps deduped — LiveFanout's
+    * rule), advancing it.
     */
-  private final class LiveRelay(
-      coll: String,
-      labels: Map[String, Seq[Long]],
-      columns: Seq[String],
-      start: Long,
-      stop: Long,
-      out: DataOutputStream) {
-
-    private val streamLabels: Map[Long, Seq[String]] =
-      labels.toSeq
-        .flatMap { case (l, sids) => sids.map(_ -> l) }
-        .groupBy(_._1)
-        .map { case (sid, ps) => sid -> ps.map(_._2).sorted }
-
-    private var buffered = Vector.empty[Row]
-    private var liveMode = false
-    // per-stream high-water mark, seeded with the global lasthist at the
-    // seam (Subscribe.Session semantics); only consulted in live mode
-    private var gate = Map.empty[Long, Long]
-
-    private def ts(r: Row): Long = r.getLong(r.schema.fieldIndex("timestamp"))
-    private def sid(r: Row): Long = r.getLong(r.schema.fieldIndex("stream_id"))
-
-    /** Stream subscribed + timestamp inside the window. */
-    private def admit(rows: Seq[Row]): Seq[Row] =
-      rows.filter { r =>
-        val ti = r.schema.fieldIndex("timestamp")
-        val si = r.schema.fieldIndex("stream_id")
-        !r.isNullAt(ti) && !r.isNullAt(si) && {
-          val t = r.getLong(ti)
-          t >= start && (stop == 0 || t <= stop) &&
-            streamLabels.contains(r.getLong(si))
+  private def gated(rows: Seq[Row]): Seq[(String, Row)] =
+    rows
+      .flatMap(r => streamLabels(sid(r)).map(l => (l, sid(r)) -> r))
+      .groupBy(_._1)
+      .toSeq.sortBy(_._1)
+      .flatMap { case (key @ (label, _), keyed) =>
+        var hwm = gate.getOrElse(key, Long.MinValue)
+        val outRows = keyed.map(_._2).sortBy(ts).filter { r =>
+          val t = ts(r)
+          if (t > hwm) { hwm = t; true } else false
         }
+        gate += key -> hwm
+        outRows.map(label -> _)
       }
 
-    /** Apply the per-stream monotonic gate (in timestamp order, equal
-      * timestamps deduped — LiveFanout's rule) and advance it.
-      */
-    private def gated(rows: Seq[Row]): Seq[Row] =
-      rows
-        .groupBy(sid)
-        .toSeq.sortBy(_._1)
-        .flatMap { case (s, rs) =>
-          var hwm = gate.getOrElse(s, Long.MinValue)
-          val outRows = rs.sortBy(ts).filter { r =>
-            val t = ts(r)
-            if (t > hwm) { hwm = t; true } else false
-          }
-          gate += s -> hwm
-          outRows
-        }
-
-    def onBatch(b: Markers.LiveBatch): Unit = synchronized {
-      val adm = admit(b.rows)
-      if (!liveMode) buffered ++= adm
-      else emit(gated(adm))
-    }
-
-    def finish(lastHist: Long): Unit = synchronized {
-      liveMode = true
-      gate = streamLabels.keys.map(_ -> lastHist).toMap
-      emit(gated(buffered))
-      buffered = Vector.empty
-    }
-
-    private def rowJson(r: Row): String = {
-      val wanted = Seq("timestamp", "stream_id") ++
-        columns.filterNot(Seq("timestamp", "stream_id").contains)
-      wanted
-        .filter(r.schema.fieldNames.contains)
-        .map { n =>
-          val i = r.schema.fieldIndex(n)
-          s"${JsonMini.str(n)}:${JsonMini.value(if (r.isNullAt(i)) null else r.get(i))}"
-        }
-        .mkString("{", ",", "}")
-    }
-
-    /** Fan out per label (a stream in several groups appears under each)
-      * and write one Live frame per label.
-      */
-    private def emit(rows: Seq[Row]): Unit =
-      rows
-        .flatMap(r => streamLabels(sid(r)).map(_ -> r))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .foreach { case (label, rs) =>
-          val body =
-            s"""{"collection":${JsonMini.str(coll)},"label":${JsonMini.str(label)},""" +
-              s""""rows":${rs.map { case (_, r) => rowJson(r) }.mkString("[", ",", "]")}}"""
-          val frame = Wire.pack(Wire.Live, body.getBytes("UTF-8"))
-          // write failures propagate to the bus, which drops this subscriber
-          out.synchronized { out.write(frame); out.flush() }
-        }
+  def onBatch(b: Markers.LiveBatch): Unit = synchronized {
+    val adm = admit(b.rows)
+    if (!liveMode) buffered ++= adm
+    else emit(gated(adm))
   }
+
+  /** PUSH frames are ordered behind the rows they cover: buffered during
+    * backfill, released after the buffered rows at finish, then direct.
+    */
+  def onMarker(frame: Array[Byte]): Unit = synchronized {
+    if (!liveMode) bufferedMarkers :+= frame
+    else out.synchronized { out.write(frame); out.flush() }
+  }
+
+  def finish(lastHistByLabel: Map[String, Long]): Unit = synchronized {
+    liveMode = true
+    gate = (for ((l, sids) <- labels.toSeq; s <- sids)
+      yield (l, s) -> lastHistByLabel.getOrElse(l, Long.MinValue)).toMap
+    emit(gated(buffered))
+    buffered = Vector.empty
+    bufferedMarkers.foreach(f => out.synchronized { out.write(f); out.flush() })
+    bufferedMarkers = Vector.empty
+  }
+
+  private def rowJson(r: Row): String = {
+    val wanted = Seq("timestamp", "stream_id") ++
+      columns.filterNot(Seq("timestamp", "stream_id").contains)
+    wanted
+      .filter(r.schema.fieldNames.contains)
+      .map { n =>
+        val i = r.schema.fieldIndex(n)
+        s"${JsonMini.str(n)}:${JsonMini.value(if (r.isNullAt(i)) null else r.get(i))}"
+      }
+      .mkString("{", ",", "}")
+  }
+
+  /** Write one Live frame per label (rows already label-tagged by the
+    * gate's fan-out).
+    */
+  private def emit(rows: Seq[(String, Row)]): Unit =
+    rows
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (label, rs) =>
+        val body =
+          s"""{"collection":${JsonMini.str(coll)},"label":${JsonMini.str(label)},""" +
+            s""""rows":${rs.map { case (_, r) => rowJson(r) }.mkString("[", ",", "]")}}"""
+        val frame = Wire.pack(Wire.Live, body.getBytes("UTF-8"))
+        // write failures propagate to the bus, which drops this subscriber
+        out.synchronized { out.write(frame); out.flush() }
+      }
 }
 
 /** Tiny JSON helpers — enough for the protocol surface, no dependencies.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.query.QueryEngine
@@ -37,6 +37,20 @@ object Subscribe {
   def mergeBackfillAndLive(history: DataFrame, bufferedLive: DataFrame, lastHist: Long): DataFrame =
     history.unionByName(bufferedLive.filter(col("timestamp") > lastHist))
 
+  /** Per-label seam gate (exporter.py:907-946 — `finish_subscribe` runs
+    * once PER LABEL with that label's own `lasthist`; the `d[2] <= lasthist`
+    * drop is inside the per-label loop): a buffered live row is released
+    * when its timestamp exceeds ITS OWN label's last history timestamp,
+    * `Long.MinValue` for labels with no history at all (everything
+    * released). A single global gate would silently drop live rows for
+    * labels whose histories end earlier than the global max.
+    */
+  def labelGate(labels: Iterable[String], lastHistByLabel: Map[String, Long]): Column =
+    labels.foldLeft(lit(Long.MinValue)) { (acc, l) =>
+      when(col(QueryEngine.LabelCol) === l,
+        lit(lastHistByLabel.getOrElse(l, Long.MinValue))).otherwise(acc)
+    }
+
   /** Per-subscription live filter (X2, exporter.py:1408-1489): restrict to
     * subscribed streams, drop rows before `start`, end the feed past `end`.
     */
@@ -61,7 +75,7 @@ object Subscribe {
   final class Session(val sub: Subscription) {
     private var state: State = Backfilling
     private var buffered: Vector[DataFrame] = Vector.empty
-    private var lastHist: Long = Long.MinValue
+    private var lastHist: Map[String, Long] = Map.empty
     private var pushed: Option[Long] = None
 
     def currentState: State = state
@@ -76,10 +90,27 @@ object Subscribe {
 
     def pushedUpTo: Option[Long] = pushed
 
+    /** Record the backfill's last timestamp PER LABEL (exporter.py:907-946:
+      * each label releases against its own lasthist). A history frame
+      * without the label column (single-label callers handing raw data)
+      * seeds every label with the global max — the two coincide there.
+      */
     def onHistory(history: DataFrame): Unit = {
       require(state == Backfilling)
-      val mx = history.agg(max("timestamp")).collect()(0)
-      lastHist = if (mx.isNullAt(0)) Long.MinValue else mx.getLong(0)
+      lastHist =
+        if (history.columns.contains(QueryEngine.LabelCol))
+          history
+            .groupBy(col(QueryEngine.LabelCol))
+            .agg(max("timestamp"))
+            .collect()
+            .filterNot(_.isNullAt(1))
+            .map(r => r.getString(0) -> r.getLong(1))
+            .toMap
+        else {
+          val mx = history.agg(max("timestamp")).collect()(0)
+          if (mx.isNullAt(0)) Map.empty
+          else sub.labels.keys.map(_ -> mx.getLong(0)).toMap
+        }
     }
 
     def onLive(batch: DataFrame): Option[DataFrame] = state match {
@@ -90,16 +121,20 @@ object Subscribe {
         Some(liveFilter(batch, sub)) // pass through immediately
     }
 
-    /** Release buffered live rows `> lasthist`; afterwards live batches
-      * flow straight through (X3 PUSH markers arrive via `onMarker`,
-      * published by the ingest's batch-commit callback — see FilePoller).
+    /** Release buffered live rows whose timestamp exceeds THEIR label's
+      * own lasthist (labels absent from history gate at Long.MinValue —
+      * everything released); afterwards live batches flow straight through
+      * (X3 PUSH markers arrive via `onMarker`, published by the ingest's
+      * batch-commit callback — see FilePoller). Buffered frames carry the
+      * label column (`liveFilter` attaches it), so the gate is a tiny
+      * per-label CASE expression, not a join.
       */
     def finish(): Option[DataFrame] = {
       require(state == Backfilling)
       state = Live
       val out = buffered
         .reduceOption(_ unionByName _)
-        .map(_.filter(col("timestamp") > lastHist))
+        .map(_.filter(col("timestamp") > labelGate(sub.labels.keys, lastHist)))
       buffered = Vector.empty
       out
     }
