@@ -63,7 +63,7 @@ final class Service(
     * iterators submit their jobs lazily from the caller's thread and must
     * stay cancellable; the next service call overwrites the group.
     */
-  private def withCancellation[T](op: String)(body: => T): T =
+  private[graft] def withCancellation[T](op: String)(body: => T): T =
     if (queryTimeoutSec <= 0) body
     else {
       val sc = spark.sparkContext
@@ -79,10 +79,13 @@ final class Service(
         queryTimeoutSec, 1, java.util.concurrent.TimeUnit.SECONDS)
       try body
       catch {
-        // any failure after the watchdog fired IS the timeout: an
-        // interruptOnCancel kill can surface as InterruptedException or an
-        // IO error with no "cancelled" in its message
-        case e: Throwable if fired || isCancellation(e) =>
+        // the interruptOnCancel kill can surface as InterruptedException or
+        // an IO error with no "cancelled" in its message — but ONLY
+        // interrupt/IO-shaped failures reclassify after the deadline; a
+        // genuine post-deadline failure (executor loss, OOM, analysis
+        // error) propagates with its own root cause instead of
+        // masquerading as a timeout
+        case e: Throwable if isCancellation(e) || (fired && isInterruptLike(e)) =>
           throw new QueryCancelledException(op, e)
       } finally timer.cancel(false)
     }
@@ -93,6 +96,18 @@ final class Service(
         Option(e.getMessage).exists(m =>
           m.contains("cancelled") || m.contains("canceled")) ||
         isCancellation(e.getCause))
+
+  /** A failure shape the watchdog's interrupt can plausibly have produced
+    * (InterruptedException, or an IO error from a connection torn down
+    * mid-read). Anything else that happens to land after the deadline is a
+    * real failure and must keep its own identity.
+    */
+  private def isInterruptLike(e: Throwable): Boolean =
+    e != null && (
+      e.isInstanceOf[InterruptedException] ||
+        e.isInstanceOf[java.io.IOException] ||
+        e.isInstanceOf[java.nio.channels.ClosedChannelException] ||
+        isInterruptLike(e.getCause))
 
   /** NNTSC_REQ_COLLECTION → the registry. */
   def collections(): Seq[(Int, String, String)] =
@@ -191,9 +206,10 @@ final class Service(
       def wrap[A](a: => A): A =
         try a
         catch {
-          // post-deadline failures classify as timeout even when the kill
-          // surfaces as InterruptedException / IO error (see isCancellation)
-          case e: Throwable if fired || isCancellation(e) =>
+          // post-deadline interrupt/IO failures classify as timeout (the
+          // kill surfaces as InterruptedException / IO error); other
+          // failures keep their identity (see isInterruptLike)
+          case e: Throwable if isCancellation(e) || (fired && isInterruptLike(e)) =>
             done = true
             timer.cancel(false)
             throw new QueryCancelledException(op, e)

@@ -189,19 +189,45 @@ object IngestStream {
   def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
     val committed = committedCsets(layoutPath)
     val cutoff = committed.lastOption.getOrElse(0L)
-    val raw = spark.read.parquet(dataPath)
+    // a fully-compacted landing zone (every epoch folded into csets and
+    // GC'd) has no parquet left — an unguarded spark.read.parquet would
+    // throw "Unable to infer schema" instead of serving the committed
+    // csets (the hasParquet twin of readStreams' guard, recursive because
+    // landing files live under __epoch=N/ subdirs)
     val recent =
-      if (raw.columns.contains(EpochCol))
-        raw.filter(col(EpochCol) >= cutoff).drop(EpochCol)
-      else raw
-    if (committed.isEmpty) recent
-    else {
-      val settled = spark.read
-        .parquet(committed.map(c => s"$layoutPath/cset=$c"): _*)
-        .drop("sbucket", "day")
-      settled.unionByName(recent, allowMissingColumns = true)
+      if (!hasParquetRec(new java.io.File(dataPath))) None
+      else {
+        val raw = spark.read.parquet(dataPath)
+        Some(
+          if (raw.columns.contains(EpochCol))
+            raw.filter(col(EpochCol) >= cutoff).drop(EpochCol)
+          else raw)
+      }
+    val settled =
+      if (committed.isEmpty) None
+      else Some(
+        spark.read
+          .parquet(committed.map(c => s"$layoutPath/cset=$c"): _*)
+          .drop("sbucket", "day"))
+    (settled, recent) match {
+      case (Some(s), Some(r)) => s.unionByName(r, allowMissingColumns = true)
+      case (Some(s), None)    => s
+      case (None, Some(r))    => r
+      case (None, None) =>
+        throw new NoSuchElementException(
+          s"readCombined: no committed csets under $layoutPath and no raw epochs under $dataPath")
     }
   }
+
+  /** Any parquet file at or below `d` (epoch landing files live one level
+    * down, under `__epoch=N/`).
+    */
+  private def hasParquetRec(d: java.io.File): Boolean =
+    d.exists && {
+      val fs = d.listFiles
+      fs != null && fs.exists(f =>
+        f.getName.endsWith(".parquet") || (f.isDirectory && hasParquetRec(f)))
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRecursively)

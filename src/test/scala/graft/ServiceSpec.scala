@@ -46,6 +46,39 @@ class ServiceSpec extends SparkSpec {
       0L, Long.MaxValue / 2).nonEmpty)
   }
 
+  test("post-deadline failures keep their identity; only interrupt-like ones are timeouts") {
+    val timed = new Service(
+      spark,
+      data = Map("amp-external" -> events),
+      streams = Map("amp-external" -> streamsDim),
+      queryTimeoutSec = 1)
+    // a genuine failure that happens to land AFTER the watchdog fired must
+    // NOT masquerade as a timeout (pre-fix: any post-deadline Throwable
+    // became QueryCancelledException, masking executor loss / OOM / bugs)
+    val boom = intercept[IllegalStateException] {
+      timed.withCancellation("genuine-failure") {
+        Thread.sleep(1600) // watchdog fires at 1s
+        throw new IllegalStateException("executor lost (not a timeout)")
+      }
+    }
+    assert(boom.getMessage.contains("executor lost"))
+    // … while an interrupt-like failure after the deadline IS the timeout
+    // (interruptOnCancel surfaces as InterruptedException / IO error)
+    val cancelled = intercept[Service.QueryCancelledException] {
+      timed.withCancellation("interrupted") {
+        Thread.sleep(1600)
+        throw new java.io.IOException("connection reset mid-read")
+      }
+    }
+    assert(cancelled.getCause.isInstanceOf[java.io.IOException])
+    // before the deadline, interrupt-like failures are NOT timeouts either
+    intercept[java.io.IOException] {
+      timed.withCancellation("early-io") {
+        throw new java.io.IOException("real IO failure, no deadline involved")
+      }
+    }
+  }
+
   test("collections + schema replies mirror the registry") {
     val cols = svc.collections()
     assert(cols.size === 14)

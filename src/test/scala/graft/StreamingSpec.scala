@@ -148,6 +148,36 @@ class StreamingSpec extends SparkSpec {
     assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 3)
   }
 
+  test("readCombined serves committed csets from a fully-compacted landing zone") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    // compact EVERY epoch: GC empties the landing zone entirely (only the
+    // partition-discovery leftovers like _SUCCESS remain) — pre-fix,
+    // readCombined threw "Unable to infer schema" here instead of serving
+    // the committed csets
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .forall(!_.getName.startsWith("__epoch=")))
+    val all = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+    assert(all.count() === 2)
+    assert(all.select("timestamp").distinct().count() === 2)
+    // ingest resumes into the drained zone; the view unions both sides again
+    IngestStream.ingestBatch(batch("s3", 1704240000L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 3)
+    // nothing anywhere is a configuration error, reported as such
+    intercept[NoSuchElementException] {
+      IngestStream.readCombined(spark, s"$dir/nope-layout", s"$dir/nope-data")
+    }
+  }
+
   test("compactToLayout crash-atomicity: readers never double-count (X9)") {
     val dir = tmpDir()
     val spec = Collections.ampExternal
