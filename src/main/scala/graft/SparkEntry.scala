@@ -299,6 +299,20 @@ object SparkEntry {
         Start, Stop, parity = true)
     }),
 
+    // ---- A12 matrix served FROM the rollup tier (influx.py:384-517):
+    //      partial→matrix math over 1-h pre-aggregates; the oracle
+    //      recomputes from raw rows over the same [Start, Stop) bins
+    "q_matrix_tier" -> ((s, dir) => {
+      val tier = Rollup.build(Tables.tsEvents(s, dir), 3600, "value")
+      Rollup.matrixFromTier(
+        tier, labelsFor(s, dir),
+        Seq(
+          AggSpec("value", "avg"), AggSpec("value", "sum"),
+          AggSpec("value", "min"), AggSpec("value", "max"),
+          AggSpec("value", "count"), AggSpec("value", "stddev")),
+        Start, Stop)
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -932,6 +946,22 @@ object SparkEntry {
          |  max("timestamp") AS "timestamp",
          |  min("timestamp") AS min_timestamp
          |FROM ($oracleEventsWindow)
+         |GROUP BY 1
+         |ORDER BY nntsclabel""".stripMargin,
+
+    "q_matrix_tier" ->
+      s"""SELECT nntsclabel, CAST($Start AS BIGINT) AS binstart,
+         |  ${OracleParity.Sql.exactAvg("value")} AS value_avg,
+         |  ${OracleParity.Sql.exactSum("value")} AS value_sum,
+         |  min(value) AS value_min,
+         |  max(value) AS value_max,
+         |  count(value) AS value_count,
+         |  ${OracleParity.Sql.exactStddev("value")} AS value_stddev,
+         |  max("timestamp") AS "timestamp",
+         |  min("timestamp") AS min_timestamp
+         |FROM ($OracleEvents)
+         |WHERE "timestamp" - ("timestamp" % 3600) >= $Start
+         |  AND "timestamp" - ("timestamp" % 3600) < $Stop
          |GROUP BY 1
          |ORDER BY nntsclabel""".stripMargin,
 

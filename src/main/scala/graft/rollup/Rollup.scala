@@ -1,6 +1,6 @@
 package graft.rollup
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.OracleParity
@@ -36,7 +36,10 @@ object Rollup {
   def tierFor(start: Long, stop: Long): Long =
     if (stop - start >= 3600) LongBin else ShortBin
 
-  /** Rollup table: exact partial aggregates per (stream_id, binstart). */
+  /** Rollup table: exact partial aggregates per (stream_id, binstart).
+    * `ts`/`tsn` are the bin's max/min timestamps — the matrix reply's plot
+    * point and `min_timestamp` derive from them without touching raw data.
+    */
   def build(data: DataFrame, binsize: Long, valueCol: String): DataFrame = {
     val v = col(valueCol)
     val d = OracleParity.dec(v)
@@ -49,7 +52,8 @@ object Rollup {
         sum(d * d).as("s2"),
         min(v).as("mn"),
         max(v).as("mx"),
-        max("timestamp").as("ts"))
+        max("timestamp").as("ts"),
+        min("timestamp").as("tsn"))
   }
 
   /** Partial→final merge over [start, stop) per label (matrix semantics:
@@ -85,6 +89,59 @@ object Rollup {
         // reference RMS merge: sqrt(Σ(var_i·n_i)/Σn_i) over bins with n>=2
         when(stdDen > 0, round(sqrt(stdNum / stdDen), 6)).as(s"${outPrefix}_stddev"),
         max(col("ts")).as("timestamp"))
+      .orderBy(QueryEngine.LabelCol)
+  }
+
+  /** Matrix summary computed FROM a rollup tier, with the exact output
+    * shape of `QueryEngine.selectMatrixData` (one row per label: nntsclabel,
+    * binstart, requested aggregates under their A11 names, timestamp,
+    * min_timestamp) — the reference's dashboard economy (influx.py:384-517):
+    * a matrix refresh reads the tiny pre-aggregated tier instead of
+    * full-scanning raw history.
+    *
+    * Works directly on per-epoch partials (`RollupStream.readTier` output,
+    * compacted or not): every derivation below is associative over partial
+    * rows, so no per-bin fold is needed first. Window semantics are
+    * bin-granular — bins with `start <= binstart < stop` contribute; callers
+    * route here only when the window aligns to the tier (Service.matrixFrame).
+    *
+    * stddev is the exact sample stddev from the exact decimal partials
+    * ((S2 − S1²/n)/(n−1) over the whole window) — truer to the raw-path
+    * `stddev_samp` than the reference's RMS-of-bin-variances merge
+    * (influx.py:478-491), which `merge` still provides for A13 parity.
+    */
+  def matrixFromTier(
+      tier: DataFrame,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[graft.query.AggSpec],
+      start: Long,
+      stop: Long): DataFrame = {
+    val names = QueryEngine.outputNames(aggs, Nil)
+    val base = QueryEngine.attachLabels(
+      tier.filter(col("binstart") >= start && col("binstart") < stop), labels)
+    val n = sum(col("cnt"))
+    val s1d = sum(col("s1")).cast("double")
+    val s2d = sum(col("s2")).cast("double")
+    def fromPartials(a: graft.query.AggSpec): Column = a.func match {
+      case "max"    => max(col("mx"))
+      case "min"    => min(col("mn"))
+      case "count"  => n
+      case "sum"    => sum(col("s1")).cast("double")
+      case "avg"    => s1d / n
+      // same operation order as OracleParity.exactStddev → identical bits
+      case "stddev" =>
+        when(n >= 2, sqrt(greatest(s2d - s1d * s1d / n, lit(0.0)) / (n - lit(1))))
+      case other =>
+        throw new IllegalArgumentException(s"not derivable from rollup partials: $other")
+    }
+    val exprs = aggs.zip(names).map { case (a, nm) => fromPartials(a).as(nm) } ++
+      Seq(max(col("ts")).as("timestamp"), min(col("tsn")).as("min_timestamp"))
+    base
+      .groupBy(col(QueryEngine.LabelCol))
+      .agg(exprs.head, exprs.tail: _*)
+      .withColumn("binstart", lit(start))
+      .select((Seq(QueryEngine.LabelCol, "binstart") ++ names ++
+        Seq("timestamp", "min_timestamp")).map(col): _*)
       .orderBy(QueryEngine.LabelCol)
   }
 }

@@ -29,6 +29,15 @@ object Service {
   final case class StreamsReply(rows: Seq[Row], more: Boolean)
   final case class HistoryChunk(label: String, rows: Seq[Row], more: Boolean, freq: Long)
 
+  /** A collection's rollup tiers (the reference's 1-min/1-h continuous-query
+    * tables, influx.py:158-195): `tiers` maps binsize → partial-table path
+    * (RollupStream.appendPartials layout), all built over `valueCol`.
+    */
+  final case class RollupTiers(valueCol: String, tiers: Map[Long, String])
+
+  /** Matrix aggregates derivable from rollup partials (cnt/s1/s2/mn/mx). */
+  private val TierFuncs = Set("max", "min", "sum", "avg", "count", "stddev")
+
   /** The NNTSC_QUERY_CANCELLED analog (exporter.py:362-378): tells the
     * client the absence of data is a timeout, not an empty range.
     */
@@ -55,7 +64,8 @@ final class Service(
     spark: SparkSession,
     data: Map[String, DataFrame],
     streams: Map[String, DataFrame],
-    queryTimeoutSec: Long = 0) {
+    queryTimeoutSec: Long = 0,
+    rollups: Map[String, Service.RollupTiers] = Map.empty) {
   import Service._
 
   /** Tag the calling thread with a fresh job group and arm the watchdog.
@@ -171,9 +181,52 @@ final class Service(
       start: Long,
       stop: Long): Seq[Row] =
     withCancellation("matrix") {
-      QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
-        .collect().toSeq
+      matrixFrame(collection, labels, aggs, start, stop).collect().toSeq
     }
+
+  /** Matrix plan with the reference's tier routing (influx.py:384-517, tier
+    * pick :387-394): when the collection has rollup tiers configured and the
+    * request is derivable from partials, read the LARGEST tier the window
+    * aligns to instead of full-scanning raw history — a dashboard refresh
+    * touches a few pre-aggregated rows per stream, not the fact table.
+    * Falls back to the raw path (the reference's traceroute matrix,
+    * dbselect.py:181-205) when no tier fits: unconfigured collection, an
+    * aggregate the partials can't answer (most/smoke), a column other than
+    * the tier's value column, or an unaligned window (bin-granular tier
+    * reads would silently change window semantics — raw stays exact).
+    *
+    * Freshness matches the reference's CQ lag: tiers ride the ingest
+    * micro-batch (FilePoller.rollupTiers), so a routed matrix sees every
+    * committed batch. The reply schema is cast to the raw plan's, so
+    * callers cannot tell which path served them.
+    *
+    * Boundary note: the routed window is [start, stop) at bin granularity
+    * (Influx CQ semantics, the reference's rollup backend), while the raw
+    * path's BETWEEN is stop-INCLUSIVE (the reference's Postgres backend) —
+    * a data point at exactly `stop` is counted only by the raw path, the
+    * same edge the reference's mixed backends disagree on.
+    */
+  private[graft] def matrixFrame(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[AggSpec],
+      start: Long,
+      stop: Long): DataFrame = {
+    val raw = QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
+    val tiered =
+      for {
+        cfg <- rollups.get(collection)
+        if aggs.forall(a => a.column == cfg.valueCol && TierFuncs(a.func))
+        bin <- cfg.tiers.keys.toSeq.sorted.reverse.find(b =>
+          stop - start >= b && start % b == 0 && stop % b == 0)
+      } yield {
+        val m = graft.rollup.Rollup.matrixFromTier(
+          graft.streaming.RollupStream.readTier(spark, cfg.tiers(bin)),
+          labels, aggs, start, stop)
+        m.select(raw.schema.fields.toSeq.map(f => m(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    tiered.getOrElse(raw)
+  }
 
   /** Iterator-returning ops (chunked history): the timer must outlive the
     * call — toLocalIterator submits its jobs lazily as the client drains

@@ -44,11 +44,12 @@ object RollupStream {
         sum(d * d).as("s2"),
         min(v).as("mn"),
         max(v).as("mx"),
-        max("timestamp").as("ts"))
+        max("timestamp").as("ts"),
+        min("timestamp").as("tsn"))
       .select(
         col("stream_id"),
         col("__w.start").cast("long").as("binstart"),
-        col("cnt"), col("s1"), col("s2"), col("mn"), col("mx"), col("ts"))
+        col("cnt"), col("s1"), col("s2"), col("mn"), col("mx"), col("ts"), col("tsn"))
   }
 
   /** The reference's two tiers (influx.py:183-195). */
@@ -134,7 +135,8 @@ object RollupStream {
         sum(col("s2")).cast(df.schema("s2").dataType).as("s2"),
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"),
-        max(col("ts")).as("ts"))
+        max(col("ts")).as("ts"),
+        min(col("tsn")).as("tsn"))
       .withColumn(IngestStream.EpochCol, lit(-k))
     folded.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -179,6 +179,29 @@ object PlanAudit {
     if (nExch <= 4) println(s"AUDIT ok   q_freq: $nExch exchanges (agg, broadcast, window, sort)")
     else { failures += 1; println(s"AUDIT FAIL q_freq has $nExch exchanges") }
 
+    // 11. matrix serve routing: with rollup tiers configured, the matrix
+    //     plan scans the tiny pre-aggregated tier — the raw fact table
+    //     (events.parquet) appears NOWHERE in it (influx.py:384-517; a
+    //     dashboard refresh must not full-scan raw history)
+    val evAll = Tables.tsEvents(spark, sfDir)
+    val tierDir = java.nio.file.Files.createTempDirectory("graftaudit_tier").toString
+    graft.streaming.RollupStream.appendPartials(
+      evAll, 3600, "value", s"$tierDir/t3600", epoch = 0L)
+    val tierSvc = new graft.serve.Service(
+      spark,
+      data = Map("ev" -> evAll),
+      streams = Map.empty,
+      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+        "value", Map(3600L -> s"$tierDir/t3600"))))
+    val routedMatrix = tierSvc.matrixFrame(
+      "ev", labels,
+      Seq(AggSpec("value", "avg"), AggSpec("value", "max"), AggSpec("value", "count")),
+      1704067200L, 1704067200L + 14 * 86400)
+    check("matrix serve: routed to rollup tier, raw table unscanned",
+      plan(routedMatrix),
+      mustContain = Seq("t3600"),
+      mustNot = Seq("events.parquet"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")

@@ -119,6 +119,68 @@ class ServiceSpec extends SparkSpec {
     assert(m.size === 2)
   }
 
+  test("matrix routes through rollup tiers when configured (influx.py:387-394)") {
+    import graft.streaming.RollupStream
+    val dir = java.nio.file.Files.createTempDirectory("graftmatrix").toString
+    val t0 = 1704067200L // hour-aligned
+    // values exactly representable in both DECIMAL(18,6) and double, so the
+    // tier's exact-decimal partials and the raw double path agree bit-for-bit
+    // offsets 1..4 keep every timestamp off the exact window edge, where
+    // the raw path's inclusive BETWEEN and the tier's [start, stop) bins
+    // differ by construction (see matrixFrame's boundary note)
+    val ev = (0 until 4).flatMap { s =>
+      (0 until 180).map { i =>
+        (s.toLong, t0 + i * 60L + s + 1, (i % 7) * 0.25 + s)
+      }
+    }.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(ev, 60, "value", s"$dir/t60", epoch = 0L)
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/t3600", epoch = 0L)
+    val tiers = Service.RollupTiers(
+      "value", Map(60L -> s"$dir/t60", 3600L -> s"$dir/t3600"))
+    val tsvc = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> tiers))
+    val lbl = Map("x" -> Seq(0L, 1L), "y" -> Seq(2L, 3L))
+    val aggs = Seq("avg", "sum", "min", "max", "count", "stddev")
+      .map(AggSpec("value", _))
+
+    // hour-aligned window >= 1 h → the 1-h tier serves it (the plan scans
+    // tier files; the raw fact frame appears nowhere in it)
+    val routed = tsvc.matrixFrame("amp-external", lbl, aggs, t0, t0 + 7200)
+    val routedPlan = routed.queryExecution.executedPlan.toString
+    assert(routedPlan.contains("t3600"), s"matrix must scan the 1-h tier:\n$routedPlan")
+    assert(!routedPlan.contains("t60]") && !routedPlan.contains("t60/"))
+    // … and the reply matches the raw full-scan path, row for row
+    val raw = graft.query.QueryEngine
+      .selectMatrixData(ev, lbl, aggs, t0, t0 + 7200)
+    assert(routed.schema.map(f => (f.name, f.dataType)) ===
+      raw.schema.map(f => (f.name, f.dataType)))
+    val got = routed.collect().map(r => r.getString(0) -> r).toMap
+    raw.collect().foreach { r =>
+      val g = got(r.getString(0))
+      raw.schema.fieldNames.zipWithIndex.foreach { case (n, i) =>
+        if (n == "value_stddev")
+          assert(math.abs(g.getDouble(i) - r.getDouble(i)) < 1e-9, n)
+        else assert(g.get(i) === r.get(i), n)
+      }
+    }
+
+    // sub-hour aligned window → the 1-min tier
+    val shortPlan = tsvc.matrixFrame("amp-external", lbl, aggs, t0, t0 + 1800)
+      .queryExecution.executedPlan.toString
+    assert(shortPlan.contains("t60") && !shortPlan.contains("t3600"))
+
+    // unaligned window / underivable aggregate → raw fallback (exactness
+    // beats tier economy when bins don't fit the request)
+    val unaligned = tsvc.matrixFrame("amp-external", lbl, aggs, t0 + 30, t0 + 7230)
+    assert(!unaligned.queryExecution.executedPlan.toString.contains(dir))
+    val most = tsvc.matrixFrame(
+      "amp-external", lbl, Seq(AggSpec("value", "most")), t0, t0 + 7200)
+    assert(!most.queryExecution.executedPlan.toString.contains(dir))
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
