@@ -11,8 +11,11 @@ import graft.query.QueryEngine
   * [start, end) + a live tail until `end` (end=0 ⇒ forever), with the
   * ordering guarantee "history before live". Live rows that arrive while
   * backfill is running are buffered and released after backfill, KEEPING
-  * ONLY rows with `timestamp > lasthist` (the last timestamp the history
-  * query returned) — the dedupe rule that makes the seam exact.
+  * ONLY rows with `timestamp > lasthist` — where lasthist is PER LABEL
+  * (each label's own last history timestamp, `labelGate`): the reference's
+  * finish_subscribe runs once per label (exporter.py:907-946), so a label
+  * whose history ends early still receives the live rows between its end
+  * and the latest label's end.
   *
   * The state machine is modeled explicitly (Backfilling → Live); the
   * merge/dedupe rule itself is a pure function so both the batch tests and
@@ -29,13 +32,6 @@ object Subscribe {
       start: Long,
       end: Long, // 0 = forever
       columns: Seq[String])
-
-  /** The seam rule (exporter.py:907-971): emitted = history ++ buffered
-    * live rows with timestamp strictly greater than the last history
-    * timestamp. Both frames must share the subscription's column set.
-    */
-  def mergeBackfillAndLive(history: DataFrame, bufferedLive: DataFrame, lastHist: Long): DataFrame =
-    history.unionByName(bufferedLive.filter(col("timestamp") > lastHist))
 
   /** Per-label seam gate (exporter.py:907-946 — `finish_subscribe` runs
     * once PER LABEL with that label's own `lasthist`; the `d[2] <= lasthist`
@@ -93,7 +89,11 @@ object Subscribe {
     /** Record the backfill's last timestamp PER LABEL (exporter.py:907-946:
       * each label releases against its own lasthist). A history frame
       * without the label column (single-label callers handing raw data)
-      * seeds every label with the global max — the two coincide there.
+      * seeds that label with the global max — the two coincide there, and
+      * ONLY there: a multi-label caller must hand labeled history, or the
+      * global max would silently gate out live rows for labels whose
+      * histories end earlier (the exact bug labelGate exists to prevent),
+      * so that misuse fails loudly instead.
       */
     def onHistory(history: DataFrame): Unit = {
       require(state == Backfilling)
@@ -107,6 +107,12 @@ object Subscribe {
             .map(r => r.getString(0) -> r.getLong(1))
             .toMap
         else {
+          require(
+            sub.labels.size <= 1,
+            s"onHistory: history frame has no '${QueryEngine.LabelCol}' column but the " +
+              s"subscription has ${sub.labels.size} labels — a global lasthist would " +
+              "drop live rows for labels whose histories end earlier; attach labels " +
+              "(QueryEngine.attachLabels) before handing history to a multi-label session")
           val mx = history.agg(max("timestamp")).collect()(0)
           if (mx.isNullAt(0)) Map.empty
           else sub.labels.keys.map(_ -> mx.getLong(0)).toMap

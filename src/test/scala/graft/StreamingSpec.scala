@@ -318,6 +318,54 @@ class StreamingSpec extends SparkSpec {
     assert(after.get.collect().map(_.getAs[Long]("timestamp")).toSeq === Seq(50L))
   }
 
+  test("subscribe seam is PER LABEL: early-ending and history-less labels keep their live rows (X1)") {
+    import graft.query.QueryEngine
+    val sub = Subscribe.Subscription(
+      Map("a" -> Seq(1L), "b" -> Seq(2L), "c" -> Seq(3L)),
+      start = 0L, end = 0L, columns = Seq("value"))
+    val session = new Subscribe.Session(sub)
+
+    // label a's history ends at 1000, b's at 2000, c has NO history —
+    // exactly the shape a global gate (max = 2000) gets wrong
+    val history = Seq(
+      ("a", 1L, 900L, 0.9), ("a", 1L, 1000L, 1.0),
+      ("b", 2L, 1000L, 2.0), ("b", 2L, 2000L, 2.2))
+      .toDF(QueryEngine.LabelCol, "stream_id", "timestamp", "value")
+    session.onHistory(history)
+
+    val liveDuringBackfill = Seq(
+      (1L, 900L, 0.9),  // a, <= a's lasthist → dropped
+      (1L, 1500L, 1.5), // a, between a's end (1000) and b's end (2000):
+                        // the row the old global gate silently dropped
+      (2L, 1500L, 2.5), // b, <= b's lasthist → dropped (history served it)
+      (2L, 2500L, 2.9), // b, past b's lasthist → released
+      (3L, 500L, 3.5))  // c has no history at all → everything released
+      .toDF("stream_id", "timestamp", "value")
+    assert(session.onLive(liveDuringBackfill).isEmpty) // buffered
+
+    val released = session.finish().get
+      .select(QueryEngine.LabelCol, "timestamp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(released === Seq(("a", 1500L), ("b", 2500L), ("c", 500L)))
+  }
+
+  test("multi-label session rejects unlabeled history instead of global-gating (X1 guard)") {
+    val multi = new Subscribe.Session(Subscribe.Subscription(
+      Map("a" -> Seq(1L), "b" -> Seq(2L)), 0L, 0L, Seq("value")))
+    val unlabeled = Seq((1L, 1000L, 1.0), (2L, 2000L, 2.0))
+      .toDF("stream_id", "timestamp", "value")
+    val e = intercept[IllegalArgumentException](multi.onHistory(unlabeled))
+    assert(e.getMessage.contains("nntsclabel"))
+    // the single-label fallback keeps working (global max == the label's own)
+    val single = new Subscribe.Session(Subscribe.Subscription(
+      Map("a" -> Seq(1L)), 0L, 0L, Seq("value")))
+    single.onHistory(Seq((1L, 1000L, 1.0)).toDF("stream_id", "timestamp", "value"))
+    assert(single.onLive(
+      Seq((1L, 900L, 0.5), (1L, 1100L, 1.1)).toDF("stream_id", "timestamp", "value")).isEmpty)
+    assert(single.finish().get.collect()
+      .map(_.getAs[Long]("timestamp")).toSeq === Seq(1100L))
+  }
+
   test("stateful live fan-out: lasthist seed + cross-batch dedupe (X1 streaming form)") {
     import graft.streaming.LiveFanout
     import graft.streaming.LiveFanout.LiveRow

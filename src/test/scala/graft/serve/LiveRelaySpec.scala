@@ -1,0 +1,92 @@
+package graft.serve
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Markers
+
+/** The wire twin of the per-label seam (X1/X3, exporter.py:907-956), driven
+  * deterministically: LiveRelay is exercised directly against a byte sink,
+  * so "rows published mid-backfill" is not a socket race but a plain call
+  * ordering. Covers the two round-4/5 fixes the socket specs cannot pin
+  * down: per-label lasthist release and PUSH markers ordered AFTER the
+  * buffered rows they cover.
+  */
+class LiveRelaySpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("stream_id", LongType), StructField("timestamp", LongType),
+    StructField("value", DoubleType)))
+  private def row(sid: Long, ts: Long, v: Double = 1.0) =
+    new GenericRowWithSchema(Array[Any](sid, ts, v), schema)
+
+  /** Drain the sink into (msgType, body-string) frames. */
+  private def frames(buf: ByteArrayOutputStream): Seq[(Int, String)] = {
+    var bytes = buf.toByteArray
+    val out = Seq.newBuilder[(Int, String)]
+    while (bytes.length >= Wire.HeaderLen) {
+      val m = Wire.unpack(bytes)
+      out += ((m.msgType, new String(m.body, "UTF-8")))
+      bytes = bytes.drop(Wire.HeaderLen + m.body.length)
+    }
+    out.result()
+  }
+
+  test("per-label seam: early-ending and history-less labels keep their buffered rows") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external",
+      Map("a" -> Seq(1L), "b" -> Seq(2L), "c" -> Seq(3L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink))
+
+    // mid-backfill batch: a's history will end at 1000, b's at 2000, c has
+    // none — rows (1,1500) and (3,500) are exactly what a global gate
+    // (max lasthist = 2000) used to drop
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(
+      row(1L, 900L), row(1L, 1500L),
+      row(2L, 1500L), row(2L, 2500L),
+      row(3L, 500L))))
+    assert(frames(sink).isEmpty) // everything buffered while backfilling
+
+    relay.finish(Map("a" -> 1000L, "b" -> 2000L)) // c absent: no history
+    val released = frames(sink)
+    assert(released.forall(_._1 == Wire.Live))
+    def tsFor(label: String): Seq[Long] =
+      released.filter(_._2.contains(s""""label":"$label"""")).flatMap(f =>
+        """"timestamp":(\d+)""".r.findAllMatchIn(f._2).map(_.group(1).toLong))
+    assert(tsFor("a") === Seq(1500L)) // 900 <= a's own lasthist, 1500 released
+    assert(tsFor("b") === Seq(2500L)) // 1500 was served by b's history
+    assert(tsFor("c") === Seq(500L))  // no history → everything released
+  }
+
+  test("PUSH markers published mid-backfill arrive AFTER the buffered rows they cover") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("a" -> Seq(1L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink))
+
+    // reference ordering (exporter.py:928-956): the marker PUSH(1500)
+    // promises "all data <= 1500 delivered" — it must not overtake the
+    // buffered row at 1500 across the seam
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1500L))))
+    relay.onMarker(Wire.pack(Wire.Push,
+      """{"collection":"amp-external","timestamp":1500}""".getBytes("UTF-8")))
+    assert(frames(sink).isEmpty)
+
+    relay.finish(Map("a" -> 1000L))
+    val seam = frames(sink)
+    assert(seam.map(_._1) === Seq(Wire.Live, Wire.Push))
+    assert(seam.head._2.contains(""""timestamp":1500"""))
+    assert(seam.last._2.contains(""""timestamp":1500"""))
+
+    // live mode: rows and markers pass straight through, in call order
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1600L))))
+    relay.onMarker(Wire.pack(Wire.Push,
+      """{"collection":"amp-external","timestamp":1600}""".getBytes("UTF-8")))
+    val after = frames(sink).drop(seam.length)
+    assert(after.map(_._1) === Seq(Wire.Live, Wire.Push))
+  }
+}
