@@ -1274,9 +1274,10 @@ object SparkEntry {
          |  SELECT id, v, home, unnest([home, xor(home, 1), xor(home, 2)]) AS bkt
          |  FROM b
          |), c AS (
-         |  SELECT a.id AS id_a, b2.id AS id_b, a.v AS va, b2.v AS vb
-         |  FROM p a JOIN p b2 ON a.bkt = b2.bkt AND a.id < b2.id
-         |  WHERE a.bkt = least(a.home, b2.home)
+         |  SELECT least(a.id, h.id) AS id_a, greatest(a.id, h.id) AS id_b,
+         |         a.v AS va, h.v AS vb
+         |  FROM p a JOIN b h ON a.bkt = h.home
+         |  WHERE h.home < a.home OR (a.home = h.home AND a.id < h.id)
          |)
          |SELECT id_a, id_b, $cos AS sim
          |FROM c

@@ -78,13 +78,22 @@ object Similarity {
     * the vectors themselves — the sign-bit LSH bucket — rather than a
     * pre-existing label column (which a raw 100 TB corpus does not have).
     * Same shape as `embeddingDupPairs`: equi-join on the bucket, verify
-    * with exact cosine. With `probes > 0`, each vector additionally joins
-    * into the buckets at Hamming distance 1 on its lowest `probes` planes
-    * (near-dups straddling one hyperplane are recovered; candidates grow
-    * ~(probes+1)×). Deterministic end-to-end: the hyperplanes are
-    * md5-derived (engine-reproducible — the DuckDB oracle recomputes the
-    * buckets), and duplicate candidate pairs from multi-probe are
-    * collapsed by keying each pair on ONE canonical bucket.
+    * with exact cosine. With `probes > 0`, each vector on the PROBE side
+    * additionally joins into the buckets at Hamming distance 1 on its
+    * lowest `probes` planes (near-dups straddling one hyperplane are
+    * recovered). Multi-probe is SINGLE-SIDED: only the left side explodes,
+    * the right side stays in its home bucket, so candidates grow
+    * (probes+1)× — a double-sided explode squares that to (probes+1)²
+    * while recovering exactly the same Hamming-≤1 pairs. Deterministic
+    * end-to-end: the hyperplanes are md5-derived (engine-reproducible —
+    * the DuckDB oracle recomputes the buckets and the same canonical
+    * emit-once rule).
+    *
+    * Emit-once rule: a Hamming-1 pair has exactly one surviving candidate
+    * (the higher-home row probing down into the lower home, `__hb < __ha`);
+    * a same-home pair keeps the `id` ordering to collapse its two
+    * orientations. Output ids are canonicalized (id_a < id_b), so the
+    * result SET is identical to the double-sided construction.
     */
   def embeddingDupPairsLsh(
       emb: DataFrame,
@@ -97,9 +106,6 @@ object Similarity {
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), planes, dims).as("__home"))
-    // each row lands in its home bucket plus `probes` neighbor buckets;
-    // a pair is emitted ONLY from the smaller of the two home buckets
-    // (canonical key), so multi-probe cannot duplicate it
     val probed =
       if (probes == 0) bucketed.withColumn("__bkt", col("__home"))
       else bucketed.withColumn(
@@ -108,14 +114,19 @@ object Similarity {
           array(col("__home")),
           (0 until probes).map(p =>
             array(col("__home").bitwiseXOR(lit(1 << p)))).reduce(concat(_, _)))))
-    val l = probed.select(col("__bkt"), col("__home").as("__ha"), col("id").as("id_a"), col("v").as("__va"))
-    val r = probed.select(col("__bkt"), col("__home").as("__hb"), col("id").as("id_b"), col("v").as("__vb"))
+    val l = probed.select(col("__bkt"), col("__home").as("__ha"), col("id").as("__ia"), col("v").as("__va"))
+    // right side home-only: the (probes+1)× growth stays on one side
+    val r = bucketed.select(col("__home").as("__bkt"), col("__home").as("__hb"), col("id").as("__ib"), col("v").as("__vb"))
     l.join(r, Seq("__bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("__bkt") === least(col("__ha"), col("__hb")))
+      .filter(
+        col("__hb") < col("__ha") ||
+          (col("__ha") === col("__hb") && col("__ia") < col("__ib")))
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("sim"))
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: corpus
