@@ -556,8 +556,11 @@ object SparkEntry {
     }),
 
     // ---- Multimodal: binary payload column + typed metadata -----------
+    // payloads carry REAL PNG/JPEG container headers (built byte-exactly by
+    // the fixture; the oracle reconstructs the same blob) — extractMeta's
+    // ImageHeader expression parses format/dimensions/color from the bytes
     "q_multimodal_meta" -> ((s, dir) => {
-      Multimodal.extractMeta(Multimodal.mediaTable(Tables.documents(s, dir)))
+      Multimodal.extractMeta(Multimodal.mediaTableEncoded(Tables.documents(s, dir)))
         .withColumn("n_bytes", col("n_bytes").cast("long"))
         .orderBy("media_id")
     }),
@@ -1449,12 +1452,41 @@ object SparkEntry {
         |ORDER BY p_brand, s_name""".stripMargin,
 
     "q_multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |       substr(text, 1, 8) AS header,
-        |       md5(text) AS checksum,
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CAST((n_chars % 300) + 16 AS INTEGER) AS w,
+        |         CAST((doc_id % 240) + 16 AS INTEGER) AS h,
+        |         doc_id % 3 AS fmt, doc_id % 2 = 0 AS even,
+        |         encode(text) AS tb
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source, w, h, fmt, even,
+        |    CASE
+        |      WHEN fmt = 0 THEN
+        |        unhex('89504E470D0A1A0A' || '0000000D49484452' ||
+        |              lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') ||
+        |              CASE WHEN even THEN '0802000000' ELSE '0806000000' END ||
+        |              '00000000') || tb
+        |      WHEN fmt = 1 THEN
+        |        unhex('FFD8FFE000104A46494600010100000100010000' ||
+        |              CASE WHEN even THEN 'FFC0001108' ELSE 'FFC0000B08' END ||
+        |              lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+        |              CASE WHEN even THEN '03011100021101031101' ELSE '01011100' END) || tb
+        |      ELSE tb
+        |    END AS pay
+        |  FROM m
+        |)
+        |SELECT doc_id AS media_id,
+        |       CAST(octet_length(pay) AS BIGINT) AS n_bytes,
+        |       substr(hex(pay), 1, 16) AS header_hex,
+        |       md5(hex(pay)) AS checksum,
+        |       CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |       CASE WHEN fmt IN (0, 1) THEN w END AS width,
+        |       CASE WHEN fmt IN (0, 1) THEN h END AS height,
+        |       CASE WHEN fmt = 0 THEN (CASE WHEN even THEN 2 ELSE 6 END)
+        |            WHEN fmt = 1 THEN (CASE WHEN even THEN 3 ELSE 1 END) END AS color_type,
         |       source AS origin
-        |FROM documents
+        |FROM p
         |ORDER BY media_id""".stripMargin,
 
     "q_asof_join" ->

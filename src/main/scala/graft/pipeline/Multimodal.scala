@@ -35,16 +35,81 @@ object Multimodal {
         col("source").as("origin"),
         col("lang").as("codec")).as("meta"))
 
+  /** Synthesize an ENCODED media table: payloads carry real PNG / JPEG
+    * container headers (signature + IHDR chunk / SOI + APP0 + SOF0 marker
+    * walk) around the document bytes, with pixel dimensions derived
+    * deterministically from document fields — so the header PARSER
+    * (`ImageHeader`) is exercised against byte-exact containers and the
+    * DuckDB oracle can reconstruct the identical blob from the same
+    * fields. One third of rows stay headerless (format "unknown").
+    * Pure Column DSL (binary literals + unhex(lpad(hex(…)))) — codegen'd,
+    * no UDF.
+    */
+  def mediaTableEncoded(docs: DataFrame): DataFrame = {
+    def be(c: org.apache.spark.sql.Column, hexChars: Int) =
+      unhex(lpad(hex(c), hexChars, "0"))
+    val w = (col("n_chars") % 300 + 16).cast("int")
+    val h = (col("doc_id") % 240 + 16).cast("int")
+    val even = col("doc_id") % 2 === 0
+    val textBytes = encode(col("text"), "UTF-8")
+    // PNG: sig(8) + IHDR len/tag(8) + w(4) + h(4) + depth/color/comp/
+    // filter/interlace(5) + crc(4) = 33-byte prefix
+    val png = concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I', 'H', 'D', 'R')),
+      be(w, 8), be(h, 8),
+      when(even, lit(Array[Byte](8, 2, 0, 0, 0, 0, 0, 0, 0)))
+        .otherwise(lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0))),
+      textBytes)
+    // JPEG: SOI + APP0/JFIF(18) + SOF0 (len 17 for 3 components YCbCr /
+    // 11 for 1-component grayscale) — SOF carries height then width
+    val soiApp0 = lit(Array[Byte](
+      0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0x00, 0x10,
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01,
+      0x00, 0x00))
+    val jpeg = concat(
+      soiApp0,
+      when(even,
+        concat(
+          lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08)),
+          be(h, 4), be(w, 4),
+          lit(Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))))
+        .otherwise(concat(
+          lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x0b, 0x08)),
+          be(h, 4), be(w, 4),
+          lit(Array[Byte](1, 1, 0x11, 0)))),
+      textBytes)
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpeg)
+        .otherwise(textBytes)
+        .as("payload"),
+      struct(
+        col("n_chars").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec")).as("meta"))
+  }
+
   /** Column-level metadata extraction — pure codegen'd expressions, no
-    * shuffle, payload column pruned if the caller drops it.
+    * shuffle, payload column pruned if the caller drops it. Includes the
+    * parsed container header (`ImageHeader`): format, pixel dimensions,
+    * color layout. `header_hex`/`checksum` go through a hex hop so the
+    * DuckDB oracle can compare them (its md5/substring are VARCHAR-only).
     */
   def extractMeta(media: DataFrame): DataFrame =
-    media.select(
-      col("media_id"),
-      length(col("payload")).as("n_bytes"),
-      substring(col("payload"), 1, 8).cast("string").as("header"),
-      md5(col("payload")).as("checksum"),
-      col("meta.origin").as("origin"))
+    media
+      .withColumn("__img", graft.functions.ImageHeader(col("payload")))
+      .select(
+        col("media_id"),
+        length(col("payload")).as("n_bytes"),
+        hex(substring(col("payload"), 1, 8)).as("header_hex"),
+        md5(hex(col("payload"))).as("checksum"),
+        col("__img.format").as("format"),
+        col("__img.width").as("width"),
+        col("__img.height").as("height"),
+        col("__img.color_type").as("color_type"),
+        col("meta.origin").as("origin"))
 
   /** Batched per-partition feature extraction (the mapInPandas-shaped
     * path). ===== DECODE STUB =====: a real implementation would hand each

@@ -15,6 +15,70 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() === 20)
   }
 
+  test("ImageHeader parses PNG/JPEG containers and rejects the rest") {
+    import graft.functions.ImageHeader
+    def parse(bytes: Array[Byte]): (String, Any, Any, Any) = {
+      val r = Seq(Tuple1(bytes)).toDF("payload")
+        .select(ImageHeader($"payload").as("i"))
+        .select("i.format", "i.width", "i.height", "i.color_type")
+        .collect()(0)
+      (r.getString(0), r.get(1), r.get(2), r.get(3))
+    }
+    // minimal real PNG IHDR: 640x480 RGBA
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xe0.toByte, // 640, 480
+      8, 6, 0, 0, 0, 1, 2, 3, 4)
+    assert(parse(png) === (("png", 640, 480, 6)))
+    // JPEG with APP0 + a COM segment BEFORE SOF0, and a 0xFF fill byte:
+    // the marker walk must skip both (real camera files do this)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0x00, 0x04, 0x4a, 0x46, // APP0 len 4
+      0xff.toByte, 0xfe.toByte, 0x00, 0x05, 'h', 'i', '!', // COM len 5
+      0xff.toByte, // fill byte
+      0xff.toByte, 0xc2.toByte, 0x00, 0x0b, 0x08, // SOF2 (progressive)
+      0x00, 0x64, 0x01, 0x2c, 0x01) // h=100, w=300, 1 component
+    assert(parse(jpeg) === (("jpeg", 300, 100, 1)))
+    // truncated PNG (signature only) and SOF-less JPEG: format known,
+    // dimensions honestly NULL
+    assert(parse(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      === (("png", null, null, null)))
+    assert(parse(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte))
+      === (("jpeg", null, null, null)))
+    // not a container at all
+    assert(parse("hello world".getBytes("UTF-8"))._1 === "unknown")
+    assert(parse(Array.emptyByteArray)._1 === "unknown")
+  }
+
+  test("mediaTableEncoded round-trip: parsed dimensions equal the generator's") {
+    val enc = Multimodal.mediaTableEncoded(
+      Tables.documents(spark, sf("sf0.001")).limit(60))
+    val meta = Multimodal.extractMeta(enc)
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
+      .select($"doc_id", (($"n_chars" % 300) + 16).cast("int").as("w"),
+        (($"doc_id" % 240) + 16).cast("int").as("h"))
+    val joined = meta.join(docs, meta("media_id") === docs("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      (id % 3, id % 2 == 0) match {
+        case (0, even) =>
+          assert(r.getAs[String]("format") === "png")
+          assert(r.getAs[Int]("width") === r.getAs[Int]("w"))
+          assert(r.getAs[Int]("height") === r.getAs[Int]("h"))
+          assert(r.getAs[Int]("color_type") === (if (even) 2 else 6))
+        case (1, even) =>
+          assert(r.getAs[String]("format") === "jpeg")
+          assert(r.getAs[Int]("width") === r.getAs[Int]("w"))
+          assert(r.getAs[Int]("height") === r.getAs[Int]("h"))
+          assert(r.getAs[Int]("color_type") === (if (even) 3 else 1))
+        case _ =>
+          assert(r.getAs[String]("format") === "unknown")
+          assert(r.isNullAt(r.fieldIndex("width")))
+      }
+    }
+  }
+
   test("extractFeatures (decode stub) is deterministic and batched") {
     val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
