@@ -1,0 +1,243 @@
+package graft.serve
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+
+/** Client-side driver for the export protocol — the JVM twin of the
+  * reference's NNTSCClient loop (/root/reference/libnntsc/exporter.py:
+  * 641-657 pages streams until `more=false`; the client library consumes
+  * history → ack → live → PUSH frames off one socket). `WireServer` speaks
+  * the same frames; this class closes the loop so a JVM consumer (or a
+  * spec) can drive the full protocol without hand-rolling framing.
+  *
+  * Connection model mirrors the reference clients:
+  *   - request/reply calls (collections, schema, streams page, aggregate,
+  *     matrix) use one short-lived connection per request — the reply's end
+  *     is the socket's end, so no frame counting is needed;
+  *   - `subscribe` keeps its connection open and exposes the frame stream
+  *     (history chunks until the ack, then live/PUSH events) for the
+  *     subscription's lifetime.
+  */
+final class WireClient(host: String, port: Int) {
+  import WireClient._
+
+  /** NNTSC_REQ_COLLECTION. */
+  def collections(): Seq[Map[String, Any]] =
+    requestAll("""{"request":"collections"}""").head.body match {
+      case b => JsonMini.parse(s"""{"rows":${new String(b, "UTF-8")}}""")("rows")
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    }
+
+  /** NNTSC_REQ_SCHEMA → (stream fields, data fields) as (name, type). */
+  def schema(collection: String): (Seq[(String, String)], Seq[(String, String)]) = {
+    val body = new String(
+      requestAll(s"""{"request":"schema","collection":${JsonMini.str(collection)}}""")
+        .head.body, "UTF-8")
+    val m = JsonMini.parse(body)
+    def fields(k: String) = m(k).asInstanceOf[Seq[Any]].map { f =>
+      val fm = f.asInstanceOf[Map[String, Any]]
+      (fm("name").asInstanceOf[String], fm("type").asInstanceOf[String])
+    }
+    (fields("streams"), fields("data"))
+  }
+
+  /** Incremental stream listing, paged until `more=false`
+    * (exporter.py:641-657): each page's max stream id seeds the next
+    * request's `minid`, exactly the reference client's loop.
+    */
+  def streams(collection: String): Seq[Map[String, Any]] = {
+    val out = Seq.newBuilder[Map[String, Any]]
+    var minid = 0L
+    var more = true
+    while (more) {
+      val body = new String(
+        requestAll(
+          s"""{"request":"streams","collection":${JsonMini.str(collection)},"minid":$minid}""")
+          .head.body, "UTF-8")
+      val m = JsonMini.parse(body)
+      val rows = m("rows").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+      out ++= rows
+      more = m("more").asInstanceOf[Boolean]
+      if (more) {
+        require(rows.nonEmpty, "server reported more=true with an empty page")
+        minid = rows.map(r => JsonMini.asLong(r("stream_id"))).max
+      }
+    }
+    out.result()
+  }
+
+  /** NNTSC_AGGREGATE: all history chunks, decompressed and parsed. */
+  def aggregate(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[(String, String)],
+      start: Long,
+      stop: Long,
+      binsize: Long): Seq[HistoryChunk] =
+    requestAll(
+      s"""{"request":"aggregate","collection":${JsonMini.str(collection)},
+         |"labels":${labelsJson(labels)},"start":$start,"stop":$stop,
+         |"binsize":$binsize,"aggs":${aggsJson(aggs)}}""".stripMargin)
+      .filter(_.msgType == Wire.History)
+      .map(parseChunk)
+
+  /** NNTSC_MATRIX: one summary row per label. */
+  def matrix(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[(String, String)],
+      start: Long,
+      stop: Long): Seq[Map[String, Any]] = {
+    val m = requestAll(
+      s"""{"request":"matrix","collection":${JsonMini.str(collection)},
+         |"labels":${labelsJson(labels)},"start":$start,"stop":$stop,
+         |"aggs":${aggsJson(aggs)}}""".stripMargin).head
+    JsonMini.parse(new String(Wire.decompress(m.body), "UTF-8"))("rows")
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+  }
+
+  /** NNTSC_SUBSCRIBE: open a long-lived subscription. Blocks until the
+    * backfill is fully consumed (history frames up to the ack), then
+    * returns the handle whose `next()` yields post-ack events in arrival
+    * order — Live row batches and PUSH markers.
+    */
+  def subscribe(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      columns: Seq[String],
+      start: Long,
+      stop: Long): Subscription = {
+    val sock = new Socket(host, port)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    out.write(Wire.pack(0,
+      s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
+         |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
+         |"start":$start,"stop":$stop}""".stripMargin.getBytes("UTF-8")))
+    out.flush()
+    val history = Seq.newBuilder[HistoryChunk]
+    var m = readFrame(in)
+    while (m.msgType == Wire.History) {
+      history += parseChunk(m)
+      m = readFrame(in)
+    }
+    require(m.msgType == Wire.Subscribe,
+      s"expected subscribe ack after history, got msgType ${m.msgType}")
+    new Subscription(sock, in, history.result())
+  }
+
+  // ---- plumbing -------------------------------------------------------
+
+  /** One request on a fresh connection; the reply is every frame up to the
+    * server's EOF (half-close signals end-of-request like the spec
+    * harness and the reference's short-lived request clients).
+    */
+  private def requestAll(json: String): Seq[Wire.Message] = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(Wire.pack(0, json.getBytes("UTF-8")))
+      out.flush()
+      sock.shutdownOutput()
+      val msgs = Seq.newBuilder[Wire.Message]
+      var open = true
+      while (open) {
+        try msgs += readFrame(in)
+        catch { case _: java.io.EOFException => open = false }
+      }
+      val out0 = msgs.result()
+      out0.find(_.msgType == Wire.QueryCancelled).foreach { e =>
+        throw new WireClientException(new String(e.body, "UTF-8"))
+      }
+      out0
+    } finally sock.close()
+  }
+}
+
+object WireClient {
+
+  final class WireClientException(msg: String) extends RuntimeException(msg)
+
+  final case class HistoryChunk(
+      label: String,
+      more: Boolean,
+      freq: Long,
+      rows: Seq[Map[String, Any]])
+
+  sealed trait Event
+  final case class LiveRows(label: String, rows: Seq[Map[String, Any]]) extends Event
+  final case class Push(collection: String, timestamp: Long) extends Event
+
+  /** A live subscription: backfill already consumed (`history`); `next()`
+    * blocks for the next post-ack event. Close when done.
+    */
+  final class Subscription(
+      sock: Socket,
+      in: DataInputStream,
+      val history: Seq[HistoryChunk]) {
+
+    /** Last timestamp per label over the whole backfill — the client-side
+      * seam bookkeeping (the reference client tracks it to resume plots).
+      */
+    val lastHistory: Map[String, Long] =
+      history
+        .groupBy(_.label)
+        .view.mapValues(_.flatMap(_.rows)
+          .flatMap(r => r.get("timestamp").collect { case v if v != null => JsonMini.asLong(v) })
+          .maxOption.getOrElse(Long.MinValue))
+        .toMap
+
+    def next(): Event = {
+      val m = readFrame(in)
+      m.msgType match {
+        case Wire.Live =>
+          val b = JsonMini.parse(new String(m.body, "UTF-8"))
+          LiveRows(
+            b("label").asInstanceOf[String],
+            b("rows").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]]))
+        case Wire.Push =>
+          val b = JsonMini.parse(new String(m.body, "UTF-8"))
+          Push(b("collection").asInstanceOf[String], JsonMini.asLong(b("timestamp")))
+        case other =>
+          throw new WireClientException(s"unexpected frame in live mode: $other")
+      }
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  private def readFrame(in: DataInputStream): Wire.Message = {
+    val header = new Array[Byte](Wire.HeaderLen)
+    in.readFully(header)
+    val version = header(0) & 0xff
+    require(version == Wire.Version, s"bad frame version $version")
+    val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+    require(len >= 0 && len <= Wire.MaxFrameLen, s"bad frame length $len")
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Wire.Message(version, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+  }
+
+  private def parseChunk(m: Wire.Message): HistoryChunk = {
+    val b = JsonMini.parse(new String(Wire.decompress(m.body), "UTF-8"))
+    HistoryChunk(
+      // aggregate's empty reply carries label null
+      Option(b("label")).map(_.asInstanceOf[String]).getOrElse(""),
+      b("more").asInstanceOf[Boolean],
+      b.get("freq").map(JsonMini.asLong).getOrElse(0L),
+      b("rows").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]]))
+  }
+
+  private def labelsJson(labels: Map[String, Seq[Long]]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (l, ids) => s"${JsonMini.str(l)}:${ids.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+
+  private def aggsJson(aggs: Seq[(String, String)]): String =
+    aggs.map { case (c, f) => s"[${JsonMini.str(c)},${JsonMini.str(f)}]" }
+      .mkString("[", ",", "]")
+
+  private def columnsJson(cols: Seq[String]): String =
+    cols.map(JsonMini.str).mkString("[", ",", "]")
+}
