@@ -565,6 +565,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Arrow-batched multimodal feature extraction (the mapInPandas
+    //      execution shape on real Arrow buffers). Rows-only gate entry
+    //      (byte statistics over a binary blob are not SQL-expressible in
+    //      the oracle); exact parity with the per-row form is asserted in
+    //      MultimodalSpec, and this entry keeps the batched path on the
+    //      per-round bench.
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal
+        .extractFeaturesArrow(s, Multimodal.mediaTableEncoded(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     // ---- Embedding near-dup with a DERIVED block key: sign-bit LSH bucket
     //      + 2-probe, exact-cosine verify — the 100 TB path where no label
     //      column exists to block on. Fully oracle-checked: the md5-derived

@@ -137,6 +137,94 @@ object Multimodal {
       }
   }
 
+  /** Batch-columnar feature extraction — the `mapInPandas` execution shape
+    * in Scala, on REAL Arrow buffers: each partition's rows are packed into
+    * Arrow `VectorSchemaRoot`-style vectors (`BigIntVector` ids,
+    * `VarBinaryVector` payloads) `batchRows` at a time, and the feature
+    * kernel runs over the batch's offset+data buffers directly — one
+    * contiguous scan per batch, no per-row byte[] copies. This is the seam
+    * a Python `mapInPandas` UDF (or any Arrow-consuming codec library)
+    * plugs into at scale: same batch shape, same buffers.
+    *
+    * Feature values are identical to `extractFeatures` (parity-asserted in
+    * MultimodalSpec); the kernel itself is still the ===== DECODE STUB =====
+    * byte statistics — the container has no codecs.
+    */
+  def extractFeaturesArrow(
+      spark: SparkSession,
+      media: DataFrame,
+      batchRows: Int = 1024): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else new Iterator[MediaFeatures] {
+          import org.apache.arrow.memory.RootAllocator
+          import org.apache.arrow.vector.{BigIntVector, VarBinaryVector}
+          private val allocator = new RootAllocator(Long.MaxValue)
+          private val ids = new BigIntVector("media_id", allocator)
+          private val payloads = new VarBinaryVector("payload", allocator)
+          private var closed = false
+          // executor-side safety net: a task dying mid-iteration must not
+          // leak direct Arrow memory (driver-side tests have no context)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+          private var batch: Array[MediaFeatures] = Array.empty
+          private var pos = 0
+
+          private def close(): Unit = if (!closed) {
+            closed = true
+            ids.close(); payloads.close(); allocator.close()
+          }
+
+          private def fillBatch(): Unit = {
+            ids.allocateNew(batchRows)
+            payloads.allocateNew()
+            var n = 0
+            while (n < batchRows && rows.hasNext) {
+              val r = rows.next()
+              ids.setSafe(n, r.media_id)
+              payloads.setSafe(n, r.payload)
+              n += 1
+            }
+            ids.setValueCount(n)
+            payloads.setValueCount(n)
+            // columnar kernel: walk the batch's offset + data buffers
+            val ob = payloads.getOffsetBuffer
+            val db = payloads.getDataBuffer
+            val out = new Array[MediaFeatures](n)
+            var i = 0
+            while (i < n) {
+              val lo = ob.getInt(i * 4L)
+              val hi = ob.getInt((i + 1) * 4L)
+              var s = 0L
+              var j = lo.toLong
+              while (j < hi) { s += db.getByte(j) & 0xff; j += 1 }
+              out(i) = MediaFeatures(
+                ids.get(i), hi - lo, s,
+                if (hi > lo) db.getByte(lo.toLong) & 0xff else -1)
+              i += 1
+            }
+            ids.clear(); payloads.clear()
+            batch = out
+            pos = 0
+          }
+
+          def hasNext: Boolean = {
+            if (pos < batch.length) true
+            else if (!closed && rows.hasNext) { fillBatch(); pos < batch.length }
+            else { close(); false }
+          }
+          def next(): MediaFeatures = {
+            if (!hasNext) throw new NoSuchElementException
+            val f = batch(pos); pos += 1; f
+          }
+        }
+      }
+  }
+
   /** "Resize" analogue: average-pool the payload down to a FIXED target
     * length — stands in for image resizing to a model's input resolution
     * (every row leaves with the same shape, the property resize exists

@@ -14,8 +14,10 @@ class EntrySpec extends SparkSpec {
   test("every query has either an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the intentional rows-only set (sketch internals differ across
-    // engines by construction; everything else is hash-checked)
-    assert(rowsOnly === Set("q_sketches"))
+    // engines by construction; blob byte statistics are not
+    // SQL-expressible — q_multimodal_features is instead parity-pinned to
+    // the per-row form in MultimodalSpec); everything else is hash-checked
+    assert(rowsOnly === Set("q_sketches", "q_multimodal_features"))
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -86,6 +86,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.n_bytes > 0 && f.byte_sum > 0))
   }
 
+  test("extractFeaturesArrow: bit-identical to the row form, batch seams invisible") {
+    val enc = Multimodal.mediaTableEncoded(
+      Tables.documents(spark, sf("sf0.001")).limit(50))
+    val rowForm = Multimodal.extractFeatures(spark, enc)
+      .collect().sortBy(_.media_id).toSeq
+    // batchRows = 7 over ~50 rows per partition: many partial batches, so
+    // a fencepost at a batch seam cannot hide
+    val arrowForm = Multimodal.extractFeaturesArrow(spark, enc, batchRows = 7)
+      .collect().sortBy(_.media_id).toSeq
+    assert(arrowForm === rowForm)
+    assert(arrowForm.nonEmpty)
+
+    // coarse throughput sanity on the larger corpus: the batched path must
+    // not be meaningfully slower than the per-row path (loose 3x bound —
+    // this is a regression tripwire, not a benchmark)
+    val big = Multimodal.mediaTableEncoded(Tables.documents(spark, sf("sf0.01")))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    time(Multimodal.extractFeatures(spark, big).write.format("noop").mode("overwrite").save())
+    val tRow = time(
+      Multimodal.extractFeatures(spark, big).write.format("noop").mode("overwrite").save())
+    val tArrow = time(
+      Multimodal.extractFeaturesArrow(spark, big).write.format("noop").mode("overwrite").save())
+    info(f"row form $tRow%.3fs, arrow form $tArrow%.3fs")
+    assert(tArrow < tRow * 3, f"arrow path too slow: $tArrow%.3fs vs $tRow%.3fs")
+  }
+
   test("resizeStub pools every payload to the same fixed shape") {
     val out = Multimodal.resizeStub(spark, media, 32).collect()
     assert(out.nonEmpty)
