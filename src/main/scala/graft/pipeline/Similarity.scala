@@ -293,6 +293,37 @@ object Similarity {
       .parquet(s"$path/corpus")
   }
 
+  /** Append NEW vectors to a persisted index: assign against the index's
+    * FROZEN centroids and append files under the existing `__cell=` dirs —
+    * existing files are never touched, so concurrent readers stay valid
+    * and a query after append equals a full rebuild over the combined
+    * corpus with the same centroids (spec-asserted). O(|new|) work.
+    *
+    * RETRAIN POLICY (the classic IVF trade): centroids are frozen at train
+    * time, so appended vectors always join their nearest EXISTING cell.
+    * Recall holds while the appended data resembles the training
+    * distribution; under drift, cells skew and the nprobe scan fraction
+    * degrades. Rebuild (`ivfWriteIndex`, retraining centroids) when the
+    * appended fraction passes ~20% of the indexed corpus or the largest
+    * cell exceeds ~4× the mean — both observable from the cell directory
+    * sizes without scanning vectors.
+    */
+  def ivfAppendIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    import graft.functions.NearestCells
+    val centroids = ivfReadCentroids(emb.sparkSession, path)
+    emb
+      .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
+      .repartition(col("__cell"))
+      .write.mode("append")
+      .partitionBy("__cell")
+      .parquet(s"$path/corpus")
+  }
+
   def ivfReadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell")

@@ -99,6 +99,40 @@ class SimilaritySpec extends SparkSpec {
       s"no dynamic partition pruning in plan:\n${plan.take(2000)}")
   }
 
+  test("ivfAppendIndex: append equals full rebuild over the combined corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    val queries = (0L until 10L)
+
+    // train on the FIRST half only; centroids are frozen from then on
+    val cents = Similarity.ivfCentroids(first, "vec_id", "embedding")
+    Similarity.ivfWriteIndexWith(first, cents, "vec_id", "embedding", s"$base/inc")
+    val filesBefore = new java.io.File(s"$base/inc/corpus").listFiles()
+      .filter(_.getName.startsWith("__cell="))
+      .flatMap(d => d.listFiles().map(_.getPath)).toSet
+
+    Similarity.ivfAppendIndex(rest, "vec_id", "embedding", s"$base/inc")
+    // append-only: every pre-append file is still there, untouched
+    val filesAfter = new java.io.File(s"$base/inc/corpus").listFiles()
+      .filter(_.getName.startsWith("__cell="))
+      .flatMap(d => d.listFiles().map(_.getPath)).toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    assert(filesAfter.size > filesBefore.size)
+
+    // a query over the appended index == a full rebuild of the combined
+    // corpus with the same frozen centroids
+    Similarity.ivfWriteIndexWith(emb, cents, "vec_id", "embedding", s"$base/full")
+    val inc = Similarity.ivfQueryIndex(spark, s"$base/inc", queries, 5)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.ivfQueryIndex(spark, s"$base/full", queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("embeddingDupPairs finds planted near-duplicates within a block") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
