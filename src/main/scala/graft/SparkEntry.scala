@@ -596,6 +596,13 @@ object SparkEntry {
     //      sketch internals differ across engines by construction).
     //      Quantiles are emitted as scalar p50/p95/p99 columns: the driver's
     //      pandas comparator cannot sort ArrayType output.
+    // sketch internals differ across engines by construction, so the
+    // oracle check is TOLERANCE-BANDED through the exact-hash gate: the
+    // exact columns (n, nd_exact) hash-compare directly, and each sketch
+    // estimate is emitted as an in-band BOOLEAN (HLL within its 1%-config
+    // x5 margin; approx percentiles inside exact +/-1%-rank bands) that
+    // the oracle pins to TRUE — a sketch drifting out of bounds flips the
+    // boolean and fails the hash, so no output cell goes unverified.
     "q_sketches" -> ((s, dir) => {
       QueryEngine
         .attachLabels(
@@ -603,16 +610,26 @@ object SparkEntry {
           labelsFor(s, dir))
         .groupBy("nntsclabel")
         .agg(
-          approx_count_distinct(col("value"), 0.01).as("approx_values"),
+          count(lit(1)).as("n"),
+          countDistinct(col("value")).as("nd_exact"),
+          approx_count_distinct(col("value"), 0.01).as("__hll"),
           percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-            .as("approx_pcts"),
-          count(lit(1)).as("n"))
+            .as("__pcts"),
+          expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D, 0.98D, 1.0D))")
+            .as("__bands"))
         .select(
-          col("nntsclabel"), col("approx_values"),
-          try_element_at(col("approx_pcts"), lit(1)).as("p50"),
-          try_element_at(col("approx_pcts"), lit(2)).as("p95"),
-          try_element_at(col("approx_pcts"), lit(3)).as("p99"),
-          col("n"))
+          col("nntsclabel"), col("n"), col("nd_exact"),
+          (abs(col("__hll") - col("nd_exact")) <= col("nd_exact") * 0.05)
+            .as("hll_within_5pct"),
+          try_element_at(col("__pcts"), lit(1))
+            .between(try_element_at(col("__bands"), lit(1)), try_element_at(col("__bands"), lit(2)))
+            .as("p50_in_band"),
+          try_element_at(col("__pcts"), lit(2))
+            .between(try_element_at(col("__bands"), lit(3)), try_element_at(col("__bands"), lit(4)))
+            .as("p95_in_band"),
+          try_element_at(col("__pcts"), lit(3))
+            .between(try_element_at(col("__bands"), lit(5)), try_element_at(col("__bands"), lit(6)))
+            .as("p99_in_band"))
         .orderBy("nntsclabel")
     }),
 
@@ -978,6 +995,17 @@ object SparkEntry {
          |FROM ($OracleEvents)
          |WHERE "timestamp" - ("timestamp" % 3600) >= $Start
          |  AND "timestamp" - ("timestamp" % 3600) < $Stop
+         |GROUP BY 1
+         |ORDER BY nntsclabel""".stripMargin,
+
+    // exact columns verified directly; the in-band booleans are pinned to
+    // TRUE — the Spark side computes them against ITS sketches, so a
+    // sketch out of bounds flips a cell and fails the hash
+    "q_sketches" ->
+      s"""SELECT nntsclabel, count(*) AS n, count(DISTINCT value) AS nd_exact,
+         |  TRUE AS hll_within_5pct, TRUE AS p50_in_band,
+         |  TRUE AS p95_in_band, TRUE AS p99_in_band
+         |FROM ($oracleEventsWindow)
          |GROUP BY 1
          |ORDER BY nntsclabel""".stripMargin,
 

@@ -23,33 +23,59 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Frames pinned by [[pin]] — the eager per-document set/signature caches
-    * the pair pipelines are built on. The RETURNED pair frames are lazy and
-    * read these caches, so they cannot be unpersisted inside the builders;
-    * a long-lived session calls [[unpersistIntermediates]] once the results
-    * are materialized (written / collected) to release the blocks.
+  /** A pipeline-scoped registry of the eager per-document set/signature
+    * caches the pair builders pin. The RETURNED pair frames are lazy plans
+    * over these caches, so they cannot be unpersisted inside the builders;
+    * the owner calls [[release]] once the results are materialized
+    * (written / collected). Each concurrent pipeline gets its OWN scope
+    * (via [[withPinScope]]) so releasing one pipeline's intermediates can
+    * never evict another's — the failure mode of a single global buffer.
     */
-  private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  final class PinScope {
+    private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    private[Dedup] def add(df: DataFrame): Unit =
+      pinned.synchronized { pinned += df }
+    /** Unpersist every frame pinned under this scope (idempotent). Lazy
+      * pair frames built in the scope recompute (correct, but slow) if
+      * run again afterwards.
+      */
+    def release(): Unit = pinned.synchronized {
+      pinned.foreach(_.unpersist())
+      pinned.clear()
+    }
+  }
+
+  /** The scope used by builder calls not wrapped in [[withPinScope]] —
+    * preserves the classic single-pipeline lifecycle
+    * (`unpersistIntermediates()` between queries: Bench, PlanAudit).
+    */
+  private val defaultScope = new PinScope
+  private val currentScope = new scala.util.DynamicVariable[PinScope](defaultScope)
+
+  /** Run builder calls under their own cache scope: every frame the
+    * builders pin inside `body` registers with `scope` instead of the
+    * global default, so two concurrent dedup pipelines (each with its own
+    * scope) release independently. Scoping is per-thread for the duration
+    * of `body` — build the (lazy) pair frames inside, materialize whenever,
+    * then `scope.release()`.
+    */
+  def withPinScope[T](scope: PinScope)(body: => T): T =
+    currentScope.withValue(scope)(body)
 
   /** Persist + eagerly materialize an intermediate frame and register it
-    * for [[unpersistIntermediates]].
+    * with the active scope.
     */
   private def pin(df: DataFrame): DataFrame = {
     df.persist()
     df.count() // eager: one pass computes and pins the frame
-    pinned.synchronized { pinned += df }
+    currentScope.value.add(df)
     df
   }
 
-  /** Release every intermediate cache pinned by the builders in this
-    * object. Call AFTER materializing the returned pair frames — they are
-    * lazy plans over these caches and would recompute (correct, but slow)
-    * if run again afterwards.
+  /** Release the DEFAULT scope's caches (single-pipeline sessions). Scoped
+    * pipelines release their own `PinScope` instead.
     */
-  def unpersistIntermediates(): Unit = pinned.synchronized {
-    pinned.foreach(_.unpersist())
-    pinned.clear()
-  }
+  def unpersistIntermediates(): Unit = defaultScope.release()
 
   /** Exact dedup: group rows by content digest, keep the smallest id as the
     * canonical document. Hashing first means the shuffle moves 16-byte

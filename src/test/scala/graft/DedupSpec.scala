@@ -160,4 +160,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
+
+  test("per-pipeline pin scopes: releasing one pipeline keeps the other's caches") {
+    Dedup.unpersistIntermediates() // start from a clean default scope
+    spark.catalog.clearCache()
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(60)
+    val s1 = new Dedup.PinScope
+    val s2 = new Dedup.PinScope
+    val p1 = Dedup.withPinScope(s1)(Dedup.simhashPairs(docs, "doc_id", "text"))
+    val p2 = Dedup.withPinScope(s2)(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val n2 = p2.count()
+    assert(p1.count() >= 0)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    s1.release() // pipeline 1 done — must not evict pipeline 2's caches
+    val mid = spark.sparkContext.getPersistentRDDs.size
+    assert(mid < before, "releasing scope 1 freed nothing")
+    assert(mid > 0, "releasing scope 1 also evicted scope 2's caches")
+    assert(p2.count() === n2) // pipeline 2 still correct on its live caches
+    s2.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < mid)
+    s2.release() // idempotent
+  }
 }

@@ -13,11 +13,11 @@ class EntrySpec extends SparkSpec {
 
   test("every query has either an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the intentional rows-only set (sketch internals differ across
-    // engines by construction; blob byte statistics are not
+    // the intentional rows-only set: blob byte statistics are not
     // SQL-expressible — q_multimodal_features is instead parity-pinned to
-    // the per-row form in MultimodalSpec); everything else is hash-checked
-    assert(rowsOnly === Set("q_sketches", "q_multimodal_features"))
+    // the per-row form in MultimodalSpec. Everything else is hash-checked
+    // (q_sketches through its tolerance-banded boolean oracle).
+    assert(rowsOnly === Set("q_multimodal_features"))
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
