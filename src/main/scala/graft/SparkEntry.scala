@@ -404,6 +404,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Near-dup components (large-star/small-star transitive closure
+    //      over the SimHash pairs; oracle = recursive-CTE reachability) --
+    "q_dedup_cluster" -> ((s, dir) => {
+      Dedup.connectedComponents(
+          Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Cluster dedup: one canonical doc per near-dup component ------
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupByComponents(
+          docs, "doc_id",
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- Brute-force cosine top-k (ANN baseline) ----------------------
     "q_sim_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(
@@ -763,6 +782,32 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared CTE chain computing the SimHash near-dup pairs (the
+    * q_simhash_pairs construction) — reused by the cluster/canonical
+    * oracles so the three stay bit-identical. Ends defining `pairs`
+    * (id_a < id_b, hamming <= 3).
+    */
+  private val SimhashPairsCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+      |), h AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+      |), bits AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, (SELECT unnest(range(60)) AS b)
+      |  GROUP BY 1, 2
+      |), fp AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -1195,25 +1240,41 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_simhash_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
-        |), h AS (
-        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
-        |), bits AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, (SELECT unnest(range(60)) AS b)
-        |  GROUP BY 1, 2
-        |), fp AS (
-        |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY 1
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $SimhashPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // components over the simhash pairs: recursive-CTE reachability
+    // (min reachable id == the engine's large-star/small-star fixpoint)
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $SimhashPairsCte, edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+         |)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $SimhashPairsCte, edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY 1
+         |)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" -> {
       val cos =

@@ -346,4 +346,108 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Connected components over a near-dup pair frame — the step that turns
+    * pairwise similarity (MinHash/SimHash/embedding pairs) into dedup
+    * GROUPS: transitive closure assigns every document the minimum id of
+    * its component, so "keep one doc per near-dup cluster" becomes a
+    * single anti-join ([[dedupByComponents]]).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * re-points nodes at the minimum id of their neighborhood; tree heights
+    * halve, so convergence takes O(log n) rounds of pure equi-joins and
+    * map-side-combined mins — no all-pairs join, no driver-side graph, no
+    * assumption that a component fits anywhere. (Near-dup components are
+    * usually small cliques that converge in 2-3 rounds; the bound matters
+    * for the pathological chain a naive label-propagation loop — O(diameter)
+    * rounds — would crawl through.)
+    *
+    * Each round ends in `localCheckpoint` to truncate lineage (iterative
+    * plans otherwise double in depth per round); on a real cluster with a
+    * checkpoint dir configured, `spark.sparkContext.setCheckpointDir` +
+    * `.checkpoint()` is the durable equivalent.
+    *
+    * Returns (id LONG, component LONG) for every node appearing in `pairs`,
+    * where component = min node id of the connected component. Documents in
+    * no pair are absent (their component is trivially themselves).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge set: distinct (u > v) pairs, self-loops out
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every node points its LARGER neighbors at the minimum of
+    // its neighborhood (incl. itself); small-star: re-points its smaller-
+    // or-equal neighbors (and itself) there. Both emit only (larger ->
+    // smaller) edges, so the canonical form above is preserved.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym =
+        if (large) e.union(e.select(col("v").as("u"), col("u").as("v")))
+        else e // small-star: edges already oriented u > v
+      val mins = sym.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val repointed = sym
+        .join(mins, "u")
+        .filter(if (large) col("v") > col("u") else lit(true))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      repointed
+        .union(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free (sum would trip ANSI)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      val sum = checksum(next)
+      converged = sum == prev
+      prev = sum
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+
+    // converged graph is a forest of stars: (member -> root) edges; roots
+    // appear only on the v side and map to themselves
+    edges
+      .select(col("u").as("id"), col("v").as("component"))
+      .union(
+        edges.select(col("v").as("id")).distinct().select(col("id"), col("id").as("component")))
+      .distinct()
+  }
+
+  /** Keep one document per near-dup component: drop every id that is a
+    * non-root member of a component (root = min id, the same canonical-
+    * min-id rule as [[exact]]). Documents in no pair survive untouched.
+    * The join carries only ids; AQE broadcasts the (tiny) dup set when it
+    * is small and shuffle-joins otherwise.
+    */
+  def dedupByComponents(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val dupes = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup"))
+    df.join(dupes, df(idCol) === col("__dup"), "left_anti")
+  }
 }

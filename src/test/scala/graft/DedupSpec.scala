@@ -181,4 +181,46 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size < mid)
     s2.release() // idempotent
   }
+
+  test("connectedComponents matches driver-side union-find on a mixed graph") {
+    import org.apache.spark.sql.functions._
+    // chain 0-1-…-17 (deep: forces multiple star rounds), a 5-clique,
+    // a triangle sharing node 100 with the clique via an extra edge,
+    // duplicate + reversed edges (must canonicalize away)
+    val chain = (0L until 17L).map(i => (i, i + 1))
+    val clique = for { a <- 100L to 104L; b <- 100L to 104L if a < b } yield (a, b)
+    val bridge = Seq((104L, 200L), (200L, 201L), (201L, 202L), (202L, 200L))
+    val noise = Seq((1L, 0L), (0L, 1L), (300L, 301L)) // reversed, dup, pair
+    val edges = chain ++ clique ++ bridge ++ noise
+
+    // reference: union-find over the same edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // every component labeled by its min member
+    assert(got.groupBy(_._2).forall { case (c, m) => m.keys.min == c })
+  }
+
+  test("dedupByComponents keeps exactly the component minima plus unpaired docs") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // 1-2-3 one cluster
+    val kept = Dedup.dedupByComponents(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("connectedComponents of an empty pair frame is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+  }
 }
