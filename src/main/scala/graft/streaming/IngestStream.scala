@@ -133,11 +133,13 @@ object IngestStream {
       buckets: Int = graft.storage.Layout.DefaultBuckets,
       onStep: String => Unit = _ => ()): Unit = {
     val layoutDir = new java.io.File(layoutPath)
+    recoverCsetMerge(layoutPath) // must precede the orphan sweep below:
+    // it restores/retires `cset=N.bak` dirs a crashed major merge left
     // recovery: a cset dir without its marker is a dead previous attempt
     if (layoutDir.exists && layoutDir.listFiles != null) {
       val committed = committedCsets(layoutPath).toSet
       layoutDir.listFiles
-        .filter(f => f.isDirectory && f.getName.startsWith("cset="))
+        .filter(f => f.isDirectory && f.getName.matches("cset=\\d+"))
         .filter(f => !committed(f.getName.stripPrefix("cset=").toLong))
         .foreach(deleteRecursively)
     }
@@ -168,10 +170,117 @@ object IngestStream {
         .foreach(deleteRecursively)
   }
 
+  /** Fold ALL committed csets into one — the MAJOR compaction above
+    * [[compactToLayout]]'s minor one. Each minor run adds a `cset=<N>`
+    * dir; after months of micro-batch ingest a read unions thousands of
+    * them (directory-listing and small-file explosion at 100 TB — the
+    * LSM-tree problem, same cure). The merge rewrites their union through
+    * `Layout.writeData` (re-bucketed, re-sorted, bin-packed files) into
+    * the HIGHEST cset id, so the landing-zone visibility cutoff —
+    * max(committed cset) — is unchanged and epoch GC semantics are
+    * untouched.
+    *
+    * Crash-safe via a WAL-style intent marker, because unlike the minor
+    * path this swap must retire several commit markers at once:
+    *
+    *   1. write merged data to `.cset_merge_tmp` (invisible to readers);
+    *   2. create `_merge_intent` listing the folded ids — the WAL record;
+    *   3. rename each folded `cset=<i>` to `.bak`, dropping every commit
+    *      marker except the target's;
+    *   4. rename tmp -> `cset=<target>`  — ATOMIC COMMIT POINT: the tmp
+    *      dir's existence decides recovery direction;
+    *   5. delete `.bak` dirs, delete the intent marker.
+    *
+    * [[recoverCsetMerge]] makes any crash point invisible: tmp still
+    * present -> roll BACK (restore `.bak` dirs + markers, drop tmp); tmp
+    * gone -> roll FORWARD (drop `.bak` leftovers). Readers run recovery
+    * before listing csets, so no read ever sees a half-swapped layout.
+    * Single-writer across processes, and not concurrent with the minor
+    * compactor — the same deployment contract as every compactor here;
+    * in-JVM reads serialize on the swap lock at plan-build time.
+    */
+  def mergeCsets(
+      spark: SparkSession,
+      layoutPath: String,
+      buckets: Int = graft.storage.Layout.DefaultBuckets,
+      onStep: String => Unit = _ => ()): Unit = {
+    recoverCsetMerge(layoutPath)
+    val folded = committedCsets(layoutPath)
+    if (folded.size < 2) return // nothing to fold
+    val target = folded.max
+    val layoutDir = new java.io.File(layoutPath)
+    val tmp = new java.io.File(layoutDir, MergeTmpName)
+    if (tmp.exists) deleteRecursively(tmp) // dead pre-intent attempt
+    val merged = spark.read
+      .option("basePath", layoutPath) // see readCombined: cset=N dir names
+      .parquet(folded.map(c => s"$layoutPath/cset=$c"): _*)
+      .drop("cset", "sbucket", "day")
+    graft.storage.Layout.writeData(merged, tmp.getPath, buckets)
+    onStep("tmp-written")
+    // WAL record: from here recovery knows exactly what to undo/redo
+    java.nio.file.Files.write(
+      new java.io.File(layoutDir, MergeIntentName).toPath,
+      folded.mkString("\n").getBytes("UTF-8"))
+    onStep("intent-created")
+    streamsSwapLock.synchronized {
+      folded.foreach { c =>
+        val live = new java.io.File(layoutDir, s"cset=$c")
+        if (!live.renameTo(new java.io.File(layoutDir, s"cset=$c.bak")))
+          throw new java.io.IOException(s"mergeCsets: rename cset=$c -> .bak failed")
+        if (c != target)
+          new java.io.File(layoutDir, s"_committed_cset_$c").delete()
+      }
+      onStep("folded-renamed")
+      // COMMIT POINT
+      if (!tmp.renameTo(new java.io.File(layoutDir, s"cset=$target")))
+        throw new java.io.IOException(s"mergeCsets: rename tmp -> cset=$target failed")
+      onStep("swapped")
+      folded.foreach(c => deleteRecursively(new java.io.File(layoutDir, s"cset=$c.bak")))
+      new java.io.File(layoutDir, MergeIntentName).delete()
+    }
+    onStep("cleaned")
+  }
+
+  private[graft] val MergeIntentName = "_merge_intent"
+  private[graft] val MergeTmpName = ".cset_merge_tmp"
+
+  /** Finish (or undo) a crashed [[mergeCsets]]. Direction is decided by
+    * the tmp dir: still present means the commit rename never happened —
+    * restore every `.bak` cset and its commit marker, drop tmp; absent
+    * means the merge committed — drop `.bak` leftovers. Idempotent; a
+    * no-op (one file stat) when no intent marker exists.
+    */
+  private[graft] def recoverCsetMerge(layoutPath: String): Unit = {
+    val layoutDir = new java.io.File(layoutPath)
+    val intent = new java.io.File(layoutDir, MergeIntentName)
+    if (!intent.exists) return
+    streamsSwapLock.synchronized {
+      if (!intent.exists) return // lost the race to another recoverer
+      val folded = new String(
+        java.nio.file.Files.readAllBytes(intent.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+      val tmp = new java.io.File(layoutDir, MergeTmpName)
+      if (tmp.exists) { // roll back
+        folded.foreach { c =>
+          val bak = new java.io.File(layoutDir, s"cset=$c.bak")
+          val live = new java.io.File(layoutDir, s"cset=$c")
+          if (bak.exists && !live.exists && !bak.renameTo(live))
+            throw new java.io.IOException(s"recoverCsetMerge: restore cset=$c failed")
+          val marker = new java.io.File(layoutDir, s"_committed_cset_$c")
+          if (live.exists && !marker.exists && !marker.createNewFile())
+            throw new java.io.IOException(s"recoverCsetMerge: marker cset=$c failed")
+        }
+        deleteRecursively(tmp)
+      } else // roll forward
+        folded.foreach(c => deleteRecursively(new java.io.File(layoutDir, s"cset=$c.bak")))
+      intent.delete()
+    }
+  }
+
   /** Committed compaction-set ids, ascending (the `_committed_cset_<N>`
     * markers in the layout dir).
     */
-  private[streaming] def committedCsets(layoutPath: String): Seq[Long] = {
+  private[graft] def committedCsets(layoutPath: String): Seq[Long] = {
     val d = new java.io.File(layoutPath)
     if (!d.exists || d.listFiles == null) Nil
     else d.listFiles.toSeq
@@ -187,6 +296,7 @@ object IngestStream {
     * double-counted.
     */
   def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
+    recoverCsetMerge(layoutPath) // one file stat when no merge crashed
     val committed = committedCsets(layoutPath)
     val cutoff = committed.lastOption.getOrElse(0L)
     // a fully-compacted landing zone (every epoch folded into csets and
@@ -206,9 +316,16 @@ object IngestStream {
     val settled =
       if (committed.isEmpty) None
       else Some(
+        // basePath roots the table at the layout dir: without it, two or
+        // more cset roots make partition discovery see the `cset=N` dir
+        // names themselves as conflicting partition dirs and throw
+        // (CONFLICTING_DIRECTORY_STRUCTURES — latent until the first
+        // collection accumulated a second cset). Only the COMMITTED cset
+        // paths are listed, so orphans stay invisible.
         spark.read
+          .option("basePath", layoutPath)
           .parquet(committed.map(c => s"$layoutPath/cset=$c"): _*)
-          .drop("sbucket", "day"))
+          .drop("cset", "sbucket", "day"))
     (settled, recent) match {
       case (Some(s), Some(r)) => s.unionByName(r, allowMissingColumns = true)
       case (Some(s), None)    => s

@@ -219,6 +219,62 @@ class StreamingSpec extends SparkSpec {
     assert(total === 3)
   }
 
+  test("mergeCsets folds committed csets into one; every crash point recovers") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    // three minor compactions → csets 1, 2, 3
+    (0 to 2).foreach { i =>
+      IngestStream.ingestBatch(batch(s"s${i + 1}", 1704067200L + 86400L * i), spec,
+        s"$dir/streams", s"$dir/data", identity, epoch = Some(i.toLong))
+      IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+        settledBelow = i + 1L, buckets = 8)
+    }
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(1L, 2L, 3L))
+    def view = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+    def stamps = view.select("timestamp").as[Long].collect().sorted.toSeq
+    val expected = stamps
+    assert(expected.size === 3)
+
+    // crash at every step; the serving view must be byte-identical after
+    // each (recovery runs inside readCombined). Steps before the commit
+    // rename roll BACK; the post-commit step rolls FORWARD.
+    Seq("tmp-written", "intent-created", "folded-renamed", "swapped").foreach { step =>
+      intercept[RuntimeException] {
+        IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8,
+          onStep = s => if (s == step) throw new RuntimeException(s"boom at $s"))
+      }
+      assert(stamps === expected, s"view changed after crash at $step")
+      // recovery left no half-swapped state behind
+      val names = new java.io.File(s"$dir/layout").listFiles().map(_.getName).toSet
+      assert(!names.exists(_.endsWith(".bak")), s"stale .bak after $step")
+      assert(!names.contains(IngestStream.MergeIntentName), s"stale intent after $step")
+    }
+
+    // the "swapped" crash was already past the commit point: merged state
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L))
+    val csetDirs = new java.io.File(s"$dir/layout").listFiles()
+      .filter(_.getName.startsWith("cset=")).map(_.getName).toSeq
+    assert(csetDirs === Seq("cset=3"))
+    assert(stamps === expected)
+
+    // idempotent: nothing left to fold
+    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    assert(stamps === expected)
+
+    // ingest continues after a merge: new epochs compact into cset 4 and
+    // a fresh merge folds 3+4 again
+    IngestStream.ingestBatch(batch("s4", 1704326400L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(3L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 4L, buckets = 8)
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L, 4L))
+    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(4L))
+    assert(view.count() === 4)
+  }
+
   test("rollup compact crash-atomicity: readTier never double-counts") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/tier"
