@@ -178,7 +178,7 @@ final class WireServer(
                   s"""{"collection":${JsonMini.str(m.collection)},"timestamp":${m.timestamp}}"""
                     .getBytes("UTF-8"))
                 relay match {
-                  case Some(r) => r.onMarker(frame)
+                  case Some(r) => r.onMarker(m.timestamp, frame)
                   case None =>
                     // a failed write throws out of the bus callback → the
                     // bus auto-unsubscribes this dead client
@@ -278,10 +278,11 @@ final class WireServer(
   * rows restricted to timestamp + stream_id + the subscribed columns.
   *
   * PUSH marker frames also ride the relay (`onMarker`): buffered while
-  * backfilling, written after the released rows at `finish`, passthrough
-  * once live — so a marker PUSH(T) can never reach the client before the
-  * buffered rows <= T it covers (the reference interleaves markers with
-  * the released buffer, exporter.py:928-956).
+  * backfilling, interleaved with the released rows at `finish` — each
+  * PUSH(T) is written after every released row with ts <= T and before
+  * the rest, the reference's per-timestamp-group interleave
+  * (exporter.py:928-956) — passthrough once live. The marker buffer is
+  * bounded; overflow drops the oldest (subsumed by its successor).
   */
 private[serve] final class LiveRelay(
     coll: String,
@@ -289,7 +290,8 @@ private[serve] final class LiveRelay(
     columns: Seq[String],
     start: Long,
     stop: Long,
-    out: DataOutputStream) {
+    out: DataOutputStream,
+    maxBufferedMarkers: Int = 256) {
 
   import graft.streaming.Markers
 
@@ -300,7 +302,10 @@ private[serve] final class LiveRelay(
       .map { case (sid, ps) => sid -> ps.map(_._2).sorted }
 
   private var buffered = Vector.empty[Row]
-  private var bufferedMarkers = Vector.empty[Array[Byte]]
+  // (marker timestamp, frame), publisher order = ascending timestamps;
+  // bounded: dropping the OLDEST is always safe because its coverage
+  // promise ("all data <= T delivered") is subsumed by its successor's
+  private var bufferedMarkers = Vector.empty[(Long, Array[Byte])]
   private var liveMode = false
   // per-(label, stream) high-water mark, seeded at the seam with the
   // label's OWN lasthist; only consulted in live mode
@@ -347,20 +352,35 @@ private[serve] final class LiveRelay(
   }
 
   /** PUSH frames are ordered behind the rows they cover: buffered during
-    * backfill, released after the buffered rows at finish, then direct.
+    * backfill, interleaved with the released rows at finish (a marker
+    * PUSH(T) follows every released row with ts <= T and precedes the
+    * rest — the reference's per-timestamp-group interleave,
+    * exporter.py:928-956), then direct. The buffer is bounded by
+    * `maxBufferedMarkers`: on overflow the oldest marker drops — safe,
+    * its coverage is subsumed by the next one's — so a months-long
+    * backfill coarsens seam granularity instead of growing memory.
     */
-  def onMarker(frame: Array[Byte]): Unit = synchronized {
-    if (!liveMode) bufferedMarkers :+= frame
-    else out.synchronized { out.write(frame); out.flush() }
+  def onMarker(t: Long, frame: Array[Byte]): Unit = synchronized {
+    if (!liveMode) {
+      if (bufferedMarkers.size >= maxBufferedMarkers)
+        bufferedMarkers = bufferedMarkers.drop(1)
+      bufferedMarkers :+= (t -> frame)
+    } else out.synchronized { out.write(frame); out.flush() }
   }
 
   def finish(lastHistByLabel: Map[String, Long]): Unit = synchronized {
     liveMode = true
     gate = (for ((l, sids) <- labels.toSeq; s <- sids)
       yield (l, s) -> lastHistByLabel.getOrElse(l, Long.MinValue)).toMap
-    emit(gated(buffered))
+    var rest = gated(buffered)
+    bufferedMarkers.foreach { case (t, frame) =>
+      val (covered, later) = rest.partition { case (_, r) => ts(r) <= t }
+      emit(covered)
+      out.synchronized { out.write(frame); out.flush() }
+      rest = later
+    }
+    emit(rest)
     buffered = Vector.empty
-    bufferedMarkers.foreach(f => out.synchronized { out.write(f); out.flush() })
     bufferedMarkers = Vector.empty
   }
 

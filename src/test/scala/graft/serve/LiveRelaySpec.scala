@@ -72,7 +72,7 @@ class LiveRelaySpec extends AnyFunSuite {
     // promises "all data <= 1500 delivered" — it must not overtake the
     // buffered row at 1500 across the seam
     relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1500L))))
-    relay.onMarker(Wire.pack(Wire.Push,
+    relay.onMarker(1500L, Wire.pack(Wire.Push,
       """{"collection":"amp-external","timestamp":1500}""".getBytes("UTF-8")))
     assert(frames(sink).isEmpty)
 
@@ -84,9 +84,63 @@ class LiveRelaySpec extends AnyFunSuite {
 
     // live mode: rows and markers pass straight through, in call order
     relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1600L))))
-    relay.onMarker(Wire.pack(Wire.Push,
+    relay.onMarker(1600L, Wire.pack(Wire.Push,
       """{"collection":"amp-external","timestamp":1600}""".getBytes("UTF-8")))
     val after = frames(sink).drop(seam.length)
     assert(after.map(_._1) === Seq(Wire.Live, Wire.Push))
+  }
+
+  private def push(t: Long): Array[Byte] = Wire.pack(Wire.Push,
+    s"""{"collection":"amp-external","timestamp":$t}""".getBytes("UTF-8"))
+
+  test("buffered markers interleave with released rows per timestamp group") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("a" -> Seq(1L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink))
+
+    // backfill buffers rows at 1200/1500/1800 and markers at 1200/1500;
+    // the reference replay (exporter.py:928-956) yields
+    //   Live[1200] PUSH(1200) Live[1500] PUSH(1500) Live[1800]
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1200L))))
+    relay.onMarker(1200L, push(1200L))
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1500L), row(1L, 1800L))))
+    relay.onMarker(1500L, push(1500L))
+    assert(frames(sink).isEmpty)
+
+    relay.finish(Map("a" -> 1000L))
+    val seam = frames(sink)
+    assert(seam.map(_._1) === Seq(Wire.Live, Wire.Push, Wire.Live, Wire.Push, Wire.Live))
+    def stamps(body: String): Seq[Long] =
+      """"timestamp":(\d+)""".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+    assert(stamps(seam(0)._2) === Seq(1200L))
+    assert(stamps(seam(1)._2) === Seq(1200L))
+    assert(stamps(seam(2)._2) === Seq(1500L))
+    assert(stamps(seam(3)._2) === Seq(1500L))
+    assert(stamps(seam(4)._2) === Seq(1800L))
+  }
+
+  test("marker buffer overflow drops the oldest; coverage promise holds") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("a" -> Seq(1L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink),
+      maxBufferedMarkers = 2)
+
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(
+      row(1L, 1100L), row(1L, 1200L), row(1L, 1300L))))
+    relay.onMarker(1100L, push(1100L))
+    relay.onMarker(1200L, push(1200L))
+    relay.onMarker(1300L, push(1300L)) // overflow: PUSH(1100) drops
+
+    relay.finish(Map.empty)
+    val seam = frames(sink)
+    // PUSH(1200) now covers 1100 AND 1200 — both rows precede it
+    assert(seam.map(_._1) === Seq(Wire.Live, Wire.Push, Wire.Live, Wire.Push))
+    assert(seam(0)._2.contains(""""timestamp":1100""") &&
+      seam(0)._2.contains(""""timestamp":1200"""))
+    assert(seam(1)._2.contains(""""timestamp":1200"""))
+    assert(seam(2)._2.contains(""""timestamp":1300"""))
+    assert(seam(3)._2.contains(""""timestamp":1300"""))
   }
 }
