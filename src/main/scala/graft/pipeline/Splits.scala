@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every row's
+  * split is a pure function of (salt, id) — no RNG state, no sampling
+  * order dependence — so train/val/test assignment is reproducible across
+  * runs, engines, and repartitionings, and adding documents never moves
+  * existing ones between splits. Map-only (codegen'd hash + CASE chain);
+  * at 100 TB the split is a free column, not a shuffle.
+  *
+  * Two hash families, same arithmetic (u = 60-bit hash / 2^60):
+  *   - [[hashSplit]]: xxhash64 — production (one 8-byte hash per row);
+  *   - [[hashSplitMd5]]: md5 — the oracle-parity twin, reproducible in
+  *     DuckDB as ('0x' || substr(md5(salt || id), 1, 15))::BIGINT (the
+  *     same convention as MinHashSignatureMd5). Both engines convert the
+  *     60-bit long to double with the same IEEE rounding and divide by a
+  *     power of two, so u is bit-identical.
+  *
+  * [[leakageSafeSplit]] composes with [[Dedup.connectedComponents]]: all
+  * members of a near-dup component hash on the component ROOT, so no
+  * near-duplicate pair can straddle train and eval — the train/test
+  * contamination guard an LLM pipeline needs after any dedup-pairs pass.
+  */
+object Splits {
+
+  /** Both hash families produce u-longs in [0, 2^60). */
+  val HashSpace: Double = 1152921504606846976.0d // 2^60
+
+  /** CASE chain over cumulative weight fractions; the last split absorbs
+    * the floating-sum slack so every u is assigned.
+    */
+  private def assign(u: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights
+      .map { case (name, w) => (name, w / total) }
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, f)) => (name, acc + f) }
+      .drop(1)
+    if (cuts.size == 1) lit(cuts.head._1)
+    else {
+      val chained = cuts.init.tail.foldLeft(when(u < cuts.head._2, cuts.head._1)) {
+        case (c, (name, cut)) => c.when(u < cut, name)
+      }
+      chained.otherwise(cuts.last._1)
+    }
+  }
+
+  /** xxhash64 u: top 60 bits, uniform in [0, 2^60). */
+  private def u64(salt: String, key: Column): Column =
+    shiftrightunsigned(xxhash64(lit(salt), key), 4).cast("double") / HashSpace
+
+  /** md5 u: first 15 hex chars of md5(salt || key-as-string), [0, 2^60). */
+  private def uMd5(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / HashSpace
+
+  /** Add a `split` column assigning each row by hash of (salt, id).
+    * Weights normalize to fractions; e.g. Seq("train" -> 0.75,
+    * "val" -> 0.125, "test" -> 0.125).
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = ""): DataFrame =
+    df.withColumn("split", assign(u64(salt, col(idCol)), weights))
+
+  /** Oracle-parity twin of [[hashSplit]] (md5 family). */
+  def hashSplitMd5(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = ""): DataFrame =
+    df.withColumn("split", assign(uMd5(salt, col(idCol)), weights))
+
+  /** Split with near-dup components pinned together: rows hash on their
+    * component root (min id of the connected component of `pairs`), so
+    * both sides of every near-dup pair land in the SAME split. Rows in no
+    * pair hash on their own id — for them this equals [[hashSplit]].
+    * The component map is pair-count-sized; AQE broadcasts it when small.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    splitByComponent(df, idCol, pairs, weights, salt, aCol, bCol, u64)
+
+  /** Oracle-parity twin of [[leakageSafeSplit]] (md5 family). */
+  def leakageSafeSplitMd5(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String = "",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    splitByComponent(df, idCol, pairs, weights, salt, aCol, bCol, uMd5)
+
+  private def splitByComponent(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String,
+      aCol: String,
+      bCol: String,
+      u: (String, Column) => Column): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn("split",
+        assign(u(salt, coalesce(col("component"), col(idCol).cast("long"))), weights))
+      .drop("__cc_id", "component")
+  }
+}

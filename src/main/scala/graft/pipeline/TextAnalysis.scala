@@ -174,4 +174,18 @@ object TextAnalysis {
       when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
         .as("lang_pred"))
   }
+
+  /** Global top-k vocabulary terms (heavy hitters — vocabulary building,
+    * boilerplate detection). `orderBy.limit` compiles to
+    * TakeOrderedAndProject: each partition keeps only its local top-k
+    * before the single merge, so no global sort and no full-vocabulary
+    * shuffle to one node; upstream, the term count is a map-side-combined
+    * hash aggregate. Deterministic total order: (count desc, term asc).
+    */
+  def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
 }

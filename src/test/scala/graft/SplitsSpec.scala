@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Splits}
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val weights = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+
+  test("hashSplit is deterministic, total, and near the requested proportions") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val split = Splits.hashSplit(ids, "id", weights, salt = "seed1")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 20000L) // total: every row assigned
+    assert(math.abs(counts("train") / 20000.0 - 0.75) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.125) < 0.01)
+    assert(math.abs(counts("test") / 20000.0 - 0.125) < 0.01)
+    // deterministic: a second evaluation is identical row-for-row
+    val a = split.orderBy("id").select("split").as[String].collect().toSeq
+    val b = Splits.hashSplit(ids, "id", weights, salt = "seed1")
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(a === b)
+    // salt changes the assignment (not a constant function)
+    val c = Splits.hashSplit(ids, "id", weights, salt = "seed2")
+      .orderBy("id").select("split").as[String].collect().toSeq
+    assert(a !== c)
+  }
+
+  test("md5 family behaves like the production family (proportions)") {
+    val ids = spark.range(0, 20000).toDF("id")
+    val counts = Splits.hashSplitMd5(ids, "id", weights, salt = "seed1")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") / 20000.0 - 0.75) < 0.02)
+  }
+
+  test("leakageSafeSplit pins every near-dup pair to one split") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    // chains of near-dups crossing arbitrary ids, plus a bigger cluster
+    val pairs = ((0L until 200L).map(i => (i * 3, i * 3 + 1)) ++
+      Seq((900L, 901L), (901L, 902L), (902L, 903L)))
+      .toDF("id_a", "id_b")
+    val split = Splits.leakageSafeSplit(docs, "doc_id", pairs, weights, salt = "s")
+    val byId = split.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(byId(a) === byId(b), s"pair ($a,$b) straddles splits")
+    }
+    // an unpaired doc keeps its plain hashSplit assignment
+    val plain = Splits.hashSplit(docs, "doc_id", weights, salt = "s")
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val paired = pairs.as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    byId.keys.filterNot(paired).foreach(id => assert(byId(id) === plain(id)))
+  }
+
+  test("topTerms equals the naive count on a known corpus") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma  beta"), // double space: empty tokens must not count
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.topTerms(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("alpha", 3L), ("beta", 3L), ("delta", 1L)))
+  }
+}
