@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
 import graft.ingest.Normalize
-import graft.pipeline.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Packing, Similarity, Splits, TextAnalysis}
 import graft.query.{AggSpec, Frequency, QueryEngine, TimeSeriesOps}
 import graft.rollup.Rollup
 
@@ -448,6 +448,20 @@ object SparkEntry {
     // ---- Heavy hitters: global top-k vocabulary terms -----------------
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)
+    }),
+
+    // ---- Deterministic stratified sampling (md5 oracle family) --------
+    "q_sample_stratified" -> ((s, dir) => {
+      Splits.stratifiedSampleMd5(Tables.documents(s, dir), "doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.125), salt = "s2")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Sequence packing into token-budget bins (global prefix sum) --
+    "q_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(Tables.documents(s, dir), "doc_id", "text", 512L)
+        .orderBy("doc_id")
     }),
 
     // ---- Brute-force cosine top-k (ANN baseline) ----------------------
@@ -1374,6 +1388,29 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY cnt DESC, term
         |LIMIT 50""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM u
+        |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |                    WHEN 'zh' THEN 0.125 ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id) AS cum FROM t
+        |)
+        |SELECT doc_id, tokens, CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" -> {
       val cos =

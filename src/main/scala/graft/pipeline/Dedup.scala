@@ -383,7 +383,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the first checksum
 
     // large-star: every node points its LARGER neighbors at the minimum of
     // its neighborhood (incl. itself); small-star: re-points its smaller-
@@ -415,7 +415,11 @@ object Dedup {
     var converged = prev._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint()
+      // lazy checkpoint: the checksum action materializes it, so each
+      // round costs ONE job (the checkpointed RDD still truncates lineage
+      // for the next round's plan)
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(eager = false)
       val sum = checksum(next)
       converged = sum == prev
       prev = sum

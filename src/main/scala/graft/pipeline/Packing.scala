@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: assign documents to
+  * fixed-token-budget bins by their start offset in the (id-ordered)
+  * token stream — the distributed form of greedy context-window packing.
+  *
+  * The primitive underneath is a GLOBAL prefix sum, which a naive
+  * `sum(...) over (ORDER BY id)` computes in ONE task (the whole corpus
+  * funnels through a single sort partition — a non-starter at 100 TB).
+  * [[withPrefixSum]] is the classic two-phase parallel scan instead:
+  *
+  *   1. range-repartition on the order column (sorted, disjoint ranges;
+  *      `localCheckpoint` freezes the sampled boundaries so both passes
+  *      see identical partitions);
+  *   2. per-partition totals — a partition-count-sized aggregate —
+  *      collect to the driver and fold into per-partition OFFSETS
+  *      (driver-protocol-sized, like every other driver collect here);
+  *   3. offsets ride back via a broadcast join, and a window partitioned
+  *      BY PARTITION finishes the scan locally.
+  *
+  * Every stage is distributed; the only serial state is one long per
+  * partition.
+  */
+object Packing {
+
+  /** Add `outCol` = running total of `valueCol` (LONG) over the total
+    * order of `orderCol` (must be unique), computed as a two-phase
+    * parallel scan (see object doc).
+    */
+  def withPrefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, col(orderCol)))
+      .getOrElse(df.repartitionByRange(col(orderCol))) // AQE sizes it
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // freeze sampled range boundaries across passes
+    val partSums: Array[(Int, Long)] = ranged
+      .groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = partSums.map(_._1)
+      .zip(partSums.scanLeft(0L)(_ + _._2).init)
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+    ranged
+      .join(offDf, "__pid")
+      .withColumn(
+        outCol,
+        col("__off") +
+          sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(orderCol)))
+      .drop("__pid", "__off")
+  }
+
+  /** Pack documents into `budget`-token bins: bin = the context window the
+    * document STARTS in, by whitespace token count over id order. Returns
+    * (idCol, tokens, bin). Deterministic, reproducible across engines
+    * (the DuckDB oracle recomputes it with a window sum).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = df.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tokens"))
+    withPrefixSum(toks, idCol, "tokens", "__cum")
+      .withColumn(
+        "bin",
+        floor((col("__cum") - col("tokens")).cast("double") / budget).cast("long"))
+      .select(col(idCol), col("tokens"), col("bin"))
+  }
+}

@@ -103,6 +103,39 @@ object Splits {
       bCol: String = "id_b"): DataFrame =
     splitByComponent(df, idCol, pairs, weights, salt, aCol, bCol, uMd5)
 
+  /** Deterministic per-stratum sampling: keep a row iff u(salt, id) <
+    * rate(stratum) — the reproducible, engine-portable form of
+    * `df.stat.sampleBy` (whose per-partition RNG changes membership under
+    * repartitioning). Map-only; strata absent from `rates` use
+    * `defaultRate`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame =
+    df.filter(u64(salt, col(idCol)) < rateOf(stratumCol, rates, defaultRate))
+
+  /** Oracle-parity twin of [[stratifiedSample]] (md5 family). */
+  def stratifiedSampleMd5(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame =
+    df.filter(uMd5(salt, col(idCol)) < rateOf(stratumCol, rates, defaultRate))
+
+  private def rateOf(
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): Column =
+    rates.foldLeft(lit(defaultRate)) { case (e, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(e)
+    }
+
   private def splitByComponent(
       df: DataFrame,
       idCol: String,

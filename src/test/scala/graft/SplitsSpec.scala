@@ -58,6 +58,57 @@ class SplitsSpec extends SparkSpec {
     byId.keys.filterNot(paired).foreach(id => assert(byId(id) === plain(id)))
   }
 
+  test("stratifiedSample keeps per-stratum rates and is repartition-stable") {
+    val rows = spark.range(0, 30000)
+      .withColumn("stratum",
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val rates = Seq("a" -> 0.5, "b" -> 0.25) // c falls to defaultRate 0
+    val kept = graft.pipeline.Splits.stratifiedSample(rows.toDF, "id", "stratum", rates, salt = "z")
+    val counts = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(counts("b") / 10000.0 - 0.25) < 0.03)
+    assert(!counts.contains("c"))
+    // membership is a pure function of (salt, id): repartitioning the
+    // input changes nothing (sampleBy's per-partition RNG would)
+    val a = kept.select("id").as[Long].collect().sorted.toSeq
+    val b = graft.pipeline.Splits.stratifiedSample(
+        rows.toDF.repartition(7), "id", "stratum", rates, salt = "z")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("withPrefixSum equals the single-task window scan") {
+    import graft.pipeline.Packing
+    val df = spark.range(0, 50000).select(
+      col("id"), (pmod(hash(col("id")), lit(37)) + 1).cast("long").as("v"))
+    // force several range partitions (AQE coalesces 50k rows to one), so
+    // the scan must agree with the window ACROSS partition boundaries;
+    // the premise check is on the ranged input — the output frame's count
+    // is post-AQE and legitimately collapses on tiny data
+    assert(df.repartitionByRange(8, col("id")).rdd.getNumPartitions === 8)
+    val scanned = Packing.withPrefixSum(df, "id", "v", "cum", numPartitions = Some(8))
+    val naive = df.withColumn("cum",
+      sum(col("v")).over(org.apache.spark.sql.expressions.Window.orderBy("id")))
+    val gotMap = scanned.select("id", "cum").as[(Long, Long)].collect().toMap
+    naive.select("id", "cum").as[(Long, Long)].collect().foreach { case (id, c) =>
+      assert(gotMap(id) === c, s"prefix sum diverges at id=$id")
+    }
+  }
+
+  test("packSequences: every document starts inside its bin's budget window") {
+    import graft.pipeline.Packing
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    val packed = Packing.packSequences(docs, "doc_id", "text", 512L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    var cum = 0L
+    packed.foreach { case (_, tokens, bin) =>
+      assert(bin === cum / 512L) // start offset decides the bin
+      cum += tokens
+    }
+    assert(packed.map(_._3).distinct.length > 1) // corpus spans several bins
+  }
+
   test("topTerms equals the naive count on a known corpus") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
