@@ -202,6 +202,23 @@ object PlanAudit {
       mustContain = Seq("t3600"),
       mustNot = Seq("events.parquet"))
 
+    // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
+    //     a global sort of the vocabulary
+    val tt = graft.pipeline.TextAnalysis.topTerms(
+      Tables.documents(spark, sfDir), "text", 50)
+    check("top terms: TakeOrdered partial top-k, no global Sort", plan(tt),
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNot = Seq("Sort ["))
+
+    // 13. hash split: a map-only projection — no shuffle, no join; the
+    //     split column is free at any scale
+    val hs = graft.pipeline.Splits.hashSplit(
+      Tables.documents(spark, sfDir), "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s")
+    check("hash split: map-only (no exchange)", plan(hs),
+      mustContain = Seq("Project"),
+      mustNot = Seq("Exchange", "Join"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
