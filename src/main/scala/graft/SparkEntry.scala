@@ -464,6 +464,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Repetition quality stats (Gopher-style, word 2-grams) --------
+    "q_text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text", 2)
+        .orderBy("doc_id")
+    }),
+
     // ---- Brute-force cosine top-k (ANN baseline) ----------------------
     "q_sim_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(
@@ -1411,6 +1417,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, tokens, CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), c AS (
+        |  SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, sum(c) AS t, max(c) AS mx,
+        |         coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS d
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(mx AS DOUBLE) / t AS top_ngram_frac,
+        |       CAST(d AS DOUBLE) / t AS dup_ngram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" -> {
       val cos =

@@ -175,6 +175,47 @@ object TextAnalysis {
         .as("lang_pred"))
   }
 
+  /** Per-document repetition stats — the Gopher/C4-style repetitiveness
+    * quality signals (Rae et al. 2021 §A1.1, simplified to occurrence
+    * fractions so both engines share exact integer arithmetic):
+    *
+    *   - `top_ngram_frac`: occurrences of the most frequent word n-gram /
+    *     total n-gram occurrences (boilerplate/chant detector);
+    *   - `dup_ngram_frac`: occurrences belonging to n-grams seen >= 2x /
+    *     total (overall repetitiveness).
+    *
+    * Two map-side-combined aggregations — (doc, gram) then (doc) — no
+    * joins, no windows; documents shorter than n tokens have no n-grams
+    * and are absent (the same no-signature contract as MinHash).
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    // RAW n-gram occurrences — Dedup.wordShingles dedups (set semantics
+    // for Jaccard); repetition is precisely about the duplicates it drops
+    val toks = tokens(col(textCol))
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").as("__t"),
+        max("__c").as("__mx"),
+        coalesce(sum(when(col("__c") >= 2, col("__c"))), lit(0L)).as("__d"))
+      .select(
+        col(idCol),
+        (col("__mx").cast("double") / col("__t")).as("top_ngram_frac"),
+        (col("__d").cast("double") / col("__t")).as("dup_ngram_frac"))
+  }
+
   /** Global top-k vocabulary terms (heavy hitters — vocabulary building,
     * boilerplate detection). `orderBy.limit` compiles to
     * TakeOrderedAndProject: each partition keeps only its local top-k

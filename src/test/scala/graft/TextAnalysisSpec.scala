@@ -90,4 +90,17 @@ class TextAnalysisSpec extends SparkSpec {
     val evals = "text_profile".r.findAllIn(plan).length
     assert(evals === 1, s"text_profile appears $evals times in the physical plan")
   }
+
+  test("repetitionStats matches hand-computed fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // 2-grams: [a b, b a, a b, b c] -> T=4 mx=2 dup=2
+      (2L, "x y z"),     // [x y, y z]                    -> T=2 mx=1 dup=0
+      (3L, "w"))         // no 2-grams -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 0.5, 0.5), (2L, 0.5, 0.0)))
+  }
 }
