@@ -62,4 +62,28 @@ class StreamingDedupSpec extends SparkSpec {
       assert(out.contains(4L)) // re-admitted after state eviction
     } finally q.stop()
   }
+
+  test("windowedTermCounts: finalized per-window counts, late data dropped") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val docs = in.toDF().toDF("text", "ts")
+    val q = graft.pipeline.StreamingText
+      .windowedTermCounts(docs, "text", "ts", "60 seconds", "60 seconds", "30 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("terms_out").start()
+    try {
+      in.addData(("alpha beta alpha", ts(10)), ("beta  gamma", ts(50)))
+      q.processAllAvailable()
+      // advance the watermark past window [0,60): its counts finalize
+      in.addData(("delta", ts(120)))
+      q.processAllAvailable()
+      // a straggler for the closed window must NOT change finalized counts
+      in.addData(("alpha", ts(15)))
+      q.processAllAvailable()
+      val w0 = spark.table("terms_out")
+        .filter(col("window_start") === ts(0))
+        .select("term", "cnt").as[(String, Long)].collect().toMap
+      assert(w0 === Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    } finally q.stop()
+  }
 }
