@@ -464,6 +464,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Packed training rows: bin members concatenated in id order ---
+    "q_pack_text" -> ((s, dir) => {
+      Packing.packedText(Tables.documents(s, dir), "doc_id", "text", 512L)
+        .orderBy("bin")
+    }),
+
     // ---- Repetition quality stats (Gopher-style, word 2-grams) --------
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text", 2)
@@ -1417,6 +1423,20 @@ object SparkEntry {
         |)
         |SELECT doc_id, tokens, CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, tokens, sum(tokens) OVER (ORDER BY doc_id) AS cum FROM t
+        |)
+        |SELECT CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_text_repetition" ->
       """WITH g AS (

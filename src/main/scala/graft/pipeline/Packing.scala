@@ -83,4 +83,28 @@ object Packing {
         floor((col("__cum") - col("tokens")).cast("double") / budget).cast("long"))
       .select(col(idCol), col("tokens"), col("bin"))
   }
+
+  /** Materialize the packed sequences: one row per bin with the member
+    * documents concatenated in id order — the actual training rows.
+    * Per-bin state is bounded by construction (a bin holds ~budget tokens
+    * of text), so the collect_list can never blow a group; the in-group
+    * order is pinned by sorting the (id, text) structs, not by collection
+    * order (which shuffles don't preserve).
+    */
+  def packedText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long): DataFrame =
+    packSequences(df, idCol, textCol, budget)
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("packed_text"))
 }

@@ -109,6 +109,24 @@ class SplitsSpec extends SparkSpec {
     assert(packed.map(_._3).distinct.length > 1) // corpus spans several bins
   }
 
+  test("packedText concatenates each bin's documents in id order") {
+    import graft.pipeline.Packing
+    val docs = Seq(
+      (1L, "a b c"),   // 3 tokens, cum-before 0  -> bin 0
+      (2L, "d e"),     // cum-before 3            -> bin 0
+      (3L, "f g h i"), // cum-before 5            -> bin 1
+      (4L, "j"))       // cum-before 9            -> bin 2
+      .toDF("doc_id", "text")
+    val got = Packing.packedText(docs, "doc_id", "text", 4L)
+      .orderBy("bin")
+      .select("bin", "n_docs", "total_tokens", "packed_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 5L, "a b c d e"),
+      (1L, 1L, 4L, "f g h i"),
+      (2L, 1L, 1L, "j")))
+  }
+
   test("topTerms equals the naive count on a known corpus") {
     val docs = Seq(
       (1L, "alpha beta alpha"),
