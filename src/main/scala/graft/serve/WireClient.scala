@@ -47,7 +47,10 @@ final class WireClient(host: String, port: Int) {
     */
   def streams(collection: String): Seq[Map[String, Any]] = {
     val out = Seq.newBuilder[Map[String, Any]]
-    var minid = 0L
+    // the server filter is STRICTLY greater (stream_id > minid), so the
+    // opening page must start below every legal id — 0 would silently
+    // skip a stream with id 0 (ids are Int-ranged by the server contract)
+    var minid = Int.MinValue.toLong
     var more = true
     while (more) {
       val body = new String(
@@ -108,22 +111,33 @@ final class WireClient(host: String, port: Int) {
       start: Long,
       stop: Long): Subscription = {
     val sock = new Socket(host, port)
-    val out = new DataOutputStream(sock.getOutputStream)
-    val in = new DataInputStream(sock.getInputStream)
-    out.write(Wire.pack(0,
-      s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
-         |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
-         |"start":$start,"stop":$stop}""".stripMargin.getBytes("UTF-8")))
-    out.flush()
-    val history = Seq.newBuilder[HistoryChunk]
-    var m = readFrame(in)
-    while (m.msgType == Wire.History) {
-      history += parseChunk(m)
-      m = readFrame(in)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      out.write(Wire.pack(0,
+        s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
+           |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
+           |"start":$start,"stop":$stop}""".stripMargin.getBytes("UTF-8")))
+      out.flush()
+      val history = Seq.newBuilder[HistoryChunk]
+      var m = readFrame(in)
+      while (m.msgType == Wire.History) {
+        history += parseChunk(m)
+        m = readFrame(in)
+      }
+      m.msgType match {
+        case Wire.Subscribe => new Subscription(sock, in, history.result())
+        case Wire.QueryCancelled => // e.g. backfill timeout: typed failure
+          throw new WireClientException(new String(m.body, "UTF-8"))
+        case other =>
+          throw new WireClientException(
+            s"expected subscribe ack after history, got msgType $other")
+      }
+    } catch {
+      // no Subscription handle exists on any failure path — the socket
+      // would leak without this (protocol errors, truncated backfill, IO)
+      case e: Throwable => sock.close(); throw e
     }
-    require(m.msgType == Wire.Subscribe,
-      s"expected subscribe ack after history, got msgType ${m.msgType}")
-    new Subscription(sock, in, history.result())
   }
 
   // ---- plumbing -------------------------------------------------------
@@ -142,9 +156,9 @@ final class WireClient(host: String, port: Int) {
       sock.shutdownOutput()
       val msgs = Seq.newBuilder[Wire.Message]
       var open = true
-      while (open) {
-        try msgs += readFrame(in)
-        catch { case _: java.io.EOFException => open = false }
+      while (open) readFrameOpt(in) match {
+        case Some(m) => msgs += m
+        case None    => open = false // clean EOF at a frame boundary
       }
       val out0 = msgs.result()
       out0.find(_.msgType == Wire.QueryCancelled).foreach { e =>
@@ -207,16 +221,35 @@ object WireClient {
     def close(): Unit = sock.close()
   }
 
-  private def readFrame(in: DataInputStream): Wire.Message = {
-    val header = new Array[Byte](Wire.HeaderLen)
-    in.readFully(header)
-    val version = header(0) & 0xff
-    require(version == Wire.Version, s"bad frame version $version")
-    val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
-    require(len >= 0 && len <= Wire.MaxFrameLen, s"bad frame length $len")
-    val body = new Array[Byte](len)
-    in.readFully(body)
-    Wire.Message(version, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+  private def readFrame(in: DataInputStream): Wire.Message =
+    readFrameOpt(in).getOrElse(
+      throw new WireClientException("connection closed by server"))
+
+  /** None on a CLEAN end-of-stream (EOF before the first header byte);
+    * an EOF anywhere inside a frame is a truncated reply and raises a
+    * typed failure — treating it as end-of-reply would silently hand the
+    * caller a partial result.
+    */
+  private def readFrameOpt(in: DataInputStream): Option[Wire.Message] = {
+    val first = in.read()
+    if (first < 0) None
+    else {
+      val header = new Array[Byte](Wire.HeaderLen)
+      header(0) = first.toByte
+      try {
+        in.readFully(header, 1, Wire.HeaderLen - 1)
+        val version = header(0) & 0xff
+        require(version == Wire.Version, s"bad frame version $version")
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        require(len >= 0 && len <= Wire.MaxFrameLen, s"bad frame length $len")
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Some(Wire.Message(version, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body))
+      } catch {
+        case _: java.io.EOFException =>
+          throw new WireClientException("connection dropped mid-frame (truncated reply)")
+      }
+    }
   }
 
   private def parseChunk(m: Wire.Message): HistoryChunk = {

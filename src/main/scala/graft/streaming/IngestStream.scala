@@ -217,12 +217,15 @@ object IngestStream {
       .drop("cset", "sbucket", "day")
     graft.storage.Layout.writeData(merged, tmp.getPath, buckets)
     onStep("tmp-written")
-    // WAL record: from here recovery knows exactly what to undo/redo
-    java.nio.file.Files.write(
-      new java.io.File(layoutDir, MergeIntentName).toPath,
-      folded.mkString("\n").getBytes("UTF-8"))
-    onStep("intent-created")
     streamsSwapLock.synchronized {
+      // WAL record: from here recovery knows exactly what to undo/redo.
+      // Created INSIDE the lock: its whole in-JVM lifetime is covered, so
+      // a reader's recoverCsetMerge can never observe (and roll back) a
+      // merge that is merely in progress — only a genuinely crashed one.
+      java.nio.file.Files.write(
+        new java.io.File(layoutDir, MergeIntentName).toPath,
+        folded.mkString("\n").getBytes("UTF-8"))
+      onStep("intent-created")
       folded.foreach { c =>
         val live = new java.io.File(layoutDir, s"cset=$c")
         if (!live.renameTo(new java.io.File(layoutDir, s"cset=$c.bak")))
@@ -295,7 +298,19 @@ object IngestStream {
     * may still exist briefly (GC pending) — they are filtered out, never
     * double-counted.
     */
-  def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
+  def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame =
+    // the whole plan-build — recovery, marker listing, and the eager file
+    // listing inside spark.read — sits under the swap lock, so an in-JVM
+    // reader serializes against mergeCsets' rename window (the lock holds
+    // only file-op-sized critical sections; the merge's big tmp write is
+    // outside it). Cross-process, the single-writer deployment contract
+    // plus marker-based recovery covers the same window.
+    streamsSwapLock.synchronized {
+      readCombinedLocked(spark, layoutPath, dataPath)
+    }
+
+  private def readCombinedLocked(
+      spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
     recoverCsetMerge(layoutPath) // one file stat when no merge crashed
     val committed = committedCsets(layoutPath)
     val cutoff = committed.lastOption.getOrElse(0L)

@@ -121,7 +121,10 @@ object RollupStream {
     val boundary = sourceEpochs.max + 1
     val k = prevK + 1
 
-    val df = spark.read.parquet(path)
+    val df0 = spark.read.parquet(path)
+    // same pre-tsn schema default as readTier (old persisted partials)
+    val df = if (df0.columns.contains("tsn")) df0
+      else df0.withColumn("tsn", col("ts"))
     val input = df.filter(
       col(IngestStream.EpochCol) === -prevK && lit(prevK > 0) ||
         (col(IngestStream.EpochCol) >= prevBoundary &&
@@ -178,21 +181,29 @@ object RollupStream {
     * not-yet-GC'd sources are filtered out. With no fold committed this is
     * a plain read of the epoch partials.
     */
-  def readTier(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  def readTier(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    // schema evolution: tiers persisted before the bin-min timestamp was
+    // added (tsn) default it to the bin-max — consumers (compactTier,
+    // matrixFromTier) would otherwise fail at plan time on old tier dirs
+    def withTsn(df: DataFrame): DataFrame =
+      if (df.columns.contains("tsn")) df else df.withColumn("tsn", col("ts"))
     committedFolds(path).lastOption match {
       case None =>
         // no committed fold: sources only — a fold dir may exist from a
         // crashed attempt and must NOT be read
         val df = spark.read.parquet(path)
-        if (df.columns.contains(IngestStream.EpochCol))
-          df.filter(col(IngestStream.EpochCol) >= 0).drop(IngestStream.EpochCol)
-        else df
+        withTsn(
+          if (df.columns.contains(IngestStream.EpochCol))
+            df.filter(col(IngestStream.EpochCol) >= 0).drop(IngestStream.EpochCol)
+          else df)
       case Some((k, boundary)) =>
-        spark.read.parquet(path)
-          .filter(col(IngestStream.EpochCol) === -k ||
-            col(IngestStream.EpochCol) >= boundary)
-          .drop(IngestStream.EpochCol)
+        withTsn(
+          spark.read.parquet(path)
+            .filter(col(IngestStream.EpochCol) === -k ||
+              col(IngestStream.EpochCol) >= boundary)
+            .drop(IngestStream.EpochCol))
     }
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)

@@ -17,10 +17,11 @@ class WireClientSpec extends SparkSpec {
   private lazy val events = Tables.tsEvents(spark, sf("sf0.001"))
 
   test("streams paging: client pages 2500 streams until more=false (exporter.py:641-657)") {
-    // 2500 streams → 3 pages at the server's 1000-row page size; ids start
-    // at 1 like the engine's allocator (Catalog) and the reference's
-    // sequences — minid paging is strict-greater from 0
-    val bigDim = spark.range(1, 2501).select(col("id").as("stream_id"))
+    // 2500 streams → 3 pages at the server's 1000-row page size. Ids
+    // START AT 0: events-derived dimensions contain id 0, and the
+    // strict-greater minid paging must not skip it (the client's opening
+    // minid sits below every legal id)
+    val bigDim = spark.range(0, 2500).select(col("id").as("stream_id"))
     val svc = new Service(
       spark,
       data = Map("amp-external" -> events),
@@ -32,9 +33,28 @@ class WireClientSpec extends SparkSpec {
       assert(rows.size === 2500)
       val ids = rows.map(r => r("stream_id").asInstanceOf[Long])
       assert(ids === ids.sorted)
-      assert(ids.head === 1L && ids.last === 2500L)
+      assert(ids.head === 0L && ids.last === 2499L)
       assert(ids.distinct.size === 2500) // page seams neither drop nor repeat
     } finally server.close()
+  }
+
+  test("truncated reply raises a typed failure, not a silent partial result") {
+    // a fake server that writes half a frame header and drops the
+    // connection: the client must NOT treat the mid-frame EOF as a clean
+    // end-of-reply
+    val fake = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val s = fake.accept()
+      s.getOutputStream.write(Array[Byte](graft.serve.Wire.Version.toByte, 0, 1))
+      s.getOutputStream.flush()
+      s.close()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val client = new WireClient("127.0.0.1", fake.getLocalPort)
+      val e = intercept[WireClient.WireClientException](client.collections())
+      assert(e.getMessage.contains("mid-frame"))
+    } finally fake.close()
   }
 
   test("client request/reply: collections, schema, aggregate, matrix") {
