@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.schema.Collections
-import graft.streaming.{IngestStream, RollupStream, Subscribe}
+import graft.streaming.{IngestStream, Maintenance, RollupStream, Subscribe}
 
 // raw amp-external-ish result rows: property tuple + measurement
 case class RawResult(
@@ -273,6 +273,55 @@ class StreamingSpec extends SparkSpec {
     IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
     assert(IngestStream.committedCsets(s"$dir/layout") === Seq(4L))
     assert(view.count() === 4)
+  }
+
+  test("Maintenance.run: one cycle folds epochs, merges csets, compacts streams and tiers") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    val t0 = 1704067200L // 2024-01-01
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    // three epochs on three days; two already minor-compacted
+    (0 to 2).foreach { i =>
+      IngestStream.ingestBatch(batch(s"s${i + 1}", t0 + 86400L * i), spec,
+        s"$dir/streams", s"$dir/data", identity, epoch = Some(i.toLong))
+    }
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", 1L, buckets = 8)
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", 2L, buckets = 8)
+    // one rollup tier with an un-folded partial epoch
+    val tier = s"$dir/tier60"
+    RollupStream.appendPartials(
+      Seq((1L, 30L, 2.0), (1L, 70L, 4.0)).toDF("stream_id", "timestamp", "value"),
+      60, "value", tier, epoch = 0L)
+
+    val dropped = Maintenance.run(spark, Maintenance.Config(
+      streamsPath = s"$dir/streams",
+      dataPath = s"$dir/data",
+      layoutPath = s"$dir/layout",
+      settledBelow = 3L,
+      tierPaths = Seq(tier),
+      buckets = 8,
+      mergeWhenCsetsExceed = 2,
+      retainCutoffEpoch = Some(t0 + 86400L))) // day 1 ages out
+
+    // minor (cset 3) + major (1,2,3 -> 3) compaction ran
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L))
+    // streams dimension folded to one parquet file
+    assert(new java.io.File(s"$dir/streams").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    // tier partials folded behind a commit marker; the fold still serves
+    assert(RollupStream.readTier(spark, tier).count() === 2)
+    assert(new java.io.File(tier).listFiles().exists(_.getName.startsWith("_fold_")))
+    // retention dropped exactly the aged day; the serving view reflects it
+    assert(dropped === Seq("day=20240101"))
+    val left = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+      .select("timestamp").as[Long].collect().sorted.toSeq
+    assert(left === Seq(t0 + 86400L, t0 + 172800L))
+    // idempotent: a second cycle changes nothing
+    assert(Maintenance.run(spark, Maintenance.Config(
+      s"$dir/streams", s"$dir/data", s"$dir/layout", 3L,
+      Seq(tier), 8, 2, Some(t0 + 86400L))).isEmpty)
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 2)
   }
 
   test("rollup compact crash-atomicity: readTier never double-counts") {
