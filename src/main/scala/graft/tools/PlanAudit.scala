@@ -219,6 +219,15 @@ object PlanAudit {
       mustContain = Seq("Project"),
       mustNot = Seq("Exchange", "Join"))
 
+    // 14. sequence packing: the prefix sum range-partitions and windows
+    //     per partition — never the single-task global-window funnel
+    val ps = graft.pipeline.Packing.packSequences(
+      Tables.documents(spark, sfDir), "doc_id", "text", 512L)
+    check("sequence packing: range-partitioned scan, no single-task window",
+      plan(ps),
+      mustContain = Seq("Window"),
+      mustNot = Seq("Exchange SinglePartition"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
