@@ -637,6 +637,14 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Audio (WAV/RIFF) container metadata: the AudioHeader walk over
+    //      byte-exact synthetic containers ------------------------------
+    "q_multimodal_audio" -> ((s, dir) => {
+      Multimodal
+        .extractAudioMeta(Multimodal.mediaTableEncodedAudio(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    }),
+
     // ---- Arrow-batched multimodal feature extraction (the mapInPandas
     //      execution shape on real Arrow buffers). Rows-only gate entry
     //      (byte statistics over a binary blob are not SQL-expressible in
@@ -1767,6 +1775,31 @@ object SparkEntry {
         |       source AS origin
         |FROM p
         |ORDER BY media_id""".stripMargin,
+
+    // the engine builds the RIFF container and parses it back; the oracle
+    // recomputes the expected parse from the same document fields (the
+    // byte-walk itself is unit-tested on handcrafted containers)
+    "q_multimodal_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CAST(1 + (doc_id % 2) AS INTEGER) AS ch,
+        |         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |         CAST(8000 * (1 + (n_chars % 4)) AS INTEGER) AS rate,
+        |         octet_length(encode(text)) AS ds,
+        |         doc_id % 3 AS fmt
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, rate * ((ch * bits) // 8) AS br FROM m
+        |)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN fmt = 2 THEN ds ELSE 44 + ds END AS BIGINT) AS n_bytes,
+        |       CASE WHEN fmt = 2 THEN 'unknown' ELSE 'wav' END AS format,
+        |       CASE WHEN fmt <> 2 THEN ch END AS channels,
+        |       CASE WHEN fmt <> 2 THEN rate END AS sample_rate,
+        |       CASE WHEN fmt <> 2 THEN bits END AS bits_per_sample,
+        |       CASE WHEN fmt <> 2 THEN CAST(floor(ds * 1000.0 / br) AS BIGINT) END AS duration_ms,
+        |       source AS origin
+        |FROM c ORDER BY media_id""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH ev AS (

@@ -91,6 +91,60 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Little-endian integer bytes in pure Column DSL (RIFF is LE where
+    * PNG/JPEG are BE): one unhexed byte per shift, lowest first.
+    */
+  private def le(c: org.apache.spark.sql.Column, bytes: Int) =
+    concat((0 until bytes).map(i =>
+      unhex(lpad(hex(shiftright(c, 8 * i).bitwiseAND(255)), 2, "0"))): _*)
+
+  /** Synthesize an ENCODED audio table: payloads carry real RIFF/WAVE
+    * containers (44-byte canonical PCM header, little-endian fields)
+    * around the document bytes, with channel/rate/width parameters
+    * derived deterministically from document fields — the audio sibling
+    * of [[mediaTableEncoded]], exercising `AudioHeader` against
+    * byte-exact containers. One third of rows stay headerless.
+    */
+  def mediaTableEncodedAudio(docs: DataFrame): DataFrame = {
+    val textBytes = encode(col("text"), "UTF-8")
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val bits = when(col("doc_id") % 2 === 0, 16).otherwise(8)
+    val rate = ((col("n_chars") % 4 + 1) * 8000).cast("int")
+    val blockAlign = ((ch * bits) / 8).cast("int")
+    val byteRate = (rate * blockAlign).cast("int")
+    val dataSize = length(textBytes)
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), le(dataSize + 36, 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")), le(lit(16), 4),
+      le(lit(1), 2), le(ch, 2), le(rate, 4), le(byteRate, 4),
+      le(blockAlign, 2), le(bits, 2),
+      lit("data".getBytes("US-ASCII")), le(dataSize, 4),
+      textBytes)
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 2, textBytes).otherwise(wav).as("payload"),
+      struct(
+        col("n_chars").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec")).as("meta"))
+  }
+
+  /** Audio-metadata extraction via the `AudioHeader` RIFF walk — format,
+    * channel layout, sample rate/width, declared duration. Map-only.
+    */
+  def extractAudioMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__a", graft.functions.AudioHeader(col("payload")))
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("__a.format").as("format"),
+        col("__a.channels").as("channels"),
+        col("__a.sample_rate").as("sample_rate"),
+        col("__a.bits_per_sample").as("bits_per_sample"),
+        col("__a.duration_ms").as("duration_ms"),
+        col("meta.origin").as("origin"))
+
   /** Column-level metadata extraction — pure codegen'd expressions, no
     * shuffle, payload column pruned if the caller drops it. Includes the
     * parsed container header (`ImageHeader`): format, pixel dimensions,

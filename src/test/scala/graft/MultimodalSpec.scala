@@ -136,4 +136,63 @@ class MultimodalSpec extends SparkSpec {
       assert(sampled(0) === full(0))
     }
   }
+
+  test("AudioHeader walks RIFF chunks: extra chunks, odd padding, truncation") {
+    import graft.functions.AudioHeader
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array() // trailing pad byte (if odd) left zero per RIFF
+    }
+    def fmt(ch: Int, rate: Int, bits: Int): Array[Byte] = {
+      val ba = ch * bits / 8
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(1).putShort(ch.toShort).putInt(rate).putInt(rate * ba)
+        .putShort(ba.toShort).putShort(bits.toShort)
+      b.array()
+    }
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val b = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val canonical = riff(chunk("fmt ", fmt(2, 44100, 16)), chunk("data", new Array[Byte](88200)))
+    // an odd-sized LIST chunk BEFORE fmt: the walk must pad to even and continue
+    val listed = riff(
+      chunk("LIST", Array[Byte](1, 2, 3)),
+      chunk("fmt ", fmt(1, 8000, 8)), chunk("data", new Array[Byte](4000)))
+    val noFmt = riff(chunk("data", new Array[Byte](10)))
+    val notWav = "plain bytes".getBytes("UTF-8")
+    val rows = Seq((1, canonical), (2, listed), (3, noFmt), (4, notWav))
+      .toDF("id", "payload")
+      .select($"id", AudioHeader($"payload").as("a"))
+      .select("id", "a.format", "a.channels", "a.sample_rate", "a.bits_per_sample", "a.duration_ms")
+      .as[(Int, String, Option[Int], Option[Int], Option[Int], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows(0) === ((1, "wav", Some(2), Some(44100), Some(16), Some(500L)))) // 88200/176400 s
+    assert(rows(1) === ((2, "wav", Some(1), Some(8000), Some(8), Some(500L))))   // 4000/8000 s
+    assert(rows(2) === ((3, "wav", None, None, None, None)))
+    assert(rows(3) === ((4, "unknown", None, None, None, None)))
+  }
+
+  test("mediaTableEncodedAudio round-trip: parsed layout equals the generator's") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val meta = Multimodal.extractAudioMeta(Multimodal.mediaTableEncodedAudio(docs))
+      .join(docs.select(col("doc_id").as("media_id"), col("n_chars")), Seq("media_id"))
+      .collect()
+    meta.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 3 == 2) assert(r.getAs[String]("format") === "unknown")
+      else {
+        assert(r.getAs[String]("format") === "wav")
+        assert(r.getAs[Int]("channels") === (id % 2 + 1).toInt)
+        assert(r.getAs[Int]("sample_rate") === ((r.getAs[Long]("n_chars") % 4 + 1) * 8000).toInt)
+      }
+    }
+  }
 }
