@@ -43,4 +43,27 @@ object StreamingText {
         col("window.end").as("window_end"),
         col("term"),
         col("cnt"))
+
+  /** Streaming sessionization — the incremental twin of the batch
+    * lag-window sessionizer (q_sessionize): events within `gap` of each
+    * other merge into one session per key, via Structured Streaming's
+    * native `session_window` (dynamic-gap state merged incrementally;
+    * closed sessions finalize once the watermark passes — no global sort,
+    * no lag window). Emits one row per closed session (append mode).
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      eventTimeCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

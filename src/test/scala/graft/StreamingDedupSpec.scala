@@ -86,4 +86,33 @@ class StreamingDedupSpec extends SparkSpec {
       assert(w0 === Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming sessionize: gap merges events, watermark closes sessions") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val events = in.toDF().toDF("stream_id", "ts")
+    val q = graft.pipeline.StreamingText
+      .sessionize(events, "stream_id", "ts", gap = "30 seconds", watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // key 1: two events 20s apart (one session), then a 100s gap (new
+      // session); key 2: a single event
+      in.addData((1L, ts(0)), (1L, ts(20)), (2L, ts(5)))
+      q.processAllAvailable()
+      in.addData((1L, ts(120)))
+      q.processAllAvailable()
+      in.addData((9L, ts(500))) // advance watermark: all sessions close
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("stream_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+      val compact = out.map(r => (r._1, r._2.getTime / 1000, r._3.getTime / 1000, r._4))
+      assert(compact.take(3) === Seq(
+        (1L, 0L, 50L, 2L),    // 0 and 20 merged; session extends gap past last event
+        (1L, 120L, 150L, 1L), // the 100s gap started a new session
+        (2L, 5L, 35L, 1L)))
+    } finally q.stop()
+  }
 }
