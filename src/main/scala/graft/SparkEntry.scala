@@ -476,6 +476,70 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Benchmark decontamination: training docs sharing any 3-gram
+    //      with the benchmark slice (doc_id % 10 == 0 stands in for the
+    //      eval suite). Gate counts distinct xxhash64 shingle hashes; the
+    //      oracle counts distinct shingle STRINGS — equal because hashing
+    //      is injective on the corpus (same convention as q_dedup_ngram)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII scan + redaction. The corpus is PII-free by construction
+    //      (a GOOD corpus property this gate would catch regressing), so
+    //      the scan runs on a contact line derived deterministically from
+    //      events row ids — giving every pattern true positives whose
+    //      counts and redacted text hash-check regex parity across
+    //      engines; aggregated per event_type to keep the output small
+    "q_pii_scan" -> ((s, dir) => {
+      // tsEvents (not raw load): it sets the nanos-parquet conf; stream_id
+      // is the raw table's user_id
+      val ev = Tables.tsEvents(s, dir)
+      val line = concat(
+        lit("uid "), col("stream_id"),
+        lit(" mail u"), col("stream_id"), lit("@example.com ip 10.0."),
+        col("stream_id") % 256, lit("."), col("event_id") % 256,
+        lit(" tel +64"), lit(4000000) + col("event_id") % 1000000,
+        lit(" acct "), lit(9000000) + col("event_id"),
+        lit(" "), col("props"))
+      TextAnalysis.piiScan(
+          ev.select(col("event_type"), line.as("text")), "event_type", "text")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("n_emails").as("emails"),
+          sum("n_ipv4").as("ipv4s"),
+          sum("n_phones").as("phones"),
+          sum("n_idnums").as("idnums"),
+          min("redacted").as("redacted_min"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Adaptive quality cut: docs at/above the corpus-mean BPE token
+    //      count (integer metric -> exact cross-engine mean; the
+    //      approx-quantile production variant is spec-covered)
+    "q_quality_cut" -> ((s, dir) => {
+      TextAnalysis.cutByMeanOf(
+          TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text"),
+          "n_bpe_tokens")
+        .select("doc_id", "n_bpe_tokens", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Deterministic corpus shuffle: global training-order positions
+    //      by hash-of-id, via the two-phase parallel prefix scan (md5
+    //      oracle family; xxhash64 production twin bridged in SplitsSpec)
+    "q_shuffle_order" -> ((s, dir) => {
+      Splits.shuffleOrderMd5(Tables.documents(s, dir), "doc_id", salt = "s3")
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    }),
+
     // ---- Brute-force cosine top-k (ANN baseline) ----------------------
     "q_sim_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(
@@ -1460,6 +1524,86 @@ object SparkEntry {
         |SELECT doc_id, CAST(mx AS DOUBLE) / t AS top_ngram_frac,
         |       CAST(d AS DOUBLE) / t AS dup_ngram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // gate counts distinct shingle HASHES, oracle distinct shingle STRINGS
+    // — equal while hashing is injective on the corpus (q_dedup_ngram
+    // convention)
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), tr AS (
+        |  SELECT doc_id, unnest(g) AS s FROM t WHERE doc_id % 10 <> 0
+        |), be AS (
+        |  SELECT doc_id AS bid, unnest(g) AS s FROM t WHERE doc_id % 10 = 0
+        |)
+        |SELECT tr.doc_id, count(DISTINCT s) AS n_ngrams, count(DISTINCT bid) AS n_bench_docs
+        |FROM tr JOIN be USING (s)
+        |GROUP BY tr.doc_id
+        |ORDER BY tr.doc_id""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    'uid ' || user_id || ' mail u' || user_id || '@example.com ip 10.0.' ||
+        |    (user_id % 256) || '.' || (event_id % 256) || ' tel +64' ||
+        |    (4000000 + event_id % 1000000) || ' acct ' || (9000000 + event_id) || ' ' || props AS text
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |    CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(text, '\b[0-9]{6,}\b')) AS BIGINT) AS n_idnums,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+        |      '\+[0-9]{7,15}', '[PHONE]', 'g'),
+        |      '\b[0-9]{6,}\b', '[ID]', 'g') AS redacted
+        |  FROM l
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(n_emails) AS BIGINT) AS emails,
+        |       CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+        |       CAST(sum(n_phones) AS BIGINT) AS phones,
+        |       CAST(sum(n_idnums) AS BIGINT) AS idnums,
+        |       min(redacted) AS redacted_min
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // integer metric -> the mean is an exact long sum + one double
+    // division in both engines (order-independent, unlike a double sum)
+    "q_quality_cut" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','an','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio
+        |  FROM w
+        |), q AS (
+        |  SELECT doc_id, n_bpe_tokens,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - punct_ratio) * 0.2
+        |      + (1.0 - digit_ratio) * 0.2
+        |      + least((CAST(n_stopwords AS DOUBLE) / n_tokens) * 4.0, 1.0) * 0.2 AS quality
+        |  FROM s
+        |)
+        |SELECT doc_id, n_bpe_tokens, quality FROM q
+        |WHERE CAST(n_bpe_tokens AS DOUBLE) >=
+        |      (SELECT CAST(sum(n_bpe_tokens) AS DOUBLE) / count(*) FROM q)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY substr(md5('s3' || CAST(doc_id AS VARCHAR)), 1, 15), doc_id) - 1 AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "q_sim_topk" -> {
       val cos =

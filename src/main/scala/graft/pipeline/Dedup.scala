@@ -454,4 +454,61 @@ object Dedup {
       .select(col("id").as("__dup"))
     df.join(dupes, df(idCol) === col("__dup"), "left_anti")
   }
+
+  /** Benchmark decontamination: find training documents that share any
+    * word n-gram with a benchmark/eval corpus — the standard pre-training
+    * hygiene pass (an eval item leaking into the training set inflates
+    * that benchmark's score). Returns one row per CONTAMINATED training
+    * document: (idCol, n_ngrams = distinct shared shingles, n_bench_docs =
+    * distinct benchmark documents sharing at least one of them).
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus (eval
+    * suites are ~1e6 n-grams against ~1e12 corpus shingles), so its
+    * exploded (shingle, bench-id) index is BROADCAST (`broadcastBench`,
+    * default on; switch off to let AQE pick a shuffle join for an
+    * unusually large benchmark). The corpus side is then map-only — fused
+    * shingle hashing (WordNgramHashes), explode, broadcast hash join —
+    * and the only shuffle carries the contaminated survivors' (id,
+    * shingle, bench-id) triples into a map-side-combined aggregation:
+    * no corpus-sized shuffle anywhere.
+    *
+    * Hashes are xxhash64 (the DuckDB oracle recomputes the same counts
+    * from shingle STRINGS; the counts coincide because hashing is
+    * injective on the corpus — same convention as [[ngramJaccardPairs]]).
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val trainIdx = shingleSets(train, idCol, textCol, n)
+      .select(col("__id"), explode(col("__set")).as("__s"))
+    // per-(bench doc, shingle) rows are already distinct: __set is a set
+    val benchIdx = shingleSets(bench, idCol, textCol, n)
+      .select(col("__id").as("__bid"), explode(col("__set")).as("__s"))
+    val benchSide = if (broadcastBench) broadcast(benchIdx) else benchIdx
+    trainIdx
+      .join(benchSide, Seq("__s"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        countDistinct(col("__s")).as("n_ngrams"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+  }
+
+  /** The clean corpus: training documents from [[decontaminate]]'s input
+    * with every contaminated document removed (id-only anti-join — the
+    * contaminated set is small, AQE broadcasts it).
+    */
+  def decontaminated(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val bad = decontaminate(train, bench, idCol, textCol, n)
+      .select(col(idCol).as("__bad"))
+    train.join(bad, train(idCol) === col("__bad"), "left_anti")
+  }
 }

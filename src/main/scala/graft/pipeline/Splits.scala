@@ -152,4 +152,48 @@ object Splits {
         assign(u(salt, coalesce(col("component"), col(idCol).cast("long"))), weights))
       .drop("__cc_id", "component")
   }
+
+  // ---- deterministic corpus shuffle ------------------------------------
+
+  /** Global training-order shuffle: add `pos` = the row's 0-based position
+    * in hash-of-id order — the reproducible, engine-portable form of
+    * "shuffle the corpus once before training". The order key is the same
+    * pure (salt, id) hash as [[hashSplit]], so the permutation is stable
+    * under repartitioning and appends only displace, never reorder,
+    * existing relative positions.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` funnels the whole corpus
+    * through ONE sort task; this instead rides
+    * [[Packing.withPrefixSum]]'s two-phase parallel scan (range-partition
+    * on the key, per-partition counts to driver-sized offsets, local
+    * window) — every stage distributed, and the output is already
+    * range-partitioned by `pos` for a direct sharded write.
+    *
+    * The key string is `hex-hash ++ '-' ++ zero-padded id`: hex compares
+    * like the 60-bit value, and the id suffix makes the key unique (a
+    * total order) even on a hash collision.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
+    shuffled(df, idCol, hex60(salt, col(idCol)))
+
+  /** Oracle-parity twin of [[shuffleOrder]] (md5 family): DuckDB
+    * reproduces `pos` as
+    * `row_number() OVER (ORDER BY substr(md5(salt || id), 1, 15), id) - 1`.
+    */
+  def shuffleOrderMd5(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
+    shuffled(df, idCol, substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15))
+
+  /** xxhash64 order key as fixed-width hex (top 60 bits, like [[u64]]). */
+  private def hex60(salt: String, key: Column): Column =
+    lpad(lower(hex(shiftrightunsigned(xxhash64(lit(salt), key), 4))), 15, "0")
+
+  private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =
+    Packing.withPrefixSum(
+        df.withColumn(
+            "__ord",
+            concat(hashHex, lit("-"), lpad(col(idCol).cast("string"), 20, "0")))
+          .withColumn("__one", lit(1L)),
+        "__ord", "__one", "__pos1")
+      .withColumn("pos", col("__pos1") - 1L)
+      .drop("__ord", "__one", "__pos1")
 }

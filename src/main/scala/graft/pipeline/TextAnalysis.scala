@@ -229,4 +229,97 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
+
+  // ---- PII scan / redaction --------------------------------------------
+  // Regex-based PII hygiene for training corpora. Patterns are kept to the
+  // common syntax subset of java.util.regex (Spark) and RE2 (DuckDB
+  // oracle): ASCII classes, bounded repeats, non-capturing groups, \b —
+  // no backrefs or lookaround (RE2 has neither). Each scan/redact step is
+  // a codegen'd regexp function: map-only, no shuffle, and the corpus
+  // pays one NFA pass per pattern.
+
+  /** RFC-casual email addresses. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (no range check — scrubbing favors recall). */
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** International phone numbers in +E.164-ish form. */
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  /** Long digit runs (account / national-id style identifiers). */
+  val IdNumberPattern = "\\b[0-9]{6,}\\b"
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  def emailCount(text: Column): Column = countMatches(text, EmailPattern)
+  def ipv4Count(text: Column): Column = countMatches(text, Ipv4Pattern)
+  def phoneCount(text: Column): Column = countMatches(text, PhonePattern)
+  def idNumberCount(text: Column): Column = countMatches(text, IdNumberPattern)
+
+  /** Redacted text: PII spans replaced by typed placeholder tokens.
+    * Replacement order matters — emails first (they contain digits and
+    * dots that the narrower patterns would shred), then IPv4 (dotted
+    * digits would otherwise match the bare-number rule), then phones,
+    * then bare long digit runs.
+    */
+  def piiRedact(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Pattern, "[IP]")
+    val p = regexp_replace(i, PhonePattern, "[PHONE]")
+    regexp_replace(p, IdNumberPattern, "[ID]")
+  }
+
+  /** Per-document PII scan: match counts per category (counted
+    * independently on the RAW text — a phone number inside a larger digit
+    * run can count in two categories) plus the redacted body.
+    */
+  def piiScan(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(
+      col(idCol),
+      emailCount(col(textCol)).as("n_emails"),
+      ipv4Count(col(textCol)).as("n_ipv4"),
+      phoneCount(col(textCol)).as("n_phones"),
+      idNumberCount(col(textCol)).as("n_idnums"),
+      piiRedact(col(textCol)).as("redacted"))
+
+  // ---- adaptive quality cuts -------------------------------------------
+
+  /** Keep rows whose integer `metricCol` is at or above the corpus MEAN.
+    * The threshold is one map-side-combined aggregate broadcast back as a
+    * scalar — at 100 TB this is a second corpus scan, never a sort. The
+    * mean of a LONG metric is exact and order-independent (integer sum,
+    * one double division), so the DuckDB oracle reproduces the cut
+    * bit-for-bit — unlike a mean over doubles, whose partial-sum order
+    * would differ between engines (and between runs of Spark itself).
+    */
+  def cutByMeanOf(df: org.apache.spark.sql.DataFrame, metricCol: String): org.apache.spark.sql.DataFrame = {
+    val thr = df.agg(
+      (sum(col(metricCol)).cast("double") / count(lit(1))).as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(metricCol).cast("double") >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Keep rows whose `metricCol` is at or above the corpus `q`-quantile —
+    * the production form of an adaptive quality cut. Distributed EXACT
+    * percentiles need a global sort, so this uses `approx_percentile`
+    * (a mergeable t-digest-style sketch: map-side partials, driver-sized
+    * merge) with `accuracy` trading memory for error. Not oracle-checked
+    * (the sketch is engine-specific); the spec asserts the sandwich
+    * property instead — the kept fraction brackets 1-q.
+    */
+  def cutByQuantileOf(
+      df: org.apache.spark.sql.DataFrame,
+      metricCol: String,
+      q: Double,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val thr = df.agg(
+      percentile_approx(col(metricCol), lit(q), lit(accuracy)).as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(metricCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -223,4 +223,26 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0L)
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown", "quick brown fox" w/ bench 100
+      (2L, "completely unrelated words here"),
+      (3L, "capital of france is paris"),  // shares "capital of france", "of france is" w/ bench 101
+      (4L, "short doc"))                   // < 3 tokens: no shingles
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "what is the capital of france is it paris"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: shingles {the quick brown, quick brown fox} both in bench 100
+    // doc 3: {capital of france, of france is} both in bench 101
+    assert(got === Seq((1L, 2L, 1L), (3L, 2L, 1L)))
+    val clean = Dedup.decontaminated(train, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(2L, 4L))
+  }
 }

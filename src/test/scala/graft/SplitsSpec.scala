@@ -136,4 +136,41 @@ class SplitsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("alpha", 3L), ("beta", 3L), ("delta", 1L)))
   }
+
+  test("shuffleOrder assigns a deterministic permutation, stable under repartitioning") {
+    val ids = spark.range(0, 5000).toDF("id")
+    val pos = Splits.shuffleOrder(ids, "id", salt = "sh1")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    // a permutation of 0..n-1
+    assert(pos.values.toSeq.sorted === (0L until 5000L))
+    // not the identity (it actually shuffles)
+    assert((0L until 5000L).count(i => pos(i) == i) < 50)
+    // physical layout does not change the logical order
+    val repos = Splits.shuffleOrder(ids.repartition(17), "id", salt = "sh1")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(repos === pos)
+    // a different salt is a different permutation
+    val other = Splits.shuffleOrder(ids, "id", salt = "sh2")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(other !== pos)
+  }
+
+  test("shuffleOrder: appends only displace, never reorder, existing rows") {
+    val base = spark.range(0, 2000).toDF("id")
+    val grown = spark.range(0, 3000).toDF("id")
+    val a = Splits.shuffleOrder(base, "id", salt = "sh1")
+      .select("id", "pos").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    val b = Splits.shuffleOrder(grown, "id", salt = "sh1")
+      .select("id", "pos").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).filter(_ < 2000L).toSeq
+    assert(a === b) // old ids keep their relative order in the grown corpus
+  }
+
+  test("md5 shuffle family is also a valid permutation") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val pos = Splits.shuffleOrderMd5(ids, "id", salt = "sh1")
+      .select("pos").as[Long].collect().sorted
+    assert(pos.toSeq === (0L until 2000L))
+  }
 }

@@ -103,4 +103,44 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().toSeq
     assert(got === Seq((1L, 0.5, 0.5), (2L, 0.5, 0.0)))
   }
+
+  test("piiScan counts and redacts emails, IPs, phones, and id numbers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to jane.doe+spam@mail.example.org or call +6494123456"),
+      (2L, "server 192.168.1.200 logged account 123456789 twice: 123456789"),
+      (3L, "clean text with no personal data at all"),
+      (4L, "ip 10.0.0.1 and mail a@b.co and num 999999"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((1L, 1L, 0L, 1L, 1L, // phone digits also hit the id-run rule
+      "write to [EMAIL] or call [PHONE]")))
+    assert(got(1) === ((2L, 0L, 1L, 0L, 2L,
+      "server [IP] logged account [ID] twice: [ID]")))
+    assert(got(2) === ((3L, 0L, 0L, 0L, 0L,
+      "clean text with no personal data at all"))) // no false positives
+    assert(got(3) === ((4L, 1L, 1L, 0L, 1L,
+      "ip [IP] and mail [EMAIL] and num [ID]")))
+  }
+
+  test("cutByMeanOf keeps exactly the rows at/above the integer mean") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 41L))
+      .toDF("id", "m") // mean = 25.25
+    val kept = TextAnalysis.cutByMeanOf(df, "m")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 4L))
+  }
+
+  test("cutByQuantileOf keeps ~the top 1-q fraction (sandwich property)") {
+    import spark.implicits._
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("m", col("id") % 1000)
+    val frac = TextAnalysis.cutByQuantileOf(df, "m", 0.9).count() / 10000.0
+    // approx_percentile at default accuracy is near-exact on 1000 distinct
+    // values; allow a loose bracket around the requested 10% tail
+    assert(frac > 0.05 && frac < 0.15, s"kept fraction $frac")
+  }
 }
