@@ -754,14 +754,24 @@ object SparkEntry {
           QueryEngine.filterTime(Tables.tsEvents(s, dir), Start, Stop),
           labelsFor(s, dir))
         .select(col("nntsclabel"), col("value"))
-      val sketches = ev
+      // Exact distinct via TWO-LEVEL aggregation, NOT countDistinct in the
+      // same agg as the sketches: mixing a distinct aggregate with the
+      // object-buffer sketch aggregates (HLL, percentile_approx) makes
+      // Catalyst's distinct rewrite drag both sketch buffers through the
+      // Expand + sort path — measured 17.9 s vs 0.3 + 1 s split apart at
+      // sf0.1. Two-level (group by (label, value), then count groups) is
+      // also the shape that survives skewed labels at 100 TB: the first
+      // level map-side-combines per value, no single hot distinct set.
+      val byValue = ev.groupBy("nntsclabel", "value").agg(count(lit(1)).as("__c"))
+      val exact = byValue.groupBy("nntsclabel")
+        .agg(sum("__c").as("n"), count(lit(1)).as("nd_exact"))
+      val approxAggs = ev
         .groupBy("nntsclabel")
         .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("value")).as("nd_exact"),
           approx_count_distinct(col("value"), 0.01).as("__hll"),
           percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
             .as("__pcts"))
+      val sketches = exact.join(approxAggs, "nntsclabel")
       // Exactness bands as DISCRETE order statistics from one ranked
       // pass: a distributed sort per label instead of the exact
       // `percentile` buffer it replaces (whose per-group value map took

@@ -194,15 +194,11 @@ object TextAnalysis {
       textCol: String,
       n: Int = 2): org.apache.spark.sql.DataFrame = {
     // RAW n-gram occurrences — Dedup.wordShingles dedups (set semantics
-    // for Jaccard); repetition is precisely about the duplicates it drops
-    val toks = tokens(col(textCol))
-    val grams = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("__g"))
+    // for Jaccard); repetition is precisely about the duplicates it drops.
+    // Fused native WordNgrams: the compositional transform/slice chain is
+    // interpreted and cost ~0.4 ms/doc (measured 3.8 s -> ~1 s at sf0.1);
+    // parity with that chain is asserted in TextAnalysisSpec.
+    df.select(col(idCol), explode(graft.functions.WordNgrams(col(textCol), n)).as("__g"))
       .groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))

@@ -228,6 +228,33 @@ object PlanAudit {
       mustContain = Seq("Window"),
       mustNot = Seq("Exchange SinglePartition"))
 
+    // 15. decontamination: the benchmark n-gram index is the BROADCAST
+    //     side; the corpus side reaches the join map-only (its only
+    //     exchange is the post-join aggregation of contaminated survivors)
+    val deco = graft.pipeline.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 3)
+    check("decontaminate: bench index broadcast, corpus side unshuffled",
+      plan(deco),
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("SortMergeJoin"))
+    graft.pipeline.Dedup.unpersistIntermediates()
+
+    // 16. corpus shuffle: hash-order positions via the range-partitioned
+    //     prefix scan — never a single-task global sort/window
+    val so = graft.pipeline.Splits.shuffleOrder(docs, "doc_id", salt = "s")
+    check("shuffle order: range-partitioned prefix scan, no single-task window",
+      plan(so),
+      mustContain = Seq("Window"),
+      mustNot = Seq("Exchange SinglePartition"))
+
+    // 17. PII scan: codegen'd regexp projection, map-only
+    val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")
+    check("pii scan: map-only projection (no exchange)", plan(pii),
+      mustContain = Seq("Project"),
+      mustNot = Seq("Exchange", "Join"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")

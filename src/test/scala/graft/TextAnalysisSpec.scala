@@ -104,6 +104,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((1L, 0.5, 0.5), (2L, 0.5, 0.0)))
   }
 
+  test("fused WordNgrams equals the compositional transform/slice chain") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b c", "x", "", "  padded  ends  ", "one two", "t\tta b\nc")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val compositional = when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(0), size(toks) - lit(2)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(
+      graft.functions.WordNgrams(col("text"), 2).as("fused"),
+      compositional.as("comp"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (f, c) => assert(f === c) }
+  }
+
   test("piiScan counts and redacts emails, IPs, phones, and id numbers") {
     import spark.implicits._
     val docs = Seq(
