@@ -540,6 +540,22 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // ---- Data-mixture resampling: cut each source to hit the target
+    //      token-mass proportions (exact long token sums -> rates; md5
+    //      oracle family) ---------------------------------------------
+    "q_mixture_sample" -> ((s, dir) => {
+      Splits.mixtureSampleMd5(Tables.documents(s, dir), "doc_id", "source", "text",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "mx")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Context-window chunking: overlapping token shards, map-only --
+    "q_chunk_docs" -> ((s, dir) => {
+      Packing.chunkDocs(Tables.documents(s, dir), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- Brute-force cosine top-k (ANN baseline) ----------------------
     "q_sim_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(
@@ -1614,6 +1630,44 @@ object SparkEntry {
         |       row_number() OVER (
         |         ORDER BY substr(md5('s3' || CAST(doc_id AS VARCHAR)), 1, 15), doc_id) - 1 AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+
+    // rate(s) = least(1, target * M / tokens(s)), M = min tokens/target;
+    // token totals are exact BIGINT sums, so both engines compute the
+    // same rates from the same doubles in the same operation order
+    "q_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, CAST(tgt AS DOUBLE) AS tgt
+        |  FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS v(source, tgt)
+        |), r AS (
+        |  SELECT t.source,
+        |         least(1.0, tgt * (SELECT min(CAST(tk AS DOUBLE) / tgt) FROM t JOIN w USING (source))
+        |                      / CAST(tk AS DOUBLE)) AS rate
+        |  FROM t JOIN w USING (source)
+        |)
+        |SELECT doc_id, source FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM w
+        |), e AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, CASE WHEN n > 32
+        |                              THEN (n - 32 + 24 - 1) // 24
+        |                              ELSE 0 END + 1)) AS chunk_id
+        |  FROM c
+        |)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_sim_topk" -> {
       val cos =

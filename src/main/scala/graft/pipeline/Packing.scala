@@ -84,6 +84,47 @@ object Packing {
       .select(col(idCol), col("tokens"), col("bin"))
   }
 
+  /** Context-window chunking: shard each document into chunks of `size`
+    * tokens starting every `stride` tokens (stride < size ⇒ overlapping
+    * chunks, the usual long-document training shard). The last chunk may
+    * be short; a document never emits a chunk whose tokens are fully
+    * covered by the previous one, so
+    * n_chunks = 1 + ceil((n_tokens − size) / stride) (min 1).
+    *
+    * Map-only — one explode per document, no shuffle; chunk counts are
+    * derived in pure INTEGER arithmetic ((n−size+stride−1) div stride),
+    * so both engines agree without a float ceil. Output: (idCol,
+    * chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val lastStart = when(n > size, floor((n - size + stride - 1) / lit(stride)).cast("long"))
+      .otherwise(lit(0L))
+    df.select(
+        col(idCol),
+        toks.as("__toks"),
+        explode(sequence(lit(0L), lastStart)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(size))
+          .as("__chunk"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** Materialize the packed sequences: one row per bin with the member
     * documents concatenated in id order — the actual training rows.
     * Per-bin state is bounded by construction (a bin holds ~budget tokens

@@ -153,6 +153,77 @@ object Splits {
       .drop("__cc_id", "component")
   }
 
+  // ---- data-mixture resampling -----------------------------------------
+
+  /** Resample the corpus to a target source MIXTURE (web 0.6 / books 0.3 /
+    * code 0.1 …) by token mass — the data-mixture reweighting step of a
+    * pre-training pipeline. Downsampling only (no row is duplicated): the
+    * most under-represented-relative-to-target source keeps rate 1 and
+    * every other source is cut to match, so the retained corpus hits the
+    * target proportions (in expectation over the per-document hash draw)
+    * at maximum total size.
+    *
+    * rate(s) = target(s) * M / tokens(s), with
+    * M = min over sources of tokens(u) / target(u).
+    *
+    * Execution: one map-side-combined aggregate for the per-source token
+    * totals (exact LONG sums — cross-engine reproducible), a scalar M, a
+    * broadcast rates join, then the same map-only deterministic hash
+    * filter as [[stratifiedSample]]. Two corpus scans, no sort, no
+    * shuffle of the corpus itself. Sources absent from `targets` are
+    * dropped (rate 0).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      salt: String = ""): DataFrame =
+    mixtureWith(df, idCol, sourceCol, textCol, targets, salt, u64)
+
+  /** Oracle-parity twin of [[mixtureSample]] (md5 family). */
+  def mixtureSampleMd5(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      salt: String = ""): DataFrame =
+    mixtureWith(df, idCol, sourceCol, textCol, targets, salt, uMd5)
+
+  private def mixtureWith(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      salt: String,
+      u: (String, Column) => Column): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "targets must be positive")
+    val spark = df.sparkSession
+    val tgt = broadcast(
+      spark.createDataFrame(targets).toDF("__src", "__w"))
+    // exact per-source token totals; only targeted sources matter
+    val totals = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .join(tgt, "__src")
+    // the binding source: smallest tokens/target ratio keeps rate 1
+    val m = totals.agg(min(col("__t").cast("double") / col("__w")).as("__m"))
+    // rate(s) = least(1, target * M / tokens): the least() only absorbs
+    // floating slack on the binding source itself
+    val rates = broadcast(
+      totals.crossJoin(broadcast(m))
+        .select(
+          col("__src"),
+          least(lit(1.0), col("__w") * col("__m") / col("__t").cast("double"))
+            .as("__rate")))
+    df.join(rates, df(sourceCol) === col("__src"))
+      .filter(u(salt, col(idCol)) < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   // ---- deterministic corpus shuffle ------------------------------------
 
   /** Global training-order shuffle: add `pos` = the row's 0-based position

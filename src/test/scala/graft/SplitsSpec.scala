@@ -173,4 +173,42 @@ class SplitsSpec extends SparkSpec {
       .select("pos").as[Long].collect().sorted
     assert(pos.toSeq === (0L until 2000L))
   }
+
+  test("mixtureSample hits target token proportions; binding source keeps rate 1") {
+    // four equal sources of 1000 docs x 10 tokens; s3 is untargeted
+    val docs = spark.range(0, 4000).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 4))
+      .withColumn("text", lit(Seq.fill(10)("w").mkString(" ")))
+    val kept = Splits.mixtureSample(
+        docs, "id", "source", "text",
+        Seq("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2), salt = "m1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: s0 = 1.0 (binding), s1 = 0.6, s2 = 0.4, s3 dropped
+    assert(kept("s0") === 1000L)
+    assert(math.abs(kept("s1") / 1000.0 - 0.6) < 0.05)
+    assert(math.abs(kept("s2") / 1000.0 - 0.4) < 0.05)
+    assert(!kept.contains("s3"))
+    // kept token mass proportions track the targets
+    val total = kept.values.sum.toDouble
+    assert(math.abs(kept("s0") / total - 0.5) < 0.03)
+    assert(math.abs(kept("s1") / total - 0.3) < 0.03)
+    assert(math.abs(kept("s2") / total - 0.2) < 0.03)
+  }
+
+  test("chunkDocs shards with overlap; every token covered; short docs one chunk") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // 5 toks, size 3 stride 2 -> [a b c] [c d e]
+      (2L, "x y"),           // fits one chunk
+      (3L, "p q r s t u"))   // -> [p q r] [r s t] [t u]
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Packing.chunkDocs(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (2L, 0L, 2L, "x y"),
+      (3L, 0L, 3L, "p q r"), (3L, 1L, 3L, "r s t"), (3L, 2L, 2L, "t u")))
+  }
 }
