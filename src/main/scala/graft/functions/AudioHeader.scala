@@ -78,21 +78,27 @@ object AudioHeader {
     var bits = -1
     var byteRate = -1L
     var dataBytes = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
-      val size = le32(b, i + 4).toLong & 0xffffffffL
-      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        byteRate = le32(b, i + 16).toLong & 0xffffffffL
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val at = i.toInt
+      val size = le32(b, at + 4).toLong & 0xffffffffL
+      // the fmt chunk must DECLARE the 16 PCM header bytes (and the
+      // buffer must hold them) — checking only the buffer length would
+      // read the NEXT chunk's bytes as channels/rate on a short fmt
+      if (tag(b, at, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, at + 10)
+        rate = le32(b, at + 12)
+        byteRate = le32(b, at + 16).toLong & 0xffffffffL
+        bits = le16(b, at + 22)
+      } else if (tag(b, at, "data")) {
         // size may exceed what is actually present (truncated blob):
         // duration reflects the DECLARED payload, like every WAV reader
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
-      if (size < 0 || i < 0) i = b.length // corrupt size: stop the walk
+      // LONG arithmetic: size is unsigned-32 (up to 4 GiB); an Int
+      // advance wraps negative or to ZERO on adversarial sizes and the
+      // walk spins forever on one corrupt blob
+      i += 8L + size + (size & 1L) // chunks pad to even offsets
     }
     if (channels < 0) // a RIFF/WAVE with no fmt chunk is not playable
       return new GenericInternalRow(Array[Any](Wav, null, null, null, null))

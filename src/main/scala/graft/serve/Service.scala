@@ -200,11 +200,14 @@ final class Service(
     * committed batch. The reply schema is cast to the raw plan's, so
     * callers cannot tell which path served them.
     *
-    * Boundary note: the routed window is [start, stop) at bin granularity
-    * (Influx CQ semantics, the reference's rollup backend), while the raw
-    * path's BETWEEN is stop-INCLUSIVE (the reference's Postgres backend) —
-    * a data point at exactly `stop` is counted only by the raw path, the
-    * same edge the reference's mixed backends disagree on.
+    * Boundary note: the matrix window is [start, stop) on BOTH paths —
+    * the reference's matrix endpoint is its Influx/CQ backend
+    * (influx.py:384-517) and those are bin semantics. The raw fallback
+    * pre-filters `timestamp < stop` so enabling tiers (or a window
+    * happening to align) can never silently change which points a
+    * dashboard counts. History/aggregate endpoints keep the reference's
+    * stop-INCLUSIVE dbselect windows; the matrix endpoint alone is
+    * half-open, exactly like the backends they mirror.
     */
   private[graft] def matrixFrame(
       collection: String,
@@ -212,7 +215,8 @@ final class Service(
       aggs: Seq[AggSpec],
       start: Long,
       stop: Long): DataFrame = {
-    val raw = QueryEngine.selectMatrixData(data(collection), labels, aggs, start, stop)
+    val raw = QueryEngine.selectMatrixData(
+      data(collection).filter(col("timestamp") < stop), labels, aggs, start, stop)
     val tiered =
       for {
         cfg <- rollups.get(collection)

@@ -164,6 +164,11 @@ final class WireClient(host: String, port: Int) {
       out0.find(_.msgType == Wire.QueryCancelled).foreach { e =>
         throw new WireClientException(new String(e.body, "UTF-8"))
       }
+      // a server (or proxy) that accepts and closes without writing ANY
+      // frame must surface as the typed protocol error, not as the
+      // callers' `.head` blowing up on an empty list
+      if (out0.isEmpty)
+        throw new WireClientException("connection closed with no reply frame")
       out0
     } finally sock.close()
   }

@@ -43,11 +43,17 @@ object IngestStream {
   /** Streams-dimension storage: tiny parquet table rewritten per batch
     * (dimension is broadcast-size by design; the fact table is the big one).
     */
-  /** Serializes the compactStreams swap against reader-side crash
-    * recovery within this JVM (single-writer across processes is the
-    * documented deployment contract, as for every compactor here).
+  /** Per-path swap locks: compaction/recovery/read plan-builds serialize
+    * per LAYOUT (or streams-dimension) directory, not globally — one
+    * collection's multi-second merge window must not block another
+    * collection's mere file listing, and readers of unrelated dirs must
+    * not serialize against each other. Keyed by absolute path.
+    * (Single-writer across PROCESSES stays the documented deployment
+    * contract, as for every compactor here.)
     */
-  private val streamsSwapLock = new Object
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def swapLock(path: String): Object =
+    swapLocks.computeIfAbsent(new java.io.File(path).getAbsolutePath, _ => new Object)
 
   private def hasParquet(d: java.io.File): Boolean =
     d.exists && d.listFiles != null && d.listFiles.exists(_.getName.endsWith(".parquet"))
@@ -62,7 +68,7 @@ object IngestStream {
     // deleting each other's files.
     val p = new java.io.File(path)
     val bak = new java.io.File(path + ".bak")
-    if (!hasParquet(p) && hasParquet(bak)) streamsSwapLock.synchronized {
+    if (!hasParquet(p) && hasParquet(bak)) swapLock(path).synchronized {
       if (!hasParquet(p) && hasParquet(bak)) {
         if (p.exists) deleteRecursively(p) // leftovers (e.g. _temporary)
         if (!bak.renameTo(p))
@@ -133,9 +139,10 @@ object IngestStream {
       buckets: Int = graft.storage.Layout.DefaultBuckets,
       onStep: String => Unit = _ => ()): Unit = {
     val layoutDir = new java.io.File(layoutPath)
-    recoverCsetMerge(layoutPath) // must precede the orphan sweep below:
-    // it restores/retires `cset=N.bak` dirs a crashed major merge left
     // recovery: a cset dir without its marker is a dead previous attempt
+    // (covered csets pending grace-period GC still HAVE their markers
+    // until mergeCsets retires marker and dir together, so they are
+    // never swept here by mistake)
     if (layoutDir.exists && layoutDir.listFiles != null) {
       val committed = committedCsets(layoutPath).toSet
       layoutDir.listFiles
@@ -143,7 +150,9 @@ object IngestStream {
         .filter(f => !committed(f.getName.stripPrefix("cset=").toLong))
         .foreach(deleteRecursively)
     }
-    val already = committedCsets(layoutPath).lastOption.getOrElse(0L)
+    // a merged generation may have retired the cset markers: the cutoff
+    // is the max over BOTH marker families
+    val already = layoutCutoff(layoutPath)
     if (settledBelow > already) {
       val settled = spark.read.parquet(dataPath) // partition-pruned below
         .filter(col(EpochCol) >= already && col(EpochCol) < settledBelow)
@@ -159,7 +168,7 @@ object IngestStream {
     }
     // GC — everything below the committed cutoff is invisible already;
     // dying here just defers cleanup to the next run
-    val cutoff = committedCsets(layoutPath).lastOption.getOrElse(0L)
+    val cutoff = layoutCutoff(layoutPath)
     val dataDir = new java.io.File(dataPath)
     if (dataDir.exists && dataDir.listFiles != null)
       dataDir.listFiles
@@ -170,113 +179,148 @@ object IngestStream {
         .foreach(deleteRecursively)
   }
 
-  /** Fold ALL committed csets into one — the MAJOR compaction above
-    * [[compactToLayout]]'s minor one. Each minor run adds a `cset=<N>`
-    * dir; after months of micro-batch ingest a read unions thousands of
-    * them (directory-listing and small-file explosion at 100 TB — the
-    * LSM-tree problem, same cure). The merge rewrites their union through
-    * `Layout.writeData` (re-bucketed, re-sorted, bin-packed files) into
-    * the HIGHEST cset id, so the landing-zone visibility cutoff —
-    * max(committed cset) — is unchanged and epoch GC semantics are
-    * untouched.
+  /** Fold the layout's visible sources into ONE merged generation — the
+    * MAJOR compaction above [[compactToLayout]]'s minor one. Each minor
+    * run adds a `cset=<N>` dir; after months of micro-batch ingest a read
+    * unions thousands of them (directory-listing and small-file explosion
+    * at 100 TB — the LSM-tree problem, same cure).
     *
-    * Crash-safe via a WAL-style intent marker, because unlike the minor
-    * path this swap must retire several commit markers at once:
+    * RENAME-FREE generation protocol (object stores have no atomic
+    * rename, and a rename breaks every reader plan whose file listing
+    * predates it):
     *
-    *   1. write merged data to `.cset_merge_tmp` (invisible to readers);
-    *   2. create `_merge_intent` listing the folded ids — the WAL record;
-    *   3. rename each folded `cset=<i>` to `.bak`, dropping every commit
-    *      marker except the target's;
-    *   4. rename tmp -> `cset=<target>`  — ATOMIC COMMIT POINT: the tmp
-    *      dir's existence decides recovery direction;
-    *   5. delete `.bak` dirs, delete the intent marker.
+    *   1. grace-period GC (under the lock): drop generations superseded
+    *      at least one full maintenance cycle ago, the cset dirs a
+    *      committed generation covers, and marker-less crashed attempts;
+    *   2. write the union of the visible sources (newest `mset=<k>` +
+    *      csets above its cutoff) re-bucketed/re-sorted to `mset=<k+1>`
+    *      — invisible: no marker yet;
+    *   3. create `_committed_mset_<k+1>_<cutoff>` — ATOMIC COMMIT POINT.
     *
-    * [[recoverCsetMerge]] makes any crash point invisible: tmp still
-    * present -> roll BACK (restore `.bak` dirs + markers, drop tmp); tmp
-    * gone -> roll FORWARD (drop `.bak` leftovers). Readers run recovery
-    * before listing csets, so no read ever sees a half-swapped layout.
-    * Single-writer across processes, and not concurrent with the minor
-    * compactor — the same deployment contract as every compactor here;
-    * in-JVM reads serialize on the swap lock at plan-build time.
+    * No step mutates or renames a live directory, so a reader plan built
+    * at ANY point keeps resolving its listed files for at least one full
+    * cycle after the merge lands (step 1 of the NEXT run is the first
+    * thing that touches them). A crash before step 3 leaves an invisible
+    * orphan dir (swept by the next run's step 1); there is nothing to
+    * roll back. Single-writer across processes, and not concurrent with
+    * the minor compactor — the same deployment contract as every
+    * compactor here.
     */
   def mergeCsets(
       spark: SparkSession,
       layoutPath: String,
       buckets: Int = graft.storage.Layout.DefaultBuckets,
       onStep: String => Unit = _ => ()): Unit = {
-    recoverCsetMerge(layoutPath)
-    val folded = committedCsets(layoutPath)
-    if (folded.size < 2) return // nothing to fold
-    val target = folded.max
     val layoutDir = new java.io.File(layoutPath)
-    val tmp = new java.io.File(layoutDir, MergeTmpName)
-    if (tmp.exists) deleteRecursively(tmp) // dead pre-intent attempt
-    val merged = spark.read
-      .option("basePath", layoutPath) // see readCombined: cset=N dir names
-      .parquet(folded.map(c => s"$layoutPath/cset=$c"): _*)
-      .drop("cset", "sbucket", "day")
-    graft.storage.Layout.writeData(merged, tmp.getPath, buckets)
-    onStep("tmp-written")
-    streamsSwapLock.synchronized {
-      // WAL record: from here recovery knows exactly what to undo/redo.
-      // Created INSIDE the lock: its whole in-JVM lifetime is covered, so
-      // a reader's recoverCsetMerge can never observe (and roll back) a
-      // merge that is merely in progress — only a genuinely crashed one.
-      java.nio.file.Files.write(
-        new java.io.File(layoutDir, MergeIntentName).toPath,
-        folded.mkString("\n").getBytes("UTF-8"))
-      onStep("intent-created")
-      folded.foreach { c =>
-        val live = new java.io.File(layoutDir, s"cset=$c")
-        if (!live.renameTo(new java.io.File(layoutDir, s"cset=$c.bak")))
-          throw new java.io.IOException(s"mergeCsets: rename cset=$c -> .bak failed")
-        if (c != target)
-          new java.io.File(layoutDir, s"_committed_cset_$c").delete()
-      }
-      onStep("folded-renamed")
-      // COMMIT POINT
-      if (!tmp.renameTo(new java.io.File(layoutDir, s"cset=$target")))
-        throw new java.io.IOException(s"mergeCsets: rename tmp -> cset=$target failed")
-      onStep("swapped")
-      folded.foreach(c => deleteRecursively(new java.io.File(layoutDir, s"cset=$c.bak")))
-      new java.io.File(layoutDir, MergeIntentName).delete()
-    }
-    onStep("cleaned")
+    if (!layoutDir.exists || layoutDir.listFiles == null) return
+    gcLayout(layoutPath)
+    onStep("gc-done")
+    val (newest, liveCsets) = visibleSources(layoutPath)
+    if (newest.size + liveCsets.size < 2) return // nothing to fold
+    val gen = newest.map(_._1).getOrElse(0L) + 1
+    val cutoff = (liveCsets ++ newest.map(_._2)).max
+    // >= 2 sources guaranteed above, so this is always defined
+    val merged = readLayoutSources(spark, layoutPath, newest, liveCsets).get
+    graft.storage.Layout.writeData(merged, s"$layoutPath/mset=$gen", buckets)
+    onStep("merged-written")
+    // COMMIT POINT: one atomic marker creation flips the whole generation
+    if (!new java.io.File(layoutDir, s"_committed_mset_${gen}_$cutoff").createNewFile())
+      throw new java.io.IOException(s"mergeCsets: mset marker $gen already exists")
+    onStep("committed")
   }
 
-  private[graft] val MergeIntentName = "_merge_intent"
-  private[graft] val MergeTmpName = ".cset_merge_tmp"
-
-  /** Finish (or undo) a crashed [[mergeCsets]]. Direction is decided by
-    * the tmp dir: still present means the commit rename never happened —
-    * restore every `.bak` cset and its commit marker, drop tmp; absent
-    * means the merge committed — drop `.bak` leftovers. Idempotent; a
-    * no-op (one file stat) when no intent marker exists.
+  /** Grace-period GC of the merge protocol's leftovers: generations
+    * superseded by a newer committed one, the cset dirs the newest
+    * generation covers, and marker-less crashed attempts. Runs at the
+    * START of every maintenance cycle (and of every merge), so anything
+    * it deletes has been invisible-but-resolvable for at least one full
+    * cycle — the window reader plans built before the last commit needed
+    * to finish their scans. Markers are deleted BEFORE their dirs: a
+    * marker whose dir is gone would break readers, a dir whose marker is
+    * gone is a plain orphan.
     */
-  private[graft] def recoverCsetMerge(layoutPath: String): Unit = {
+  private[graft] def gcLayout(layoutPath: String): Unit = {
     val layoutDir = new java.io.File(layoutPath)
-    val intent = new java.io.File(layoutDir, MergeIntentName)
-    if (!intent.exists) return
-    streamsSwapLock.synchronized {
-      if (!intent.exists) return // lost the race to another recoverer
-      val folded = new String(
-        java.nio.file.Files.readAllBytes(intent.toPath), "UTF-8")
-        .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
-      val tmp = new java.io.File(layoutDir, MergeTmpName)
-      if (tmp.exists) { // roll back
-        folded.foreach { c =>
-          val bak = new java.io.File(layoutDir, s"cset=$c.bak")
-          val live = new java.io.File(layoutDir, s"cset=$c")
-          if (bak.exists && !live.exists && !bak.renameTo(live))
-            throw new java.io.IOException(s"recoverCsetMerge: restore cset=$c failed")
-          val marker = new java.io.File(layoutDir, s"_committed_cset_$c")
-          if (live.exists && !marker.exists && !marker.createNewFile())
-            throw new java.io.IOException(s"recoverCsetMerge: marker cset=$c failed")
-        }
-        deleteRecursively(tmp)
-      } else // roll forward
-        folded.foreach(c => deleteRecursively(new java.io.File(layoutDir, s"cset=$c.bak")))
-      intent.delete()
+    if (!layoutDir.exists || layoutDir.listFiles == null) return
+    swapLock(layoutPath).synchronized {
+      val msets = committedMsets(layoutPath)
+      val newestCutoff = msets.lastOption.map(_._2).getOrElse(Long.MinValue)
+      msets.dropRight(1).foreach { case (k, c) =>
+        new java.io.File(layoutDir, s"_committed_mset_${k}_$c").delete()
+        deleteRecursively(new java.io.File(layoutDir, s"mset=$k"))
+      }
+      committedCsets(layoutPath).filter(_ <= newestCutoff).foreach { c =>
+        new java.io.File(layoutDir, s"_committed_cset_$c").delete()
+        deleteRecursively(new java.io.File(layoutDir, s"cset=$c"))
+      }
+      val committedGens = committedMsets(layoutPath).map(_._1).toSet
+      layoutDir.listFiles
+        .filter(f => f.isDirectory && f.getName.matches("mset=\\d+"))
+        .filter(f => !committedGens(f.getName.stripPrefix("mset=").toLong))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  /** Committed merged generations as (gen, covered-cutoff), ascending by
+    * gen (the `_committed_mset_<k>_<cutoff>` markers).
+    */
+  private[graft] def committedMsets(layoutPath: String): Seq[(Long, Long)] = {
+    val d = new java.io.File(layoutPath)
+    if (!d.exists || d.listFiles == null) Nil
+    else d.listFiles.toSeq
+      .map(_.getName)
+      .filter(_.startsWith("_committed_mset_"))
+      .map { n =>
+        val parts = n.stripPrefix("_committed_mset_").split("_")
+        (parts(0).toLong, parts(1).toLong)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Landing-zone visibility cutoff: epochs below it live in the layout
+    * (as csets or inside a merged generation).
+    */
+  private[graft] def layoutCutoff(layoutPath: String): Long =
+    (committedCsets(layoutPath) ++ committedMsets(layoutPath).map(_._2))
+      .foldLeft(0L)(math.max)
+
+  /** The layout's visible sources: the newest committed generation (if
+    * any) and the csets above its covered cutoff. Covered csets may still
+    * exist on disk (grace-period GC pending) — they are EXCLUDED here, so
+    * their rows are never double-counted.
+    */
+  private[graft] def visibleSources(
+      layoutPath: String): (Option[(Long, Long)], Seq[Long]) = {
+    val newest = committedMsets(layoutPath).lastOption
+    val floor = newest.map(_._2).getOrElse(Long.MinValue)
+    (newest, committedCsets(layoutPath).filter(_ > floor))
+  }
+
+  /** One DataFrame over the visible layout sources (None when there are
+    * none). The cset part keeps its single multi-root relation under the
+    * layout basePath; the mset part is rooted at its own dir (a shared
+    * basePath would parse `mset=`/`cset=` as conflicting partition
+    * columns).
+    */
+  private def readLayoutSources(
+      spark: SparkSession,
+      layoutPath: String,
+      newest: Option[(Long, Long)],
+      liveCsets: Seq[Long]): Option[DataFrame] = {
+    val csetPart =
+      if (liveCsets.isEmpty) None
+      else Some(
+        spark.read
+          .option("basePath", layoutPath)
+          .parquet(liveCsets.map(c => s"$layoutPath/cset=$c"): _*)
+          .drop("cset", "sbucket", "day"))
+    val msetPart = newest.map { case (k, _) =>
+      val p = s"$layoutPath/mset=$k"
+      spark.read.option("basePath", p).parquet(p).drop("sbucket", "day")
+    }
+    (msetPart, csetPart) match {
+      case (Some(m), Some(c)) => Some(m.unionByName(c))
+      case (m, c)             => m.orElse(c)
     }
   }
 
@@ -299,21 +343,20 @@ object IngestStream {
     * double-counted.
     */
   def readCombined(spark: SparkSession, layoutPath: String, dataPath: String): DataFrame =
-    // the whole plan-build — recovery, marker listing, and the eager file
-    // listing inside spark.read — sits under the swap lock, so an in-JVM
-    // reader serializes against mergeCsets' rename window (the lock holds
-    // only file-op-sized critical sections; the merge's big tmp write is
-    // outside it). Cross-process, the single-writer deployment contract
-    // plus marker-based recovery covers the same window.
-    streamsSwapLock.synchronized {
+    // the whole plan-build — marker listing and the eager file listing
+    // inside spark.read — sits under the swap lock, so an in-JVM reader
+    // can never interleave with mergeCsets' grace-period GC (the only
+    // step that deletes files a recent plan could still list). The merge
+    // itself is rename-free and commits by one atomic marker, so
+    // cross-process readers only need the one-cycle GC grace.
+    swapLock(layoutPath).synchronized {
       readCombinedLocked(spark, layoutPath, dataPath)
     }
 
   private def readCombinedLocked(
       spark: SparkSession, layoutPath: String, dataPath: String): DataFrame = {
-    recoverCsetMerge(layoutPath) // one file stat when no merge crashed
-    val committed = committedCsets(layoutPath)
-    val cutoff = committed.lastOption.getOrElse(0L)
+    val cutoff = layoutCutoff(layoutPath)
+    val (newestGen, liveCsets) = visibleSources(layoutPath)
     // a fully-compacted landing zone (every epoch folded into csets and
     // GC'd) has no parquet left — an unguarded spark.read.parquet would
     // throw "Unable to infer schema" instead of serving the committed
@@ -328,26 +371,16 @@ object IngestStream {
             raw.filter(col(EpochCol) >= cutoff).drop(EpochCol)
           else raw)
       }
-    val settled =
-      if (committed.isEmpty) None
-      else Some(
-        // basePath roots the table at the layout dir: without it, two or
-        // more cset roots make partition discovery see the `cset=N` dir
-        // names themselves as conflicting partition dirs and throw
-        // (CONFLICTING_DIRECTORY_STRUCTURES — latent until the first
-        // collection accumulated a second cset). Only the COMMITTED cset
-        // paths are listed, so orphans stay invisible.
-        spark.read
-          .option("basePath", layoutPath)
-          .parquet(committed.map(c => s"$layoutPath/cset=$c"): _*)
-          .drop("cset", "sbucket", "day"))
+    // only VISIBLE sources are listed (newest generation + csets above
+    // its cutoff), so orphans and grace-period leftovers stay invisible
+    val settled = readLayoutSources(spark, layoutPath, newestGen, liveCsets)
     (settled, recent) match {
       case (Some(s), Some(r)) => s.unionByName(r, allowMissingColumns = true)
       case (Some(s), None)    => s
       case (None, Some(r))    => r
       case (None, None) =>
         throw new NoSuchElementException(
-          s"readCombined: no committed csets under $layoutPath and no raw epochs under $dataPath")
+          s"readCombined: no committed layout sources under $layoutPath and no raw epochs under $dataPath")
     }
   }
 
@@ -407,7 +440,7 @@ object IngestStream {
       val bak = new java.io.File(path + ".bak")
       spark.read.parquet(path).coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
-      streamsSwapLock.synchronized {
+      swapLock(path).synchronized {
         if (bak.exists) { deleteRecursively(bak) }
         if (!dir.renameTo(bak))
           throw new java.io.IOException(s"compactStreams: rename $path -> $bak failed")

@@ -47,7 +47,11 @@ object Maintenance {
   def run(spark: SparkSession, cfg: Config): Seq[String] = {
     IngestStream.compactToLayout(
       spark, cfg.dataPath, cfg.layoutPath, cfg.settledBelow, cfg.buckets)
-    if (IngestStream.committedCsets(cfg.layoutPath).size > cfg.mergeWhenCsetsExceed)
+    // grace-period GC runs EVERY cycle (not only when a merge triggers),
+    // so a committed merge's covered csets retire one cycle later even in
+    // steady state; the trigger counts only the VISIBLE unmerged csets
+    IngestStream.gcLayout(cfg.layoutPath)
+    if (IngestStream.visibleSources(cfg.layoutPath)._2.size > cfg.mergeWhenCsetsExceed)
       IngestStream.mergeCsets(spark, cfg.layoutPath, cfg.buckets)
     IngestStream.compactStreams(spark, cfg.streamsPath)
     cfg.tierPaths.foreach(p => RollupStream.compact(spark, p))

@@ -121,10 +121,12 @@ object RollupStream {
     val boundary = sourceEpochs.max + 1
     val k = prevK + 1
 
-    val df0 = spark.read.parquet(path)
-    // same pre-tsn schema default as readTier (old persisted partials)
-    val df = if (df0.columns.contains("tsn")) df0
-      else df0.withColumn("tsn", col("ts"))
+    // mergeSchema + per-row coalesce: same pre-tsn handling as readTier
+    // (see its scaladoc — a MIXED dir needs both)
+    val df0 = spark.read.option("mergeSchema", "true").parquet(path)
+    val df = if (df0.columns.contains("tsn"))
+      df0.withColumn("tsn", coalesce(col("tsn"), col("ts")))
+    else df0.withColumn("tsn", col("ts"))
     val input = df.filter(
       col(IngestStream.EpochCol) === -prevK && lit(prevK > 0) ||
         (col(IngestStream.EpochCol) >= prevBoundary &&
@@ -183,22 +185,30 @@ object RollupStream {
     */
   def readTier(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     // schema evolution: tiers persisted before the bin-min timestamp was
-    // added (tsn) default it to the bin-max — consumers (compactTier,
-    // matrixFromTier) would otherwise fail at plan time on old tier dirs
+    // added (tsn) default it to the bin-max. Three dir states to cover:
+    // all-old (no tsn column anywhere — add it), MIXED old+new files
+    // (mergeSchema surfaces tsn; old files read it as NULL — coalesce to
+    // ts per row, else min(tsn) in compactTier/matrixFromTier silently
+    // skips the old bins), all-new (coalesce is a no-op). Plain
+    // schema-inference would pick ONE file's schema for a mixed dir and
+    // either hide tsn entirely or null it for old rows.
     def withTsn(df: DataFrame): DataFrame =
-      if (df.columns.contains("tsn")) df else df.withColumn("tsn", col("ts"))
+      if (df.columns.contains("tsn"))
+        df.withColumn("tsn", coalesce(col("tsn"), col("ts")))
+      else df.withColumn("tsn", col("ts"))
+    def read = spark.read.option("mergeSchema", "true").parquet(path)
     committedFolds(path).lastOption match {
       case None =>
         // no committed fold: sources only — a fold dir may exist from a
         // crashed attempt and must NOT be read
-        val df = spark.read.parquet(path)
+        val df = read
         withTsn(
           if (df.columns.contains(IngestStream.EpochCol))
             df.filter(col(IngestStream.EpochCol) >= 0).drop(IngestStream.EpochCol)
           else df)
       case Some((k, boundary)) =>
         withTsn(
-          spark.read.parquet(path)
+          read
             .filter(col(IngestStream.EpochCol) === -k ||
               col(IngestStream.EpochCol) >= boundary)
             .drop(IngestStream.EpochCol))

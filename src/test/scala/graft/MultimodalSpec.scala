@@ -179,6 +179,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3) === ((4, "unknown", None, None, None, None)))
   }
 
+  test("AudioHeader terminates and stays sane on adversarial chunk sizes") {
+    import graft.functions.AudioHeader
+    import java.nio.{ByteBuffer, ByteOrder}
+    def riffRaw(body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    def chunkHdr(id: String, declaredSize: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt((declaredSize & 0xffffffffL).toInt)
+      b.array()
+    }
+    // a chunk declaring size 0xFFFFFFF8 (Int-wraps to -8: the old Int
+    // advance stepped 0 bytes and the walk never terminated)
+    val wrapEven = riffRaw(chunkHdr("LIST", 0xFFFFFFF8L) ++ new Array[Byte](32))
+    // odd variant (old advance stepped -8 + pad 1 = -7, also stuck/looping)
+    val wrapOdd = riffRaw(chunkHdr("LIST", 0xFFFFFFF7L) ++ new Array[Byte](32))
+    // fmt declaring size 0: the PCM fields are NOT there — the walk must
+    // not read the following data chunk's bytes as channels/rate
+    val shortFmt = riffRaw(chunkHdr("fmt ", 0L) ++ chunkHdr("data", 4L) ++ new Array[Byte](4))
+    val rows = Seq((1, wrapEven), (2, wrapOdd), (3, shortFmt))
+      .toDF("id", "payload")
+      .select($"id", AudioHeader($"payload").as("a"))
+      .select("id", "a.format", "a.channels", "a.sample_rate", "a.bits_per_sample", "a.duration_ms")
+      .as[(Int, String, Option[Int], Option[Int], Option[Int], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // all three parse as unplayable wav (no usable fmt), and terminate
+    assert(rows(0) === ((1, "wav", None, None, None, None)))
+    assert(rows(1) === ((2, "wav", None, None, None, None)))
+    assert(rows(2) === ((3, "wav", None, None, None, None)))
+  }
+
   test("mediaTableEncodedAudio round-trip: parsed layout equals the generator's") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf("sf0.001"))

@@ -179,6 +179,35 @@ class ServiceSpec extends SparkSpec {
     val most = tsvc.matrixFrame(
       "amp-external", lbl, Seq(AggSpec("value", "most")), t0, t0 + 7200)
     assert(!most.queryExecution.executedPlan.toString.contains(dir))
+
+    // [start, stop) on BOTH paths: a point at exactly `stop` is counted by
+    // neither the routed plan nor the raw fallback, so configuring tiers
+    // can never silently change a dashboard's numbers
+    val edge = Seq((0L, t0, 1.0), (0L, t0 + 3599, 2.0), (0L, t0 + 3600, 7.0))
+      .toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(edge, 3600, "value", s"$dir/edge3600", epoch = 0L)
+    val esvc = new Service(
+      spark,
+      data = Map("amp-external" -> edge),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" ->
+        Service.RollupTiers("value", Map(3600L -> s"$dir/edge3600"))))
+    val elbl = Map("x" -> Seq(0L))
+    val cnt = Seq(AggSpec("value", "count"), AggSpec("value", "max"))
+    val viaTier = esvc.matrixFrame("amp-external", elbl, cnt, t0, t0 + 3600)
+    assert(viaTier.queryExecution.executedPlan.toString.contains("edge3600"))
+    val rawSvc = new Service(
+      spark,
+      data = Map("amp-external" -> edge),
+      streams = Map("amp-external" -> streamsDim))
+    val viaRaw = rawSvc.matrixFrame("amp-external", elbl, cnt, t0, t0 + 3600)
+    val tRow = viaTier.collect().head
+    val rRow = viaRaw.collect().head
+    val ci = viaTier.schema.fieldIndex("value_count")
+    val mi = viaTier.schema.fieldIndex("value_max")
+    assert(tRow.getLong(ci) === 2L, "tier path must exclude the point at stop")
+    assert(rRow.getLong(ci) === 2L, "raw path must exclude the point at stop")
+    assert(tRow.getDouble(mi) === 2.0 && rRow.getDouble(mi) === 2.0)
   }
 
   test("path interning: join-or-insert semantics (J3)") {

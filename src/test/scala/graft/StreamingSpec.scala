@@ -237,41 +237,57 @@ class StreamingSpec extends SparkSpec {
     val expected = stamps
     assert(expected.size === 3)
 
-    // crash at every step; the serving view must be byte-identical after
-    // each (recovery runs inside readCombined). Steps before the commit
-    // rename roll BACK; the post-commit step rolls FORWARD.
-    Seq("tmp-written", "intent-created", "folded-renamed", "swapped").foreach { step =>
+    // crash BEFORE the commit marker: the written generation dir is
+    // invisible, the view unchanged, nothing to roll back
+    Seq("gc-done", "merged-written").foreach { step =>
       intercept[RuntimeException] {
         IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8,
           onStep = s => if (s == step) throw new RuntimeException(s"boom at $s"))
       }
       assert(stamps === expected, s"view changed after crash at $step")
-      // recovery left no half-swapped state behind
-      val names = new java.io.File(s"$dir/layout").listFiles().map(_.getName).toSet
-      assert(!names.exists(_.endsWith(".bak")), s"stale .bak after $step")
-      assert(!names.contains(IngestStream.MergeIntentName), s"stale intent after $step")
+      assert(IngestStream.committedMsets(s"$dir/layout").isEmpty)
+      assert(IngestStream.committedCsets(s"$dir/layout") === Seq(1L, 2L, 3L))
     }
+    // the crashed attempt left a marker-less orphan dir — swept (and the
+    // merge redone) by the next clean run
+    assert(new java.io.File(s"$dir/layout/mset=1").exists)
 
-    // the "swapped" crash was already past the commit point: merged state
-    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L))
-    val csetDirs = new java.io.File(s"$dir/layout").listFiles()
-      .filter(_.getName.startsWith("cset=")).map(_.getName).toSeq
-    assert(csetDirs === Seq("cset=3"))
+    // crash right AFTER the marker: already committed — view identical,
+    // merged generation serves, folded csets still on disk (grace)
+    intercept[RuntimeException] {
+      IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8,
+        onStep = s => if (s == "committed") throw new RuntimeException("boom"))
+    }
     assert(stamps === expected)
+    assert(IngestStream.committedMsets(s"$dir/layout") === Seq((1L, 3L)))
+    // RENAME-FREE grace: the covered cset dirs and markers survive one
+    // full cycle so older reader plans keep resolving their file lists
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(1L, 2L, 3L))
+    assert(new java.io.File(s"$dir/layout/cset=1").exists)
 
-    // idempotent: nothing left to fold
+    // next run: grace-period GC retires the covered csets; with only the
+    // merged generation left there is nothing to fold (idempotent)
     IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    assert(IngestStream.committedCsets(s"$dir/layout") === Seq())
+    assert(!new java.io.File(s"$dir/layout/cset=1").exists)
+    assert(IngestStream.committedMsets(s"$dir/layout") === Seq((1L, 3L)))
     assert(stamps === expected)
 
-    // ingest continues after a merge: new epochs compact into cset 4 and
-    // a fresh merge folds 3+4 again
+    // ingest continues after a merge: a new epoch folds into cset 4 above
+    // the generation's cutoff, and a fresh merge makes generation 2
     IngestStream.ingestBatch(batch("s4", 1704326400L), spec,
       s"$dir/streams", s"$dir/data", identity, epoch = Some(3L))
     IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
       settledBelow = 4L, buckets = 8)
-    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L, 4L))
-    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
     assert(IngestStream.committedCsets(s"$dir/layout") === Seq(4L))
+    assert(view.count() === 4)
+    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    assert(IngestStream.committedMsets(s"$dir/layout").lastOption === Some((2L, 4L)))
+    assert(view.count() === 4)
+    // one more cycle retires generation 1 and cset 4
+    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    assert(!new java.io.File(s"$dir/layout/mset=1").exists)
+    assert(!new java.io.File(s"$dir/layout/cset=4").exists)
     assert(view.count() === 4)
   }
 
@@ -304,8 +320,10 @@ class StreamingSpec extends SparkSpec {
       mergeWhenCsetsExceed = 2,
       retainCutoffEpoch = Some(t0 + 86400L))) // day 1 ages out
 
-    // minor (cset 3) + major (1,2,3 -> 3) compaction ran
-    assert(IngestStream.committedCsets(s"$dir/layout") === Seq(3L))
+    // minor (cset 3) + major (csets 1,2,3 -> generation 1) compaction ran;
+    // the covered csets stay on disk for one grace cycle
+    assert(IngestStream.committedMsets(s"$dir/layout") === Seq((1L, 3L)))
+    assert(IngestStream.visibleSources(s"$dir/layout")._2 === Seq())
     // streams dimension folded to one parquet file
     assert(new java.io.File(s"$dir/streams").listFiles()
       .count(_.getName.endsWith(".parquet")) === 1)

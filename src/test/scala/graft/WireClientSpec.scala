@@ -133,4 +133,18 @@ class WireClientSpec extends SparkSpec {
       } finally sub.close()
     } finally server.close()
   }
+
+  test("a server closing without any reply frame surfaces as the typed client error") {
+    // accept-then-close stand-in for a crashed server / dropping proxy
+    val srv = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try { val s = srv.accept(); s.close() } catch { case _: Throwable => () }
+    })
+    t.start()
+    try {
+      val client = new WireClient("127.0.0.1", srv.getLocalPort)
+      val e = intercept[WireClient.WireClientException] { client.collections() }
+      assert(e.getMessage.contains("no reply frame"))
+    } finally { srv.close(); t.join(2000) }
+  }
 }
