@@ -66,4 +66,43 @@ object StreamingText {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Streaming corpus hygiene — the ingest-side cleaning stage: every
+    * arriving document is ANNOTATED with its quality score, predicted
+    * language, and PII-redacted body (the same fused TextProfile /
+    * [[TextAnalysis.piiRedact]] expressions as the batch operators, so
+    * batch and stream can never disagree).
+    *
+    * Entirely STATELESS: codegen'd projections only — no state store, no
+    * watermark, no output-mode constraint; it attaches to any readStream
+    * and scales as a pure map. The stage annotates rather than filters:
+    * a `.filter` on a derived column would be pushed back through the
+    * projection by PushDownPredicates, re-inlining the profile expression
+    * into the predicate (the q_pipeline_clean trap — in batch an
+    * aggregation barrier stops it, but a barrier is exactly the state a
+    * hygiene stage must not hold). Callers drop rows on the annotated
+    * column at the sink side, where the profile is already a plain
+    * materialized value.
+    */
+  def hygiene(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextProfile
+    val langs = TextProfile.Langs
+    val withP = docs.withColumn("__p", TextProfile(col(textCol)))
+    val best = langs
+      .map(l => struct(col("__p").getField(l).as("s"), lit(l).as("l")))
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    withP
+      .withColumn(
+        "quality",
+        least(col("__p.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+          (lit(1.0) - col("__p.n_punct").cast("double") / col("__p.n_chars")) * lit(0.2) +
+          (lit(1.0) - col("__p.n_digit").cast("double") / col("__p.n_chars")) * lit(0.2) +
+          least((col("__p.n_stopwords").cast("double") / col("__p.n_tokens")) * lit(4.0),
+            lit(1.0)) * lit(0.2))
+      .withColumn(
+        "lang_pred",
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      .withColumn("redacted", TextAnalysis.piiRedact(col(textCol)))
+      .drop("__p")
+  }
 }

@@ -115,4 +115,40 @@ class StreamingDedupSpec extends SparkSpec {
         (2L, 5L, 35L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming hygiene: stateless annotation matches the batch operators") {
+    import graft.pipeline.{StreamingText, TextAnalysis}
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingText.hygiene(docs, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hygiene_out").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox is one of the finest of animals"),
+        (2L, "contact a@b.co at 10.0.0.1 or +6491234567"),
+        (3L, "der hund und die katze und das haus ist und und"))
+      q.processAllAvailable()
+      // STATELESS: a pure map stage registers no stateful operators
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "hygiene must not create a state store")
+      val out = spark.table("hygiene_out")
+        .select("doc_id", "lang_pred", "redacted")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(out(0)._2 === "en")
+      assert(out(2)._2 === "de")
+      assert(out(1)._3 === "contact [EMAIL] at [IP] or [PHONE]")
+      // values equal the batch operators', row for row
+      val batch = Seq(
+        (1L, "the quick brown fox is one of the finest of animals"),
+        (2L, "contact a@b.co at 10.0.0.1 or +6491234567"),
+        (3L, "der hund und die katze und das haus ist und und"))
+        .toDF("doc_id", "text")
+      val expQ = TextAnalysis.docStats(batch, "doc_id", "text")
+        .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+      val gotQ = spark.table("hygiene_out")
+        .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+      assert(gotQ === expQ)
+    } finally q.stop()
+  }
 }
