@@ -725,6 +725,14 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- Video (MP4/ISO-BMFF) container metadata: the VideoHeader box
+    //      walk over byte-exact synthetic containers -------------------
+    "q_multimodal_video" -> ((s, dir) => {
+      Multimodal
+        .extractVideoMeta(Multimodal.mediaTableEncodedVideo(Tables.documents(s, dir)))
+        .orderBy("media_id")
+    }),
+
     // ---- Arrow-batched multimodal feature extraction (the mapInPandas
     //      execution shape on real Arrow buffers). Rows-only gate entry
     //      (byte statistics over a binary blob are not SQL-expressible in
@@ -2008,6 +2016,30 @@ object SparkEntry {
         |       CASE WHEN fmt <> 2 THEN CAST(floor(ds * 1000.0 / br) AS BIGINT) END AS duration_ms,
         |       source AS origin
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // the oracle emits the generator's parameters; the gate PARSES the
+    // byte-exact container — a hash match proves the parser inverts the
+    // generator (the audio/image convention)
+    "q_multimodal_video" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CAST((n_chars % 1280) + 16 AS INTEGER) AS w,
+        |         CAST((doc_id % 720) + 16 AS INTEGER) AS h,
+        |         CAST(n_chars * 3 AS BIGINT) AS dur,
+        |         octet_length(encode(text)) AS ds,
+        |         doc_id % 3 AS fmt,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |       CAST(CASE WHEN fmt = 1 THEN ds ELSE 16 + 216 + 8 + ds END AS BIGINT) AS n_bytes,
+        |       CASE WHEN fmt = 1 THEN 'unknown' ELSE 'mp4' END AS format,
+        |       CASE WHEN fmt <> 1 THEN brand END AS brand,
+        |       CASE WHEN fmt <> 1 THEN w END AS width,
+        |       CASE WHEN fmt <> 1 THEN h END AS height,
+        |       CASE WHEN fmt <> 1 THEN (dur * 1000) // 600 END AS duration_ms,
+        |       source AS origin
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH ev AS (

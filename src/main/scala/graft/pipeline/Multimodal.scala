@@ -129,6 +129,72 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Synthesize an ENCODED video table: payloads carry real MP4/ISO-BMFF
+    * box structures (ftyp + moov[mvhd + trak[tkhd]] + mdat around the
+    * document bytes, big-endian fields) with brand / duration / pixel
+    * dimensions derived deterministically from document fields — the
+    * video sibling of [[mediaTableEncoded]], exercising `VideoHeader`
+    * against byte-exact containers. One third of rows stay headerless.
+    */
+  def mediaTableEncodedVideo(docs: DataFrame): DataFrame = {
+    def be(c: org.apache.spark.sql.Column, hexChars: Int) =
+      unhex(lpad(hex(c), hexChars, "0"))
+    val textBytes = encode(col("text"), "UTF-8")
+    val w = (col("n_chars") % 1280 + 16).cast("int")
+    val h = (col("doc_id") % 720 + 16).cast("int")
+    val dur = (col("n_chars") * 3).cast("int") // timescale 600 -> ms = n_chars * 5
+    val brand = when(col("doc_id") % 2 === 0, lit("isom".getBytes("US-ASCII")))
+      .otherwise(lit("mp42".getBytes("US-ASCII")))
+    // ftyp: size 16 = header(8) + brand(4) + minor_version(4)
+    val ftyp = concat(
+      lit(Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p')),
+      brand, lit(Array[Byte](0, 0, 0, 0)))
+    // mvhd v0: 8 + 100; ver/flags, ctime, mtime, timescale, duration,
+    // rate(1.0), volume+reserved, matrix(unity), predefined, next_track
+    val mvhd = concat(
+      lit(Array[Byte](0, 0, 0, 108, 'm', 'v', 'h', 'd')),
+      lit(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      be(lit(600), 8), be(dur, 8),
+      lit(Array[Byte](0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      lit(Array.fill[Byte](36)(0)), lit(Array.fill[Byte](24)(0)),
+      lit(Array[Byte](0, 0, 0, 2)))
+    // tkhd v0: 8 + 84; …(76 payload bytes)… width/height as 16.16 fixed
+    val tkhd = concat(
+      lit(Array[Byte](0, 0, 0, 92, 't', 'k', 'h', 'd')),
+      lit(Array.fill[Byte](76)(0)),
+      be(w, 4), lit(Array[Byte](0, 0)),
+      be(h, 4), lit(Array[Byte](0, 0)))
+    val trak = concat(lit(Array[Byte](0, 0, 0, 100, 't', 'r', 'a', 'k')), tkhd)
+    val moov = concat(lit(Array[Byte](0, 0, 0, 216.toByte, 'm', 'o', 'o', 'v')), mvhd, trak)
+    val mdat = concat(be(length(textBytes) + 8, 8), lit("mdat".getBytes("US-ASCII")), textBytes)
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 1, textBytes)
+        .otherwise(concat(ftyp, moov, mdat))
+        .as("payload"),
+      struct(
+        col("n_chars").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec")).as("meta"))
+  }
+
+  /** Video-metadata extraction via the `VideoHeader` box walk — format,
+    * major brand, track pixel dimensions, presentation duration.
+    * Map-only.
+    */
+  def extractVideoMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("__v", graft.functions.VideoHeader(col("payload")))
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("__v.format").as("format"),
+        col("__v.brand").as("brand"),
+        col("__v.width").as("width"),
+        col("__v.height").as("height"),
+        col("__v.duration_ms").as("duration_ms"),
+        col("meta.origin").as("origin"))
+
   /** Audio-metadata extraction via the `AudioHeader` RIFF walk — format,
     * channel layout, sample rate/width, declared duration. Map-only.
     */

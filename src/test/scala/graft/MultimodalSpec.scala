@@ -229,4 +229,52 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("mediaTableEncodedVideo round-trip: parsed boxes equal the generator's") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val meta = Multimodal.extractVideoMeta(Multimodal.mediaTableEncodedVideo(docs))
+      .join(docs.select(col("doc_id").as("media_id"), col("n_chars")), Seq("media_id"))
+      .collect()
+    meta.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      if (id % 3 == 1) assert(r.getAs[String]("format") === "unknown")
+      else {
+        assert(r.getAs[String]("format") === "mp4")
+        assert(r.getAs[String]("brand") === (if (id % 2 == 0) "isom" else "mp42"))
+        assert(r.getAs[Int]("width") === (r.getAs[Long]("n_chars") % 1280 + 16).toInt)
+        assert(r.getAs[Int]("height") === (id % 720 + 16).toInt)
+        assert(r.getAs[Long]("duration_ms") === r.getAs[Long]("n_chars") * 5)
+      }
+    }
+  }
+
+  test("VideoHeader terminates and stays sane on adversarial box sizes") {
+    import graft.functions.VideoHeader
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, size: Long, body: Array[Byte]): Array[Byte] =
+      be32(size) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", 16, "isom".getBytes ++ Array[Byte](0, 0, 0, 0))
+    // size 0 ("to end of file") must end the walk, not loop
+    val zeroSize = ftyp ++ box("free", 0, new Array[Byte](16))
+    // size 1 (64-bit largesize) likewise
+    val largeSize = ftyp ++ box("free", 1, new Array[Byte](16))
+    // a box whose declared size wraps a 32-bit Int negative
+    val wrap = ftyp ++ box("free", 0xFFFFFFF0L, new Array[Byte](16))
+    // an mvhd too short for its v0 fields must not be read
+    val shortMvhd = ftyp ++ box("moov", 8 + 8 + 4, box("mvhd", 12, Array[Byte](0, 0, 0, 0)))
+    val rows = Seq((1, zeroSize), (2, largeSize), (3, wrap), (4, shortMvhd))
+      .toDF("id", "payload")
+      .select($"id", VideoHeader($"payload").as("v"))
+      .select("id", "v.format", "v.brand", "v.width", "v.height", "v.duration_ms")
+      .as[(Int, String, Option[String], Option[Int], Option[Int], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    rows.foreach { r =>
+      assert(r._2 === "mp4") // valid ftyp: it IS an mp4, just empty-headed
+      assert(r._3 === Some("isom"))
+      assert((r._4, r._5, r._6) === ((None, None, None)))
+    }
+  }
 }
