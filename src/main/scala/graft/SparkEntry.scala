@@ -346,7 +346,6 @@ object SparkEntry {
     "q_pipeline_clean" -> ((s, dir) => {
       import graft.functions.TextProfile
       val docs = Tables.documents(s, dir)
-      val langs = TextProfile.Langs
       // groupBy(doc_id) is an AGGREGATION BARRIER, not a dedup: filters
       // on derived columns cannot be alias-substituted through it, so the
       // profile is evaluated ONCE per document — a plain projection let
@@ -355,18 +354,10 @@ object SparkEntry {
       val p = docs.groupBy(col("doc_id")).agg(
         first(TextProfile(col("text"))).as("__p"),
         first(TextAnalysis.fingerprint(col("text"))).as("fp"))
-      val best = langs
-        .map(l => struct(col("__p").getField(l).as("s"), lit(l).as("l")))
-        .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
       p.select(
           col("doc_id"), col("fp"),
-          when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
-            .as("lang_pred"),
-          (least(col("__p.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-            (lit(1.0) - col("__p.n_punct").cast("double") / col("__p.n_chars")) * lit(0.2) +
-            (lit(1.0) - col("__p.n_digit").cast("double") / col("__p.n_chars")) * lit(0.2) +
-            least((col("__p.n_stopwords").cast("double") / col("__p.n_tokens")) * lit(4.0),
-              lit(1.0)) * lit(0.2)).as("quality"))
+          TextAnalysis.langPredOf(col("__p")).as("lang_pred"),
+          TextAnalysis.qualityOf(col("__p")).as("quality"))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
         .groupBy("fp")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))

@@ -97,12 +97,15 @@ object VideoHeader {
           walk(i + 8, end, depth + 1)
         } else if (tag(b, at + 4, "trak")) {
           walk(i + 8, end, depth + 1)
-        } else if (tag(b, at + 4, "mvhd") && i + 8 + 20 <= until && b(at + 8) == 0) {
-          // v0 payload: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+        } else if (tag(b, at + 4, "mvhd") && i + 8 + 20 <= end && b(at + 8) == 0) {
+          // v0 payload: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4).
+          // Bounds use the BOX's own end, never the container's: a short
+          // mvhd followed by a sibling box must not read the sibling's
+          // bytes as timescale/duration (the AudioHeader short-fmt trap)
           val timescale = be32(b, at + 8 + 12)
           val duration = be32(b, at + 8 + 16)
           if (timescale > 0) durationMs = duration * 1000L / timescale
-        } else if (tag(b, at + 4, "tkhd") && i + 8 + 84 <= until &&
+        } else if (tag(b, at + 4, "tkhd") && i + 8 + 84 <= end &&
             b(at + 8) == 0 && width == null) {
           // v0 payload: …(76 bytes)… width(16.16 fixed) height(16.16 fixed)
           width = (be32(b, at + 8 + 76) >> 16).toInt

@@ -84,25 +84,15 @@ object StreamingText {
     * column at the sink side, where the profile is already a plain
     * materialized value.
     */
-  def hygiene(docs: DataFrame, textCol: String): DataFrame = {
-    import graft.functions.TextProfile
-    val langs = TextProfile.Langs
-    val withP = docs.withColumn("__p", TextProfile(col(textCol)))
-    val best = langs
-      .map(l => struct(col("__p").getField(l).as("s"), lit(l).as("l")))
-      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    withP
-      .withColumn(
-        "quality",
-        least(col("__p.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-          (lit(1.0) - col("__p.n_punct").cast("double") / col("__p.n_chars")) * lit(0.2) +
-          (lit(1.0) - col("__p.n_digit").cast("double") / col("__p.n_chars")) * lit(0.2) +
-          least((col("__p.n_stopwords").cast("double") / col("__p.n_tokens")) * lit(4.0),
-            lit(1.0)) * lit(0.2))
-      .withColumn(
-        "lang_pred",
-        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+  def hygiene(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__p", graft.functions.TextProfile(col(textCol)))
+      // nanvl: a zero-token / zero-char document's raw blend is NaN
+      // (0/0); on the always-on ingest path that NaN would silently
+      // poison sink-side filters and aggregates, so it clamps to 0.0 —
+      // the lowest quality, which is what an empty document is
+      .withColumn("quality", nanvl(TextAnalysis.qualityOf(col("__p")), lit(0.0)))
+      .withColumn("lang_pred", TextAnalysis.langPredOf(col("__p")))
       .withColumn("redacted", TextAnalysis.piiRedact(col(textCol)))
       .drop("__p")
-  }
 }

@@ -131,6 +131,32 @@ object TextAnalysis {
   // bit-identical to the compositional form AND the DuckDB oracle
   // (parity asserted in TextAnalysisSpec).
 
+  /** THE quality blend over a fused `TextProfile` struct column — the one
+    * definition docStats, the pipeline-clean gate, and streaming hygiene
+    * all share (the DuckDB oracles restate it in SQL), so batch and
+    * stream cannot drift apart by hand-edited copies. NaN on
+    * zero-token / zero-char documents by construction (0/0 double
+    * division — the oracle-parity behavior); always-on ingest surfaces
+    * clamp it with `nanvl(..., 0.0)`.
+    */
+  def qualityOf(p: Column): Column =
+    least(p.getField("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - p.getField("n_punct").cast("double") / p.getField("n_chars")) * lit(0.2) +
+      (lit(1.0) - p.getField("n_digit").cast("double") / p.getField("n_chars")) * lit(0.2) +
+      least((p.getField("n_stopwords").cast("double") / p.getField("n_tokens")) * lit(4.0),
+        lit(1.0)) * lit(0.2)
+
+  /** THE language argmax over a fused `TextProfile` struct column (ties →
+    * first language in sorted code order, no hits → "und") — shared by
+    * docLangId, the pipeline-clean gate, and streaming hygiene.
+    */
+  def langPredOf(p: Column): Column = {
+    val best = graft.functions.TextProfile.Langs
+      .map(l => struct(p.getField(l).as("s"), lit(l).as("l")))
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
   /** Per-document stats table: (id, n_tokens, n_stopwords, mean_token_len,
     * punct_ratio, digit_ratio, quality).
     */
@@ -152,11 +178,7 @@ object TextAnalysis {
       .select(
         c(idCol), c("n_tokens"), c("n_bpe_tokens"), c("n_stopwords"),
         c("mean_token_len"), c("punct_ratio"), c("digit_ratio"),
-        (least(c("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-          (lit(1.0) - c("punct_ratio")) * lit(0.2) +
-          (lit(1.0) - c("digit_ratio")) * lit(0.2) +
-          least((c("n_stopwords").cast("double") / c("n_tokens")) * lit(4.0), lit(1.0)) * lit(0.2))
-          .as("quality"))
+        qualityOf(c("__p")).as("quality"))
   }
 
   /** Per-document language prediction: argmax over marker counts; ties →
@@ -164,15 +186,8 @@ object TextAnalysis {
     */
   def docLangId(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    val langs = graft.functions.TextProfile.Langs
-    val withP = df.select(c(idCol), graft.functions.TextProfile(c(textCol)).as("__p"))
-    val best = langs
-      .map(l => struct(c("__p").getField(l).as("s"), lit(l).as("l")))
-      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    withP.select(
-      c(idCol),
-      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
-        .as("lang_pred"))
+    df.select(c(idCol), graft.functions.TextProfile(c(textCol)).as("__p"))
+      .select(c(idCol), langPredOf(c("__p")).as("lang_pred"))
   }
 
   /** Per-document repetition stats — the Gopher/C4-style repetitiveness

@@ -255,6 +255,22 @@ object PlanAudit {
       mustContain = Seq("Project"),
       mustNot = Seq("Exchange", "Join"))
 
+    // 18. context-window chunking: one generator per document, no shuffle
+    val ch = graft.pipeline.Packing.chunkDocs(docs, "doc_id", "text", 32, 24)
+    check("chunking: map-only explode (no exchange)", plan(ch),
+      mustContain = Seq("Generate"),
+      mustNot = Seq("Exchange", "Join"))
+
+    // 19. mixture resampling: the per-source rates ride back as a
+    //     BROADCAST join onto a map-only filter — the corpus itself is
+    //     never shuffled or sorted
+    val mx = graft.pipeline.Splits.mixtureSample(
+      docs, "doc_id", "source", "text",
+      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "s")
+    check("mixture sample: broadcast rates, corpus unshuffled", plan(mx),
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("SortMergeJoin", "Sort ["))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")

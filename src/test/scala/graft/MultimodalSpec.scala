@@ -265,7 +265,13 @@ class MultimodalSpec extends SparkSpec {
     val wrap = ftyp ++ box("free", 0xFFFFFFF0L, new Array[Byte](16))
     // an mvhd too short for its v0 fields must not be read
     val shortMvhd = ftyp ++ box("moov", 8 + 8 + 4, box("mvhd", 12, Array[Byte](0, 0, 0, 0)))
-    val rows = Seq((1, zeroSize), (2, largeSize), (3, wrap), (4, shortMvhd))
+    // a short mvhd FOLLOWED by a sibling box: the fields must not be read
+    // from the sibling's bytes (the box's own end bounds the read)
+    val shortThenSibling = ftyp ++ box("moov", 8 + 12 + 24,
+      box("mvhd", 12, Array[Byte](0, 0, 0, 0)) ++
+        box("free", 24, Array.fill[Byte](16)(0x2a)))
+    val rows = Seq((1, zeroSize), (2, largeSize), (3, wrap), (4, shortMvhd),
+      (5, shortThenSibling))
       .toDF("id", "payload")
       .select($"id", VideoHeader($"payload").as("v"))
       .select("id", "v.format", "v.brand", "v.width", "v.height", "v.duration_ms")
