@@ -44,4 +44,34 @@ object StreamingDedup {
       .withColumn(FingerprintCol, graft.functions.TextFingerprint(col(textCol)))
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark(FingerprintCol)
+
+  /** Ingest-side benchmark decontamination — the streaming twin of
+    * [[Dedup.decontaminate]]: an arriving document sharing ANY word
+    * n-gram with the benchmark corpus is dropped BEFORE it reaches
+    * training storage.
+    *
+    * Stateless by construction: an "is any of my shingles in the bench
+    * set" decision is per-document, so it must not be a join at all in a
+    * stream (the per-doc complement of an exploded semi-join needs a
+    * stream-side aggregation or stream-stream anti-join — state either
+    * way). Instead the distinct bench shingle hashes are collected ONCE
+    * (eval suites are tiny against a crawl — same reference-object
+    * rationale as the IVF centroids) into a sorted array riding a single
+    * boolean expression ([[graft.functions.BenchShingleHit]], binary
+    * search per shingle). The stream side is a pure map filter: no state
+    * store, no watermark, no join; batch/stream agreement is asserted in
+    * the spec against [[Dedup.decontaminated]].
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val hashes = Dedup.shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("__set")).as("__s"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+    docs.filter(!graft.functions.BenchShingleHit(col(textCol), n, hashes))
+  }
 }

@@ -116,6 +116,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless filter agrees with the batch operator") {
+    import graft.pipeline.Dedup
+    val bench = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "what is the capital of france is it paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),       // contaminated (bench 100)
+      (2L, "completely unrelated words here"), // clean
+      (3L, "capital of france is paris"),      // contaminated (bench 101)
+      (4L, "short doc"))                       // < 3 tokens: clean
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.decontaminateStream(docs, bench, "doc_id", "text", 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deco_out").start()
+    try {
+      in.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      in.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontamination must not create a state store")
+      val got = spark.table("deco_out").select("doc_id").as[Long].collect().sorted
+      val batch = Dedup.decontaminated(corpus.toDF("doc_id", "text"), bench,
+          "doc_id", "text", 3)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq === batch.toSeq)
+      assert(got.toSeq === Seq(2L, 4L))
+    } finally { q.stop(); Dedup.unpersistIntermediates() }
+  }
+
   test("streaming hygiene: stateless annotation matches the batch operators") {
     import graft.pipeline.{StreamingText, TextAnalysis}
     val in = MemoryStream[(Long, String)](spark)
