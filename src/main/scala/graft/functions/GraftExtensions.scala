@@ -70,7 +70,24 @@ object GraftExtensions {
     (
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - double dot product of float/double arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    (
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - raw word n-gram occurrences (duplicates kept)"),
+      (exprs: Seq[Expression]) =>
+        WordNgrams(exprs.head, intArg(exprs(1), "n"))),
+    (
+      FunctionIdentifier("image_header"),
+      info("image_header", "image_header(bytes) - PNG/JPEG container metadata struct"),
+      (exprs: Seq[Expression]) => ImageHeader(exprs.head)),
+    (
+      FunctionIdentifier("audio_header"),
+      info("audio_header", "audio_header(bytes) - WAV/RIFF container metadata struct"),
+      (exprs: Seq[Expression]) => AudioHeader(exprs.head)),
+    (
+      FunctionIdentifier("video_header"),
+      info("video_header", "video_header(bytes) - MP4/ISO-BMFF container metadata struct"),
+      (exprs: Seq[Expression]) => VideoHeader(exprs.head)))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -87,6 +87,17 @@ class AggregateFunctionsSpec extends SparkSpec {
     val dots = spark.sql(
       "SELECT dot_product(embedding, embedding) AS d FROM emb_sql").collect()
     assert(dots.forall(_.getDouble(0) > 0))
+    // raw n-grams + the three container-header parsers
+    val more = spark.sql(
+      """SELECT size(word_ngrams(text, 2)) AS ng,
+        |       image_header(encode(text, 'UTF-8')).format AS img,
+        |       audio_header(encode(text, 'UTF-8')).format AS aud,
+        |       video_header(encode(text, 'UTF-8')).format AS vid
+        |FROM docs_sql""".stripMargin).collect()
+    assert(more.forall(r => r.getInt(0) > 0))
+    assert(more.forall(r =>
+      r.getString(1) == "unknown" && r.getString(2) == "unknown" &&
+        r.getString(3) == "unknown")) // plain text is no container
   }
 
   test("most_array: mode over an array-valued column (A3)") {
