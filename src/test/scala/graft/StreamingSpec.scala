@@ -291,6 +291,66 @@ class StreamingSpec extends SparkSpec {
     assert(view.count() === 4)
   }
 
+  test("rename-free merge: concurrent readers never see a torn or partial view") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    def batch(src: String, ts: Long) =
+      Seq(RawResult(src, "d1", "ping", ts, 1L)).toDF()
+    (0 to 3).foreach { i =>
+      IngestStream.ingestBatch(batch(s"s${i + 1}", 1704067200L + 3600L * i), spec,
+        s"$dir/streams", s"$dir/data", identity, epoch = Some(i.toLong))
+      IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+        settledBelow = i + 1L, buckets = 8)
+    }
+    val expected = 4L
+    // readers hammer plan-build + scan while merges (and their
+    // grace-period GC) run. The protocol's contract: a plan stays valid
+    // for ONE FULL maintenance cycle after it is built, so between the
+    // two merges the test waits until every reader has completed a fresh
+    // build+scan iteration (in production the cycle is minutes; reads
+    // that outlive a whole cycle are out of contract, like readers older
+    // than a Delta VACUUM retention).
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val iters = (0 until 3).map(_ => new java.util.concurrent.atomic.AtomicLong(0))
+    val readers = iters.map { counter =>
+      new Thread(() => {
+        while (!stop.get) {
+          try {
+            val n = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count()
+            if (n != expected) errors.add(s"saw $n rows (want $expected)")
+          } catch {
+            case e: Throwable => errors.add(s"read failed: ${e.getMessage}")
+          }
+          counter.incrementAndGet()
+        }
+      })
+    }
+    def awaitFreshIteration(): Unit = {
+      // +2: the current in-flight iteration may have built its plan
+      // before the merge committed; the one after is provably fresh
+      val target = iters.map(_.get + 2)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (iters.zip(target).exists { case (c, t) => c.get < t }) {
+        if (System.nanoTime() > deadline) sys.error("readers stalled")
+        Thread.sleep(10)
+      }
+    }
+    readers.foreach(_.start())
+    try {
+      awaitFreshIteration() // all readers mid-flight before the first merge
+      IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+      awaitFreshIteration() // one full cycle's grace before GC runs
+      IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+      awaitFreshIteration()
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(errors.isEmpty, s"concurrent readers observed: ${errors.toArray.mkString("; ")}")
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === expected)
+  }
+
   test("Maintenance.run: one cycle folds epochs, merges csets, compacts streams and tiers") {
     val dir = tmpDir()
     val spec = Collections.ampExternal
