@@ -568,6 +568,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- SemDeDup-style semantic dedup: k-means cell blocking + cosine
+    //      pairs + components; one survivor per semantic cluster
+    //      (centroids inlined into the oracle, q_ann_ivf convention) ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedupWith(
+          Tables.embeddings(s, dir), ivfCentroidsFor(s, dir),
+          "vec_id", "embedding", 0.3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- IVF ANN (hash-checked: the deterministically-trained centroid
     //      matrix is inlined into the oracle SQL; recall 0.83 @ 25% scan
     //      vs brute force in SimilaritySpec)
@@ -952,6 +963,62 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup oracle: the same inlined-centroid assignment as
+    * [[ivfOracle]], then within-cell cosine pairs at the gate's
+    * threshold, recursive-CTE components, and the canonical-min-id
+    * survivor rule (the q_dedup_canonical construction).
+    */
+  private def semanticDedupOracle: String = ivfLastTrained match {
+    case None =>
+      """SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0"""
+    case Some(cents) =>
+      val cos =
+        """round(
+          |  list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+          |  / (sqrt(list_sum(list_transform(range(1, len(va)+1), i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+          |     * sqrt(list_sum(list_transform(range(1, len(vb)+1), i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))), 6)""".stripMargin
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        val lst = c.map(java.lang.Double.toString).mkString("[", ",", "]")
+        val nrm = java.lang.Double.toString(c.map(x => x * x).sum)
+        s"($i, $lst, $nrm)"
+      }.mkString(",\n")
+      s"""WITH RECURSIVE cent AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(cell, w, nrm)
+         |), sc AS (
+         |  SELECT e.vec_id, c.cell,
+         |         2 * list_sum(list_transform(range(1, len(e.embedding)+1),
+         |               d -> CAST(e.embedding[d] AS DOUBLE) * c.w[d])) - c.nrm AS s
+         |  FROM embeddings e, cent c
+         |), rk AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+         |  FROM sc
+         |), corpus AS (
+         |  SELECT e.vec_id, e.embedding, r.cell
+         |  FROM embeddings e JOIN rk r ON e.vec_id = r.vec_id AND r.rn = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM (SELECT vec_id, embedding AS va, cell FROM corpus) a
+         |  JOIN (SELECT vec_id, embedding AS vb, cell FROM corpus) b USING (cell)
+         |  WHERE a.vec_id < b.vec_id AND $cos >= 0.3
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY 1
+         |)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY vec_id""".stripMargin
   }
 
   /** Shared CTE chain computing the SimHash near-dup pairs (the
@@ -1749,6 +1816,8 @@ object SparkEntry {
     "q_ann_ivf" -> ivfOracle,
 
     "q_ann_ivf_index" -> ivfOracle,
+
+    "q_semantic_dedup" -> semanticDedupOracle,
 
     "q_embed_dup_lsh" -> {
       val cos =

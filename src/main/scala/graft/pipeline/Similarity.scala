@@ -74,6 +74,41 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): block on the trained quantizer's nearest cell —
+    * k-means pre-clustering — then cosine-verify within each cell. The
+    * cluster blocking is exactly what turns the quadratic all-pairs
+    * search into per-cell joins at 100 TB (SemDeDup's own economy);
+    * assignment is the fused `NearestCells` reference-object expression
+    * (map-only), and the trained matrix is deterministic, so the DuckDB
+    * oracle can inline it (the q_ann_ivf convention). Cross-cell near
+    * dups are missed by construction — the SemDeDup trade.
+    */
+  def semanticDupPairsWith(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.NearestCells
+    val withCell = emb.withColumn(
+      "__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+    embeddingDupPairs(withCell, idCol, vecCol, "__cell", threshold)
+  }
+
+  /** Semantic dedup: one document per semantic near-dup component
+    * (canonical min id, via the distributed large-star/small-star
+    * closure) — documents in no pair survive untouched.
+    */
+  def semanticDedupWith(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    Dedup.dedupByComponents(
+      emb, idCol, semanticDupPairsWith(emb, centroids, idCol, vecCol, threshold))
+
   /** Embedding near-duplicate pairs at scale: the block key is DERIVED from
     * the vectors themselves — the sign-bit LSH bucket — rather than a
     * pre-existing label column (which a raw 100 TB corpus does not have).

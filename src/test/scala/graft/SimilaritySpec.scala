@@ -144,4 +144,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length === 1)
     assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
+
+  test("semanticDedup keeps exactly the component minima of the cell-blocked pairs") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairsWith(emb, cents, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // driver-side union-find ground truth over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val expected = all.filter(id => find(id) == id)
+    val survivors = Similarity.semanticDedupWith(emb, cents, "vec_id", "embedding", 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === expected)
+    assert(survivors.size < all.size, "the corpus should contain semantic dups")
+    graft.pipeline.Dedup.unpersistIntermediates()
+  }
 }
