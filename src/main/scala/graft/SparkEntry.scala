@@ -511,6 +511,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- Rare-word (OOV) ratio: the exact-arithmetic perplexity-proxy
+    //      quality signal — corpus document frequencies joined back onto
+    //      token occurrences ------------------------------------------
+    "q_rare_words" -> ((s, dir) => {
+      TextAnalysis.rareWordStats(Tables.documents(s, dir), "doc_id", "text", 300L)
+        .orderBy("doc_id")
+    }),
+
     // ---- Adaptive quality cut: docs at/above the corpus-mean BPE token
     //      count (integer metric -> exact cross-engine mean; the
     //      approx-quantile production variant is spec-covered)
@@ -1662,6 +1670,21 @@ object SparkEntry {
         |       CAST(sum(n_idnums) AS BIGINT) AS idnums,
         |       min(redacted) AS redacted_min
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rare_words" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, t FROM tok WHERE t <> ''
+        |), vocab AS (
+        |  SELECT t, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, t FROM tk) GROUP BY t
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
+        |FROM tk JOIN vocab USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // integer metric -> the mean is an exact long sum + one double
     // division in both engines (order-independent, unlike a double sum)

@@ -295,6 +295,45 @@ object TextAnalysis {
       idNumberCount(col(textCol)).as("n_idnums"),
       piiRedact(col(textCol)).as("redacted"))
 
+  /** Rare-word statistics — the exact-arithmetic stand-in for a unigram
+    * perplexity filter: a document dominated by corpus-rare tokens is
+    * high-surprisal (OOV noise, mojibake, boilerplate IDs). Per document:
+    * n_rare = token occurrences whose CORPUS document frequency is below
+    * `minDf`, and rare_ratio = n_rare / n_tokens. All integers plus one
+    * double division, so the DuckDB oracle reproduces the scores
+    * bit-for-bit — a true log-probability score would hinge on
+    * float-summation order across engines.
+    *
+    * Shape at 100 TB: one map-side-combined vocabulary count (term,
+    * df), then the exploded corpus joins it on the term — a shuffle
+    * equi-join on the token (AQE broadcasts the vocab when it fits) —
+    * and re-aggregates per document. Two corpus scans, no sort.
+    */
+  def rareWordStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
+    // document frequency: distinct docs per term (not raw occurrences —
+    // a term spammed by one document is not thereby common)
+    val vocab = toks.distinct()
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    toks
+      .join(vocab, "__t")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
+  }
+
   // ---- adaptive quality cuts -------------------------------------------
 
   /** Keep rows whose integer `metricCol` is at or above the corpus MEAN.

@@ -145,6 +145,22 @@ class TextAnalysisSpec extends SparkSpec {
       "ip [IP] and mail [EMAIL] and num [ID]")))
   }
 
+  test("rareWordStats: corpus DF drives per-doc rare counts (spam-safe)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"), // rare2 spammed in ONE doc: df stays 1
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rareWordStats(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 3L, 2L, 2.0 / 3),
+      (3L, 3L, 0L, 0.0)))
+  }
+
   test("cutByMeanOf keeps exactly the rows at/above the integer mean") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 41L))
