@@ -58,6 +58,11 @@ object Wire {
     val version = buf.get() & 0xff
     val msgType = buf.getShort() & 0xffff
     val len = buf.getInt()
+    // the wire u32 reads as a SIGNED Int: a high-bit length is negative
+    // here and `new Array[Byte](len)` would throw an untyped
+    // NegativeArraySizeException (found by the fuzz spec); the cap also
+    // stops one bogus frame claiming a ~2 GB buffer before validation
+    require(len >= 0 && len <= MaxFrameLen, s"bad frame length $len")
     require(bytes.length >= HeaderLen + len, "short body")
     val body = new Array[Byte](len)
     buf.get(body)

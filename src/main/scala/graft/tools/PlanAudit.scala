@@ -271,6 +271,17 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin"),
       mustNot = Seq("SortMergeJoin", "Sort ["))
 
+    // 20. semantic dedup: cell-blocked pair generation — the reference-
+    //     object cell assignment is a map-only projection and candidates
+    //     come from the cell equi-join, never a cartesian product
+    val semEmb = Tables.embeddings(spark, sfDir)
+    val sd = graft.pipeline.Similarity.semanticDupPairsWith(
+      semEmb, graft.pipeline.Similarity.ivfCentroids(semEmb, "vec_id", "embedding"),
+      "vec_id", "embedding", 0.3)
+    check("semantic dedup pairs: cell equi-join, no cartesian", plan(sd),
+      mustContain = Seq("nearest_cells"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")

@@ -39,4 +39,23 @@ class WireSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wire.unpack(framed.take(Wire.HeaderLen - 1)))
     intercept[IllegalArgumentException](Wire.unpack(framed.take(framed.length - 1)))
   }
+
+  test("fuzz: arbitrary byte soup never hangs or misallocates, only typed errors") {
+    // deterministic LCG — no Random (reproducible failures matter more
+    // than variety), 200 frames of adversarial garbage incl. giant
+    // declared lengths and valid-looking headers over short bodies
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed }
+    (0 until 200).foreach { i =>
+      val len = (math.abs(next()) % 64).toInt + 1
+      val b = new Array[Byte](len)
+      (0 until len).foreach(j => b(j) = (next() >> 32).toByte)
+      try { Wire.unpack(b); () }
+      catch { case _: IllegalArgumentException => () } // the ONLY legal failure
+    }
+    // a header declaring a 2 GiB body must be rejected before allocation
+    val huge = java.nio.ByteBuffer.allocate(Wire.HeaderLen)
+    huge.put(1.toByte).putShort(Wire.History.toShort).putInt(Int.MaxValue)
+    intercept[IllegalArgumentException](Wire.unpack(huge.array()))
+  }
 }
