@@ -208,6 +208,12 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
+
+    // the Catalyst reference form computes the identical map (the RDD
+    // fast path above is the default; this keeps the two from drifting)
+    val sql = Dedup.connectedComponentsSql(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql === expected)
     // every component labeled by its min member
     assert(got.groupBy(_._2).forall { case (c, m) => m.keys.min == c })
   }
