@@ -22,26 +22,75 @@ object Retention {
 
   private val DayFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
 
-  /** Drop day partitions strictly older than `cutoffEpoch`'s UTC day.
-    * Returns the dropped partition directory names.
+  /** Expire day partitions strictly older than `cutoffEpoch`'s UTC day,
+    * with the same TOMBSTONE-then-grace-delete discipline as the layout
+    * merge protocol (deleting a directory a recent reader plan still
+    * lists breaks its scan; object stores have no safer rename):
+    *
+    *   - phase A: physically delete the day dirs tombstoned by a
+    *     PREVIOUS cycle (their `_expired_day_<day>` marker is at least
+    *     one maintenance cycle old — the reader grace window);
+    *   - phase B: write tombstone markers for newly aged days. The
+    *     marker IS the visibility flip: the serving reader
+    *     (`IngestStream.readCombined`) prunes tombstoned days as a
+    *     metadata-only partition filter, so the data disappears from
+    *     queries NOW while the files linger one cycle for in-flight
+    *     scans.
+    *
+    * Returns the newly tombstoned partition names (the cycle's
+    * visibility change). Late re-arrivals of an already-GC'd day become
+    * visible until the next cycle re-tombstones them — the reference's
+    * retention behaves the same way.
     */
   def expireDays(path: String, cutoffEpoch: Long): Seq[String] = {
     val cutoffDay = LocalDate.ofEpochDay(cutoffEpoch / 86400).format(DayFmt)
     val root = new java.io.File(path)
     if (!root.exists) return Nil
-    val dropped = Seq.newBuilder[String]
+
+    // phase A: grace elapsed — delete dirs, then their markers
+    val prior = expiredDays(path)
+    if (prior.nonEmpty) {
+      def gc(dir: java.io.File): Unit =
+        dir.listFiles().foreach { f =>
+          if (f.isDirectory) {
+            if (f.getName.startsWith("day=") &&
+                prior(f.getName.stripPrefix("day="))) delete(f)
+            else gc(f)
+          }
+        }
+      gc(root)
+      prior.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").delete())
+    }
+
+    // phase B: tombstone newly aged days
+    val aged = scala.collection.mutable.SortedSet.empty[String]
     def walk(dir: java.io.File): Unit =
       dir.listFiles().foreach { f =>
         if (f.isDirectory) {
           val name = f.getName
-          if (name.startsWith("day=") && name.stripPrefix("day=") < cutoffDay) {
-            delete(f)
-            dropped += name
-          } else walk(f)
+          if (name.startsWith("day=") && name.stripPrefix("day=") < cutoffDay)
+            aged += name.stripPrefix("day=")
+          else walk(f)
         }
       }
     walk(root)
-    dropped.result().distinct.sorted
+    aged.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").createNewFile())
+    aged.toSeq.map(d => s"day=$d")
+  }
+
+  private val MarkerPrefix = "_expired_day_"
+
+  /** Days tombstoned by a previous [[expireDays]] cycle — hidden from
+    * queries, files pending grace-period GC.
+    */
+  def expiredDays(path: String): Set[String] = {
+    val root = new java.io.File(path)
+    if (!root.exists || root.listFiles == null) Set.empty
+    else root.listFiles.toSeq
+      .map(_.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix))
+      .toSet
   }
 
   private def delete(f: java.io.File): Unit = {

@@ -300,23 +300,32 @@ object IngestStream {
     * none). The cset part keeps its single multi-root relation under the
     * layout basePath; the mset part is rooted at its own dir (a shared
     * basePath would parse `mset=`/`cset=` as conflicting partition
-    * columns).
+    * columns). Days tombstoned by retention are pruned here — `day` is a
+    * partition column, so the NOT-IN is a metadata-only filter; the
+    * tombstoned dirs linger one maintenance cycle for in-flight scans
+    * (Retention.expireDays' grace protocol).
     */
   private def readLayoutSources(
       spark: SparkSession,
       layoutPath: String,
       newest: Option[(Long, Long)],
       liveCsets: Seq[Long]): Option[DataFrame] = {
+    val expired = graft.storage.Retention.expiredDays(layoutPath)
+    def pruneExpired(df: DataFrame): DataFrame =
+      if (expired.isEmpty) df
+      else df.filter(!col("day").isin(expired.toSeq: _*))
     val csetPart =
       if (liveCsets.isEmpty) None
       else Some(
-        spark.read
-          .option("basePath", layoutPath)
-          .parquet(liveCsets.map(c => s"$layoutPath/cset=$c"): _*)
+        pruneExpired(
+          spark.read
+            .option("basePath", layoutPath)
+            .parquet(liveCsets.map(c => s"$layoutPath/cset=$c"): _*))
           .drop("cset", "sbucket", "day"))
     val msetPart = newest.map { case (k, _) =>
       val p = s"$layoutPath/mset=$k"
-      spark.read.option("basePath", p).parquet(p).drop("sbucket", "day")
+      pruneExpired(spark.read.option("basePath", p).parquet(p))
+        .drop("sbucket", "day")
     }
     (msetPart, csetPart) match {
       case (Some(m), Some(c)) => Some(m.unionByName(c))

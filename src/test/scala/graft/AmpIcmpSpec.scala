@@ -67,8 +67,23 @@ class AmpIcmpSpec extends SparkSpec {
       (2L, 300L * 86400, 3.0))   // day 19701028
       .toDF("stream_id", "timestamp", "value")
     graft.storage.Layout.writeData(df, dir, buckets = 2)
+    // cycle 1 TOMBSTONES the aged day: hidden from retention-aware
+    // readers immediately, files linger one cycle for in-flight scans
     val dropped = Retention.expireDays(dir, cutoffEpoch = 100L * 86400)
     assert(dropped === Seq("day=19700101"))
+    assert(Retention.expiredDays(dir) === Set("19700101"))
+    def dayDirs = {
+      val b = Seq.newBuilder[String]
+      def walk(f: java.io.File): Unit = f.listFiles().foreach { c =>
+        if (c.isDirectory) { if (c.getName.startsWith("day=")) b += c.getName else walk(c) }
+      }
+      walk(new java.io.File(dir)); b.result().distinct.sorted
+    }
+    assert(dayDirs.contains("day=19700101")) // grace: still on disk
+    // cycle 2 GC's the tombstoned files and clears the marker
+    assert(Retention.expireDays(dir, cutoffEpoch = 100L * 86400) === Seq())
+    assert(Retention.expiredDays(dir) === Set())
+    assert(!dayDirs.contains("day=19700101"))
     val left = graft.storage.Layout.readData(spark, dir)
     assert(left.count() === 2)
     val stats = Retention.streamStats(left).collect()
