@@ -112,6 +112,23 @@ object RollupStream {
       .filter(f => f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}=-"))
       .filter(f => !committedKs(-f.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong))
       .foreach(deleteRec)
+    // GRACE-PERIOD GC (the layout-merge discipline): everything the
+    // NEWEST committed fold superseded has been invisible-but-resolvable
+    // since that fold's commit — at least one full compaction cycle — so
+    // reader plans built before it have had their window. Markers first.
+    committed.lastOption.foreach { case (k0, b0) =>
+      committed.foreach { case (j, b) =>
+        if (j != k0) new java.io.File(dir, s"_fold_${j}_$b").delete()
+      }
+      dir.listFiles
+        .filter { f =>
+          f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}=") && {
+            val e = f.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong
+            (e < 0 && e != -k0 && committedKs(-e)) || (e >= 0 && e < b0)
+          }
+        }
+        .foreach(deleteRec)
+    }
     val (prevK, prevBoundary) = committed.lastOption.getOrElse((0L, 0L))
     val sourceEpochs = dir.listFiles.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}="))
@@ -151,18 +168,10 @@ object RollupStream {
     if (!new java.io.File(dir, s"_fold_${k}_$boundary").createNewFile())
       throw new java.io.IOException(s"fold marker $k already exists")
     onStep("committed")
-    // GC: the superseded fold and the covered sources are invisible now
-    dir.listFiles
-      .filter { f =>
-        f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}=") && {
-          val e = f.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong
-          (e < 0 && e != -k) || (e >= 0 && e < boundary)
-        }
-      }
-      .foreach(deleteRec)
-    committed.foreach { case (j, b) =>
-      if (j != k) new java.io.File(dir, s"_fold_${j}_$b").delete()
-    }
+    // NO GC here: the superseded fold and covered sources are invisible
+    // from this instant (readTier keys on the highest committed marker)
+    // but stay on disk until the NEXT compact run's grace-period GC, so
+    // a reader plan listed before this commit keeps resolving its files.
   }
 
   /** Committed (k, boundary) fold markers, ascending by k. */

@@ -459,19 +459,29 @@ class StreamingSpec extends SparkSpec {
     val partials = graft.streaming.IngestStream.readData(spark, dir)
     assert(partials.filter($"stream_id" === 1 && $"binstart" === 0).count() === 2)
 
-    // folding partials == aggregating all raw rows in one go
+    // folding partials == aggregating all raw rows in one go; the SERVED
+    // view (readTier keys on the committed fold) collapses to one row
+    // per bin immediately, while the covered source epochs stay on disk
+    // one grace cycle for in-flight reader plans
     val expected = Rollup.build(b1.unionByName(b2), 60, "value")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
     RollupStream.compact(spark, dir)
-    val compacted = graft.streaming.IngestStream.readData(spark, dir)
-    assert(compacted.groupBy("stream_id", "binstart").count()
+    val cols = Seq("stream_id", "binstart", "cnt", "s1", "s2", "mn", "mx", "ts", "tsn")
+    val served = RollupStream.readTier(spark, dir).select(cols.map(col): _*)
+    assert(served.groupBy("stream_id", "binstart").count()
       .filter($"count" > 1).count() === 0) // one row per bin
-    val got = compacted
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2).dropRight(0)).toMap
+    val got = served
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
     assert(got.keySet === expected.keySet)
     got.foreach { case (k, v) =>
       assert(v === expected(k), s"bin $k")
     }
+    // the NEXT cycle's grace-period GC retires the covered sources: the
+    // raw directory itself then holds only the fold
+    RollupStream.compact(spark, dir)
+    val physical = graft.streaming.IngestStream.readData(spark, dir)
+    assert(physical.groupBy("stream_id", "binstart").count()
+      .filter($"count" > 1).count() === 0)
   }
 
   test("subscribe: history-before-live with lasthist dedupe (X1)") {
