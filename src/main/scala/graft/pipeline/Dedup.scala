@@ -485,9 +485,30 @@ object Dedup {
     // at 32). Large edge sets still fan out to the session's parallelism.
     val confParts = spark.conf.getOption("spark.sql.shuffle.partitions")
       .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
-    val edgeCount = initial.count()
+
+
+    // (count, xor-of-pair-hashes): order-independent fingerprint computed
+    // by ONE action, no extra shuffle. FULL 64-bit pair hash (the mix64
+    // finalizer) — the Catalyst reference fingerprints with xxhash64,
+    // and a 32-bit pair hash would let a single birthday collision fake
+    // a fixpoint on a billion-edge graph (silently wrong components)
+    def mix64(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    def checksum(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      e.aggregate((0L, 0L))(
+        { case ((n, x), (u, v)) =>
+          (n + 1, x ^ mix64(u * 0x9E3779B97F4A7C15L + mix64(v)))
+        },
+        { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) })
+
+    var edges = initial
+    var prev = checksum(edges) // one action: fingerprint AND edge count
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(confParts, (edgeCount / 50000L).toInt + 1)))
+      math.max(1, math.min(confParts, (prev._1 / 50000L).toInt + 1)))
 
     def star(e: org.apache.spark.rdd.RDD[(Long, Long)], large: Boolean) = {
       val sym =
@@ -502,23 +523,10 @@ object Dedup {
       val repointed = keyed.join(mins, part).flatMap { case (u, (v, m)) =>
         if (!large || v > u) Iterator((v, m)) else Iterator.empty
       }
-      val self = mins.map(identity)
-      (repointed ++ self).filter { case (u, v) => u != v }
+      // mins doubles as the self-edge set directly (keeps its partitioner)
+      (repointed ++ mins).filter { case (u, v) => u != v }
         .distinct(part.numPartitions)
     }
-
-    // (count, xor-of-pair-hashes): order-independent fingerprint computed
-    // by ONE action, no extra shuffle
-    def checksum(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
-      e.aggregate((0L, 0L))(
-        { case ((n, x), (u, v)) =>
-          val h = scala.util.hashing.MurmurHash3.productHash((u, v)).toLong
-          (n + 1, x ^ (h * 0x9E3779B97F4A7C15L))
-        },
-        { case ((n1, x1), (n2, x2)) => (n1 + n2, x1 ^ x2) })
-
-    var edges = initial
-    var prev = checksum(edges)
     var converged = prev._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {

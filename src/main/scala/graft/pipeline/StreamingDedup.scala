@@ -68,10 +68,18 @@ object StreamingDedup {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val hashes = Dedup.shingleSets(bench, idCol, textCol, n)
-      .select(explode(col("__set")).as("__s"))
+    // one direct pass over the bench — NOT Dedup.shingleSets, whose
+    // pin (persist + eager count) would stay resident for the life of
+    // the streaming service after this single collect
+    val hashes = bench
+      .select(explode(graft.functions.WordNgramHashes(col(textCol), n)).as("__s"))
       .distinct()
       .collect().map(_.getLong(0)).sorted
-    docs.filter(!graft.functions.BenchShingleHit(col(textCol), n, hashes))
+    // null text hits nothing and is KEPT (coalesce) — the batch twin
+    // keeps null-text docs too (no shingles -> absent from the
+    // contaminated index -> survives the anti-join), and a bare
+    // filter(!NULL) would silently drop such rows at ingest
+    docs.filter(
+      !coalesce(graft.functions.BenchShingleHit(col(textCol), n, hashes), lit(false)))
   }
 }

@@ -126,7 +126,8 @@ class StreamingDedupSpec extends SparkSpec {
       (1L, "the quick brown fox jumps"),       // contaminated (bench 100)
       (2L, "completely unrelated words here"), // clean
       (3L, "capital of france is paris"),      // contaminated (bench 101)
-      (4L, "short doc"))                       // < 3 tokens: clean
+      (4L, "short doc"),                       // < 3 tokens: clean
+      (5L, null.asInstanceOf[String]))         // null text: KEPT, like batch
     val in = MemoryStream[(Long, String)](spark)
     val docs = in.toDF().toDF("doc_id", "text")
     val q = StreamingDedup.decontaminateStream(docs, bench, "doc_id", "text", 3)
@@ -144,7 +145,7 @@ class StreamingDedupSpec extends SparkSpec {
           "doc_id", "text", 3)
         .select("doc_id").as[Long].collect().sorted
       assert(got.toSeq === batch.toSeq)
-      assert(got.toSeq === Seq(2L, 4L))
+      assert(got.toSeq === Seq(2L, 4L, 5L))
     } finally { q.stop(); Dedup.unpersistIntermediates() }
   }
 
