@@ -484,6 +484,52 @@ class StreamingSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0)
   }
 
+  test("tier compaction: concurrent readers stay consistent across fold cycles") {
+    import graft.rollup.Rollup
+    val dir = tmpDir() + "/tier"
+    val b1 = Seq((1L, 30L, 2.0), (1L, 45L, 4.0), (1L, 70L, 10.0))
+      .toDF("stream_id", "timestamp", "value")
+    val b2 = Seq((1L, 50L, 6.0), (2L, 10L, 1.0))
+      .toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(b1, 60, "value", dir, epoch = 0L)
+    RollupStream.appendPartials(b2, 60, "value", dir, epoch = 1L)
+    val expected = Rollup.build(b1.unionByName(b2), 60, "value")
+      .agg(sum("cnt")).as[Long].collect().head
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val iter = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get) {
+        try {
+          val n = RollupStream.readTier(spark, dir)
+            .agg(sum("cnt")).as[Long].collect().head
+          if (n != expected) errors.add(s"saw $n (want $expected)")
+        } catch { case e: Throwable => errors.add(s"read failed: ${e.getMessage}") }
+        iter.incrementAndGet()
+      }
+    })
+    def awaitFresh(): Unit = {
+      val target = iter.get + 2
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (iter.get < target) {
+        if (System.nanoTime() > deadline) sys.error("reader stalled")
+        Thread.sleep(10)
+      }
+    }
+    reader.start()
+    try {
+      awaitFresh()
+      RollupStream.compact(spark, dir) // fold 1 commits; sources linger
+      awaitFresh() // one full reader cycle of grace
+      RollupStream.compact(spark, dir) // grace GC retires covered sources
+      awaitFresh()
+    } finally { stop.set(true); reader.join(30000) }
+    assert(errors.isEmpty, s"concurrent tier readers observed: ${errors.toArray.mkString("; ")}")
+    // steady state: the fold alone serves the same totals
+    assert(RollupStream.readTier(spark, dir)
+      .agg(sum("cnt")).as[Long].collect().head === expected)
+  }
+
   test("subscribe: history-before-live with lasthist dedupe (X1)") {
     val sub = Subscribe.Subscription(
       Map("a" -> Seq(1L)), start = 0L, end = 0L, columns = Seq("value"))
