@@ -205,22 +205,37 @@ object RollupStream {
       if (df.columns.contains("tsn"))
         df.withColumn("tsn", coalesce(col("tsn"), col("ts")))
       else df.withColumn("tsn", col("ts"))
-    def read = spark.read.option("mergeSchema", "true").parquet(path)
+    // Read ONLY the visible epoch dirs by explicit path (the readCombined
+    // convention): a whole-dir read would also LIST the superseded folds
+    // and covered sources pending grace GC — invisible by filter, but
+    // mergeSchema's footer pass still touches their files at plan build,
+    // and a GC racing that pass crashes the reader (caught by the tier
+    // concurrency spec). Visible paths are never GC'd until a NEWER fold
+    // has been committed for a full cycle, so this listing is race-free
+    // under the grace contract.
+    val dir = new java.io.File(path)
+    val epochDirs =
+      if (!dir.exists || dir.listFiles == null) Seq.empty[Long]
+      else dir.listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(s"${IngestStream.EpochCol}="))
+        .map(_.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong)
+    def readEpochs(es: Seq[Long]) =
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(es.map(e => s"$path/${IngestStream.EpochCol}=$e"): _*)
+        .drop(IngestStream.EpochCol)
     committedFolds(path).lastOption match {
-      case None =>
+      case Some((k, boundary)) =>
+        val visible = epochDirs.filter(e => e == -k || e >= boundary)
+        withTsn(readEpochs(visible))
+      case None if epochDirs.exists(_ >= 0) =>
         // no committed fold: sources only — a fold dir may exist from a
         // crashed attempt and must NOT be read
-        val df = read
-        withTsn(
-          if (df.columns.contains(IngestStream.EpochCol))
-            df.filter(col(IngestStream.EpochCol) >= 0).drop(IngestStream.EpochCol)
-          else df)
-      case Some((k, boundary)) =>
-        withTsn(
-          read
-            .filter(col(IngestStream.EpochCol) === -k ||
-              col(IngestStream.EpochCol) >= boundary)
-            .drop(IngestStream.EpochCol))
+        withTsn(readEpochs(epochDirs.filter(_ >= 0)))
+      case None =>
+        // non-epoch layout (plain parquet dir) or nothing readable yet
+        withTsn(spark.read.option("mergeSchema", "true").parquet(path))
     }
   }
 
