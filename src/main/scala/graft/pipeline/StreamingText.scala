@@ -67,6 +67,40 @@ object StreamingText {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Windowed duplicate-rate telemetry: per event-time window, the
+    * fraction of arriving documents whose normalized-content fingerprint
+    * was already seen IN THAT WINDOW — the canary for a crawler loop or
+    * an upstream replay storm (a sudden dup-rate spike is usually the
+    * first visible symptom). Exact within the window: count vs
+    * approx_count_distinct of the fused fingerprint (the distinct count
+    * is sketch-based — mergeable, bounded state — so a window's state
+    * never grows with its distinct-content volume; at a 1% error the
+    * rate signal is unaffected). Watermarked append: closed windows emit
+    * finalized rates.
+    */
+  def windowedDupRate(
+      docs: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      windowLen: String,
+      watermark: String): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, watermark)
+      .select(
+        col(eventTimeCol),
+        graft.functions.TextFingerprint(col(textCol)).as("__fp"))
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("__fp"), 0.01).as("n_distinct"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"),
+        col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+
   /** Streaming corpus hygiene — the ingest-side cleaning stage: every
     * arriving document is ANNOTATED with its quality score, predicted
     * language, and PII-redacted body (the same fused TextProfile /

@@ -116,6 +116,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDupRate: replay storm shows up as a dup-rate spike per window") {
+    import graft.pipeline.StreamingText
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingText.windowedDupRate(docs, "text", "ts", "60 seconds", "30 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("duprate_out").start()
+    try {
+      // window [0,60): 4 docs, all distinct; window [60,120): 4 docs, one
+      // content repeated 3x (replay storm) -> 2 distinct
+      in.addData(
+        (1L, "alpha one", t(5)), (2L, "beta two", t(15)),
+        (3L, "gamma three", t(25)), (4L, "delta four", t(35)),
+        (5L, "storm doc", t(65)), (6L, "storm doc", t(70)),
+        (7L, "storm doc", t(75)), (8L, "calm doc", t(80)))
+      q.processAllAvailable()
+      in.addData((9L, "closer", t(200))) // advance watermark past both
+      q.processAllAvailable()
+      val got = spark.table("duprate_out")
+        .select("window_start", "n_docs", "n_distinct", "dup_rate")
+        .as[(java.sql.Timestamp, Long, Long, Double)]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(got.size >= 2)
+      assert(got(0)._2 === 4L && got(0)._3 === 4L && got(0)._4 === 0.0)
+      assert(got(1)._2 === 4L && got(1)._3 === 2L && got(1)._4 === 0.5)
+    } finally q.stop()
+  }
+
   test("streaming decontamination: stateless filter agrees with the batch operator") {
     import graft.pipeline.Dedup
     val bench = Seq(
