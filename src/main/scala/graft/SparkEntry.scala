@@ -797,8 +797,12 @@ object SparkEntry {
       // also the shape that survives skewed labels at 100 TB: the first
       // level map-side-combines per value, no single hot distinct set.
       val byValue = ev.groupBy("nntsclabel", "value").agg(count(lit(1)).as("__c"))
+      // count(value), not count(*): a NULL-value group must not count as a
+      // distinct value — countDistinct and the oracle's count(DISTINCT
+      // value) both ignore NULLs, and counting the NULL group here would
+      // shift nd_exact (and the hll band around it) off by one.
       val exact = byValue.groupBy("nntsclabel")
-        .agg(sum("__c").as("n"), count(lit(1)).as("nd_exact"))
+        .agg(sum("__c").as("n"), count(col("value")).as("nd_exact"))
       val approxAggs = ev
         .groupBy("nntsclabel")
         .agg(

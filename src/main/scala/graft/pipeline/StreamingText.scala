@@ -98,7 +98,11 @@ object StreamingText {
         col("window.end").as("window_end"),
         col("n_docs"),
         col("n_distinct"),
-        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+        // clamp at 0: an HLL overestimate on an all-distinct window would
+        // otherwise emit a small NEGATIVE rate and trip alerting math
+        greatest(
+          lit(0.0),
+          lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
           .as("dup_rate"))
 
   /** Streaming corpus hygiene — the ingest-side cleaning stage: every

@@ -166,15 +166,18 @@ object IngestStream {
         onStep("committed")
       }
     }
-    // GC — everything below the committed cutoff is invisible already;
-    // dying here just defers cleanup to the next run
-    val cutoff = layoutCutoff(layoutPath)
+    // GC with the ONE-CYCLE GRACE the merge/fold/retention paths use:
+    // delete only epoch dirs below the cutoff AS OF ENTRY (`already`) —
+    // invisible for at least one full maintenance cycle. The epochs this
+    // run just committed stay on disk (invisible via the cutoff filter)
+    // until the NEXT cycle, so a reader whose plan listed them moments
+    // before the commit never hits FileNotFoundException mid-scan.
     val dataDir = new java.io.File(dataPath)
     if (dataDir.exists && dataDir.listFiles != null)
       dataDir.listFiles
         .filter { f =>
           f.isDirectory && f.getName.startsWith(s"$EpochCol=") &&
-            f.getName.stripPrefix(s"$EpochCol=").toLong < cutoff
+            f.getName.stripPrefix(s"$EpochCol=").toLong < already
         }
         .foreach(deleteRecursively)
   }

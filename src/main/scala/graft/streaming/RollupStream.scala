@@ -234,8 +234,19 @@ object RollupStream {
         // crashed attempt and must NOT be read
         withTsn(readEpochs(epochDirs.filter(_ >= 0)))
       case None =>
-        // non-epoch layout (plain parquet dir) or nothing readable yet
-        withTsn(spark.read.option("mergeSchema", "true").parquet(path))
+        // non-epoch layout (plain parquet dir) or nothing readable yet.
+        // If partition discovery still surfaces an epoch column (only
+        // NEGATIVE epoch dirs exist — a crashed fold attempt after manual
+        // cleanup or a partial restore), keep the `epoch >= 0` filter the
+        // explicit-path branches apply: an uncommitted fold must never be
+        // served as data.
+        val plain = spark.read.option("mergeSchema", "true").parquet(path)
+        val safe =
+          if (plain.columns.contains(IngestStream.EpochCol))
+            plain.filter(col(IngestStream.EpochCol) >= 0)
+              .drop(IngestStream.EpochCol)
+          else plain
+        withTsn(safe)
     }
   }
 

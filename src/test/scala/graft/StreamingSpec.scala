@@ -131,10 +131,11 @@ class StreamingSpec extends SparkSpec {
       s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
 
     IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", settledBelow = 2L, buckets = 8)
-    // settled epoch dirs gone, the unsettled one remains
+    // settled epoch dirs SURVIVE one grace cycle (invisible via the
+    // cutoff filter, so no reader whose plan listed them crashes mid-scan)
     val left = new java.io.File(s"$dir/data").listFiles()
-      .filter(_.getName.startsWith("__epoch=")).map(_.getName).toSeq
-    assert(left === Seq("__epoch=2"))
+      .filter(_.getName.startsWith("__epoch=")).map(_.getName).toSet
+    assert(left === Set("__epoch=0", "__epoch=1", "__epoch=2"))
     // layout holds the settled rows, partition-pruned by day
     val layout = graft.storage.Layout.readData(spark, s"$dir/layout")
     assert(layout.count() === 2)
@@ -143,9 +144,13 @@ class StreamingSpec extends SparkSpec {
     val all = IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
     assert(all.count() === 3)
     assert(all.select("timestamp").distinct().count() === 3)
-    // re-running with the same watermark is a no-op
+    // re-running with the same watermark is a no-op for the view AND runs
+    // the deferred GC: the settled dirs are retired one cycle later
     IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout", settledBelow = 2L, buckets = 8)
     assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 3)
+    val afterGrace = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("__epoch=")).map(_.getName).toSet
+    assert(afterGrace === Set("__epoch=2"))
   }
 
   test("readCombined serves committed csets from a fully-compacted landing zone") {
@@ -157,10 +162,13 @@ class StreamingSpec extends SparkSpec {
       s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
     IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
       s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
-    // compact EVERY epoch: GC empties the landing zone entirely (only the
+    // compact EVERY epoch, then run one more maintenance cycle so the
+    // grace-period GC empties the landing zone entirely (only the
     // partition-discovery leftovers like _SUCCESS remain) — pre-fix,
     // readCombined threw "Unable to infer schema" here instead of serving
     // the committed csets
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
     IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
       settledBelow = 2L, buckets = 8)
     assert(new java.io.File(s"$dir/data").listFiles()
