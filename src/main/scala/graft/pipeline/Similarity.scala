@@ -33,6 +33,15 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6dp and
     * rank assigned on (rounded sim desc, neighbor_id) so ordering is stable
     * across engines.
+    *
+    * Ranking runs through the k-bounded
+    * [[graft.functions.TopKPairsAggregate]] hash aggregate, NOT a
+    * `row_number() OVER (PARTITION BY query_id)` window: the window form
+    * funnels every query's complete |corpus|-sized score set through one
+    * task's sort (at 10⁹ corpus rows that is a one-task spill per query),
+    * while the aggregate map-side-combines each scan partition down to ≤ k
+    * candidates per query before the shuffle, so the exchange carries
+    * O(queries × k × partitions) rows no matter how large the corpus grows.
     */
   def bruteForceTopK(
       emb: DataFrame,
@@ -40,7 +49,6 @@ object Similarity {
       vecCol: String,
       queryIds: Seq[Long],
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     val queries = emb
       .filter(col(idCol).isInCollection(queryIds))
@@ -49,12 +57,26 @@ object Similarity {
       .join(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
+
+  /** Shared ranking tail for the exact and ANN search paths: per-query
+    * (rank, sim) from a scored candidate frame via the k-bounded hash
+    * aggregate. Every caller's blocking guarantees a (query, neighbor)
+    * pair is scored at most once (a corpus row lives in exactly one
+    * bucket/cell), so no dedup is needed before the aggregate.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairsAggregate
+        .topK(col("sim"), col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(
+        col("query_id"),
+        col("__t.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__t.score").as("sim"))
 
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked on an
     * exact-match key (e.g. a cluster label) to avoid the all-pairs join.
@@ -254,7 +276,6 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.NearestCells
 
     def nearestCell(vec: Column): Column =
@@ -271,11 +292,7 @@ object Similarity {
       .join(broadcast(queries), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   // ---- persisted IVF index --------------------------------------------
@@ -379,7 +396,6 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.NearestCells
     val centroids = ivfReadCentroids(spark, path)
     val corpusRaw = spark.read.parquet(s"$path/corpus")
@@ -393,11 +409,7 @@ object Similarity {
       .join(broadcast(queries), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   /** Deterministic Rademacher (±1) hyperplane weights: plane p, dim d →
@@ -437,7 +449,6 @@ object Similarity {
       planes: Int = 8,
       dims: Int = 64,
       multiProbe: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucketed = emb.withColumn("__bkt", lshBucket(col(vecCol), planes, dims))
     val corpus = bucketed.select(col("__bkt"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     val probes =
@@ -457,10 +468,6 @@ object Similarity {
       .join(broadcast(queries), Seq("__bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    rankTopK(scored, k)
   }
 }

@@ -282,6 +282,16 @@ object PlanAudit {
       mustContain = Seq("nearest_cells"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
 
+    // 21. exact top-k search: ranking is the k-bounded hash aggregate
+    //     (map-side combine to ≤ k candidates per query per partition),
+    //     never a per-query window sort of the full scored corpus
+    val tk = graft.pipeline.Similarity.bruteForceTopK(
+      semEmb, "vec_id", "embedding", (0L until 10L), 5)
+    check("exact top-k: k-bounded aggregate, no per-query window sort",
+      plan(tk),
+      mustContain = Seq("topk_pairs", "BroadcastNestedLoopJoin"),
+      mustNot = Seq("Window", "Exchange SinglePartition"))
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")
