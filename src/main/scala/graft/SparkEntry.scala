@@ -313,6 +313,25 @@ object SparkEntry {
         Start, Stop)
     }),
 
+    // ---- A12/A13 MULTI-COLUMN + MODE tier: the reference's CQs roll up
+    //      a column LIST per collection (influx.py:158-173) and the
+    //      matrix merges `most` from per-bin rollup counts
+    //      (influx.py:492-511) — here exact per-value count maps, so the
+    //      tier-served mode equals the raw mostByGroup answer and the
+    //      oracle recomputes everything from raw rows over the same bins
+    "q_matrix_tier_multi" -> ((s, dir) => {
+      val tier = Rollup.buildMulti(
+        Tables.tsEvents(s, dir), 3600,
+        Seq("value", "event_id"), Seq("event_type"))
+      Rollup.matrixFromTier(
+        tier, labelsFor(s, dir),
+        Seq(
+          AggSpec("value", "avg"), AggSpec("value", "count"),
+          AggSpec("event_id", "avg"), AggSpec("event_id", "max"),
+          AggSpec("event_type", "most")),
+        Start, Stop, primaryCol = "value")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -1292,6 +1311,33 @@ object SparkEntry {
          |  AND "timestamp" - ("timestamp" % 3600) < $Stop
          |GROUP BY 1
          |ORDER BY nntsclabel""".stripMargin,
+
+    "q_matrix_tier_multi" ->
+      s"""WITH w AS (
+         |  SELECT * FROM ($OracleEvents)
+         |  WHERE "timestamp" - ("timestamp" % 3600) >= $Start
+         |    AND "timestamp" - ("timestamp" % 3600) < $Stop
+         |), base AS (
+         |  SELECT nntsclabel,
+         |    ${OracleParity.Sql.exactAvg("value")} AS value_avg,
+         |    count(value) AS value_count,
+         |    ${OracleParity.Sql.exactAvg("event_id")} AS event_id_avg,
+         |    max(event_id) AS event_id_max,
+         |    max("timestamp") AS "timestamp",
+         |    min("timestamp") AS min_timestamp
+         |  FROM w GROUP BY 1
+         |), m AS (
+         |  SELECT nntsclabel, event_type,
+         |    row_number() OVER (PARTITION BY nntsclabel
+         |                       ORDER BY count(*) DESC, event_type ASC) AS rn
+         |  FROM w WHERE event_type IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT b.nntsclabel, CAST($Start AS BIGINT) AS binstart,
+         |  b.value_avg, b.value_count, b.event_id_avg, b.event_id_max,
+         |  m.event_type, b."timestamp", b.min_timestamp
+         |FROM base b
+         |LEFT JOIN m ON b.nntsclabel = m.nntsclabel AND m.rn = 1
+         |ORDER BY b.nntsclabel""".stripMargin,
 
     // exact columns verified directly; the in-band booleans are pinned to
     // TRUE — the Spark side computes them against ITS sketches, so a

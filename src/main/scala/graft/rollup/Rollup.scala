@@ -36,24 +36,83 @@ object Rollup {
   def tierFor(start: Long, stop: Long): Long =
     if (stop - start >= 3600) LongBin else ShortBin
 
+  /** Stat-partial name for column `c`: the tier's FIRST (primary) column
+    * keeps the legacy unsuffixed names (`cnt`, `s1`, … — schema-evolution
+    * compat with pre-multi-column tiers, the `tsn` convention), every
+    * additional column is suffixed `__<col>`.
+    */
+  private[graft] def statName(base: String, c: String, primary: Boolean): String =
+    if (primary) base else s"${base}__$c"
+
+  /** Mode-partial column name for mode column `m` (always suffixed — mode
+    * partials postdate the single-column tier format, no legacy to match).
+    */
+  private[graft] def modeName(m: String): String = s"modes__$m"
+
   /** Rollup table: exact partial aggregates per (stream_id, binstart).
     * `ts`/`tsn` are the bin's max/min timestamps — the matrix reply's plot
     * point and `min_timestamp` derive from them without touching raw data.
     */
-  def build(data: DataFrame, binsize: Long, valueCol: String): DataFrame = {
-    val v = col(valueCol)
-    val d = OracleParity.dec(v)
-    data
+  def build(data: DataFrame, binsize: Long, valueCol: String): DataFrame =
+    buildMulti(data, binsize, Seq(valueCol))
+
+  /** Multi-column rollup table — the reference's CQs aggregate SEVERAL
+    * columns per collection in one pass (influx.py:158-195 builds one CQ
+    * over the collection's whole `aggcols` list, e.g. amp_icmp.py:73-80
+    * rolls rtt and loss together), so a tier that carries only one column
+    * sends every second-column matrix request back to a raw full scan.
+    *
+    * Carries per column c in `cols` the exact stat partials (count, Σv,
+    * Σv², min, max) and per column m in `modeCols` a per-value COUNT MAP
+    * `modes__<m>: map<value, count>` from which `most` merges exactly
+    * (count desc, value asc — the same collation as
+    * QueryEngine.mostByGroup, so tier-served and raw-served `most` can
+    * never disagree). The reference instead stores each bin's winning
+    * value weighted by the bin's TOTAL row count (influx.py:492-511) — an
+    * approximation that exists only because Influx CQs cannot emit a
+    * count map; exact maps are the documented deviation, same rationale
+    * as the exact (Σv, Σv²) partials replacing (mean, magiccount).
+    *
+    * Mode columns are for LOW-CARDINALITY values (the reference's use:
+    * event families, path lengths) — the map per (stream, bin) holds one
+    * entry per distinct value, which is what makes the tier small. The
+    * count-map shape is the standard mode rollup; a high-cardinality
+    * column belongs in a sketch, not a rollup tier.
+    */
+  def buildMulti(
+      data: DataFrame,
+      binsize: Long,
+      cols: Seq[String],
+      modeCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "rollup tier needs at least one stat column")
+    val binned = data
       .withColumn("binstart", col("timestamp") - (col("timestamp") % binsize))
+    val statExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(c)
+      val d = OracleParity.dec(v)
+      def nm(base: String) = statName(base, c, primary = i == 0)
+      Seq(
+        count(v).as(nm("cnt")),
+        sum(d).as(nm("s1")),
+        sum(d * d).as(nm("s2")),
+        min(v).as(nm("mn")),
+        max(v).as(nm("mx")))
+    } ++ Seq(max("timestamp").as("ts"), min("timestamp").as("tsn"))
+    val stats = binned
       .groupBy("stream_id", "binstart")
-      .agg(
-        count(v).as("cnt"),
-        sum(d).as("s1"),
-        sum(d * d).as("s2"),
-        min(v).as("mn"),
-        max(v).as("mx"),
-        max("timestamp").as("ts"),
-        min("timestamp").as("tsn"))
+      .agg(statExprs.head, statExprs.tail: _*)
+    // one two-level agg per mode column (the skew-safe mostByGroup shape:
+    // first level map-side-combines per value), joined back on the bin key
+    modeCols.foldLeft(stats) { (acc, m) =>
+      val counts = binned
+        .filter(col(m).isNotNull)
+        .groupBy(col("stream_id"), col("binstart"), col(m).as("__k"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("stream_id", "binstart")
+        .agg(map_from_entries(collect_list(struct(col("__k"), col("__c"))))
+          .as(modeName(m)))
+      acc.join(counts, Seq("stream_id", "binstart"), "left_outer")
+    }
   }
 
   /** Partial→final merge over [start, stop) per label (matrix semantics:
@@ -109,36 +168,69 @@ object Rollup {
     * ((S2 − S1²/n)/(n−1) over the whole window) — truer to the raw-path
     * `stddev_samp` than the reference's RMS-of-bin-variances merge
     * (influx.py:478-491), which `merge` still provides for A13 parity.
+    *
+    * Multi-column tiers (`buildMulti`): pass `primaryCol` so each agg's
+    * partials resolve to the right name set (primary → unsuffixed, extras
+    * → `__<col>`); `most` aggs merge the tier's `modes__<col>` count maps
+    * exactly (influx.py:492-511's mode-from-rollup, minus its
+    * winning-value approximation).
     */
   def matrixFromTier(
       tier: DataFrame,
       labels: Map[String, Seq[Long]],
       aggs: Seq[graft.query.AggSpec],
       start: Long,
-      stop: Long): DataFrame = {
+      stop: Long,
+      primaryCol: String = ""): DataFrame = {
     val names = QueryEngine.outputNames(aggs, Nil)
     val base = QueryEngine.attachLabels(
       tier.filter(col("binstart") >= start && col("binstart") < stop), labels)
-    val n = sum(col("cnt"))
-    val s1d = sum(col("s1")).cast("double")
-    val s2d = sum(col("s2")).cast("double")
-    def fromPartials(a: graft.query.AggSpec): Column = a.func match {
-      case "max"    => max(col("mx"))
-      case "min"    => min(col("mn"))
-      case "count"  => n
-      case "sum"    => sum(col("s1")).cast("double")
-      case "avg"    => s1d / n
-      // same operation order as OracleParity.exactStddev → identical bits
-      case "stddev" =>
-        when(n >= 2, sqrt(greatest(s2d - s1d * s1d / n, lit(0.0)) / (n - lit(1))))
-      case other =>
-        throw new IllegalArgumentException(s"not derivable from rollup partials: $other")
+    // resolve each agg's partials: the primary column's stats are the
+    // legacy unsuffixed names, extra columns carry the __<col> suffix.
+    // An empty primaryCol (single-column tiers built before multi-column
+    // existed) routes every stat agg to the unsuffixed set.
+    def nm(base0: String, c: String) =
+      statName(base0, c, primary = primaryCol.isEmpty || c == primaryCol)
+    def fromPartials(a: graft.query.AggSpec): Column = {
+      val n = sum(col(nm("cnt", a.column)))
+      val s1d = sum(col(nm("s1", a.column))).cast("double")
+      val s2d = sum(col(nm("s2", a.column))).cast("double")
+      a.func match {
+        case "max"    => max(col(nm("mx", a.column)))
+        case "min"    => min(col(nm("mn", a.column)))
+        case "count"  => n
+        case "sum"    => sum(col(nm("s1", a.column))).cast("double")
+        case "avg"    => s1d / n
+        // same operation order as OracleParity.exactStddev → identical bits
+        case "stddev" =>
+          when(n >= 2, sqrt(greatest(s2d - s1d * s1d / n, lit(0.0)) / (n - lit(1))))
+        case other =>
+          throw new IllegalArgumentException(s"not derivable from rollup partials: $other")
+      }
     }
-    val exprs = aggs.zip(names).map { case (a, nm) => fromPartials(a).as(nm) } ++
+    val stats = aggs.zip(names).filter { case (a, _) => a.func != "most" }
+    val modes = aggs.zip(names).filter { case (a, _) => a.func == "most" }
+    val exprs = stats.map { case (a, out) => fromPartials(a).as(out) } ++
       Seq(max(col("ts")).as("timestamp"), min(col("tsn")).as("min_timestamp"))
-    base
+    var out = base
       .groupBy(col(QueryEngine.LabelCol))
       .agg(exprs.head, exprs.tail: _*)
+    // `most` merges the per-bin count maps EXACTLY: sum counts per value
+    // across the window's bins, then the mostByGroup collation
+    // (count desc, value asc) — tier-served mode == raw-served mode.
+    // The same special-agg join shape as selectAggregatedData.
+    modes.foreach { case (a, out0) =>
+      val part = base
+        .select(col(QueryEngine.LabelCol),
+          explode(col(modeName(a.column))).as(Seq("__k", "__c")))
+        .groupBy(col(QueryEngine.LabelCol), col("__k"))
+        .agg(sum(col("__c")).as("__c"))
+        .groupBy(col(QueryEngine.LabelCol))
+        .agg(min_by(col("__k"), struct((-col("__c")).as("nc"), col("__k").as("v")))
+          .as(out0))
+      out = out.join(part, Seq(QueryEngine.LabelCol), "left_outer")
+    }
+    out
       .withColumn("binstart", lit(start))
       .select((Seq(QueryEngine.LabelCol, "binstart") ++ names ++
         Seq("timestamp", "min_timestamp")).map(col): _*)

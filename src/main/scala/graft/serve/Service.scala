@@ -31,9 +31,20 @@ object Service {
 
   /** A collection's rollup tiers (the reference's 1-min/1-h continuous-query
     * tables, influx.py:158-195): `tiers` maps binsize → partial-table path
-    * (RollupStream.appendPartials layout), all built over `valueCol`.
+    * (RollupStream.appendPartials layout). The reference's CQs roll up a
+    * LIST of columns per collection (one CQ over the whole aggcols list,
+    * influx.py:158-173) — `valueCol` is the tier's primary stat column,
+    * `extraCols` the additional stat columns (suffixed partials), and
+    * `modeCols` the columns carrying per-value count maps for `most`
+    * (influx.py:492-511's mode merge, kept exact here — Rollup.buildMulti).
     */
-  final case class RollupTiers(valueCol: String, tiers: Map[Long, String])
+  final case class RollupTiers(
+      valueCol: String,
+      tiers: Map[Long, String],
+      extraCols: Seq[String] = Nil,
+      modeCols: Seq[String] = Nil) {
+    def statCols: Set[String] = (valueCol +: extraCols).toSet
+  }
 
   /** Matrix aggregates derivable from rollup partials (cnt/s1/s2/mn/mx). */
   private val TierFuncs = Set("max", "min", "sum", "avg", "count", "stddev")
@@ -191,9 +202,10 @@ final class Service(
     * touches a few pre-aggregated rows per stream, not the fact table.
     * Falls back to the raw path (the reference's traceroute matrix,
     * dbselect.py:181-205) when no tier fits: unconfigured collection, an
-    * aggregate the partials can't answer (most/smoke), a column other than
-    * the tier's value column, or an unaligned window (bin-granular tier
-    * reads would silently change window semantics — raw stays exact).
+    * aggregate the partials can't answer (smoke; `most` on a column
+    * without a mode map), a column outside the tier's configured stat
+    * list, or an unaligned window (bin-granular tier reads would silently
+    * change window semantics — raw stays exact).
     *
     * Freshness matches the reference's CQ lag: tiers ride the ingest
     * micro-batch (FilePoller.rollupTiers), so a routed matrix sees every
@@ -220,13 +232,15 @@ final class Service(
     val tiered =
       for {
         cfg <- rollups.get(collection)
-        if aggs.forall(a => a.column == cfg.valueCol && TierFuncs(a.func))
+        if aggs.forall(a =>
+          (TierFuncs(a.func) && cfg.statCols(a.column)) ||
+            (a.func == "most" && cfg.modeCols.contains(a.column)))
         bin <- cfg.tiers.keys.toSeq.sorted.reverse.find(b =>
           stop - start >= b && start % b == 0 && stop % b == 0)
       } yield {
         val m = graft.rollup.Rollup.matrixFromTier(
           graft.streaming.RollupStream.readTier(spark, cfg.tiers(bin)),
-          labels, aggs, start, stop)
+          labels, aggs, start, stop, primaryCol = cfg.valueCol)
         m.select(raw.schema.fields.toSeq.map(f => m(f.name).cast(f.dataType).as(f.name)): _*)
       }
     tiered.getOrElse(raw)

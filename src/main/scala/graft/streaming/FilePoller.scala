@@ -69,6 +69,10 @@ object FilePoller {
       // RollupStream.compact, read with readTier)
       rollupTiers: Seq[(Long, String)] = Nil,
       rollupValueCol: String = "value",
+      // the reference's CQs roll up a column LIST (influx.py:158-173):
+      // extra stat columns + mode-map columns ride the same tier append
+      rollupExtraCols: Seq[String] = Nil,
+      rollupModeCols: Seq[String] = Nil,
       // X3: (collection name, bus) — a marker is published after each
       // batch commits, carrying the batch's max timestamp
       markers: Option[(String, Markers.MarkerBus)] = None,
@@ -99,7 +103,8 @@ object FilePoller {
         try {
           rollupTiers.foreach { case (binsize, tierPath) =>
             RollupStream.appendPartials(
-              written, binsize, rollupValueCol, tierPath, epochId)
+              written, binsize, rollupValueCol, tierPath, epochId,
+              rollupExtraCols, rollupModeCols)
           }
           onLive(written)
           liveBus.foreach { case (collection, bus) =>

@@ -71,8 +71,10 @@ object RollupStream {
       binsize: Long,
       valueCol: String,
       path: String,
-      epoch: Long): Unit =
-    graft.rollup.Rollup.build(batch, binsize, valueCol)
+      epoch: Long,
+      extraCols: Seq[String] = Nil,
+      modeCols: Seq[String] = Nil): Unit =
+    graft.rollup.Rollup.buildMulti(batch, binsize, valueCol +: extraCols, modeCols)
       .withColumn(IngestStream.EpochCol, lit(epoch))
       .write
       .mode("overwrite")
@@ -149,18 +151,38 @@ object RollupStream {
         (col(IngestStream.EpochCol) >= prevBoundary &&
           col(IngestStream.EpochCol) >= 0 &&
           col(IngestStream.EpochCol) < boundary))
-    val folded = input
+    // fold exprs are DERIVED FROM THE SCHEMA so one code path serves
+    // single-column tiers (legacy names), multi-column tiers (__<col>
+    // suffixes), and mode tiers (modes__<m> count maps): every stat
+    // partial is closed under its own fold op, so any mix folds exactly
+    val statCols = df.columns.filter(n =>
+      n != "stream_id" && n != "binstart" && n != IngestStream.EpochCol &&
+        !n.startsWith("modes__"))
+    val foldExprs = statCols.toSeq.map { n =>
+      if (n == "ts" || n == "mx" || n.startsWith("mx__")) max(col(n)).as(n)
+      else if (n == "tsn" || n == "mn" || n.startsWith("mn__")) min(col(n)).as(n)
+      else if (n == "cnt" || n.startsWith("cnt__")) sum(col(n)).as(n)
+      else if (n.startsWith("s1") || n.startsWith("s2"))
+        sum(col(n)).cast(df.schema(n).dataType).as(n)
+      else throw new IllegalArgumentException(s"unknown tier partial column: $n")
+    }
+    var folded = input
       .groupBy("stream_id", "binstart")
-      .agg(
-        sum(col("cnt")).as("cnt"),
-        sum(col("s1")).cast(df.schema("s1").dataType).as("s1"),
-        sum(col("s2")).cast(df.schema("s2").dataType).as("s2"),
-        min(col("mn")).as("mn"),
-        max(col("mx")).as("mx"),
-        max(col("ts")).as("ts"),
-        min(col("tsn")).as("tsn"))
-      .withColumn(IngestStream.EpochCol, lit(-k))
-    folded.write.mode("overwrite")
+      .agg(foldExprs.head, foldExprs.tail: _*)
+    // mode count maps fold by summing counts per value — the same
+    // two-level agg the map was built with, rejoined on the bin key
+    df.columns.filter(_.startsWith("modes__")).foreach { m =>
+      val merged = input
+        .select(col("stream_id"), col("binstart"),
+          explode(col(m)).as(Seq("__k", "__c")))
+        .groupBy("stream_id", "binstart", "__k")
+        .agg(sum(col("__c")).as("__c"))
+        .groupBy("stream_id", "binstart")
+        .agg(map_from_entries(collect_list(struct(col("__k"), col("__c")))).as(m))
+      folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
+    }
+    val foldedOut = folded.withColumn(IngestStream.EpochCol, lit(-k))
+    foldedOut.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(IngestStream.EpochCol).parquet(path)
     onStep("fold-written")

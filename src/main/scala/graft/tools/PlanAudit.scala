@@ -202,6 +202,31 @@ object PlanAudit {
       mustContain = Seq("t3600"),
       mustNot = Seq("events.parquet"))
 
+    //     multi-column + mode variant: a second stat column and a `most`
+    //     agg must ALSO route through the tier (the reference's CQs carry
+    //     the whole aggcols list, influx.py:158-173, and mode merges from
+    //     rollup counts, :492-511) — pre-round-7 these fell back to the
+    //     exact raw full scan the tier exists to avoid
+    graft.streaming.RollupStream.appendPartials(
+      evAll, 3600, "value", s"$tierDir/t3600m", epoch = 0L,
+      extraCols = Seq("event_id"), modeCols = Seq("event_type"))
+    val tierSvcMulti = new graft.serve.Service(
+      spark,
+      data = Map("ev" -> evAll),
+      streams = Map.empty,
+      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+        "value", Map(3600L -> s"$tierDir/t3600m"),
+        extraCols = Seq("event_id"), modeCols = Seq("event_type"))))
+    val routedMulti = tierSvcMulti.matrixFrame(
+      "ev", labels,
+      Seq(AggSpec("value", "avg"), AggSpec("event_id", "max"),
+        AggSpec("event_type", "most")),
+      1704067200L, 1704067200L + 14 * 86400)
+    check("matrix serve: multi-column + most routed to tier, raw unscanned",
+      plan(routedMulti),
+      mustContain = Seq("t3600m"),
+      mustNot = Seq("events.parquet"))
+
     // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
     //     a global sort of the vocabulary
     val tt = graft.pipeline.TextAnalysis.topTerms(

@@ -210,6 +210,59 @@ class ServiceSpec extends SparkSpec {
     assert(tRow.getDouble(mi) === 2.0 && rRow.getDouble(mi) === 2.0)
   }
 
+  test("matrix tier routing: multi-column + mode requests route; unconfigured fall back") {
+    import graft.streaming.RollupStream
+    val dir = java.nio.file.Files.createTempDirectory("graftmatrixm").toString
+    val t0 = 1704067200L
+    // exact-in-both-representations values (the single-column spec's
+    // trick): 0.25-step doubles and small integers, so the tier's decimal
+    // partials and the raw double path agree bit-for-bit
+    val ev = (0 until 4).flatMap { s =>
+      (0 until 180).map { i =>
+        (s.toLong, t0 + i * 60L + s + 1, (i % 7) * 0.25 + s,
+          (i % 11).toLong, Seq("icmp", "dns", "http")(i % 3))
+      }
+    }.toDF("stream_id", "timestamp", "value", "event_id", "event_type")
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/m3600", epoch = 0L,
+      extraCols = Seq("event_id"), modeCols = Seq("event_type"))
+    val tsvc = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/m3600"),
+        extraCols = Seq("event_id"), modeCols = Seq("event_type"))))
+    val lbl = Map("x" -> Seq(0L, 1L), "y" -> Seq(2L, 3L))
+    val aggs = Seq(
+      AggSpec("value", "avg"), AggSpec("event_id", "avg"),
+      AggSpec("event_id", "max"), AggSpec("event_type", "most"))
+
+    // second stat column + `most` route through the tier...
+    val routed = tsvc.matrixFrame("amp-external", lbl, aggs, t0, t0 + 7200)
+    val routedPlan = routed.queryExecution.executedPlan.toString
+    assert(routedPlan.contains("m3600"), s"must scan the tier:\n$routedPlan")
+    // ...and the reply matches the raw full-scan path row for row
+    val raw = graft.query.QueryEngine
+      .selectMatrixData(ev, lbl, aggs, t0, t0 + 7200)
+    assert(routed.schema.map(f => (f.name, f.dataType)) ===
+      raw.schema.map(f => (f.name, f.dataType)))
+    val cmpCols = raw.schema.fieldNames.toSeq
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(cmpCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(snap(routed) === snap(raw))
+
+    // `most` on a column without a mode map, or a stat on a column the
+    // tier does not carry → exact raw fallback
+    val noMap = tsvc.matrixFrame(
+      "amp-external", lbl, Seq(AggSpec("event_id", "most")), t0, t0 + 7200)
+    assert(!noMap.queryExecution.executedPlan.toString.contains(dir))
+    val offTier = tsvc.matrixFrame(
+      "amp-external", lbl,
+      Seq(AggSpec("value", "avg"), AggSpec("stream_id", "avg")), t0, t0 + 7200)
+    assert(!offTier.queryExecution.executedPlan.toString.contains(dir))
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")

@@ -492,6 +492,60 @@ class StreamingSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0)
   }
 
+  test("multi-column + mode tier: partials fold exactly; tier matrix == raw matrix (A12/A13)") {
+    import graft.query.{AggSpec, QueryEngine}
+    import graft.rollup.Rollup
+    val dir = tmpDir() + "/multi"
+    def mk(rows: Seq[(Long, Long, Double, Long, String)]) =
+      rows.toDF("stream_id", "timestamp", "value", "event_id", "event_type")
+    val b1 = mk(Seq(
+      (1L, 30L, 2.0, 10L, "icmp"), (1L, 45L, 4.0, 30L, "dns"),
+      (1L, 70L, 10.0, 20L, "icmp"), (2L, 15L, 7.0, 5L, "http")))
+    val b2 = mk(Seq(
+      (1L, 50L, 6.0, 40L, "dns"), (2L, 10L, 1.0, 50L, "smtp"),
+      (1L, 55L, 8.0, 60L, "dns")))
+    val extras = Seq("event_id")
+    val modes = Seq("event_type")
+    RollupStream.appendPartials(b1, 60, "value", dir, 0L, extras, modes)
+    RollupStream.appendPartials(b2, 60, "value", dir, 1L, extras, modes)
+    RollupStream.compact(spark, dir)
+
+    // folded tier == whole-corpus buildMulti, suffixed stats AND count
+    // maps included (the map fold sums counts per value across epochs)
+    val all = b1.unionByName(b2)
+    val cols = Seq("stream_id", "binstart", "cnt", "s1", "s2", "mn", "mx",
+      "cnt__event_id", "s1__event_id", "s2__event_id",
+      "mn__event_id", "mx__event_id", "ts", "tsn", "modes__event_type")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val expected = snap(Rollup.buildMulti(all, 60, Seq("value", "event_id"), modes))
+    val got = snap(RollupStream.readTier(spark, dir))
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(v === expected(k), s"bin $k") }
+
+    // matrix over the tier with a second column + `most` == the raw
+    // matrix path (parity aggs are the same exact-decimal partials);
+    // l2's window holds an http/smtp TIE — both paths break it the same
+    // way (count desc, value asc → http)
+    val labels = Map("l1" -> Seq(1L), "l2" -> Seq(2L), "both" -> Seq(1L, 2L))
+    val aggs = Seq(
+      AggSpec("value", "avg"), AggSpec("event_id", "avg"),
+      AggSpec("event_id", "max"), AggSpec("event_type", "most"))
+    val outCols = Seq("nntsclabel", "binstart", "value", "event_id_avg",
+      "event_id_max", "event_type", "timestamp", "min_timestamp")
+    def mat(df: org.apache.spark.sql.DataFrame) =
+      df.select(outCols.map(col): _*).collect().map(_.toSeq)
+    val fromTier = mat(Rollup.matrixFromTier(
+      RollupStream.readTier(spark, dir), labels, aggs, 0L, 120L,
+      primaryCol = "value"))
+    val fromRaw = mat(QueryEngine.selectMatrixData(
+      all, labels, aggs, 0L, 120L, parity = true))
+    assert(fromTier.toSeq === fromRaw.toSeq)
+    val byLabel = fromTier.map(r => r.head -> r).toMap
+    assert(byLabel("l2")(5) === "http") // the tie, broken value-asc
+    assert(byLabel("both")(5) === "dns")
+  }
+
   test("tier compaction: concurrent readers stay consistent across fold cycles") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/tier"
