@@ -763,11 +763,12 @@ object SparkEntry {
     }),
 
     // ---- Arrow-batched multimodal feature extraction (the mapInPandas
-    //      execution shape on real Arrow buffers). Rows-only gate entry
-    //      (byte statistics over a binary blob are not SQL-expressible in
-    //      the oracle); exact parity with the per-row form is asserted in
-    //      MultimodalSpec, and this entry keeps the batched path on the
-    //      per-round bench.
+    //      execution shape on real Arrow buffers). Hash-gated: the
+    //      payloads are reconstructed deterministically from document
+    //      fields (the q_multimodal_meta convention), so the oracle
+    //      rebuilds the identical blob in DuckDB and derives the byte
+    //      statistics from its hex form. Exact parity with the per-row
+    //      form is additionally asserted in MultimodalSpec.
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal
         .extractFeaturesArrow(s, Multimodal.mediaTableEncoded(Tables.documents(s, dir)))
@@ -2122,6 +2123,46 @@ object SparkEntry {
         |       CASE WHEN fmt = 0 THEN (CASE WHEN even THEN 2 ELSE 6 END)
         |            WHEN fmt = 1 THEN (CASE WHEN even THEN 3 ELSE 1 END) END AS color_type,
         |       source AS origin
+        |FROM p
+        |ORDER BY media_id""".stripMargin,
+
+    // byte statistics over the SAME deterministic blob reconstruction as
+    // q_multimodal_meta: n_bytes/byte_sum/head_byte derive from the hex
+    // form (one int per hex pair), so the Arrow-batched kernel's output
+    // is pinned cell-for-cell — no more rows-only entries
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST((n_chars % 300) + 16 AS INTEGER) AS w,
+        |         CAST((doc_id % 240) + 16 AS INTEGER) AS h,
+        |         doc_id % 3 AS fmt, doc_id % 2 = 0 AS even,
+        |         encode(text) AS tb
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN fmt = 0 THEN
+        |        unhex('89504E470D0A1A0A' || '0000000D49484452' ||
+        |              lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') ||
+        |              CASE WHEN even THEN '0802000000' ELSE '0806000000' END ||
+        |              '00000000') || tb
+        |      WHEN fmt = 1 THEN
+        |        unhex('FFD8FFE000104A46494600010100000100010000' ||
+        |              CASE WHEN even THEN 'FFC0001108' ELSE 'FFC0000B08' END ||
+        |              lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+        |              CASE WHEN even THEN '03011100021101031101' ELSE '01011100' END) || tb
+        |      ELSE tb
+        |    END AS pay
+        |  FROM m
+        |)
+        |SELECT doc_id AS media_id,
+        |       CAST(octet_length(pay) AS INTEGER) AS n_bytes,
+        |       CAST(COALESCE(list_sum(list_transform(range(0, octet_length(pay)),
+        |         i -> CAST('0x' || substr(hex(pay), i * 2 + 1, 2) AS INTEGER))), 0) AS BIGINT)
+        |         AS byte_sum,
+        |       CASE WHEN octet_length(pay) = 0 THEN -1
+        |            ELSE CAST('0x' || substr(hex(pay), 1, 2) AS INTEGER)
+        |       END AS head_byte
         |FROM p
         |ORDER BY media_id""".stripMargin,
 

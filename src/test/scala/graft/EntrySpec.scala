@@ -11,13 +11,14 @@ class EntrySpec extends SparkSpec {
     assert(rows > 0)
   }
 
-  test("every query has either an oracle or is explicitly rows-only") {
+  test("every query has an oracle — the rows-only set is empty") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the intentional rows-only set: blob byte statistics are not
-    // SQL-expressible — q_multimodal_features is instead parity-pinned to
-    // the per-row form in MultimodalSpec. Everything else is hash-checked
-    // (q_sketches through its tolerance-banded boolean oracle).
-    assert(rowsOnly === Set("q_multimodal_features"))
+    // round 7 closed the last rows-only entry: q_multimodal_features'
+    // payload is a deterministic function of document fields, so its byte
+    // statistics are recomputed in DuckDB from the reconstructed blob's
+    // hex form (q_sketches likewise hashes through its tolerance-banded
+    // boolean oracle). Every gate query is hash-checked.
+    assert(rowsOnly === Set.empty[String])
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
