@@ -40,43 +40,86 @@ import graft.schema.CollectionSpec
   */
 object IngestStream {
 
-  /** Streams-dimension storage: tiny parquet table rewritten per batch
-    * (dimension is broadcast-size by design; the fact table is the big one).
+  /** Streams-dimension storage: tiny append-mostly parquet table
+    * (dimension is broadcast-size by design; the fact table is the big
+    * one) folded periodically under the generation protocol below.
     */
-  /** Per-path swap locks: compaction/recovery/read plan-builds serialize
-    * per LAYOUT (or streams-dimension) directory, not globally — one
-    * collection's multi-second merge window must not block another
-    * collection's mere file listing, and readers of unrelated dirs must
-    * not serialize against each other. Keyed by absolute path.
-    * (Single-writer across PROCESSES stays the documented deployment
-    * contract, as for every compactor here.)
+  /** Per-path compactor locks: maintenance runs serialize per LAYOUT (or
+    * streams-dimension) directory, not globally — one collection's
+    * multi-second merge window must not block another collection's mere
+    * file listing, and readers of unrelated dirs must not serialize
+    * against each other. Keyed by absolute path. (Single-writer across
+    * PROCESSES stays the documented deployment contract, as for every
+    * compactor here.)
     */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def swapLock(path: String): Object =
     swapLocks.computeIfAbsent(new java.io.File(path).getAbsolutePath, _ => new Object)
 
-  private def hasParquet(d: java.io.File): Boolean =
-    d.exists && d.listFiles != null && d.listFiles.exists(_.getName.endsWith(".parquet"))
+  /** Streams-dimension generation protocol (the layout/tier discipline
+    * applied to the last rename-swap): per-batch registrations APPEND
+    * small part files at the dir root; `compactStreams` folds the visible
+    * dimension into `_gen=<k>` (underscore prefix: whole-dir parquet
+    * listings skip it, so the gen dir can never be mistaken for a
+    * partition column), records the covered root files in
+    * `_covered_gen_<k>`, and COMMITS by atomically creating
+    * `_committed_gen_<k>`. Superseded generations and covered root files
+    * stay on disk one full maintenance cycle (invisible — readers exclude
+    * them via the manifest) before the next run's grace GC deletes them,
+    * so a reader plan built just before a commit keeps resolving its
+    * files. No rename anywhere: object-store-safe, and no `.bak` window
+    * in which a crash makes the dimension transiently unreadable.
+    */
+  private def streamsGenDir(path: String, k: Long) =
+    new java.io.File(path, s"_gen=$k")
+  private def streamsGenMarker(path: String, k: Long) =
+    new java.io.File(path, s"_committed_gen_$k")
+  private def streamsGenManifest(path: String, k: Long) =
+    new java.io.File(path, s"_covered_gen_$k")
+
+  /** Committed generation ids, ascending. */
+  private[graft] def committedStreamGens(path: String): Seq[Long] = {
+    val d = new java.io.File(path)
+    if (!d.exists || d.listFiles == null) Nil
+    else d.listFiles.toSeq.map(_.getName)
+      .collect { case n if n.startsWith("_committed_gen_") =>
+        n.stripPrefix("_committed_gen_").toLong
+      }
+      .sorted
+  }
+
+  /** Root file names generation `k` covers (empty if no manifest). */
+  private def coveredByGen(path: String, k: Long): Set[String] = {
+    val f = streamsGenManifest(path, k)
+    if (!f.exists) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+  }
+
+  /** Per-batch append part files at the dimension root. */
+  private def streamRootFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    if (!d.exists || d.listFiles == null) Nil
+    else d.listFiles.toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 
   def readStreams(spark: SparkSession, path: String, spec: CollectionSpec): DataFrame = {
-    // crash recovery: compactStreams renames the live dir to .bak before
-    // swapping the compacted one in — if we died between the two renames,
-    // the .bak IS the dimension; restore it before reading (losing the
-    // dimension would silently restart id allocation at 1 and corrupt
-    // every stored stream_id). The lock + re-check keeps two readers (or
-    // a reader racing the compactor mid-swap) from double-restoring and
-    // deleting each other's files.
-    val p = new java.io.File(path)
-    val bak = new java.io.File(path + ".bak")
-    if (!hasParquet(p) && hasParquet(bak)) swapLock(path).synchronized {
-      if (!hasParquet(p) && hasParquet(bak)) {
-        if (p.exists) deleteRecursively(p) // leftovers (e.g. _temporary)
-        if (!bak.renameTo(p))
-          throw new java.io.IOException(s"readStreams: could not restore $bak")
-      }
+    // newest committed generation + the root append files it does NOT
+    // cover; covered-but-not-yet-GC'd files are excluded via the
+    // manifest, uncommitted generation dirs are invisible by construction
+    val gens = committedStreamGens(path)
+    val paths = gens.lastOption match {
+      case Some(k) =>
+        val covered = coveredByGen(path, k)
+        streamsGenDir(path, k).getPath +:
+          streamRootFiles(path).filterNot(f => covered(f.getName)).map(_.getPath)
+      case None =>
+        streamRootFiles(path).map(_.getPath)
     }
-    if (hasParquet(p))
-      spark.read.parquet(path)
+    if (paths.nonEmpty)
+      spark.read.parquet(paths: _*)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], spec.streamSchema)
@@ -436,33 +479,74 @@ object IngestStream {
     } finally pinned.unpersist()
   }
 
-  /** Fold the dimension's per-batch append files into one — periodic
-    * maintenance (run alongside `compactToLayout`), collect-free.
-    * Crash-safe swap: the live dir is renamed to `.bak` (never deleted in
-    * place), the compacted dir renamed in, then the backup dropped; every
-    * rename result is checked, and `readStreams` restores from `.bak` if
-    * a crash lands between the renames. Single-writer, like the other
-    * compactors.
+  /** Fold the dimension's per-batch append files into one generation —
+    * periodic maintenance (run alongside `compactToLayout`), collect-free.
+    * RENAME-FREE (see the generation-protocol scaladoc above readStreams):
+    *
+    *   1. recovery: gen dirs / manifests without their commit marker are
+    *      dead attempts — swept;
+    *   2. grace GC: everything the NEWEST committed generation superseded
+    *      (older generations and the root files its manifest covers) has
+    *      been invisible for at least one full cycle — deleted;
+    *   3. write the union of the visible dimension to `_gen=<k+1>`
+    *      (invisible: no marker), record the covered root files in
+    *      `_covered_gen_<k+1>` (inert until committed), then create
+    *      `_committed_gen_<k+1>` — ATOMIC COMMIT POINT. No GC now.
+    *
+    * Appends racing the fold stay correct by convergence: a root file
+    * landing after the manifest snapshot simply is not covered and stays
+    * visible next to the new generation. Single-writer per path, like the
+    * other compactors; `onStep` is the crash-injection seam for the spec.
     */
-  def compactStreams(spark: SparkSession, path: String): Unit = {
+  def compactStreams(
+      spark: SparkSession,
+      path: String,
+      onStep: String => Unit = _ => ()): Unit = swapLock(path).synchronized {
     val dir = new java.io.File(path)
-    if (dir.exists && dir.listFiles != null &&
-        dir.listFiles.count(_.getName.endsWith(".parquet")) > 1) {
-      val tmp = new java.io.File(path + ".tmp")
-      val bak = new java.io.File(path + ".bak")
-      spark.read.parquet(path).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.getPath)
-      swapLock(path).synchronized {
-        if (bak.exists) { deleteRecursively(bak) }
-        if (!dir.renameTo(bak))
-          throw new java.io.IOException(s"compactStreams: rename $path -> $bak failed")
-        if (!tmp.renameTo(dir)) {
-          bak.renameTo(dir) // roll back; check is the throw below
-          throw new java.io.IOException(s"compactStreams: rename $tmp -> $path failed")
-        }
-        deleteRecursively(bak)
+    if (!dir.exists || dir.listFiles == null) return
+    val committed = committedStreamGens(path)
+    val committedSet = committed.toSet
+    // 1. recovery: marker-less attempts
+    dir.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_gen="))
+      .filter(f => !committedSet(f.getName.stripPrefix("_gen=").toLong))
+      .foreach(deleteRecursively)
+    dir.listFiles
+      .filter(f => f.isFile && f.getName.startsWith("_covered_gen_"))
+      .filter(f => !committedSet(f.getName.stripPrefix("_covered_gen_").toLong))
+      .foreach(_.delete())
+    // 2. grace GC under the newest committed generation
+    committed.lastOption.foreach { k0 =>
+      committed.filter(_ != k0).foreach { j =>
+        deleteRecursively(streamsGenDir(path, j))
+        streamsGenManifest(path, j).delete()
+        streamsGenMarker(path, j).delete()
       }
+      coveredByGen(path, k0)
+        .foreach(name => new java.io.File(dir, name).delete())
     }
+    onStep("gc-done")
+    // 3. fold the visible dimension into the next generation
+    val k0Opt = committed.lastOption
+    val covered = k0Opt.map(coveredByGen(path, _)).getOrElse(Set.empty)
+    val live = streamRootFiles(path).filterNot(f => covered(f.getName))
+    val worthFolding =
+      if (k0Opt.isDefined) live.nonEmpty // fold new appends into the gen
+      else live.size > 1                 // nothing to gain from one file
+    if (!worthFolding) return
+    val k = k0Opt.getOrElse(0L) + 1
+    val inputs = k0Opt.map(streamsGenDir(path, _).getPath).toSeq ++ live.map(_.getPath)
+    spark.read.parquet(inputs: _*).coalesce(1)
+      .write.mode("overwrite").parquet(streamsGenDir(path, k).getPath)
+    onStep("gen-written")
+    java.nio.file.Files.write(
+      streamsGenManifest(path, k).toPath,
+      live.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    onStep("manifest-written")
+    // COMMIT POINT: atomic marker creation flips visibility
+    if (!streamsGenMarker(path, k).createNewFile())
+      throw new java.io.IOException(s"stream gen marker $k already exists")
+    onStep("committed")
   }
 
   /** Start the ingest query. `raw` is a streaming DataFrame of decoded

@@ -78,26 +78,27 @@ class StreamingSpec extends SparkSpec {
 
     // the dimension grew by APPEND (one file per registering batch, none
     // for the no-new-streams replay), not by per-batch rewrite …
-    val partFiles = new java.io.File(s"$dir/streams").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(partFiles === 2, s"expected 2 append files, got $partFiles")
-    // … and compaction folds them without changing content
-    val before = spark.read.parquet(s"$dir/streams")
-      .collect().map(_.toSeq).toSet
+    def rootFiles = new java.io.File(s"$dir/streams").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(rootFiles.length === 2, s"expected 2 append files, got ${rootFiles.length}")
+    // … and compaction folds them into a committed GENERATION without
+    // changing content; the covered append files stay one grace cycle
+    // (invisible via the manifest), then the next run retires them
+    def dim = IngestStream.readStreams(spark, s"$dir/streams", spec)
+    val before = dim.collect().map(_.toSeq).toSet
     IngestStream.compactStreams(spark, s"$dir/streams")
-    val afterFiles = new java.io.File(s"$dir/streams").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(afterFiles === 1)
-    val after = spark.read.parquet(s"$dir/streams")
-      .collect().map(_.toSeq).toSet
-    assert(after === before)
+    assert(new java.io.File(s"$dir/streams/_committed_gen_1").exists)
+    assert(rootFiles.length === 2, "covered files survive the grace cycle")
+    assert(dim.collect().map(_.toSeq).toSet === before)
+    IngestStream.compactStreams(spark, s"$dir/streams")
+    assert(rootFiles.length === 0, "grace GC retires the covered files")
+    assert(dim.collect().map(_.toSeq).toSet === before)
     // ingest keeps working against the compacted dimension
     IngestStream.ingestBatch(
       Seq(RawResult("s3", "d1", "ping", 200L, 8L)).toDF(),
       spec, s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
-    assert(spark.read.parquet(s"$dir/streams").count() === 4)
-    assert(spark.read.parquet(s"$dir/streams")
-      .select("stream_id").distinct().count() === 4)
+    assert(dim.count() === 4)
+    assert(dim.select("stream_id").distinct().count() === 4)
   }
 
   test("rollup stream: windowed partials with watermark (X4)") {
@@ -184,6 +185,58 @@ class StreamingSpec extends SparkSpec {
     intercept[NoSuchElementException] {
       IngestStream.readCombined(spark, s"$dir/nope-layout", s"$dir/nope-data")
     }
+  }
+
+  test("compactStreams crash-atomicity: every crash point recovers, ids never lost") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    IngestStream.ingestBatch(
+      Seq(RawResult("s1", "d1", "ping", 100L, 1L)).toDF(), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(
+      Seq(RawResult("s2", "d1", "ping", 200L, 2L)).toDF(), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    def dim = IngestStream.readStreams(spark, s"$dir/streams", spec)
+    val expected = dim.collect().map(_.toSeq).toSet
+    assert(expected.size === 2)
+
+    // crash BEFORE the marker (after gen write / after manifest): the
+    // attempt is invisible, the dimension unchanged, swept by next run
+    Seq("gen-written", "manifest-written").foreach { step =>
+      intercept[RuntimeException] {
+        IngestStream.compactStreams(spark, s"$dir/streams",
+          onStep = s => if (s == step) throw new RuntimeException(s"boom at $s"))
+      }
+      assert(dim.collect().map(_.toSeq).toSet === expected, s"changed at $step")
+      assert(IngestStream.committedStreamGens(s"$dir/streams").isEmpty)
+    }
+
+    // crash right AFTER the marker: committed — the generation serves,
+    // covered append files linger one grace cycle, content identical
+    intercept[RuntimeException] {
+      IngestStream.compactStreams(spark, s"$dir/streams",
+        onStep = s => if (s == "committed") throw new RuntimeException("boom"))
+    }
+    assert(IngestStream.committedStreamGens(s"$dir/streams") === Seq(1L))
+    assert(dim.collect().map(_.toSeq).toSet === expected)
+
+    // clean run: grace GC retires the covered files; a fresh append then
+    // folds into generation 2 and generation 1 retires one cycle later
+    IngestStream.compactStreams(spark, s"$dir/streams")
+    assert(dim.collect().map(_.toSeq).toSet === expected)
+    IngestStream.ingestBatch(
+      Seq(RawResult("s3", "d1", "ping", 300L, 3L)).toDF(), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(2L))
+    IngestStream.compactStreams(spark, s"$dir/streams")
+    assert(IngestStream.committedStreamGens(s"$dir/streams") === Seq(1L, 2L))
+    assert(dim.count() === 3)
+    IngestStream.compactStreams(spark, s"$dir/streams")
+    assert(IngestStream.committedStreamGens(s"$dir/streams") === Seq(2L))
+    assert(!new java.io.File(s"$dir/streams/_gen=1").exists)
+    assert(dim.count() === 3)
+    // id continuity across the whole crash sequence: next registration
+    // still allocates the next id (the failure mode generations prevent)
+    assert(dim.select(max("stream_id")).collect()(0).getInt(0) === 3)
   }
 
   test("compactToLayout crash-atomicity: readers never double-count (X9)") {
@@ -392,9 +445,10 @@ class StreamingSpec extends SparkSpec {
     // the covered csets stay on disk for one grace cycle
     assert(IngestStream.committedMsets(s"$dir/layout") === Seq((1L, 3L)))
     assert(IngestStream.visibleSources(s"$dir/layout")._2 === Seq())
-    // streams dimension folded to one parquet file
-    assert(new java.io.File(s"$dir/streams").listFiles()
-      .count(_.getName.endsWith(".parquet")) === 1)
+    // streams dimension folded into a committed generation; the covered
+    // append files linger one grace cycle like every other compactor's
+    assert(IngestStream.committedStreamGens(s"$dir/streams") === Seq(1L))
+    assert(IngestStream.readStreams(spark, s"$dir/streams", spec).count() === 3)
     // tier partials folded behind a commit marker; the fold still serves
     assert(RollupStream.readTier(spark, tier).count() === 2)
     assert(new java.io.File(tier).listFiles().exists(_.getName.startsWith("_fold_")))
@@ -408,6 +462,11 @@ class StreamingSpec extends SparkSpec {
       s"$dir/streams", s"$dir/data", s"$dir/layout", 3L,
       Seq(tier), 8, 2, Some(t0 + 86400L))).isEmpty)
     assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data").count() === 2)
+    // …except the deferred grace GC: the cycle retired the covered
+    // streams append files, leaving only the generation
+    assert(new java.io.File(s"$dir/streams").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) === 0)
+    assert(IngestStream.readStreams(spark, s"$dir/streams", spec).count() === 3)
   }
 
   test("rollup compact crash-atomicity: readTier never double-counts") {
