@@ -336,13 +336,69 @@ object Similarity {
       .toDF("cell", "w")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    emb
+    val assigned = emb
       .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
+    assigned
       .repartition(col("__cell"))
       .write.mode("overwrite")
       .partitionBy("__cell")
       .parquet(s"$path/corpus")
+    // record the TRAINED corpus size: the appended-fraction telemetry's
+    // denominator (footer-count job — no vector scan)
+    java.nio.file.Files.write(
+      new java.io.File(path, "_train_rows").toPath,
+      assigned.count().toString.getBytes("UTF-8"))
+  }
+
+  /** Retrain thresholds for a persisted IVF index (see the RETRAIN POLICY
+    * note on [[ivfAppendIndex]]): rebuild when appends exceed 20% of the
+    * corpus the centroids were trained on, or the largest cell grows past
+    * 4× the mean — the points where frozen-centroid recall and the nprobe
+    * scan fraction start degrading measurably.
+    */
+  val RetrainAppendFraction = 0.20
+  val RetrainCellSkew = 4.0
+
+  /** Cell-balance telemetry for a persisted IVF index. Derived without
+    * scanning vectors: row counts come from parquet footers and the
+    * partition column only.
+    */
+  final case class IvfIndexStats(
+      cells: Int,
+      trainedRows: Long,
+      totalRows: Long,
+      maxCellRows: Long) {
+    def appendedFraction: Double =
+      if (trainedRows <= 0) 0.0
+      else math.max(0L, totalRows - trainedRows).toDouble / trainedRows
+    def meanCellRows: Double =
+      if (cells == 0) 0.0 else totalRows.toDouble / cells
+    def cellSkew: Double =
+      if (meanCellRows == 0.0) 0.0 else maxCellRows / meanCellRows
+    /** The documented rebuild trigger a 100 TB operator alerts on. */
+    def needsRetrain: Boolean =
+      appendedFraction > RetrainAppendFraction || cellSkew > RetrainCellSkew
+  }
+
+  /** Compute [[IvfIndexStats]] for the index at `path`. Indexes persisted
+    * before the `_train_rows` marker existed report trainedRows = -1
+    * (appendedFraction 0 — unknown base, only the skew signal applies).
+    */
+  def ivfIndexStats(spark: SparkSession, path: String): IvfIndexStats = {
+    val trainFile = new java.io.File(path, "_train_rows")
+    val trained =
+      if (!trainFile.exists) -1L
+      else new String(
+        java.nio.file.Files.readAllBytes(trainFile.toPath), "UTF-8").trim.toLong
+    val perCell = spark.read.parquet(s"$path/corpus")
+      .groupBy("__cell").count()
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1))
+    IvfIndexStats(
+      cells = perCell.length,
+      trainedRows = trained,
+      totalRows = perCell.map(_._2).sum,
+      maxCellRows = if (perCell.isEmpty) 0L else perCell.map(_._2).max)
   }
 
   /** Append NEW vectors to a persisted index: assign against the index's
@@ -355,18 +411,20 @@ object Similarity {
     * time, so appended vectors always join their nearest EXISTING cell.
     * Recall holds while the appended data resembles the training
     * distribution; under drift, cells skew and the nprobe scan fraction
-    * degrades. Rebuild (`ivfWriteIndex`, retraining centroids) when the
-    * appended fraction passes ~20% of the indexed corpus or the largest
-    * cell exceeds ~4× the mean — both observable from the cell directory
-    * sizes without scanning vectors.
+    * degrades. Rebuild (`ivfWriteIndex`, retraining centroids) when
+    * [[IvfIndexStats.needsRetrain]] fires — appended fraction past
+    * [[RetrainAppendFraction]] of the trained corpus, or the largest cell
+    * past [[RetrainCellSkew]]× the mean. Returns the post-append stats so
+    * the maintenance job that appends is the one that sees the trigger.
     */
   def ivfAppendIndex(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String): IvfIndexStats = {
     import graft.functions.NearestCells
-    val centroids = ivfReadCentroids(emb.sparkSession, path)
+    val spark = emb.sparkSession
+    val centroids = ivfReadCentroids(spark, path)
     emb
       .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
@@ -374,6 +432,7 @@ object Similarity {
       .write.mode("append")
       .partitionBy("__cell")
       .parquet(s"$path/corpus")
+    ivfIndexStats(spark, path)
   }
 
   def ivfReadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =

@@ -356,14 +356,18 @@ private[serve] final class LiveRelay(
     * PUSH(T) follows every released row with ts <= T and precedes the
     * rest — the reference's per-timestamp-group interleave,
     * exporter.py:928-956), then direct. The buffer is bounded by
-    * `maxBufferedMarkers`: on overflow the oldest marker drops — safe,
-    * its coverage is subsumed by the next one's — so a months-long
-    * backfill coarsens seam granularity instead of growing memory.
+    * `maxBufferedMarkers`: on overflow the whole backlog COLLAPSES to
+    * its newest marker — safe, a PUSH(T) subsumes every older marker's
+    * coverage (this relay subscribes ONE collection, so the newest marker
+    * covers the entire backlog), and strictly better than drop-oldest: a
+    * months-long backfill replays one coarse marker for the pre-overflow
+    * era instead of `maxBufferedMarkers` stale frames, while markers
+    * after the collapse keep fine seam granularity.
     */
   def onMarker(t: Long, frame: Array[Byte]): Unit = synchronized {
     if (!liveMode) {
       if (bufferedMarkers.size >= maxBufferedMarkers)
-        bufferedMarkers = bufferedMarkers.drop(1)
+        bufferedMarkers = Vector(bufferedMarkers.last)
       bufferedMarkers :+= (t -> frame)
     } else out.synchronized { out.write(frame); out.flush() }
   }

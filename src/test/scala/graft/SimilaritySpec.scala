@@ -114,13 +114,19 @@ class SimilaritySpec extends SparkSpec {
       .filter(_.getName.startsWith("__cell="))
       .flatMap(d => d.listFiles().map(_.getPath)).toSet
 
-    Similarity.ivfAppendIndex(rest, "vec_id", "embedding", s"$base/inc")
+    val stats = Similarity.ivfAppendIndex(rest, "vec_id", "embedding", s"$base/inc")
     // append-only: every pre-append file is still there, untouched
     val filesAfter = new java.io.File(s"$base/inc/corpus").listFiles()
       .filter(_.getName.startsWith("__cell="))
       .flatMap(d => d.listFiles().map(_.getPath)).toSet
     assert(filesBefore.subsetOf(filesAfter))
     assert(filesAfter.size > filesBefore.size)
+    // retrain telemetry: the append doubled the trained corpus, so the
+    // appended fraction (1.0) is far past the 20% rebuild threshold
+    assert(stats.trainedRows === 250L)
+    assert(stats.totalRows === 500L)
+    assert(stats.appendedFraction === 1.0)
+    assert(stats.needsRetrain, "100% appended must trip the retrain trigger")
 
     // a query over the appended index == a full rebuild of the combined
     // corpus with the same frozen centroids
@@ -131,6 +137,10 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(inc === full)
     assert(inc.nonEmpty)
+    // a FULL rebuild resets the telemetry: nothing appended since train
+    val fullStats = Similarity.ivfIndexStats(spark, s"$base/full")
+    assert(fullStats.trainedRows === fullStats.totalRows)
+    assert(fullStats.appendedFraction === 0.0)
   }
 
   test("embeddingDupPairs finds planted near-duplicates within a block") {

@@ -120,27 +120,31 @@ class LiveRelaySpec extends AnyFunSuite {
     assert(stamps(seam(4)._2) === Seq(1800L))
   }
 
-  test("marker buffer overflow drops the oldest; coverage promise holds") {
+  test("marker buffer overflow collapses to the newest; coverage promise holds") {
     val sink = new ByteArrayOutputStream()
     val relay = new LiveRelay(
       "amp-external", Map("a" -> Seq(1L)),
       Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink),
-      maxBufferedMarkers = 2)
+      maxBufferedMarkers = 3)
 
     relay.onBatch(Markers.LiveBatch("amp-external", Seq(
-      row(1L, 1100L), row(1L, 1200L), row(1L, 1300L))))
+      row(1L, 1100L), row(1L, 1200L), row(1L, 1300L), row(1L, 1400L))))
     relay.onMarker(1100L, push(1100L))
     relay.onMarker(1200L, push(1200L))
-    relay.onMarker(1300L, push(1300L)) // overflow: PUSH(1100) drops
+    relay.onMarker(1300L, push(1300L)) // buffer full
+    relay.onMarker(1400L, push(1400L)) // overflow: backlog COLLAPSES to 1300
 
     relay.finish(Map.empty)
     val seam = frames(sink)
-    // PUSH(1200) now covers 1100 AND 1200 — both rows precede it
+    // one coarse PUSH(1300) covers the whole pre-overflow era (1100/1200
+    // replay as part of its group, their markers gone — not merely the
+    // oldest dropped); fine granularity resumes with PUSH(1400)
     assert(seam.map(_._1) === Seq(Wire.Live, Wire.Push, Wire.Live, Wire.Push))
     assert(seam(0)._2.contains(""""timestamp":1100""") &&
-      seam(0)._2.contains(""""timestamp":1200"""))
-    assert(seam(1)._2.contains(""""timestamp":1200"""))
-    assert(seam(2)._2.contains(""""timestamp":1300"""))
-    assert(seam(3)._2.contains(""""timestamp":1300"""))
+      seam(0)._2.contains(""""timestamp":1200""") &&
+      seam(0)._2.contains(""""timestamp":1300"""))
+    assert(seam(1)._2.contains(""""timestamp":1300"""))
+    assert(seam(2)._2.contains(""""timestamp":1400"""))
+    assert(seam(3)._2.contains(""""timestamp":1400"""))
   }
 }
