@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale a test tier up by an integer factor — the sf1 (and beyond) proof
+  * harness: `runMain graft.tools.GenScale <srcDir> <dstDir> <factor>`.
+  *
+  * Replica 0 is the source verbatim; replica k > 0 shifts every key by
+  * k × (max key + 1) and DECORRELATES content so the scaled corpus keeps
+  * the source's per-document distributions without manufacturing a
+  * near-duplicate of every row (which would turn dedup workloads
+  * quadratic and measure a different query than the one at sf0.1):
+  *
+  *   - documents: words are deterministically permuted per replica
+  *     (sorted by xxhash64(word, position, k)) — token counts, language
+  *     signals, stopword/punct ratios, and length stats survive, but
+  *     word-n-gram shingles do not, so replicas are NOT near-dups of the
+  *     original or of each other;
+  *   - embeddings: ±0.005 deterministic per-dimension noise — cosine
+  *     geometry (cluster structure, neighbor lists) is essentially
+  *     preserved, exact-duplicate vectors are not introduced;
+  *   - events: stream ids shift with the replica (10× streams over the
+  *     same time window — how a telemetry corpus actually grows).
+  *
+  * Everything is a pure function of (source row, k): regenerating is
+  * idempotent and engines agree, so gate oracles stay valid at any
+  * factor.
+  */
+object GenScale {
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).collect()(0).getLong(0) + 1
+
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    val m = maxOf(docs, "doc_id")
+    val replicas = (0 until factor).map { k =>
+      if (k == 0) docs
+      else {
+        val toks = split(col("text"), " ")
+        val keyed = zip_with(
+          toks,
+          sequence(lit(0), size(toks) - 1),
+          (t, i) => struct(xxhash64(t, i, lit(k)).as("h"), t.as("t")))
+        val shuffled = array_join(
+          transform(array_sort(keyed), s => s.getField("t")), " ")
+        docs.select(
+          (col("doc_id") + lit(k.toLong * m)).as("doc_id"),
+          shuffled.as("text"),
+          col("lang"),
+          col("source"),
+          length(shuffled).cast("long").as("n_chars"))
+      }
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val m = maxOf(emb, "vec_id")
+    val replicas = (0 until factor).map { k =>
+      if (k == 0) emb
+      else {
+        val id = (col("vec_id") + lit(k.toLong * m)).as("vec_id")
+        val noisy = zip_with(
+          col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) =>
+            (v + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(1000))
+              .cast("double") / 100000.0 - 0.005).cast("float"))
+              .cast("float"))
+        emb.select(id, noisy.as("embedding"), col("label"))
+      }
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+    val mId = maxOf(ev, "event_id")
+    val mUser = maxOf(ev, "user_id")
+    val replicas = (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + lit(k.toLong * mId)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * mUser)).as("user_id"),
+        col("event_type"),
+        col("value"),
+        col("props"))
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorStr) = args.take(3)
+    val factor = factorStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-genscale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // MULTI-FILE tables (a `<name>.parquet/` DIRECTORY of part files),
+    // unlike the driver's single-file single-row-group tiers: one row
+    // group means ONE scan task no matter how many cores, so map-only
+    // pipelines (PII, chunking, hygiene) serialize at the source and a
+    // scale run measures the file-layout artifact instead of the plan.
+    // At 100 TB a table is thousands of files — this is the real shape.
+    // Tables.load reads a directory transparently; tools/verify_local.py
+    // globs `<dir>/*.parquet` for DuckDB.
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts)
+        .write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+
+    new java.io.File(dst).mkdirs()
+    write(scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor),
+      "documents", 32)
+    write(scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor),
+      "embeddings", 32)
+    write(scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor),
+      "events", 32)
+    println(s"GENSCALE ok $src -> $dst x$factor")
+    spark.stop()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)
+    f.delete()
+  }
+}
