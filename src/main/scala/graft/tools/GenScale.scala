@@ -74,7 +74,15 @@ object GenScale {
     replicas.reduce(_ unionByName _)
   }
 
-  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+  def scaleEvents(ev0: DataFrame, factor: Int): DataFrame = {
+    // the source ts is TIMESTAMP(NANOS), which the nanosAsLong session
+    // conf surfaces as BIGINT nanos — convert back to a real TIMESTAMP
+    // (micros) on write, or DuckDB-side oracles calling epoch(ts) break
+    val ev = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => ev0
+    }
     val mId = maxOf(ev, "event_id")
     val mUser = maxOf(ev, "user_id")
     val replicas = (0 until factor).map { k =>
