@@ -98,6 +98,26 @@ object GenScale {
     replicas.reduce(_ unionByName _)
   }
 
+  /** TPC-H-style tables grow the way the benchmark itself scales: nation
+    * and region stay FIXED; every other table replicates with its primary
+    * key (and the foreign keys into other scaled tables) shifted by
+    * k × (max key + 1). FKs into the fixed dims (nationkey) are untouched,
+    * so join selectivity and group-by cardinality scale like real TPC-H
+    * and the gate oracles stay valid at any factor.
+    */
+  def scaleKeyed(df: DataFrame, factor: Int, keyCols: Map[String, Long]): DataFrame = {
+    val replicas = (0 until factor).map { k =>
+      if (k == 0) df
+      else df.select(df.columns.map { c =>
+        keyCols.get(c) match {
+          case Some(m) => (col(c) + lit(k.toLong * m)).as(c)
+          case None    => col(c)
+        }
+      }.toSeq: _*)
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorStr) = args.take(3)
     val factor = factorStr.toInt
@@ -131,6 +151,25 @@ object GenScale {
       "embeddings", 32)
     write(scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor),
       "events", 32)
+
+    def tbl(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    val custM = maxOf(tbl("customer"), "c_custkey")
+    val suppM = maxOf(tbl("supplier"), "s_suppkey")
+    val partM = maxOf(tbl("part"), "p_partkey")
+    val ordM  = maxOf(tbl("orders"), "o_orderkey")
+    write(tbl("region"), "region", 1)
+    write(tbl("nation"), "nation", 1)
+    write(scaleKeyed(tbl("customer"), factor, Map("c_custkey" -> custM)),
+      "customer", 8)
+    write(scaleKeyed(tbl("supplier"), factor, Map("s_suppkey" -> suppM)),
+      "supplier", 4)
+    write(scaleKeyed(tbl("part"), factor, Map("p_partkey" -> partM)),
+      "part", 8)
+    write(scaleKeyed(tbl("orders"), factor,
+      Map("o_orderkey" -> ordM, "o_custkey" -> custM)), "orders", 32)
+    write(scaleKeyed(tbl("lineitem"), factor,
+      Map("l_orderkey" -> ordM, "l_partkey" -> partM, "l_suppkey" -> suppM)),
+      "lineitem", 32)
     println(s"GENSCALE ok $src -> $dst x$factor")
     spark.stop()
   }
