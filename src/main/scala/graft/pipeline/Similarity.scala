@@ -345,10 +345,14 @@ object Similarity {
       .partitionBy("__cell")
       .parquet(s"$path/corpus")
     // record the TRAINED corpus size: the appended-fraction telemetry's
-    // denominator (footer-count job — no vector scan)
+    // denominator. Count the WRITTEN corpus, not `assigned` — that frame
+    // would re-run the whole source scan as a second job (and could
+    // disagree with what landed if the source is non-deterministic); the
+    // written parquet counts from footer metadata alone
     java.nio.file.Files.write(
       new java.io.File(path, "_train_rows").toPath,
-      assigned.count().toString.getBytes("UTF-8"))
+      assigned.sparkSession.read.parquet(s"$path/corpus")
+        .count().toString.getBytes("UTF-8"))
   }
 
   /** Retrain thresholds for a persisted IVF index (see the RETRAIN POLICY

@@ -367,7 +367,10 @@ private[serve] final class LiveRelay(
   def onMarker(t: Long, frame: Array[Byte]): Unit = synchronized {
     if (!liveMode) {
       if (bufferedMarkers.size >= maxBufferedMarkers)
-        bufferedMarkers = Vector(bufferedMarkers.last)
+        // takeRight, not .last: a zero/one-capacity relay overflows with
+        // an empty-or-collapsed backlog and must not throw; the buffer
+        // is bounded by max(2, maxBufferedMarkers) entries
+        bufferedMarkers = bufferedMarkers.takeRight(1)
       bufferedMarkers :+= (t -> frame)
     } else out.synchronized { out.write(frame); out.flush() }
   }

@@ -106,6 +106,30 @@ object IngestStream {
   }
 
   def readStreams(spark: SparkSession, path: String, spec: CollectionSpec): DataFrame = {
+    // legacy migration: the pre-generation compactor swapped via renames
+    // (live dir -> `.bak`, compacted `.tmp` -> live). A crash between the
+    // two renames left the dimension in `.bak` and NOTHING at `path`; the
+    // old readStreams restored it, so a store in that state must still be
+    // restored here — otherwise it reads as an EMPTY dimension and the
+    // next batch silently re-allocates stream ids from 1. Once restored
+    // (root append files, no generations) the generation protocol takes
+    // over; the one-time rename is accepted for legacy recovery only.
+    val bak = new java.io.File(path + ".bak")
+    def bakHasParquet =
+      bak.exists && bak.listFiles != null &&
+        bak.listFiles.exists(_.getName.endsWith(".parquet"))
+    if (committedStreamGens(path).isEmpty && streamRootFiles(path).isEmpty &&
+        bakHasParquet) swapLock(path).synchronized {
+      if (committedStreamGens(path).isEmpty && streamRootFiles(path).isEmpty &&
+          bakHasParquet) {
+        val p = new java.io.File(path)
+        if (p.exists) deleteRecursively(p) // leftovers (e.g. _temporary)
+        if (!bak.renameTo(p))
+          throw new java.io.IOException(s"readStreams: could not restore $bak")
+        val tmp = new java.io.File(path + ".tmp")
+        if (tmp.exists) deleteRecursively(tmp)
+      }
+    }
     // newest committed generation + the root append files it does NOT
     // cover; covered-but-not-yet-GC'd files are excluded via the
     // manifest, uncommitted generation dirs are invisible by construction

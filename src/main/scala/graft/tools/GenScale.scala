@@ -78,9 +78,11 @@ object GenScale {
     // the source ts is TIMESTAMP(NANOS), which the nanosAsLong session
     // conf surfaces as BIGINT nanos — convert back to a real TIMESTAMP
     // (micros) on write, or DuckDB-side oracles calling epoch(ts) break
+    // `div` = exact integer division — a double `/` loses precision on
+    // 1.7e18-scale nano values (53 mantissa bits), shifting micros by ±1
     val ev = ev0.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        ev0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => ev0
     }
     val mId = maxOf(ev, "event_id")
@@ -172,10 +174,5 @@ object GenScale {
       "lineitem", 32)
     println(s"GENSCALE ok $src -> $dst x$factor")
     spark.stop()
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)
-    f.delete()
   }
 }

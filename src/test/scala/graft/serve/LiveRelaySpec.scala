@@ -147,4 +147,24 @@ class LiveRelaySpec extends AnyFunSuite {
     assert(seam(2)._2.contains(""""timestamp":1400"""))
     assert(seam(3)._2.contains(""""timestamp":1400"""))
   }
+
+  test("zero-capacity marker buffer: overflow on an empty backlog never throws") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("a" -> Seq(1L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink),
+      maxBufferedMarkers = 0)
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1100L))))
+    // the first marker arrives with an EMPTY backlog already "over"
+    // capacity — the old collapse called .last and threw here
+    relay.onMarker(1100L, push(1100L))
+    relay.onMarker(1200L, push(1200L))
+    relay.finish(Map.empty)
+    val seam = frames(sink)
+    // coverage promise intact: the row replays, a marker covering it
+    // follows (coarse granularity is fine at capacity 0)
+    assert(seam.head._1 === Wire.Live &&
+      seam.head._2.contains(""""timestamp":1100"""))
+    assert(seam.exists { case (t, b) => t === Wire.Push && b.contains("1200") })
+  }
 }
