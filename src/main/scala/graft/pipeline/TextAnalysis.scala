@@ -262,7 +262,9 @@ object TextAnalysis {
   val IdNumberPattern = "\\b[0-9]{6,}\\b"
 
   private def countMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    // regexp_count, not size(regexp_extract_all(…)): counting must not
+    // materialize an array of every matched substring per document
+    regexp_count(text, lit(pattern)).cast("long")
 
   def emailCount(text: Column): Column = countMatches(text, EmailPattern)
   def ipv4Count(text: Column): Column = countMatches(text, Ipv4Pattern)
