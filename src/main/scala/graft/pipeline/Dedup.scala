@@ -129,9 +129,28 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None,
+      maxCandidates: Option[Long] = None): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
+    // fail-fast cost guard: the exact measure generates Σ df·(df−1)/2
+    // co-occurrence rows, which is O(|corpus|²) when the shingle
+    // vocabulary SATURATES (every shingle's df grows with the corpus —
+    // measured 9.2× time for 3× data on the dense synthetic corpus, while
+    // minhashLshPairs stayed flat). The estimate costs one map-side-
+    // combined agg over the index; over budget, abort with the scale
+    // path's name instead of launching a multi-billion-row shuffle.
+    maxCandidates.foreach { budget =>
+      val dfs = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+      val est = maxDf.fold(dfs)(cap => dfs.filter(col("__df") <= cap))
+        .agg(coalesce(sum(col("__df") * (col("__df") - 1)), lit(0L)).as("__t"))
+        .collect()(0).getLong(0) / 2
+      if (est > budget) throw new IllegalStateException(
+        s"ngramJaccardPairs: estimated $est candidate pairs exceeds " +
+          s"maxCandidates=$budget — the shingle vocabulary is too dense " +
+          "for the exact all-pairs measure at this corpus size; use " +
+          "minhashLshPairs/simhashPairs (the LSH scale paths) or tighten maxDf")
+    }
     // (kept index rows, corrected per-doc set sizes) under the hot cut
     val (kept, sizes) = maxDf.fold((exploded, sets.select("__id", "__n"))) { cap =>
       // the HOT set (df > cap) is small by construction — one map-side-

@@ -119,6 +119,30 @@ class DedupSpec extends SparkSpec {
     assert(!cut.contains((6L, 7L)))  // hot-shingle-only pair gone
   }
 
+  test("ngram maxCandidates budget fails fast on dense vocab, passes under") {
+    // corpus is tiny: its true candidate volume is a handful of pairs, so
+    // budget=1 must abort pre-shuffle and a loose budget must be silent
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+        maxCandidates = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("minhashLshPairs"))
+    val ok = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+      maxCandidates = Some(1000000L)).collect()
+    assert(ok.nonEmpty)
+    // hot shingles are CUT, so they must not count against the budget:
+    // every pair here rides one boilerplate shingle; with the cut active
+    // the kept-candidate estimate is 0 and the tightest budget passes
+    val boiler = "terms of service apply here"
+    val hotOnly = Seq(
+      (6L, s"$boiler one unique sentence about gardening tools"),
+      (7L, s"$boiler a wholly separate line regarding astronomy charts"))
+      .toDF("doc_id", "text")
+    val cutOk = Dedup.ngramJaccardPairs(hotOnly, "doc_id", "text", 3, 0.05,
+      maxDf = Some(1), maxCandidates = Some(0L)).collect()
+    assert(cutOk.isEmpty)
+  }
+
   test("minhash LSH recovers the same dup pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
