@@ -53,7 +53,7 @@ object IngestStream {
     * compactor here.)
     */
   private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def swapLock(path: String): Object =
+  private[graft] def swapLock(path: String): Object =
     swapLocks.computeIfAbsent(new java.io.File(path).getAbsolutePath, _ => new Object)
 
   /** Streams-dimension generation protocol (the layout/tier discipline
@@ -375,12 +375,16 @@ object IngestStream {
     * tombstoned dirs linger one maintenance cycle for in-flight scans
     * (Retention.expireDays' grace protocol).
     */
-  private def readLayoutSources(
+  private[graft] def readLayoutSources(
       spark: SparkSession,
       layoutPath: String,
       newest: Option[(Long, Long)],
-      liveCsets: Seq[Long]): Option[DataFrame] = {
-    val expired = graft.storage.Retention.expiredDays(layoutPath)
+      liveCsets: Seq[Long],
+      // live reads prune the CURRENT tombstone set; a pinned snapshot
+      // passes the set captured at pin time for reproducibility
+      expiredOverride: Option[Set[String]] = None): Option[DataFrame] = {
+    val expired =
+      expiredOverride.getOrElse(graft.storage.Retention.expiredDays(layoutPath))
     def pruneExpired(df: DataFrame): DataFrame =
       if (expired.isEmpty) df
       else df.filter(!col("day").isin(expired.toSeq: _*))
