@@ -57,9 +57,16 @@ object FilePoller {
       checkpointPath: String,
       normalize: DataFrame => DataFrame = identity,
       // message decoding (S1): applied to the raw batch (with its epoch id)
-      // BEFORE stream registration — see `jsonDecoder` for the JSON-lines
-      // form with dead-letter capture (format = "text")
-      decode: (DataFrame, Long) => DataFrame = (b, _) => b,
+      // BEFORE stream registration. For `format = "text"` the JSON-lines
+      // decoder with dead-letter capture is wired by DEFAULT (an
+      // undecodable message must never be silently dropped — the
+      // reference nacks it back to the queue, amp.py:254-262; here it
+      // lands in the audit table at `deadLetterPath`); pass a custom
+      // decode to override.
+      decode: (DataFrame, Long) => DataFrame = DefaultDecode,
+      // audit table for undecodable text messages; defaults to
+      // `<dataPath>_deadletter` beside the collection's landing zone
+      deadLetterPath: Option[String] = None,
       format: String = "parquet",
       trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
       // X4: rollup tiers maintained with ingest, like the reference's
@@ -83,7 +90,12 @@ object FilePoller {
       liveBus: Option[(String, Markers.LiveBus)] = None,
       // live fan-out: receives the normalized, id-resolved rows that were
       // just committed (exporter.export_live analog)
-      onLive: DataFrame => Unit = _ => ()): StreamingQuery =
+      onLive: DataFrame => Unit = _ => ()): StreamingQuery = {
+    val decoder =
+      if (!(decode eq DefaultDecode)) decode
+      else if (format == "text")
+        jsonDecoder(spec, deadLetterPath.getOrElse(s"${dataPath}_deadletter"))
+      else decode
     spark.readStream
       .schema(schema)
       .format(format)
@@ -98,7 +110,7 @@ object FilePoller {
         // whole ingest plan (source read, dimension reads, anti-join,
         // normalize) — the double-evaluation class of bug again
         val written = IngestStream.ingestBatch(
-          decode(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
+          decoder(batch, epochId), spec, streamsPath, dataPath, normalize, Some(epochId))
           .persist()
         try {
           rollupTiers.foreach { case (binsize, tierPath) =>
@@ -122,4 +134,10 @@ object FilePoller {
         } finally written.unpersist()
       }
       .start()
+  }
+
+  /** Identity decode sentinel — `start` detects "caller did not override"
+    * by reference to wire the text-format dead-letter default.
+    */
+  private val DefaultDecode: (DataFrame, Long) => DataFrame = (b, _) => b
 }

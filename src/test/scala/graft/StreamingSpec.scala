@@ -810,6 +810,20 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(IngestStream.readData(spark, s"$pd/data").count() === 2)
     assert(IngestStream.readData(spark, s"$pd/dead").count() === 2)
+
+    // text-format poller WITHOUT an explicit decode: the JSON decoder and
+    // its dead-letter audit table are wired by DEFAULT — a corrupt
+    // message must never need opt-in to survive
+    val pd2 = tmpDir()
+    lines.select("value").write.mode("append").text(s"$pd2/in")
+    val q2 = FilePoller.start(
+      spark, s"$pd2/in", Seq.empty[String].toDF("value").schema, spec,
+      s"$pd2/streams", s"$pd2/data", s"$pd2/ckpt",
+      format = "text",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(IngestStream.readData(spark, s"$pd2/data").count() === 2)
+    assert(IngestStream.readData(spark, s"$pd2/data_deadletter").count() === 2)
   }
 
   test("S2 file poller e2e: history-before-live with X3 push markers") {
