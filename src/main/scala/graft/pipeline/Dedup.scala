@@ -140,8 +140,12 @@ object Dedup {
     // minhashLshPairs stayed flat). The estimate costs one map-side-
     // combined agg over the index; over budget, abort with the scale
     // path's name instead of launching a multi-billion-row shuffle.
+    // one shared df table serves BOTH the budget estimate and the hot cut
+    // (pinned: the cut references it across the anti/semi join sides, and
+    // recomputing a full index agg for the estimate would double the
+    // pipeline's heaviest shuffle)
+    lazy val dfs = pin(exploded.groupBy("__s").agg(count(lit(1)).as("__df")))
     maxCandidates.foreach { budget =>
-      val dfs = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
       val est = maxDf.fold(dfs)(cap => dfs.filter(col("__df") <= cap))
         .agg(coalesce(sum(col("__df") * (col("__df") - 1)), lit(0L)).as("__t"))
         .collect()(0).getLong(0) / 2
@@ -158,10 +162,7 @@ object Dedup {
       // anti-join and the per-doc size correction is arithmetic
       // (|kept| = |set| − |doc ∩ hot|) — no window, no re-join of
       // recomputed frames (measured 2.4× slower as groupBy+semi+re-join)
-      val hot = pin(exploded
-        .groupBy("__s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > cap)
-        .select("__s"))
+      val hot = dfs.filter(col("__df") > cap).select("__s")
       // NOTE: `lost` is one row per document touching a hot shingle — in
       // the boilerplate-heavy case the cut exists for, that is close to
       // |corpus|. No broadcast hint: AQE broadcasts it when it is small

@@ -14,16 +14,18 @@ import graft.streaming.IngestStream
   * new ones and deleting the old only one full cycle LATER (grace GC), so
   * the exact source list a reader sees at time T keeps resolving for at
   * least one maintenance cycle. A snapshot captures that list — plus the
-  * retention-tombstone set, so later expirations don't leak into a pinned
+  * retention-tombstone set and each source's day partitions, so later
+  * expirations can neither leak into nor silently hollow out a pinned
   * read — as a serializable token a training job can persist and re-read:
   * the same corpus bytes while ingest keeps landing epochs on top.
   *
   * Expiry contract (the Delta-Lake time-travel-vs-VACUUM trade): once
   * maintenance has run enough cycles that grace GC retires a pinned
-  * source, `read` fails with a clear error instead of serving a partial
-  * corpus. Pin lifetime is therefore the maintenance cadence — hours in
-  * practice — which is the deliberate price of rename-free storage; jobs
-  * needing longer pins re-pin per run.
+  * source — a whole generation/cset/epoch, or a retention-expired day
+  * INSIDE a still-live generation — `read` fails with a clear error
+  * instead of serving a partial corpus. Pin lifetime is therefore the
+  * maintenance cadence — hours in practice — which is the deliberate
+  * price of rename-free storage; jobs needing longer pins re-pin per run.
   *
   * The reference has no analogue (its continuous queries serve only the
   * live state); this exists because a 100 TB training pipeline needs
@@ -33,13 +35,20 @@ case class LayoutSnapshot(
     gen: Option[(Long, Long)],
     csets: Seq[Long],
     epochs: Seq[Long],
-    expiredDays: Set[String]) {
+    expiredDays: Set[String],
+    // day partitions per layout source ("mset=<k>" / "cset=<N>") at pin
+    // time: retention's physical phase deletes day dirs INSIDE a source
+    // whose top-level dir survives, so expiry must be detectable per day
+    sourceDays: Map[String, Set[String]]) {
 
   /** Compact persistable form; inverse of [[LayoutSnapshot.fromToken]]. */
   def token: String = {
     val g = gen.map { case (k, c) => s"$k:$c" }.getOrElse("")
+    val days = sourceDays.toSeq.sortBy(_._1)
+      .map { case (src, ds) => s"$src:${ds.toSeq.sorted.mkString("+")}" }
+      .mkString(",")
     s"gen=$g|csets=${csets.mkString(",")}|epochs=${epochs.mkString(",")}" +
-      s"|expired=${expiredDays.toSeq.sorted.mkString(",")}"
+      s"|expired=${expiredDays.toSeq.sorted.mkString(",")}|days=$days"
   }
 }
 
@@ -56,69 +65,127 @@ object LayoutSnapshot {
       },
       csets = longs("csets"),
       epochs = longs("epochs"),
-      expiredDays = fields("expired").split(",").filter(_.nonEmpty).toSet)
+      expiredDays = fields("expired").split(",").filter(_.nonEmpty).toSet,
+      sourceDays = fields("days").split(",").filter(_.nonEmpty).map { e =>
+        val Array(src, ds) = e.split(":", 2)
+        src -> ds.split("\\+").filter(_.nonEmpty).toSet
+      }.toMap)
   }
 }
 
 object Snapshot {
 
-  /** Pin the current serving view. Runs under the layout's swap lock —
-    * the same exclusion every live plan-build uses — so the captured
-    * source list is a consistent cut, never halfway through a merge
-    * commit or a GC sweep.
+  /** Pin the current serving view as a consistent cut.
+    *
+    * The swap lock excludes in-JVM merge/GC, but the minor compactor
+    * commits cset markers WITHOUT that lock (and other processes hold no
+    * lock at all) — so consistency is optimistic: the generation and cset
+    * marker sets come from ONE directory listing, the landing epochs are
+    * listed against that cut's cutoff, and the marker listing is then
+    * repeated; if it changed underneath, retry. A stale-but-consistent
+    * cut is fine (the superseded sources live out their grace cycle); a
+    * straddled cut is not (a cset plus the raw epochs it covers would
+    * double-count).
     */
   def pin(layoutPath: String, dataPath: String): LayoutSnapshot =
     IngestStream.swapLock(layoutPath).synchronized {
-      val cutoff = IngestStream.layoutCutoff(layoutPath)
-      val (newest, csets) = IngestStream.visibleSources(layoutPath)
-      val epochs = {
-        val d = new java.io.File(dataPath)
-        if (!d.exists || d.listFiles == null) Nil
-        else d.listFiles.toSeq
-          .filter(f => f.isDirectory &&
-            f.getName.startsWith(s"${IngestStream.EpochCol}="))
-          .map(_.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong)
-          .filter(_ >= cutoff)
-          .sorted
+      var attempt = 0
+      var out: Option[LayoutSnapshot] = None
+      while (out.isEmpty) {
+        val (msets, csets) = IngestStream.committedMarkers(layoutPath)
+        val newest = msets.lastOption
+        val floor = newest.map(_._2).getOrElse(Long.MinValue)
+        val liveCsets = csets.filter(_ > floor)
+        val cutoff = (csets ++ msets.map(_._2)).foldLeft(0L)(math.max)
+        val epochs = {
+          val d = new java.io.File(dataPath)
+          if (!d.exists || d.listFiles == null) Nil
+          else d.listFiles.toSeq
+            .filter(f => f.isDirectory &&
+              f.getName.startsWith(s"${IngestStream.EpochCol}="))
+            .map(_.getName.stripPrefix(s"${IngestStream.EpochCol}=").toLong)
+            .filter(_ >= cutoff)
+            .sorted
+        }
+        if (IngestStream.committedMarkers(layoutPath) == ((msets, csets))) {
+          val srcNames = newest.map { case (k, _) => s"mset=$k" }.toSeq ++
+            liveCsets.map(c => s"cset=$c")
+          out = Some(LayoutSnapshot(
+            newest, liveCsets, epochs,
+            Retention.expiredDays(layoutPath),
+            srcNames.map(n => n -> dayDirs(s"$layoutPath/$n")).toMap))
+        } else {
+          attempt += 1
+          if (attempt > 5) throw new IllegalStateException(
+            s"Snapshot.pin: the committed marker set of $layoutPath kept " +
+              "changing across 5 attempts — compactor running hot; retry " +
+              "when maintenance is not committing continuously")
+        }
       }
-      LayoutSnapshot(newest, csets, epochs, Retention.expiredDays(layoutPath))
+      out.get
     }
 
   /** Read EXACTLY the pinned sources. Fails fast with the expiry contract
-    * in the message when grace GC has retired any of them.
+    * in the message when grace GC has retired any of them — a whole
+    * source dir, or a retention-expired day inside one. The plan build
+    * holds the swap lock for the same reason readCombined's does: an
+    * in-JVM merge's grace GC must not delete a just-verified source
+    * between the existence check and Spark's file listing.
     */
   def read(
       spark: SparkSession,
       layoutPath: String,
       dataPath: String,
-      snap: LayoutSnapshot): DataFrame = {
-    val missing =
-      snap.gen.map { case (k, _) => s"$layoutPath/mset=$k" }.toSeq ++
-        snap.csets.map(c => s"$layoutPath/cset=$c") ++
-        snap.epochs.map(e => s"$dataPath/${IngestStream.EpochCol}=$e")
-    val gone = missing.filterNot(p => new java.io.File(p).exists)
-    if (gone.nonEmpty) throw new IllegalStateException(
-      s"snapshot expired: maintenance GC retired pinned sources " +
-        s"${gone.mkString(", ")} — snapshots outlive at most one " +
-        "maintenance cycle (grace-GC contract); re-pin and re-read")
-    val settled = IngestStream.readLayoutSources(
-      spark, layoutPath, snap.gen, snap.csets,
-      expiredOverride = Some(snap.expiredDays))
-    val raw =
-      if (snap.epochs.isEmpty) None
-      else Some(
-        spark.read
-          .option("basePath", dataPath)
-          .parquet(snap.epochs.map(e =>
-            s"$dataPath/${IngestStream.EpochCol}=$e"): _*)
-          .drop(IngestStream.EpochCol))
-    (settled, raw) match {
-      case (Some(s), Some(r)) => s.unionByName(r, allowMissingColumns = true)
-      case (Some(s), None)    => s
-      case (None, Some(r))    => r
-      case (None, None) =>
-        throw new NoSuchElementException(
-          s"snapshot of $layoutPath/$dataPath pinned no sources")
+      snap: LayoutSnapshot): DataFrame =
+    IngestStream.swapLock(layoutPath).synchronized {
+      val pinnedDirs =
+        snap.gen.map { case (k, _) => s"$layoutPath/mset=$k" }.toSeq ++
+          snap.csets.map(c => s"$layoutPath/cset=$c") ++
+          snap.epochs.map(e => s"$dataPath/${IngestStream.EpochCol}=$e")
+      val gone = pinnedDirs.filterNot(p => new java.io.File(p).exists)
+      val goneDays = snap.sourceDays.toSeq.flatMap { case (src, days) =>
+        val now = dayDirs(s"$layoutPath/$src")
+        (days -- now).toSeq.sorted.map(d => s"$src/day=$d")
+      }
+      if (gone.nonEmpty || goneDays.nonEmpty) throw new IllegalStateException(
+        s"snapshot expired: maintenance GC retired pinned sources " +
+          s"${(gone ++ goneDays).mkString(", ")} — snapshots outlive at " +
+          "most one maintenance cycle (grace-GC contract); re-pin and re-read")
+      val settled = IngestStream.readLayoutSources(
+        spark, layoutPath, snap.gen, snap.csets,
+        expiredOverride = Some(snap.expiredDays))
+      val raw =
+        if (snap.epochs.isEmpty) None
+        else Some(
+          spark.read
+            .option("basePath", dataPath)
+            .parquet(snap.epochs.map(e =>
+              s"$dataPath/${IngestStream.EpochCol}=$e"): _*)
+            .drop(IngestStream.EpochCol))
+      (settled, raw) match {
+        case (Some(s), Some(r)) => s.unionByName(r, allowMissingColumns = true)
+        case (Some(s), None)    => s
+        case (None, Some(r))    => r
+        case (None, None) =>
+          throw new NoSuchElementException(
+            s"snapshot of $layoutPath/$dataPath pinned no sources")
+      }
     }
+
+  /** Day partitions of one layout source dir (layout shape:
+    * `<src>/sbucket=<b>/day=<yyyyMMdd>/…`).
+    */
+  private def dayDirs(srcPath: String): Set[String] = {
+    val d = new java.io.File(srcPath)
+    if (!d.exists || d.listFiles == null) Set.empty
+    else d.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("sbucket="))
+      .flatMap { b =>
+        val fs = b.listFiles
+        if (fs == null) Seq.empty[java.io.File] else fs.toSeq
+      }
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day="))
+      .toSet
   }
 }

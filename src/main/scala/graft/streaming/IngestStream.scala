@@ -334,17 +334,32 @@ object IngestStream {
   /** Committed merged generations as (gen, covered-cutoff), ascending by
     * gen (the `_committed_mset_<k>_<cutoff>` markers).
     */
-  private[graft] def committedMsets(layoutPath: String): Seq[(Long, Long)] = {
+  private[graft] def committedMsets(layoutPath: String): Seq[(Long, Long)] =
+    committedMarkers(layoutPath)._1
+
+  /** Both marker families from ONE directory listing — Snapshot.pin needs
+    * the generation set and the cset set as a consistent cut (two separate
+    * listings can straddle a concurrent cset commit and pin a view that
+    * double-counts the epochs the new cset just covered).
+    */
+  private[graft] def committedMarkers(
+      layoutPath: String): (Seq[(Long, Long)], Seq[Long]) = {
     val d = new java.io.File(layoutPath)
-    if (!d.exists || d.listFiles == null) Nil
-    else d.listFiles.toSeq
-      .map(_.getName)
+    val names =
+      if (!d.exists || d.listFiles == null) Seq.empty[String]
+      else d.listFiles.toSeq.map(_.getName)
+    val msets = names
       .filter(_.startsWith("_committed_mset_"))
       .map { n =>
         val parts = n.stripPrefix("_committed_mset_").split("_")
         (parts(0).toLong, parts(1).toLong)
       }
       .sortBy(_._1)
+    val csets = names
+      .filter(_.startsWith("_committed_cset_"))
+      .map(_.stripPrefix("_committed_cset_").toLong)
+      .sorted
+    (msets, csets)
   }
 
   /** Landing-zone visibility cutoff: epochs below it live in the layout
@@ -410,15 +425,8 @@ object IngestStream {
   /** Committed compaction-set ids, ascending (the `_committed_cset_<N>`
     * markers in the layout dir).
     */
-  private[graft] def committedCsets(layoutPath: String): Seq[Long] = {
-    val d = new java.io.File(layoutPath)
-    if (!d.exists || d.listFiles == null) Nil
-    else d.listFiles.toSeq
-      .map(_.getName)
-      .filter(_.startsWith("_committed_cset_"))
-      .map(_.stripPrefix("_committed_cset_").toLong)
-      .sorted
-  }
+  private[graft] def committedCsets(layoutPath: String): Seq[Long] =
+    committedMarkers(layoutPath)._2
 
   /** The serving view: committed Layout csets + epochs at or above the
     * visibility cutoff (= max committed cset). Epoch dirs below the cutoff

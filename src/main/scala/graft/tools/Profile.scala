@@ -35,7 +35,11 @@ object Profile {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2,
         maxDf = Some(500L)).count()
     }
-    // stage decomposition of the candidate volume driving the above
+    // stage decomposition of the candidate volume driving the above.
+    // NOTE: deliberately re-states the pipeline's stages inline (a
+    // diagnostic snapshot, not a call into Dedup) — if ngramJaccardPairs'
+    // shape changes, update this block or its timings measure a stale
+    // pipeline
     locally {
       import org.apache.spark.sql.functions._
       val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)

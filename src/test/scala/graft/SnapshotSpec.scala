@@ -74,6 +74,44 @@ class SnapshotSpec extends SparkSpec {
       .count() === 3)
   }
 
+  test("retention-expired day inside a pinned source expires the snapshot cleanly") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    // two days land and fold into one cset: retention deletes day dirs
+    // INSIDE a source whose top-level dir survives, so expiry must be
+    // detected per day, not per source dir
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec, // 2024-01-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1717200000L), spec, // 2024-06-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+
+    val snap = Snapshot.pin(s"$dir/layout", s"$dir/data")
+    assert(snap.sourceDays("cset=2") === Set("20240101", "20240601"))
+    def pinned = Snapshot.read(spark, s"$dir/layout", s"$dir/data", snap)
+      .select("timestamp").as[Long].collect().sorted.toSeq
+    assert(pinned === Seq(1704067200L, 1717200000L))
+
+    // tombstone cycle: the old day vanishes from LIVE reads immediately,
+    // but the pinned read keeps serving it (files linger one grace cycle,
+    // and the pin carries its own tombstone set)
+    graft.storage.Retention.expireDays(s"$dir/layout",
+      cutoffEpoch = 1709251200L) // 2024-03-01
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+      .count() === 1)
+    assert(pinned === Seq(1704067200L, 1717200000L))
+
+    // grace over: the day dir is physically deleted inside the still-live
+    // cset — the pinned read must fail the expiry contract, naming the
+    // day, never silently serving the hollowed-out source
+    graft.storage.Retention.expireDays(s"$dir/layout",
+      cutoffEpoch = 1709251200L)
+    val e = intercept[IllegalStateException] { pinned }
+    assert(e.getMessage.contains("snapshot expired") &&
+      e.getMessage.contains("day=20240101"))
+  }
+
   test("pin is consistent under a concurrent merge commit") {
     val dir = tmpDir()
     val spec = Collections.ampExternal
