@@ -637,19 +637,54 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      broadcastBench: Boolean = true): DataFrame = {
+      broadcastBench: Boolean = true,
+      maxMatches: Option[Long] = None): DataFrame = {
     val trainIdx = shingleSets(train, idCol, textCol, n)
       .select(col("__id"), explode(col("__set")).as("__s"))
     // per-(bench doc, shingle) rows are already distinct: __set is a set
     val benchIdx = shingleSets(bench, idCol, textCol, n)
       .select(col("__id").as("__bid"), explode(col("__set")).as("__s"))
+    // fail-fast cost guard, same contract as ngramJaccardPairs'
+    // maxCandidates: the exact per-doc distinct-bench-doc count emits
+    // Σ_shingle (corpus_df × bench_df) join rows, which is quadratic in
+    // corpus density when the vocabulary saturates (measured 62× time for
+    // 10× data on the dense synthetic corpus at sf10). The estimate joins
+    // the two per-shingle df aggregates — both vocabulary-sized.
+    maxMatches.foreach { budget =>
+      val cdf = trainIdx.groupBy("__s").agg(count(lit(1)).as("__cdf"))
+      val bdf = benchIdx.groupBy("__s").agg(count(lit(1)).as("__bdf"))
+      val est = cdf.join(bdf, Seq("__s"))
+        .agg(coalesce(sum(col("__cdf") * col("__bdf")), lit(0L)).as("__t"))
+        .collect()(0).getLong(0)
+      if (est > budget) throw new IllegalStateException(
+        s"decontaminate: estimated $est (corpus shingle, bench doc) match " +
+          s"rows exceeds maxMatches=$budget — the shingle overlap is too " +
+          "dense for exact per-document bench-doc counts at this scale; " +
+          "use the boolean contamination filter (StreamingText hygiene's " +
+          "BenchShingleHit — linear, no join) or a smaller benchmark side")
+    }
     val benchSide = if (broadcastBench) broadcast(benchIdx) else benchIdx
-    trainIdx
+    // n_bench_docs needs the (train doc, bench doc) pairs — two-level
+    // plain-count aggs, NOT two countDistincts in one agg: the distinct
+    // rewrite's Expand would double the join output, the pipeline's
+    // widest point (the round-6 q_sketches trap in join clothing)
+    val benchDocs = trainIdx
       .join(benchSide, Seq("__s"))
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        countDistinct(col("__s")).as("n_ngrams"),
-        countDistinct(col("__bid")).as("n_bench_docs"))
+      .groupBy(col("__id"), col("__bid")).agg(count(lit(1)).as("__m"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_bench_docs"))
+    // n_ngrams never needed the bench-doc multiplication at all: a
+    // semi-join against the DISTINCT bench shingle set keeps this side
+    // linear in matched corpus shingles
+    val benchShingles = benchIdx.select("__s").distinct()
+    val nGrams = trainIdx
+      .join(
+        if (broadcastBench) broadcast(benchShingles) else benchShingles,
+        Seq("__s"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_ngrams"))
+    // every contaminated doc has >= 1 matched shingle, so it appears on
+    // both sides — inner join
+    nGrams.join(benchDocs, Seq("__id"))
+      .select(col("__id").as(idCol), col("n_ngrams"), col("n_bench_docs"))
   }
 
   /** The clean corpus: training documents from [[decontaminate]]'s input

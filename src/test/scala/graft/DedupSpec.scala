@@ -143,6 +143,19 @@ class DedupSpec extends SparkSpec {
     assert(cutOk.isEmpty)
   }
 
+  test("decontaminate maxMatches budget fails fast, silent under") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.decontaminate(corpus, bench, "doc_id", "text", 3,
+        maxMatches = Some(0L)).collect()
+    }
+    assert(e.getMessage.contains("BenchShingleHit"))
+    val ok = Dedup.decontaminate(corpus, bench, "doc_id", "text", 3,
+      maxMatches = Some(1000000L)).collect()
+    assert(ok.length === Dedup.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .collect().length)
+  }
+
   test("minhash LSH recovers the same dup pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
