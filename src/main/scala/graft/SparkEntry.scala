@@ -332,6 +332,24 @@ object SparkEntry {
         Start, Stop, primaryCol = "value")
     }),
 
+    // ---- A4/A12 SMOKE served FROM the rollup tier: the reference's
+    //      Influx path computes a percentile grid (5..95 step 5 + max,
+    //      influx.py:663-668) and packs it post-query (:694-735); here
+    //      the tier stores the bin grids count-weighted as exact decimals
+    //      and the matrix merge is order-free. Exact ntile-20 over raw
+    //      (q_smoke) stays canonical — this gates the documented grid
+    //      twin, like A7's engine-wide ntile decision.
+    "q_matrix_tier_smoke" -> ((s, dir) => {
+      val tier = Rollup.buildMulti(
+        Tables.tsEvents(s, dir), 3600, Seq("value"), smokeCols = Seq("value"))
+      Rollup.matrixFromTier(
+        tier, labelsFor(s, dir),
+        Seq(
+          AggSpec("value", "smoke"), AggSpec("value", "avg"),
+          AggSpec("value", "count")),
+        Start, Stop, primaryCol = "value")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -1339,6 +1357,45 @@ object SparkEntry {
          |FROM base b
          |LEFT JOIN m ON b.nntsclabel = m.nntsclabel AND m.rn = 1
          |ORDER BY b.nntsclabel""".stripMargin,
+
+    // tier smoke: per-(stream, bin) percentile grid (weighted form —
+    // DuckDB's quantile_cont and Spark's percentile share it), quantized
+    // to DECIMAL(18,6), count-weighted merge, window max as the 20th slot
+    "q_matrix_tier_smoke" -> {
+      val grid = (1 to 19)
+        .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
+      val slots = (1 to 19)
+        .map(k =>
+          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
+        .mkString(", ")
+      val pack = (1 to 19).map(k => s"p$k").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT * FROM ($OracleEvents)
+         |  WHERE "timestamp" - ("timestamp" % 3600) >= $Start
+         |    AND "timestamp" - ("timestamp" % 3600) < $Stop
+         |), b AS (
+         |  SELECT nntsclabel, stream_id,
+         |    "timestamp" - ("timestamp" % 3600) AS bin,
+         |    count(value) AS cnt, max(value) AS mx, $grid
+         |  FROM w GROUP BY 1, 2, 3
+         |), m AS (
+         |  SELECT nntsclabel, $slots, max(mx) AS mxx, sum(cnt) AS n
+         |  FROM b GROUP BY 1
+         |), base AS (
+         |  SELECT nntsclabel,
+         |    ${OracleParity.Sql.exactAvg("value")} AS value_avg,
+         |    count(value) AS value_count,
+         |    max("timestamp") AS "timestamp",
+         |    min("timestamp") AS min_timestamp
+         |  FROM w GROUP BY 1
+         |)
+         |SELECT base.nntsclabel, CAST($Start AS BIGINT) AS binstart,
+         |  CASE WHEN m.n > 0 THEN [$pack, mxx] END AS value_smoke,
+         |  base.value_avg, base.value_count, base."timestamp",
+         |  base.min_timestamp
+         |FROM base JOIN m ON base.nntsclabel = m.nntsclabel
+         |ORDER BY base.nntsclabel""".stripMargin
+    },
 
     // exact columns verified directly; the in-band booleans are pinned to
     // TRUE — the Spark side computes them against ITS sketches, so a

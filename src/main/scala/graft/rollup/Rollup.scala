@@ -49,6 +49,24 @@ object Rollup {
     */
   private[graft] def modeName(m: String): String = s"modes__$m"
 
+  /** Smoke-partial column name for smoke column `s` (always suffixed,
+    * same rationale as `modeName`).
+    */
+  private[graft] def smokeName(s: String): String = s"smoke__$s"
+
+  /** The reference's smoke percentile grid: 5th..95th step 5
+    * (influx.py:663-668 computes `percentile(meas, i) for i in
+    * range(5,100,5)`; the window max rides along as the 100th-percentile
+    * slot, influx.py:716-718). Written as k/20.0 so the Spark literal and
+    * the DuckDB oracle's `k/20.0` parse to the same IEEE double.
+    */
+  val SmokePercentages: Seq[Double] = (1 to 19).map(_ / 20.0)
+
+  /** Exact decimal type for the count-weighted smoke slot sums (wide
+    * enough for DECIMAL(18,6) × bigint counts summed across bins).
+    */
+  private val SmokeDec = org.apache.spark.sql.types.DecimalType(38, 6)
+
   /** Rollup table: exact partial aggregates per (stream_id, binstart).
     * `ts`/`tsn` are the bin's max/min timestamps — the matrix reply's plot
     * point and `min_timestamp` derive from them without touching raw data.
@@ -78,13 +96,30 @@ object Rollup {
     * entry per distinct value, which is what makes the tier small. The
     * count-map shape is the standard mode rollup; a high-cardinality
     * column belongs in a sketch, not a rollup tier.
+    *
+    * Smoke columns (`smokeCols`, each must also be in `cols` for its
+    * cnt/mx partials) additionally carry `smoke__<s>`: the bin's exact
+    * 19-slot percentile grid (5th..95th, `SmokePercentages`) stored
+    * COUNT-WEIGHTED as exact decimals (slot×cnt), so partial rows fold by
+    * element-wise sum and the matrix merge is the reference's
+    * count-weighted percentile combination (influx.py:663-668 grid,
+    * :694-735 packing). 19 decimals per (stream, bin) — fixed width, so
+    * the tier economy survives any bin population. Like A7's engine-wide
+    * ntile-20 decision, tier-served smoke is the documented
+    * Influx-emulation twin: exact ntile-20 over raw (`smokeByGroup`)
+    * stays the canonical smoke; the tier answer weights each bin's grid
+    * by its sample count, which is the best any pre-aggregated percentile
+    * store can do (and exactly what the reference's rollup serving does).
     */
   def buildMulti(
       data: DataFrame,
       binsize: Long,
       cols: Seq[String],
-      modeCols: Seq[String] = Nil): DataFrame = {
+      modeCols: Seq[String] = Nil,
+      smokeCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "rollup tier needs at least one stat column")
+    require(smokeCols.forall(cols.contains),
+      "smoke tier columns ride on their stat partials (cnt, mx) — list them in cols too")
     val binned = data
       .withColumn("binstart", col("timestamp") - (col("timestamp") % binsize))
     val statExprs = cols.zipWithIndex.flatMap { case (c, i) =>
@@ -97,13 +132,26 @@ object Rollup {
         sum(d * d).as(nm("s2")),
         min(v).as(nm("mn")),
         max(v).as(nm("mx")))
+    } ++ smokeCols.map { s =>
+      percentile(col(s), lit(SmokePercentages.toArray)).as(s"__grid_$s")
     } ++ Seq(max("timestamp").as("ts"), min("timestamp").as("tsn"))
     val stats = binned
       .groupBy("stream_id", "binstart")
       .agg(statExprs.head, statExprs.tail: _*)
+    // quantize each grid slot to the cross-engine decimal grid, then
+    // weight by the bin's count: Σ(slot·cnt)/Σcnt merges are exact and
+    // order-free, so compaction folds and matrix merges can't drift
+    val withSmoke = smokeCols.foldLeft(stats) { (acc, s) =>
+      val cnt = col(statName("cnt", s, primary = cols.head == s))
+      acc
+        .withColumn(smokeName(s),
+          transform(col(s"__grid_$s"),
+            x => (x.cast(OracleParity.Dec) * cnt).cast(SmokeDec)))
+        .drop(s"__grid_$s")
+    }
     // one two-level agg per mode column (the skew-safe mostByGroup shape:
     // first level map-side-combines per value), joined back on the bin key
-    modeCols.foldLeft(stats) { (acc, m) =>
+    modeCols.foldLeft(withSmoke) { (acc, m) =>
       val counts = binned
         .filter(col(m).isNotNull)
         .groupBy(col("stream_id"), col("binstart"), col(m).as("__k"))
@@ -208,9 +256,17 @@ object Rollup {
           throw new IllegalArgumentException(s"not derivable from rollup partials: $other")
       }
     }
-    val stats = aggs.zip(names).filter { case (a, _) => a.func != "most" }
+    val stats = aggs.zip(names).filter { case (a, _) => a.func != "most" && a.func != "smoke" }
     val modes = aggs.zip(names).filter { case (a, _) => a.func == "most" }
+    val smokes = aggs.zip(names).filter { case (a, _) => a.func == "smoke" }
     val exprs = stats.map { case (a, out) => fromPartials(a).as(out) } ++
+      // smoke needs the window's total count (slot denominator) and max
+      // (the grid's 100th-percentile slot, exact) alongside the slot sums
+      smokes.flatMap { case (a, out) =>
+        Seq(
+          sum(col(nm("cnt", a.column))).as(s"__n_$out"),
+          max(col(nm("mx", a.column))).as(s"__mx_$out"))
+      } ++
       Seq(max(col("ts")).as("timestamp"), min(col("tsn")).as("min_timestamp"))
     var out = base
       .groupBy(col(QueryEngine.LabelCol))
@@ -229,6 +285,28 @@ object Rollup {
         .agg(min_by(col("__k"), struct((-col("__c")).as("nc"), col("__k").as("v")))
           .as(out0))
       out = out.join(part, Seq(QueryEngine.LabelCol), "left_outer")
+    }
+    // smoke merges the count-weighted slot sums: Σ(slot·cnt)/Σcnt per
+    // grid position (exact decimal sums — order-free), then appends the
+    // exact window max as the 20th slot, the reference's smokearray pack
+    // (influx.py:716-722: percentiles 5..95 then max_rtt)
+    smokes.foreach { case (a, out0) =>
+      val part = base
+        .select(col(QueryEngine.LabelCol),
+          posexplode(col(smokeName(a.column))).as(Seq("__p", "__s")))
+        .groupBy(col(QueryEngine.LabelCol), col("__p"))
+        .agg(sum(col("__s")).as("__s"))
+        .groupBy(col(QueryEngine.LabelCol))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__pairs"))
+        .select(col(QueryEngine.LabelCol),
+          transform(col("__pairs"), p => p.getField("__s")).as(out0))
+      out = out
+        .join(part, Seq(QueryEngine.LabelCol), "left_outer")
+        .withColumn(out0,
+          when(col(out0).isNotNull,
+            concat(
+              transform(col(out0), s => s.cast("double") / col(s"__n_$out0")),
+              array(col(s"__mx_$out0").cast("double")))))
     }
     out
       .withColumn("binstart", lit(start))

@@ -36,13 +36,18 @@ object Service {
     * influx.py:158-173) — `valueCol` is the tier's primary stat column,
     * `extraCols` the additional stat columns (suffixed partials), and
     * `modeCols` the columns carrying per-value count maps for `most`
-    * (influx.py:492-511's mode merge, kept exact here — Rollup.buildMulti).
+    * (influx.py:492-511's mode merge, kept exact here — Rollup.buildMulti),
+    * and `smokeCols` the columns carrying the count-weighted percentile
+    * grid for `smoke` (the reference's 5..95-step-5 grid + max,
+    * influx.py:663-668, packed :694-735) — each smoke column must also be
+    * a stat column (buildMulti's contract).
     */
   final case class RollupTiers(
       valueCol: String,
       tiers: Map[Long, String],
       extraCols: Seq[String] = Nil,
-      modeCols: Seq[String] = Nil) {
+      modeCols: Seq[String] = Nil,
+      smokeCols: Seq[String] = Nil) {
     def statCols: Set[String] = (valueCol +: extraCols).toSet
   }
 
@@ -202,10 +207,13 @@ final class Service(
     * touches a few pre-aggregated rows per stream, not the fact table.
     * Falls back to the raw path (the reference's traceroute matrix,
     * dbselect.py:181-205) when no tier fits: unconfigured collection, an
-    * aggregate the partials can't answer (smoke; `most` on a column
-    * without a mode map), a column outside the tier's configured stat
-    * list, or an unaligned window (bin-granular tier reads would silently
-    * change window semantics — raw stays exact).
+    * aggregate the partials can't answer (`most` without a mode map,
+    * `smoke` without a percentile grid — see RollupTiers.smokeCols), a
+    * column outside the tier's configured stat list, or an unaligned
+    * window (bin-granular tier reads would silently change window
+    * semantics — raw stays exact). Tier-served smoke is the documented
+    * Influx-emulation grid (Rollup.buildMulti scaladoc); exact ntile-20
+    * remains the raw path's semantics.
     *
     * Freshness matches the reference's CQ lag: tiers ride the ingest
     * micro-batch (FilePoller.rollupTiers), so a routed matrix sees every
@@ -234,7 +242,8 @@ final class Service(
         cfg <- rollups.get(collection)
         if aggs.forall(a =>
           (TierFuncs(a.func) && cfg.statCols(a.column)) ||
-            (a.func == "most" && cfg.modeCols.contains(a.column)))
+            (a.func == "most" && cfg.modeCols.contains(a.column)) ||
+            (a.func == "smoke" && cfg.smokeCols.contains(a.column)))
         bin <- cfg.tiers.keys.toSeq.sorted.reverse.find(b =>
           stop - start >= b && start % b == 0 && stop % b == 0)
       } yield {

@@ -73,8 +73,9 @@ object RollupStream {
       path: String,
       epoch: Long,
       extraCols: Seq[String] = Nil,
-      modeCols: Seq[String] = Nil): Unit =
-    graft.rollup.Rollup.buildMulti(batch, binsize, valueCol +: extraCols, modeCols)
+      modeCols: Seq[String] = Nil,
+      smokeCols: Seq[String] = Nil): Unit =
+    graft.rollup.Rollup.buildMulti(batch, binsize, valueCol +: extraCols, modeCols, smokeCols)
       .withColumn(IngestStream.EpochCol, lit(epoch))
       .write
       .mode("overwrite")
@@ -157,7 +158,7 @@ object RollupStream {
     // partial is closed under its own fold op, so any mix folds exactly
     val statCols = df.columns.filter(n =>
       n != "stream_id" && n != "binstart" && n != IngestStream.EpochCol &&
-        !n.startsWith("modes__"))
+        !n.startsWith("modes__") && !n.startsWith("smoke__"))
     val foldExprs = statCols.toSeq.map { n =>
       if (n == "ts" || n == "mx" || n.startsWith("mx__")) max(col(n)).as(n)
       else if (n == "tsn" || n == "mn" || n.startsWith("mn__")) min(col(n)).as(n)
@@ -179,6 +180,22 @@ object RollupStream {
         .agg(sum(col("__c")).as("__c"))
         .groupBy("stream_id", "binstart")
         .agg(map_from_entries(collect_list(struct(col("__k"), col("__c")))).as(m))
+      folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
+    }
+    // smoke slot sums fold by element-wise exact-decimal addition (the
+    // grids are stored count-weighted precisely so this fold is closed)
+    df.columns.filter(_.startsWith("smoke__")).foreach { s =>
+      val elemType = df.schema(s).dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val merged = input
+        .select(col("stream_id"), col("binstart"),
+          posexplode(col(s)).as(Seq("__p", "__s")))
+        .groupBy("stream_id", "binstart", "__p")
+        .agg(sum(col("__s")).cast(elemType).as("__s"))
+        .groupBy("stream_id", "binstart")
+        .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__pairs"))
+        .select(col("stream_id"), col("binstart"),
+          transform(col("__pairs"), p => p.getField("__s")).as(s))
       folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
     }
     val foldedOut = folded.withColumn(IngestStream.EpochCol, lit(-k))

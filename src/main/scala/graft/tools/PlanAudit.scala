@@ -239,6 +239,29 @@ object PlanAudit {
       mustContain = Seq("t3600m"),
       mustNot = Seq("events.parquet"))
 
+    //     smoke variant: the one agg that used to full-scan raw on every
+    //     dashboard refresh (the reference's eponymous smokeping matrix)
+    //     now serves from the tier's count-weighted percentile grid
+    //     (influx.py:663-668 grid, :694-735 packing) — raw unscanned
+    graft.streaming.RollupStream.appendPartials(
+      evAll, 3600, "value", s"$tierDir/t3600s", epoch = 0L,
+      smokeCols = Seq("value"))
+    val tierSvcSmoke = new graft.serve.Service(
+      spark,
+      data = Map("ev" -> evAll),
+      streams = Map.empty,
+      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+        "value", Map(3600L -> s"$tierDir/t3600s"),
+        smokeCols = Seq("value"))))
+    val routedSmoke = tierSvcSmoke.matrixFrame(
+      "ev", labels,
+      Seq(AggSpec("value", "smoke"), AggSpec("value", "count")),
+      1704067200L, 1704067200L + 14 * 86400)
+    check("matrix serve: smoke routed to percentile-grid tier, raw unscanned",
+      plan(routedSmoke),
+      mustContain = Seq("t3600s"),
+      mustNot = Seq("events.parquet", "ntile"))
+
     // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
     //     a global sort of the vocabulary
     val tt = graft.pipeline.TextAnalysis.topTerms(

@@ -263,6 +263,95 @@ class ServiceSpec extends SparkSpec {
     assert(!offTier.queryExecution.executedPlan.toString.contains(dir))
   }
 
+  test("matrix tier routing: smoke serves from the percentile-grid tier (influx.py:663-735)") {
+    import graft.streaming.RollupStream
+    val dir = java.nio.file.Files.createTempDirectory("graftmatrixs").toString
+    val t0 = 1704067200L
+    // quarter-step values: exact in double AND in DECIMAL(18,6), so grid
+    // interpolation and the weighted merge stay on dyadic rationals
+    val rows = (0 until 3).flatMap { s =>
+      (0 until 150).map { i =>
+        (s.toLong, t0 + i * 60L + s + 1, (i % 13) * 0.25 + s)
+      }
+    }
+    val ev = rows.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/s3600", epoch = 0L,
+      smokeCols = Seq("value"))
+    val tsvc = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/s3600"), smokeCols = Seq("value"))))
+    val lbl = Map("x" -> Seq(0L, 1L), "y" -> Seq(2L))
+    val aggs = Seq(AggSpec("value", "smoke"), AggSpec("value", "count"))
+
+    val routed = tsvc.matrixFrame("amp-external", lbl, aggs, t0, t0 + 7200)
+    val routedPlan = routed.queryExecution.executedPlan.toString
+    assert(routedPlan.contains("s3600"), s"smoke matrix must scan the tier:\n$routedPlan")
+
+    // expected semantics, computed independently: per (stream, bin) the
+    // weighted-form percentile grid (the arrangement Spark's percentile
+    // and DuckDB's quantile_cont share), each slot quantized to 6 dp and
+    // count-weighted; per label Σ(slot·cnt)/Σcnt, window max as slot 20
+    def pctl(sorted: Vector[Double], p: Double): Double = {
+      val h = p * (sorted.length - 1)
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      if (lo == hi) sorted(lo) else sorted(lo) * (hi - h) + sorted(hi) * (h - lo)
+    }
+    val byLabel = rows
+      .filter { case (_, ts, _) => ts - ts % 3600 >= t0 && ts - ts % 3600 < t0 + 7200 }
+      .groupBy { case (s, _, _) => if (s < 2) "x" else "y" }
+    val expected = byLabel.map { case (l, rs) =>
+      val bins = rs.groupBy { case (s, ts, _) => (s, ts - ts % 3600) }.values.toSeq
+      val n = rs.size
+      val slots = (1 to 19).map { k =>
+        bins.map { b =>
+          val g = pctl(b.map(_._3).sorted.toVector, k / 20.0)
+          BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP) * b.size
+        }.sum.toDouble / n
+      }
+      l -> (slots :+ rs.map(_._3).max)
+    }
+    val got = routed.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](r.fieldIndex("value_smoke")))
+      .toMap
+    expected.foreach { case (l, exp) =>
+      assert(got(l).size === 20)
+      got(l).zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) < 1e-9, s"label $l slot $i: got $g expected $e")
+      }
+    }
+
+    // compaction folds the grid partials without changing the answer:
+    // append a second epoch (late rows in the same bins), read the
+    // uncompacted two-partial tier, compact, compare bit for bit
+    val late = (0 until 3).map { s =>
+      (s.toLong, t0 + 3600L + 1800L + s, 2.5 + s)
+    }.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(late, 3600, "value", s"$dir/s3600", epoch = 1L,
+      smokeCols = Seq("value"))
+    def answer(): Seq[Seq[Any]] = graft.rollup.Rollup
+      .matrixFromTier(
+        RollupStream.readTier(spark, s"$dir/s3600"), lbl, aggs, t0, t0 + 7200,
+        primaryCol = "value")
+      .collect().map(_.toSeq).toSeq
+    val before = answer()
+    RollupStream.compact(spark, s"$dir/s3600")
+    assert(answer() === before, "compaction must not change the tier-served smoke")
+
+    // smoke on a column without a grid → exact raw fallback
+    val noGrid = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/s3600"))))
+    val fellBack = noGrid.matrixFrame("amp-external", lbl, aggs, t0, t0 + 7200)
+    assert(!fellBack.queryExecution.executedPlan.toString.contains(dir))
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
