@@ -41,6 +41,14 @@ object Retention {
     * visibility change). Late re-arrivals of an already-GC'd day become
     * visible until the next cycle re-tombstones them — the reference's
     * retention behaves the same way.
+    *
+    * Registry-pinned days (Snapshot.pin ttlMs > 0) defer PHYSICAL
+    * deletion only: the tombstone still hides them from live queries
+    * immediately; their dirs (and their markers, so a later cycle
+    * retries) survive until the pin's TTL passes. The pin's day set is
+    * the union across its sources — deliberately coarse: a day name
+    * pinned by any source defers that day everywhere in this layout,
+    * which can only over-retain, never leak.
     */
   def expireDays(path: String, cutoffEpoch: Long): Seq[String] = {
     val cutoffDay = LocalDate.ofEpochDay(cutoffEpoch / 86400).format(DayFmt)
@@ -50,16 +58,18 @@ object Retention {
     // phase A: grace elapsed — delete dirs, then their markers
     val prior = expiredDays(path)
     if (prior.nonEmpty) {
+      val pinnedDays = Snapshot.activePins(path).days
+      val deletable = prior -- pinnedDays
       def gc(dir: java.io.File): Unit =
         dir.listFiles().foreach { f =>
           if (f.isDirectory) {
             if (f.getName.startsWith("day=") &&
-                prior(f.getName.stripPrefix("day="))) delete(f)
+                deletable(f.getName.stripPrefix("day="))) delete(f)
             else gc(f)
           }
         }
       gc(root)
-      prior.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").delete())
+      deletable.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").delete())
     }
 
     // phase B: tombstone newly aged days

@@ -23,9 +23,18 @@ import graft.streaming.IngestStream
   * maintenance has run enough cycles that grace GC retires a pinned
   * source — a whole generation/cset/epoch, or a retention-expired day
   * INSIDE a still-live generation — `read` fails with a clear error
-  * instead of serving a partial corpus. Pin lifetime is therefore the
-  * maintenance cadence — hours in practice — which is the deliberate
-  * price of rename-free storage; jobs needing longer pins re-pin per run.
+  * instead of serving a partial corpus. An UNREGISTERED pin (ttlMs = 0)
+  * therefore lives at most one maintenance cadence — hours in practice —
+  * the deliberate price of rename-free storage. A pin with `ttlMs > 0`
+  * additionally lands in the layout's pin REGISTRY (`_pins/`): every
+  * grace-GC phase (gcLayout, compactToLayout's epoch sweep,
+  * Retention.expireDays' physical phase) consults the registry and
+  * defers physical deletion of pinned sources until the TTL passes —
+  * Delta's time-travel-retention analogue. The trade is disk: superseded
+  * generations/csets/epochs and expired days are held for up to the TTL
+  * on top of their one grace cycle (see ARCHITECTURE.md). Visibility is
+  * unchanged — pinned-but-superseded sources stay invisible to live
+  * readers; only the snapshot's own `read` reaches them.
   *
   * The reference has no analogue (its continuous queries serve only the
   * live state); this exists because a 100 TB training pipeline needs
@@ -75,6 +84,11 @@ object LayoutSnapshot {
 
 object Snapshot {
 
+  /** Pin registry dir under the layout root: one file per TTL'd pin,
+    * named `pin_<expiryEpochMs>_<id>`, containing the snapshot token.
+    */
+  private[graft] val PinsDir = "_pins"
+
   /** Pin the current serving view as a consistent cut.
     *
     * The swap lock excludes in-JVM merge/GC, but the minor compactor
@@ -86,8 +100,22 @@ object Snapshot {
     * cut is fine (the superseded sources live out their grace cycle); a
     * straddled cut is not (a cset plus the raw epochs it covers would
     * double-count).
+    *
+    * Day sets are captured NET of the already-tombstoned days (the pinned
+    * read never serves those via `expiredOverride`), so a later physical
+    * deletion of a day that was ALREADY expired at pin time cannot
+    * spuriously expire the snapshot.
+    *
+    * @param ttlMs 0 (default) = unregistered pin: valid until the next
+    *   maintenance cycle's grace GC, the original contract. > 0 =
+    *   REGISTERED pin: lands in `_pins/` and every grace-GC phase defers
+    *   physical deletion of its sources until `ttlMs` from now, after
+    *   which the registry entry self-cleans and `read` fails with the
+    *   expiry contract. Registration is honored by in-JVM maintenance
+    *   unconditionally (the swap lock serializes pin vs gcLayout) and by
+    *   the single cross-process maintenance writer on its next cycle.
     */
-  def pin(layoutPath: String, dataPath: String): LayoutSnapshot =
+  def pin(layoutPath: String, dataPath: String, ttlMs: Long = 0L): LayoutSnapshot =
     IngestStream.swapLock(layoutPath).synchronized {
       var attempt = 0
       var out: Option[LayoutSnapshot] = None
@@ -108,12 +136,12 @@ object Snapshot {
             .sorted
         }
         if (IngestStream.committedMarkers(layoutPath) == ((msets, csets))) {
+          val expired = Retention.expiredDays(layoutPath)
           val srcNames = newest.map { case (k, _) => s"mset=$k" }.toSeq ++
             liveCsets.map(c => s"cset=$c")
           out = Some(LayoutSnapshot(
-            newest, liveCsets, epochs,
-            Retention.expiredDays(layoutPath),
-            srcNames.map(n => n -> dayDirs(s"$layoutPath/$n")).toMap))
+            newest, liveCsets, epochs, expired,
+            srcNames.map(n => n -> (dayDirs(s"$layoutPath/$n") -- expired)).toMap))
         } else {
           attempt += 1
           if (attempt > 5) throw new IllegalStateException(
@@ -122,8 +150,52 @@ object Snapshot {
               "when maintenance is not committing continuously")
         }
       }
-      out.get
+      val snap = out.get
+      if (ttlMs > 0) {
+        val dir = new java.io.File(layoutPath, PinsDir)
+        dir.mkdirs()
+        val id = java.util.UUID.randomUUID().toString.take(8)
+        java.nio.file.Files.writeString(
+          new java.io.File(dir,
+            s"pin_${System.currentTimeMillis() + ttlMs}_$id").toPath,
+          snap.token)
+      }
+      snap
     }
+
+  /** The union of sources protected by unexpired registry pins. Expired
+    * pin files are deleted here — every GC consult is also the registry's
+    * self-clean, so a pin expires without a dedicated reaper.
+    */
+  private[graft] case class PinnedSources(
+      msets: Set[Long], csets: Set[Long], epochs: Set[Long], days: Set[String]) {
+    def isEmpty: Boolean =
+      msets.isEmpty && csets.isEmpty && epochs.isEmpty && days.isEmpty
+  }
+
+  private[graft] def activePins(
+      layoutPath: String,
+      nowMs: Long = System.currentTimeMillis()): PinnedSources = {
+    val dir = new java.io.File(layoutPath, PinsDir)
+    val files =
+      if (!dir.exists || dir.listFiles == null) Seq.empty[java.io.File]
+      else dir.listFiles.toSeq.filter(_.getName.startsWith("pin_"))
+    var acc = PinnedSources(Set.empty, Set.empty, Set.empty, Set.empty)
+    files.foreach { f =>
+      val expiry = f.getName.split("_")(1).toLong
+      if (expiry <= nowMs) f.delete() // clean expiry
+      else {
+        val snap = LayoutSnapshot.fromToken(
+          java.nio.file.Files.readString(f.toPath))
+        acc = PinnedSources(
+          acc.msets ++ snap.gen.map(_._1),
+          acc.csets ++ snap.csets,
+          acc.epochs ++ snap.epochs,
+          acc.days ++ snap.sourceDays.values.flatten)
+      }
+    }
+    acc
+  }
 
   /** Read EXACTLY the pinned sources. Fails fast with the expiry contract
     * in the message when grace GC has retired any of them — a whole

@@ -239,12 +239,17 @@ object IngestStream {
     // run just committed stay on disk (invisible via the cutoff filter)
     // until the NEXT cycle, so a reader whose plan listed them moments
     // before the commit never hits FileNotFoundException mid-scan.
+    // Registry-pinned epochs (Snapshot.pin ttlMs > 0) additionally
+    // survive until their pin's TTL passes.
+    val pinnedEpochs = graft.storage.Snapshot.activePins(layoutPath).epochs
     val dataDir = new java.io.File(dataPath)
     if (dataDir.exists && dataDir.listFiles != null)
       dataDir.listFiles
         .filter { f =>
-          f.isDirectory && f.getName.startsWith(s"$EpochCol=") &&
-            f.getName.stripPrefix(s"$EpochCol=").toLong < already
+          f.isDirectory && f.getName.startsWith(s"$EpochCol=") && {
+            val e = f.getName.stripPrefix(s"$EpochCol=").toLong
+            e < already && !pinnedEpochs(e)
+          }
         }
         .foreach(deleteRecursively)
   }
@@ -313,16 +318,24 @@ object IngestStream {
     val layoutDir = new java.io.File(layoutPath)
     if (!layoutDir.exists || layoutDir.listFiles == null) return
     swapLock(layoutPath).synchronized {
+      // registry pins (Snapshot.pin ttlMs > 0) defer retirement of their
+      // sources until the TTL passes: marker AND dir both survive — a
+      // marker whose dir outlives it would strand the dir as an "orphan"
+      // for the crashed-attempt sweep below. Superseded-but-pinned
+      // sources stay invisible (visibleSources keys on the newest
+      // generation), so only the snapshot's own read reaches them.
+      val pinned = graft.storage.Snapshot.activePins(layoutPath)
       val msets = committedMsets(layoutPath)
       val newestCutoff = msets.lastOption.map(_._2).getOrElse(Long.MinValue)
-      msets.dropRight(1).foreach { case (k, c) =>
+      msets.dropRight(1).filterNot(m => pinned.msets(m._1)).foreach { case (k, c) =>
         new java.io.File(layoutDir, s"_committed_mset_${k}_$c").delete()
         deleteRecursively(new java.io.File(layoutDir, s"mset=$k"))
       }
-      committedCsets(layoutPath).filter(_ <= newestCutoff).foreach { c =>
-        new java.io.File(layoutDir, s"_committed_cset_$c").delete()
-        deleteRecursively(new java.io.File(layoutDir, s"cset=$c"))
-      }
+      committedCsets(layoutPath).filter(_ <= newestCutoff)
+        .filterNot(pinned.csets).foreach { c =>
+          new java.io.File(layoutDir, s"_committed_cset_$c").delete()
+          deleteRecursively(new java.io.File(layoutDir, s"cset=$c"))
+        }
       val committedGens = committedMsets(layoutPath).map(_._1).toSet
       layoutDir.listFiles
         .filter(f => f.isDirectory && f.getName.matches("mset=\\d+"))

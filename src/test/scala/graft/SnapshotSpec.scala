@@ -112,6 +112,119 @@ class SnapshotSpec extends SparkSpec {
       e.getMessage.contains("day=20240101"))
   }
 
+  test("registered pin (TTL) survives maintenance cycles, then expires cleanly") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 1L, buckets = 8)
+    IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+
+    // a REGISTERED pin: grace GC defers its sources until the TTL
+    val snap = Snapshot.pin(s"$dir/layout", s"$dir/data", ttlMs = 10 * 60 * 1000L)
+    def pinned = Snapshot.read(spark, s"$dir/layout", s"$dir/data", snap)
+      .select("timestamp").as[Long].collect().sorted.toSeq
+    val expected = Seq(1704067200L, 1704153600L)
+    assert(pinned === expected)
+
+    // TWO full maintenance cycles — the unregistered contract dies on the
+    // second (the first supersedes, the second's grace GC retires); the
+    // registered pin must keep serving through both
+    (0 until 2).foreach { _ =>
+      IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+        settledBelow = 2L, buckets = 8)
+      IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+      IngestStream.gcLayout(s"$dir/layout")
+      assert(pinned === expected, "registered pin must survive grace GC")
+    }
+    // live view unaffected, and the pinned-but-superseded sources are
+    // invisible to it
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+      .count() === 2)
+
+    // TTL passes (rewind the registry entry's expiry rather than sleeping
+    // through real cycles): the next cycle's GC retires the sources AND
+    // self-cleans the pin file; the read fails the expiry contract
+    val pinsDir = new java.io.File(s"$dir/layout", "_pins")
+    val pinFile = pinsDir.listFiles().filter(_.getName.startsWith("pin_")).head
+    val parts = pinFile.getName.split("_")
+    java.nio.file.Files.move(pinFile.toPath,
+      new java.io.File(pinsDir,
+        s"pin_${System.currentTimeMillis() - 1}_${parts(2)}").toPath)
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+    IngestStream.mergeCsets(spark, s"$dir/layout", buckets = 8)
+    IngestStream.gcLayout(s"$dir/layout")
+    val e = intercept[IllegalStateException] { pinned }
+    assert(e.getMessage.contains("snapshot expired"))
+    assert(pinsDir.listFiles().isEmpty, "expired pin file must self-clean")
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+      .count() === 2)
+  }
+
+  test("registered pin defers retention's physical day deletion until TTL") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec, // 2024-01-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1717200000L), spec, // 2024-06-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+
+    val snap = Snapshot.pin(s"$dir/layout", s"$dir/data", ttlMs = 10 * 60 * 1000L)
+    def pinned = Snapshot.read(spark, s"$dir/layout", s"$dir/data", snap)
+      .select("timestamp").as[Long].collect().sorted.toSeq
+
+    // tombstone + TWO physical cycles: live queries lose the day at the
+    // tombstone; the pinned day dir survives physical GC while pinned
+    (0 until 3).foreach { _ =>
+      graft.storage.Retention.expireDays(s"$dir/layout", 1709251200L)
+      assert(pinned === Seq(1704067200L, 1717200000L))
+    }
+    assert(IngestStream.readCombined(spark, s"$dir/layout", s"$dir/data")
+      .count() === 1)
+
+    // TTL passes → the next physical cycle deletes the day and the read
+    // fails the expiry contract, naming the day
+    val pinsDir = new java.io.File(s"$dir/layout", "_pins")
+    val pinFile = pinsDir.listFiles().filter(_.getName.startsWith("pin_")).head
+    java.nio.file.Files.move(pinFile.toPath,
+      new java.io.File(pinsDir,
+        s"pin_${System.currentTimeMillis() - 1}_x").toPath)
+    graft.storage.Retention.expireDays(s"$dir/layout", 1709251200L)
+    val e = intercept[IllegalStateException] { pinned }
+    assert(e.getMessage.contains("day=20240101"))
+  }
+
+  test("pin taken between tombstone and physical deletion never spuriously expires") {
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec, // 2024-01-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.ingestBatch(batch("s2", 1717200000L), spec, // 2024-06-01
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+
+    // day 20240101 is tombstoned (hidden) but not yet physically deleted
+    graft.storage.Retention.expireDays(s"$dir/layout", 1709251200L)
+    // the pin must capture the day set NET of the tombstones: the pinned
+    // read never serves 20240101, so its later physical deletion is not
+    // an expiry of anything this snapshot serves
+    val snap = Snapshot.pin(s"$dir/layout", s"$dir/data")
+    assert(snap.sourceDays("cset=2") === Set("20240601"))
+    def pinned = Snapshot.read(spark, s"$dir/layout", s"$dir/data", snap)
+      .select("timestamp").as[Long].collect().sorted.toSeq
+    assert(pinned === Seq(1717200000L))
+    // physical phase deletes the tombstoned day — the snapshot keeps
+    // serving (pre-fix: goneDays flagged the never-served day and threw)
+    graft.storage.Retention.expireDays(s"$dir/layout", 1709251200L)
+    assert(pinned === Seq(1717200000L))
+  }
+
   test("pin is consistent under a concurrent merge commit") {
     val dir = tmpDir()
     val spec = Collections.ampExternal
