@@ -408,7 +408,7 @@ object SparkEntry {
       // boilerplate, not signal, and contributes O(df^2) candidate pairs
       // (a single-key shuffle bomb at 100 TB); the oracle mirrors the cut
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.2,
-        maxDf = Some(500L))
+        maxDf = Some(500L), maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -417,7 +417,8 @@ object SparkEntry {
     //      production default in Dedup.minhashLshPairs, and DedupSpec
     //      bridges the two families' pair sets)
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairsMd5(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.minhashLshPairsMd5(Tables.documents(s, dir), "doc_id", "text",
+        maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -428,7 +429,8 @@ object SparkEntry {
 
     // ---- SimHash near-dup pairs (quarter-blocking + exact hamming) ----
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -514,7 +516,8 @@ object SparkEntry {
       Dedup.decontaminate(
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", 3)
+          "doc_id", "text", 3,
+          maxMatches = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("doc_id")
     }),
 
@@ -602,7 +605,8 @@ object SparkEntry {
     // ---- Embedding near-dup pairs (label-blocked cosine) --------------
     "q_embed_dup" -> ((s, dir) => {
       Similarity.embeddingDupPairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.3)
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.3,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -803,7 +807,8 @@ object SparkEntry {
       Similarity
         .embeddingDupPairsLsh(
           Tables.embeddings(s, dir), "vec_id", "embedding", 0.3,
-          planes = 8, dims = 64, probes = 2)
+          planes = 8, dims = 64, probes = 2,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
     }),
 

@@ -23,6 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Conservative default candidate-volume budget for gate/serve entry
+    * points: the `graft.volumeBudget` session conf when set, else
+    * shuffle-partitions × 32M rows — a partition-count-proportional bound
+    * on the candidate shuffle (≈1e9 rows at this repo's 32 partitions;
+    * scales with the cluster exactly like the shuffle capacity it
+    * protects). The pair emitters' `maxCandidates`/`maxMatches` params
+    * stay `None` by default at the LIBRARY level (the exact measures are
+    * well-defined at any size and a library must not refuse work a
+    * caller sized deliberately); entry points that serve unvetted
+    * requests — the SparkEntry gate queries here — pass this default so
+    * a saturated-vocabulary corpus fails fast with the linear
+    * alternative's name instead of launching a multi-billion-row shuffle.
+    */
+  def defaultVolumeBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.volumeBudget").map(_.toLong).getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong * 32L * 1000 * 1000)
+
+  /** Fail-fast self-pair volume estimate: Σ_key df·(df−1)/2 over the
+    * blocking keys of `keyed` — the number of unordered candidate pairs a
+    * self-join on those keys generates. One map-side-combined agg;
+    * computed in DOUBLE (the guard needs magnitude — an exact Long sum
+    * overflows silently at df ≳ 3e9, i.e. precisely the dense regime the
+    * guard exists to catch).
+    */
+  private[pipeline] def selfPairGuard(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      budget: Option[Long],
+      op: String,
+      alternative: String): Unit =
+    budget.foreach { b =>
+      val est = keyed
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+        .agg(coalesce(
+          sum(col("__df").cast("double") * (col("__df") - 1)), lit(0.0)))
+        .collect()(0).getDouble(0) / 2
+      if (est > b.toDouble) throw new IllegalStateException(
+        f"$op: estimated $est%.0f candidate pairs exceeds budget=$b — " +
+          alternative)
+    }
+
   /** A pipeline-scoped registry of the eager per-document set/signature
     * caches the pair builders pin. The RETURNED pair frames are lazy plans
     * over these caches, so they cannot be unpersisted inside the builders;
@@ -146,11 +187,14 @@ object Dedup {
     // pipeline's heaviest shuffle)
     lazy val dfs = pin(exploded.groupBy("__s").agg(count(lit(1)).as("__df")))
     maxCandidates.foreach { budget =>
+      // DOUBLE estimate: an exact Long Σdf(df−1) overflows silently at
+      // df ≳ 3e9 — the dense regime the guard exists to catch
       val est = maxDf.fold(dfs)(cap => dfs.filter(col("__df") <= cap))
-        .agg(coalesce(sum(col("__df") * (col("__df") - 1)), lit(0L)).as("__t"))
-        .collect()(0).getLong(0) / 2
-      if (est > budget) throw new IllegalStateException(
-        s"ngramJaccardPairs: estimated $est candidate pairs exceeds " +
+        .agg(coalesce(
+          sum(col("__df").cast("double") * (col("__df") - 1)), lit(0.0)).as("__t"))
+        .collect()(0).getDouble(0) / 2
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"ngramJaccardPairs: estimated $est%.0f candidate pairs exceeds " +
           s"maxCandidates=$budget — the shingle vocabulary is too dense " +
           "for the exact all-pairs measure at this corpus size; use " +
           "minhashLshPairs/simhashPairs (the LSH scale paths) or tighten maxDf")
@@ -249,7 +293,8 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = pin(minhashSignatures(df, idCol, textCol, n, numHashes))
@@ -260,6 +305,13 @@ object Dedup {
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows))))))
         .as(Seq("__band", "__bh")))
+    // a DEGENERATE corpus (mass-identical content) collapses every band
+    // bucket into one key and the band join goes output-quadratic — the
+    // same budget contract as ngramJaccardPairs, with the linear fix named
+    selfPairGuard(banded, Seq("__band", "__bh"), maxCandidates,
+      "minhashLshPairs",
+      "band buckets are saturated (mass-identical content); run `exact` " +
+        "dedup first to collapse identical documents, then LSH the survivors")
     val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
     val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("__band", "__bh"))
@@ -300,7 +352,8 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = pin(df
@@ -316,6 +369,10 @@ object Dedup {
           sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))
         .as(Seq("__band", "__bh")))
+    selfPairGuard(banded, Seq("__band", "__bh"), maxCandidates,
+      "minhashLshPairsMd5",
+      "band buckets are saturated (mass-identical content); run `exact` " +
+        "dedup first to collapse identical documents, then LSH the survivors")
     val l = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
     val r = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
     val candidates = l.join(r, Seq("__band", "__bh"))
@@ -358,7 +415,12 @@ object Dedup {
     * (a pair within hamming distance <= 3 of 60 bits must agree on at least
     * one quarter — pigeonhole), then verify with an exact popcount.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxCandidates: Option[Long] = None): DataFrame = {
     val fp = pin(simhash(df, idCol, textCol))
     val blocked = fp.select(
       col(idCol).as("__id"),
@@ -368,6 +430,14 @@ object Dedup {
           sequence(lit(0), lit(3)),
           q => call_function("shiftright", col("simhash"), q * 15).bitwiseAND(0x7fff)))
         .as(Seq("__q", "__qk")))
+    // a corpus of near-identical fingerprints collapses the quarter
+    // blocks (the sf10 GenScale caveat: unigram features survive word
+    // permutation) — same fail-fast contract as the other pair emitters
+    selfPairGuard(blocked, Seq("__q", "__qk"), maxCandidates,
+      "simhashPairs",
+      "quarter blocks are saturated (near-identical fingerprints); run " +
+        "`exact` dedup first, or use minhashLshPairs with a higher " +
+        "threshold (shingle features separate reordered near-dups)")
     // fingerprints are single longs, so both sides carry them through the
     // block join; duplicates (a pair agreeing on several quarters) are
     // eliminated AT THE SOURCE by keeping only the first matching quarter —
@@ -653,11 +723,13 @@ object Dedup {
     maxMatches.foreach { budget =>
       val cdf = trainIdx.groupBy("__s").agg(count(lit(1)).as("__cdf"))
       val bdf = benchIdx.groupBy("__s").agg(count(lit(1)).as("__bdf"))
+      // DOUBLE estimate — same overflow rationale as ngramJaccardPairs'
       val est = cdf.join(bdf, Seq("__s"))
-        .agg(coalesce(sum(col("__cdf") * col("__bdf")), lit(0L)).as("__t"))
-        .collect()(0).getLong(0)
-      if (est > budget) throw new IllegalStateException(
-        s"decontaminate: estimated $est (corpus shingle, bench doc) match " +
+        .agg(coalesce(
+          sum(col("__cdf").cast("double") * col("__bdf")), lit(0.0)).as("__t"))
+        .collect()(0).getDouble(0)
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"decontaminate: estimated $est%.0f (corpus shingle, bench doc) match " +
           s"rows exceeds maxMatches=$budget — the shingle overlap is too " +
           "dense for exact per-document bench-doc counts at this scale; " +
           "use the boolean contamination filter (StreamingText hygiene's " +

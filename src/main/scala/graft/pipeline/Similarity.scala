@@ -86,7 +86,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    // a skewed block key (one label covering most of the corpus) makes
+    // the block self-join output-quadratic — same fail-fast contract as
+    // the Dedup pair emitters
+    Dedup.selfPairGuard(emb.select(col(blockCol)), Seq(blockCol), maxCandidates,
+      "embeddingDupPairs",
+      s"block key `$blockCol` is too coarse (one block dominates the " +
+        "corpus); block on embeddingDupPairsLsh buckets (vector-derived, " +
+        "uniform by construction) or a finer label")
     val l = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
     val r = emb.select(col(blockCol).as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
     l.join(r, Seq("__blk"))
@@ -159,7 +168,8 @@ object Similarity {
       threshold: Double,
       planes: Int = 8,
       dims: Int = 64,
-      probes: Int = 0): DataFrame = {
+      probes: Int = 0,
+      maxCandidates: Option[Long] = None): DataFrame = {
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), planes, dims).as("__home"))
@@ -171,6 +181,25 @@ object Similarity {
           array(col("__home")),
           (0 until probes).map(p =>
             array(col("__home").bitwiseXOR(lit(1 << p)))).reduce(concat(_, _)))))
+    // sign-bit buckets collapse when the corpus clusters on one side of
+    // the hyperplanes (degenerate near-identical embeddings) — fail-fast
+    // on the probe-side × home-side join volume, like the Dedup emitters.
+    // DOUBLE estimate: exact Long products overflow in the dense regime
+    // the guard exists for.
+    maxCandidates.foreach { budget =>
+      val lc = probed.select(col("__bkt"))
+        .groupBy("__bkt").agg(count(lit(1)).as("__lc"))
+      val rc = bucketed.select(col("__home").as("__bkt"))
+        .groupBy("__bkt").agg(count(lit(1)).as("__rc"))
+      val est = lc.join(rc, Seq("__bkt"))
+        .agg(coalesce(sum(col("__lc").cast("double") * col("__rc")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"embeddingDupPairsLsh: estimated $est%.0f candidate join rows " +
+          s"exceeds maxCandidates=$budget — the sign-bit buckets are " +
+          "saturated (clustered embeddings); raise `planes` (finer " +
+          "buckets) or semantic-dedup via k-means cells (semanticDupPairsWith)")
+    }
     val l = probed.select(col("__bkt"), col("__home").as("__ha"), col("id").as("__ia"), col("v").as("__va"))
     // right side home-only: the (probes+1)× growth stays on one side
     val r = bucketed.select(col("__home").as("__bkt"), col("__home").as("__hb"), col("id").as("__ib"), col("v").as("__vb"))

@@ -156,6 +156,56 @@ class DedupSpec extends SparkSpec {
       .collect().length)
   }
 
+  test("lsh band + simhash quarter budgets fail fast on degenerate corpora, silent under") {
+    // 40 identical docs: every band bucket / quarter block collapses to
+    // one key → the self-join is output-quadratic (40·39/2 ≥ 700 pairs)
+    val degenerate = (1L to 40L)
+      .map(i => (i, "the exact same sentence repeated everywhere"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.minhashLshPairs(degenerate, "doc_id", "text",
+        maxCandidates = Some(100L)).collect()
+    }
+    assert(e1.getMessage.contains("exact"))
+    val e1m = intercept[IllegalStateException] {
+      Dedup.minhashLshPairsMd5(degenerate, "doc_id", "text",
+        maxCandidates = Some(100L)).collect()
+    }
+    assert(e1m.getMessage.contains("exact"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.simhashPairs(degenerate, "doc_id", "text",
+        maxCandidates = Some(100L)).collect()
+    }
+    assert(e2.getMessage.contains("minhashLshPairs"))
+    // the healthy corpus sails under a generous budget on all three
+    assert(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxCandidates = Some(1000000L)).collect().nonEmpty)
+    assert(Dedup.minhashLshPairsMd5(corpus, "doc_id", "text",
+      maxCandidates = Some(1000000L)).collect().nonEmpty)
+    Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxCandidates = Some(1000000L)).collect()
+  }
+
+  test("defaultVolumeBudget: conf override, else shuffle-partition-derived") {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    assert(Dedup.defaultVolumeBudget(spark) === parts * 32L * 1000 * 1000)
+    spark.conf.set("graft.volumeBudget", "123")
+    try {
+      assert(Dedup.defaultVolumeBudget(spark) === 123L)
+      // wired default fires on a dense corpus when the conf tightens it
+      val degenerate = (1L to 40L)
+        .map(i => (i, "the exact same sentence repeated everywhere"))
+        .toDF("doc_id", "text")
+      intercept[IllegalStateException] {
+        Dedup.minhashLshPairs(degenerate, "doc_id", "text",
+          maxCandidates = Some(Dedup.defaultVolumeBudget(spark))).collect()
+      }
+    } finally spark.conf.unset("graft.volumeBudget")
+    // at the partition-derived default the spec corpus is far under budget
+    assert(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxCandidates = Some(Dedup.defaultVolumeBudget(spark))).collect().nonEmpty)
+  }
+
   test("minhash LSH recovers the same dup pairs as exact jaccard here") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -155,6 +155,30 @@ class SimilaritySpec extends SparkSpec {
     assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
 
+  test("embedding pair budgets fail fast on collapsed blocks, silent under") {
+    // one block label over 40 vectors → the block self-join is
+    // output-quadratic; likewise identical embeddings collapse every
+    // sign-bit LSH bucket
+    val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val clustered = (1L to 40L).map(i => (i, 0, v)).toDF("vec_id", "label", "embedding")
+    val e1 = intercept[IllegalStateException] {
+      Similarity.embeddingDupPairs(clustered, "vec_id", "embedding", "label", 0.5,
+        maxCandidates = Some(100L)).collect()
+    }
+    assert(e1.getMessage.contains("embeddingDupPairsLsh"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.embeddingDupPairsLsh(clustered, "vec_id", "embedding", 0.5,
+        maxCandidates = Some(100L)).collect()
+    }
+    assert(e2.getMessage.contains("planes"))
+    // the real corpus sails under a generous budget on both paths
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    assert(Similarity.embeddingDupPairs(emb, "vec_id", "embedding", "label", 0.3,
+      maxCandidates = Some(100000000L)).collect().nonEmpty)
+    assert(Similarity.embeddingDupPairsLsh(emb, "vec_id", "embedding", 0.3,
+      probes = 2, maxCandidates = Some(100000000L)).collect().nonEmpty)
+  }
+
   test("semanticDedup keeps exactly the component minima of the cell-blocked pairs") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding")
