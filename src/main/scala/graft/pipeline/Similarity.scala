@@ -468,6 +468,55 @@ object Similarity {
     ivfIndexStats(spark, path)
   }
 
+  /** The retrain job the RETRAIN POLICY points at: when
+    * [[IvfIndexStats.needsRetrain]] fires (or `force`), retrain the
+    * coarse quantizer over the index's CURRENT corpus and rewrite the
+    * whole index — fresh centroids, fresh cell assignment, fresh
+    * `_train_rows` base (appendedFraction resets to 0). Returns the
+    * post-job stats either way, so a maintenance loop is one call:
+    * append, then rebuild-if-needed.
+    *
+    * The corpus is STAGED to `_rebuild_stage` before the in-place
+    * rewrite (reading and overwriting the same directory in one job is
+    * undefined), and the stage doubles as the crash story: Spark's
+    * `_SUCCESS` marker commits it, and a committed stage found on entry
+    * means a previous rebuild died mid-rewrite — the stage, not the
+    * possibly-partial corpus, is then the authoritative source and the
+    * rebuild resumes from it. Single-maintenance-writer contract, same
+    * as every compactor here; index QUERIES racing a rebuild should run
+    * against a separate index generation at 100 TB (rebuild into a new
+    * path, swap the serving pointer).
+    */
+  def ivfRebuildIfNeeded(
+      spark: SparkSession,
+      path: String,
+      cells: Int = 16,
+      lloydIters: Int = 2,
+      trainFraction: Double = 1.0,
+      force: Boolean = false): IvfIndexStats = {
+    val stage = s"$path/_rebuild_stage"
+    val stageCommitted = new java.io.File(stage, "_SUCCESS").exists
+    if (!stageCommitted) {
+      // a stage dir without _SUCCESS is a dead write — remove and decide
+      // fresh from the (still intact) live index
+      deleteRec(new java.io.File(stage))
+      val stats = ivfIndexStats(spark, path)
+      if (!force && !stats.needsRetrain) return stats
+      spark.read.parquet(s"$path/corpus").select("id", "vec")
+        .write.mode("overwrite").parquet(stage)
+    }
+    ivfWriteIndex(
+      spark.read.parquet(stage), "id", "vec", path,
+      cells, lloydIters, trainFraction)
+    deleteRec(new java.io.File(stage))
+    ivfIndexStats(spark, path)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)
+    f.delete()
+  }
+
   def ivfReadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell")

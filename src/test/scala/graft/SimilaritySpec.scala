@@ -143,6 +143,67 @@ class SimilaritySpec extends SparkSpec {
     assert(fullStats.appendedFraction === 0.0)
   }
 
+  test("ivfRebuildIfNeeded: no-op under threshold, retrain parity past it, crash-safe stage") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfreb").toString
+    val queries = (0L until 10L)
+    def corpusFiles(p: String) = new java.io.File(s"$p/corpus").listFiles()
+      .filter(_.getName.startsWith("__cell="))
+      .flatMap(d => d.listFiles().map(_.getPath)).toSet
+
+    Similarity.ivfWriteIndex(first, "vec_id", "embedding", s"$base/idx")
+    // under threshold: a no-op — the corpus files are untouched
+    val before = corpusFiles(s"$base/idx")
+    val noop = Similarity.ivfRebuildIfNeeded(spark, s"$base/idx")
+    assert(!noop.needsRetrain)
+    assert(corpusFiles(s"$base/idx") === before)
+
+    // an uncommitted stage (dead write) is swept, then still a no-op
+    val stage = new java.io.File(s"$base/idx/_rebuild_stage")
+    stage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, "part-junk").toPath, "x")
+    Similarity.ivfRebuildIfNeeded(spark, s"$base/idx")
+    assert(!stage.exists, "dead stage must be swept")
+    assert(corpusFiles(s"$base/idx") === before)
+
+    // append past the 20% threshold → the next maintenance call retrains
+    val appended = Similarity.ivfAppendIndex(rest, "vec_id", "embedding", s"$base/idx")
+    assert(appended.needsRetrain)
+    val rebuilt = Similarity.ivfRebuildIfNeeded(spark, s"$base/idx")
+    assert(rebuilt.trainedRows === 500L && rebuilt.appendedFraction === 0.0)
+    assert(!rebuilt.needsRetrain)
+    assert(!stage.exists, "stage must be cleaned after a successful rebuild")
+
+    // append-then-rebuild == fresh build over the combined corpus: the
+    // retrained quantizer init is the first `cells` vectors in id order
+    // and Lloyd means are deterministic per row multiset, so queries match
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", s"$base/fresh")
+    val a = Similarity.ivfQueryIndex(spark, s"$base/idx", queries, 5)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.ivfQueryIndex(spark, s"$base/fresh", queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+
+    // crash mid-rewrite: the committed stage survives; kill the corpus
+    // dir entirely — the retry must restore a working index from the stage
+    val stageSrc = spark.read.parquet(s"$base/idx/corpus").select("id", "vec")
+    stageSrc.write.mode("overwrite").parquet(s"$base/idx/_rebuild_stage")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory && f.listFiles != null) f.listFiles.foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(s"$base/idx/corpus"))
+    val recovered = Similarity.ivfRebuildIfNeeded(spark, s"$base/idx")
+    assert(recovered.totalRows === 500L)
+    assert(Similarity.ivfQueryIndex(spark, s"$base/idx", queries, 5)
+      .collect().map(_.toSeq).toSet === a)
+  }
+
   test("embeddingDupPairs finds planted near-duplicates within a block") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.001f
