@@ -44,10 +44,34 @@ final class WireServer(
     // X1/X2-over-the-wire: committed rows published here flow to
     // subscribed clients as NNTSC_LIVE frames (exporter.py:1408-1489),
     // buffered during backfill and released across the history seam
-    live: Option[Markers.LiveBus] = None) {
+    live: Option[Markers.LiveBus] = None,
+    // audit sink for undecodable frames — the wire twin of FilePoller's
+    // dead-letter default (a malformed request must never be silently
+    // dropped; the reference nacks bad messages back to the queue,
+    // amp.py:254-262). Body-layer failures (bad JSON, wrong arg shapes)
+    // are captured AND answered with an error frame — the connection
+    // SURVIVES; header-layer failures (bad version/length) are captured
+    // and the connection drops (a byte stream with a corrupt length
+    // cannot be resynced). Each capture is `frame_<ts>_<n>.raw` (the
+    // bytes verbatim) + `.err` (the decode error). None disables.
+    deadLetterPath: Option[String] =
+      Some(System.getProperty("java.io.tmpdir") + "/graft_wire_deadletter")) {
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
+  private val dlSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Best-effort audit write — the sink must never take the server down. */
+  private def deadLetter(bytes: Array[Byte], err: String): Unit =
+    deadLetterPath.foreach { p =>
+      try {
+        val dir = new java.io.File(p)
+        dir.mkdirs()
+        val n = s"frame_${System.currentTimeMillis()}_${dlSeq.incrementAndGet()}"
+        java.nio.file.Files.write(new java.io.File(dir, s"$n.raw").toPath, bytes)
+        java.nio.file.Files.writeString(new java.io.File(dir, s"$n.err").toPath, err)
+      } catch { case _: Throwable => () }
+    }
 
   def boundPort: Int = server.getLocalPort
 
@@ -82,6 +106,9 @@ final class WireServer(
           val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
           // validate BEFORE allocating: the length is client-controlled
           if (version != Wire.Version || len < 0 || len > Wire.MaxFrameLen) {
+            deadLetter(header,
+              s"bad frame header: version=$version len=$len " +
+                s"(expected version=${Wire.Version}, 0 <= len <= ${Wire.MaxFrameLen})")
             open = false
           } else {
             val body = new Array[Byte](len)
@@ -253,6 +280,17 @@ final class WireServer(
       case e: Service.QueryCancelledException =>
         Wire.pack(Wire.QueryCancelled,
           s"""{"error":${JsonMini.str(e.getMessage)}}""".getBytes("UTF-8"))
+      // malformed-request shapes (parse/arg-extraction failures): capture
+      // to the dead-letter sink, answer an error frame, KEEP the
+      // connection — one bad frame must not kill a subscriber
+      case e @ (_: IllegalArgumentException | _: ClassCastException |
+                _: NoSuchElementException | _: NumberFormatException |
+                _: IndexOutOfBoundsException | _: MatchError) =>
+        deadLetter(request.getBytes("UTF-8"), String.valueOf(e))
+        Wire.pack(Wire.QueryCancelled,
+          s"""{"error":${JsonMini.str(
+            s"malformed request (captured to dead-letter): ${e.getMessage}")}}"""
+            .getBytes("UTF-8"))
       case e: Throwable =>
         Wire.pack(Wire.QueryCancelled,
           s"""{"error":${JsonMini.str(String.valueOf(e.getMessage))}}""".getBytes("UTF-8"))

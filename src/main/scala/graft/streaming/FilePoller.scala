@@ -62,7 +62,11 @@ object FilePoller {
       // undecodable message must never be silently dropped — the
       // reference nacks it back to the queue, amp.py:254-262; here it
       // lands in the audit table at `deadLetterPath`); pass a custom
-      // decode to override.
+      // decode to override — including an explicit `(b, _) => b` to
+      // restore raw identity pass-through for a text source (the default
+      // is detected by REFERENCE equality, so any explicitly-passed
+      // lambda, identity included, disables the JSON decoding +
+      // dead-letter capture).
       decode: (DataFrame, Long) => DataFrame = DefaultDecode,
       // audit table for undecodable text messages; defaults to
       // `<dataPath>_deadletter` beside the collection's landing zone

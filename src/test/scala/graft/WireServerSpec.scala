@@ -310,6 +310,64 @@ class WireServerSpec extends SparkSpec {
     } finally { sock.close(); server.close() }
   }
 
+  test("malformed frames dead-letter; the connection survives body-layer failures") {
+    val dl = java.nio.file.Files.createTempDirectory("graftwiredl").toString
+    val server = new WireServer(svc, deadLetterPath = Some(dl))
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      sock.setSoTimeout(30000)
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.unpack(header ++ body)
+      }
+      // a validly-framed but undecodable body: error reply names the
+      // capture, and the SAME socket keeps serving
+      val junk = """{"request": this is not json"""
+      out.write(Wire.pack(0, junk.getBytes("UTF-8"))); out.flush()
+      val err = readFrame()
+      assert(err.msgType === Wire.QueryCancelled)
+      assert(new String(err.body, "UTF-8").contains("dead-letter"))
+      // right shape, wrong arg types: also captured, also survivable
+      out.write(Wire.pack(0,
+        """{"request":"streams","collection":"amp-external","minid":"x"}"""
+          .getBytes("UTF-8"))); out.flush()
+      assert(readFrame().msgType === Wire.QueryCancelled)
+      // the connection is still alive: a valid request round-trips
+      out.write(Wire.pack(0, """{"request":"collections"}""".getBytes("UTF-8")))
+      out.flush()
+      assert(readFrame().msgType === Wire.Collections)
+      // both bad bodies landed verbatim with their errors
+      val files = new java.io.File(dl).listFiles().map(_.getName).sorted
+      assert(files.count(_.endsWith(".raw")) === 2)
+      assert(files.count(_.endsWith(".err")) === 2)
+      val raws = new java.io.File(dl).listFiles().filter(_.getName.endsWith(".raw"))
+        .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSet
+      assert(raws.contains(junk))
+
+      // header-layer failure: captured too, but the connection must drop
+      // (a corrupt length cannot be resynced)
+      val sock2 = new Socket("127.0.0.1", server.boundPort)
+      try {
+        val out2 = new DataOutputStream(sock2.getOutputStream)
+        val in2 = new DataInputStream(sock2.getInputStream)
+        sock2.setSoTimeout(30000)
+        val buf = java.nio.ByteBuffer.allocate(Wire.HeaderLen)
+        buf.put(99.toByte).putShort(0).putInt(4)
+        out2.write(buf.array()); out2.flush()
+        assert(in2.read() === -1)
+        val errs = new java.io.File(dl).listFiles().filter(_.getName.endsWith(".err"))
+          .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        assert(errs.exists(_.contains("bad frame header")))
+      } finally sock2.close()
+    } finally { sock.close(); server.close() }
+  }
+
   test("matrix request returns one summary row per label") {
     val server = new WireServer(svc)
     try {
