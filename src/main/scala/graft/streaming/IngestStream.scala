@@ -106,30 +106,27 @@ object IngestStream {
   }
 
   def readStreams(spark: SparkSession, path: String, spec: CollectionSpec): DataFrame = {
-    // legacy migration: the pre-generation compactor swapped via renames
-    // (live dir -> `.bak`, compacted `.tmp` -> live). A crash between the
-    // two renames left the dimension in `.bak` and NOTHING at `path`; the
-    // old readStreams restored it, so a store in that state must still be
-    // restored here — otherwise it reads as an EMPTY dimension and the
-    // next batch silently re-allocates stream ids from 1. Once restored
-    // (root append files, no generations) the generation protocol takes
-    // over; the one-time rename is accepted for legacy recovery only.
+    // DEPRECATED legacy state detection (was: auto-restore). The
+    // pre-generation compactor swapped via renames (live dir -> `.bak`,
+    // compacted `.tmp` -> live); a crash between the two renames left the
+    // dimension ONLY in `.bak`. Earlier rounds auto-restored with a
+    // rename — the last `renameTo` in the tree. Every store has had a
+    // full round of generation-format compaction since, so the branch is
+    // retired: the state now FAILS FAST with migration instructions.
+    // Reading it as empty is not an option — the next batch would
+    // silently re-allocate stream ids from 1 and corrupt every
+    // collection referencing the dimension.
     val bak = new java.io.File(path + ".bak")
-    def bakHasParquet =
-      bak.exists && bak.listFiles != null &&
-        bak.listFiles.exists(_.getName.endsWith(".parquet"))
     if (committedStreamGens(path).isEmpty && streamRootFiles(path).isEmpty &&
-        bakHasParquet) swapLock(path).synchronized {
-      if (committedStreamGens(path).isEmpty && streamRootFiles(path).isEmpty &&
-          bakHasParquet) {
-        val p = new java.io.File(path)
-        if (p.exists) deleteRecursively(p) // leftovers (e.g. _temporary)
-        if (!bak.renameTo(p))
-          throw new java.io.IOException(s"readStreams: could not restore $bak")
-        val tmp = new java.io.File(path + ".tmp")
-        if (tmp.exists) deleteRecursively(tmp)
-      }
-    }
+        bak.exists && bak.listFiles != null &&
+        bak.listFiles.exists(_.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"readStreams: $path is empty but $bak holds a pre-generation " +
+          "streams dimension (a crash mid-swap of the retired rename " +
+          "protocol). Auto-restore was removed; migrate once by moving " +
+          s"the parquet files from $bak into $path (and deleting any " +
+          s"$path.tmp leftover) — the generation protocol takes over " +
+          "from there.")
     // newest committed generation + the root append files it does NOT
     // cover; covered-but-not-yet-GC'd files are excluded via the
     // manifest, uncommitted generation dirs are invisible by construction

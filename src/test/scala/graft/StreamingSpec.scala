@@ -239,26 +239,33 @@ class StreamingSpec extends SparkSpec {
     assert(dim.select(max("stream_id")).collect()(0).getInt(0) === 3)
   }
 
-  test("legacy mid-swap state (.bak, no live dir) is restored, ids never reset") {
+  test("legacy mid-swap state (.bak, no live dir) fails fast with migration steps") {
     // the pre-generation compactor swapped via renames; a crash between
     // `dir -> .bak` and `.tmp -> dir` left the dimension ONLY in `.bak`.
-    // A store upgraded from that state must restore it — reading it as
-    // empty would silently re-allocate stream ids from 1
+    // The auto-restore branch is retired (it held the tree's last
+    // renameTo): the state must FAIL FAST with instructions — reading it
+    // as empty would silently re-allocate stream ids from 1
     val dir = tmpDir()
     val spec = Collections.ampExternal
     IngestStream.ingestBatch(
       Seq(RawResult("s1", "d1", "ping", 100L, 1L)).toDF(), spec,
       s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
     val live = new java.io.File(s"$dir/streams")
-    assert(live.renameTo(new java.io.File(s"$dir/streams.bak")))
-    val tmpLeft = new java.io.File(s"$dir/streams.tmp")
-    tmpLeft.mkdirs() // leftover from the crashed legacy compactor
-
+    assert(live.renameTo(new java.io.File(s"$dir/streams.bak"))) // simulate legacy crash
+    val e = intercept[IllegalStateException] {
+      IngestStream.readStreams(spark, s"$dir/streams", spec).count()
+    }
+    assert(e.getMessage.contains("pre-generation") && e.getMessage.contains("migrate"))
+    // the documented one-time migration: move the files back, read works
+    val bakDir = new java.io.File(s"$dir/streams.bak")
+    live.mkdirs()
+    bakDir.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(live, f.getName).toPath)
+    }
+    bakDir.delete()
     def dim = IngestStream.readStreams(spark, s"$dir/streams", spec)
-    assert(dim.count() === 1, "restored from .bak, not read as empty")
-    assert(!new java.io.File(s"$dir/streams.bak").exists)
-    assert(!tmpLeft.exists)
-    // registration continues from the restored ids
+    assert(dim.count() === 1)
+    // registration continues from the migrated ids
     IngestStream.ingestBatch(
       Seq(RawResult("s2", "d1", "ping", 200L, 2L)).toDF(), spec,
       s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
