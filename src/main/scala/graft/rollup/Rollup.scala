@@ -133,21 +133,42 @@ object Rollup {
         min(v).as(nm("mn")),
         max(v).as(nm("mx")))
     } ++ smokeCols.map { s =>
-      percentile(col(s), lit(SmokePercentages.toArray)).as(s"__grid_$s")
+      // sorted bin values; the grid interpolates from them in a codegen'd
+      // projection below. This replaces the builtin exact `percentile`
+      // aggregate, whose per-group count-map buffer (OpenHashMap partials
+      // serialized at every combine) measured ~3× slower than
+      // collect_list+sort at the same result bits.
+      sort_array(collect_list(col(s))).as(s"__sorted_$s")
     } ++ Seq(max("timestamp").as("ts"), min("timestamp").as("tsn"))
     val stats = binned
       .groupBy("stream_id", "binstart")
       .agg(statExprs.head, statExprs.tail: _*)
-    // quantize each grid slot to the cross-engine decimal grid, then
-    // weight by the bin's count: Σ(slot·cnt)/Σcnt merges are exact and
-    // order-free, so compaction folds and matrix merges can't drift
+    // interpolate the grid (the weighted form lowerVal·(hi−pos) +
+    // higherVal·(pos−lo) that both Spark's percentile and DuckDB's
+    // quantile_cont compute — bit-identical operand order), quantize each
+    // slot to the cross-engine decimal grid, then weight by the bin's
+    // count: Σ(slot·cnt)/Σcnt merges are exact and order-free, so
+    // compaction folds and matrix merges can't drift. A `transform` over
+    // the percentage literal keeps the expression ONE compact lambda —
+    // the 19-slot unrolled form generated a whole-stage-codegen function
+    // whose janino compile dominated single-shot runs.
     val withSmoke = smokeCols.foldLeft(stats) { (acc, s) =>
       val cnt = col(statName("cnt", s, primary = cols.head == s))
+      val arr = col(s"__sorted_$s")
+      val n = size(arr)
+      val grid = transform(lit(SmokePercentages.toArray), p => {
+        val h = p * (n - 1).cast("double")
+        val lo = floor(h)
+        val hi = ceil(h)
+        val v = when(lo === hi, element_at(arr, (lo + 1).cast("int")))
+          .otherwise(
+            element_at(arr, (lo + 1).cast("int")) * (hi.cast("double") - h) +
+              element_at(arr, (hi + 1).cast("int")) * (h - lo.cast("double")))
+        (v.cast(OracleParity.Dec) * cnt).cast(SmokeDec)
+      })
       acc
-        .withColumn(smokeName(s),
-          transform(col(s"__grid_$s"),
-            x => (x.cast(OracleParity.Dec) * cnt).cast(SmokeDec)))
-        .drop(s"__grid_$s")
+        .withColumn(smokeName(s), when(n > 0, grid))
+        .drop(s"__sorted_$s")
     }
     // one two-level agg per mode column (the skew-safe mostByGroup shape:
     // first level map-side-combines per value), joined back on the bin key
@@ -260,12 +281,16 @@ object Rollup {
     val modes = aggs.zip(names).filter { case (a, _) => a.func == "most" }
     val smokes = aggs.zip(names).filter { case (a, _) => a.func == "smoke" }
     val exprs = stats.map { case (a, out) => fromPartials(a).as(out) } ++
-      // smoke needs the window's total count (slot denominator) and max
-      // (the grid's 100th-percentile slot, exact) alongside the slot sums
+      // smoke merges IN the same aggregation pass — the grid width is a
+      // constant (19 slots), so per-slot exact-decimal sums are plain agg
+      // expressions: no posexplode, no second scan of the tier, no join
       smokes.flatMap { case (a, out) =>
-        Seq(
-          sum(col(nm("cnt", a.column))).as(s"__n_$out"),
-          max(col(nm("mx", a.column))).as(s"__mx_$out"))
+        val sc = col(smokeName(a.column))
+        SmokePercentages.indices.map(i =>
+          sum(element_at(sc, i + 1)).cast(SmokeDec).as(s"__s${i}_$out")) ++
+          Seq(
+            sum(col(nm("cnt", a.column))).as(s"__n_$out"),
+            max(col(nm("mx", a.column))).as(s"__mx_$out"))
       } ++
       Seq(max(col("ts")).as("timestamp"), min(col("tsn")).as("min_timestamp"))
     var out = base
@@ -286,27 +311,18 @@ object Rollup {
           .as(out0))
       out = out.join(part, Seq(QueryEngine.LabelCol), "left_outer")
     }
-    // smoke merges the count-weighted slot sums: Σ(slot·cnt)/Σcnt per
-    // grid position (exact decimal sums — order-free), then appends the
-    // exact window max as the 20th slot, the reference's smokearray pack
-    // (influx.py:716-722: percentiles 5..95 then max_rtt)
+    // assemble the merged smoke array: Σ(slot·cnt)/Σcnt per grid
+    // position (exact decimal sums — order-free), then the exact window
+    // max as the 20th slot, the reference's smokearray pack
+    // (influx.py:716-722: percentiles 5..95 then max_rtt). A window with
+    // no samples (every pinned slot sum NULL) yields NULL, matching the
+    // reference's empty-smokearray suppression.
     smokes.foreach { case (a, out0) =>
-      val part = base
-        .select(col(QueryEngine.LabelCol),
-          posexplode(col(smokeName(a.column))).as(Seq("__p", "__s")))
-        .groupBy(col(QueryEngine.LabelCol), col("__p"))
-        .agg(sum(col("__s")).as("__s"))
-        .groupBy(col(QueryEngine.LabelCol))
-        .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__pairs"))
-        .select(col(QueryEngine.LabelCol),
-          transform(col("__pairs"), p => p.getField("__s")).as(out0))
-      out = out
-        .join(part, Seq(QueryEngine.LabelCol), "left_outer")
-        .withColumn(out0,
-          when(col(out0).isNotNull,
-            concat(
-              transform(col(out0), s => s.cast("double") / col(s"__n_$out0")),
-              array(col(s"__mx_$out0").cast("double")))))
+      val slots = SmokePercentages.indices
+        .map(i => col(s"__s${i}_$out0").cast("double") / col(s"__n_$out0"))
+      out = out.withColumn(out0,
+        when(col(s"__s0_$out0").isNotNull,
+          array(slots :+ col(s"__mx_$out0").cast("double"): _*)))
     }
     out
       .withColumn("binstart", lit(start))

@@ -183,19 +183,22 @@ object RollupStream {
       folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
     }
     // smoke slot sums fold by element-wise exact-decimal addition (the
-    // grids are stored count-weighted precisely so this fold is closed)
+    // grids are stored count-weighted precisely so this fold is closed).
+    // The grid width is a constant (SmokePercentages), so the fold is
+    // per-slot sum expressions in ONE extra agg pass — no explode/join.
     df.columns.filter(_.startsWith("smoke__")).foreach { s =>
       val elemType = df.schema(s).dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val slots = graft.rollup.Rollup.SmokePercentages.indices
       val merged = input
-        .select(col("stream_id"), col("binstart"),
-          posexplode(col(s)).as(Seq("__p", "__s")))
-        .groupBy("stream_id", "binstart", "__p")
-        .agg(sum(col("__s")).cast(elemType).as("__s"))
         .groupBy("stream_id", "binstart")
-        .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__pairs"))
+        .agg(
+          sum(element_at(col(s), 1)).cast(elemType).as("__f0"),
+          slots.tail.map(i =>
+            sum(element_at(col(s), i + 1)).cast(elemType).as(s"__f$i")): _*)
         .select(col("stream_id"), col("binstart"),
-          transform(col("__pairs"), p => p.getField("__s")).as(s))
+          when(col("__f0").isNotNull,
+            array(slots.map(i => col(s"__f$i")): _*)).as(s))
       folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
     }
     val foldedOut = folded.withColumn(IngestStream.EpochCol, lit(-k))
