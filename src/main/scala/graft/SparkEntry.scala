@@ -350,6 +350,25 @@ object SparkEntry {
         Start, Stop, primaryCol = "value")
     }),
 
+    // ---- A8 binned history served FROM the tier (beyond-reference
+    //      serving economy: the reference's Influx backend re-aggregates
+    //      RAW points for graph history, influx.py:574-575 — here a
+    //      6-h-bin graph folds 1-h tier partials per bin, raw untouched;
+    //      Service.aggFrame routes, this gates the fold math: stats +
+    //      mode maps + smoke grids all re-grouped onto the coarser grid)
+    "q_agg_tier_bins" -> ((s, dir) => {
+      val tier = Rollup.buildMulti(
+        Tables.tsEvents(s, dir), 3600,
+        Seq("value"), Seq("event_type"), Seq("value"))
+      Rollup.aggregatedFromTier(
+        tier, labelsFor(s, dir),
+        Seq(
+          AggSpec("value", "avg"), AggSpec("value", "count"),
+          AggSpec("value", "stddev"), AggSpec("event_type", "most"),
+          AggSpec("value", "smoke")),
+        Start, Stop, binsize = 21600, primaryCol = "value")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -1400,6 +1419,53 @@ object SparkEntry {
          |  base.min_timestamp
          |FROM base JOIN m ON base.nntsclabel = m.nntsclabel
          |ORDER BY base.nntsclabel""".stripMargin
+    },
+
+    // binned tier serve: same per-tier-bin grid/count/mode partials as the
+    // matrix oracles, re-grouped onto the requested 6-h absolute grid
+    "q_agg_tier_bins" -> {
+      val grid = (1 to 19)
+        .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
+      val slots = (1 to 19)
+        .map(k =>
+          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
+        .mkString(", ")
+      val pack = (1 to 19).map(k => s"p$k").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT *, "timestamp" - ("timestamp" % 21600) AS rb
+         |  FROM ($OracleEvents)
+         |  WHERE "timestamp" - ("timestamp" % 3600) >= $Start
+         |    AND "timestamp" - ("timestamp" % 3600) < $Stop
+         |), b AS (
+         |  SELECT nntsclabel, rb, stream_id,
+         |    "timestamp" - ("timestamp" % 3600) AS bin,
+         |    count(value) AS cnt, max(value) AS mx, $grid
+         |  FROM w GROUP BY 1, 2, 3, 4
+         |), sm AS (
+         |  SELECT nntsclabel, rb, $slots, max(mx) AS mxx, sum(cnt) AS n
+         |  FROM b GROUP BY 1, 2
+         |), mo AS (
+         |  SELECT nntsclabel, rb, event_type,
+         |    row_number() OVER (PARTITION BY nntsclabel, rb
+         |                       ORDER BY count(*) DESC, event_type ASC) AS rn
+         |  FROM w WHERE event_type IS NOT NULL GROUP BY 1, 2, 3
+         |), base AS (
+         |  SELECT nntsclabel, rb,
+         |    ${OracleParity.Sql.exactAvg("value")} AS value_avg,
+         |    count(value) AS value_count,
+         |    ${OracleParity.Sql.exactStddev("value")} AS value_stddev,
+         |    max("timestamp") AS "timestamp"
+         |  FROM w GROUP BY 1, 2
+         |)
+         |SELECT b.nntsclabel, b.rb AS binstart,
+         |  b.value_avg, b.value_count, b.value_stddev,
+         |  mo.event_type,
+         |  CASE WHEN sm.n > 0 THEN [$pack, mxx] END AS value_smoke,
+         |  b."timestamp"
+         |FROM base b
+         |JOIN sm ON b.nntsclabel = sm.nntsclabel AND b.rb = sm.rb
+         |LEFT JOIN mo ON b.nntsclabel = mo.nntsclabel AND b.rb = mo.rb AND mo.rn = 1
+         |ORDER BY b.nntsclabel, b.rb""".stripMargin
     },
 
     // exact columns verified directly; the in-band booleans are pinned to

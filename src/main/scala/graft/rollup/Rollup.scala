@@ -250,10 +250,47 @@ object Rollup {
       aggs: Seq[graft.query.AggSpec],
       start: Long,
       stop: Long,
+      primaryCol: String = ""): DataFrame =
+    aggregatedFromTier(tier, labels, aggs, start, stop, binsize = 0, primaryCol)
+
+  /** Binned aggregation served FROM a rollup tier — `matrixFromTier`
+    * generalized to the A8 time-bin grid: one output row per (label,
+    * binstart) with `QueryEngine.selectAggregatedData`'s column shape.
+    * This is the serving economy the reference only gives its matrix —
+    * its Influx backend re-aggregates RAW points for graph history
+    * (`select_aggregated_data` groups the measurement by time(binsize),
+    * influx.py:574-575) because Influx scans are cheap; over a 100 TB
+    * parquet fact table the same dashboard graph should fold a few tier
+    * partials per bin instead.
+    *
+    * Requested bins use the absolute grid (`timestamp - timestamp %
+    * binsize`, QueryEngine.binstart), so a tier bin nests exactly inside
+    * a requested bin when `binsize % tierBin == 0`. The caller owns
+    * alignment (Service.aggFrame routes only when `binsize` is a multiple
+    * of the tier bin and `start`/`stop` sit on tier-bin edges); this
+    * method just folds. `binsize <= 0` (or >= the window) collapses to
+    * the single-bin matrix shape, `min_timestamp` included — the same
+    * dispatch as selectAggregatedData's `singleBin`.
+    */
+  def aggregatedFromTier(
+      tier: DataFrame,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[graft.query.AggSpec],
+      start: Long,
+      stop: Long,
+      binsize: Long,
       primaryCol: String = ""): DataFrame = {
+    val singleBin = binsize <= 0 || binsize >= (stop - start)
     val names = QueryEngine.outputNames(aggs, Nil)
-    val base = QueryEngine.attachLabels(
+    val windowed = QueryEngine.attachLabels(
       tier.filter(col("binstart") >= start && col("binstart") < stop), labels)
+    // fold key: the label alone (matrix) or label × requested bin (A8 grid)
+    val base =
+      if (singleBin) windowed
+      else windowed.withColumn("__reqbin", col("binstart") - (col("binstart") % binsize))
+    val keys =
+      if (singleBin) Seq(QueryEngine.LabelCol)
+      else Seq(QueryEngine.LabelCol, "__reqbin")
     // resolve each agg's partials: the primary column's stats are the
     // legacy unsuffixed names, extra columns carry the __<col> suffix.
     // An empty primaryCol (single-column tiers built before multi-column
@@ -292,9 +329,12 @@ object Rollup {
             sum(col(nm("cnt", a.column))).as(s"__n_$out"),
             max(col(nm("mx", a.column))).as(s"__mx_$out"))
       } ++
-      Seq(max(col("ts")).as("timestamp"), min(col("tsn")).as("min_timestamp"))
+      Seq(max(col("ts")).as("timestamp")) ++
+      // binned output matches selectAggregatedData: min_timestamp is a
+      // single-bin (matrix) column only
+      (if (singleBin) Seq(min(col("tsn")).as("min_timestamp")) else Nil)
     var out = base
-      .groupBy(col(QueryEngine.LabelCol))
+      .groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
     // `most` merges the per-bin count maps EXACTLY: sum counts per value
     // across the window's bins, then the mostByGroup collation
@@ -302,14 +342,14 @@ object Rollup {
     // The same special-agg join shape as selectAggregatedData.
     modes.foreach { case (a, out0) =>
       val part = base
-        .select(col(QueryEngine.LabelCol),
-          explode(col(modeName(a.column))).as(Seq("__k", "__c")))
-        .groupBy(col(QueryEngine.LabelCol), col("__k"))
+        .select(keys.map(col) :+
+          explode(col(modeName(a.column))).as(Seq("__k", "__c")): _*)
+        .groupBy((keys :+ "__k").map(col): _*)
         .agg(sum(col("__c")).as("__c"))
-        .groupBy(col(QueryEngine.LabelCol))
+        .groupBy(keys.map(col): _*)
         .agg(min_by(col("__k"), struct((-col("__c")).as("nc"), col("__k").as("v")))
           .as(out0))
-      out = out.join(part, Seq(QueryEngine.LabelCol), "left_outer")
+      out = out.join(part, keys, "left_outer")
     }
     // assemble the merged smoke array: Σ(slot·cnt)/Σcnt per grid
     // position (exact decimal sums — order-free), then the exact window
@@ -325,9 +365,10 @@ object Rollup {
           array(slots :+ col(s"__mx_$out0").cast("double"): _*)))
     }
     out
-      .withColumn("binstart", lit(start))
+      .withColumn("binstart", if (singleBin) lit(start) else col("__reqbin"))
       .select((Seq(QueryEngine.LabelCol, "binstart") ++ names ++
-        Seq("timestamp", "min_timestamp")).map(col): _*)
-      .orderBy(QueryEngine.LabelCol)
+        Seq("timestamp") ++ (if (singleBin) Seq("min_timestamp") else Nil))
+        .map(col): _*)
+      .orderBy(col(QueryEngine.LabelCol), col("binstart"))
   }
 }

@@ -184,10 +184,74 @@ final class Service(
       stop: Long,
       binsize: Long,
       groupcols: Seq[String] = Nil): Iterator[HistoryChunk] = {
-    val result = QueryEngine.selectAggregatedData(
-      data(collection), labels, aggs, start, stop, binsize, groupcols)
+    val result = aggFrame(collection, labels, aggs, start, stop, binsize, groupcols)
     withCancellationIt("aggregate")(chunked(result, binsize))
   }
+
+  /** Binned-aggregation plan with tier routing — the serving economy the
+    * reference reserves for its matrix, extended to graph history: a
+    * dashboard graph (NNTSC_AGGREGATE at a CQ-aligned binsize) folds a few
+    * tier partials per bin instead of re-aggregating the raw fact table
+    * every refresh (which is what the reference's Influx backend does,
+    * group-by-time over the measurement, influx.py:574-575 — cheap in a
+    * TSDB, a full scan on 100 TB of parquet).
+    *
+    * Routing needs the same derivability as the matrix (every agg
+    * answerable from the tier's partials/maps/grids), NO extra group
+    * columns (tiers are keyed by stream × bin only), the requested
+    * `binsize` a multiple of a configured tier bin, and `start`/`stop` on
+    * that tier's bin edges; the largest tier that fits serves. Everything
+    * else falls back to the exact raw path.
+    *
+    * Boundary semantics mirror the reference's backend split: its
+    * postgres dbselect windows are stop-inclusive, its Influx/CQ backend
+    * queries `time >= start AND time < stop` (influx.py:600-604). A
+    * collection WITH tiers configured is the Influx-backed shape, so its
+    * aggregate endpoint is half-open on BOTH paths (raw pre-filters
+    * `timestamp < stop`, like matrixFrame) — configuring tiers is a
+    * backend choice, and within the collection the routed and fallback
+    * plans can never disagree about which points count. Collections
+    * without tiers keep dbselect's inclusive stop untouched.
+    */
+  private[graft] def aggFrame(
+      collection: String,
+      labels: Map[String, Seq[Long]],
+      aggs: Seq[AggSpec],
+      start: Long,
+      stop: Long,
+      binsize: Long,
+      groupcols: Seq[String] = Nil): DataFrame = {
+    val cfg = rollups.get(collection)
+    val src =
+      cfg.fold(data(collection))(_ => data(collection).filter(col("timestamp") < stop))
+    val raw = QueryEngine.selectAggregatedData(
+      src, labels, aggs, start, stop, binsize, groupcols)
+    val singleBin = binsize <= 0 || binsize >= (stop - start)
+    val tiered =
+      for {
+        c <- cfg
+        if groupcols.isEmpty && aggs.nonEmpty
+        if aggs.forall(a => tierDerivable(c, a))
+        bin <- c.tiers.keys.toSeq.sorted.reverse.find(b =>
+          start % b == 0 && stop % b == 0 &&
+            (if (singleBin) stop - start >= b else binsize % b == 0))
+      } yield {
+        val t = graft.rollup.Rollup.aggregatedFromTier(
+          graft.streaming.RollupStream.readTier(spark, c.tiers(bin)),
+          labels, aggs, start, stop, binsize, primaryCol = c.valueCol)
+        t.select(raw.schema.fields.toSeq.map(f => t(f.name).cast(f.dataType).as(f.name)): _*)
+      }
+    tiered.getOrElse(raw)
+  }
+
+  /** One aggregate answerable from tier partials: a stat over a carried
+    * stat column, `most` over a mode-map column, `smoke` over a grid
+    * column (RollupTiers scaladoc).
+    */
+  private def tierDerivable(cfg: Service.RollupTiers, a: AggSpec): Boolean =
+    (TierFuncs(a.func) && cfg.statCols(a.column)) ||
+      (a.func == "most" && cfg.modeCols.contains(a.column)) ||
+      (a.func == "smoke" && cfg.smokeCols.contains(a.column))
 
   /** NNTSC_MATRIX (dbselect.py:181-205): one summary row per label. */
   def matrix(
@@ -240,10 +304,7 @@ final class Service(
     val tiered =
       for {
         cfg <- rollups.get(collection)
-        if aggs.forall(a =>
-          (TierFuncs(a.func) && cfg.statCols(a.column)) ||
-            (a.func == "most" && cfg.modeCols.contains(a.column)) ||
-            (a.func == "smoke" && cfg.smokeCols.contains(a.column)))
+        if aggs.forall(a => tierDerivable(cfg, a))
         bin <- cfg.tiers.keys.toSeq.sorted.reverse.find(b =>
           stop - start >= b && start % b == 0 && stop % b == 0)
       } yield {

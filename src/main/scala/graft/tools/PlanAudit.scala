@@ -262,6 +262,20 @@ object PlanAudit {
       mustContain = Seq("t3600s"),
       mustNot = Seq("events.parquet", "ntile"))
 
+    //     binned history (NNTSC_AGGREGATE at a tier-aligned binsize)
+    //     folds tier partials per requested bin — the serving economy the
+    //     reference reserves for its matrix, extended to graph history;
+    //     raw unscanned, no window/explode in the fold
+    val routedBinned = tierSvcSmoke.aggFrame(
+      "ev", labels,
+      Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
+        AggSpec("value", "smoke")),
+      1704067200L, 1704067200L + 14 * 86400, binsize = 86400)
+    check("binned history: tier partials folded per bin, raw unscanned",
+      plan(routedBinned),
+      mustContain = Seq("t3600s"),
+      mustNot = Seq("events.parquet", "ntile", "Generate"))
+
     // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
     //     a global sort of the vocabulary
     val tt = graft.pipeline.TextAnalysis.topTerms(

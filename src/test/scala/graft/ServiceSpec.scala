@@ -352,6 +352,103 @@ class ServiceSpec extends SparkSpec {
     assert(!fellBack.queryExecution.executedPlan.toString.contains(dir))
   }
 
+  test("binned aggregate routes through the tier (graph history from CQs)") {
+    import graft.streaming.RollupStream
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graftaggbin").toString
+    val t0 = 1704067200L
+    // exact-in-both-representations values (the matrix specs' trick)
+    val ev = (0 until 4).flatMap { s =>
+      (0 until 360).map { i =>
+        (s.toLong, t0 + i * 60L + s + 1, (i % 7) * 0.25 + s,
+          Seq("icmp", "dns", "http")(i % 3))
+      }
+    }.toDF("stream_id", "timestamp", "value", "event_type")
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/a3600", epoch = 0L,
+      modeCols = Seq("event_type"), smokeCols = Seq("value"))
+    val tsvc = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/a3600"),
+        modeCols = Seq("event_type"), smokeCols = Seq("value"))))
+    val lbl = Map("x" -> Seq(0L, 1L), "y" -> Seq(2L, 3L))
+    val aggs = Seq(
+      AggSpec("value", "avg"), AggSpec("value", "count"),
+      AggSpec("value", "stddev"), AggSpec("event_type", "most"),
+      AggSpec("value", "smoke"))
+
+    // 2-h bins over a 6-h window: the 1-h tier nests inside every
+    // requested bin → routed, raw fact frame nowhere in the plan
+    val routed = tsvc.aggFrame("amp-external", lbl, aggs, t0, t0 + 21600, 7200)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("a3600"), s"binned aggregate must scan the tier:\n$plan")
+    // shape matches the raw path; stats + mode match it ROW FOR ROW
+    // (tier-served smoke is the documented grid twin of raw ntile-20, so
+    // its VALUES are gated by the q_agg_tier_bins oracle, not equality)
+    val raw = graft.query.QueryEngine.selectAggregatedData(
+      ev.filter(col("timestamp") < t0 + 21600), lbl, aggs, t0, t0 + 21600, 7200)
+    assert(routed.schema.map(f => (f.name, f.dataType)) ===
+      raw.schema.map(f => (f.name, f.dataType)))
+    val exactCols =
+      Seq("nntsclabel", "binstart", "value_avg", "value_count", "event_type",
+        "timestamp")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(exactCols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(snap(routed) === snap(raw))
+    val rRows = routed.collect()
+    assert(rRows.length === 2 * 3) // 2 labels × 3 requested bins
+    val si = routed.schema.fieldIndex("value_stddev")
+    raw.collect().zip(rRows).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(si) - b.getDouble(si)) < 1e-9, "stddev")
+      val smoke = b.getSeq[Double](routed.schema.fieldIndex("value_smoke"))
+      assert(smoke.size === 20, "19 grid slots + window max")
+    }
+
+    // off-grid binsize, extra group columns, unaligned edges → raw
+    assert(!tsvc.aggFrame("amp-external", lbl, aggs, t0, t0 + 21600, 5400)
+      .queryExecution.executedPlan.toString.contains(dir))
+    assert(!tsvc
+      .aggFrame("amp-external", lbl, aggs.take(2), t0, t0 + 21600, 7200,
+        groupcols = Seq("event_type"))
+      .queryExecution.executedPlan.toString.contains(dir))
+    assert(!tsvc.aggFrame("amp-external", lbl, aggs, t0 + 30, t0 + 21630, 7200)
+      .queryExecution.executedPlan.toString.contains(dir))
+
+    // binsize 0 collapses to the matrix shape: routed, min_timestamp back
+    val single = tsvc.aggFrame("amp-external", lbl, aggs, t0, t0 + 21600, 0)
+    assert(single.queryExecution.executedPlan.toString.contains("a3600"))
+    assert(single.columns.contains("min_timestamp"))
+
+    // half-open contract on a tier-configured collection: the raw
+    // FALLBACK pre-filters timestamp < stop too, so an underivable agg
+    // cannot disagree with a routed one about the window edge — while a
+    // tier-less collection keeps dbselect's stop-INCLUSIVE window
+    val edge = Seq((0L, t0, 1.0), (0L, t0 + 7199, 2.0), (0L, t0 + 7200, 7.0))
+      .toDF("stream_id", "timestamp", "value")
+    val elbl = Map("x" -> Seq(0L))
+    val cnt = Seq(AggSpec("stream_id", "avg"), AggSpec("value", "count"))
+    val esvc = new Service(
+      spark,
+      data = Map("amp-external" -> edge),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/a3600"))))
+    val eRow = esvc.aggFrame("amp-external", elbl, cnt, t0, t0 + 7200, 0)
+      .collect().head
+    assert(eRow.getAs[Long]("value") === 2L,
+      "tiered collection: fallback must exclude the point at stop")
+    val incl = new Service(
+      spark,
+      data = Map("amp-external" -> edge),
+      streams = Map("amp-external" -> streamsDim))
+      .aggFrame("amp-external", elbl, cnt, t0, t0 + 7200, 0)
+      .collect().head
+    assert(incl.getAs[Long]("value") === 3L,
+      "tier-less collection keeps the inclusive dbselect window")
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
