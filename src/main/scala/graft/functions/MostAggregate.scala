@@ -49,10 +49,7 @@ case class MostAggregate(
     val v = child.eval(input)
     if (v != null) {
       // UTF8String evals point into reused row buffers — copy before keeping
-      val key = v match {
-        case s: UTF8String => s.clone()
-        case x             => x
-      }
+      val key = ModeCodec.copyKey(v)
       buf.update(key, buf.getOrElse(key, 0L) + 1L)
     }
     buf
@@ -73,55 +70,12 @@ case class MostAggregate(
       }._1
 
   // compact codec keyed by the child type (catalyst values are not
-  // java-serializable in general)
-  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, c) =>
-      child.dataType match {
-        case StringType =>
-          val b = k.asInstanceOf[UTF8String].getBytes
-          out.writeInt(b.length); out.write(b)
-        case LongType    => out.writeLong(k.asInstanceOf[Long])
-        case IntegerType => out.writeInt(k.asInstanceOf[Int])
-        case ShortType   => out.writeShort(k.asInstanceOf[Short].toInt)
-        case ByteType    => out.writeByte(k.asInstanceOf[Byte].toInt)
-        case DoubleType  => out.writeDouble(k.asInstanceOf[Double])
-        case FloatType   => out.writeFloat(k.asInstanceOf[Float])
-        case BooleanType => out.writeBoolean(k.asInstanceOf[Boolean])
-        case other => throw new IllegalStateException(s"unsupported: $other")
-      }
-      out.writeLong(c)
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  // java-serializable in general) — shared with ModeMapAggregate
+  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] =
+    ModeCodec.serialize(buf, child.dataType)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.HashMap.empty[Any, Long]
-    var i = 0
-    while (i < n) {
-      val k: Any = child.dataType match {
-        case StringType =>
-          val len = in.readInt(); val b = new Array[Byte](len)
-          in.readFully(b); UTF8String.fromBytes(b)
-        case LongType    => in.readLong()
-        case IntegerType => in.readInt()
-        case ShortType   => in.readShort()
-        case ByteType    => in.readByte()
-        case DoubleType  => in.readDouble()
-        case FloatType   => in.readFloat()
-        case BooleanType => in.readBoolean()
-        case other => throw new IllegalStateException(s"unsupported: $other")
-      }
-      buf.update(k, in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] =
+    ModeCodec.deserialize(bytes, child.dataType)
 
   override def withNewMutableAggBufferOffset(o: Int): MostAggregate =
     copy(mutableAggBufferOffset = o)

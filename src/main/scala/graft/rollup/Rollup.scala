@@ -139,6 +139,11 @@ object Rollup {
       // serialized at every combine) measured ~3× slower than
       // collect_list+sort at the same result bits.
       sort_array(collect_list(col(s))).as(s"__sorted_$s")
+    } ++ modeCols.map { m =>
+      // per-value count map in the SAME pass (ModeMapAggregate): the
+      // two-level groupBy + map_from_entries + join lap this replaces
+      // cost a second exchange and a join per mode column
+      graft.functions.ModeMapAggregate.modeMap(col(m)).as(modeName(m))
     } ++ Seq(max("timestamp").as("ts"), min("timestamp").as("tsn"))
     val stats = binned
       .groupBy("stream_id", "binstart")
@@ -170,18 +175,7 @@ object Rollup {
         .withColumn(smokeName(s), when(n > 0, grid))
         .drop(s"__sorted_$s")
     }
-    // one two-level agg per mode column (the skew-safe mostByGroup shape:
-    // first level map-side-combines per value), joined back on the bin key
-    modeCols.foldLeft(withSmoke) { (acc, m) =>
-      val counts = binned
-        .filter(col(m).isNotNull)
-        .groupBy(col("stream_id"), col("binstart"), col(m).as("__k"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy("stream_id", "binstart")
-        .agg(map_from_entries(collect_list(struct(col("__k"), col("__c"))))
-          .as(modeName(m)))
-      acc.join(counts, Seq("stream_id", "binstart"), "left_outer")
-    }
+    withSmoke
   }
 
   /** Partial→final merge over [start, stop) per label (matrix semantics:
@@ -318,6 +312,13 @@ object Rollup {
     val modes = aggs.zip(names).filter { case (a, _) => a.func == "most" }
     val smokes = aggs.zip(names).filter { case (a, _) => a.func == "smoke" }
     val exprs = stats.map { case (a, out) => fromPartials(a).as(out) } ++
+      // `most` merges the per-bin count maps EXACTLY in the same pass
+      // (ModeMapAggregate.mostOfMaps: sum counts per value, argmax under
+      // the mostByGroup collation count DESC value ASC) — tier-served
+      // mode == raw-served mode, no explode/regroup/join lap
+      modes.map { case (a, out0) =>
+        graft.functions.ModeMapAggregate.mostOfMaps(col(modeName(a.column))).as(out0)
+      } ++
       // smoke merges IN the same aggregation pass — the grid width is a
       // constant (19 slots), so per-slot exact-decimal sums are plain agg
       // expressions: no posexplode, no second scan of the tier, no join
@@ -336,21 +337,6 @@ object Rollup {
     var out = base
       .groupBy(keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
-    // `most` merges the per-bin count maps EXACTLY: sum counts per value
-    // across the window's bins, then the mostByGroup collation
-    // (count desc, value asc) — tier-served mode == raw-served mode.
-    // The same special-agg join shape as selectAggregatedData.
-    modes.foreach { case (a, out0) =>
-      val part = base
-        .select(keys.map(col) :+
-          explode(col(modeName(a.column))).as(Seq("__k", "__c")): _*)
-        .groupBy((keys :+ "__k").map(col): _*)
-        .agg(sum(col("__c")).as("__c"))
-        .groupBy(keys.map(col): _*)
-        .agg(min_by(col("__k"), struct((-col("__c")).as("nc"), col("__k").as("v")))
-          .as(out0))
-      out = out.join(part, keys, "left_outer")
-    }
     // assemble the merged smoke array: Σ(slot·cnt)/Σcnt per grid
     // position (exact decimal sums — order-free), then the exact window
     // max as the 20th slot, the reference's smokearray pack

@@ -167,21 +167,13 @@ object RollupStream {
         sum(col(n)).cast(df.schema(n).dataType).as(n)
       else throw new IllegalArgumentException(s"unknown tier partial column: $n")
     }
+    // mode count maps fold by summing counts per value — ModeMapAggregate
+    // merges them IN the main fold pass (no explode/regroup/join lap)
+    val allFolds = foldExprs ++ df.columns.filter(_.startsWith("modes__")).toSeq
+      .map(m => graft.functions.ModeMapAggregate.mergeMaps(col(m)).as(m))
     var folded = input
       .groupBy("stream_id", "binstart")
-      .agg(foldExprs.head, foldExprs.tail: _*)
-    // mode count maps fold by summing counts per value — the same
-    // two-level agg the map was built with, rejoined on the bin key
-    df.columns.filter(_.startsWith("modes__")).foreach { m =>
-      val merged = input
-        .select(col("stream_id"), col("binstart"),
-          explode(col(m)).as(Seq("__k", "__c")))
-        .groupBy("stream_id", "binstart", "__k")
-        .agg(sum(col("__c")).as("__c"))
-        .groupBy("stream_id", "binstart")
-        .agg(map_from_entries(collect_list(struct(col("__k"), col("__c")))).as(m))
-      folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
-    }
+      .agg(allFolds.head, allFolds.tail: _*)
     // smoke slot sums fold by element-wise exact-decimal addition (the
     // grids are stored count-weighted precisely so this fold is closed).
     // The grid width is a constant (SmokePercentages), so the fold is

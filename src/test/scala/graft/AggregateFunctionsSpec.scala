@@ -134,4 +134,46 @@ class AggregateFunctionsSpec extends SparkSpec {
       .collect()(0).getSeq[Double](1)
     assert(out === Seq(1.0, 2.0, 3.0, 4.0, 5.0)) // 5 values < 20 buckets
   }
+
+  test("ModeMapAggregate: build / merge / pick ride one agg pass (tier mode partials)") {
+    import graft.functions.ModeMapAggregate
+    // build: value→count map per group; null values ignored; all-null → NULL
+    val df = Seq(
+      (1, Some("a")), (1, Some("a")), (1, Some("b")),
+      (2, Some("x")), (2, None),
+      (3, None)).toDF("g", "v")
+      .repartition(4) // force partial buffers + serde through the shuffle
+    val built = df.groupBy("g").agg(ModeMapAggregate.modeMap(col("v")).as("m"))
+    val rows = built.collect().map(r => r.getInt(0) -> Option(r.getMap[String, Long](1))).toMap
+    assert(rows(1).get === Map("a" -> 2L, "b" -> 1L))
+    assert(rows(2).get === Map("x" -> 1L))
+    assert(rows(3).isEmpty, "all-null group yields NULL (join-miss parity)")
+
+    // merge: count maps sum per key across partial rows (the tier fold)
+    val merged = built.groupBy(lit(1)).agg(ModeMapAggregate.mergeMaps(col("m")).as("m"))
+      .collect()(0).getMap[String, Long](1)
+    assert(merged === Map("a" -> 2L, "b" -> 1L, "x" -> 1L))
+
+    // pick: argmax under (count DESC, value ASC) — mostByGroup collation;
+    // the tie at count 1 between b and x resolves to b
+    val picked = built.groupBy(lit(1))
+      .agg(ModeMapAggregate.mostOfMaps(col("m")).as("most"))
+      .collect()(0).getString(1)
+    assert(picked === "a")
+    val tieOnly = built.filter(col("g") =!= 1).groupBy(lit(1))
+      .agg(ModeMapAggregate.mostOfMaps(col("m")).as("most"))
+      .collect()(0).getString(1)
+    assert(tieOnly === "x") // g=3's NULL map is skipped; only x remains
+    val tie = Seq((1, Map("b" -> 1L)), (1, Map("x" -> 1L)))
+      .toDF("g", "m").groupBy("g")
+      .agg(ModeMapAggregate.mostOfMaps(col("m")).as("most"))
+      .collect()(0).getString(1)
+    assert(tie === "b")
+
+    // long keys use the numeric codec face
+    val longs = Seq((1, 7L), (1, 7L), (1, 9L)).toDF("g", "v").repartition(3)
+      .groupBy("g").agg(ModeMapAggregate.modeMap(col("v")).as("m"))
+      .collect()(0).getMap[Long, Long](1)
+    assert(longs === Map(7L -> 2L, 9L -> 1L))
+  }
 }
