@@ -1,6 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Time each (name, query) against the noop sink. A query that throws
+    * must never appear as a fast success: round 8's catch-all turned 23
+    * analysis-time deaths into 0.06s lines and rc 0. Failures land in the
+    * returned error map (and the emitted JSON's "errors" object) instead.
+    */
+  private[graft] def run(
+      spark: SparkSession,
+      sfDir: String,
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected
+      .flatMap { case (name, fn) =>
+        // isolate queries: dedup/similarity paths persist intermediate
+        // frames; letting them accumulate across 36 queries turns the run
+        // into a GC lottery (observed: the same query swinging 1.3s->13s
+        // depending on what ran before it)
+        graft.pipeline.Dedup.unpersistIntermediates()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // noop v2 sink: fully materializes every row and column — count()
+        // lets Catalyst prune projection work and understates map-heavy
+        // queries (see memory: "count() pruning lies when profiling")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+          None
+        }
+      }
+    (results, errors.toMap)
+  }
+
+  /** The driver-contract JSON line, including the per-query "errors" map. */
+  private[graft] def renderJson(
+      all: Seq[(String, Double)],
+      errors: Map[String, String],
+      sfDir: String): String = {
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
+      .mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,26 +71,14 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1)
     // absorb one-time costs (codegen compiler, parquet footer readers,
     // noop sink init, first-shuffle machinery) so they aren't billed to
-    // whichever query happens to run first
+    // whichever query happens to run first; a warmup failure is non-fatal
+    // here — the same query fails LOUDLY in the measured loop below
     try SparkEntry.queries("q_raw_select")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = selected
-      .map { case (name, fn) =>
-        // isolate queries: dedup/similarity paths persist intermediate
-        // frames; letting them accumulate across 36 queries turns the run
-        // into a GC lottery (observed: the same query swinging 1.3s->13s
-        // depending on what ran before it)
-        graft.pipeline.Dedup.unpersistIntermediates()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        // noop v2 sink: fully materializes every row and column — count()
-        // lets Catalyst prune projection work and understates map-heavy
-        // queries (see memory: "count() pruning lies when profiling")
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val (results, runErrors) = run(spark, sfDir, selected)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    errors ++= runErrors
     // wire/serve layer: one aggregate served over a real TCP socket
     // (Service chunking + frequency inference + JSON encode + zlib + Wire
     // framing), so serialization cost is measured before a client hits it
@@ -78,12 +115,13 @@ object Bench {
           require(bytes > 0, "empty wire reply")
         } finally { sock.close(); server.close() }
         Seq("q_wire_aggregate" -> (System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => Nil }
-    val all = results ++ wire
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      } catch { case e: Throwable =>
+        errors("q_wire_aggregate") = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[bench] q_wire_aggregate FAILED: ${errors("q_wire_aggregate")}")
+        Nil
+      }
+    println(renderJson(results ++ wire, errors.toMap, sfDir))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -17,23 +17,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events → NNTSC-shaped data frame. The parquet `ts` column is
-    * TIMESTAMP(NANOS), which Spark only reads as a raw nanos LONG (via
-    * `spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench); integer
-    * division by 1e9 truncates to epoch seconds, matching
-    * `CAST(floor(epoch(ts)) AS BIGINT)` in the DuckDB oracle.
+  /** events → NNTSC-shaped data frame. The corpus generator has shipped
+    * `ts` under three physical encodings across refreshes — TIMESTAMP(NANOS)
+    * (read as raw nanos LONG via `spark.sql.legacy.parquet.nanosAsLong`),
+    * TIMESTAMP_MICROS (Spark `TimestampType`, LTZ), and TIMESTAMP_NTZ
+    * (pandas/pyarrow default, no tz) — so this adapter matches on the full
+    * set rather than hardcoding one, mirroring the reference's dynamic
+    * schema discovery at query time (dbselect.py:112-139). All branches
+    * truncate to epoch seconds, matching `CAST(floor(epoch(ts)) AS BIGINT)`
+    * in the DuckDB oracle.
     */
   def tsEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     // defensive: callers (e.g. the driver's smoke test) may hand us a
     // session without this conf; it is runtime-settable and required to
     // read TIMESTAMP(NANOS) parquet at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = load(spark, dir, "events")
-    // `div` = exact integer division (a double `/` would lose precision on
-    // 1.7e18-scale nano values: doubles only hold 53 mantissa bits)
     val tsSec = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
-      case _                                   => col("ts").cast("long")
+      // `div` = exact integer division (a double `/` would lose precision
+      // on 1.7e18-scale nano values: doubles only hold 53 mantissa bits)
+      case LongType => expr("ts div 1000000000")
+      // NTZ has no direct cast to BIGINT; route via TimestampType, which
+      // under the engine's mandatory UTC session timezone is the identity
+      case _: TimestampNTZType => col("ts").cast(TimestampType).cast("long")
+      // TimestampType (LTZ micros) and anything numeric-castable
+      case _ => col("ts").cast("long")
     }
     ev.select(
       col("user_id").as("stream_id"),

@@ -28,6 +28,15 @@ object PlanAudit {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Run one audit section; a thrown exception becomes ONE failure line
+    * instead of aborting the remaining checks (round 8: a single broken
+    * table adapter cost 28 of 29 checks their run). */
+  private def guarded(name: String)(body: => Unit): Unit =
+    try body catch { case e: Throwable =>
+      failures += 1
+      println(s"AUDIT FAIL $name threw: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -39,332 +48,397 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // 1. filter + projection pushdown on a plain parquet scan
-    val li = Tables.lineitem(spark, sfDir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .select("l_orderkey", "l_quantity")
-    check("lineitem scan: pushed filter + pruned schema", plan(li),
-      mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
-      mustNot = Seq("l_comment", "l_extendedprice"))
-
-    // 2. label join is a broadcast hash join, no shuffle of the fact side
+    // shared inputs: lazy so a broken table throws inside the guarded
+    // section that uses it, not at definition
     val labels = Map("g0" -> Seq(0L, 3L), "g1" -> Seq(1L, 2L))
-    val agg = QueryEngine.selectAggregatedData(
-      Tables.tsEvents(spark, sfDir), labels,
-      Seq(AggSpec("value", "avg")), 0L, 1900000000L, 3600)
-    agg.collect() // run once so AQE finalizes the plan (codegen stages appear)
-    // whole-stage codegen shows as "*(n) " stage prefixes in the simple
-    // plan string
-    check("binned agg: broadcast label join + codegen", plan(agg),
-      mustContain = Seq("BroadcastHashJoin", "*(1)"),
-      mustNot = Seq("SortMergeJoin"))
+    lazy val docs = Tables.documents(spark, sfDir) // no limit: GlobalLimit would add its own exchange
+    lazy val evAll = Tables.tsEvents(spark, sfDir)
+    lazy val semEmb = Tables.embeddings(spark, sfDir)
 
-    // 3. TPC-H-style join: dimension broadcast
-    val q3 = graft.SparkEntry.queries("q3_shipping")(spark, sfDir)
-    check("q3: broadcast dimension join", plan(q3),
-      mustContain = Seq("BroadcastHashJoin"))
-
-    // 4. Layout table: partition pruning (sbucket) + timestamp pushdown
-    val dir = java.nio.file.Files.createTempDirectory("graftaudit").toString + "/data"
-    Layout.writeData(
-      Tables.tsEvents(spark, sfDir).select("stream_id", "timestamp", "value"),
-      dir, buckets = 16)
-    val pruned = Layout.readData(spark, dir)
-      .filter(Layout.streamPredicate(Seq(1L, 2L), buckets = 16))
-      .filter(col("timestamp").between(1704067200L, 1704672000L))
-    check("layout scan: partition pruning + timestamp pushdown", plan(pruned),
-      mustContain = Seq(
-        "PartitionFilters",
-        "sbucket",
-        "GreaterThanOrEqual(timestamp,1704067200)"))
-    val nFiles = pruned.select(input_file_name()).distinct().count()
-    val totalFiles = Layout.readData(spark, dir).select(input_file_name()).distinct().count()
-    println(s"AUDIT info layout files scanned: $nFiles of $totalFiles")
-    if (nFiles * 4 > totalFiles) { failures += 1; println("AUDIT FAIL pruning ineffective") }
-
-    // 5. documented caveat: the events NANOS adapter derives epoch seconds,
-    //    so its time filter is NOT pushable (engine tables store epoch-s
-    //    longs physically — case 4 — so this only affects the test corpus
-    //    adapter)
-    val adapterPlan = plan(QueryEngine.filterTime(Tables.tsEvents(spark, sfDir), 1L, 2L))
-    println(s"AUDIT info adapter pushdown (expected absent): " +
-      (if (adapterPlan.contains("PushedFilters: []")) "absent as documented" else "present"))
-
-    // 6. fused signature paths are MAP-ONLY: no exchange anywhere between
-    //    the cached shingle sets / raw text and the signature output
-    val docs = Tables.documents(spark, sfDir) // no limit: GlobalLimit would add its own exchange
-    val sigPlan = plan(graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64))
-    check("minhash signatures: map-only (no shuffle)", sigPlan,
-      mustContain = Seq("minhash_signature"),
-      mustNot = Seq("Exchange"))
-    val shPlan = plan(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
-    check("simhash fingerprints: map-only (no shuffle)", shPlan,
-      mustContain = Seq("simhash60"),
-      mustNot = Seq("Exchange"))
-
-    // 6a. ngram Jaccard builds co-occurrence by inverted-list PAIR
-    //     GENERATION (posexplode + slice-explode, each unordered pair
-    //     emitted once) — NOT an index self-join, which materializes Σdf²
-    //     rows and throws half away after the shuffle (2× solo at sf1).
-    //     The only sort-merge joins allowed are the small post-agg size
-    //     joins, which AQE broadcasts at this scale — so none may appear.
-    val ngPlan = plan(graft.pipeline.Dedup.ngramJaccardPairs(
-      docs, "doc_id", "text", 3, 0.2, maxDf = Some(500L)))
-    check("ngram pairs: inverted-list generation, no index self-join", ngPlan,
-      mustContain = Seq("Generate posexplode"),
-      mustNot = Seq("SortMergeJoin"))
-
-    // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
-    //     (one row per document), so a forced broadcast would die at the
-    //     8 GB limit at 100 TB — the analyzed plan must carry no broadcast
-    //     ResolvedHint anywhere in the minhash pair pipelines (AQE picks
-    //     the strategy at runtime instead)
-    val lshPairs = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
-    check("minhash lsh pairs: no forced broadcast of signatures",
-      lshPairs.queryExecution.analyzed.toString,
-      mustContain = Seq("Join"),
-      mustNot = Seq("ResolvedHint"))
-    val lshPairsMd5 = graft.pipeline.Dedup.minhashLshPairsMd5(docs, "doc_id", "text")
-    check("minhash lsh pairs (md5 family): no forced broadcast of signatures",
-      lshPairsMd5.queryExecution.analyzed.toString,
-      mustContain = Seq("Join"),
-      mustNot = Seq("ResolvedHint"))
-    graft.pipeline.Dedup.unpersistIntermediates()
-
-    // 7. the custom physical as-of join: AsOfJoinExec planned, each side
-    //    exchanged+sorted once, and no window machinery
-    import org.apache.spark.sql.expressions.Window
-    val ev = QueryEngine.filterTime(Tables.tsEvents(spark, sfDir), 0L, 1900000000L)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select("stream_id", "timestamp", "event_id")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select("stream_id", "timestamp", "value")
-      .dropDuplicates("stream_id", "timestamp")
-    val asofPlan = plan(graft.query.TimeSeriesOps.asofJoinNative(
-      clicks, purchases, Seq("stream_id"), "timestamp", Seq("value")))
-    check("native as-of join: merge operator, no window", asofPlan,
-      mustContain = Seq("AsOfJoin"),
-      mustNot = Seq("Window", "SortMergeJoin"))
-
-    // 8. IVF assignment: one compact nearest_cells node, no literal blow-up
-    //    (the plan string stays small) and no nested-loop join
-    val emb = Tables.embeddings(spark, sfDir)
-    val centroids = Seq.fill(16)(Seq.fill(64)(0.5))
-    val assignPlan = plan(emb.select(
-      graft.functions.NearestCells.nearestCells(col("embedding"), centroids, 1)))
-    check("ivf assignment: reference-object centroids", assignPlan,
-      mustContain = Seq("nearest_cells"),
-      mustNot = Seq("BroadcastNestedLoopJoin"))
-    if (assignPlan.length > 10000) {
-      failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
+    guarded("lineitem scan") {
+      // 1. filter + projection pushdown on a plain parquet scan
+      val li = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select("l_orderkey", "l_quantity")
+      check("lineitem scan: pushed filter + pruned schema", plan(li),
+        mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+        mustNot = Seq("l_comment", "l_extendedprice"))
     }
 
-    // 9. Q18 shape: lineitem aggregated ONCE (the HAVING sum doubles as
-    //    the output sum), the gated order set broadcasts — every join is
-    //    a broadcast hash join, no second lineitem scan, no shuffled join
-    val q18 = graft.SparkEntry.queries("q18_big_orders")(spark, sfDir)
-    q18.collect() // AQE finalizes join strategies
-    check("q18: single lineitem agg + all-broadcast joins", plan(q18),
-      mustContain = Seq("BroadcastHashJoin"),
-      mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"))
-    // AQE's string repeats the tree under "== Initial Plan ==" — count
-    // scans in the final section only
-    val q18Final = plan(q18).split("== Initial Plan ==")(0)
-    val q18Scans = "Scan parquet".r.findAllIn(q18Final).length
-    if (q18Scans == 3) println("AUDIT ok   q18: 3 scans (lineitem once)")
-    else { failures += 1; println(s"AUDIT FAIL q18 has $q18Scans scans") }
+    guarded("binned agg") {
+      // 2. label join is a broadcast hash join, no shuffle of the fact side
+      val agg = QueryEngine.selectAggregatedData(
+        evAll, labels,
+        Seq(AggSpec("value", "avg")), 0L, 1900000000L, 3600)
+      agg.collect() // run once so AQE finalizes the plan (codegen stages appear)
+      // whole-stage codegen shows as "*(n) " stage prefixes in the simple
+      // plan string
+      check("binned agg: broadcast label join + codegen", plan(agg),
+        mustContain = Seq("BroadcastHashJoin", "*(1)"),
+        mustNot = Seq("SortMergeJoin"))
+    }
 
-    // 10. q_freq single-pass: the binned aggregation feeds the whole
-    //     inference tree exactly once — the events scan appears ONCE in the
-    //     physical plan (round-2 shape recomputed it three times), and the
-    //     post-window pipeline needs no further exchange (one window
-    //     shuffle by label; byDiff/total/picks cluster on supersets of it)
-    val freqPlan = plan(graft.SparkEntry.queries("q_freq")(spark, sfDir))
-    val nScans = "Scan parquet".r.findAllIn(freqPlan).length
-    if (nScans == 1) println("AUDIT ok   q_freq: single scan of the binned input")
-    else { failures += 1; println(s"AUDIT FAIL q_freq scans binned input $nScans times") }
-    val nExch = "Exchange".r.findAllIn(freqPlan).length
-    // binned agg shuffle + label broadcast + label window shuffle + the
-    // final orderBy range exchange = 4; more means a downstream stage
-    // (byDiff / total window / final agg) failed to reuse the label
-    // partitioning and re-shuffled
-    if (nExch <= 4) println(s"AUDIT ok   q_freq: $nExch exchanges (agg, broadcast, window, sort)")
-    else { failures += 1; println(s"AUDIT FAIL q_freq has $nExch exchanges") }
+    guarded("q3") {
+      // 3. TPC-H-style join: dimension broadcast
+      val q3 = graft.SparkEntry.queries("q3_shipping")(spark, sfDir)
+      check("q3: broadcast dimension join", plan(q3),
+        mustContain = Seq("BroadcastHashJoin"))
+    }
 
-    // 11. matrix serve routing: with rollup tiers configured, the matrix
-    //     plan scans the tiny pre-aggregated tier — the raw fact table
-    //     (events.parquet) appears NOWHERE in it (influx.py:384-517; a
-    //     dashboard refresh must not full-scan raw history)
-    val evAll = Tables.tsEvents(spark, sfDir)
-    val tierDir = java.nio.file.Files.createTempDirectory("graftaudit_tier").toString
-    graft.streaming.RollupStream.appendPartials(
-      evAll, 3600, "value", s"$tierDir/t3600", epoch = 0L)
-    val tierSvc = new graft.serve.Service(
-      spark,
-      data = Map("ev" -> evAll),
-      streams = Map.empty,
-      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
-        "value", Map(3600L -> s"$tierDir/t3600"))))
-    val routedMatrix = tierSvc.matrixFrame(
-      "ev", labels,
-      Seq(AggSpec("value", "avg"), AggSpec("value", "max"), AggSpec("value", "count")),
-      1704067200L, 1704067200L + 14 * 86400)
-    check("matrix serve: routed to rollup tier, raw table unscanned",
-      plan(routedMatrix),
-      mustContain = Seq("t3600"),
-      mustNot = Seq("events.parquet"))
+    guarded("layout scan") {
+      // 4. Layout table: partition pruning (sbucket) + timestamp pushdown
+      val dir = java.nio.file.Files.createTempDirectory("graftaudit").toString + "/data"
+      Layout.writeData(
+        evAll.select("stream_id", "timestamp", "value"),
+        dir, buckets = 16)
+      val pruned = Layout.readData(spark, dir)
+        .filter(Layout.streamPredicate(Seq(1L, 2L), buckets = 16))
+        .filter(col("timestamp").between(1704067200L, 1704672000L))
+      check("layout scan: partition pruning + timestamp pushdown", plan(pruned),
+        mustContain = Seq(
+          "PartitionFilters",
+          "sbucket",
+          "GreaterThanOrEqual(timestamp,1704067200)"))
+      val nFiles = pruned.select(input_file_name()).distinct().count()
+      val totalFiles = Layout.readData(spark, dir).select(input_file_name()).distinct().count()
+      println(s"AUDIT info layout files scanned: $nFiles of $totalFiles")
+      if (nFiles * 4 > totalFiles) { failures += 1; println("AUDIT FAIL pruning ineffective") }
+    }
 
-    //     multi-column + mode variant: a second stat column and a `most`
-    //     agg must ALSO route through the tier (the reference's CQs carry
-    //     the whole aggcols list, influx.py:158-173, and mode merges from
-    //     rollup counts, :492-511) — pre-round-7 these fell back to the
-    //     exact raw full scan the tier exists to avoid
-    graft.streaming.RollupStream.appendPartials(
-      evAll, 3600, "value", s"$tierDir/t3600m", epoch = 0L,
-      extraCols = Seq("event_id"), modeCols = Seq("event_type"))
-    val tierSvcMulti = new graft.serve.Service(
-      spark,
-      data = Map("ev" -> evAll),
-      streams = Map.empty,
-      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
-        "value", Map(3600L -> s"$tierDir/t3600m"),
-        extraCols = Seq("event_id"), modeCols = Seq("event_type"))))
-    val routedMulti = tierSvcMulti.matrixFrame(
-      "ev", labels,
-      Seq(AggSpec("value", "avg"), AggSpec("event_id", "max"),
-        AggSpec("event_type", "most")),
-      1704067200L, 1704067200L + 14 * 86400)
-    check("matrix serve: multi-column + most routed to tier, raw unscanned",
-      plan(routedMulti),
-      mustContain = Seq("t3600m"),
-      mustNot = Seq("events.parquet"))
+    guarded("adapter pushdown info") {
+      // 5. documented caveat: the events adapter derives epoch seconds, so
+      //    its time filter is NOT pushable (engine tables store epoch-s
+      //    longs physically — case 4 — so this only affects the test corpus
+      //    adapter)
+      val adapterPlan = plan(QueryEngine.filterTime(evAll, 1L, 2L))
+      println(s"AUDIT info adapter pushdown (expected absent): " +
+        (if (adapterPlan.contains("PushedFilters: []")) "absent as documented" else "present"))
+    }
 
-    //     smoke variant: the one agg that used to full-scan raw on every
-    //     dashboard refresh (the reference's eponymous smokeping matrix)
-    //     now serves from the tier's count-weighted percentile grid
-    //     (influx.py:663-668 grid, :694-735 packing) — raw unscanned
-    graft.streaming.RollupStream.appendPartials(
-      evAll, 3600, "value", s"$tierDir/t3600s", epoch = 0L,
-      smokeCols = Seq("value"))
-    val tierSvcSmoke = new graft.serve.Service(
-      spark,
-      data = Map("ev" -> evAll),
-      streams = Map.empty,
-      rollups = Map("ev" -> graft.serve.Service.RollupTiers(
-        "value", Map(3600L -> s"$tierDir/t3600s"),
-        smokeCols = Seq("value"))))
-    val routedSmoke = tierSvcSmoke.matrixFrame(
-      "ev", labels,
-      Seq(AggSpec("value", "smoke"), AggSpec("value", "count")),
-      1704067200L, 1704067200L + 14 * 86400)
-    check("matrix serve: smoke routed to percentile-grid tier, raw unscanned",
-      plan(routedSmoke),
-      mustContain = Seq("t3600s"),
-      mustNot = Seq("events.parquet", "ntile"))
+    guarded("signature paths") {
+      // 6. fused signature paths are MAP-ONLY: no exchange anywhere between
+      //    the cached shingle sets / raw text and the signature output
+      val sigPlan = plan(graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64))
+      check("minhash signatures: map-only (no shuffle)", sigPlan,
+        mustContain = Seq("minhash_signature"),
+        mustNot = Seq("Exchange"))
+      val shPlan = plan(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
+      check("simhash fingerprints: map-only (no shuffle)", shPlan,
+        mustContain = Seq("simhash60"),
+        mustNot = Seq("Exchange"))
+    }
 
-    //     binned history (NNTSC_AGGREGATE at a tier-aligned binsize)
-    //     folds tier partials per requested bin — the serving economy the
-    //     reference reserves for its matrix, extended to graph history;
-    //     raw unscanned, no window/explode in the fold
-    val routedBinned = tierSvcSmoke.aggFrame(
-      "ev", labels,
-      Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
-        AggSpec("value", "smoke")),
-      1704067200L, 1704067200L + 14 * 86400, binsize = 86400)
-    check("binned history: tier partials folded per bin, raw unscanned",
-      plan(routedBinned),
-      mustContain = Seq("t3600s"),
-      mustNot = Seq("events.parquet", "ntile", "Generate"))
+    guarded("ngram pairs") {
+      // 6a. ngram Jaccard builds co-occurrence by inverted-list PAIR
+      //     GENERATION (posexplode + slice-explode, each unordered pair
+      //     emitted once) — NOT an index self-join, which materializes Σdf²
+      //     rows and throws half away after the shuffle (2× solo at sf1).
+      //     The only sort-merge joins allowed are the small post-agg size
+      //     joins, which AQE broadcasts at this scale — so none may appear.
+      val ngPlan = plan(graft.pipeline.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.2, maxDf = Some(500L)))
+      check("ngram pairs: inverted-list generation, no index self-join", ngPlan,
+        mustContain = Seq("Generate posexplode"),
+        mustNot = Seq("SortMergeJoin"))
+    }
 
-    // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
-    //     a global sort of the vocabulary
-    val tt = graft.pipeline.TextAnalysis.topTerms(
-      Tables.documents(spark, sfDir), "text", 50)
-    check("top terms: TakeOrdered partial top-k, no global Sort", plan(tt),
-      mustContain = Seq("TakeOrderedAndProject"),
-      mustNot = Seq("Sort ["))
+    guarded("lsh pairs hints") {
+      // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
+      //     (one row per document), so a forced broadcast would die at the
+      //     8 GB limit at 100 TB — the analyzed plan must carry no broadcast
+      //     ResolvedHint anywhere in the minhash pair pipelines (AQE picks
+      //     the strategy at runtime instead)
+      val lshPairs = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      check("minhash lsh pairs: no forced broadcast of signatures",
+        lshPairs.queryExecution.analyzed.toString,
+        mustContain = Seq("Join"),
+        mustNot = Seq("ResolvedHint"))
+      val lshPairsMd5 = graft.pipeline.Dedup.minhashLshPairsMd5(docs, "doc_id", "text")
+      check("minhash lsh pairs (md5 family): no forced broadcast of signatures",
+        lshPairsMd5.queryExecution.analyzed.toString,
+        mustContain = Seq("Join"),
+        mustNot = Seq("ResolvedHint"))
+      graft.pipeline.Dedup.unpersistIntermediates()
+    }
 
-    // 13. hash split: a map-only projection — no shuffle, no join; the
-    //     split column is free at any scale
-    val hs = graft.pipeline.Splits.hashSplit(
-      Tables.documents(spark, sfDir), "doc_id",
-      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s")
-    check("hash split: map-only (no exchange)", plan(hs),
-      mustContain = Seq("Project"),
-      mustNot = Seq("Exchange", "Join"))
+    guarded("as-of join") {
+      // 7. the custom physical as-of join: AsOfJoinExec planned, each side
+      //    exchanged+sorted once, and no window machinery
+      val ev = QueryEngine.filterTime(evAll, 0L, 1900000000L)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("stream_id", "timestamp", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("stream_id", "timestamp", "value")
+        .dropDuplicates("stream_id", "timestamp")
+      val asofPlan = plan(graft.query.TimeSeriesOps.asofJoinNative(
+        clicks, purchases, Seq("stream_id"), "timestamp", Seq("value")))
+      check("native as-of join: merge operator, no window", asofPlan,
+        mustContain = Seq("AsOfJoin"),
+        mustNot = Seq("Window", "SortMergeJoin"))
+    }
 
-    // 14. sequence packing: the prefix sum range-partitions and windows
-    //     per partition — never the single-task global-window funnel
-    val ps = graft.pipeline.Packing.packSequences(
-      Tables.documents(spark, sfDir), "doc_id", "text", 512L)
-    check("sequence packing: range-partitioned scan, no single-task window",
-      plan(ps),
-      mustContain = Seq("Window"),
-      mustNot = Seq("Exchange SinglePartition"))
+    guarded("ivf assignment") {
+      // 8. IVF assignment: one compact nearest_cells node, no literal
+      //    blow-up (the plan string stays small) and no nested-loop join
+      val centroids = Seq.fill(16)(Seq.fill(64)(0.5))
+      val assignPlan = plan(semEmb.select(
+        graft.functions.NearestCells.nearestCells(col("embedding"), centroids, 1)))
+      check("ivf assignment: reference-object centroids", assignPlan,
+        mustContain = Seq("nearest_cells"),
+        mustNot = Seq("BroadcastNestedLoopJoin"))
+      if (assignPlan.length > 10000) {
+        failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
+      }
+    }
 
-    // 15. decontamination: the benchmark n-gram index is the BROADCAST
-    //     side; the corpus side reaches the join map-only (its only
-    //     exchange is the post-join aggregation of contaminated survivors)
-    val deco = graft.pipeline.Dedup.decontaminate(
-      docs.filter(col("doc_id") % 10 =!= 0),
-      docs.filter(col("doc_id") % 10 === 0),
-      "doc_id", "text", 3)
-    check("decontaminate: bench index broadcast, corpus side unshuffled",
-      plan(deco),
-      mustContain = Seq("BroadcastHashJoin"),
-      mustNot = Seq("SortMergeJoin"))
-    graft.pipeline.Dedup.unpersistIntermediates()
+    guarded("q18") {
+      // 9. Q18 shape: lineitem aggregated ONCE (the HAVING sum doubles as
+      //    the output sum), the gated order set broadcasts — every join is
+      //    a broadcast hash join, no second lineitem scan, no shuffled join
+      val q18 = graft.SparkEntry.queries("q18_big_orders")(spark, sfDir)
+      q18.collect() // AQE finalizes join strategies
+      check("q18: single lineitem agg + all-broadcast joins", plan(q18),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"))
+      // AQE's string repeats the tree under "== Initial Plan ==" — count
+      // scans in the final section only
+      val q18Final = plan(q18).split("== Initial Plan ==")(0)
+      val q18Scans = "Scan parquet".r.findAllIn(q18Final).length
+      if (q18Scans == 3) println("AUDIT ok   q18: 3 scans (lineitem once)")
+      else { failures += 1; println(s"AUDIT FAIL q18 has $q18Scans scans") }
+    }
 
-    // 16. corpus shuffle: hash-order positions via the range-partitioned
-    //     prefix scan — never a single-task global sort/window
-    val so = graft.pipeline.Splits.shuffleOrder(docs, "doc_id", salt = "s")
-    check("shuffle order: range-partitioned prefix scan, no single-task window",
-      plan(so),
-      mustContain = Seq("Window"),
-      mustNot = Seq("Exchange SinglePartition"))
+    guarded("q_freq") {
+      // 10. q_freq single-pass: the binned aggregation feeds the whole
+      //     inference tree exactly once — the events scan appears ONCE in
+      //     the physical plan (round-2 shape recomputed it three times), and
+      //     the post-window pipeline needs no further exchange (one window
+      //     shuffle by label; byDiff/total/picks cluster on supersets of it)
+      val freqPlan = plan(graft.SparkEntry.queries("q_freq")(spark, sfDir))
+      val nScans = "Scan parquet".r.findAllIn(freqPlan).length
+      if (nScans == 1) println("AUDIT ok   q_freq: single scan of the binned input")
+      else { failures += 1; println(s"AUDIT FAIL q_freq scans binned input $nScans times") }
+      val nExch = "Exchange".r.findAllIn(freqPlan).length
+      // binned agg shuffle + label broadcast + label window shuffle + the
+      // final orderBy range exchange = 4; more means a downstream stage
+      // (byDiff / total window / final agg) failed to reuse the label
+      // partitioning and re-shuffled
+      if (nExch <= 4) println(s"AUDIT ok   q_freq: $nExch exchanges (agg, broadcast, window, sort)")
+      else { failures += 1; println(s"AUDIT FAIL q_freq has $nExch exchanges") }
+    }
 
-    // 17. PII scan: codegen'd regexp projection, map-only
-    val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")
-    check("pii scan: map-only projection (no exchange)", plan(pii),
-      mustContain = Seq("Project"),
-      mustNot = Seq("Exchange", "Join"))
+    guarded("tier serving") {
+      // 11. matrix serve routing: with rollup tiers configured, the matrix
+      //     plan scans the tiny pre-aggregated tier — the raw fact table
+      //     (events.parquet) appears NOWHERE in it (influx.py:384-517; a
+      //     dashboard refresh must not full-scan raw history)
+      val tierDir = java.nio.file.Files.createTempDirectory("graftaudit_tier").toString
+      graft.streaming.RollupStream.appendPartials(
+        evAll, 3600, "value", s"$tierDir/t3600", epoch = 0L)
+      val tierSvc = new graft.serve.Service(
+        spark,
+        data = Map("ev" -> evAll),
+        streams = Map.empty,
+        rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+          "value", Map(3600L -> s"$tierDir/t3600"))))
+      val routedMatrix = tierSvc.matrixFrame(
+        "ev", labels,
+        Seq(AggSpec("value", "avg"), AggSpec("value", "max"), AggSpec("value", "count")),
+        1704067200L, 1704067200L + 14 * 86400)
+      check("matrix serve: routed to rollup tier, raw table unscanned",
+        plan(routedMatrix),
+        mustContain = Seq("t3600"),
+        mustNot = Seq("events.parquet"))
 
-    // 18. context-window chunking: one generator per document, no shuffle
-    val ch = graft.pipeline.Packing.chunkDocs(docs, "doc_id", "text", 32, 24)
-    check("chunking: map-only explode (no exchange)", plan(ch),
-      mustContain = Seq("Generate"),
-      mustNot = Seq("Exchange", "Join"))
+      //     multi-column + mode variant: a second stat column and a `most`
+      //     agg must ALSO route through the tier (the reference's CQs carry
+      //     the whole aggcols list, influx.py:158-173, and mode merges from
+      //     rollup counts, :492-511) — pre-round-7 these fell back to the
+      //     exact raw full scan the tier exists to avoid
+      graft.streaming.RollupStream.appendPartials(
+        evAll, 3600, "value", s"$tierDir/t3600m", epoch = 0L,
+        extraCols = Seq("event_id"), modeCols = Seq("event_type"))
+      val tierSvcMulti = new graft.serve.Service(
+        spark,
+        data = Map("ev" -> evAll),
+        streams = Map.empty,
+        rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+          "value", Map(3600L -> s"$tierDir/t3600m"),
+          extraCols = Seq("event_id"), modeCols = Seq("event_type"))))
+      val routedMulti = tierSvcMulti.matrixFrame(
+        "ev", labels,
+        Seq(AggSpec("value", "avg"), AggSpec("event_id", "max"),
+          AggSpec("event_type", "most")),
+        1704067200L, 1704067200L + 14 * 86400)
+      check("matrix serve: multi-column + most routed to tier, raw unscanned",
+        plan(routedMulti),
+        mustContain = Seq("t3600m"),
+        mustNot = Seq("events.parquet"))
 
-    // 19. mixture resampling: the per-source rates ride back as a
-    //     BROADCAST join onto a map-only filter — the corpus itself is
-    //     never shuffled or sorted
-    val mx = graft.pipeline.Splits.mixtureSample(
-      docs, "doc_id", "source", "text",
-      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "s")
-    check("mixture sample: broadcast rates, corpus unshuffled", plan(mx),
-      mustContain = Seq("BroadcastHashJoin"),
-      mustNot = Seq("SortMergeJoin", "Sort ["))
+      //     smoke variant: the one agg that used to full-scan raw on every
+      //     dashboard refresh (the reference's eponymous smokeping matrix)
+      //     now serves from the tier's count-weighted percentile grid
+      //     (influx.py:663-668 grid, :694-735 packing) — raw unscanned
+      graft.streaming.RollupStream.appendPartials(
+        evAll, 3600, "value", s"$tierDir/t3600s", epoch = 0L,
+        smokeCols = Seq("value"))
+      val tierSvcSmoke = new graft.serve.Service(
+        spark,
+        data = Map("ev" -> evAll),
+        streams = Map.empty,
+        rollups = Map("ev" -> graft.serve.Service.RollupTiers(
+          "value", Map(3600L -> s"$tierDir/t3600s"),
+          smokeCols = Seq("value"))))
+      val routedSmoke = tierSvcSmoke.matrixFrame(
+        "ev", labels,
+        Seq(AggSpec("value", "smoke"), AggSpec("value", "count")),
+        1704067200L, 1704067200L + 14 * 86400)
+      check("matrix serve: smoke routed to percentile-grid tier, raw unscanned",
+        plan(routedSmoke),
+        mustContain = Seq("t3600s"),
+        mustNot = Seq("events.parquet", "ntile"))
 
-    // 20. semantic dedup: cell-blocked pair generation — the reference-
-    //     object cell assignment is a map-only projection and candidates
-    //     come from the cell equi-join, never a cartesian product
-    val semEmb = Tables.embeddings(spark, sfDir)
-    val sd = graft.pipeline.Similarity.semanticDupPairsWith(
-      semEmb, graft.pipeline.Similarity.ivfCentroids(semEmb, "vec_id", "embedding"),
-      "vec_id", "embedding", 0.3)
-    check("semantic dedup pairs: cell equi-join, no cartesian", plan(sd),
-      mustContain = Seq("nearest_cells"),
-      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      //     binned history (NNTSC_AGGREGATE at a tier-aligned binsize)
+      //     folds tier partials per requested bin — the serving economy the
+      //     reference reserves for its matrix, extended to graph history;
+      //     raw unscanned, no window/explode in the fold
+      val routedBinned = tierSvcSmoke.aggFrame(
+        "ev", labels,
+        Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
+          AggSpec("value", "smoke")),
+        1704067200L, 1704067200L + 14 * 86400, binsize = 86400)
+      check("binned history: tier partials folded per bin, raw unscanned",
+        plan(routedBinned),
+        mustContain = Seq("t3600s"),
+        mustNot = Seq("events.parquet", "ntile", "Generate"))
 
-    // 21. exact top-k search: ranking is the k-bounded hash aggregate
-    //     (map-side combine to ≤ k candidates per query per partition),
-    //     never a per-query window sort of the full scored corpus
-    val tk = graft.pipeline.Similarity.bruteForceTopK(
-      semEmb, "vec_id", "embedding", (0L until 10L), 5)
-    check("exact top-k: k-bounded aggregate, no per-query window sort",
-      plan(tk),
-      mustContain = Seq("topk_pairs", "BroadcastNestedLoopJoin"),
-      mustNot = Seq("Window", "Exchange SinglePartition"))
+      //     mode-map fold: the tier-read mode merge must ride the single
+      //     aggregation pass — exactly one shuffle (the group-by), no
+      //     second Exchange and no join re-attaching mode columns
+      //     (ModeMapAggregate replaced the former groupBy+join lap in r8)
+      val routedMode = tierSvcMulti.aggFrame(
+        "ev", labels,
+        Seq(AggSpec("value", "avg"), AggSpec("event_type", "most")),
+        1704067200L, 1704067200L + 14 * 86400, binsize = 86400)
+      val modePlan = plan(routedMode)
+      check("mode fold: most_of_maps rides the single agg pass", modePlan,
+        mustContain = Seq("t3600m", "most_of_maps"),
+        mustNot = Seq("events.parquet", "SortMergeJoin", "Generate"))
+      // the only join allowed is the broadcast label attach; exchanges =
+      // group-by shuffle + label BroadcastExchange + final sort range = 3
+      // (the pre-r8 shape added an exchange + join per mode column)
+      val modeExch = "Exchange".r.findAllIn(modePlan).length
+      if (modeExch <= 3) println(s"AUDIT ok   mode fold: $modeExch exchanges (agg, broadcast, sort)")
+      else { failures += 1; println(s"AUDIT FAIL mode fold has $modeExch exchanges") }
+    }
+
+    guarded("top terms") {
+      // 12. heavy hitters: partial per-partition top-k (TakeOrdered), never
+      //     a global sort of the vocabulary
+      val tt = graft.pipeline.TextAnalysis.topTerms(docs, "text", 50)
+      check("top terms: TakeOrdered partial top-k, no global Sort", plan(tt),
+        mustContain = Seq("TakeOrderedAndProject"),
+        mustNot = Seq("Sort ["))
+    }
+
+    guarded("hash split") {
+      // 13. hash split: a map-only projection — no shuffle, no join; the
+      //     split column is free at any scale
+      val hs = graft.pipeline.Splits.hashSplit(
+        docs, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), salt = "s")
+      check("hash split: map-only (no exchange)", plan(hs),
+        mustContain = Seq("Project"),
+        mustNot = Seq("Exchange", "Join"))
+    }
+
+    guarded("sequence packing") {
+      // 14. sequence packing: the prefix sum range-partitions and windows
+      //     per partition — never the single-task global-window funnel
+      val ps = graft.pipeline.Packing.packSequences(
+        docs, "doc_id", "text", 512L)
+      check("sequence packing: range-partitioned scan, no single-task window",
+        plan(ps),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+    }
+
+    guarded("decontaminate") {
+      // 15. decontamination: the benchmark n-gram index is the BROADCAST
+      //     side; the corpus side reaches the join map-only (its only
+      //     exchange is the post-join aggregation of contaminated survivors)
+      val deco = graft.pipeline.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3)
+      check("decontaminate: bench index broadcast, corpus side unshuffled",
+        plan(deco),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin"))
+      graft.pipeline.Dedup.unpersistIntermediates()
+    }
+
+    guarded("shuffle order") {
+      // 16. corpus shuffle: hash-order positions via the range-partitioned
+      //     prefix scan — never a single-task global sort/window
+      val so = graft.pipeline.Splits.shuffleOrder(docs, "doc_id", salt = "s")
+      check("shuffle order: range-partitioned prefix scan, no single-task window",
+        plan(so),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+    }
+
+    guarded("pii scan") {
+      // 17. PII scan: codegen'd regexp projection, map-only
+      val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")
+      check("pii scan: map-only projection (no exchange)", plan(pii),
+        mustContain = Seq("Project"),
+        mustNot = Seq("Exchange", "Join"))
+    }
+
+    guarded("chunking") {
+      // 18. context-window chunking: one generator per document, no shuffle
+      val ch = graft.pipeline.Packing.chunkDocs(docs, "doc_id", "text", 32, 24)
+      check("chunking: map-only explode (no exchange)", plan(ch),
+        mustContain = Seq("Generate"),
+        mustNot = Seq("Exchange", "Join"))
+    }
+
+    guarded("mixture sample") {
+      // 19. mixture resampling: the per-source rates ride back as a
+      //     BROADCAST join onto a map-only filter — the corpus itself is
+      //     never shuffled or sorted
+      val mx = graft.pipeline.Splits.mixtureSample(
+        docs, "doc_id", "source", "text",
+        Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), salt = "s")
+      check("mixture sample: broadcast rates, corpus unshuffled", plan(mx),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin", "Sort ["))
+    }
+
+    guarded("semantic dedup") {
+      // 20. semantic dedup: cell-blocked pair generation — the reference-
+      //     object cell assignment is a map-only projection and candidates
+      //     come from the cell equi-join, never a cartesian product
+      val sd = graft.pipeline.Similarity.semanticDupPairsWith(
+        semEmb, graft.pipeline.Similarity.ivfCentroids(semEmb, "vec_id", "embedding"),
+        "vec_id", "embedding", 0.3)
+      check("semantic dedup pairs: cell equi-join, no cartesian", plan(sd),
+        mustContain = Seq("nearest_cells"),
+        mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    }
+
+    guarded("exact top-k") {
+      // 21. exact top-k search: ranking is the k-bounded hash aggregate
+      //     (map-side combine to ≤ k candidates per query per partition),
+      //     never a per-query window sort of the full scored corpus
+      val tk = graft.pipeline.Similarity.bruteForceTopK(
+        semEmb, "vec_id", "embedding", (0L until 10L), 5)
+      check("exact top-k: k-bounded aggregate, no per-query window sort",
+        plan(tk),
+        mustContain = Seq("topk_pairs", "BroadcastNestedLoopJoin"),
+        mustNot = Seq("Window", "Exchange SinglePartition"))
+    }
 
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
