@@ -110,6 +110,12 @@ object Rollup {
     * stays the canonical smoke; the tier answer weights each bin's grid
     * by its sample count, which is the best any pre-aggregated percentile
     * store can do (and exactly what the reference's rollup serving does).
+    * The reference's sparse-bin packing — fewer than 20 samples report a
+    * `100/n`-stepped percentile subset, one sample just the max
+    * (influx.py:694-712) — is available byte-for-byte via the serving
+    * layer's opt-in clamp (`aggregatedFromTier(sparseClamp = true)`,
+    * `Service.RollupTiers.smokeSparseClamp`); the remaining deviation is
+    * interpolated grid slots where Influx's percentile() nearest-ranks.
     */
   def buildMulti(
       data: DataFrame,
@@ -244,8 +250,25 @@ object Rollup {
       aggs: Seq[graft.query.AggSpec],
       start: Long,
       stop: Long,
-      primaryCol: String = ""): DataFrame =
-    aggregatedFromTier(tier, labels, aggs, start, stop, binsize = 0, primaryCol)
+      primaryCol: String = "",
+      sparseClamp: Boolean = false): DataFrame =
+    aggregatedFromTier(tier, labels, aggs, start, stop, binsize = 0, primaryCol, sparseClamp)
+
+  /** The reference's sparse-bin smokearray clamp (influx.py:694-712): the
+    * percentile positions (in percent, multiples of 5) a bin with `n`
+    * samples reports. n >= 20 keeps the full 5..95 grid; 1 < n < 20 steps
+    * by `100/n` floored to a multiple of 5 from `100 - step·(n-1)` (never
+    * more percentiles than samples); n <= 1 reports none (the window max
+    * alone forms the smokearray).
+    */
+  private[graft] def clampPercents(n: Long): Seq[Int] =
+    if (n <= 1) Nil
+    else if (n >= 20) 5 until 100 by 5
+    else {
+      val step = (100 / n.toInt) / 5 * 5
+      val bottom = 100 - step * (n.toInt - 1)
+      bottom until 100 by step
+    }
 
   /** Binned aggregation served FROM a rollup tier — `matrixFromTier`
     * generalized to the A8 time-bin grid: one output row per (label,
@@ -273,7 +296,8 @@ object Rollup {
       start: Long,
       stop: Long,
       binsize: Long,
-      primaryCol: String = ""): DataFrame = {
+      primaryCol: String = "",
+      sparseClamp: Boolean = false): DataFrame = {
     val singleBin = binsize <= 0 || binsize >= (stop - start)
     val names = QueryEngine.outputNames(aggs, Nil)
     val windowed = QueryEngine.attachLabels(
@@ -344,11 +368,22 @@ object Rollup {
     // no samples (every pinned slot sum NULL) yields NULL, matching the
     // reference's empty-smokearray suppression.
     smokes.foreach { case (a, out0) =>
+      val n = col(s"__n_$out0")
+      val mx = col(s"__mx_$out0").cast("double")
       val slots = SmokePercentages.indices
-        .map(i => col(s"__s${i}_$out0").cast("double") / col(s"__n_$out0"))
-      out = out.withColumn(out0,
-        when(col(s"__s0_$out0").isNotNull,
-          array(slots :+ col(s"__mx_$out0").cast("double"): _*)))
+        .map(i => col(s"__s${i}_$out0").cast("double") / n)
+      val full = array(slots :+ mx: _*)
+      // sparse-bin clamp (opt-in, `clampPercents`): a when-chain over the
+      // 18 possible sparse counts picking the percent positions' slots
+      // (percent p lives at grid index p/5 - 1) — still plain projection
+      // expressions over the same aggregated sums, no extra pass
+      val packed =
+        if (!sparseClamp) full
+        else (2L to 19L).foldLeft(when(n <= 1, array(mx))) { (acc, k) =>
+          acc.when(n === k,
+            array(clampPercents(k).map(p => slots(p / 5 - 1)) :+ mx: _*))
+        }.otherwise(full)
+      out = out.withColumn(out0, when(col(s"__s0_$out0").isNotNull, packed))
     }
     out
       .withColumn("binstart", if (singleBin) lit(start) else col("__reqbin"))

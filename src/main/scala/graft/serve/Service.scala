@@ -47,7 +47,11 @@ object Service {
       tiers: Map[Long, String],
       extraCols: Seq[String] = Nil,
       modeCols: Seq[String] = Nil,
-      smokeCols: Seq[String] = Nil) {
+      smokeCols: Seq[String] = Nil,
+      // opt-in byte-parity with the reference's sparse-bin smokearray
+      // packing (influx.py:694-712): windows with < 20 samples emit the
+      // 100/n-stepped percentile subset instead of the full 19-slot grid
+      smokeSparseClamp: Boolean = false) {
     def statCols: Set[String] = (valueCol +: extraCols).toSet
   }
 
@@ -238,7 +242,8 @@ final class Service(
       } yield {
         val t = graft.rollup.Rollup.aggregatedFromTier(
           graft.streaming.RollupStream.readTier(spark, c.tiers(bin)),
-          labels, aggs, start, stop, binsize, primaryCol = c.valueCol)
+          labels, aggs, start, stop, binsize, primaryCol = c.valueCol,
+          sparseClamp = c.smokeSparseClamp)
         t.select(raw.schema.fields.toSeq.map(f => t(f.name).cast(f.dataType).as(f.name)): _*)
       }
     tiered.getOrElse(raw)
@@ -310,7 +315,8 @@ final class Service(
       } yield {
         val m = graft.rollup.Rollup.matrixFromTier(
           graft.streaming.RollupStream.readTier(spark, cfg.tiers(bin)),
-          labels, aggs, start, stop, primaryCol = cfg.valueCol)
+          labels, aggs, start, stop, primaryCol = cfg.valueCol,
+          sparseClamp = cfg.smokeSparseClamp)
         m.select(raw.schema.fields.toSeq.map(f => m(f.name).cast(f.dataType).as(f.name)): _*)
       }
     tiered.getOrElse(raw)

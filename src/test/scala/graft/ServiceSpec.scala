@@ -449,6 +449,72 @@ class ServiceSpec extends SparkSpec {
       "tier-less collection keeps the inclusive dbselect window")
   }
 
+  test("smoke sparse clamp: <20-sample bins pack the 100/n-stepped subset (influx.py:694-712)") {
+    import graft.streaming.RollupStream
+    // the slot-selection formula itself, against the reference's Python
+    // (range_step = 100//n - (100//n % 5); range_bottom = 100 - step·(n-1))
+    assert(graft.rollup.Rollup.clampPercents(0) === Nil)
+    assert(graft.rollup.Rollup.clampPercents(1) === Nil)
+    assert(graft.rollup.Rollup.clampPercents(2) === Seq(50))
+    assert(graft.rollup.Rollup.clampPercents(3) === Seq(40, 70))
+    assert(graft.rollup.Rollup.clampPercents(7) === Seq(40, 50, 60, 70, 80, 90))
+    assert(graft.rollup.Rollup.clampPercents(19) === (10 until 100 by 5))
+    assert(graft.rollup.Rollup.clampPercents(20) === (5 until 100 by 5))
+    // each sparse n reports exactly n slots (counting the max) — the
+    // reference's "don't return more percentiles than we have results"
+    (2 to 19).foreach(n =>
+      assert(graft.rollup.Rollup.clampPercents(n).size === n - 1, s"n=$n"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graftclamp").toString
+    val t0 = 1704067200L
+    // stream 0: a 7-sample bin; stream 1: a single sample; stream 2: 25
+    // samples (above the clamp threshold — full grid)
+    val vals7 = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0)
+    val rows = vals7.zipWithIndex.map { case (v, i) => (0L, t0 + i * 60L, v) } ++
+      Seq((1L, t0 + 10L, 5.0)) ++
+      (0 until 25).map(i => (2L, t0 + i * 60L, i * 0.25))
+    val ev = rows.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/c3600", epoch = 0L,
+      smokeCols = Seq("value"))
+    def serve(clamp: Boolean) = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/c3600"), smokeCols = Seq("value"),
+        smokeSparseClamp = clamp)))
+      .matrixFrame(
+        "amp-external",
+        Map("s7" -> Seq(0L), "s1" -> Seq(1L), "s25" -> Seq(2L)),
+        Seq(AggSpec("value", "smoke")), t0, t0 + 3600)
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[Double](r.fieldIndex("value"))))
+      .toMap
+
+    def pctl(sorted: Vector[Double], p: Double): Double = {
+      val h = p * (sorted.length - 1)
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      if (lo == hi) sorted(lo) else sorted(lo) * (hi - h) + sorted(hi) * (h - lo)
+    }
+    val grid7 = (1 to 19).map(k => pctl(vals7.toVector, k / 20.0))
+
+    val clamped = serve(clamp = true)
+    // 7 samples → the 40..90-step-10 subset of the grid plus the max: 7 slots
+    val exp7 = Seq(40, 50, 60, 70, 80, 90).map(p => grid7(p / 5 - 1)) :+ 64.0
+    assert(clamped("s7").get.size === 7)
+    clamped("s7").get.zip(exp7).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"s7: got ${clamped("s7").get} expected $exp7")
+    }
+    // 1 sample → the max alone; >= 20 samples → the full 20-slot pack
+    assert(clamped("s1").get === Seq(5.0))
+    assert(clamped("s25").get.size === 20)
+
+    // flag off (the default): every populated window packs all 20 slots
+    val unclamped = serve(clamp = false)
+    assert(unclamped("s7").get.size === 20 && unclamped("s1").get.size === 20)
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
