@@ -79,6 +79,54 @@ object Bench {
     val (results, runErrors) = run(spark, sfDir, selected)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     errors ++= runErrors
+    // tier read-path lines: the q_*_tier gate queries build their tier
+    // INLINE (correctness needs the whole derivation in one plan), which
+    // overstates the serving cost the tiers exist for. Here the tier is
+    // written to disk once — timed separately as `tier_build`, the batch
+    // form of the streaming maintenance job — and the `_serve` lines time
+    // ONLY the production read path: readTier + fold.
+    val tierNames = Set("tier_build", "q_matrix_tier_smoke_serve", "q_agg_tier_bins_serve")
+    val tierBench =
+      if (only.nonEmpty && !tierNames.exists(only)) Nil
+      else try {
+        import graft.query.AggSpec
+        val ev = graft.core.Tables.tsEvents(spark, sfDir)
+        val labels = SparkEntry.labelsFor(spark, sfDir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
+        val tb0 = System.nanoTime()
+        graft.streaming.RollupStream.appendPartials(
+          ev, 3600, "value", s"$tmp/t3600", epoch = 0L,
+          modeCols = Seq("event_type"), smokeCols = Seq("value"))
+        val build = "tier_build" -> (System.nanoTime() - tb0) / 1e9
+        val tier = graft.streaming.RollupStream.readTier(spark, s"$tmp/t3600")
+        def serveLine(name: String, df: => org.apache.spark.sql.DataFrame) = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        Seq(
+          build,
+          serveLine("q_matrix_tier_smoke_serve",
+            graft.rollup.Rollup.matrixFromTier(
+              tier, labels,
+              Seq(AggSpec("value", "smoke"), AggSpec("value", "avg"),
+                AggSpec("value", "count")),
+              SparkEntry.Start, SparkEntry.Stop, primaryCol = "value")),
+          serveLine("q_agg_tier_bins_serve",
+            graft.rollup.Rollup.aggregatedFromTier(
+              tier, labels,
+              Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
+                AggSpec("value", "stddev"), AggSpec("event_type", "most"),
+                AggSpec("value", "smoke")),
+              SparkEntry.Start, SparkEntry.Stop, binsize = 21600,
+              primaryCol = "value")))
+          .filter { case (n, _) => only.isEmpty || only(n) }
+      } catch { case e: Throwable =>
+        errors("tier_serve") = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[bench] tier serve lines FAILED: ${errors("tier_serve")}")
+        Nil
+      }
     // wire/serve layer: one aggregate served over a real TCP socket
     // (Service chunking + frequency inference + JSON encode + zlib + Wire
     // framing), so serialization cost is measured before a client hits it
@@ -120,7 +168,7 @@ object Bench {
         System.err.println(s"[bench] q_wire_aggregate FAILED: ${errors("q_wire_aggregate")}")
         Nil
       }
-    println(renderJson(results ++ wire, errors.toMap, sfDir))
+    println(renderJson(results ++ tierBench ++ wire, errors.toMap, sfDir))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

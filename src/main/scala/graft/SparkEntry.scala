@@ -19,8 +19,8 @@ import graft.rollup.Rollup
 object SparkEntry {
 
   /** Query window covering the events table (Jan 2024, epoch seconds). */
-  private val Start = 1704067200L // 2024-01-01T00:00:00Z
-  private val Stop  = 1706745600L // 2024-02-01T00:00:00Z
+  private[graft] val Start = 1704067200L // 2024-01-01T00:00:00Z
+  private[graft] val Stop  = 1706745600L // 2024-02-01T00:00:00Z
 
   /** Standard label map: streams grouped by user_id % 3 → g0/g1/g2
     * (explicit id lists, as NNTSC clients pass them; the oracle mirrors it
@@ -30,7 +30,7 @@ object SparkEntry {
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[Long]]]()
 
-  private def labelsFor(spark: SparkSession, dir: String): Map[String, Seq[Long]] =
+  private[graft] def labelsFor(spark: SparkSession, dir: String): Map[String, Seq[Long]] =
     labelsCache.computeIfAbsent(
       dir,
       _ =>
