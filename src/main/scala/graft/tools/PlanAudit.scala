@@ -133,13 +133,17 @@ object PlanAudit {
       //     GENERATION (posexplode + slice-explode, each unordered pair
       //     emitted once) — NOT an index self-join, which materializes Σdf²
       //     rows and throws half away after the shuffle (2× solo at sf1).
-      //     The only sort-merge joins allowed are the small post-agg size
-      //     joins, which AQE broadcasts at this scale — so none may appear.
+      //     The self-join's signature is a sort-merge join KEYED ON THE
+      //     SHINGLE (`__s`) — i.e. the corpus shuffled by shingle. The
+      //     post-agg size joins key on doc ids and their sides arrive
+      //     pre-partitioned from their groupBys, so an SMJ there is the
+      //     correct at-scale plan (AQE broadcasts it at test scale) and is
+      //     NOT banned — round 9: the blanket SMJ ban false-alarmed at sf1.
       val ngPlan = plan(graft.pipeline.Dedup.ngramJaccardPairs(
         docs, "doc_id", "text", 3, 0.2, maxDf = Some(500L)))
       check("ngram pairs: inverted-list generation, no index self-join", ngPlan,
         mustContain = Seq("Generate posexplode"),
-        mustNot = Seq("SortMergeJoin"))
+        mustNot = Seq("SortMergeJoin [__s"))
     }
 
     guarded("lsh pairs hints") {
@@ -365,8 +369,11 @@ object PlanAudit {
 
     guarded("decontaminate") {
       // 15. decontamination: the benchmark n-gram index is the BROADCAST
-      //     side; the corpus side reaches the join map-only (its only
-      //     exchange is the post-join aggregation of contaminated survivors)
+      //     side; the corpus side reaches the join map-only. A shuffle of
+      //     the corpus BY SHINGLE (SMJ keyed on `__s`) is the banned
+      //     shape; the final per-doc count join keys on ids, both sides
+      //     post-agg and pre-partitioned — SMJ there is fine at scale
+      //     (AQE broadcasts it at test scale).
       val deco = graft.pipeline.Dedup.decontaminate(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
@@ -374,7 +381,7 @@ object PlanAudit {
       check("decontaminate: bench index broadcast, corpus side unshuffled",
         plan(deco),
         mustContain = Seq("BroadcastHashJoin"),
-        mustNot = Seq("SortMergeJoin"))
+        mustNot = Seq("SortMergeJoin [__s"))
       graft.pipeline.Dedup.unpersistIntermediates()
     }
 
