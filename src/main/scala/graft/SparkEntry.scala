@@ -46,14 +46,18 @@ object SparkEntry {
           .mapValues(_.sorted)
           .toMap)
 
-  /** DuckDB side of `labelsFor` + `Tables.tsEvents`. */
+  /** DuckDB side of `labelsFor` + `Tables.tsEvents` — the width-pinning
+    * casts mirror the adapter's (Tables.tsEvents), so both engines keep
+    * the (BIGINT ids, DOUBLE value) contract under corpus-schema drift.
+    */
   private val OracleEvents =
     """SELECT CASE WHEN user_id % 3 = 0 THEN 'g0'
       |            WHEN user_id % 3 = 1 THEN 'g1'
       |            ELSE 'g2' END AS nntsclabel,
-      |       user_id AS stream_id,
+      |       CAST(user_id AS BIGINT) AS stream_id,
       |       CAST(floor(epoch(ts)) AS BIGINT) AS "timestamp",
-      |       event_id, event_type, value, props
+      |       CAST(event_id AS BIGINT) AS event_id, event_type,
+      |       CAST(value AS DOUBLE) AS value, props
       |FROM events""".stripMargin
 
   private def oracleEventsWindow: String =

@@ -44,12 +44,16 @@ object Tables {
       // TimestampType (LTZ micros) and anything numeric-castable
       case _ => col("ts").cast("long")
     }
+    // width-pinning casts (no-ops today, elided by SimplifyCasts): if a
+    // future corpus refresh narrows the integer ids to int32 or value to
+    // float32, the engine contract stays (BIGINT ids, DOUBLE value) — the
+    // oracle view applies the same casts (SparkEntry.OracleEvents)
     ev.select(
-      col("user_id").as("stream_id"),
+      col("user_id").cast("long").as("stream_id"),
       tsSec.cast("long").as("timestamp"),
-      col("event_id"),
+      col("event_id").cast("long").as("event_id"),
       col("event_type"),
-      col("value"),
+      col("value").cast("double").as("value"),
       col("props"))
   }
 
