@@ -195,6 +195,24 @@ object PlanAudit {
       }
     }
 
+    guarded("q5") {
+      // 9a. Q5 shape: lineitem folds to per-order partials BELOW the only
+      //     wide join (map-side combined HashAggregate before the orderkey
+      //     shuffle); every dimension attach is a broadcast probe — no
+      //     item-level SMJ, no cartesian
+      val q5 = graft.SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+      val p5 = plan(q5)
+      check("q5: per-order partial agg below the join, dims broadcast", p5,
+        mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+        mustNot = Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      // the partial aggregate must sit under the orderkey join: the plan
+      // has a HashAggregate keyed by l_orderkey (the fold), not just the
+      // final region/nation aggregate
+      if (p5.contains("HashAggregate(keys=[l_orderkey"))
+        println("AUDIT ok   q5: lineitem folded per order before the shuffle")
+      else { failures += 1; println("AUDIT FAIL q5 lineitem not pre-aggregated per order") }
+    }
+
     guarded("q18") {
       // 9. Q18 shape: lineitem aggregated ONCE (the HAVING sum doubles as
       //    the output sum), the gated order set broadcasts — every join is
