@@ -47,7 +47,20 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        got = pd.read_parquet(d)
+        # a failed query leaves a marker dir with _ERROR.txt instead of
+        # parquet (Verify.dump) — record an err row, don't crash the gate
+        marker = os.path.join(d, "_ERROR.txt")
+        if os.path.exists(marker):
+            msg = open(marker).read()
+            print(f"[FAIL] {name}: query error: {msg.splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        try:
+            got = pd.read_parquet(d)
+        except Exception as e:
+            print(f"[FAIL] {name}: unreadable result: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"[rows-only] {name}: rows={len(got)}")
             continue
