@@ -237,7 +237,7 @@ object Similarity {
       vecCol: String,
       queryIds: Seq[Long],
       k: Int,
-      cells: Int = 16,
+      cells: Int = 0,
       nprobe: Int = 4,
       lloydIters: Int = 2,
       trainFraction: Double = 1.0): DataFrame =
@@ -246,25 +246,45 @@ object Similarity {
       ivfCentroids(emb, idCol, vecCol, cells, lloydIters, trainFraction),
       idCol, vecCol, queryIds, k, nprobe)
 
+  /** Cell count when the caller doesn't pick one: bounded-CELL-SIZE
+    * scaling, `max(MinCells, n / TargetCellSize)`. Cell population stays
+    * ~constant as the corpus grows, which keeps within-cell pair
+    * generation (SemDeDup) and the per-probe scan cost LINEAR in n; a
+    * FIXED k makes both quadratic (measured: q_semantic_dedup 9.5 s at
+    * GenScale sf1 -> 194 s at sf10 with k pinned to 16; 12.4 s -> 43.8 s
+    * with auto-sizing). Deterministic (count, not sample), so trained
+    * matrices stay oracle-inlinable. Caveat: flat nearest-cell assignment
+    * is O(n·k·d), so with k ∝ n it is the next asymptotic wall — at
+    * corpus sizes where k·d stops fitting a broadcast probe (~1e5 cells),
+    * assign through a two-level coarse quantizer (cluster the centroids,
+    * probe coarse-then-fine) before touching this scaling rule.
+    */
+  val TargetCellSize = 2000L
+  val MinCells = 16
+  def autoCells(n: Long): Int = math.max(MinCells, (n / TargetCellSize).toInt)
+
   /** Train the IVF coarse quantizer: deterministic init (first `cells`
     * vectors in id order) + `lloydIters` distributed Lloyd refinements.
     * Fully deterministic given the table — the trained matrix can be
     * inlined verbatim into an oracle query (the planeWeights trick), which
     * is how q_ann_ivf is hash-checked against DuckDB.
+    *
+    * `cells <= 0` (the default) auto-sizes via [[autoCells]].
     */
   def ivfCentroids(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      cells: Int = 16,
+      cells: Int = 0,
       lloydIters: Int = 2,
       trainFraction: Double = 1.0): Seq[Seq[Double]] = {
     import graft.functions.NearestCells
 
-    // deterministic init: the first `cells` vectors by id
+    val k = if (cells > 0) cells else autoCells(emb.count())
+    // deterministic init: the first k vectors by id
     var centroids: Seq[Seq[Double]] = emb
       .orderBy(idCol)
-      .limit(cells)
+      .limit(k)
       .select(vecCol)
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
@@ -343,7 +363,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       path: String,
-      cells: Int = 16,
+      cells: Int = 0,
       lloydIters: Int = 2,
       trainFraction: Double = 1.0): Unit =
     ivfWriteIndexWith(
@@ -490,7 +510,7 @@ object Similarity {
   def ivfRebuildIfNeeded(
       spark: SparkSession,
       path: String,
-      cells: Int = 16,
+      cells: Int = 0,
       lloydIters: Int = 2,
       trainFraction: Double = 1.0,
       force: Boolean = false): IvfIndexStats = {
