@@ -166,13 +166,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 8,
+      planes: Int = 0,
       dims: Int = 64,
       probes: Int = 0,
       maxCandidates: Option[Long] = None): DataFrame = {
+    // planes <= 0 auto-sizes like autoCells: 2^planes buckets of
+    // ~TargetCellSize vectors keep the bucket equi-join's candidate
+    // volume linear in n (a FIXED plane count goes quadratic once the
+    // corpus outgrows 2^planes * target — same failure mode as the fixed
+    // k=16 quantizer, see autoCells)
+    val np =
+      if (planes > 0) planes
+      else math.max(8, math.ceil(
+        math.log(math.max(1.0, emb.count().toDouble / TargetCellSize)) / math.log(2.0)).toInt)
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes, dims).as("__home"))
+      lshBucket(col(vecCol), np, dims).as("__home"))
     val probed =
       if (probes == 0) bucketed.withColumn("__bkt", col("__home"))
       else bucketed.withColumn(
