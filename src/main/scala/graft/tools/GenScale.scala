@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   * quadratic and measure a different query than the one at sf0.1):
   *
   *   - documents: words are deterministically permuted per replica
-  *     (sorted by xxhash64(word, position, k)) — token counts, language
-  *     signals, stopword/punct ratios, and length stats survive, but
-  *     word-n-gram shingles do not, so replicas are NOT near-dups of the
-  *     original or of each other;
+  *     (sorted by xxhash64(word, position, k)) and a 1-in-8 of tokens is
+  *     replica-salted — token counts, language signals, stopword/punct
+  *     ratios, and length stats survive, but word-n-gram shingles do
+  *     not, so replicas are NOT near-dups under shingle measures
+  *     (ngram/minhash). Order-INVARIANT measures are only partially
+  *     decorrelated: simhash fingerprints the token multiset, and
+  *     replicas keep similar multisets BY DESIGN (that is the
+  *     distribution being preserved), so sparse families remain and the
+  *     simhash pair emitters' volume budgets are expected to fire at
+  *     large factors — which is those guards doing their documented job
+  *     on a dup-heavy corpus ("run exact dedup first");
   *   - embeddings: ±0.005 deterministic per-dimension noise — cosine
   *     geometry (cluster structure, neighbor lists) is essentially
   *     preserved, exact-duplicate vectors are not introduced;
@@ -38,10 +45,20 @@ object GenScale {
       if (k == 0) docs
       else {
         val toks = split(col("text"), " ")
+        // permutation alone decorrelates ORDER-sensitive signatures
+        // (shingles) but not order-INVARIANT ones: SimHash fingerprints
+        // the token MULTISET, so a pure shuffle gave every replica an
+        // identical simhash — sf10 grew 100-member "dup" families and the
+        // component sweep measured that fixture artifact, not scale.
+        // Salting a deterministic 1-in-8 of tokens per replica changes
+        // the multiset too while keeping token counts and length stats.
         val keyed = zip_with(
           toks,
           sequence(lit(0), size(toks) - 1),
-          (t, i) => struct(xxhash64(t, i, lit(k)).as("h"), t.as("t")))
+          (t, i) => struct(
+            xxhash64(t, i, lit(k)).as("h"),
+            when(pmod(xxhash64(t, i, lit(k)), lit(8)) === 0,
+              concat(t, lit("x"), lit(k))).otherwise(t).as("t")))
         val shuffled = array_join(
           transform(array_sort(keyed), s => s.getField("t")), " ")
         docs.select(
