@@ -35,9 +35,19 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = load(spark, dir, "events")
     val tsSec = ev.schema("ts").dataType match {
+      // Integer ts: dispatch on magnitude, not assumption — TIMESTAMP(NANOS)
+      // parquet reads as nanos-long under the session conf, but a raw
+      // BIGINT column could as easily carry epoch micros/millis/seconds,
+      // and a blind nanos divide would silently zero them. 2001-era epochs
+      // land at ~1e9 s / 1e12 ms / 1e15 us / 1e18 ns, three orders apart,
+      // so the thresholds are unambiguous for any plausible corpus.
       // `div` = exact integer division (a double `/` would lose precision
       // on 1.7e18-scale nano values: doubles only hold 53 mantissa bits)
-      case LongType => expr("ts div 1000000000")
+      case LongType =>
+        when(col("ts") >= 100000000000000000L, expr("ts div 1000000000"))
+          .when(col("ts") >= 100000000000000L, expr("ts div 1000000"))
+          .when(col("ts") >= 100000000000L, expr("ts div 1000"))
+          .otherwise(col("ts"))
       // NTZ has no direct cast to BIGINT; route via TimestampType, which
       // under the engine's mandatory UTC session timezone is the identity
       case _: TimestampNTZType => col("ts").cast(TimestampType).cast("long")

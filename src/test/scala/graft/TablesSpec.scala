@@ -52,6 +52,18 @@ class TablesSpec extends SparkSpec {
     assert(asNtz === expected)
   }
 
+  test("integer ts dispatches on magnitude: seconds/millis/micros/nanos longs all read") {
+    val asSeconds = roundTrip(col("epoch_s"))
+    val asMillis = roundTrip(col("epoch_s") * lit(1000L))
+    val asMicros = roundTrip(col("epoch_s") * lit(1000000L))
+
+    val expected = epochSecs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts, i * 1.5) }.toSet
+    assert(asSeconds === expected)
+    assert(asMillis === expected)
+    assert(asMicros === expected)
+  }
+
   test("the shipped corpus reads through the adapter with sane timestamps") {
     val ev = Tables.tsEvents(spark, sf("sf0.001"))
     assert(ev.schema("timestamp").dataType.typeName === "long")
