@@ -122,7 +122,8 @@ object Rollup {
       binsize: Long,
       cols: Seq[String],
       modeCols: Seq[String] = Nil,
-      smokeCols: Seq[String] = Nil): DataFrame = {
+      smokeCols: Seq[String] = Nil,
+      smokeNearestRank: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "rollup tier needs at least one stat column")
     require(smokeCols.forall(cols.contains),
       "smoke tier columns ride on their stat partials (cnt, mx) — list them in cols too")
@@ -168,13 +169,27 @@ object Rollup {
       val arr = col(s"__sorted_$s")
       val n = size(arr)
       val grid = transform(lit(SmokePercentages.toArray), p => {
-        val h = p * (n - 1).cast("double")
-        val lo = floor(h)
-        val hi = ceil(h)
-        val v = when(lo === hi, element_at(arr, (lo + 1).cast("int")))
-          .otherwise(
-            element_at(arr, (lo + 1).cast("int")) * (hi.cast("double") - h) +
-              element_at(arr, (hi + 1).cast("int")) * (h - lo.cast("double")))
+        val v =
+          if (smokeNearestRank) {
+            // Influx percentile() semantics: nearest-rank, 1-based index
+            // floor(n·p + 0.5); index 0 means "no value at this
+            // percentile" (a 1-sample bin has no 5th percentile) — the
+            // slot stays NULL and the serving pack drops it, exactly the
+            // reference's non-None filter (influx.py:719-721)
+            val idx = floor(p * n.cast("double") + 0.5).cast("int")
+            when(idx >= 1, element_at(arr, idx))
+          } else {
+            // interpolated (the engine default): the weighted form
+            // lowerVal·(hi−pos) + higherVal·(pos−lo) that both Spark's
+            // percentile and DuckDB's quantile_cont compute
+            val h = p * (n - 1).cast("double")
+            val lo = floor(h)
+            val hi = ceil(h)
+            when(lo === hi, element_at(arr, (lo + 1).cast("int")))
+              .otherwise(
+                element_at(arr, (lo + 1).cast("int")) * (hi.cast("double") - h) +
+                  element_at(arr, (hi + 1).cast("int")) * (h - lo.cast("double")))
+          }
         (v.cast(OracleParity.Dec) * cnt).cast(SmokeDec)
       })
       acc
@@ -383,7 +398,13 @@ object Rollup {
           acc.when(n === k,
             array(clampPercents(k).map(p => slots(p / 5 - 1)) :+ mx: _*))
         }.otherwise(full)
-      out = out.withColumn(out0, when(col(s"__s0_$out0").isNotNull, packed))
+      // drop NULL slots (nearest-rank tiers leave low percentiles empty on
+      // sparse bins — the reference packs only non-None values,
+      // influx.py:719-721; interpolated tiers never produce a null slot so
+      // this is the identity there), then the reference's empty-smokearray
+      // suppression: no surviving slots → NULL
+      val packedNonNull = filter(packed, x => x.isNotNull)
+      out = out.withColumn(out0, when(size(packedNonNull) > 0, packedNonNull))
     }
     out
       .withColumn("binstart", if (singleBin) lit(start) else col("__reqbin"))

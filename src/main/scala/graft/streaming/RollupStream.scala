@@ -74,8 +74,10 @@ object RollupStream {
       epoch: Long,
       extraCols: Seq[String] = Nil,
       modeCols: Seq[String] = Nil,
-      smokeCols: Seq[String] = Nil): Unit =
-    graft.rollup.Rollup.buildMulti(batch, binsize, valueCol +: extraCols, modeCols, smokeCols)
+      smokeCols: Seq[String] = Nil,
+      smokeNearestRank: Boolean = false): Unit =
+    graft.rollup.Rollup.buildMulti(
+      batch, binsize, valueCol +: extraCols, modeCols, smokeCols, smokeNearestRank)
       .withColumn(IngestStream.EpochCol, lit(epoch))
       .write
       .mode("overwrite")

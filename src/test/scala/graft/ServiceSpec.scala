@@ -515,6 +515,44 @@ class ServiceSpec extends SparkSpec {
     assert(unclamped("s7").get.size === 20 && unclamped("s1").get.size === 20)
   }
 
+  test("smoke nearest-rank tier: Influx percentile() byte parity on sparse bins (influx.py:663-668, 694-721)") {
+    import graft.streaming.RollupStream
+    val dir = java.nio.file.Files.createTempDirectory("graftnr").toString
+    val t0 = 1704067200L
+    val vals7 = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0)
+    val rows = vals7.zipWithIndex.map { case (v, i) => (0L, t0 + i * 60L, v) } ++
+      Seq((1L, t0 + 10L, 5.0))
+    val ev = rows.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartials(ev, 3600, "value", s"$dir/nr3600", epoch = 0L,
+      smokeCols = Seq("value"), smokeNearestRank = true)
+    val got = new Service(
+      spark,
+      data = Map("amp-external" -> ev),
+      streams = Map("amp-external" -> streamsDim),
+      rollups = Map("amp-external" -> Service.RollupTiers(
+        "value", Map(3600L -> s"$dir/nr3600"), smokeCols = Seq("value"),
+        smokeSparseClamp = true)))
+      .matrixFrame(
+        "amp-external", Map("s7" -> Seq(0L), "s1" -> Seq(1L)),
+        Seq(AggSpec("value", "smoke")), t0, t0 + 3600)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](r.fieldIndex("value")))
+      .toMap
+
+    // the reference's pipeline for a 7-sample bin: influx percentile(v, p)
+    // = sorted[floor(n*p/100 + 0.5) - 1] (nearest rank), clamped to the
+    // 100/n-stepped subset {40,50,60,70,80,90}, non-None only, max last
+    def influxPctl(p: Int): Option[Double] = {
+      val i = math.floor(vals7.length * p / 100.0 + 0.5).toInt - 1
+      if (i < 0) None else Some(vals7(i))
+    }
+    val expected7 = Seq(40, 50, 60, 70, 80, 90).flatMap(influxPctl) :+ 64.0
+    assert(got("s7") === expected7,
+      s"nearest-rank 7-sample pack: got ${got("s7")} expected $expected7")
+    // a single sample has no percentiles at all — the max alone survives
+    assert(got("s1") === Seq(5.0))
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")
