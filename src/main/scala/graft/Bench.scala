@@ -37,17 +37,21 @@ object Bench {
     (results, errors.toMap)
   }
 
-  /** The driver-contract JSON line, including the per-query "errors" map. */
+  /** The driver-contract JSON line, including the per-query "errors" map.
+    * EVERY string field goes through Verify.jq — a quote/backslash in
+    * SPARK_GRAFT_SF_DIR or a future query name must not produce an
+    * unparseable line (ADVICE r9).
+    */
   private[graft] def renderJson(
       all: Seq[(String, Double)],
       errors: Map[String, String],
       sfDir: String): String = {
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = all.map { case (k, v) => s"${Verify.jq(k)}:$v" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${Verify.jq(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -170,6 +174,8 @@ object Bench {
       }
     println(renderJson(results ++ tierBench ++ wire, errors.toMap, sfDir))
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    // rc stays 0 even on per-query errors, mirroring Verify's rationale: a
+    // nonzero rc could make the driver discard the just-printed timings
+    // wholesale; the "errors" object IS the loud signal (ADVICE r9)
   }
 }

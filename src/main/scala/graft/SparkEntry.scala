@@ -46,6 +46,24 @@ object SparkEntry {
           .mapValues(_.sorted)
           .toMap)
 
+  /** Gate-shape pivot: the driver's pandas comparator sorts rows on raw
+    * cell values and crashes on ArrayType cells (r9: `TypeError: unhashable
+    * type: 'numpy.ndarray'`), so any gated query carrying a smoke grid
+    * replaces the array with 20 scalar columns `smoke_01..smoke_20`
+    * (slot i == grid position i; NULL array → all-NULL slots via
+    * try_element_at). The library API keeps the array shape — this pivot
+    * exists only in the gate lambdas, mirrored in their oracle SQL.
+    */
+  private def pivotSmokeGrid(df: DataFrame, arrCol: String): DataFrame = {
+    val cols = df.columns.toSeq.flatMap {
+      case c if c == arrCol =>
+        (1 to 20).map(i =>
+          try_element_at(col(arrCol), lit(i)).as(f"smoke_$i%02d"))
+      case c => Seq(col(c))
+    }
+    df.select(cols: _*)
+  }
+
   /** DuckDB side of `labelsFor` + `Tables.tsEvents` — the width-pinning
     * casts mirror the adapter's (Tables.tsEvents), so both engines keep
     * the (BIGINT ids, DOUBLE value) contract under corpus-schema drift.
@@ -359,16 +377,19 @@ object SparkEntry {
     //      the tier stores the bin grids count-weighted as exact decimals
     //      and the matrix merge is order-free. Exact ntile-20 over raw
     //      (q_smoke) stays canonical — this gates the documented grid
-    //      twin, like A7's engine-wide ntile decision.
+    //      twin, like A7's engine-wide ntile decision. Gate shape: the
+    //      grid is pivoted to smoke_01..smoke_20 scalars (the driver's
+    //      comparator cannot sort ArrayType cells); the library API
+    //      (Rollup.matrixFromTier) keeps the array.
     "q_matrix_tier_smoke" -> ((s, dir) => {
       val tier = Rollup.buildMulti(
         Tables.tsEvents(s, dir), 3600, Seq("value"), smokeCols = Seq("value"))
-      Rollup.matrixFromTier(
+      pivotSmokeGrid(Rollup.matrixFromTier(
         tier, labelsFor(s, dir),
         Seq(
           AggSpec("value", "smoke"), AggSpec("value", "avg"),
           AggSpec("value", "count")),
-        Start, Stop, primaryCol = "value")
+        Start, Stop, primaryCol = "value"), "value_smoke")
     }),
 
     // ---- A8 binned history served FROM the tier (beyond-reference
@@ -381,13 +402,13 @@ object SparkEntry {
       val tier = Rollup.buildMulti(
         Tables.tsEvents(s, dir), 3600,
         Seq("value"), Seq("event_type"), Seq("value"))
-      Rollup.aggregatedFromTier(
+      pivotSmokeGrid(Rollup.aggregatedFromTier(
         tier, labelsFor(s, dir),
         Seq(
           AggSpec("value", "avg"), AggSpec("value", "count"),
           AggSpec("value", "stddev"), AggSpec("event_type", "most"),
           AggSpec("value", "smoke")),
-        Start, Stop, binsize = 21600, primaryCol = "value")
+        Start, Stop, binsize = 21600, primaryCol = "value"), "value_smoke")
     }),
 
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
@@ -1405,7 +1426,9 @@ object SparkEntry {
 
     // tier smoke: per-(stream, bin) percentile grid (weighted form —
     // DuckDB's quantile_cont and Spark's percentile share it), quantized
-    // to DECIMAL(18,6), count-weighted merge, window max as the 20th slot
+    // to DECIMAL(18,6), count-weighted merge, window max as the 20th slot;
+    // grid emitted as smoke_01..smoke_20 scalars (gate-shape pivot — the
+    // driver comparator cannot sort arrays)
     "q_matrix_tier_smoke" -> {
       val grid = (1 to 19)
         .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
@@ -1413,7 +1436,9 @@ object SparkEntry {
         .map(k =>
           s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
         .mkString(", ")
-      val pack = (1 to 19).map(k => s"p$k").mkString(", ")
+      val pack = (1 to 19)
+        .map(k => f"CASE WHEN m.n > 0 THEN p$k END AS smoke_$k%02d")
+        .mkString(", ") + ", CASE WHEN m.n > 0 THEN mxx END AS smoke_20"
       s"""WITH w AS (
          |  SELECT * FROM ($OracleEvents)
          |  WHERE "timestamp" - ("timestamp" % 3600) >= $Start
@@ -1435,7 +1460,7 @@ object SparkEntry {
          |  FROM w GROUP BY 1
          |)
          |SELECT base.nntsclabel, CAST($Start AS BIGINT) AS binstart,
-         |  CASE WHEN m.n > 0 THEN [$pack, mxx] END AS value_smoke,
+         |  $pack,
          |  base.value_avg, base.value_count, base."timestamp",
          |  base.min_timestamp
          |FROM base JOIN m ON base.nntsclabel = m.nntsclabel
@@ -1443,7 +1468,8 @@ object SparkEntry {
     },
 
     // binned tier serve: same per-tier-bin grid/count/mode partials as the
-    // matrix oracles, re-grouped onto the requested 6-h absolute grid
+    // matrix oracles, re-grouped onto the requested 6-h absolute grid;
+    // grid emitted as smoke_01..smoke_20 scalars (gate-shape pivot)
     "q_agg_tier_bins" -> {
       val grid = (1 to 19)
         .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
@@ -1451,7 +1477,9 @@ object SparkEntry {
         .map(k =>
           s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
         .mkString(", ")
-      val pack = (1 to 19).map(k => s"p$k").mkString(", ")
+      val pack = (1 to 19)
+        .map(k => f"CASE WHEN sm.n > 0 THEN p$k END AS smoke_$k%02d")
+        .mkString(", ") + ", CASE WHEN sm.n > 0 THEN mxx END AS smoke_20"
       s"""WITH w AS (
          |  SELECT *, "timestamp" - ("timestamp" % 21600) AS rb
          |  FROM ($OracleEvents)
@@ -1481,7 +1509,7 @@ object SparkEntry {
          |SELECT b.nntsclabel, b.rb AS binstart,
          |  b.value_avg, b.value_count, b.value_stddev,
          |  mo.event_type,
-         |  CASE WHEN sm.n > 0 THEN [$pack, mxx] END AS value_smoke,
+         |  $pack,
          |  b."timestamp"
          |FROM base b
          |JOIN sm ON b.nntsclabel = sm.nntsclabel AND b.rb = sm.rb

@@ -19,6 +19,20 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Columns whose cells the driver's pandas comparator cannot row-sort:
+    * arrays/maps/structs anywhere in the type (r9 shipped two red rows as
+    * `TypeError: unhashable type: 'numpy.ndarray'` from exactly this).
+    */
+  private[graft] def unsortableCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def complex(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    schema.fields.collect { case f if complex(f.dataType) => f.name }.toSeq
+  }
+
   /** Dump every declared query (or the `only` subset) to `outDir`.
     *
     * A failed query must leave a VISIBLE artifact: its result dir contains
@@ -26,6 +40,11 @@ object Verify {
     * row) and the failure is listed in the `errors.json` sidecar. Round 8's
     * silent-skip shrank the correctness file 62→41 entries with zero err
     * rows. Returns the error map so callers (and the spec) can assert on it.
+    *
+    * Hash-gated queries (those with an `oracleSql` entry) are additionally
+    * schema-checked at dump time: an array/map/struct column would pass
+    * every local stage and die only in the driver's row sort, so it is
+    * rejected HERE with a prescriptive message (round 9's only red rows).
     */
   private[graft] def dump(
       spark: SparkSession,
@@ -33,14 +52,26 @@ object Verify {
       outDir: String,
       only: Set[String] = Set.empty,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-        SparkEntry.queries): Map[String, String] = {
+        SparkEntry.queries,
+      gated: Set[String] = SparkEntry.oracleSql.keySet): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        if (gated(name)) {
+          val bad = unsortableCols(df.schema)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"gated output has unsortable column(s) ${bad.mkString(", ")}: " +
+              "the driver's comparator row-sorts raw cells and crashes on " +
+              "array/map/struct values — pivot them to scalar columns in " +
+              "the gate lambda (see SparkEntry.pivotSmokeGrid / q_smoke) " +
+              "and mirror the pivot in oracleSql")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: $msg")

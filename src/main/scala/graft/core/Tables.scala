@@ -30,9 +30,12 @@ object Tables {
   def tsEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     // defensive: callers (e.g. the driver's smoke test) may hand us a
-    // session without this conf; it is runtime-settable and required to
-    // read TIMESTAMP(NANOS) parquet at all
+    // session without these confs; both are runtime-settable. nanosAsLong
+    // is required to read TIMESTAMP(NANOS) parquet at all; UTC pins the
+    // NTZ branch below (NTZ→LTZ cast goes through the SESSION timezone,
+    // so a non-UTC caller would silently shift every epoch by its offset)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ev = load(spark, dir, "events")
     val tsSec = ev.schema("ts").dataType match {
       // Integer ts: dispatch on magnitude, not assumption — TIMESTAMP(NANOS)

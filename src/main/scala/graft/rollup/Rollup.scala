@@ -266,8 +266,10 @@ object Rollup {
       start: Long,
       stop: Long,
       primaryCol: String = "",
-      sparseClamp: Boolean = false): DataFrame =
-    aggregatedFromTier(tier, labels, aggs, start, stop, binsize = 0, primaryCol, sparseClamp)
+      sparseClamp: Boolean = false,
+      smokeNearestRank: Boolean = false): DataFrame =
+    aggregatedFromTier(tier, labels, aggs, start, stop, binsize = 0, primaryCol,
+      sparseClamp, smokeNearestRank)
 
   /** The reference's sparse-bin smokearray clamp (influx.py:694-712): the
     * percentile positions (in percent, multiples of 5) a bin with `n`
@@ -312,7 +314,11 @@ object Rollup {
       stop: Long,
       binsize: Long,
       primaryCol: String = "",
-      sparseClamp: Boolean = false): DataFrame = {
+      sparseClamp: Boolean = false,
+      // set when serving a buildMulti(smokeNearestRank = true) tier: its
+      // sparse bins leave low-percentile slots NULL, so the smoke merge
+      // must weight each slot by Σ(cnt | slot populated), not Σcnt
+      smokeNearestRank: Boolean = false): DataFrame = {
     val singleBin = binsize <= 0 || binsize >= (stop - start)
     val names = QueryEngine.outputNames(aggs, Nil)
     val windowed = QueryEngine.attachLabels(
@@ -363,10 +369,28 @@ object Rollup {
       // expressions: no posexplode, no second scan of the tier, no join
       smokes.flatMap { case (a, out) =>
         val sc = col(smokeName(a.column))
+        val cnt = col(nm("cnt", a.column))
+        // per-slot denominators (nearest-rank tiers only): a sparse bin
+        // (n < 10/p) has NULL in its low-percentile slots but still
+        // carries cnt samples — dividing a slot's partial sum by the
+        // SHARED Σcnt would bias every merged percentile low whenever a
+        // multi-bin window contains one such bin. Σ(cnt | slot populated)
+        // is the correct weight, and slot population is pure cnt
+        // arithmetic (the build's index formula floor(n·p + 0.5) ≥ 1) —
+        // no second element_at per slot, so the extra aggregates cost
+        // long-sum buffers only. Interpolated tiers populate every slot
+        // whenever n > 0, so the shared Σcnt is already exact there and
+        // the default path keeps the single-denominator shape.
         SmokePercentages.indices.map(i =>
           sum(element_at(sc, i + 1)).cast(SmokeDec).as(s"__s${i}_$out")) ++
+          (if (!smokeNearestRank) Nil
+           else SmokePercentages.indices.map { i =>
+             val populated =
+               floor(lit(SmokePercentages(i)) * cnt.cast("double") + 0.5) >= 1
+             sum(when(populated, cnt)).as(s"__sn${i}_$out")
+           }) ++
           Seq(
-            sum(col(nm("cnt", a.column))).as(s"__n_$out"),
+            sum(cnt).as(s"__n_$out"),
             max(col(nm("mx", a.column))).as(s"__mx_$out"))
       } ++
       Seq(max(col("ts")).as("timestamp")) ++
@@ -386,7 +410,8 @@ object Rollup {
       val n = col(s"__n_$out0")
       val mx = col(s"__mx_$out0").cast("double")
       val slots = SmokePercentages.indices
-        .map(i => col(s"__s${i}_$out0").cast("double") / n)
+        .map(i => col(s"__s${i}_$out0").cast("double") /
+          (if (smokeNearestRank) col(s"__sn${i}_$out0") else n))
       val full = array(slots :+ mx: _*)
       // sparse-bin clamp (opt-in, `clampPercents`): a when-chain over the
       // 18 possible sparse counts picking the percent positions' slots

@@ -51,7 +51,11 @@ object Service {
       // opt-in byte-parity with the reference's sparse-bin smokearray
       // packing (influx.py:694-712): windows with < 20 samples emit the
       // 100/n-stepped percentile subset instead of the full 19-slot grid
-      smokeSparseClamp: Boolean = false) {
+      smokeSparseClamp: Boolean = false,
+      // set when the tier was built with buildMulti(smokeNearestRank =
+      // true) — the serve-side smoke merge then weights each grid slot by
+      // the counts of the bins that actually populate it
+      smokeNearestRank: Boolean = false) {
     def statCols: Set[String] = (valueCol +: extraCols).toSet
   }
 
@@ -243,7 +247,8 @@ final class Service(
         val t = graft.rollup.Rollup.aggregatedFromTier(
           graft.streaming.RollupStream.readTier(spark, c.tiers(bin)),
           labels, aggs, start, stop, binsize, primaryCol = c.valueCol,
-          sparseClamp = c.smokeSparseClamp)
+          sparseClamp = c.smokeSparseClamp,
+          smokeNearestRank = c.smokeNearestRank)
         t.select(raw.schema.fields.toSeq.map(f => t(f.name).cast(f.dataType).as(f.name)): _*)
       }
     tiered.getOrElse(raw)
@@ -316,7 +321,8 @@ final class Service(
         val m = graft.rollup.Rollup.matrixFromTier(
           graft.streaming.RollupStream.readTier(spark, cfg.tiers(bin)),
           labels, aggs, start, stop, primaryCol = cfg.valueCol,
-          sparseClamp = cfg.smokeSparseClamp)
+          sparseClamp = cfg.smokeSparseClamp,
+          smokeNearestRank = cfg.smokeNearestRank)
         m.select(raw.schema.fields.toSeq.map(f => m(f.name).cast(f.dataType).as(f.name)): _*)
       }
     tiered.getOrElse(raw)

@@ -191,7 +191,10 @@ object RollupStream {
           slots.tail.map(i =>
             sum(element_at(col(s), i + 1)).cast(elemType).as(s"__f$i")): _*)
         .select(col("stream_id"), col("binstart"),
-          when(col("__f0").isNotNull,
+          // grid-exists = ANY slot non-null: nearest-rank sparse bins
+          // leave slot 1 (5th pctl) NULL while higher slots carry values —
+          // keying on __f0 alone would null those grids entirely
+          when(slots.map(i => col(s"__f$i").isNotNull).reduce(_ || _),
             array(slots.map(i => col(s"__f$i")): _*)).as(s))
       folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
     }

@@ -23,6 +23,18 @@ class EntrySpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("no gated query declares an unsortable (array/map/struct) column") {
+    // schema-only sweep: building the frame analyzes the plan without
+    // running it for most queries; the driver's comparator row-sorts raw
+    // cells, so one complex-typed gate column = a guaranteed red row
+    // (round 9: q_matrix_tier_smoke / q_agg_tier_bins)
+    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sf("sf0.001")).schema
+      Verify.unsortableCols(schema).map(c => s"$name.$c")
+    }
+    assert(offenders.isEmpty, s"unsortable gate columns: $offenders")
+  }
+
   test("q_pipeline_clean evaluates the text profile once per document") {
     val plan = SparkEntry.queries("q_pipeline_clean")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

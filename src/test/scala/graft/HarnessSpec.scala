@@ -32,6 +32,31 @@ class HarnessSpec extends SparkSpec {
     assert(!sidecar.contains("q_ok"))
   }
 
+  test("Verify: gated query with an array column is rejected at dump time") {
+    // round 9's only red rows: an ArrayType gate output passes every local
+    // stage and dies in the driver's pandas row-sort — so the dump itself
+    // must refuse the shape, loudly and prescriptively
+    import org.apache.spark.sql.functions._
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q_arr" -> ((s, dir) =>
+        core.Tables.region(s, dir).select(col("r_regionkey"),
+          array(col("r_regionkey"), col("r_regionkey")).as("grid"))),
+      "q_arr_ungated" -> ((s, dir) =>
+        core.Tables.region(s, dir).select(col("r_regionkey"),
+          array(col("r_regionkey")).as("grid"))))
+    val out = Files.createTempDirectory("graft_harness_arr").toString
+    val errors = Verify.dump(spark, sf("sf0.001"), out, queries = qs,
+      gated = Set("q_arr"))
+
+    assert(errors.keySet === Set("q_arr"))
+    assert(errors("q_arr").contains("unsortable column(s) grid"))
+    assert(errors("q_arr").contains("pivot"))
+    assert(Files.exists(Paths.get(s"$out/q_arr/_ERROR.txt")))
+    // rows-only queries may keep arrays — the driver never row-sorts them
+    assert(new java.io.File(s"$out/q_arr_ungated").listFiles
+      .exists(_.getName.endsWith(".parquet")))
+  }
+
   test("Bench: broken query lands in the errors map, not the timings") {
     val (results, errors) = Bench.run(spark, sf("sf0.001"), queries.toSeq.sortBy(_._1))
 
@@ -41,5 +66,21 @@ class HarnessSpec extends SparkSpec {
     // one parseable line carrying both the timing and the failure
     assert(json.contains("\"q_ok\":") && !json.contains("\"q_broken\":" + "0"))
     assert(json.contains("\"errors\":{\"q_broken\""))
+  }
+
+  test("Bench: the JSON line survives quotes/backslashes in names and sfDir") {
+    // every string field routes through Verify.jq — a pathological
+    // SPARK_GRAFT_SF_DIR must not yield an unparseable driver line
+    val json = Bench.renderJson(
+      Seq("q_\"weird\"" -> 1.5), Map("e\\q" -> "msg \"quoted\"\nline2"),
+      """/tmp/sf "0.1"\x""")
+    // minimal structural check without a JSON parser on the classpath:
+    // balanced quoting means an even count of unescaped quote chars and
+    // the exact escaped fragments present
+    assert(json.contains("""{"q_\"weird\"":1.5}"""))
+    assert(json.contains(""""sf":"/tmp/sf \"0.1\"\\x""""))
+    assert(json.contains("""\nline2"""))
+    val unescaped = json.replace("\\\\", "").replace("\\\"", "")
+    assert(unescaped.count(_ == '"') % 2 === 0)
   }
 }

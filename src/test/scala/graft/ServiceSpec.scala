@@ -3,6 +3,7 @@ package graft
 import graft.core.Tables
 import graft.ingest.PathIntern
 import graft.query.AggSpec
+import graft.rollup.Rollup
 import graft.serve.Service
 
 class ServiceSpec extends SparkSpec {
@@ -531,7 +532,7 @@ class ServiceSpec extends SparkSpec {
       streams = Map("amp-external" -> streamsDim),
       rollups = Map("amp-external" -> Service.RollupTiers(
         "value", Map(3600L -> s"$dir/nr3600"), smokeCols = Seq("value"),
-        smokeSparseClamp = true)))
+        smokeSparseClamp = true, smokeNearestRank = true)))
       .matrixFrame(
         "amp-external", Map("s7" -> Seq(0L), "s1" -> Seq(1L)),
         Seq(AggSpec("value", "smoke")), t0, t0 + 3600)
@@ -551,6 +552,46 @@ class ServiceSpec extends SparkSpec {
       s"nearest-rank 7-sample pack: got ${got("s7")} expected $expected7")
     // a single sample has no percentiles at all — the max alone survives
     assert(got("s1") === Seq(5.0))
+  }
+
+  test("smoke nearest-rank tier: multi-bin window merge uses per-slot denominators") {
+    // a sparse bin's low-percentile slots are NULL but its samples still
+    // count: the merged slot must divide by Σ(cnt | slot non-null), not
+    // the shared Σcnt — else every percentile a sparse bin skips is biased
+    // low in any window that also contains a dense bin (ADVICE r9)
+    val t0 = 1704067200L
+    val sparse = Seq(1.0, 2.0, 3.0)                       // hour 0: n=3
+    val dense = (10 until 30).map(_.toDouble)             // hour 1: n=20
+    val rows = sparse.zipWithIndex.map { case (v, i) => (0L, t0 + i * 60L, v) } ++
+      dense.zipWithIndex.map { case (v, i) => (0L, t0 + 3600L + i * 60L, v) }
+    val tier = Rollup.buildMulti(
+      rows.toDF("stream_id", "timestamp", "value"), 3600, Seq("value"),
+      smokeCols = Seq("value"), smokeNearestRank = true)
+    val got = Rollup.matrixFromTier(
+      tier, Map("g" -> Seq(0L)), Seq(AggSpec("value", "smoke")),
+      t0, t0 + 7200, smokeNearestRank = true)
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("value"))).head
+
+    // per-bin nearest-rank grids (idx = floor(n·p + 0.5), 1-based; 0 → None)
+    def grid(vs: Seq[Double]): Seq[Option[Double]] = (1 to 19).map { k =>
+      val i = math.floor(vs.length * k / 20.0 + 0.5).toInt
+      if (i >= 1) Some(vs.sorted.apply(i - 1)) else None
+    }
+    val (gs, gd) = (grid(sparse), grid(dense))
+    val expected = (0 until 19).map { i =>
+      val parts = Seq(gs(i).map(_ * sparse.length) -> sparse.length,
+        gd(i).map(_ * dense.length) -> dense.length)
+      val num = parts.flatMap(_._1).sum
+      val den = parts.collect { case (Some(_), c) => c }.sum
+      num / den
+    } :+ 29.0
+    assert(got.size === 20)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"merged grid: got $got expected $expected")
+    }
+    // slots 1..3 (p <= 15%) exist only in the dense bin: they must equal
+    // its values exactly, not be dragged low by the sparse bin's 3 samples
+    assert(got(0) === gd(0).get && got(2) === gd(2).get)
   }
 
   test("path interning: join-or-insert semantics (J3)") {

@@ -52,6 +52,28 @@ class TablesSpec extends SparkSpec {
     assert(asNtz === expected)
   }
 
+  test("NTZ adapter is timezone-proof: a non-UTC caller session reads identical epochs") {
+    // the NTZ→LTZ cast inside tsEvents goes through the SESSION timezone;
+    // a driver-style fresh session in e.g. New York would silently shift
+    // every timestamp by the tz offset unless tsEvents pins UTC itself
+    // (ADVICE r9). Write with the UTC session, read with a skewed one.
+    val dir = Files.createTempDirectory("graft_tables_tz").toString
+    epochSecs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, i.toLong, ts, "click", i * 1.5, "{}") }
+      .toDF("event_id", "user_id", "epoch_s", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("epoch_s")).cast("timestamp_ntz"))
+      .drop("epoch_s")
+      .write.parquet(s"$dir/events.parquet")
+    val skewed = spark.newSession()
+    skewed.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val got = Tables.tsEvents(skewed, dir)
+      .select("stream_id", "timestamp", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = epochSecs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts, i * 1.5) }.toSet
+    assert(got === expected)
+  }
+
   test("integer ts dispatches on magnitude: seconds/millis/micros/nanos longs all read") {
     val asSeconds = roundTrip(col("epoch_s"))
     val asMillis = roundTrip(col("epoch_s") * lit(1000L))

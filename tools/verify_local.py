@@ -13,16 +13,14 @@ import duckdb
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # DRIVER-FAITHFUL: sort RAW cells exactly like the driver's comparator.
+    # Round 9's two red rows shipped because this used to stringify first
+    # (df.astype(str)) — arrays sorted fine locally and crashed only at the
+    # driver ("TypeError: unhashable type: 'numpy.ndarray'"). A crash here
+    # is the correct local signal; Verify.dump also rejects array/map/struct
+    # gate columns in-JVM before it can get this far.
     df = df.reindex(sorted(df.columns), axis=1)
-    # make lists hashable for sorting
-    def key(col):
-        if df[col].map(lambda v: isinstance(v, (list, tuple)) or
-                       getattr(v, "__len__", None) is not None and
-                       not isinstance(v, str), na_action="ignore").any():
-            return df[col].map(lambda v: str(list(v)) if v is not None and not isinstance(v, str) else str(v))
-        return df[col]
-    df = df.iloc[df.astype(str).sort_values(by=list(df.columns)).index].reset_index(drop=True)
-    return df
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def cell(v):
     import math
@@ -78,14 +76,21 @@ def main():
             print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
             ok = False
         else:
-            g, e = canon(got), canon(exp)
-            gv = [tuple(cell(v) for v in row) for row in g.itertuples(index=False)]
-            ev = [tuple(cell(v) for v in row) for row in e.itertuples(index=False)]
-            gv.sort(key=str); ev.sort(key=str)
-            if gv != ev:
-                diffs = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
-                print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
+            try:
+                g, e = canon(got), canon(exp)
+            except Exception as ex:
+                # mirrors the driver's `err` row for comparator crashes
+                print(f"[FAIL] {name}: comparator error (driver-faithful "
+                      f"raw sort): {type(ex).__name__}: {ex}")
                 ok = False
+            else:
+                gv = [tuple(cell(v) for v in row) for row in g.itertuples(index=False)]
+                ev = [tuple(cell(v) for v in row) for row in e.itertuples(index=False)]
+                gv.sort(key=str); ev.sort(key=str)
+                if gv != ev:
+                    diffs = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
+                    print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
+                    ok = False
         if ok:
             print(f"[ok] {name}: rows={len(got)}")
             n_pass += 1
