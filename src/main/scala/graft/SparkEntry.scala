@@ -411,6 +411,30 @@ object SparkEntry {
         Start, Stop, binsize = 21600, primaryCol = "value"), "value_smoke")
     }),
 
+    // ---- A7/A13 byte-parity smoke mode, gated (r9 verdict): the tier
+    //      built with Influx percentile() semantics — nearest-rank,
+    //      1-based index floor(n·p + 0.5), a sparse bin leaves its
+    //      low-percentile slots NULL (influx.py:694-722) — and served
+    //      with the sparse clamp. A 600 s tier under a 6 h request grid
+    //      keeps most tier bins at n 1..3 (sf0.01), so this exercises for
+    //      real: per-slot denominators (Σ(cnt | slot populated), the r9
+    //      advice fix — a shared Σcnt would bias every merged percentile
+    //      low), the 100/n-stepped clamp on the merged window count, and
+    //      the reference's non-None pack (NULL slots drop). The default
+    //      interpolated grid (q_matrix_tier_smoke) stays canonical.
+    "q_tier_smoke_nr" -> ((s, dir) => {
+      val tier = Rollup.buildMulti(
+        Tables.tsEvents(s, dir), 600, Seq("value"), smokeCols = Seq("value"),
+        smokeNearestRank = true)
+      pivotSmokeGrid(Rollup.aggregatedFromTier(
+        tier, labelsFor(s, dir),
+        Seq(
+          AggSpec("value", "avg"), AggSpec("value", "count"),
+          AggSpec("value", "smoke")),
+        Start, Stop, binsize = 21600, primaryCol = "value",
+        sparseClamp = true, smokeNearestRank = true), "value_smoke")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -1515,6 +1539,68 @@ object SparkEntry {
          |JOIN sm ON b.nntsclabel = sm.nntsclabel AND b.rb = sm.rb
          |LEFT JOIN mo ON b.nntsclabel = mo.nntsclabel AND b.rb = mo.rb AND mo.rn = 1
          |ORDER BY b.nntsclabel, b.rb""".stripMargin
+    },
+
+    // nearest-rank tier smoke (Influx percentile() byte parity): per
+    // (stream, 600 s bin) grids via 1-based index floor(n·p + 0.5) into
+    // the sorted values (index 0 → NULL slot, influx.py:694-722); merged
+    // onto the 6 h grid with PER-SLOT denominators (Σ(cnt | slot
+    // populated) — the r9 advice fix); clamped to the 100/n percentile
+    // step by the merged window count (influx.py:694-712); NULL slots
+    // dropped (the reference's non-None pack) before the scalar pivot
+    "q_tier_smoke_nr" -> {
+      val grid = (1 to 19)
+        .map(k =>
+          s"CASE WHEN floor(cnt * ($k/20.0) + 0.5) >= 1 THEN " +
+            s"sv[CAST(floor(cnt * ($k/20.0) + 0.5) AS INTEGER)] END AS g$k")
+        .mkString(", ")
+      val slots = (1 to 19)
+        .map(k =>
+          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / " +
+            s"sum(CASE WHEN floor(cnt * ($k/20.0) + 0.5) >= 1 THEN cnt END) AS p$k")
+        .mkString(", ")
+      val full = ((1 to 19).map(k => s"p$k") :+ "mxx").mkString(", ")
+      val clamp = (2 to 19)
+        .map { k =>
+          val ps = Rollup.clampPercents(k).map(p => s"p${p / 5}")
+          s"WHEN n = $k THEN [${(ps :+ "mxx").mkString(", ")}]"
+        }
+        .mkString(" ")
+      val pivot = (1 to 20).map(i => f"l[$i] AS smoke_$i%02d").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT *, "timestamp" - ("timestamp" % 21600) AS rb,
+         |         "timestamp" - ("timestamp" % 600) AS bin
+         |  FROM ($OracleEvents)
+         |  WHERE "timestamp" - ("timestamp" % 600) >= $Start
+         |    AND "timestamp" - ("timestamp" % 600) < $Stop
+         |), b AS (
+         |  SELECT nntsclabel, rb, stream_id, bin,
+         |    count(value) AS cnt, max(value) AS mx,
+         |    list_sort(list(value)) AS sv
+         |  FROM w GROUP BY 1, 2, 3, 4
+         |), g AS (
+         |  SELECT *, $grid FROM b
+         |), m AS (
+         |  SELECT nntsclabel, rb, $slots, max(mx) AS mxx, sum(cnt) AS n
+         |  FROM g GROUP BY 1, 2
+         |), packed AS (
+         |  SELECT nntsclabel, rb,
+         |    list_filter(
+         |      CASE WHEN n <= 1 THEN [mxx] $clamp ELSE [$full] END,
+         |      x -> x IS NOT NULL) AS l
+         |  FROM m
+         |), base AS (
+         |  SELECT nntsclabel, rb,
+         |    ${OracleParity.Sql.exactAvg("value")} AS value_avg,
+         |    count(value) AS value_count,
+         |    max("timestamp") AS "timestamp"
+         |  FROM w GROUP BY 1, 2
+         |)
+         |SELECT base.nntsclabel, base.rb AS binstart,
+         |  base.value_avg, base.value_count, $pivot, base."timestamp"
+         |FROM base
+         |JOIN packed ON base.nntsclabel = packed.nntsclabel AND base.rb = packed.rb
+         |ORDER BY base.nntsclabel, base.rb""".stripMargin
     },
 
     // exact columns verified directly; the in-band booleans are pinned to

@@ -68,6 +68,16 @@ class HarnessSpec extends SparkSpec {
     assert(json.contains("\"errors\":{\"q_broken\""))
   }
 
+  test("Bench: compact summary trailer carries the headline without the maps") {
+    // the r9 driver capture tail-truncated the full JSON line (the
+    // per-query map outgrew the window) and lost the total — the trailer
+    // is bounded-size, so any tail capture keeps it
+    val line = Bench.renderSummary(
+      Seq("q_a" -> 1.5, "q_b" -> 2.5), Map("q_c" -> "boom"), "/tmp/sf0.1")
+    assert(line ===
+      """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"sf":"/tmp/sf0.1"}""")
+  }
+
   test("Bench: the JSON line survives quotes/backslashes in names and sfDir") {
     // every string field routes through Verify.jq — a pathological
     // SPARK_GRAFT_SF_DIR must not yield an unparseable driver line
