@@ -121,9 +121,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    import graft.functions.NearestCells
+    val cellIdx = CellIndex(centroids)
     val withCell = emb.withColumn(
-      "__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+      "__cell", cellIdx.nearest(col(vecCol), 1).getItem(0))
     embeddingDupPairs(withCell, idCol, vecCol, "__cell", threshold)
   }
 
@@ -262,15 +262,125 @@ object Similarity {
     * FIXED k makes both quadratic (measured: q_semantic_dedup 9.5 s at
     * GenScale sf1 -> 194 s at sf10 with k pinned to 16; 12.4 s -> 43.8 s
     * with auto-sizing). Deterministic (count, not sample), so trained
-    * matrices stay oracle-inlinable. Caveat: flat nearest-cell assignment
-    * is O(n·k·d), so with k ∝ n it is the next asymptotic wall — at
-    * corpus sizes where k·d stops fitting a broadcast probe (~1e5 cells),
-    * assign through a two-level coarse quantizer (cluster the centroids,
-    * probe coarse-then-fine) before touching this scaling rule.
+    * matrices stay oracle-inlinable. Flat nearest-cell assignment is
+    * O(n·k·d), so with k ∝ n it was the next asymptotic wall; past
+    * [[TwoLevelCells]] cells every assignment/probe site now routes
+    * through the two-level coarse→fine quantizer ([[CellIndex]] →
+    * `NearestCellsTwoLevel`), which is O(n·√k·d) — the scaling rule here
+    * stays linear-cost end to end.
     */
   val TargetCellSize = 2000L
   val MinCells = 16
   def autoCells(n: Long): Int = math.max(MinCells, (n / TargetCellSize).toInt)
+
+  /** Cell count at which nearest-cell work switches from the flat scan to
+    * the two-level coarse→fine quantizer. Flat is O(k·d) per row and exact;
+    * two-level is O((1+[[CoarseProbes]])·√k·d) and approximate in the
+    * standard IVF sense. 4096 sits well past every gate scale (autoCells
+    * reaches it at ~8M vectors), so oracle-checked runs always take the
+    * flat path and stay bit-stable; at the ~1e5-cell wall the flat scan
+    * was documented to hit, two-level is ~35× cheaper per row.
+    */
+  val TwoLevelCells = 4096
+
+  /** Coarse groups probed per row in the two-level scan. 8 of ~√k groups
+    * keeps assignment recall high (SemDeDup/IVF both tolerate near-miss
+    * assignment — it only moves a vector to its second-best cell) while
+    * retaining the √k speedup.
+    */
+  val CoarseProbes = 8
+
+  /** Deterministic driver-side clustering of a fine-centroid matrix into
+    * ~√k coarse groups (k-means, init = first kc fine centroids, 2 mean
+    * updates, final assignment pass): the preprocessing step behind
+    * [[graft.functions.NearestCellsTwoLevel]]. O(k^1.5·d) on the driver —
+    * at the 1e5-cell wall that is ~3e7·d flops, milliseconds-scale, and it
+    * runs ONCE per trained matrix. Empty groups are dropped, so every
+    * returned group is probe-able. Scoring and tie-breaks mirror
+    * `NearestCells.topCells` (argmax 2·v·c − |c|², ties toward the higher
+    * index) so the grouping is reproducible across engines and runs.
+    */
+  private[graft] def groupCentroids(
+      matrix: Seq[Seq[Double]]): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    val k = matrix.length
+    val dims = matrix.head.length
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val fine = matrix.map(_.toArray).toArray
+    val coarse = Array.tabulate(kc)(i => fine(i).clone())
+    val assign = new Array[Int](k)
+    var iter = 0
+    while (iter < 3) {
+      val norms = coarse.map { c =>
+        var s = 0.0; var d = 0
+        while (d < dims) { s += c(d) * c(d); d += 1 }
+        s
+      }
+      var i = 0
+      while (i < k) {
+        var best = -1
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < kc) {
+          var s = 0.0; var d = 0
+          while (d < dims) { s += fine(i)(d) * coarse(c)(d); d += 1 }
+          s = 2 * s - norms(c)
+          if (s > bestS || (s == bestS && c > best)) { bestS = s; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // mean update on all but the last pass: the final pass is
+      // assignment-only, so `members` matches the returned coarse matrix
+      if (iter < 2) {
+        val sums = Array.fill(kc)(new Array[Double](dims))
+        val cnt = new Array[Int](kc)
+        i = 0
+        while (i < k) {
+          val g = assign(i); cnt(g) += 1
+          val f = fine(i); val s = sums(g)
+          var d = 0
+          while (d < dims) { s(d) += f(d); d += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < kc) {
+          if (cnt(c) > 0) {
+            var d = 0
+            while (d < dims) { sums(c)(d) /= cnt(c); d += 1 }
+            Array.copy(sums(c), 0, coarse(c), 0, dims)
+          }
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    val grouped = (0 until kc)
+      .map(c => (coarse(c).toSeq, (0 until k).filter(assign(_) == c)))
+      .filter(_._2.nonEmpty)
+    (grouped.map(_._1), grouped.map(_._2))
+  }
+
+  /** Nearest-cell facade every assignment/probe site routes through: flat
+    * `NearestCells` below `twoLevelAt` cells (exact, oracle-stable),
+    * the coarse→fine `NearestCellsTwoLevel` scan at or above it. Built
+    * once per operation so the grouping is computed at most once per
+    * trained matrix.
+    */
+  private[graft] final case class CellIndex(
+      centroids: Seq[Seq[Double]],
+      twoLevelAt: Int = TwoLevelCells) {
+    import graft.functions.{NearestCells, NearestCellsTwoLevel}
+    private lazy val grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] =
+      if (centroids.length < twoLevelAt) None else Some(groupCentroids(centroids))
+    def isTwoLevel: Boolean = grouping.isDefined
+    def nearest(vec: Column, n: Int): Column = grouping match {
+      case None => NearestCells.nearestCells(vec, centroids, n)
+      case Some((coarse, members)) =>
+        NearestCellsTwoLevel.nearestCells(
+          vec, centroids, coarse, members, CoarseProbes, n)
+    }
+  }
 
   /** Train the IVF coarse quantizer: deterministic init (first `cells`
     * vectors in id order) + `lloydIters` distributed Lloyd refinements.
@@ -286,9 +396,8 @@ object Similarity {
       vecCol: String,
       cells: Int = 0,
       lloydIters: Int = 2,
-      trainFraction: Double = 1.0): Seq[Seq[Double]] = {
-    import graft.functions.NearestCells
-
+      trainFraction: Double = 1.0,
+      twoLevelAt: Int = TwoLevelCells): Seq[Seq[Double]] = {
     val k = if (cells > 0) cells else autoCells(emb.count())
     // deterministic init: the first k vectors by id
     var centroids: Seq[Seq[Double]] = emb
@@ -299,8 +408,12 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .toSeq
 
+    // Lloyd's assignment step rides the same flat/two-level dispatch as
+    // serving: with k ∝ n (autoCells) the flat O(n·k·d) assignment is the
+    // training-side scale wall, and a near-miss assignment only nudges a
+    // mean. Rebuilt per iteration — the matrix it groups just changed.
     def nearestCell(vec: Column): Column =
-      NearestCells.nearestCells(vec, centroids, 1).getItem(0)
+      CellIndex(centroids, twoLevelAt).nearest(vec, 1).getItem(0)
 
     // deterministic training subset (id-hash sample, not a random split)
     val train =
@@ -333,18 +446,15 @@ object Similarity {
       vecCol: String,
       queryIds: Seq[Long],
       k: Int,
-      nprobe: Int = 4): DataFrame = {
-    import graft.functions.NearestCells
-
-    def nearestCell(vec: Column): Column =
-      NearestCells.nearestCells(vec, centroids, 1).getItem(0)
-
-    val assigned = emb.withColumn("__cell", nearestCell(col(vecCol)))
+      nprobe: Int = 4,
+      twoLevelAt: Int = TwoLevelCells): DataFrame = {
+    val cellIdx = CellIndex(centroids, twoLevelAt)
+    val assigned = emb.withColumn("__cell", cellIdx.nearest(col(vecCol), 1).getItem(0))
     val corpus = assigned.select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     // each query probes its nprobe nearest cells
     val queries = emb
       .filter(col(idCol).isInCollection(queryIds))
-      .withColumn("__cell", explode(NearestCells.nearestCells(col(vecCol), centroids, nprobe)))
+      .withColumn("__cell", explode(cellIdx.nearest(col(vecCol), nprobe)))
       .select(col("__cell"), col(idCol).as("query_id"), col(vecCol).as("__va"))
     val scored = corpus
       .join(broadcast(queries), Seq("__cell"))
@@ -386,7 +496,6 @@ object Similarity {
       idCol: String,
       vecCol: String,
       path: String): Unit = {
-    import graft.functions.NearestCells
     val spark = emb.sparkSession
     import spark.implicits._
     centroids.zipWithIndex
@@ -395,7 +504,7 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = emb
-      .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+      .withColumn("__cell", CellIndex(centroids).nearest(col(vecCol), 1).getItem(0))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
     assigned
       .repartition(col("__cell"))
@@ -484,11 +593,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       path: String): IvfIndexStats = {
-    import graft.functions.NearestCells
     val spark = emb.sparkSession
     val centroids = ivfReadCentroids(spark, path)
     emb
-      .withColumn("__cell", NearestCells.nearestCells(col(vecCol), centroids, 1).getItem(0))
+      .withColumn("__cell", CellIndex(centroids).nearest(col(vecCol), 1).getItem(0))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
       .repartition(col("__cell"))
       .write.mode("append")
@@ -566,7 +674,6 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    import graft.functions.NearestCells
     val centroids = ivfReadCentroids(spark, path)
     val corpusRaw = spark.read.parquet(s"$path/corpus")
     val corpus = corpusRaw
@@ -574,7 +681,7 @@ object Similarity {
     val queries = corpusRaw
       .filter(col("id").isInCollection(queryIds))
       .select(col("id").as("query_id"), col("vec").as("__va"))
-      .withColumn("__cell", explode(NearestCells.nearestCells(col("__va"), centroids, nprobe)))
+      .withColumn("__cell", explode(CellIndex(centroids).nearest(col("__va"), nprobe)))
     val scored = corpus
       .join(broadcast(queries), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

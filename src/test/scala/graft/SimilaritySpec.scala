@@ -72,6 +72,60 @@ class SimilaritySpec extends SparkSpec {
     println(s"IVF recall @ nprobe=4/16: $recall")
   }
 
+  test("groupCentroids: deterministic partition of the fine cells into probe-able groups") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = 32)
+    val (coarse, members) = Similarity.groupCentroids(cents)
+    val (coarse2, members2) = Similarity.groupCentroids(cents)
+    assert(coarse === coarse2 && members === members2) // deterministic
+    assert(coarse.length === members.length)
+    assert(coarse.length <= math.ceil(math.sqrt(32.0)).toInt)
+    assert(members.forall(_.nonEmpty)) // empty groups dropped → always probe-able
+    // every fine cell lives in exactly one group
+    assert(members.flatten.sorted === (0 until 32))
+    assert(coarse.forall(_.length === cents.head.length))
+  }
+
+  test("two-level nearest-cell scan: exhaustive probing equals the flat expression") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{NearestCells, NearestCellsTwoLevel}
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = 32)
+    val (coarse, members) = Similarity.groupCentroids(cents)
+    // coarseProbes >= groups → the fine scan covers every cell, so the
+    // approximation vanishes and results must match flat BIT-FOR-BIT
+    // (same scoring, same tie-break, group scan order must not matter)
+    val both = emb.select(
+      NearestCells.nearestCells(col("embedding"), cents, 4).as("flat"),
+      NearestCellsTwoLevel
+        .nearestCells(col("embedding"), cents, coarse, members, coarse.length, 4)
+        .as("two"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
+  test("CellIndex dispatch + forced two-level IVF keeps recall and determinism") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = 16)
+    assert(!Similarity.CellIndex(cents).isTwoLevel) // gate scales stay flat/exact
+    assert(Similarity.CellIndex(cents, twoLevelAt = 2).isTwoLevel)
+    val queries = (0L until 20L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def run() = Similarity
+      .ivfTopKWith(emb, cents, "vec_id", "embedding", queries, 5, nprobe = 4,
+        twoLevelAt = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val a = run(); val b = run()
+    assert(a === b) // deterministic across runs
+    // CoarseProbes=8 of <=4 groups is exhaustive COARSE probing here, but
+    // assignment/probing still flow the two-level path end to end; recall
+    // keeps the flat test's floor
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.25, s"two-level IVF recall too low: $recall")
+  }
+
   test("persisted IVF index: identical results, probe join prunes cell dirs") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = (0L until 10L)
