@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Tables
+import graft.pipeline.{Multimodal, Similarity}
+
+/** Round-10 scale measurements (solo, noop-sink materialization):
+  *
+  *   runMain graft.tools.ProfScale <sfDir> mm        — multimodal feature
+  *     extraction, per-row mapPartitions vs Arrow-batched columnar form
+  *   runMain graft.tools.ProfScale <sfDir> sim       — semantic-dedup and
+  *     IVF top-k solo times (the sf1-vs-sf10 scaling proof)
+  *   runMain graft.tools.ProfScale <sfDir> twolevel  — nearest-cell
+  *     assignment over the whole corpus, flat vs forced two-level at the
+  *     corpus's own autoCells count
+  *
+  * Each section warms once and reports the second run (codegen + scan
+  * caches absorbed), matching Bench's warmup discipline.
+  */
+object ProfScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = args.lift(1).getOrElse("mm")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Unit): Double = {
+      f // warm
+      val t0 = System.nanoTime()
+      f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"PROFSCALE $name%-32s $t%8.2f s")
+      t
+    }
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    what match {
+      case "mm" =>
+        val media = Multimodal.mediaTableEncoded(Tables.documents(spark, sfDir))
+        val tRow = timed("features row-form")(sink(
+          Multimodal.extractFeatures(spark, media).toDF()))
+        val tArrow = timed("features arrow-form")(sink(
+          Multimodal.extractFeaturesArrow(spark, media).toDF()))
+        println(f"PROFSCALE arrow/row ratio ${tArrow / tRow}%.2f")
+
+      case "sim" =>
+        val emb = Tables.embeddings(spark, sfDir)
+        val n = emb.count()
+        println(s"PROFSCALE corpus vectors=$n autoCells=${Similarity.autoCells(n)}")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding")
+        timed("semantic_dedup")(sink(
+          Similarity.semanticDedupWith(emb, cents, "vec_id", "embedding", 0.3)))
+        timed("ivf_topk")(sink(
+          Similarity.ivfTopKWith(emb, cents, "vec_id", "embedding", (0L until 50L), 10)))
+
+      case "twolevel" =>
+        val emb = Tables.embeddings(spark, sfDir)
+        import org.apache.spark.sql.functions.col
+        val n = emb.count()
+        // measure AT the dispatch point: the local corpora never reach
+        // 8M+ vectors (autoCells > TwoLevelCells), so train a matrix of
+        // the size the two-level path exists for and time the assignment
+        // scan itself — assignment cost depends on k and d, not on how
+        // well-populated the cells are
+        val k = math.max(Similarity.autoCells(n), 2 * Similarity.TwoLevelCells)
+        println(s"PROFSCALE corpus vectors=$n cells=$k")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = k)
+        val flat = Similarity.CellIndex(cents, twoLevelAt = Int.MaxValue)
+        val two = Similarity.CellIndex(cents, twoLevelAt = 1)
+        val tF = timed("assign flat")(sink(
+          emb.select(flat.nearest(col("embedding"), 1).getItem(0).as("c"))))
+        val tT = timed("assign two-level")(sink(
+          emb.select(two.nearest(col("embedding"), 1).getItem(0).as("c"))))
+        println(f"PROFSCALE twolevel speedup ${tF / tT}%.2fx at k=$k")
+
+      case other => sys.error(s"unknown section: $other")
+    }
+    spark.stop()
+  }
+}
