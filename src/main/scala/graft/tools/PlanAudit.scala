@@ -193,6 +193,20 @@ object PlanAudit {
       if (assignPlan.length > 10000) {
         failures += 1; println("AUDIT FAIL ivf assignment plan bloated")
       }
+
+      //    two-level variant (r10): past TwoLevelCells the dispatch swaps
+      //    in the coarse→fine scan — still ONE compact reference-object
+      //    node, still map-only (no exchange between scan and assignment),
+      //    plan size independent of k·d
+      val bigK = Seq.tabulate(64)(i => Seq.fill(64)(i * 0.01))
+      val idx = graft.pipeline.Similarity.CellIndex(bigK, twoLevelAt = 2)
+      val twoPlan = plan(semEmb.select(idx.nearest(col("embedding"), 1)))
+      check("ivf assignment (two-level): compact node, map-only", twoPlan,
+        mustContain = Seq("nearest_cells_2l"),
+        mustNot = Seq("Exchange", "BroadcastNestedLoopJoin"))
+      if (twoPlan.length > 10000) {
+        failures += 1; println("AUDIT FAIL two-level assignment plan bloated")
+      }
     }
 
     guarded("q5") {
@@ -352,6 +366,29 @@ object PlanAudit {
       val modeExch = "Exchange".r.findAllIn(modePlan).length
       if (modeExch <= 3) println(s"AUDIT ok   mode fold: $modeExch exchanges (agg, broadcast, sort)")
       else { failures += 1; println(s"AUDIT FAIL mode fold has $modeExch exchanges") }
+
+      //     nearest-rank fold (r10, gated by q_tier_smoke_nr): the
+      //     byte-parity mode's per-slot denominators and the sparse clamp
+      //     are plain projection/agg expressions riding the SAME single
+      //     pass — byte parity must not cost a second scan, an explode, or
+      //     an extra exchange over the interpolated default
+      graft.streaming.RollupStream.appendPartials(
+        evAll, 3600, "value", s"$tierDir/t3600nr", epoch = 0L,
+        smokeCols = Seq("value"), smokeNearestRank = true)
+      val nrTier = graft.streaming.RollupStream.readTier(spark, s"$tierDir/t3600nr")
+      val nrServe = graft.rollup.Rollup.aggregatedFromTier(
+        nrTier, labels,
+        Seq(AggSpec("value", "avg"), AggSpec("value", "smoke")),
+        1704067200L, 1704067200L + 14 * 86400, binsize = 86400,
+        primaryCol = "value", sparseClamp = true, smokeNearestRank = true)
+      val nrPlan = plan(nrServe)
+      check("nearest-rank fold: clamp + per-slot denominators, one agg pass",
+        nrPlan,
+        mustContain = Seq("t3600nr"),
+        mustNot = Seq("events.parquet", "Generate", "SortMergeJoin"))
+      val nrExch = "Exchange".r.findAllIn(nrPlan).length
+      if (nrExch <= 3) println(s"AUDIT ok   nr fold: $nrExch exchanges (agg, broadcast, sort)")
+      else { failures += 1; println(s"AUDIT FAIL nr fold has $nrExch exchanges") }
     }
 
     guarded("top terms") {
