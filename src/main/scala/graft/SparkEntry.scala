@@ -1576,7 +1576,7 @@ object SparkEntry {
          |), b AS (
          |  SELECT nntsclabel, rb, stream_id, bin,
          |    count(value) AS cnt, max(value) AS mx,
-         |    list_sort(list(value)) AS sv
+         |    list_sort(list(value) FILTER (WHERE value IS NOT NULL)) AS sv
          |  FROM w GROUP BY 1, 2, 3, 4
          |), g AS (
          |  SELECT *, $grid FROM b

@@ -30,12 +30,9 @@ object Tables {
   def tsEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     // defensive: callers (e.g. the driver's smoke test) may hand us a
-    // session without these confs; both are runtime-settable. nanosAsLong
-    // is required to read TIMESTAMP(NANOS) parquet at all; UTC pins the
-    // NTZ branch below (NTZ→LTZ cast goes through the SESSION timezone,
-    // so a non-UTC caller would silently shift every epoch by its offset)
+    // session without this conf; it is runtime-settable and required to
+    // read TIMESTAMP(NANOS) parquet at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ev = load(spark, dir, "events")
     val tsSec = ev.schema("ts").dataType match {
       // Integer ts: dispatch on magnitude, not assumption — TIMESTAMP(NANOS)
@@ -51,9 +48,16 @@ object Tables {
           .when(col("ts") >= 100000000000000L, expr("ts div 1000000"))
           .when(col("ts") >= 100000000000L, expr("ts div 1000"))
           .otherwise(col("ts"))
-      // NTZ has no direct cast to BIGINT; route via TimestampType, which
-      // under the engine's mandatory UTC session timezone is the identity
-      case _: TimestampNTZType => col("ts").cast(TimestampType).cast("long")
+      // NTZ has no direct cast to BIGINT, and routing via TimestampType
+      // goes through the SESSION timezone — a non-UTC caller would shift
+      // every epoch by its offset (and pinning the session to UTC here
+      // would mutate caller-global state for the rest of the session).
+      // Date arithmetic over the wall clock is timezone-free: days since
+      // epoch × 86400 + time of day, correct for pre-1970 values too.
+      case _: TimestampNTZType =>
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast("long") * 86400L +
+          hour(col("ts")) * 3600L + minute(col("ts")) * 60L + second(col("ts"))
       // TimestampType (LTZ micros) and anything numeric-castable
       case _ => col("ts").cast("long")
     }

@@ -54,6 +54,17 @@ object Rollup {
     */
   private[graft] def smokeName(s: String): String = s"smoke__$s"
 
+  /** Nearest-rank tiers only: per-slot populated-sample counts. A sparse
+    * bin leaves low-percentile slots NULL, so the serving merge needs
+    * Σ(cnt | slot populated) per slot — and that population fact must be
+    * PERSISTED, not re-derived from cnt: after a compaction fold merges
+    * several epochs of the same bin, the folded row's summed cnt no longer
+    * says which epochs contributed to which slot (re-deriving there
+    * over-weights denominators and biases merged percentiles low).
+    * Element-wise long sums, closed under the same fold as the grid.
+    */
+  private[graft] def smokeNName(s: String): String = s"smoken__$s"
+
   /** The reference's smoke percentile grid: 5th..95th step 5
     * (influx.py:663-668 computes `percentile(meas, i) for i in
     * range(5,100,5)`; the window max rides along as the 100th-percentile
@@ -192,9 +203,20 @@ object Rollup {
           }
         (v.cast(OracleParity.Dec) * cnt).cast(SmokeDec)
       })
-      acc
+      val withGrid = acc
         .withColumn(smokeName(s), when(n > 0, grid))
-        .drop(s"__sorted_$s")
+      // nearest-rank tiers persist which slots this bin populated (as the
+      // bin's cnt, NULL otherwise): the serving denominator and the
+      // compaction fold both need the per-slot counts to survive folding
+      // (see smokeNName). Interpolated tiers populate every slot whenever
+      // n > 0, so cnt alone suffices there and no extra column is stored.
+      val withN =
+        if (!smokeNearestRank) withGrid
+        else withGrid.withColumn(
+          smokeNName(s),
+          when(n > 0, transform(lit(SmokePercentages.toArray), p =>
+            when(floor(p * n.cast("double") + 0.5) >= 1, cnt))))
+      withN.drop(s"__sorted_$s")
     }
     withSmoke
   }
@@ -369,26 +391,25 @@ object Rollup {
       // expressions: no posexplode, no second scan of the tier, no join
       smokes.flatMap { case (a, out) =>
         val sc = col(smokeName(a.column))
+        val scn = col(smokeNName(a.column))
         val cnt = col(nm("cnt", a.column))
         // per-slot denominators (nearest-rank tiers only): a sparse bin
         // (n < 10/p) has NULL in its low-percentile slots but still
         // carries cnt samples — dividing a slot's partial sum by the
         // SHARED Σcnt would bias every merged percentile low whenever a
         // multi-bin window contains one such bin. Σ(cnt | slot populated)
-        // is the correct weight, and slot population is pure cnt
-        // arithmetic (the build's index formula floor(n·p + 0.5) ≥ 1) —
-        // no second element_at per slot, so the extra aggregates cost
-        // long-sum buffers only. Interpolated tiers populate every slot
-        // whenever n > 0, so the shared Σcnt is already exact there and
-        // the default path keeps the single-denominator shape.
+        // is the correct weight, summed from the tier's PERSISTED
+        // per-slot counts (smokeNName): re-deriving population from the
+        // row's cnt breaks on compacted tiers, where a folded row's
+        // summed cnt mixes epochs that populated a slot with epochs that
+        // did not. Interpolated tiers populate every slot whenever n > 0,
+        // so the shared Σcnt is already exact there and the default path
+        // keeps the single-denominator shape.
         SmokePercentages.indices.map(i =>
           sum(element_at(sc, i + 1)).cast(SmokeDec).as(s"__s${i}_$out")) ++
           (if (!smokeNearestRank) Nil
-           else SmokePercentages.indices.map { i =>
-             val populated =
-               floor(lit(SmokePercentages(i)) * cnt.cast("double") + 0.5) >= 1
-             sum(when(populated, cnt)).as(s"__sn${i}_$out")
-           }) ++
+           else SmokePercentages.indices.map(i =>
+             sum(element_at(scn, i + 1)).as(s"__sn${i}_$out"))) ++
           Seq(
             sum(cnt).as(s"__n_$out"),
             max(col(nm("mx", a.column))).as(s"__mx_$out"))

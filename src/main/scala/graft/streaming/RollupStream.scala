@@ -160,7 +160,8 @@ object RollupStream {
     // partial is closed under its own fold op, so any mix folds exactly
     val statCols = df.columns.filter(n =>
       n != "stream_id" && n != "binstart" && n != IngestStream.EpochCol &&
-        !n.startsWith("modes__") && !n.startsWith("smoke__"))
+        !n.startsWith("modes__") && !n.startsWith("smoke__") &&
+        !n.startsWith("smoken__"))
     val foldExprs = statCols.toSeq.map { n =>
       if (n == "ts" || n == "mx" || n.startsWith("mx__")) max(col(n)).as(n)
       else if (n == "tsn" || n == "mn" || n.startsWith("mn__")) min(col(n)).as(n)
@@ -180,7 +181,12 @@ object RollupStream {
     // grids are stored count-weighted precisely so this fold is closed).
     // The grid width is a constant (SmokePercentages), so the fold is
     // per-slot sum expressions in ONE extra agg pass — no explode/join.
-    df.columns.filter(_.startsWith("smoke__")).foreach { s =>
+    // Nearest-rank per-slot population counts (smoken__, long arrays)
+    // fold by the SAME element-wise sum: that closure is exactly why the
+    // counts are persisted — a folded row's summed cnt cannot say which
+    // epochs populated which slot (serving would over-weight denominators)
+    df.columns.filter(n => n.startsWith("smoke__") || n.startsWith("smoken__"))
+      .foreach { s =>
       val elemType = df.schema(s).dataType
         .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
       val slots = graft.rollup.Rollup.SmokePercentages.indices

@@ -594,6 +594,50 @@ class ServiceSpec extends SparkSpec {
     assert(got(0) === gd(0).get && got(2) === gd(2).get)
   }
 
+  test("smoke nearest-rank tier: compaction is serve-transparent (per-slot counts persist)") {
+    // two EPOCHS land in the SAME tier bin: a dense first write (n=20) and
+    // a sparse late arrival (n=3, low-percentile slots NULL). Compaction
+    // folds them into one row with cnt=23 — if serving then re-derived
+    // slot population from that folded cnt, it would weight the dense
+    // epoch's slot-1..3 partials by 23 instead of 20 and bias the merged
+    // percentiles low (r10 review). The tier persists per-slot populated
+    // counts (smoken__) precisely so the fold stays transparent.
+    import graft.streaming.RollupStream
+    val dir = java.nio.file.Files.createTempDirectory("graftnrfold").toString
+    val t0 = 1704067200L
+    val dense = (10 until 30).map(_.toDouble)
+    val sparse = Seq(1.0, 2.0, 3.0)
+    RollupStream.appendPartials(
+      dense.zipWithIndex.map { case (v, i) => (0L, t0 + i * 60L, v) }
+        .toDF("stream_id", "timestamp", "value"),
+      3600, "value", s"$dir/nr", epoch = 0L,
+      smokeCols = Seq("value"), smokeNearestRank = true)
+    RollupStream.appendPartials(
+      sparse.zipWithIndex.map { case (v, i) => (0L, t0 + 1800L + i * 60L, v) }
+        .toDF("stream_id", "timestamp", "value"),
+      3600, "value", s"$dir/nr", epoch = 1L,
+      smokeCols = Seq("value"), smokeNearestRank = true)
+    def answer(): Seq[Seq[Any]] = Rollup
+      .matrixFromTier(
+        RollupStream.readTier(spark, s"$dir/nr"), Map("g" -> Seq(0L)),
+        Seq(AggSpec("value", "smoke")), t0, t0 + 3600,
+        primaryCol = "value", smokeNearestRank = true)
+      .collect().map(_.toSeq).toSeq
+    val before = answer()
+    RollupStream.compact(spark, s"$dir/nr")
+    assert(answer() === before,
+      "compaction must not change nearest-rank tier-served smoke")
+    // and the before-answer itself weights slot 1 by the dense epoch only:
+    // slot 1 (5th pctl) = dense grid value exactly
+    // NB mutable.ArraySeq (what Row.toSeq yields for arrays) is not an
+    // immutable.Seq — match the collection root type
+    val slot1 = before.head
+      .collect { case s: scala.collection.Seq[_] => s }.head.head
+      .asInstanceOf[Double]
+    val denseIdx = math.floor(dense.length * 0.05 + 0.5).toInt
+    assert(slot1 === dense.sorted.apply(denseIdx - 1))
+  }
+
   test("path interning: join-or-insert semantics (J3)") {
     val empty = Seq.empty[(Int, Seq[String], Int)].toDF("path_id", "path", "length")
     val batch1 = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c"))).toDF("path")

@@ -72,6 +72,10 @@ class TablesSpec extends SparkSpec {
     val expected = epochSecs.zipWithIndex
       .map { case (ts, i) => (i.toLong, ts, i * 1.5) }.toSet
     assert(got === expected)
+    // and without mutating the caller's session timezone: the adapter is
+    // library code — clobbering session-global state to fix one cast
+    // would shift the HOST application's own datetime results (r10 review)
+    assert(skewed.conf.get("spark.sql.session.timeZone") === "America/New_York")
   }
 
   test("integer ts dispatches on magnitude: seconds/millis/micros/nanos longs all read") {
