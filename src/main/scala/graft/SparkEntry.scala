@@ -1458,7 +1458,7 @@ object SparkEntry {
         .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
       val slots = (1 to 19)
         .map(k =>
-          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
+          s"${OracleParity.Sql.decToDouble(s"sum(CAST(g$k AS DECIMAL(18,6)) * cnt)")} / sum(cnt) AS p$k")
         .mkString(", ")
       val pack = (1 to 19)
         .map(k => f"CASE WHEN m.n > 0 THEN p$k END AS smoke_$k%02d")
@@ -1499,7 +1499,7 @@ object SparkEntry {
         .map(k => s"quantile_cont(value, $k/20.0) AS g$k").mkString(", ")
       val slots = (1 to 19)
         .map(k =>
-          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / sum(cnt) AS p$k")
+          s"${OracleParity.Sql.decToDouble(s"sum(CAST(g$k AS DECIMAL(18,6)) * cnt)")} / sum(cnt) AS p$k")
         .mkString(", ")
       val pack = (1 to 19)
         .map(k => f"CASE WHEN sm.n > 0 THEN p$k END AS smoke_$k%02d")
@@ -1556,7 +1556,7 @@ object SparkEntry {
         .mkString(", ")
       val slots = (1 to 19)
         .map(k =>
-          s"CAST(sum(CAST(g$k AS DECIMAL(18,6)) * cnt) AS DOUBLE) / " +
+          s"${OracleParity.Sql.decToDouble(s"sum(CAST(g$k AS DECIMAL(18,6)) * cnt)")} / " +
             s"sum(CASE WHEN floor(cnt * ($k/20.0) + 0.5) >= 1 THEN cnt END) AS p$k")
         .mkString(", ")
       val full = ((1 to 19).map(k => s"p$k") :+ "mxx").mkString(", ")

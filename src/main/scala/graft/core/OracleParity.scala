@@ -56,11 +56,29 @@ object OracleParity {
   /** DuckDB SQL fragments mirroring the exact aggregates above. */
   object Sql {
     def dec(x: String): String = s"CAST($x AS DECIMAL(18,6))"
-    def exactSum(x: String): String = s"CAST(sum(${dec(x)}) AS DOUBLE)"
+
+    /** DECIMAL→DOUBLE via an exact integer + small-fraction split.
+      * DuckDB's native decimal→double cast computes
+      * `(double) unscaled / 10^scale` — TWO roundings — and lands 1 ULP
+      * off the correctly-rounded value Spark/Java produce once the
+      * unscaled value passes 2^53 (observed at GenScale sf10:
+      * Σ event_id = 1.676e13 → unscaled 1.676e19; q_matrix_tier_multi
+      * event_id_avg flipped its 9th decimal). Splitting keeps both parts
+      * exactly representable — the integer part is < 2^53 for any total
+      * this engine can aggregate, the remainder's unscaled is ≤ 5·10^5 —
+      * so the ONE rounding happens at the final addition: correctly
+      * rounded for |total| < 2^47 (a 6-dp decimal can never tie a
+      * rounding midpoint there; proof in ROUND_NOTES r10).
+      */
+    def decToDouble(s: String): String =
+      s"(CAST(CAST(($s) AS DECIMAL(38,0)) AS DOUBLE) + " +
+        s"CAST(($s) - CAST(($s) AS DECIMAL(38,0)) AS DOUBLE))"
+
+    def exactSum(x: String): String = decToDouble(s"sum(${dec(x)})")
     def exactAvg(x: String): String = s"(${exactSum(x)} / count($x))"
     def exactStddev(x: String): String =
       s"""(CASE WHEN count($x) >= 2 THEN sqrt(greatest(
-         |  CAST(sum(${dec(x)} * ${dec(x)}) AS DOUBLE)
+         |  ${decToDouble(s"sum(${dec(x)} * ${dec(x)})")}
          |    - ${exactSum(x)} * ${exactSum(x)} / count($x), 0.0)
          |  / (count($x) - 1)) END)""".stripMargin.replace("\n", " ")
   }
