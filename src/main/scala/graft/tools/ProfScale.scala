@@ -81,6 +81,38 @@ object ProfScale {
           emb.select(two.nearest(col("embedding"), 1).getItem(0).as("c"))))
         println(f"PROFSCALE twolevel speedup ${tF / tT}%.2fx at k=$k")
 
+      case "nrtier" =>
+        // nearest-rank tier build/serve vs the interpolated default: the
+        // byte-parity mode stores 19 extra longs per (stream, bin) row
+        // (smoken__) and swaps the grid interpolation for index lookups —
+        // quantify what parity costs at tier-build and serve time
+        import graft.query.AggSpec
+        val ev = Tables.tsEvents(spark, sfDir)
+        val labels = graft.SparkEntry.labelsFor(spark, sfDir)
+        def build(nr: Boolean) = graft.rollup.Rollup.buildMulti(
+          ev, 3600, Seq("value"), smokeCols = Seq("value"), smokeNearestRank = nr)
+        timed("tier build interpolated")(sink(build(false)))
+        timed("tier build nearest-rank")(sink(build(true)))
+        // serve from DISK (the production read path), not from cache —
+        // two cached sf10 tiers overflow a default-size heap, and the
+        // serving economy being measured reads tier parquet anyway
+        val tmp = java.nio.file.Files.createTempDirectory("profscale_nr").toString
+        graft.streaming.RollupStream.appendPartials(
+          ev, 3600, "value", s"$tmp/interp", epoch = 0L, smokeCols = Seq("value"))
+        graft.streaming.RollupStream.appendPartials(
+          ev, 3600, "value", s"$tmp/nr", epoch = 0L, smokeCols = Seq("value"),
+          smokeNearestRank = true)
+        val tInterp = graft.streaming.RollupStream.readTier(spark, s"$tmp/interp")
+        val tNr = graft.streaming.RollupStream.readTier(spark, s"$tmp/nr")
+        timed("serve interpolated")(sink(graft.rollup.Rollup.aggregatedFromTier(
+          tInterp, labels, Seq(AggSpec("value", "avg"), AggSpec("value", "smoke")),
+          graft.SparkEntry.Start, graft.SparkEntry.Stop, binsize = 21600,
+          primaryCol = "value")))
+        timed("serve nearest-rank+clamp")(sink(graft.rollup.Rollup.aggregatedFromTier(
+          tNr, labels, Seq(AggSpec("value", "avg"), AggSpec("value", "smoke")),
+          graft.SparkEntry.Start, graft.SparkEntry.Stop, binsize = 21600,
+          primaryCol = "value", sparseClamp = true, smokeNearestRank = true)))
+
       case other => sys.error(s"unknown section: $other")
     }
     spark.stop()
