@@ -375,6 +375,15 @@ object Rollup {
           throw new IllegalArgumentException(s"not derivable from rollup partials: $other")
       }
     }
+    // nearest-rank is a property of the TIER, detected per smoke column
+    // from its schema (the build writes smokeNName counts only in that
+    // mode): a caller flag alone was misconfigurable both ways — false on
+    // a nearest-rank tier silently re-biased sparse-window percentiles
+    // (the shared-denominator bug), true on an interpolated tier failed
+    // at analysis. The parameter remains as an explicit override for
+    // tiers whose schema cannot be inspected upstream.
+    def nrCol(c: String): Boolean =
+      smokeNearestRank || tier.columns.contains(smokeNName(c))
     val stats = aggs.zip(names).filter { case (a, _) => a.func != "most" && a.func != "smoke" }
     val modes = aggs.zip(names).filter { case (a, _) => a.func == "most" }
     val smokes = aggs.zip(names).filter { case (a, _) => a.func == "smoke" }
@@ -407,7 +416,7 @@ object Rollup {
         // keeps the single-denominator shape.
         SmokePercentages.indices.map(i =>
           sum(element_at(sc, i + 1)).cast(SmokeDec).as(s"__s${i}_$out")) ++
-          (if (!smokeNearestRank) Nil
+          (if (!nrCol(a.column)) Nil
            else SmokePercentages.indices.map(i =>
              sum(element_at(scn, i + 1)).as(s"__sn${i}_$out"))) ++
           Seq(
@@ -432,7 +441,7 @@ object Rollup {
       val mx = col(s"__mx_$out0").cast("double")
       val slots = SmokePercentages.indices
         .map(i => col(s"__s${i}_$out0").cast("double") /
-          (if (smokeNearestRank) col(s"__sn${i}_$out0") else n))
+          (if (nrCol(a.column)) col(s"__sn${i}_$out0") else n))
       val full = array(slots :+ mx: _*)
       // sparse-bin clamp (opt-in, `clampPercents`): a when-chain over the
       // 18 possible sparse counts picking the percent positions' slots

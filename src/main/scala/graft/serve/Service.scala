@@ -95,7 +95,9 @@ final class Service(
   /** Tag the calling thread with a fresh job group and arm the watchdog.
     * The group is deliberately NOT cleared on exit: chunked history
     * iterators submit their jobs lazily from the caller's thread and must
-    * stay cancellable; the next service call overwrites the group.
+    * stay cancellable — withCancellationIt re-tags the thread before
+    * every draw, so an interleaved service call on the same thread cannot
+    * steal the iterator's lazily-submitted jobs out of its group.
     */
   private[graft] def withCancellation[T](op: String)(body: => T): T =
     if (queryTimeoutSec <= 0) body
@@ -369,12 +371,22 @@ final class Service(
         }
       val inner = wrap(make)
       new Iterator[T] {
+        // re-tag the consuming thread before EVERY draw: the job group is
+        // a thread-local, so any other service call on this thread between
+        // draws overwrote it — and toLocalIterator submits its jobs at
+        // draw time, so an un-tagged draw's jobs would escape THIS
+        // iterator's watchdog (the runaway scan the timeout exists to
+        // kill) while being killable by the other call's timer instead
+        private def retag(): Unit =
+          sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
+            interruptOnCancel = true)
         def hasNext: Boolean = wrap {
+          retag()
           val h = inner.hasNext
           if (!h) { done = true; timer.cancel(false) }
           h
         }
-        def next(): T = wrap(inner.next())
+        def next(): T = wrap { retag(); inner.next() }
       }
     }
 

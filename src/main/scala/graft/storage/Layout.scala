@@ -24,11 +24,29 @@ object Layout {
 
   val DefaultBuckets = 64
 
+  /** Bucket hash over stream_id CAST TO LONG: `hash()` dispatches on the
+    * input type (Murmur3 hashInt vs hashLong give different values for
+    * the same id), and collection data tables carry stream_id as INT
+    * (CollectionSpec reference parity) while `streamPredicate` precomputes
+    * with hashLong — without the cast an int-typed collection's rows land
+    * in buckets the predicate never scans (silent row loss; the specs
+    * masked it by building test frames from Longs).
+    */
   def bucketCol(buckets: Int): org.apache.spark.sql.Column =
-    pmod(hash(col("stream_id")), lit(buckets))
+    pmod(hash(col("stream_id").cast("long")), lit(buckets))
 
+  /** Day label via timezone-free date arithmetic (epoch days), NOT
+    * date_format over a timestamp: that goes through the SESSION timezone,
+    * and a non-UTC writer would shift day boundaries against
+    * Retention.expireDays' UTC cutoff (early deletion) and split one UTC
+    * day across two labels between differently-zoned writers.
+    */
   def dayCol: org.apache.spark.sql.Column =
-    date_format(timestamp_seconds(col("timestamp")), "yyyyMMdd")
+    date_format(
+      date_add(
+        lit("1970-01-01").cast("date"),
+        expr("timestamp div 86400").cast("int")),
+      "yyyyMMdd")
 
   /** Write a data frame (stream_id, timestamp, metrics…) into the layout. */
   def writeData(df: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit =

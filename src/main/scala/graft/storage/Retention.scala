@@ -55,27 +55,34 @@ object Retention {
     val root = new java.io.File(path)
     if (!root.exists) return Nil
 
-    // phase A: grace elapsed — delete dirs, then their markers
+    // phase A: grace elapsed — delete dirs, then their markers. Holds the
+    // layout's swap lock: in-JVM readers (readCombined, Snapshot.read)
+    // build their plans under that lock on the contract that no GC can
+    // delete a just-verified source mid-listing — retention's physical
+    // deletion is GC like any other and must honor the same exclusion
+    // (tombstoned days are pruned from reader plans AFTER Spark lists the
+    // partition dirs, so an unlocked delete here could race the listing).
     val prior = expiredDays(path)
-    if (prior.nonEmpty) {
-      val pinnedDays = Snapshot.activePins(path).days
-      val deletable = prior -- pinnedDays
-      def gc(dir: java.io.File): Unit =
-        dir.listFiles().foreach { f =>
-          if (f.isDirectory) {
-            if (f.getName.startsWith("day=") &&
-                deletable(f.getName.stripPrefix("day="))) delete(f)
-            else gc(f)
+    if (prior.nonEmpty)
+      graft.streaming.IngestStream.swapLock(path).synchronized {
+        val pinnedDays = Snapshot.activePins(path).days
+        val deletable = prior -- pinnedDays
+        def gc(dir: java.io.File): Unit =
+          files(dir).foreach { f =>
+            if (f.isDirectory) {
+              if (f.getName.startsWith("day=") &&
+                  deletable(f.getName.stripPrefix("day="))) delete(f)
+              else gc(f)
+            }
           }
-        }
-      gc(root)
-      deletable.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").delete())
-    }
+        gc(root)
+        deletable.foreach(d => new java.io.File(root, s"$MarkerPrefix$d").delete())
+      }
 
     // phase B: tombstone newly aged days
     val aged = scala.collection.mutable.SortedSet.empty[String]
     def walk(dir: java.io.File): Unit =
-      dir.listFiles().foreach { f =>
+      files(dir).foreach { f =>
         if (f.isDirectory) {
           val name = f.getName
           if (name.startsWith("day=") && name.stripPrefix("day=") < cutoffDay)
@@ -103,8 +110,16 @@ object Retention {
       .toSet
   }
 
+  /** listFiles() returns null on I/O error or when the directory vanishes
+    * between the isDirectory check and the listing (a concurrent
+    * compactor's own GC on an overlapping tree) — every walker here must
+    * tolerate that, like the delete helpers elsewhere in the codebase do.
+    */
+  private def files(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+
   private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
+    if (f.isDirectory) files(f).foreach(delete)
     f.delete()
   }
 

@@ -155,10 +155,17 @@ object Snapshot {
         val dir = new java.io.File(layoutPath, PinsDir)
         dir.mkdirs()
         val id = java.util.UUID.randomUUID().toString.take(8)
-        java.nio.file.Files.writeString(
+        // write-then-ATOMIC_MOVE: a pin_* name must never be visible
+        // half-written — activePins runs lock-free from every maintenance
+        // cycle (and from other processes), and a truncated token there
+        // would wedge compaction/retention until this pin's expiry
+        val tmp = new java.io.File(dir, s".pin_tmp_$id").toPath
+        java.nio.file.Files.writeString(tmp, snap.token)
+        java.nio.file.Files.move(
+          tmp,
           new java.io.File(dir,
             s"pin_${System.currentTimeMillis() + ttlMs}_$id").toPath,
-          snap.token)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       snap
     }
@@ -182,16 +189,28 @@ object Snapshot {
       else dir.listFiles.toSeq.filter(_.getName.startsWith("pin_"))
     var acc = PinnedSources(Set.empty, Set.empty, Set.empty, Set.empty)
     files.foreach { f =>
-      val expiry = f.getName.split("_")(1).toLong
-      if (expiry <= nowMs) f.delete() // clean expiry
-      else {
-        val snap = LayoutSnapshot.fromToken(
-          java.nio.file.Files.readString(f.toPath))
-        acc = PinnedSources(
-          acc.msets ++ snap.gen.map(_._1),
-          acc.csets ++ snap.csets,
-          acc.epochs ++ snap.epochs,
-          acc.days ++ snap.sourceDays.values.flatten)
+      // a pin that fails to parse (name or token) can only be a corrupted
+      // file or a dead partial write from before pins committed via
+      // ATOMIC_MOVE — no live writer produces one. Remove it and keep the
+      // maintenance cycle alive: an exception here used to wedge
+      // compaction AND retention for the pin's full TTL.
+      try {
+        val expiry = f.getName.split("_")(1).toLong
+        if (expiry <= nowMs) f.delete() // clean expiry
+        else {
+          val snap = LayoutSnapshot.fromToken(
+            java.nio.file.Files.readString(f.toPath))
+          acc = PinnedSources(
+            acc.msets ++ snap.gen.map(_._1),
+            acc.csets ++ snap.csets,
+            acc.epochs ++ snap.epochs,
+            acc.days ++ snap.sourceDays.values.flatten)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[snapshot] dropping malformed pin ${f.getName}: ${e.getMessage}")
+          f.delete()
       }
     }
     acc

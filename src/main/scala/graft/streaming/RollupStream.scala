@@ -171,38 +171,40 @@ object RollupStream {
       else throw new IllegalArgumentException(s"unknown tier partial column: $n")
     }
     // mode count maps fold by summing counts per value — ModeMapAggregate
-    // merges them IN the main fold pass (no explode/regroup/join lap)
+    // merges them IN the main fold pass (no explode/regroup/join lap).
+    // Smoke slot sums (count-weighted exact decimals) and nearest-rank
+    // per-slot population counts (smoken__, long arrays) fold by
+    // element-wise addition over a constant-width grid, so they are plain
+    // aggregate expressions riding the SAME pass — the pre-r10 shape ran
+    // a second full scan plus a shuffle join PER smoke column; the array
+    // is reassembled in a post-agg projection instead. (The smoken
+    // closure under this fold is exactly why the per-slot counts are
+    // persisted — a folded row's summed cnt cannot say which epochs
+    // populated which slot.)
+    val smokeFoldCols = df.columns.toSeq
+      .filter(n => n.startsWith("smoke__") || n.startsWith("smoken__"))
+    val slots = graft.rollup.Rollup.SmokePercentages.indices
+    def slotElemType(s: String) = df.schema(s).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val slotFolds = smokeFoldCols.flatMap { s =>
+      slots.map(i =>
+        sum(element_at(col(s), i + 1)).cast(slotElemType(s)).as(s"__f${i}__$s"))
+    }
     val allFolds = foldExprs ++ df.columns.filter(_.startsWith("modes__")).toSeq
-      .map(m => graft.functions.ModeMapAggregate.mergeMaps(col(m)).as(m))
+      .map(m => graft.functions.ModeMapAggregate.mergeMaps(col(m)).as(m)) ++
+      slotFolds
     var folded = input
       .groupBy("stream_id", "binstart")
       .agg(allFolds.head, allFolds.tail: _*)
-    // smoke slot sums fold by element-wise exact-decimal addition (the
-    // grids are stored count-weighted precisely so this fold is closed).
-    // The grid width is a constant (SmokePercentages), so the fold is
-    // per-slot sum expressions in ONE extra agg pass — no explode/join.
-    // Nearest-rank per-slot population counts (smoken__, long arrays)
-    // fold by the SAME element-wise sum: that closure is exactly why the
-    // counts are persisted — a folded row's summed cnt cannot say which
-    // epochs populated which slot (serving would over-weight denominators)
-    df.columns.filter(n => n.startsWith("smoke__") || n.startsWith("smoken__"))
-      .foreach { s =>
-      val elemType = df.schema(s).dataType
-        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-      val slots = graft.rollup.Rollup.SmokePercentages.indices
-      val merged = input
-        .groupBy("stream_id", "binstart")
-        .agg(
-          sum(element_at(col(s), 1)).cast(elemType).as("__f0"),
-          slots.tail.map(i =>
-            sum(element_at(col(s), i + 1)).cast(elemType).as(s"__f$i")): _*)
-        .select(col("stream_id"), col("binstart"),
+    smokeFoldCols.foreach { s =>
+      folded = folded
+        .withColumn(s,
           // grid-exists = ANY slot non-null: nearest-rank sparse bins
           // leave slot 1 (5th pctl) NULL while higher slots carry values —
-          // keying on __f0 alone would null those grids entirely
-          when(slots.map(i => col(s"__f$i").isNotNull).reduce(_ || _),
-            array(slots.map(i => col(s"__f$i")): _*)).as(s))
-      folded = folded.join(merged, Seq("stream_id", "binstart"), "left_outer")
+          // keying on slot 0 alone would null those grids entirely
+          when(slots.map(i => col(s"__f${i}__$s").isNotNull).reduce(_ || _),
+            array(slots.map(i => col(s"__f${i}__$s")): _*)))
+        .drop(slots.map(i => s"__f${i}__$s"): _*)
     }
     val foldedOut = folded.withColumn(IngestStream.EpochCol, lit(-k))
     foldedOut.write.mode("overwrite")

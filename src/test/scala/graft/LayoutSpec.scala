@@ -34,4 +34,35 @@ class LayoutSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("sbucket"))
   }
+
+  test("int-typed stream_id buckets agree with streamPredicate (r10 review)") {
+    // collection data tables carry stream_id as INT (CollectionSpec
+    // reference parity; Catalog casts allocations to int), and Spark's
+    // hash() dispatches on the input type — hashInt and hashLong give
+    // DIFFERENT values for the same id. bucketCol casts to long before
+    // hashing precisely so an int-typed collection's rows land in the
+    // buckets streamPredicate (hashLong) scans; without the cast this
+    // query silently returned zero rows for most ids.
+    val dir = Files.createTempDirectory("graftlayout_int").toString + "/data"
+    val df = (1 to 200).map(sid => (sid, 86400L * (sid % 3) + 100, sid * 1.0))
+      .toDF("stream_id", "timestamp", "value")
+    assert(df.schema("stream_id").dataType.typeName === "integer")
+    Layout.writeData(df, dir, buckets = 8)
+
+    val ids = Seq(7L, 42L, 113L)
+    val got = Layout.readData(spark, dir)
+      .filter(Layout.streamPredicate(ids, buckets = 8))
+      .select("stream_id").distinct().as[Int].collect().toSet
+    assert(got === ids.map(_.toInt).toSet)
+
+    // and int-typed and long-typed writers agree on the physical bucket
+    // of the same id (one collection's readers/writers may disagree on
+    // width after a schema evolution — the layout must not care)
+    val bucketsInt = df.withColumn("b", Layout.bucketCol(8))
+      .select("stream_id", "b").as[(Int, Int)].collect().toMap
+    val bucketsLong = df.withColumn("stream_id", col("stream_id").cast("long"))
+      .withColumn("b", Layout.bucketCol(8))
+      .select("stream_id", "b").as[(Long, Int)].collect().toMap
+    bucketsInt.foreach { case (id, b) => assert(bucketsLong(id.toLong) === b) }
+  }
 }

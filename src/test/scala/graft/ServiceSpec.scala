@@ -624,6 +624,16 @@ class ServiceSpec extends SparkSpec {
         primaryCol = "value", smokeNearestRank = true)
       .collect().map(_.toSeq).toSeq
     val before = answer()
+    // nearest-rank is auto-detected from the tier schema (smoken__ column)
+    // — a caller who forgets the flag must NOT silently get the biased
+    // shared-denominator merge (r10 review)
+    val undeclared = Rollup
+      .matrixFromTier(
+        RollupStream.readTier(spark, s"$dir/nr"), Map("g" -> Seq(0L)),
+        Seq(AggSpec("value", "smoke")), t0, t0 + 3600,
+        primaryCol = "value")
+      .collect().map(_.toSeq).toSeq
+    assert(undeclared === before, "nearest-rank must be schema-detected")
     RollupStream.compact(spark, s"$dir/nr")
     assert(answer() === before,
       "compaction must not change nearest-rank tier-served smoke")

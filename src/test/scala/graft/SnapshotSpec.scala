@@ -164,6 +164,47 @@ class SnapshotSpec extends SparkSpec {
       .count() === 2)
   }
 
+  test("malformed pin file cannot wedge maintenance (r10 review)") {
+    // pins commit via ATOMIC_MOVE so no live writer produces a partial
+    // file — but a corrupted or legacy-partial pin_* must be dropped with
+    // a warning, not crash activePins: that helper runs inside
+    // compactToLayout, gcLayout AND Retention.expireDays, so one bad file
+    // used to wedge every maintenance cycle until the name-embedded
+    // expiry passed (up to the full TTL)
+    val dir = tmpDir()
+    val spec = Collections.ampExternal
+    IngestStream.ingestBatch(batch("s1", 1704067200L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(0L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 1L, buckets = 8)
+    val pinsDir = new java.io.File(s"$dir/layout", "_pins")
+    pinsDir.mkdirs()
+    val farFuture = System.currentTimeMillis() + 10 * 60 * 1000L
+    java.nio.file.Files.writeString(
+      new java.io.File(pinsDir, s"pin_${farFuture}_dead").toPath, "")
+    java.nio.file.Files.writeString(
+      new java.io.File(pinsDir, "pin_notanumber_x").toPath, "garbage")
+
+    // a real pin alongside the junk keeps protecting its sources
+    val snap = Snapshot.pin(s"$dir/layout", s"$dir/data", ttlMs = 10 * 60 * 1000L)
+    val pins = Snapshot.activePins(s"$dir/layout")
+    assert(pins.msets.nonEmpty || pins.csets.nonEmpty)
+    // the junk files were dropped, the real pin file survives
+    val names = pinsDir.listFiles().map(_.getName).toSet
+    assert(!names.exists(_.endsWith("_dead")) && !names.contains("pin_notanumber_x"))
+    assert(names.exists(_.startsWith("pin_")))
+    // and a full maintenance cycle runs clean with junk re-planted
+    java.nio.file.Files.writeString(
+      new java.io.File(pinsDir, s"pin_${farFuture}_dead2").toPath, "")
+    IngestStream.ingestBatch(batch("s2", 1704153600L), spec,
+      s"$dir/streams", s"$dir/data", identity, epoch = Some(1L))
+    IngestStream.compactToLayout(spark, s"$dir/data", s"$dir/layout",
+      settledBelow = 2L, buckets = 8)
+    IngestStream.gcLayout(s"$dir/layout")
+    assert(Snapshot.read(spark, s"$dir/layout", s"$dir/data", snap)
+      .count() >= 1)
+  }
+
   test("registered pin defers retention's physical day deletion until TTL") {
     val dir = tmpDir()
     val spec = Collections.ampExternal
