@@ -497,6 +497,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Duplicated-span coverage (token-level substring-dedup measure;
+    //      Lee et al. 2022 — linear even on a saturated gram vocabulary,
+    //      the scalable complement to the pair miners) ------------------
+    "q_dup_span" -> ((s, dir) => {
+      Dedup.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash+LSH near-dup pairs (hash-checked via the md5 hash
     //      family — DuckDB recomputes every hash; xxhash64 stays the
     //      production default in Dedup.minhashLshPairs, and DedupSpec
@@ -1730,6 +1738,39 @@ object SparkEntry {
         |JOIN sz nb ON nb.doc_id = p.id_b
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // positional trigram index (parallel unnests zip position and gram);
+    // grams compared by string where Spark compares xxhash64 — equal while
+    // hashing is injective on the corpus (the q_dedup_ngram convention).
+    // Interval union per doc mirrors the engine: sorted span starts, each
+    // covering min(next - start, 3) tokens, the last covering 3.
+    "q_dup_span" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) - 1)) AS p,
+        |    unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM t
+        |), dup AS (
+        |  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+        |), dpos AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (g)
+        |), ld AS (
+        |  SELECT doc_id, p,
+        |         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+        |  FROM dpos
+        |), cov AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN nxt IS NULL THEN 3 ELSE least(nxt - p, 3) END) AS c
+        |  FROM ld GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cov.c, 0) AS BIGINT) AS dup_tokens,
+        |       round(CAST(coalesce(cov.c, 0) AS DOUBLE) / len(w), 6) AS dup_frac
+        |FROM t LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" -> {
       // md5-family MinHash (see MinHashSignatureMd5): base = lower-60-bit

@@ -81,3 +81,58 @@ object WordNgramHashes {
   def apply(c: Column, n: Int): Column =
     ColumnBridge.toColumn(WordNgramHashes(ColumnBridge.toExpression(c), n))
 }
+
+/** POSITIONAL word n-gram hashes: element `i` (0-based) is the xxhash64 of
+  * the n-gram starting at token `i` — no dedup, no sort, so array index IS
+  * token position. The duplicated-span operators need positions (a span is
+  * `[i, i+n)` tokens), which the sorted-distinct [[WordNgramHashes]] form
+  * deliberately discards for the set-measure ops. Same tokenizer, same
+  * hash function (Spark's xxhash64, seed 42), so a value-level join
+  * between the two forms is well-defined. Empty array when the document
+  * has fewer than n tokens.
+  */
+case class WordNgramPosHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_ngram_pos_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_pos_hashes expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (starts, ends) = Tokenize.boundaries(s)
+    val ntok = starts.length
+    if (ntok < n) return new GenericArrayData(Array.empty[Long])
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Long](ntok - n + 1)
+    var g = 0
+    while (g <= ntok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, starts(g + j), ends(g + j))
+        j += 1
+      }
+      out(g) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgramPosHashes =
+    copy(child = c)
+}
+
+object WordNgramPosHashes {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.toColumn(WordNgramPosHashes(ColumnBridge.toExpression(c), n))
+}

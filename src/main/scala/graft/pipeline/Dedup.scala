@@ -257,6 +257,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicated-span coverage: for every document, the number (and
+    * fraction) of its TOKENS covered by at least one word n-gram that
+    * occurs `minOccurrences`-or-more times across the whole corpus
+    * (within-document repeats count — a doc that repeats its own
+    * boilerplate is duplicated text too). Token-granularity approximation
+    * of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499): the
+    * per-doc coverage is what that pipeline cuts, reported here as
+    * (n_tokens, dup_tokens, dup_frac) so a downstream filter or the
+    * quality-cut operator can act on it.
+    *
+    * Scale shape — this is the measure that stays LINEAR where the pair
+    * miners go quadratic: a saturated shingle vocabulary (every gram's df
+    * growing with the corpus) drives ngramJaccardPairs' Σdf² candidate
+    * volume, but here a gram's df only flips a boolean, so the plan is
+    * (1) one map-side-combined count over the positional gram index,
+    * (2) a semi-join of the index against the duplicated grams (shuffle
+    * keyed by gram hash — skew-safe: no per-key list is materialized, a
+    * corpus-wide boilerplate gram costs count partials, not a
+    * corpus-sized buffer), and (3) a per-document interval union of the
+    * fixed-length spans, computed arithmetically from sorted span starts
+    * (Σ min(next−start, n) — no ×n explode, no distinct). Everything is
+    * linear in corpus token count, independent of how duplicated the
+    * corpus is.
+    *
+    * Positions come from the fused [[graft.functions.WordNgramPosHashes]]
+    * expression (array index = token position); grams are compared by
+    * xxhash64 — injective on any real corpus (the q_dedup_ngram
+    * convention). Documents shorter than `n` tokens have no grams and
+    * report zero coverage.
+    */
+  def dupSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      graft.functions.WordNgramPosHashes(col(textCol), n).as("__g"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    // positional inverted index: one row per (doc, gram start)
+    val pos = toks.select(
+      col(idCol).as("__id"), posexplode(col("__g")).as(Seq("__p", "__s")))
+    // corpus-wide occurrence counts — count(), not collect_list(): map-side
+    // combine keeps a hot gram's cost at one partial per partition
+    val dup = pos.groupBy("__s").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOccurrences)
+      .select("__s")
+    val dupPos = pos.join(dup, Seq("__s"), "left_semi")
+    // union of fixed-length intervals [p, p+n) per doc: with starts sorted,
+    // each contributes min(nextStart − start, n) tokens (the last: n).
+    // Window partitioned per document — the sort is doc-local
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__p")
+    val covered = dupPos
+      .withColumn("__next", lead(col("__p"), 1).over(w))
+      .groupBy("__id")
+      .agg(sum(
+        when(col("__next").isNotNull, least(col("__next") - col("__p"), lit(n)))
+          .otherwise(lit(n))).cast("long").as("dup_tokens"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"),
+          6).as("dup_frac"))
+  }
+
   /** MinHash signatures: signature[i] = min over shingles of
     * xxhash64(i, shingle_hash), computed by the fused native
     * `MinHashSignature` expression — a map-only projection over the

@@ -146,6 +146,33 @@ object PlanAudit {
         mustNot = Seq("SortMergeJoin [__s"))
     }
 
+    guarded("dup span coverage") {
+      // 6a². dupSpanCoverage is the LINEAR dup measure: gram df must come
+      //      from a map-side-combined count (partial HashAggregate keyed on
+      //      the gram hash — a collect_list inverted list would buffer a
+      //      hot gram's whole posting list in ONE aggregation buffer), the
+      //      duplicated-gram filter joins back as a semi-join (no pair
+      //      generation anywhere: posexplode appears ONCE, for the
+      //      positional index itself), and the interval union sorts
+      //      per-DOCUMENT (window partitioned by __id), never globally.
+      val spanPlan = plan(graft.pipeline.Dedup.dupSpanCoverage(
+        docs, "doc_id", "text", 3))
+      check("dup span: counted grams, semi-join, doc-local window", spanPlan,
+        mustContain = Seq("LeftSemi", "partial_count"),
+        mustNot = Seq("collect_list", "CartesianProduct"))
+      // the positional index is rebuilt once per consumer (the df count
+      // and the semi-join left side): recomputing a fused map-only
+      // projection is the right 100 TB trade vs materializing a
+      // token-scale intermediate. 2 posexplodes = those two branches;
+      // a third would mean pair generation crept in.
+      val nGen = "Generate posexplode".r.findAllIn(spanPlan).length
+      if (nGen == 2) println("AUDIT ok   dup span: posexplode only builds the positional index (2 branches)")
+      else {
+        failures += 1
+        println(s"AUDIT FAIL dup span: expected exactly 2 posexplodes (index branches), found $nGen")
+      }
+    }
+
     guarded("lsh pairs hints") {
       // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
       //     (one row per document), so a forced broadcast would die at the

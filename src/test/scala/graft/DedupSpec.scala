@@ -119,6 +119,39 @@ class DedupSpec extends SparkSpec {
     assert(!cut.contains((6L, 7L)))  // hot-shingle-only pair gone
   }
 
+  test("dupSpanCoverage: interval union, within-doc repeats, short docs") {
+    // corpus gram counts (trigrams): "a b c" appears 4× (docs 1, 2, and
+    // twice in 6), "p q r" 2× (docs 3, 7), "m m m" 4× (all within doc 4);
+    // every other gram once
+    val docs = Seq(
+      (1L, "a b c d e f"),        // dup start {0} → 3 of 6
+      (2L, "a b c x y z"),        // dup start {0} → 3 of 6
+      (3L, "p q r s t u"),        // dup start {0} → 3 of 6
+      (4L, "m m m m m m"),        // starts {0,1,2,3} → 1+1+1+3 = 6 of 6
+      (5L, "hello"),              // shorter than n → no grams, 0 coverage
+      (6L, "a b c z z a b c"),    // starts {0,5} → 3 + 3 = 6 of 8
+      (7L, "p q r w w v"))        // dup start {0} → 3 of 6
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(out(1L) === ((6L, 3L, 0.5)))
+    assert(out(2L) === ((6L, 3L, 0.5)))
+    assert(out(3L) === ((6L, 3L, 0.5)))
+    assert(out(4L) === ((6L, 6L, 1.0)))   // within-doc repetition counts
+    assert(out(5L) === ((1L, 0L, 0.0)))   // no grams, still reported
+    assert(out(6L) === ((8L, 6L, 0.75)))  // overlapping spans union once
+    assert(out(7L) === ((6L, 3L, 0.5)))
+    // a stricter occurrence floor: "p q r" (2 occurrences) dies at 3,
+    // "a b c" (4 occurrences) survives
+    val strict = Dedup.dupSpanCoverage(docs, "doc_id", "text", 3, minOccurrences = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(3L) === 0L && strict(1L) === 3L && strict(4L) === 6L)
+  }
+
   test("ngram maxCandidates budget fails fast on dense vocab, passes under") {
     // corpus is tiny: its true candidate volume is a handful of pairs, so
     // budget=1 must abort pre-shuffle and a loose budget must be silent
