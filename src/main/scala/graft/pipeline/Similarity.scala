@@ -120,8 +120,9 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val cellIdx = CellIndex(centroids)
+      threshold: Double,
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame = {
+    val cellIdx = CellIndex(centroids, pretrained = grouping)
     val withCell = emb.withColumn(
       "__cell", cellIdx.nearest(col(vecCol), 1).getItem(0))
     embeddingDupPairs(withCell, idCol, vecCol, "__cell", threshold)
@@ -136,9 +137,11 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double,
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame =
     Dedup.dedupByComponents(
-      emb, idCol, semanticDupPairsWith(emb, centroids, idCol, vecCol, threshold))
+      emb, idCol,
+      semanticDupPairsWith(emb, centroids, idCol, vecCol, threshold, grouping))
 
   /** Embedding near-duplicate pairs at scale: the block key is DERIVED from
     * the vectors themselves — the sign-bit LSH bucket — rather than a
@@ -249,11 +252,14 @@ object Similarity {
       cells: Int = 0,
       nprobe: Int = 4,
       lloydIters: Int = 2,
-      trainFraction: Double = 1.0): DataFrame =
-    ivfTopKWith(
-      emb,
-      ivfCentroids(emb, idCol, vecCol, cells, lloydIters, trainFraction),
-      idCol, vecCol, queryIds, k, nprobe)
+      trainFraction: Double = 1.0): DataFrame = {
+    // trainCodebook == ivfCentroids below TwoLevelCells (every gate
+    // scale); above it, the hierarchical path also hands the probe join
+    // its TRAINED coarse grouping
+    val cb = trainCodebook(emb, idCol, vecCol, cells, lloydIters, trainFraction)
+    ivfTopKWith(emb, cb.fine, idCol, vecCol, queryIds, k, nprobe,
+      grouping = cb.grouping)
+  }
 
   /** Cell count when the caller doesn't pick one: bounded-CELL-SIZE
     * scaling, `max(MinCells, n / TargetCellSize)`. Cell population stays
@@ -366,13 +372,23 @@ object Similarity {
     * the coarse→fine `NearestCellsTwoLevel` scan at or above it. Built
     * once per operation so the grouping is computed at most once per
     * trained matrix.
+    *
+    * `pretrained` carries a TRAINED coarse grouping (from
+    * [[trainCodebook]]'s hierarchical path) and takes precedence over the
+    * derived [[groupCentroids]] one: a coarse codebook fitted to the DATA
+    * routes probes better than one fitted to the fine-centroid cloud.
+    * When set, the two-level scan is used regardless of `twoLevelAt` —
+    * production only sets it past the threshold, and specs use that to
+    * force the hierarchical path at test scale.
     */
   private[graft] final case class CellIndex(
       centroids: Seq[Seq[Double]],
-      twoLevelAt: Int = TwoLevelCells) {
+      twoLevelAt: Int = TwoLevelCells,
+      pretrained: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None) {
     import graft.functions.{NearestCells, NearestCellsTwoLevel}
     private lazy val grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] =
-      if (centroids.length < twoLevelAt) None else Some(groupCentroids(centroids))
+      pretrained.orElse(
+        if (centroids.length < twoLevelAt) None else Some(groupCentroids(centroids)))
     def isTwoLevel: Boolean = grouping.isDefined
     def nearest(vec: Column, n: Int): Column = grouping match {
       case None => NearestCells.nearestCells(vec, centroids, n)
@@ -422,23 +438,161 @@ object Similarity {
 
     // Lloyd refinement: per-cell per-dim means, computed distributed; the
     // only driver traffic is the k×d matrix (tiny), not a data scan result
-    for (_ <- 0 until lloydIters) {
-      val dims = centroids.head.length
-      val meanCols = (0 until dims).map(d =>
-        avg(element_at(col(vecCol), d + 1).cast("double")).as(s"__d$d"))
-      val means = train
-        .withColumn("__cell", nearestCell(col(vecCol)))
-        .groupBy("__cell")
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)))
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
-    }
+    for (_ <- 0 until lloydIters)
+      centroids = lloydStep(train, vecCol, centroids, nearestCell(col(vecCol)))
     centroids
   }
 
-  /** IVF search against an already-trained centroid matrix. */
+  /** One distributed Lloyd mean-update: assign every train row via
+    * `nearest` (an expression producing the cell index), compute per-cell
+    * per-dim means, and return the updated matrix (cells with no assigned
+    * rows keep their previous centroid). Driver traffic is the k×d means
+    * matrix only.
+    */
+  private def lloydStep(
+      train: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      nearest: Column): Seq[Seq[Double]] = {
+    val dims = centroids.head.length
+    val meanCols = (0 until dims).map(d =>
+      avg(element_at(col(vecCol), d + 1).cast("double")).as(s"__d$d"))
+    val means = train
+      .withColumn("__cell", nearest)
+      .groupBy("__cell")
+      .agg(meanCols.head, meanCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until dims).map(d => r.getDouble(d + 1)))
+      .toMap
+    centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+  }
+
+  /** A trained quantizer: the fine centroid matrix plus, on the
+    * hierarchical path, the trained coarse grouping the two-level scan
+    * probes through. `grouping = None` means flat (every gate scale):
+    * downstream behavior is identical to passing the bare matrix.
+    */
+  final case class Codebook(
+      fine: Seq[Seq[Double]],
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])]) {
+    private[graft] def cellIndex(twoLevelAt: Int = TwoLevelCells): CellIndex =
+      CellIndex(fine, twoLevelAt, grouping)
+  }
+
+  /** Train a codebook, choosing the training shape by scale:
+    *
+    *   - `k < twoLevelAt`: exactly [[ivfCentroids]] (flat init + Lloyd) —
+    *     bit-identical matrices, so every oracle-checked path is unchanged.
+    *   - `k >= twoLevelAt`: TRUE coarse→fine hierarchical training. The
+    *     flat path at this size already routed Lloyd assignment through a
+    *     two-level scan, but its grouping was DERIVED per iteration from
+    *     the fine-centroid cloud ([[groupCentroids]] — k-means over
+    *     centroids, blind to the data density); here the ~√k coarse
+    *     codebook is itself Lloyd-trained on the corpus, fine cells are
+    *     allocated to coarse groups ∝ their data population (largest
+    *     remainder, deterministic), initialized from each group's first
+    *     vectors in id order, and refined with WITHIN-GROUP assignment
+    *     (`coarseProbes = 1` — O(√k·d)/row, the cheapest possible
+    *     assignment pass). The returned grouping is the trained one, so
+    *     serving probes through coarse cells that mirror the data, not the
+    *     centroid cloud.
+    *
+    * Under extreme skew a coarse group can hold fewer vectors than its
+    * fine-cell quota; quotas are capped at the group population, so the
+    * realized `fine.length` can fall below `cells` (callers read
+    * `codebook.fine.length`, never assume the request). Deterministic
+    * end-to-end: counts, not samples; ties broken by group index.
+    */
+  def trainCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: Int = 0,
+      lloydIters: Int = 2,
+      trainFraction: Double = 1.0,
+      twoLevelAt: Int = TwoLevelCells): Codebook = {
+    val k = if (cells > 0) cells else autoCells(emb.count())
+    if (k < twoLevelAt)
+      return Codebook(
+        ivfCentroids(emb, idCol, vecCol, k, lloydIters, trainFraction, twoLevelAt), None)
+
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // coarse codebook: a SMALL flat k-means over the same train set
+    // (twoLevelAt = MaxValue pins the flat scan — kc ~ √k is cheap)
+    val coarse = ivfCentroids(
+      emb, idCol, vecCol, kc, lloydIters, trainFraction, twoLevelAt = Int.MaxValue)
+    val train =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(pmod(xxhash64(col(idCol)), lit(1000)) < lit((trainFraction * 1000).toInt))
+    val coarseAssign = train.withColumn("__cg",
+      graft.functions.NearestCells.nearestCells(col(vecCol), coarse, 1).getItem(0))
+
+    // fine-cell allocation ∝ coarse-group population (largest remainder)
+    val counts = coarseAssign.groupBy("__cg").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nTrain = counts.values.sum.toDouble
+    val nonEmpty = (0 until kc).filter(g => counts.getOrElse(g, 0L) > 0L)
+    val quota = nonEmpty.map(g => k * counts(g) / nTrain)
+    val alloc = scala.collection.mutable.ArraySeq.tabulate(nonEmpty.length)(i =>
+      math.min(counts(nonEmpty(i)), math.max(1L, quota(i).toLong)))
+    // trim overshoot from the largest allocations; grow shortfall by
+    // largest remainder — both deterministic (ties → lower index)
+    while (alloc.sum > k) {
+      val i = alloc.indices.maxBy(i => (alloc(i), -i))
+      alloc(i) -= 1
+    }
+    while (alloc.sum < k &&
+        alloc.indices.exists(i => alloc(i) < counts(nonEmpty(i)))) {
+      val i = alloc.indices
+        .filter(i => alloc(i) < counts(nonEmpty(i)))
+        .maxBy(i => (quota(i) - alloc(i), -i))
+      alloc(i) += 1
+    }
+
+    // fine init: each group's first k_g vectors in id order. The window
+    // ranks a NARROW (group, id) projection — the vector payload joins
+    // back by id after the cut, so the sort never shuffles embeddings
+    val allocByGroup = nonEmpty.zip(alloc).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__cg").orderBy(idCol)
+    val initIds = coarseAssign.select(col("__cg"), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= element_at(typedLit(allocByGroup), col("__cg")))
+      .select(col("__cg"), col(idCol))
+    val initRows = initIds
+      .join(train.select(col(idCol), col(vecCol)), Seq(idCol))
+      .orderBy("__cg", idCol)
+      .select(col("__cg"), col(vecCol))
+      .collect()
+    var fine: Seq[Seq[Double]] = initRows.map(r =>
+      r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq).toSeq
+    // members: consecutive index blocks per kept group (same group order
+    // as the collect's sort); groups that lost their whole quota to the
+    // trim loop are dropped from the grouping like groupCentroids drops
+    // empty ones
+    val blockSizes = nonEmpty.indices.map(i =>
+      initRows.count(_.getInt(0) == nonEmpty(i)))
+    val offsets = blockSizes.scanLeft(0)(_ + _)
+    val kept = nonEmpty.indices.filter(blockSizes(_) > 0)
+    val coarseKept = kept.map(i => coarse(nonEmpty(i)))
+    val members = kept.map(i =>
+      (offsets(i) until offsets(i) + blockSizes(i)).toSeq)
+
+    // fine refinement: within-group assignment (coarseProbes = 1)
+    for (_ <- 0 until lloydIters)
+      fine = lloydStep(train, vecCol, fine,
+        graft.functions.NearestCellsTwoLevel.nearestCells(
+          col(vecCol), fine, coarseKept, members, 1, 1).getItem(0))
+    Codebook(fine, Some((coarseKept, members)))
+  }
+
+  /** IVF search against an already-trained centroid matrix. `grouping`
+    * (optional) is a trained coarse grouping from [[trainCodebook]] —
+    * probes route through it instead of the derived [[groupCentroids]].
+    */
   def ivfTopKWith(
       emb: DataFrame,
       centroids: Seq[Seq[Double]],
@@ -447,8 +601,9 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       nprobe: Int = 4,
-      twoLevelAt: Int = TwoLevelCells): DataFrame = {
-    val cellIdx = CellIndex(centroids, twoLevelAt)
+      twoLevelAt: Int = TwoLevelCells,
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame = {
+    val cellIdx = CellIndex(centroids, twoLevelAt, grouping)
     val assigned = emb.withColumn("__cell", cellIdx.nearest(col(vecCol), 1).getItem(0))
     val corpus = assigned.select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     // each query probes its nprobe nearest cells
@@ -484,18 +639,23 @@ object Similarity {
       path: String,
       cells: Int = 0,
       lloydIters: Int = 2,
-      trainFraction: Double = 1.0): Unit =
-    ivfWriteIndexWith(
-      emb, ivfCentroids(emb, idCol, vecCol, cells, lloydIters, trainFraction),
-      idCol, vecCol, path)
+      trainFraction: Double = 1.0): Unit = {
+    val cb = trainCodebook(emb, idCol, vecCol, cells, lloydIters, trainFraction)
+    ivfWriteIndexWith(emb, cb.fine, idCol, vecCol, path, grouping = cb.grouping)
+  }
 
-  /** Index write against an already-trained centroid matrix. */
+  /** Index write against an already-trained centroid matrix. The persisted
+    * format stays (cell, w) only — readers past [[TwoLevelCells]] re-derive
+    * a probe grouping deterministically via [[groupCentroids]]; the trained
+    * `grouping` (when given) is used for THIS write's assignment pass.
+    */
   def ivfWriteIndexWith(
       emb: DataFrame,
       centroids: Seq[Seq[Double]],
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     centroids.zipWithIndex
@@ -504,7 +664,8 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = emb
-      .withColumn("__cell", CellIndex(centroids).nearest(col(vecCol), 1).getItem(0))
+      .withColumn("__cell",
+        CellIndex(centroids, pretrained = grouping).nearest(col(vecCol), 1).getItem(0))
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("__cell"))
     assigned
       .repartition(col("__cell"))

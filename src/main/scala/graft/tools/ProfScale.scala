@@ -81,6 +81,43 @@ object ProfScale {
           emb.select(two.nearest(col("embedding"), 1).getItem(0).as("c"))))
         println(f"PROFSCALE twolevel speedup ${tF / tT}%.2fx at k=$k")
 
+      case "hiertrain" =>
+        // hierarchical coarse→fine training vs flat training at a
+        // past-threshold cell count: wall time AND assignment agreement
+        // with the exact flat scan (the recall proxy — how often the
+        // two-level probe lands on the true nearest fine cell)
+        val emb = Tables.embeddings(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, sum => fsum, when => fwhen, lit}
+        val n = emb.count()
+        val k = math.max(Similarity.autoCells(n), 2 * Similarity.TwoLevelCells)
+        println(s"PROFSCALE corpus vectors=$n cells=$k")
+        var flatCents: Seq[Seq[Double]] = Nil
+        var cb: Similarity.Codebook = null
+        val tFlatTrain = timed("train flat (derived grouping)") {
+          flatCents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = k)
+        }
+        val tHier = timed("train hierarchical") {
+          cb = Similarity.trainCodebook(emb, "vec_id", "embedding", cells = k,
+            twoLevelAt = Similarity.TwoLevelCells)
+        }
+        println(f"PROFSCALE hier/flat train ratio ${tHier / tFlatTrain}%.2f")
+        // assignment agreement: two-level probe vs exact flat scan over
+        // the SAME matrix (flat matrix with derived grouping, then the
+        // trained codebook with its trained grouping)
+        def agree(fine: Seq[Seq[Double]],
+            g: Option[(Seq[Seq[Double]], Seq[Seq[Int]])]): Double = {
+          val exact = Similarity.CellIndex(fine, twoLevelAt = Int.MaxValue)
+          val probe = Similarity.CellIndex(fine, twoLevelAt = 1, pretrained = g)
+          val r = emb.select(
+            fwhen(exact.nearest(col("embedding"), 1).getItem(0) ===
+              probe.nearest(col("embedding"), 1).getItem(0), lit(1L))
+              .otherwise(lit(0L)).as("m"))
+            .agg(fsum(col("m"))).collect()(0).getLong(0)
+          r.toDouble / n
+        }
+        println(f"PROFSCALE assign agreement derived  ${agree(flatCents, None)}%.4f")
+        println(f"PROFSCALE assign agreement trained  ${agree(cb.fine, cb.grouping)}%.4f")
+
       case "nrtier" =>
         // nearest-rank tier build/serve vs the interpolated default: the
         // byte-parity mode stores 19 extra longs per (stream, bin) row

@@ -126,6 +126,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"two-level IVF recall too low: $recall")
   }
 
+  test("trainCodebook: flat below threshold is bit-identical to ivfCentroids") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", cells = 16)
+    assert(cb.grouping.isEmpty) // gate scales: flat, no grouping
+    assert(cb.fine === Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = 16))
+  }
+
+  test("trainCodebook: hierarchical path trains a population-proportional grouping") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{NearestCells, NearestCellsTwoLevel}
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    // twoLevelAt = 4 forces the hierarchical path at test scale
+    val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", cells = 24,
+      twoLevelAt = 4)
+    val (coarse, members) = cb.grouping.getOrElse(fail("expected hierarchical grouping"))
+    // structure: every fine cell in exactly one CONSECUTIVE block; blocks
+    // align with the coarse codebook; nothing empty
+    assert(coarse.length === members.length)
+    assert(members.forall(_.nonEmpty))
+    assert(members.flatten.sorted === (0 until cb.fine.length))
+    assert(members.flatten === members.flatten.sorted) // consecutive blocks in order
+    assert(cb.fine.length === 24) // 500 train vecs, no group starves the quota
+    assert(coarse.forall(_.length === cb.fine.head.length))
+    // deterministic end-to-end
+    val cb2 = Similarity.trainCodebook(emb, "vec_id", "embedding", cells = 24,
+      twoLevelAt = 4)
+    assert(cb2.fine === cb.fine && cb2.grouping === cb.grouping)
+    // exhaustive coarse probing through the TRAINED grouping equals the
+    // flat scan over the fine matrix bit-for-bit (same scoring/tie-break)
+    val both = emb.select(
+      NearestCells.nearestCells(col("embedding"), cb.fine, 3).as("flat"),
+      NearestCellsTwoLevel
+        .nearestCells(col("embedding"), cb.fine, coarse, members, coarse.length, 3)
+        .as("two"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
+  test("ivfTopK through a hierarchical codebook keeps recall and determinism") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = (0L until 20L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val cb = Similarity.trainCodebook(emb, "vec_id", "embedding", cells = 16,
+      twoLevelAt = 4)
+    def run() = Similarity
+      .ivfTopKWith(emb, cb.fine, "vec_id", "embedding", queries, 5, nprobe = 4,
+        grouping = cb.grouping)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val a = run(); val b = run()
+    assert(a === b)
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.25, s"hierarchical-codebook IVF recall too low: $recall")
+  }
+
   test("persisted IVF index: identical results, probe join prunes cell dirs") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = (0L until 10L)
