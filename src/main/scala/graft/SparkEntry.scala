@@ -505,6 +505,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Duplicated-span removal (the cut the coverage measures) ------
+    "q_dup_span_clean" -> ((s, dir) => {
+      Dedup.dupSpanClean(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash+LSH near-dup pairs (hash-checked via the md5 hash
     //      family — DuckDB recomputes every hash; xxhash64 stays the
     //      production default in Dedup.minhashLshPairs, and DedupSpec
@@ -1771,6 +1777,45 @@ object SparkEntry {
         |       round(CAST(coalesce(cov.c, 0) AS DOUBLE) / len(w), 6) AS dup_frac
         |FROM t LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // removal twin of q_dup_span: covered positions = distinct union of
+    // [p, p+2] over duplicated-gram starts; surviving tokens re-joined in
+    // position order (string_agg ORDER BY = the engine's sorted rebuild)
+    "q_dup_span_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) - 1)) AS p,
+        |    unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM t
+        |), dup AS (
+        |  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+        |), dpos AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (g)
+        |), covp AS (
+        |  SELECT DISTINCT doc_id, tp
+        |  FROM (SELECT doc_id, unnest(range(p, p + 3)) AS tp FROM dpos)
+        |), tok AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) + 1)) AS tp,
+        |    unnest(w) AS tk
+        |  FROM t
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.tp, tok.tk
+        |  FROM tok ANTI JOIN covp USING (doc_id, tp)
+        |), cl AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY tp) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cl.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(cl.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN cl USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_dedup_minhash" -> {
       // md5-family MinHash (see MinHashSignatureMd5): base = lower-60-bit

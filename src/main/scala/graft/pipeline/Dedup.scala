@@ -328,6 +328,59 @@ object Dedup {
           6).as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL: rebuild each document's text with every
+    * token covered by a corpus-duplicated n-gram removed — the actual cut
+    * exact-substring dedup performs (Lee et al. 2022), where
+    * [[dupSpanCoverage]] is the measure. Output: (id, n_tokens, n_kept,
+    * clean_text); a fully-duplicated document keeps an empty string.
+    *
+    * Costlier than the measure by design: covered positions materialize
+    * (explode ×n + distinct) and the surviving tokens shuffle once to
+    * reassemble in order — O(n·tokens) rows, linear in corpus size with a
+    * bounded constant, no quadratic pair volume anywhere. The production
+    * pattern is measure-first: run [[dupSpanCoverage]], then clean only
+    * the documents whose coverage crosses the pipeline's threshold.
+    */
+  def dupSpanClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    val toksArr = split(trim(col(textCol)), "\\s+")
+    val pos = df.select(
+      col(idCol).as("__id"),
+      posexplode(graft.functions.WordNgramPosHashes(col(textCol), n))
+        .as(Seq("__p", "__s")))
+    val dup = pos.groupBy("__s").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOccurrences)
+      .select("__s")
+    val dupPos = pos.join(dup, Seq("__s"), "left_semi")
+    // covered token positions (distinct: overlapping spans union)
+    val covered = dupPos
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__t"))
+      .distinct()
+    val tokPos = df.select(
+      col(idCol).as("__id"), posexplode(toksArr).as(Seq("__t", "__tok")))
+    val kept = tokPos.join(covered, Seq("__id", "__t"), "left_anti")
+    // reassemble in position order: collect (pos, token) structs, sort by
+    // the leading struct field — per-document arrays, bounded by doc length
+    val rebuilt = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("__t"), col("__tok")))),
+          x => x.getField("__tok"))).as("clean_text"))
+    df.select(col(idCol), size(toksArr).cast("long").as("n_tokens"))
+      .join(rebuilt.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash signatures: signature[i] = min over shingles of
     * xxhash64(i, shingle_hash), computed by the fused native
     * `MinHashSignature` expression — a map-only projection over the

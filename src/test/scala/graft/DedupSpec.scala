@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
     assert(strict(3L) === 0L && strict(1L) === 3L && strict(4L) === 6L)
   }
 
+  test("dupSpanClean removes exactly the covered spans, preserves order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q r s t u"),
+      (4L, "m m m m m m"),
+      (5L, "hello"),
+      (6L, "a b c z z a b c"),
+      (7L, "p q r w w v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanClean(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out(1L) === ((3L, "d e f")))
+    assert(out(2L) === ((3L, "x y z")))
+    assert(out(3L) === ((3L, "s t u")))
+    assert(out(4L) === ((0L, "")))        // fully duplicated → empty
+    assert(out(5L) === ((1L, "hello")))   // too short for grams → untouched
+    assert(out(6L) === ((2L, "z z")))     // middle survives both spans
+    assert(out(7L) === ((3L, "w w v")))
+  }
+
   test("ngram maxCandidates budget fails fast on dense vocab, passes under") {
     // corpus is tiny: its true candidate volume is a handful of pairs, so
     // budget=1 must abort pre-shuffle and a loose budget must be silent
