@@ -552,6 +552,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Score-preferring cluster dedup: keep the LONGEST member of
+    //      each near-dup component (ties → min id), not the min id — the
+    //      keep-the-best-copy policy production pipelines run ------------
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.canonicalByScore(
+          docs, "doc_id",
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3),
+          "n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- Deterministic train/val/test hash split (md5 oracle family;
     //      xxhash64 is the production default, bridged in SplitsSpec).
     //      Weights chosen with binary-exact cumulative cuts (.75/.875) so
@@ -1921,6 +1934,34 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
          |ORDER BY doc_id""".stripMargin,
+
+    // max(score)-then-min(id among maxima) == Spark's max_by over the
+    // (score, -id) struct: the same total order, in SQL arg_max can't
+    // compose (DuckDB's takes no composite ordering key)
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $SimhashPairsCte, edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY 1
+         |), keyed AS (
+         |  SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS k
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |), best AS (
+         |  SELECT k, max(n_chars) AS mx FROM keyed GROUP BY k
+         |), keep AS (
+         |  SELECT min(keyed.doc_id) AS doc_id
+         |  FROM keyed JOIN best ON keyed.k = best.k AND keyed.n_chars = best.mx
+         |  GROUP BY keyed.k
+         |)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM keep)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // u = first-15-hex of md5 as 60-bit long / 2^60: the engine's
     // hashSplitMd5 arithmetic verbatim; cuts 0.75/0.875 are binary-exact

@@ -381,6 +381,36 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Score-preferring cluster dedup: one document per near-dup component,
+    * keeping the HIGHEST-`scoreCol` member (ties → smallest id) instead of
+    * [[dedupByComponents]]' min-id canonical — the production policy when
+    * near-dups differ in quality (keep the longest / best-quality copy of
+    * duplicated content; RefinedWeb and friends dedup this way).
+    * Documents in no pair survive untouched. Same scale shape as the
+    * min-id form: components + ONE map-side-combined argmax per component
+    * + an id-only semi-join — the winner choice adds no pass over the
+    * corpus, and the (score, −id) ordering is total, so the survivor set
+    * is deterministic on any engine.
+    */
+  def canonicalByScore(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      scoreCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component").as("__comp0"))
+    val keep = df.select(col(idCol).as("__id"), col(scoreCol).as("__score"))
+      .join(comp, col("__id") === col("__cid"), "left_outer")
+      .select(col("__id"), col("__score"),
+        coalesce(col("__comp0"), col("__id")).as("__comp"))
+      .groupBy("__comp")
+      .agg(max_by(col("__id"), struct(col("__score"), -col("__id"))).as("__keep"))
+      .select(col("__keep"))
+    df.join(keep, df(idCol) === keep("__keep"), "left_semi")
+  }
+
   /** MinHash signatures: signature[i] = min over shingles of
     * xxhash64(i, shingle_hash), computed by the fused native
     * `MinHashSignature` expression — a map-only projection over the

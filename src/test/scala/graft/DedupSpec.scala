@@ -369,6 +369,22 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("canonicalByScore keeps the highest-score member, min id on ties") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // component {1,2,3} → keep 2
+      (4L, 5L), (5L, 5L),              // component {4,5}, tie → keep 4
+      (6L, 1L))                        // unpaired → survives untouched
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalByScore(docs, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(2L, 4L, 6L))
+    // empty pair frame: everything survives
+    val none = Dedup.canonicalByScore(
+      docs, "doc_id", spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"), "score")
+    assert(none.count() === 6)
+  }
+
   test("connectedComponents of an empty pair frame is empty") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0L)
