@@ -714,6 +714,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Embedding covariance (the distributed half of PCA): ONE
+    //      fixed-buffer aggregate pass over quantized vectors — exact
+    //      integer partials, so the 2080-entry matrix is bit-identical on
+    //      any engine; eigendecomposition/projection are driver/map-side
+    //      and spec-checked (PcaSpec) ----------------------------------
+    "q_embed_pca_cov" -> ((s, dir) => {
+      Similarity.covarianceFrame(Tables.embeddings(s, dir), "embedding", 64)
+        .orderBy("i", "j")
+    }),
+
     // ---- Embedding near-dup pairs (label-blocked cosine) --------------
     "q_embed_dup" -> ((s, dir) => {
       Similarity.embeddingDupPairs(
@@ -2220,6 +2230,33 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // quantize → exact HUGEINT sums → the SAME double finisher formula as
+    // CovStats.cov (term-for-term: products, /n, /(n-1), /quant²), so the
+    // 2080 doubles agree bit-for-bit with the engine's exact partials
+    "q_embed_pca_cov" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         unnest(range(1, 65)) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT count(*) AS n FROM embeddings
+        |), s AS (
+        |  SELECT i, sum(q) AS si FROM e GROUP BY i
+        |), p AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS pij
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.i, p.j,
+        |  (CAST(pij AS DOUBLE) - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    / CAST(n.n - 1 AS DOUBLE) / (1000000.0 * 1000000.0) AS cov
+        |FROM p
+        |JOIN s sa ON sa.i = p.i
+        |JOIN s sb ON sb.i = p.j
+        |CROSS JOIN n
+        |ORDER BY p.i, p.j""".stripMargin,
 
     "q_embed_dup" -> {
       val cos =

@@ -908,4 +908,182 @@ object Similarity {
       .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
     rankTopK(scored, k)
   }
+
+  // ---- covariance / PCA (dimensionality reduction) ----------------------
+
+  /** Exact second-moment statistics of the 1/quant-quantized vectors:
+    * (n, Σvq, upper-triangle Σvq·vqᵀ). ONE distributed pass through
+    * [[graft.functions.OuterProductAggregate]] — the buffer is a fixed
+    * `1 + d + d(d+1)/2` longs however large the corpus, map-side combined,
+    * and only that buffer reaches the driver. Quantization makes every sum
+    * exact integer arithmetic, so the statistics are bit-identical on any
+    * engine (the gate's oracle recomputes them in SQL). Overflow throws via
+    * addExact rather than wrapping; quant = 1e6 is exact past any gate
+    * scale, drop to 1e3 for 10¹²-row corpora (see the aggregate's
+    * scaladoc).
+    */
+  final case class CovStats(n: Long, sums: Array[Long], prods: Array[Long], dims: Int, quant: Double) {
+    private def tri(i: Int, j: Int): Int = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      a * dims - a * (a - 1) / 2 + (b - a)
+    }
+    /** Sample covariance entry, computed with the exact integer partials
+      * and ONE fixed double formula (mirrored verbatim by the oracle SQL,
+      * so the doubles agree bit-for-bit).
+      */
+    def cov(i: Int, j: Int): Double =
+      (prods(tri(i, j)).toDouble - sums(i).toDouble * sums(j).toDouble / n.toDouble) /
+        (n - 1).toDouble / (quant * quant)
+    def mean(i: Int): Double = sums(i).toDouble / n.toDouble / quant
+    def covMatrix: Array[Array[Double]] =
+      Array.tabulate(dims, dims)((i, j) => cov(i, j))
+    def means: Array[Double] = Array.tabulate(dims)(mean)
+  }
+
+  /** The single-row aggregation frame behind [[covarianceStats]] —
+    * exposed so PlanAudit can pin its shape (one ObjectHashAggregate,
+    * no Expand/Generate, no per-entry aggregate fan-out).
+    */
+  private[graft] def covStatsFrame(
+      emb: DataFrame, vecCol: String, dims: Int, quant: Double): DataFrame =
+    emb.agg(graft.functions.OuterProductAggregate
+      .outerProduct(col(vecCol), dims, quant).as("__op"))
+
+  def covarianceStats(
+      emb: DataFrame,
+      vecCol: String,
+      dims: Int,
+      quant: Double = 1e6): CovStats = {
+    val row = covStatsFrame(emb, vecCol, dims, quant).collect()(0)
+    val all = row.getSeq[Long](0).toArray
+    CovStats(all(0), all.slice(1, 1 + dims), all.drop(1 + dims), dims, quant)
+  }
+
+  /** Gate-shape covariance: one row per upper-triangle entry
+    * (i ≤ j, 1-based) with the exact-partial double value — the form the
+    * DuckDB oracle reproduces bit-for-bit. The heavy work is the one
+    * aggregate pass; this frame is built from the collected k×k driver
+    * matrix (the centroid-matrix convention).
+    */
+  def covarianceFrame(
+      emb: DataFrame,
+      vecCol: String,
+      dims: Int,
+      quant: Double = 1e6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val st = covarianceStats(emb, vecCol, dims, quant)
+    (for { i <- 0 until dims; j <- i until dims }
+      yield (i + 1, j + 1, st.cov(i, j)))
+      .toDF("i", "j", "cov")
+  }
+
+  /** Deterministic symmetric eigendecomposition (cyclic Jacobi): returns
+    * (eigenvalues descending, row-major eigenvectors — `vectors(k)` pairs
+    * with `values(k)`). Driver-side O(d³·sweeps) — milliseconds at the
+    * embedding widths this engine sees (d ≤ a few hundred); the
+    * DISTRIBUTED work of PCA is the covariance pass, never this. Sign
+    * convention: each vector's largest-|entry| (first on ties) is made
+    * positive, so the decomposition is unique and reproducible.
+    */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]],
+      maxSweeps: Int = 50,
+      tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // extract, sort by eigenvalue descending (tie → lower original index),
+    // fix signs so the decomposition is unique
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val col = Array.tabulate(d)(r => v(r)(i))
+      val mx = col.indices.maxBy(r => (math.abs(col(r)), -r))
+      if (col(mx) < 0) col.map(x => -x) else col
+    }.toArray
+    (values, vectors)
+  }
+
+  /** A trained PCA model: mean vector, top-r principal components
+    * (row-major, variance-descending), and their eigenvalues.
+    */
+  final case class PcaModel(
+      mean: Seq[Double],
+      components: Seq[Seq[Double]],
+      eigenvalues: Seq[Double])
+
+  /** Train PCA over an embedding column: one distributed covariance pass
+    * ([[covarianceStats]]) + a driver-side Jacobi eigendecomposition of
+    * the d×d matrix. Deterministic end-to-end (exact integer partials,
+    * sign-fixed eigenvectors).
+    */
+  def pcaTrain(
+      emb: DataFrame,
+      vecCol: String,
+      dims: Int,
+      r: Int,
+      quant: Double = 1e6): PcaModel = {
+    require(r >= 1 && r <= dims, s"pca: r must be in [1, $dims], got $r")
+    val st = covarianceStats(emb, vecCol, dims, quant)
+    val (values, vectors) = jacobiEigen(st.covMatrix)
+    PcaModel(
+      st.means.toSeq,
+      vectors.take(r).map(_.toSeq).toSeq,
+      values.take(r).toSeq)
+  }
+
+  /** Project vectors onto a trained model's components: map-only, r
+    * codegen'd dot products per row ((v − μ)·c_k = v·c_k − μ·c_k, the
+    * centering folded into a scalar constant). Output keeps the input
+    * columns and appends `pc_1..pc_r`.
+    */
+  def pcaProject(emb: DataFrame, vecCol: String, model: PcaModel): DataFrame =
+    model.components.zipWithIndex.foldLeft(emb) { case (df, (c, k)) =>
+      val muDotC = c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum
+      df.withColumn(s"pc_${k + 1}",
+        dot(col(vecCol), array(c.map(lit): _*)) - lit(muDotC))
+    }
 }

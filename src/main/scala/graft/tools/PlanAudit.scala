@@ -173,6 +173,18 @@ object PlanAudit {
       }
     }
 
+    guarded("covariance") {
+      // PCA's distributed half must be ONE fixed-buffer aggregate pass:
+      // the TypedImperativeAggregate plans as ObjectHashAggregate with a
+      // map-side partial (partial_outer_product), no per-entry aggregate
+      // fan-out (2 080 sum() columns), no Expand, no pair explode
+      val covPlan = plan(graft.pipeline.Similarity.covStatsFrame(
+        semEmb, "embedding", 64, 1e6))
+      check("covariance: single fixed-buffer aggregate pass", covPlan,
+        mustContain = Seq("ObjectHashAggregate", "partial_outer_product"),
+        mustNot = Seq("Expand", "Generate"))
+    }
+
     guarded("lsh pairs hints") {
       // 6b. the LSH signature re-join is UNHINTED: sa/sb are corpus-sized
       //     (one row per document), so a forced broadcast would die at the
