@@ -77,6 +77,28 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         WordNgrams(exprs.head, intArg(exprs(1), "n"))),
     (
+      FunctionIdentifier("word_ngram_pos_hashes"),
+      info("word_ngram_pos_hashes", "word_ngram_pos_hashes(text, n) - positional xxhash64 shingle hashes (index = token position)"),
+      (exprs: Seq[Expression]) =>
+        WordNgramPosHashes(exprs.head, intArg(exprs(1), "n"))),
+    (
+      FunctionIdentifier("outer_product"),
+      info("outer_product", "outer_product(vec, d, quant) - exact quantized second-moment sums [n, sums, upper-triangle products]"),
+      (exprs: Seq[Expression]) =>
+        OuterProductAggregate(
+          exprs.head, intArg(exprs(1), "dims"),
+          exprs(2) match {
+            // SQL numeric literals arrive as Int, Decimal (the parser's
+            // default for `1000000.0`), or Double depending on the form
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+            case other => throw new IllegalArgumentException(
+              s"quant must be a numeric literal, got $other")
+          })),
+    (
       FunctionIdentifier("image_header"),
       info("image_header", "image_header(bytes) - PNG/JPEG container metadata struct"),
       (exprs: Seq[Expression]) => ImageHeader(exprs.head)),

@@ -98,6 +98,17 @@ class AggregateFunctionsSpec extends SparkSpec {
     assert(more.forall(r =>
       r.getString(1) == "unknown" && r.getString(2) == "unknown" &&
         r.getString(3) == "unknown")) // plain text is no container
+    // positional n-gram hashes: index = token position, no dedup/sort
+    val posr = spark.sql(
+      """SELECT size(word_ngram_pos_hashes(text, 3)) AS np,
+        |       size(split(trim(text), '\\s+')) AS nt
+        |FROM docs_sql""".stripMargin).collect()
+    assert(posr.forall(r => r.getInt(0) === math.max(0, r.getInt(1) - 2)))
+    // second-moment aggregate: [n, d sums, d(d+1)/2 products]
+    val op = spark.sql(
+      "SELECT outer_product(embedding, 64, 1000000.0) AS op FROM emb_sql")
+      .collect()(0).getSeq[Long](0)
+    assert(op.length === 1 + 64 + 64 * 65 / 2 && op(0) === 5L)
   }
 
   test("most_array: mode over an array-valued column (A3)") {
