@@ -671,6 +671,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BM25 lexical retrieval: top-15 docs for a bag-of-words probe
+    //      query (rational-idf gate form; binary-exact k1/b so constant
+    //      folding agrees; per-term contributions quantized to 1e-9
+    //      longs -> order-independent integer score sums; log-idf
+    //      production twin spec-pinned in TextAnalysisSpec) ------------
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"), topK = 15)
+    }),
+
     // ---- Adaptive quality cut: docs at/above the corpus-mean BPE token
     //      count (integer metric -> exact cross-engine mean; the
     //      approx-quantile production variant is spec-covered)
@@ -2136,6 +2147,40 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
         |FROM tk JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same expression SHAPE as the Spark side, term for term: rational
+    // idf ((n-df+0.5)/(df+0.5)), binary-exact k1=1.25/b=0.75 (so the
+    // folded constants 2.25/0.25 are identical bits), per-term
+    // contributions floored to 1e-9 longs and summed as integers
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |  ) WHERE t IN ('spark', 'join', 'window', 'vector')
+        |  GROUP BY doc_id, t
+        |), dfreq AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(CAST(floor(
+        |      ((n - df + 0.5) / (df + 0.5))
+        |      * ((tf * (1.25 + 1.0)) / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS score_q
+        |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, CAST(score_q AS DOUBLE) / 1000000000.0 AS score
+        |FROM sc ORDER BY score_q DESC, doc_id LIMIT 15""".stripMargin,
 
     // integer metric -> the mean is an exact long sum + one double
     // division in both engines (order-independent, unlike a double sum)

@@ -354,6 +354,101 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  // ---- lexical relevance ranking (BM25) --------------------------------
+
+  /** BM25 top-k document retrieval for a bag-of-words query — the
+    * classic lexical ranking function (Robertson & Spärck Jones; the
+    * Okapi form), used in data pipelines to surface the documents most
+    * relevant to a probe query (e.g. pulling topical training slices, or
+    * auditing what a corpus "knows" about a benchmark subject).
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * `idfLog = false` (the gate form) uses the RATIONAL idf
+    * (N−df+0.5)/(df+0.5) — every operation is a single IEEE add/div that
+    * DuckDB reproduces bit-for-bit; `idfLog = true` is the textbook
+    * ln(1 + rational) production form (monotone in the rational idf, so
+    * rankings agree when all df are equal; spec-pinned, not
+    * oracle-checked — ln differs in the last ulp across engines).
+    * Per-term contributions are quantized to 1e-9 longs and summed as
+    * integers, so the document score is independent of Spark's partial
+    * aggregation order AND identical to the oracle's (summing raw
+    * doubles would be order-dependent in both engines).
+    *
+    * Defaults k1=1.25, b=0.75 are BINARY-EXACT doubles, so the constant
+    * folding (k1+1 = 2.25, 1−b = 0.25) is exact in both engines;
+    * arbitrary parameters work but the oracle must then inline the same
+    * bits.
+    *
+    * Shape at 100 TB: document lengths are a map-only projection (no
+    * explode); only tokens MATCHING the query survive the explode
+    * (filter(toks, isin) before the explode — the per-doc shuffle volume
+    * is bounded by |query| rows per document, not the corpus token
+    * count); term document-frequencies fold from the tf frame
+    * (|docs|·|query| rows); the scalar stats (N, avgdl) broadcast. One
+    * corpus scan for dl + one for tf; the final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75,
+      idfLog: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK >= 1, "topK must be >= 1")
+    val toks = tokens(col(textCol))
+    // dl map-only (no explode): count of non-empty tokens per document
+    val dl = df.select(
+      col(idCol),
+      size(filter(toks, t => length(t) > 0)).cast("long").as("__dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    // only query-matching tokens are exploded — per-doc output bounded
+    // by the query size, not the document length
+    val tf = df
+      .select(
+        col(idCol),
+        explode(filter(toks, t => t.isin(queryTerms.map(lit): _*))).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency folds from tf (one row per doc-term already)
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val idfRational =
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+    val idf = if (idfLog) log(idfRational + lit(1.0)) else idfRational
+    val contrib = idf *
+      ((col("__tf") * lit(k1 + 1.0)) /
+        (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+    val scored = tf
+      .join(broadcast(dfreq), "__t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        floor(contrib * lit(1000000000.0) + lit(0.5)).cast("long").as("__q"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__q")).as("__score_q"))
+    // limit-after-sort plans as TakeOrderedAndProject (per-partition
+    // top-k + driver merge of k·P rows); the rank window runs on the
+    // already-collected k rows only
+    val top = scored
+      .orderBy(col("__score_q").desc, col(idCol))
+      .limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score_q").desc, col(idCol))))
+      .select(
+        col("rank"),
+        col(idCol),
+        (col("__score_q").cast("double") / lit(1000000000.0)).as("score"))
+  }
+
   /** Keep rows whose `metricCol` is at or above the corpus `q`-quantile —
     * the production form of an adaptive quality cut. Distributed EXACT
     * percentiles need a global sort, so this uses `approx_percentile`

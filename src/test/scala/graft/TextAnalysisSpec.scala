@@ -170,6 +170,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSeq === Seq(3L, 4L))
   }
 
+  test("bm25TopK ranks by hand-computed BM25 scores; log-idf twin agrees") {
+    import spark.implicits._
+    // 4 docs, query = {x, y}: doc 1 heavy in x, doc 2 has both terms,
+    // doc 3 long with one y, doc 4 matches nothing
+    val docs = Seq(
+      (1L, "x x x a"),
+      (2L, "x y b"),
+      (3L, "y c c c c c c c"),
+      (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), topK = 3)
+      .as[(Int, Long, Double)].collect().toSeq
+
+    // hand-computed reference (same quantization contract)
+    val n = 4.0; val avgdl = (4 + 3 + 8 + 3) / 4.0
+    val k1 = 1.25; val b = 0.75
+    def idf(df: Double) = (n - df + 0.5) / (df + 0.5)
+    def part(tf: Double, dl: Double) =
+      (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def q(c: Double) = math.floor(c * 1e9 + 0.5).toLong
+    val s1 = q(idf(2) * part(3, 4))                      // x only
+    val s2 = q(idf(2) * part(1, 3)) + q(idf(2) * part(1, 3)) // x + y
+    val s3 = q(idf(2) * part(1, 8))                      // y only
+    val expect = Seq((1L, s1), (2L, s2), (3L, s3))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, s / 1e9) }
+    assert(got === expect)
+
+    // log-idf production twin: same ranking when all df are equal
+    // (ln is monotone in the rational idf)
+    val logTop = TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", Seq("x", "y"), topK = 3, idfLog = true)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(logTop.map(r => (r._1, r._2)) === got.map(r => (r._1, r._2)))
+    assert(logTop.forall(_._3 > 0))
+  }
+
   test("cutByQuantileOf keeps ~the top 1-q fraction (sandwich property)") {
     import spark.implicits._
     val df = spark.range(0, 10000).toDF("id")
