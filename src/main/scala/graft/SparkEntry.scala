@@ -633,6 +633,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Bloom-filter decontamination: the probabilistic map-only twin
+    //      of q_decontaminate — bench 3-grams OR-folded into one 2^20-bit
+    //      bitmap (BitmapOrAggregate), corpus probed statelessly
+    //      (BloomNgramHitCount, md5 oracle family; xxhash64 production
+    //      twin bridged in BloomSpec). The oracle SIMULATES the bloom
+    //      exactly: a gram hits iff all k=4 double-hash positions are in
+    //      the bench position set — false positives and all --------------
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3, mBits = 1 << 20, kHashes = 4, md5Family = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- PII scan + redaction. The corpus is PII-free by construction
     //      (a GOOD corpus property this gate would catch regressing), so
     //      the scan runs on a contact line derived deterministically from
@@ -2104,6 +2120,39 @@ object SparkEntry {
         |FROM tr JOIN be USING (s)
         |GROUP BY tr.doc_id
         |ORDER BY tr.doc_id""".stripMargin,
+
+    // exact simulation of the m=2^20 / k=4 double-hash bloom: base =
+    // lower-60-md5 (the MinHashSignatureMd5 convention), h1 = base &
+    // (m-1), h2 = ((base >> 20) & (m-1)) | 1, p_i = (h1 + i*h2) % m; a
+    // corpus gram may-hits iff ALL 4 of its positions are set by ANY
+    // bench grams (count(DISTINCT i) = 4 — two different probes landing
+    // on one set bit both count, exactly like the real bitmap)
+    "q_decontaminate_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), bb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS base
+        |  FROM (SELECT unnest(g) AS s FROM t WHERE doc_id % 10 = 0)
+        |), bp AS (
+        |  SELECT DISTINCT ((base & 1048575) + i * (((base >> 20) & 1048575) | 1)) % 1048576 AS p
+        |  FROM bb, (SELECT unnest(range(0, 4)) AS i)
+        |), cg AS (
+        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 15))::BIGINT AS base
+        |  FROM (SELECT doc_id, unnest(g) AS s FROM t WHERE doc_id % 10 <> 0)
+        |), cp AS (
+        |  SELECT doc_id, s, i,
+        |         ((base & 1048575) + i * (((base >> 20) & 1048575) | 1)) % 1048576 AS p
+        |  FROM cg, (SELECT unnest(range(0, 4)) AS i)
+        |), hit AS (
+        |  SELECT doc_id, s
+        |  FROM cp JOIN bp USING (p)
+        |  GROUP BY doc_id, s
+        |  HAVING count(DISTINCT i) = 4
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pii_scan" ->
       """WITH l AS (

@@ -99,6 +99,23 @@ object GraftExtensions {
               s"quant must be a numeric literal, got $other")
           })),
     (
+      FunctionIdentifier("bloom_ngram_positions"),
+      info("bloom_ngram_positions", "bloom_ngram_positions(text, n, m, k, md5) - bloom probe positions of distinct word n-grams"),
+      (exprs: Seq[Expression]) =>
+        BloomNgramPositions(
+          exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "mBits"),
+          intArg(exprs(3), "kHashes"),
+          exprs(4) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+            case other => throw new IllegalArgumentException(
+              s"md5Family must be a boolean literal, got $other")
+          })),
+    (
+      FunctionIdentifier("bitmap_or"),
+      info("bitmap_or", "bitmap_or(positions, m) - OR-fold bit positions into one m-bit bitmap"),
+      (exprs: Seq[Expression]) =>
+        BitmapOrAggregate(exprs.head, intArg(exprs(1), "mBits"))),
+    (
       FunctionIdentifier("image_header"),
       info("image_header", "image_header(bytes) - PNG/JPEG container metadata struct"),
       (exprs: Seq[Expression]) => ImageHeader(exprs.head)),

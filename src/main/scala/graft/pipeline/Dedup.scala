@@ -927,4 +927,67 @@ object Dedup {
       .select(col(idCol).as("__bad"))
     train.join(bad, train(idCol) === col("__bad"), "left_anti")
   }
+
+  // ---- Bloom-filter decontamination ------------------------------------
+
+  /** Build the benchmark's n-gram Bloom bitmap: one map-only pass over
+    * the bench corpus ([[graft.functions.BloomNgramPositions]] fused
+    * hash→probe-positions per document), OR-folded map-side by
+    * [[graft.functions.BitmapOrAggregate]] into ONE `mBits`-bit bitmap
+    * (m = 2^20 → 128 KB) that reaches the driver as a single row. At
+    * 100 TB this is the replacement for collecting the bench shingle-hash
+    * SET ([[decontaminate]]'s broadcast index or [[
+    * graft.functions.BenchShingleHit]]'s sorted array): a billion-shingle
+    * eval suite still folds to the same constant-size object — the
+    * standard space/precision trade (false-positive rate
+    * ≈ (1−e^(−kB/m))^k for B distinct bench shingles).
+    */
+  def bloomBitmap(
+      bench: DataFrame,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 4,
+      md5Family: Boolean = false): Array[Long] = {
+    val row = bench
+      .agg(graft.functions.BitmapOrAggregate.bitmapOr(
+        graft.functions.BloomNgramPositions(col(textCol), n, mBits, kHashes, md5Family),
+        mBits).as("__bm"))
+      .head()
+    row.getSeq[Long](0).toArray
+  }
+
+  /** Bloom-filter benchmark decontamination — the PROBABILISTIC twin of
+    * [[decontaminate]]: returns one row per training document with at
+    * least one n-gram whose Bloom probes all hit, (idCol, n_hit_ngrams =
+    * distinct may-contaminated shingles). May over-report (Bloom false
+    * positives; the rate is a build-time choice via `mBits`/`kHashes`),
+    * NEVER under-reports — the safe direction for contamination
+    * screening, where a flagged document gets dropped or re-checked
+    * exactly.
+    *
+    * Scale shape: the corpus side is entirely map-only — a stateless
+    * [[graft.functions.BloomNgramHitCount]] projection against the
+    * broadcast-by-serialization bitmap, no join, no shuffle, no index.
+    * Unlike [[decontaminate]]'s exact join (whose cost guard can fire on
+    * saturated vocabularies), the Bloom pass has NO data-dependent blowup:
+    * cost is exactly one hash + k bit probes per corpus shingle.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 4,
+      md5Family: Boolean = false): DataFrame = {
+    val words = bloomBitmap(bench, textCol, n, mBits, kHashes, md5Family)
+    train
+      .select(
+        col(idCol),
+        graft.functions.BloomNgramHitCount(
+          col(textCol), n, mBits, kHashes, md5Family, words).as("n_hit_ngrams"))
+      .filter(col("n_hit_ngrams") > 0L)
+  }
 }

@@ -109,6 +109,13 @@ class AggregateFunctionsSpec extends SparkSpec {
       "SELECT outer_product(embedding, 64, 1000000.0) AS op FROM emb_sql")
       .collect()(0).getSeq[Long](0)
     assert(op.length === 1 + 64 + 64 * 65 / 2 && op(0) === 5L)
+    // bloom primitives: positions are k-per-distinct-gram, the bitmap
+    // OR-fold is one fixed-size row
+    val bloom = spark.sql(
+      """SELECT bitmap_or(bloom_ngram_positions(text, 3, 65536, 4, false), 65536) AS bm
+        |FROM docs_sql""".stripMargin).collect()(0).getSeq[Long](0)
+    assert(bloom.length === 65536 / 64)
+    assert(bloom.map(java.lang.Long.bitCount).sum > 0)
   }
 
   test("most_array: mode over an array-valued column (A3)") {
