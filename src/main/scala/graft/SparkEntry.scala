@@ -687,6 +687,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Bigram-LM familiarity: avg corpus MLE conditional probability
+    //      of each doc's bigrams (perplexity-proxy quality filter; exact
+    //      long/long divisions quantized to 1e-12 longs -> order-free
+    //      integer sums; ln cross-entropy twin spec-pinned) ------------
+    "q_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmFamiliarity(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- BM25 lexical retrieval: top-15 docs for a bag-of-words probe
     //      query (rational-idf gate form; binary-exact k1/b so constant
     //      folding agrees; per-term contributions quantized to 1e-9
@@ -2196,6 +2205,35 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
         |FROM tk JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigrams via the 2-slice comprehension (duplicates KEPT — each
+    // occurrence is scored); c1 folds from the bigram table so the
+    // conditionals sum to 1 per w1; p = one BIGINT/BIGINT double
+    // division, floored to 1e-12 longs, summed as integers
+    "q_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS s
+        |  FROM w
+        |), c2 AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY s
+        |), c1 AS (
+        |  SELECT string_split(s, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1
+        |), sc AS (
+        |  SELECT g.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         sum(CAST(floor(
+        |           (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)) AS sq
+        |  FROM g
+        |  JOIN c2 USING (s)
+        |  JOIN c1 ON string_split(g.s, ' ')[1] = c1.w1
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |       (CAST(sq AS DOUBLE) / n_bigrams) / 1000000000000.0 AS lm_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // same expression SHAPE as the Spark side, term for term: rational
     // idf ((n-df+0.5)/(df+0.5)), binary-exact k1=1.25/b=0.75 (so the

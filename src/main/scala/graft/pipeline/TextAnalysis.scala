@@ -354,6 +354,66 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  // ---- corpus-LM familiarity scoring -----------------------------------
+
+  /** Bigram language-model familiarity score — the n-gram-LM stand-in
+    * for a perplexity quality filter (KenLM-style filtering, done with
+    * the corpus itself as the model): per document, the average corpus
+    * MLE conditional probability of its bigrams,
+    *
+    *   lm_score(d) = (1/|bigrams(d)|) · Σ_(w1,w2)∈d  c2(w1 w2) / c1(w1)
+    *
+    * where c2 = corpus bigram occurrence count and c1(w1) = Σ_w2 c2 —
+    * occurrences of w1 as a bigram START, so every conditional is a true
+    * probability (Σ_w2 p(w2|w1) = 1). Boilerplate and templated text
+    * (frequent continuations) score high; mojibake, OOV noise, and
+    * shuffled text score low.
+    *
+    * The gate form averages PROBABILITIES: every p is one exact
+    * long/long double division, quantized to 1e-12 longs and summed as
+    * integers — bit-identical on any engine. `logForm = true` is the
+    * textbook cross-entropy form (avg ln p; perplexity = exp(−score)) —
+    * spec-pinned, not oracle-checked (ln differs in the last ulp across
+    * engines).
+    *
+    * Shape at 100 TB: both count tables fold with map-side combine
+    * (bigram count from the exploded grams; the unigram-start count
+    * folds from the BIGRAM table — vocabulary-sized input, not
+    * corpus-sized); the per-occurrence probability lookup is a shuffle
+    * equi-join on the gram (AQE broadcasts a small LM; for a Zipfian
+    * vocabulary the hot-gram skew is AQE skew-join territory), then one
+    * map-side-combined per-doc fold. Two corpus scans, no sort, no
+    * window.
+    */
+  def lmFamiliarity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      logForm: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(
+      col(idCol),
+      explode(graft.functions.WordNgrams(col(textCol), 2)).as("__g"))
+    val c2 = grams.groupBy("__g").agg(count(lit(1)).as("__c2"))
+    val c1 = c2
+      .groupBy(split(col("__g"), " ").getItem(0).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    val p = col("__c2").cast("double") / col("__c1").cast("double")
+    val contrib = if (logForm) log(p) else p
+    grams
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .join(c2, "__g")
+      .join(c1, "__w1")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(floor(contrib * lit(1000000000000.0) + lit(0.5)).cast("long")).as("__sq"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        ((col("__sq").cast("double") / col("n_bigrams")) / lit(1000000000000.0))
+          .as("lm_score"))
+  }
+
   // ---- lexical relevance ranking (BM25) --------------------------------
 
   /** BM25 top-k document retrieval for a bag-of-words query — the

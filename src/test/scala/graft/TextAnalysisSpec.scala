@@ -170,6 +170,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSeq === Seq(3L, 4L))
   }
 
+  test("lmFamiliarity averages hand-computed bigram conditionals; log twin ranks alike") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b","b a","a b"
+      (2L, "a b c"),     // bigrams: "a b","b c"
+      (3L, "z"))         // no bigrams -> absent from output
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmFamiliarity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // c2: "a b"=3, "b a"=1, "b c"=1; c1: a=3, b=2
+    // p: "a b"=1.0, "b a"=0.5, "b c"=0.5  (quantization is exact here)
+    val s1 = ((1e12 + 0.5e12 + 1e12) / 3) / 1e12
+    val s2 = ((1e12 + 0.5e12) / 2) / 1e12
+    assert(got === Seq((1L, 3L, s1), (2L, 2L, s2)))
+
+    // cross-entropy twin: same relative order (doc 1's bigrams are more
+    // probable on average), negative log-probs
+    val lg = TextAnalysis.lmFamiliarity(docs, "doc_id", "text", logForm = true)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lg.map(_._1) === Seq(1L, 2L))
+    assert(lg(0)._3 > lg(1)._3 && lg.forall(_._3 <= 0.0))
+  }
+
   test("bm25TopK ranks by hand-computed BM25 scores; log-idf twin agrees") {
     import spark.implicits._
     // 4 docs, query = {x, y}: doc 1 heavy in x, doc 2 has both terms,
