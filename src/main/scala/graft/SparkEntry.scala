@@ -760,6 +760,21 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // ---- JL signed random projection (training-free dim reduction):
+    //      64 -> 16 dims, md5-family ±1 signs, quantized inputs -> exact
+    //      integer coordinates; the oracle re-derives the SIGN MATRIX
+    //      from md5() itself, so the derivation is cross-checked. Gate
+    //      pivots the proj array to scalar columns (array outputs crash
+    //      the driver comparator) --------------------------------------
+    "q_embed_rp" -> ((s, dir) => {
+      val rp = Similarity.randomProjection(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 64, 16)
+      rp.select(
+          col("vec_id") +:
+            (0 until 16).map(j => element_at(col("proj"), j + 1).as(f"rp_$j%02d")): _*)
+        .orderBy("vec_id")
+    }),
+
     // ---- Embedding near-dup pairs (label-blocked cosine) --------------
     "q_embed_dup" -> ((s, dir) => {
       Similarity.embeddingDupPairs(
@@ -2361,6 +2376,32 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // the sign matrix is DERIVED in SQL from md5 (same "rp:j:d" tokens,
+    // 0-based d) rather than inlined — the derivation itself is checked;
+    // coordinates are exact BIGINT sums of ±quantized components
+    "q_embed_rp" -> {
+      val cols = (0 until 16)
+        .map(j => s"  max(CASE WHEN j = $j THEN v END) AS rp_${"%02d".format(j)}")
+        .mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(range(1, 65)) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings
+         |), sgn AS (
+         |  SELECT j, d,
+         |         CASE WHEN ('0x' || substr(md5('rp:' || j || ':' || (d - 1)), 1, 15))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, 16)) AS j), (SELECT unnest(range(1, 65)) AS d)
+         |), p AS (
+         |  SELECT vec_id, j, CAST(sum(s * q) AS BIGINT) AS v
+         |  FROM e JOIN sgn USING (d)
+         |  GROUP BY vec_id, j
+         |)
+         |SELECT vec_id,
+         |$cols
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
     // quantize → exact HUGEINT sums → the SAME double finisher formula as

@@ -1086,4 +1086,32 @@ object Similarity {
       df.withColumn(s"pc_${k + 1}",
         dot(col(vecCol), array(c.map(lit): _*)) - lit(muDotC))
     }
+
+  /** Johnson–Lindenstrauss signed random projection — the TRAINING-FREE
+    * dimensionality reduction next to [[pca]]: ±1 signs derived from the
+    * md5 plane family, inputs quantized to 1/quant, outputs EXACT 64-bit
+    * integer coordinates ([[graft.functions.SignedProjection]]).
+    * Distances are preserved to (1±ε) for outDims ≈ O(log n / ε²) —
+    * the standard pre-blocking step before LSH/IVF when the native
+    * dimensionality is large. Unlike PCA there is no pass over the data
+    * to fit anything: the whole operator is ONE map-only projection, no
+    * shuffle, no driver matrix (spec-pinned plan). Divide coordinates by
+    * quant to recover real values; comparisons (cosine/L2 ranking) work
+    * directly on the integer coordinates since quant is a global scale.
+    *
+    * Output: `idCol`, `proj` = array<long> of outDims exact coordinates;
+    * rows whose vector is missing/short are dropped.
+    */
+  def randomProjection(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      outDims: Int,
+      quant: Double = 1e6,
+      seed: String = "rp"): DataFrame =
+    emb.select(
+        col(idCol),
+        graft.functions.SignedProjection(col(vecCol), dims, outDims, quant, seed).as("proj"))
+      .filter(col("proj").isNotNull)
 }

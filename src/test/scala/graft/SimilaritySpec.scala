@@ -372,4 +372,43 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors.size < all.size, "the corpus should contain semantic dups")
     graft.pipeline.Dedup.unpersistIntermediates()
   }
+
+  test("randomProjection: map-only, deterministic, JL distance-preserving") {
+    // filter, not limit: a limit's GlobalLimit exchange would mask the
+    // map-only assertion on the projection itself
+    val emb = graft.core.Tables.embeddings(spark, sf("sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
+    val rp = Similarity.randomProjection(emb, "vec_id", "embedding", 64, 16)
+    // plan: a pure projection — no Exchange anywhere
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "randomProjection must not shuffle")
+    // partition-layout invariant (map-only determinism)
+    val a = rp.orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val b = Similarity.randomProjection(
+        emb.repartition(7), "vec_id", "embedding", 64, 16)
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.toSeq === b.toSeq)
+    // JL sanity: pairwise L2 distance ratios concentrate around a single
+    // scale factor (signed ±1 projection preserves distances up to
+    // sqrt(outDims/dims) in expectation); check relative spread on a
+    // sample of pairs
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val projs = a.toMap.map { case (id, p) => id -> p.map(_.toDouble / 1e6).toArray }
+    def d2(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
+    val ids = vecs.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      di = d2(vecs(ids(i)), vecs(ids(j))) if di > 1e-9
+    } yield d2(projs(ids(i)), projs(ids(j))) / di
+    val mean = ratios.sum / ratios.size
+    // every pair's ratio within a loose band of the mean scale
+    assert(ratios.forall(r => r > mean * 0.3 && r < mean * 2.2),
+      s"JL ratios too dispersed: min=${ratios.min}, mean=$mean, max=${ratios.max}")
+    // short/NULL vectors are dropped, not nulled through
+    import spark.implicits._
+    val short = Seq((1L, Array(0.5f, 1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.randomProjection(short, "vec_id", "embedding", 64, 16).count() === 0)
+  }
 }
