@@ -633,6 +633,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Span-level decontamination: token coverage of bench-shared
+    //      3-grams per training doc (the Lee et al. span machinery
+    //      pointed across corpora; broadcast bench gram set, doc-local
+    //      interval union) --------------------------------------------
+    "q_cont_span" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedSpanCoverage(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Span-level decontamination, removal form: cut the leaked
+    //      spans, keep the documents -----------------------------------
+    "q_cont_span_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedSpanClean(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- Bloom-filter decontamination: the probabilistic map-only twin
     //      of q_decontaminate — bench 3-grams OR-folded into one 2^20-bit
     //      bitmap (BitmapOrAggregate), corpus probed statelessly
@@ -2144,6 +2168,76 @@ object SparkEntry {
         |FROM tr JOIN be USING (s)
         |GROUP BY tr.doc_id
         |ORDER BY tr.doc_id""".stripMargin,
+
+    // the dup-span machinery with the flag set = the bench corpus's
+    // DISTINCT grams; inner join vs cov == the cont_tokens > 0 filter
+    // (cov only holds docs with >=1 flagged span)
+    "q_cont_span" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) - 1)) AS p,
+        |    unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM t
+        |), bset AS (
+        |  SELECT DISTINCT g FROM pos WHERE doc_id % 10 = 0
+        |), dpos AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN bset USING (g)
+        |  WHERE pos.doc_id % 10 <> 0
+        |), ld AS (
+        |  SELECT doc_id, p,
+        |         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+        |  FROM dpos
+        |), cov AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN nxt IS NULL THEN 3 ELSE least(nxt - p, 3) END) AS c
+        |  FROM ld GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(cov.c AS BIGINT) AS cont_tokens,
+        |       round(CAST(cov.c AS DOUBLE) / len(w), 6) AS cont_frac
+        |FROM t JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_cont_span_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) - 1)) AS p,
+        |    unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM t
+        |), bset AS (
+        |  SELECT DISTINCT g FROM pos WHERE doc_id % 10 = 0
+        |), dpos AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN bset USING (g)
+        |  WHERE pos.doc_id % 10 <> 0
+        |), covp AS (
+        |  SELECT DISTINCT doc_id, tp
+        |  FROM (SELECT doc_id, unnest(range(p, p + 3)) AS tp FROM dpos)
+        |), tok AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(w) + 1)) AS tp,
+        |    unnest(w) AS tk
+        |  FROM t WHERE doc_id % 10 <> 0
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.tp, tok.tk
+        |  FROM tok ANTI JOIN covp USING (doc_id, tp)
+        |), cl AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY tp) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(w) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cl.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(cl.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN cl USING (doc_id)
+        |WHERE t.doc_id % 10 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
 
     // exact simulation of the m=2^20 / k=4 double-hash bloom: base =
     // lower-60-md5 (the MinHashSignatureMd5 convention), h1 = base &

@@ -293,31 +293,53 @@ object Dedup {
       textCol: String,
       n: Int,
       minOccurrences: Long = 2L): DataFrame = {
-    val toks = df.select(
-      col(idCol),
-      graft.functions.WordNgramPosHashes(col(textCol), n).as("__g"),
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    // positional inverted index: one row per (doc, gram start)
-    val pos = toks.select(
-      col(idCol).as("__id"), posexplode(col("__g")).as(Seq("__p", "__s")))
     // corpus-wide occurrence counts — count(), not collect_list(): map-side
     // combine keeps a hot gram's cost at one partial per partition
-    val dup = pos.groupBy("__s").agg(count(lit(1)).as("__c"))
+    val dup = posGramIndex(df, idCol, textCol, n)
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
       .select("__s")
-    val dupPos = pos.join(dup, Seq("__s"), "left_semi")
-    // union of fixed-length intervals [p, p+n) per doc: with starts sorted,
-    // each contributes min(nextStart − start, n) tokens (the last: n).
-    // Window partitioned per document — the sort is doc-local
+    spanCoverageAgainst(df, idCol, textCol, n, dup, bcastFlagged = false)
+  }
+
+  /** Positional gram index: one row per (doc, gram start), hashes from the
+    * fused [[graft.functions.WordNgramPosHashes]] expression.
+    */
+  private def posGramIndex(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("__id"),
+      posexplode(graft.functions.WordNgramPosHashes(col(textCol), n))
+        .as(Seq("__p", "__s")))
+
+  /** Shared span-coverage tail: tokens of each document covered by ≥1
+    * n-gram in `flagged` (a 1-column `__s` gram-hash set). Returns
+    * (idCol, n_tokens, dup_tokens, dup_frac). The interval union of the
+    * fixed-length spans is arithmetic over sorted span starts — each
+    * contributes min(nextStart − start, n) tokens (the last: n); the
+    * Window is partitioned per document, so the sort is doc-local.
+    */
+  private def spanCoverageAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      flagged: DataFrame,
+      bcastFlagged: Boolean): DataFrame = {
+    val pos = posGramIndex(df, idCol, textCol, n)
+    val flaggedPos = pos.join(
+      if (bcastFlagged) broadcast(flagged) else flagged, Seq("__s"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy("__p")
-    val covered = dupPos
+    val covered = flaggedPos
       .withColumn("__next", lead(col("__p"), 1).over(w))
       .groupBy("__id")
       .agg(sum(
         when(col("__next").isNotNull, least(col("__next") - col("__p"), lit(n)))
           .otherwise(lit(n))).cast("long").as("dup_tokens"))
-    toks.select(col(idCol), col("n_tokens"))
+    df.select(
+        col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
       .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
       .select(
         col(idCol),
@@ -347,17 +369,30 @@ object Dedup {
       textCol: String,
       n: Int,
       minOccurrences: Long = 2L): DataFrame = {
-    val toksArr = split(trim(col(textCol)), "\\s+")
-    val pos = df.select(
-      col(idCol).as("__id"),
-      posexplode(graft.functions.WordNgramPosHashes(col(textCol), n))
-        .as(Seq("__p", "__s")))
-    val dup = pos.groupBy("__s").agg(count(lit(1)).as("__c"))
+    val dup = posGramIndex(df, idCol, textCol, n)
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
       .select("__s")
-    val dupPos = pos.join(dup, Seq("__s"), "left_semi")
+    spanCleanAgainst(df, idCol, textCol, n, dup, bcastFlagged = false)
+  }
+
+  /** Shared span-removal tail: rebuild each document with every token
+    * covered by a `flagged` n-gram removed. Returns (idCol, n_tokens,
+    * n_kept, clean_text); a fully-covered document keeps "".
+    */
+  private def spanCleanAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      flagged: DataFrame,
+      bcastFlagged: Boolean): DataFrame = {
+    val toksArr = split(trim(col(textCol)), "\\s+")
+    val pos = posGramIndex(df, idCol, textCol, n)
+    val flaggedPos = pos.join(
+      if (bcastFlagged) broadcast(flagged) else flagged, Seq("__s"), "left_semi")
     // covered token positions (distinct: overlapping spans union)
-    val covered = dupPos
+    val covered = flaggedPos
       .select(col("__id"),
         explode(sequence(col("__p"), col("__p") + (n - 1))).as("__t"))
       .distinct()
@@ -380,6 +415,58 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Span-level benchmark decontamination — the SURGICAL form of
+    * [[decontaminate]]: instead of flagging whole documents, measure how
+    * many of each training document's TOKENS sit inside an n-gram that
+    * also appears in the benchmark corpus (the Lee et al. 2022 span
+    * machinery pointed across corpora). A doc that quotes one eval item
+    * in passing loses a span, not its place in the corpus. Returns
+    * (idCol, n_tokens, cont_tokens, cont_frac) for every training doc
+    * with ≥1 contaminated token.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT hashes of a small
+    * corpus → broadcast semi-join onto the positional index (map-only on
+    * the corpus side), then the doc-local interval union. Like the Bloom
+    * twin there is no data-dependent pair volume: cost is linear in
+    * corpus tokens regardless of how contaminated the corpus is.
+    */
+  def contaminatedSpanCoverage(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      broadcastBench: Boolean = true): DataFrame =
+    spanCoverageAgainst(
+        train, idCol, textCol, n,
+        posGramIndex(bench, idCol, textCol, n).select("__s").distinct(),
+        bcastFlagged = broadcastBench)
+      .select(
+        col(idCol), col("n_tokens"),
+        col("dup_tokens").as("cont_tokens"),
+        col("dup_frac").as("cont_frac"))
+      .filter(col("cont_tokens") > 0L)
+
+  /** Span-level benchmark decontamination, REMOVAL form: rebuild each
+    * training document with every token covered by a benchmark-shared
+    * n-gram cut — keep the document, drop the leaked span (the
+    * alternative to [[decontaminated]]'s whole-doc drop when eval
+    * contamination is incidental). Output: (idCol, n_tokens, n_kept,
+    * clean_text) for EVERY training doc (uncontaminated docs pass
+    * through with n_kept = n_tokens).
+    */
+  def contaminatedSpanClean(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      broadcastBench: Boolean = true): DataFrame =
+    spanCleanAgainst(
+      train, idCol, textCol, n,
+      posGramIndex(bench, idCol, textCol, n).select("__s").distinct(),
+      bcastFlagged = broadcastBench)
 
   /** Score-preferring cluster dedup: one document per near-dup component,
     * keeping the HIGHEST-`scoreCol` member (ties → smallest id) instead of

@@ -541,6 +541,64 @@ object PlanAudit {
         mustNot = Seq("Window", "Exchange SinglePartition"))
     }
 
+    guarded("bloom decontaminate") {
+      // 22. bloom decontamination: the bench side folds to ONE bitmap via
+      //     an object-hash aggregate (map-side OR partials); the corpus
+      //     probe is a stateless projection — no join, no shuffle, no
+      //     index anywhere on the 100 TB side
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val buildPlan = plan(bench.agg(
+        graft.functions.BitmapOrAggregate.bitmapOr(
+          graft.functions.BloomNgramPositions(col("text"), 3, 1 << 16, 4, false),
+          1 << 16).as("bm")))
+      check("bloom build: object-agg OR fold, no explode/join", buildPlan,
+        mustContain = Seq("ObjectHashAggregate"),
+        mustNot = Seq("Generate", "Join"))
+      val words = graft.pipeline.Dedup.bloomBitmap(bench, "text", 3, 1 << 16, 4)
+      val probe = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          graft.functions.BloomNgramHitCount(
+            col("text"), 3, 1 << 16, 4, false, words).as("h"))
+        .filter(col("h") > 0)
+      check("bloom probe: stateless map-only scan (no join/exchange)",
+        plan(probe),
+        mustContain = Seq("Project"),
+        mustNot = Seq("Exchange", "Join"))
+    }
+
+    guarded("bm25") {
+      // 23. BM25 retrieval: final ranking is TakeOrderedAndProject
+      //     (per-partition top-k + driver merge), never a global sort of
+      //     the scored corpus; the corpus-side explode only emits
+      //     query-matching tokens
+      val bm = graft.pipeline.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", Seq("spark", "join"), topK = 10)
+      check("bm25: TakeOrdered top-k, no global corpus sort", plan(bm),
+        mustContain = Seq("TakeOrderedAndProject"),
+        mustNot = Seq("CartesianProduct"))
+    }
+
+    guarded("lm familiarity") {
+      // 24. bigram-LM scoring: count tables fold with map-side combine,
+      //     the probability lookup is a gram equi-join — no window, no
+      //     cartesian, no sort
+      val lm = graft.pipeline.TextAnalysis.lmFamiliarity(docs, "doc_id", "text")
+      check("lm familiarity: map-side-combined counts, equi-join lookup",
+        plan(lm),
+        mustContain = Seq("HashAggregate"),
+        mustNot = Seq("Window", "CartesianProduct", "Sort ["))
+    }
+
+    guarded("random projection") {
+      // 25. JL projection: one map-only reference-object expression —
+      //     no exchange, no join (also spec-pinned in SimilaritySpec)
+      val rp = graft.pipeline.Similarity.randomProjection(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)
+      check("random projection: map-only (no exchange)", plan(rp),
+        mustContain = Seq("Project"),
+        mustNot = Seq("Exchange", "Join"))
+    }
+
     spark.stop()
     if (failures > 0) { println(s"AUDIT: $failures failures"); sys.exit(1) }
     println("AUDIT: all checks passed")

@@ -176,6 +176,46 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) === ((3L, "w w v")))
   }
 
+  test("contaminatedSpan coverage/clean cut exactly the bench-shared spans") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "a b c d e f"),        // leaks "a b c" → 3 of 6 cut
+      (2L, "x y z a b c"),        // leaks at the tail → 3 of 6 cut
+      (3L, "s t u v w"),          // clean
+      (4L, "a b c d e f a b c"),  // two leaked spans + "c d e"/"d e f" etc? only bench grams cut
+      (5L, "hi"))                 // too short for grams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+
+    val cov = Dedup.contaminatedSpanCoverage(train, bench, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cont_tokens"))))
+      .toMap
+    // only contaminated docs are reported
+    assert(cov.keySet === Set(1L, 2L, 4L))
+    assert(cov(1L) === ((6L, 3L)))
+    assert(cov(2L) === ((6L, 3L)))
+    assert(cov(4L) === ((9L, 6L)))  // spans at 0 and 6, disjoint
+
+    val clean = Dedup.contaminatedSpanClean(train, bench, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    // ALL training docs pass through the clean form
+    assert(clean.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(clean(1L) === ((6L, 3L, "d e f")))
+    assert(clean(2L) === ((6L, 3L, "x y z")))
+    assert(clean(3L) === ((5L, 5L, "s t u v w")))  // untouched
+    assert(clean(4L) === ((9L, 3L, "d e f")))
+    assert(clean(5L) === ((1L, 1L, "hi")))
+    // coverage + kept sum to n_tokens on every contaminated doc
+    for (id <- cov.keySet)
+      assert(cov(id)._2 + clean(id)._2 === cov(id)._1)
+  }
+
   test("ngram maxCandidates budget fails fast on dense vocab, passes under") {
     // corpus is tiny: its true candidate volume is a handful of pairs, so
     // budget=1 must abort pre-shuffle and a loose budget must be silent
