@@ -82,4 +82,32 @@ object StreamingDedup {
     docs.filter(
       !coalesce(graft.functions.BenchShingleHit(col(textCol), n, hashes), lit(false)))
   }
+
+  /** Bloom variant of [[decontaminateStream]] for benchmark suites too
+    * large to ride as a sorted hash ARRAY (the exact set costs 8 bytes
+    * per distinct bench shingle inside every executor and the stream's
+    * checkpointed plan; the bitmap is a FIXED `mBits/8` bytes — 128 KB at
+    * m = 2^20 — however large the suite). Same stateless shape: no
+    * state store, no join, one boolean map filter; may drop extra
+    * documents at the Bloom false-positive rate, never leaks a true
+    * contamination through (the safe direction at ingest). Geometry and
+    * hashing are [[Dedup.bloomBitmap]]'s — batch/stream probes agree
+    * bit-for-bit (spec-asserted against [[Dedup.decontaminateBloom]]).
+    */
+  def decontaminateStreamBloom(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 4): DataFrame = {
+    val words = Dedup.bloomBitmap(bench, textCol, n, mBits, kHashes)
+    // null text keeps the row, same contract as the exact form
+    docs.filter(
+      coalesce(
+        graft.functions.BloomNgramHitCount(
+          col(textCol), n, mBits, kHashes, md5Family = false, words),
+        lit(0L)) === 0L)
+  }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 import graft.core.Tables
-import graft.pipeline.{Multimodal, Similarity}
+import graft.pipeline.{Multimodal, Similarity, TextAnalysis}
 
 /** Round-10 scale measurements (solo, noop-sink materialization):
   *
@@ -149,6 +149,32 @@ object ProfScale {
           tNr, labels, Seq(AggSpec("value", "avg"), AggSpec("value", "smoke")),
           graft.SparkEntry.Start, graft.SparkEntry.Stop, binsize = 21600,
           primaryCol = "value", sparseClamp = true, smokeNearestRank = true)))
+
+      case "textops" =>
+        // round-10 text/embedding additions: solo scale measurements
+        val docs = Tables.documents(spark, sfDir)
+        val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+        val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        timed("bm25_topk")(sink(
+          TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            Seq("spark", "join", "window", "vector"), topK = 15)))
+        timed("lm_familiarity")(sink(
+          TextAnalysis.lmFamiliarity(docs, "doc_id", "text")))
+        timed("bloom_decontaminate")(sink(
+          graft.pipeline.Dedup.decontaminateBloom(
+            train, bench, "doc_id", "text", 3)))
+        timed("exact_decontaminate")(sink(
+          graft.pipeline.Dedup.decontaminate(
+            train, bench, "doc_id", "text", 3)))
+        timed("cont_span")(sink(
+          graft.pipeline.Dedup.contaminatedSpanCoverage(
+            train, bench, "doc_id", "text", 3)))
+        timed("cont_span_clean")(sink(
+          graft.pipeline.Dedup.contaminatedSpanClean(
+            train, bench, "doc_id", "text", 3)))
+        timed("random_projection")(sink(
+          Similarity.randomProjection(
+            Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
 
       case other => sys.error(s"unknown section: $other")
     }

@@ -178,6 +178,41 @@ class StreamingDedupSpec extends SparkSpec {
     } finally { q.stop(); Dedup.unpersistIntermediates() }
   }
 
+  test("streaming bloom decontamination: stateless, agrees with the batch bloom") {
+    import graft.pipeline.Dedup
+    val bench = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "what is the capital of france is it paris"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated words here"),
+      (3L, "capital of france is paris"),
+      (4L, "short doc"),
+      (5L, null.asInstanceOf[String]))
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.decontaminateStreamBloom(
+        docs, bench, "doc_id", "text", 3, mBits = 1 << 16)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deco_bloom_out").start()
+    try {
+      in.addData(corpus: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "bloom decontamination must not create a state store")
+      val got = spark.table("deco_bloom_out").select("doc_id").as[Long].collect().sorted
+      // batch twin: survivors = corpus minus the bloom-flagged set
+      val flagged = Dedup.decontaminateBloom(
+          corpus.toDF("doc_id", "text"), bench, "doc_id", "text", 3,
+          mBits = 1 << 16)
+        .select("doc_id").as[Long].collect().toSet
+      val batch = corpus.map(_._1).filterNot(flagged).sorted
+      assert(got.toSeq === batch)
+      assert(got.toSeq === Seq(2L, 4L, 5L))
+    } finally { q.stop(); Dedup.unpersistIntermediates() }
+  }
+
   test("streaming hygiene: stateless annotation matches the batch operators") {
     import graft.pipeline.{StreamingText, TextAnalysis}
     val in = MemoryStream[(Long, String)](spark)
