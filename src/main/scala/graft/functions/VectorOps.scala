@@ -79,8 +79,72 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Count of positions where two bigint arrays agree — the MinHash
+  * signature-agreement kernel (est_jaccard = equal_count / k). The
+  * compositional form `size(filter(zip_with(a, b, _===_), identity))`
+  * allocates two intermediate arrays per pair and runs interpreted
+  * (higher-order lambdas are CodegenFallback); this generates one fused
+  * comparison loop inside whole-stage codegen. Compares
+  * min(len(a), len(b)) positions — identical to zip_with's null-free
+  * behaviour on equal-length signatures (the only way it is called).
+  */
+case class EqualCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "equal_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"equal_count expects array<bigint>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EqualCount =
+    copy(left = l, right = r)
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.toColumn(
       DotProduct(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  def equalCount(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      EqualCount(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 }

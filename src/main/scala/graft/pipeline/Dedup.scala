@@ -570,7 +570,7 @@ object Dedup {
       .join(sb, Seq("id_b"))
       .withColumn(
         "est_jaccard",
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+        graft.functions.VectorOps.equalCount(col("__sa"), col("__sb"))
           .cast("double") / size(col("__sa")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -628,7 +628,7 @@ object Dedup {
       .join(sb, Seq("id_b"))
       .withColumn(
         "est_jaccard",
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+        graft.functions.VectorOps.equalCount(col("__sa"), col("__sb"))
           .cast("double") / size(col("__sa")))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")

@@ -235,7 +235,11 @@ object TextAnalysis {
     * hash aggregate. Deterministic total order: (count desc, term asc).
     */
   def topTerms(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
-    df.select(explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    // explode streams through a codegen'd length filter (a higher-order
+    // filter() inside the array is CodegenFallback — the BM25 lesson:
+    // interpreted lambdas cost more than the whole rest of the operator)
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
@@ -317,8 +321,9 @@ object TextAnalysis {
       textCol: String,
       minDf: Long): org.apache.spark.sql.DataFrame = {
     val toks = df.select(
-      col(idCol),
-      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__t"))
+        col(idCol),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0) // codegen'd, not a filter() lambda
     // document frequency: distinct docs per term (not raw occurrences —
     // a term spammed by one document is not thereby common)
     val vocab = toks.distinct()
