@@ -1125,6 +1125,20 @@ object SparkEntry {
         .orderBy("stream_id", "timestamp", "event_id")
     }),
 
+    // ---- Rolling z-score anomaly detection (the netevmon-style event
+    //      detector as a relational operator): per-stream 20-row
+    //      trailing baseline, quantized exact window sums, |z| >= 2.5.
+    //      sqrt is IEEE correctly-rounded, so even the z values are
+    //      bit-reproducible cross-engine ------------------------------
+    "q_anomaly" -> ((s, dir) => {
+      TimeSeriesOps.rollingZScore(
+          Tables.tsEvents(s, dir)
+            .select("stream_id", "timestamp", "event_id", "value"),
+          "stream_id", "timestamp", "event_id", "value",
+          windowRows = 20, minN = 10, threshold = 2.5)
+        .orderBy("stream_id", "timestamp", "event_id")
+    }),
+
     // ---- Gap-based sessionization (window-function suite) -------------
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2908,6 +2922,35 @@ object SparkEntry {
         |       CASE WHEN fmt <> 1 THEN (dur * 1000) // 600 END AS duration_ms,
         |       source AS origin
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // identical expression dag: quantized BIGINT window sums (exact),
+    // then mean/var/z as the same single-IEEE-op chain; sqrt is
+    // correctly rounded in both engines, so no rounding step is needed
+    "q_anomaly" ->
+      s"""WITH e AS (
+         |  SELECT stream_id, "timestamp", event_id, value,
+         |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+         |  FROM ($OracleEvents)
+         |), w AS (
+         |  SELECT stream_id, "timestamp", event_id, value, q,
+         |         count(*) OVER win AS n,
+         |         CAST(sum(q) OVER win AS BIGINT) AS s1,
+         |         CAST(sum(q * q) OVER win AS BIGINT) AS s2
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY stream_id ORDER BY "timestamp", event_id
+         |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+         |), z AS (
+         |  SELECT stream_id, "timestamp", event_id, value, n, q, s1, s2,
+         |         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var,
+         |         (CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+         |           / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS zscore
+         |  FROM w
+         |)
+         |SELECT stream_id, "timestamp", event_id, value,
+         |       CAST(n AS BIGINT) AS n_history, zscore
+         |FROM z
+         |WHERE n >= 10 AND var > 0.0 AND abs(zscore) >= 2.5
+         |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH ev AS (

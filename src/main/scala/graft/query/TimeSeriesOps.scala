@@ -103,4 +103,63 @@ object TimeSeriesOps {
       lPlan, rPlan, keyCols, tsCol, rightValueCols, asofAttrs, leftOuter)
     GraftShim.ofRows(spark, node)
   }
+
+  /** Rolling z-score anomaly detection per series — the engine-side form
+    * of the reference ecosystem's event detection (netevmon consumes
+    * exactly this kind of binned series from nntsc and flags
+    * level-shifts; here the detector IS a relational operator). For each
+    * row, mean/stddev come from the `windowRows` PRECEDING rows of the
+    * same series (the current row is excluded — it must not vote on its
+    * own baseline), and rows with `|z| >= threshold` (and at least
+    * `minN` history rows, and non-degenerate variance) are emitted.
+    *
+    * Cross-engine exactness: values quantize to 1/quant longs (the
+    * OuterProductAggregate contract), so the windowed count/sum/
+    * sum-of-squares are exact integers; mean, variance, and
+    * z = (q − mean)/sqrt(var) are then a fixed dag of single IEEE ops —
+    * sqrt is correctly rounded under IEEE 754, so even it is
+    * bit-reproducible. With quant = 1e3, |value| ≤ ~1e6 and windows to
+    * ~1e4 rows stay far below 2^63 in s2 (documented bound; larger
+    * magnitudes → smaller quant).
+    *
+    * Shape at 100 TB: one shuffle by series key, doc-local sort inside
+    * each partition window (Spark's WindowExec sorts per partition — no
+    * global sort), one pass; state is the windowRows frame. Series
+    * cardinality provides the parallelism (the nntsc layout: many
+    * streams × bounded per-stream history).
+    */
+  def rollingZScore(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      windowRows: Int,
+      minN: Int,
+      threshold: Double,
+      quant: Double = 1e3): DataFrame = {
+    require(windowRows >= 2 && minN >= 2 && minN <= windowRows,
+      s"need 2 <= minN <= windowRows, got minN=$minN windowRows=$windowRows")
+    val win = Window.partitionBy(seriesCol)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-windowRows, -1)
+    val q = floor(col(valueCol) * lit(quant) + lit(0.5)).cast("long")
+    val mean = col("__s1").cast("double") / col("__n")
+    val variance =
+      (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / col("__n")) /
+        (col("__n") - 1)
+    df.withColumn("__q", q)
+      .withColumn("__n", count(lit(1)).over(win))
+      .withColumn("__s1", sum(col("__q")).over(win))
+      .withColumn("__s2", sum(col("__q") * col("__q")).over(win))
+      .withColumn("zscore",
+        (col("__q").cast("double") - mean) / sqrt(variance))
+      .filter(
+        col("__n") >= minN && variance > 0.0 &&
+          abs(col("zscore")) >= threshold)
+      .select(
+        col(seriesCol), col(tsCol), col(tieCol), col(valueCol),
+        col("__n").as("n_history"), col("zscore"))
+  }
 }

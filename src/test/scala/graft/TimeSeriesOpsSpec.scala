@@ -85,6 +85,36 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(q.orderBy("timestamp").collect().map(_.toSeq).toSeq === expected)
   }
 
+  test("rollingZScore flags a spike against its trailing baseline only") {
+    // stream 1: gentle alternation 10.0/10.2 (small but NONZERO baseline
+    // variance — a perfectly flat window is var=0 and filtered by the
+    // degenerate-variance guard) with one spike to 100 at t=30;
+    // stream 2: wild alternation, so the same magnitude is normal
+    val rows =
+      (0L until 40L).map(t =>
+        (1L, t, t, if (t == 30) 100.0 else 10.0 + (t % 2) * 0.2)) ++
+        (0L until 40L).map(t => (2L, t, t, if (t % 2 == 0) 10.0 else 100.0))
+    val df = rows.toDF("stream_id", "timestamp", "event_id", "value")
+    val out = TimeSeriesOps.rollingZScore(
+        df, "stream_id", "timestamp", "event_id", "value",
+        windowRows = 10, minN = 5, threshold = 2.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // stream 1: exactly the spike row flags (rows after it carry the
+    // spike in their baseline -> stddev inflated ~28× -> |z| << 2.5)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq(30L))
+    assert(out.find(_._1 == 1L).get._3 > 2.5)
+    // stream 2's alternation is its own baseline: nothing flagged
+    assert(!out.exists(_._1 == 2L))
+    // zero-variance degenerate windows never divide by zero: an all-flat
+    // stream produces no output at all
+    val flat = (0L until 40L).map(t => (3L, t, t, 5.0))
+      .toDF("stream_id", "timestamp", "event_id", "value")
+    assert(TimeSeriesOps.rollingZScore(
+      flat, "stream_id", "timestamp", "event_id", "value",
+      windowRows = 10, minN = 5, threshold = 2.5).count() === 0)
+  }
+
   test("asof left-outer keeps unmatched left rows with NULLs") {
     val out = TimeSeriesOps.asofJoin(
         left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = true)
