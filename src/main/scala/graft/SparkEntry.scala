@@ -1139,6 +1139,18 @@ object SparkEntry {
         .orderBy("stream_id", "timestamp", "event_id")
     }),
 
+    // ---- CUSUM changepoint detection: the sequential recursion as a
+    //      relational prefix scan (g = S − running-min S); EXACT integer
+    //      arithmetic end to end — no float reduction anywhere ---------
+    "q_cusum" -> ((s, dir) => {
+      TimeSeriesOps.cusum(
+          Tables.tsEvents(s, dir)
+            .select("stream_id", "timestamp", "event_id", "value"),
+          "stream_id", "timestamp", "event_id", "value",
+          k = 60.0, h = 500.0)
+        .orderBy("stream_id", "timestamp", "event_id")
+    }),
+
     // ---- Gap-based sessionization (window-function suite) -------------
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2950,6 +2962,31 @@ object SparkEntry {
          |       CAST(n AS BIGINT) AS n_history, zscore
          |FROM z
          |WHERE n >= 10 AND var > 0.0 AND abs(zscore) >= 2.5
+         |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
+
+    // the same scan identity: S = running sum of (q − k·quant), g = S −
+    // min(running-min S, 0); all BIGINT — g/quant is the only double
+    "q_cusum" ->
+      s"""WITH e AS (
+         |  SELECT stream_id, "timestamp", event_id, value,
+         |         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+         |  FROM ($OracleEvents)
+         |), w AS (
+         |  SELECT stream_id, "timestamp", event_id, value,
+         |         CAST(sum(q - 60000) OVER win AS BIGINT) AS s
+         |  FROM e
+         |  WINDOW win AS (PARTITION BY stream_id ORDER BY "timestamp", event_id
+         |                 ROWS UNBOUNDED PRECEDING)
+         |), g AS (
+         |  SELECT stream_id, "timestamp", event_id, value,
+         |         s - least(CAST(min(s) OVER win2 AS BIGINT), 0) AS gg
+         |  FROM w
+         |  WINDOW win2 AS (PARTITION BY stream_id ORDER BY "timestamp", event_id
+         |                  ROWS UNBOUNDED PRECEDING)
+         |)
+         |SELECT stream_id, "timestamp", event_id, value,
+         |       CAST(gg AS DOUBLE) / 1000.0 AS cusum
+         |FROM g WHERE gg >= 500000
          |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
 
     "q_asof_join" ->

@@ -128,6 +128,57 @@ object TimeSeriesOps {
     * cardinality provides the parallelism (the nntsc layout: many
     * streams × bounded per-stream history).
     */
+  /** One-sided (upper) CUSUM changepoint detection per series — the
+    * sequential recursion g_t = max(0, g_{t−1} + (x_t − k)) re-expressed
+    * as a RELATIONAL prefix scan: with S_t = Σ_{i≤t}(x_t − k) and
+    * S_0 = 0,
+    *
+    *   g_t = S_t − min_{0≤j≤t} S_j
+    *
+    * (the reset-to-zero max folds into a running minimum), so the whole
+    * detector is two window functions over the same per-series frame —
+    * a running sum and a running min — with no per-row recursion, no
+    * UDF, no state machine. Rows where g ≥ h (the decision interval) are
+    * emitted with the statistic.
+    *
+    * `k` is the reference/slack value (alarms accumulate only while
+    * x > k; classically μ₀ + δ/2) and `h` the decision threshold.
+    * Everything is quantized to 1/quant longs, so the scan is EXACT
+    * integer arithmetic end to end — there is not a single
+    * floating-point reduction anywhere, and the emitted statistic is
+    * bit-identical on any engine at any partitioning.
+    *
+    * Shape at 100 TB: identical to [[rollingZScore]] — one shuffle by
+    * series key, per-partition window sort, two same-frame window
+    * aggregates that WindowExec computes in one pass.
+    */
+  def cusum(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Double,
+      h: Double,
+      quant: Double = 1e3): DataFrame = {
+    require(h > 0, s"decision interval h must be positive, got $h")
+    val win = Window.partitionBy(seriesCol)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qv = floor(col(valueCol) * lit(quant) + lit(0.5)).cast("long")
+    val qk = math.floor(k * quant + 0.5).toLong
+    val qh = math.floor(h * quant + 0.5).toLong
+    df.withColumn("__d", qv - lit(qk))
+      .withColumn("__s", sum(col("__d")).over(win))
+      // min_{0<=j<=t} S_j includes the virtual S_0 = 0 start
+      .withColumn("__smin", least(min(col("__s")).over(win), lit(0L)))
+      .withColumn("__g", col("__s") - col("__smin"))
+      .filter(col("__g") >= qh)
+      .select(
+        col(seriesCol), col(tsCol), col(tieCol), col(valueCol),
+        (col("__g").cast("double") / lit(quant)).as("cusum"))
+  }
+
   def rollingZScore(
       df: DataFrame,
       seriesCol: String,

@@ -589,6 +589,26 @@ object PlanAudit {
         mustNot = Seq("Window", "CartesianProduct", "Sort ["))
     }
 
+    guarded("series detectors") {
+      // 26. rolling z-score + CUSUM: per-series windows — one shuffle by
+      //     the series key, per-partition sort, never a single-partition
+      //     global window
+      val zs = graft.query.TimeSeriesOps.rollingZScore(
+        evAll.select("stream_id", "timestamp", "event_id", "value"),
+        "stream_id", "timestamp", "event_id", "value", 20, 10, 2.5)
+      check("rolling z-score: series-partitioned window, no global sort",
+        plan(zs),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+      val cs = graft.query.TimeSeriesOps.cusum(
+        evAll.select("stream_id", "timestamp", "event_id", "value"),
+        "stream_id", "timestamp", "event_id", "value", 60.0, 500.0)
+      check("cusum: series-partitioned prefix scan, no global sort",
+        plan(cs),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+    }
+
     guarded("random projection") {
       // 25. JL projection: one map-only reference-object expression —
       //     no exchange, no join (also spec-pinned in SimilaritySpec)

@@ -115,6 +115,32 @@ class TimeSeriesOpsSpec extends SparkSpec {
       windowRows = 10, minN = 5, threshold = 2.5).count() === 0)
   }
 
+  test("cusum prefix-scan equals the sequential recursion, alarms on shifts") {
+    // series with a level shift at t=20: baseline ~5, shifted ~15
+    val rows = (0L until 40L).map { t =>
+      val v = if (t < 20) 5.0 + (t % 3) else 15.0 + (t % 3)
+      (1L, t, t, v)
+    }
+    val df = rows.toDF("stream_id", "timestamp", "event_id", "value")
+    val k = 8.0; val h = 20.0; val quant = 1e3
+    val got = TimeSeriesOps.cusum(
+        df, "stream_id", "timestamp", "event_id", "value", k, h, quant)
+      .orderBy("timestamp")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // driver-side sequential recursion g_t = max(0, g_{t-1} + (x - k))
+    // over the SAME quantized integers
+    var g = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Double]
+    rows.foreach { case (_, t, _, v) =>
+      val q = math.floor(v * quant + 0.5).toLong
+      g = math.max(0L, g + (q - math.floor(k * quant + 0.5).toLong))
+      if (g >= math.floor(h * quant + 0.5).toLong) expect(t) = g / quant
+    }
+    assert(got === expect.toMap)
+    // the shift is detected shortly after t=20 and never before
+    assert(expect.keys.min >= 20L && expect.nonEmpty)
+  }
+
   test("asof left-outer keeps unmatched left rows with NULLs") {
     val out = TimeSeriesOps.asofJoin(
         left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = true)
