@@ -213,6 +213,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally { q.stop(); Dedup.unpersistIntermediates() }
   }
 
+  test("streaming cusum alarms match the batch prefix scan across batches") {
+    import graft.streaming.StreamingDetect
+    import graft.streaming.StreamingDetect.SeriesRow
+    // level shift at t=20 on stream 1; flat-low stream 2 never alarms
+    val rows = (0L until 40L).map { t =>
+      SeriesRow(1L, t, t, if (t < 20) 5.0 + (t % 3) else 15.0 + (t % 3))
+    } ++ (0L until 40L).map(t => SeriesRow(2L, t, t, 1.0))
+    val in = MemoryStream[SeriesRow](spark)
+    val q = StreamingDetect.cusumStream(spark, in.toDS(), k = 8.0, h = 20.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      // split MID-SERIES so the state must carry g across batches
+      val (b1, b2) = rows.splitAt(30)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cusum_out")
+        .select("stream_id", "timestamp", "cusum")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = graft.query.TimeSeriesOps.cusum(
+          rows.toDS().toDF(), "stream_id", "timestamp", "event_id", "value",
+          k = 8.0, h = 20.0)
+        .select("stream_id", "timestamp", "cusum")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty && got.forall(_._1 == 1L))
+    } finally q.stop()
+  }
+
   test("streaming hygiene: stateless annotation matches the batch operators") {
     import graft.pipeline.{StreamingText, TextAnalysis}
     val in = MemoryStream[(Long, String)](spark)
