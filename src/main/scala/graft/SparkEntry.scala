@@ -592,6 +592,14 @@ object SparkEntry {
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)
     }),
 
+    // ---- Per-group heavy hitters: top-5 terms per source via the
+    //      k-bounded string top-k aggregate (≤ k entries per group per
+    //      partition cross the shuffle — never a vocabulary window sort)
+    "q_top_terms_by_source" -> ((s, dir) => {
+      TextAnalysis.topTermsByGroup(Tables.documents(s, dir), "source", "text", 5)
+        .orderBy("source", "rank")
+    }),
+
     // ---- Deterministic stratified sampling (md5 oracle family) --------
     "q_sample_stratified" -> ((s, dir) => {
       Splits.stratifiedSampleMd5(Tables.documents(s, dir), "doc_id", "lang",
@@ -2340,6 +2348,22 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
         |FROM tk JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_top_terms_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE term <> '' GROUP BY source, term
+        |), r AS (
+        |  SELECT source, term, cnt,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                                 ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |  FROM tc
+        |)
+        |SELECT source, rank, term, cnt FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     // bigrams via the 2-slice comprehension (duplicates KEPT — each
     // occurrence is scored); c1 folds from the bigram table so the

@@ -111,6 +111,11 @@ object GraftExtensions {
               s"md5Family must be a boolean literal, got $other")
           })),
     (
+      FunctionIdentifier("topk_counted"),
+      info("topk_counted", "topk_counted(cnt, value, k) - k best (cnt desc, value asc) counted strings"),
+      (exprs: Seq[Expression]) =>
+        TopKCountedAggregate(exprs.head, exprs(1), intArg(exprs(2), "k"))),
+    (
       FunctionIdentifier("bitmap_or"),
       info("bitmap_or", "bitmap_or(positions, m) - OR-fold bit positions into one m-bit bitmap"),
       (exprs: Seq[Expression]) =>

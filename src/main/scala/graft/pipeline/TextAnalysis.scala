@@ -245,6 +245,34 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
 
+  /** Top-k vocabulary terms PER GROUP (per source / language / domain —
+    * the corpus-card building block). Term counts fold with map-side
+    * combine; the per-group ranking is the k-bounded
+    * [[graft.functions.TopKCountedAggregate]] — each partition ships at
+    * most k entries per group, instead of a `row_number` window sorting
+    * the full (group × vocabulary) count table. Output: (groupCol, rank,
+    * term, cnt), rank 1-based on (cnt DESC, term ASC) — exact integers,
+    * deterministic on any engine.
+    */
+  def topTermsByGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKCountedAggregate
+        .topKCounted(col("cnt"), col("term"), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__i", "__t")))
+      .select(
+        col(groupCol),
+        (col("__i") + 1).cast("int").as("rank"),
+        col("__t.value").as("term"),
+        col("__t.cnt").as("cnt"))
+
   // ---- PII scan / redaction --------------------------------------------
   // Regex-based PII hygiene for training corpora. Patterns are kept to the
   // common syntax subset of java.util.regex (Spark) and RE2 (DuckDB

@@ -93,4 +93,42 @@ class TopKPairsSpec extends SparkSpec {
         s"parts=$parts")
     }
   }
+
+  test("topk_counted (string twin): equals the window rank at any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // engineered ties: many terms share counts, tie-break is term ASC
+    val rows = for {
+      g <- 0 until 4; i <- 0 until 300
+    } yield (s"g$g", s"t${(i * 31) % 40}", ((i * 7) % 5 + 1).toLong)
+    val df0 = rows.toDF("g", "term", "w")
+    // per-(g, term) counts (weights summed) — the aggregate's input shape
+    val counts = df0.groupBy("g", "term").agg(sum("w").as("cnt"))
+    def viaAgg(parts: Int) = counts.repartition(parts)
+      .groupBy("g")
+      .agg(graft.functions.TopKCountedAggregate
+        .topKCounted(col("cnt"), col("term"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("g"), (col("i") + 1).as("rank"), col("t.value"), col("t.cnt"))
+      .as[(String, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaWin = {
+      import org.apache.spark.sql.expressions.Window
+      counts.withColumn("rank",
+          row_number().over(Window.partitionBy("g")
+            .orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rank") <= 5)
+        .select(col("g"), col("rank"), col("term"), col("cnt"))
+        .as[(String, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    for (parts <- Seq(1, 7)) assert(viaAgg(parts) === viaWin, s"parts=$parts")
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    counts.createOrReplaceTempView("tc_sql")
+    val viaSql = spark.sql(
+      "SELECT g, topk_counted(cnt, term, 5) AS top FROM tc_sql GROUP BY g")
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.value"), col("t.cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(viaSql === viaWin.map(r => (r._1, r._3, r._4)).toSet)
+  }
 }
