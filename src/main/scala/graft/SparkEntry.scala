@@ -750,6 +750,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Rank normalization: metric -> [0,1] by global position in
+    //      (metric, id) order, via the two-phase distributed scan (the
+    //      quantile-normalize step before cross-source score mixing) ---
+    "q_rank_norm" -> ((s, dir) => {
+      Splits.rankNormalize(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- Deterministic corpus shuffle: global training-order positions
     //      by hash-of-id, via the two-phase parallel prefix scan (md5
     //      oracle family; xxhash64 production twin bridged in SplitsSpec)
@@ -2455,6 +2465,16 @@ object SparkEntry {
         |WHERE CAST(n_bpe_tokens AS DOUBLE) >=
         |      (SELECT CAST(sum(n_bpe_tokens) AS DOUBLE) / count(*) FROM q)
         |ORDER BY doc_id""".stripMargin,
+
+    // row_number (not percent_rank): ties order by doc_id — the same
+    // unique total order the distributed scan produces
+    "q_rank_norm" ->
+      """SELECT doc_id, n_chars,
+        |       CASE WHEN (SELECT count(*) FROM documents) = 1 THEN 0.0
+        |            ELSE CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+        |                 / ((SELECT count(*) FROM documents) - 1)
+        |       END AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_order" ->
       """SELECT doc_id,

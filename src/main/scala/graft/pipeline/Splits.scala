@@ -258,6 +258,42 @@ object Splits {
   private def hex60(salt: String, key: Column): Column =
     lpad(lower(hex(shiftrightunsigned(xxhash64(lit(salt), key), 4))), 15, "0")
 
+  /** Rank-normalize an integer metric to [0, 1]: append
+    * `pct_rank = pos / (n − 1)` where pos is the row's 0-based position
+    * in (metric ASC, id ASC) order — the quantile-normalization step
+    * before mixing quality scores from different sources onto one scale
+    * (a raw score distribution is source-specific; its rank transform is
+    * not). Ties order by id, so the transform is a deterministic total
+    * order on any engine (`row_number`, not `percent_rank`'s tie-sharing
+    * — which would be engine-stable too, but loses uniqueness).
+    *
+    * Like [[shuffleOrder]] this is the two-phase distributed scan, not a
+    * `row_number() OVER (ORDER BY metric)` single-task sort: metrics are
+    * embedded into a fixed-width sortable key (value biased by 2^62 →
+    * zero-padded decimal; metrics must exceed −2^62), range-partitioned,
+    * and positioned via per-partition offsets. n arrives as a broadcast
+    * scalar; the two divisions are single IEEE ops. A single-row corpus
+    * normalizes to 0.0.
+    */
+  def rankNormalize(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
+    val Bias = 4611686018427387904L // 2^62
+    val keyed = df.withColumn(
+        "__ord",
+        concat(
+          lpad((col(metricCol).cast("long") + Bias).cast("string"), 20, "0"),
+          lit("-"),
+          lpad(col(idCol).cast("string"), 20, "0")))
+      .withColumn("__one", lit(1L))
+    val n = df.agg(count(lit(1)).as("__n"))
+    Packing.withPrefixSum(keyed, "__ord", "__one", "__pos1")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "pct_rank",
+        when(col("__n") === 1L, lit(0.0)).otherwise(
+          (col("__pos1") - 1L).cast("double") / (col("__n") - 1L)))
+      .drop("__ord", "__one", "__pos1", "__n")
+  }
+
   private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =
     Packing.withPrefixSum(
         df.withColumn(

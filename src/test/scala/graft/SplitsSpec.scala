@@ -211,4 +211,27 @@ class SplitsSpec extends SparkSpec {
       (2L, 0L, 2L, "x y"),
       (3L, 0L, 3L, "p q r"), (3L, 1L, 3L, "r s t"), (3L, 2L, 2L, "t u")))
   }
+
+  test("rankNormalize equals the window form, invariant to partitioning") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // negative metrics + deep ties: key bias and id tie-break both matter
+    val rows = (0L until 97L).map(i => (i, (i % 7) - 3))
+    val df = rows.toDF("id", "m")
+    val expect = df.withColumn("pct_rank",
+        (row_number().over(Window.orderBy(col("m"), col("id"))) - 1)
+          .cast("double") / lit(96L))
+      .select("id", "m", "pct_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    for (parts <- Seq(1, 5)) {
+      val got = graft.pipeline.Splits.rankNormalize(df.repartition(parts), "id", "m")
+        .select("id", "m", "pct_rank")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+    // degenerate single row -> 0.0
+    val one = Seq((7L, 42L)).toDF("id", "m")
+    assert(graft.pipeline.Splits.rankNormalize(one, "id", "m")
+      .select("pct_rank").as[Double].head() === 0.0)
+  }
 }
