@@ -78,6 +78,24 @@ object SparkEntry {
       |       CAST(value AS DOUBLE) AS value, props
       |FROM events""".stripMargin
 
+  /** Shared by q_decontaminate and q_decontaminate_hybrid — the hybrid
+    * path is output-identical to the exact form by construction.
+    */
+  private val DecontaminateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |), tr AS (
+      |  SELECT doc_id, unnest(g) AS s FROM t WHERE doc_id % 10 <> 0
+      |), be AS (
+      |  SELECT doc_id AS bid, unnest(g) AS s FROM t WHERE doc_id % 10 = 0
+      |)
+      |SELECT tr.doc_id, count(DISTINCT s) AS n_ngrams, count(DISTINCT bid) AS n_bench_docs
+      |FROM tr JOIN be USING (s)
+      |GROUP BY tr.doc_id
+      |ORDER BY tr.doc_id""".stripMargin
+
   private def oracleEventsWindow: String =
     s"""SELECT * FROM ($OracleEvents) WHERE "timestamp" BETWEEN $Start AND $Stop"""
 
@@ -678,6 +696,20 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", 3, mBits = 1 << 20, kHashes = 4, md5Family = true)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Hybrid decontamination: bloom prefilter -> exact join on the
+    //      flagged slice. Output (and ORACLE) identical to
+    //      q_decontaminate — the bloom never misses, so the prefilter is
+    //      lossless; the exact stage removes its false positives -------
+    "q_decontaminate_hybrid" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateHybrid(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 3,
+          maxMatches = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("doc_id")
     }),
 
@@ -2198,20 +2230,11 @@ object SparkEntry {
     // gate counts distinct shingle HASHES, oracle distinct shingle STRINGS
     // — equal while hashing is injective on the corpus (q_dedup_ngram
     // convention)
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |), tr AS (
-        |  SELECT doc_id, unnest(g) AS s FROM t WHERE doc_id % 10 <> 0
-        |), be AS (
-        |  SELECT doc_id AS bid, unnest(g) AS s FROM t WHERE doc_id % 10 = 0
-        |)
-        |SELECT tr.doc_id, count(DISTINCT s) AS n_ngrams, count(DISTINCT bid) AS n_bench_docs
-        |FROM tr JOIN be USING (s)
-        |GROUP BY tr.doc_id
-        |ORDER BY tr.doc_id""".stripMargin,
+    "q_decontaminate" -> DecontaminateOracle,
+
+    // the hybrid path is output-identical to the exact form by
+    // construction (lossless bloom prefilter) — same oracle
+    "q_decontaminate_hybrid" -> DecontaminateOracle,
 
     // the dup-span machinery with the flag set = the bench corpus's
     // DISTINCT grams; inner join vs cov == the cont_tokens > 0 filter

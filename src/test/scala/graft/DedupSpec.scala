@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec {
       assert(cov(id)._2 + clean(id)._2 === cov(id)._1)
   }
 
+  test("decontaminateHybrid output is identical to the exact join") {
+    val bench = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "what is the capital of france is it paris"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely unrelated words here and more of them"),
+      (3L, "capital of france is paris"),
+      (4L, "short doc"),
+      (5L, "yet another clean document about something else"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hybrid = Dedup.decontaminateHybrid(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(hybrid === exact)
+    assert(exact.map(_.head) === Seq(1L, 3L))
+    Dedup.unpersistIntermediates()
+  }
+
   test("ngram maxCandidates budget fails fast on dense vocab, passes under") {
     // corpus is tiny: its true candidate volume is a handful of pairs, so
     // budget=1 must abort pre-shuffle and a loose budget must be silent
