@@ -32,6 +32,110 @@ object StreamingDetect {
     */
   final case class CusumState(g: Long)
 
+  // ---- Holt-Winters forecast-deviation detector ------------------------
+
+  /** Double-exponential-smoothing state: level, trend, smoothed absolute
+    * deviation, rows seen. A genuinely SEQUENTIAL recursion (unlike
+    * CUSUM it does not reduce to a prefix scan — level and trend feed
+    * back multiplicatively), so the batch form is a per-series fold too;
+    * batch and stream share [[hwStep]] literally, which is the
+    * agreement proof.
+    */
+  final case class HwState(level: Double, trend: Double, dev: Double, n: Long)
+
+  final case class HwAlarm(
+      stream_id: Long, timestamp: Long, event_id: Long, value: Double,
+      forecast: Double, deviation: Double)
+
+  /** One Holt-Winters step: forecast from the current state, then update
+    * level/trend (Holt's linear method) and the smoothed absolute
+    * deviation (the netevmon-style adaptive confidence band). Returns
+    * (nextState, alarm?) — an alarm when the row had ≥ minN history and
+    * |value − forecast| > m × smoothed deviation.
+    */
+  private def hwStep(
+      st: HwState, r: SeriesRow,
+      alpha: Double, beta: Double, gamma: Double, m: Double, minN: Long,
+      minDev: Double): (HwState, Option[HwAlarm]) = {
+    if (st.n == 0L)
+      return (HwState(r.value, 0.0, minDev, 1L), None)
+    val forecast = st.level + st.trend
+    val err = r.value - forecast
+    val alarm =
+      if (st.n >= minN && math.abs(err) > m * math.max(st.dev, minDev))
+        Some(HwAlarm(r.stream_id, r.timestamp, r.event_id, r.value,
+          forecast, math.abs(err)))
+      else None
+    val level = alpha * r.value + (1.0 - alpha) * (st.level + st.trend)
+    val trend = beta * (level - st.level) + (1.0 - beta) * st.trend
+    val dev = gamma * math.abs(err) + (1.0 - gamma) * st.dev
+    (HwState(level, trend, dev, st.n + 1L), alarm)
+  }
+
+  /** Streaming Holt-Winters detector: per-series O(1) state (4 numbers),
+    * alarms when the observation leaves the adaptive band
+    * |value − (level+trend)| > m·dev. Rows are processed in
+    * (timestamp, tie) order per batch; cross-batch order is the
+    * upstream gate's contract (same as [[cusumStream]]). Not
+    * oracle-checked — the recursion is float-sequential by nature — but
+    * [[holtWintersBatch]] runs the IDENTICAL step function, and the
+    * spec pins stream(splits) == batch.
+    */
+  def holtWintersStream(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3,
+      m: Double = 4.0,
+      minN: Long = 10L,
+      minDev: Double = 1e-9): Dataset[HwAlarm] = {
+    import spark.implicits._
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[SeriesRow], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(HwState(0.0, 0.0, 0.0, 0L))
+          val out = Vector.newBuilder[HwAlarm]
+          it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+            val (next, alarm) = hwStep(st, r, alpha, beta, gamma, m, minN, minDev)
+            st = next
+            alarm.foreach(out += _)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Batch Holt-Winters: the same per-series fold over sorted history
+    * (one task per series — the irreducible shape of a feedback
+    * recursion; parallelism comes from series cardinality, the nntsc
+    * layout). Shares [[hwStep]] with the stream form.
+    */
+  def holtWintersBatch(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3,
+      m: Double = 4.0,
+      minN: Long = 10L,
+      minDev: Double = 1e-9): Dataset[HwAlarm] = {
+    import spark.implicits._
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroups { (sid: Long, it: Iterator[SeriesRow]) =>
+        var st = HwState(0.0, 0.0, 0.0, 0L)
+        val out = Vector.newBuilder[HwAlarm]
+        it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+          val (next, alarm) = hwStep(st, r, alpha, beta, gamma, m, minN, minDev)
+          st = next
+          alarm.foreach(out += _)
+        }
+        out.result().iterator
+      }
+  }
+
   /** Streaming one-sided CUSUM: g ← max(0, g + (q − k·quant)) per
     * arriving row, alarm when g ≥ h·quant. Identical arithmetic to the
     * batch prefix-scan form — quantized longs, no floats — so batch

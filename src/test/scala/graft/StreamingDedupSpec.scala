@@ -242,6 +242,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holt-winters: stream across splits == batch fold; trend break alarms") {
+    import graft.streaming.StreamingDetect
+    import graft.streaming.StreamingDetect.SeriesRow
+    // stream 1: clean rising trend (2/step) that BREAKS at t=30 (jump);
+    // stream 2: noiseless trend throughout — never alarms after warmup
+    val rows = (0L until 50L).map { t =>
+      SeriesRow(1L, t, t, if (t < 30) 10.0 + 2.0 * t else 200.0 + 2.0 * t)
+    } ++ (0L until 50L).map(t => SeriesRow(2L, t, t, 5.0 + 1.5 * t))
+    val batch = StreamingDetect.holtWintersBatch(spark, rows.toDS())
+      .collect().sortBy(a => (a.stream_id, a.timestamp)).toSeq
+    // the break is caught at t=30 on stream 1 only
+    assert(batch.nonEmpty && batch.forall(_.stream_id == 1L))
+    assert(batch.head.timestamp === 30L)
+
+    val in = MemoryStream[SeriesRow](spark)
+    val q = StreamingDetect.holtWintersStream(spark, in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hw_out").start()
+    try {
+      val (b1, b2) = rows.splitAt(40) // split mid-series: state must carry
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("hw_out")
+        .as[StreamingDetect.HwAlarm].collect()
+        .sortBy(a => (a.stream_id, a.timestamp)).toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming hygiene: stateless annotation matches the batch operators") {
     import graft.pipeline.{StreamingText, TextAnalysis}
     val in = MemoryStream[(Long, String)](spark)
