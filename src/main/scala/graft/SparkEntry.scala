@@ -1189,6 +1189,17 @@ object SparkEntry {
         .orderBy("stream_id", "timestamp", "event_id")
     }),
 
+    // ---- Plateau detection: maximal runs at/above a level, >= minRun
+    //      rows, via the gaps-and-islands row_number identity ----------
+    "q_plateau" -> ((s, dir) => {
+      TimeSeriesOps.plateaus(
+          Tables.tsEvents(s, dir)
+            .select("stream_id", "timestamp", "event_id", "value"),
+          "stream_id", "timestamp", "event_id", "value",
+          level = 100.0, minRun = 2)
+        .orderBy("stream_id", "t_start")
+    }),
+
     // ---- CUSUM changepoint detection: the sequential recursion as a
     //      relational prefix scan (g = S − running-min S); EXACT integer
     //      arithmetic end to end — no float reduction anywhere ---------
@@ -3030,6 +3041,27 @@ object SparkEntry {
          |FROM z
          |WHERE n >= 10 AND var > 0.0 AND abs(zscore) >= 2.5
          |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
+
+    "q_plateau" ->
+      s"""WITH e AS (
+         |  SELECT stream_id, "timestamp", event_id, value FROM ($OracleEvents)
+         |), q AS (
+         |  SELECT *, row_number() OVER (PARTITION BY stream_id
+         |                               ORDER BY "timestamp", event_id) AS rn
+         |  FROM e
+         |), f AS (
+         |  SELECT *, rn - row_number() OVER (PARTITION BY stream_id
+         |                                    ORDER BY "timestamp", event_id) AS isl
+         |  FROM q WHERE value >= 100.0
+         |)
+         |SELECT stream_id,
+         |       min("timestamp") AS t_start,
+         |       max("timestamp") AS t_end,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       max(value) AS peak
+         |FROM f GROUP BY stream_id, isl
+         |HAVING count(*) >= 2
+         |ORDER BY stream_id, t_start""".stripMargin,
 
     // the same scan identity: S = running sum of (q − k·quant), g = S −
     // min(running-min S, 0); all BIGINT — g/quant is the only double

@@ -179,6 +179,46 @@ object TimeSeriesOps {
         (col("__g").cast("double") / lit(quant)).as("cusum"))
   }
 
+  /** Plateau detection per series: maximal runs of consecutive
+    * observations at-or-above `level` lasting at least `minRun` rows —
+    * the sustained-elevation detector (a latency plateau, a stuck
+    * gauge) next to [[cusum]]'s level-shift detector. The run grouping
+    * is the classic gaps-and-islands identity: within a series ordered
+    * by (ts, tie), `island = row_number() − row_number-among-qualifying`
+    * is constant exactly on each maximal qualifying run. One row per
+    * plateau: (series, t_start, t_end, n_rows, peak).
+    *
+    * Exactness is trivial — the threshold test and both row numbers are
+    * integers; t_start/t_end/n_rows/peak are plain aggregates of input
+    * values. Same scale shape as the other detectors: one shuffle by
+    * series, per-partition window sort, then a map-side-combined
+    * aggregation on (series, island).
+    */
+  def plateaus(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      level: Double,
+      minRun: Int): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val wAll = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    val qualifying = df.withColumn("__rn", row_number().over(wAll))
+      .filter(col(valueCol) >= level)
+    val wQual = Window.partitionBy(seriesCol).orderBy(col(tsCol), col(tieCol))
+    qualifying
+      .withColumn("__island", col("__rn") - row_number().over(wQual))
+      .groupBy(col(seriesCol), col("__island"))
+      .agg(
+        min(col(tsCol)).as("t_start"),
+        max(col(tsCol)).as("t_end"),
+        count(lit(1)).as("n_rows"),
+        max(col(valueCol)).as("peak"))
+      .filter(col("n_rows") >= minRun)
+      .select(col(seriesCol), col("t_start"), col("t_end"), col("n_rows"), col("peak"))
+  }
+
   def rollingZScore(
       df: DataFrame,
       seriesCol: String,

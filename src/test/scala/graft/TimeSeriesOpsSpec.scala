@@ -141,6 +141,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(expect.keys.min >= 20L && expect.nonEmpty)
   }
 
+  test("plateaus: maximal runs only, boundaries exact, sub-minRun dropped") {
+    val rows = Seq(
+      // stream 1: runs [2..4] (len 3), [7] (len 1, dropped), [9..10] (len 2)
+      (1L, 0L, 0L, 1.0), (1L, 1L, 1L, 2.0), (1L, 2L, 2L, 9.0),
+      (1L, 3L, 3L, 8.5), (1L, 4L, 4L, 7.0), (1L, 5L, 5L, 1.0),
+      (1L, 6L, 6L, 2.0), (1L, 7L, 7L, 9.9), (1L, 8L, 8L, 0.5),
+      (1L, 9L, 9L, 7.5), (1L, 10L, 10L, 8.0),
+      // stream 2: everything below level
+      (2L, 0L, 0L, 1.0), (2L, 1L, 1L, 2.0))
+      .toDF("stream_id", "timestamp", "event_id", "value")
+    val got = TimeSeriesOps.plateaus(
+        rows, "stream_id", "timestamp", "event_id", "value",
+        level = 7.0, minRun = 2)
+      .orderBy("stream_id", "t_start")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 4L, 3L, 9.0),
+      (1L, 9L, 10L, 2L, 8.0)))
+  }
+
   test("asof left-outer keeps unmatched left rows with NULLs") {
     val out = TimeSeriesOps.asofJoin(
         left, right, Seq("stream_id"), "timestamp", Seq("price"), leftOuter = true)
