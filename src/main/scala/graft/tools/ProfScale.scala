@@ -176,6 +176,27 @@ object ProfScale {
           Similarity.randomProjection(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
 
+      case "detect" =>
+        // series detectors: shuffle-by-series + per-partition window sort
+        val ev = Tables.tsEvents(spark, sfDir)
+          .select("stream_id", "timestamp", "event_id", "value")
+        timed("rolling_zscore")(sink(
+          graft.query.TimeSeriesOps.rollingZScore(
+            ev, "stream_id", "timestamp", "event_id", "value", 20, 10, 2.5)))
+        timed("cusum")(sink(
+          graft.query.TimeSeriesOps.cusum(
+            ev, "stream_id", "timestamp", "event_id", "value", 60.0, 500.0)))
+        timed("plateaus")(sink(
+          graft.query.TimeSeriesOps.plateaus(
+            ev, "stream_id", "timestamp", "event_id", "value", 100.0, 2)))
+        timed("rank_normalize")(sink(
+          graft.pipeline.Splits.rankNormalize(
+            Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
+            "doc_id", "n_chars")))
+        timed("top_terms_by_source")(sink(
+          TextAnalysis.topTermsByGroup(
+            Tables.documents(spark, sfDir), "source", "text", 5)))
+
       case other => sys.error(s"unknown section: $other")
     }
     spark.stop()
