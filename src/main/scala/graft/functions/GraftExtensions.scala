@@ -30,6 +30,26 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Numeric literal as Double — SQL literals arrive as Int, Long,
+    * Double, or Decimal (the parser's default for `1000000.0`)
+    * depending on the written form.
+    */
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("smoke"),
@@ -86,30 +106,14 @@ object GraftExtensions {
       info("outer_product", "outer_product(vec, d, quant) - exact quantized second-moment sums [n, sums, upper-triangle products]"),
       (exprs: Seq[Expression]) =>
         OuterProductAggregate(
-          exprs.head, intArg(exprs(1), "dims"),
-          exprs(2) match {
-            // SQL numeric literals arrive as Int, Decimal (the parser's
-            // default for `1000000.0`), or Double depending on the form
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
-            case org.apache.spark.sql.catalyst.expressions.Literal(
-              v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
-            case other => throw new IllegalArgumentException(
-              s"quant must be a numeric literal, got $other")
-          })),
+          exprs.head, intArg(exprs(1), "dims"), doubleArg(exprs(2), "quant"))),
     (
       FunctionIdentifier("bloom_ngram_positions"),
       info("bloom_ngram_positions", "bloom_ngram_positions(text, n, m, k, md5) - bloom probe positions of distinct word n-grams"),
       (exprs: Seq[Expression]) =>
         BloomNgramPositions(
           exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "mBits"),
-          intArg(exprs(3), "kHashes"),
-          exprs(4) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
-            case other => throw new IllegalArgumentException(
-              s"md5Family must be a boolean literal, got $other")
-          })),
+          intArg(exprs(3), "kHashes"), boolArg(exprs(4), "md5Family"))),
     (
       FunctionIdentifier("topk_counted"),
       info("topk_counted", "topk_counted(cnt, value, k) - k best (cnt desc, value asc) counted strings"),

@@ -55,7 +55,7 @@ case class TopKCountedAggregate(
   override def prettyName: String = "topk_counted"
 
   @inline private def beats(ac: Long, av: String, bc: Long, bv: String): Boolean =
-    ac > bc || (ac == bc && av.compareTo(bv) < 0)
+    ac > bc || (ac == bc && TopKCountedAggregate.codePointCompare(av, bv) < 0)
 
   private val ord: Ordering[(Long, String)] =
     (a: (Long, String), b: (Long, String)) =>
@@ -139,6 +139,29 @@ case class TopKCountedAggregate(
 }
 
 object TopKCountedAggregate {
+
+  /** Code-point order — identical to the UTF-8 BYTE order Spark's
+    * UTF8String and DuckDB's ORDER BY use, which java.lang.String's
+    * UTF-16 compareTo is NOT: code points in [U+E000, U+FFFF] compare
+    * ABOVE supplementary characters (≥ U+10000, stored as surrogates
+    * 0xD800+) under UTF-16 code units, inverting the cross-engine
+    * tie-break. Allocation-free walk; unpaired surrogates (invalid
+    * text, unrepresentable in UTF-8 anyway) compare by their surrogate
+    * value.
+    */
+  private[functions] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** `topk_counted(cnt, value, k)` → best-first
     * `array<struct<value string, cnt bigint>>` under (cnt DESC, value ASC).
     */

@@ -36,7 +36,20 @@ object Packing {
       orderCol: String,
       valueCol: String,
       outCol: String,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    withPrefixSumTotal(df, orderCol, valueCol, outCol, numPartitions)._1
+
+  /** [[withPrefixSum]], also returning the GRAND TOTAL of `valueCol` —
+    * already known from the per-partition sums the scan collects, so a
+    * caller that needs n (rank normalization) does not pay a separate
+    * counting pass over the corpus.
+    */
+  def withPrefixSumTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      numPartitions: Option[Int] = None): (DataFrame, Long) = {
     val spark = df.sparkSession
     val ranged = numPartitions
       .map(n => df.repartitionByRange(n, col(orderCol)))
@@ -54,13 +67,14 @@ object Packing {
       .zip(partSums.scanLeft(0L)(_ + _._2).init)
     val offDf = broadcast(
       spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
-    ranged
+    val out = ranged
       .join(offDf, "__pid")
       .withColumn(
         outCol,
         col("__off") +
           sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(orderCol)))
       .drop("__pid", "__off")
+    (out, partSums.map(_._2).sum)
   }
 
   /** Pack documents into `budget`-token bins: bin = the context window the

@@ -277,21 +277,33 @@ object Splits {
     */
   def rankNormalize(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
     val Bias = 4611686018427387904L // 2^62
+    // domain guard: outside (−2^62, 2^62) the bias wraps and the
+    // zero-padded key inverts the order SILENTLY (2^62 would become
+    // Long.MinValue, whose '-' prefix sorts first) — refuse loudly.
+    // One codegen'd compare per row; real metrics (counts, lengths,
+    // scores) sit many orders of magnitude inside the bound.
+    val m = col(metricCol).cast("long")
+    val guarded = when(m >= Bias || m <= -Bias,
+      raise_error(concat(
+        lit(s"rankNormalize: $metricCol out of (-2^62, 2^62): "),
+        m.cast("string"))))
+      .otherwise(m)
     val keyed = df.withColumn(
         "__ord",
         concat(
-          lpad((col(metricCol).cast("long") + Bias).cast("string"), 20, "0"),
+          lpad((guarded + Bias).cast("string"), 20, "0"),
           lit("-"),
           lpad(col(idCol).cast("string"), 20, "0")))
       .withColumn("__one", lit(1L))
-    val n = df.agg(count(lit(1)).as("__n"))
-    Packing.withPrefixSum(keyed, "__ord", "__one", "__pos1")
-      .crossJoin(broadcast(n))
+    // n falls out of the prefix scan's per-partition sums — no separate
+    // counting pass over the corpus
+    val (pos, n) = Packing.withPrefixSumTotal(keyed, "__ord", "__one", "__pos1")
+    pos
       .withColumn(
         "pct_rank",
-        when(col("__n") === 1L, lit(0.0)).otherwise(
-          (col("__pos1") - 1L).cast("double") / (col("__n") - 1L)))
-      .drop("__ord", "__one", "__pos1", "__n")
+        if (n == 1L) lit(0.0)
+        else (col("__pos1") - 1L).cast("double") / lit((n - 1L).toDouble))
+      .drop("__ord", "__one", "__pos1")
   }
 
   private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =

@@ -495,15 +495,20 @@ object TextAnalysis {
     require(topK >= 1, "topK must be >= 1")
     require(queryTerms.forall(_.nonEmpty), "query terms must be non-empty strings")
     val toks = tokens(col(textCol))
-    // dl map-only (no explode): count of non-empty tokens per document.
-    // After trim, split only produces an empty token for empty/blank
-    // text ([""]), so the count is a codegen'd size() behind one guard —
-    // NOT a higher-order filter() lambda, which is CodegenFallback and
-    // costs ~0.4 ms/doc interpreted (the WordNgrams lesson)
+    // dl map-only (no explode): count of non-empty tokens per document,
+    // as codegen'd arithmetic — NOT a higher-order filter() lambda,
+    // which is CodegenFallback and costs ~0.4 ms/doc interpreted (the
+    // WordNgrams lesson). Spark's trim strips only 0x20 spaces, so a
+    // tab/newline-edged text keeps ONE leading "" token after split
+    // (Java split drops trailing empties and interior \s+ runs collapse
+    // — position 0 is the only place an empty can appear; the DedupSpec
+    // tokenizer-edge cases pin this), and blank/empty text is [""]:
+    // both cases reduce to "subtract 1 when the first token is empty"
     val dl = df.select(
       col(idCol),
-      when(length(trim(col(textCol))) === 0, lit(0L))
-        .otherwise(size(toks).cast("long")).as("__dl"))
+      (size(toks).cast("long") -
+        when(element_at(toks, 1) === "", lit(1L)).otherwise(lit(0L)))
+        .as("__dl"))
     val stats = dl.agg(
       count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))

@@ -45,7 +45,11 @@ object Layout {
     date_format(
       date_add(
         lit("1970-01-01").cast("date"),
-        expr("timestamp div 86400").cast("int")),
+        // FLOOR division: `div` truncates toward zero, which would
+        // mislabel every pre-1970 timestamp by one day (-1s is
+        // 1969-12-31, not 1970-01-01) — shifting those rows against
+        // both the old date_format labels and Retention's cutoffs
+        expr("(timestamp - pmod(timestamp, 86400)) div 86400").cast("int")),
       "yyyyMMdd")
 
   /** Write a data frame (stream_id, timestamp, metrics…) into the layout. */

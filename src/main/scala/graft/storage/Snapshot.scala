@@ -198,8 +198,24 @@ object Snapshot {
         val expiry = f.getName.split("_")(1).toLong
         if (expiry <= nowMs) f.delete() // clean expiry
         else {
-          val snap = LayoutSnapshot.fromToken(
-            java.nio.file.Files.readString(f.toPath))
+          // a transient READ failure (disk hiccup, interrupt, fd
+          // exhaustion) on a healthy pin must neither delete it NOR let
+          // this GC consult run without its exclusions — either way the
+          // next destructive pass could reap data a live snapshot still
+          // references. Rethrow: the caller's maintenance cycle aborts
+          // and retries next round (transient errors self-heal; only a
+          // read that SUCCEEDED but does not parse is a corrupt pin,
+          // and only THAT repeats every cycle — the wedge the delete
+          // below exists for).
+          val token =
+            try java.nio.file.Files.readString(f.toPath)
+            catch {
+              case io: java.io.IOException =>
+                throw new java.io.IOException(
+                  s"pin ${f.getName} unreadable (transient?) — " +
+                    "aborting this GC consult, pins kept", io)
+            }
+          val snap = LayoutSnapshot.fromToken(token)
           acc = PinnedSources(
             acc.msets ++ snap.gen.map(_._1),
             acc.csets ++ snap.csets,
@@ -207,6 +223,7 @@ object Snapshot {
             acc.days ++ snap.sourceDays.values.flatten)
         }
       } catch {
+        case io: java.io.IOException => throw io
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[snapshot] dropping malformed pin ${f.getName}: ${e.getMessage}")

@@ -35,6 +35,28 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("sbucket"))
   }
 
+  test("dayCol floor-divides: pre-1970 timestamps label the PREVIOUS day (r10 review)") {
+    // `div` truncates toward zero: -1s would label 19700101 instead of
+    // 19691231, shifting every negative-epoch row against both the old
+    // date_format labels and Retention's string cutoffs
+    val got = Seq(
+        (1L, -1L), (2L, -86400L), (3L, -86401L), (4L, 0L), (5L, 86399L),
+        (6L, 86400L))
+      .toDF("stream_id", "timestamp")
+      .withColumn("day", Layout.dayCol)
+      .select("stream_id", "day").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "19691231", 2L -> "19691231", 3L -> "19691230",
+      4L -> "19700101", 5L -> "19700101", 6L -> "19700102"))
+    // parity with the tz-free reference: date_format over UTC timestamps
+    val ref = spark.conf.get("spark.sql.session.timeZone")
+    assert(ref === "UTC")
+    val viaFormat = Seq((-1L, 0L)).toDF("timestamp", "x")
+      .select(date_format(timestamp_seconds(col("timestamp")), "yyyyMMdd"))
+      .as[String].head()
+    assert(viaFormat === "19691231")
+  }
+
   test("int-typed stream_id buckets agree with streamPredicate (r10 review)") {
     // collection data tables carry stream_id as INT (CollectionSpec
     // reference parity; Catalog casts allocations to int), and Spark's

@@ -205,6 +205,24 @@ class SnapshotSpec extends SparkSpec {
       .count() >= 1)
   }
 
+  test("transient pin READ failure aborts the GC consult, never deletes the pin") {
+    // a directory named like a pin makes Files.readString throw
+    // IOException ("Is a directory") — the stand-in for a disk hiccup on
+    // a HEALTHY pin. That must abort activePins (caller retries next
+    // cycle), NOT silently drop the pin: deleting it would let the next
+    // destructive pass reap data a live snapshot still references.
+    val dir = tmpDir()
+    val pinsDir = new java.io.File(s"$dir/layout", "_pins")
+    pinsDir.mkdirs()
+    val farFuture = System.currentTimeMillis() + 10 * 60 * 1000L
+    val unreadable = new java.io.File(pinsDir, s"pin_${farFuture}_hiccup")
+    unreadable.mkdirs()
+    intercept[java.io.IOException] {
+      Snapshot.activePins(s"$dir/layout")
+    }
+    assert(unreadable.exists, "the unreadable pin must be KEPT")
+  }
+
   test("registered pin defers retention's physical day deletion until TTL") {
     val dir = tmpDir()
     val spec = Collections.ampExternal

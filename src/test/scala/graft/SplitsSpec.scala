@@ -233,5 +233,12 @@ class SplitsSpec extends SparkSpec {
     val one = Seq((7L, 42L)).toDF("id", "m")
     assert(graft.pipeline.Splits.rankNormalize(one, "id", "m")
       .select("pct_rank").as[Double].head() === 0.0)
+    // out-of-domain metric (>= 2^62) fails LOUDLY instead of silently
+    // inverting the key order (r10 review: the bias would wrap)
+    val big = Seq((1L, 4611686018427387904L), (2L, 1L)).toDF("id", "m")
+    val e = intercept[Exception] {
+      graft.pipeline.Splits.rankNormalize(big, "id", "m").collect()
+    }
+    assert(e.getMessage != null)
   }
 }

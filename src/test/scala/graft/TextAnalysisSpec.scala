@@ -198,10 +198,13 @@ class TextAnalysisSpec extends SparkSpec {
   test("bm25TopK ranks by hand-computed BM25 scores; log-idf twin agrees") {
     import spark.implicits._
     // 4 docs, query = {x, y}: doc 1 heavy in x, doc 2 has both terms,
-    // doc 3 long with one y, doc 4 matches nothing
+    // doc 3 long with one y, doc 4 matches nothing. Doc 2 is TAB-edged:
+    // Spark's trim strips only spaces, so split keeps a leading ""
+    // token — dl must count 3 real tokens, not 4 (the r10-review bug:
+    // dl diverged from the oracle's empty-filtered count)
     val docs = Seq(
       (1L, "x x x a"),
-      (2L, "x y b"),
+      (2L, "\tx y b"),
       (3L, "y c c c c c c c"),
       (4L, "a b c"))
       .toDF("doc_id", "text")

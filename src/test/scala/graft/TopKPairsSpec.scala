@@ -94,6 +94,28 @@ class TopKPairsSpec extends SparkSpec {
     }
   }
 
+  test("topk_counted ties collate in UTF-8 byte order, not UTF-16 (r10 review)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // U+E000 (private use, BMP) vs U+10000 (supplementary): UTF-16
+    // code-unit order inverts these relative to the code-point/UTF-8
+    // order Spark's sort and DuckDB use
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uE000"
+    val counts = Seq(("g", supp, 5L), ("g", bmp, 5L), ("g", "zzz", 5L))
+      .toDF("g", "term", "cnt")
+    val viaAgg = counts
+      .groupBy("g")
+      .agg(graft.functions.TopKCountedAggregate
+        .topKCounted(col("cnt"), col("term"), 2).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.value"))
+      .as[String].collect().toSeq
+    val viaSort = counts.orderBy(col("cnt").desc, col("term"))
+      .select("term").as[String].collect().take(2).toSeq
+    assert(viaAgg === viaSort)
+    assert(viaAgg === Seq("zzz", bmp)) // code points 0x7A.. < 0xE000 < 0x10000
+  }
+
   test("topk_counted (string twin): equals the window rank at any partitioning") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
