@@ -610,6 +610,12 @@ object SparkEntry {
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)
     }),
 
+    // ---- Corpus card: per-source dataset-documentation summary -------
+    "q_corpus_card" -> ((s, dir) => {
+      TextAnalysis.corpusCard(Tables.documents(s, dir), "source", "text", "lang")
+        .orderBy("source")
+    }),
+
     // ---- Per-group heavy hitters: top-5 terms per source via the
     //      k-bounded string top-k aggregate (≤ k entries per group per
     //      partition cross the shuffle — never a vocabulary window sort)
@@ -2392,6 +2398,35 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
         |FROM tk JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // token counts mirror the engine's leading-empty-aware arithmetic
+    // (list_filter drops ALL empties; position 0 is the only one Java
+    // split can keep, so the counts coincide)
+    "q_corpus_card" ->
+      """WITH per AS (
+        |  SELECT source, lang,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS t,
+        |         CAST(length(text) AS BIGINT) AS c
+        |  FROM documents
+        |), base AS (
+        |  SELECT source,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(t) AS BIGINT) AS n_tokens,
+        |         CAST(sum(c) AS BIGINT) AS n_chars,
+        |         CAST(sum(t) AS DOUBLE) / count(*) AS mean_doc_tokens
+        |  FROM per GROUP BY source
+        |), lc AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM per GROUP BY source, lang
+        |), lt AS (
+        |  SELECT source, lang AS top_lang, cnt AS top_lang_docs,
+        |         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+        |  FROM lc
+        |)
+        |SELECT base.source, n_docs, n_tokens, n_chars, mean_doc_tokens,
+        |       top_lang, top_lang_docs
+        |FROM base JOIN lt ON base.source = lt.source AND lt.rn = 1
+        |ORDER BY base.source""".stripMargin,
 
     "q_top_terms_by_source" ->
       """WITH tok AS (

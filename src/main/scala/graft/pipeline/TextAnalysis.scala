@@ -273,6 +273,50 @@ object TextAnalysis {
         col("__t.value").as("term"),
         col("__t.cnt").as("cnt"))
 
+  /** Per-group corpus card — the dataset-documentation summary a mixture
+    * designer reads before setting weights: document count, token and
+    * character mass, mean document length, and the dominant language
+    * (mode by doc count, ties to the lexically-smallest code — the
+    * [[graft.functions.TopKCountedAggregate]] with k = 1, so the mode
+    * never window-sorts). Everything is exact integers plus one double
+    * division; token counts use the codegen'd leading-empty-aware
+    * arithmetic (the BM25 dl convention).
+    *
+    * Shape: one map-only projection, one map-side-combined agg per
+    * group, one tiny (group × lang) agg — two corpus-free shuffles of
+    * group-cardinality rows.
+    */
+  def corpusCard(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      langCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks).cast("long") -
+      when(element_at(toks, 1) === "", lit(1L)).otherwise(lit(0L))
+    val per = df.select(
+      col(groupCol),
+      col(langCol),
+      nToks.as("__t"),
+      length(col(textCol)).cast("long").as("__c"))
+    val base = per.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__t")).as("n_tokens"),
+      sum(col("__c")).as("n_chars"),
+      (sum(col("__t")).cast("double") / count(lit(1))).as("mean_doc_tokens"))
+    val langTop = per
+      .groupBy(col(groupCol), col(langCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKCountedAggregate
+        .topKCounted(col("__cnt"), col(langCol), 1).as("__top"))
+      .select(
+        col(groupCol),
+        col("__top").getItem(0).getField("value").as("top_lang"),
+        col("__top").getItem(0).getField("cnt").as("top_lang_docs"))
+    base.join(langTop, groupCol)
+  }
+
   // ---- PII scan / redaction --------------------------------------------
   // Regex-based PII hygiene for training corpora. Patterns are kept to the
   // common syntax subset of java.util.regex (Spark) and RE2 (DuckDB
