@@ -32,6 +32,82 @@ object StreamingDetect {
     */
   final case class CusumState(g: Long)
 
+  final case class ZAlarm(
+      stream_id: Long, timestamp: Long, event_id: Long, value: Double,
+      n_history: Long, zscore: Double)
+
+  /** Rolling z-score state: a ring of the last `windowRows` quantized
+    * values plus their running sum and sum-of-squares — O(windowRows)
+    * longs per series, maintained incrementally (evict-one/admit-one),
+    * so the per-row cost is O(1) regardless of window size.
+    */
+  final case class ZScoreState(
+      ring: Array[Long], idx: Int, count: Long, s1: Long, s2: Long)
+
+  /** Streaming rolling z-score — the live twin of
+    * [[graft.query.TimeSeriesOps.rollingZScore]], alarm-for-alarm
+    * BIT-IDENTICAL to it (spec-pinned across batch splits): the trailing
+    * window sums are the same exact integers, and the mean/variance/z
+    * finishers are the same fixed dag of single IEEE ops (sqrt is
+    * correctly rounded). The current row never votes on its own
+    * baseline; rows are processed in (timestamp, tie) order per batch
+    * (cross-batch order = the gate's contract, as with [[cusumStream]]).
+    */
+  def zscoreStream(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      windowRows: Int,
+      minN: Int,
+      threshold: Double,
+      quant: Double = 1e3): Dataset[ZAlarm] = {
+    import spark.implicits._
+    require(windowRows >= 2 && minN >= 2 && minN <= windowRows,
+      s"need 2 <= minN <= windowRows, got minN=$minN windowRows=$windowRows")
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[SeriesRow], state: GroupState[ZScoreState]) =>
+          var st = state.getOption.getOrElse(
+            ZScoreState(new Array[Long](windowRows), 0, 0L, 0L, 0L))
+          // defensive copy: GroupState contract treats stored values as
+          // immutable; mutating the stored array in place is undefined
+          val ring = st.ring.clone()
+          var idx = st.idx
+          var count = st.count
+          var s1 = st.s1
+          var s2 = st.s2
+          val out = Vector.newBuilder[ZAlarm]
+          it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+            val q = math.floor(r.value * quant + 0.5).toLong
+            val n = math.min(count, windowRows.toLong)
+            if (n >= minN) {
+              // EXACTLY the batch finisher dag (see rollingZScore)
+              val mean = s1.toDouble / n
+              val variance =
+                (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1)
+              if (variance > 0.0) {
+                val z = (q.toDouble - mean) / math.sqrt(variance)
+                if (math.abs(z) >= threshold)
+                  out += ZAlarm(sid, r.timestamp, r.event_id, r.value, n, z)
+              }
+            }
+            // admit q; evict the overwritten slot once the ring is full
+            if (count >= windowRows) {
+              val old = ring(idx)
+              s1 -= old
+              s2 -= old * old
+            }
+            ring(idx) = q
+            s1 += q
+            s2 += q * q
+            idx = (idx + 1) % windowRows
+            count += 1L
+          }
+          state.update(ZScoreState(ring, idx, count, s1, s2))
+          out.result().iterator
+      }
+  }
+
   // ---- Holt-Winters forecast-deviation detector ------------------------
 
   /** Double-exponential-smoothing state: level, trend, smoothed absolute

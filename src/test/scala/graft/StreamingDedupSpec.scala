@@ -242,6 +242,40 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming z-score alarms are bit-identical to the batch window form") {
+    import graft.streaming.StreamingDetect
+    import graft.streaming.StreamingDetect.SeriesRow
+    // gentle alternation with one spike (the batch spec's shape) plus a
+    // second stream whose own noise absorbs the same magnitude
+    val rows = (0L until 60L).map { t =>
+      SeriesRow(1L, t, t, if (t == 30 || t == 45) 100.0 else 10.0 + (t % 2) * 0.2)
+    } ++ (0L until 60L).map(t => SeriesRow(2L, t, t, if (t % 2 == 0) 10.0 else 100.0))
+    val batch = graft.query.TimeSeriesOps.rollingZScore(
+        rows.toDS().toDF(), "stream_id", "timestamp", "event_id", "value",
+        windowRows = 10, minN = 5, threshold = 2.5)
+      .select("stream_id", "timestamp", "event_id", "value", "n_history", "zscore")
+      .as[(Long, Long, Long, Double, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(batch.nonEmpty)
+
+    val in = MemoryStream[SeriesRow](spark)
+    val q = StreamingDetect.zscoreStream(
+        spark, in.toDS(), windowRows = 10, minN = 5, threshold = 2.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zs_out").start()
+    try {
+      // split mid-series: the ring buffer must carry across batches
+      val (b1, b2) = rows.splitAt(50)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("zs_out")
+        .select("stream_id", "timestamp", "event_id", "value", "n_history", "zscore")
+        .as[(Long, Long, Long, Double, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch) // bit-identical z values included
+    } finally q.stop()
+  }
+
   test("holt-winters: stream across splits == batch fold; trend break alarms") {
     import graft.streaming.StreamingDetect
     import graft.streaming.StreamingDetect.SeriesRow
