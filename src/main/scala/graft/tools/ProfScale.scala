@@ -176,6 +176,31 @@ object ProfScale {
           Similarity.randomProjection(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
 
+      case "textfast" =>
+        // the sf100-endurance subset of textops: the scale-path
+        // operators only (the exact decontaminate join's saturated-
+        // vocabulary blowup is already demonstrated at sf10 — 89 s —
+        // and unbudgeted it would run for hours here)
+        val docs = Tables.documents(spark, sfDir)
+        val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+        val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        timed("bloom_decontaminate")(sink(
+          graft.pipeline.Dedup.decontaminateBloom(
+            train, bench, "doc_id", "text", 3)))
+        timed("cont_span")(sink(
+          graft.pipeline.Dedup.contaminatedSpanCoverage(
+            train, bench, "doc_id", "text", 3)))
+        timed("bm25_topk")(sink(
+          TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            Seq("spark", "join", "window", "vector"), topK = 15)))
+        timed("lm_familiarity")(sink(
+          TextAnalysis.lmFamiliarity(docs, "doc_id", "text")))
+        timed("corpus_card")(sink(
+          TextAnalysis.corpusCard(docs, "source", "text", "lang")))
+        timed("random_projection")(sink(
+          Similarity.randomProjection(
+            Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
+
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
         val ev = Tables.tsEvents(spark, sfDir)
