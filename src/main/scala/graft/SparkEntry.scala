@@ -798,6 +798,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Quality-weighted sampling: per-decile keep rates over the
+    //      rank-normalized metric (upsample-the-best mixture move;
+    //      rankNormalize ∘ md5 keep-hash composition) ------------------
+    "q_quality_sample" -> ((s, dir) => {
+      Splits.qualityWeightedSampleMd5(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars",
+          Seq(0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5, 0.7, 0.9, 1.0),
+          salt = "qs")
+        .select("doc_id", "n_chars", "pct_rank")
+        .orderBy("doc_id")
+    }),
+
     // ---- Deterministic corpus shuffle: global training-order positions
     //      by hash-of-id, via the two-phase parallel prefix scan (md5
     //      oracle family; xxhash64 production twin bridged in SplitsSpec)
@@ -2544,6 +2557,30 @@ object SparkEntry {
         |                 / ((SELECT count(*) FROM documents) - 1)
         |       END AS pct_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pct_rank as in q_rank_norm; decile = least(floor(pct*10), 9);
+    // keep-hash u as in q_split_hash — all three idioms verbatim
+    "q_quality_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN (SELECT count(*) FROM documents) = 1 THEN 0.0
+        |              ELSE CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+        |                   / ((SELECT count(*) FROM documents) - 1)
+        |         END AS pct_rank
+        |  FROM documents
+        |), d AS (
+        |  SELECT *, least(CAST(floor(pct_rank * 10) AS INTEGER), 9) AS dec,
+        |         CAST('0x' || substr(md5('qs' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           / 1152921504606846976.0 AS u
+        |  FROM r
+        |)
+        |SELECT doc_id, n_chars, pct_rank
+        |FROM d
+        |WHERE u < CASE dec
+        |  WHEN 0 THEN 0.05 WHEN 1 THEN 0.1 WHEN 2 THEN 0.15
+        |  WHEN 3 THEN 0.2 WHEN 4 THEN 0.3 WHEN 5 THEN 0.4
+        |  WHEN 6 THEN 0.5 WHEN 7 THEN 0.7 WHEN 8 THEN 0.9 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_order" ->
       """SELECT doc_id,

@@ -275,6 +275,35 @@ object Splits {
     * scalar; the two divisions are single IEEE ops. A single-row corpus
     * normalizes to 0.0.
     */
+  /** Quality-weighted sampling: per-decile keep rates over the
+    * rank-normalized metric — the "upsample the best, thin the worst"
+    * mixture move, here as the DOWN-sampling form (rates ≤ 1; true
+    * upsampling is replication, a different operator). Composes
+    * [[rankNormalize]] (which decile a doc's metric falls in, by global
+    * rank — scale-free across sources) with the [[stratifiedSampleMd5]]
+    * keep-hash family: keep iff u(salt, id) < rates(decile). Both
+    * pieces are deterministic and engine-reproducible, so the sampled
+    * id set is too.
+    *
+    * `rates` must have exactly 10 entries (decile 0 = lowest metric).
+    * pct_rank = 1.0 (the global maximum) folds into the top decile.
+    */
+  def qualityWeightedSampleMd5(
+      df: DataFrame,
+      idCol: String,
+      metricCol: String,
+      rates: Seq[Double],
+      salt: String = ""): DataFrame = {
+    require(rates.length == 10, s"need 10 decile rates, got ${rates.length}")
+    require(rates.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
+    val ranked = rankNormalize(df, idCol, metricCol)
+    val decile = least(floor(col("pct_rank") * 10).cast("int"), lit(9))
+    val rate = rates.zipWithIndex.foldLeft(lit(0.0)) { case (e, (r, i)) =>
+      when(decile === i, lit(r)).otherwise(e)
+    }
+    ranked.filter(uMd5(salt, col(idCol)) < rate)
+  }
+
   def rankNormalize(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
     val Bias = 4611686018427387904L // 2^62
     // domain guard: outside (−2^62, 2^62) the bias wraps and the
