@@ -241,4 +241,27 @@ class SplitsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("qualityWeightedSampleMd5 keeps more of higher deciles, is id-stable") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 2000L).map(i => (i, i)).toDF("id", "m")
+    val steep = Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5, 1.0)
+    val kept = graft.pipeline.Splits.qualityWeightedSampleMd5(
+        df, "id", "m", steep, salt = "t")
+      .select("id").as[Long].collect().toSet
+    // rate-0 deciles contribute nothing; the top decile is kept whole
+    assert(kept.forall(_ >= 1600L))
+    assert((1800L until 2000L).forall(kept)) // decile 9, rate 1.0
+    val d8 = kept.count(id => id >= 1600 && id < 1800) / 200.0
+    assert(d8 > 0.3 && d8 < 0.7, s"decile-8 keep fraction $d8")
+    // deterministic under repartition
+    val again = graft.pipeline.Splits.qualityWeightedSampleMd5(
+        df.repartition(7), "id", "m", steep, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept)
+    // exactly 10 rates, all in [0,1]
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Splits.qualityWeightedSampleMd5(df, "id", "m", Seq(0.5))
+    }
+  }
 }
