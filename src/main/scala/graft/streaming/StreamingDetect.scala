@@ -108,6 +108,57 @@ object StreamingDetect {
       }
   }
 
+  final case class PlateauRun(
+      stream_id: Long, t_start: Long, t_end: Long, n_rows: Long, peak: Double)
+
+  /** Open-run state for [[plateauStream]]: the qualifying run in
+    * progress, if any. An open run only EMITS when it closes (a
+    * below-level observation arrives) — a stream cannot know t_end
+    * earlier — so batch/stream agreement holds exactly on islands the
+    * data has closed ([[graft.query.TimeSeriesOps.plateaus]] emits the
+    * still-open tail island too; the spec closes every island before
+    * comparing).
+    */
+  final case class PlateauState(
+      open: Boolean, tStart: Long, tEnd: Long, n: Long, peak: Double)
+
+  /** Streaming plateau detection: per-series O(1) state (one open run),
+    * emitting each maximal ≥ minRun run at-or-above `level` when it
+    * closes. Same qualification and boundary semantics as the batch
+    * gaps-and-islands form.
+    */
+  def plateauStream(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      level: Double,
+      minRun: Int): Dataset[PlateauRun] = {
+    import spark.implicits._
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[SeriesRow], state: GroupState[PlateauState]) =>
+          var st = state.getOption.getOrElse(
+            PlateauState(open = false, 0L, 0L, 0L, 0.0))
+          val out = Vector.newBuilder[PlateauRun]
+          it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+            if (r.value >= level) {
+              st =
+                if (st.open)
+                  st.copy(tEnd = r.timestamp, n = st.n + 1L,
+                    peak = math.max(st.peak, r.value))
+                else PlateauState(open = true, r.timestamp, r.timestamp, 1L, r.value)
+            } else {
+              if (st.open && st.n >= minRun)
+                out += PlateauRun(sid, st.tStart, st.tEnd, st.n, st.peak)
+              st = PlateauState(open = false, 0L, 0L, 0L, 0.0)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- Holt-Winters forecast-deviation detector ------------------------
 
   /** Double-exponential-smoothing state: level, trend, smoothed absolute

@@ -276,6 +276,40 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming plateau runs equal the batch islands on closed data") {
+    import graft.streaming.StreamingDetect
+    import graft.streaming.StreamingDetect.SeriesRow
+    // two islands on stream 1 (len 3 and 2, separated and TERMINATED by
+    // below-level rows — a stream can only emit a run once it closes),
+    // one sub-minRun blip, stream 2 all below
+    val vals = Seq(1.0, 9.0, 8.5, 7.0, 1.0, 9.9, 0.5, 7.5, 8.0, 0.2)
+    val rows = vals.zipWithIndex.map { case (v, t) =>
+      SeriesRow(1L, t.toLong, t.toLong, v)
+    } ++ (0L until 5L).map(t => SeriesRow(2L, t, t, 1.0))
+    val batch = graft.query.TimeSeriesOps.plateaus(
+        rows.toDS().toDF(), "stream_id", "timestamp", "event_id", "value",
+        level = 7.0, minRun = 2)
+      .as[(Long, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(batch === Seq((1L, 1L, 3L, 3L, 9.0), (1L, 7L, 8L, 2L, 8.0)))
+
+    val in = MemoryStream[SeriesRow](spark)
+    val q = StreamingDetect.plateauStream(spark, in.toDS(), level = 7.0, minRun = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pl_out").start()
+    try {
+      // split INSIDE the first island: the open run must carry
+      val (b1, b2) = rows.splitAt(3)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("pl_out")
+        .as[StreamingDetect.PlateauRun].collect()
+        .map(p => (p.stream_id, p.t_start, p.t_end, p.n_rows, p.peak))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("holt-winters: stream across splits == batch fold; trend break alarms") {
     import graft.streaming.StreamingDetect
     import graft.streaming.StreamingDetect.SeriesRow
