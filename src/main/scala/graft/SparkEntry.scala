@@ -830,6 +830,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Deterministic replication (UP-sampling): per-stratum rates
+    //      above 1 emit floor(rate) copies + a hash-drawn extra, each
+    //      tagged with its 0-based epoch — map-only, no shuffle --------
+    "q_replicate" -> ((s, dir) => {
+      Splits.replicateSampleMd5(Tables.documents(s, dir), "doc_id", "source",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), salt = "rep")
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // ---- Mixture UP-sampling: token-budget-derived rates — sources
+    //      over their target thin (keep-hash), sources under it
+    //      replicate (deterministic epochs); exact long token totals ->
+    //      bit-identical rates on both engines ------------------------
+    "q_mixture_up" -> ((s, dir) => {
+      Splits.mixtureResampleMd5(Tables.documents(s, dir), "doc_id", "source", "text",
+          Seq("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+          budgetFactor = 1.0, salt = "mu")
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ---- Context-window chunking: overlapping token shards, map-only --
     "q_chunk_docs" -> ((s, dir) => {
       Packing.chunkDocs(Tables.documents(s, dir), "doc_id", "text", 32, 24)
@@ -2608,6 +2630,59 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // replicas = floor(rate) + (u < rate - floor(rate)); the frac
+    // subtraction is one IEEE op, floor is exact, so both engines draw
+    // the same replica count; epochs unnest from range(0, n)
+    "q_replicate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                     WHEN 'src2' THEN 0.25 ELSE 0.0 END AS rate,
+        |         CAST('0x' || substr(md5('rep' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents
+        |), nn AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(rate) AS BIGINT)
+        |           + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+        |  FROM d
+        |)
+        |SELECT doc_id, source, unnest(range(0, n)) AS epoch
+        |FROM nn WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    // rate(s) = tgt * factor * T / tokens(s) with T the exact BIGINT
+    // token total over targeted sources; same left-assoc op order as the
+    // Spark side, then the q_replicate replica/epoch idiom verbatim
+    "q_mixture_up" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, CAST(tgt AS DOUBLE) AS tgt
+        |  FROM (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)) AS v(source, tgt)
+        |), tw AS (
+        |  SELECT t.source, tk, tgt FROM t JOIN w USING (source)
+        |), r AS (
+        |  SELECT source,
+        |         tgt * 1.0 * CAST((SELECT CAST(sum(tk) AS BIGINT) FROM tw) AS DOUBLE)
+        |             / CAST(tk AS DOUBLE) AS rate
+        |  FROM tw
+        |), d AS (
+        |  SELECT doc_id, dd.source, rate,
+        |         CAST('0x' || substr(md5('mu' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents dd JOIN r USING (source)
+        |), nn AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(rate) AS BIGINT)
+        |           + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+        |  FROM d
+        |)
+        |SELECT doc_id, source, unnest(range(0, n)) AS epoch
+        |FROM nn WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH w AS (

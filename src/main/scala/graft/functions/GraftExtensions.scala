@@ -50,92 +50,67 @@ object GraftExtensions {
       s"$what must be a boolean literal, got $other")
   }
 
+  /** One registry row with the arity checked BEFORE the builder indexes
+    * into `exprs` — a wrong-arity SQL call gets the signature back, not
+    * an IndexOutOfBoundsException.
+    */
+  private def fn(name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      info(name, usage),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument(s) — $usage — got ${exprs.length}")
+        build(exprs)
+      })
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (
-      FunctionIdentifier("smoke"),
-      info("smoke", "smoke(col) - ntile-20 percentile sketch"),
-      (exprs: Seq[Expression]) => SmokeAggregate(exprs.head)),
-    (
-      FunctionIdentifier("most"),
-      info("most", "most(col) - most frequent value"),
-      (exprs: Seq[Expression]) => MostAggregate(exprs.head)),
+    fn("smoke", "smoke(col) - ntile-20 percentile sketch", 1)(
+      exprs => SmokeAggregate(exprs.head)),
+    fn("most", "most(col) - most frequent value", 1)(
+      exprs => MostAggregate(exprs.head)),
     // fused scalar expressions — the LLM-pipeline primitives, SQL-callable
-    (
-      FunctionIdentifier("text_profile"),
-      info("text_profile", "text_profile(text) - single-pass token/char/lang counters struct"),
-      (exprs: Seq[Expression]) => TextProfile(exprs.head)),
-    (
-      FunctionIdentifier("text_fingerprint"),
-      info("text_fingerprint", "text_fingerprint(text) - md5 of normalized text"),
-      (exprs: Seq[Expression]) => TextFingerprint(exprs.head)),
-    (
-      FunctionIdentifier("simhash60"),
-      info("simhash60", "simhash60(text) - 60-bit md5-family SimHash"),
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
-    (
-      FunctionIdentifier("word_ngram_hashes"),
-      info("word_ngram_hashes", "word_ngram_hashes(text, n) - sorted distinct xxhash64 shingle hashes"),
-      (exprs: Seq[Expression]) =>
-        WordNgramHashes(exprs.head, intArg(exprs(1), "n"))),
-    (
-      FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(hashes, k) - k-plane xxhash64 MinHash signature"),
-      (exprs: Seq[Expression]) =>
-        MinHashSignature(exprs.head, intArg(exprs(1), "numHashes"))),
-    (
-      FunctionIdentifier("minhash_signature_md5"),
-      info("minhash_signature_md5", "minhash_signature_md5(text, n, k) - md5-family MinHash signature"),
-      (exprs: Seq[Expression]) =>
+    fn("text_profile", "text_profile(text) - single-pass token/char/lang counters struct", 1)(
+      exprs => TextProfile(exprs.head)),
+    fn("text_fingerprint", "text_fingerprint(text) - md5 of normalized text", 1)(
+      exprs => TextFingerprint(exprs.head)),
+    fn("simhash60", "simhash60(text) - 60-bit md5-family SimHash", 1)(
+      exprs => SimHash60(exprs.head)),
+    fn("word_ngram_hashes", "word_ngram_hashes(text, n) - sorted distinct xxhash64 shingle hashes", 2)(
+      exprs => WordNgramHashes(exprs.head, intArg(exprs(1), "n"))),
+    fn("minhash_signature", "minhash_signature(hashes, k) - k-plane xxhash64 MinHash signature", 2)(
+      exprs => MinHashSignature(exprs.head, intArg(exprs(1), "numHashes"))),
+    fn("minhash_signature_md5", "minhash_signature_md5(text, n, k) - md5-family MinHash signature", 3)(
+      exprs =>
         MinHashSignatureMd5(exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "numHashes"))),
-    (
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - double dot product of float/double arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
-    (
-      FunctionIdentifier("word_ngrams"),
-      info("word_ngrams", "word_ngrams(text, n) - raw word n-gram occurrences (duplicates kept)"),
-      (exprs: Seq[Expression]) =>
-        WordNgrams(exprs.head, intArg(exprs(1), "n"))),
-    (
-      FunctionIdentifier("word_ngram_pos_hashes"),
-      info("word_ngram_pos_hashes", "word_ngram_pos_hashes(text, n) - positional xxhash64 shingle hashes (index = token position)"),
-      (exprs: Seq[Expression]) =>
-        WordNgramPosHashes(exprs.head, intArg(exprs(1), "n"))),
-    (
-      FunctionIdentifier("outer_product"),
-      info("outer_product", "outer_product(vec, d, quant) - exact quantized second-moment sums [n, sums, upper-triangle products]"),
-      (exprs: Seq[Expression]) =>
+    fn("dot_product", "dot_product(a, b) - double dot product of float/double arrays", 2)(
+      exprs => DotProduct(exprs.head, exprs(1))),
+    fn("word_ngrams", "word_ngrams(text, n) - raw word n-gram occurrences (duplicates kept)", 2)(
+      exprs => WordNgrams(exprs.head, intArg(exprs(1), "n"))),
+    fn("word_ngram_pos_hashes", "word_ngram_pos_hashes(text, n) - positional xxhash64 shingle hashes (index = token position)", 2)(
+      exprs => WordNgramPosHashes(exprs.head, intArg(exprs(1), "n"))),
+    fn("outer_product", "outer_product(vec, d, quant) - exact quantized second-moment sums [n, sums, upper-triangle products]", 3)(
+      exprs =>
         OuterProductAggregate(
           exprs.head, intArg(exprs(1), "dims"), doubleArg(exprs(2), "quant"))),
-    (
-      FunctionIdentifier("bloom_ngram_positions"),
-      info("bloom_ngram_positions", "bloom_ngram_positions(text, n, m, k, md5) - bloom probe positions of distinct word n-grams"),
-      (exprs: Seq[Expression]) =>
+    fn("bloom_ngram_positions", "bloom_ngram_positions(text, n, m, k, md5) - bloom probe positions of distinct word n-grams", 5)(
+      exprs =>
         BloomNgramPositions(
           exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "mBits"),
           intArg(exprs(3), "kHashes"), boolArg(exprs(4), "md5Family"))),
-    (
-      FunctionIdentifier("topk_counted"),
-      info("topk_counted", "topk_counted(cnt, value, k) - k best (cnt desc, value asc) counted strings"),
-      (exprs: Seq[Expression]) =>
-        TopKCountedAggregate(exprs.head, exprs(1), intArg(exprs(2), "k"))),
-    (
-      FunctionIdentifier("bitmap_or"),
-      info("bitmap_or", "bitmap_or(positions, m) - OR-fold bit positions into one m-bit bitmap"),
-      (exprs: Seq[Expression]) =>
-        BitmapOrAggregate(exprs.head, intArg(exprs(1), "mBits"))),
-    (
-      FunctionIdentifier("image_header"),
-      info("image_header", "image_header(bytes) - PNG/JPEG container metadata struct"),
-      (exprs: Seq[Expression]) => ImageHeader(exprs.head)),
-    (
-      FunctionIdentifier("audio_header"),
-      info("audio_header", "audio_header(bytes) - WAV/RIFF container metadata struct"),
-      (exprs: Seq[Expression]) => AudioHeader(exprs.head)),
-    (
-      FunctionIdentifier("video_header"),
-      info("video_header", "video_header(bytes) - MP4/ISO-BMFF container metadata struct"),
-      (exprs: Seq[Expression]) => VideoHeader(exprs.head)))
+    fn("topk_counted", "topk_counted(cnt, value, k) - k best (cnt desc, value asc) counted strings", 3)(
+      exprs => TopKCountedAggregate(exprs.head, exprs(1), intArg(exprs(2), "k"))),
+    fn("bitmap_or", "bitmap_or(positions, m) - OR-fold bit positions into one m-bit bitmap", 2)(
+      exprs => BitmapOrAggregate(exprs.head, intArg(exprs(1), "mBits"))),
+    fn("image_header", "image_header(bytes) - PNG/JPEG container metadata struct", 1)(
+      exprs => ImageHeader(exprs.head)),
+    fn("audio_header", "audio_header(bytes) - WAV/RIFF container metadata struct", 1)(
+      exprs => AudioHeader(exprs.head)),
+    fn("video_header", "video_header(bytes) - MP4/ISO-BMFF container metadata struct", 1)(
+      exprs => VideoHeader(exprs.head)))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -85,8 +85,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * allocates two intermediate arrays per pair and runs interpreted
   * (higher-order lambdas are CodegenFallback); this generates one fused
   * comparison loop inside whole-stage codegen. Compares
-  * min(len(a), len(b)) positions — identical to zip_with's null-free
-  * behaviour on equal-length signatures (the only way it is called).
+  * min(len(a), len(b)) positions; a position where EITHER side is a
+  * null element never counts as a match — the same exclusion the
+  * zip_with/filter chain applied (null === x is null, and filter drops
+  * it), kept here so a containsNull=true input can't smuggle a 0==0
+  * agreement through getLong's null-as-zero read.
   */
 case class EqualCount(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -114,7 +117,8 @@ case class EqualCount(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) acc += 1
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        acc += 1
       i += 1
     }
     acc
@@ -129,7 +133,8 @@ case class EqualCount(left: Expression, right: Expression) extends BinaryExpress
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $acc = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) $acc++;
          |}
          |${ev.value} = $acc;
        """.stripMargin

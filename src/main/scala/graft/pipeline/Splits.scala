@@ -224,6 +224,148 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  // ---- deterministic replication (UP-sampling) -------------------------
+
+  /** Replication sampling — the UP-sampling half of the mixture move.
+    * A stratum's rate may be ANY value ≥ 0: each row emits
+    * `floor(rate)` copies always, plus one more iff
+    * u(salt, id) < rate − floor(rate) — so rate 2.3 means 2 copies for
+    * every id and a 3rd for a deterministic 30% of ids. This is the
+    * "epochs over a small high-quality source" primitive every real
+    * pretraining mixture needs (token-mass targets above a source's
+    * mass are unreachable by keep-hash filtering alone). Every emitted
+    * copy carries `epoch` (0-based replica index) so a downstream
+    * [[shuffleOrder]] can interleave epochs deterministically.
+    *
+    * Map-only: the rate is a literal when-chain, the replica count one
+    * hash compare, and the emission an explode of a sequence column —
+    * no shuffle, no aggregation, stable under repartitioning. Rates
+    * ≤ 1 degenerate to [[stratifiedSample]] plus `epoch = 0`, and
+    * rate 1.0 is the identity (spec-pinned), so up ∘ down composes.
+    *
+    * `maxRate` is the runaway guard: a rate above it (a mis-typed
+    * target, a near-empty source) raises rather than exploding the
+    * corpus silently — the same loud-guard convention as
+    * [[rankNormalize]]'s metric-domain check.
+    */
+  def replicateSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0,
+      salt: String = "",
+      maxRate: Double = 1000.0): DataFrame = {
+    require(rates.forall(_._2 >= 0), "rates must be non-negative")
+    replicateWith(df, rateOf(stratumCol, rates, defaultRate), idCol, salt, maxRate, u64)
+  }
+
+  /** Oracle-parity twin of [[replicateSample]] (md5 family). */
+  def replicateSampleMd5(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double = 0.0,
+      salt: String = "",
+      maxRate: Double = 1000.0): DataFrame = {
+    require(rates.forall(_._2 >= 0), "rates must be non-negative")
+    replicateWith(df, rateOf(stratumCol, rates, defaultRate), idCol, salt, maxRate, uMd5)
+  }
+
+  private def replicateWith(
+      df: DataFrame,
+      rate: Column,
+      idCol: String,
+      salt: String,
+      maxRate: Double,
+      u: (String, Column) => Column): DataFrame = {
+    val guarded = when(rate > maxRate,
+      raise_error(concat(
+        lit(s"replicateSample: rate exceeds maxRate $maxRate: "),
+        rate.cast("string"))))
+      .otherwise(rate)
+    // floor(rate) is exact; the frac subtraction is ONE IEEE op on the
+    // same two doubles in any engine, so the hash-vs-frac compare (and
+    // with it the replica count) is bit-reproducible cross-engine
+    val n = floor(guarded).cast("long") +
+      when(u(salt, col(idCol)) < guarded - floor(guarded), lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L, lit(1L))))
+      .drop("__n")
+  }
+
+  /** Resample to target source proportions at a token budget of
+    * `budgetFactor ×` the corpus's targeted-source token mass — the
+    * FULL mixture operator: over-represented sources thin (rate < 1,
+    * the [[mixtureSample]] keep-hash), under-represented sources
+    * replicate (rate > 1, deterministic epochs via
+    * [[replicateSample]]'s emission). rate(s) = target(s) ·
+    * budgetFactor · T / tokens(s), with T the exact long token total
+    * over targeted sources — both engines derive identical rates from
+    * identical longs through an identical operation order. Execution:
+    * one map-side-combined token aggregate, a broadcast rates join,
+    * then the map-only replica explode; the corpus itself never
+    * shuffles. Sources absent from `targets` are dropped.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      budgetFactor: Double,
+      salt: String = "",
+      maxRate: Double = 1000.0): DataFrame =
+    mixtureResampleWith(df, idCol, sourceCol, textCol, targets, budgetFactor, salt, maxRate, u64)
+
+  /** Oracle-parity twin of [[mixtureResample]] (md5 family). */
+  def mixtureResampleMd5(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      budgetFactor: Double,
+      salt: String = "",
+      maxRate: Double = 1000.0): DataFrame =
+    mixtureResampleWith(df, idCol, sourceCol, textCol, targets, budgetFactor, salt, maxRate, uMd5)
+
+  private def mixtureResampleWith(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      targets: Seq[(String, Double)],
+      budgetFactor: Double,
+      salt: String,
+      maxRate: Double,
+      u: (String, Column) => Column): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "targets must be positive")
+    require(budgetFactor > 0, "budgetFactor must be positive")
+    val spark = df.sparkSession
+    val tgt = broadcast(spark.createDataFrame(targets).toDF("__src", "__w"))
+    // exact per-source token totals over targeted sources only
+    val totals = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .join(tgt, "__src")
+    val tot = totals.agg(sum(col("__t")).as("__tot"))
+    // ((w * factor) * T) / tokens — fixed left-assoc order, each step a
+    // single IEEE op, so the rate doubles match the oracle's bit for bit
+    val rates = broadcast(
+      totals.crossJoin(broadcast(tot))
+        .select(
+          col("__src"),
+          (col("__w") * lit(budgetFactor) * col("__tot").cast("double")
+            / col("__t").cast("double")).as("__rate")))
+    replicateWith(
+        df.join(rates, df(sourceCol) === col("__src")),
+        col("__rate"), idCol, salt, maxRate, u)
+      .drop("__src", "__rate")
+  }
+
   // ---- deterministic corpus shuffle ------------------------------------
 
   /** Global training-order shuffle: add `pos` = the row's 0-based position
@@ -257,6 +399,24 @@ object Splits {
   /** xxhash64 order key as fixed-width hex (top 60 bits, like [[u64]]). */
   private def hex60(salt: String, key: Column): Column =
     lpad(lower(hex(shiftrightunsigned(xxhash64(lit(salt), key), 4))), 15, "0")
+
+  /** Zero-pad an id into the fixed-width tie-break suffix of an order
+    * key, refusing LOUDLY the two inputs `lpad` would garble silently:
+    * ids longer than 20 chars (lpad truncates — two distinct long ids
+    * could collide and tie-break nondeterministically) and ids with a
+    * leading '-' (the sign char sorts BEFORE '0'-padded digits, so
+    * negative ids would order above positives, diverging from the
+    * oracle's numeric ORDER BY id). One codegen'd compare per row — the
+    * same loud-guard convention as rankNormalize's metric-domain check.
+    */
+  private def idPad(idCol: Column): Column = {
+    val s = idCol.cast("string")
+    when(length(s) > 20 || substring(s, 1, 1) === "-",
+      raise_error(concat(
+        lit("Splits: id must be non-negative and at most 20 chars "
+          + "as a string (fixed-width order-key suffix), got "), s)))
+      .otherwise(lpad(s, 20, "0"))
+  }
 
   /** Rank-normalize an integer metric to [0, 1]: append
     * `pct_rank = pos / (n − 1)` where pos is the row's 0-based position
@@ -322,7 +482,7 @@ object Splits {
         concat(
           lpad((guarded + Bias).cast("string"), 20, "0"),
           lit("-"),
-          lpad(col(idCol).cast("string"), 20, "0")))
+          idPad(col(idCol))))
       .withColumn("__one", lit(1L))
     // n falls out of the prefix scan's per-partition sums — no separate
     // counting pass over the corpus
@@ -339,7 +499,7 @@ object Splits {
     Packing.withPrefixSum(
         df.withColumn(
             "__ord",
-            concat(hashHex, lit("-"), lpad(col(idCol).cast("string"), 20, "0")))
+            concat(hashHex, lit("-"), idPad(col(idCol))))
           .withColumn("__one", lit(1L)),
         "__ord", "__one", "__pos1")
       .withColumn("pos", col("__pos1") - 1L)

@@ -517,6 +517,29 @@ object PlanAudit {
         mustNot = Seq("SortMergeJoin", "Sort ["))
     }
 
+    guarded("replicate sample") {
+      // 19b. deterministic replication (UP-sampling): literal rates make
+      //      the whole operator one map-only generate — replica count is
+      //      a hash compare, epochs explode from a sequence column; no
+      //      exchange, no join, no sort at any scale
+      val rep = graft.pipeline.Splits.replicateSample(
+        docs, "doc_id", "source",
+        Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), salt = "s")
+      check("replicate sample: map-only generate (no exchange)", plan(rep),
+        mustContain = Seq("Generate explode"),
+        mustNot = Seq("Exchange", "Join", "Sort ["))
+      // budget-derived rates add only the broadcast rates join (the token
+      // totals agg runs on the small per-source side) — the corpus still
+      // never shuffles or sorts
+      val mup = graft.pipeline.Splits.mixtureResample(
+        docs, "doc_id", "source", "text",
+        Seq("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        budgetFactor = 1.0, salt = "s")
+      check("mixture up-sample: broadcast rates + map-only generate", plan(mup),
+        mustContain = Seq("Generate explode", "BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin", "Sort ["))
+    }
+
     guarded("semantic dedup") {
       // 20. semantic dedup: cell-blocked pair generation — the reference-
       //     object cell assignment is a map-only projection and candidates

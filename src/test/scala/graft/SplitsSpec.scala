@@ -264,4 +264,95 @@ class SplitsSpec extends SparkSpec {
       graft.pipeline.Splits.qualityWeightedSampleMd5(df, "id", "m", Seq(0.5))
     }
   }
+
+  test("replicateSample: rate 1.0 is the identity (up ∘ down composes)") {
+    val docs = spark.range(0, 3000).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 3))
+    val out = Splits.replicateSample(
+        docs, "id", "source", Seq("s0" -> 1.0, "s1" -> 1.0, "s2" -> 1.0),
+        salt = "r1")
+      .select("id", "epoch").as[(Long, Long)].collect().toSeq.sorted
+    // exactly one copy of every row, all at epoch 0 — so a rate-1.0
+    // up-sample after a rate-1.0 down-sample is the identity corpus
+    assert(out === (0L until 3000L).map(i => (i, 0L)))
+  }
+
+  test("replicateSample: floor copies always, frac extra hash-drawn, epochs contiguous") {
+    val docs = spark.range(0, 4000).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 4))
+    val out = Splits.replicateSample(
+        docs, "id", "source",
+        Seq("s0" -> 2.5, "s1" -> 0.25, "s2" -> 3.0), salt = "r2")
+    val byId = out.select("id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // s0 (ids ≡ 0 mod 4): 2 or 3 copies each, ~2.5 on average
+    val s0 = (0L until 4000L by 4).map(id => byId.getOrElse(id, Seq()).size)
+    assert(s0.forall(n => n == 2 || n == 3))
+    assert(math.abs(s0.sum / 1000.0 - 2.5) < 0.1)
+    // s2: exactly 3 copies (integer rate, no draw)
+    (2L until 4000L by 4).foreach(id => assert(byId(id) === Seq(0L, 1L, 2L)))
+    // s1: 0 or 1 copies, ~25% kept — degenerates to stratifiedSample
+    val s1n = (1L until 4000L by 4).count(byId.contains)
+    assert(math.abs(s1n / 1000.0 - 0.25) < 0.05)
+    // s3 absent from rates -> dropped entirely
+    assert((3L until 4000L by 4).forall(id => !byId.contains(id)))
+    // epochs are 0..n-1 per id (contiguous, 0-based)
+    byId.values.foreach(es => assert(es === (0L until es.size).toSeq))
+    // repartition-stable
+    val again = Splits.replicateSample(
+        docs.repartition(7), "id", "source",
+        Seq("s0" -> 2.5, "s1" -> 0.25, "s2" -> 3.0), salt = "r2")
+      .select("id", "epoch").as[(Long, Long)].collect().toSeq.sorted
+    assert(again === out.select("id", "epoch").as[(Long, Long)].collect().toSeq.sorted)
+  }
+
+  test("replicateSample: maxRate guard raises instead of exploding silently") {
+    val docs = spark.range(0, 10).toDF("id").withColumn("source", lit("s0"))
+    val e = intercept[Exception] {
+      Splits.replicateSample(docs, "id", "source", Seq("s0" -> 50.0),
+        maxRate = 10.0).count()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Splits.replicateSample(docs, "id", "source", Seq("s0" -> -0.5))
+    }
+  }
+
+  test("mixtureResample replicates under-target sources to hit proportions") {
+    // four equal sources of 1000 docs x 10 tokens; targets want s0 at 60%
+    // of the SAME total mass -> rate 1.8 (replication); s2 thins to 0.3
+    val docs = spark.range(0, 4000).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 4))
+      .withColumn("text", lit(Seq.fill(10)("w").mkString(" ")))
+    val out = Splits.mixtureResample(
+        docs, "id", "source", "text",
+        Seq("s0" -> 0.6, "s1" -> 0.3, "s2" -> 0.1),
+        budgetFactor = 1.0, salt = "mr")
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates: s0 = 0.6*30000/10000 = 1.8, s1 = 0.9, s2 = 0.3, s3 dropped
+    assert(math.abs(counts("s0") / 1000.0 - 1.8) < 0.1)
+    assert(math.abs(counts("s1") / 1000.0 - 0.9) < 0.05)
+    assert(math.abs(counts("s2") / 1000.0 - 0.3) < 0.05)
+    assert(!counts.contains("s3"))
+    // emitted mixture tracks the targets (every doc is 10 tokens)
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("s0") / total - 0.6) < 0.03)
+    assert(math.abs(counts("s1") / total - 0.3) < 0.03)
+    assert(math.abs(counts("s2") / total - 0.1) < 0.03)
+    // s0 really replicates: rate 1.8 -> ~80% of ids carry an epoch-1 copy
+    val e1 = out.filter(col("source") === "s0" && col("epoch") === 1L).count()
+    assert(math.abs(e1 / 1000.0 - 0.8) < 0.05, s"epoch-1 count $e1")
+  }
+
+  test("order-key id guard refuses >20-char and negative ids loudly") {
+    val neg = Seq((-1L, 5L), (2L, 7L)).toDF("id", "m")
+    val e1 = intercept[Exception] { Splits.shuffleOrder(neg, "id").collect() }
+    assert(e1.getMessage.contains("non-negative") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-negative")))
+    val long = Seq(("x" * 21, 5L)).toDF("id", "m")
+    val e2 = intercept[Exception] { Splits.rankNormalize(long, "id", "m").collect() }
+    assert(e2.getMessage.contains("20 chars") ||
+      Option(e2.getCause).exists(_.getMessage.contains("20 chars")))
+  }
 }
