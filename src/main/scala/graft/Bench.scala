@@ -68,8 +68,29 @@ object Bench {
     s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${all.size},"n_errors":${errors.size},"sf":${Verify.jq(sfDir)}}"""
   }
 
+  /** The two lines a fatal (pre-measurement) death must still emit: a
+    * well-formed driver-contract JSON line with zero timings and the
+    * failure under "_fatal", plus the bounded trailer. The rc contract
+    * is rc = 0 ALWAYS — whether the driver parses output on rc != 0 is
+    * unknown, so errors ride ONLY the JSON (Verify's rationale), and a
+    * setup crash must not be able to zero the round's bench file.
+    */
+  private[graft] def fatalLines(e: Throwable, sfDir: String): Seq[String] = {
+    val errs = Map("_fatal" -> s"${e.getClass.getName}: ${e.getMessage}")
+    Seq(renderJson(Nil, errs, sfDir), renderSummary(Nil, errs, sfDir))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try mainImpl(args, sfDir)
+    catch { case e: Throwable =>
+      // rc stays 0 even here: print the parseable fatal lines and return
+      System.err.println(s"[bench] FATAL: ${e.getClass.getName}: ${e.getMessage}")
+      fatalLines(e, sfDir).foreach(println)
+    }
+  }
+
+  private def mainImpl(args: Array[String], sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional args restrict the run to the named queries (local iteration;
     // the driver passes none)
@@ -193,6 +214,7 @@ object Bench {
     spark.stop()
     // rc stays 0 even on per-query errors, mirroring Verify's rationale: a
     // nonzero rc could make the driver discard the just-printed timings
-    // wholesale; the "errors" object IS the loud signal (ADVICE r9)
+    // wholesale; the "errors" object IS the loud signal (ADVICE r9).
+    // main() extends the same contract to fatal setup deaths (fatalLines).
   }
 }

@@ -1253,6 +1253,31 @@ object SparkEntry {
         .orderBy("stream_id", "timestamp", "event_id")
     }),
 
+    // ---- Fixed-point Holt-Winters forecast-deviation detector: the
+    //      one genuinely-sequential recursion, made oracle-gatable by
+    //      an all-integer state (level/trend/dev as scaled longs, each
+    //      step exact muls + ONE half-up rounding floor-div) — the
+    //      DuckDB oracle replays it with a recursive CTE. Input bounded
+    //      (50 series x 120 rows) to keep the oracle recursion shallow;
+    //      the operator itself is unbounded (one fold per series) ------
+    "q_hw" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy("stream_id").orderBy("timestamp", "event_id")
+      val bounded = Tables.tsEvents(s, dir)
+        .select("stream_id", "timestamp", "event_id", "value")
+        .filter(col("stream_id") < 50)
+        .withColumn("__i", row_number().over(w))
+        .filter(col("__i") <= 120)
+        .drop("__i")
+        .as[graft.streaming.StreamingDetect.SeriesRow]
+      graft.streaming.StreamingDetect.holtWintersFixedBatch(
+          s, bounded, alpha = 0.3, beta = 0.1, gamma = 0.3,
+          m = 3.0, minN = 10L, minDev = 0.001, quant = 1e6)
+        .toDF()
+        .orderBy("stream_id", "timestamp", "event_id")
+    }),
+
     // ---- Gap-based sessionization (window-function suite) -------------
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -3233,6 +3258,55 @@ object SparkEntry {
          |SELECT stream_id, "timestamp", event_id, value,
          |       CAST(gg AS DOUBLE) / 1000.0 AS cusum
          |FROM g WHERE gg >= 500000
+         |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
+
+    // the fixed-point recursion replayed verbatim: state in scaled longs,
+    // each step exact integer muls + one half-up rounding floor-div —
+    // floorDiv(y, C) spelled portably as (y − pmod(y, C)) / C. The CTE
+    // iterates once per series position (depth = 120 by the input bound).
+    "q_hw" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT stream_id, "timestamp", event_id, value,
+         |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q,
+         |         row_number() OVER (PARTITION BY stream_id
+         |                            ORDER BY "timestamp", event_id) AS i
+         |  FROM ($OracleEvents) WHERE stream_id < 50
+         |), s AS (SELECT * FROM e WHERE i <= 120),
+         |rec AS (
+         |  SELECT stream_id, i, q AS level, CAST(0 AS BIGINT) AS trend,
+         |         CAST(1000 AS BIGINT) AS dev, CAST(1 AS BIGINT) AS n,
+         |         FALSE AS alarmed, CAST(NULL AS BIGINT) AS a_ts,
+         |         CAST(NULL AS BIGINT) AS a_eid, CAST(NULL AS DOUBLE) AS a_val,
+         |         CAST(NULL AS BIGINT) AS fq, CAST(NULL AS BIGINT) AS aq
+         |  FROM s WHERE i = 1
+         |  UNION ALL
+         |  SELECT stream_id, i, lvl2 AS level,
+         |         ((100 * (lvl2 - lvl) + 900 * tr) + 500
+         |          - (((((100 * (lvl2 - lvl) + 900 * tr) + 500) % 1000) + 1000) % 1000)) // 1000 AS trend,
+         |         ((300 * aerr + 700 * dv) + 500
+         |          - (((((300 * aerr + 700 * dv) + 500) % 1000) + 1000) % 1000)) // 1000 AS dev,
+         |         n + 1 AS n,
+         |         alarmed, a_ts, a_eid, a_val, fq, aq
+         |  FROM (
+         |    SELECT *,
+         |           ((300 * q + 700 * (lvl + tr)) + 500
+         |            - (((((300 * q + 700 * (lvl + tr)) + 500) % 1000) + 1000) % 1000)) // 1000 AS lvl2
+         |    FROM (
+         |      SELECT s.stream_id, s.i, rec.level AS lvl, rec.trend AS tr,
+         |             rec.dev AS dv, rec.n, s.q,
+         |             s."timestamp" AS a_ts, s.event_id AS a_eid, s.value AS a_val,
+         |             rec.level + rec.trend AS fq,
+         |             abs(s.q - (rec.level + rec.trend)) AS aerr,
+         |             abs(s.q - (rec.level + rec.trend)) AS aq,
+         |             (rec.n >= 10 AND abs(s.q - (rec.level + rec.trend)) * 1000
+         |                > 3000 * greatest(rec.dev, 1000)) AS alarmed
+         |      FROM rec JOIN s ON s.stream_id = rec.stream_id AND s.i = rec.i + 1
+         |    )
+         |  )
+         |)
+         |SELECT stream_id, a_ts AS "timestamp", a_eid AS event_id, a_val AS value,
+         |       fq AS forecast_q, aq AS deviation_q
+         |FROM rec WHERE alarmed
          |ORDER BY stream_id, "timestamp", event_id""".stripMargin,
 
     "q_asof_join" ->

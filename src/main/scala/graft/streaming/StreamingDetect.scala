@@ -263,6 +263,139 @@ object StreamingDetect {
       }
   }
 
+  // ---- fixed-point Holt-Winters (oracle-gatable) -----------------------
+
+  /** Integer Holt-Winters state: level/trend/deviation as quant-scaled
+    * longs. The float form's recursion is sequential AND transcendental-
+    * free but still unreproducible cross-engine (each step's smoothing
+    * sum re-rounds, and a million chained roundings drift); here every
+    * step is exact integer multiplies plus ONE half-up rounding
+    * division — the same trick CUSUM uses — so any engine that can
+    * floor-divide integers replays the recursion bit-for-bit (the
+    * DuckDB recursive-CTE oracle behind q_hw does exactly that).
+    */
+  final case class HwFixedState(level: Long, trend: Long, dev: Long, n: Long)
+
+  /** Fixed-point alarm: forecast and |error| in quant units (exact
+    * longs — no float column that could diverge between engines).
+    */
+  final case class HwFixedAlarm(
+      stream_id: Long, timestamp: Long, event_id: Long, value: Double,
+      forecast_q: Long, deviation_q: Long)
+
+  /** Coefficient scale: alpha/beta/gamma/m quantize to thousandths. */
+  private val HwC = 1000L
+
+  /** Half-up rounding division by [[HwC]] via floorDiv — floorDiv is
+    * expressible exactly in portable SQL as (y − pmod(y, C)) / C, which
+    * is how the oracle mirrors it.
+    */
+  @inline private def hwRound(x: Long): Long = Math.floorDiv(x + HwC / 2, HwC)
+
+  /** One fixed-point Holt-Winters step — the integer twin of [[hwStep]],
+    * shared by [[holtWintersFixedBatch]] and [[holtWintersFixedStream]].
+    * aC/bC/gC/mC are the quantized smoothing coefficients (thousandths);
+    * q is the quant-scaled observation.
+    */
+  private def hwFixedStep(
+      st: HwFixedState, r: SeriesRow, quant: Double,
+      aC: Long, bC: Long, gC: Long, mC: Long, minN: Long, minDevQ: Long)
+      : (HwFixedState, Option[HwFixedAlarm]) = {
+    val q = math.floor(r.value * quant + 0.5).toLong
+    if (st.n == 0L)
+      return (HwFixedState(q, 0L, minDevQ, 1L), None)
+    val forecast = st.level + st.trend
+    val absErr = math.abs(q - forecast)
+    val alarm =
+      if (st.n >= minN && absErr * HwC > mC * math.max(st.dev, minDevQ))
+        Some(HwFixedAlarm(r.stream_id, r.timestamp, r.event_id, r.value,
+          forecast, absErr))
+      else None
+    val level = hwRound(aC * q + (HwC - aC) * (st.level + st.trend))
+    val trend = hwRound(bC * (level - st.level) + (HwC - bC) * st.trend)
+    val dev = hwRound(gC * absErr + (HwC - gC) * st.dev)
+    (HwFixedState(level, trend, dev, st.n + 1L), alarm)
+  }
+
+  private def hwQuantize(alpha: Double, beta: Double, gamma: Double, m: Double)
+      : (Long, Long, Long, Long) = {
+    def c(x: Double, what: String): Long = {
+      require(x >= 0, s"$what must be non-negative, got $x")
+      math.floor(x * HwC + 0.5).toLong
+    }
+    require(alpha <= 1 && beta <= 1 && gamma <= 1,
+      "smoothing coefficients must be in [0, 1]")
+    (c(alpha, "alpha"), c(beta, "beta"), c(gamma, "gamma"), c(m, "m"))
+  }
+
+  /** Batch fixed-point Holt-Winters: the [[holtWintersBatch]] semantics
+    * with a fully integer recursion, so the alarm set (and the emitted
+    * forecast/deviation longs) is hash-gatable against a DuckDB
+    * recursive-CTE oracle. Same execution shape as the double form: one
+    * shuffle by series, one fold per series, parallelism = series
+    * cardinality. The spec pins fixed ≈ double (same alarms on the gate
+    * corpus) and fixed-stream == fixed-batch bit-for-bit.
+    */
+  def holtWintersFixedBatch(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3,
+      m: Double = 4.0,
+      minN: Long = 10L,
+      minDev: Double = 0.001,
+      quant: Double = 1e6): Dataset[HwFixedAlarm] = {
+    import spark.implicits._
+    val (aC, bC, gC, mC) = hwQuantize(alpha, beta, gamma, m)
+    val minDevQ = math.floor(minDev * quant + 0.5).toLong
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroups { (sid: Long, it: Iterator[SeriesRow]) =>
+        var st = HwFixedState(0L, 0L, 0L, 0L)
+        val out = Vector.newBuilder[HwFixedAlarm]
+        it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+          val (next, alarm) = hwFixedStep(st, r, quant, aC, bC, gC, mC, minN, minDevQ)
+          st = next
+          alarm.foreach(out += _)
+        }
+        out.result().iterator
+      }
+  }
+
+  /** Streaming twin of [[holtWintersFixedBatch]] — O(1) longs per
+    * series, identical step function, so batch backfill and live tail
+    * agree on every alarm (spec-pinned across batch splits).
+    */
+  def holtWintersFixedStream(
+      spark: SparkSession,
+      rows: Dataset[SeriesRow],
+      alpha: Double = 0.3,
+      beta: Double = 0.1,
+      gamma: Double = 0.3,
+      m: Double = 4.0,
+      minN: Long = 10L,
+      minDev: Double = 0.001,
+      quant: Double = 1e6): Dataset[HwFixedAlarm] = {
+    import spark.implicits._
+    val (aC, bC, gC, mC) = hwQuantize(alpha, beta, gamma, m)
+    val minDevQ = math.floor(minDev * quant + 0.5).toLong
+    rows
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[SeriesRow], state: GroupState[HwFixedState]) =>
+          var st = state.getOption.getOrElse(HwFixedState(0L, 0L, 0L, 0L))
+          val out = Vector.newBuilder[HwFixedAlarm]
+          it.toArray.sortBy(r => (r.timestamp, r.event_id)).foreach { r =>
+            val (next, alarm) = hwFixedStep(st, r, quant, aC, bC, gC, mC, minN, minDevQ)
+            st = next
+            alarm.foreach(out += _)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming one-sided CUSUM: g ← max(0, g + (q − k·quant)) per
     * arriving row, alarm when g ≥ h·quant. Identical arithmetic to the
     * batch prefix-scan form — quantized longs, no floats — so batch

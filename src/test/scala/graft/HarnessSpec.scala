@@ -78,6 +78,19 @@ class HarnessSpec extends SparkSpec {
       """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"sf":"/tmp/sf0.1"}""")
   }
 
+  test("Bench: rc contract — a fatal setup death still emits parseable lines") {
+    // the chosen contract (ADVICE r10 #4): Bench NEVER exits nonzero;
+    // failures — per-query OR fatal/pre-measurement — ride only the JSON.
+    // main() wraps its body and prints these two lines on any throwable.
+    val lines = Bench.fatalLines(
+      new IllegalStateException("""table "events" unreadable"""), "/tmp/sf0.1")
+    assert(lines.size === 2)
+    assert(lines.head.startsWith("""{"metric":"total","value":0.0,"""))
+    assert(lines.head.contains(""""errors":{"_fatal":"java.lang.IllegalStateException: table \"events\" unreadable"}"""))
+    assert(lines(1) ===
+      """{"metric":"total_summary","value":0.0,"unit":"sec","n_queries":0,"n_errors":1,"sf":"/tmp/sf0.1"}""")
+  }
+
   test("Bench: the JSON line survives quotes/backslashes in names and sfDir") {
     // every string field routes through Verify.jq — a pathological
     // SPARK_GRAFT_SF_DIR must not yield an unparseable driver line

@@ -339,6 +339,44 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fixed-point holt-winters: stream across splits == batch; tracks the double form") {
+    import graft.streaming.StreamingDetect
+    import graft.streaming.StreamingDetect.SeriesRow
+    // same trend-break corpus as the double-form spec
+    val rows = (0L until 50L).map { t =>
+      SeriesRow(1L, t, t, if (t < 30) 10.0 + 2.0 * t else 200.0 + 2.0 * t)
+    } ++ (0L until 50L).map(t => SeriesRow(2L, t, t, 5.0 + 1.5 * t))
+    val fixed = StreamingDetect.holtWintersFixedBatch(spark, rows.toDS())
+      .collect().sortBy(a => (a.stream_id, a.timestamp)).toSeq
+    val dbl = StreamingDetect.holtWintersBatch(spark, rows.toDS())
+      .collect().sortBy(a => (a.stream_id, a.timestamp)).toSeq
+    // same alarm SET as the double recursion (the quantization introduces
+    // micro-unit rounding, not behavioural drift) and forecasts within a
+    // quantization-rounding tolerance of the double form's
+    assert(fixed.map(a => (a.stream_id, a.timestamp, a.event_id)) ===
+      dbl.map(a => (a.stream_id, a.timestamp, a.event_id)))
+    fixed.zip(dbl).foreach { case (f, d) =>
+      assert(math.abs(f.forecast_q / 1e6 - d.forecast) < 0.01,
+        s"forecast drift at t=${f.timestamp}: ${f.forecast_q / 1e6} vs ${d.forecast}")
+      assert(math.abs(f.deviation_q / 1e6 - d.deviation) < 0.01)
+    }
+    assert(fixed.nonEmpty && fixed.head.timestamp === 30L)
+
+    val in = MemoryStream[SeriesRow](spark)
+    val q = StreamingDetect.holtWintersFixedStream(spark, in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hwf_out").start()
+    try {
+      val (b1, b2) = rows.splitAt(40) // split mid-series: state must carry
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("hwf_out")
+        .as[StreamingDetect.HwFixedAlarm].collect()
+        .sortBy(a => (a.stream_id, a.timestamp)).toSeq
+      assert(got === fixed) // bit-identical, forecast_q/deviation_q included
+    } finally q.stop()
+  }
+
   test("streaming hygiene: stateless annotation matches the batch operators") {
     import graft.pipeline.{StreamingText, TextAnalysis}
     val in = MemoryStream[(Long, String)](spark)
