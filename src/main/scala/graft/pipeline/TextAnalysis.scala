@@ -38,20 +38,14 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  def stopwordCount(text: Column): Column = stopwordCountOf(tokens(text))
-  def stopwordCountOf(toks: Column): Column =
-    size(filter(toks, t => t.isin(Stopwords: _*)))
-
-  def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
-    stopwordCountOf(t).cast("double") / tokenCountOf(t)
-  }
-
-  /** Mean token length: exact integer sum of lengths / token count. */
-  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
-  def meanTokenLenOf(toks: Column): Column =
-    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
-      .cast("double") / size(toks)
+  // Stopword / token-length counters live ONLY as fused TextProfile
+  // struct fields (`n_stopwords`, `sum_token_len`, `n_tokens`): the
+  // higher-order-lambda column twins (`size(filter(toks, isin))`,
+  // `aggregate(transform(toks, length))`) are CodegenFallback —
+  // interpreted, re-tokenizing per consumer, measured 13× slower at
+  // sf1 — and were deleted so they can't be composed into a hot path.
+  // TextAnalysisSpec keeps the compositional forms inline as the
+  // parity witnesses.
 
   private val PunctClass = "[\\.,;:!\\?'\"]"
   private val DigitClass = "[0-9]"
@@ -64,17 +58,10 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, DigitClass, "")))
       .cast("double") / length(text)
 
-  /** Composite quality score in [0,1]-ish: favors mid-length documents with
-    * low punctuation/digit noise and a natural stopword fraction. A linear
-    * blend of exact ratios — deterministic across engines.
-    */
-  def qualityScore(text: Column): Column = {
-    val lenTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
-    lenTerm * lit(0.4) +
-      (lit(1.0) - punctRatio(text)) * lit(0.2) +
-      (lit(1.0) - digitRatio(text)) * lit(0.2) +
-      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.2)
-  }
+  // The composite quality score exists ONLY as [[qualityOf]] over a
+  // fused TextProfile struct — the compositional text-column twin
+  // (which would re-run the interpreted stopword lambda per term) was
+  // deleted with the lambda counters above.
 
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Scores = marker hits per language; argmax wins, ties broken
@@ -87,25 +74,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langScore(text: Column, lang: String): Column = langScoreOf(tokens(text), lang)
-  def langScoreOf(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isin(LangMarkers(lang): _*)))
-
-  /** Predicted language: the marker set with the most hits (ties → first in
-    * sorted code order); no hits at all → "und" (undetermined).
-    */
-  def langId(text: Column): Column = langIdOf(tokens(text))
-  def langIdOf(toks: Column): Column = {
-    val langs = LangMarkers.keys.toSeq.sorted
-    val best = langs.map(l => struct(langScoreOf(toks, l).as("s"), lit(l).as("l")))
-    // array_max on (score, lang) structs picks highest score; on score ties
-    // it would pick the LAST lang alphabetically, so order langs descending
-    // and negate... simpler: fold with explicit comparison keeping first win.
-    val folded = best.reduceLeft { (a, b) =>
-      when(b.getField("s") > a.getField("s"), b).otherwise(a)
-    }
-    when(folded.getField("s") > 0, folded.getField("l")).otherwise(lit("und"))
-  }
+  // Language-ID lives ONLY as [[langPredOf]] over a fused TextProfile
+  // struct (per-language marker counts are struct fields): the lambda
+  // column twin (one interpreted `filter(toks, isin)` PER LANGUAGE —
+  // five extra tokenizations/row) was deleted with the counters above;
+  // TextAnalysisSpec keeps the compositional argmax inline as the
+  // parity witness.
 
   /** Document fingerprint: md5 of the normalized text (lowercase, punct
     * stripped, whitespace collapsed) — stable under formatting noise.
@@ -456,17 +430,33 @@ object TextAnalysis {
     * Shape at 100 TB: both count tables fold with map-side combine
     * (bigram count from the exploded grams; the unigram-start count
     * folds from the BIGRAM table — vocabulary-sized input, not
-    * corpus-sized); the per-occurrence probability lookup is a shuffle
-    * equi-join on the gram (AQE broadcasts a small LM; for a Zipfian
-    * vocabulary the hot-gram skew is AQE skew-join territory), then one
-    * map-side-combined per-doc fold. Two corpus scans, no sort, no
-    * window.
+    * corpus-sized). c2 ⋈ c1 happens FIRST, at vocabulary size, so the
+    * corpus occurrences cross exactly ONE shuffle join — r10's form
+    * joined the occurrence stream twice (once per count table), and
+    * collapsing that measured 21.4 → 6.3 s at sf10, 78.5 → 19.5 s at
+    * sf100 (ROUND_NOTES r11).
+    *
+    * For a real-web Zipfian vocabulary the remaining join's head gram
+    * can be percents of all occurrences — a straggler partition no
+    * partition count fixes — so `hotK > 0` SALTS the hotK most
+    * frequent grams: the corpus side spreads them over `saltFanout`
+    * sub-keys by doc-id hash and the (tiny) LM side replicates those
+    * rows per salt, the same hot-key-cut idea as Dedup's hot-shingle
+    * broadcast. The salt changes only row routing, never values, so
+    * the quantized integer sums (and the q_lm_score hash gate) are
+    * unchanged either way. It is OFF by default because it costs two
+    * broadcast tag-joins up front (measured +60% on THIS testdata,
+    * whose synthetic vocabulary is near-uniform — head gram 0.2% of
+    * occurrences, nothing to cut); turn it on when the corpus is
+    * Zipf-headed. Two corpus scans, no sort, no window.
     */
   def lmFamiliarity(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      logForm: Boolean = false): org.apache.spark.sql.DataFrame = {
+      logForm: Boolean = false,
+      hotK: Int = 0,
+      saltFanout: Int = 32): org.apache.spark.sql.DataFrame = {
     val grams = df.select(
       col(idCol),
       explode(graft.functions.WordNgrams(col(textCol), 2)).as("__g"))
@@ -474,12 +464,36 @@ object TextAnalysis {
     val c1 = c2
       .groupBy(split(col("__g"), " ").getItem(0).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
+    // vocabulary-sized LM table: (gram, c2, c1) — the only join the
+    // corpus-sized occurrence stream ever meets
+    val lm = c2
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .join(c1, "__w1")
+      .select(col("__g"), col("__c2"), col("__c1"))
     val p = col("__c2").cast("double") / col("__c1").cast("double")
     val contrib = if (logForm) log(p) else p
-    grams
-      .withColumn("__w1", split(col("__g"), " ").getItem(0))
-      .join(c2, "__g")
-      .join(c1, "__w1")
+    val occs =
+      if (hotK <= 0 || saltFanout <= 1) grams.join(lm, "__g")
+      else {
+        // deterministic hot set: top-hotK grams by count, gram tie-break
+        val hot = broadcast(
+          lm.orderBy(col("__c2").desc, col("__g")).limit(hotK)
+            .select(col("__g"), lit(true).as("__is_hot")))
+        val lmSalted = lm
+          .join(hot, Seq("__g"), "left")
+          .withColumn("__salt",
+            explode(when(col("__is_hot"), sequence(lit(0), lit(saltFanout - 1), lit(1)))
+              .otherwise(sequence(lit(0), lit(0), lit(1)))))
+          .drop("__is_hot")
+        val gramsSalted = grams
+          .join(hot, Seq("__g"), "left")
+          .withColumn("__salt",
+            when(col("__is_hot"), pmod(xxhash64(col(idCol)), lit(saltFanout.toLong)).cast("int"))
+              .otherwise(lit(0)))
+          .drop("__is_hot")
+        gramsSalted.join(lmSalted, Seq("__g", "__salt"))
+      }
+    occs
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

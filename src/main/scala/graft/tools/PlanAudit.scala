@@ -602,14 +602,27 @@ object PlanAudit {
     }
 
     guarded("lm familiarity") {
-      // 24. bigram-LM scoring: count tables fold with map-side combine,
-      //     the probability lookup is a gram equi-join — no window, no
-      //     cartesian, no sort
+      // 24. bigram-LM scoring: count tables fold with map-side combine;
+      //     the corpus occurrences cross ONE shuffle join (c2 ⋈ c1 folds
+      //     at vocabulary size first), with the hotK Zipf-head grams
+      //     salted across the shuffle (hot set = broadcast TakeOrdered,
+      //     LM side replicated per salt) — no window, no cartesian, no
+      //     global sort of the corpus
       val lm = graft.pipeline.TextAnalysis.lmFamiliarity(docs, "doc_id", "text")
-      check("lm familiarity: map-side-combined counts, equi-join lookup",
+      check("lm familiarity: map-side-combined counts, single corpus join",
         plan(lm),
         mustContain = Seq("HashAggregate"),
         mustNot = Seq("Window", "CartesianProduct", "Sort ["))
+      // the opt-in Zipf-head hardening: hot set = broadcast TakeOrdered,
+      // corpus tag-join broadcast, LM side replicated per salt — the
+      // occurrence stream still crosses exactly one shuffle join
+      val lmSalted = graft.pipeline.TextAnalysis.lmFamiliarity(
+        docs, "doc_id", "text", hotK = 1024)
+      check("lm familiarity (salted): hot grams spread across the shuffle",
+        plan(lmSalted),
+        mustContain = Seq("HashAggregate", "TakeOrderedAndProject", "__salt",
+          "BroadcastHashJoin"),
+        mustNot = Seq("Window", "CartesianProduct"))
     }
 
     guarded("series detectors") {

@@ -201,6 +201,16 @@ object ProfScale {
           Similarity.randomProjection(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
 
+      case "lm" =>
+        // skew-hardening A/B: the salted hot-gram lookup vs the plain
+        // gram equi-join (hotK = 0) on the same corpus — the delta is
+        // the straggler cost of the Zipf head
+        val docs = Tables.documents(spark, sfDir)
+        timed("lm_salted")(sink(
+          TextAnalysis.lmFamiliarity(docs, "doc_id", "text", hotK = 4096)))
+        timed("lm_unsalted")(sink(
+          TextAnalysis.lmFamiliarity(docs, "doc_id", "text")))
+
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
         val ev = Tables.tsEvents(spark, sfDir)

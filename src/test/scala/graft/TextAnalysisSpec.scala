@@ -30,7 +30,10 @@ class TextAnalysisSpec extends SparkSpec {
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        TextAnalysis.stopwordCountOf(toks).cast("long").as("n_stopwords"),
+        // the compositional lambda witness, inline (deleted from the API
+        // so the interpreted form can't reach production paths)
+        size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+          .cast("long").as("n_stopwords"),
         aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
           .cast("long").as("__sumlen"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
@@ -51,8 +54,18 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("fused docLangId equals the compositional argmax, ties and und included") {
+    // inline compositional argmax witness (one lambda filter per language)
+    val ltoks = TextAnalysis.tokens(col("text"))
+    val folded = TextAnalysis.LangMarkers.keys.toSeq.sorted
+      .map(l => struct(
+        size(filter(ltoks, t => t.isin(TextAnalysis.LangMarkers(l): _*))).as("s"),
+        lit(l).as("l")))
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     val compositional = langCorpus
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .select(
+        col("doc_id"),
+        when(folded.getField("s") > 0, folded.getField("l")).otherwise(lit("und"))
+          .as("lang_pred"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val fused = TextAnalysis.docLangId(langCorpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -193,6 +206,15 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(lg.map(_._1) === Seq(1L, 2L))
     assert(lg(0)._3 > lg(1)._3 && lg.forall(_._3 <= 0.0))
+
+    // the salted hot-gram path changes row ROUTING only — scores are
+    // the same quantized integer sums, so the output is bit-identical
+    // (here hotK covers the whole vocabulary: every gram rides the salt)
+    val salted = TextAnalysis.lmFamiliarity(
+        docs, "doc_id", "text", hotK = 16, saltFanout = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(salted === got)
   }
 
   test("bm25TopK ranks by hand-computed BM25 scores; log-idf twin agrees") {
