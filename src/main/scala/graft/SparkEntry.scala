@@ -840,6 +840,17 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ---- Epoch-aware shuffle: training-order positions over an
+    //      UP-sampled corpus — hash covers (id, epoch) so replicas
+    //      scatter independently instead of landing adjacent ----------
+    "q_shuffle_epochs" -> ((s, dir) => {
+      val up = Splits.replicateSampleMd5(Tables.documents(s, dir), "doc_id", "source",
+        Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), salt = "rep")
+      Splits.shuffleOrderEpochsMd5(up, "doc_id", "epoch", salt = "se")
+        .select("doc_id", "epoch", "pos")
+        .orderBy("pos")
+    }),
+
     // ---- Mixture UP-sampling: token-budget-derived rates — sources
     //      over their target thin (keep-hash), sources under it
     //      replicate (deterministic epochs); exact long token totals ->
@@ -2676,6 +2687,32 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(range(0, n)) AS epoch
         |FROM nn WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the q_replicate replication verbatim, then positions by
+    // row_number over (md5(salt || id || ':' || epoch), id, epoch) —
+    // the epoch-aware twin of the q_shuffle_order idiom
+    "q_shuffle_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                     WHEN 'src2' THEN 0.25 ELSE 0.0 END AS rate,
+        |         CAST('0x' || substr(md5('rep' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents
+        |), nn AS (
+        |  SELECT doc_id,
+        |         CAST(floor(rate) AS BIGINT)
+        |           + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+        |  FROM d
+        |), r AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS epoch FROM nn WHERE n > 0
+        |)
+        |SELECT doc_id, epoch,
+        |       row_number() OVER (
+        |         ORDER BY substr(md5('se' || CAST(doc_id AS VARCHAR) || ':'
+        |                          || CAST(epoch AS VARCHAR)), 1, 15),
+        |                  doc_id, epoch) - 1 AS pos
+        |FROM r ORDER BY pos""".stripMargin,
 
     // rate(s) = tgt * factor * T / tokens(s) with T the exact BIGINT
     // token total over targeted sources; same left-assoc op order as the

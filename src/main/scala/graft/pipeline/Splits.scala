@@ -396,6 +396,35 @@ object Splits {
   def shuffleOrderMd5(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
     shuffled(df, idCol, substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15))
 
+  /** Epoch-aware corpus shuffle: positions keyed on (id, epoch), for an
+    * UP-sampled corpus ([[replicateSample]]'s output). Plain
+    * [[shuffleOrder]] keys on id alone, so a document's replicas share
+    * an order key and their relative positions are whatever the scan
+    * happened to produce — nondeterministic under repartitioning, and
+    * the replicas land ADJACENT (same hash), exactly what an epoch
+    * shuffle must avoid. Here the hash covers `id ':' epoch`, so
+    * replicas scatter independently across the whole training order and
+    * the permutation is again a pure function of (salt, id, epoch).
+    */
+  def shuffleOrderEpochs(
+      df: DataFrame, idCol: String, epochCol: String, salt: String = ""): DataFrame =
+    shuffledKey(
+      df,
+      hex60(salt, concat(col(idCol).cast("string"), lit(":"), col(epochCol).cast("string"))),
+      idCol, epochCol)
+
+  /** Oracle-parity twin of [[shuffleOrderEpochs]] (md5 family): DuckDB
+    * reproduces `pos` as `row_number() OVER (ORDER BY
+    * substr(md5(salt || id || ':' || epoch), 1, 15), id, epoch) - 1`.
+    */
+  def shuffleOrderEpochsMd5(
+      df: DataFrame, idCol: String, epochCol: String, salt: String = ""): DataFrame =
+    shuffledKey(
+      df,
+      substring(md5(concat(
+        lit(salt), col(idCol).cast("string"), lit(":"), col(epochCol).cast("string"))), 1, 15),
+      idCol, epochCol)
+
   /** xxhash64 order key as fixed-width hex (top 60 bits, like [[u64]]). */
   private def hex60(salt: String, key: Column): Column =
     lpad(lower(hex(shiftrightunsigned(xxhash64(lit(salt), key), 4))), 15, "0")
@@ -496,11 +525,20 @@ object Splits {
   }
 
   private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =
+    orderedByKey(df, concat(hashHex, lit("-"), idPad(col(idCol))))
+
+  /** (id, epoch) variant: the tie-break suffix carries BOTH fixed-width
+    * pads, so the key stays a total order even on a hash collision.
+    */
+  private def shuffledKey(
+      df: DataFrame, hashHex: Column, idCol: String, epochCol: String): DataFrame =
+    orderedByKey(
+      df,
+      concat(hashHex, lit("-"), idPad(col(idCol)), lit("-"), idPad(col(epochCol))))
+
+  private def orderedByKey(df: DataFrame, ord: Column): DataFrame =
     Packing.withPrefixSum(
-        df.withColumn(
-            "__ord",
-            concat(hashHex, lit("-"), idPad(col(idCol))))
-          .withColumn("__one", lit(1L)),
+        df.withColumn("__ord", ord).withColumn("__one", lit(1L)),
         "__ord", "__one", "__pos1")
       .withColumn("pos", col("__pos1") - 1L)
       .drop("__ord", "__one", "__pos1")

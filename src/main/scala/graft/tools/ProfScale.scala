@@ -211,6 +211,157 @@ object ProfScale {
         timed("lm_unsalted")(sink(
           TextAnalysis.lmFamiliarity(docs, "doc_id", "text")))
 
+      case "wire" =>
+        // serve-layer scale point (VERDICT r10 #6): the socket surface —
+        // aggregate, full-corpus history backfill (Service chunking +
+        // JSON + zlib + Wire framing), and the subscribe live seam under
+        // publish load — measured at a real sf, not just spec-green
+        import java.io.{DataInputStream, DataOutputStream}
+        import java.net.Socket
+        import graft.serve.{Service, Wire, WireServer}
+        import graft.streaming.Markers
+        val events = Tables.tsEvents(spark, sfDir)
+        val ids = events.select("stream_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val svc = new Service(
+          spark,
+          data = Map("amp-external" -> events),
+          streams = Map("amp-external" -> events.select("stream_id").distinct()))
+
+        def readFrame(in: DataInputStream): Wire.Message = {
+          val header = new Array[Byte](Wire.HeaderLen)
+          in.readFully(header)
+          val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+          val body = new Array[Byte](len)
+          in.readFully(body)
+          Wire.Message(
+            header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+        }
+        def labelsJson(nLabels: Int): String =
+          ids.zipWithIndex.groupBy(_._2 % nLabels).toSeq.sortBy(_._1)
+            .map { case (i, xs) => s""""g$i":[${xs.map(_._1).mkString(",")}]""" }
+            .mkString("{", ",", "}")
+
+        // 1. aggregate over the socket: all streams, 2 labels, 600 s bins
+        {
+          val server = new WireServer(svc)
+          val req =
+            s"""{"request":"aggregate","collection":"amp-external",
+               |"labels":${labelsJson(2)},
+               |"start":${graft.SparkEntry.Start},"stop":${graft.SparkEntry.Stop},
+               |"binsize":600,
+               |"aggs":[["value","avg"],["value","max"],["value","count"]]}""".stripMargin
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val sock = new Socket("127.0.0.1", server.boundPort)
+          var bytes = 0L
+          try {
+            val out = new DataOutputStream(sock.getOutputStream)
+            out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
+            sock.shutdownOutput()
+            val in = sock.getInputStream
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally { sock.close(); server.close() }
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"PROFSCALE wire_aggregate                  $t%8.2f s  (${bytes / 1e6}%.1f MB)")
+        }
+
+        // 2. full-corpus history backfill through subscribe (bounded
+        //    stop): every row crosses chunking (10k + more), JSON
+        //    encode, zlib, framing, and the socket
+        {
+          val server = new WireServer(svc)
+          val req =
+            s"""{"request":"subscribe","collection":"amp-external",
+               |"labels":${labelsJson(4)},"columns":["value"],
+               |"start":${graft.SparkEntry.Start},"stop":${graft.SparkEntry.Stop}}""".stripMargin
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val sock = new Socket("127.0.0.1", server.boundPort)
+          var frames = 0L
+          var bytes = 0L
+          try {
+            sock.setSoTimeout(600000)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val in = new DataInputStream(sock.getInputStream)
+            out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
+            var m = readFrame(in)
+            while (m.msgType == Wire.History) {
+              frames += 1; bytes += m.body.length; m = readFrame(in)
+            }
+            require(m.msgType == Wire.Subscribe, s"expected ack, got ${m.msgType}")
+          } finally { sock.close(); server.close() }
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"PROFSCALE wire_history_backfill           $t%8.2f s  ($frames frames, ${bytes / 1e6}%.1f MB zlib)")
+        }
+
+        // 3. live seam under load: publish batches INTO the backfill
+        //    (relay buffers them), then keep publishing after the ack —
+        //    every row must arrive exactly once across the seam
+        {
+          import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+          val mbus = new Markers.MarkerBus
+          val lbus = new Markers.LiveBus
+          val server = new WireServer(svc, markers = Some(mbus), live = Some(lbus))
+          val schema = StructType(Seq(
+            StructField("stream_id", LongType), StructField("timestamp", LongType),
+            StructField("value", DoubleType)))
+          def row(sid: Long, ts: Long, v: Double) =
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](sid, ts, v), schema)
+          val batches = 200
+          val rowsPer = 500
+          val expected = batches.toLong * rowsPer
+          val req =
+            s"""{"request":"subscribe","collection":"amp-external",
+               |"labels":${labelsJson(2)},"columns":["value"],
+               |"start":${graft.SparkEntry.Start},"stop":0}""".stripMargin
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val sock = new Socket("127.0.0.1", server.boundPort)
+          try {
+            sock.setSoTimeout(600000)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val in = new DataInputStream(sock.getInputStream)
+            out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
+            // publisher: starts on the FIRST frame from the server — by
+            // then the relay is registered (registration precedes history
+            // streaming in dispatch), so no batch can be published into
+            // the void. Early batches land during backfill (buffered by
+            // the relay), the rest after the ack (passthrough).
+            val pub = new Thread(() => {
+              var i = 0
+              while (i < batches) {
+                val ts = 1906745601L + i
+                lbus.publish(Markers.LiveBatch("amp-external",
+                  (0 until rowsPer).map(r => row(ids(r % ids.length), ts, r.toDouble))))
+                if (i % 20 == 0) mbus.publish(Markers.Marker("amp-external", ts, i.toLong))
+                i += 1
+              }
+            })
+            pub.setDaemon(true)
+            var ackAt = 0.0
+            var liveRows = 0L
+            var liveBytes = 0L
+            var started = false
+            while (liveRows < expected) {
+              val m = readFrame(in)
+              if (!started) { started = true; pub.start() }
+              if (m.msgType == Wire.Subscribe) ackAt = (System.nanoTime() - t0) / 1e9
+              else if (m.msgType == Wire.Live) {
+                val s = new String(m.body, "UTF-8")
+                liveRows += "\"stream_id\"".r.findAllIn(s).size
+                liveBytes += m.body.length
+              }
+            }
+            pub.join(60000)
+            val t = (System.nanoTime() - t0) / 1e9
+            println(f"PROFSCALE wire_subscribe_seam             $t%8.2f s  (backfill+ack $ackAt%.2f s, $liveRows live rows, ${liveBytes / 1e6}%.1f MB)")
+          } finally { sock.close(); server.close() }
+        }
+
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
         val ev = Tables.tsEvents(spark, sfDir)

@@ -345,6 +345,28 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(e1 / 1000.0 - 0.8) < 0.05, s"epoch-1 count $e1")
   }
 
+  test("shuffleOrderEpochs: valid permutation over replicas, scattered not adjacent") {
+    val docs = spark.range(0, 2000).toDF("id").withColumn("source", lit("s0"))
+    val up = Splits.replicateSample(docs, "id", "source", Seq("s0" -> 3.0), salt = "e")
+    val n = up.count() // 6000: integer rate, no draw
+    assert(n === 6000L)
+    val pos = Splits.shuffleOrderEpochs(up, "id", "epoch", salt = "sh")
+      .select("id", "epoch", "pos").as[(Long, Long, Long)].collect()
+    // a complete 0..n-1 permutation
+    assert(pos.map(_._3).sorted.toSeq === (0L until n))
+    // replicas of one id scatter: across 2000 ids with 3 replicas each,
+    // adjacency of two replicas is ~rare — assert most ids are spread
+    val spread = pos.groupBy(_._1).values.count { rs =>
+      val ps = rs.map(_._3).sorted
+      ps.zip(ps.tail).forall { case (a, b) => b - a > 1 }
+    }
+    assert(spread > 1900, s"only $spread of 2000 ids fully scattered")
+    // stable under repartitioning
+    val again = Splits.shuffleOrderEpochs(up.repartition(7), "id", "epoch", salt = "sh")
+      .select("id", "epoch", "pos").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === pos.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("order-key id guard refuses >20-char and negative ids loudly") {
     val neg = Seq((-1L, 5L), (2L, 7L)).toDF("id", "m")
     val e1 = intercept[Exception] { Splits.shuffleOrder(neg, "id").collect() }
