@@ -539,6 +539,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Incremental near-dup probe: the batch (doc_id % 10 = 0)
+    //      probes the standing corpus's persisted signature index —
+    //      new×corpus and new×new pairs only, corpus×corpus never
+    //      regenerated -----------------------------------------------
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = Dedup.minhashSignaturesMd5(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3, 64)
+      val index = Dedup.minhashSignaturesMd5(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 64)
+      Dedup.minhashLshPairsAgainst(probe, index, "doc_id",
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- SimHash fingerprints (md5-based, engine-reproducible) --------
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -1437,6 +1452,46 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared CTE chain computing md5-family MinHash signatures and band
+    * keys (the q_dedup_minhash construction through `banded`) — reused
+    * by the incremental-probe oracle so the two stay bit-identical.
+    * Ends defining `sig` (doc_id, sg list) and `banded` (doc_id, b, bh).
+    */
+  private val MinhashBandedCte: String = {
+    // base = lower-60-bit md5 of the shingle, plane hash =
+    // (base * A_p) mod 2^60 (HUGEINT product — 2^60 divides 2^64, so it
+    // equals Java's wrap-multiply masked to 60 bits), signature =
+    // per-plane min, band key = the band's 4 minhashes joined with ','
+    val mults = graft.functions.MinHashSignatureMd5.multipliers(64)
+    val planeValues = mults.zipWithIndex
+      .map { case (a, p) => s"($p, $a)" }
+      .mkString(",\n")
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
+       |  FROM t WHERE len(w) >= 3
+       |), e AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS base
+       |  FROM sh
+       |), planes AS (
+       |  SELECT * FROM (VALUES
+       |$planeValues
+       |  ) AS pl(p, a)
+       |), ph AS (
+       |  SELECT doc_id, p,
+       |         min(CAST((base::HUGEINT * a) % 1152921504606846976 AS BIGINT)) AS mh
+       |  FROM e, planes GROUP BY doc_id, p
+       |), sig AS (
+       |  SELECT doc_id, list(mh ORDER BY p) AS sg FROM ph GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, b,
+       |         array_to_string(sg[b*4+1:b*4+4], ',') AS bh
+       |  FROM sig, (SELECT unnest(range(0, 16)) AS b)
+       |)""".stripMargin
+  }
+
   /** Shared CTE chain computing the SimHash near-dup pairs (the
     * q_simhash_pairs construction) — reused by the cluster/canonical
     * oracles so the three stay bit-identical. Ends defining `pairs`
@@ -2079,40 +2134,8 @@ object SparkEntry {
         |FROM t LEFT JOIN cl USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      // md5-family MinHash (see MinHashSignatureMd5): base = lower-60-bit
-      // md5 of the shingle, plane hash = (base * A_p) mod 2^60 (HUGEINT
-      // product — 2^60 divides 2^64, so it equals Java's wrap-multiply
-      // masked to 60 bits), signature = per-plane min, band key = the
-      // band's 4 minhashes joined with ','.
-      val mults = graft.functions.MinHashSignatureMd5.multipliers(64)
-      val planeValues = mults.zipWithIndex
-        .map { case (a, p) => s"($p, $a)" }
-        .mkString(",\n")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
-         |), sh AS (
-         |  SELECT doc_id,
-         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
-         |  FROM t WHERE len(w) >= 3
-         |), e AS (
-         |  SELECT doc_id, ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS base
-         |  FROM sh
-         |), planes AS (
-         |  SELECT * FROM (VALUES
-         |$planeValues
-         |  ) AS pl(p, a)
-         |), ph AS (
-         |  SELECT doc_id, p,
-         |         min(CAST((base::HUGEINT * a) % 1152921504606846976 AS BIGINT)) AS mh
-         |  FROM e, planes GROUP BY doc_id, p
-         |), sig AS (
-         |  SELECT doc_id, list(mh ORDER BY p) AS sg FROM ph GROUP BY doc_id
-         |), banded AS (
-         |  SELECT doc_id, b,
-         |         array_to_string(sg[b*4+1:b*4+4], ',') AS bh
-         |  FROM sig, (SELECT unnest(range(0, 16)) AS b)
-         |), cand AS (
+    "q_dedup_minhash" ->
+      s"""WITH $MinhashBandedCte, cand AS (
          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
          |  WHERE l.doc_id < r.doc_id
@@ -2127,8 +2150,29 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same signature/band construction; candidates come from PROBE
+    // (doc_id % 10 = 0) bands joined against ALL bands — pairs touching
+    // the probe only, corpus x corpus never generated
+    "q_dedup_incremental" ->
+      s"""WITH $MinhashBandedCte, cand AS (
+         |  SELECT DISTINCT least(l.doc_id, r.doc_id) AS id_a,
+         |                  greatest(l.doc_id, r.doc_id) AS id_b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh
+         |  WHERE l.doc_id % 10 = 0 AND l.doc_id != r.doc_id
+         |), est AS (
+         |  SELECT id_a, id_b,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |                i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |           / 64 AS est_jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.id_a
+         |  JOIN sig sb ON sb.doc_id = cand.id_b
+         |)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash" ->
       """WITH tok AS (

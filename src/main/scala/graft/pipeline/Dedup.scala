@@ -554,6 +554,98 @@ object Dedup {
         graft.functions.MinHashSignature(col("__set"), numHashes).as("signature"))
   }
 
+  /** md5-family signature table — the persistable index form (the
+    * [[minhashLshPairsMd5]] signature stage exposed on its own, so a
+    * standing corpus's signatures are computed ONCE, written, and
+    * probed incrementally by [[minhashLshPairsAgainst]]).
+    */
+  def minhashSignaturesMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("signature"))
+      .filter(size(col("signature")) > 0)
+
+  /** Incremental near-dup probe: LSH pairs of a NEW batch against a
+    * persisted signature index — the continuously-growing-corpus form
+    * of MinHash dedup. Full [[minhashLshPairs]] over corpus+batch
+    * recomputes every corpus signature and regenerates every
+    * corpus×corpus pair on every batch; here the corpus side is the
+    * standing (id, signature) table ([[minhashSignatures]] /
+    * [[minhashSignaturesMd5]], written once, appended per batch), only
+    * the batch computes signatures, and candidates are generated from
+    * PROBE bands joined against probe ∪ index bands — so new×corpus and
+    * new×new pairs emerge and corpus×corpus pairs never re-run. Band
+    * keys are the band's minhashes joined as a string (both families —
+    * the equality is the same; this keeps one code path and a portable
+    * oracle). Family-agnostic: pass signatures from either family.
+    *
+    * The candidate budget is the cross form of [[selfPairGuard]]:
+    * Σ over buckets of probeCount × (probe ∪ index)Count — the join's
+    * exact output size before the distinct — fail-fast typed.
+    */
+  def minhashLshPairsAgainst(
+      probeSigs: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val probe = pin(probeSigs.select(col(idCol), col("signature")))
+    val all = pin(
+      probeSigs.select(col(idCol), col("signature"))
+        .unionByName(indexSigs.select(col(idCol), col("signature"))))
+    def bandedOf(sigs: DataFrame) = sigs.select(
+      col(idCol).as("__id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))
+        .as(Seq("__band", "__bh")))
+    val pb = bandedOf(probe)
+    val ab = bandedOf(all)
+    maxCandidates.foreach { budget =>
+      val pc = pb.groupBy("__band", "__bh").agg(count(lit(1)).as("__pc"))
+      val ac = ab.groupBy("__band", "__bh").agg(count(lit(1)).as("__ac"))
+      val est = pc.join(ac, Seq("__band", "__bh"))
+        .agg(coalesce(sum(col("__pc").cast("double") * col("__ac")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"minhashLshPairsAgainst: estimated $est%.0f candidate joins exceeds " +
+          f"budget=$budget — band buckets are saturated; exact-dedup the batch " +
+          "against the corpus digest index first, then LSH the survivors")
+    }
+    val candidates = pb.select(col("__band"), col("__bh"), col("__id").as("__pa"))
+      .join(ab.select(col("__band"), col("__bh"), col("__id").as("__pb")),
+        Seq("__band", "__bh"))
+      .filter(col("__pa") =!= col("__pb"))
+      .select(
+        least(col("__pa"), col("__pb")).as("id_a"),
+        greatest(col("__pa"), col("__pb")).as("id_b"))
+      .distinct()
+    val sa = all.select(col(idCol).as("id_a"), col("signature").as("__sa"))
+    val sb = all.select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    // unhinted signature re-join: corpus-sized at 100 TB (same policy as
+    // minhashLshPairs); AQE broadcasts when small
+    candidates
+      .join(sa, Seq("id_a"))
+      .join(sb, Seq("id_b"))
+      .withColumn(
+        "est_jaccard",
+        graft.functions.VectorOps.equalCount(col("__sa"), col("__sb"))
+          .cast("double") / size(col("__sa")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** MinHash + LSH near-dup candidate pairs. Signatures are cut into
     * `bands` bands; docs colliding on any band hash become candidates;
     * estimated similarity = fraction of matching minhashes. Returns
@@ -629,12 +721,7 @@ object Dedup {
       maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = pin(df
-      .filter(col(textCol).isNotNull)
-      .select(
-        col(idCol),
-        graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("signature"))
-      .filter(size(col("signature")) > 0)) // < n tokens ⇒ no signature
+    val sigs = pin(minhashSignaturesMd5(df, idCol, textCol, n, numHashes))
     val banded = sigs.select(
       col(idCol).as("__id"),
       posexplode(

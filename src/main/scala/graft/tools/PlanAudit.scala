@@ -540,6 +540,24 @@ object PlanAudit {
         mustNot = Seq("SortMergeJoin", "Sort ["))
     }
 
+    guarded("incremental minhash probe") {
+      // 19c. incremental near-dup: probe bands equi-join the standing
+      //      index's bands — never a cartesian, never an all-pairs; the
+      //      signature re-join stays unhinted (corpus-sized at scale)
+      val probeS = graft.pipeline.Dedup.minhashSignaturesMd5(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "doc_id", "text", 3, 64)
+      val indexS = graft.pipeline.Dedup.minhashSignaturesMd5(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        "doc_id", "text", 3, 64)
+      val inc = graft.pipeline.Dedup.minhashLshPairsAgainst(
+        probeS, indexS, "doc_id")
+      check("incremental probe: band equi-join, no cartesian, unhinted sig re-join",
+        plan(inc),
+        mustContain = Seq("Generate posexplode"),
+        mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    }
+
     guarded("semantic dedup") {
       // 20. semantic dedup: cell-blocked pair generation — the reference-
       //     object cell assignment is a map-only projection and candidates

@@ -351,6 +351,51 @@ class DedupSpec extends SparkSpec {
     assert(md === xx, s"families disagree: only-md5=${md -- xx} only-xx=${xx -- md}")
   }
 
+  test("incremental probe equals the full LSH restricted to probe-touching pairs") {
+    import org.apache.spark.sql.functions.col
+    // the continuously-growing-corpus contract: probing the batch against
+    // the standing index finds EXACTLY the full-recompute pairs that
+    // touch the batch — no more (corpus x corpus) and no fewer
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(300)
+      .select(col("doc_id"), col("text"))
+      .union(corpus)
+    val full = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probeIds = docs.filter(col("doc_id") % 3 === 0)
+    val indexIds = docs.filter(col("doc_id") % 3 =!= 0)
+    val probe = Dedup.minhashSignaturesMd5(probeIds, "doc_id", "text", 3, 64)
+    val index = Dedup.minhashSignaturesMd5(indexIds, "doc_id", "text", 3, 64)
+    val inc = Dedup.minhashLshPairsAgainst(probe, index, "doc_id", 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val touching = full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(inc === touching,
+      s"only-inc=${inc -- touching} only-full=${touching -- inc}")
+    // family-agnostic: the xxhash64 production signatures probe the same way
+    val xfull = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xprobe = Dedup.minhashSignatures(probeIds, "doc_id", "text", 3, 64)
+    val xindex = Dedup.minhashSignatures(indexIds, "doc_id", "text", 3, 64)
+    val xinc = Dedup.minhashLshPairsAgainst(xprobe, xindex, "doc_id", 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xinc === xfull.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+  }
+
+  test("incremental probe budget fails fast on a saturated index, silent under") {
+    import org.apache.spark.sql.functions.col
+    val degenerate = (0L until 200L).map(i => (i, "same text " * 10))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesMd5(degenerate, "doc_id", "text", 3, 64)
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashLshPairsAgainst(
+        sigs.filter(col("doc_id") < 20), sigs.filter(col("doc_id") >= 20),
+        "doc_id", maxCandidates = Some(100L)).count()
+    }
+    assert(e.getMessage.contains("minhashLshPairsAgainst"))
+    assert(Dedup.minhashLshPairsAgainst(
+      sigs.filter(col("doc_id") < 20), sigs.filter(col("doc_id") >= 20),
+      "doc_id", maxCandidates = Some(10000000L)).count() > 0)
+  }
+
   test("simhash: identical docs hash identically; near dups are close") {
     val fps = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
