@@ -83,6 +83,70 @@ object StreamingDedup {
       !coalesce(graft.functions.BenchShingleHit(col(textCol), n, hashes), lit(false)))
   }
 
+  /** Streaming near-dup flagger: each arriving document's MinHash
+    * signature band-joins the STANDING corpus's persisted signature
+    * index ([[Dedup.minhashSignatures]] / [[Dedup.minhashSignaturesMd5]],
+    * a static table) — Structured Streaming's stream-static inner join
+    * is STATELESS: no state store, no watermark, nothing grows with the
+    * stream. Emits one row per (arriving doc, matching index doc,
+    * colliding band) whose estimated Jaccard clears the threshold; a
+    * pair matching on several bands emits several rows (collapsing them
+    * would need a stateful aggregate — consumers treat any row as "this
+    * doc near-dups the corpus", an idempotent flag, or dropDuplicates
+    * per micro-batch in foreachBatch). Stream×stream near-dups are out
+    * of scope by design (that is a stateful problem — run
+    * [[exactDedupStream]] upstream for exact repeats and periodic batch
+    * LSH for the rest); the spec pins distinct (id, match) pairs equal
+    * to [[Dedup.minhashLshPairsAgainst]]'s stream×index slice.
+    *
+    * Signature family must MATCH the index's: `md5Family = false` (the
+    * xxhash64 production family) or true (the oracle-parity family).
+    * All per-row work is fused map-only expressions; the only exchange
+    * is the band equi-join against the static index.
+    */
+  def nearDupPairsStream(
+      docs: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      md5Family: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig =
+      if (md5Family) graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes)
+      else graft.functions.MinHashSignature(
+        graft.functions.WordNgramHashes(col(textCol), n), numHashes)
+    def bandKeys(sigCol: org.apache.spark.sql.Column) =
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(sigCol, b * rows + 1, lit(rows))))
+    val streamBands = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__sid"), sig.as("__ssig"))
+      .filter(size(col("__ssig")) > 0)
+      .select(
+        col("__sid"), col("__ssig"),
+        posexplode(bandKeys(col("__ssig"))).as(Seq("__band", "__bh")))
+    val indexBands = indexSigs
+      .select(col(idCol).as("match_id"), col("signature").as("__isig"))
+      .select(
+        col("match_id"), col("__isig"),
+        posexplode(bandKeys(col("__isig"))).as(Seq("__band", "__bh")))
+    streamBands.join(indexBands, Seq("__band", "__bh"))
+      .filter(col("__sid") =!= col("match_id"))
+      .withColumn(
+        "est_jaccard",
+        graft.functions.VectorOps.equalCount(col("__ssig"), col("__isig"))
+          .cast("double") / size(col("__ssig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("__sid").as(idCol), col("match_id"), col("__band").as("band"),
+        col("est_jaccard"))
+  }
+
   /** Bloom variant of [[decontaminateStream]] for benchmark suites too
     * large to ride as a sorted hash ARRAY (the exact set costs 8 bytes
     * per distinct bench shingle inside every executor and the stream's

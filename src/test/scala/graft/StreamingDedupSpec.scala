@@ -178,6 +178,49 @@ class StreamingDedupSpec extends SparkSpec {
     } finally { q.stop(); Dedup.unpersistIntermediates() }
   }
 
+  test("streaming near-dup probe: stateless, pairs equal the batch incremental slice") {
+    import graft.pipeline.Dedup
+    // standing corpus: two docs that near-dup arriving content, two that don't
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different words about spark query engines and big data"),
+      (102L, "another unrelated sentence talking about music and art and cooking"),
+      (103L, "the quick brown fox jumps over the lazy dog near the river bend today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64)
+      .cache()
+    index.count()
+    val arrivals = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dups 100/103
+      (2L, "nothing in common with anything in the corpus at all whatsoever"),
+      (3L, "completely different words about spark query engines and big data"))     // dups 101
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupPairsStream(docs, index, "doc_id", "text", 3, 64, 16, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      in.addData(arrivals.take(1): _*)
+      q.processAllAvailable()
+      in.addData(arrivals.drop(1): _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static near-dup probe must not create a state store")
+      val got = spark.table("neardup_out")
+        .select("doc_id", "match_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      // batch twin: arrivals probe the same index; its canonical (a<b)
+      // pairs map back to (arrival, corpus) orientation here
+      val probeSigs = Dedup.minhashSignatures(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", 3, 64)
+      val batch = Dedup.minhashLshPairsAgainst(probeSigs, index, "doc_id", 64, 16, 0.5)
+        .as[(Long, Long, Double)].collect()
+        .map(p => if (p._1 <= 3L) (p._1, p._2) else (p._2, p._1)).toSet
+      assert(got === batch, s"only-stream=${got -- batch} only-batch=${batch -- got}")
+      assert(got === Set((1L, 100L), (1L, 103L), (3L, 101L)))
+    } finally { q.stop(); index.unpersist(); Dedup.unpersistIntermediates() }
+  }
+
   test("streaming bloom decontamination: stateless, agrees with the batch bloom") {
     import graft.pipeline.Dedup
     val bench = Seq(
