@@ -211,6 +211,30 @@ object ProfScale {
         timed("lm_unsalted")(sink(
           TextAnalysis.lmFamiliarity(docs, "doc_id", "text")))
 
+      case "incdedup" =>
+        // incremental-vs-full A/B: a 10% batch arrives against a 90%
+        // standing corpus. Full recompute re-signs everything and
+        // regenerates corpus×corpus pairs; the incremental probe signs
+        // only the batch and joins the persisted index. The gap is the
+        // recurring per-batch cost a growing corpus pays forever.
+        import graft.pipeline.Dedup
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sfDir)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val standing = docs.filter(col("doc_id") % 10 =!= 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString
+        val tb0 = System.nanoTime()
+        Dedup.minhashSignatures(standing, "doc_id", "text", 3, 64)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        println(f"PROFSCALE index_build_once                ${(System.nanoTime() - tb0) / 1e9}%8.2f s")
+        val index = spark.read.parquet(s"$tmp/index")
+        timed("probe_incremental")(sink(
+          Dedup.minhashLshPairsAgainst(
+            Dedup.minhashSignatures(batch, "doc_id", "text", 3, 64),
+            index, "doc_id", 64, 16, 0.5)))
+        timed("full_recompute")(sink(
+          Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)))
+
       case "wire" =>
         // serve-layer scale point (VERDICT r10 #6): the socket surface —
         // aggregate, full-corpus history backfill (Service chunking +
