@@ -84,11 +84,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try mainImpl(args, sfDir)
     catch { case e: Throwable =>
-      // rc stays 0 even here: print the parseable fatal lines and return
+      // rc stays 0 even here: print the parseable fatal lines and return.
+      // BUT only if the real lines never made it out — a post-print death
+      // (spark.stop() failing) must not append a ZEROED total that a
+      // tail-reading driver would record over the real one.
       System.err.println(s"[bench] FATAL: ${e.getClass.getName}: ${e.getMessage}")
-      fatalLines(e, sfDir).foreach(println)
+      if (!printed) fatalLines(e, sfDir).foreach(println)
     }
   }
+
+  /** Set once mainImpl has printed the real result lines — the fatal
+    * fallback must never shadow them (see main's catch).
+    */
+  @volatile private var printed = false
 
   private def mainImpl(args: Array[String], sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -211,6 +219,7 @@ object Bench {
     println(renderJson(allLines, errors.toMap, sfDir))
     // bounded-size trailer so a tail-truncated capture keeps the headline
     println(renderSummary(allLines, errors.toMap, sfDir))
+    printed = true
     spark.stop()
     // rc stays 0 even on per-query errors, mirroring Verify's rationale: a
     // nonzero rc could make the driver discard the just-printed timings

@@ -600,9 +600,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val probe = pin(probeSigs.select(col(idCol), col("signature")))
+    // union over the PINNED probe: the batch's signature scan runs once
+    // and its cache serves both the probe bands and the all-side bands
     val all = pin(
-      probeSigs.select(col(idCol), col("signature"))
-        .unionByName(indexSigs.select(col(idCol), col("signature"))))
+      probe.unionByName(indexSigs.select(col(idCol), col("signature"))))
     def bandedOf(sigs: DataFrame) = sigs.select(
       col(idCol).as("__id"),
       posexplode(

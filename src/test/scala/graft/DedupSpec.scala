@@ -356,9 +356,13 @@ class DedupSpec extends SparkSpec {
     // the continuously-growing-corpus contract: probing the batch against
     // the standing index finds EXACTLY the full-recompute pairs that
     // touch the batch — no more (corpus x corpus) and no fewer
+    // cache: limit(300) gives NO cross-job row-selection guarantee — the
+    // full/probe/index branches must see the same rows
     val docs = graft.core.Tables.documents(spark, sf("sf0.001")).limit(300)
       .select(col("doc_id"), col("text"))
       .union(corpus)
+      .cache()
+    docs.count()
     val full = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", 3, 64, 16, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val probeIds = docs.filter(col("doc_id") % 3 === 0)
@@ -378,6 +382,7 @@ class DedupSpec extends SparkSpec {
     val xinc = Dedup.minhashLshPairsAgainst(xprobe, xindex, "doc_id", 64, 16, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(xinc === xfull.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+    docs.unpersist()
   }
 
   test("incremental probe budget fails fast on a saturated index, silent under") {
