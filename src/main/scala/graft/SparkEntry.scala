@@ -855,6 +855,15 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ---- Deterministic per-group cap (the web-pipeline "domain cap"):
+    //      keep at most k docs per source by (salt, id) hash order ----
+    "q_domain_cap" -> ((s, dir) => {
+      Splits.capPerGroupMd5(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", "source", k = 10, salt = "dc")
+        .orderBy("doc_id")
+    }),
+
     // ---- Epoch-aware shuffle: training-order positions over an
     //      UP-sampled corpus — hash covers (id, epoch) so replicas
     //      scatter independently instead of landing adjacent ----------
@@ -2731,6 +2740,19 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(range(0, n)) AS epoch
         |FROM nn WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // hash-order row_number per group — the padded-hex concat key orders
+    // exactly like (md5 prefix, doc_id) for non-negative ids
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY substr(md5('dc' || CAST(doc_id AS VARCHAR)), 1, 15),
+        |                    doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin,
 
     // the q_replicate replication verbatim, then positions by
     // row_number over (md5(salt || id || ':' || epoch), id, epoch) —

@@ -224,6 +224,55 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  // ---- deterministic per-group caps ------------------------------------
+
+  /** Per-group cap: keep at most `k` rows per group, chosen by the
+    * (salt, id) hash order with an id tie-break — the "domain cap" of a
+    * web-corpus pipeline (no single site may contribute more than k
+    * documents), done deterministically so the kept set is a pure
+    * function of (salt, ids) and survives repartitioning and appends
+    * (a new arrival displaces the current hash-order maximum only —
+    * membership is as stable as hash order allows, unlike "first k seen"
+    * which depends on scan order).
+    *
+    * Shape: one shuffle by group + per-partition sort (row_number over
+    * a fixed-width hash key). Groups are numerous by construction
+    * (domains, sources), so parallelism is group cardinality — the same
+    * contract as the series detectors; a corpus that is 90% one domain
+    * should be capped AFTER an exact-dedup pass collapses it.
+    */
+  def capPerGroupMd5(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    capWith(df, idCol, groupCol, k,
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15))
+  }
+
+  /** xxhash64 production twin of [[capPerGroupMd5]]. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    capWith(df, idCol, groupCol, k, hex60(salt, col(idCol)))
+  }
+
+  private def capWith(
+      df: DataFrame, idCol: String, groupCol: String, k: Int, hashHex: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(concat(hashHex, lit("-"), idPad(col(idCol))))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   // ---- deterministic replication (UP-sampling) -------------------------
 
   /** Replication sampling — the UP-sampling half of the mixture move.

@@ -517,6 +517,15 @@ object PlanAudit {
         mustNot = Seq("SortMergeJoin", "Sort ["))
     }
 
+    guarded("domain cap") {
+      // 19a. per-group cap: group-partitioned window (parallelism =
+      //      group cardinality) — never a single-partition global window
+      val dc = graft.pipeline.Splits.capPerGroup(docs, "doc_id", "source", 10, "s")
+      check("domain cap: group-partitioned window, no global funnel", plan(dc),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+    }
+
     guarded("replicate sample") {
       // 19b. deterministic replication (UP-sampling): literal rates make
       //      the whole operator one map-only generate — replica count is

@@ -65,6 +65,25 @@ class AggregateFunctionsSpec extends SparkSpec {
     assert(rows.forall(r => r.getSeq[Double](1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("SQL registration: wrong arity yields the signature, not IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf("sf0.001")).limit(5).createOrReplaceTempView("d_arity")
+    // too few args for a builder that indexes exprs(1): used to throw raw
+    // IndexOutOfBoundsException from inside the registry lambda
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_ngram_hashes(text) FROM d_arity").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("word_ngram_hashes(text, n)")),
+      s"expected the signature in: ${msgs(e)}")
+    // too many args on a unary function
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT simhash60(text, 3) FROM d_arity").collect()
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("simhash60(text)")))
+  }
+
   test("SQL registration: fused pipeline scalars usable from spark.sql") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sf("sf0.001")).limit(50)

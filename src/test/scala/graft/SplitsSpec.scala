@@ -367,6 +367,37 @@ class SplitsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === pos.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("capPerGroup keeps at most k per group, hash-stable under repartition and append") {
+    val docs = spark.range(0, 1000).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 4)) // 250 each
+    val kept = Splits.capPerGroup(docs, "id", "source", k = 40, salt = "c")
+      .select("id", "source").as[(Long, String)].collect()
+    val byGroup = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGroup.values.forall(_.size == 40)) // 250 > k -> exactly k kept
+    // a group under the cap keeps everything
+    val small = docs.filter(col("id") < 30) // ~8 per source
+    val keptSmall = Splits.capPerGroup(small, "id", "source", 40, salt = "c").count()
+    assert(keptSmall === 30L)
+    // repartition-stable
+    val again = Splits.capPerGroup(docs.repartition(7), "id", "source", 40, salt = "c")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.map(_._1).toSet)
+    // appends displace at most: adding docs can only swap members whose
+    // hash outranks an incumbent — every survivor of the bigger corpus
+    // that existed before was already kept or displaced an old member,
+    // and no group exceeds k
+    val more = spark.range(0, 1500).toDF("id")
+      .withColumn("source", concat(lit("s"), col("id") % 4))
+    val keptMore = Splits.capPerGroup(more, "id", "source", 40, salt = "c")
+      .select("id", "source").as[(Long, String)].collect()
+    assert(keptMore.groupBy(_._2).values.forall(_.size == 40))
+    // old members still present in the new kept set were kept before too
+    // (hash order is append-monotone: survivors from the old id range
+    // must be a subset of the old kept set)
+    val oldSurvivors = keptMore.map(_._1).filter(_ < 1000).toSet
+    assert(oldSurvivors.subsetOf(kept.map(_._1).toSet))
+  }
+
   test("order-key id guard refuses >20-char and negative ids loudly") {
     val neg = Seq((-1L, 5L), (2L, 7L)).toDF("id", "m")
     val e1 = intercept[Exception] { Splits.shuffleOrder(neg, "id").collect() }
