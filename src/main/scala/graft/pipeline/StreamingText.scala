@@ -122,6 +122,51 @@ object StreamingText {
     * column at the sink side, where the profile is already a plain
     * materialized value.
     */
+  /** A grouped document on the ingest stream — the shape
+    * [[capPerGroupStream]] admits (group = the capped dimension: domain,
+    * source, license bucket).
+    */
+  final case class GroupedDoc(group: String, doc_id: Long, text: String)
+
+  /** Streaming per-group cap: admit at most `k` documents per group over
+    * the life of the stream — the ingest-side domain cap (no single
+    * site/source may contribute more than k docs), enforced BEFORE the
+    * excess costs storage. State is ONE long per group (the admitted
+    * count), bounded by group cardinality, never by rate.
+    *
+    * Admission is first-k by arrival (within a micro-batch, doc_id order
+    * breaks ties deterministically); the batch twin
+    * [[Splits.capPerGroup]] instead keeps a HASH-ordered k — an
+    * arrival-order-free membership a stream cannot produce (it would
+    * have to revoke an already-admitted doc when a hash-smaller one
+    * arrives). Pipelines that need hash-membership run the batch cap
+    * over the admitted set periodically; the streaming gate guarantees
+    * the invariant every downstream consumer actually relies on: no
+    * group ever exceeds k.
+    */
+  def capPerGroupStream(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.Dataset[GroupedDoc],
+      k: Int): org.apache.spark.sql.Dataset[GroupedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    require(k > 0, s"cap must be positive, got $k")
+    docs
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[GroupedDoc],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[GroupedDoc]
+          it.toArray.sortBy(_.doc_id).foreach { d =>
+            if (n < k) { out += d; n += 1 }
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
+
   def hygiene(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("__p", graft.functions.TextProfile(col(textCol)))

@@ -178,6 +178,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally { q.stop(); Dedup.unpersistIntermediates() }
   }
 
+  test("streaming domain cap admits at most k per group across batches") {
+    import graft.pipeline.StreamingText
+    import graft.pipeline.StreamingText.GroupedDoc
+    val in = MemoryStream[GroupedDoc](spark)
+    val q = StreamingText.capPerGroupStream(spark, in.toDS(), k = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cap_out").start()
+    try {
+      // batch 1: two groups, a under cap, b at cap
+      in.addData(
+        GroupedDoc("a", 1L, "x"), GroupedDoc("a", 2L, "x"),
+        GroupedDoc("b", 10L, "x"), GroupedDoc("b", 11L, "x"), GroupedDoc("b", 12L, "x"))
+      q.processAllAvailable()
+      // batch 2: a gets its 3rd (admitted) and 4th (rejected);
+      // b is full — everything rejected; c is new
+      in.addData(
+        GroupedDoc("a", 3L, "x"), GroupedDoc("a", 4L, "x"),
+        GroupedDoc("b", 13L, "x"), GroupedDoc("c", 20L, "x"))
+      q.processAllAvailable()
+      val got = spark.table("cap_out")
+        .select("group", "doc_id").as[(String, Long)].collect().toSet
+      assert(got === Set(
+        ("a", 1L), ("a", 2L), ("a", 3L),
+        ("b", 10L), ("b", 11L), ("b", 12L),
+        ("c", 20L)))
+      // state is the admitted count only — one long per group
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 3L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup probe: stateless, pairs equal the batch incremental slice") {
     import graft.pipeline.Dedup
     // standing corpus: two docs that near-dup arriving content, two that don't
