@@ -855,6 +855,16 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ---- Exact-size deterministic sample: the n hash-smallest ids,
+    //      via the distributed prefix scan (no driver-merge top-k) ----
+    "q_sample_exact" -> ((s, dir) => {
+      Splits.sampleExactMd5(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", n = 100L, salt = "se1")
+        .select("doc_id", "source", "pos")
+        .orderBy("pos")
+    }),
+
     // ---- Deterministic per-group cap (the web-pipeline "domain cap"):
     //      keep at most k docs per source by (salt, id) hash order ----
     "q_domain_cap" -> ((s, dir) => {
@@ -2740,6 +2750,17 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(range(0, n)) AS epoch
         |FROM nn WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the q_shuffle_order position idiom + a WHERE on the position
+    "q_sample_exact" ->
+      """SELECT doc_id, source, pos FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           ORDER BY substr(md5('se1' || CAST(doc_id AS VARCHAR)), 1, 15),
+        |                    doc_id) - 1 AS pos
+        |  FROM documents
+        |) WHERE pos < 100
+        |ORDER BY pos""".stripMargin,
 
     // hash-order row_number per group — the padded-hex concat key orders
     // exactly like (md5 prefix, doc_id) for non-negative ids

@@ -224,6 +224,31 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  // ---- exact-size deterministic sampling -------------------------------
+
+  /** Take EXACTLY `n` rows (or all, if fewer), chosen by (salt, id) hash
+    * order — "give me exactly 1M documents, reproducibly". Rate-based
+    * samplers ([[stratifiedSample]]) hit a size only in expectation;
+    * this nails it: the kept set is the n hash-smallest ids, a pure
+    * function of (salt, ids), stable under repartitioning, and shrinks
+    * deterministically under appends (a new id displaces the current
+    * maximum only). Rides [[shuffleOrder]]'s two-phase distributed
+    * prefix scan — never a TakeOrdered driver merge (whose driver
+    * memory is O(n): fine for thousands, not for an exact 100M-doc
+    * slice) — and the output carries `pos` (0 ≤ pos < n), already a
+    * deterministic training order for the sample.
+    */
+  def sampleExact(df: DataFrame, idCol: String, n: Long, salt: String = ""): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    shuffleOrder(df, idCol, salt).filter(col("pos") < n)
+  }
+
+  /** Oracle-parity twin of [[sampleExact]] (md5 family). */
+  def sampleExactMd5(df: DataFrame, idCol: String, n: Long, salt: String = ""): DataFrame = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    shuffleOrderMd5(df, idCol, salt).filter(col("pos") < n)
+  }
+
   // ---- deterministic per-group caps ------------------------------------
 
   /** Per-group cap: keep at most `k` rows per group, chosen by the

@@ -367,6 +367,26 @@ class SplitsSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === pos.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("sampleExact takes exactly n, append-monotone, under-n keeps all") {
+    val docs = spark.range(0, 5000).toDF("id")
+    val kept = Splits.sampleExact(docs, "id", 700L, salt = "x")
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(kept.length === 700)
+    assert(kept.map(_._2).sorted.toSeq === (0L until 700L)) // positions 0..n-1
+    // under-n corpus keeps everything
+    assert(Splits.sampleExact(docs.filter(col("id") < 50), "id", 700L, salt = "x")
+      .count() === 50L)
+    // repartition-stable
+    val again = Splits.sampleExact(docs.repartition(9), "id", 700L, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.map(_._1).toSet)
+    // appends displace only: the bigger corpus's sample members drawn
+    // from the old id range are a subset of the old sample
+    val bigger = Splits.sampleExact(spark.range(0, 8000).toDF("id"), "id", 700L, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(bigger.filter(_ < 5000).subsetOf(kept.map(_._1).toSet))
+  }
+
   test("capPerGroup keeps at most k per group, hash-stable under repartition and append") {
     val docs = spark.range(0, 1000).toDF("id")
       .withColumn("source", concat(lit("s"), col("id") % 4)) // 250 each
