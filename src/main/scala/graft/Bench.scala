@@ -41,17 +41,46 @@ object Bench {
     * EVERY string field goes through Verify.jq — a quote/backslash in
     * SPARK_GRAFT_SF_DIR or a future query name must not produce an
     * unparseable line (ADVICE r9).
+    *
+    * `raw` (when non-empty) carries the per-pass timings behind the
+    * min-of-N "queries" map as `"raw":{"pass1":{...},"pass2":{...}}` —
+    * the self-de-noising record (see [[minOfPasses]]): a one-shot driver
+    * capture on a contended box can then be read for what it is instead
+    * of manufacturing false >2× regressions (BENCH_r11 showed 8 of them,
+    * one apparently 16×, all of which collapsed on solo re-runs).
     */
   private[graft] def renderJson(
       all: Seq[(String, Double)],
       errors: Map[String, String],
-      sfDir: String): String = {
-    val qs = all.map { case (k, v) => s"${Verify.jq(k)}:$v" }
-      .mkString("{", ",", "}")
+      sfDir: String,
+      raw: Seq[Seq[(String, Double)]] = Nil): String = {
+    def qmap(lines: Seq[(String, Double)]) =
+      lines.map { case (k, v) => s"${Verify.jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${Verify.jq(sfDir)}}"""
+    val rawJson =
+      if (raw.isEmpty) ""
+      else raw.zipWithIndex
+        .map { case (p, i) => s""""pass${i + 1}":${qmap(p)}""" }
+        .mkString(""","raw":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(all)}$rawJson,"errors":$errJson,"sf":${Verify.jq(sfDir)}}"""
+  }
+
+  /** Per-query min across measurement passes, names in first-seen order.
+    * The min is the de-noised estimate: a query's floor is its true cost;
+    * anything above it on SOME pass is scheduler/GC/page-cache contention
+    * (the r11 lesson — a contended one-shot capture showed 8 queries >2×
+    * slower, all of which collapsed to the floor on solo re-runs). A query
+    * that failed on one pass but succeeded on another keeps its successful
+    * timing (and its error stays visible in the errors map).
+    */
+  private[graft] def minOfPasses(
+      passes: Seq[Seq[(String, Double)]]): Seq[(String, Double)] = {
+    val names = scala.collection.mutable.LinkedHashSet.empty[String]
+    passes.foreach(_.foreach(names += _._1))
+    val maps = passes.map(_.toMap)
+    names.toSeq.map(n => n -> maps.flatMap(_.get(n)).min)
   }
 
   /** Compact trailer emitted AFTER the full JSON line: the driver's r9
@@ -82,6 +111,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // a second main() in the same JVM (tests, a reused driver) must get
+    // its own fatal-line guarantee — a stale flag from a previous run
+    // would suppress the fallback entirely (ADVICE r11)
+    printed = false
     try mainImpl(args, sfDir)
     catch { case e: Throwable =>
       // rc stays 0 even here: print the parseable fatal lines and return.
@@ -123,100 +156,112 @@ object Bench {
     try SparkEntry.queries("q_raw_select")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val (results, runErrors) = run(spark, sfDir, selected)
+    // min-of-N measurement (default 2): the whole query list runs N full
+    // passes and each query reports its per-pass MINIMUM — a one-shot
+    // capture on a contended driver box is otherwise indistinguishable
+    // from a real regression (r11: 8 false >2× movers, one 16×). Raw
+    // per-pass timings ride the JSON under "raw" so the floor's
+    // provenance is auditable.
+    val nPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    errors ++= runErrors
-    // tier read-path lines: the q_*_tier gate queries build their tier
-    // INLINE (correctness needs the whole derivation in one plan), which
-    // overstates the serving cost the tiers exist for. Here the tier is
-    // written to disk once — timed separately as `tier_build`, the batch
-    // form of the streaming maintenance job — and the `_serve` lines time
-    // ONLY the production read path: readTier + fold.
-    val tierNames = Set("tier_build", "q_matrix_tier_smoke_serve", "q_agg_tier_bins_serve")
-    val tierBench =
-      if (only.nonEmpty && !tierNames.exists(only)) Nil
-      else try {
-        import graft.query.AggSpec
-        val ev = graft.core.Tables.tsEvents(spark, sfDir)
-        val labels = SparkEntry.labelsFor(spark, sfDir)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
-        val tb0 = System.nanoTime()
-        graft.streaming.RollupStream.appendPartials(
-          ev, 3600, "value", s"$tmp/t3600", epoch = 0L,
-          modeCols = Seq("event_type"), smokeCols = Seq("value"))
-        val build = "tier_build" -> (System.nanoTime() - tb0) / 1e9
-        val tier = graft.streaming.RollupStream.readTier(spark, s"$tmp/t3600")
-        def serveLine(name: String, df: => org.apache.spark.sql.DataFrame) = {
+    val passes = (1 to nPasses).map { _ =>
+      val (results, runErrors) = run(spark, sfDir, selected)
+      errors ++= runErrors
+      // tier read-path lines: the q_*_tier gate queries build their tier
+      // INLINE (correctness needs the whole derivation in one plan), which
+      // overstates the serving cost the tiers exist for. Here the tier is
+      // written to disk once — timed separately as `tier_build`, the batch
+      // form of the streaming maintenance job — and the `_serve` lines time
+      // ONLY the production read path: readTier + fold.
+      val tierNames = Set("tier_build", "q_matrix_tier_smoke_serve", "q_agg_tier_bins_serve")
+      val tierBench =
+        if (only.nonEmpty && !tierNames.exists(only)) Nil
+        else try {
+          import graft.query.AggSpec
+          val ev = graft.core.Tables.tsEvents(spark, sfDir)
+          val labels = SparkEntry.labelsFor(spark, sfDir)
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
+          val tb0 = System.nanoTime()
+          graft.streaming.RollupStream.appendPartials(
+            ev, 3600, "value", s"$tmp/t3600", epoch = 0L,
+            modeCols = Seq("event_type"), smokeCols = Seq("value"))
+          val build = "tier_build" -> (System.nanoTime() - tb0) / 1e9
+          val tier = graft.streaming.RollupStream.readTier(spark, s"$tmp/t3600")
+          def serveLine(name: String, df: => org.apache.spark.sql.DataFrame) = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+          Seq(
+            build,
+            serveLine("q_matrix_tier_smoke_serve",
+              graft.rollup.Rollup.matrixFromTier(
+                tier, labels,
+                Seq(AggSpec("value", "smoke"), AggSpec("value", "avg"),
+                  AggSpec("value", "count")),
+                SparkEntry.Start, SparkEntry.Stop, primaryCol = "value")),
+            serveLine("q_agg_tier_bins_serve",
+              graft.rollup.Rollup.aggregatedFromTier(
+                tier, labels,
+                Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
+                  AggSpec("value", "stddev"), AggSpec("event_type", "most"),
+                  AggSpec("value", "smoke")),
+                SparkEntry.Start, SparkEntry.Stop, binsize = 21600,
+                primaryCol = "value")))
+            .filter { case (n, _) => only.isEmpty || only(n) }
+        } catch { case e: Throwable =>
+          errors("tier_serve") = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[bench] tier serve lines FAILED: ${errors("tier_serve")}")
+          Nil
+        }
+      // wire/serve layer: one aggregate served over a real TCP socket
+      // (Service chunking + frequency inference + JSON encode + zlib + Wire
+      // framing), so serialization cost is measured before a client hits it
+      val wire =
+        if (only.nonEmpty && !only("q_wire_aggregate")) Nil
+        else try {
+          val events = graft.core.Tables.tsEvents(spark, sfDir)
+          val svc = new graft.serve.Service(
+            spark,
+            data = Map("amp-external" -> events),
+            streams = Map("amp-external" -> events.select("stream_id").distinct()))
+          val server = new graft.serve.WireServer(svc)
+          val ids = events.select("stream_id").distinct()
+            .collect().map(_.getLong(0)).sorted
+          val (la, lb) = ids.splitAt(ids.length / 2)
+          val req =
+            s"""{"request":"aggregate","collection":"amp-external",
+               |"labels":{"a":[${la.mkString(",")}],"b":[${lb.mkString(",")}]},
+               |"start":1704067200,"stop":1706745600,"binsize":600,
+               |"aggs":[["value","avg"],["value","max"],["value","count"]]}""".stripMargin
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
+          val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+          try {
+            val out = new java.io.DataOutputStream(sock.getOutputStream)
+            out.write(graft.serve.Wire.pack(0, req.getBytes("UTF-8")))
+            out.flush()
+            sock.shutdownOutput()
+            val in = sock.getInputStream
+            val buf = new Array[Byte](1 << 16)
+            var bytes = 0L
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) } // drain to EOF
+            require(bytes > 0, "empty wire reply")
+          } finally { sock.close(); server.close() }
+          Seq("q_wire_aggregate" -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors("q_wire_aggregate") = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[bench] q_wire_aggregate FAILED: ${errors("q_wire_aggregate")}")
+          Nil
         }
-        Seq(
-          build,
-          serveLine("q_matrix_tier_smoke_serve",
-            graft.rollup.Rollup.matrixFromTier(
-              tier, labels,
-              Seq(AggSpec("value", "smoke"), AggSpec("value", "avg"),
-                AggSpec("value", "count")),
-              SparkEntry.Start, SparkEntry.Stop, primaryCol = "value")),
-          serveLine("q_agg_tier_bins_serve",
-            graft.rollup.Rollup.aggregatedFromTier(
-              tier, labels,
-              Seq(AggSpec("value", "avg"), AggSpec("value", "count"),
-                AggSpec("value", "stddev"), AggSpec("event_type", "most"),
-                AggSpec("value", "smoke")),
-              SparkEntry.Start, SparkEntry.Stop, binsize = 21600,
-              primaryCol = "value")))
-          .filter { case (n, _) => only.isEmpty || only(n) }
-      } catch { case e: Throwable =>
-        errors("tier_serve") = s"${e.getClass.getName}: ${e.getMessage}"
-        System.err.println(s"[bench] tier serve lines FAILED: ${errors("tier_serve")}")
-        Nil
-      }
-    // wire/serve layer: one aggregate served over a real TCP socket
-    // (Service chunking + frequency inference + JSON encode + zlib + Wire
-    // framing), so serialization cost is measured before a client hits it
-    val wire =
-      if (only.nonEmpty && !only("q_wire_aggregate")) Nil
-      else try {
-        val events = graft.core.Tables.tsEvents(spark, sfDir)
-        val svc = new graft.serve.Service(
-          spark,
-          data = Map("amp-external" -> events),
-          streams = Map("amp-external" -> events.select("stream_id").distinct()))
-        val server = new graft.serve.WireServer(svc)
-        val ids = events.select("stream_id").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val (la, lb) = ids.splitAt(ids.length / 2)
-        val req =
-          s"""{"request":"aggregate","collection":"amp-external",
-             |"labels":{"a":[${la.mkString(",")}],"b":[${lb.mkString(",")}]},
-             |"start":1704067200,"stop":1706745600,"binsize":600,
-             |"aggs":[["value","avg"],["value","max"],["value","count"]]}""".stripMargin
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
-        try {
-          val out = new java.io.DataOutputStream(sock.getOutputStream)
-          out.write(graft.serve.Wire.pack(0, req.getBytes("UTF-8")))
-          out.flush()
-          sock.shutdownOutput()
-          val in = sock.getInputStream
-          val buf = new Array[Byte](1 << 16)
-          var bytes = 0L
-          var n = in.read(buf)
-          while (n >= 0) { bytes += n; n = in.read(buf) } // drain to EOF
-          require(bytes > 0, "empty wire reply")
-        } finally { sock.close(); server.close() }
-        Seq("q_wire_aggregate" -> (System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        errors("q_wire_aggregate") = s"${e.getClass.getName}: ${e.getMessage}"
-        System.err.println(s"[bench] q_wire_aggregate FAILED: ${errors("q_wire_aggregate")}")
-        Nil
-      }
-    val allLines = results ++ tierBench ++ wire
-    println(renderJson(allLines, errors.toMap, sfDir))
+      results ++ tierBench ++ wire
+    }
+    val allLines = minOfPasses(passes)
+    println(renderJson(allLines, errors.toMap, sfDir,
+      raw = if (nPasses > 1) passes else Nil))
     // bounded-size trailer so a tail-truncated capture keeps the headline
     println(renderSummary(allLines, errors.toMap, sfDir))
     printed = true

@@ -601,9 +601,20 @@ object Dedup {
     val rows = numHashes / bands
     val probe = pin(probeSigs.select(col(idCol), col("signature")))
     // union over the PINNED probe: the batch's signature scan runs once
-    // and its cache serves both the probe bands and the all-side bands
+    // and its cache serves both the probe bands and the all-side bands.
+    // Ids may OVERLAP between probe and index (a replayed / already-
+    // appended batch): the index side anti-joins the probe's ids first,
+    // so `all` stays id-unique — without this, a re-ingested id banded
+    // twice and every one of its matches emitted duplicate pair rows
+    // (ADVICE r11). The anti-join's build side is the batch-sized probe
+    // (broadcast at scale), never the corpus. A probe id already in the
+    // index is treated as a NEW VERSION of that document — it probes the
+    // rest of the corpus but never pairs with its own stale entry (same
+    // id, filtered below); probe ids themselves must be unique.
     val all = pin(
-      probe.unionByName(indexSigs.select(col(idCol), col("signature"))))
+      probe.unionByName(
+        indexSigs.select(col(idCol), col("signature"))
+          .join(probe.select(col(idCol)), Seq(idCol), "left_anti")))
     def bandedOf(sigs: DataFrame) = sigs.select(
       col(idCol).as("__id"),
       posexplode(

@@ -113,9 +113,14 @@ object StreamingDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false,
+      // doc columns carried through to the output untouched — the
+      // distinct variant threads its event-time column here (a watermark
+      // rides its attribute: projecting the column away would drop it)
+      passThrough: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    val pt = passThrough.map(col)
     val sig =
       if (md5Family) graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes)
       else graft.functions.MinHashSignature(
@@ -126,13 +131,27 @@ object StreamingDedup {
         b => concat_ws(",", slice(sigCol, b * rows + 1, lit(rows))))
     val streamBands = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__sid"), sig.as("__ssig"))
+      .select(col(idCol).as("__sid") +: sig.as("__ssig") +: pt: _*)
       .filter(size(col("__ssig")) > 0)
       .select(
-        col("__sid"), col("__ssig"),
-        posexplode(bandKeys(col("__ssig"))).as(Seq("__band", "__bh")))
+        col("__sid") +: col("__ssig") +:
+          posexplode(bandKeys(col("__ssig"))).as(Seq("__band", "__bh")) +: pt: _*)
+    // a mismatched index (built with a different numHashes or hash
+    // family) would SILENTLY yield near-zero est_jaccard — equalCount
+    // walks min(len) positions against the stream's numHashes-length
+    // signature, so every pair just misses the threshold: false
+    // negatives with no error (ADVICE r11). Signature LENGTH is checked
+    // per index row (one codegen'd compare); the hash FAMILY is not
+    // detectable from the data — `md5Family` must match the index
+    // builder's, which is the documented contract above.
     val indexBands = indexSigs
-      .select(col(idCol).as("match_id"), col("signature").as("__isig"))
+      .select(col(idCol).as("match_id"),
+        when(size(col("signature")) =!= numHashes,
+          raise_error(concat(
+            lit(s"nearDupPairsStream: index signature length != numHashes=$numHashes: "),
+            size(col("signature")).cast("string"),
+            lit(" — the persisted index was built with different MinHash parameters"))))
+          .otherwise(col("signature")).as("__isig"))
       .select(
         col("match_id"), col("__isig"),
         posexplode(bandKeys(col("__isig"))).as(Seq("__band", "__bh")))
@@ -143,9 +162,44 @@ object StreamingDedup {
         graft.functions.VectorOps.equalCount(col("__ssig"), col("__isig"))
           .cast("double") / size(col("__ssig")))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("__sid").as(idCol), col("match_id"), col("__band").as("band"),
-        col("est_jaccard"))
+      .select(col("__sid").as(idCol) +: col("match_id") +: col("__band").as("band") +:
+        col("est_jaccard") +: pt: _*)
   }
+
+  /** [[nearDupPairsStream]] with the per-band duplication collapsed: one
+    * row per distinct (doc, match) pair. The raw form emits one row per
+    * COLLIDING BAND — fine for consumers that treat any row as an
+    * idempotent "this doc near-dups the corpus" flag, an over-count trap
+    * for anything that tallies rows (VERDICT r11). Collapsing needs
+    * state, so this variant takes an event-time column + horizon and
+    * rides `dropDuplicatesWithinWatermark` keyed on the pair: state
+    * holds one entry per distinct pair seen within the horizon and is
+    * evicted as the watermark passes — bounded by the horizon's pair
+    * rate, never the stream's life. (A pair's rows all carry the SAME
+    * event time — they come from one arriving document — so
+    * within-watermark dedup is exact for them; the horizon only governs
+    * how long a RE-ARRIVING duplicate document's pairs stay suppressed.)
+    * The `band` column is dropped (meaningless once collapsed);
+    * `eventTimeCol` rides along for downstream windowing.
+    */
+  def nearDupPairsStreamDistinct(
+      docs: DataFrame,
+      indexSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      eventTimeCol: String,
+      horizon: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      md5Family: Boolean = false): DataFrame =
+    nearDupPairsStream(
+        docs.withWatermark(eventTimeCol, horizon),
+        indexSigs, idCol, textCol, n, numHashes, bands, threshold, md5Family,
+        passThrough = Seq(eventTimeCol))
+      .drop("band")
+      .dropDuplicatesWithinWatermark(idCol, "match_id")
 
   /** Bloom variant of [[decontaminateStream]] for benchmark suites too
     * large to ride as a sorted hash ARRAY (the exact set costs 8 bytes

@@ -516,31 +516,49 @@ private[serve] object JsonMini {
     */
   def rows(rs: Seq[Row]): String = {
     if (rs.isEmpty) return "[]"
-    val names = rs.head.schema.fieldNames.map(n => str(n) + ":")
+    val headSchema = rs.head.schema
+    val rawNames = headSchema.fieldNames
+    val names = rawNames.map(n => str(n) + ":")
+    // the once-per-chunk name table is only valid for rows that SHARE the
+    // head row's field names — a mixed-schema chunk would silently pair
+    // values with the wrong names (ADVICE r11). The three serve callers
+    // pass homogeneous chunks (one collect each), so the guard is one
+    // pointer compare per row; a genuinely foreign row falls back to the
+    // per-row encoder, which is byte-identical for same-schema rows.
+    var altSchema: org.apache.spark.sql.types.StructType = null
+    def sharesNames(r: Row): Boolean =
+      (r.schema eq headSchema) || (r.schema eq altSchema) || {
+        val ok = r.schema != null && r.schema.fieldNames.sameElements(rawNames)
+        if (ok) altSchema = r.schema // deserialized copy: re-check once
+        ok
+      }
     val sb = new java.lang.StringBuilder(rs.length * 48)
     sb.append('[')
     var first = true
     rs.foreach { r =>
       if (!first) sb.append(',')
       first = false
-      sb.append('{')
-      var i = 0
-      while (i < names.length) {
-        if (i > 0) sb.append(',')
-        sb.append(names(i))
-        if (r.isNullAt(i)) sb.append("null")
-        else r.get(i) match {
-          case l: java.lang.Long => sb.append(l.longValue)
-          case d: java.lang.Double =>
-            if (d.isNaN || d.isInfinite) sb.append("null")
-            else sb.append(d.doubleValue)
-          case n: java.lang.Integer => sb.append(n.intValue)
-          case s: String => sb.append(str(s))
-          case other => sb.append(value(other))
+      if (!sharesNames(r)) sb.append(row(r))
+      else {
+        sb.append('{')
+        var i = 0
+        while (i < names.length) {
+          if (i > 0) sb.append(',')
+          sb.append(names(i))
+          if (r.isNullAt(i)) sb.append("null")
+          else r.get(i) match {
+            case l: java.lang.Long => sb.append(l.longValue)
+            case d: java.lang.Double =>
+              if (d.isNaN || d.isInfinite) sb.append("null")
+              else sb.append(d.doubleValue)
+            case n: java.lang.Integer => sb.append(n.intValue)
+            case s: String => sb.append(str(s))
+            case other => sb.append(value(other))
+          }
+          i += 1
         }
-        i += 1
+        sb.append('}')
       }
-      sb.append('}')
     }
     sb.append(']')
     sb.toString

@@ -68,6 +68,28 @@ class HarnessSpec extends SparkSpec {
     assert(json.contains("\"errors\":{\"q_broken\""))
   }
 
+  test("Bench: min-of-passes takes the per-query floor, first-seen order") {
+    // r11's contended one-shot capture manufactured 8 false >2x movers
+    // (one 16x); every driver capture is now min-of-N so the floor rides
+    // the round artifact itself instead of needing judge solo re-runs
+    val mins = Bench.minOfPasses(Seq(
+      Seq("q_a" -> 2.0, "q_b" -> 1.0),
+      Seq("q_b" -> 3.0, "q_a" -> 0.5, "q_c" -> 4.0)))
+    assert(mins === Seq("q_a" -> 0.5, "q_b" -> 1.0, "q_c" -> 4.0))
+  }
+
+  test("Bench: JSON line carries min queries plus raw per-pass maps") {
+    val passes = Seq(Seq("q_a" -> 2.0), Seq("q_a" -> 0.5))
+    val json = Bench.renderJson(
+      Bench.minOfPasses(passes), Map.empty, "/tmp/sf0.1", raw = passes)
+    assert(json.contains(""""queries":{"q_a":0.5}"""))
+    assert(json.contains(""""raw":{"pass1":{"q_a":2.0},"pass2":{"q_a":0.5}}"""))
+    // the headline total sums the MINS, not the passes
+    assert(json.startsWith("""{"metric":"total","value":0.5,"""))
+    // raw omitted entirely in single-pass form (fatalLines, bounded shape)
+    assert(!Bench.renderJson(passes.last, Map.empty, "/tmp/sf0.1").contains("raw"))
+  }
+
   test("Bench: compact summary trailer carries the headline without the maps") {
     // the r9 driver capture tail-truncated the full JSON line (the
     // per-query map outgrew the window) and lost the total — the trailer

@@ -251,6 +251,71 @@ class StreamingDedupSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist(); Dedup.unpersistIntermediates() }
   }
 
+  test("near-dup distinct variant: one row per pair, state bounded by pair count") {
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different words about spark query engines and big data"),
+      (103L, "the quick brown fox jumps over the lazy dog near the river bend today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64).cache()
+    index.count()
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = in.toDF().toDF("doc_id", "text", "evt")
+    val q = StreamingDedup.nearDupPairsStreamDistinct(
+        docs, index, "doc_id", "text", "evt", "30 minutes", 3, 64, 16, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_distinct_out").start()
+    try {
+      // doc 1 is byte-identical to corpus 100: all 16 bands collide, so the
+      // RAW form would emit 16 rows for that pair — the distinct form one
+      in.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank today", ts(0)))
+      q.processAllAvailable()
+      // the same document re-arrives within the horizon: its pairs are
+      // already in pair-state and must NOT re-emit
+      in.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank today", ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_distinct_out")
+        .select("doc_id", "match_id").as[(Long, Long)].collect().toList
+      assert(got.sorted === List((1L, 100L), (1L, 103L)),
+        s"expected exactly one row per distinct pair, got $got")
+      // event time survives for downstream windowing; band is collapsed away
+      assert(spark.table("neardup_distinct_out").columns.contains("evt"))
+      assert(!spark.table("neardup_distinct_out").columns.contains("band"))
+      // state = one entry per distinct pair within the horizon, NOT per band
+      val dedupState = q.lastProgress.stateOperators
+      assert(dedupState.nonEmpty && dedupState.head.numRowsTotal === 2L,
+        s"pair-dedup state must hold exactly the 2 distinct pairs, got " +
+          dedupState.map(_.numRowsTotal).mkString(","))
+    } finally { q.stop(); index.unpersist(); Dedup.unpersistIntermediates() }
+  }
+
+  test("near-dup probe refuses a signature index built with other parameters") {
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    // index built at numHashes=32; the probe runs at 64 — without the
+    // guard every est_jaccard would be ~0 and pairs silently vanish
+    val index = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 32)
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupPairsStream(docs, index, "doc_id", "text", 3, 64, 16, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_mismatch_out").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("index signature length != numHashes=64")),
+        s"expected the loud mismatch error, got: ${messages(e).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("streaming bloom decontamination: stateless, agrees with the batch bloom") {
     import graft.pipeline.Dedup
     val bench = Seq(
