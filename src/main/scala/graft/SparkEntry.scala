@@ -803,6 +803,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Adaptive quality cut, EXACT-quantile form: keep the top
+    //      (1-q) fraction by global (metric, id) rank — the same
+    //      two-phase prefix scan as q_rank_norm, so no single-task sort;
+    //      floor(q·n) is one double op on both engines ------------------
+    "q_quality_cut_quantile" -> ((s, dir) => {
+      Splits.cutByQuantileExact(
+          TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
+            .select("doc_id", "n_bpe_tokens"),
+          "doc_id", "n_bpe_tokens", q = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // ---- Rank normalization: metric -> [0,1] by global position in
     //      (metric, id) order, via the two-phase distributed scan (the
     //      quantile-normalize step before cross-source score mixing) ---
@@ -2667,6 +2679,23 @@ object SparkEntry {
         |SELECT doc_id, n_bpe_tokens, quality FROM q
         |WHERE CAST(n_bpe_tokens AS DOUBLE) >=
         |      (SELECT CAST(sum(n_bpe_tokens) AS DOUBLE) / count(*) FROM q)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact rank cut: row_number over (metric, doc_id) — the id
+    // tie-break makes the kept count exact even on a plateaued metric;
+    // floor(0.8·n) is the same single double op the engine computes
+    "q_quality_cut_quantile" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_bpe_tokens FROM (
+        |  SELECT doc_id, n_bpe_tokens,
+        |         row_number() OVER (ORDER BY n_bpe_tokens, doc_id) - 1 AS pos,
+        |         count(*) OVER () AS n
+        |  FROM s
+        |) WHERE pos >= floor(0.8 * n)
         |ORDER BY doc_id""".stripMargin,
 
     // row_number (not percent_rank): ties order by doc_id — the same

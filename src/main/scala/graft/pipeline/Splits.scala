@@ -260,11 +260,13 @@ object Splits {
     * membership is as stable as hash order allows, unlike "first k seen"
     * which depends on scan order).
     *
-    * Shape: one shuffle by group + per-partition sort (row_number over
-    * a fixed-width hash key). Groups are numerous by construction
-    * (domains, sources), so parallelism is group cardinality — the same
-    * contract as the series detectors; a corpus that is 90% one domain
-    * should be capped AFTER an exact-dedup pass collapses it.
+    * Shape: a k-bounded per-group threshold aggregate (map-side
+    * combined — the shuffle moves at most k keys per group per
+    * partition) + a broadcast-joined map-only membership filter; the
+    * corpus itself never shuffles, so a Zipf-headed corpus (90% one
+    * domain) caps without funneling the hot group through one sort task
+    * (see [[capWith]]). Ids must be unique per row — the keys embed them
+    * as the uniqueness tie-break.
     */
   def capPerGroupMd5(
       df: DataFrame,
@@ -288,15 +290,62 @@ object Splits {
     capWith(df, idCol, groupCol, k, hex60(salt, col(idCol)))
   }
 
+  /** Threshold-join form of the cap: the group's admission cutoff is its
+    * k-th smallest key ([[graft.functions.KthSmallestAggregate]] — a
+    * k-bounded buffer Spark partial-aggregates MAP-SIDE, so the agg
+    * shuffle moves at most k keys per group per partition however skewed
+    * the corpus), and membership is then a map-only
+    * `key <= threshold` filter behind a broadcast join. The corpus itself
+    * NEVER shuffles — where the direct window form funnels every row of a
+    * Zipf-hot domain through one sort task, this reads the corpus twice
+    * (threshold pass + filter pass), both passes embarrassingly parallel.
+    * Over unique ids the kept set is exactly the k key-smallest per group
+    * (keys embed the id, so they are unique; a group under the cap keeps
+    * everything — its threshold is its max key). Bit-identical to
+    * [[capWithReference]], spec-pinned.
+    *
+    * The broadcast assumes group cardinality ≪ corpus (domains, sources:
+    * millions of rows, not billions). For a group dimension too large to
+    * broadcast, drop the hint — the threshold join becomes a shuffle join
+    * whose PROBE side streams (no sort, no buffering of the hot group).
+    */
   private def capWith(
       df: DataFrame, idCol: String, groupCol: String, k: Int, hashHex: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCol)
-      .orderBy(concat(hashHex, lit("-"), idPad(col(idCol))))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    val keyed = df.withColumn("__capkey", concat(hashHex, lit("-"), idPad(col(idCol))))
+    val thr = keyed.groupBy(col(groupCol))
+      .agg(graft.functions.KthSmallestAggregate.kthSmallest(col("__capkey"), k).as("__thr"))
+      .withColumnRenamed(groupCol, "__capgrp")
+    keyed
+      .join(broadcast(thr), col(groupCol) <=> col("__capgrp")) // null group = its own group, like the window
+      .filter(col("__capkey") <= col("__thr"))
+      .select(df.columns.map(col): _*)
   }
+
+  /** Spec-only reference form of the cap: the direct group-partitioned
+    * window (one shuffle by group + per-group sort). SplitsSpec pins the
+    * threshold-join production path bit-identical to this.
+    */
+  private[pipeline] def capWithReference(
+      df: DataFrame, idCol: String, groupCol: String, k: Int, hashHex: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__capkey"))
+    df.withColumn("__capkey", concat(hashHex, lit("-"), idPad(col(idCol))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__capkey")
+  }
+
+  /** Oracle-family reference twin exposed for the bit-identical spec. */
+  private[graft] def capPerGroupMd5Reference(
+      df: DataFrame, idCol: String, groupCol: String, k: Int, salt: String): DataFrame =
+    capWithReference(df, idCol, groupCol, k,
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15))
+
+  /** xxhash64 reference twin (no pre-cap) for the ProfScale skew A/B. */
+  private[graft] def capPerGroupReference(
+      df: DataFrame, idCol: String, groupCol: String, k: Int, salt: String): DataFrame =
+    capWithReference(df, idCol, groupCol, k, hex60(salt, col(idCol)))
+
 
   // ---- deterministic replication (UP-sampling) -------------------------
 
@@ -567,35 +616,65 @@ object Splits {
     ranked.filter(uMd5(salt, col(idCol)) < rate)
   }
 
-  def rankNormalize(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
+  /** Fixed-width sortable key over (metric, id): value biased by 2^62 →
+    * zero-padded decimal, id tie-break suffix. Shared by [[rankNormalize]]
+    * and [[cutByQuantileExact]]; guards the metric domain loudly (outside
+    * (−2^62, 2^62) the bias wraps and the zero-padded key inverts the
+    * order SILENTLY — 2^62 would become Long.MinValue, whose '-' prefix
+    * sorts first). One codegen'd compare per row; real metrics (counts,
+    * lengths, scores) sit many orders of magnitude inside the bound.
+    */
+  private def metricOrderKeyed(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
     val Bias = 4611686018427387904L // 2^62
-    // domain guard: outside (−2^62, 2^62) the bias wraps and the
-    // zero-padded key inverts the order SILENTLY (2^62 would become
-    // Long.MinValue, whose '-' prefix sorts first) — refuse loudly.
-    // One codegen'd compare per row; real metrics (counts, lengths,
-    // scores) sit many orders of magnitude inside the bound.
     val m = col(metricCol).cast("long")
     val guarded = when(m >= Bias || m <= -Bias,
       raise_error(concat(
         lit(s"rankNormalize: $metricCol out of (-2^62, 2^62): "),
         m.cast("string"))))
       .otherwise(m)
-    val keyed = df.withColumn(
+    df.withColumn(
         "__ord",
         concat(
           lpad((guarded + Bias).cast("string"), 20, "0"),
           lit("-"),
           idPad(col(idCol))))
       .withColumn("__one", lit(1L))
+  }
+
+  def rankNormalize(df: DataFrame, idCol: String, metricCol: String): DataFrame = {
     // n falls out of the prefix scan's per-partition sums — no separate
     // counting pass over the corpus
-    val (pos, n) = Packing.withPrefixSumTotal(keyed, "__ord", "__one", "__pos1")
+    val (pos, n) = Packing.withPrefixSumTotal(
+      metricOrderKeyed(df, idCol, metricCol), "__ord", "__one", "__pos1")
     pos
       .withColumn(
         "pct_rank",
         if (n == 1L) lit(0.0)
         else (col("__pos1") - 1L).cast("double") / lit((n - 1L).toDouble))
       .drop("__ord", "__one", "__pos1")
+  }
+
+  /** EXACT distributed quantile cut: keep the rows whose 0-based position
+    * in (metric ASC, id ASC) order is ≥ floor(q·n) — exactly
+    * n − floor(q·n) rows, deterministically, on any engine (the oracle
+    * reproduces it as `row_number() − 1 >= floor(q·n)`). The exact twin
+    * of [[TextAnalysis.cutByQuantileOf]]'s approx-percentile form: where
+    * the sketch trades a size-ε rank error for one small aggregate, this
+    * nails the boundary — at the cost of the same two-phase distributed
+    * prefix scan [[sampleExact]] rides (range-partition on the order key,
+    * per-partition offsets, local windows; never a single-task
+    * `row_number() OVER (ORDER BY metric)` sort). The id tie-break makes
+    * the kept COUNT exact even when the metric plateaus at the boundary —
+    * a plain `metric >= threshold` filter would keep every tied row.
+    */
+  def cutByQuantileExact(
+      df: DataFrame, idCol: String, metricCol: String, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    val (pos, n) = Packing.withPrefixSumTotal(
+      metricOrderKeyed(df, idCol, metricCol), "__ord", "__one", "__pos1")
+    // one double multiply + floor, identical in both engines
+    val cut = math.floor(q * n.toDouble).toLong
+    pos.filter(col("__pos1") - 1L >= cut).drop("__ord", "__one", "__pos1")
   }
 
   private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =

@@ -489,6 +489,18 @@ object PlanAudit {
         mustNot = Seq("Exchange SinglePartition"))
     }
 
+    guarded("quantile cut") {
+      // 16a. exact quantile cut: the same prefix-scan shape — a naive
+      //      row_number() OVER (ORDER BY metric) would be the single-task
+      //      sort funnel
+      val qc = graft.pipeline.Splits.cutByQuantileExact(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 0.8)
+      check("quantile cut: range-partitioned prefix scan, no single-task window",
+        plan(qc),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
+    }
+
     guarded("pii scan") {
       // 17. PII scan: codegen'd regexp projection, map-only
       val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")
@@ -518,12 +530,17 @@ object PlanAudit {
     }
 
     guarded("domain cap") {
-      // 19a. per-group cap: group-partitioned window (parallelism =
-      //      group cardinality) — never a single-partition global window
+      // 19a. per-group cap: k-bounded threshold aggregate (partial
+      //      ObjectHashAggregate map-side — the only shuffle input is
+      //      ≤ k keys per group per partition) + broadcast membership
+      //      filter. The corpus side must reach the join UNSHUFFLED and
+      //      UNSORTED — the direct window form (banned here) funnels
+      //      every row of a hot group through one sort task.
       val dc = graft.pipeline.Splits.capPerGroup(docs, "doc_id", "source", 10, "s")
-      check("domain cap: group-partitioned window, no global funnel", plan(dc),
-        mustContain = Seq("Window"),
-        mustNot = Seq("Exchange SinglePartition"))
+      check("domain cap: k-bounded threshold agg + broadcast filter, corpus unshuffled",
+        plan(dc),
+        mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin", "partial_kth_smallest"),
+        mustNot = Seq("Window", "SortMergeJoin", "Exchange SinglePartition"))
     }
 
     guarded("replicate sample") {

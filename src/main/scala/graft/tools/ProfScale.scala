@@ -395,6 +395,47 @@ object ProfScale {
           } finally { sock.close(); server.close() }
         }
 
+      case "capskew" =>
+        // per-group cap on a Zipf-headed corpus (90% of rows in ONE
+        // domain): the direct window funnels every hot-group row through
+        // one sort task before discarding all but k; the production
+        // threshold form computes each group's k-th-smallest-key cutoff
+        // in a map-side-combined k-bounded aggregate and keeps members
+        // with a broadcast-joined filter — the corpus never shuffles.
+        // Same output (spec-pinned bit-identical) — the delta here is
+        // the straggler, and it grows with the hot group.
+        import org.apache.spark.sql.functions.{col, concat, explode, lit, sequence, when => fwhen}
+        import graft.pipeline.Splits
+        // replicate ×10 with distinct ids (same text payload — the cap
+        // measures shuffle/sort volume, not content) so the hot group is
+        // millions of WIDE rows, the shape whose one-task sort straggles
+        val rep = args.lift(2).map(_.toInt).getOrElse(10)
+        val base = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+          .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
+          .select((col("doc_id") * rep + col("__r")).as("doc_id"), col("source"), col("text"))
+        val n = base.count()
+        val skewed = base.withColumn("source",
+          fwhen(col("doc_id") % 10 =!= 0, lit("hot.example.com"))
+            .otherwise(concat(lit("site"), col("doc_id") % 1000)))
+          .repartition(32)
+          .localCheckpoint() // freeze the input so both arms read identically
+        println(s"PROFSCALE corpus rows=$n hot-group=${(n * 9) / 10} k=100")
+        val tPre = timed("cap threshold-join (production)")(sink(
+          Splits.capPerGroup(skewed, "doc_id", "source", 100, salt = "sk")))
+        // the reference arm CAN die here: the hot group funnels through
+        // one window-sort task, and past ~10M wide rows that task OOMs —
+        // which is the finding, not a harness bug; report it and survive
+        try {
+          val tRef = timed("cap direct window (reference)")(sink(
+            Splits.capPerGroupReference(skewed, "doc_id", "source", 100, salt = "sk")))
+          println(f"PROFSCALE capskew speedup ${tRef / tPre}%.2fx (hot-group funnel removed)")
+        } catch {
+          case e: Throwable =>
+            println(s"PROFSCALE cap direct window (reference)   FAILED: " +
+              s"${e.getClass.getSimpleName} (hot-group one-task sort; " +
+              f"production threshold form finished in $tPre%.2f s)")
+        }
+
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
         val ev = Tables.tsEvents(spark, sfDir)

@@ -418,6 +418,59 @@ class SplitsSpec extends SparkSpec {
     assert(oldSurvivors.subsetOf(kept.map(_._1).toSet))
   }
 
+  test("capPerGroup threshold-join path is bit-identical to the direct-window reference") {
+    // a Zipf-headed corpus: 90% of rows in ONE group — the exact shape
+    // the threshold form exists for; 11 input partitions so the map-side
+    // partial aggregation actually combines across partitions
+    val docs = spark.range(0, 2000).toDF("id")
+      .withColumn("source",
+        when(col("id") < 1800, lit("hot")).otherwise(concat(lit("s"), col("id") % 5)))
+      .withColumn("payload", concat(lit("p"), col("id") * 7))
+      .repartition(11)
+    for (k <- Seq(1, 13, 40, 5000)) {
+      val prod = Splits.capPerGroupMd5(docs, "id", "source", k, salt = "pc")
+        .select("id", "source", "payload").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      val ref = Splits.capPerGroupMd5Reference(docs, "id", "source", k, salt = "pc")
+        .select("id", "source", "payload").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      assert(prod === ref, s"threshold cap diverged from reference at k=$k")
+    }
+    // the xxhash64 family too (different key derivation path)
+    val p64 = Splits.capPerGroup(docs, "id", "source", 13, salt = "pc")
+      .select("id").as[Long].collect().toSet
+    assert(p64.nonEmpty && p64.size <= 13 + 5 * 13)
+    // a NULL group is its own group (null-safe join), like the window form
+    val withNull = docs.withColumn("source",
+      when(col("id") % 100 === 0, lit(null: String)).otherwise(col("source")))
+    val prodN = Splits.capPerGroupMd5(withNull, "id", "source", 7, salt = "pc")
+      .select("id").as[Long].collect().sorted
+    val refN = Splits.capPerGroupMd5Reference(withNull, "id", "source", 7, salt = "pc")
+      .select("id").as[Long].collect().sorted
+    assert(prodN === refN)
+    assert(prodN.length === 7 * 7) // hot, s0..s4, null: 7 groups all over the cap
+  }
+
+  test("cutByQuantileExact keeps exactly n - floor(q*n) rows, boundary ties broken by id") {
+    // a heavily plateaued metric: most rows share the boundary value, so a
+    // `metric >= threshold` filter would over-keep — the rank cut may not
+    val docs = spark.range(0, 1000).toDF("id")
+      .withColumn("m", when(col("id") < 900, lit(50L)).otherwise(col("id")))
+    val q = 0.8
+    val kept = Splits.cutByQuantileExact(docs, "id", "m", q)
+      .select("id", "m").as[(Long, Long)].collect()
+    assert(kept.length === 1000 - math.floor(q * 1000).toLong)
+    // the kept set is the top 200 of the (m, id) total order: ids 800..999
+    // (ids 900..999 have m > 50; the 100 highest ids at m=50 fill the rest)
+    assert(kept.map(_._1).toSet === (800L until 1000L).toSet)
+    // deterministic under repartitioning
+    val again = Splits.cutByQuantileExact(docs.repartition(7), "id", "m", q)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.map(_._1).toSet)
+    // single-row corpus: floor(q*1) = 0 -> the row is kept
+    assert(Splits.cutByQuantileExact(docs.limit(1), "id", "m", 0.5).count() === 1L)
+  }
+
   test("order-key id guard refuses >20-char and negative ids loudly") {
     val neg = Seq((-1L, 5L), (2L, 7L)).toDF("id", "m")
     val e1 = intercept[Exception] { Splits.shuffleOrder(neg, "id").collect() }
