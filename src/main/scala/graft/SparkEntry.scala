@@ -121,6 +121,24 @@ object SparkEntry {
     c
   }
 
+  /** PCA model cache: trained once per data dir (deterministic — exact
+    * integer covariance partials + sign-fixed Jacobi), components
+    * quantized to longs so the q_embed_pca_proj oracle can inline the
+    * SAME integers (the ivfLastTrained convention).
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Long]]]()
+  @volatile private var pcaLastTrained: Option[Seq[Seq[Long]]] = None
+
+  private def pcaComponentsFor(s: SparkSession, dir: String): Seq[Seq[Long]] = {
+    val c = pcaCache.computeIfAbsent(
+      dir,
+      d => Similarity.quantizeComponents(
+        Similarity.pcaTrain(Tables.embeddings(s, d), "embedding", 64, r = 4).components))
+    pcaLastTrained = Some(c)
+    c
+  }
+
   /** Persisted-IVF-index cache: built once per data dir into a temp
     * directory (train once, query many — the 100 TB usage shape).
     */
@@ -932,6 +950,20 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // ---- PCA projection (the map-side half after q_embed_pca_cov's
+    //      distributed covariance + driver Jacobi): quantized vectors ×
+    //      quantized trained components -> exact BIGINT coordinates; the
+    //      trained matrix is inlined into the oracle (ivf convention).
+    //      Gate pivots the proj array to scalars (comparator contract) --
+    "q_embed_pca_proj" -> ((s, dir) => {
+      val proj = Similarity.pcaProjectQuantized(
+        Tables.embeddings(s, dir), "vec_id", "embedding", pcaComponentsFor(s, dir))
+      proj.select(
+          col("vec_id") +:
+            (0 until 4).map(j => element_at(col("proj"), j + 1).as(s"pc_${j + 1}")): _*)
+        .orderBy("vec_id")
+    }),
+
     // ---- JL signed random projection (training-free dim reduction):
     //      64 -> 16 dims, md5-family ±1 signs, quantized inputs -> exact
     //      integer coordinates; the oracle re-derives the SIGN MATRIX
@@ -1425,6 +1457,44 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_embed_pca_proj oracle: the TRAINED quantized component matrix
+    * inlined as integer literals (the [[ivfOracle]] convention — training
+    * stays Spark-side, everything after it is hash-checked). Vectors
+    * quantize with the same floor(v·1e6 + 0.5), products and sums are
+    * exact integers, so the pivot agrees bit-for-bit.
+    */
+  private def pcaProjOracle: String = pcaLastTrained match {
+    case None =>
+      // oracle dumped without the query having run: typed empty result
+      """SELECT CAST(NULL AS BIGINT) AS vec_id,
+        |       CAST(NULL AS BIGINT) AS pc_1, CAST(NULL AS BIGINT) AS pc_2,
+        |       CAST(NULL AS BIGINT) AS pc_3, CAST(NULL AS BIGINT) AS pc_4
+        |WHERE 1 = 0""".stripMargin
+    case Some(comps) =>
+      val values = comps.zipWithIndex.flatMap { case (row, j) =>
+        row.zipWithIndex.map { case (wq, d) => s"(${j + 1}, ${d + 1}, ${wq})" }
+      }.mkString(",\n")
+      val cols = (1 to comps.length)
+        .map(j => s"  max(CASE WHEN j = $j THEN v END) AS pc_$j")
+        .mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(range(1, 65)) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings
+         |), w AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(j, d, w)
+         |), p AS (
+         |  SELECT vec_id, j, CAST(sum(w * q) AS BIGINT) AS v
+         |  FROM e JOIN w USING (d)
+         |  GROUP BY vec_id, j
+         |)
+         |SELECT vec_id,
+         |$cols
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   /** SemDeDup oracle: the same inlined-centroid assignment as
@@ -2926,6 +2996,8 @@ object SparkEntry {
          |$cols
          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    "q_embed_pca_proj" -> pcaProjOracle,
 
     // quantize → exact HUGEINT sums → the SAME double finisher formula as
     // CovStats.cov (term-for-term: products, /n, /(n-1), /quant²), so the

@@ -1087,6 +1087,38 @@ object Similarity {
         dot(col(vecCol), array(c.map(lit): _*)) - lit(muDotC))
     }
 
+  /** Quantize trained components to exact longs at `compQuant` — the
+    * inlinable form [[pcaProjectQuantized]] and its gate oracle share, so
+    * "the same matrix" is literal: both engines multiply identical
+    * integers.
+    */
+  def quantizeComponents(
+      components: Seq[Seq[Double]], compQuant: Double = 1e9): Seq[Seq[Long]] =
+    components.map(_.map(c => math.floor(c * compQuant + 0.5).toLong))
+
+  /** Exact-integer PCA projection — the hash-gateable twin of
+    * [[pcaProject]]: `pc_q(j) = Σ_d wq(j,d) · floor(v_d·quant + 0.5)`
+    * with the trained components quantized to longs
+    * ([[quantizeComponents]]), so every coordinate is an exact 64-bit
+    * integer both engines reproduce bit-for-bit
+    * ([[graft.functions.WeightedProjection]], one codegen'd map-only
+    * pass, no shuffle). UNCENTERED: centering subtracts the constant
+    * μ·c_j per component — a rank-preserving shift [[pcaProject]] applies
+    * in its double form (spec-checked in PcaSpec); folding it here would
+    * mix a non-representable double mean into exact integers. Divide by
+    * quant·compQuant to recover real projections.
+    */
+  def pcaProjectQuantized(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      quantizedComponents: Seq[Seq[Long]],
+      quant: Double = 1e6): DataFrame =
+    emb.select(
+        col(idCol),
+        graft.functions.WeightedProjection(col(vecCol), quantizedComponents, quant).as("proj"))
+      .filter(col("proj").isNotNull)
+
   /** Johnson–Lindenstrauss signed random projection — the TRAINING-FREE
     * dimensionality reduction next to [[pca]]: ±1 signs derived from the
     * md5 plane family, inputs quantized to 1/quant, outputs EXACT 64-bit

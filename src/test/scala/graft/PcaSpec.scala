@@ -90,4 +90,37 @@ class PcaSpec extends SparkSpec {
     val plan = proj.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "projection must not shuffle")
   }
+
+  test("pcaProjectQuantized: exact-integer twin tracks the double projection") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val model = Similarity.pcaTrain(emb, "embedding", 64, r = 4)
+    val compQ = Similarity.quantizeComponents(model.components)
+    val q = Similarity.pcaProjectQuantized(emb, "vec_id", "embedding", compQ)
+      .select(col("vec_id") +:
+        (0 until 4).map(j => element_at(col("proj"), j + 1).as(s"q_${j + 1}")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    // the double projection, UNCENTERED to match (add back mu·c_j)
+    val d = Similarity.pcaProject(emb, "embedding", model)
+    val rows = d.select(col("vec_id") +:
+        (0 until 4).map(j => col(s"pc_${j + 1}")): _*)
+      .collect()
+    val muDot = model.components.map(c =>
+      c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum)
+    val scale = 1e6 * 1e9
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      for (k <- 0 until 4) {
+        val uncentered = r.getDouble(k + 1) + muDot(k)
+        val approx = q(id)(k).toDouble / scale
+        // per-term quantization error ≤ (0.5/1e6)·Σ|w| + (0.5/1e9)·Σ|q| — generous bound
+        assert(math.abs(uncentered - approx) < 1e-4,
+          s"vec $id pc_${k + 1}: double $uncentered vs quantized $approx")
+      }
+    }
+    // deterministic and map-only
+    val plan = Similarity.pcaProjectQuantized(emb, "vec_id", "embedding", compQ)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quantized projection must not shuffle")
+  }
 }
