@@ -144,6 +144,22 @@ final class WireServer(
     Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
   }
 
+  /** History chunk under the client's requested encoding: Arrow IPC when
+    * opted in AND the chunk is encodable (non-empty, supported column
+    * types) — otherwise the JSON+zlib body. A mixed stream is fine: the
+    * client sniffs per frame ([[ArrowFrames.isArrow]]); an empty chunk's
+    * only payload is its metadata, which JSON carries just as well.
+    */
+  private def historyBody(c: Service.HistoryChunk, arrow: Boolean): Array[Byte] =
+    if (arrow && c.rows.nonEmpty && ArrowFrames.supports(c.rows.head.schema))
+      Wire.pack(Wire.History,
+        ArrowFrames.encode(c.label, c.more, c.freq, c.rows.head.schema, c.rows))
+    else historyBody(c)
+
+  /** The request's opt-in body encoding (`"encoding":"arrow"`). */
+  private def wantsArrow(req: Map[String, Any]): Boolean =
+    req.get("encoding").contains("arrow")
+
   private def dispatch(
       request: String,
       out: DataOutputStream,
@@ -162,6 +178,7 @@ final class WireServer(
           val columns = req("columns").asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
           val start = JsonMini.asLong(req("start"))
           val stop = JsonMini.asLong(req("stop"))
+          val arrow = wantsArrow(req)
           // a FAILED subscribe must not leave a buffering relay (or a
           // marker callback) registered: it would accumulate every future
           // batch's rows for the life of the connection — close this
@@ -192,7 +209,7 @@ final class WireServer(
                   }
                 }
               }
-              val frame = historyBody(c)
+              val frame = historyBody(c, arrow)
               out.synchronized { out.write(frame); out.flush() }
             }
             // markers registered BEFORE the ack: once the client sees the
@@ -262,8 +279,9 @@ final class WireServer(
             JsonMini.asLong(req("stop")),
             JsonMini.asLong(req("binsize")))
           // one frame per chunk (the reference's chunked HISTORY stream),
-          // compressed like the reference's history bodies
-          chunks.map(historyBody)
+          // compressed like the reference's history bodies (or Arrow
+          // frames when the client opted in)
+          chunks.map(historyBody(_, wantsArrow(req)))
             .reduceOption(_ ++ _).getOrElse(
               Wire.pack(Wire.History,
                 Wire.compress("""{"label":null,"more":false,"rows":[]}""".getBytes("UTF-8"))))

@@ -85,6 +85,46 @@ object RollupStream {
       .partitionBy(IngestStream.EpochCol)
       .parquet(path)
 
+  /** Heap-bounded tier build: run [[appendPartials]] once per stream-id
+    * hash range, each range under ITS OWN epoch partition. Ranges
+    * partition streams disjointly, so across the written epochs every
+    * (stream, bin) appears exactly once — the union IS the single-pass
+    * build row-for-row (spec-pinned byte-identical through the serve
+    * path), no fold needed, and `compact`/`readTier`/`Rollup.merge` work
+    * unchanged because the tier contract is already "any number of
+    * partial rows per bin".
+    *
+    * Why: the single-pass build's hash aggregate holds EVERY (stream,
+    * bin) group's state concurrently — with smoke columns that includes a
+    * collect_list buffer per group, which is what drove a single-JVM
+    * sf100 build toward a ~48 GB heap. Each range pass holds 1/ranges of
+    * the groups, trading `ranges` extra scans of the source (cheap,
+    * embarrassingly parallel, no shuffle) for a proportional cut in peak
+    * aggregate state — and on a real cluster the ranges can run as
+    * separate jobs. Epochs [baseEpoch, baseEpoch + ranges) must be free
+    * (the usual ingest-epoch discipline; replaying a range overwrites
+    * only its own partition, so the build is idempotent per range).
+    */
+  def appendPartialsRanged(
+      batch: DataFrame,
+      binsize: Long,
+      valueCol: String,
+      path: String,
+      baseEpoch: Long,
+      ranges: Int,
+      extraCols: Seq[String] = Nil,
+      modeCols: Seq[String] = Nil,
+      smokeCols: Seq[String] = Nil,
+      smokeNearestRank: Boolean = false): Unit = {
+    require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+    (0 until ranges).foreach { r =>
+      appendPartials(
+        batch.filter(pmod(col("stream_id"), lit(ranges)) === r),
+        binsize, valueCol, path, baseEpoch + r,
+        extraCols, modeCols, smokeCols, smokeNearestRank)
+    }
+  }
+
   /** Fold accumulated per-epoch partials back to ONE row per (stream, bin)
     * — the reference's trailing-window CQ recompute (influx.py:183-195) as
     * a tidy periodic batch job. Readers (`Rollup.merge`) are agnostic: the

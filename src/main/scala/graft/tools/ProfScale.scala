@@ -150,6 +150,42 @@ object ProfScale {
           graft.SparkEntry.Start, graft.SparkEntry.Stop, binsize = 21600,
           primaryCol = "value", sparseClamp = true, smokeNearestRank = true)))
 
+      case "tierranged" =>
+        // heap-bounded tier build: single-pass buildMulti holds every
+        // (stream, bin) group's collect_list grid concurrently (the
+        // ~48 GB single-JVM sf100 observation); the ranged form builds
+        // per stream-id range under its own epoch — peak aggregate state
+        // divided by `ranges`, serve byte-identical (spec-pinned). Run
+        // this at sf100 with SPARK_DRIVER_MEM=16g: the whole-pass arm is
+        // EXPECTED to spill hard or die there; the ranged arm must not.
+        val ev = Tables.tsEvents(spark, sfDir)
+          .select("stream_id", "timestamp", "value")
+        val ranges = args.lift(2).map(_.toInt).getOrElse(16)
+        println(s"PROFSCALE heap=${Runtime.getRuntime.maxMemory / (1 << 20)} MB ranges=$ranges")
+        val tmp = java.nio.file.Files.createTempDirectory("profscale_tr").toString
+        val tR0 = System.nanoTime()
+        graft.streaming.RollupStream.appendPartialsRanged(
+          ev, 3600, "value", s"$tmp/ranged", baseEpoch = 0L, ranges = ranges,
+          smokeCols = Seq("value"))
+        println(f"PROFSCALE tier build ranged               ${(System.nanoTime() - tR0) / 1e9}%8.2f s")
+        try {
+          val tW0 = System.nanoTime()
+          graft.streaming.RollupStream.appendPartials(
+            ev, 3600, "value", s"$tmp/whole", epoch = 0L, smokeCols = Seq("value"))
+          println(f"PROFSCALE tier build whole                ${(System.nanoTime() - tW0) / 1e9}%8.2f s")
+          // row-count parity witness (full byte parity is spec-pinned)
+          val nR = graft.streaming.RollupStream.readTier(spark, s"$tmp/ranged").count()
+          val nW = graft.streaming.RollupStream.readTier(spark, s"$tmp/whole").count()
+          println(s"PROFSCALE tier rows ranged=$nR whole=$nW " +
+            (if (nR == nW) "(equal)" else "(MISMATCH)"))
+        } catch {
+          case e: Throwable =>
+            println(s"PROFSCALE tier build whole                FAILED: " +
+              s"${e.getClass.getSimpleName} (single-pass aggregate state " +
+              "exceeds this heap; the ranged build above completed)")
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
       case "textops" =>
         // round-10 text/embedding additions: solo scale measurements
         val docs = Tables.documents(spark, sfDir)
@@ -242,6 +278,47 @@ object ProfScale {
           sink(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5))
           Dedup.unpersistIntermediates()
         }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+      case "incdedupkb" =>
+        // the incdedup A/B again, on KB-SIZED documents: the sf corpora's
+        // ~30-token docs make banding joins the cost center, understating
+        // the probe's advantage (r11 measured only 5.3 vs 6.6 s at sf10).
+        // Real web documents are KBs — shingling + 64-hash signing
+        // dominates, and THAT is the work the incremental probe avoids
+        // re-doing over the standing corpus. Build KB docs by folding 30
+        // source docs into one (distinct texts, so shingles stay varied).
+        import graft.pipeline.Dedup
+        import org.apache.spark.sql.functions.{col, collect_list, concat_ws, length => flength}
+        val kb = Tables.documents(spark, sfDir)
+          .groupBy((col("doc_id") / 30).cast("long").as("doc_id"))
+          .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+          .localCheckpoint()
+        val stats = kb.agg(
+          org.apache.spark.sql.functions.count(col("doc_id")),
+          org.apache.spark.sql.functions.avg(flength(col("text")))).collect()(0)
+        println(f"PROFSCALE kb corpus docs=${stats.getLong(0)} avg_chars=${stats.getDouble(1)}%.0f")
+        val batch = kb.filter(col("doc_id") % 10 === 0)
+        val standing = kb.filter(col("doc_id") % 10 =!= 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_inckb_idx").toString
+        val tb0 = System.nanoTime()
+        Dedup.minhashSignatures(standing, "doc_id", "text", 3, 64)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        println(f"PROFSCALE index_build_once                ${(System.nanoTime() - tb0) / 1e9}%8.2f s")
+        val index = spark.read.parquet(s"$tmp/index")
+        Dedup.unpersistIntermediates(); spark.catalog.clearCache()
+        val tProbe = timed("probe_incremental") {
+          sink(Dedup.minhashLshPairsAgainst(
+            Dedup.minhashSignatures(batch, "doc_id", "text", 3, 64),
+            index, "doc_id", 64, 16, 0.5))
+          Dedup.unpersistIntermediates()
+        }
+        spark.catalog.clearCache()
+        val tFull = timed("full_recompute") {
+          sink(Dedup.minhashLshPairs(kb, "doc_id", "text", 3, 64, 16, 0.5))
+          Dedup.unpersistIntermediates()
+        }
+        println(f"PROFSCALE incdedupkb full/probe ratio ${tFull / tProbe}%.2fx")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
 
       case "wire" =>
@@ -435,6 +512,75 @@ object ProfScale {
               s"${e.getClass.getSimpleName} (hot-group one-task sort; " +
               f"production threshold form finished in $tPre%.2f s)")
         }
+
+      case "wirearrow" =>
+        // backfill encoding A/B on one socket: JSON+zlib (the reference's
+        // body shape) vs opt-in Arrow IPC frames — same protocol, same
+        // chunking, different bodies. The JSON path's floor is per-cell
+        // text assembly (~305k rows/s measured at sf10 after the JsonMini
+        // fix); Arrow writes columnar buffers.
+        import java.io.{DataInputStream, DataOutputStream}
+        import java.net.Socket
+        import graft.serve.{ArrowFrames, Service, Wire, WireServer}
+        val events = Tables.tsEvents(spark, sfDir)
+        val ids = events.select("stream_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val svc = new Service(
+          spark,
+          data = Map("amp-external" -> events),
+          streams = Map("amp-external" -> events.select("stream_id").distinct()))
+        def labelsJson(nLabels: Int): String =
+          ids.zipWithIndex.groupBy(_._2 % nLabels).toSeq.sortBy(_._1)
+            .map { case (i, xs) => s""""g$i":[${xs.map(_._1).mkString(",")}]""" }
+            .mkString("{", ",", "}")
+        def readFrame(in: DataInputStream): Wire.Message = {
+          val header = new Array[Byte](Wire.HeaderLen)
+          in.readFully(header)
+          val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+          val body = new Array[Byte](len)
+          in.readFully(body)
+          Wire.Message(
+            header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+        }
+        def backfill(encoding: String): (Double, Long, Long, Long) = {
+          val server = new WireServer(svc)
+          val enc = if (encoding == "arrow") ""","encoding":"arrow"""" else ""
+          val req =
+            s"""{"request":"subscribe","collection":"amp-external",
+               |"labels":${labelsJson(4)},"columns":["value"]$enc,
+               |"start":${graft.SparkEntry.Start},"stop":${graft.SparkEntry.Stop}}""".stripMargin
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val sock = new Socket("127.0.0.1", server.boundPort)
+          var frames = 0L
+          var bytes = 0L
+          var rows = 0L
+          try {
+            sock.setSoTimeout(600000)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val in = new DataInputStream(sock.getInputStream)
+            out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
+            var m = readFrame(in)
+            while (m.msgType == Wire.History) {
+              frames += 1; bytes += m.body.length
+              // count rows the way a real client would: decode the body
+              rows +=
+                (if (ArrowFrames.isArrow(m.body)) ArrowFrames.decode(m.body).rows.length
+                 else """"stream_id"""".r
+                   .findAllIn(new String(Wire.decompress(m.body), "UTF-8")).size)
+              m = readFrame(in)
+            }
+            require(m.msgType == Wire.Subscribe, s"expected ack, got ${m.msgType}")
+          } finally { sock.close(); server.close() }
+          ((System.nanoTime() - t0) / 1e9, frames, bytes, rows)
+        }
+        backfill("json") // warm the scan + codegen once
+        val (tJ, fJ, bJ, rJ) = backfill("json")
+        val (tA, fA, bA, rA) = backfill("arrow")
+        println(f"PROFSCALE wire_backfill_json              $tJ%8.2f s  ($fJ frames, ${bJ / 1e6}%.1f MB, $rJ rows, ${rJ / tJ / 1000}%.0fk rows/s)")
+        println(f"PROFSCALE wire_backfill_arrow             $tA%8.2f s  ($fA frames, ${bA / 1e6}%.1f MB, $rA rows, ${rA / tA / 1000}%.0fk rows/s)")
+        require(rJ == rA, s"row-count parity broke: json $rJ vs arrow $rA")
+        println(f"PROFSCALE wirearrow speedup ${tJ / tA}%.2fx (rows parity ok)")
 
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort

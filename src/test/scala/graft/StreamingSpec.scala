@@ -638,6 +638,47 @@ class StreamingSpec extends SparkSpec {
     assert(byLabel("both")(5) === "dns")
   }
 
+  test("ranged tier build: per-stream-range epochs serve byte-identical to the single pass") {
+    import graft.query.AggSpec
+    import graft.rollup.Rollup
+    val dirR = tmpDir() + "/ranged"
+    val dirW = tmpDir() + "/whole"
+    // enough streams that every range is non-empty, smoke columns ON
+    // (the collect_list grid is what the heap bound is about)
+    val rows = (0 until 400).map { i =>
+      ((i % 13).toLong, (i * 7 % 300).toLong, (i % 29).toDouble)
+    }
+    val ev = rows.toDF("stream_id", "timestamp", "value")
+    RollupStream.appendPartialsRanged(
+      ev, 60, "value", dirR, baseEpoch = 0L, ranges = 4, smokeCols = Seq("value"))
+    RollupStream.appendPartials(
+      ev, 60, "value", dirW, epoch = 0L, smokeCols = Seq("value"))
+
+    // disjoint ranges -> exactly one partial row per (stream, bin), and
+    // the row MULTISET equals the single-pass build's (epoch col aside)
+    def snap(dir: String) = RollupStream.readTier(spark, dir)
+      .drop(graft.streaming.IngestStream.EpochCol)
+      .collect().map(_.toSeq).sortBy(_.take(2).mkString(","))
+    val ranged = snap(dirR)
+    val whole = snap(dirW)
+    assert(ranged.length === whole.length)
+    assert(ranged.toSeq === whole.toSeq)
+
+    // serve parity (aggregated history incl. smoke) — byte-identical
+    val labels = Map("a" -> Seq(1L, 5L, 9L), "b" -> Seq(2L, 3L, 12L))
+    def serve(dir: String) = Rollup.aggregatedFromTier(
+        RollupStream.readTier(spark, dir), labels,
+        Seq(AggSpec("value", "avg"), AggSpec("value", "smoke")),
+        0L, 300L, binsize = 120, primaryCol = "value")
+      .collect().map(_.toSeq)
+    assert(serve(dirR).toSeq === serve(dirW).toSeq)
+
+    // compaction folds the ranged epochs like any other partials
+    RollupStream.compact(spark, dirR)
+    assert(snap(dirR).toSeq === whole.toSeq)
+    assert(serve(dirR).toSeq === serve(dirW).toSeq)
+  }
+
   test("tier compaction: concurrent readers stay consistent across fold cycles") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/tier"

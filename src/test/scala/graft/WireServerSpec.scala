@@ -80,6 +80,74 @@ class WireServerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("arrow frames: codec roundtrip incl. nulls, arrays, and sniffing") {
+    import graft.serve.ArrowFrames
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("stream_id", LongType),
+      StructField("v", DoubleType),
+      StructField("tag", StringType),
+      StructField("ok", BooleanType),
+      StructField("grid", ArrayType(DoubleType))))
+    def r(vals: Any*) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        vals.toArray, schema)
+    val rows: Seq[Row] = Seq(
+      r(1L, 2.5, "a", true, Seq(1.0, 2.0)),
+      r(2L, null, null, false, null),
+      r(3L, Double.NaN, "", true, Seq(3.0)))
+    val body = ArrowFrames.encode("lab", more = true, freq = 60L, schema, rows)
+    assert(ArrowFrames.isArrow(body))
+    assert(!ArrowFrames.isArrow(Wire.compress("{}".getBytes("UTF-8"))))
+    val d = ArrowFrames.decode(body)
+    assert(d.label === "lab" && d.more && d.freq === 60L)
+    assert(d.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    assert(d.rows.length === 3)
+    assert(d.rows(0).toSeq === Seq(1L, 2.5, "a", true, Seq(1.0, 2.0)))
+    assert(d.rows(1).toSeq === Seq(2L, null, null, false, null))
+    assert(d.rows(2).getLong(0) === 3L)
+    assert(d.rows(2).getDouble(1).isNaN)
+  }
+
+  test("arrow-encoded aggregate matches the JSON path row-for-row") {
+    import graft.serve.ArrowFrames
+    val server = new WireServer(svc)
+    try {
+      val req =
+        """{"request":"aggregate","collection":"amp-external",
+          |"labels":{"a":[0,1,2,3,4,5,6,7],"b":[8,9,10,11,12,13,14]},
+          |"start":1704067200,"stop":1706745600,"binsize":604800,
+          |"aggs":[["value","avg"],["value","count"]]%s}""".stripMargin
+      val jsonFrames = roundtrip(server, req.format(""))
+      val arrowFrames = roundtrip(server, req.format(""","encoding":"arrow""""))
+      assert(arrowFrames.forall(_.msgType === Wire.History))
+      assert(arrowFrames.forall(f => ArrowFrames.isArrow(f.body)))
+      // decode both sides to (label, rows-as-value-seqs) and compare
+      def jsonRows(frames: Seq[Wire.Message]): Seq[(String, String)] =
+        frames.map { f =>
+          val s = new String(Wire.decompress(f.body), "UTF-8")
+          val m = """"label":"([ab])"""".r.findFirstMatchIn(s).get.group(1)
+          (m, s)
+        }
+      val arrowSide = arrowFrames.map(f => ArrowFrames.decode(f.body))
+      val jsonSide = jsonRows(jsonFrames)
+      assert(arrowSide.map(_.label).sorted === jsonSide.map(_._1).sorted)
+      arrowSide.foreach { d =>
+        val json = jsonSide.find(_._1 == d.label).get._2
+        d.rows.foreach { row =>
+          // every arrow row's (binstart, count) pair appears in the JSON body
+          val bi = row.schema.fieldIndex("binstart")
+          val ci = row.schema.fieldIndex("value_count")
+          assert(json.contains(s""""binstart":${row.getLong(bi)}"""))
+          assert(json.contains(s""""value_count":${row.getLong(ci)}"""))
+        }
+        assert(json.split(""""binstart":""").length - 1 === d.rows.length,
+          s"row count mismatch for label ${d.label}")
+      }
+    } finally server.close()
+  }
+
   test("subscribe: history frames, then live PUSH markers on one connection") {
     import graft.streaming.Markers
     val bus = new Markers.MarkerBus
