@@ -634,4 +634,33 @@ object TextAnalysis {
       .filter(col(metricCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Per-group quantile cut: keep rows at or above their OWN group's
+    * `q`-quantile of `metricCol` — "top (1−q) of each source", the
+    * mixing-pipeline form of the adaptive cut (a global threshold lets a
+    * strong source's tail crowd out a weak source's head). Thresholds
+    * come from one `percentile_approx` per group — a MERGEABLE bounded
+    * sketch, map-side combined, so the agg shuffle carries one sketch per
+    * group per partition and no group ever funnels its raw rows through
+    * one task (the [[graft.pipeline.Splits.capPerGroup]] threshold-join
+    * shape: tiny agg + broadcast membership filter, the corpus itself
+    * never shuffles). Like [[cutByQuantileOf]] the sketch is
+    * engine-specific, so this is spec-gated (per-group sandwich property)
+    * rather than hash-gated; the exact global form is
+    * [[graft.pipeline.Splits.cutByQuantileExact]].
+    */
+  def cutByQuantileOfPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      metricCol: String,
+      q: Double,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(metricCol), lit(q), lit(accuracy)).as("__thr"))
+      .withColumnRenamed(groupCol, "__qgrp")
+    df.join(broadcast(thr), col(groupCol) <=> col("__qgrp"))
+      .filter(col(metricCol) >= col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -267,4 +267,30 @@ class TextAnalysisSpec extends SparkSpec {
     // values; allow a loose bracket around the requested 10% tail
     assert(frac > 0.05 && frac < 0.15, s"kept fraction $frac")
   }
+
+  test("cutByQuantileOfPerGroup: each group keeps ~its own top fraction; corpus unshuffled") {
+    import spark.implicits._
+    // three sources with DISJOINT metric ranges: a global cut would keep
+    // none of the weakest source — the per-group cut keeps its head too
+    val df = spark.range(0, 9000).toDF("id")
+      .withColumn("src", concat(lit("s"), col("id") % 3))
+      .withColumn("m",
+        (col("id") % 1000) + (col("id") % 3) * 10000) // s0: 0..999, s1: 10k.., s2: 20k..
+    val kept = TextAnalysis.cutByQuantileOfPerGroup(df, "src", "m", 0.8)
+    val byGroup = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byGroup.keySet === Set("s0", "s1", "s2"), "every source keeps its head")
+    byGroup.foreach { case (g, n) =>
+      val frac = n / 3000.0
+      assert(frac > 0.1 && frac < 0.3, s"group $g kept fraction $frac")
+    }
+    // per-group floor: every kept row sits at/above its group's q-quantile
+    // (disjoint ranges make the check exact: s1's 80th pctile is 10800)
+    val minKept = kept.filter(col("src") === "s1").agg(min(col("m")))
+      .collect()(0).getLong(0)
+    assert(minKept >= 10700, s"s1 floor $minKept")
+    // the threshold join is a broadcast — the corpus side never shuffles
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"))
+  }
 }
