@@ -994,6 +994,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- K-means cluster assignment (the clustering surface itself):
+    //      map-only NearestCells pass; trained centroids inlined into the
+    //      oracle (q_ann_ivf convention, tie toward the higher cell) ----
+    "q_cluster_assign" -> ((s, dir) => {
+      Similarity.clusterAssignWith(
+          Tables.embeddings(s, dir), ivfCentroidsFor(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // ---- SemDeDup-style semantic dedup: k-means cell blocking + cosine
     //      pairs + components; one survivor per semantic cluster
     //      (centroids inlined into the oracle, q_ann_ivf convention) ----
@@ -1495,6 +1504,39 @@ object SparkEntry {
          |SELECT vec_id,
          |$cols
          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** q_cluster_assign oracle: the [[ivfOracle]] assignment CTE alone —
+    * rn = 1 under (score DESC, cell DESC) is the nearest cell with the
+    * NearestCells tie-break.
+    */
+  private def clusterAssignOracle: String = ivfLastTrained match {
+    case None =>
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INTEGER) AS cluster
+        |WHERE 1 = 0""".stripMargin
+    case Some(cents) =>
+      val values = cents.zipWithIndex.map { case (c, i) =>
+        val lst = c.map(java.lang.Double.toString).mkString("[", ",", "]")
+        val nrm = java.lang.Double.toString(c.map(x => x * x).sum)
+        s"($i, $lst, $nrm)"
+      }.mkString(",\n")
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(cell, w, nrm)
+         |), sc AS (
+         |  SELECT e.vec_id, c.cell,
+         |         2 * list_sum(list_transform(range(1, len(e.embedding)+1),
+         |               d -> CAST(e.embedding[d] AS DOUBLE) * c.w[d])) - c.nrm AS s
+         |  FROM embeddings e, cent c
+         |), rk AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+         |  FROM sc
+         |)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster
+         |FROM rk WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
   }
 
   /** SemDeDup oracle: the same inlined-centroid assignment as
@@ -3081,6 +3123,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_cluster_assign" -> clusterAssignOracle,
 
     "q_ann_ivf" -> ivfOracle,
 

@@ -128,6 +128,26 @@ object Similarity {
     embeddingDupPairs(withCell, idCol, vecCol, "__cell", threshold)
   }
 
+  /** K-means cluster assignment: `(idCol, cluster)` for every vector —
+    * the clustering surface itself, not just a blocking step. One
+    * map-only pass (the codegen'd [[NearestCells]] expression with the
+    * centroid matrix as a plan reference object; two-level dispatch past
+    * [[TwoLevelCells]]), so assignment scales like a projection.
+    * Deterministic: training is seeded + fixed-iteration, ties toward
+    * the higher cell index — the q_ann_ivf assignment semantics, which
+    * is what lets the gate inline the trained matrix into its oracle.
+    */
+  def clusterAssignWith(
+      emb: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String,
+      vecCol: String,
+      grouping: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame =
+    emb.select(
+      col(idCol),
+      CellIndex(centroids, pretrained = grouping)
+        .nearest(col(vecCol), 1).getItem(0).as("cluster"))
+
   /** Semantic dedup: one document per semantic near-dup component
     * (canonical min id, via the distributed large-star/small-star
     * closure) — documents in no pair survive untouched.

@@ -311,7 +311,13 @@ object Splits {
     */
   private def capWith(
       df: DataFrame, idCol: String, groupCol: String, k: Int, hashHex: Column): DataFrame = {
-    val keyed = df.withColumn("__capkey", concat(hashHex, lit("-"), idPad(col(idCol))))
+    // a NULL id nulls the key, which the threshold aggregate SKIPS — the
+    // row would silently vanish where the window form (nulls-first order)
+    // kept it. Ids are the membership identity; refuse loudly instead.
+    val key = when(col(idCol).isNull,
+        raise_error(lit(s"capPerGroup: $idCol must be non-null (keys embed the id)")))
+      .otherwise(concat(hashHex, lit("-"), idPad(col(idCol))))
+    val keyed = df.withColumn("__capkey", key)
     val thr = keyed.groupBy(col(groupCol))
       .agg(graft.functions.KthSmallestAggregate.kthSmallest(col("__capkey"), k).as("__thr"))
       .withColumnRenamed(groupCol, "__capgrp")

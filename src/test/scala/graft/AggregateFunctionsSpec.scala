@@ -213,4 +213,35 @@ class AggregateFunctionsSpec extends SparkSpec {
       .collect()(0).getMap[Long, Long](1)
     assert(longs === Map(7L -> 2L, 9L -> 1L))
   }
+
+  test("kth_smallest: threshold semantics, staged compaction, unicode byte order") {
+    import graft.functions.KthSmallestAggregate.kthSmallest
+    // repartition forces serialize/merge across partial buffers; 2k+
+    // rows per group exercise the staged compaction
+    val df = (0 until 3000).map(i => (s"g${i % 3}", f"k$i%05d")).toDF("g", "key")
+      .repartition(7)
+    val got = df.groupBy("g").agg(kthSmallest(col("key"), 10).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // group g0 holds k00000, k00003, ...: its 10th smallest is k00027
+    assert(got("g0") === "k00027")
+    assert(got("g1") === "k00028" && got("g2") === "k00029")
+    // a group under k returns its MAX (the keep-everything threshold)
+    val small = Seq(("a", "x2"), ("a", "x1")).toDF("g", "key")
+    assert(small.groupBy("g").agg(kthSmallest(col("key"), 10))
+      .collect()(0).getString(1) === "x2")
+    // all-null group → null; nulls skipped otherwise
+    val withNulls = Seq(("a", null), ("a", "m"), ("b", null))
+      .toDF("g", "key")
+    val n = withNulls.groupBy("g").agg(kthSmallest(col("key"), 1).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(n("a") === "m" && n("b") === null)
+    // code-point order: U+E000 (3-byte UTF-8) sorts BELOW U+10000
+    // (supplementary, 4-byte) in UTF-8/DuckDB byte order — java String
+    // compareTo would invert this (the surrogate pair 0xD800.. sorts
+    // below 0xE000 in UTF-16 units and would win the "smallest" here)
+    val uni = Seq(("u", "\uE000"), ("u", new String(Character.toChars(0x10000))))
+      .toDF("g", "key")
+    assert(uni.groupBy("g").agg(kthSmallest(col("key"), 1))
+      .collect()(0).getString(1) === "\uE000")
+  }
 }

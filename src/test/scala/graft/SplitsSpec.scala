@@ -449,6 +449,15 @@ class SplitsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(prodN === refN)
     assert(prodN.length === 7 * 7) // hot, s0..s4, null: 7 groups all over the cap
+    // a NULL id refuses loudly (the threshold agg would silently drop it
+    // where the window's nulls-first order kept it)
+    val nullId = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "a"))
+      .toDF("id", "source")
+    val e = intercept[Exception] {
+      Splits.capPerGroupMd5(nullId, "id", "source", 5, salt = "pc").collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
 
   test("cutByQuantileExact keeps exactly n - floor(q*n) rows, boundary ties broken by id") {
