@@ -927,6 +927,18 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ---- Temperature-flattened mixture (p^α multilingual sampling,
+    //      α = 1/2): targets DERIVED from token mass as exact integer
+    //      sqrt — large sources down-weighted toward small ones; rates
+    //      bit-identical on both engines (isqrt is exact, rate is the
+    //      same short IEEE expression as q_mixture_sample) -------------
+    "q_mixture_temp" -> ((s, dir) => {
+      Splits.temperatureSampleMd5(Tables.documents(s, dir), "doc_id", "source", "text",
+          salt = "tp")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- Context-window chunking: overlapping token shards, map-only --
     "q_chunk_docs" -> ((s, dir) => {
       Packing.chunkDocs(Tables.documents(s, dir), "doc_id", "text", 32, 24)
@@ -2941,6 +2953,33 @@ object SparkEntry {
         |                          || CAST(epoch AS VARCHAR)), 1, 15),
         |                  doc_id, epoch) - 1 AS pos
         |FROM r ORDER BY pos""".stripMargin,
+
+    // targets = exact integer sqrt of the per-source token mass
+    // (floor(sqrt) corrected one step either side — exact BIGINT on both
+    // engines), then the q_mixture_sample rate/filter idiom verbatim
+    "q_mixture_temp" ->
+      """WITH t0 AS (
+        |  SELECT source, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT * FROM t0 WHERE tk > 0
+        |), iq AS (
+        |  SELECT source, tk,
+        |         s0 - CASE WHEN s0 * s0 > tk THEN 1 ELSE 0 END
+        |            + CASE WHEN (s0 + 1) * (s0 + 1) <= tk THEN 1 ELSE 0 END AS w
+        |  FROM (SELECT source, tk,
+        |               CAST(floor(sqrt(CAST(tk AS DOUBLE))) AS BIGINT) AS s0 FROM t)
+        |), r AS (
+        |  SELECT source,
+        |         least(1.0, CAST(w AS DOUBLE)
+        |                      * (SELECT min(CAST(tk AS DOUBLE) / CAST(w AS DOUBLE)) FROM iq)
+        |                      / CAST(tk AS DOUBLE)) AS rate
+        |  FROM iq
+        |)
+        |SELECT doc_id, source FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5('tp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""".stripMargin,
 
     // rate(s) = tgt * factor * T / tokens(s) with T the exact BIGINT
     // token total over targeted sources; same left-assoc op order as the

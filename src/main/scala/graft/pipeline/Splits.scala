@@ -224,6 +224,113 @@ object Splits {
       .drop("__src", "__rate")
   }
 
+  // ---- temperature-flattened mixture sampling --------------------------
+
+  /** Temperature-based mixture sampling (the multilingual-pretraining
+    * p^α source-flattening of XLM/XLM-R and the mT5 sampling recipe):
+    * instead of caller-supplied target proportions, the targets are
+    * DERIVED from the per-source token masses as mass^α with α = 1/2 —
+    * large sources are down-weighted toward the small ones, so
+    * low-resource sources are not drowned without hand-tuning a mixture.
+    * Downsampling only (the binding source keeps rate 1), like
+    * [[mixtureSample]]:
+    *
+    *   target(s) = isqrt(tokens(s)),   rate(s) = min(1, target(s) · M / tokens(s))
+    *   with M = min over sources of tokens(u) / target(u).
+    *
+    * α = 1/2 is computed as the EXACT integer square root (floor(√t)
+    * corrected by one comparison either side), so the per-source targets
+    * are exact BIGINTs on any engine and every rate is the same short
+    * IEEE expression the mixture oracle already reproduces bit-for-bit.
+    * Arbitrary α uses pow() doubles — cross-engine only to ulp — so the
+    * general form ([[temperatureSampleAlpha]]) is spec-pinned instead of
+    * oracle-gated. Sources with zero tokens are dropped (their documents
+    * are empty; a 0/0 rate is meaningless).
+    *
+    * Execution (identical shape to [[mixtureSample]]): one
+    * map-side-combined aggregate for exact LONG token totals, a scalar
+    * M, broadcast rates, then the map-only deterministic (salt, id) hash
+    * filter. The corpus itself never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      salt: String = ""): DataFrame =
+    temperatureWith(df, idCol, sourceCol, textCol, salt, u64)
+
+  /** Oracle-parity twin of [[temperatureSample]] (md5 family). */
+  def temperatureSampleMd5(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      salt: String = ""): DataFrame =
+    temperatureWith(df, idCol, sourceCol, textCol, salt, uMd5)
+
+  /** Exact integer square root of a non-negative LONG column: floor(√x)
+    * via the (correctly-rounded) double sqrt, corrected by one
+    * comparison on each side — exact for any x whose √ fits a long, and
+    * bit-identical to the same expression in DuckDB. */
+  private[graft] def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    s0 - when(s0 * s0 > x, lit(1L)).otherwise(lit(0L)) +
+      when((s0 + 1) * (s0 + 1) <= x, lit(1L)).otherwise(lit(0L))
+  }
+
+  private def temperatureWith(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      salt: String,
+      u: (String, Column) => Column): DataFrame = {
+    val totals = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+      .withColumn("__w", isqrt(col("__t")))
+    val m = totals.agg(min(col("__t").cast("double") / col("__w").cast("double")).as("__m"))
+    val rates = broadcast(
+      totals.crossJoin(broadcast(m))
+        .select(
+          col("__src"),
+          least(lit(1.0), col("__w").cast("double") * col("__m") / col("__t").cast("double"))
+            .as("__rate")))
+    df.join(rates, df(sourceCol) === col("__src"))
+      .filter(u(salt, col(idCol)) < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
+  /** General-α temperature sampling (pow() doubles — spec-pinned twin of
+    * [[temperatureSample]]; α = 0.5 reproduces its flattening up to the
+    * isqrt quantization). α ∈ (0, 1]: 1 keeps the natural mixture,
+    * smaller flattens harder. */
+  def temperatureSampleAlpha(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val totals = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+      .withColumn("__w", pow(col("__t").cast("double"), lit(alpha)))
+    val m = totals.agg(min(col("__t").cast("double") / col("__w")).as("__m"))
+    val rates = broadcast(
+      totals.crossJoin(broadcast(m))
+        .select(
+          col("__src"),
+          least(lit(1.0), col("__w") * col("__m") / col("__t").cast("double")).as("__rate")))
+    df.join(rates, df(sourceCol) === col("__src"))
+      .filter(u64(salt, col(idCol)) < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   // ---- exact-size deterministic sampling -------------------------------
 
   /** Take EXACTLY `n` rows (or all, if fewer), chosen by (salt, id) hash

@@ -527,6 +527,14 @@ object PlanAudit {
       check("mixture sample: broadcast rates, corpus unshuffled", plan(mx),
         mustContain = Seq("BroadcastHashJoin"),
         mustNot = Seq("SortMergeJoin", "Sort ["))
+      // 19t. temperature-flattened mixture: same shape — the isqrt-derived
+      //      rates are a per-source scalar frame riding back as a
+      //      broadcast; the corpus is never shuffled or sorted
+      val tp = graft.pipeline.Splits.temperatureSample(
+        docs, "doc_id", "source", "text", salt = "s")
+      check("temperature sample: broadcast isqrt rates, corpus unshuffled", plan(tp),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin", "Sort ["))
     }
 
     guarded("domain cap") {

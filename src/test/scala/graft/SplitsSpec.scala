@@ -196,6 +196,47 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(kept("s2") / total - 0.2) < 0.03)
   }
 
+  test("temperatureSample flattens shares toward sqrt-mass; smallest source binds at rate 1") {
+    // heavily skewed sources: 6400 / 1600 / 100 docs of 10 tokens each
+    val docs = spark.range(0, 8100).toDF("id")
+      .withColumn("source",
+        when(col("id") < 6400, lit("s0")).when(col("id") < 8000, lit("s1")).otherwise(lit("s2")))
+      .withColumn("text", lit(Seq.fill(10)("w").mkString(" ")))
+    // masses 64000/16000/1000 -> isqrt targets 252/126/31 ->
+    // M = 1000/31; rates s0 = 252*(1000/31)/64000 ≈ 0.1270,
+    // s1 = 126*(1000/31)/16000 ≈ 0.2540, s2 = 1 (binding)
+    val kept = Splits.temperatureSample(docs, "id", "source", "text", salt = "t1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s2") === 100L)
+    assert(math.abs(kept("s0") / 6400.0 - 252.0 * (1000.0 / 31.0) / 64000.0) < 0.03)
+    assert(math.abs(kept("s1") / 1600.0 - 126.0 * (1000.0 / 31.0) / 16000.0) < 0.03)
+    // the flattening: share ratio s0:s2 collapses from 64:1 toward sqrt(64):1
+    val ratio = kept("s0").toDouble / kept("s2").toDouble
+    assert(ratio > 4 && ratio < 13, s"expected ~8:1 flattened ratio, got $ratio")
+    // md5 twin and general-alpha pow form agree with the gate family
+    val keptMd5 = Splits.temperatureSampleMd5(docs, "id", "source", "text", salt = "t1")
+      .count()
+    assert(math.abs(keptMd5 - kept.values.sum.toDouble) / kept.values.sum < 0.10)
+    val keptPow = Splits.temperatureSampleAlpha(docs, "id", "source", "text", 0.5, salt = "t1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same family + same salt as the sqrt form: memberships may differ only
+    // where the isqrt quantization moves a rate across a doc's hash draw
+    assert(keptPow("s2") === 100L)
+    assert(math.abs(keptPow("s0").toDouble - kept("s0")) / kept("s0") < 0.05)
+  }
+
+  test("isqrt is the exact integer square root across rounding edges") {
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 24L, 25L, 26L, 999999L, 1000000L,
+      (1L << 31) * (1L << 31) - 1, (1L << 31) * (1L << 31),
+      999999999999L, 1000000000000L, 4611686018427387903L)
+    val got = xs.toDF("x").select(Splits.isqrt(col("x")).as("s"))
+      .as[Long].collect().toSeq
+    val want = xs.map(x => BigInt(x).bigInteger.sqrt().longValueExact())
+    assert(got === want)
+  }
+
   test("chunkDocs shards with overlap; every token covered; short docs one chunk") {
     val docs = Seq(
       (1L, "a b c d e"),     // 5 toks, size 3 stride 2 -> [a b c] [c d e]
