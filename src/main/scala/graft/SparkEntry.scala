@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
 import graft.ingest.Normalize
-import graft.pipeline.{Dedup, Multimodal, Packing, Similarity, Splits, TextAnalysis}
+import graft.pipeline.{Dedup, Importance, Multimodal, Packing, Similarity, Splits, TextAnalysis}
 import graft.query.{AggSpec, Frequency, QueryEngine, TimeSeriesOps}
 import graft.rollup.Rollup
 
@@ -796,6 +796,18 @@ object SparkEntry {
     //      integer sums; ln cross-entropy twin spec-pinned) ------------
     "q_lm_score" -> ((s, dir) => {
       TextAnalysis.lmFamiliarity(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR-style importance weighting (data selection): hashed
+    //      unigram+bigram buckets, target-vs-raw Laplace bucket models,
+    //      per-doc Σ count·(q12(p_t)−q12(p_r)) — exact integer sums,
+    //      md5 bucket family for the oracle (xxhash64 prod twin
+    //      spec-pinned); model ≤ 4096 rows -> broadcast lookup ---------
+    "q_importance" -> ((s, dir) => {
+      Importance.importanceWeight(Tables.documents(s, dir), "doc_id", "text",
+          org.apache.spark.sql.functions.col("source") === "src0",
+          buckets = 4096, md5Family = true)
         .orderBy("doc_id")
     }),
 
@@ -2742,6 +2754,44 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |       (CAST(sq AS DOUBLE) / n_bigrams) / 1000000000000.0 AS lm_score
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // hashed unigram+bigram buckets (lower-60-bit md5 mod 4096 — the
+    // established md5 bridge), target/raw Laplace bucket models over the
+    // fixed bucket space, per-probability 1e-12 quantization BEFORE the
+    // subtraction — integer sums term for term with the Spark side
+    "q_importance" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT doc_id, source, unnest(w) AS g FROM t
+        |), bi AS (
+        |  SELECT doc_id, source,
+        |         unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 2
+        |), feats AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS f
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |), counts AS (
+        |  SELECT f,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM feats GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM counts
+        |), lm AS (
+        |  SELECT f,
+        |    CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor((CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT) AS dq
+        |  FROM counts CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |       (CAST(sum(dq) AS DOUBLE) / count(*)) / 1000000000000.0 AS imp_score
+        |FROM feats JOIN lm USING (f)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // same expression SHAPE as the Spark side, term for term: rational
     // idf ((n-df+0.5)/(df+0.5)), binary-exact k1=1.25/b=0.75 (so the

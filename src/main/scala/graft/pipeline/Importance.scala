@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * every document by how much more likely its hashed n-gram features are
+  * under a TARGET (in-domain) corpus than under the RAW corpus, so the
+  * raw corpus can be resampled toward the target distribution without
+  * training a classifier.
+  *
+  * Features are word unigrams ∪ bigrams (duplicates kept — occurrence
+  * counts are the signal), hashed into `buckets` fixed buckets, the
+  * paper's dimensionality bound. Both slices fit one bag-of-buckets
+  * model with Laplace smoothing over the bucket space:
+  *
+  *   p_t(f) = (c_t(f) + 1) / (T + B),   p_r(f) = (c_r(f) + 1) / (R + B)
+  *
+  * (T/R = total feature occurrences in the target/raw slice, B = bucket
+  * count). The paper's importance weight is
+  * log w(d) = Σ_f count_d(f) · (ln p_t(f) − ln p_r(f)); `logForm = true`
+  * computes exactly that (quantized to 1e-12 longs — deterministic
+  * in-JVM, but ln differs in the last ulp across engines, so it is
+  * spec-pinned). The GATE form (`logForm = false`) is the linear analog
+  * Σ count_d(f) · (q(p_t) − q(p_r)) with q(x) = floor(x·1e12 + 0.5):
+  * every probability is one exact long/long IEEE division quantized to
+  * an integer, so per-doc sums are independent of partial-aggregation
+  * order AND bit-identical to the DuckDB oracle — the
+  * [[TextAnalysis.lmFamiliarity]] quantization discipline. Higher score
+  * = more target-like either way.
+  *
+  * Shape at 100 TB — the reason hashing is not just a memory nicety:
+  * with `buckets` > 0 the per-feature model is AT MOST B rows, so it
+  * rides back onto the corpus as a BROADCAST join — the corpus-sized
+  * feature stream never shuffles for the model lookup (the bucket-count
+  * aggregate itself folds map-side to ≤ B rows per partition). The only
+  * corpus-keyed exchange is the final per-doc sum, whose partial
+  * aggregate emits one row per document per partition — and a document's
+  * features are co-partitioned by construction (the explode is map-only),
+  * so the shuffle carries |docs| rows, not |tokens|. `buckets = 0`
+  * switches to exact-gram features (no collisions; the model table is
+  * vocabulary-sized and the lookup becomes a shuffle equi-join — the
+  * [[TextAnalysis.lmFamiliarity]] shape); use it when auditing what the
+  * bucketed scores would be without collision noise.
+  *
+  * Families: `md5Family = true` is the oracle-parity family (lower-60-bit
+  * md5 of the gram, mod B — `('0x' || substr(md5(g),1,15))::BIGINT % B`
+  * in DuckDB); the default is codegen'd xxhash64 for production. Both
+  * are fixed salts: scores are deterministic and append-stable in the
+  * model only through the counts.
+  *
+  * Downstream selection: the scores compose with the existing samplers —
+  * [[Splits.cutByQuantileExact]] on a quantized score keeps the top
+  * fraction, [[Splits.sampleExact]] draws an exact-size target-like
+  * slice. (DSIR's Gumbel-noise draw is a hash-noise variant of the same
+  * keep-rate idea; the deterministic quantile cut is the reproducible
+  * form.)
+  */
+object Importance {
+
+  def importanceWeight(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096,
+      logForm: Boolean = false,
+      md5Family: Boolean = false): DataFrame = {
+    require(buckets >= 0, s"buckets must be >= 0, got $buckets")
+    val q12 = lit(1000000000000.0)
+
+    val bucketOf: Column => Column =
+      if (buckets <= 0) identity
+      else if (md5Family)
+        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+      else g => pmod(xxhash64(g), lit(buckets.toLong))
+
+    val feats = df
+      .select(
+        col(idCol),
+        isTarget.as("__tgt"),
+        explode(concat(
+          graft.functions.WordNgrams(col(textCol), 1),
+          graft.functions.WordNgrams(col(textCol), 2))).as("__g"))
+      .select(col(idCol), col("__tgt"), bucketOf(col("__g")).as("__f"))
+
+    val counts = feats
+      .groupBy("__f")
+      .agg(
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        sum(when(!col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__cr"))
+
+    // scalar totals; V = the Laplace support (bucket count, or the
+    // observed vocabulary when unbucketed)
+    val totals = counts.agg(
+      sum(col("__ct")).as("__T"),
+      sum(col("__cr")).as("__R"),
+      count(lit(1)).as("__vObs"))
+    val v = if (buckets > 0) lit(buckets.toLong) else col("__vObs")
+
+    val pt = (col("__ct") + 1L).cast("double") / (col("__T") + v).cast("double")
+    val pr = (col("__cr") + 1L).cast("double") / (col("__R") + v).cast("double")
+    val dq =
+      if (logForm)
+        floor((log(pt) - log(pr)) * q12 + lit(0.5)).cast("long")
+      else
+        floor(pt * q12 + lit(0.5)).cast("long") -
+          floor(pr * q12 + lit(0.5)).cast("long")
+
+    val modelFrame = counts
+      .crossJoin(broadcast(totals))
+      .select(col("__f"), dq.as("__dq"))
+    val model = if (buckets > 0) broadcast(modelFrame) else modelFrame
+
+    feats
+      .join(model, "__f")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__dq")).as("__sq"))
+      .select(
+        col(idCol),
+        col("n_feats"),
+        ((col("__sq").cast("double") / col("n_feats")) / q12).as("imp_score"))
+  }
+}

@@ -537,6 +537,20 @@ object PlanAudit {
         mustNot = Seq("SortMergeJoin", "Sort ["))
     }
 
+    guarded("importance weighting") {
+      // 19i. DSIR-style importance: the ≤-B-row bucket model rides back
+      //      onto the corpus-sized feature stream as a BROADCAST join —
+      //      never a sort-merge; no sort anywhere (the per-doc sum is a
+      //      hash aggregate)
+      val imp = graft.pipeline.Importance.importanceWeight(
+        docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "src0")
+      check("importance: broadcast bucket model, no sort-merge on the feature stream",
+        plan(imp),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin", "Sort ["))
+    }
+
     guarded("domain cap") {
       // 19a. per-group cap: k-bounded threshold aggregate (partial
       //      ObjectHashAggregate map-side — the only shuffle input is

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Importance
+
+/** DSIR-style importance weighting: exact-value pin against a driver-side
+  * recomputation (both the gated linear form and the log-ratio form), the
+  * production xxhash64 family, and the discriminative property the score
+  * exists for (target-like docs outscore raw-like docs).
+  */
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lower-60-bit md5 of a string — the oracle bucket family
+  private def md5Base60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def featsOf(text: String): Seq[String] = {
+    val toks = text.trim.split("\\s+", -1).toSeq
+    toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+  }
+
+  /** Driver-side recomputation of the md5-family bucketed model. */
+  private def expected(
+      docs: Seq[(Long, String, Boolean)],
+      buckets: Int,
+      logForm: Boolean): Map[Long, (Long, Double)] = {
+    val occ = docs.flatMap { case (id, text, tgt) =>
+      featsOf(text).map(g => (id, tgt, md5Base60(g) % buckets))
+    }
+    val ct = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = occ.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val t = ct.values.sum
+    val r = cr.values.sum
+    def q(p: Double): Long = math.floor(p * 1000000000000.0 + 0.5).toLong
+    def dq(f: Long): Long = {
+      val pt = (ct.getOrElse(f, 0L) + 1).toDouble / (t + buckets).toDouble
+      val pr = (cr.getOrElse(f, 0L) + 1).toDouble / (r + buckets).toDouble
+      if (logForm) q(math.log(pt) - math.log(pr)) else q(pt) - q(pr)
+    }
+    occ.groupBy(_._1).map { case (id, fs) =>
+      val sq = fs.map(o => dq(o._3)).sum
+      id -> (fs.size.toLong, (sq.toDouble / fs.size) / 1000000000000.0)
+    }
+  }
+
+  private val tiny = Seq(
+    (1L, "spark join window join", true),
+    (2L, "spark window scan", true),
+    (3L, "rust borrow checker borrow", false),
+    (4L, "rust scan borrow", false),
+    (5L, "spark join borrow", false))
+
+  test("linear gate form matches a driver-side recomputation exactly") {
+    val df = tiny.toDF("doc_id", "text", "tgt")
+    val got = Importance.importanceWeight(
+        df, "doc_id", "text", col("tgt"), buckets = 4096, md5Family = true)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expected(tiny, 4096, logForm = false))
+  }
+
+  test("log-ratio (DSIR) form matches the driver recomputation; families agree on sign") {
+    val df = tiny.toDF("doc_id", "text", "tgt")
+    val gotLog = Importance.importanceWeight(
+        df, "doc_id", "text", col("tgt"), buckets = 4096,
+        logForm = true, md5Family = true)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = expected(tiny, 4096, logForm = true)
+    assert(gotLog.keySet === want.keySet)
+    gotLog.foreach { case (id, (n, s)) =>
+      assert(n === want(id)._1)
+      assert(math.abs(s - want(id)._2) < 1e-9, s"doc $id")
+    }
+    // production xxhash64 family: same discriminative sign on every doc
+    val gotProd = Importance.importanceWeight(
+        df, "doc_id", "text", col("tgt"), buckets = 4096)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    gotLog.foreach { case (id, (_, s)) =>
+      assert(s.sign === gotProd(id).sign, s"doc $id: families disagree on sign")
+    }
+  }
+
+  test("target-vocabulary docs outscore raw-vocabulary docs (the selection property)") {
+    // disjoint vocabularies: target docs about a/b/c, raw about x/y/z,
+    // plus probe docs drawn from each vocabulary
+    val docs = ((0L until 40L).map(i => (i, s"a${i % 3} b${i % 5} c${i % 7} a${i % 3}", true)) ++
+      (40L until 200L).map(i => (i, s"x${i % 3} y${i % 5} z${i % 7} x${i % 3}", false))).toSeq
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val scores = Importance.importanceWeight(df, "doc_id", "text", col("tgt"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val tgtAvg = (0L until 40L).map(scores).sum / 40
+    val rawAvg = (40L until 200L).map(scores).sum / 160
+    assert(tgtAvg > 0 && rawAvg < 0 && tgtAvg > rawAvg)
+    // exact-gram (buckets = 0) form preserves the separation
+    val exact = Importance.importanceWeight(df, "doc_id", "text", col("tgt"), buckets = 0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val tgtAvgE = (0L until 40L).map(exact).sum / 40
+    val rawAvgE = (40L until 200L).map(exact).sum / 160
+    assert(tgtAvgE > rawAvgE)
+  }
+
+  test("single-token and whitespace-edge docs score without error (tokenize contract)") {
+    val df = Seq((1L, "solo", true), (2L, " padded  run ", false), (3L, "a b", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = Importance.importanceWeight(df, "doc_id", "text", col("tgt"), md5Family = true)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // "solo": 1 unigram; " padded  run ": 2 unigrams + 1 bigram (trim +
+    // \s+ split); "a b": 2 + 1
+    assert(out === Map(1L -> 1L, 2L -> 3L, 3L -> 3L))
+  }
+}
