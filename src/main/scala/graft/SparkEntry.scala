@@ -811,6 +811,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Fused importance scoring of a HELD-OUT slice against a
+    //      standing model (the incremental/streaming seat): model
+    //      trained on even doc_ids in-JVM (dense 4096-long array,
+    //      unseen buckets pre-smoothed), odd doc_ids scored by ONE
+    //      map-only expression — exercises the unseen-bucket default
+    //      the relational form never hits --------------------------
+    "q_importance_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val even = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val model = Importance.trainModel(even, "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "src0",
+        buckets = 4096, md5Family = true)
+      Importance.scoreWith(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+          "doc_id", "text", model, md5Family = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- BM25 lexical retrieval: top-15 docs for a bag-of-words probe
     //      query (rational-idf gate form; binary-exact k1/b so constant
     //      folding agrees; per-term contributions quantized to 1e-9
@@ -2790,6 +2808,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
         |       (CAST(sum(dq) AS DOUBLE) / count(*)) / 1000000000000.0 AS imp_score
         |FROM feats JOIN lm USING (f)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q_importance model arithmetic trained on EVEN doc_ids only;
+    // odd-doc features LEFT JOIN the observed buckets with the smoothed
+    // c=0 default (dq0) where the model never saw the bucket — the same
+    // dense-array semantics as trainModel/ImportanceScore
+    "q_importance_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT doc_id, source, unnest(w) AS g FROM t
+        |), bi AS (
+        |  SELECT doc_id, source,
+        |         unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 2
+        |), feats AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS f
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |), counts AS (
+        |  SELECT f,
+        |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM feats WHERE doc_id % 2 = 0 GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM counts
+        |), lm AS (
+        |  SELECT f,
+        |    CAST(floor((CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor((CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT) AS dq
+        |  FROM counts CROSS JOIN tot
+        |), d0 AS (
+        |  SELECT
+        |    CAST(floor((CAST(1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor((CAST(1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE))
+        |               * 1000000000000.0 + 0.5) AS BIGINT) AS dq0
+        |  FROM tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |       (CAST(sum(COALESCE(lm.dq, d0.dq0)) AS DOUBLE) / count(*))
+        |         / 1000000000000.0 AS imp_score
+        |FROM feats LEFT JOIN lm USING (f) CROSS JOIN d0
+        |WHERE doc_id % 2 = 1
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

@@ -122,4 +122,79 @@ object Importance {
         col("n_feats"),
         ((col("__sq").cast("double") / col("n_feats")) / q12).as("imp_score"))
   }
+
+  /** Train the bucketed importance model as a dense per-bucket weight
+    * array: `dq(f) = q(p_t(f)) − q(p_r(f))` (or the log-ratio when
+    * `logForm`), with UNSEEN buckets holding the smoothed default
+    * (c = 0) — so the array scores documents the training corpus never
+    * saw, the incremental/streaming case the relational
+    * [[importanceWeight]] (whose model has only observed buckets)
+    * cannot. Identical arithmetic: Java's double division/floor are the
+    * same IEEE ops Spark executes, pinned by ImportanceSpec's
+    * fused-vs-relational parity test.
+    *
+    * The collect is B longs (4096 by default) — centroid-sized, the
+    * sanctioned kind of driver collect.
+    */
+  def trainModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096,
+      logForm: Boolean = false,
+      md5Family: Boolean = false): Array[Long] = {
+    require(buckets > 0, s"trainModel needs a bounded bucket space, got $buckets")
+    val bucketOf: Column => Column =
+      if (md5Family)
+        g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+      else g => pmod(xxhash64(g), lit(buckets.toLong))
+    val counts = df
+      .select(
+        isTarget.as("__tgt"),
+        explode(concat(
+          graft.functions.WordNgrams(col(textCol), 1),
+          graft.functions.WordNgrams(col(textCol), 2))).as("__g"))
+      .select(col("__tgt"), bucketOf(col("__g")).as("__f"))
+      .groupBy("__f")
+      .agg(
+        sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__ct"),
+        sum(when(!col("__tgt"), lit(1L)).otherwise(lit(0L))).as("__cr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val t = counts.map(_._2).sum
+    val r = counts.map(_._3).sum
+    def q(p: Double): Long = math.floor(p * 1e12 + 0.5).toLong
+    def dqOf(ct: Long, cr: Long): Long = {
+      val pt = (ct + 1).toDouble / (t + buckets).toDouble
+      val pr = (cr + 1).toDouble / (r + buckets).toDouble
+      if (logForm) q(math.log(pt) - math.log(pr)) else q(pt) - q(pr)
+    }
+    val dq = Array.fill(buckets)(dqOf(0L, 0L))
+    counts.foreach { case (f, ct, cr) => dq(f.toInt) = dqOf(ct, cr) }
+    dq
+  }
+
+  /** Score documents against a standing [[trainModel]] array — ONE
+    * map-only fused expression per document
+    * ([[graft.functions.ImportanceScore]]): no explode, no join, no
+    * aggregate, so it runs statelessly on a STREAM (the relational
+    * scorer's per-doc aggregate would be stateful there) and in batch
+    * the model lookup is an array index. Same output columns as
+    * [[importanceWeight]].
+    */
+  def scoreWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Array[Long],
+      md5Family: Boolean = false): DataFrame =
+    df.select(
+        col(idCol),
+        graft.functions.ImportanceScore(col(textCol), model, md5Family).as("__s"))
+      .select(
+        col(idCol),
+        col("__s.n_feats").as("n_feats"),
+        ((col("__s.sumq").cast("double") / col("__s.n_feats")) / lit(1000000000000.0))
+          .as("imp_score"))
 }

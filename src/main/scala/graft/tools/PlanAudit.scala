@@ -549,6 +549,15 @@ object PlanAudit {
         plan(imp),
         mustContain = Seq("BroadcastHashJoin"),
         mustNot = Seq("SortMergeJoin", "Sort ["))
+      // 19i2. fused scorer against a standing model: a PURE projection —
+      //       the model is a reference-object array in the expression, so
+      //       there is no explode, no join, and no aggregate at all
+      val model = Array.fill(4096)(0L)
+      val sc = graft.pipeline.Importance.scoreWith(docs, "doc_id", "text", model)
+      check("importance scoreWith: map-only (no exchange/join/generate)",
+        plan(sc),
+        mustContain = Seq("importance_score"),
+        mustNot = Seq("Exchange", "Join", "Generate", "Sort ["))
     }
 
     guarded("domain cap") {

@@ -105,6 +105,60 @@ class ImportanceSpec extends SparkSpec {
     assert(tgtAvgE > rawAvgE)
   }
 
+  test("fused scoreWith(trainModel) equals the relational scorer bit-for-bit, both families") {
+    val df = tiny.toDF("doc_id", "text", "tgt")
+    for (md5 <- Seq(true, false)) {
+      val model = Importance.trainModel(df, "doc_id", "text", col("tgt"),
+        buckets = 4096, md5Family = md5)
+      val fused = Importance.scoreWith(df, "doc_id", "text", model, md5Family = md5)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val rel = Importance.importanceWeight(df, "doc_id", "text", col("tgt"),
+          buckets = 4096, md5Family = md5)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(fused === rel, s"md5Family=$md5")
+    }
+  }
+
+  test("unseen buckets score with the smoothed c=0 default") {
+    val df = tiny.toDF("doc_id", "text", "tgt")
+    val model = Importance.trainModel(df, "doc_id", "text", col("tgt"),
+      buckets = 4096, md5Family = true)
+    val novel = Seq((99L, "zzzz qqqq wwww")).toDF("doc_id", "text")
+    val got = Importance.scoreWith(novel, "doc_id", "text", model, md5Family = true)
+      .as[(Long, Long, Double)].collect().head
+    // driver-side: sum the model's own entries at the novel features'
+    // buckets (seen or unseen — the array covers both uniformly)
+    val fs = featsOf("zzzz qqqq wwww").map(g => (md5Base60(g) % 4096).toInt)
+    val wantSum = fs.map(model(_)).sum
+    assert(got._2 === fs.size.toLong)
+    assert(got._3 === (wantSum.toDouble / fs.size) / 1000000000000.0)
+  }
+
+  test("streaming importance scoring is stateless and equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val df = tiny.toDF("doc_id", "text", "tgt")
+    val model = Importance.trainModel(df, "doc_id", "text", col("tgt"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Importance.scoreWith(in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("imp_out").start()
+    try {
+      in.addData((1L, "spark join window join"), (2L, "rust borrow"))
+      q.processAllAvailable()
+      in.addData((3L, "spark window zzzz"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "importance scoring must not create a state store")
+      val got = spark.table("imp_out").as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+      val batch = Importance.scoreWith(
+          Seq((1L, "spark join window join"), (2L, "rust borrow"), (3L, "spark window zzzz"))
+            .toDF("doc_id", "text"), "doc_id", "text", model)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("single-token and whitespace-edge docs score without error (tokenize contract)") {
     val df = Seq((1L, "solo", true), (2L, " padded  run ", false), (3L, "a b", false))
       .toDF("doc_id", "text", "tgt")
