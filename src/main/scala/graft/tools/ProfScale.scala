@@ -603,6 +603,24 @@ object ProfScale {
           TextAnalysis.topTermsByGroup(
             Tables.documents(spark, sfDir), "source", "text", 5)))
 
+      case "importance" =>
+        // DSIR importance: relational (explode + broadcast model join +
+        // per-doc agg) vs fused (one reference-object expression). Same
+        // scores (ImportanceSpec pins bit-parity); the A/B is the cost of
+        // the explode/join/agg the fused form deletes.
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sfDir)
+        val n = docs.count()
+        println(s"PROFSCALE corpus docs=$n")
+        val tRel = timed("importance relational")(sink(
+          graft.pipeline.Importance.importanceWeight(
+            docs, "doc_id", "text", col("source") === "src0")))
+        val model = graft.pipeline.Importance.trainModel(
+          docs, "doc_id", "text", col("source") === "src0")
+        val tFused = timed("importance fused score")(sink(
+          graft.pipeline.Importance.scoreWith(docs, "doc_id", "text", model)))
+        println(f"PROFSCALE fused/relational ratio ${tFused / tRel}%.2f")
+
       case other => sys.error(s"unknown section: $other")
     }
     spark.stop()
