@@ -153,6 +153,24 @@ object SparkEntry {
       p
     })
 
+  /** PQ model cache: trained once per data dir (deterministic init + fixed
+    * Lloyd rounds); the trained codebooks — and, for the ADC gate, the
+    * driver-folded query lookup tables — are inlined into the oracles at
+    * dump time (the ivfLastTrained convention).
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Pq.PqModel]()
+  @volatile private var pqLastTrained: Option[graft.pipeline.Pq.PqModel] = None
+  @volatile private var pqLastQueries: Option[Seq[graft.pipeline.Pq.AdcQuery]] = None
+
+  private def pqModelFor(s: SparkSession, dir: String): graft.pipeline.Pq.PqModel = {
+    val m = pqCache.computeIfAbsent(
+      dir,
+      d => graft.pipeline.Pq.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding"))
+    pqLastTrained = Some(m)
+    m
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -1074,6 +1092,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Product quantization encode: the corpus re-expressed as m
+    //      small codes per vector (32× smaller resident index) — map-only
+    //      NearestCells argmin per coordinate block; trained codebooks
+    //      inlined into the oracle (q_ann_ivf convention) ----
+    "q_pq_encode" -> ((s, dir) => {
+      graft.pipeline.Pq
+        .pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding", pqModelFor(s, dir))
+        .select(
+          col("vec_id"),
+          // the driver's comparator row-sorts raw cells: arrays stringify
+          // (the q_most_array convention)
+          concat_ws("|", col("codes").cast("array<string>")).as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- PQ ANN via ADC: join-free scan — queries ride as literal
+    //      lookup tables over the code column, top-k through the
+    //      k-bounded pairs aggregate; codebooks AND query LUTs inlined
+    //      into the oracle ----
+    "q_ann_pq" -> ((s, dir) => {
+      val model = pqModelFor(s, dir)
+      val qs = graft.pipeline.Pq.adcQueries(
+        Tables.embeddings(s, dir), "vec_id", "embedding", model, (0L until 10L))
+      pqLastQueries = Some(qs)
+      graft.pipeline.Pq
+        .pqTopKAdc(
+          graft.pipeline.Pq.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding", model),
+          "vec_id", model, qs, 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- A13 rollup build + partial→final merge (matrix pipeline) -----
     "q_rollup_merge" -> ((s, dir) => {
       val ro = Rollup.build(Tables.tsEvents(s, dir), 3600, "value")
@@ -1508,6 +1557,92 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def dlit(x: Double): String = java.lang.Double.toString(x)
+  private def dlist(xs: Seq[Double]): String = xs.map(dlit).mkString("[", ",", "]")
+
+  /** Shared encode CTE for the PQ oracles: replays the per-block
+    * NearestCells argmin (2·v·w − |w|², tie toward the higher code) in
+    * DuckDB against the trained codebooks inlined as literals. The
+    * DOUBLE·DECIMAL products promote to DOUBLE before any addition, and
+    * list_sum walks left to right, so every score bit-matches the
+    * expression (the [[ivfOracle]] argument).
+    */
+  private def pqEncodeCte(model: graft.pipeline.Pq.PqModel): String = {
+    val sub = model.subDim
+    val values = model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (w, c) =>
+        s"($s, $c, ${dlist(w)}, ${dlit(w.map(x => x * x).sum)})"
+      }
+    }.mkString(",\n")
+    s"""cb AS (
+       |  SELECT * FROM (VALUES
+       |$values
+       |  ) AS t(s, code, w, nrm)
+       |), sc AS (
+       |  SELECT e.vec_id, c.s, c.code,
+       |         2 * list_sum(list_transform(range(1, ${sub + 1}),
+       |               d -> CAST(e.embedding[c.s * $sub + d] AS DOUBLE) * c.w[d])) - c.nrm AS sc
+       |  FROM embeddings e, cb c
+       |), rk AS (
+       |  SELECT vec_id, s, code,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY sc DESC, code DESC) AS rn
+       |  FROM sc
+       |), enc AS (
+       |  SELECT vec_id, list(CAST(code AS INTEGER) ORDER BY s) AS codes
+       |  FROM rk WHERE rn = 1 GROUP BY vec_id
+       |)""".stripMargin
+  }
+
+  private def pqEncodeOracle: String = pqLastTrained match {
+    case None =>
+      """SELECT CAST(NULL AS BIGINT) AS vec_id,
+        |       CAST(NULL AS VARCHAR) AS codes
+        |WHERE 1 = 0""".stripMargin
+    case Some(model) =>
+      s"""WITH ${pqEncodeCte(model)}
+         |SELECT vec_id, array_to_string(codes, '|') AS codes
+         |FROM enc ORDER BY vec_id""".stripMargin
+  }
+
+  /** q_ann_pq oracle: the encode CTE plus one UNION ALL arm per query,
+    * each arm scoring every code row through the query's inlined ADC
+    * tables. The per-block lookups cast to DOUBLE[] FIRST (a bare decimal
+    * list would sum exactly instead of IEEE-rounding per step) and the
+    * explicit `+` chains are left-associated in both engines, matching
+    * the expression's reduceLeft.
+    */
+  private def annPqOracle: String = (pqLastTrained, pqLastQueries) match {
+    case (Some(model), Some(qs)) =>
+      val lutN = model.lutNorm
+      def idx(s: Int) = s"(codes[${s + 1}] + 1)"
+      def hit(tab: Seq[Double], s: Int) =
+        s"(CAST(${dlist(tab)} AS DOUBLE[]))[${idx(s)}]"
+      val nsum = (0 until model.m).map(s => hit(lutN(s), s)).mkString(" + ")
+      val arms = qs.map { q =>
+        val dsum = (0 until model.m).map(s => hit(q.lutDot(s), s)).mkString(" + ")
+        s"""  SELECT vec_id AS neighbor_id, CAST(${q.id} AS BIGINT) AS query_id,
+           |         round(($dsum) / (${dlit(q.qnorm)} * sqrt($nsum)), 6) AS sim
+           |  FROM enc WHERE vec_id <> ${q.id}""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ${pqEncodeCte(model)},
+         |sc2 AS (
+         |$arms
+         |), r2 AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM sc2
+         |)
+         |SELECT query_id, neighbor_id, rank, sim FROM r2 WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    case _ =>
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |       CAST(NULL AS BIGINT) AS neighbor_id,
+        |       CAST(NULL AS INTEGER) AS rank,
+        |       CAST(NULL AS DOUBLE) AS sim
+        |WHERE 1 = 0""".stripMargin
   }
 
   /** q_embed_pca_proj oracle: the TRAINED quantized component matrix
@@ -3283,6 +3418,10 @@ object SparkEntry {
     "q_ann_ivf" -> ivfOracle,
 
     "q_ann_ivf_index" -> ivfOracle,
+
+    "q_pq_encode" -> pqEncodeOracle,
+
+    "q_ann_pq" -> annPqOracle,
 
     "q_semantic_dedup" -> semanticDedupOracle,
 

@@ -66,7 +66,7 @@ object Similarity {
     * pair is scored at most once (a corpus row lives in exactly one
     * bucket/cell), so no dedup is needed before the aggregate.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[pipeline] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("query_id")
       .agg(graft.functions.TopKPairsAggregate

@@ -639,6 +639,29 @@ object PlanAudit {
         mustNot = Seq("Window", "Exchange SinglePartition"))
     }
 
+    guarded("pq adc") {
+      // PQ: encode is a map-only per-block nearest_cells projection (the
+      // 16×-smaller code column is the whole persisted index), and the
+      // ADC scan is JOIN-FREE — queries ride as literal lookup tables
+      // over the codes, ranking through the same k-bounded aggregate as
+      // exact top-k. Nothing in either plan grows with query count but
+      // the projection width.
+      val pqModel = graft.pipeline.Pq.pqTrain(semEmb, "vec_id", "embedding")
+      val pqQs = graft.pipeline.Pq.adcQueries(
+        semEmb, "vec_id", "embedding", pqModel, (0L until 10L))
+      check("pq encode: map-only nearest_cells per block (no exchange/join)",
+        plan(graft.pipeline.Pq.pqEncode(semEmb, "vec_id", "embedding", pqModel)),
+        mustContain = Seq("nearest_cells"),
+        mustNot = Seq("Exchange", "Join", "Sort"))
+      val adc = graft.pipeline.Pq.pqTopKAdc(
+        graft.pipeline.Pq.pqEncode(semEmb, "vec_id", "embedding", pqModel),
+        "vec_id", pqModel, pqQs, 5)
+      check("pq adc top-k: join-free fused-kernel scan + k-bounded aggregate",
+        plan(adc),
+        mustContain = Seq("adc_scores", "topk_pairs", "Generate"),
+        mustNot = Seq("Join", "Window", "Exchange SinglePartition"))
+    }
+
     guarded("bloom decontaminate") {
       // 22. bloom decontamination: the bench side folds to ONE bitmap via
       //     an object-hash aggregate (map-side OR partials); the corpus

@@ -603,6 +603,30 @@ object ProfScale {
           TextAnalysis.topTermsByGroup(
             Tables.documents(spark, sfDir), "source", "text", 5)))
 
+      case "pq" =>
+        // PQ ADC vs brute force: same 10-query top-5, one arm scanning
+        // raw 256-byte vectors, the other scanning 16-byte codes through
+        // literal LUTs (encode isolated separately — at 100 TB it runs
+        // once and persists, like the IVF index build).
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+        val n = emb.count()
+        println(s"PROFSCALE corpus vectors=$n")
+        val model = graft.pipeline.Pq.pqTrain(emb, "vec_id", "embedding")
+        val qids = (0L until 10L)
+        val tBrute = timed("ann brute force (raw vectors)")(sink(
+          graft.pipeline.Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)))
+        val tEncode = timed("pq encode (one-time, persists)")(sink(
+          graft.pipeline.Pq.pqEncode(emb, "vec_id", "embedding", model)))
+        val enc = graft.pipeline.Pq.pqEncode(emb, "vec_id", "embedding", model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        enc.count() // materialize: the standing-index shape
+        val qs = graft.pipeline.Pq.adcQueries(emb, "vec_id", "embedding", model, qids)
+        val tAdc = timed("pq adc scan (codes only)")(sink(
+          graft.pipeline.Pq.pqTopKAdc(enc, "vec_id", model, qs, 5)))
+        enc.unpersist()
+        println(f"PROFSCALE adc/brute ratio ${tAdc / tBrute}%.2f  " +
+          f"(encode ${tEncode}%.2f s; code bytes/vec = ${model.m} vs ${64 * 4} raw)")
+
       case "importance" =>
         // DSIR importance: relational (explode + broadcast model join +
         // per-doc agg) vs fused (one reference-object expression). Same
