@@ -808,6 +808,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- TF-IDF per-doc top-k terms: exact-integer (tf·1e6) div df
+    //      score (keyword extraction / doc characterization) ----------
+    "q_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- Bigram-LM familiarity: avg corpus MLE conditional probability
     //      of each doc's bigrams (perplexity-proxy quality filter; exact
     //      long/long divisions quantized to 1e-12 longs -> order-free
@@ -2833,6 +2840,28 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN df < 300 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
         |FROM tk JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, t FROM tok WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT t, count(*) AS df FROM tf GROUP BY t
+        |), sc AS (
+        |  SELECT doc_id, t, tf, df, (tf * 1000000) // df AS score_q
+        |  FROM tf JOIN vocab USING (t)
+        |), rk AS (
+        |  SELECT doc_id, t, tf, df, score_q,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY score_q DESC, t) AS INTEGER) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, rank, t AS term, tf, df, score_q
+        |FROM rk WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // token counts mirror the engine's leading-empty-aware arithmetic
     // (list_filter drops ALL empties; position 0 is the only one Java

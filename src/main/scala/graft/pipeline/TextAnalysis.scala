@@ -387,6 +387,45 @@ object TextAnalysis {
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
   }
 
+  /** Per-document top-`k` characteristic terms under an exact-integer
+    * tf/df score: `score_q = (tf · quant) div df` — tf weighted by
+    * inverse document frequency on a fixed integer grid, so ranking is
+    * bit-reproducible in any engine (a float `tf·ln(N/df)` would hang
+    * the gate on `ln` ULPs; within a fixed df the ordering is identical,
+    * across dfs 1/df is the same monotone "rarer is more specific"
+    * signal). Ties break on the term itself.
+    *
+    * Shape at scale: tf folds map-side to one row per (doc, term); the
+    * vocabulary frame derives FROM tf (already distinct per doc — no
+    * second corpus scan, the rareWordStats economy), crosses back in one
+    * vocabulary-keyed join, and the per-doc top-k window sorts doc-sized
+    * groups only (bounded by document length, never corpus-sized — the
+    * skew caveat that applies to domain-keyed windows doesn't arise).
+    */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      quant: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+        col(idCol),
+        explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("__t").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score_q").desc, col("__t"))
+    tf.join(vocab, "__t")
+      .withColumn("score_q", expr(s"tf * $quant div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col(idCol), col("rank"), col("__t").as("term"),
+        col("tf"), col("df"), col("score_q"))
+  }
+
   // ---- adaptive quality cuts -------------------------------------------
 
   /** Keep rows whose integer `metricCol` is at or above the corpus MEAN.

@@ -293,4 +293,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"))
   }
+
+  test("tfidfTopTerms: rare repeated terms outrank common ones, exact-integer score") {
+    val docs = Seq(
+      (1L, "alpha alpha shared shared shared"),
+      (2L, "beta shared"),
+      (3L, "gamma shared"),
+      (4L, "delta shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .collect()
+    // doc 1: alpha tf=2 df=1 -> 2e6; shared tf=3 df=4 -> 750000
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getString(2), r.getLong(5))).toSeq ===
+      Seq(("alpha", 2000000L), ("shared", 750000L)))
+    // singleton docs: the unique term (1e6) beats shared (250000)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(2)).toSeq === Seq("beta", "shared"))
+    assert(d2.map(r => r.getLong(5)).toSeq === Seq(1000000L, 250000L))
+  }
 }
