@@ -590,6 +590,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- Cross-source overlap matrix: per-source MinHash UNION
+    //      sketches (min over member signatures = minhash of the union),
+    //      pairwise position-match fraction = estimated Jaccard between
+    //      full source shingle populations -----------------------------
+    "q_source_overlap" -> ((s, dir) => {
+      Dedup.groupOverlapMatrix(Tables.documents(s, dir), "source", "text")
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---- SimHash fingerprints (md5-based, engine-reproducible) --------
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -2500,6 +2509,21 @@ object SparkEntry {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same signature chain; the union sketch is min over member docs'
+    // plane minima (grouped straight from ph), matches / 64 exact
+    "q_source_overlap" ->
+      s"""WITH $MinhashBandedCte, ssig AS (
+         |  SELECT d.source, ph.p, min(ph.mh) AS mh
+         |  FROM ph JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         |         AS est_jaccard
+         |FROM ssig a JOIN ssig b ON a.p = b.p AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_simhash" ->
       """WITH tok AS (

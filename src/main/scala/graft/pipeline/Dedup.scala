@@ -571,6 +571,50 @@ object Dedup {
         graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("signature"))
       .filter(size(col("signature")) > 0)
 
+  /** Cross-group shingle-overlap matrix via per-group MinHash UNION
+    * sketches: a group's sketch position p is the min over every member
+    * document's signature position p — which IS the MinHash of the union
+    * of the group's shingle sets (min distributes over union), so the
+    * position-match fraction between two groups estimates the Jaccard
+    * overlap of their full shingle populations. The corpus-sized work is
+    * one map-side-combined fold to groups × numHashes rows; the pairwise
+    * comparison joins two broadcast-sized sketch frames — at 100 TB the
+    * corpus is scanned once and NOTHING corpus-sized ever shuffles or
+    * pairs. This is the contamination/provenance audit ("how much does
+    * crawl A overlap crawl B?") that exact cross-group Jaccard would
+    * need an all-pairs shingle join to answer.
+    *
+    * Docs shorter than `n` tokens contribute no shingles and drop out
+    * (the [[minhashSignaturesMd5]] empty-signature filter). Md5 family
+    * for oracle portability; est_jaccard = matches/numHashes exactly.
+    */
+  def groupOverlapMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(groupCol).as("__grp"),
+        graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("__sig"))
+      .filter(size(col("__sig")) > 0)
+    val sketch = sigs
+      .select(col("__grp"), posexplode(col("__sig")).as(Seq("__p", "__v")))
+      .groupBy("__grp", "__p")
+      .agg(min("__v").as("__mh"))
+    val a = sketch.select(
+      col("__grp").as("source_a"), col("__p"), col("__mh").as("__ma"))
+    val b = sketch.select(
+      col("__grp").as("source_b"), col("__p"), col("__mh").as("__mb"))
+    a.join(broadcast(b), Seq("__p"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg((sum(when(col("__ma") === col("__mb"), 1L).otherwise(0L)).cast("double")
+        / numHashes).as("est_jaccard"))
+  }
+
   /** Incremental near-dup probe: LSH pairs of a NEW batch against a
     * persisted signature index — the continuously-growing-corpus form
     * of MinHash dedup. Full [[minhashLshPairs]] over corpus+batch

@@ -615,6 +615,21 @@ object PlanAudit {
         mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     }
 
+    guarded("source overlap matrix") {
+      // 19d. cross-group overlap: the corpus folds map-side-combined to
+      //      groups × numHashes sketch rows; the pairwise comparison is a
+      //      broadcast join of the two sketch frames. Nothing corpus-sized
+      //      shuffles, pairs, or sorts — the only SMJ-shaped risk would be
+      //      the sketch self-join planning wide, which the broadcast hint
+      //      forbids.
+      val ov = graft.pipeline.Dedup.groupOverlapMatrix(docs, "source", "text")
+      check("source overlap: map-side sketch fold + broadcast pair join",
+        plan(ov),
+        mustContain = Seq("BroadcastHashJoin"),
+        mustNot = Seq("SortMergeJoin", "CartesianProduct",
+          "BroadcastNestedLoopJoin", "Exchange SinglePartition"))
+    }
+
     guarded("semantic dedup") {
       // 20. semantic dedup: cell-blocked pair generation — the reference-
       //     object cell assignment is a map-only projection and candidates

@@ -522,4 +522,43 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(clean.toSeq === Seq(2L, 4L))
   }
+
+  test("groupOverlapMatrix: union-sketch min-fold identity, exact extremes, short-doc drop") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "a", "one two three four five six seven eight nine"),
+      (3L, "b", "alpha beta gamma delta epsilon zeta eta theta"), // == doc 1: a∩b nonempty
+      (4L, "b", "red orange yellow green blue indigo violet saturated"),
+      (5L, "c", "totally disjoint vocabulary nothing shared here at all"),
+      (6L, "d", "alpha beta gamma delta epsilon zeta eta theta"), // d's shingle
+      (7L, "d", "one two three four five six seven eight nine"),  //   population == a's
+      (8L, "e", "too short"))                                     // < n tokens: no shingles
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.groupOverlapMatrix(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // group e never signed a shingle → absent entirely; pairs are a<b only
+    assert(!m.keys.exists { case (x, y) => x == "e" || y == "e" })
+    assert(m.keySet === Set(("a","b"), ("a","c"), ("a","d"), ("b","c"), ("b","d"), ("c","d")))
+    // identical shingle populations → identical union sketches → est 1.0
+    assert(m(("a", "d")) === 1.0)
+    // disjoint vocabularies → no position can match (no 64-bit collisions here)
+    assert(m(("a", "c")) === 0.0 && m(("b", "c")) === 0.0 && m(("c", "d")) === 0.0)
+    // overlap orders correctly: a shares a full doc with b, nothing with c
+    assert(m(("a", "b")) > 0.0 && m(("a", "b")) < 1.0)
+    // independent route: min-fold the PER-DOC md5 signatures driver-side
+    // (min distributes over set union) and recount position matches — the
+    // operator's posexplode/groupBy/broadcast-join plumbing must agree
+    val perDoc = Dedup.minhashSignaturesMd5(docs, "doc_id", "text", 3, 64)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "signature").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    val folded = perDoc.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(_._2).reduce((x, y) => x.zip(y).map(t => math.min(t._1, t._2)))
+    }
+    for { ga <- folded.keys; gb <- folded.keys if ga < gb } {
+      val expect = folded(ga).zip(folded(gb)).count(t => t._1 == t._2) / 64.0
+      assert(m((ga, gb)) === expect, s"pair ($ga,$gb)")
+    }
+  }
 }
