@@ -515,6 +515,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4-style line-quality filter (fused single-pass expression) --
+    // The synthetic docs are single-line, so the gate derives a multi-line
+    // corpus with literal (engine-portable) replaces: one common token
+    // becomes the line separator, another grows terminal punctuation.
+    // Both punct modes gated; counts exact, clean text compared via md5.
+    "q_filter_lines" -> ((s, dir) => {
+      import graft.functions.FilterLines
+      val multi = replace(
+        replace(col("text"), lit(" merge "), lit("\n")), lit("scan"), lit("scan."))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          FilterLines(multi, 3, Seq("slow", "dup"), requireTerminalPunct = false).as("__a"),
+          FilterLines(multi, 3, Seq("slow", "dup"), requireTerminalPunct = true).as("__b"))
+        .select(
+          col("doc_id"),
+          col("__a.n_lines").as("n_lines"),
+          col("__a.n_kept").as("n_kept"),
+          md5(col("__a.clean_text")).as("clean_md5"),
+          col("__b.n_kept").as("n_kept_punct"),
+          md5(col("__b.clean_text")).as("clean_punct_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Composed corpus-cleaning pipeline: ONE TextProfile pass per
     //      document drives lang-id + quality scoring, fused fingerprint
     //      drives exact dedup — the whole training-data cleaning flow as
@@ -2335,6 +2359,39 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(regexp_replace(lower(text), '[\.,;:!\?''"]', '', 'g')), '\s+', ' ', 'g')) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_lines" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' merge ', chr(10)), 'scan', 'scan.') AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM m
+        |), k AS (
+        |  SELECT doc_id, ord, line,
+        |    len(list_filter(string_split_regex(line, '[ \t\x0b\f\r]+'),
+        |        w -> w <> '')) AS nw,
+        |    list_has_any(string_split_regex(line, '[ \t\x0b\f\r]+'),
+        |        ['slow', 'dup']) AS banned,
+        |    right(regexp_replace(line, '[ \t\x0b\f\r]+$', ''), 1) AS lastc
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE nw >= 3 AND NOT banned) AS n_kept,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+        |      FILTER (WHERE nw >= 3 AND NOT banned), '')) AS clean_md5,
+        |  count(*) FILTER (WHERE nw >= 3 AND NOT banned
+        |      AND lastc IN ('.', '!', '?', '"')) AS n_kept_punct,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+        |      FILTER (WHERE nw >= 3 AND NOT banned
+        |        AND lastc IN ('.', '!', '?', '"')), '')) AS clean_punct_md5
+        |FROM k
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_clean" ->

@@ -44,6 +44,13 @@ object GraftExtensions {
       s"$what must be a numeric literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def boolArg(e: Expression, what: String): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(
@@ -110,7 +117,14 @@ object GraftExtensions {
     fn("audio_header", "audio_header(bytes) - WAV/RIFF container metadata struct", 1)(
       exprs => AudioHeader(exprs.head)),
     fn("video_header", "video_header(bytes) - MP4/ISO-BMFF container metadata struct", 1)(
-      exprs => VideoHeader(exprs.head)))
+      exprs => VideoHeader(exprs.head)),
+    fn("filter_lines",
+      "filter_lines(text, min_words, 'ban,words', require_terminal_punct) - " +
+        "C4-style line filter: (n_lines, n_kept, clean_text)", 4)(
+      exprs => FilterLines(
+        exprs.head, intArg(exprs(1), "min_words"),
+        strArg(exprs(2), "ban_words").split(',').toSeq.filter(_.nonEmpty),
+        boolArg(exprs(3), "require_terminal_punct"))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =
