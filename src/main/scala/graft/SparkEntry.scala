@@ -575,6 +575,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- n-gram containment pairs (asymmetric near-superset measure:
+    //      C(sub→super) = |sub∩super| / |sub| — catches truncation dups
+    //      and whole-doc quoting that Jaccard dilutes away) -------------
+    "q_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5,
+        maxDf = Some(500L), maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
+        .orderBy("id_sub", "id_super")
+    }),
+
     // ---- Duplicated-span coverage (token-level substring-dedup measure;
     //      Lee et al. 2022 — linear even on a saturated gram vocabulary,
     //      the scalable complement to the pair miners) ------------------
@@ -2454,6 +2463,36 @@ object SparkEntry {
         |JOIN sz nb ON nb.doc_id = p.id_b
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), e0 AS (
+        |  SELECT doc_id, unnest(g) AS s FROM t
+        |), df AS (
+        |  SELECT s FROM e0 GROUP BY s HAVING count(*) <= 500
+        |), e AS (
+        |  SELECT e0.doc_id, e0.s FROM e0 JOIN df USING (s)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT id_a AS id_sub, id_b AS id_super,
+        |         CAST(shared AS DOUBLE) / na.n AS containment
+        |  FROM p JOIN sz na ON na.doc_id = p.id_a
+        |  UNION ALL
+        |  SELECT id_b, id_a, CAST(shared AS DOUBLE) / nb.n
+        |  FROM p JOIN sz nb ON nb.doc_id = p.id_b
+        |)
+        |SELECT id_sub, id_super, containment
+        |FROM d
+        |WHERE containment >= 0.5
+        |ORDER BY id_sub, id_super""".stripMargin,
 
     // positional trigram index (parallel unnests zip position and gram);
     // grams compared by string where Spark compares xxhash64 — equal while

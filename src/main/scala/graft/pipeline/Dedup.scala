@@ -171,7 +171,69 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Long] = None,
+      maxCandidates: Option[Long] = None): DataFrame =
+    pairSharedCounts(df, idCol, textCol, n, maxDf, maxCandidates, "ngramJaccardPairs")
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** n-gram containment near-superset pairs, exact: same inverted-index
+    * machinery as [[ngramJaccardPairs]], but the asymmetric measure
+    * C(sub → super) = |sub ∩ super| / |sub| — the fraction of the SMALLER
+    * side's shingles the other document carries. Jaccard misses
+    * subsumption (a doc quoted whole inside a much larger one scores
+    * |A|/|B| ≈ 0); containment is the standard complement for truncation
+    * dups, quote-embedding, and page-within-crawl-of-site cases
+    * (Broder's resemblance vs containment split).
+    *
+    * Output: one DIRECTED row per satisfied direction,
+    * (id_sub, id_super, containment >= threshold) — a pair of mutual
+    * near-copies emits both directions. Both finishers are per-pair
+    * arithmetic over the SAME exact integer shared counts, derived in one
+    * pass over the post-aggregation pair frame (orders of magnitude
+    * smaller than the corpus — the higher-order array filter here is off
+    * the hot path by construction). Docs shorter than n tokens have empty
+    * shingle sets and never reach a pair, so |sub| > 0 always holds.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Long] = None,
       maxCandidates: Option[Long] = None): DataFrame = {
+    val pc = pairSharedCounts(df, idCol, textCol, n, maxDf, maxCandidates, "containmentPairs")
+    pc.select(
+        explode(filter(
+          array(
+            struct(
+              col("id_a").as("id_sub"), col("id_b").as("id_super"),
+              (col("shared").cast("double") / col("n_a")).as("containment")),
+            struct(
+              col("id_b").as("id_sub"), col("id_a").as("id_super"),
+              (col("shared").cast("double") / col("n_b")).as("containment"))),
+          s => s.getField("containment") >= threshold)).as("__p"))
+      .select("__p.*")
+  }
+
+  /** Shared engine of the exact pair miners: candidate pairs with exact
+    * integer shared-shingle counts and per-doc (hot-cut-corrected) set
+    * sizes — (id_a < id_b, shared, n_a, n_b). See [[ngramJaccardPairs]]
+    * for the measure semantics and the scale levers (`maxDf` hot-shingle
+    * cut, `maxCandidates` fail-fast budget; `what` names the caller in
+    * the budget abort).
+    */
+  private def pairSharedCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Option[Long],
+      maxCandidates: Option[Long],
+      what: String): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
     // fail-fast cost guard: the exact measure generates Σ df·(df−1)/2
@@ -194,7 +256,7 @@ object Dedup {
           sum(col("__df").cast("double") * (col("__df") - 1)), lit(0.0)).as("__t"))
         .collect()(0).getDouble(0) / 2
       if (est > budget.toDouble) throw new IllegalStateException(
-        f"ngramJaccardPairs: estimated $est%.0f candidate pairs exceeds " +
+        f"$what: estimated $est%.0f candidate pairs exceeds " +
           s"maxCandidates=$budget — the shingle vocabulary is too dense " +
           "for the exact all-pairs measure at this corpus size; use " +
           "minhashLshPairs/simhashPairs (the LSH scale paths) or tighten maxDf")
@@ -250,11 +312,6 @@ object Dedup {
     shared
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Duplicated-span coverage: for every document, the number (and

@@ -100,6 +100,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs: asymmetric truncation dup, symmetric exact dup, no noise") {
+    import org.apache.spark.sql.functions._
+    // doc 6 is a strict PREFIX of doc 1: every shingle of 6 lives in 1, so
+    // C(6→1) = 1.0; the reverse direction scores |6|/|1| < 0.7 and must
+    // NOT appear — the asymmetry Jaccard can't express (J(1,6) ≈ 0.58
+    // would need a threshold low enough to drown in noise)
+    val docs = corpus.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dups 1/2 both ways; near dup 3 both ways vs each copy
+    // (10/12 shared trigrams); prefix 6 INTO 1, 2, and 3 — never out of
+    assert(rows.map(t => (t._1, t._2)).toSet === Set(
+      (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (6L, 1L), (6L, 2L), (6L, 3L)))
+    val byPair = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair((6L, 1L)) === 1.0 && byPair((1L, 2L)) === 1.0)
+    assert(byPair((3L, 1L)) === 10.0 / 12.0)
+    // jaccard at the same threshold: exact dups plus the near-dup pairs
+    // (10/14 ≈ 0.714) — but NOT the prefix doc (7/12 ≈ 0.58), the
+    // subsumption case only containment catches
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("ngram maxDf cut drops hot-shingle-only candidates, keeps real dups") {
     // docs 6/7 share ONLY the boilerplate opener (a hot shingle present in
     // every doc); 1/2 are genuine dups through distinctive shingles
