@@ -144,6 +144,34 @@ object PlanAudit {
       check("ngram pairs: inverted-list generation, no index self-join", ngPlan,
         mustContain = Seq("Generate posexplode"),
         mustNot = Seq("SortMergeJoin [__s"))
+      // 6a¹. containment rides the SAME shared-count engine — same shape
+      //      pins; the directed two-way finisher must stay on the post-agg
+      //      pair frame (one extra Generate explode over a 2-element
+      //      array, never a second pass over the corpus or a union that
+      //      re-runs the pair agg: exactly ONE pair-generation posexplode).
+      val ctPlan = plan(graft.pipeline.Dedup.containmentPairs(
+        docs, "doc_id", "text", 3, 0.5, maxDf = Some(500L)))
+      check("containment pairs: shared engine, single pair pass", ctPlan,
+        mustContain = Seq("Generate posexplode"),
+        mustNot = Seq("SortMergeJoin [__s"))
+      val ctGen = "Generate posexplode".r.findAllIn(ctPlan).size
+      if (ctGen == 1) println("AUDIT ok   containment pairs: one generation pass")
+      else { failures += 1
+        println(s"AUDIT FAIL containment pairs: $ctGen pair-generation passes (want 1)") }
+    }
+
+    guarded("filter_lines") {
+      // 6a³. the C4 line filter is a fused map-only expression: no
+      //      Exchange, no Generate (the compositional form explodes lines
+      //      or runs interpreted higher-order lambdas), inside a
+      //      whole-stage-codegen span (`*(1)` Project).
+      val flPlan = plan(docs.select(
+        graft.functions.FilterLines(
+          org.apache.spark.sql.functions.col("text"), 3,
+          Seq("slow", "dup"), requireTerminalPunct = true).as("r")))
+      check("filter_lines: fused map-only codegen", flPlan,
+        mustContain = Seq("*(1) Project [filter_lines("),
+        mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
     }
 
     guarded("dup span coverage") {
