@@ -539,6 +539,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Corpus-GLOBAL line dedup (C4 semantic: first copy survives) --
+    //      same derived multi-line corpus as q_filter_lines; clean text
+    //      compared via md5 (the FilterLines gate convention) -----------
+    "q_line_dedup" -> ((s, dir) => {
+      import graft.pipeline.Lines
+      val multi = Tables.documents(s, dir).select(
+        col("doc_id"),
+        replace(col("text"), lit(" merge "), lit("\n")).as("text"))
+      Lines.dedupLines(multi, "doc_id", "text")
+        .select(
+          col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Boilerplate-line removal (every copy of a hot line dropped) --
+    "q_line_boilerplate" -> ((s, dir) => {
+      import graft.pipeline.Lines
+      val multi = Tables.documents(s, dir).select(
+        col("doc_id"),
+        replace(col("text"), lit(" merge "), lit("\n")).as("text"))
+      Lines.boilerplateLines(multi, "doc_id", "text", maxOccurrences = 3)
+        .select(
+          col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Composed corpus-cleaning pipeline: ONE TextProfile pass per
     //      document drives lang-id + quality scoring, fused fingerprint
     //      drives exact dedup — the whole training-data cleaning flow as
@@ -2402,6 +2430,54 @@ object SparkEntry {
         |FROM k
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM m
+        |), k AS (
+        |  SELECT doc_id, ord, line,
+        |    CASE WHEN length(trim(line)) >= 1
+        |         THEN row_number() OVER (
+        |                PARTITION BY CASE WHEN length(trim(line)) >= 1 THEN line END
+        |                ORDER BY doc_id, ord) = 1
+        |         ELSE TRUE END AS keep
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+        |      FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_line_boilerplate" ->
+      """WITH m AS (
+        |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS ord
+        |  FROM m
+        |), c AS (
+        |  SELECT line, count(*) AS cnt FROM l
+        |  WHERE length(trim(line)) >= 1 GROUP BY line
+        |), k AS (
+        |  SELECT l.doc_id, l.ord, l.line,
+        |    CASE WHEN length(trim(l.line)) >= 1 THEN coalesce(c.cnt, 0) <= 3
+        |         ELSE TRUE END AS keep
+        |  FROM l LEFT JOIN c USING (line)
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY ord)
+        |      FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_clean" ->
       """WITH w AS (

@@ -182,7 +182,7 @@ final class Service(
       .selectData(data(collection), labels, columns, start, stop)
       .withColumn("binstart", col("timestamp"))
       .orderBy(QueryEngine.LabelCol, "timestamp")
-    withCancellationIt("history")(chunked(result, binsize = 0))
+    withCancellationIt("history")(g => chunked(result, binsize = 0, g))
   }
 
   /** NNTSC_AGGREGATE (dbselect.py:208-387). */
@@ -195,7 +195,7 @@ final class Service(
       binsize: Long,
       groupcols: Seq[String] = Nil): Iterator[HistoryChunk] = {
     val result = aggFrame(collection, labels, aggs, start, stop, binsize, groupcols)
-    withCancellationIt("aggregate")(chunked(result, binsize))
+    withCancellationIt("aggregate")(g => chunked(result, binsize, g))
   }
 
   /** Binned-aggregation plan with tier routing — the serving economy the
@@ -336,13 +336,14 @@ final class Service(
     * fired `MaxCancelFires` times deschedules itself (the rogue jobs are
     * long dead), so an abandoned iterator cannot leak a periodic task.
     */
-  private def withCancellationIt[T](op: String)(make: => Iterator[T]): Iterator[T] =
-    if (queryTimeoutSec <= 0) make
+  private def withCancellationIt[T](op: String)(
+      make: Option[(String, String)] => Iterator[T]): Iterator[T] =
+    if (queryTimeoutSec <= 0) make(None)
     else {
       val sc = spark.sparkContext
       val group = s"graft-$op-${java.util.UUID.randomUUID()}"
-      sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
-        interruptOnCancel = true)
+      val desc = s"graft $op (timeout ${queryTimeoutSec}s)"
+      sc.setJobGroup(group, desc, interruptOnCancel = true)
       @volatile var done = false
       @volatile var fired = false
       val timer = watchdog.scheduleWithFixedDelay(
@@ -369,17 +370,17 @@ final class Service(
             timer.cancel(false)
             throw new QueryCancelledException(op, e)
         }
-      val inner = wrap(make)
+      val inner = wrap(make(Some((group, desc))))
       new Iterator[T] {
         // re-tag the consuming thread before EVERY draw: the job group is
         // a thread-local, so any other service call on this thread between
-        // draws overwrote it — and toLocalIterator submits its jobs at
-        // draw time, so an un-tagged draw's jobs would escape THIS
-        // iterator's watchdog (the runaway scan the timeout exists to
-        // kill) while being killable by the other call's timer instead
+        // draws overwrote it. With the prefetch pump, partition jobs are
+        // tagged on the pump's own thread (the group passed to `make`);
+        // this consumer-side retag still covers any job the plan submits
+        // lazily from THIS thread (first-draw materialization, fallback
+        // toLocalIterator when prefetch is disabled)
         private def retag(): Unit =
-          sc.setJobGroup(group, s"graft $op (timeout ${queryTimeoutSec}s)",
-            interruptOnCancel = true)
+          sc.setJobGroup(group, desc, interruptOnCancel = true)
         def hasNext: Boolean = wrap {
           retag()
           val h = inner.hasNext
@@ -394,10 +395,13 @@ final class Service(
     Collections.byName.getOrElse(
       name, throw new NoSuchElementException(s"unknown collection: $name"))
 
-  /** Chunk a labeled result into HistoryChunks: rows stream out via
-    * toLocalIterator (the named-cursor replacement, dbselect.py:64-76),
-    * flushed per label every HistoryChunkRows with `more=true` between
-    * flushes; each chunk carries the label's inferred frequency (W3).
+  /** Chunk a labeled result into HistoryChunks: rows stream out via the
+    * one-ahead prefetch pump ([[Prefetch.rows]] — the named-cursor
+    * replacement, dbselect.py:64-76, with partition i+1 computing while
+    * partition i serializes; `spark.graft.serve.prefetch=false` falls
+    * back to plain toLocalIterator), flushed per label every
+    * HistoryChunkRows with `more=true` between flushes; each chunk
+    * carries the label's inferred frequency (W3).
     *
     * Frequency is computed DRIVER-SIDE from the rows already streaming
     * through this iterator (`Frequency.inferLocal` — bit-compatible with
@@ -409,12 +413,24 @@ final class Service(
     * reference, the frequency freezes once a label's first 200 diffs have
     * streamed (a chunk is 10k rows, so in practice the first chunk decides).
     */
-  private def chunked(result: DataFrame, binsize: Long): Iterator[HistoryChunk] = {
+  private def chunked(
+      result: DataFrame,
+      binsize: Long,
+      jobGroup: Option[(String, String)] = None): Iterator[HistoryChunk] = {
     val labelIdx = result.schema.fieldIndex(QueryEngine.LabelCol)
     val tsIdx = result.schema.fieldIndex("timestamp")
     val binIdx = result.schema.fieldIndex("binstart")
+    val prefetch = spark.conf.get("spark.graft.serve.prefetch", "true").toBoolean
     new Iterator[HistoryChunk] {
-      private val rows = result.toLocalIterator()
+      private val rows: Iterator[Row] =
+        if (prefetch) Prefetch.rows(result, jobGroup)
+        else {
+          val it = result.toLocalIterator()
+          new Iterator[Row] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Row = it.next()
+          }
+        }
       private var pending: Option[Row] = None
       // per-label frequency state: prefix of (binstart, timestamp) pairs
       // (consecutive duplicate timestamps skipped; 201 distinct rows give

@@ -174,6 +174,27 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
     }
 
+    guarded("line dedup") {
+      // 6a⁴. corpus-global line dedup: verdicts from a map-side-combined
+      //      aggregate on the line hash (partial_min of the (id, ord)
+      //      struct — NEVER a corpus-wide window over lines, the
+      //      single-task funnel for a corpus-hot footer line), and the
+      //      rebuild is a per-document ObjectHashAggregate (buffer bounded
+      //      by one doc). Boilerplate twin: partial_count verdicts, same
+      //      bans.
+      import org.apache.spark.sql.functions.{col, lit, replace}
+      val multi = docs.select(
+        col("doc_id"), replace(col("text"), lit(" merge "), lit("\n")).as("text"))
+      val ldPlan = plan(graft.pipeline.Lines.dedupLines(multi, "doc_id", "text"))
+      check("line dedup: map-side first-copy agg, no corpus window", ldPlan,
+        mustContain = Seq("Generate posexplode", "partial_min", "ObjectHashAggregate"),
+        mustNot = Seq("Window", "CartesianProduct"))
+      val lbPlan = plan(graft.pipeline.Lines.boilerplateLines(multi, "doc_id", "text", 3))
+      check("boilerplate lines: counted verdicts, no corpus window", lbPlan,
+        mustContain = Seq("Generate posexplode", "partial_count", "ObjectHashAggregate"),
+        mustNot = Seq("Window", "CartesianProduct"))
+    }
+
     guarded("dup span coverage") {
       // 6a². dupSpanCoverage is the LINEAR dup measure: gram df must come
       //      from a map-side-combined count (partial HashAggregate keyed on

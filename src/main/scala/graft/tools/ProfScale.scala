@@ -472,6 +472,67 @@ object ProfScale {
           } finally { sock.close(); server.close() }
         }
 
+      case "pump" =>
+        // prefetch-pump A/B (r12 notes' "next floor"): the history
+        // backfill's two serial phases — partition compute and driver-side
+        // encode (JSON + zlib + framing + socket) — overlap under
+        // Prefetch.rows. Same subscribe-drain harness as the `wire`
+        // section; one untimed warmup absorbs JVM/listing cold cost, then
+        // each arm toggles spark.graft.serve.prefetch.
+        import java.io.{DataInputStream, DataOutputStream}
+        import java.net.Socket
+        import graft.serve.{Service, Wire, WireServer}
+        val events = Tables.tsEvents(spark, sfDir)
+        val ids = events.select("stream_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val svc = new Service(
+          spark,
+          data = Map("amp-external" -> events),
+          streams = Map("amp-external" -> events.select("stream_id").distinct()))
+        def labelsJson(nLabels: Int): String =
+          ids.zipWithIndex.groupBy(_._2 % nLabels).toSeq.sortBy(_._1)
+            .map { case (i, xs) => s""""g$i":[${xs.map(_._1).mkString(",")}]""" }
+            .mkString("{", ",", "}")
+        def readFrame(in: DataInputStream): Wire.Message = {
+          val header = new Array[Byte](Wire.HeaderLen)
+          in.readFully(header)
+          val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+          val body = new Array[Byte](len)
+          in.readFully(body)
+          Wire.Message(
+            header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+        }
+        def backfill(): (Double, Long) = {
+          val server = new WireServer(svc)
+          val req =
+            s"""{"request":"subscribe","collection":"amp-external",
+               |"labels":${labelsJson(4)},"columns":["value"],
+               |"start":${graft.SparkEntry.Start},"stop":${graft.SparkEntry.Stop}}""".stripMargin
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val sock = new Socket("127.0.0.1", server.boundPort)
+          var frames = 0L
+          try {
+            sock.setSoTimeout(600000)
+            val out = new DataOutputStream(sock.getOutputStream)
+            val in = new DataInputStream(sock.getInputStream)
+            out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
+            var m = readFrame(in)
+            while (m.msgType == Wire.History) { frames += 1; m = readFrame(in) }
+            require(m.msgType == Wire.Subscribe, s"expected ack, got ${m.msgType}")
+          } finally { sock.close(); server.close() }
+          ((System.nanoTime() - t0) / 1e9, frames)
+        }
+        backfill() // untimed warmup (prefetch on — the default)
+        spark.conf.set("spark.graft.serve.prefetch", "false")
+        val (tOff, fOff) = backfill()
+        println(f"PROFSCALE pump_backfill_tolocal           $tOff%8.2f s  ($fOff frames)")
+        spark.conf.set("spark.graft.serve.prefetch", "true")
+        val (tOn, fOn) = backfill()
+        println(f"PROFSCALE pump_backfill_prefetch          $tOn%8.2f s  ($fOn frames)")
+        require(fOn == fOff, s"frame counts differ: $fOn vs $fOff")
+        println(f"PROFSCALE pump_speedup                    ${tOff / tOn}%8.2fx")
+
       case "capskew" =>
         // per-group cap on a Zipf-headed corpus (90% of rows in ONE
         // domain): the direct window funnels every hot-group row through

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.pipeline.Lines
+
+class LinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 owns the first copies; "shared line" recurs everywhere; blank
+  // lines are structure and must never be dedup candidates
+  private def corpus = Seq(
+    (1L, "alpha one\nshared line\n\nunique to one"),
+    (2L, "shared line\nbeta two\n\nshared line"),
+    (3L, "gamma three\nshared line\nalpha one"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("dedupLines keeps the corpus-global first copy, preserves structure") {
+    val out = Lines.dedupLines(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 4L, 4L, "alpha one\nshared line\n\nunique to one"))
+    // doc 2: both "shared line" copies lose to doc 1's; blank kept
+    assert(out(1) === Row(2L, 4L, 2L, "beta two\n"))
+    // doc 3: "shared line" and "alpha one" both lose to doc 1
+    assert(out(2) === Row(3L, 3L, 1L, "gamma three"))
+    // empty doc: one non-substantial empty line, kept untouched
+    assert(out(3) === Row(4L, 1L, 1L, ""))
+  }
+
+  test("dedupLines within-doc repeats: only the first copy survives") {
+    val df = Seq((7L, "same\nsame\nsame\nother")).toDF("doc_id", "text")
+    val out = Lines.dedupLines(df, "doc_id", "text").collect()(0)
+    assert(out === Row(7L, 4L, 2L, "same\nother"))
+  }
+
+  test("dedupLines is stable under repartitioning (order key is data)") {
+    val base = Lines.dedupLines(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val shuffled = Lines.dedupLines(corpus.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(base === shuffled)
+  }
+
+  test("boilerplateLines drops every copy over the threshold") {
+    // "shared line" occurs 4 times corpus-wide
+    val out = Lines.boilerplateLines(corpus, "doc_id", "text", maxOccurrences = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 4L, 3L, "alpha one\n\nunique to one"))
+    assert(out(1) === Row(2L, 4L, 2L, "beta two\n"))
+    assert(out(2) === Row(3L, 3L, 2L, "gamma three\nalpha one"))
+    assert(out(3) === Row(4L, 1L, 1L, ""))
+    // at threshold 4 nothing is hot: every doc keeps all lines
+    val lax = Lines.boilerplateLines(corpus, "doc_id", "text", maxOccurrences = 4)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(lax === 12L)
+  }
+
+  test("minChars guards short lines from both policies") {
+    val df = Seq(
+      (1L, "x\nlong enough line\nx"),
+      (2L, "x\nlong enough line")).toDF("doc_id", "text")
+    // minChars=2: the 1-char "x" lines pass through everywhere; the long
+    // line dedups to doc 1's copy
+    val out = Lines.dedupLines(df, "doc_id", "text", minChars = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 3L, 3L, "x\nlong enough line\nx"))
+    assert(out(1) === Row(2L, 2L, 1L, "x"))
+  }
+}
