@@ -1,107 +1,125 @@
 package graft.serve
 
-import java.util.concurrent.{Future => JFuture, _}
+import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
 
 import org.apache.spark.sql.{DataFrame, Row}
 
-/** One-partition-ahead driver-local row iterator — the chunked-history
-  * pump's replacement for `Dataset.toLocalIterator`.
+/** Pipelined driver-local row iterator — the chunked-history pump's
+  * replacement for a directly-drained `Dataset.toLocalIterator`.
   *
-  * `toLocalIterator` fetches partitions strictly on demand: the Spark job
-  * for partition i+1 is not submitted until the consumer has drained
-  * partition i, so the serve path alternates [compute] → [serialize to
-  * socket] → [compute] → … with executors idle while the driver encodes
-  * frames and vice versa. This iterator keeps AT MOST ONE partition job in
-  * flight ahead of the consumer (plus the partition currently draining),
-  * overlapping cluster compute with driver-side serialization — the
-  * history backfill's two serial phases run concurrently, bounded by the
-  * slower of the two instead of their sum.
+  * `toLocalIterator` fetches result partitions strictly on demand: the
+  * Spark job for partition i+1 is not submitted until the consumer has
+  * drained partition i, so the serve path alternates [compute] →
+  * [serialize to socket] → [compute] → … with executors idle while the
+  * driver encodes frames, and vice versa. This iterator moves the
+  * `toLocalIterator` drain onto its OWN pump thread, handing rows to the
+  * consumer through a bounded chunk queue — the pump is already fetching
+  * partition i+1 while the consumer encodes partition i, so the
+  * backfill's two serial phases run concurrently, bounded by the slower
+  * of the two instead of their sum.
   *
-  * Memory: at most two partition row-arrays live on the driver (draining +
-  * prefetched) — one more than `toLocalIterator` holds; both are bounded
-  * by the result's partition size, not the result size.
+  * Staying on `toLocalIterator` (rather than per-partition `runJob`
+  * calls collecting `Row` arrays) keeps Spark's compressed byte-batch
+  * result channel: a runJob-based pump was measured 1.5× SLOWER than the
+  * plain drain at sf1 — java-serializing GenericRow arrays through the
+  * task-result channel cost more than the overlap won back.
   *
-  * Ordering: partitions are fetched in index order, so the row sequence is
-  * exactly `df.collect()`'s (the sorted-output contract history relies on).
+  * Memory: at most `QueueChunks`·`ChunkRows` rows buffered beyond the
+  * partition `toLocalIterator` itself holds — fixed, small, independent
+  * of result size.
   *
-  * Cancellation: partition jobs are submitted from the pump's OWN thread,
-  * so the caller's thread-local job group does not apply — the caller
-  * passes its watchdog group via `jobGroup` and the pump re-tags its
-  * thread before every submission (the Service watchdog contract: every
-  * lazily-submitted job must be cancellable by the group's timer). A
-  * failed fetch (including a watchdog kill) surfaces on the consuming
-  * thread with the ORIGINAL exception (unwrapped from ExecutionException)
-  * so `Service.isCancellation` classification sees what a synchronous
-  * draw would have thrown; remaining in-flight work is cancelled.
+  * Ordering: single pump thread, FIFO queue — the row sequence is exactly
+  * the source iterator's (the sorted-output contract history relies on).
   *
-  * The pump thread dies after `IdleThreadTimeoutSec` without work (core
-  * size 0), so an abandoned iterator parks no thread forever — at worst
-  * the already-submitted prefetch completes, is never read, and the whole
-  * structure is garbage-collected with the iterator.
+  * Cancellation: the pump thread tags itself with the caller's watchdog
+  * `jobGroup` before the first fetch, so every job `toLocalIterator`
+  * lazily submits stays cancellable by the group's timer (the Service
+  * watchdog contract). A pump-side failure — including a watchdog kill —
+  * is handed through the queue and rethrown on the consuming thread as
+  * the ORIGINAL exception, so `Service.isCancellation` classification
+  * sees what a synchronous drain would have thrown.
+  *
+  * An abandoned consumer (client gone, iterator dropped mid-stream): the
+  * queue fills, the pump blocks, and after `AbandonTimeoutSec` without a
+  * take it gives up and exits — no thread parks forever. A consumer that
+  * somehow resumes after that sees an IllegalStateException.
   */
 object Prefetch {
 
-  private val IdleThreadTimeoutSec = 10L
+  private[serve] val ChunkRows = 4096
+  private[serve] val QueueChunks = 4
+  private[serve] val AbandonTimeoutSec = 900L
 
-  /** Rows of `df` in partition order with one-ahead prefetch.
+  private case object End
+  private final case class Err(t: Throwable)
+
+  /** Rows of `df` in result order, fetched one chunk ahead on a pump
+    * thread.
     *
-    * @param jobGroup watchdog (group, description) to tag each partition
-    *   job with; None → jobs run untagged (no-timeout services)
+    * @param jobGroup watchdog (group, description) to tag the pump
+    *   thread with; None → the pump's jobs run untagged (no-timeout
+    *   services)
     */
   def rows(df: DataFrame, jobGroup: Option[(String, String)]): Iterator[Row] = {
     val sc = df.sparkSession.sparkContext
-    val rdd = df.rdd
-    val nParts = rdd.partitions.length
-    if (nParts == 0) return Iterator.empty
+    val queue = new ArrayBlockingQueue[AnyRef](QueueChunks)
 
-    // core 0 + keepalive: the single worker thread evaporates when idle
-    // (ThreadPoolExecutor spawns a thread on submit when none is running)
-    val exec = new ThreadPoolExecutor(
-      0, 1, IdleThreadTimeoutSec, TimeUnit.SECONDS,
-      new LinkedBlockingQueue[Runnable](),
-      new ThreadFactory {
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, "graft-history-prefetch")
-          t.setDaemon(true)
-          t
-        }
-      })
+    def putOrAbandon(x: AnyRef): Unit = {
+      val deadline = System.nanoTime() + AbandonTimeoutSec * 1_000_000_000L
+      while (!queue.offer(x, 10, TimeUnit.SECONDS))
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"prefetch consumer idle > ${AbandonTimeoutSec}s — abandoning pump")
+    }
 
-    def submit(i: Int): JFuture[Array[Row]] = exec.submit(new Callable[Array[Row]] {
-      def call(): Array[Row] = {
+    val pump = new Thread(() => {
+      try {
         jobGroup.foreach { case (g, d) =>
           sc.setJobGroup(g, d, interruptOnCancel = true)
         }
-        sc.runJob(rdd, (it: Iterator[Row]) => it.toArray, Seq(i)).head
+        val it = df.toLocalIterator()
+        val buf = new scala.collection.mutable.ArrayBuffer[Row](ChunkRows)
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length >= ChunkRows) {
+            putOrAbandon(buf.toArray)
+            buf.clear()
+          }
+        }
+        if (buf.nonEmpty) putOrAbandon(buf.toArray)
+        putOrAbandon(End)
+      } catch {
+        case abandoned: IllegalStateException
+            if abandoned.getMessage != null &&
+              abandoned.getMessage.startsWith("prefetch consumer idle") =>
+          () // consumer is gone; nobody to tell
+        case t: Throwable =>
+          // best effort: a full queue with a dead consumer drops the
+          // marker after the deadline, which is fine — nobody is reading
+          try putOrAbandon(Err(t)) catch { case _: IllegalStateException => () }
       }
-    })
+    }, "graft-history-prefetch")
+    pump.setDaemon(true)
+    pump.start()
 
     new Iterator[Row] {
-      private var nextToSubmit = 0
-      private val inflight = scala.collection.mutable.Queue.empty[JFuture[Array[Row]]]
       private var cur: Array[Row] = null
       private var pos = 0
-      private def pump(): Unit =
-        while (nextToSubmit < nParts && inflight.size < 2) {
-          inflight += submit(nextToSubmit)
-          nextToSubmit += 1
-        }
-      pump()
+      private var done = false
       private def advance(): Boolean = {
-        while (cur == null || pos >= cur.length) {
-          if (inflight.isEmpty) { exec.shutdown(); return false }
-          cur =
-            try inflight.dequeue().get()
-            catch {
-              case e: ExecutionException =>
-                inflight.foreach(_.cancel(true))
-                exec.shutdownNow()
-                throw Option(e.getCause).getOrElse(e)
-            }
-          pos = 0
-          pump()
+        while (!done && (cur == null || pos >= cur.length)) {
+          val x = queue.poll(AbandonTimeoutSec, TimeUnit.SECONDS)
+          x match {
+            case null =>
+              done = true
+              throw new IllegalStateException(
+                s"prefetch pump produced nothing for ${AbandonTimeoutSec}s")
+            case End => done = true
+            case Err(t) => done = true; throw t
+            case chunk: Array[Row] @unchecked => cur = chunk; pos = 0
+          }
         }
-        true
+        !done || (cur != null && pos < cur.length)
       }
       def hasNext: Boolean = advance()
       def next(): Row = {
