@@ -125,6 +125,52 @@ object RollupStream {
     }
   }
 
+  /** Range count for a heap-bounded tier build, from corpus stats and
+    * this JVM's heap. Capacity anchor: the measured sf100 point — a
+    * 16-range build of a 95.6M-tier-row corpus completed under a 6 GiB
+    * heap where the single pass died (ProfScale `tierranged`), i.e.
+    * ~6M in-flight groups per 6 GiB WITH smoke grids. We size at 1M
+    * rows per GiB of heap (that point with no headroom eaten by the
+    * caller's other state), using the event count as the upper bound on
+    * tier rows (each event lands in exactly one (stream, bin) group).
+    * Degenerate heaps still build: at least 1 range, at most 4096 (past
+    * that the per-range scan overhead dominates — shrink the batch
+    * instead).
+    */
+  def autoRanges(
+      eventRows: Long,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
+    require(eventRows >= 0, s"eventRows must be non-negative, got $eventRows")
+    val rowsPerGi = 1_000_000L
+    val capacity = math.max(1L, heapBytes / (1L << 30) * rowsPerGi)
+    math.min(4096L, math.max(1L, (eventRows + capacity - 1) / capacity)).toInt
+  }
+
+  /** [[appendPartialsRanged]] with the range count auto-sized by
+    * [[autoRanges]] — the Maintenance-style one-call build. Counts the
+    * batch once (a metadata count on an unfiltered parquet scan); pass
+    * `rows` when the caller already knows it. One range degenerates to
+    * the plain single-pass [[appendPartials]] at `baseEpoch`.
+    */
+  def appendPartialsAuto(
+      batch: DataFrame,
+      binsize: Long,
+      valueCol: String,
+      path: String,
+      baseEpoch: Long,
+      extraCols: Seq[String] = Nil,
+      modeCols: Seq[String] = Nil,
+      smokeCols: Seq[String] = Nil,
+      smokeNearestRank: Boolean = false,
+      rows: Option[Long] = None): Int = {
+    val n = rows.getOrElse(batch.count())
+    val ranges = autoRanges(n)
+    appendPartialsRanged(
+      batch, binsize, valueCol, path, baseEpoch, ranges,
+      extraCols, modeCols, smokeCols, smokeNearestRank)
+    ranges
+  }
+
   /** Fold accumulated per-epoch partials back to ONE row per (stream, bin)
     * — the reference's trailing-window CQ recompute (influx.py:183-195) as
     * a tidy periodic batch job. Readers (`Rollup.merge`) are agnostic: the

@@ -679,6 +679,41 @@ class StreamingSpec extends SparkSpec {
     assert(serve(dirR).toSeq === serve(dirW).toSeq)
   }
 
+  test("auto-ranged tier build: heap-derived range count, tier equals single pass") {
+    // capacity anchor math: 1M tier rows per GiB of heap, ceil, clamped
+    assert(RollupStream.autoRanges(0L, 8L << 30) === 1)
+    assert(RollupStream.autoRanges(8_000_000L, 8L << 30) === 1)
+    assert(RollupStream.autoRanges(8_000_001L, 8L << 30) === 2)
+    assert(RollupStream.autoRanges(100_000_000L, 6L << 30) === 17)
+    assert(RollupStream.autoRanges(100_000_000L, 128L << 30) === 1)
+    assert(RollupStream.autoRanges(Long.MaxValue / 4, 1L << 29) === 4096) // sub-GiB clamp
+    val dirA = tmpDir() + "/auto"
+    val dirW = tmpDir() + "/whole2"
+    val rows = (0 until 400).map { i =>
+      ((i % 13).toLong, (i * 7 % 300).toLong, (i % 29).toDouble)
+    }
+    val ev = rows.toDF("stream_id", "timestamp", "value")
+    // this JVM's heap dwarfs 400 rows -> exactly one range, and the tier
+    // equals the plain single-pass build row-for-row
+    val n = RollupStream.appendPartialsAuto(
+      ev, 60, "value", dirA, baseEpoch = 0L, smokeCols = Seq("value"))
+    assert(n === 1)
+    RollupStream.appendPartials(
+      ev, 60, "value", dirW, epoch = 0L, smokeCols = Seq("value"))
+    def snap(dir: String) = RollupStream.readTier(spark, dir)
+      .drop(graft.streaming.IngestStream.EpochCol)
+      .collect().map(_.toSeq).sortBy(_.take(2).mkString(","))
+    assert(snap(dirA).toSeq === snap(dirW).toSeq)
+    // forced multi-range via the rows override: 150 claimed rows at a
+    // tiny fake heap exercises the ranged dispatch through the same API
+    val dirM = tmpDir() + "/auto_multi"
+    RollupStream.appendPartialsRanged(
+      ev, 60, "value", dirM, baseEpoch = 0L,
+      ranges = RollupStream.autoRanges(3_000_000L, 2L << 30),
+      smokeCols = Seq("value"))
+    assert(snap(dirM).toSeq === snap(dirW).toSeq)
+  }
+
   test("tier compaction: concurrent readers stay consistent across fold cycles") {
     import graft.rollup.Rollup
     val dir = tmpDir() + "/tier"
