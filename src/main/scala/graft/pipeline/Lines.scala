@@ -106,6 +106,47 @@ object Lines {
     rebuild(verdict, idCol)
   }
 
+  /** The hot-line set behind [[boilerplateLines]], as data: substantial
+    * lines with more than `maxOccurrences` corpus-wide occurrences. Small
+    * by construction (frequency over the threshold bounds cardinality by
+    * corpus_lines / maxOccurrences) — collectable for the stream gate.
+    */
+  def hotLines(
+      df: DataFrame,
+      textCol: String,
+      maxOccurrences: Long,
+      minChars: Int = 1): DataFrame =
+    df.select(posexplode(split(col(textCol), "\n", -1)).as(Seq("__ord", "__line")))
+      .filter(substantial(minChars))
+      .groupBy(col("__line").as("line"))
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > maxOccurrences)
+
+  /** Streaming boilerplate-line removal: the ingest-side twin of
+    * [[boilerplateLines]] — each arriving document is cleaned against the
+    * STANDING corpus's hot-line set (mined once by [[hotLines]],
+    * refreshed on whatever cadence the index owner chooses). Stateless
+    * and join-free: the hot set rides as a reference object inside ONE
+    * fused [[graft.functions.DropLines]] expression (the decontaminate
+    * pattern), so there is no state store and nothing grows with the
+    * stream. Lines newly-hot WITHIN the stream are by design not caught
+    * until the next index refresh — counting across a stream is the
+    * stateful problem the batch operator owns; the corpus-global
+    * first-occurrence dedup ([[dedupLines]]) stays batch-only for the
+    * same reason (its verdict set is corpus-sized).
+    *
+    * Output: the input row plus (n_lines, n_kept, clean_text).
+    */
+  def boilerplateLinesStream(
+      docs: DataFrame,
+      hotLineSet: Seq[String],
+      textCol: String,
+      minChars: Int = 1): DataFrame =
+    docs.withColumn("__c",
+        graft.functions.DropLines(col(textCol), hotLineSet, minChars))
+      .select(col("*"), col("__c.n_lines"), col("__c.n_kept"), col("__c.clean_text"))
+      .drop("__c")
+
   /** Corpus-global boilerplate-line removal: every copy of a substantial
     * line with more than `maxOccurrences` total occurrences is dropped.
     */

@@ -55,6 +55,43 @@ class LinesSpec extends SparkSpec {
     assert(lax === 12L)
   }
 
+  test("stream gate (DropLines on the mined hot set) matches the batch operator") {
+    val hot = Lines.hotLines(corpus, "text", maxOccurrences = 3)
+      .select("line").as[String].collect().toSeq
+    assert(hot === Seq("shared line"))
+    val streamed = Lines.boilerplateLinesStream(corpus, hot, "text")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .orderBy("doc_id").collect().toSeq
+    val batch = Lines.boilerplateLines(corpus, "doc_id", "text", maxOccurrences = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("boilerplateLinesStream is stateless end-to-end over micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hot = Seq("shared line")
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Lines.boilerplateLinesStream(docs, hot, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lines_stream_out").start()
+    try {
+      in.addData((1L, "alpha one\nshared line\n\nunique to one"))
+      q.processAllAvailable()
+      in.addData((2L, "shared line\nbeta two\n\nshared line"), (4L, ""))
+      q.processAllAvailable()
+      val out = spark.table("lines_stream_out")
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
+        .orderBy("doc_id").collect()
+      assert(out(0) === Row(1L, 4L, 3L, "alpha one\n\nunique to one"))
+      assert(out(1) === Row(2L, 4L, 2L, "beta two\n"))
+      assert(out(2) === Row(4L, 1L, 1L, ""))
+      // stateless: no state store operators in the plan
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("minChars guards short lines from both policies") {
     val df = Seq(
       (1L, "x\nlong enough line\nx"),
