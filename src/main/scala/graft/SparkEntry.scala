@@ -539,6 +539,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Unicode NFC normalization (canonical-composition cleaning
+    //      pass; utf8proc and java.text.Normalizer both implement
+    //      UAX #15, so the output is byte-identical). The ASCII corpus
+    //      is decomposed in-query (every 'e' grows a combining acute,
+    //      U+0301) so the fold is exercised; NFC over the RAW text must
+    //      be the identity ------------------------------------------
+    "q_nfc" -> ((s, dir) => {
+      import graft.functions.NfcNormalize
+      val accented = replace(col("text"), lit("e"), lit("e\u0301"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(NfcNormalize(accented)).as("norm_md5"),
+          (NfcNormalize(accented) =!= accented).as("changed"),
+          (NfcNormalize(col("text")) === col("text")).as("raw_identity"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Corpus-GLOBAL line dedup (C4 semantic: first copy survives) --
     //      same derived multi-line corpus as q_filter_lines; clean text
     //      compared via md5 (the FilterLines gate convention) -----------
@@ -2429,6 +2447,18 @@ object SparkEntry {
         |        AND lastc IN ('.', '!', '?', '"')), '')) AS clean_punct_md5
         |FROM k
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_nfc" ->
+      """WITH a AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS acc, text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  md5(nfc_normalize(acc)) AS norm_md5,
+        |  nfc_normalize(acc) <> acc AS changed,
+        |  nfc_normalize(text) = text AS raw_identity
+        |FROM a
         |ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->

@@ -118,6 +118,8 @@ object GraftExtensions {
       exprs => AudioHeader(exprs.head)),
     fn("video_header", "video_header(bytes) - MP4/ISO-BMFF container metadata struct", 1)(
       exprs => VideoHeader(exprs.head)),
+    fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
+      exprs => NfcNormalize(exprs.head)),
     fn("filter_lines",
       "filter_lines(text, min_words, 'ban,words', require_terminal_punct) - " +
         "C4-style line filter: (n_lines, n_kept, clean_text)", 4)(
