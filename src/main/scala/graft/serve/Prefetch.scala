@@ -108,12 +108,18 @@ object Prefetch {
       private var done = false
       private def advance(): Boolean = {
         while (!done && (cur == null || pos >= cur.length)) {
-          val x = queue.poll(AbandonTimeoutSec, TimeUnit.SECONDS)
+          val x = queue.poll(10, TimeUnit.SECONDS)
           x match {
             case null =>
-              done = true
-              throw new IllegalStateException(
-                s"prefetch pump produced nothing for ${AbandonTimeoutSec}s")
+              // no deadline here: a 100 TB partition may legitimately
+              // compute for a long time (the watchdog, when armed, is the
+              // timeout authority) — only a pump that DIED without
+              // enqueueing its End/Err marker is an error
+              if (!pump.isAlive && queue.isEmpty) {
+                done = true
+                throw new IllegalStateException(
+                  "prefetch pump died without a result marker")
+              }
             case End => done = true
             case Err(t) => done = true; throw t
             case chunk: Array[Row] @unchecked => cur = chunk; pos = 0
