@@ -472,6 +472,49 @@ object ProfScale {
           } finally { sock.close(); server.close() }
         }
 
+      case "lineops" =>
+        // line-granularity family solo timings: the fused per-doc rule
+        // filter (map-only), corpus-global first-occurrence dedup (agg +
+        // hash join + per-doc rebuild), boilerplate removal, and the
+        // exact containment pair miner (shares the jaccard engine).
+        // Docs are synthesized multi-line with the gate's replace trick.
+        val docsL = Tables.documents(spark, sfDir).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.lit(" merge "),
+            org.apache.spark.sql.functions.lit("\n")).as("text"))
+        timed("filter_lines (fused rule filter)") {
+          Tables.documents(spark, sfDir).select(
+            graft.functions.FilterLines(
+              org.apache.spark.sql.functions.col("text"), 3,
+              Seq("slow", "dup"), requireTerminalPunct = true).as("r"))
+            .selectExpr("sum(r.n_kept)").collect()
+        }
+        timed("line dedup (corpus-global firsts)") {
+          graft.pipeline.Lines.dedupLines(docsL, "doc_id", "text")
+            .selectExpr("sum(n_kept)").collect()
+        }
+        timed("boilerplate lines (hot-line cut)") {
+          graft.pipeline.Lines.boilerplateLines(docsL, "doc_id", "text", 3)
+            .selectExpr("sum(n_kept)").collect()
+        }
+        try {
+          timed("containment pairs (exact, shared engine)") {
+            graft.pipeline.Dedup.containmentPairs(
+              Tables.documents(spark, sfDir), "doc_id", "text", 3, 0.5,
+              maxDf = Some(500L),
+              maxCandidates = Some(graft.pipeline.Dedup.defaultVolumeBudget(spark)))
+              .count()
+          }
+        } catch {
+          case e: IllegalStateException =>
+            // the designed outcome on a saturated vocabulary: the exact
+            // measure aborts fast and points at the LSH scale path
+            println(s"PROFSCALE containment pairs: budget abort (by design) — ${e.getMessage.take(120)}")
+        }
+        graft.pipeline.Dedup.unpersistIntermediates()
+
       case "pump" =>
         // prefetch-pump A/B (r12 notes' "next floor"): the history
         // backfill's two serial phases — partition compute and driver-side
