@@ -557,6 +557,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Multi-pattern dictionary scan (Aho–Corasick): one pass over
+    //      the text regardless of dictionary size. The dictionary is
+    //      chosen to exercise the automaton's hard paths ON REAL DATA:
+    //      "a" is a suffix of "a a" (fail-link output fold), "a a" is
+    //      self-overlapping with period 2 ("a a a" occurs in the corpus
+    //      → overlapping count > non-overlapping), and "scan slow" spans
+    //      a word boundary. Oracle counts overlapping occurrences by
+    //      brute-force position scan — O(len·|dict|), fine at sf0.01 ----
+    "q_dict_scan" -> ((s, dir) => {
+      import graft.functions.DictScan
+      val dict = Seq("a", "a a", "scan slow", "table", "agg")
+      // second dictionary without the ubiquitous "a": first_term varies
+      // per document instead of collapsing to one champion
+      val dict2 = Seq("scan slow", "table", "agg", "window", "merge")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          DictScan(col("text"), dict).as("__d"),
+          DictScan(col("text"), dict2).as("__e"))
+        .select(
+          col("doc_id"),
+          col("__d.n_terms_present").as("n_terms_present"),
+          col("__d.n_hits").as("n_hits"),
+          col("__d.first_term").as("first_term"),
+          col("__e.n_terms_present").as("n2_present"),
+          col("__e.n_hits").as("n2_hits"),
+          col("__e.first_term").as("first_term2"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Corpus-GLOBAL line dedup (C4 semantic: first copy survives) --
     //      same derived multi-line corpus as q_filter_lines; clean text
     //      compared via md5 (the FilterLines gate convention) -----------
@@ -2459,6 +2489,39 @@ object SparkEntry {
         |  nfc_normalize(acc) <> acc AS changed,
         |  nfc_normalize(text) = text AS raw_identity
         |FROM a
+        |ORDER BY doc_id""".stripMargin,
+
+    // dict_scan semantics in portable SQL: presence via contains;
+    // n_hits = OVERLAPPING occurrences (brute-force position scan, so
+    // the self-overlapping "a a" term is counted exactly as the
+    // automaton does); first_term = present term whose first match END
+    // (instr + len - 1) is smallest, ties → longer term, then
+    // lexicographic — encoded as a struct sort (e asc, nl asc, t asc)
+    "q_dict_scan" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ['a', 'a a', 'scan slow', 'table', 'agg'] AS dict,
+        |    ['scan slow', 'table', 'agg', 'window', 'merge'] AS dict2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(list_filter(dict, t -> contains(text, t))) AS n_terms_present,
+        |  CAST(list_sum(list_transform(dict, t ->
+        |    len(list_filter(
+        |      generate_series(1, greatest(length(text) - length(t) + 1, 0)),
+        |      i -> substr(text, i::int, length(t)) = t)))) AS BIGINT) AS n_hits,
+        |  list_sort(list_transform(list_filter(dict, t -> contains(text, t)),
+        |    t -> {'e': instr(text, t) + length(t) - 1,
+        |          'nl': -length(t), 't': t}))[1].t AS first_term,
+        |  len(list_filter(dict2, t -> contains(text, t))) AS n2_present,
+        |  CAST(list_sum(list_transform(dict2, t ->
+        |    len(list_filter(
+        |      generate_series(1, greatest(length(text) - length(t) + 1, 0)),
+        |      i -> substr(text, i::int, length(t)) = t)))) AS BIGINT) AS n2_hits,
+        |  list_sort(list_transform(list_filter(dict2, t -> contains(text, t)),
+        |    t -> {'e': instr(text, t) + length(t) - 1,
+        |          'nl': -length(t), 't': t}))[1].t AS first_term2
+        |FROM d
         |ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup" ->

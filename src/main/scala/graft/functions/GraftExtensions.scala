@@ -120,6 +120,12 @@ object GraftExtensions {
       exprs => VideoHeader(exprs.head)),
     fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
       exprs => NfcNormalize(exprs.head)),
+    fn("dict_scan",
+      "dict_scan(text, 'comma,separated,terms') - Aho-Corasick multi-pattern " +
+        "scan: (n_terms_present, n_hits, first_term)", 2)(
+      exprs => DictScan(
+        exprs.head,
+        strArg(exprs(1), "terms").split(',').toSeq.filter(_.nonEmpty))),
     fn("filter_lines",
       "filter_lines(text, min_words, 'ban,words', require_terminal_punct) - " +
         "C4-style line filter: (n_lines, n_kept, clean_text)", 4)(

@@ -56,6 +56,12 @@ import org.apache.spark.sql.functions._
   * slice. (DSIR's Gumbel-noise draw is a hash-noise variant of the same
   * keep-rate idea; the deterministic quantile cut is the reproducible
   * form.)
+  *
+  * Empty-text convention (both scorers): a zero-token document has no
+  * features, so it appears in NEITHER output — [[importanceWeight]]
+  * never produces a feature row for it, and [[scoreWith]] filters
+  * n_feats = 0 to match. Callers wanting a verdict for empty docs left
+  * join the scores back and treat null as "no evidence".
   */
 object Importance {
 
@@ -181,7 +187,10 @@ object Importance {
     * aggregate, so it runs statelessly on a STREAM (the relational
     * scorer's per-doc aggregate would be stateful there) and in batch
     * the model lookup is an array index. Same output columns as
-    * [[importanceWeight]].
+    * [[importanceWeight]] — including on EMPTY input: a zero-token
+    * document produces no feature rows relationally, so it is omitted
+    * here too (filtered, still a stateless map+filter) rather than
+    * emitted as (n_feats=0, imp_score=NaN).
     */
   def scoreWith(
       df: DataFrame,
@@ -192,6 +201,7 @@ object Importance {
     df.select(
         col(idCol),
         graft.functions.ImportanceScore(col(textCol), model, md5Family).as("__s"))
+      .filter(col("__s.n_feats") > 0)
       .select(
         col(idCol),
         col("__s.n_feats").as("n_feats"),

@@ -41,8 +41,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * An abandoned consumer (client gone, iterator dropped mid-stream): the
   * queue fills, the pump blocks, and after `AbandonTimeoutSec` without a
-  * take it gives up and exits — no thread parks forever. A consumer that
-  * somehow resumes after that sees an IllegalStateException.
+  * take it gives up and exits — no thread parks forever. The pump leaves
+  * an abandoned flag behind, so a consumer that somehow resumes after
+  * that gets an accurate "stream abandoned" IllegalStateException rather
+  * than the generic died-without-a-marker error.
   */
 object Prefetch {
 
@@ -63,6 +65,7 @@ object Prefetch {
   def rows(df: DataFrame, jobGroup: Option[(String, String)]): Iterator[Row] = {
     val sc = df.sparkSession.sparkContext
     val queue = new ArrayBlockingQueue[AnyRef](QueueChunks)
+    val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def putOrAbandon(x: AnyRef): Unit = {
       val deadline = System.nanoTime() + AbandonTimeoutSec * 1_000_000_000L
@@ -89,10 +92,12 @@ object Prefetch {
         if (buf.nonEmpty) putOrAbandon(buf.toArray)
         putOrAbandon(End)
       } catch {
-        case abandoned: IllegalStateException
-            if abandoned.getMessage != null &&
-              abandoned.getMessage.startsWith("prefetch consumer idle") =>
-          () // consumer is gone; nobody to tell
+        case gone: IllegalStateException
+            if gone.getMessage != null &&
+              gone.getMessage.startsWith("prefetch consumer idle") =>
+          // consumer is (we believe) gone — flag it so a consumer that
+          // resumes anyway gets the accurate error, not "pump died"
+          abandoned.set(true)
         case t: Throwable =>
           // best effort: a full queue with a dead consumer drops the
           // marker after the deadline, which is fine — nobody is reading
@@ -117,6 +122,10 @@ object Prefetch {
               // enqueueing its End/Err marker is an error
               if (!pump.isAlive && queue.isEmpty) {
                 done = true
+                if (abandoned.get())
+                  throw new IllegalStateException(
+                    s"prefetch consumer idle > ${AbandonTimeoutSec}s — " +
+                      "stream was abandoned by the pump")
                 throw new IllegalStateException(
                   "prefetch pump died without a result marker")
               }

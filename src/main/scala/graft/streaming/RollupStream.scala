@@ -142,7 +142,11 @@ object RollupStream {
       heapBytes: Long = Runtime.getRuntime.maxMemory): Int = {
     require(eventRows >= 0, s"eventRows must be non-negative, got $eventRows")
     val rowsPerGi = 1_000_000L
-    val capacity = math.max(1L, heapBytes / (1L << 30) * rowsPerGi)
+    // proportional, not floored to whole GiB: a 1.9 GiB heap holds 1.9M
+    // rows, and a sub-GiB heap still gets its pro-rata share instead of
+    // collapsing to capacity=1 (which jumps straight to the 4096 clamp)
+    val bytesPerRow = (1L << 30) / rowsPerGi
+    val capacity = math.max(1L, heapBytes / bytesPerRow)
     math.min(4096L, math.max(1L, (eventRows + capacity - 1) / capacity)).toInt
   }
 

@@ -174,6 +174,21 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
     }
 
+    guarded("dict_scan") {
+      // 6a³b. the Aho–Corasick dictionary scan is one fused map-only
+      //       reference-object expression: the automaton rides the
+      //       closure, the text is scanned ONCE regardless of dictionary
+      //       size — no Exchange, no Generate, no per-term join, inside
+      //       whole-stage codegen.
+      val dsPlan = plan(docs.select(
+        graft.functions.DictScan(
+          org.apache.spark.sql.functions.col("text"),
+          Seq("table", "scan slow", "agg")).as("r")))
+      check("dict_scan: fused map-only codegen", dsPlan,
+        mustContain = Seq("*(1) Project [dict_scan("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
     guarded("line dedup") {
       // 6a⁴. corpus-global line dedup: verdicts from a map-side-combined
       //      aggregate on the line hash (partial_min of the (id, ord)
