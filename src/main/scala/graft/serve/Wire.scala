@@ -30,6 +30,22 @@ object Wire {
   val Push = 5
   val QueryCancelled = 6
   val Live = 7 // NNTSC_LIVE: committed rows pushed to subscribers
+  // NNTSC_VERSION_CHECK: the server's on-connect greeting announcing the
+  // client-API version it speaks (exporter.py:1152-1157 sends it before
+  // serving any request; the reference client validates and disconnects
+  // on mismatch)
+  val VersionCheck = 8
+  // NNTSC_UNSUBSCRIBE ack (exporter.py:894-906 — the reference handles
+  // the request silently; the ack is a documented deviation so a client
+  // can synchronize on the deregistration)
+  val Unsubscribe = 9
+
+  /** The client-API version announced in the VersionCheck greeting — the
+    * JVM twin of NNTSC_CLIENTAPI_VERSION (the constant itself lives in
+    * the external libnntscclient package, so the value is ours; the
+    * contract — greet first, client validates — is the reference's).
+    */
+  val ClientApiVersion = "1.0"
 
   val Version = 1
   val HeaderLen = 7 // u8 + u16 + u32

@@ -121,6 +121,7 @@ final class WireClient(host: String, port: Int) {
     try {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
+      expectGreeting(in)
       out.write(Wire.pack(0,
         s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
            |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
@@ -133,7 +134,7 @@ final class WireClient(host: String, port: Int) {
         m = readFrame(in)
       }
       m.msgType match {
-        case Wire.Subscribe => new Subscription(sock, in, history.result())
+        case Wire.Subscribe => new Subscription(sock, in, collection, history.result())
         case Wire.QueryCancelled => // e.g. backfill timeout: typed failure
           throw new WireClientException(new String(m.body, "UTF-8"))
         case other =>
@@ -152,6 +153,22 @@ final class WireClient(host: String, port: Int) {
   private def encJson(arrow: Boolean): String =
     if (arrow) ""","encoding":"arrow"""" else ""
 
+  /** Consume and validate the server's on-connect VersionCheck greeting
+    * (exporter.py:1152-1157) — the first frame on EVERY connection. A
+    * missing greeting or an incompatible API version is a typed failure
+    * BEFORE any request is sent, like the reference client's disconnect.
+    */
+  private def expectGreeting(in: DataInputStream): Unit = {
+    val m = readFrame(in)
+    if (m.msgType != Wire.VersionCheck)
+      throw new WireClientException(
+        s"expected version-check greeting, got msgType ${m.msgType}")
+    val v = JsonMini.parse(new String(m.body, "UTF-8"))("apiversion")
+    if (v != Wire.ClientApiVersion)
+      throw new WireClientException(
+        s"server client-API version $v; this client speaks ${Wire.ClientApiVersion}")
+  }
+
   /** One request on a fresh connection; the reply is every frame up to the
     * server's EOF (half-close signals end-of-request like the spec
     * harness and the reference's short-lived request clients).
@@ -161,6 +178,7 @@ final class WireClient(host: String, port: Int) {
     try {
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
+      expectGreeting(in)
       out.write(Wire.pack(0, json.getBytes("UTF-8")))
       out.flush()
       sock.shutdownOutput()
@@ -197,6 +215,11 @@ object WireClient {
   sealed trait Event
   final case class LiveRows(label: String, rows: Seq[Map[String, Any]]) extends Event
   final case class Push(collection: String, timestamp: Long) extends Event
+  /** Ack for an in-flight [[Subscription.unsubscribe]]: `remaining` is
+    * how many streams this connection is still subscribed to for the
+    * collection.
+    */
+  final case class Unsubscribed(remaining: Long) extends Event
 
   /** A live subscription: backfill already consumed (`history`); `next()`
     * blocks for the next post-ack event. Close when done.
@@ -204,7 +227,22 @@ object WireClient {
   final class Subscription(
       sock: Socket,
       in: DataInputStream,
+      collection: String,
       val history: Seq[HistoryChunk]) {
+
+    /** NNTSC_UNSUBSCRIBE: drop streams from this live subscription
+      * without disconnecting (exporter.py:894-906). Fire-and-read: the
+      * server's ack arrives in the event stream as [[Unsubscribed]] —
+      * consume events until it appears to know the deregistration took
+      * effect (live frames already in flight may precede it).
+      */
+    def unsubscribe(streams: Seq[Long]): Unit = {
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      out.write(Wire.pack(0,
+        (s"""{"request":"unsubscribe","collection":${JsonMini.str(collection)},""" +
+          s""""streams":${streams.mkString("[", ",", "]")}}""").getBytes("UTF-8")))
+      out.flush()
+    }
 
     /** Last timestamp per label over the whole backfill — the client-side
       * seam bookkeeping (the reference client tracks it to resume plots).
@@ -228,6 +266,9 @@ object WireClient {
         case Wire.Push =>
           val b = JsonMini.parse(new String(m.body, "UTF-8"))
           Push(b("collection").asInstanceOf[String], JsonMini.asLong(b("timestamp")))
+        case Wire.Unsubscribe =>
+          val b = JsonMini.parse(new String(m.body, "UTF-8"))
+          Unsubscribed(JsonMini.asLong(b("remaining")))
         case other =>
           throw new WireClientException(s"unexpected frame in live mode: $other")
       }

@@ -34,6 +34,14 @@ import graft.streaming.Markers
   *    "start":...,"stop":...,"binsize":...,"aggs":[["value","avg"],...]}
   *   {"request":"subscribe","collection":...,"labels":...,"columns":[...],
   *    "start":...,"stop":...}   (stop=0 ⇒ forever)
+  *   {"request":"unsubscribe","collection":...,"streams":[...]}
+  *     (drop streams from this connection's live subscriptions without
+  *      disconnecting — exporter.py:894-906)
+  *
+  * On connect the server greets every client with a `VersionCheck` frame
+  * carrying the client-API version (exporter.py:1152-1157) before reading
+  * the first request; `WireClient` validates it and fails typed on a
+  * mismatch.
   */
 final class WireServer(
     service: Service,
@@ -90,12 +98,29 @@ final class WireServer(
 
   def close(): Unit = { running = false; server.close() }
 
+  /** One live subscription made on this connection: its collection, its
+    * relay (None when the server has no live bus), and the bus handles it
+    * registered — the unit `unsubscribe` deregisters by.
+    */
+  private final case class Sub(
+      collection: String,
+      relay: Option[LiveRelay],
+      handles: Seq[Markers.Handle])
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     // bus subscriptions made on behalf of this connection; closed on exit
     val handles = scala.collection.mutable.ArrayBuffer.empty[Markers.Handle]
+    // live subscriptions, for stream-level unsubscribe
+    val subs = scala.collection.mutable.ArrayBuffer.empty[Sub]
     try {
+      // version-check greeting before the first request
+      // (exporter.py:1152-1157)
+      out.write(Wire.pack(
+        Wire.VersionCheck,
+        s"""{"apiversion":${JsonMini.str(Wire.ClientApiVersion)}}""".getBytes("UTF-8")))
+      out.flush()
       var open = true
       while (open) {
         val header = new Array[Byte](Wire.HeaderLen)
@@ -113,7 +138,7 @@ final class WireServer(
           } else {
             val body = new Array[Byte](len)
             in.readFully(body)
-            val reply = dispatch(new String(body, "UTF-8"), out, handles)
+            val reply = dispatch(new String(body, "UTF-8"), out, handles, subs)
             if (reply.nonEmpty) out.synchronized { out.write(reply); out.flush() }
           }
         }
@@ -163,7 +188,8 @@ final class WireServer(
   private def dispatch(
       request: String,
       out: DataOutputStream,
-      handles: scala.collection.mutable.ArrayBuffer[Markers.Handle]): Array[Byte] =
+      handles: scala.collection.mutable.ArrayBuffer[Markers.Handle],
+      subs: scala.collection.mutable.ArrayBuffer[Sub]): Array[Byte] =
     try {
       val req = JsonMini.parse(request)
       req("request") match {
@@ -242,12 +268,40 @@ final class WireServer(
             // > that label's own lasthist), then passthrough
             relay.foreach(_.finish(lastHist.toMap))
             handles ++= mine // survive until the connection closes
+            subs += Sub(coll, relay, mine.toSeq) // unit of unsubscribe
             Array.emptyByteArray
           } catch {
             case e: Throwable =>
               mine.foreach(h => try h.close() catch { case _: Throwable => () })
               throw e
           }
+        case "unsubscribe" =>
+          // NNTSC_UNSUBSCRIBE (exporter.py:894-906): remove the streams
+          // from this connection's live subscriptions for the collection —
+          // no disconnect, no effect on other subscriptions. The reference
+          // leaves waitlabels untouched (its own XXX caveat at :897-900);
+          // here the relay's seam labels are likewise untouched — only the
+          // stream-level fan-out shrinks. A subscription whose LAST stream
+          // is dropped is deregistered wholesale (its bus handles close,
+          // so its PUSH markers stop too). Reply is an ack frame — a
+          // documented deviation (the reference replies nothing) so
+          // clients can synchronize on the deregistration.
+          val coll = req("collection").asInstanceOf[String]
+          val streams = req("streams").asInstanceOf[Seq[Any]].map(JsonMini.asLong)
+          var remaining = 0L
+          subs.foreach { s =>
+            if (s.collection == coll) s.relay.foreach { r =>
+              val left = r.unsubscribe(streams)
+              if (left == 0)
+                s.handles.foreach(h => try h.close() catch { case _: Throwable => () })
+              remaining += left
+            }
+          }
+          subs.filterInPlace(s =>
+            s.collection != coll || s.relay.forall(_.streamCount > 0))
+          Wire.pack(
+            Wire.Unsubscribe,
+            s"""{"unsubscribed":true,"remaining":$remaining}""".getBytes("UTF-8"))
         case "collections" =>
           val body = service.collections()
             .map { case (id, m, s) =>
@@ -354,11 +408,31 @@ private[serve] final class LiveRelay(
 
   import graft.streaming.Markers
 
-  private val streamLabels: Map[Long, Seq[String]] =
+  // stream → labels fan-out; shrinks under `unsubscribe` (all reads are
+  // inside this object's synchronized methods)
+  private var streamLabels: Map[Long, Seq[String]] =
     labels.toSeq
       .flatMap { case (l, sids) => sids.map(_ -> l) }
       .groupBy(_._1)
       .map { case (sid, ps) => sid -> ps.map(_._2).sorted }
+
+  /** NNTSC_UNSUBSCRIBE on this relay (exporter.py:894-906): drop the
+    * streams from the fan-out — live rows for them stop immediately,
+    * including rows already buffered during backfill. The label map used
+    * to seed the seam gate is left as subscribed (the reference's
+    * waitlabels caveat); stale gate entries for dropped streams are
+    * unreachable and harmless. Returns the number of streams remaining.
+    */
+  def unsubscribe(streams: Seq[Long]): Long = synchronized {
+    val drop = streams.toSet
+    streamLabels = streamLabels.filterNot { case (s, _) => drop(s) }
+    gate = gate.filterNot { case ((_, s), _) => drop(s) }
+    buffered = buffered.filterNot(r => drop(sid(r)))
+    streamLabels.size.toLong
+  }
+
+  /** Streams still subscribed on this relay. */
+  def streamCount: Int = synchronized { streamLabels.size }
 
   private var buffered = Vector.empty[Row]
   // (marker timestamp, frame), publisher order = ascending timestamps;

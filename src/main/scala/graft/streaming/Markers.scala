@@ -48,6 +48,14 @@ object Markers {
       new Handle(list, f)
     }
 
+    /** Live callbacks registered for a collection — observability for
+      * deregistration paths (unsubscribe, dead-client drop).
+      */
+    def subscriberCount(collection: String): Int = {
+      val l = subs.get(collection)
+      if (l == null) 0 else l.size
+    }
+
     protected def publishTo(collection: String, m: T): Unit = {
       val l = subs.get(collection)
       if (l != null) l.forEach { f =>

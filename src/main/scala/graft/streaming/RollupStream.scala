@@ -144,9 +144,10 @@ object RollupStream {
     val rowsPerGi = 1_000_000L
     // proportional, not floored to whole GiB: a 1.9 GiB heap holds 1.9M
     // rows, and a sub-GiB heap still gets its pro-rata share instead of
-    // collapsing to capacity=1 (which jumps straight to the 4096 clamp)
-    val bytesPerRow = (1L << 30) / rowsPerGi
-    val capacity = math.max(1L, heapBytes / bytesPerRow)
+    // collapsing to capacity=1 (which jumps straight to the 4096 clamp).
+    // Double math is exact here (heap byte counts are far below 2^53)
+    val capacity =
+      math.max(1L, (heapBytes.toDouble / (1L << 30) * rowsPerGi).toLong)
     math.min(4096L, math.max(1L, (eventRows + capacity - 1) / capacity)).toInt
   }
 

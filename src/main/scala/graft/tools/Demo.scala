@@ -119,7 +119,10 @@ object Demo {
       val in = sock.getInputStream
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      val reply = Wire.unpack(buf.toByteArray)
+      // first frame is the version-check greeting; the reply follows
+      val greeting = Wire.unpack(buf.toByteArray)
+      val reply = Wire.unpack(
+        buf.toByteArray.drop(Wire.HeaderLen + greeting.body.length))
       println(s"DEMO wire collections bytes=${reply.body.length} " +
         s"first=${new String(reply.body, "UTF-8").take(60)}...")
       sock.close(); server.close()

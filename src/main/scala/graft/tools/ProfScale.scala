@@ -398,6 +398,7 @@ object ProfScale {
             val in = new DataInputStream(sock.getInputStream)
             out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
             var m = readFrame(in)
+            if (m.msgType == Wire.VersionCheck) m = readFrame(in) // greeting
             while (m.msgType == Wire.History) {
               frames += 1; bytes += m.body.length; m = readFrame(in)
             }
@@ -458,7 +459,11 @@ object ProfScale {
             var started = false
             while (liveRows < expected) {
               val m = readFrame(in)
-              if (!started) { started = true; pub.start() }
+              // the greeting precedes relay registration — a publisher
+              // started on it would publish into the void
+              if (!started && m.msgType != Wire.VersionCheck) {
+                started = true; pub.start()
+              }
               if (m.msgType == Wire.Subscribe) ackAt = (System.nanoTime() - t0) / 1e9
               else if (m.msgType == Wire.Live) {
                 val s = new String(m.body, "UTF-8")
@@ -561,6 +566,7 @@ object ProfScale {
             val in = new DataInputStream(sock.getInputStream)
             out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
             var m = readFrame(in)
+            if (m.msgType == Wire.VersionCheck) m = readFrame(in) // greeting
             while (m.msgType == Wire.History) { frames += 1; m = readFrame(in) }
             require(m.msgType == Wire.Subscribe, s"expected ack, got ${m.msgType}")
           } finally { sock.close(); server.close() }
@@ -665,6 +671,7 @@ object ProfScale {
             val in = new DataInputStream(sock.getInputStream)
             out.write(Wire.pack(0, req.getBytes("UTF-8"))); out.flush()
             var m = readFrame(in)
+            if (m.msgType == Wire.VersionCheck) m = readFrame(in) // greeting
             while (m.msgType == Wire.History) {
               frames += 1; bytes += m.body.length
               // count rows the way a real client would: decode the body

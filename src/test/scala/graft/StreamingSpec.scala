@@ -687,6 +687,11 @@ class StreamingSpec extends SparkSpec {
     assert(RollupStream.autoRanges(100_000_000L, 6L << 30) === 17)
     assert(RollupStream.autoRanges(100_000_000L, 128L << 30) === 1)
     assert(RollupStream.autoRanges(Long.MaxValue / 4, 1L << 29) === 4096) // sub-GiB clamp
+    // proportional capacity, not floored to whole GiB: a half-GiB heap
+    // holds 500k rows (not 1), a 1.9 GiB heap 1.9M
+    assert(RollupStream.autoRanges(500_000L, 1L << 29) === 1)
+    assert(RollupStream.autoRanges(1_000_001L, 1L << 29) === 3)
+    assert(RollupStream.autoRanges(1_899_999L, (19L << 30) / 10) === 1)
     val dirA = tmpDir() + "/auto"
     val dirW = tmpDir() + "/whole2"
     val rows = (0 until 400).map { i =>

@@ -154,7 +154,9 @@ class WireClientSpec extends SparkSpec {
     try {
       val client = new WireClient("127.0.0.1", srv.getLocalPort)
       val e = intercept[WireClient.WireClientException] { client.collections() }
-      assert(e.getMessage.contains("no reply frame"))
+      // the failure now surfaces at the greeting stage (the server closed
+      // before sending the version check) — still the typed client error
+      assert(e.getMessage.contains("connection closed by server"))
     } finally { srv.close(); t.join(2000) }
   }
 }

@@ -37,7 +37,11 @@ class WireServerSpec extends SparkSpec {
         msgs += m
         bytes = bytes.drop(Wire.HeaderLen + m.body.length)
       }
-      msgs.result()
+      // every connection opens with the version-check greeting
+      val all = msgs.result()
+      assert(all.head.msgType === Wire.VersionCheck)
+      assert(new String(all.head.body, "UTF-8").contains(Wire.ClientApiVersion))
+      all.tail
     } finally sock.close()
   }
 
@@ -172,7 +176,8 @@ class WireServerSpec extends SparkSpec {
         Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
       }
 
-      // history first (zero or more frames), then the subscribe ack
+      // greeting, then history (zero or more frames), then the ack
+      assert(readFrame().msgType === Wire.VersionCheck)
       var m = readFrame()
       var sawHistory = false
       while (m.msgType == Wire.History) { sawHistory = true; m = readFrame() }
@@ -216,7 +221,8 @@ class WireServerSpec extends SparkSpec {
         Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
       }
 
-      // 1. history frames, then the ack
+      // 1. greeting, then history frames, then the ack
+      assert(readFrame().msgType === Wire.VersionCheck)
       var m = readFrame()
       var sawHistory = false
       while (m.msgType == Wire.History) { sawHistory = true; m = readFrame() }
@@ -279,6 +285,7 @@ class WireServerSpec extends SparkSpec {
         in.readFully(body)
         Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
       }
+      assert(readFrame().msgType === Wire.VersionCheck)
       var m = readFrame()
       var lastHist = Long.MinValue
       while (m.msgType == Wire.History) {
@@ -331,6 +338,7 @@ class WireServerSpec extends SparkSpec {
         in.readFully(body)
         Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
       }
+      assert(readFrame().msgType === Wire.VersionCheck)
       var m = readFrame()
       while (m.msgType == Wire.History) m = readFrame()
       assert(m.msgType === Wire.Subscribe)
@@ -374,6 +382,11 @@ class WireServerSpec extends SparkSpec {
       val buf = java.nio.ByteBuffer.allocate(Wire.HeaderLen)
       buf.put(Wire.Version.toByte).putShort(0).putInt(Int.MaxValue - 7)
       out.write(buf.array()); out.flush()
+      // the greeting was already written at connect; after it, EOF
+      val greet = new Array[Byte](Wire.HeaderLen)
+      in.readFully(greet)
+      val glen = java.nio.ByteBuffer.wrap(greet, 3, 4).getInt
+      in.readFully(new Array[Byte](glen))
       assert(in.read() === -1) // EOF: connection dropped
     } finally { sock.close(); server.close() }
   }
@@ -394,6 +407,7 @@ class WireServerSpec extends SparkSpec {
         in.readFully(body)
         Wire.unpack(header ++ body)
       }
+      assert(readFrame().msgType === Wire.VersionCheck)
       // a validly-framed but undecodable body: error reply names the
       // capture, and the SAME socket keeps serving
       val junk = """{"request": this is not json"""
@@ -428,6 +442,10 @@ class WireServerSpec extends SparkSpec {
         val buf = java.nio.ByteBuffer.allocate(Wire.HeaderLen)
         buf.put(99.toByte).putShort(0).putInt(4)
         out2.write(buf.array()); out2.flush()
+        // greeting first, then EOF
+        val greet = new Array[Byte](Wire.HeaderLen)
+        in2.readFully(greet)
+        in2.readFully(new Array[Byte](java.nio.ByteBuffer.wrap(greet, 3, 4).getInt))
         assert(in2.read() === -1)
         val errs = new java.io.File(dl).listFiles().filter(_.getName.endsWith(".err"))
           .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
@@ -448,6 +466,72 @@ class WireServerSpec extends SparkSpec {
       assert(body.contains(""""nntsclabel":"a"""") && body.contains(""""nntsclabel":"b""""))
       assert(body.contains("value_avg") && body.contains("value_max"))
     } finally server.close()
+  }
+
+  test("unsubscribe drops streams from a live subscription without disconnecting") {
+    import graft.serve.WireClient
+    import graft.streaming.Markers
+    import org.apache.spark.sql.types.{LongType, DoubleType, StructField, StructType}
+    val lbus = new Markers.LiveBus
+    val server = new WireServer(svc, live = Some(lbus))
+    val client = new WireClient("127.0.0.1", server.boundPort)
+    val sub = client.subscribe(
+      "amp-external", Map("x" -> Seq(1L, 2L)), Seq("value"),
+      start = 1704067200L, stop = 0L)
+    try {
+      assert(lbus.subscriberCount("amp-external") === 1)
+      val schema = StructType(Seq(
+        StructField("stream_id", LongType), StructField("timestamp", LongType),
+        StructField("value", DoubleType)))
+      def row(sid: Long, ts: Long) =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](sid, ts, 1.0), schema)
+      // both streams live before the unsubscribe
+      lbus.publish(Markers.LiveBatch("amp-external",
+        Seq(row(1L, 1906745601L), row(2L, 1906745602L))))
+      val before = sub.next()
+      assert(before.isInstanceOf[WireClient.LiveRows])
+      val beforeRows = before.asInstanceOf[WireClient.LiveRows].rows
+      assert(beforeRows.map(r => r("stream_id").asInstanceOf[Long]).sorted
+        === Seq(1L, 2L))
+      // drop stream 1; the ack rides the event stream
+      sub.unsubscribe(Seq(1L))
+      assert(sub.next() === WireClient.Unsubscribed(1L))
+      // only stream 2's rows arrive now
+      lbus.publish(Markers.LiveBatch("amp-external",
+        Seq(row(1L, 1906745611L), row(2L, 1906745612L))))
+      val after = sub.next().asInstanceOf[WireClient.LiveRows]
+      assert(after.rows.map(r => r("stream_id").asInstanceOf[Long]) === Seq(2L))
+      // dropping the LAST stream deregisters the subscription from the bus
+      sub.unsubscribe(Seq(2L))
+      assert(sub.next() === WireClient.Unsubscribed(0L))
+      assert(lbus.subscriberCount("amp-external") === 0)
+      // the CONNECTION survives: a fresh subscribe on the same server works
+    } finally { sub.close(); server.close() }
+  }
+
+  test("version-check greeting: client validates; mismatch is a typed failure") {
+    import graft.serve.WireClient
+    val server = new WireServer(svc)
+    try {
+      // happy path: WireClient consumed the greeting inside collections()
+      val client = new WireClient("127.0.0.1", server.boundPort)
+      assert(client.collections().nonEmpty)
+    } finally server.close()
+    // mismatch path: a fake server greeting a different API version
+    val fake = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      val s = fake.accept()
+      s.getOutputStream.write(Wire.pack(
+        Wire.VersionCheck, """{"apiversion":"99.0"}""".getBytes("UTF-8")))
+      s.getOutputStream.flush()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val client = new WireClient("127.0.0.1", fake.getLocalPort)
+      val e = intercept[WireClient.WireClientException](client.collections())
+      assert(e.getMessage.contains("99.0"))
+    } finally fake.close()
   }
 
   test("unknown requests and errors come back as protocol errors") {
