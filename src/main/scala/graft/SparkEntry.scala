@@ -942,6 +942,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- LM cross-entropy (textbook log form): avg ln p(w2|w1) per
+    //      doc. Gate-able because the ln is the PLATFORM libm
+    //      (PlatformLn — Spark's builtin log() is StrictMath/fdlibm,
+    //      which disagrees with the oracle's glibc ln on ~6% of inputs;
+    //      Math.log on 0.06%, 1 ulp) and the 1e-9 quantum absorbs the
+    //      residue. Terms quantized BEFORE the integer sum, like
+    //      q_lm_score ---------------------------------------------------
+    "q_lm_xent" -> ((s, dir) => {
+      TextAnalysis.lmFamiliarity(Tables.documents(s, dir), "doc_id", "text",
+          logForm = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- DSIR-style importance weighting (data selection): hashed
     //      unigram+bigram buckets, target-vs-raw Laplace bucket models,
     //      per-doc Σ count·(q12(p_t)−q12(p_r)) — exact integer sums,
@@ -981,6 +994,14 @@ object SparkEntry {
       TextAnalysis.bm25TopK(
         Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window", "vector"), topK = 15)
+    }),
+
+    // ---- BM25, textbook log-idf form: idf = ln(1 + rational). Same
+    //      platform-libm + quantized-integer-sum recipe as q_lm_xent ----
+    "q_bm25_log" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window", "vector"), topK = 15, idfLog = true)
     }),
 
     // ---- Adaptive quality cut: docs at/above the corpus-mean BPE token
@@ -1108,6 +1129,17 @@ object SparkEntry {
     "q_mixture_temp" -> ((s, dir) => {
       Splits.temperatureSampleMd5(Tables.documents(s, dir), "doc_id", "source", "text",
           salt = "tp")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // ---- General-α temperature flattening, α = 1/4: weight =
+    //      isqrt(isqrt(t)) — exact BIGINT on both engines, so the
+    //      quarter-power family carries oracle evidence (the pow()-double
+    //      general form remains spec-pinned) -----------------------------
+    "q_mixture_temp_a25" -> ((s, dir) => {
+      Splits.temperatureSampleQuarters(Tables.documents(s, dir),
+          "doc_id", "source", "text", quarters = 1, salt = "tq", md5Family = true)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
@@ -3226,6 +3258,33 @@ object SparkEntry {
         |       (CAST(sq AS DOUBLE) / n_bigrams) / 1000000000000.0 AS lm_score
         |FROM sc ORDER BY doc_id""".stripMargin,
 
+    // cross-entropy twin: ln of the SAME exact division, 1e-9 quantum
+    // (platform-libm parity — see PlatformLn)
+    "q_lm_xent" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS s
+        |  FROM w
+        |), c2 AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY s
+        |), c1 AS (
+        |  SELECT string_split(s, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1
+        |), sc AS (
+        |  SELECT g.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         sum(CAST(floor(
+        |           ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)) AS sq
+        |  FROM g
+        |  JOIN c2 USING (s)
+        |  JOIN c1 ON string_split(g.s, ' ')[1] = c1.w1
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |       (CAST(sq AS DOUBLE) / n_bigrams) / 1000000000.0 AS lm_score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // hashed unigram+bigram buckets (lower-60-bit md5 mod 4096 — the
     // established md5 bridge), target/raw Laplace bucket models over the
     // fixed bucket space, per-probability 1e-12 quantization BEFORE the
@@ -3336,6 +3395,38 @@ object SparkEntry {
         |  SELECT tf.doc_id,
         |    sum(CAST(floor(
         |      ((n - df + 0.5) / (df + 0.5))
+        |      * ((tf * (1.25 + 1.0)) / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        |      * 1000000000.0 + 0.5) AS BIGINT)) AS score_q
+        |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, CAST(score_q AS DOUBLE) / 1000000000.0 AS score
+        |FROM sc ORDER BY score_q DESC, doc_id LIMIT 15""".stripMargin,
+
+    // log-idf twin: idf = ln(1 + rational), identical evaluation order
+    // (platform-libm parity — see PlatformLn); same 1e-9 quantum
+    "q_bm25_log" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        |  ) WHERE t IN ('spark', 'join', 'window', 'vector')
+        |  GROUP BY doc_id, t
+        |), dfreq AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(CAST(floor(
+        |      ln(((n - df + 0.5) / (df + 0.5)) + 1.0)
         |      * ((tf * (1.25 + 1.0)) / (tf + 1.25 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
         |      * 1000000000.0 + 0.5) AS BIGINT)) AS score_q
         |  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
@@ -3546,6 +3637,38 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5('tp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    // α = 1/4: weight = isqrt(isqrt(tk)) — the exact-integer-sqrt idiom
+    // applied twice, then the rate/filter idiom verbatim (salt 'tq')
+    "q_mixture_temp_a25" ->
+      """WITH t0 AS (
+        |  SELECT source, CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tk
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT * FROM t0 WHERE tk > 0
+        |), iq1 AS (
+        |  SELECT source, tk,
+        |         s0 - CASE WHEN s0 * s0 > tk THEN 1 ELSE 0 END
+        |            + CASE WHEN (s0 + 1) * (s0 + 1) <= tk THEN 1 ELSE 0 END AS w1
+        |  FROM (SELECT source, tk,
+        |               CAST(floor(sqrt(CAST(tk AS DOUBLE))) AS BIGINT) AS s0 FROM t)
+        |), iq AS (
+        |  SELECT source, tk,
+        |         s1 - CASE WHEN s1 * s1 > w1 THEN 1 ELSE 0 END
+        |            + CASE WHEN (s1 + 1) * (s1 + 1) <= w1 THEN 1 ELSE 0 END AS w
+        |  FROM (SELECT source, tk, w1,
+        |               CAST(floor(sqrt(CAST(w1 AS DOUBLE))) AS BIGINT) AS s1 FROM iq1)
+        |), r AS (
+        |  SELECT source,
+        |         least(1.0, CAST(w AS DOUBLE)
+        |                      * (SELECT min(CAST(tk AS DOUBLE) / CAST(w AS DOUBLE)) FROM iq)
+        |                      / CAST(tk AS DOUBLE)) AS rate
+        |  FROM iq
+        |)
+        |SELECT doc_id, source FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5('tq' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < rate
         |ORDER BY doc_id""".stripMargin,
 

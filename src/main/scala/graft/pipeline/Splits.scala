@@ -269,6 +269,41 @@ object Splits {
       salt: String = ""): DataFrame =
     temperatureWith(df, idCol, sourceCol, textCol, salt, uMd5)
 
+  /** General-α temperature flattening IN EXACT INTEGERS for the
+    * quarter-power family α = quarters/4 ∈ {1/4, 1/2, 3/4}: the weight
+    * is a product of exact integer square roots —
+    *
+    *   α = 1/4: w = isqrt(isqrt(t))
+    *   α = 2/4: w = isqrt(t)                  (== [[temperatureSample]])
+    *   α = 3/4: w = isqrt(t) · isqrt(isqrt(t))
+    *
+    * Each w is an exact BIGINT both engines reproduce bit-for-bit (a
+    * DEFINED floor-quantization of t^α — within one isqrt step of the
+    * real power, exactly as [[temperatureSample]]'s isqrt is of √t), so
+    * unlike the pow()-double [[temperatureSampleAlpha]] this family is
+    * hash-gateable (q_mixture_temp_a25). Rates and the (salt, id) hash
+    * filter are the [[temperatureSample]] idiom verbatim; same
+    * broadcast-rates map-only execution shape.
+    */
+  def temperatureSampleQuarters(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      quarters: Int,
+      salt: String = "",
+      md5Family: Boolean = false): DataFrame = {
+    require(quarters >= 1 && quarters <= 3,
+      s"quarters must be 1, 2, or 3 (alpha = quarters/4), got $quarters")
+    val weight: Column => Column = quarters match {
+      case 1 => t => isqrt(isqrt(t))
+      case 2 => t => isqrt(t)
+      case 3 => t => isqrt(t) * isqrt(isqrt(t))
+    }
+    temperatureWith(df, idCol, sourceCol, textCol, salt,
+      if (md5Family) uMd5 else u64, weight)
+  }
+
   /** Exact integer square root of a non-negative LONG column: floor(√x)
     * via the (correctly-rounded) double sqrt, corrected by one
     * comparison on each side — exact for any x whose √ fits a long, and
@@ -285,12 +320,13 @@ object Splits {
       sourceCol: String,
       textCol: String,
       salt: String,
-      u: (String, Column) => Column): DataFrame = {
+      u: (String, Column) => Column,
+      weight: Column => Column = isqrt): DataFrame = {
     val totals = df
       .groupBy(col(sourceCol).as("__src"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__t"))
       .filter(col("__t") > 0)
-      .withColumn("__w", isqrt(col("__t")))
+      .withColumn("__w", weight(col("__t")))
     val m = totals.agg(min(col("__t").cast("double") / col("__w").cast("double")).as("__m"))
     val rates = broadcast(
       totals.crossJoin(broadcast(m))

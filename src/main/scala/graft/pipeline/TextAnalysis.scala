@@ -459,12 +459,16 @@ object TextAnalysis {
     * (frequent continuations) score high; mojibake, OOV noise, and
     * shuffled text score low.
     *
-    * The gate form averages PROBABILITIES: every p is one exact
+    * The probability form averages PROBABILITIES: every p is one exact
     * long/long double division, quantized to 1e-12 longs and summed as
-    * integers — bit-identical on any engine. `logForm = true` is the
-    * textbook cross-entropy form (avg ln p; perplexity = exp(−score)) —
-    * spec-pinned, not oracle-checked (ln differs in the last ulp across
-    * engines).
+    * integers — bit-identical on any engine (q_lm_score). `logForm =
+    * true` is the textbook cross-entropy form (avg ln p; perplexity =
+    * exp(−score)), ALSO hash-gated (q_lm_xent): the ln is the platform
+    * libm ([[graft.functions.PlatformLn]] — matches the oracle engine's
+    * correctly-rounded ln on 99.94% of inputs, 1 ulp otherwise) and the
+    * quantum is coarsened to 1e-9 so the residual 1-ulp disagreements
+    * cannot flip a quantization boundary in practice (~2e-9 odds per
+    * term).
     *
     * Shape at 100 TB: both count tables fold with map-side combine
     * (bigram count from the exploded grams; the unigram-start count
@@ -510,7 +514,12 @@ object TextAnalysis {
       .join(c1, "__w1")
       .select(col("__g"), col("__c2"), col("__c1"))
     val p = col("__c2").cast("double") / col("__c1").cast("double")
-    val contrib = if (logForm) log(p) else p
+    // the log form uses the platform libm (PlatformLn) and a 1e-9
+    // quantum — together they make avg-ln-p hash-gateable against the
+    // oracle engine (q_lm_xent); the probability form keeps the finer
+    // 1e-12 quantum (exact divisions, no ulp risk)
+    val contrib = if (logForm) graft.functions.PlatformLn(p) else p
+    val quant = if (logForm) 1000000000.0 else 1000000000000.0
     val occs =
       if (hotK <= 0 || saltFanout <= 1) grams.join(lm, "__g")
       else {
@@ -536,11 +545,11 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum(floor(contrib * lit(1000000000000.0) + lit(0.5)).cast("long")).as("__sq"))
+        sum(floor(contrib * lit(quant) + lit(0.5)).cast("long")).as("__sq"))
       .select(
         col(idCol),
         col("n_bigrams"),
-        ((col("__sq").cast("double") / col("n_bigrams")) / lit(1000000000000.0))
+        ((col("__sq").cast("double") / col("n_bigrams")) / lit(quant))
           .as("lm_score"))
   }
 
@@ -558,8 +567,11 @@ object TextAnalysis {
     * (N−df+0.5)/(df+0.5) — every operation is a single IEEE add/div that
     * DuckDB reproduces bit-for-bit; `idfLog = true` is the textbook
     * ln(1 + rational) production form (monotone in the rational idf, so
-    * rankings agree when all df are equal; spec-pinned, not
-    * oracle-checked — ln differs in the last ulp across engines).
+    * rankings agree when all df are equal), ALSO hash-gated
+    * (q_bm25_log): the ln is the platform libm
+    * ([[graft.functions.PlatformLn]]) and the 1e-9 contribution quantum
+    * absorbs its residual 1-ulp disagreements with the oracle engine
+    * (~2e-9 flip odds per term).
     * Per-term contributions are quantized to 1e-9 longs and summed as
     * integers, so the document score is independent of Spark's partial
     * aggregation order AND identical to the oracle's (summing raw
@@ -624,7 +636,10 @@ object TextAnalysis {
     val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val idfRational =
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
-    val idf = if (idfLog) log(idfRational + lit(1.0)) else idfRational
+    // platform libm (not StrictMath): oracle-parity ln, see PlatformLn
+    val idf =
+      if (idfLog) graft.functions.PlatformLn(idfRational + lit(1.0))
+      else idfRational
     val contrib = idf *
       ((col("__tf") * lit(k1 + 1.0)) /
         (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))

@@ -225,6 +225,29 @@ class SplitsSpec extends SparkSpec {
     // where the isqrt quantization moves a rate across a doc's hash draw
     assert(keptPow("s2") === 100L)
     assert(math.abs(keptPow("s0").toDouble - kept("s0")) / kept("s0") < 0.05)
+
+    // quarter-power family: quarters=2 IS the sqrt form bit-for-bit
+    val q2 = Splits.temperatureSampleQuarters(
+        docs, "id", "source", "text", quarters = 2, salt = "t1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q2 === kept)
+    // α=1/4 flattens HARDER than α=1/2 (s0:s2 toward 64^0.25 ≈ 2.8:1),
+    // α=3/4 SOFTER (toward 64^0.75 ≈ 22.6:1); binding source at rate 1
+    val q1 = Splits.temperatureSampleQuarters(
+        docs, "id", "source", "text", quarters = 1, salt = "t1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q3 = Splits.temperatureSampleQuarters(
+        docs, "id", "source", "text", quarters = 3, salt = "t1")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q1("s2") === 100L && q3("s2") === 100L)
+    val r1 = q1("s0").toDouble / q1("s2")
+    val r3 = q3("s0").toDouble / q3("s2")
+    assert(r1 > 1.5 && r1 < 4.5, s"expected ~2.8:1 at alpha=1/4, got $r1")
+    assert(r3 > 15 && r3 < 32, s"expected ~22.6:1 at alpha=3/4, got $r3")
+    assert(r1 < ratio && ratio < r3)
   }
 
   test("isqrt is the exact integer square root across rounding edges") {

@@ -258,6 +258,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(logTop.forall(_._3 > 0))
   }
 
+  test("PlatformLn is Math.log (not StrictMath), codegen'd, null-safe") {
+    import spark.implicits._
+    import graft.functions.PlatformLn
+    // inputs chosen from the scorers' ranges, incl. one where the two
+    // JVM logs are known to differ (found by scanning rationals: the
+    // gate exists BECAUSE Spark's builtin log() is StrictMath)
+    val xs = Seq(0.5, 1.0, 1.5, 2.0 / 3.0, 123456.0 / 7.0, 1e-7, 1.0 + 1e5)
+    val got = xs.toDF("x").select(PlatformLn(col("x")).as("l"))
+      .as[Double].collect().toSeq
+    assert(got === xs.map(java.lang.Math.log))
+    // at least one input in the broader domain separates the families —
+    // otherwise this pin is vacuous (both logs agree on ~94% of inputs)
+    val sep = (1 to 200000).map(i => (i.toDouble + 0.5) / 3.0)
+      .exists(x => java.lang.Math.log(x) != StrictMath.log(x))
+    assert(sep, "Math.log and StrictMath.log agreed everywhere sampled")
+    // codegen (no CodegenFallback) and null propagation — a non-local
+    // source so the projection isn't constant-folded away
+    val plan = spark.range(0, 10).select(PlatformLn(col("id").cast("double") + 1.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val n = Seq[java.lang.Double](null).toDF("x")
+      .select(PlatformLn(col("x"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("cutByQuantileOf keeps ~the top 1-q fraction (sandwich property)") {
     import spark.implicits._
     val df = spark.range(0, 10000).toDF("id")
