@@ -653,15 +653,24 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("__q")).as("__score_q"))
     // limit-after-sort plans as TakeOrderedAndProject (per-partition
-    // top-k + driver merge of k·P rows); the rank window runs on the
-    // already-collected k rows only
+    // top-k + driver merge of k·P rows). Rank is computed WITHOUT a
+    // window: coalesce(1) + sortWithinPartitions pins the ≤k rows into
+    // one ordered partition (TakeOrdered already emits one — the
+    // coalesce is a guard, not a shuffle) where
+    // monotonically_increasing_id numbers them 0..k-1 (partition 0 has
+    // offset 0). An unpartitioned row_number window here was correct
+    // and equally cheap, but its "No Partition Defined" WindowExec
+    // warning — ~20 per verify run — would eventually mask a REAL
+    // unpartitioned-window regression; this keeps the warning channel
+    // clean (a corpus-sized unpartitioned window is a bug this codebase
+    // bans).
     val top = scored
       .orderBy(col("__score_q").desc, col(idCol))
       .limit(topK)
     top
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__score_q").desc, col(idCol))))
+      .coalesce(1)
+      .sortWithinPartitions(col("__score_q").desc, col(idCol))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select(
         col("rank"),
         col(idCol),

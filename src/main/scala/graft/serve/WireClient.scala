@@ -82,11 +82,12 @@ final class WireClient(host: String, port: Int) {
       start: Long,
       stop: Long,
       binsize: Long,
-      arrow: Boolean = false): Seq[HistoryChunk] =
+      arrow: Boolean = false,
+      arrowCodec: String = ""): Seq[HistoryChunk] =
     requestAll(
       s"""{"request":"aggregate","collection":${JsonMini.str(collection)},
          |"labels":${labelsJson(labels)},"start":$start,"stop":$stop,
-         |"binsize":$binsize,"aggs":${aggsJson(aggs)}${encJson(arrow)}}""".stripMargin)
+         |"binsize":$binsize,"aggs":${aggsJson(aggs)}${encJson(arrow, arrowCodec)}}""".stripMargin)
       .filter(_.msgType == Wire.History)
       .map(parseChunk)
 
@@ -116,7 +117,8 @@ final class WireClient(host: String, port: Int) {
       columns: Seq[String],
       start: Long,
       stop: Long,
-      arrow: Boolean = false): Subscription = {
+      arrow: Boolean = false,
+      arrowCodec: String = ""): Subscription = {
     val sock = new Socket(host, port)
     try {
       val out = new DataOutputStream(sock.getOutputStream)
@@ -125,7 +127,7 @@ final class WireClient(host: String, port: Int) {
       out.write(Wire.pack(0,
         s"""{"request":"subscribe","collection":${JsonMini.str(collection)},
            |"labels":${labelsJson(labels)},"columns":${columnsJson(columns)},
-           |"start":$start,"stop":$stop${encJson(arrow)}}""".stripMargin.getBytes("UTF-8")))
+           |"start":$start,"stop":$stop${encJson(arrow, arrowCodec)}}""".stripMargin.getBytes("UTF-8")))
       out.flush()
       val history = Seq.newBuilder[HistoryChunk]
       var m = readFrame(in)
@@ -150,8 +152,10 @@ final class WireClient(host: String, port: Int) {
 
   // ---- plumbing -------------------------------------------------------
 
-  private def encJson(arrow: Boolean): String =
-    if (arrow) ""","encoding":"arrow"""" else ""
+  private def encJson(arrow: Boolean, codec: String = ""): String =
+    if (!arrow) ""
+    else if (codec.isEmpty) ""","encoding":"arrow""""
+    else s""","encoding":"arrow+$codec""""
 
   /** Consume and validate the server's on-connect VersionCheck greeting
     * (exporter.py:1152-1157) — the first frame on EVERY connection. A

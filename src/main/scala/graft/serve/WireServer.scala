@@ -175,15 +175,34 @@ final class WireServer(
     * client sniffs per frame ([[ArrowFrames.isArrow]]); an empty chunk's
     * only payload is its metadata, which JSON carries just as well.
     */
-  private def historyBody(c: Service.HistoryChunk, arrow: Boolean): Array[Byte] =
+  private def historyBody(
+      c: Service.HistoryChunk,
+      arrow: Boolean,
+      codec: Option[
+        org.apache.arrow.vector.compression.CompressionUtil.CodecType] = None)
+      : Array[Byte] =
     if (arrow && c.rows.nonEmpty && ArrowFrames.supports(c.rows.head.schema))
       Wire.pack(Wire.History,
-        ArrowFrames.encode(c.label, c.more, c.freq, c.rows.head.schema, c.rows))
+        ArrowFrames.encode(c.label, c.more, c.freq, c.rows.head.schema, c.rows, codec))
     else historyBody(c)
 
-  /** The request's opt-in body encoding (`"encoding":"arrow"`). */
+  /** The request's opt-in body encoding (`"encoding":"arrow"`, or
+    * `"arrow+zstd"` / `"arrow+lz4"` for IPC buffer compression —
+    * bandwidth-limited links where plain Arrow's ~13× size vs zlib'd
+    * JSON is the wrong trade).
+    */
   private def wantsArrow(req: Map[String, Any]): Boolean =
-    req.get("encoding").contains("arrow")
+    req.get("encoding").exists {
+      case s: String => s == "arrow" || s.startsWith("arrow+")
+      case _ => false
+    }
+
+  private def arrowCodec(req: Map[String, Any]): Option[
+      org.apache.arrow.vector.compression.CompressionUtil.CodecType] =
+    req.get("encoding") match {
+      case Some(s: String) => ArrowFrames.codecOf(s)
+      case _ => None
+    }
 
   private def dispatch(
       request: String,
@@ -205,6 +224,7 @@ final class WireServer(
           val start = JsonMini.asLong(req("start"))
           val stop = JsonMini.asLong(req("stop"))
           val arrow = wantsArrow(req)
+          val codec = arrowCodec(req)
           // a FAILED subscribe must not leave a buffering relay (or a
           // marker callback) registered: it would accumulate every future
           // batch's rows for the life of the connection — close this
@@ -235,7 +255,7 @@ final class WireServer(
                   }
                 }
               }
-              val frame = historyBody(c, arrow)
+              val frame = historyBody(c, arrow, codec)
               out.synchronized { out.write(frame); out.flush() }
             }
             // markers registered BEFORE the ack: once the client sees the
@@ -335,7 +355,7 @@ final class WireServer(
           // one frame per chunk (the reference's chunked HISTORY stream),
           // compressed like the reference's history bodies (or Arrow
           // frames when the client opted in)
-          chunks.map(historyBody(_, wantsArrow(req)))
+          chunks.map(historyBody(_, wantsArrow(req), arrowCodec(req)))
             .reduceOption(_ ++ _).getOrElse(
               Wire.pack(Wire.History,
                 Wire.compress("""{"label":null,"more":false,"rows":[]}""".getBytes("UTF-8"))))

@@ -654,7 +654,9 @@ object ProfScale {
         }
         def backfill(encoding: String): (Double, Long, Long, Long) = {
           val server = new WireServer(svc)
-          val enc = if (encoding == "arrow") ""","encoding":"arrow"""" else ""
+          val enc =
+            if (encoding == "json") ""
+            else s""","encoding":"$encoding""""
           val req =
             s"""{"request":"subscribe","collection":"amp-external",
                |"labels":${labelsJson(4)},"columns":["value"]$enc,
@@ -688,10 +690,17 @@ object ProfScale {
         backfill("json") // warm the scan + codegen once
         val (tJ, fJ, bJ, rJ) = backfill("json")
         val (tA, fA, bA, rA) = backfill("arrow")
+        val (tZ, fZ, bZ, rZ) = backfill("arrow+zstd")
+        // no lz4 variant: commons-compress LZ4_FRAME (the only encoder
+        // available) measured 674 s for this same sf1 backfill — ~270x
+        // slower than zstd-jni — so the server does not offer it
         println(f"PROFSCALE wire_backfill_json              $tJ%8.2f s  ($fJ frames, ${bJ / 1e6}%.1f MB, $rJ rows, ${rJ / tJ / 1000}%.0fk rows/s)")
         println(f"PROFSCALE wire_backfill_arrow             $tA%8.2f s  ($fA frames, ${bA / 1e6}%.1f MB, $rA rows, ${rA / tA / 1000}%.0fk rows/s)")
-        require(rJ == rA, s"row-count parity broke: json $rJ vs arrow $rA")
-        println(f"PROFSCALE wirearrow speedup ${tJ / tA}%.2fx (rows parity ok)")
+        println(f"PROFSCALE wire_backfill_arrow_zstd        $tZ%8.2f s  ($fZ frames, ${bZ / 1e6}%.1f MB, $rZ rows, ${rZ / tZ / 1000}%.0fk rows/s)")
+        require(rJ == rA && rJ == rZ,
+          s"row-count parity broke: json $rJ / arrow $rA / zstd $rZ")
+        println(f"PROFSCALE wirearrow speedup ${tJ / tA}%.2fx plain, " +
+          f"${tJ / tZ}%.2fx zstd (bytes ${bZ.toDouble / bJ}%.2fx of zlib json)")
 
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
