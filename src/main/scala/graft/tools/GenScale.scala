@@ -140,6 +140,11 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    // optional 4th arg: comma-separated table subset ("documents" for a
+    // docs-only sf100 chain — the full set at x100 is ~18 GB of parquet)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-genscale")
@@ -164,32 +169,44 @@ object GenScale {
         .parquet(s"$dst/$name.parquet")
 
     new java.io.File(dst).mkdirs()
-    write(scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor),
-      "documents", 32)
-    write(scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor),
-      "embeddings", 32)
-    write(scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor),
-      "events", 32)
+    if (wanted("documents"))
+      write(scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor),
+        "documents", 32)
+    if (wanted("embeddings"))
+      write(scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor),
+        "embeddings", 32)
+    if (wanted("events"))
+      write(scaleEvents(spark.read.parquet(s"$src/events.parquet"), factor),
+        "events", 32)
 
     def tbl(name: String) = spark.read.parquet(s"$src/$name.parquet")
-    val custM = maxOf(tbl("customer"), "c_custkey")
-    val suppM = maxOf(tbl("supplier"), "s_suppkey")
-    val partM = maxOf(tbl("part"), "p_partkey")
-    val ordM  = maxOf(tbl("orders"), "o_orderkey")
-    write(tbl("region"), "region", 1)
-    write(tbl("nation"), "nation", 1)
-    write(scaleKeyed(tbl("customer"), factor, Map("c_custkey" -> custM)),
-      "customer", 8)
-    write(scaleKeyed(tbl("supplier"), factor, Map("s_suppkey" -> suppM)),
-      "supplier", 4)
-    write(scaleKeyed(tbl("part"), factor, Map("p_partkey" -> partM)),
-      "part", 8)
-    write(scaleKeyed(tbl("orders"), factor,
-      Map("o_orderkey" -> ordM, "o_custkey" -> custM)), "orders", 32)
-    write(scaleKeyed(tbl("lineitem"), factor,
-      Map("l_orderkey" -> ordM, "l_partkey" -> partM, "l_suppkey" -> suppM)),
-      "lineitem", 32)
-    println(s"GENSCALE ok $src -> $dst x$factor")
+    if (Seq("customer", "supplier", "part", "orders", "lineitem", "region",
+        "nation").exists(wanted)) {
+      val custM = maxOf(tbl("customer"), "c_custkey")
+      val suppM = maxOf(tbl("supplier"), "s_suppkey")
+      val partM = maxOf(tbl("part"), "p_partkey")
+      val ordM  = maxOf(tbl("orders"), "o_orderkey")
+      if (wanted("region")) write(tbl("region"), "region", 1)
+      if (wanted("nation")) write(tbl("nation"), "nation", 1)
+      if (wanted("customer"))
+        write(scaleKeyed(tbl("customer"), factor, Map("c_custkey" -> custM)),
+          "customer", 8)
+      if (wanted("supplier"))
+        write(scaleKeyed(tbl("supplier"), factor, Map("s_suppkey" -> suppM)),
+          "supplier", 4)
+      if (wanted("part"))
+        write(scaleKeyed(tbl("part"), factor, Map("p_partkey" -> partM)),
+          "part", 8)
+      if (wanted("orders"))
+        write(scaleKeyed(tbl("orders"), factor,
+          Map("o_orderkey" -> ordM, "o_custkey" -> custM)), "orders", 32)
+      if (wanted("lineitem"))
+        write(scaleKeyed(tbl("lineitem"), factor,
+          Map("l_orderkey" -> ordM, "l_partkey" -> partM, "l_suppkey" -> suppM)),
+          "lineitem", 32)
+    }
+    println(s"GENSCALE ok $src -> $dst x$factor" +
+      only.map(t => s" (tables: ${t.toSeq.sorted.mkString(",")})").getOrElse(""))
     spark.stop()
   }
 }

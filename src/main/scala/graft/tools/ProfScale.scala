@@ -520,6 +520,156 @@ object ProfScale {
         }
         graft.pipeline.Dedup.unpersistIntermediates()
 
+      case "dictscan" =>
+        // Aho–Corasick multi-pattern scan vs the naive per-term form.
+        // The automaton is ONE pass over the text regardless of |dict|;
+        // the naive form ((len(text)-len(replace(text,t)))/len(t) summed
+        // over terms) re-scans the corpus once per term — linear in
+        // |dict|. Dictionary = corpus top terms (deterministic).
+        import org.apache.spark.sql.functions.{col, length => flen,
+          lit, replace => freplace}
+        val docsD = Tables.documents(spark, sfDir).select("doc_id", "text")
+          .localCheckpoint()
+        val allTerms = graft.pipeline.TextAnalysis.topTerms(docsD, "text", 5000)
+          .collect().map(_.getString(0)).toSeq
+        def acScan(k: Int): Long = {
+          val d = allTerms.take(k)
+          docsD.select(graft.functions.DictScan(col("text"), d).as("r"))
+            .selectExpr("sum(r.n_hits)").collect()(0).getLong(0)
+        }
+        def naiveScan(k: Int): Long = {
+          val d = allTerms.take(k)
+          val total = d.map(t =>
+            ((flen(col("text")) - flen(freplace(col("text"), lit(t), lit("")))) /
+              lit(t.length)).cast("long"))
+            .reduce(_ + _)
+          docsD.select(total.as("h")).selectExpr("sum(h)").collect()(0).getLong(0)
+        }
+        acScan(100) // warm codegen once
+        var h100 = 0L; var h1000 = 0L; var h5000 = 0L; var hN = 0L
+        timed("dict_scan |dict|=100")  { h100 = acScan(100) }
+        timed("dict_scan |dict|=1000") { h1000 = acScan(1000) }
+        timed("dict_scan |dict|=5000") { h5000 = acScan(5000) }
+        timed("naive replace-count |dict|=100") { hN = naiveScan(100) }
+        // parity guard: overlapping vs non-overlapping counts agree here
+        // because corpus top TERMS are whole words (no self-overlap)
+        require(h100 == hN, s"hit-count parity broke: ac $h100 vs naive $hN")
+        println(s"PROFSCALE dictscan hits: 100=$h100 1000=$h1000 5000=$h5000")
+
+      case "lineopskb" =>
+        // line family at REALISTIC document shape: KB-sized docs (30
+        // source docs folded, newline-joined) with a HOT FOOTER line
+        // appended to EVERY document — the shape that breaks naive
+        // designs (a corpus-wide window over lines puts the whole corpus
+        // in the footer's partition). The verdict aggregate must fold the
+        // footer map-side: we pin that with the measured shuffle-record
+        // count — the verdict shuffle carries ~distinct-lines-per-
+        // partition rows, NOT one row per line occurrence. Run at
+        // sf100-folded for the 100x proof (GenScale docs-only chain).
+        import org.apache.spark.sql.functions.{col, collect_list, concat,
+          concat_ws, lit}
+        val kbL = Tables.documents(spark, sfDir)
+          .groupBy((col("doc_id") / 30).cast("long").as("doc_id"))
+          .agg(concat_ws("\n", collect_list(col("text"))).as("text"))
+          .withColumn("text",
+            concat(col("text"), lit("\nsubscribe to our newsletter for updates")))
+          .localCheckpoint()
+        val st = kbL.agg(
+          org.apache.spark.sql.functions.count(col("doc_id")),
+          org.apache.spark.sql.functions.avg(
+            org.apache.spark.sql.functions.length(col("text")))).collect()(0)
+        println(f"PROFSCALE kb corpus docs=${st.getLong(0)} avg_chars=${st.getDouble(1)}%.0f (hot footer in every doc)")
+        val totalLines = kbL.selectExpr(
+          "sum(size(split(text, '\n')))").collect()(0).getLong(0)
+        // count shuffle records across the job: the fold ratio
+        val shuffled = new java.util.concurrent.atomic.AtomicLong()
+        val lis = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              shuffled.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        }
+        def foldRatio[T](name: String)(body: => T): Unit = {
+          shuffled.set(0L)
+          spark.sparkContext.addSparkListener(lis)
+          try { timed(name)(body) }
+          finally {
+            spark.sparkContext.removeSparkListener(lis)
+            val s = shuffled.get()
+            println(f"PROFSCALE   $name: $totalLines lines -> $s shuffle records " +
+              f"(fold ratio ${totalLines.toDouble / math.max(1L, s)}%.1fx)")
+          }
+        }
+        foldRatio("kb filter_lines (fused, map-only)") {
+          kbL.select(
+            graft.functions.FilterLines(col("text"), 3,
+              Seq("slow", "dup"), requireTerminalPunct = false).as("r"))
+            .selectExpr("sum(r.n_kept)").collect()
+        }
+        var dedupShuffleA = 0L
+        foldRatio("kb line dedup (corpus firsts, hot footer)") {
+          graft.pipeline.Lines.dedupLines(kbL, "doc_id", "text")
+            .selectExpr("sum(n_kept)").collect()
+          dedupShuffleA = shuffled.get()
+        }
+        foldRatio("kb boilerplate (hot footer cut)") {
+          val out = graft.pipeline.Lines.boilerplateLines(kbL, "doc_id", "text", 3)
+            .selectExpr("sum(n_kept)", "sum(n_lines)").collect()(0)
+          // the footer is in every doc (> 3 occurrences): every copy cut
+          require(out.getLong(0) <= out.getLong(1) - st.getLong(0),
+            s"hot footer survived: kept=${out.getLong(0)} lines=${out.getLong(1)}")
+        }
+        // THE fold proof: corpus B interleaves the hot footer between
+        // every pair of lines — ~totalLines EXTRA occurrences of ONE
+        // line. If the verdict aggregate folds map-side, the dedup
+        // shuffle grows by ~(partitions) records, not by ~totalLines;
+        // the marginal ratio (added occurrences / added shuffle records)
+        // is the hot-line partial-aggregation ratio.
+        val kbHot = kbL.withColumn("text",
+          org.apache.spark.sql.functions.regexp_replace(
+            col("text"), "\n", "\nsubscribe to our newsletter for updates\n"))
+          .localCheckpoint()
+        val hotLines = kbHot.selectExpr(
+          "sum(size(split(text, '\n')))").collect()(0).getLong(0)
+        shuffled.set(0L)
+        spark.sparkContext.addSparkListener(lis)
+        try {
+          timed("kb line dedup (footer interleaved everywhere)") {
+            graft.pipeline.Lines.dedupLines(kbHot, "doc_id", "text")
+              .selectExpr("sum(n_kept)").collect()
+          }
+        } finally spark.sparkContext.removeSparkListener(lis)
+        val added = hotLines - totalLines
+        println(f"PROFSCALE   end-to-end marginal: +$added occurrences of ONE line -> " +
+          f"+${shuffled.get() - dedupShuffleA} shuffle records " +
+          "(the verdict join + rebuild carry every REAL row once each — " +
+          "structural, per-key-flat; the hot join partition is AQE skew-split)")
+        // isolate the VERDICT AGGREGATE (the piece that must never build
+        // a posting list for a hot line): min(struct(id,ord)) on md5(line),
+        // solo, on both corpora — the marginal shuffle records per added
+        // hot occurrence is the partial-aggregation (map-side fold) proof
+        import org.apache.spark.sql.functions.{length => flen, md5,
+          min, posexplode, split, struct, trim}
+        def verdictAggRecords(src: org.apache.spark.sql.DataFrame): Long = {
+          shuffled.set(0L)
+          spark.sparkContext.addSparkListener(lis)
+          try {
+            src.select(col("doc_id").as("__id"),
+                posexplode(split(col("text"), "\n", -1)).as(Seq("__ord", "__line")))
+              .filter(flen(trim(col("__line"))) >= 1)
+              .groupBy(md5(col("__line")).as("__h"))
+              .agg(min(struct(col("__id"), col("__ord"))).as("__first"))
+              .selectExpr("count(1)", "min(__first.__id)").collect()
+          } finally spark.sparkContext.removeSparkListener(lis)
+          shuffled.get()
+        }
+        val aggA = verdictAggRecords(kbL)
+        val aggB = verdictAggRecords(kbHot)
+        println(f"PROFSCALE   verdict agg solo: +$added hot occurrences -> " +
+          f"+${aggB - aggA} agg shuffle records " +
+          f"(hot-line partial-aggregation ratio ${
+            added.toDouble / math.max(1L, aggB - aggA)}%.0fx)")
+
       case "pump" =>
         // prefetch-pump A/B (r12 notes' "next floor"): the history
         // backfill's two serial phases — partition compute and driver-side
