@@ -167,4 +167,44 @@ class LiveRelaySpec extends AnyFunSuite {
       seam.head._2.contains(""""timestamp":1100"""))
     assert(seam.exists { case (t, b) => t === Wire.Push && b.contains("1200") })
   }
+
+  test("unsubscribe mid-backfill drops the stream's buffered rows at the seam") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("x" -> Seq(1L, 2L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink))
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(
+      row(1L, 1100L), row(2L, 1200L))))
+    assert(relay.streamCount === 2)
+    assert(relay.unsubscribe(Seq(1L)) === 1L) // one stream remains
+    relay.finish(Map("x" -> 1000L))
+    val released = frames(sink)
+    // stream 1's buffered row never reaches the socket; stream 2's does
+    assert(released.nonEmpty)
+    assert(!released.exists(_._2.contains(""""stream_id":1""")))
+    assert(released.exists(_._2.contains(""""stream_id":2""")))
+  }
+
+  test("unsubscribe in live mode stops that stream immediately; others flow") {
+    val sink = new ByteArrayOutputStream()
+    val relay = new LiveRelay(
+      "amp-external", Map("x" -> Seq(1L), "y" -> Seq(2L)),
+      Seq("value"), start = 0L, stop = 0L, new DataOutputStream(sink))
+    relay.finish(Map.empty) // straight to live mode
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(
+      row(1L, 1100L), row(2L, 1100L))))
+    assert(relay.unsubscribe(Seq(2L)) === 1L)
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(
+      row(1L, 1200L), row(2L, 1200L))))
+    val out = frames(sink)
+    // before: both streams; after: only stream 1 (and its gate kept
+    // advancing — 1200 follows 1100)
+    val s1 = out.filter(_._2.contains(""""stream_id":1"""))
+    val s2 = out.filter(_._2.contains(""""stream_id":2"""))
+    assert(s1.size === 2 && s2.size === 1)
+    assert(relay.streamCount === 1)
+    assert(relay.unsubscribe(Seq(1L)) === 0L)
+    relay.onBatch(Markers.LiveBatch("amp-external", Seq(row(1L, 1300L))))
+    assert(frames(sink).size === out.size) // nothing new on the socket
+  }
 }
