@@ -602,6 +602,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Paragraph-granularity dedup (MassiveText repeated-paragraph
+    //      rule): same corpus-first machinery, sep = blank line. The
+    //      derived corpus turns " sort " into a paragraph break and
+    //      " merge " into a line break, so paragraphs are multi-line ----
+    "q_para_dedup" -> ((s, dir) => {
+      import graft.pipeline.Lines
+      val multi = Tables.documents(s, dir).select(
+        col("doc_id"),
+        replace(
+          replace(col("text"), lit(" sort "), lit("\n\n")),
+          lit(" merge "), lit("\n")).as("text"))
+      Lines.dedupLines(multi, "doc_id", "text", minChars = 1, sep = "\n\n")
+        .select(
+          col("doc_id"), col("n_lines").as("n_paras"),
+          col("n_kept"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Boilerplate-line removal (every copy of a hot line dropped) --
     "q_line_boilerplate" -> ((s, dir) => {
       import graft.pipeline.Lines
@@ -1024,6 +1042,21 @@ object SparkEntry {
           TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
             .select("doc_id", "n_bpe_tokens"),
           "doc_id", "n_bpe_tokens", q = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Per-GROUP exact-quantile cut: each source keeps ITS OWN top
+    //      20% by (metric, id) rank — one corpus prefix scan on the
+    //      length-prefixed (group, metric, id) key, groups-sized offsets,
+    //      no per-group sort (the percentile-sketch per-group form stays
+    //      spec-covered; this is its exact oracle-checkable twin) --------
+    "q_quality_cut_pergroup" -> ((s, dir) => {
+      val stats = TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "n_bpe_tokens")
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      Splits.cutByQuantileExactPerGroup(
+          stats, "doc_id", "source", "n_bpe_tokens", q = 0.8)
+        .select("doc_id", "source", "n_bpe_tokens")
         .orderBy("doc_id")
     }),
 
@@ -2580,6 +2613,35 @@ object SparkEntry {
         |      FILTER (WHERE keep), '')) AS clean_md5
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // paragraph granularity: split/rejoin on the blank line
+    // (chr(10)||chr(10)); the rule is identical at span scope
+    "q_para_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' sort ', chr(10) || chr(10)),
+        |            ' merge ', chr(10)) AS t
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10) || chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS ord
+        |  FROM m
+        |), k AS (
+        |  SELECT doc_id, ord, line,
+        |    CASE WHEN length(trim(line)) >= 1
+        |         THEN row_number() OVER (
+        |                PARTITION BY CASE WHEN length(trim(line)) >= 1 THEN line END
+        |                ORDER BY doc_id, ord) = 1
+        |         ELSE TRUE END AS keep
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_paras,
+        |  count(*) FILTER (WHERE keep) AS n_kept,
+        |  md5(coalesce(string_agg(line, chr(10) || chr(10) ORDER BY ord)
+        |      FILTER (WHERE keep), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_line_boilerplate" ->
       """WITH m AS (
         |  SELECT doc_id, replace(text, ' merge ', chr(10)) AS t FROM documents
@@ -3477,6 +3539,22 @@ object SparkEntry {
         |  SELECT doc_id, n_bpe_tokens,
         |         row_number() OVER (ORDER BY n_bpe_tokens, doc_id) - 1 AS pos,
         |         count(*) OVER () AS n
+        |  FROM s
+        |) WHERE pos >= floor(0.8 * n)
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-group: the same rank rule partitioned by source
+    "q_quality_cut_pergroup" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_bpe_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_bpe_tokens FROM (
+        |  SELECT doc_id, source, n_bpe_tokens,
+        |         row_number() OVER (
+        |           PARTITION BY source ORDER BY n_bpe_tokens, doc_id) - 1 AS pos,
+        |         count(*) OVER (PARTITION BY source) AS n
         |  FROM s
         |) WHERE pos >= floor(0.8 * n)
         |ORDER BY doc_id""".stripMargin,

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *     marks it as boilerplate). Occurrence count (not distinct-doc
   *     count) so a doc self-repeating its boilerplate counts too.
   *
+  * Span granularity: both policies take a `sep` (default "\n" — LINE
+  * granularity). Passing "\n\n" gives PARAGRAPH granularity (the
+  * MassiveText repeated-paragraph rule; C4's spans are sentence-group
+  * sized) — same machinery, same verdict aggregate, clean_text rejoined
+  * with the same separator. The separator is treated as a LITERAL
+  * (regex-quoted).
+  *
   * "Substantial" lines (trimmed length >= `minChars`, default 1) are the
   * only dedup candidates: empty/whitespace lines are document STRUCTURE,
   * not content — deduping them corpus-wide would collapse every blank
@@ -53,10 +60,13 @@ object Lines {
     * trailing empties, matching DuckDB string_split (the FilterLines
     * parity convention).
     */
-  private def explodedLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def explodedLines(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
     df.select(
       col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("__ord", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__ord", "__line")))
 
   private def substantial(minChars: Int): Column =
     length(trim(col("__line"))) >= minChars
@@ -66,7 +76,8 @@ object Lines {
     * kept lines enter the per-doc buffer; struct sort orders by __ord
     * (first field) — within-doc original order, no window.
     */
-  private def rebuild(lines: DataFrame, idCol: String): DataFrame =
+  private def rebuild(
+      lines: DataFrame, idCol: String, sep: String = "\n"): DataFrame =
     lines
       .groupBy(col("__id"))
       .agg(
@@ -77,7 +88,7 @@ object Lines {
             array_sort(collect_list(when(col("__keep"),
               struct(col("__ord"), col("__line"))))),
             s => s.getField("__line")),
-          "\n").as("clean_text"))
+          sep).as("clean_text"))
       .withColumnRenamed("__id", idCol)
 
   /** Corpus-global first-occurrence line dedup. A substantial line is
@@ -91,8 +102,9 @@ object Lines {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minChars: Int = 1): DataFrame = {
-    val lines = explodedLines(df, idCol, textCol)
+      minChars: Int = 1,
+      sep: String = "\n"): DataFrame = {
+    val lines = explodedLines(df, idCol, textCol, sep)
     val firsts = lines
       .filter(substantial(minChars))
       .groupBy(md5(col("__line")).as("__h"))
@@ -103,7 +115,7 @@ object Lines {
         "__keep",
         !substantial(minChars) ||
           (col("__first.__id") === col("__id") && col("__first.__ord") === col("__ord")))
-    rebuild(verdict, idCol)
+    rebuild(verdict, idCol, sep)
   }
 
   /** The hot-line set behind [[boilerplateLines]], as data: substantial
@@ -155,9 +167,10 @@ object Lines {
       idCol: String,
       textCol: String,
       maxOccurrences: Long,
-      minChars: Int = 1): DataFrame = {
+      minChars: Int = 1,
+      sep: String = "\n"): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
-    val lines = explodedLines(df, idCol, textCol)
+    val lines = explodedLines(df, idCol, textCol, sep)
     val hot = lines
       .filter(substantial(minChars))
       .groupBy(md5(col("__line")).as("__h"))
@@ -170,6 +183,6 @@ object Lines {
     val verdict = lines
       .join(hot, md5(col("__line")) === col("__h"), "left_outer")
       .withColumn("__keep", !substantial(minChars) || col("__h").isNull)
-    rebuild(verdict, idCol)
+    rebuild(verdict, idCol, sep)
   }
 }

@@ -826,6 +826,57 @@ object Splits {
     pos.filter(col("__pos1") - 1L >= cut).drop("__ord", "__one", "__pos1")
   }
 
+  /** [[cutByQuantileExact]] PER GROUP: within each group, keep the rows
+    * whose 0-based (metric ASC, id ASC) position is ≥ floor(q · n_g) —
+    * exactly n_g − floor(q·n_g) rows per group, deterministic, oracle-
+    * reproducible (`row_number() OVER (PARTITION BY g ORDER BY metric,
+    * id) − 1 >= floor(q·n_g)`). The exact twin of
+    * [[TextAnalysis.cutByQuantileOfPerGroup]]'s percentile-sketch form.
+    *
+    * Shape at 100 TB: the order key is the LENGTH-PREFIXED group, then
+    * the biased metric, then the id — length-prefixing makes every
+    * group's rows CONTIGUOUS in the one global order (a bare
+    * `group || '-'` prefix can interleave when one group name extends
+    * another into the metric's digit range), so ONE corpus-wide
+    * two-phase prefix scan (range partition + per-partition offsets —
+    * never a per-group or global single-task sort; a group larger than
+    * a partition simply spans several ranges) yields global positions,
+    * and a groups-sized aggregate (min position = the group's start,
+    * count = n_g) converts them to per-group ranks. That aggregate's
+    * join back onto the corpus is group-keyed: AQE broadcasts it when
+    * the group count is small and skew-splits a hot group's probe
+    * partition otherwise (one build row per group — the flat-join
+    * shape).
+    */
+  def cutByQuantileExactPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      metricCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
+    val g = col(groupCol).cast("string")
+    val groupKey = when(g.isNull,
+        raise_error(lit(s"cutByQuantileExactPerGroup: null $groupCol — " +
+          "coalesce groups to a sentinel first")))
+      .when(length(g) > 9999,
+        raise_error(lit(s"cutByQuantileExactPerGroup: $groupCol longer " +
+          "than 9999 chars")))
+      .otherwise(concat(lpad(length(g).cast("string"), 4, "0"), g))
+    val keyed = metricOrderKeyed(df, idCol, metricCol)
+      .withColumn("__ord", concat(groupKey, lit("-"), col("__ord")))
+    val (pos, _) = Packing.withPrefixSumTotal(keyed, "__ord", "__one", "__pos1")
+    val starts = pos
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min(col("__pos1")).as("__gstart"), count(lit(1)).as("__gn"))
+    pos
+      .join(starts, col(groupCol) === col("__g"))
+      .filter(
+        col("__pos1") - col("__gstart") >=
+          floor(lit(q) * col("__gn").cast("double")).cast("long"))
+      .drop("__ord", "__one", "__pos1", "__g", "__gstart", "__gn")
+  }
+
   private def shuffled(df: DataFrame, idCol: String, hashHex: Column): DataFrame =
     orderedByKey(df, concat(hashHex, lit("-"), idPad(col(idCol))))
 

@@ -563,6 +563,18 @@ object PlanAudit {
         plan(qc),
         mustContain = Seq("Window"),
         mustNot = Seq("Exchange SinglePartition"))
+
+      // 16b. per-GROUP exact cut: same machinery on the length-prefixed
+      //      (group, metric, id) key — still no single-task funnel, and
+      //      never a per-group row_number window over the corpus sorted
+      //      by (group, metric) in one task
+      val qg = graft.pipeline.Splits.cutByQuantileExactPerGroup(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", 0.8)
+      check("per-group quantile cut: prefix scan + group offsets, no single-task window",
+        plan(qg),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
     }
 
     guarded("pii scan") {

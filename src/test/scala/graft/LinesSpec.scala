@@ -103,4 +103,25 @@ class LinesSpec extends SparkSpec {
     assert(out(0) === Row(1L, 3L, 3L, "x\nlong enough line\nx"))
     assert(out(1) === Row(2L, 2L, 1L, "x"))
   }
+
+  test("paragraph granularity (sep = blank line): spans dedup whole, interior newlines kept") {
+    val df = Seq(
+      (1L, "alpha one\nalpha two\n\nbeta"),
+      (2L, "alpha one\nalpha two\n\ngamma"), // para 1 is doc 1's copy
+      (3L, "alpha one")) // a LINE of doc 1's para, not the whole para
+      .toDF("doc_id", "text")
+    val out = Lines.dedupLines(df, "doc_id", "text", sep = "\n\n")
+      .orderBy("doc_id").collect()
+    // doc 1 keeps both paragraphs; doc 2 loses the duplicated multi-line
+    // paragraph AS A UNIT; doc 3's single line is a DIFFERENT span than
+    // doc 1's two-line paragraph, so it survives
+    assert(out(0) === Row(1L, 2L, 2L, "alpha one\nalpha two\n\nbeta"))
+    assert(out(1) === Row(2L, 2L, 1L, "gamma"))
+    assert(out(2) === Row(3L, 1L, 1L, "alpha one"))
+    // line granularity on the same corpus behaves differently: doc 3's
+    // "alpha one" IS doc 1's first line — dropped
+    val lineOut = Lines.dedupLines(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(lineOut(2).getLong(2) === 0L)
+  }
 }

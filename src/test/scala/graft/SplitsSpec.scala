@@ -544,6 +544,62 @@ class SplitsSpec extends SparkSpec {
     assert(Splits.cutByQuantileExact(docs.limit(1), "id", "m", 0.5).count() === 1L)
   }
 
+  test("cutByQuantileExactPerGroup: each group keeps exactly its own top fraction") {
+    // disjoint metric ranges (the per-group motivation): a GLOBAL cut
+    // would keep nothing of group c — the per-group cut keeps its head
+    val docs = spark.range(0, 900).toDF("id")
+      .withColumn("g",
+        when(col("id") < 300, lit("a"))
+          .when(col("id") < 600, lit("b")).otherwise(lit("c")))
+      .withColumn("m",
+        when(col("g") === "a", col("id") + 10000L)
+          .when(col("g") === "b", col("id") + 5000L).otherwise(col("id") % 7))
+    val kept = Splits.cutByQuantileExactPerGroup(docs, "id", "g", "m", q = 0.8)
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n_g = 300 each; floor(0.8*300) = 240 -> exactly 60 kept per group,
+    // including c (plateaued m: the id tie-break keeps the count exact)
+    assert(kept === Map("a" -> 60L, "b" -> 60L, "c" -> 60L))
+    // deterministic under repartitioning
+    val k1 = Splits.cutByQuantileExactPerGroup(docs, "id", "g", "m", 0.8)
+      .select("id").as[Long].collect().toSet
+    val k2 = Splits.cutByQuantileExactPerGroup(docs.repartition(7), "id", "g", "m", 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(k1 === k2)
+    // matches the single-group form when there IS one group
+    val one = docs.withColumn("g", lit("only"))
+    val viaGroup = Splits.cutByQuantileExactPerGroup(one, "id", "g", "m", 0.8)
+      .select("id").as[Long].collect().toSet
+    val viaGlobal = Splits.cutByQuantileExact(one, "id", "m", 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(viaGroup === viaGlobal)
+  }
+
+  test("per-group cut: prefix-adversarial group names stay contiguous; null group raises") {
+    // group "a" vs "a-05": with a bare 'g || -' key prefix, "a-05..."
+    // lands INSIDE group a's metric digit range ('0'..'9') and the
+    // groups interleave — the length prefix prevents exactly this
+    val docs = spark.range(0, 200).toDF("id")
+      .withColumn("g", when(col("id") % 2 === 0, lit("a")).otherwise(lit("a-05")))
+      .withColumn("m", col("id"))
+    val kept = Splits.cutByQuantileExactPerGroup(docs, "id", "g", "m", 0.5)
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("a" -> 50L, "a-05" -> 50L))
+    // and the kept rows are each group's own top half
+    val ids = Splits.cutByQuantileExactPerGroup(docs, "id", "g", "m", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(ids === (100L until 200L).toSet)
+    val withNull = docs.withColumn("g",
+      when(col("id") === 0, lit(null: String)).otherwise(col("g")))
+    val e = intercept[Exception] {
+      Splits.cutByQuantileExactPerGroup(withNull, "id", "g", "m", 0.5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null")), msgs(e).mkString(" | "))
+  }
+
   test("order-key id guard refuses >20-char and negative ids loudly") {
     val neg = Seq((-1L, 5L), (2L, 7L)).toDF("id", "m")
     val e1 = intercept[Exception] { Splits.shuffleOrder(neg, "id").collect() }
