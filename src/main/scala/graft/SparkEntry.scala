@@ -985,6 +985,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- DSIR's actual log-ratio form: Σ count·(ln p_t − ln p_r) —
+    //      platform-libm ln + 1e-9 quantum (the PlatformLn recipe) ------
+    "q_importance_log" -> ((s, dir) => {
+      Importance.importanceWeight(Tables.documents(s, dir), "doc_id", "text",
+          org.apache.spark.sql.functions.col("source") === "src0",
+          buckets = 4096, logForm = true, md5Family = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- Fused importance scoring of a HELD-OUT slice against a
     //      standing model (the incremental/streaming seat): model
     //      trained on even doc_ids in-JVM (dense 4096-long array,
@@ -3381,6 +3390,43 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
         |       (CAST(sum(dq) AS DOUBLE) / count(*)) / 1000000000000.0 AS imp_score
+        |FROM feats JOIN lm USING (f)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR's actual log-ratio: dq = floor((ln pt - ln pr)*1e9 + 0.5) —
+    // platform-libm ln parity (PlatformLn), 1e-9 quantum absorbs the
+    // residual 1-ulp disagreements
+    "q_importance_log" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), uni AS (
+        |  SELECT doc_id, source, unnest(w) AS g FROM t
+        |), bi AS (
+        |  SELECT doc_id, source,
+        |         unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 2
+        |), feats AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS f
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |), counts AS (
+        |  SELECT f,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM feats GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM counts
+        |), lm AS (
+        |  SELECT f,
+        |    CAST(floor(
+        |      (ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+        |       - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS dq
+        |  FROM counts CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |       (CAST(sum(dq) AS DOUBLE) / count(*)) / 1000000000.0 AS imp_score
         |FROM feats JOIN lm USING (f)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

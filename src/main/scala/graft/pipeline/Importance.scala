@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * (T/R = total feature occurrences in the target/raw slice, B = bucket
   * count). The paper's importance weight is
   * log w(d) = Σ_f count_d(f) · (ln p_t(f) − ln p_r(f)); `logForm = true`
-  * computes exactly that (quantized to 1e-12 longs — deterministic
-  * in-JVM, but ln differs in the last ulp across engines, so it is
-  * spec-pinned). The GATE form (`logForm = false`) is the linear analog
+  * computes exactly that, hash-gated too (q_importance_log): the ln is
+  * the platform libm ([[graft.functions.PlatformLn]] — Spark's builtin
+  * log() is StrictMath, which disagrees with the oracle engine's ln on
+  * ~6% of inputs vs Math.log's 0.06%/1 ulp) and the log-ratio is
+  * quantized at 1e-9 (a 1-ulp disagreement on a magnitude-~16 ratio
+  * cannot cross a 1e-9 boundary in practice; at 1e-12 it could, ~2%
+  * per 4096-bucket model). The original GATE form (`logForm = false`)
+  * is the linear analog
   * Σ count_d(f) · (q(p_t) − q(p_r)) with q(x) = floor(x·1e12 + 0.5):
   * every probability is one exact long/long IEEE division quantized to
   * an integer, so per-doc sums are independent of partial-aggregation
@@ -107,9 +112,14 @@ object Importance {
 
     val pt = (col("__ct") + 1L).cast("double") / (col("__T") + v).cast("double")
     val pr = (col("__cr") + 1L).cast("double") / (col("__R") + v).cast("double")
+    // logForm quantum is 1e-9 (see the class doc: 1-ulp ln safety);
+    // linear stays 1e-12 (exact divisions, no ulp risk)
+    val quant = if (logForm) lit(1000000000.0) else q12
     val dq =
       if (logForm)
-        floor((log(pt) - log(pr)) * q12 + lit(0.5)).cast("long")
+        floor(
+          (graft.functions.PlatformLn(pt) - graft.functions.PlatformLn(pr)) *
+            quant + lit(0.5)).cast("long")
       else
         floor(pt * q12 + lit(0.5)).cast("long") -
           floor(pr * q12 + lit(0.5)).cast("long")
@@ -126,7 +136,7 @@ object Importance {
       .select(
         col(idCol),
         col("n_feats"),
-        ((col("__sq").cast("double") / col("n_feats")) / q12).as("imp_score"))
+        ((col("__sq").cast("double") / col("n_feats")) / quant).as("imp_score"))
   }
 
   /** Train the bucketed importance model as a dense per-bucket weight
@@ -171,10 +181,13 @@ object Importance {
     val t = counts.map(_._2).sum
     val r = counts.map(_._3).sum
     def q(p: Double): Long = math.floor(p * 1e12 + 0.5).toLong
+    def q9(p: Double): Long = math.floor(p * 1e9 + 0.5).toLong
     def dqOf(ct: Long, cr: Long): Long = {
       val pt = (ct + 1).toDouble / (t + buckets).toDouble
       val pr = (cr + 1).toDouble / (r + buckets).toDouble
-      if (logForm) q(math.log(pt) - math.log(pr)) else q(pt) - q(pr)
+      // Math.log: the same platform libm the relational PlatformLn and
+      // the oracle engine evaluate — see importanceWeight's logForm note
+      if (logForm) q9(Math.log(pt) - Math.log(pr)) else q(pt) - q(pr)
     }
     val dq = Array.fill(buckets)(dqOf(0L, 0L))
     counts.foreach { case (f, ct, cr) => dq(f.toInt) = dqOf(ct, cr) }
@@ -197,7 +210,8 @@ object Importance {
       idCol: String,
       textCol: String,
       model: Array[Long],
-      md5Family: Boolean = false): DataFrame =
+      md5Family: Boolean = false,
+      quant: Double = 1000000000000.0): DataFrame =
     df.select(
         col(idCol),
         graft.functions.ImportanceScore(col(textCol), model, md5Family).as("__s"))
@@ -205,6 +219,6 @@ object Importance {
       .select(
         col(idCol),
         col("__s.n_feats").as("n_feats"),
-        ((col("__s.sumq").cast("double") / col("__s.n_feats")) / lit(1000000000000.0))
+        ((col("__s.sumq").cast("double") / col("__s.n_feats")) / lit(quant))
           .as("imp_score"))
 }

@@ -36,15 +36,17 @@ class ImportanceSpec extends SparkSpec {
     val cr = occ.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val t = ct.values.sum
     val r = cr.values.sum
-    def q(p: Double): Long = math.floor(p * 1000000000000.0 + 0.5).toLong
+    // logForm quantum is 1e-9, linear 1e-12 — the operator's convention
+    val quant = if (logForm) 1000000000.0 else 1000000000000.0
+    def q(p: Double): Long = math.floor(p * quant + 0.5).toLong
     def dq(f: Long): Long = {
       val pt = (ct.getOrElse(f, 0L) + 1).toDouble / (t + buckets).toDouble
       val pr = (cr.getOrElse(f, 0L) + 1).toDouble / (r + buckets).toDouble
-      if (logForm) q(math.log(pt) - math.log(pr)) else q(pt) - q(pr)
+      if (logForm) q(Math.log(pt) - Math.log(pr)) else q(pt) - q(pr)
     }
     occ.groupBy(_._1).map { case (id, fs) =>
       val sq = fs.map(o => dq(o._3)).sum
-      id -> (fs.size.toLong, (sq.toDouble / fs.size) / 1000000000000.0)
+      id -> (fs.size.toLong, (sq.toDouble / fs.size) / quant)
     }
   }
 
