@@ -120,6 +120,10 @@ object GraftExtensions {
       exprs => VideoHeader(exprs.head)),
     fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
       exprs => NfcNormalize(exprs.head)),
+    fn("platform_ln",
+      "platform_ln(x) - natural log via the platform libm (oracle-parity " +
+        "ln; Spark's log() is StrictMath)", 1)(
+      exprs => PlatformLn(exprs.head)),
     fn("dict_scan",
       "dict_scan(text, 'comma,separated,terms') - Aho-Corasick multi-pattern " +
         "scan: (n_terms_present, n_hits, first_term)", 2)(

@@ -772,6 +772,20 @@ object ProfScale {
               s"${e.getClass.getSimpleName} (hot-group one-task sort; " +
               f"production threshold form finished in $tPre%.2f s)")
         }
+        // per-group EXACT quantile cut on the same skewed corpus: the
+        // prefix-scan machinery range-partitions on (group, metric, id) —
+        // the hot group simply SPANS several ranges instead of funneling
+        // one task, so the cut should scale with the corpus, not the
+        // hot group. Keep-count sanity: ~10% of every group survives.
+        val tQg = timed("per-group exact quantile cut (same skew)") {
+          val out = Splits.cutByQuantileExactPerGroup(
+            skewed.withColumn("m", org.apache.spark.sql.functions.length(col("text"))),
+            "doc_id", "source", "m", q = 0.9)
+          val kept = out.count()
+          require(kept >= n / 20 && kept <= n / 5, s"kept $kept of $n (expected ~10%)")
+          kept
+        }
+        println(f"PROFSCALE pergroup quantile on 90%%-hot corpus: ok ($tQg%.2f s)")
 
       case "wirearrow" =>
         // backfill encoding A/B on one socket: JSON+zlib (the reference's

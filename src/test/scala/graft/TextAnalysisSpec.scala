@@ -281,6 +281,9 @@ class TextAnalysisSpec extends SparkSpec {
     val n = Seq[java.lang.Double](null).toDF("x")
       .select(PlatformLn(col("x"))).head()
     assert(n.isNullAt(0))
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT platform_ln(CAST(2.0 AS DOUBLE)) AS l").head().getDouble(0)
+      === java.lang.Math.log(2.0))
   }
 
   test("cutByQuantileOf keeps ~the top 1-q fraction (sandwich property)") {
