@@ -1444,6 +1444,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL pixel decode: binary PPM (P6) needs no codec — exact
+    //      per-channel sums + a defined 2x2 nearest-neighbor thumbnail
+    //      from byte-exact synthetic rasters (ASCII md5 hex chars, so the
+    //      oracle rebuilds the raster from the same fields). Raw-text and
+    //      truncated rows decode to NULL (format guard) -----------------
+    "q_multimodal_pixels" -> ((s, dir) => {
+      import graft.functions.PpmDecode
+      Multimodal.mediaTablePpm(Tables.documents(s, dir))
+        .select(col("media_id"), PpmDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- Audio (WAV/RIFF) container metadata: the AudioHeader walk over
     //      byte-exact synthetic containers ------------------------------
     "q_multimodal_audio" -> ((s, dir) => {
@@ -4184,6 +4205,47 @@ object SparkEntry {
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, s_name""".stripMargin,
+
+    // P6 decode: the raster is ASCII md5-hex, so the oracle recomputes
+    // sums and the 2x2 nearest-neighbor thumb POSITIONALLY from the same
+    // fields — channel c at 1-based offset 3*i + c + 1; thumb pixel
+    // (ty, tx) samples row (ty*h)//2, col (tx*w)//2
+    "q_multimodal_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 3 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        flatten(list_transform([0, 1], tx ->
+        |          list_transform([0, 1, 2], ch ->
+        |            3 * (((ty * h) // 2) * w + (tx * w) // 2) + ch + 1))))),
+        |      pos -> printf('%02x', ascii(substr(px, CAST(pos AS INTEGER), 1)))),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """WITH m AS (

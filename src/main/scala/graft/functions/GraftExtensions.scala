@@ -120,6 +120,10 @@ object GraftExtensions {
       exprs => VideoHeader(exprs.head)),
     fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
       exprs => NfcNormalize(exprs.head)),
+    fn("ppm_decode",
+      "ppm_decode(bytes) - binary PPM (P6) pixel decode: (width, height, " +
+        "n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
+      exprs => PpmDecode(exprs.head)),
     fn("platform_ln",
       "platform_ln(x) - natural log via the platform libm (oracle-parity " +
         "ln; Spark's log() is StrictMath)", 1)(

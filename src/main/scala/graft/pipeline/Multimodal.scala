@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus batched per-partition
   * "decode"/feature-extract operators.
   *
-  * The decode step is a clearly-marked STUB — the container has no
-  * image/audio codecs — producing deterministic fake features. Everything
-  * around it (schema, binary columns, partition-batched execution shape,
-  * metadata struct) is the real 100 TB design: payloads never shuffle except
-  * where a transform requires it, and feature extraction runs as a
-  * per-partition batch (the Scala analogue of `mapInPandas` batching).
+  * The CODEC decode step (JPEG/PNG/WAV pixels/samples) is a
+  * clearly-marked STUB — the container has no image/audio codecs —
+  * producing deterministic fake features. UNCOMPRESSED formats need no
+  * codec, so those decode for REAL: binary PPM (P6) pixels via
+  * [[graft.functions.PpmDecode]] — exact per-channel sums and a defined
+  * nearest-neighbor thumbnail, hash-gated (q_multimodal_pixels).
+  * Everything around the stub (schema, binary columns, partition-batched
+  * execution shape, metadata struct) is the real 100 TB design: payloads
+  * never shuffle except where a transform requires it, and feature
+  * extraction runs as a per-partition batch (the Scala analogue of
+  * `mapInPandas` batching).
   */
 object Multimodal {
 
@@ -84,6 +89,39 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, png)
         .when(col("doc_id") % 3 === 1, jpeg)
         .otherwise(textBytes)
+        .as("payload"),
+      struct(
+        col("n_chars").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec")).as("meta"))
+  }
+
+  /** Synthesize a binary-PPM (P6) media table whose PIXELS are real and
+    * oracle-reconstructible: payload = "P6\n<w> <h>\n255\n" + the ASCII
+    * bytes of repeat(md5(text), 5) truncated to w·h·3 (hex chars — every
+    * byte is 0-9a-f ASCII, so the DuckDB oracle rebuilds the exact
+    * raster from the same fields, no blob introspection needed). Small
+    * dims (w ∈ 2..7, h ∈ 2..6 → ≤ 126 raster bytes ≤ the 160 repeated
+    * hex chars). Row mix exercises the decoder's edges: every third row
+    * is raw text (wrong magic → null), every seventh a TRUNCATED P6
+    * (header promises more raster than present → null), the rest
+    * complete images. Pure Column DSL — codegen'd, no UDF.
+    */
+  def mediaTablePpm(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val header = concat(
+      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val raster = repeat(md5(col("text")), 5).substr(lit(1), w * h * 3)
+    val full = encode(concat(header, raster), "UTF-8")
+    val truncated = encode(
+      concat(header, repeat(md5(col("text")), 5).substr(lit(1), (w * h * 3) / 2)),
+      "UTF-8")
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 2, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 7 === 3, truncated)
+        .otherwise(full)
         .as("payload"),
       struct(
         col("n_chars").as("size_bytes"),

@@ -305,7 +305,12 @@ final class WireServer(
           // is dropped is deregistered wholesale (its bus handles close,
           // so its PUSH markers stop too). Reply is an ack frame — a
           // documented deviation (the reference replies nothing) so
-          // clients can synchronize on the deregistration.
+          // clients can synchronize on the deregistration. Ordering: the
+          // connection thread dispatches frames serially, so an
+          // unsubscribe sent DURING an in-flight backfill is processed
+          // after that subscribe's history finishes (the reference's
+          // receive loop handles NNTSC_UNSUBSCRIBE inline instead;
+          // same visible result — history was already owed).
           val coll = req("collection").asInstanceOf[String]
           val streams = req("streams").asInstanceOf[Seq[Any]].map(JsonMini.asLong)
           var remaining = 0L
