@@ -1473,6 +1473,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL sample decode: PCM WAV needs no codec — per-channel
+    //      signed sums + peaks over the same byte-exact containers the
+    //      AudioHeader gate parses (data chunk = the document bytes, so
+    //      the oracle recomputes samples from text positions). Even docs
+    //      are 16-bit mono (LE signed), odd are 8-bit stereo (unsigned,
+    //      128 midpoint); raw-text rows decode to NULL ------------------
+    "q_multimodal_pcm" -> ((s, dir) => {
+      import graft.functions.PcmDecode
+      Multimodal.mediaTableEncodedAudio(Tables.documents(s, dir))
+        .select(col("media_id"), PcmDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.channels").as("channels"),
+          col("__d.bits").as("bits"),
+          col("__d.n_frames").as("n_frames"),
+          col("__d.sum_c0").as("sum_c0"),
+          col("__d.peak_c0").as("peak_c0"),
+          col("__d.sum_c1").as("sum_c1"),
+          col("__d.peak_c1").as("peak_c1"))
+        .orderBy("media_id")
+    }),
+
     // ---- Video (MP4/ISO-BMFF) container metadata: the VideoHeader box
     //      walk over byte-exact synthetic containers -------------------
     "q_multimodal_video" -> ((s, dir) => {
@@ -4205,6 +4227,51 @@ object SparkEntry {
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, s_name""".stripMargin,
+
+    // PCM decode: data chunk = the document's UTF-8 bytes (ASCII corpus),
+    // so samples recompute from text positions — 16-bit mono (even docs):
+    // frame f = signed LE of chars (2f, 2f+1); 8-bit stereo (odd docs):
+    // c0/c1 = char(2f)/char(2f+1) - 128. Trailing odd byte ignored
+    "q_multimodal_pcm" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |    CAST(length(text) // 2 AS BIGINT) AS nf,
+        |    doc_id % 3 = 2 AS bad
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, ch, bits, nf, bad,
+        |    CASE WHEN bad THEN NULL
+        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
+        |        CASE WHEN ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) >= 32768
+        |             THEN ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) - 65536
+        |             ELSE ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) END)
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(2*f+1 AS INTEGER), 1)) - 128) END AS c0,
+        |    CASE WHEN bad OR ch = 1 THEN NULL
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) - 128) END AS c1
+        |  FROM d
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN bad THEN NULL ELSE bits END AS bits,
+        |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c0) AS BIGINT), 0) END AS sum_c0,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c0, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c0,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c1) AS BIGINT), 0) END AS sum_c1,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c1
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // P6 decode: the raster is ASCII md5-hex, so the oracle recomputes
     // sums and the 2x2 nearest-neighbor thumb POSITIONALLY from the same

@@ -120,6 +120,10 @@ object GraftExtensions {
       exprs => VideoHeader(exprs.head)),
     fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
       exprs => NfcNormalize(exprs.head)),
+    fn("pcm_decode",
+      "pcm_decode(bytes) - PCM WAV sample decode: (channels, bits, " +
+        "n_frames, sum_c0, peak_c0, sum_c1, peak_c1)", 1)(
+      exprs => PcmDecode(exprs.head)),
     fn("ppm_decode",
       "ppm_decode(bytes) - binary PPM (P6) pixel decode: (width, height, " +
         "n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
