@@ -1495,6 +1495,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL video frame-sampling: YUV4MPEG2 (raw YUV) needs no
+    //      codec — every 2nd frame's luma plane folded to exact sums
+    //      over byte-exact 3-frame C444 clips; raw-text rows and a C420
+    //      header (subsampled geometry, out of scope by design) are the
+    //      null-guard mix ----------------------------------------------
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.functions.Y4mSample
+      Multimodal.mediaTableY4m(Tables.documents(s, dir))
+        .select(col("media_id"), Y4mSample(col("payload"), 2).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.n_frames").as("n_frames"),
+          col("__d.n_sampled").as("n_sampled"),
+          col("__d.y_sum").as("y_sum"),
+          col("__d.y_peak").as("y_peak"))
+        .orderBy("media_id")
+    }),
+
     // ---- Video (MP4/ISO-BMFF) container metadata: the VideoHeader box
     //      walk over byte-exact synthetic containers -------------------
     "q_multimodal_video" -> ((s, dir) => {
@@ -4227,6 +4247,35 @@ object SparkEntry {
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, s_name""".stripMargin,
+
+    // y4m frame-sample: 3 C444 frames, step 2 -> frames {0, 2} sampled;
+    // frame k's luma = hex positions fb*k+1 .. fb*k+w*h of the repeated
+    // md5 (fb = 3*w*h)
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 3 + 1 AS INTEGER) AS w,
+        |    CAST(n_chars % 3 + 1 AS INTEGER) AS h,
+        |    repeat(md5(text), 5) AS hx,
+        |    (doc_id % 3 = 2 OR doc_id % 5 = 4) AS bad
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, w, h, bad,
+        |    CASE WHEN bad THEN NULL ELSE
+        |      flatten(list_transform([0, 2], k ->
+        |        list_transform(range(0, CAST(w * h AS BIGINT)), i ->
+        |          ascii(substr(hx, CAST(3 * w * h * k + i + 1 AS INTEGER), 1)))))
+        |    END AS y
+        |  FROM d
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(3 AS BIGINT) END AS n_frames,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS BIGINT) END AS n_sampled,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(y) AS BIGINT) END AS y_sum,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_max(y) AS INTEGER) END AS y_peak
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // PCM decode: data chunk = the document's UTF-8 bytes (ASCII corpus),
     // so samples recompute from text positions — 16-bit mono (even docs):

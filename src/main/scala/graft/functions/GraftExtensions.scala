@@ -120,6 +120,10 @@ object GraftExtensions {
       exprs => VideoHeader(exprs.head)),
     fn("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition", 1)(
       exprs => NfcNormalize(exprs.head)),
+    fn("y4m_sample",
+      "y4m_sample(bytes, step) - YUV4MPEG2 (C444) frame sampling: " +
+        "(width, height, n_frames, n_sampled, y_sum, y_peak)", 2)(
+      exprs => Y4mSample(exprs.head, intArg(exprs(1), "step"))),
     fn("pcm_decode",
       "pcm_decode(bytes) - PCM WAV sample decode: (channels, bits, " +
         "n_frames, sum_c0, peak_c0, sum_c1, peak_c1)", 1)(

@@ -129,6 +129,37 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Synthesize a YUV4MPEG2 (y4m) media table with REAL frames: three
+    * C444 frames per clip, planes = ASCII md5-hex bytes (the
+    * [[mediaTablePpm]] convention — the oracle rebuilds each plane
+    * positionally). Small dims (w, h ∈ 1..3 → ≤ 81 raster bytes). Every
+    * third row is raw text (wrong magic → null), every fifth a C420
+    * header (subsampled geometry out of [[graft.functions.Y4mSample]]'s
+    * scope → null by design, not mis-sliced). Pure Column DSL.
+    */
+  def mediaTableY4m(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 3 + 1).cast("int")
+    val h = (col("n_chars") % 3 + 1).cast("int")
+    val fb = w * h * 3
+    val hx = repeat(md5(col("text")), 5)
+    def frame(k: Int) = concat(lit("FRAME\n"), hx.substr(fb * k + 1, fb))
+    def header(c: String) = concat(
+      lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(s" F25:1 $c\n"))
+    val clip = encode(concat(header("C444"), frame(0), frame(1), frame(2)), "UTF-8")
+    val c420 = encode(concat(header("C420"), frame(0)), "UTF-8")
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 2, encode(col("text"), "UTF-8"))
+        .when(col("doc_id") % 5 === 4, c420)
+        .otherwise(clip)
+        .as("payload"),
+      struct(
+        col("n_chars").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec")).as("meta"))
+  }
+
   /** Little-endian integer bytes in pure Column DSL (RIFF is LE where
     * PNG/JPEG are BE): one unhexed byte per shift, lowest first.
     */
