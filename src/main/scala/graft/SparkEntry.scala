@@ -1473,6 +1473,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL image resize (binary in, binary out): P6 -> 4x3 P6 via
+    //      the defined nearest-neighbor grid; output md5-pinned AND
+    //      re-decoded (composition: resize's output is itself a valid
+    //      media payload). Null rows (raw text / truncated) pass through
+    //      as null ------------------------------------------------------
+    "q_multimodal_resize" -> ((s, dir) => {
+      import graft.functions.{PpmDecode, PpmResize}
+      Multimodal.mediaTablePpm(Tables.documents(s, dir))
+        .select(
+          col("media_id"),
+          PpmResize(col("payload"), 4, 3).as("__r"))
+        .select(
+          col("media_id"),
+          md5(col("__r")).as("resized_md5"),
+          PpmDecode(col("__r")).getField("width").as("rw"),
+          PpmDecode(col("__r")).getField("sum_r").as("rsum_r"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL sample decode: PCM WAV needs no codec — per-channel
     //      signed sums + peaks over the same byte-exact containers the
     //      AudioHeader gate parses (data chunk = the document bytes, so
@@ -4247,6 +4266,48 @@ object SparkEntry {
         |LEFT JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2
         |ORDER BY p_brand, s_name""".stripMargin,
+
+    // P6 resize: output payload = "P6\n4 3\n255\n" + chars sampled at
+    // source (row, col) = ((ty*h)//3, (tx*w)//4) — rebuilt as a STRING
+    // (ASCII raster) and md5'd; rsum_r re-derives channel-0 sums from
+    // the same sampled positions (the decode-of-resize composition)
+    "q_multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |), r AS (
+        |  SELECT media_id, bad, px,
+        |    CASE WHEN bad THEN NULL ELSE
+        |      flatten(list_transform(range(0, CAST(3 AS BIGINT)), ty ->
+        |        flatten(list_transform(range(0, CAST(4 AS BIGINT)), tx ->
+        |          list_transform([0, 1, 2], ch ->
+        |            3 * (CAST((ty * h) // 3 AS INTEGER) * w
+        |                 + CAST((tx * w) // 4 AS INTEGER)) + ch + 1)))))
+        |    END AS pos
+        |  FROM d
+        |), o AS (
+        |  SELECT media_id, bad,
+        |    CASE WHEN bad THEN NULL ELSE
+        |      'P6' || chr(10) || '4 3' || chr(10) || '255' || chr(10) ||
+        |      list_aggregate(
+        |        list_transform(pos, p -> substr(px, CAST(p AS INTEGER), 1)),
+        |        'string_agg', '')
+        |    END AS resized
+        |  FROM r
+        |)
+        |SELECT media_id,
+        |  md5(resized) AS resized_md5,
+        |  CASE WHEN bad THEN NULL ELSE 4 END AS rw,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(12 AS BIGINT)),
+        |    i -> ascii(substr(resized, CAST(11 + 3 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS rsum_r
+        |FROM o ORDER BY media_id""".stripMargin,
 
     // y4m frame-sample: 3 C444 frames, step 2 -> frames {0, 2} sampled;
     // frame k's luma = hex positions fb*k+1 .. fb*k+w*h of the repeated

@@ -128,6 +128,10 @@ object GraftExtensions {
       "pcm_decode(bytes) - PCM WAV sample decode: (channels, bits, " +
         "n_frames, sum_c0, peak_c0, sum_c1, peak_c1)", 1)(
       exprs => PcmDecode(exprs.head)),
+    fn("ppm_resize",
+      "ppm_resize(bytes, w, h) - nearest-neighbor P6 resize (binary in, " +
+        "binary out)", 3)(
+      exprs => PpmResize(exprs.head, intArg(exprs(1), "w"), intArg(exprs(2), "h"))),
     fn("ppm_decode",
       "ppm_decode(bytes) - binary PPM (P6) pixel decode: (width, height, " +
         "n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** REAL image resize for binary PPM (P6) — binary in, binary out: the
+  * output is itself a canonical-header P6 (`P6\n<tw> <th>\n255\n` +
+  * raster), so resizes compose ([[PpmDecode]] reads the output) and a
+  * resized corpus column remains a media column. Nearest-neighbor with
+  * the [[PpmDecode]] thumbnail's DEFINED grid generalized to any target:
+  * output pixel (ty, tx) samples source (row, col) =
+  * ((ty·h) div th, (tx·w) div tw) — integer div, no rounding mode
+  * ambiguity, positionally reproducible by the oracle. Payloads that are
+  * not complete maxval-255 P6 images resize to NULL (the decode
+  * convention). Map-only; only sampled source bytes are read.
+  */
+case class PpmResize(child: Expression, targetW: Int, targetH: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_resize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_resize expects binary, got ${child.dataType.catalogString}")
+    else if (targetW < 1 || targetH < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_resize target must be >= 1x1, got ${targetW}x$targetH")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    PpmResize.resize(input.asInstanceOf[Array[Byte]], targetW, targetH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.PpmResize.resize($v, $targetW, $targetH);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): PpmResize =
+    copy(child = c)
+}
+
+object PpmResize {
+
+  /** Null unless `bytes` is a complete maxval-255 P6 (delegates header
+    * validation to [[PpmDecode]]'s parser by re-walking the same rules).
+    */
+  def resize(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    // re-walk the P6 header exactly as PpmDecode.decode does
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    var i = 2
+    val fields = new Array[Int](3)
+    var f = 0
+    while (f < 3) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return null
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0')
+        if (v > Int.MaxValue) return null
+        i += 1
+      }
+      fields(f) = v.toInt
+      f += 1
+    }
+    val w = fields(0); val h = fields(1); val maxval = fields(2)
+    if (w <= 0 || h <= 0 || maxval != 255) return null
+    if (i >= bytes.length || !isWs(bytes(i))) return null
+    i += 1
+    val need = w.toLong * h * 3
+    if (need > Int.MaxValue - i || bytes.length < i + need.toInt) return null
+    val base = i
+
+    val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + tw * th * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var o = header.length
+    var ty = 0
+    while (ty < th) {
+      val sr = (ty.toLong * h / th).toInt
+      var tx = 0
+      while (tx < tw) {
+        val sc = (tx.toLong * w / tw).toInt
+        val off = base + 3 * (sr * w + sc)
+        out(o) = bytes(off); out(o + 1) = bytes(off + 1); out(o + 2) = bytes(off + 2)
+        o += 3
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0x0b || b == 0x0c
+
+  def apply(bytes: Column, targetW: Int, targetH: Int): Column =
+    ColumnBridge.toColumn(
+      PpmResize(ColumnBridge.toExpression(bytes), targetW, targetH))
+}

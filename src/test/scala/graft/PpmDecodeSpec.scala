@@ -64,6 +64,37 @@ class PpmDecodeSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("ppm_resize: nearest-neighbor grid, composition, null pass-through") {
+    import graft.functions.PpmResize
+    def resize(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+      val r = Seq(Tuple1(bytes)).toDF("b")
+        .select(PpmResize(col("b"), tw, th).as("r")).head()
+      if (r.isNullAt(0)) None else Some(r.getAs[Array[Byte]](0))
+    }
+    // 2x2 -> 4x4 upscale: each source pixel becomes a 2x2 block
+    // (src row = (ty*2)/4 = ty/2, same for cols)
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val up = resize(ppm(2, 2, px), 4, 4).get
+    assert(new String(up.take(11), "US-ASCII") === "P6\n4 4\n255\n")
+    val raster = up.drop(11)
+    assert(raster.length === 48)
+    // row 0 of the output: pixels (0,0),(0,0),(0,1),(0,1)
+    assert(raster.take(12).toSeq ===
+      Seq[Byte](1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6))
+    // composition: the output decodes, sums = block-weighted source sums
+    val d = decode(up).get
+    assert((d.getInt(0), d.getInt(1)) === ((4, 4)))
+    assert(d.getLong(3) === 4L * (1 + 4 + 7 + 10))
+    // downscale 2x2 -> 1x1: the (0,0) pixel survives
+    val down = resize(ppm(2, 2, px), 1, 1).get
+    assert(down.drop(11).toSeq === Seq[Byte](1, 2, 3))
+    // identity resize reproduces the raster under a canonical header
+    assert(resize(ppm(2, 2, px), 2, 2).get.drop(11).toSeq === px.toSeq)
+    // non-P6 resizes to null
+    assert(resize("nope".getBytes("UTF-8"), 2, 2).isEmpty)
+    assert(resize(ppm(2, 2, px.take(3)), 2, 2).isEmpty) // truncated
+  }
+
   test("map-only codegen'd plan; SQL registration") {
     val plan = graft.pipeline.Multimodal
       .mediaTablePpm(graft.core.Tables.documents(spark, sf("sf0.001")))
