@@ -50,6 +50,22 @@ object ProfScale {
         val tArrow = timed("features arrow-form")(sink(
           Multimodal.extractFeaturesArrow(spark, media).toDF()))
         println(f"PROFSCALE arrow/row ratio ${tArrow / tRow}%.2f")
+        // the REAL codec-free kernels: map-only scans, expected ~linear
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.documents(spark, sfDir)
+        timed("ppm decode (real pixels)")(sink(
+          Multimodal.mediaTablePpm(docs)
+            .select(graft.functions.PpmDecode(col("payload")).as("d"))))
+        timed("ppm resize 4x3 + re-decode")(sink(
+          Multimodal.mediaTablePpm(docs)
+            .select(graft.functions.PpmDecode(
+              graft.functions.PpmResize(col("payload"), 4, 3)).as("d"))))
+        timed("pcm decode (real samples)")(sink(
+          Multimodal.mediaTableEncodedAudio(docs)
+            .select(graft.functions.PcmDecode(col("payload")).as("d"))))
+        timed("y4m frame-sample step 2")(sink(
+          Multimodal.mediaTableY4m(docs)
+            .select(graft.functions.Y4mSample(col("payload"), 2).as("d"))))
 
       case "sim" =>
         val emb = Tables.embeddings(spark, sfDir)
