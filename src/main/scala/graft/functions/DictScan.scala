@@ -51,6 +51,12 @@ case class DictScan(child: Expression, terms: Seq[String]) extends UnaryExpressi
     else if (terms.isEmpty || terms.exists(_.isEmpty))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "dict_scan needs a non-empty dictionary of non-empty terms")
+    else if (terms.distinct.length != terms.length)
+      // a duplicate registers two automaton ids for one string and
+      // double-counts every match — reject loudly (the SQL registration
+      // dedupes its comma list as a convenience)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "dict_scan dictionary contains duplicate terms")
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 

@@ -145,7 +145,10 @@ object GraftExtensions {
         "scan: (n_terms_present, n_hits, first_term)", 2)(
       exprs => DictScan(
         exprs.head,
-        strArg(exprs(1), "terms").split(',').toSeq.filter(_.nonEmpty))),
+        // distinct: n_terms_present counts DISTINCT terms — a duplicate
+        // in the comma list would register two automaton ids for one
+        // string and double-count every match
+        strArg(exprs(1), "terms").split(',').toSeq.filter(_.nonEmpty).distinct)),
     fn("filter_lines",
       "filter_lines(text, min_words, 'ban,words', require_terminal_punct) - " +
         "C4-style line filter: (n_lines, n_kept, clean_text)", 4)(

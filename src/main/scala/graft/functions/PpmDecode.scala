@@ -69,8 +69,16 @@ object PpmDecode {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0x0b || b == 0x0c
 
-  /** Null on anything that is not a complete maxval-255 P6 image. */
-  def decode(bytes: Array[Byte]): InternalRow = {
+  /** Parsed P6 header: raster starts at `base` and is exactly w·h·3
+    * bytes, all present in the payload.
+    */
+  final case class P6Header(w: Int, h: Int, base: Int)
+
+  /** The ONE P6 header parser — shared by decode and resize so the two
+    * kernels can never disagree on which payloads are valid. None on
+    * anything that is not a complete maxval-255 P6 image.
+    */
+  def parseHeader(bytes: Array[Byte]): P6Header = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
     var i = 2
     // three whitespace-separated decimal fields: width, height, maxval
@@ -95,10 +103,18 @@ object PpmDecode {
     i += 1
     val need = w.toLong * h * 3
     if (need > Int.MaxValue - i || bytes.length < i + need.toInt) return null
-    val base = i
+    P6Header(w, h, i)
+  }
+
+  /** Null on anything that is not a complete maxval-255 P6 image. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val hd = parseHeader(bytes)
+    if (hd == null) return null
+    val w = hd.w; val h = hd.h
+    val base = hd.base
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = base
-    val end = base + need.toInt
+    val end = base + w * h * 3
     while (p < end) {
       sr += bytes(p) & 0xff
       sg += bytes(p + 1) & 0xff

@@ -30,6 +30,13 @@ case class PpmResize(child: Expression, targetW: Int, targetH: Int)
     else if (targetW < 1 || targetH < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"ppm_resize target must be >= 1x1, got ${targetW}x$targetH")
+    else if (targetW.toLong * targetH * 3 > Int.MaxValue - 32)
+      // analysis-time guard: the output allocation is header + tw*th*3
+      // bytes in ONE array — an Int-overflowing target must fail the
+      // QUERY loudly here, not wrap negative inside the kernel
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ppm_resize target ${targetW}x$targetH exceeds the 2 GiB " +
+          "single-payload bound")
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
@@ -48,34 +55,15 @@ case class PpmResize(child: Expression, targetW: Int, targetH: Int)
 
 object PpmResize {
 
-  /** Null unless `bytes` is a complete maxval-255 P6 (delegates header
-    * validation to [[PpmDecode]]'s parser by re-walking the same rules).
+  /** Null unless `bytes` is a complete maxval-255 P6 — validation is
+    * [[PpmDecode.parseHeader]], THE header parser, so decode and resize
+    * can never disagree on payload validity.
     */
   def resize(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
-    // re-walk the P6 header exactly as PpmDecode.decode does
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
-    var i = 2
-    val fields = new Array[Int](3)
-    var f = 0
-    while (f < 3) {
-      while (i < bytes.length && isWs(bytes(i))) i += 1
-      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return null
-      var v = 0L
-      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-        v = v * 10 + (bytes(i) - '0')
-        if (v > Int.MaxValue) return null
-        i += 1
-      }
-      fields(f) = v.toInt
-      f += 1
-    }
-    val w = fields(0); val h = fields(1); val maxval = fields(2)
-    if (w <= 0 || h <= 0 || maxval != 255) return null
-    if (i >= bytes.length || !isWs(bytes(i))) return null
-    i += 1
-    val need = w.toLong * h * 3
-    if (need > Int.MaxValue - i || bytes.length < i + need.toInt) return null
-    val base = i
+    val hd = PpmDecode.parseHeader(bytes)
+    if (hd == null) return null
+    val w = hd.w; val h = hd.h
+    val base = hd.base
 
     val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + tw * th * 3)
@@ -96,9 +84,6 @@ object PpmResize {
     }
     out
   }
-
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0x0b || b == 0x0c
 
   def apply(bytes: Column, targetW: Int, targetH: Int): Column =
     ColumnBridge.toColumn(

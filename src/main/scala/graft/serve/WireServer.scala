@@ -99,13 +99,30 @@ final class WireServer(
   def close(): Unit = { running = false; server.close() }
 
   /** One live subscription made on this connection: its collection, its
-    * relay (None when the server has no live bus), and the bus handles it
-    * registered — the unit `unsubscribe` deregisters by.
+    * relay (None when the server has no live bus), the bus handles it
+    * registered, and — for the relay-less (markers-only) case — its own
+    * stream set, so stream-level unsubscribe still deregisters the
+    * subscription when its last stream is dropped. Only the connection
+    * thread touches `streams`.
     */
-  private final case class Sub(
-      collection: String,
-      relay: Option[LiveRelay],
-      handles: Seq[Markers.Handle])
+  private final class Sub(
+      val collection: String,
+      val relay: Option[LiveRelay],
+      val handles: Seq[Markers.Handle],
+      var streams: Set[Long]) {
+    /** Drop the given streams; returns how many remain (relay-backed
+      * subs delegate so the two trackers cannot diverge).
+      */
+    def unsubscribe(drop: Seq[Long]): Long = relay match {
+      case Some(r) =>
+        val left = r.unsubscribe(drop)
+        streams = streams -- drop
+        left
+      case None =>
+        streams = streams -- drop
+        streams.size.toLong
+    }
+  }
 
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
@@ -288,7 +305,8 @@ final class WireServer(
             // > that label's own lasthist), then passthrough
             relay.foreach(_.finish(lastHist.toMap))
             handles ++= mine // survive until the connection closes
-            subs += Sub(coll, relay, mine.toSeq) // unit of unsubscribe
+            subs += new Sub(coll, relay, mine.toSeq,
+              labels.valuesIterator.flatten.toSet) // unit of unsubscribe
             Array.emptyByteArray
           } catch {
             case e: Throwable =>
@@ -315,15 +333,14 @@ final class WireServer(
           val streams = req("streams").asInstanceOf[Seq[Any]].map(JsonMini.asLong)
           var remaining = 0L
           subs.foreach { s =>
-            if (s.collection == coll) s.relay.foreach { r =>
-              val left = r.unsubscribe(streams)
+            if (s.collection == coll) {
+              val left = s.unsubscribe(streams)
               if (left == 0)
                 s.handles.foreach(h => try h.close() catch { case _: Throwable => () })
               remaining += left
             }
           }
-          subs.filterInPlace(s =>
-            s.collection != coll || s.relay.forall(_.streamCount > 0))
+          subs.filterInPlace(s => s.collection != coll || s.streams.nonEmpty)
           Wire.pack(
             Wire.Unsubscribe,
             s"""{"unsubscribed":true,"remaining":$remaining}""".getBytes("UTF-8"))

@@ -67,13 +67,22 @@ class DictScanSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
-  test("empty dictionary and empty term are analysis errors") {
+  test("empty dictionary, empty term, and duplicate terms are analysis errors") {
     intercept[Exception] {
       Seq(Tuple1("x")).toDF("t").select(DictScan(col("t"), Seq.empty)).head()
     }
     intercept[Exception] {
       Seq(Tuple1("x")).toDF("t").select(DictScan(col("t"), Seq("a", ""))).head()
     }
+    // a duplicate would register two automaton ids for one string and
+    // double-count every match
+    intercept[Exception] {
+      Seq(Tuple1("x")).toDF("t").select(DictScan(col("t"), Seq("a", "a"))).head()
+    }
+    // ...but the SQL comma-list form dedupes as a convenience
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT dict_scan('aaa', 'a,a') AS d").head().getStruct(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 3L)))
   }
 
   test("matches a brute-force scan on corpus text") {

@@ -93,6 +93,14 @@ class PpmDecodeSpec extends SparkSpec {
     // non-P6 resizes to null
     assert(resize("nope".getBytes("UTF-8"), 2, 2).isEmpty)
     assert(resize(ppm(2, 2, px.take(3)), 2, 2).isEmpty) // truncated
+    // an Int-overflowing target fails ANALYSIS loudly, never wraps the
+    // output allocation negative inside the kernel
+    val e = intercept[Exception] {
+      Seq(Tuple1(ppm(2, 2, px))).toDF("b")
+        .select(PpmResize(col("b"), 26755, 26755)).head()
+    }
+    assert(e.getMessage.contains("2 GiB") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 GiB")), e.getMessage)
   }
 
   test("map-only codegen'd plan; SQL registration") {

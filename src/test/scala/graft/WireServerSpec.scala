@@ -547,6 +547,28 @@ class WireServerSpec extends SparkSpec {
     } finally { sub.close(); server.close() }
   }
 
+  test("unsubscribe deregisters markers-only subscriptions too (no live bus)") {
+    import graft.serve.{Wire, WireClient}
+    import graft.streaming.Markers
+    val mbus = new Markers.MarkerBus
+    val server = new WireServer(svc, markers = Some(mbus)) // live = None
+    val client = new WireClient("127.0.0.1", server.boundPort)
+    val sub = client.subscribe(
+      "amp-external", Map("x" -> Seq(1L)), Seq("value"),
+      start = 1704067200L, stop = 0L)
+    try {
+      assert(mbus.subscriberCount("amp-external") === 1)
+      mbus.publish(Markers.Marker("amp-external", 1906745601L, 1L))
+      assert(sub.next().isInstanceOf[WireClient.Push])
+      // dropping the LAST stream must close the PUSH-marker handle even
+      // though there is no relay — the ack must not claim deregistration
+      // while markers keep flowing
+      sub.unsubscribe(Seq(1L))
+      assert(sub.next() === WireClient.Unsubscribed(0L))
+      assert(mbus.subscriberCount("amp-external") === 0)
+    } finally { sub.close(); server.close() }
+  }
+
   test("version-check greeting: client validates; mismatch is a typed failure") {
     import graft.serve.WireClient
     val server = new WireServer(svc)
