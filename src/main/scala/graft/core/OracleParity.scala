@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   *     cross-engine drift is ~1e-12 relative, far inside a 1e-4 grid.
   *   - epoch seconds: Spark `cast(ts as long)` truncates; DuckDB oracle must
   *     use `CAST(floor(epoch(ts)) AS BIGINT)`.
+  *   - natural log (BM25 log-idf, LM cross-entropy, DSIR log-ratio):
+  *     NEVER Spark's `log()` — it is StrictMath (fdlibm), which disagrees
+  *     with the oracle engine's platform ln on ~6% of inputs. Use
+  *     [[graft.functions.PlatformLn]] (Math.log: 0.06% disagreement, all
+  *     1 ulp) and quantize at 1e-9, coarse enough that a 1-ulp gap on a
+  *     magnitude-~16 value cannot cross a quantization boundary.
   */
 object OracleParity {
   val Scale = 4
