@@ -1175,6 +1175,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Token-budget sampling per source: documents taken in hash
+    //      order until each source's cumulative tokens reach the budget
+    //      (boundary-straddling doc included — the packing bin rule).
+    //      One corpus prefix scan on the (group, hash, id) key ----------
+    "q_mixture_token_budget" -> ((s, dir) => {
+      Splits.sampleByTokenBudgetPerGroup(
+          Tables.documents(s, dir).select("doc_id", "source", "text"),
+          "doc_id", "source", "text", budgetTokens = 500L,
+          salt = "tb", md5Family = true)
+        .select("doc_id", "source", "tokens", "tokens_before")
+        .orderBy("doc_id")
+    }),
+
     // ---- General-α temperature flattening, α = 1/4: weight =
     //      isqrt(isqrt(t)) — exact BIGINT on both engines, so the
     //      quarter-power family carries oracle evidence (the pow()-double
@@ -3844,6 +3857,24 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents d JOIN r USING (source)
         |WHERE CAST('0x' || substr(md5('tp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    // token budget: per-source running token sum in (md5 hash, id)
+    // order; kept iff the tokens BEFORE the doc are under the budget
+    "q_mixture_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    substr(md5('tb' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, tk,
+        |    sum(tk) OVER (PARTITION BY source ORDER BY hx, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, tk AS tokens, cum - tk AS tokens_before
+        |FROM w WHERE cum - tk < 500
         |ORDER BY doc_id""".stripMargin,
 
     // α = 1/4: weight = isqrt(isqrt(tk)) — the exact-integer-sqrt idiom

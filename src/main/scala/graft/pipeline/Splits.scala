@@ -392,6 +392,61 @@ object Splits {
     shuffleOrderMd5(df, idCol, salt).filter(col("pos") < n)
   }
 
+  /** TOKEN-budget sampling per group — "take ~N training tokens from
+    * every source, deterministically": documents are taken in (salt, id)
+    * hash order within their group until the group's cumulative token
+    * count reaches `budgetTokens`. A document is kept iff it STARTS
+    * inside the budget (the [[Packing.packSequences]] bin rule: the
+    * boundary-straddling document is included, so every group with any
+    * tokens reaches its budget; drop-if-overflowing would silently
+    * under-fill groups made of large documents). Deterministic under
+    * repartitioning and append-stable the way hash-order samples are (a
+    * new id displaces only from its insertion point on).
+    *
+    * Output adds `tokens` (the document's own count) and `tokens_before`
+    * (group tokens preceding it in the order — `tokens_before <
+    * budgetTokens` IS the kept predicate, and doubles as a per-group
+    * training order).
+    *
+    * Shape at 100 TB: one corpus-wide two-phase prefix scan over the
+    * length-prefixed (group, hash, id) key ([[cutByQuantileExactPerGroup]]'s
+    * contiguity recipe — groups are contiguous, a big group spans ranges
+    * instead of funneling one task), then a groups-sized base-offset
+    * aggregate joined back (AQE broadcast / skew-split). The corpus never
+    * sorts in one task and never shuffles by group for the scan itself.
+    */
+  def sampleByTokenBudgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      salt: String = "",
+      md5Family: Boolean = false): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val hashHex =
+      if (md5Family)
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)
+      else hex60(salt, col(idCol))
+    val keyed = df
+      .withColumn("__tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__ord",
+        concat(groupOrderKey(groupCol), lit("-"), hashHex, lit("-"),
+          idPad(col(idCol))))
+    val cum = Packing.withPrefixSum(keyed, "__ord", "__tk", "__cum")
+    // the group's base offset = tokens before its first row: cum - own
+    // is the PRECEDING cumulative, minimized at the group's first row
+    val bases = cum
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min(col("__cum") - col("__tk")).as("__base"))
+    cum
+      .join(bases, col(groupCol) === col("__g"))
+      .withColumn("tokens_before", col("__cum") - col("__base") - col("__tk"))
+      .filter(col("tokens_before") < budgetTokens)
+      .withColumnRenamed("__tk", "tokens")
+      .drop("__ord", "__cum", "__g", "__base")
+  }
+
   // ---- deterministic per-group caps ------------------------------------
 
   /** Per-group cap: keep at most `k` rows per group, chosen by the
@@ -697,6 +752,22 @@ object Splits {
         lit(salt), col(idCol).cast("string"), lit(":"), col(epochCol).cast("string"))), 1, 15),
       idCol, epochCol)
 
+  /** LENGTH-PREFIXED group segment of a composite order key: makes every
+    * group's rows CONTIGUOUS in one global order (a bare `group || '-'`
+    * prefix can interleave when one group name extends another into the
+    * next segment's character range — the 'a' vs 'a-05' trap). Null
+    * groups and >9999-char names are refused loudly.
+    */
+  private def groupOrderKey(groupCol: String): Column = {
+    val g = col(groupCol).cast("string")
+    when(g.isNull,
+        raise_error(lit(s"group order key: null $groupCol — " +
+          "coalesce groups to a sentinel first")))
+      .when(length(g) > 9999,
+        raise_error(lit(s"group order key: $groupCol longer than 9999 chars")))
+      .otherwise(concat(lpad(length(g).cast("string"), 4, "0"), g))
+  }
+
   /** xxhash64 order key as fixed-width hex (top 60 bits, like [[u64]]). */
   private def hex60(salt: String, key: Column): Column =
     lpad(lower(hex(shiftrightunsigned(xxhash64(lit(salt), key), 4))), 15, "0")
@@ -855,16 +926,8 @@ object Splits {
       metricCol: String,
       q: Double): DataFrame = {
     require(q > 0 && q < 1, s"q must be in (0, 1), got $q")
-    val g = col(groupCol).cast("string")
-    val groupKey = when(g.isNull,
-        raise_error(lit(s"cutByQuantileExactPerGroup: null $groupCol — " +
-          "coalesce groups to a sentinel first")))
-      .when(length(g) > 9999,
-        raise_error(lit(s"cutByQuantileExactPerGroup: $groupCol longer " +
-          "than 9999 chars")))
-      .otherwise(concat(lpad(length(g).cast("string"), 4, "0"), g))
     val keyed = metricOrderKeyed(df, idCol, metricCol)
-      .withColumn("__ord", concat(groupKey, lit("-"), col("__ord")))
+      .withColumn("__ord", concat(groupOrderKey(groupCol), lit("-"), col("__ord")))
     val (pos, _) = Packing.withPrefixSumTotal(keyed, "__ord", "__one", "__pos1")
     val starts = pos
       .groupBy(col(groupCol).as("__g"))

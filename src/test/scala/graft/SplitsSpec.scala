@@ -575,6 +575,52 @@ class SplitsSpec extends SparkSpec {
     assert(viaGroup === viaGlobal)
   }
 
+  test("sampleByTokenBudgetPerGroup: hash-order fill to the budget, straddler included") {
+    // 3 sources x 40 docs x 10 tokens = 400 tokens/source; budget 105
+    // -> docs 1..10 in hash order kept wherever boundaries align, and
+    // the doc STARTING at 100 (tokens_before = 100 < 105) straddles in
+    val docs = spark.range(0, 120).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("text", lit(Seq.fill(10)("w").mkString(" ")))
+    val kept = Splits.sampleByTokenBudgetPerGroup(
+        docs, "id", "g", "text", budgetTokens = 105L, salt = "s1")
+      .select("id", "g", "tokens", "tokens_before")
+      .collect()
+    // every doc is 10 tokens: kept per group = ceil(105/10) = 11 (the
+    // 11th starts at 100 < 105 — the packing bin rule)
+    val perGroup = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perGroup === Map("0" -> 11, "1" -> 11, "2" -> 11))
+    assert(kept.forall(_.getLong(3) < 105L))
+    assert(kept.forall(_.getLong(2) === 10L))
+    // matches a driver-side recomputation of the same hash order
+    val want = (0L until 120L).groupBy(_ % 3).flatMap { case (_, ids) =>
+      ids.sortBy(id => (xx60("s1", id), id)).take(11)
+    }.toSet
+    assert(kept.map(_.getLong(0)).toSet === want)
+    // deterministic under repartitioning
+    val again = Splits.sampleByTokenBudgetPerGroup(
+        docs.repartition(7), "id", "g", "text", 105L, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.map(_.getLong(0)).toSet)
+  }
+
+  /** The hex60 order key recomputed driver-side (top 60 bits of
+    * xxhash64(salt, id) as lowercase hex — comparing the hex compares
+    * the value).
+    */
+  private def xx60(salt: String, id: Long): String = {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    // one-row round trip through the engine keeps the hash family exact
+    val v = Seq(Tuple1(id)).toDF("id")
+      .select(org.apache.spark.sql.functions.lpad(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.shiftrightunsigned(
+            org.apache.spark.sql.functions.xxhash64(l(salt), c("id")), 4))),
+        15, "0"))
+      .head().getString(0)
+    v
+  }
+
   test("per-group cut: prefix-adversarial group names stay contiguous; null group raises") {
     // group "a" vs "a-05": with a bare 'g || -' key prefix, "a-05..."
     // lands INSIDE group a's metric digit range ('0'..'9') and the
