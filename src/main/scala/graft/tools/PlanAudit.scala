@@ -575,6 +575,16 @@ object PlanAudit {
         plan(qg),
         mustContain = Seq("Window"),
         mustNot = Seq("Exchange SinglePartition"))
+
+      // 16c. token-budget sampler: the same scan on the (group, hash, id)
+      //      key — never a per-group (or global) one-task sort
+      val tb = graft.pipeline.Splits.sampleByTokenBudgetPerGroup(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "source", "text", budgetTokens = 500L, salt = "a")
+      check("token-budget sampler: prefix scan + group offsets, no single-task window",
+        plan(tb),
+        mustContain = Seq("Window"),
+        mustNot = Seq("Exchange SinglePartition"))
     }
 
     guarded("pii scan") {
