@@ -1199,6 +1199,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Length-bucketed batching (group_by_length): bucket =
+    //      floor(log2(tokens)) via exact binary-string length, hash-order
+    //      numbering within bucket, batches of 8 ------------------------
+    "q_length_batches" -> ((s, dir) => {
+      Splits.lengthBucketBatches(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          "doc_id", "text", batchSize = 8, salt = "lb", md5Family = true)
+        .orderBy("doc_id")
+    }),
+
     // ---- Context-window chunking: overlapping token shards, map-only --
     "q_chunk_docs" -> ((s, dir) => {
       Packing.chunkDocs(Tables.documents(s, dir), "doc_id", "text", 32, 24)
@@ -3858,6 +3868,28 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5('tp' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // length buckets: floor(log2(tk)) = length(binary string) - 1 (exact
+    // integers, no float log); within-bucket numbering by (md5 hash, id)
+    "q_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    substr(md5('lb' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, tk,
+        |    CAST(length(bin(tk)) - 1 AS INTEGER) AS bucket, hx
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, tk, bucket,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY bucket ORDER BY hx, doc_id) - 1 AS BIGINT) AS batch_pos
+        |  FROM b
+        |)
+        |SELECT doc_id, tk AS tokens, bucket, batch_pos,
+        |  CAST(batch_pos // 8 AS BIGINT) AS batch_id
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // token budget: per-source running token sum in (md5 hash, id)
     // order; kept iff the tokens BEFORE the doc are under the budget

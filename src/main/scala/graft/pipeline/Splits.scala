@@ -447,6 +447,58 @@ object Splits {
       .drop("__ord", "__cum", "__g", "__base")
   }
 
+  /** Length-bucketed batching (the `group_by_length` training idiom:
+    * batching similar-length documents together bounds padding waste at
+    * ~2× worst-case instead of max-doc-length): bucket = floor(log2
+    * (tokens)) computed EXACTLY as `length(binary-string) − 1` (no
+    * float log; DuckDB `bin`, Spark `conv(…, 10, 2)` — identical), then
+    * documents are numbered within their bucket in (salt, id) hash order
+    * and grouped `batchSize` at a time:
+    *
+    *   (idCol, tokens, bucket, batch_pos, batch_id)
+    *
+    * batch_pos is the 0-based position within the bucket (a within-batch
+    * order); batch_id = batch_pos div batchSize (bucket-local — globally
+    * unique as the (bucket, batch_id) pair; the last batch of a bucket
+    * may be short). Deterministic under repartitioning.
+    *
+    * Shape at 100 TB: the [[sampleByTokenBudgetPerGroup]] machinery with
+    * bucket as the group — ONE corpus prefix scan on the length-prefixed
+    * (bucket, hash, id) key, buckets-sized base offsets (≤ ~40 buckets
+    * exist for any token count: broadcast), never a per-bucket sort task.
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int,
+      salt: String = "",
+      md5Family: Boolean = false): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val hashHex =
+      if (md5Family)
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)
+      else hex60(salt, col(idCol))
+    val keyed = df
+      .withColumn("__tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__b", (length(conv(col("__tk"), 10, 2)) - 1).cast("int"))
+      .withColumn("__ord",
+        concat(groupOrderKey("__b"), lit("-"), hashHex, lit("-"),
+          idPad(col(idCol))))
+      .withColumn("__one", lit(1L))
+    val cum = Packing.withPrefixSum(keyed, "__ord", "__one", "__rank1")
+    val bases = cum
+      .groupBy(col("__b").as("__bb"))
+      .agg(min(col("__rank1") - 1L).as("__base"))
+    cum
+      .join(broadcast(bases), col("__b") === col("__bb"))
+      .withColumn("batch_pos", col("__rank1") - 1L - col("__base"))
+      .withColumn("batch_id", floor(col("batch_pos") / batchSize).cast("long"))
+      .select(
+        col(idCol), col("__tk").as("tokens"), col("__b").as("bucket"),
+        col("batch_pos"), col("batch_id"))
+  }
+
   // ---- deterministic per-group caps ------------------------------------
 
   /** Per-group cap: keep at most `k` rows per group, chosen by the

@@ -621,6 +621,43 @@ class SplitsSpec extends SparkSpec {
     v
   }
 
+  test("lengthBucketBatches: exact log2 buckets bound padding waste; batches fill") {
+    // token counts crossing the power-of-2 boundaries: 1,2,3,4,7,8,15,16
+    val docs = spark.range(0, 400).toDF("id")
+      .withColumn("n", (col("id") % 16 + 1).cast("int"))
+      .withColumn("text",
+        org.apache.spark.sql.functions.expr(
+          "array_join(transform(sequence(1, n), x -> 'w'), ' ')"))
+    val out = Splits.lengthBucketBatches(docs, "id", "text", batchSize = 8, salt = "b1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // bucket = floor(log2(tokens)): 1->0, 2..3->1, 4..7->2, 8..15->3, 16->4
+    out.foreach { case (_, tk, b, _, _) =>
+      assert(b === (63 - java.lang.Long.numberOfLeadingZeros(tk)), s"tokens $tk")
+    }
+    // the padding-waste bound: within ANY batch max/min tokens < 2
+    out.groupBy(r => (r._3, r._5)).foreach { case (key, batch) =>
+      val tks = batch.map(_._2)
+      assert(tks.max < 2 * tks.min, s"batch $key spans ${tks.min}..${tks.max}")
+      assert(batch.length <= 8)
+    }
+    // batches fill: per bucket, only the LAST batch may be short
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      val sizes = rows.groupBy(_._5).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ == 8), s"bucket $b sizes $sizes")
+    }
+    // batch_pos is a dense 0..n-1 numbering within the bucket
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // deterministic under repartitioning
+    val again = Splits.lengthBucketBatches(
+        docs.repartition(7), "id", "text", 8, salt = "b1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("per-group cut: prefix-adversarial group names stay contiguous; null group raises") {
     // group "a" vs "a-05": with a bare 'g || -' key prefix, "a-05..."
     // lands INSIDE group a's metric digit range ('0'..'9') and the
