@@ -3905,7 +3905,8 @@ object SparkEntry {
         |                  ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t
         |)
-        |SELECT doc_id, source, tk AS tokens, cum - tk AS tokens_before
+        |SELECT doc_id, source, tk AS tokens,
+        |  CAST(cum - tk AS BIGINT) AS tokens_before
         |FROM w WHERE cum - tk < 500
         |ORDER BY doc_id""".stripMargin,
 

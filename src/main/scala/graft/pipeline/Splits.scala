@@ -424,27 +424,15 @@ object Splits {
       salt: String = "",
       md5Family: Boolean = false): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
-    val hashHex =
-      if (md5Family)
-        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)
-      else hex60(salt, col(idCol))
-    val keyed = df
-      .withColumn("__tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__ord",
-        concat(groupOrderKey(groupCol), lit("-"), hashHex, lit("-"),
-          idPad(col(idCol))))
-    val cum = Packing.withPrefixSum(keyed, "__ord", "__tk", "__cum")
-    // the group's base offset = tokens before its first row: cum - own
-    // is the PRECEDING cumulative, minimized at the group's first row
-    val bases = cum
-      .groupBy(col(groupCol).as("__g"))
-      .agg(min(col("__cum") - col("__tk")).as("__base"))
-    cum
-      .join(bases, col(groupCol) === col("__g"))
-      .withColumn("tokens_before", col("__cum") - col("__base") - col("__tk"))
+    groupPrefix(
+        df.withColumn("__tk", tokenCountGuarded(textCol)),
+        idCol, groupCol, "__tk", orderHash(salt, idCol, md5Family),
+        broadcastBases = false)
+      // group-local INCLUSIVE cum minus own = tokens strictly before
+      .withColumn("tokens_before", col("__gcum") - col("__tk"))
       .filter(col("tokens_before") < budgetTokens)
       .withColumnRenamed("__tk", "tokens")
-      .drop("__ord", "__cum", "__g", "__base")
+      .drop("__gcum")
   }
 
   /** Length-bucketed batching (the `group_by_length` training idiom:
@@ -475,28 +463,71 @@ object Splits {
       salt: String = "",
       md5Family: Boolean = false): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    val hashHex =
-      if (md5Family)
-        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)
-      else hex60(salt, col(idCol))
     val keyed = df
-      .withColumn("__tk", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__tk", tokenCountGuarded(textCol))
       .withColumn("__b", (length(conv(col("__tk"), 10, 2)) - 1).cast("int"))
-      .withColumn("__ord",
-        concat(groupOrderKey("__b"), lit("-"), hashHex, lit("-"),
-          idPad(col(idCol))))
       .withColumn("__one", lit(1L))
-    val cum = Packing.withPrefixSum(keyed, "__ord", "__one", "__rank1")
-    val bases = cum
-      .groupBy(col("__b").as("__bb"))
-      .agg(min(col("__rank1") - 1L).as("__base"))
-    cum
-      .join(broadcast(bases), col("__b") === col("__bb"))
-      .withColumn("batch_pos", col("__rank1") - 1L - col("__base"))
-      .withColumn("batch_id", floor(col("batch_pos") / batchSize).cast("long"))
+    groupPrefix(keyed, idCol, "__b", "__one",
+        orderHash(salt, idCol, md5Family), broadcastBases = true)
+      // group-local inclusive count = 1-based rank within the bucket
+      .withColumn("batch_pos", col("__gcum") - 1L)
+      // INTEGER division: exact at any scale (a double floor drifts
+      // past 2^53), matching the oracle's `batch_pos // batchSize`
+      .withColumn("batch_id", expr(s"batch_pos div $batchSize"))
       .select(
         col(idCol), col("__tk").as("tokens"), col("__b").as("bucket"),
         col("batch_pos"), col("batch_id"))
+  }
+
+  /** Token count with an explicit null-text guard: a null would
+    * otherwise surface as a baffling "null group key" error (batching)
+    * or a silently dropped row (budget sampling), and would diverge from
+    * the oracles — refuse loudly instead.
+    */
+  private def tokenCountGuarded(textCol: String): Column =
+    when(col(textCol).isNull,
+        raise_error(lit(s"null $textCol — token-based operators need " +
+          "non-null text; filter or coalesce first")))
+      .otherwise(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+
+  /** The (salt, id) order-hash segment of a composite key — md5 family
+    * for oracle-checked paths, hex60/xxhash64 for production.
+    */
+  private def orderHash(salt: String, idCol: String, md5Family: Boolean): Column =
+    if (md5Family)
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)
+    else hex60(salt, col(idCol))
+
+  /** Group-local INCLUSIVE running sum of `valueCol` in (group, hash,
+    * id) order, as `__gcum`: ONE corpus-wide two-phase prefix scan over
+    * the length-prefixed contiguous key ([[cutByQuantileExactPerGroup]]'s
+    * recipe — a big group spans ranges instead of funneling one task) +
+    * a groups-sized base-offset aggregate joined back (broadcast when the
+    * caller knows the group count is tiny; AQE decides otherwise). The
+    * working columns (`__ord`) are dropped; `__gcum` is the only
+    * addition.
+    */
+  private def groupPrefix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      hashHex: Column,
+      broadcastBases: Boolean): DataFrame = {
+    val keyed = df.withColumn("__ord",
+      concat(groupOrderKey(groupCol), lit("-"), hashHex, lit("-"),
+        idPad(col(idCol))))
+    val cum = Packing.withPrefixSum(keyed, "__ord", valueCol, "__cum")
+    // the group's base = the cumulative BEFORE its first row: cum - own
+    // is the preceding cumulative, minimized at the group's first row
+    val bases0 = cum
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min(col("__cum") - col(valueCol)).as("__base"))
+    val bases = if (broadcastBases) broadcast(bases0) else bases0
+    cum
+      .join(bases, col(groupCol) === col("__g"))
+      .withColumn("__gcum", col("__cum") - col("__base"))
+      .drop("__ord", "__cum", "__g", "__base")
   }
 
   // ---- deterministic per-group caps ------------------------------------

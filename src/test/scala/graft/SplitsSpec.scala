@@ -592,9 +592,17 @@ class SplitsSpec extends SparkSpec {
     assert(perGroup === Map("0" -> 11, "1" -> 11, "2" -> 11))
     assert(kept.forall(_.getLong(3) < 105L))
     assert(kept.forall(_.getLong(2) === 10L))
-    // matches a driver-side recomputation of the same hash order
+    // matches a driver-side recomputation of the same hash order (one
+    // engine round trip for ALL keys, not a job per id)
+    val hexOf: Map[Long, String] = spark.range(0, 120).toDF("id")
+      .select(col("id"), org.apache.spark.sql.functions.lpad(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.shiftrightunsigned(
+            org.apache.spark.sql.functions.xxhash64(lit("s1"), col("id")), 4))),
+        15, "0").as("hx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val want = (0L until 120L).groupBy(_ % 3).flatMap { case (_, ids) =>
-      ids.sortBy(id => (xx60("s1", id), id)).take(11)
+      ids.sortBy(id => (hexOf(id), id)).take(11)
     }.toSet
     assert(kept.map(_.getLong(0)).toSet === want)
     // deterministic under repartitioning
@@ -602,23 +610,6 @@ class SplitsSpec extends SparkSpec {
         docs.repartition(7), "id", "g", "text", 105L, salt = "s1")
       .select("id").as[Long].collect().toSet
     assert(again === kept.map(_.getLong(0)).toSet)
-  }
-
-  /** The hex60 order key recomputed driver-side (top 60 bits of
-    * xxhash64(salt, id) as lowercase hex — comparing the hex compares
-    * the value).
-    */
-  private def xx60(salt: String, id: Long): String = {
-    import org.apache.spark.sql.functions.{col => c, lit => l}
-    // one-row round trip through the engine keeps the hash family exact
-    val v = Seq(Tuple1(id)).toDF("id")
-      .select(org.apache.spark.sql.functions.lpad(
-        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.hex(
-          org.apache.spark.sql.functions.shiftrightunsigned(
-            org.apache.spark.sql.functions.xxhash64(l(salt), c("id")), 4))),
-        15, "0"))
-      .head().getString(0)
-    v
   }
 
   test("lengthBucketBatches: exact log2 buckets bound padding waste; batches fill") {
