@@ -572,6 +572,28 @@ object ProfScale {
         require(h100 == hN, s"hit-count parity broke: ac $h100 vs naive $hN")
         println(s"PROFSCALE dictscan hits: 100=$h100 1000=$h1000 5000=$h5000")
 
+      case "groupscan" =>
+        // the group-prefix machinery (token-budget sampler, length-bucket
+        // batcher) solo at scale: one corpus prefix scan each, group/
+        // bucket offsets joined back — expected ~linear, no one-task sort
+        import org.apache.spark.sql.functions.col
+        val docsG = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+          .localCheckpoint()
+        val n = docsG.count()
+        println(s"PROFSCALE corpus docs=$n")
+        timed("token-budget sampler (per source)") {
+          val kept = graft.pipeline.Splits.sampleByTokenBudgetPerGroup(
+            docsG, "doc_id", "source", "text",
+            budgetTokens = math.max(1000L, n / 10), salt = "gs").count()
+          println(s"PROFSCALE   kept $kept of $n")
+        }
+        timed("length-bucket batches (batch 1024)") {
+          val batches = graft.pipeline.Splits.lengthBucketBatches(
+            docsG.select("doc_id", "text"), "doc_id", "text", 1024, salt = "gs")
+            .selectExpr("count(distinct (bucket, batch_id))").collect()(0).getLong(0)
+          println(s"PROFSCALE   $batches batches over $n docs")
+        }
+
       case "lineopskb" =>
         // line family at REALISTIC document shape: KB-sized docs (30
         // source docs folded, newline-joined) with a HOT FOOTER line
