@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     counting overlaps (each (position, term) pair once) — the density
   *     signal;
   *   - `first_term`: the dictionary term whose first occurrence ends
-  *     earliest (ties → the longer match, then lexicographic) — "why was
-  *     this flagged", deterministic.
+  *     earliest; ties (several terms ending at one position) go to the
+  *     LONGER match — two distinct same-length terms cannot end at the
+  *     same position, so that rule is total ("why was this flagged",
+  *     deterministic).
   *
   * The automaton is built ONCE per expression instance (lazily, on the
   * executor that first evaluates it) from the reference-object term list
@@ -165,8 +167,9 @@ object DictScan {
         if (first == -1) null else UTF8String.fromString(dict(first))))
     }
 
-    /** Among term ids ending at the same position: longest, then
-      * lexicographically smallest — a deterministic champion. */
+    /** Among term ids ending at the same position: the longest wins
+      * (distinct same-length terms cannot share an end position, so the
+      * lexicographic clause below is defensive, not reachable). */
     private def bestOf(out: Array[Int]): Int = {
       var best = out(0)
       var j = 1
