@@ -75,7 +75,9 @@ object PpmDecode {
   final case class P6Header(w: Int, h: Int, base: Int)
 
   /** The ONE P6 header parser — shared by decode and resize so the two
-    * kernels can never disagree on which payloads are valid. None on
+    * kernels can never disagree on which payloads are valid. Netpbm
+    * `#`-comments (from `#` to end of line, legal anywhere whitespace
+    * is) are skipped — real P6 files carry tool banners. Null on
     * anything that is not a complete maxval-255 P6 image.
     */
   def parseHeader(bytes: Array[Byte]): P6Header = {
@@ -85,7 +87,13 @@ object PpmDecode {
     val fields = new Array[Int](3)
     var f = 0
     while (f < 3) {
-      while (i < bytes.length && isWs(bytes(i))) i += 1
+      var skipping = true
+      while (skipping && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') { // comment: to end of line
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else skipping = false
+      }
       if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return null
       var v = 0L
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {

@@ -47,6 +47,11 @@ class PpmDecodeSpec extends SparkSpec {
     val px = Array[Byte](1, 2, 3)
     // space-separated header with \r\n — any whitespace run between fields
     assert(decode(ppm(1, 1, px, header = "P6 1\t1\r\n255 ")).isDefined)
+    // netpbm # comments are legal anywhere whitespace is (tool banners)
+    assert(decode(ppm(1, 1, px,
+      header = "P6\n# made by sometool\n1 1\n# note\n255\n")).isDefined)
+    // a comment may not replace the single raster separator byte
+    assert(decode(ppm(1, 1, px, header = "P6\n1 1\n255")).isEmpty)
     // wrong magic (P5 is grayscale PGM), bad maxval, truncated raster,
     // missing raster separator, empty payload
     assert(decode(ppm(1, 1, px, header = "P5\n1 1\n255\n")).isEmpty)
