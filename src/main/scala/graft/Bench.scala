@@ -53,7 +53,8 @@ object Bench {
       all: Seq[(String, Double)],
       errors: Map[String, String],
       sfDir: String,
-      raw: Seq[Seq[(String, Double)]] = Nil): String = {
+      raw: Seq[Seq[(String, Double)]] = Nil,
+      extra: String = ""): String = {
     def qmap(lines: Seq[(String, Double)]) =
       lines.map { case (k, v) => s"${Verify.jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Verify.jq(k)}:${Verify.jq(v)}" }
@@ -64,7 +65,7 @@ object Bench {
       else raw.zipWithIndex
         .map { case (p, i) => s""""pass${i + 1}":${qmap(p)}""" }
         .mkString(""","raw":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(all)}$rawJson,"errors":$errJson,"sf":${Verify.jq(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(all)}$rawJson$extra,"errors":$errJson,"sf":${Verify.jq(sfDir)}}"""
   }
 
   /** Per-query min across measurement passes, names in first-seen order.
@@ -83,6 +84,46 @@ object Bench {
     names.toSeq.map(n => n -> maps.flatMap(_.get(n)).min)
   }
 
+  /** Contention sentinel: ONE fixed-cost, fixed-shape scan (lineitem
+    * full-scan + map-side agg — no skew, no cache sensitivity beyond the
+    * page cache the warmup primes) timed before the first pass and after
+    * every pass. Identical work each time, so its spread (max/min) is a
+    * pure machine-load reading: a clean box holds it near 1.0, a
+    * contended one inflates some samples uniformly with whatever else is
+    * running. BENCH_r13 shipped a capture the judge measured at a
+    * uniform ~2.5× inflation — including map-only scans that cannot
+    * regress by plan — and only a judge re-run exposed it; the sentinel
+    * makes such a capture self-reporting via `"contended":true`.
+    */
+  private[graft] val ContentionSpreadLimit = 1.3
+
+  private[graft] def calibrate(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    graft.core.Tables.lineitem(spark, sfDir)
+      .agg(sum("l_extendedprice"), avg("l_quantity"), count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** `"calib"` JSON fragment (leading comma included) + the contended
+    * verdict for the given sentinel samples. Fewer than 2 samples (a
+    * fatal mid-run death) reports contended=null — unknown, not clean.
+    */
+  private[graft] def calibJson(samples: Seq[Double]): (String, String) = {
+    if (samples.size < 2) {
+      val frag = s""","calib":{"samples":${samples.mkString("[", ",", "]")},"spread":null}"""
+      (frag, "null")
+    } else {
+      val spread = samples.max / samples.min
+      val contended = if (spread > ContentionSpreadLimit) "true" else "false"
+      val frag =
+        s""","calib":{"samples":${samples.mkString("[", ",", "]")},"spread":$spread}"""
+      (frag, contended)
+    }
+  }
+
   /** Compact trailer emitted AFTER the full JSON line: the driver's r9
     * capture tail-truncated the full line (the per-query map outgrew the
     * capture window), losing the headline total. A second, bounded-size
@@ -92,9 +133,10 @@ object Bench {
   private[graft] def renderSummary(
       all: Seq[(String, Double)],
       errors: Map[String, String],
-      sfDir: String): String = {
+      sfDir: String,
+      contended: String = "null"): String = {
     val total = all.map(_._2).sum
-    s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${all.size},"n_errors":${errors.size},"sf":${Verify.jq(sfDir)}}"""
+    s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${all.size},"n_errors":${errors.size},"contended":$contended,"sf":${Verify.jq(sfDir)}}"""
   }
 
   /** The two lines a fatal (pre-measurement) death must still emit: a
@@ -165,6 +207,11 @@ object Bench {
     val nPasses = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // contention sentinel samples: first (post-warmup), then after every
+    // pass — identical fixed-shape work, so spread >1.3× flags the run
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try calibSamples += calibrate(spark, sfDir)
+    catch { case _: Throwable => () } // missing table: calib stays short → contended:null
     val passes = (1 to nPasses).map { _ =>
       val (results, runErrors) = run(spark, sfDir, selected)
       errors ++= runErrors
@@ -257,13 +304,17 @@ object Bench {
           System.err.println(s"[bench] q_wire_aggregate FAILED: ${errors("q_wire_aggregate")}")
           Nil
         }
+      try calibSamples += calibrate(spark, sfDir)
+      catch { case _: Throwable => () }
       results ++ tierBench ++ wire
     }
     val allLines = minOfPasses(passes)
+    val (calibFrag, contended) = calibJson(calibSamples.toSeq)
     println(renderJson(allLines, errors.toMap, sfDir,
-      raw = if (nPasses > 1) passes else Nil))
+      raw = if (nPasses > 1) passes else Nil,
+      extra = calibFrag))
     // bounded-size trailer so a tail-truncated capture keeps the headline
-    println(renderSummary(allLines, errors.toMap, sfDir))
+    println(renderSummary(allLines, errors.toMap, sfDir, contended))
     printed = true
     spark.stop()
     // rc stays 0 even on per-query errors, mirroring Verify's rationale: a

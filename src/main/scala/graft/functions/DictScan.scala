@@ -157,7 +157,8 @@ object DictScan {
           }
           // matches stream in end-position order: the first non-empty
           // output set decides first_term (tie at that position → the
-          // longest term, whose match started earliest, then lexicographic)
+          // longest term, whose match started earliest; length is a total
+          // order here — see bestOf)
           if (first == -1) first = bestOf(out)
         }
         i += 1
@@ -167,17 +168,17 @@ object DictScan {
         if (first == -1) null else UTF8String.fromString(dict(first))))
     }
 
-    /** Among term ids ending at the same position: the longest wins
-      * (distinct same-length terms cannot share an end position, so the
-      * lexicographic clause below is defensive, not reachable). */
+    /** Among term ids ending at the same position: the longest wins.
+      * Length alone is total here: two DISTINCT terms of the same length
+      * ending at the same position would have to be the same substring —
+      * impossible (the constructor rejects duplicates), so no further
+      * tie-break clause exists. DictScanSpec asserts the invariant. */
     private def bestOf(out: Array[Int]): Int = {
       var best = out(0)
       var j = 1
       while (j < out.length) {
         val id = out(j)
-        if (dict(id).length > dict(best).length ||
-            (dict(id).length == dict(best).length && dict(id) < dict(best)))
-          best = id
+        if (dict(id).length > dict(best).length) best = id
         j += 1
       }
       best

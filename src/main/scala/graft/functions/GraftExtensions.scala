@@ -145,10 +145,14 @@ object GraftExtensions {
         "scan: (n_terms_present, n_hits, first_term)", 2)(
       exprs => DictScan(
         exprs.head,
-        // distinct: n_terms_present counts DISTINCT terms — a duplicate
-        // in the comma list would register two automaton ids for one
-        // string and double-count every match
-        strArg(exprs(1), "terms").split(',').toSeq.filter(_.nonEmpty).distinct)),
+        // trim: 'a, b' means terms "a" and "b" — whitespace around the
+        // commas is list formatting, not part of the term (interior
+        // whitespace, as in 'a a', IS significant). distinct:
+        // n_terms_present counts DISTINCT terms — a duplicate in the
+        // comma list would register two automaton ids for one string and
+        // double-count every match
+        strArg(exprs(1), "terms").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).distinct)),
     fn("filter_lines",
       "filter_lines(text, min_words, 'ban,words', require_terminal_punct) - " +
         "C4-style line filter: (n_lines, n_kept, clean_text)", 4)(

@@ -109,6 +109,14 @@ object Lines {
       .filter(substantial(minChars))
       .groupBy(md5(col("__line")).as("__h"))
       .agg(min(struct(col("__id"), col("__ord"))).as("__first"))
+    // COLLISION CONVENTION: the verdict join equates lines by md5(line)
+    // alone — a 128-bit collision would silently merge two distinct lines
+    // (dropping a never-duplicated line, or boilerplate-dropping a rare
+    // one). Unlike the hash-order samplers (where the hash IS the
+    // definition), here md5 stands in for line equality; the convention is
+    // shared with the gates' DuckDB oracles, and at ~2^-128 per pair it is
+    // not a risk at any plausible corpus size — but it is a convention,
+    // not a proof. The same applies to boilerplateLines' hot-set join.
     val verdict = lines
       .join(firsts, md5(col("__line")) === col("__h"), "left_outer")
       .withColumn(

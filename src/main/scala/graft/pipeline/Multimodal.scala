@@ -114,8 +114,12 @@ object Multimodal {
       lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
     val raster = repeat(md5(col("text")), 5).substr(lit(1), w * h * 3)
     val full = encode(concat(header, raster), "UTF-8")
+    // floor(x/2).cast(int), not Column `/` alone: `/` is double division,
+    // and the implicit double→int cast inside substr fails under
+    // spark.sql.ansi.enabled=true
     val truncated = encode(
-      concat(header, repeat(md5(col("text")), 5).substr(lit(1), (w * h * 3) / 2)),
+      concat(header,
+        repeat(md5(col("text")), 5).substr(lit(1), floor((w * h * 3) / 2).cast("int"))),
       "UTF-8")
     docs.select(
       col("doc_id").as("media_id"),

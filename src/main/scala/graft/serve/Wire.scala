@@ -33,7 +33,13 @@ object Wire {
   // NNTSC_VERSION_CHECK: the server's on-connect greeting announcing the
   // client-API version it speaks (exporter.py:1152-1157 sends it before
   // serving any request; the reference client validates and disconnects
-  // on mismatch)
+  // on mismatch).
+  // ROLLOUT-ORDER CONSTRAINT: the greeting is a wire-protocol breaking
+  // change relative to pre-greeting builds — an old client misreads the
+  // greeting as the reply to its first request, and a new client blocks
+  // waiting for a greeting an old server never sends. Deploy servers
+  // before clients (a new server + old client fails fast on the
+  // unexpected frame type; the reverse hangs), or fleet-upgrade both.
   val VersionCheck = 8
   // NNTSC_UNSUBSCRIBE ack (exporter.py:894-906 — the reference handles
   // the request silently; the ack is a documented deviation so a client

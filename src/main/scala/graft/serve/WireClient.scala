@@ -220,8 +220,9 @@ object WireClient {
   final case class LiveRows(label: String, rows: Seq[Map[String, Any]]) extends Event
   final case class Push(collection: String, timestamp: Long) extends Event
   /** Ack for an in-flight [[Subscription.unsubscribe]]: `remaining` is
-    * how many streams this connection is still subscribed to for the
-    * collection.
+    * how many DISTINCT streams this connection is still subscribed to
+    * for the collection (a stream held by several subscriptions counts
+    * once — 0 means none left).
     */
   final case class Unsubscribed(remaining: Long) extends Event
 

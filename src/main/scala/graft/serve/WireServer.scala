@@ -331,16 +331,24 @@ final class WireServer(
           // same visible result — history was already owed).
           val coll = req("collection").asInstanceOf[String]
           val streams = req("streams").asInstanceOf[Seq[Any]].map(JsonMini.asLong)
-          var remaining = 0L
           subs.foreach { s =>
             if (s.collection == coll) {
               val left = s.unsubscribe(streams)
               if (left == 0)
                 s.handles.foreach(h => try h.close() catch { case _: Throwable => () })
-              remaining += left
             }
           }
           subs.filterInPlace(s => s.collection != coll || s.streams.nonEmpty)
+          // `remaining` = DISTINCT streams still subscribed for this
+          // collection on this connection — a stream held by two
+          // subscriptions counts once, so remaining=0 always means "no
+          // stream of this collection is still live here" (summing
+          // per-subscription remainders double-counted shared streams
+          // and made 0 ambiguous)
+          val remaining = subs.iterator
+            .filter(_.collection == coll)
+            .flatMap(_.streams)
+            .toSet.size.toLong
           Wire.pack(
             Wire.Unsubscribe,
             s"""{"unsubscribed":true,"remaining":$remaining}""".getBytes("UTF-8"))

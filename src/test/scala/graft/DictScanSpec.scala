@@ -42,16 +42,29 @@ class DictScanSpec extends SparkSpec {
     // tie at end position 2: "ab" (len 2) beats "b" (len 1)
   }
 
-  test("same end, same length: lexicographic champion") {
+  test("same end, same length is impossible: length is a total tie-break") {
     // "ba" and "ab" both length 2; in "aba" the first match END is at
     // position 2 ("ab"); "ba" ends at 3 — so "ab" simply ends first
     assert(scan("aba", Seq("ba", "ab")) === ((2L, 2L, "ab")))
-    // force a genuine same-end tie: terms "xa" and "ba" in "xba"? "xa"
-    // absent. Use equal-length distinct terms ending at one position:
-    // impossible for distinct same-length terms (same end + same length
-    // → same string), so the lex rule is only reachable via the
-    // automaton's duplicate-free dict — assert the bestOf order anyway
-    // through length ties across DIFFERENT ends being irrelevant
+    // the invariant bestOf relies on: two DISTINCT terms of equal length
+    // ending at the same position would be the same substring of the
+    // text, hence the same string — and the constructor rejects
+    // duplicates. Assert it exhaustively over a small universe: for
+    // every pair of distinct terms and every text position, equal length
+    // implies different end positions.
+    val terms = for {
+      a <- Seq("a", "b"); b <- Seq("a", "b")
+    } yield s"$a$b"
+    val text = "aabbabba"
+    for {
+      t1 <- terms; t2 <- terms if t1 != t2 && t1.length == t2.length
+      e <- 1 to text.length
+    } {
+      val ends1 = t1.length <= e && text.substring(e - t1.length, e) == t1
+      val ends2 = t2.length <= e && text.substring(e - t2.length, e) == t2
+      assert(!(ends1 && ends2),
+        s"distinct same-length terms $t1/$t2 both end at $e — bestOf's total-order invariant broken")
+    }
   }
 
   test("unicode terms and text") {

@@ -95,9 +95,30 @@ class HarnessSpec extends SparkSpec {
     // per-query map outgrew the window) and lost the total — the trailer
     // is bounded-size, so any tail capture keeps it
     val line = Bench.renderSummary(
-      Seq("q_a" -> 1.5, "q_b" -> 2.5), Map("q_c" -> "boom"), "/tmp/sf0.1")
+      Seq("q_a" -> 1.5, "q_b" -> 2.5), Map("q_c" -> "boom"), "/tmp/sf0.1", "false")
     assert(line ===
-      """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"sf":"/tmp/sf0.1"}""")
+      """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"contended":false,"sf":"/tmp/sf0.1"}""")
+  }
+
+  test("Bench: contention sentinel — spread over 1.3x flags the run") {
+    // BENCH_r13 shipped a capture the judge's clean re-run measured at a
+    // uniform ~2.5x inflation; the sentinel makes such a capture
+    // self-reporting instead of needing a judge re-run
+    val (cleanFrag, clean) = Bench.calibJson(Seq(1.0, 1.1, 1.05))
+    assert(clean === "false")
+    assert(cleanFrag.contains(""""samples":[1.0,1.1,1.05]"""))
+    val (_, hot) = Bench.calibJson(Seq(1.0, 2.5, 1.0))
+    assert(hot === "true")
+    // boundary: exactly 1.3 is NOT contended (limit is strict >)
+    assert(Bench.calibJson(Seq(1.0, 1.3))._2 === "false")
+    // a mid-run death can leave one sample: unknown, not clean
+    val (shortFrag, unknown) = Bench.calibJson(Seq(1.0))
+    assert(unknown === "null")
+    assert(shortFrag.contains(""""spread":null"""))
+    // the fragment rides the full JSON line before "errors"
+    val json = Bench.renderJson(
+      Seq("q_a" -> 1.0), Map.empty, "/tmp/sf0.1", extra = cleanFrag)
+    assert(json.contains(""","calib":{"samples":[1.0,1.1,1.05],"spread":"""))
   }
 
   test("Bench: rc contract — a fatal setup death still emits parseable lines") {
@@ -110,7 +131,7 @@ class HarnessSpec extends SparkSpec {
     assert(lines.head.startsWith("""{"metric":"total","value":0.0,"""))
     assert(lines.head.contains(""""errors":{"_fatal":"java.lang.IllegalStateException: table \"events\" unreadable"}"""))
     assert(lines(1) ===
-      """{"metric":"total_summary","value":0.0,"unit":"sec","n_queries":0,"n_errors":1,"sf":"/tmp/sf0.1"}""")
+      """{"metric":"total_summary","value":0.0,"unit":"sec","n_queries":0,"n_errors":1,"contended":null,"sf":"/tmp/sf0.1"}""")
   }
 
   test("Bench: the JSON line survives quotes/backslashes in names and sfDir") {

@@ -547,6 +547,56 @@ class WireServerSpec extends SparkSpec {
     } finally { sub.close(); server.close() }
   }
 
+  test("unsubscribe ack counts DISTINCT remaining streams across overlapping subscriptions") {
+    import graft.streaming.Markers
+    val lbus = new Markers.LiveBus
+    val server = new WireServer(svc, live = Some(lbus))
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    sock.setSoTimeout(30000)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      def readFrame(): Wire.Message = {
+        val header = new Array[Byte](Wire.HeaderLen)
+        in.readFully(header)
+        val len = java.nio.ByteBuffer.wrap(header, 3, 4).getInt
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        Wire.Message(header(0) & 0xff, ((header(1) & 0xff) << 8) | (header(2) & 0xff), body)
+      }
+      def subscribe(streams: Seq[Long]): Unit = {
+        out.write(Wire.pack(0,
+          s"""{"request":"subscribe","collection":"amp-external",
+             |"labels":{"x":[${streams.mkString(",")}]},"columns":["value"],
+             |"start":1704067200,"stop":0}""".stripMargin.getBytes("UTF-8")))
+        out.flush()
+        var m = readFrame()
+        while (m.msgType == Wire.History) m = readFrame()
+        assert(m.msgType === Wire.Subscribe)
+      }
+      def unsubscribe(streams: Seq[Long]): String = {
+        out.write(Wire.pack(0,
+          s"""{"request":"unsubscribe","collection":"amp-external",
+             |"streams":[${streams.mkString(",")}]}""".stripMargin.getBytes("UTF-8")))
+        out.flush()
+        var m = readFrame()
+        while (m.msgType != Wire.Unsubscribe) m = readFrame()
+        new String(m.body, "UTF-8")
+      }
+      assert(readFrame().msgType === Wire.VersionCheck)
+      // two subscriptions sharing stream 2: {1, 2} and {2}
+      subscribe(Seq(1L, 2L))
+      subscribe(Seq(2L))
+      // dropping stream 1 leaves stream 2 subscribed in BOTH subs — the
+      // ack counts it ONCE (a sum would say 2)
+      assert(unsubscribe(Seq(1L)).contains("\"remaining\":1"))
+      // dropping stream 2 empties both: 0 now unambiguously means "no
+      // stream of this collection is still live on this connection"
+      assert(unsubscribe(Seq(2L)).contains("\"remaining\":0"))
+      assert(lbus.subscriberCount("amp-external") === 0)
+    } finally { sock.close(); server.close() }
+  }
+
   test("unsubscribe deregisters markers-only subscriptions too (no live bus)") {
     import graft.serve.{Wire, WireClient}
     import graft.streaming.Markers
