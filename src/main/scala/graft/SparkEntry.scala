@@ -1488,6 +1488,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL PNG pixel decode: from-scratch Inflater + unfilter kernel
+    //      against javax.imageio as the INDEPENDENT encoder. PNG is
+    //      lossless with spec-mandated decode output, so the gate is
+    //      exact-hash like the P6 path: the raster is ASCII md5 hex, the
+    //      oracle recomputes sums/thumb POSITIONALLY from the same
+    //      fields, and the two implementations meet only at the raster
+    //      definition. Raw-text and truncated rows decode to NULL -------
+    "q_multimodal_png" -> ((s, dir) => {
+      import graft.functions.PngDecode
+      Multimodal.mediaTablePng(s, Tables.documents(s, dir))
+        .select(col("media_id"), PngDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.color_type").as("color_type"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.sum_a").as("sum_a"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- Audio (WAV/RIFF) container metadata: the AudioHeader walk over
     //      byte-exact synthetic containers ------------------------------
     "q_multimodal_audio" -> ((s, dir) => {
@@ -4446,6 +4471,59 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
         |  END AS peak_c1
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // PNG decode: the encoder (javax.imageio) and decoder (the repo's
+    // Inflater+unfilter kernel) are independent implementations; the
+    // oracle never touches the PNG bytes — it recomputes the raster
+    // statistics POSITIONALLY from the same fields the generator derives
+    // the raster from (the q_multimodal_pixels convention, with bpp 3/4
+    // by color type). channel c of pixel i sits at 1-based hex offset
+    // bpp*i + c + 1; thumb pixel (ty,tx) samples row (ty*h)//2,
+    // col (tx*w)//2, RGB channels only
+    "q_multimodal_png" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INTEGER) AS bpp,
+        |    substr(repeat(md5(text), 7), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2)
+        |           * (CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END) AS INTEGER)) AS px,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CASE WHEN bpp = 4 THEN 6 ELSE 2 END END AS color_type,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(bpp * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(bpp * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(bpp * i + 3 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad OR bpp = 3 THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(bpp * i + 4 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_a,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        flatten(list_transform([0, 1], tx ->
+        |          list_transform([0, 1, 2], ch ->
+        |            bpp * (((ty * h) // 2) * w + (tx * w) // 2) + ch + 1))))),
+        |      pos -> printf('%02x', ascii(substr(px, CAST(pos AS INTEGER), 1)))),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // P6 decode: the raster is ASCII md5-hex, so the oracle recomputes
     // sums and the 2x2 nearest-neighbor thumb POSITIONALLY from the same

@@ -136,6 +136,11 @@ object GraftExtensions {
       "ppm_decode(bytes) - binary PPM (P6) pixel decode: (width, height, " +
         "n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
       exprs => PpmDecode(exprs.head)),
+    fn("png_decode",
+      "png_decode(bytes) - real PNG pixel decode (8-bit RGB/RGBA, " +
+        "non-interlaced): (width, height, color_type, n_px, sum_r, sum_g, " +
+        "sum_b, sum_a, thumb_hex)", 1)(
+      exprs => PngDecode(exprs.head)),
     fn("platform_ln",
       "platform_ln(x) - natural log via the platform libm (oracle-parity " +
         "ln; Spark's log() is StrictMath)", 1)(

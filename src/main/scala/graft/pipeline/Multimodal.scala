@@ -7,17 +7,20 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus batched per-partition
   * "decode"/feature-extract operators.
   *
-  * The CODEC decode step (JPEG/PNG/WAV pixels/samples) is a
-  * clearly-marked STUB — the container has no image/audio codecs —
-  * producing deterministic fake features. UNCOMPRESSED formats need no
-  * codec, so those decode for REAL: binary PPM (P6) pixels via
-  * [[graft.functions.PpmDecode]] — exact per-channel sums and a defined
-  * nearest-neighbor thumbnail, hash-gated (q_multimodal_pixels).
-  * Everything around the stub (schema, binary columns, partition-batched
-  * execution shape, metadata struct) is the real 100 TB design: payloads
-  * never shuffle except where a transform requires it, and feature
-  * extraction runs as a per-partition batch (the Scala analogue of
-  * `mapInPandas` batching).
+  * Decode coverage: every LOSSLESS format decodes for REAL — binary PPM
+  * (P6) via [[graft.functions.PpmDecode]], PNG via
+  * [[graft.functions.PngDecode]] (from-scratch Inflater + unfilter on
+  * core JDK only), PCM WAV via [[graft.functions.PcmDecode]], Y4M via
+  * [[graft.functions.Y4mSample]] — all hash-gated with exact sums.
+  * LOSSY codecs (JPEG) decode via `javax.imageio` on a partition-batched
+  * path ([[decodeJpegBatched]]) and are TOLERANCE-gated, because their
+  * decode output is implementation-defined (IDCT rounding) — a
+  * cross-engine exact-hash gate is impossible by the codec's nature, not
+  * by this container's. The old generic ===== DECODE STUB ===== remains
+  * only in [[extractFeatures]]/[[extractFeaturesArrow]], whose point is
+  * the batched execution SHAPE (the `mapInPandas` seam) rather than any
+  * particular codec. Payloads never shuffle except where a transform
+  * requires it, and feature extraction runs as a per-partition batch.
   */
 object Multimodal {
 
@@ -131,6 +134,111 @@ object Multimodal {
         col("n_chars").as("size_bytes"),
         col("source").as("origin"),
         col("lang").as("codec")).as("meta"))
+  }
+
+  final case class RasterSrc(
+      media_id: Long, w: Int, h: Int, rgba: Boolean, px: String, kind: Int,
+      size_bytes: Long, origin: String, codec: String)
+
+  /** Rebuild an md5-hex raster string as a BufferedImage and encode it
+    * through `javax.imageio` — the INDEPENDENT encoder behind the PNG and
+    * JPEG media tables (independent of [[graft.functions.PngDecode]]'s
+    * Inflater+unfilter kernel: the two implementations share only the
+    * raster definition). `quality` < 0 means the format's default
+    * (PNG is lossless; JPEG uses it for the tolerance gate's fixed
+    * quality).
+    */
+  private[graft] def encodeRaster(
+      format: String, wi: Int, hi: Int, rgba: Boolean, px: String,
+      quality: Float = -1f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      wi, hi,
+      if (rgba) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bpp = if (rgba) 4 else 3
+    var i = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        val r = px.charAt(i) & 0xff
+        val g = px.charAt(i + 1) & 0xff
+        val b = px.charAt(i + 2) & 0xff
+        val a = if (rgba) px.charAt(i + 3) & 0xff else 0xff
+        img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+        i += bpp
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (quality < 0f) {
+      javax.imageio.ImageIO.write(img, format, bos)
+    } else {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(out)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); out.close() }
+    }
+    bos.toByteArray
+  }
+
+  /** Synthesize a PNG media table whose PIXELS are real and
+    * oracle-reconstructible: the raster is the ASCII bytes of
+    * repeat(md5(text), 7) truncated to w·h·bpp (the [[mediaTablePpm]]
+    * convention — every byte is 0-9a-f ASCII, so the DuckDB oracle
+    * rebuilds the exact raster positionally), encoded as REAL PNG through
+    * `javax.imageio` — an encoder independent of
+    * [[graft.functions.PngDecode]], so gate parity proves
+    * decode(encode(raster)) == raster with no shared code. Small dims
+    * (w ∈ 2..7, h ∈ 2..6 → ≤ 168 raster bytes ≤ the 224 repeated hex
+    * chars). Even docs are RGB (color type 2), odd RGBA (type 6). Row
+    * mix: every third row is raw text (wrong magic → null), every
+    * seventh a TRUNCATED PNG (IEND + the IDAT tail cut → null).
+    *
+    * Unlike the pure-DSL generators this one needs a partition-batched
+    * encode step (PNG encode is not a Column function); the per-row
+    * parameters are still pure DSL.
+    */
+  def mediaTablePng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val rgba = col("doc_id") % 2 === 1
+    val bpp = when(rgba, 4).otherwise(3)
+    val kind = when(col("doc_id") % 3 === 2, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"), rgba.as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 7).substr(lit(1), (w * h * bpp).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
+          case 2 => // truncated: IEND (12 bytes) + the IDAT tail cut off
+            val full = encodeRaster("png", r.w, r.h, r.rgba, r.px)
+            java.util.Arrays.copyOf(full, full.length - 20)
+          case _ => encodeRaster("png", r.w, r.h, r.rgba, r.px)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
   /** Synthesize a YUV4MPEG2 (y4m) media table with REAL frames: three

@@ -189,6 +189,20 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("png_decode") {
+      // 6a³c. the PNG pixel decode is one fused map-only codegen
+      //       expression (Inflater + unfilter ride the static kernel):
+      //       no Exchange, no Generate, no Python, inside whole-stage
+      //       codegen — payload bytes are read once where they sit.
+      val pngPlan = plan(docs.select(
+        graft.functions.PngDecode(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")).as("r")))
+      check("png_decode: fused map-only codegen", pngPlan,
+        mustContain = Seq("*(1) Project [png_decode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
     guarded("line dedup") {
       // 6a⁴. corpus-global line dedup: verdicts from a map-side-combined
       //      aggregate on the line hash (partial_min of the (id, ord)

@@ -572,6 +572,43 @@ object ProfScale {
         require(h100 == hN, s"hit-count parity broke: ac $h100 vs naive $hN")
         println(s"PROFSCALE dictscan hits: 100=$h100 1000=$h1000 5000=$h5000")
 
+      case "png" =>
+        // the real PNG decode kernel solo: payloads are materialized once
+        // (localCheckpoint) so the timing isolates the Inflater+unfilter
+        // decode from the fixture's ImageIO encode. Two shapes: the
+        // gate's tiny images (per-row overhead) and 64×48 rasters
+        // (per-byte throughput — the shape a thumbnail/feature pipeline
+        // actually decodes).
+        import org.apache.spark.sql.functions.{col, md5 => fmd5}
+        import spark.implicits._
+        val docsP = Tables.documents(spark, sfDir)
+        val tiny = graft.pipeline.Multimodal.mediaTablePng(spark, docsP)
+          .select("media_id", "payload").localCheckpoint()
+        val nTiny = tiny.count()
+        timed(s"png_decode tiny x$nTiny") {
+          val ok = tiny.select(graft.functions.PngDecode(col("payload")).as("d"))
+            .selectExpr("count(d.n_px)").collect()(0).getLong(0)
+          require(ok > 0, "no tiny png decoded")
+        }
+        val big = docsP.select(col("doc_id"), fmd5(col("text")).as("m"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, m) =>
+            val rgba = id % 2 == 1
+            val need = 64 * 48 * (if (rgba) 4 else 3)
+            (id, graft.pipeline.Multimodal.encodeRaster(
+              "png", 64, 48, rgba, (m * 384).substring(0, need)))
+          })
+          .toDF("media_id", "payload").localCheckpoint()
+        val nBig = big.count()
+        val rasterBytes = nBig * 64L * 48 * 7 / 2 // avg of bpp 3 and 4
+        var t = 0.0
+        t = timed(s"png_decode 64x48 x$nBig") {
+          val ok = big.select(graft.functions.PngDecode(col("payload")).as("d"))
+            .selectExpr("count(d.n_px)").collect()(0).getLong(0)
+          require(ok == nBig, s"decoded $ok of $nBig")
+        }
+        println(f"PROFSCALE png raster throughput ${rasterBytes / t / 1e6}%.1f MB/s")
+
       case "groupscan" =>
         // the group-prefix machinery (token-budget sampler, length-bucket
         // batcher) solo at scale: one corpus prefix scan each, group/
