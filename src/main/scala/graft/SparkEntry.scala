@@ -1513,6 +1513,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- JPEG: tolerance-band gate (the q_sketches pattern). JPEG
+    //      decode output is IMPLEMENTATION-DEFINED (IDCT rounding,
+    //      chroma upsampling) so cross-engine exact-hash parity is
+    //      impossible by the codec's nature; the gate pins exact
+    //      geometry plus in-band booleans — |mean channel error| <= 3.0
+    //      (measured <= ~1.0; a shifted raster measures ~29, a channel
+    //      swap flips rows across the population) and worst channel
+    //      MAE <= 40 (measured <= ~30; uniform-noise output measures
+    //      ~85). Decode runs partition-batched through javax.imageio —
+    //      the labeled non-fused seam ----------------------------------
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      // booleans ride as int 1/0/NULL: the driver's pandas comparator
+      // maps numeric NULL→NaN cleanly, but a NULLABLE BOOLEAN column
+      // lands as object-dtype None on one side only
+      Multimodal.decodeJpegBatched(
+          s, Multimodal.mediaTableJpeg(s, Tables.documents(s, dir)),
+          meanTolerance = 3.0, maeTolerance = 40.0)
+        .withColumn("in_band_r", col("in_band_r").cast("int"))
+        .withColumn("in_band_g", col("in_band_g").cast("int"))
+        .withColumn("in_band_b", col("in_band_b").cast("int"))
+        .withColumn("in_band_mae", col("in_band_mae").cast("int"))
+        .orderBy("media_id")
+    }),
+
     // ---- Audio (WAV/RIFF) container metadata: the AudioHeader walk over
     //      byte-exact synthetic containers ------------------------------
     "q_multimodal_audio" -> ((s, dir) => {
@@ -4523,6 +4547,31 @@ object SparkEntry {
         |      pos -> printf('%02x', ascii(substr(px, CAST(pos AS INTEGER), 1)))),
         |    'string_agg', '')
         |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // JPEG tolerance gate: geometry is exact (dimensions survive lossy
+    // encode) and recomputes from the same fields; the in-band booleans
+    // are pinned TRUE for good rows — the Spark side computes them by
+    // comparing the javax.imageio decode against the pre-encode raster,
+    // so a decoder drifting out of band (or a channel-order/geometry
+    // bug) flips a boolean and fails the hash. Exact pixel values are
+    // spec-only by the codec's nature (implementation-defined IDCT)
+    "q_multimodal_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 9 + 8 AS INTEGER) AS w,
+        |    CAST(n_chars % 7 + 8 AS INTEGER) AS h,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_r,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_g,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_b,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_mae
         |FROM d ORDER BY media_id""".stripMargin,
 
     // P6 decode: the raster is ASCII md5-hex, so the oracle recomputes

@@ -272,6 +272,135 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Synthesize a baseline-JPEG media table from the SAME md5-hex raster
+    * convention as [[mediaTablePng]] (RGB only — JPEG has no alpha),
+    * encoded through `javax.imageio` at a fixed quality, carrying the
+    * expected raster alongside for the tolerance judge. JPEG decode
+    * output is IMPLEMENTATION-DEFINED (IDCT rounding, chroma
+    * upsampling), so unlike PNG this can never be exact-hash gated
+    * cross-engine; the gate instead emits in-band BOOLEANS (the
+    * q_sketches pattern — see [[decodeJpegBatched]]). Row mix: every
+    * third row raw text (no reader claims it → null), every seventh a
+    * corrupted-magic JPEG (first byte flipped → null).
+    */
+  def mediaTableJpeg(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 9 + 8).cast("int")
+    val h = (col("n_chars") % 7 + 8).cast("int")
+    val kind = when(col("doc_id") % 3 === 2, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        // period 33 (md5 + 'z'), NOT 32: gcd(33, 3) = 3 keeps the three
+        // channels on DISJOINT 11-char subsets of the digest, so their
+        // means differ by several counts and the gate's mean band can
+        // flip on a channel-order bug. A period coprime with 3 (plain
+        // repeat(md5)) aliases every channel onto the same character
+        // multiset and blinds any positional-mean statistic.
+        when(kind === 1, col("text"))
+          .otherwise(repeat(concat(md5(col("text")), lit("z")), 24)
+            .substr(lit(1), (w * h * 3).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            val full = encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+            full(0) = (full(0) ^ 0x77).toByte // no longer starts with SOI
+            full
+          case _ => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+        }
+        // the expected raster rides along for the tolerance judge (bad
+        // rows carry null — nothing to judge against)
+        (r.media_id, payload, if (r.kind == 0) r.px else null,
+          r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "expected_px", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"), col("expected_px"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** Lossy-codec decode + tolerance judging, partition-batched through
+    * `javax.imageio` — the LABELED NON-FUSED path (a codec library is
+    * iterator-in/iterator-out over payload batches, the `mapInPandas`
+    * seam; there is no Catalyst expression to fuse a JPEG decoder into).
+    * Output per row: exact geometry (width, height, n_px — dimensions
+    * survive lossy encode exactly) plus in-band BOOLEANS the gate's
+    * oracle pins TRUE:
+    *
+    *   - `in_band_r/g/b`: |mean signed error| of the channel vs the
+    *     expected raster ≤ `meanTolerance`. JPEG preserves per-block DC
+    *     almost exactly (measured ≤ 0.7 at quality 0.97 even on hex-noise
+    *     rasters where per-pixel MAE runs 9-25), so this band is TIGHT —
+    *     a swapped channel order or a shifted raster (measured ~29)
+    *     flips it across any population of rows;
+    *   - `in_band_mae`: worst per-channel mean ABSOLUTE error ≤
+    *     `maeTolerance` — the garbage net (a decoder emitting noise
+    *     passes no mean test only by luck; it never passes this).
+    *
+    * A decoder drifting out of band flips a boolean and fails the hash,
+    * so the lossy step is verified end-to-end without pretending its
+    * exact output is portable. Undecodable payloads (or rows with no
+    * expected raster) emit null columns.
+    */
+  def decodeJpegBatched(
+      spark: SparkSession,
+      media: DataFrame,
+      meanTolerance: Double,
+      maeTolerance: Double): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("expected_px"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, px) =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) if px != null && px.length == im.getWidth * im.getHeight * 3 =>
+            val w = im.getWidth; val h = im.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L // signed error sums
+            var ar = 0L; var ag = 0L; var ab = 0L // absolute error sums
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val i = 3 * (y * w + x)
+                val dr = ((rgb >> 16) & 0xff) - (px.charAt(i) & 0xff)
+                val dg = ((rgb >> 8) & 0xff) - (px.charAt(i + 1) & 0xff)
+                val db = (rgb & 0xff) - (px.charAt(i + 2) & 0xff)
+                sr += dr; sg += dg; sb += db
+                ar += math.abs(dr); ag += math.abs(dg); ab += math.abs(db)
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toDouble
+            (id, Some(w), Some(h), Some(w.toLong * h),
+              Some(math.abs(sr / n) <= meanTolerance),
+              Some(math.abs(sg / n) <= meanTolerance),
+              Some(math.abs(sb / n) <= meanTolerance),
+              Some(math.max(ar, math.max(ag, ab)) / n <= maeTolerance))
+          case _ =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Boolean], None: Option[Boolean],
+              None: Option[Boolean], None: Option[Boolean])
+        }
+      })
+      .toDF("media_id", "width", "height", "n_px",
+        "in_band_r", "in_band_g", "in_band_b", "in_band_mae")
+  }
+
   /** Little-endian integer bytes in pure Column DSL (RIFF is LE where
     * PNG/JPEG are BE): one unhexed byte per shift, lowest first.
     */
