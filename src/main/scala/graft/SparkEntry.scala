@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{OracleParity, Tables}
 import graft.ingest.Normalize
-import graft.pipeline.{Dedup, Importance, Multimodal, Packing, Similarity, Splits, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Importance, Multimodal, Packing, Similarity, Splits, TextAnalysis}
 import graft.query.{AggSpec, Frequency, QueryEngine, TimeSeriesOps}
 import graft.rollup.Rollup
 
@@ -497,6 +497,39 @@ object SparkEntry {
     // ---- Text analysis: token counts, quality ratios ------------------
     // (relational explode + codegen aggregation — the higher-order-lambda
     // column form re-tokenizes per consumer and runs interpreted)
+    // ---- REAL BPE tokenizer, trained on the corpus and replayed by the
+    //      oracle: q_bpe_merges pins the TRAINED MERGE TABLE itself
+    //      (rank + pair per iteration — the oracle re-trains in SQL with
+    //      unrolled layers, nothing inlined from the Spark run);
+    //      q_tokenize_bpe pins the corpus ENCODE (token counts + the
+    //      md5 of every document's segmented stream). Training is one
+    //      word-count aggregation + a driver loop over the top-2048
+    //      vocab (the Pq codebook pattern); encode is a fused map-only
+    //      reference-object expression ---------------------------------
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.trainMerges(Tables.documents(s, dir), "text",
+          vocabCap = 2048, maxMerges = 48, minPairCount = 2L)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i + 1, x, y) }
+        .toDF("mrank", "left_tok", "right_tok")
+        .orderBy("mrank")
+    }),
+
+    "q_tokenize_bpe" -> ((s, dir) => {
+      import graft.functions.BpeEncode
+      val merges = Bpe.trainMerges(Tables.documents(s, dir), "text",
+        vocabCap = 2048, maxMerges = 48, minPairCount = 2L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), BpeEncode(col("text"), merges).as("__b"))
+        .select(
+          col("doc_id"),
+          col("__b.n_words").as("n_words"),
+          col("__b.n_tokens").as("n_tokens"),
+          md5(col("__b.segmented")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -2624,6 +2657,20 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY canonical_id""".stripMargin,
+
+    // BPE: the oracle RE-TRAINS the merge table in SQL (48 unrolled
+    // iterations over the distinct-word state; merge application = 16
+    // nested boundary-delimited replaces, the exact fixpoint semantics
+    // Bpe.applyRule implements) and re-encodes every document from the
+    // final vocab state — full pipeline parity with zero runtime state
+    // crossing engines
+    "q_bpe_merges" ->
+      Bpe.oracleSqlMerges("documents", vocabCap = 2048, maxMerges = 48,
+        minPairCount = 2L),
+
+    "q_tokenize_bpe" ->
+      Bpe.oracleSqlTokenize("documents", vocabCap = 2048, maxMerges = 48,
+        minPairCount = 2L),
 
     "q_text_stats" ->
       """WITH w AS (

@@ -141,6 +141,19 @@ object GraftExtensions {
         "non-interlaced): (width, height, color_type, n_px, sum_r, sum_g, " +
         "sum_b, sum_a, thumb_hex)", 1)(
       exprs => PngDecode(exprs.head)),
+    fn("bpe_encode",
+      "bpe_encode(text, 'x y,xy z,...') - real BPE segmentation with an " +
+        "inline merge table (pairs space-separated, comma-joined, applied " +
+        "in order, each to fixpoint): (n_words, n_tokens, segmented)", 2)(
+      exprs => BpeEncode(
+        exprs.head,
+        strArg(exprs(1), "merges").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).map { p =>
+            val parts = p.split(' ')
+            require(parts.length == 2 && parts.forall(_.nonEmpty),
+              s"bpe_encode merge '$p' must be 'left right'")
+            (parts(0), parts(1))
+          })),
     fn("platform_ln",
       "platform_ln(x) - natural log via the platform libm (oracle-parity " +
         "ln; Spark's log() is StrictMath)", 1)(

@@ -1,0 +1,266 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** REAL byte-pair-encoding tokenizer: merge-table TRAINING on the corpus
+  * plus corpus ENCODE with the trained table — replacing the former
+  * "BPE-ish estimate" with the actual algorithm, hash-gated end to end.
+  *
+  * Everything here is defined so the DuckDB oracle can REPLAY it
+  * exactly (no inlined runtime state — the oracle re-trains in SQL):
+  *
+  *   - word tokenizer: ASCII-lowercase (A-Z→a-z via translate — never
+  *     locale-sensitive lower()), then `[a-z]{1,24}` — the {1,24} bound
+  *     makes a >24-letter run split GREEDILY into 24-char chunks
+  *     identically under java.util.regex and RE2, and bounds the merge
+  *     pass count below;
+  *   - training: over the TOP `vocabCap` words by (count DESC, word ASC)
+  *     — deterministic; each iteration picks the adjacent token pair
+  *     with the highest corpus count (weighted by word count, every
+  *     adjacency counted, overlaps included), tie-broken (x ASC, y ASC),
+  *     stopping when the best count falls below `minPairCount`;
+  *   - merge application (ONE rule): a left-to-right NON-OVERLAPPING
+  *     merge pass — after merging at i, the following token cannot start
+  *     a match in the same pass — iterated to fixpoint. This is exactly
+  *     what SQL `replace(seq, SEP||x||SEP||y||SEP, SEP||xy||SEP)` does
+  *     on the separator-delimited token string when iterated, which is
+  *     WHY it is the chosen semantics: the oracle replays a pass as one
+  *     replace() and a rule as 16 nested replaces (a word has ≤ 24
+  *     tokens, so ≤ 12 merges of one rule can ever apply; each
+  *     non-fixpoint pass applies ≥ 1, so 16 passes always reach
+  *     fixpoint). NOTE this differs from Sennrich's reference apply
+  *     only on self-overlapping chains ("aaaaaaaa" with rule (a,a) →
+  *     "aa a aa a aa" here) — a documented, engine-replayable choice;
+  *   - encode: each rule applied in learned order, each to fixpoint.
+  *
+  * Scale shape: training is the Pq-codebook pattern (ONE distributed
+  * word-count aggregation, top-K collect bounded by `vocabCap`, merge
+  * loop on the driver over ≤ vocabCap short words); encode is a fused
+  * map-only reference-object expression ([[graft.functions.BpeEncode]])
+  * — the merge table rides the closure, no join, no shuffle, one pass
+  * over each document.
+  */
+object Bpe {
+
+  val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  val Lower = "abcdefghijklmnopqrstuvwxyz"
+  val WordRegex = "[a-z]{1,24}"
+  private val WordPattern = java.util.regex.Pattern.compile(WordRegex)
+
+  /** The tokenizer's Column form — shared by training and any SQL-side
+    * consumer so the two can never disagree with the encode expression.
+    */
+  def wordsCol(text: Column): Column =
+    regexp_extract_all(translate(text, Upper, Lower), lit(WordRegex), lit(0))
+
+  /** The tokenizer's Scala form (the encode expression's path). */
+  def words(text: String): Array[String] = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    val m = WordPattern.matcher(sb)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** ONE merge pass: left-to-right, non-overlapping (after a merge at i
+    * the next token cannot start a match — its leading boundary was
+    * consumed, the replace() semantics). Returns null when nothing
+    * merged, so callers can loop to fixpoint without an equality scan.
+    */
+  private def mergePass(toks: Array[String], x: String, y: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    var changed = false
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+        out += x + y
+        if (i + 2 < toks.length) out += toks(i + 2)
+        i += 3
+        changed = true
+      } else {
+        out += toks(i)
+        i += 1
+      }
+    }
+    if (changed) out.toArray else null
+  }
+
+  /** Apply one rule to fixpoint (the SQL nested-replace semantics). */
+  def applyRule(toks: Array[String], x: String, y: String): Array[String] = {
+    var cur = toks
+    var next = mergePass(cur, x, y)
+    while (next != null) { cur = next; next = mergePass(cur, x, y) }
+    cur
+  }
+
+  /** Segment one word with the full merge table, rules in learned order. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var toks: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+    merges.foreach { case (x, y) => toks = applyRule(toks, x, y) }
+    toks
+  }
+
+  /** Train `maxMerges` merges on the corpus: ONE distributed word-count
+    * aggregation, then a driver-side loop over the top-`vocabCap` words
+    * (≤ a few thousand short strings — the Pq codebook pattern). Stops
+    * early when no adjacent pair reaches `minPairCount`.
+    */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      vocabCap: Int = 2048,
+      maxMerges: Int = 48,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(vocabCap > 0 && maxMerges >= 0 && minPairCount >= 1)
+    val vocab = docs
+      .select(explode(wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seqs: Array[Array[String]] = vocab.map { case (w, _) =>
+      Array.tabulate(w.length)(i => w.substring(i, i + 1))
+    }
+    val counts = vocab.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (!stop && merges.length < maxMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var j = 0
+      while (j < seqs.length) {
+        val t = seqs(j)
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + counts(j))
+          i += 1
+        }
+        j += 1
+      }
+      val eligible = pairCounts.iterator.filter(_._2 >= minPairCount)
+      if (!eligible.hasNext) stop = true
+      else {
+        // max count, ties to the lexicographically smallest (x, y)
+        var best: ((String, String), Long) = eligible.next()
+        eligible.foreach { e =>
+          val better = e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))
+          if (better) best = e
+        }
+        val (x, y) = best._1
+        merges += ((x, y))
+        var k = 0
+        while (k < seqs.length) { seqs(k) = applyRule(seqs(k), x, y); k += 1 }
+      }
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle replay: the training + encode above, as ONE static SQL
+  // string with the merge iterations UNROLLED (the oracle re-trains —
+  // nothing from the Spark run is inlined). Shared by both gates.
+  // ---------------------------------------------------------------------
+
+  /** chr(1)-delimited replace nested `passes` times — one rule applied to
+    * fixpoint (≤ 12 merges can apply within a ≤ 24-token word and every
+    * non-fixpoint pass applies ≥ 1, so 16 passes suffice).
+    */
+  private def nestedReplace(passes: Int): String =
+    (1 to passes).foldLeft("seq")((acc, _) => s"replace($acc, b.pat, b.rep)")
+
+  /** The unrolled training chain: CTEs w0 (doc words with ordinality),
+    * v0 (distinct-word state with the top-`vocabCap` train flag), then
+    * per layer k: t{k} (token lists), p{k} (weighted pair counts over the
+    * training vocab), b{k} (the argmax pair), v{k+1} (the merge applied
+    * to EVERY word — segmentation covers the whole corpus, training
+    * statistics only the capped vocab).
+    */
+  private def trainChainSql(table: String, vocabCap: Int, maxMerges: Int,
+      minPairCount: Long): String = {
+    // MATERIALIZED on every CTE referenced twice: DuckDB inlines plain
+    // CTEs, and v{k+1} references t{k} both directly and via b{k}→p{k} —
+    // unmaterialized, the reference count doubles per layer (2^48 scans)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(translate(text, '$Upper', '$Lower'), '$WordRegex')) AS word,
+         |    unnest(range(len(regexp_extract_all(translate(text, '$Upper', '$Lower'), '$WordRegex')))) AS ord
+         |  FROM $table
+         |), v0 AS (
+         |  SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word ASC) <= $vocabCap AS in_train,
+         |    chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS seq
+         |  FROM (SELECT word, count(*) AS cnt FROM w0 GROUP BY word)
+         |)""".stripMargin)
+    for (k <- 0 until maxMerges) {
+      sb.append(
+        s""", t$k AS MATERIALIZED (
+           |  SELECT *, list_filter(string_split(seq, chr(1)), s -> s <> '') AS toks FROM v$k
+           |), p$k AS (
+           |  SELECT pr[1] AS x, pr[2] AS y, sum(cnt) AS c FROM (
+           |    SELECT cnt, unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> [toks[CAST(i + 1 AS INTEGER)], toks[CAST(i + 2 AS INTEGER)]])) AS pr
+           |    FROM t$k WHERE in_train)
+           |  GROUP BY 1, 2 HAVING sum(cnt) >= $minPairCount
+           |), b$k AS (
+           |  SELECT x, y, chr(1) || x || chr(1) || y || chr(1) AS pat,
+           |         chr(1) || x || y || chr(1) AS rep
+           |  FROM p$k ORDER BY c DESC, x ASC, y ASC LIMIT 1
+           |), v${k + 1} AS (
+           |  SELECT word, cnt, in_train,
+           |    CASE WHEN b.pat IS NULL THEN seq ELSE ${nestedReplace(16)} END AS seq
+           |  FROM t$k LEFT JOIN b$k b ON TRUE
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Oracle SQL for the merge-table gate: rank + pair per layer. */
+  def oracleSqlMerges(table: String, vocabCap: Int, maxMerges: Int,
+      minPairCount: Long): String = {
+    val picks = (0 until maxMerges)
+      .map(k => s"SELECT ${k + 1} AS mrank, x AS left_tok, y AS right_tok FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""${trainChainSql(table, vocabCap, maxMerges, minPairCount)}
+       |SELECT * FROM (
+       |  $picks
+       |) ORDER BY mrank""".stripMargin
+  }
+
+  /** Oracle SQL for the corpus-encode gate: every document's word stream
+    * segmented by the final vocab state, re-joined in word order.
+    */
+  def oracleSqlTokenize(table: String, vocabCap: Int, maxMerges: Int,
+      minPairCount: Long): String =
+    s"""${trainChainSql(table, vocabCap, maxMerges, minPairCount)}
+       |, vf AS (
+       |  SELECT word,
+       |    trim(replace(seq, chr(1), ' ')) AS seg,
+       |    len(list_filter(string_split(seq, chr(1)), s -> s <> '')) AS ntok
+       |  FROM v$maxMerges
+       |), agg AS (
+       |  SELECT w0.doc_id,
+       |    count(*) AS n_words,
+       |    CAST(sum(v.ntok) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(v.seg, ' ' ORDER BY w0.ord)) AS seg_md5
+       |  FROM w0 JOIN vf v ON w0.word = v.word
+       |  GROUP BY w0.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(a.seg_md5, md5('')) AS seg_md5
+       |FROM $table d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

@@ -203,6 +203,22 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("bpe_encode") {
+      // 6a³d. BPE corpus encode is one fused map-only reference-object
+      //       expression: the merge table rides the closure — no join
+      //       against a vocab table, no Exchange, no Generate; every
+      //       text byte touched once inside whole-stage codegen. (The
+      //       TRAINING side is one groupBy + a bounded top-K collect —
+      //       the Pq codebook pattern, audited by its own gate.)
+      val bpePlan = plan(docs.select(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.functions.col("text"),
+          Seq(("t", "h"), ("th", "e"))).as("r")))
+      check("bpe_encode: fused map-only codegen", bpePlan,
+        mustContain = Seq("*(1) Project [bpe_encode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
     guarded("line dedup") {
       // 6a⁴. corpus-global line dedup: verdicts from a map-side-combined
       //      aggregate on the line hash (partial_min of the (id, ord)

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeEncode
+import graft.pipeline.Bpe
+
+/** Real BPE: training determinism on a hand-computed corpus, the
+  * merge-application semantics proven equivalent to the SQL oracle's
+  * nested-replace replay (the cross-engine contract), and the fused
+  * encode expression's edges.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the SQL oracle's twin: one replace() pass on the chr(1)-delimited
+  // token string, iterated `passes` times — exactly what the unrolled
+  // DuckDB layer does
+  private def sqlApply(toks: Array[String], x: String, y: String,
+      passes: Int = 16): Array[String] = {
+    val SEP = "\u0001"
+    var s = SEP + toks.mkString(SEP) + SEP
+    val pat = SEP + x + SEP + y + SEP
+    val rep = SEP + x + y + SEP
+    var p = 0
+    while (p < passes) {
+      // java.lang.String.replace = leftmost non-overlapping, all
+      // occurrences — the same contract as DuckDB's replace()
+      s = s.replace(pat, rep)
+      p += 1
+    }
+    s.split(SEP).filter(_.nonEmpty)
+  }
+
+  test("applyRule is the SQL nested-replace semantics on adversarial words") {
+    val cases = Seq(
+      ("a" * 24, "a", "a"),       // self-overlapping chain, max length
+      ("ab" * 12, "a", "b"),      // alternating, every pair merges
+      ("ab" * 12, "b", "a"),      // alternating, interior pairs
+      ("aab" * 8, "a", "a"),
+      ("aaab" * 6, "a", "a"),
+      ("abc", "x", "y"),          // no-op
+      ("aa", "a", "aa"),          // rule whose right side is a merged token
+      ("a", "a", "a"))            // single token, nothing to merge
+    for ((w, x, y) <- cases) {
+      val toks = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+      assert(Bpe.applyRule(toks, x, y).toSeq === sqlApply(toks, x, y).toSeq,
+        s"word=$w rule=($x,$y)")
+    }
+    // randomized: every {a,b}-word up to length 12, both rules
+    for (len <- 1 to 12; bits <- 0 until (1 << len); (x, y) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val w = (0 until len).map(i => if (((bits >> i) & 1) == 0) "a" else "b").toArray
+      assert(Bpe.applyRule(w, x, y).toSeq === sqlApply(w, x, y).toSeq,
+        s"word=${w.mkString} rule=($x,$y)")
+    }
+  }
+
+  test("documented divergence from Sennrich apply: self-overlap chains") {
+    // "aaaaaaaa" + (a,a): the replace semantics leaves singles between
+    // merged pairs within a pass (aa a aa a aa), where Sennrich's
+    // single-pass scan gives aa aa aa aa — pinned so a future "fix"
+    // cannot silently break oracle parity
+    val toks = Array.fill(8)("a")
+    assert(Bpe.applyRule(toks, "a", "a").toSeq ===
+      Seq("aa", "a", "aa", "a", "aa"))
+  }
+
+  test("training on a hand-computed corpus: counts, ties, stop rule") {
+    // corpus: "the the the cat hat" — pairs (t,h)=4+weights…
+    // hand-compute: words: the×3, cat×1, hat×1
+    // iter1 pairs: (t,h):3 (h,e):3 (c,a):1 (a,t):2 (h,a):1
+    //   → tie (h,e) vs (t,h) at 3 → lexicographic: (h,e) < (t,h) → he
+    // iter2: the=[t,he]×3: (t,he):3 (c,a):1 (a,t):2 (h,a):1 → the
+    // iter3: (a,t):2 → at
+    // iter4: remaining pairs all count 1 < minPairCount → stop
+    val docs = Seq((1L, "the the the cat hat")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", vocabCap = 10, maxMerges = 8)
+    assert(merges === Seq(("h", "e"), ("t", "he"), ("a", "t")))
+    // encode with the table: the→[the], cat→[c,at], hat→[h,at]
+    assert(Bpe.encodeWord("the", merges).toSeq === Seq("the"))
+    assert(Bpe.encodeWord("cat", merges).toSeq === Seq("c", "at"))
+    assert(Bpe.encodeWord("hat", merges).toSeq === Seq("h", "at"))
+  }
+
+  test("vocabCap excludes tail words from training but not from encode") {
+    // "zz" appears once; with vocabCap=1 only "the" (count 3) trains
+    val docs = Seq((1L, "the the the zz")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", vocabCap = 1, maxMerges = 8)
+    assert(merges === Seq(("h", "e"), ("t", "he")))
+    // encode still segments zz (untouched by the table)
+    assert(Bpe.encodeWord("zz", merges).toSeq === Seq("z", "z"))
+  }
+
+  test("the tokenizer is ASCII-only lowercase + [a-z]{1,24} greedy chunks") {
+    assert(Bpe.words("The CAT!").toSeq === Seq("the", "cat"))
+    // >24-letter runs split greedily into 24 + remainder — identical
+    // under java.util.regex and RE2
+    assert(Bpe.words("a" * 30).toSeq === Seq("a" * 24, "a" * 6))
+    // non-ASCII letters break words and never lower (no locale surprises)
+    assert(Bpe.words("naïve Über").toSeq === Seq("na", "ve", "ber"))
+    assert(Bpe.words("123 !?").toSeq === Seq.empty)
+  }
+
+  test("BpeEncode expression: counts, segmentation md5 stability, edges") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq(
+      (1L, "The theme"), (2L, ""), (3L, "??!!"), (4L, null: String))
+      .toDF("id", "t")
+      .select(col("id"), BpeEncode(col("t"), merges).as("b"))
+      .orderBy("id").collect()
+    // "the theme": the→[the], theme→[the,m,e]
+    assert(df(0).getStruct(1).getLong(0) === 2L) // n_words
+    assert(df(0).getStruct(1).getLong(1) === 4L) // n_tokens
+    assert(df(0).getStruct(1).getString(2) === "the the m e")
+    assert(df(1).getStruct(1).getLong(0) === 0L)
+    assert(df(1).getStruct(1).getString(2) === "")
+    assert(df(2).getStruct(1).getLong(1) === 0L)
+    assert(df(3).isNullAt(1))
+    // segmentation is lossless: tokens concatenate back to the words
+    val words = Bpe.words("reconstruction property holds everywhere")
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, merges).mkString === w)
+    }
+  }
+
+  test("empty merge table degrades to character segmentation") {
+    assert(Bpe.encodeWord("abc", Seq.empty).toSeq === Seq("a", "b", "c"))
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(docs, "text", vocabCap = 5, maxMerges = 0) === Seq.empty)
+  }
+}
