@@ -530,6 +530,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- token-budget sampling by the REAL tokenizer's counts: the
+    //      sampler takes BpeEncode's n_tokens instead of the whitespace
+    //      estimate (samplers optionally accept a tokenizer); the oracle
+    //      re-trains BPE and feeds the replayed per-doc counts into the
+    //      same budget window ------------------------------------------
+    "q_token_budget_bpe" -> ((s, dir) => {
+      import graft.functions.BpeEncode
+      val merges = Bpe.trainMerges(Tables.documents(s, dir), "text",
+        vocabCap = 2048, maxMerges = 48, minPairCount = 2L)
+      val docs = Tables.documents(s, dir)
+        .withColumn("bpe_tokens",
+          BpeEncode(col("text"), merges).getField("n_tokens"))
+      Splits.sampleByTokenBudgetPerGroup(docs, "doc_id", "source", "text",
+          budgetTokens = 2000L, salt = "tbb", md5Family = true,
+          tokensCol = Some("bpe_tokens"))
+        .select(col("doc_id"), col("source"), col("tokens"), col("tokens_before"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -2671,6 +2690,10 @@ object SparkEntry {
     "q_tokenize_bpe" ->
       Bpe.oracleSqlTokenize("documents", vocabCap = 2048, maxMerges = 48,
         minPairCount = 2L),
+
+    "q_token_budget_bpe" ->
+      Bpe.oracleSqlTokenBudget("documents", vocabCap = 2048, maxMerges = 48,
+        minPairCount = 2L, budget = 2000L, salt = "tbb"),
 
     "q_text_stats" ->
       """WITH w AS (

@@ -238,6 +238,37 @@ object Bpe {
        |) ORDER BY mrank""".stripMargin
   }
 
+  /** Oracle SQL for the BPE-budgeted sampler gate: per-document REAL
+    * token counts from the replayed final vocab state feed the
+    * token-budget window (the q_mixture_token_budget semantics — the
+    * window form IS the sampler's definition; Spark runs the scalable
+    * prefix-scan equivalent).
+    */
+  def oracleSqlTokenBudget(table: String, vocabCap: Int, maxMerges: Int,
+      minPairCount: Long, budget: Long, salt: String): String =
+    s"""${trainChainSql(table, vocabCap, maxMerges, minPairCount)}
+       |, vf AS (
+       |  SELECT word,
+       |    len(list_filter(string_split(seq, chr(1)), s -> s <> '')) AS ntok
+       |  FROM v$maxMerges
+       |), dt AS (
+       |  SELECT d.doc_id, d.source, CAST(coalesce(a.tk, 0) AS BIGINT) AS tk,
+       |    substr(md5('$salt' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS hx
+       |  FROM $table d LEFT JOIN (
+       |    SELECT w0.doc_id, sum(v.ntok) AS tk
+       |    FROM w0 JOIN vf v ON w0.word = v.word GROUP BY w0.doc_id
+       |  ) a ON d.doc_id = a.doc_id
+       |), wd AS (
+       |  SELECT doc_id, source, tk,
+       |    sum(tk) OVER (PARTITION BY source ORDER BY hx, doc_id
+       |                  ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM dt
+       |)
+       |SELECT doc_id, source, tk AS tokens,
+       |  CAST(cum - tk AS BIGINT) AS tokens_before
+       |FROM wd WHERE cum - tk < $budget
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle SQL for the corpus-encode gate: every document's word stream
     * segmented by the final vocab state, re-joined in word order.
     */

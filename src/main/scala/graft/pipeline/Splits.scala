@@ -422,10 +422,22 @@ object Splits {
       textCol: String,
       budgetTokens: Long,
       salt: String = "",
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false,
+      tokensCol: Option[String] = None): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    // tokensCol: budget by a REAL tokenizer's counts (e.g. BpeEncode's
+    // n_tokens — the q_token_budget_bpe gate) instead of the whitespace
+    // estimate; same null discipline as the estimate path
+    val withTokens = tokensCol match {
+      case Some(c) => df.withColumn("__tk",
+        when(col(c).isNull,
+            raise_error(lit(s"null $c — token-based operators need " +
+              "non-null token counts; filter or coalesce first")))
+          .otherwise(col(c).cast("long")))
+      case None => df.withColumn("__tk", tokenCountGuarded(textCol))
+    }
     groupPrefix(
-        df.withColumn("__tk", tokenCountGuarded(textCol)),
+        withTokens,
         idCol, groupCol, "__tk", orderHash(salt, idCol, md5Family),
         broadcastBases = false)
       // group-local INCLUSIVE cum minus own = tokens strictly before

@@ -609,6 +609,27 @@ object ProfScale {
         }
         println(f"PROFSCALE png raster throughput ${rasterBytes / t / 1e6}%.1f MB/s")
 
+      case "bpe" =>
+        // the real tokenizer solo: training (one word-count agg + driver
+        // loop over the top-2048 vocab) and fused encode (merge table in
+        // the closure, per-thread segmentation cache) — both expected
+        // ~linear in corpus bytes, training driver phase O(vocab·merges)
+        import org.apache.spark.sql.functions.col
+        val docsB = Tables.documents(spark, sfDir).select("doc_id", "text")
+          .localCheckpoint()
+        val n = docsB.count()
+        var merges: Seq[(String, String)] = Nil
+        timed(s"bpe train (48 merges, $n docs)") {
+          merges = graft.pipeline.Bpe.trainMerges(docsB, "text",
+            vocabCap = 2048, maxMerges = 48)
+        }
+        timed(s"bpe encode x$n") {
+          val toks = docsB
+            .select(graft.functions.BpeEncode(col("text"), merges).as("b"))
+            .selectExpr("sum(b.n_tokens)").collect()(0).getLong(0)
+          println(s"PROFSCALE   $toks tokens")
+        }
+
       case "groupscan" =>
         // the group-prefix machinery (token-budget sampler, length-bucket
         // batcher) solo at scale: one corpus prefix scan each, group/

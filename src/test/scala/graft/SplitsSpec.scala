@@ -612,6 +612,33 @@ class SplitsSpec extends SparkSpec {
     assert(again === kept.map(_.getLong(0)).toSet)
   }
 
+  test("sampleByTokenBudgetPerGroup: tokensCol budgets by a real tokenizer's counts") {
+    val docs = spark.range(0, 30).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("text", lit("w w w")) // estimate would say 3
+      .withColumn("tk", lit(10L))       // the "real tokenizer" says 10
+    // budget 25 with tk=10: 3 docs/group (third straddles at 20 < 25);
+    // the estimate path would keep ceil(25/3) = 9
+    val byReal = Splits.sampleByTokenBudgetPerGroup(
+        docs, "id", "g", "text", budgetTokens = 25L, salt = "s2",
+        tokensCol = Some("tk"))
+      .collect()
+    assert(byReal.length === 9) // 3 groups x 3 docs
+    assert(byReal.forall(_.getAs[Long]("tokens") === 10L))
+    val byEstimate = Splits.sampleByTokenBudgetPerGroup(
+        docs, "id", "g", "text", budgetTokens = 25L, salt = "s2")
+      .collect()
+    assert(byEstimate.length === 27) // 3 groups x 9 docs
+    // null token counts refuse loudly (the estimate path's discipline)
+    val err = intercept[Exception] {
+      Splits.sampleByTokenBudgetPerGroup(
+        docs.withColumn("tk",
+          when(col("id") === 7, lit(null: java.lang.Long)).otherwise(col("tk"))),
+        "id", "g", "text", 25L, salt = "s2", tokensCol = Some("tk")).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("null tk"))
+  }
+
   test("lengthBucketBatches: exact log2 buckets bound padding waste; batches fill") {
     // token counts crossing the power-of-2 boundaries: 1,2,3,4,7,8,15,16
     val docs = spark.range(0, 400).toDF("id")
