@@ -208,10 +208,17 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // contention sentinel samples: first (post-warmup), then after every
-    // pass — identical fixed-shape work, so spread >1.3× flags the run
+    // pass — identical fixed-shape work, so spread >1.3× flags the run.
+    // One UNTIMED calibrate first: the sentinel's own one-time costs
+    // (codegen compile of its plan, cold page cache for lineitem — the
+    // q_raw_select warmup touches events, not lineitem) would otherwise
+    // inflate sample 1 past the limit on a perfectly idle box and make a
+    // clean capture self-report contended
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    try calibSamples += calibrate(spark, sfDir)
-    catch { case _: Throwable => () } // missing table: calib stays short → contended:null
+    try {
+      calibrate(spark, sfDir) // warm: compile + page cache, discarded
+      calibSamples += calibrate(spark, sfDir)
+    } catch { case _: Throwable => () } // missing table: calib stays short → contended:null
     val passes = (1 to nPasses).map { _ =>
       val (results, runErrors) = run(spark, sfDir, selected)
       errors ++= runErrors

@@ -189,14 +189,23 @@ object PngDecode {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // n == 0 while unfinished covers BOTH truncation (needsInput) and
+        // a preset-dictionary stream (needsDictionary — FDICT set in the
+        // zlib header): without the latter this loop spins forever on a
+        // crafted CRC-clean payload. PNG forbids FDICT anyway (spec 10.1)
+        if (n == 0 && !inf.finished()) return null
         got += n
       }
       if (got < raw.length) return null
-      // the stream must END here: a byte of extra raster is a geometry lie,
-      // and leftover IDAT bytes after the zlib stream closes are garbage
+      // the stream must END here: a byte of extra raster is a geometry
+      // lie; the probe also lets the Inflater consume the final-block
+      // end + Adler-32 trailer so `finished` below is authoritative
       if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return null
-      if (inf.finished() && inf.getRemaining > 0) return null
+      // a stream truncated at EXACTLY rasterLen output bytes (cut before
+      // its final block end / checksum) must not pass as complete
+      if (!inf.finished()) return null
+      // leftover IDAT bytes after the zlib stream closes are garbage
+      if (inf.getRemaining > 0) return null
     } catch { case _: java.util.zip.DataFormatException => return null }
 
     // unfilter in place, scanline by scanline (PNG spec 9: filters apply

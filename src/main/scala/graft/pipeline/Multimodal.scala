@@ -370,20 +370,21 @@ object Multimodal {
             val w = im.getWidth; val h = im.getHeight
             var sr = 0L; var sg = 0L; var sb = 0L // signed error sums
             var ar = 0L; var ag = 0L; var ab = 0L // absolute error sums
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = im.getRGB(x, y)
-                val i = 3 * (y * w + x)
-                val dr = ((rgb >> 16) & 0xff) - (px.charAt(i) & 0xff)
-                val dg = ((rgb >> 8) & 0xff) - (px.charAt(i + 1) & 0xff)
-                val db = (rgb & 0xff) - (px.charAt(i + 2) & 0xff)
-                sr += dr; sg += dg; sb += db
-                ar += math.abs(dr); ag += math.abs(dg); ab += math.abs(db)
-                x += 1
-              }
-              y += 1
+            // bulk getRGB: ONE ColorModel conversion pass into an int[]
+            // (the per-pixel getRGB(x, y) form pays a virtual call +
+            // conversion per pixel — several times slower on real frames)
+            val rgbs = im.getRGB(0, 0, w, h, null, 0, w)
+            var i = 0
+            val n0 = w * h
+            while (i < n0) {
+              val rgb = rgbs(i)
+              val j = 3 * i
+              val dr = ((rgb >> 16) & 0xff) - (px.charAt(j) & 0xff)
+              val dg = ((rgb >> 8) & 0xff) - (px.charAt(j + 1) & 0xff)
+              val db = (rgb & 0xff) - (px.charAt(j + 2) & 0xff)
+              sr += dr; sg += dg; sb += db
+              ar += math.abs(dr); ag += math.abs(dg); ab += math.abs(db)
+              i += 1
             }
             val n = (w * h).toDouble
             (id, Some(w), Some(h), Some(w.toLong * h),

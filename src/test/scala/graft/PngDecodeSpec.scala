@@ -205,6 +205,37 @@ class PngDecodeSpec extends SparkSpec {
     assert(decode(doubled).isEmpty)
   }
 
+  test("hostile zlib streams: FDICT must not hang; a stream cut at exactly rasterLen must not pass") {
+    // FDICT (preset dictionary, forbidden by PNG spec 10.1): a naive
+    // inflate loop spins forever — inflate() returns 0 with
+    // needsDictionary() true, needsInput() false, finished() false. The
+    // chunk CRCs are attacker-computable, so this is reachable. 0x78BB
+    // has the FDICT bit set and passes the zlib header check (%31 == 0)
+    val fdict = Array[Byte](0x78, 0xBB.toByte, 1, 2, 3, 4, 9, 9, 9, 9)
+    val hostile = sig ++ ihdr(3, 3) ++ chunk("IDAT", fdict) ++ chunk("IEND", Array.empty)
+    assert(decode(hostile).isEmpty) // and returns — no infinite loop
+    // cut the zlib stream after it yields every raster byte but before
+    // the Adler-32 trailer: got == rasterLen yet finished() never fires —
+    // the documented "short, long, or malformed all fail" contract
+    val raster = Array.tabulate(3 * 3 * 3)(i => (i * 7).toByte)
+    val filtered = new Array[Byte](3 * (1 + 9))
+    for (r <- 0 until 3; x <- 0 until 9)
+      filtered(r * 10 + 1 + x) = raster(r * 9 + x) // filter byte 0 per row
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val buf = new Array[Byte](256)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val cutAdler = java.util.Arrays.copyOf(buf, n - 4)
+    val truncExact = sig ++ ihdr(3, 3) ++
+      chunk("IDAT", cutAdler) ++ chunk("IEND", Array.empty)
+    assert(decode(truncExact).isEmpty)
+    // sanity: the SAME stream un-cut decodes
+    val whole = sig ++ ihdr(3, 3) ++
+      chunk("IDAT", java.util.Arrays.copyOf(buf, n)) ++ chunk("IEND", Array.empty)
+    assert(decode(whole).isDefined)
+  }
+
   test("mediaTablePng: good/raw/truncated row mix and meta survive the batched encode") {
     val docs = Seq(
       (0L, "alpha beta gamma", 16L, "web", "en"),
