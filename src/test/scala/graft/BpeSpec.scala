@@ -123,6 +123,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: bpe_encode with an inline merge list (trim + validation)") {
+    graft.functions.GraftExtensions.register(spark)
+    // whitespace around commas is list formatting; the pair's interior
+    // space separates left from right
+    val r = spark.sql("SELECT bpe_encode('the theme', 't h, th e') AS b")
+      .head().getStruct(0)
+    assert((r.getLong(0), r.getLong(1), r.getString(2)) ===
+      ((2L, 4L, "the the m e")))
+    // a malformed pair is a loud analysis-time error, not a silent no-op
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', 'abc')").head()
+    }
+    assert(e.getMessage.contains("must be 'left right'"))
+  }
+
   test("empty merge table degrades to character segmentation") {
     assert(Bpe.encodeWord("abc", Seq.empty).toSeq === Seq("a", "b", "c"))
     val docs = Seq((1L, "x")).toDF("doc_id", "text")

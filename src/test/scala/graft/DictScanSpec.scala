@@ -94,6 +94,10 @@ class DictScanSpec extends SparkSpec {
     }
     // ...but the SQL comma-list form dedupes as a convenience
     graft.functions.GraftExtensions.register(spark)
+    // whitespace around commas trims away ('a, b' means a and b — but
+    // interior whitespace, as in 'a a', stays significant)
+    val t = spark.sql("SELECT dict_scan('b c', 'x , b c ') AS d").head().getStruct(0)
+    assert((t.getLong(0), t.getString(2)) === ((1L, "b c")))
     val r = spark.sql("SELECT dict_scan('aaa', 'a,a') AS d").head().getStruct(0)
     assert((r.getLong(0), r.getLong(1)) === ((1L, 3L)))
   }

@@ -236,6 +236,16 @@ class PngDecodeSpec extends SparkSpec {
     assert(decode(whole).isDefined)
   }
 
+  test("SQL registration: png_decode over a hex literal") {
+    graft.functions.GraftExtensions.register(spark)
+    val payload = Multimodal.encodeRaster("png", 2, 2, rgba = false, "0123456789ab")
+    val hex = payload.map(b => f"${b & 0xff}%02x").mkString
+    val r = spark.sql(s"SELECT png_decode(unhex('$hex')) AS d").head().getStruct(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((2, 2, 2)))
+    assert(r.getLong(4) === "0369".map(_.toLong).sum) // sum_r = chars 0,3,6,9
+    assert(spark.sql("SELECT png_decode(CAST('junk' AS BINARY))").head().isNullAt(0))
+  }
+
   test("mediaTablePng: good/raw/truncated row mix and meta survive the batched encode") {
     val docs = Seq(
       (0L, "alpha beta gamma", 16L, "web", "en"),
