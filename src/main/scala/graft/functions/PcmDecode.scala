@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 
 /** REAL sample decode for PCM WAV payloads — like [[PpmDecode]], the
-  * uncompressed format needs no codec, so where compressed audio stays a
-  * labeled stub this decodes actual samples:
+  * uncompressed format needs no codec library; this decodes actual
+  * samples (compressed-audio codecs remain out of scope — no lossless
+  * audio format with a spec-mandated JDK-primitive decode exists here
+  * the way PNG does for images):
   *
   *   (channels, bits, n_frames, sum_c0, peak_c0, sum_c1, peak_c1)
   *

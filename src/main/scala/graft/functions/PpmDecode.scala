@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL pixel decode for binary PPM (P6) payloads — the uncompressed
-  * image format needs no codec library, so unlike the JPEG/PNG pixel
-  * path (which stays a labeled stub in this codec-less container, only
-  * their HEADERS parse) this decodes actual pixels end-to-end:
+  * image format needs no codec library. Siblings: [[PngDecode]] decodes
+  * PNG pixels for real (from-scratch Inflater + unfilter), and JPEG runs
+  * tolerance-gated through the batched `javax.imageio` seam. This kernel
+  * decodes actual pixels end-to-end:
   *
   *   (width, height, n_px, sum_r, sum_g, sum_b, thumb_hex)
   *

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * path ([[decodeJpegBatched]]) and are TOLERANCE-gated, because their
   * decode output is implementation-defined (IDCT rounding) — a
   * cross-engine exact-hash gate is impossible by the codec's nature, not
-  * by this container's. The old generic ===== DECODE STUB ===== remains
-  * only in [[extractFeatures]]/[[extractFeaturesArrow]], whose point is
-  * the batched execution SHAPE (the `mapInPandas` seam) rather than any
-  * particular codec. Payloads never shuffle except where a transform
-  * requires it, and feature extraction runs as a per-partition batch.
+  * by this container's. The deliberately codec-free byte-statistics
+  * kernel remains only in [[extractFeatures]]/[[extractFeaturesArrow]],
+  * whose point is the batched execution SHAPE (the `mapInPandas` seam)
+  * rather than any particular codec. Payloads never shuffle except where
+  * a transform requires it, and feature extraction runs as a
+  * per-partition batch.
   */
 object Multimodal {
 
@@ -543,11 +544,13 @@ object Multimodal {
         col("meta.origin").as("origin"))
 
   /** Batched per-partition feature extraction (the mapInPandas-shaped
-    * path). ===== DECODE STUB =====: a real implementation would hand each
-    * partition's payload batch to a codec (JPEG decode, resample, …); this
-    * container has none, so features are a deterministic fake (byte sum /
-    * head byte). The iterator-in/iterator-out shape, encoder-backed schema
-    * and partition batching are the real design.
+    * path). ===== BYTE-STATISTICS KERNEL =====: the features here are
+    * deliberately codec-free (byte sum / head byte) because this
+    * operator's POINT is the iterator-in/iterator-out batching shape a
+    * codec library plugs into — the real decodes live elsewhere
+    * ([[graft.functions.PngDecode]]/[[graft.functions.PpmDecode]]/
+    * [[graft.functions.PcmDecode]]/[[graft.functions.Y4mSample]] as
+    * fused kernels; [[decodeJpegBatched]] on this very seam).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -577,9 +580,10 @@ object Multimodal {
     * a Python `mapInPandas` UDF (or any Arrow-consuming codec library)
     * plugs into at scale: same batch shape, same buffers.
     *
-    * Feature values are identical to `extractFeatures` (parity-asserted in
-    * MultimodalSpec); the kernel itself is still the ===== DECODE STUB =====
-    * byte statistics — the container has no codecs.
+    * Feature values are identical to `extractFeatures` (parity-asserted
+    * in MultimodalSpec); the kernel itself is the same deliberately
+    * codec-free ===== BYTE-STATISTICS KERNEL ===== — real decodes live in
+    * the fused kernels and [[decodeJpegBatched]].
     */
   def extractFeaturesArrow(
       spark: SparkSession,
@@ -659,9 +663,10 @@ object Multimodal {
   /** "Resize" analogue: average-pool the payload down to a FIXED target
     * length — stands in for image resizing to a model's input resolution
     * (every row leaves with the same shape, the property resize exists
-    * for). ===== DECODE STUB =====: a real implementation decodes and
-    * resamples pixels; the fixed-output-shape contract, binary batching
-    * and per-partition execution are the real design.
+    * for). BYTE-POOLING ANALOGUE: the REAL pixel resize is
+    * [[graft.functions.PpmResize]] (gated, q_multimodal_resize); this
+    * form keeps the fixed-output-shape contract for payloads no fused
+    * kernel claims, demonstrating the binary-in/binary-out batching.
     */
   def resizeStub(spark: SparkSession, media: DataFrame, targetLen: Int): DataFrame = {
     import spark.implicits._
