@@ -138,6 +138,30 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("must be 'left right'"))
   }
 
+  test("BpeEncode runs statelessly on a STREAM, identical to batch") {
+    // the ingest-side story: documents arriving on a stream tokenize
+    // with the standing merge table (a reference object, no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"))
+    val rows = Seq((1L, "the weather"), (2L, ""), (3L, "THERMAL ther"))
+    def features(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), BpeEncode(col("t"), merges).as("b"))
+    val batch = features(rows.toDF("id", "t")).orderBy("id").collect().toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = features(in.toDF().toDF("id", "t"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream_out").start()
+    try {
+      in.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream_out").orderBy("id").collect().toSeq
+      assert(streamed === batch)
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("empty merge table degrades to character segmentation") {
     assert(Bpe.encodeWord("abc", Seq.empty).toSeq === Seq("a", "b", "c"))
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
