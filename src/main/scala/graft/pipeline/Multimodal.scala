@@ -352,6 +352,19 @@ object Multimodal {
     * so the lossy step is verified end-to-end without pretending its
     * exact output is portable. Undecodable payloads (or rows with no
     * expected raster) emit null columns.
+    *
+    * What the bands do NOT promise (the honest discrimination boundary
+    * on noise rasters): a mean-preserving spatial permutation of a
+    * SINGLE image (flip, stride slip) can sit inside both bands for
+    * that image, because correct-decode MAE on hex noise (~30) already
+    * approaches the random-misalignment level (~26 — JPEG on noise is
+    * the worst case for per-pixel bands). Detection of such bugs is
+    * population-level (a systematic decoder defect flips SOME rows'
+    * mean bands across hundreds of images — channel order measurably
+    * so, spec-pinned) plus the spec's direct negative controls.
+    * Tightening further would mean smoother synthetic rasters, which
+    * trades away exactly the high-frequency content that exercises the
+    * codec.
     */
   def decodeJpegBatched(
       spark: SparkSession,
