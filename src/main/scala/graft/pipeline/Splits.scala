@@ -428,14 +428,7 @@ object Splits {
     // tokensCol: budget by a REAL tokenizer's counts (e.g. BpeEncode's
     // n_tokens — the q_token_budget_bpe gate) instead of the whitespace
     // estimate; same null discipline as the estimate path
-    val withTokens = tokensCol match {
-      case Some(c) => df.withColumn("__tk",
-        when(col(c).isNull,
-            raise_error(lit(s"null $c — token-based operators need " +
-              "non-null token counts; filter or coalesce first")))
-          .otherwise(col(c).cast("long")))
-      case None => df.withColumn("__tk", tokenCountGuarded(textCol))
-    }
+    val withTokens = df.withColumn("__tk", tokensOrEstimate(textCol, tokensCol))
     groupPrefix(
         withTokens,
         idCol, groupCol, "__tk", orderHash(salt, idCol, md5Family),
@@ -473,10 +466,13 @@ object Splits {
       textCol: String,
       batchSize: Int,
       salt: String = "",
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false,
+      tokensCol: Option[String] = None): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // tokensCol: bucket by a REAL tokenizer's counts (the
+    // sampleByTokenBudgetPerGroup convention) instead of the estimate
     val keyed = df
-      .withColumn("__tk", tokenCountGuarded(textCol))
+      .withColumn("__tk", tokensOrEstimate(textCol, tokensCol))
       .withColumn("__b", (length(conv(col("__tk"), 10, 2)) - 1).cast("int"))
       .withColumn("__one", lit(1L))
     groupPrefix(keyed, idCol, "__b", "__one",
@@ -496,6 +492,20 @@ object Splits {
     * or a silently dropped row (budget sampling), and would diverge from
     * the oracles — refuse loudly instead.
     */
+  /** Token counts for the token-based operators: a REAL tokenizer's
+    * column when given (the "samplers accept a tokenizer" plug-in
+    * point), the whitespace estimate otherwise — one null discipline.
+    */
+  private def tokensOrEstimate(textCol: String, tokensCol: Option[String]): Column =
+    tokensCol match {
+      case Some(c) =>
+        when(col(c).isNull,
+            raise_error(lit(s"null $c — token-based operators need " +
+              "non-null token counts; filter or coalesce first")))
+          .otherwise(col(c).cast("long"))
+      case None => tokenCountGuarded(textCol)
+    }
+
   private def tokenCountGuarded(textCol: String): Column =
     when(col(textCol).isNull,
         raise_error(lit(s"null $textCol — token-based operators need " +

@@ -629,6 +629,12 @@ class SplitsSpec extends SparkSpec {
         docs, "id", "g", "text", budgetTokens = 25L, salt = "s2")
       .collect()
     assert(byEstimate.length === 27) // 3 groups x 9 docs
+    // lengthBucketBatches takes the same plug-in: tk=10 -> bucket 3
+    // everywhere (the estimate would say bucket 1)
+    val buckets = Splits.lengthBucketBatches(
+        docs, "id", "text", batchSize = 4, salt = "s2", tokensCol = Some("tk"))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(buckets === Seq(3))
     // null token counts refuse loudly (the estimate path's discipline)
     val err = intercept[Exception] {
       Splits.sampleByTokenBudgetPerGroup(
