@@ -1577,6 +1577,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL PNG ENCODE (the write path): P6 in, from-scratch PNG out
+    //      (filter-0 scanlines + Deflater + chunk CRCs), pinned through
+    //      the decode-of-encode composition — the encoded BYTES are
+    //      zlib-version-specific by nature, the decoded statistics are
+    //      exact (PngEncodeSpec additionally decodes this encoder's
+    //      output with javax.imageio to break own-decoder circularity) --
+    "q_multimodal_png_write" -> ((s, dir) => {
+      import graft.functions.{PngDecode, PngEncode}
+      Multimodal.mediaTablePpm(Tables.documents(s, dir))
+        .select(col("media_id"),
+          PngDecode(PngEncode(col("payload"))).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.color_type").as("color_type"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- JPEG: tolerance-band gate (the q_sketches pattern). JPEG
     //      decode output is IMPLEMENTATION-DEFINED (IDCT rounding,
     //      chroma upsampling) so cross-engine exact-hash parity is
@@ -4577,6 +4601,48 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
         |  END AS peak_c1
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // PNG write path: encode(P6) then decode — the oracle recomputes the
+    // P6 raster statistics positionally (the q_multimodal_pixels oracle
+    // with the PNG decode's color_type field; the bytes in between are
+    // the engine's own, proven against javax.imageio in the spec)
+    "q_multimodal_png_write" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE 2 END AS color_type,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 3 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        flatten(list_transform([0, 1], tx ->
+        |          list_transform([0, 1, 2], ch ->
+        |            3 * (((ty * h) // 2) * w + (tx * w) // 2) + ch + 1))))),
+        |      pos -> printf('%02x', ascii(substr(px, CAST(pos AS INTEGER), 1)))),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // PNG decode: the encoder (javax.imageio) and decoder (the repo's
     // Inflater+unfilter kernel) are independent implementations; the

@@ -136,6 +136,10 @@ object GraftExtensions {
       "ppm_decode(bytes) - binary PPM (P6) pixel decode: (width, height, " +
         "n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
       exprs => PpmDecode(exprs.head)),
+    fn("png_encode",
+      "png_encode(p6_bytes) - real PNG encode (the write path): binary " +
+        "P6 in, spec-conformant 8-bit RGB PNG out", 1)(
+      exprs => PngEncode(exprs.head)),
     fn("png_decode",
       "png_decode(bytes) - real PNG pixel decode (8-bit RGB/RGBA, " +
         "non-interlaced): (width, height, color_type, n_px, sum_r, sum_g, " +
