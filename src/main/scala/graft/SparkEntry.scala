@@ -1608,8 +1608,9 @@ object SparkEntry {
     //      geometry plus in-band booleans — |mean channel error| <= 3.0
     //      (measured <= ~1.0; a shifted raster measures ~29, a channel
     //      swap flips rows across the population) and worst channel
-    //      MAE <= 40 (measured <= ~30; uniform-noise output measures
-    //      ~85). Decode runs partition-batched through javax.imageio —
+    //      MAE <= 48 (sf10-measured max 40.4 across 285,714 images —
+    //      the band carries tail headroom; uniform-noise output
+    //      measures ~85). Decode runs partition-batched through javax.imageio —
     //      the labeled non-fused seam ----------------------------------
     "q_multimodal_jpeg" -> ((s, dir) => {
       // booleans ride as int 1/0/NULL: the driver's pandas comparator
@@ -1617,7 +1618,7 @@ object SparkEntry {
       // lands as object-dtype None on one side only
       Multimodal.decodeJpegBatched(
           s, Multimodal.mediaTableJpeg(s, Tables.documents(s, dir)),
-          meanTolerance = 3.0, maeTolerance = 40.0)
+          meanTolerance = 3.0, maeTolerance = 48.0)
         .withColumn("in_band_r", col("in_band_r").cast("int"))
         .withColumn("in_band_g", col("in_band_g").cast("int"))
         .withColumn("in_band_b", col("in_band_b").cast("int"))

@@ -26,11 +26,12 @@ class JpegToleranceSpec extends SparkSpec {
     val ids = (0L until 200L).filter(i => i % 3 != 2 && i % 7 != 3).take(40)
     val docs = docsDf(ids.map(i => i -> s"document body $i with some text"): _*)
     val media = Multimodal.mediaTableJpeg(spark, docs)
-    // judge at STRICTER bounds than the gate's (3.0 mean / 40 MAE):
+    // judge at STRICTER bounds than the gate's (3.0 mean / 48 MAE):
     // measured on period-33 md5-hex rasters at quality 0.97, |mean err|
-    // tops out at ~1.0 (JPEG preserves per-block DC) and per-channel MAE
-    // at ~30 (4:2:0 chroma subsampling on noise) — 1.5/34 hold with
-    // margin while the gate keeps real headroom
+    // tops out at ~1.0 here and 1.64 across the 285,714-image sf10
+    // corpus; per-channel MAE at ~30 here and 40.4 at sf10 (4:2:0
+    // chroma subsampling on noise — the gate's 48 carries the measured
+    // tail's headroom and stays far under uniform-noise ~85)
     val strict = Multimodal.decodeJpegBatched(spark, media, 1.5, 34.0)
       .where(col("in_band_r") && col("in_band_g") && col("in_band_b") &&
         col("in_band_mae"))
