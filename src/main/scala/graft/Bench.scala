@@ -110,16 +110,30 @@ object Bench {
   /** `"calib"` JSON fragment (leading comma included) + the contended
     * verdict for the given sentinel samples. Fewer than 2 samples (a
     * fatal mid-run death) reports contended=null — unknown, not clean.
+    *
+    * The verdict's spread EXCLUDES sample 1 when 3+ samples exist:
+    * measured on an idle box, sample 1 runs ~1.7× the later samples
+    * even after an untimed warmup (JVM-lifecycle drift — C2 keeps
+    * compiling shared Spark infrastructure through the first pass), so
+    * including it would flag every clean capture. All samples still
+    * ride the JSON. The spread verdict catches PHASE contention (load
+    * arriving or leaving mid-run); UNIFORM contention across the whole
+    * run is invisible to any within-run spread — for that, `floor`
+    * (the min sample) is the cross-capture signal: the same box's clean
+    * floor is stable, so a capture whose floor sits far above a known
+    * clean capture's floor was loaded end-to-end (BENCH_r13's uniform
+    * 2.5× would have shown exactly that).
     */
   private[graft] def calibJson(samples: Seq[Double]): (String, String) = {
     if (samples.size < 2) {
       val frag = s""","calib":{"samples":${samples.mkString("[", ",", "]")},"spread":null}"""
       (frag, "null")
     } else {
-      val spread = samples.max / samples.min
+      val judged = if (samples.size >= 3) samples.drop(1) else samples
+      val spread = judged.max / judged.min
       val contended = if (spread > ContentionSpreadLimit) "true" else "false"
       val frag =
-        s""","calib":{"samples":${samples.mkString("[", ",", "]")},"spread":$spread}"""
+        s""","calib":{"samples":${samples.mkString("[", ",", "]")},"floor":${samples.min},"spread":$spread}"""
       (frag, contended)
     }
   }

@@ -107,8 +107,15 @@ class HarnessSpec extends SparkSpec {
     val (cleanFrag, clean) = Bench.calibJson(Seq(1.0, 1.1, 1.05))
     assert(clean === "false")
     assert(cleanFrag.contains(""""samples":[1.0,1.1,1.05]"""))
+    assert(cleanFrag.contains(""""floor":1.0"""))
     val (_, hot) = Bench.calibJson(Seq(1.0, 2.5, 1.0))
     assert(hot === "true")
+    // sample 1 is EXCLUDED from the verdict when 3+ samples exist: the
+    // JVM keeps warming through pass 1 (measured ~1.7x on an idle box),
+    // so a high first sample alone must not flag a clean run...
+    assert(Bench.calibJson(Seq(1.7, 1.0, 1.05))._2 === "false")
+    // ...but with only 2 samples both count
+    assert(Bench.calibJson(Seq(1.7, 1.0))._2 === "true")
     // boundary: exactly 1.3 is NOT contended (limit is strict >)
     assert(Bench.calibJson(Seq(1.0, 1.3))._2 === "false")
     // a mid-run death can leave one sample: unknown, not clean
@@ -118,7 +125,7 @@ class HarnessSpec extends SparkSpec {
     // the fragment rides the full JSON line before "errors"
     val json = Bench.renderJson(
       Seq("q_a" -> 1.0), Map.empty, "/tmp/sf0.1", extra = cleanFrag)
-    assert(json.contains(""","calib":{"samples":[1.0,1.1,1.05],"spread":"""))
+    assert(json.contains(""","calib":{"samples":[1.0,1.1,1.05],"floor":1.0,"spread":"""))
   }
 
   test("Bench: rc contract — a fatal setup death still emits parseable lines") {
