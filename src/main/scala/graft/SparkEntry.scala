@@ -1577,6 +1577,33 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL PNG decode, NON-truecolor color types: palette (3,
+    //      PLTE lookup), grayscale (0), gray+alpha (4) — the variants
+    //      that dominate real web-scraped corpora. Same exact-hash
+    //      pattern as q_multimodal_png: javax.imageio is the independent
+    //      encoder, the raster samples (palette INDICES / gray bytes /
+    //      gray+alpha pairs) are ASCII md5 hex, the 256-entry palette is
+    //      a deterministic formula both engines compute, and the oracle
+    //      recomputes sums/thumb POSITIONALLY. Raw-text and
+    //      truncated-inside-IDAT rows decode to NULL ------------------
+    "q_multimodal_png_palette" -> ((s, dir) => {
+      import graft.functions.PngDecode
+      Multimodal.mediaTablePngPalette(s, Tables.documents(s, dir))
+        .select(col("media_id"), PngDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.color_type").as("color_type"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.sum_a").as("sum_a"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL PNG ENCODE (the write path): P6 in, from-scratch PNG out
     //      (filter-0 scanlines + Deflater + chunk CRCs), pinned through
     //      the decode-of-encode composition — the encoded BYTES are
@@ -4694,6 +4721,91 @@ object SparkEntry {
         |          list_transform([0, 1, 2], ch ->
         |            bpp * (((ty * h) // 2) * w + (tx * w) // 2) + ch + 1))))),
         |      pos -> printf('%02x', ascii(substr(px, CAST(pos AS INTEGER), 1)))),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // PNG palette/gray/gray+alpha decode: same positional-recompute
+    // convention as q_multimodal_png — raster samples are ASCII md5 hex;
+    // palette rows (v=0) read them as INDICES into the shared formula
+    // palette entry j = ((j*7+13)%256, (j*11+5)%256, (j*3+77)%256); gray
+    // rows (v=1) as gray samples (r=g=b); gray+alpha rows (v=2) as
+    // interleaved (gray, alpha) pairs. The oracle never touches the PNG
+    // bytes
+    "q_multimodal_png_palette" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    CAST(doc_id % 3 AS INTEGER) AS v,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2)
+        |           * (CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END) AS INTEGER)) AS px,
+        |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CASE v WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 4 END END AS color_type,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN v = 0 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
+        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(2 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN v = 0 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
+        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(2 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN v = 0 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
+        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(2 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad OR v <> 2 THEN NULL
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px, CAST(2 * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_a,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |      pi -> CASE
+        |        WHEN v = 0 THEN printf('%02x%02x%02x',
+        |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
+        |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
+        |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)
+        |        WHEN v = 1 THEN printf('%02x%02x%02x',
+        |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)),
+        |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)),
+        |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)))
+        |        ELSE printf('%02x%02x%02x',
+        |          ascii(substr(px, CAST(2 * pi + 1 AS INTEGER), 1)),
+        |          ascii(substr(px, CAST(2 * pi + 1 AS INTEGER), 1)),
+        |          ascii(substr(px, CAST(2 * pi + 1 AS INTEGER), 1)))
+        |      END),
         |    'string_agg', '')
         |  END AS thumb_hex
         |FROM d ORDER BY media_id""".stripMargin,

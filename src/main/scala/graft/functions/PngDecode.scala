@@ -16,13 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   (width, height, color_type, n_px, sum_r, sum_g, sum_b, sum_a, thumb_hex)
   *
-  *   - per-channel byte SUMS as exact longs; `sum_a` is null for RGB
-  *     (color type 2) images and the exact alpha sum for RGBA (type 6);
+  *   - per-channel byte SUMS as exact longs, AFTER sample expansion:
+  *     grayscale (types 0/4) contributes its gray byte to all three of
+  *     r/g/b; palette (type 3) contributes the PLTE entry its index
+  *     selects. `sum_a` is the exact alpha sum for types 4/6, the tRNS
+  *     alpha sum (entries past the table default to 255, PNG spec 11.3.2)
+  *     for type 3 when a tRNS chunk is present, and null otherwise;
   *   - `thumb_hex`: the defined 2×2 nearest-neighbor thumbnail over the
-  *     RGB channels — thumb pixel (ty, tx) samples the source pixel at
-  *     row (ty*height) div 2, col (tx*width) div 2 (integer div), 12
-  *     bytes hex-encoded; the grid [[PpmDecode]] pins and the DuckDB
-  *     oracle reproduces positionally.
+  *     EXPANDED RGB channels — thumb pixel (ty, tx) samples the source
+  *     pixel at row (ty*height) div 2, col (tx*width) div 2 (integer
+  *     div), 12 bytes hex-encoded; the grid [[PpmDecode]] pins and the
+  *     DuckDB oracle reproduces positionally.
   *
   * PNG is LOSSLESS with spec-mandated decode output, so this is
   * hash-gatable exactly like the P6 path: the gate's generator encodes an
@@ -30,14 +34,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * this kernel decodes it with its own Inflater + unfilter, and the
   * oracle recomputes the raster statistics positionally from the same
   * document fields — the two implementations meet only at the raster
-  * definition.
+  * definition (for palette rows, raster = indices plus the deterministic
+  * palette formula both sides share).
   *
   * Scope (anything else decodes to NULL, the header parsers' "unknown
-  * format" convention): 8-bit samples, color types 2 (RGB) and 6 (RGBA),
-  * no interlacing (Adam7 reorders scanlines — out of scope by design, not
-  * mis-sliced), compression 0 / filter method 0 (the only values PNG
-  * defines). Ancillary chunks are skipped; every chunk's CRC is
+  * format" convention): 8-bit samples; color types 0 (grayscale),
+  * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — all five PNG
+  * defines at depth 8; no interlacing (Adam7 reorders scanlines — out of
+  * scope by design, not mis-sliced); compression 0 / filter method 0
+  * (the only values PNG defines). Chunk ordering is ENFORCED where the
+  * spec defines it: IDAT chunks must be consecutive, PLTE must precede
+  * IDAT (and appear exactly once for type 3, never for grayscale types),
+  * tRNS sits between PLTE and IDAT, IEND must be the final byte of the
+  * payload (trailing garbage rejects), and every chunk's CRC is
   * validated (a corrupt or truncated payload must not half-decode).
+  * tRNS on types 0/2 is a transparency KEY, not an alpha table — keyed
+  * transparency is out of this kernel's statistics model, so such
+  * payloads decode to null (documented scope, not an oversight); tRNS
+  * on 4/6 is forbidden by the spec and rejects.
   *
   * Map-only, codegen'd via a static kernel; the Inflater is reused
   * per-thread (reset between payloads) so the hot path allocates only
@@ -105,8 +119,18 @@ object PngDecode {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
-  /** Null on anything that is not a complete, CRC-clean, non-interlaced
-    * 8-bit RGB/RGBA PNG.
+  /** Samples per pixel for the five depth-8 color types; -1 = unknown. */
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case _ => -1
+  }
+
+  /** Null on anything that is not a complete, CRC-clean, spec-ordered,
+    * non-interlaced 8-bit PNG of a supported color type.
     */
   def decode(bytes: Array[Byte]): InternalRow = {
     // signature + at minimum IHDR(25) + IEND(12)
@@ -134,16 +158,21 @@ object PngDecode {
     val compression = bytes(26) & 0xff
     val filterMethod = bytes(27) & 0xff
     val interlace = bytes(28) & 0xff
-    if (w <= 0 || h <= 0 || bitDepth != 8 ||
-        (colorType != 2 && colorType != 6) ||
+    val ch = channelsOf(colorType)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || ch < 0 ||
         compression != 0 || filterMethod != 0 || interlace != 0) return null
-    val bpp = if (colorType == 6) 4 else 3
-    val stride = w.toLong * bpp
+    val stride = w.toLong * ch
     val rasterLen = h.toLong * (1 + stride)
     if (rasterLen > MaxRasterBytes) return null
 
-    // chunk walk: concatenate IDAT, skip ancillary, stop at IEND
+    // chunk walk: concatenate IDAT (enforcing consecutiveness — PNG spec
+    // 5.6), locate PLTE/tRNS with their ordering rules, stop at IEND and
+    // require it to END the payload (trailing bytes are garbage)
     var idatLen = 0L
+    var plteOff = -1; var palCount = 0
+    var trnsOff = -1; var trnsLen = 0
+    var sawIdat = false
+    var idatClosed = false // a non-IDAT chunk after the first IDAT run
     var pos = 33
     var end = -1
     while (end < 0) {
@@ -153,16 +182,39 @@ object PngDecode {
       val t0 = bytes(pos + 4); val t1 = bytes(pos + 5)
       val t2 = bytes(pos + 6); val t3 = bytes(pos + 7)
       if (!crcOk(pos, len)) return null
-      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') idatLen += len
-      else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
-        if (len != 0) return null
-        end = pos
-      } else if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
-        return null // a second IHDR is malformed
+      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (idatClosed) return null // IDAT chunks must be consecutive
+        sawIdat = true
+        idatLen += len
+      } else {
+        if (sawIdat) idatClosed = true
+        if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+          if (len != 0) return null
+          if (pos + 12 != bytes.length) return null // trailing garbage
+          end = pos
+        } else if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+          return null // a second IHDR is malformed
+        } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+          // exactly one, before IDAT, 1..256 RGB entries (spec 11.2.3);
+          // forbidden for grayscale types (spec 5.6)
+          if (plteOff >= 0 || sawIdat || len == 0 || len % 3 != 0 || len > 768 ||
+              colorType == 0 || colorType == 4) return null
+          plteOff = pos + 8
+          palCount = len / 3
+        } else if (t0 == 't' && t1 == 'R' && t2 == 'N' && t3 == 'S') {
+          // type 3: alpha table, after PLTE, before IDAT, <= palette size
+          // (spec 11.3.2); types 4/6 forbid tRNS; types 0/2 use it as a
+          // transparency KEY — outside this kernel's statistics model
+          if (colorType != 3 || plteOff < 0 || sawIdat ||
+              trnsOff >= 0 || len > palCount) return null
+          trnsOff = pos + 8
+          trnsLen = len
+        }
       }
       pos += 12 + len
     }
     if (idatLen == 0 || idatLen > Int.MaxValue) return null
+    if (colorType == 3 && plteOff < 0) return null // PLTE is mandatory
 
     // second pass: copy IDAT payloads contiguously (chunk boundaries are
     // arbitrary relative to the zlib stream)
@@ -179,7 +231,7 @@ object PngDecode {
       pos += 12 + len
     }
 
-    // inflate to EXACTLY h·(1+w·bpp) bytes — short, long, or malformed
+    // inflate to EXACTLY h·(1+w·ch) bytes — short, long, or malformed
     // streams all fail the decode
     val raw = new Array[Byte](rasterLen.toInt)
     val inf = inflaters.get()
@@ -208,21 +260,34 @@ object PngDecode {
       if (inf.getRemaining > 0) return null
     } catch { case _: java.util.zip.DataFormatException => return null }
 
-    // unfilter in place, scanline by scanline (PNG spec 9: filters apply
-    // to bytes, with `bpp` as the pixel-offset distance)
     val istride = stride.toInt
-    val rowBytes = 1 + istride
+    if (!unfilter(raw, h, istride, ch, rowStride = 1 + istride, firstRow = 0, nRows = h))
+      return null
+
+    stats(bytes, raw, w, h, colorType, ch,
+      rowStride = 1 + istride, firstOffset = 1,
+      plteOff, palCount, trnsOff, trnsLen)
+  }
+
+  /** Unfilter `nRows` scanlines in place (PNG spec 9: filters apply to
+    * bytes, with `ch` as the pixel-offset distance). Rows live at
+    * `firstRow*rowStride`, each 1 filter byte + `istride` data bytes.
+    * False on an undefined filter type.
+    */
+  private def unfilter(
+      raw: Array[Byte], h: Int, istride: Int, ch: Int,
+      rowStride: Int, firstRow: Int, nRows: Int): Boolean = {
     var row = 0
-    while (row < h) {
-      val base = row * rowBytes + 1
-      val prev = base - rowBytes // previous row's first data byte
+    while (row < nRows) {
+      val base = (firstRow + row) * rowStride + 1
+      val prev = base - rowStride // previous row's first data byte
       val filter = raw(base - 1) & 0xff
       filter match {
         case 0 => // None
         case 1 => // Sub: add left
-          var x = bpp
+          var x = ch
           while (x < istride) {
-            raw(base + x) = (raw(base + x) + raw(base + x - bpp)).toByte
+            raw(base + x) = (raw(base + x) + raw(base + x - ch)).toByte
             x += 1
           }
         case 2 => // Up: add above
@@ -236,7 +301,7 @@ object PngDecode {
         case 3 => // Average: add floor((left + above)/2)
           var x = 0
           while (x < istride) {
-            val left = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+            val left = if (x >= ch) raw(base + x - ch) & 0xff else 0
             val above = if (row > 0) raw(prev + x) & 0xff else 0
             raw(base + x) = (raw(base + x) + ((left + above) >> 1)).toByte
             x += 1
@@ -244,34 +309,78 @@ object PngDecode {
         case 4 => // Paeth
           var x = 0
           while (x < istride) {
-            val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+            val a = if (x >= ch) raw(base + x - ch) & 0xff else 0
             val b = if (row > 0) raw(prev + x) & 0xff else 0
-            val c = if (row > 0 && x >= bpp) raw(prev + x - bpp) & 0xff else 0
+            val c = if (row > 0 && x >= ch) raw(prev + x - ch) & 0xff else 0
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
             raw(base + x) = (raw(base + x) + pred).toByte
             x += 1
           }
-        case _ => return null // undefined filter byte
+        case _ => return false // undefined filter byte
       }
       row += 1
     }
+    true
+  }
 
-    // exact channel sums (+ the defined 2x2 NN thumb over RGB)
+  /** Exact channel sums + the defined 2×2 NN thumb over the EXPANDED RGB
+    * channels. Row `row`'s samples start at `row*rowStride + firstOffset`
+    * (filter-byte layouts pass firstOffset 1; flat layouts 0). Null on a
+    * palette index past PLTE (spec 11.2.3: an error, not clamped).
+    */
+  private def stats(
+      bytes: Array[Byte], raw: Array[Byte], w: Int, h: Int,
+      colorType: Int, ch: Int, rowStride: Int, firstOffset: Int,
+      plteOff: Int, palCount: Int, trnsOff: Int, trnsLen: Int): InternalRow = {
     var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
-    row = 0
-    while (row < h) {
-      var p = row * rowBytes + 1
-      val rowEnd = p + istride
-      while (p < rowEnd) {
-        sr += raw(p) & 0xff
-        sg += raw(p + 1) & 0xff
-        sb += raw(p + 2) & 0xff
-        if (bpp == 4) sa += raw(p + 3) & 0xff
-        p += bpp
-      }
-      row += 1
+    val hasAlpha = colorType == 4 || colorType == 6 ||
+      (colorType == 3 && trnsOff >= 0)
+    var row = 0
+    colorType match {
+      case 2 | 6 =>
+        while (row < h) {
+          var p = row * rowStride + firstOffset
+          val rowEnd = p + w * ch
+          while (p < rowEnd) {
+            sr += raw(p) & 0xff
+            sg += raw(p + 1) & 0xff
+            sb += raw(p + 2) & 0xff
+            if (ch == 4) sa += raw(p + 3) & 0xff
+            p += ch
+          }
+          row += 1
+        }
+      case 0 | 4 =>
+        while (row < h) {
+          var p = row * rowStride + firstOffset
+          val rowEnd = p + w * ch
+          while (p < rowEnd) {
+            val g = raw(p) & 0xff
+            sr += g; sg += g; sb += g
+            if (ch == 2) sa += raw(p + 1) & 0xff
+            p += ch
+          }
+          row += 1
+        }
+      case 3 =>
+        while (row < h) {
+          var p = row * rowStride + firstOffset
+          val rowEnd = p + w
+          while (p < rowEnd) {
+            val idx = raw(p) & 0xff
+            if (idx >= palCount) return null
+            val e = plteOff + 3 * idx
+            sr += bytes(e) & 0xff
+            sg += bytes(e + 1) & 0xff
+            sb += bytes(e + 2) & 0xff
+            if (trnsOff >= 0)
+              sa += (if (idx < trnsLen) bytes(trnsOff + idx) & 0xff else 255)
+            p += 1
+          }
+          row += 1
+        }
     }
     val sbuf = new java.lang.StringBuilder(24)
     var ty = 0
@@ -280,13 +389,24 @@ object PngDecode {
       while (tx < 2) {
         val r = (ty * h) / 2
         val c = (tx * w) / 2
-        val off = r * rowBytes + 1 + bpp * c
-        var ch = 0
-        while (ch < 3) {
-          val b = raw(off + ch) & 0xff
-          sbuf.append(Character.forDigit(b >> 4, 16))
-          sbuf.append(Character.forDigit(b & 0xf, 16))
-          ch += 1
+        val off = r * rowStride + firstOffset + ch * c
+        colorType match {
+          case 2 | 6 =>
+            var k = 0
+            while (k < 3) {
+              hex2(sbuf, raw(off + k) & 0xff)
+              k += 1
+            }
+          case 0 | 4 =>
+            val g = raw(off) & 0xff
+            hex2(sbuf, g); hex2(sbuf, g); hex2(sbuf, g)
+          case 3 =>
+            val idx = raw(off) & 0xff
+            // bounds were validated in the sum pass
+            val e = plteOff + 3 * idx
+            hex2(sbuf, bytes(e) & 0xff)
+            hex2(sbuf, bytes(e + 1) & 0xff)
+            hex2(sbuf, bytes(e + 2) & 0xff)
         }
         tx += 1
       }
@@ -294,8 +414,13 @@ object PngDecode {
     }
     new GenericInternalRow(Array[Any](
       w, h, colorType, w.toLong * h, sr, sg, sb,
-      if (bpp == 4) sa else null,
+      if (hasAlpha) sa else null,
       UTF8String.fromString(sbuf.toString)))
+  }
+
+  private def hex2(sb: java.lang.StringBuilder, b: Int): Unit = {
+    sb.append(Character.forDigit(b >> 4, 16))
+    sb.append(Character.forDigit(b & 0xf, 16))
   }
 
   def apply(bytes: Column): Column =

@@ -66,12 +66,18 @@ object PngEncode {
     b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
   }
 
-  /** Null on anything that is not a complete maxval-255 P6 image. */
+  /** Null on anything that is not a complete maxval-255 P6 image, or
+    * whose filtered raster exceeds [[PngDecode.MaxRasterBytes]] — the
+    * same budget the decode side enforces (computed in Long: near-2 GiB
+    * dimensions overflow `h * (1 + w*3)` in Int into a negative
+    * allocation size, a task crash instead of the documented null).
+    */
   def encode(bytes: Array[Byte]): Array[Byte] = {
     val hd = PpmDecode.parseHeader(bytes)
     if (hd == null) return null
     val w = hd.w; val h = hd.h
     val stride = w * 3
+    if (h.toLong * (1L + w.toLong * 3) > PngDecode.MaxRasterBytes) return null
     // filtered raster: one 0x00 filter byte per scanline + the raw row
     val filtered = new Array[Byte](h * (1 + stride))
     var row = 0

@@ -141,6 +141,30 @@ object Multimodal {
       media_id: Long, w: Int, h: Int, rgba: Boolean, px: String, kind: Int,
       size_bytes: Long, origin: String, codec: String)
 
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Cut a PNG payload INSIDE its first IDAT chunk's data (half-way into
+    * it) — a truncation that is structurally mid-chunk no matter what
+    * chunk layout the writer chose. The former fixed cut-20-bytes-
+    * off-the-tail form silently depended on the JDK writer ending with
+    * exactly IDAT-tail + IEND; a writer appending an ancillary chunk
+    * after IDAT would have left a structurally complete PNG and flipped
+    * the gate's expected null.
+    */
+  private[graft] def truncateInsideIdat(full: Array[Byte]): Array[Byte] = {
+    var pos = 8
+    while (pos + 8 <= full.length) {
+      val len = be32(full, pos)
+      if (full(pos + 4) == 'I' && full(pos + 5) == 'D' &&
+          full(pos + 6) == 'A' && full(pos + 7) == 'T')
+        return java.util.Arrays.copyOf(full, pos + 8 + math.max(1, len / 2))
+      pos += 12 + len
+    }
+    java.util.Arrays.copyOf(full, math.max(1, full.length - 20)) // no IDAT: defensive
+  }
+
   /** Rebuild an md5-hex raster string as a BufferedImage and encode it
     * through `javax.imageio` — the INDEPENDENT encoder behind the PNG and
     * JPEG media tables (independent of [[graft.functions.PngDecode]]'s
@@ -229,10 +253,128 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val payload = r.kind match {
           case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
-          case 2 => // truncated: IEND (12 bytes) + the IDAT tail cut off
-            val full = encodeRaster("png", r.w, r.h, r.rgba, r.px)
-            java.util.Arrays.copyOf(full, full.length - 20)
+          case 2 => // truncated: cut inside the first IDAT chunk's data
+            truncateInsideIdat(encodeRaster("png", r.w, r.h, r.rgba, r.px))
           case _ => encodeRaster("png", r.w, r.h, r.rgba, r.px)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** The deterministic 256-entry palette both engines share: entry j is
+    * (r, g, b) = ((j·7+13) mod 256, (j·11+5) mod 256, (j·3+77) mod 256).
+    * The multipliers are odd and pairwise distinct, so a palette-index
+    * off-by-one or a channel rotation shifts every sum.
+    */
+  private[graft] def paletteEntry(j: Int): (Int, Int, Int) =
+    ((j * 7 + 13) % 256, (j * 11 + 5) % 256, (j * 3 + 77) % 256)
+
+  private def paletteColorModel: java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](256); val g = new Array[Byte](256); val b = new Array[Byte](256)
+    var j = 0
+    while (j < 256) {
+      val (pr, pg, pb) = paletteEntry(j)
+      r(j) = pr.toByte; g(j) = pg.toByte; b(j) = pb.toByte
+      j += 1
+    }
+    new java.awt.image.IndexColorModel(8, 256, r, g, b)
+  }
+
+  /** Encode a raster through `javax.imageio` as PNG color type 3 (palette,
+    * `variant` 0 — px chars are palette INDICES written straight into the
+    * index raster, the 256-entry [[paletteEntry]] colormap riding as
+    * PLTE), type 0 (grayscale, variant 1 — px chars are gray samples) or
+    * type 4 (gray+alpha, variant 2 — px char pairs). Samples are set on
+    * the RASTER directly (`setSample`), never through setRGB's
+    * nearest-color quantization, so the written samples are byte-exact —
+    * verified empirically (the JDK writer emits depth-8 type 3/0/4 for
+    * these layouts) and re-asserted in PngDecodeSpec via an independent
+    * ImageIO read-back.
+    */
+  private[graft] def encodeRasterIndexedOrGray(
+      variant: Int, wi: Int, hi: Int, px: String): Array[Byte] = {
+    val img = variant match {
+      case 0 =>
+        new java.awt.image.BufferedImage(
+          wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
+      case 1 =>
+        new java.awt.image.BufferedImage(
+          wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      case _ =>
+        val cm = new java.awt.image.ComponentColorModel(
+          java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY),
+          true, false, java.awt.Transparency.TRANSLUCENT,
+          java.awt.image.DataBuffer.TYPE_BYTE)
+        val wr = java.awt.image.Raster.createInterleavedRaster(
+          java.awt.image.DataBuffer.TYPE_BYTE, wi, hi, 2, null)
+        new java.awt.image.BufferedImage(cm, wr, false, null)
+    }
+    val raster = img.getRaster
+    val bands = if (variant == 2) 2 else 1
+    var i = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        raster.setSample(x, y, 0, px.charAt(i) & 0xff)
+        if (bands == 2) raster.setSample(x, y, 1, px.charAt(i + 1) & 0xff)
+        i += bands
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class PalSrc(
+      media_id: Long, w: Int, h: Int, variant: Int, px: String, kind: Int,
+      size_bytes: Long, origin: String, codec: String)
+
+  /** Synthesize a PNG media table covering the NON-truecolor color types
+    * — palette (3), grayscale (0), gray+alpha (4), cycling by
+    * doc_id mod 3 — with the same oracle-reconstructible raster
+    * convention as [[mediaTablePng]]: samples are the ASCII bytes of
+    * repeat(md5(text), 5) (palette rows read them as INDICES into the
+    * shared [[paletteEntry]] colormap; gray rows as gray samples;
+    * gray+alpha rows as interleaved pairs), encoded as REAL PNG through
+    * `javax.imageio` — independent of [[graft.functions.PngDecode]].
+    * Small dims (w ∈ 2..7, h ∈ 2..6 → ≤ 84 raster chars ≤ the 160
+    * repeated hex chars). Row mix: every fifth row raw text (wrong
+    * magic → null), every seventh truncated inside IDAT (→ null) —
+    * selectors coprime with the mod-3 variant cycle so every color type
+    * appears among good rows.
+    */
+  def mediaTablePngPalette(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val variant = (col("doc_id") % 3).cast("int")
+    val bands = when(variant === 2, 2).otherwise(1)
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"), variant.as("variant"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 5).substr(lit(1), (w * h * bands).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[PalSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
+          case 2 => truncateInsideIdat(encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px))
+          case _ => encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px)
         }
         (r.media_id, payload, r.size_bytes, r.origin, r.codec)
       })

@@ -94,6 +94,52 @@ class PngDecodeSpec extends SparkSpec {
     sig ++ ihdr(w, h, colorType = colorType) ++ idat ++ chunk("IEND", Array.empty)
   }
 
+  /** Typed variant of [[buildPng]]: any color type / channel count, with
+    * optional PLTE and tRNS chunks between IHDR and IDAT — the reference
+    * encoder for the palette/gray/gray+alpha coverage.
+    */
+  private def buildPngTyped(
+      w: Int, h: Int, colorType: Int, channels: Int, raster: Array[Byte],
+      filters: Seq[Int], plte: Option[Array[Byte]] = None,
+      trns: Option[Array[Byte]] = None): Array[Byte] = {
+    val stride = w * channels
+    val filtered = new Array[Byte](h * (1 + stride))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (row <- 0 until h) {
+      val f = filters(row % filters.size)
+      filtered(row * (1 + stride)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = raster(row * stride + x) & 0xff
+        val left = if (x >= channels) raster(row * stride + x - channels) & 0xff else 0
+        val above = if (row > 0) raster((row - 1) * stride + x) & 0xff else 0
+        val diag =
+          if (row > 0 && x >= channels) raster((row - 1) * stride + x - channels) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - ((left + above) >> 1)
+          case 4 => cur - paeth(left, above, diag)
+        }
+        filtered(row * (1 + stride) + 1 + x) = v.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(buf, n)
+    sig ++ ihdr(w, h, colorType = colorType) ++
+      plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
+      trns.map(t => chunk("tRNS", t)).getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", z) ++ chunk("IEND", Array.empty)
+  }
+
   private def sums(raster: Array[Byte], bpp: Int): (Long, Long, Long, Long) = {
     var r = 0L; var g = 0L; var b = 0L; var a = 0L
     var i = 0
@@ -171,16 +217,23 @@ class PngDecodeSpec extends SparkSpec {
     val r = Seq(Tuple1(null: Array[Byte])).toDF("b")
       .select(PngDecode(col("b")).as("d")).head()
     assert(r.isNullAt(0))
-    // truncated: the generator's cut (IEND + IDAT tail) and a 1-byte cut
+    // truncated: a tail cut, a 1-byte cut, and the generator's
+    // inside-IDAT cut (structurally mid-chunk whatever the writer's
+    // chunk layout)
     assert(decode(java.util.Arrays.copyOf(good, good.length - 20)).isEmpty)
     assert(decode(java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
+    assert(decode(Multimodal.truncateInsideIdat(good)).isEmpty)
     // interlaced (Adam7 reorders scanlines — out of scope by design)
     assert(decode(sig ++ ihdr(3, 3, interlace = 1) ++
       good.drop(8 + 25)).isEmpty)
-    // 16-bit samples, grayscale, palette
+    // 16-bit samples; a grayscale header over an RGB-sized stream (the
+    // type is SUPPORTED now, but the stream length is a geometry lie);
+    // a palette header with no PLTE chunk
     assert(decode(sig ++ ihdr(3, 3, bitDepth = 16) ++ good.drop(8 + 25)).isEmpty)
     assert(decode(sig ++ ihdr(3, 3, colorType = 0) ++ good.drop(8 + 25)).isEmpty)
     assert(decode(sig ++ ihdr(3, 3, colorType = 3) ++ good.drop(8 + 25)).isEmpty)
+    // trailing bytes after IEND are garbage (spec: IEND ends the stream)
+    assert(decode(good ++ Array[Byte](0)).isEmpty)
     // corrupt a CRC byte (last byte of the IDAT chunk)
     val corrupt = good.clone()
     corrupt(corrupt.length - 13) = (corrupt(corrupt.length - 13) ^ 0x5a).toByte
@@ -244,6 +297,183 @@ class PngDecodeSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((2, 2, 2)))
     assert(r.getLong(4) === "0369".map(_.toLong).sum) // sum_r = chars 0,3,6,9
     assert(spark.sql("SELECT png_decode(CAST('junk' AS BINARY))").head().isNullAt(0))
+  }
+
+  test("grayscale (type 0) and gray+alpha (type 4): expanded sums and thumb") {
+    val w = 5; val h = 4
+    // gray: every filter type, r=g=b=gray sum, null sum_a
+    val gray = Array.tabulate(w * h)(i => ((i * 41 + 3) % 256).toByte)
+    val eg = gray.map(_ & 0xff).map(_.toLong).sum
+    for (f <- 0 to 4) {
+      val d = decode(buildPngTyped(w, h, 0, 1, gray, Seq(f)))
+        .getOrElse(fail(s"gray filter $f: null"))
+      assert((d.getInt(0), d.getInt(1), d.getInt(2)) === ((w, h, 0)), s"filter $f")
+      assert((d.getLong(4), d.getLong(5), d.getLong(6)) === ((eg, eg, eg)), s"filter $f")
+      assert(d.isNullAt(7), s"filter $f: gray has null sum_a")
+    }
+    // thumb: gray byte printed as r=g=b per sampled pixel — rows
+    // {(0*h)/2, (1*h)/2} = {0, 2}, cols {0, 2} at w=5, h=4
+    val d0 = decode(buildPngTyped(w, h, 0, 1, gray, Seq(2))).get
+    val expected = Seq((0, 0), (0, 2), (2, 0), (2, 2))
+      .map { case (r, c) => f"${gray(r * w + c) & 0xff}%02x" * 3 }.mkString
+    assert(d0.getString(8) === expected)
+    // gray+alpha: interleaved pairs; alpha sums exactly
+    val ga = Array.tabulate(w * h * 2)(i => ((i * 29 + 11) % 256).toByte)
+    var egray = 0L; var ea = 0L
+    for (i <- 0 until w * h) { egray += ga(2 * i) & 0xff; ea += ga(2 * i + 1) & 0xff }
+    val d4 = decode(buildPngTyped(w, h, 4, 2, ga, Seq(1, 4))).get
+    assert(d4.getInt(2) === 4)
+    assert((d4.getLong(4), d4.getLong(5), d4.getLong(6), d4.getLong(7)) ===
+      ((egray, egray, egray, ea)))
+  }
+
+  test("palette (type 3): PLTE lookup, tRNS alpha with default-255 padding, index bounds") {
+    val w = 4; val h = 3
+    // palette of 5 entries; raster uses indices 0..4
+    val plte = Array[Byte](
+      10, 20, 30,  40, 50, 60,  70, 80, 90,  100, 110, 120,  (200 - 256).toByte, 5, 15)
+    val idx = Array[Byte](0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1)
+    def pal(c: Int) = idx.map(j => (plte(3 * j + c) & 0xff).toLong).sum
+    for (f <- 0 to 4) {
+      val d = decode(buildPngTyped(w, h, 3, 1, idx, Seq(f), plte = Some(plte)))
+        .getOrElse(fail(s"palette filter $f: null"))
+      assert((d.getInt(0), d.getInt(1), d.getInt(2)) === ((w, h, 3)), s"filter $f")
+      assert((d.getLong(4), d.getLong(5), d.getLong(6)) === ((pal(0), pal(1), pal(2))))
+      assert(d.isNullAt(7), "opaque palette (no tRNS) has null sum_a")
+    }
+    // thumb: sampled pixels (rows {0,1} cols {0,2}) -> palette RGB
+    val d = decode(buildPngTyped(w, h, 3, 1, idx, Seq(0), plte = Some(plte))).get
+    val expected = Seq(0, 2, 1 * w + 0, 1 * w + 2)
+      .map(i => idx(i))
+      .map(j => (0 to 2).map(c => f"${plte(3 * j + c) & 0xff}%02x").mkString).mkString
+    assert(d.getString(8) === expected)
+    // tRNS shorter than the palette: entries past it default to alpha 255
+    val trns = Array[Byte](7, 9) // alpha for indices 0, 1; 2..4 -> 255
+    val dt = decode(buildPngTyped(w, h, 3, 1, idx, Seq(2),
+      plte = Some(plte), trns = Some(trns))).get
+    val ealpha = idx.map(j => (if (j < 2) trns(j) & 0xff else 255).toLong).sum
+    assert(dt.getLong(7) === ealpha)
+    // an index past the palette is an error (spec 11.2.3), not clamped
+    val oob = idx.clone(); oob(5) = 5
+    assert(decode(buildPngTyped(w, h, 3, 1, oob, Seq(0), plte = Some(plte))).isEmpty)
+  }
+
+  test("chunk-ordering strictness: the spec's MUST rules reject") {
+    val w = 3; val h = 3
+    val idx = Array.tabulate(w * h)(i => (i % 4).toByte)
+    val plte = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val good = buildPngTyped(w, h, 3, 1, idx, Seq(0), plte = Some(plte))
+    assert(decode(good).isDefined)
+    // PLTE on a grayscale type is forbidden (spec 5.6)
+    val gray = Array.tabulate(w * h)(i => (i * 10).toByte)
+    val grayChunks = buildPngTyped(w, h, 0, 1, gray, Seq(0))
+    val withPlte = grayChunks.take(8 + 25) ++ chunk("PLTE", plte) ++ grayChunks.drop(8 + 25)
+    assert(decode(withPlte).isEmpty)
+    // tRNS on RGBA is forbidden (types 4/6 carry full alpha)
+    val rgba = Array.tabulate(w * h * 4)(i => (i * 3).toByte)
+    val rgbaPng = buildPng(w, h, 4, rgba, Seq(0))
+    val rgbaTrns = rgbaPng.take(8 + 25) ++ chunk("tRNS", Array[Byte](1)) ++ rgbaPng.drop(8 + 25)
+    assert(decode(rgbaTrns).isEmpty)
+    // tRNS on RGB is a transparency KEY — out of the statistics model
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 3).toByte)
+    val rgbPng = buildPng(w, h, 3, rgb, Seq(0))
+    val rgbTrns = rgbPng.take(8 + 25) ++
+      chunk("tRNS", Array[Byte](0, 1, 0, 2, 0, 3)) ++ rgbPng.drop(8 + 25)
+    assert(decode(rgbTrns).isEmpty)
+    // tRNS BEFORE PLTE violates ordering (spec 5.6)
+    val beforePlte = good.take(8 + 25) ++ chunk("tRNS", Array[Byte](1)) ++ good.drop(8 + 25)
+    assert(decode(beforePlte).isEmpty)
+    // tRNS longer than the palette
+    val longTrns = good.take(8 + 25 + 12 + plte.length) ++
+      chunk("tRNS", Array[Byte](1, 2, 3, 4, 5)) ++ good.drop(8 + 25 + 12 + plte.length)
+    assert(decode(longTrns).isEmpty)
+    // a second PLTE
+    val doublePlte = good.take(8 + 25) ++ chunk("PLTE", plte) ++ good.drop(8 + 25)
+    assert(decode(doublePlte).isEmpty)
+    // IDAT chunks separated by another chunk are non-consecutive (5.6):
+    // split the zlib stream across two IDATs with an ancillary between
+    val raster = Array.tabulate(3 * 3 * 3)(i => (i * 7).toByte)
+    val split = buildPng(3, 3, 3, raster, Seq(1), splitIdat = true)
+    assert(decode(split).isDefined) // adjacent split is legal
+    // locate the two IDAT chunks and inject a tEXt between them
+    def findIdat(png: Array[Byte], from: Int): Int = {
+      var pos = from
+      while (!(png(pos + 4) == 'I' && png(pos + 5) == 'D' &&
+               png(pos + 6) == 'A' && png(pos + 7) == 'T')) {
+        val len = ((png(pos) & 0xff) << 24) | ((png(pos + 1) & 0xff) << 16) |
+          ((png(pos + 2) & 0xff) << 8) | (png(pos + 3) & 0xff)
+        pos += 12 + len
+      }
+      pos
+    }
+    val i1 = findIdat(split, 8)
+    val l1 = ((split(i1) & 0xff) << 24) | ((split(i1 + 1) & 0xff) << 16) |
+      ((split(i1 + 2) & 0xff) << 8) | (split(i1 + 3) & 0xff)
+    val after1 = i1 + 12 + l1
+    val interleaved = split.take(after1) ++
+      chunk("tEXt", "k v".getBytes("US-ASCII")) ++ split.drop(after1)
+    assert(decode(interleaved).isEmpty)
+  }
+
+  test("javax.imageio round-trip: palette/gray/gray+alpha md5-hex rasters (the gate's generator)") {
+    val hex = "0123456789abcdef" * 11
+    val w = 6; val h = 5
+    // variant 0: palette — hex chars are INDICES into the formula palette
+    val px0 = hex.substring(0, w * h)
+    val p0 = Multimodal.encodeRasterIndexedOrGray(0, w, h, px0)
+    assert((p0(25) & 0xff) === 3, "JDK writer must emit color type 3")
+    val d0 = decode(p0).getOrElse(fail("palette png decoded to null"))
+    def palSum(mul: Int, add: Int) =
+      px0.map(ch => ((ch.toInt * mul + add) % 256).toLong).sum
+    assert(d0.getInt(2) === 3)
+    assert(d0.getLong(4) === palSum(7, 13))
+    assert(d0.getLong(5) === palSum(11, 5))
+    assert(d0.getLong(6) === palSum(3, 77))
+    assert(d0.isNullAt(7))
+    // variant 1: grayscale
+    val p1 = Multimodal.encodeRasterIndexedOrGray(1, w, h, px0)
+    assert((p1(25) & 0xff) === 0, "JDK writer must emit color type 0")
+    val d1 = decode(p1).get
+    val egray = px0.map(_.toLong).sum
+    assert((d1.getInt(2), d1.getLong(4), d1.getLong(5), d1.getLong(6)) ===
+      ((0, egray, egray, egray)))
+    assert(d1.isNullAt(7))
+    // variant 2: gray+alpha
+    val px2 = hex.substring(0, w * h * 2)
+    val p2 = Multimodal.encodeRasterIndexedOrGray(2, w, h, px2)
+    assert((p2(25) & 0xff) === 4, "JDK writer must emit color type 4")
+    val d2 = decode(p2).get
+    var eg = 0L; var ea = 0L
+    for (i <- 0 until w * h) { eg += px2.charAt(2 * i).toInt; ea += px2.charAt(2 * i + 1).toInt }
+    assert((d2.getInt(2), d2.getLong(4), d2.getLong(7)) === ((4, eg, ea)))
+    // independent cross-check: ImageIO reads back the SAME samples this
+    // kernel decoded (so the generator's setSample path is byte-exact)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p2))
+    val r00 = back.getRaster
+    assert(r00.getSample(0, 0, 0) === px2.charAt(0).toInt)
+    assert(r00.getSample(0, 0, 1) === px2.charAt(1).toInt)
+    val back0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p0))
+    val (er, egc, ebc) = Multimodal.paletteEntry(px0.charAt(0).toInt)
+    assert((back0.getRGB(0, 0) & 0xffffff) === ((er << 16) | (egc << 8) | ebc))
+  }
+
+  test("mediaTablePngPalette: variant/bad row mix decodes as declared") {
+    // doc_ids chosen so variants 0/1/2 and both bad kinds all appear:
+    // 0 -> palette, 1 -> gray, 2 -> gray+alpha, 3 -> truncated (%7==3),
+    // 4 -> raw text (%5==4), 5 -> gray+alpha (5 % 3 = 2)
+    val docs = (0L to 5L).map(i =>
+      (i, s"document number $i with some text", 20L + i, "web", "en"))
+      .toDF("doc_id", "text", "n_chars", "source", "lang")
+    val rows = Multimodal.mediaTablePngPalette(spark, docs)
+      .select(col("media_id"), PngDecode(col("payload")).as("d"))
+      .orderBy("media_id")
+      .collect()
+    assert(rows(0).getStruct(1).getInt(2) === 3)
+    assert(rows(1).getStruct(1).getInt(2) === 0)
+    assert(rows(2).getStruct(1).getInt(2) === 4)
+    assert(rows(3).isNullAt(1))
+    assert(rows(4).isNullAt(1))
+    assert(rows(5).getStruct(1).getInt(2) === 4)
   }
 
   test("mediaTablePng: good/raw/truncated row mix and meta survive the batched encode") {
