@@ -40,8 +40,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scope (anything else decodes to NULL, the header parsers' "unknown
   * format" convention): 8-bit samples; color types 0 (grayscale),
   * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — all five PNG
-  * defines at depth 8; no interlacing (Adam7 reorders scanlines — out of
-  * scope by design, not mis-sliced); compression 0 / filter method 0
+  * defines at depth 8; interlace methods 0 (none) and 1 (Adam7 — the
+  * seven spec-defined passes are unfiltered independently and scattered
+  * back to image positions); compression 0 / filter method 0
   * (the only values PNG defines). Chunk ordering is ENFORCED where the
   * spec defines it: IDAT chunks must be consecutive, PLTE must precede
   * IDAT (and appear exactly once for type 3, never for grayscale types),
@@ -160,9 +161,24 @@ object PngDecode {
     val interlace = bytes(28) & 0xff
     val ch = channelsOf(colorType)
     if (w <= 0 || h <= 0 || bitDepth != 8 || ch < 0 ||
-        compression != 0 || filterMethod != 0 || interlace != 0) return null
+        compression != 0 || filterMethod != 0 ||
+        (interlace != 0 && interlace != 1)) return null
     val stride = w.toLong * ch
-    val rasterLen = h.toLong * (1 + stride)
+    // interlace 1 (Adam7): the stream holds seven sub-images, each with
+    // its own filter bytes; empty passes (zero width or height at this
+    // geometry) contribute no scanlines at all (PNG spec 8.2)
+    val rasterLen =
+      if (interlace == 0) h.toLong * (1 + stride)
+      else {
+        var t = 0L
+        var p = 0
+        while (p < 7) {
+          val pw = passWidth(w, p); val ph = passHeight(h, p)
+          if (pw > 0 && ph > 0) t += ph.toLong * (1 + pw.toLong * ch)
+          p += 1
+        }
+        t
+      }
     if (rasterLen > MaxRasterBytes) return null
 
     // chunk walk: concatenate IDAT (enforcing consecutiveness — PNG spec
@@ -261,25 +277,82 @@ object PngDecode {
     } catch { case _: java.util.zip.DataFormatException => return null }
 
     val istride = stride.toInt
-    if (!unfilter(raw, h, istride, ch, rowStride = 1 + istride, firstRow = 0, nRows = h))
-      return null
+    if (interlace == 0) {
+      if (!unfilter(raw, istride, ch, rowStride = 1 + istride, baseOff = 0, nRows = h))
+        return null
+      stats(bytes, raw, w, h, colorType, ch,
+        rowStride = 1 + istride, firstOffset = 1,
+        plteOff, palCount, trnsOff, trnsLen)
+    } else {
+      val flat = deinterlace(raw, w, h, ch)
+      if (flat == null) return null
+      stats(bytes, flat, w, h, colorType, ch,
+        rowStride = istride, firstOffset = 0,
+        plteOff, palCount, trnsOff, trnsLen)
+    }
+  }
 
-    stats(bytes, raw, w, h, colorType, ch,
-      rowStride = 1 + istride, firstOffset = 1,
-      plteOff, palCount, trnsOff, trnsLen)
+  // Adam7 pass origins and steps (PNG spec 8.2): pass p covers pixels at
+  // (PassX0(p) + i·PassDx(p), PassY0(p) + j·PassDy(p))
+  private val PassX0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val PassY0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val PassDx = Array(8, 8, 4, 4, 2, 2, 1)
+  private val PassDy = Array(8, 8, 8, 4, 4, 2, 2)
+
+  private def passWidth(w: Int, p: Int): Int =
+    if (w <= PassX0(p)) 0 else (w - PassX0(p) + PassDx(p) - 1) / PassDx(p)
+  private def passHeight(h: Int, p: Int): Int =
+    if (h <= PassY0(p)) 0 else (h - PassY0(p) + PassDy(p) - 1) / PassDy(p)
+
+  /** Unfilter each Adam7 pass independently (each pass is its own
+    * sub-image — filters never reach across passes) and scatter its
+    * pixels to final image positions. Returns the flat w·h·ch sample
+    * raster, or null on an undefined filter byte.
+    */
+  private def deinterlace(raw: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
+    val flat = new Array[Byte](w * h * ch)
+    var base = 0
+    var p = 0
+    while (p < 7) {
+      val pw = passWidth(w, p); val ph = passHeight(h, p)
+      if (pw > 0 && ph > 0) {
+        val pstride = pw * ch
+        val rowBytes = 1 + pstride
+        if (!unfilter(raw, pstride, ch, rowStride = rowBytes, baseOff = base, nRows = ph))
+          return null
+        var j = 0
+        while (j < ph) {
+          val y = PassY0(p) + j * PassDy(p)
+          val src = base + j * rowBytes + 1
+          var i = 0
+          while (i < pw) {
+            val x = PassX0(p) + i * PassDx(p)
+            var c = 0
+            val s = src + i * ch
+            val d = (y * w + x) * ch
+            while (c < ch) { flat(d + c) = raw(s + c); c += 1 }
+            i += 1
+          }
+          j += 1
+        }
+        base += ph * rowBytes
+      }
+      p += 1
+    }
+    flat
   }
 
   /** Unfilter `nRows` scanlines in place (PNG spec 9: filters apply to
     * bytes, with `ch` as the pixel-offset distance). Rows live at
-    * `firstRow*rowStride`, each 1 filter byte + `istride` data bytes.
-    * False on an undefined filter type.
+    * `baseOff + row*rowStride`, each 1 filter byte + `istride` data
+    * bytes. False on an undefined filter type.
     */
   private def unfilter(
-      raw: Array[Byte], h: Int, istride: Int, ch: Int,
-      rowStride: Int, firstRow: Int, nRows: Int): Boolean = {
+      raw: Array[Byte], istride: Int, ch: Int,
+      rowStride: Int, baseOff: Int, nRows: Int): Boolean = {
     var row = 0
     while (row < nRows) {
-      val base = (firstRow + row) * rowStride + 1
+      val base = baseOff + row * rowStride + 1
       val prev = base - rowStride // previous row's first data byte
       val filter = raw(base - 1) & 0xff
       filter match {

@@ -175,7 +175,7 @@ object Multimodal {
     */
   private[graft] def encodeRaster(
       format: String, wi: Int, hi: Int, rgba: Boolean, px: String,
-      quality: Float = -1f): Array[Byte] = {
+      quality: Float = -1f, interlaced: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       wi, hi,
       if (rgba) java.awt.image.BufferedImage.TYPE_INT_ARGB
@@ -196,14 +196,27 @@ object Multimodal {
       }
       y += 1
     }
+    writeImage(img, format, quality, interlaced)
+  }
+
+  /** ImageIO write with optional explicit compression quality and/or
+    * progressive mode (PNG progressive = Adam7 interlace).
+    */
+  private def writeImage(
+      img: java.awt.image.BufferedImage, format: String,
+      quality: Float, interlaced: Boolean): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    if (quality < 0f) {
+    if (quality < 0f && !interlaced) {
       javax.imageio.ImageIO.write(img, format, bos)
     } else {
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
       val params = writer.getDefaultWriteParam
-      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      params.setCompressionQuality(quality)
+      if (quality >= 0f) {
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+      }
+      if (interlaced)
+        params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       val out = javax.imageio.ImageIO.createImageOutputStream(bos)
       try {
         writer.setOutput(out)
@@ -222,9 +235,11 @@ object Multimodal {
     * [[graft.functions.PngDecode]], so gate parity proves
     * decode(encode(raster)) == raster with no shared code. Small dims
     * (w ∈ 2..7, h ∈ 2..6 → ≤ 168 raster bytes ≤ the 224 repeated hex
-    * chars). Even docs are RGB (color type 2), odd RGBA (type 6). Row
-    * mix: every third row is raw text (wrong magic → null), every
-    * seventh a TRUNCATED PNG (IEND + the IDAT tail cut → null).
+    * chars). Even docs are RGB (color type 2), odd RGBA (type 6); every
+    * fourth row is written INTERLACED (Adam7) through the writer's
+    * progressive mode. Row mix: every third row is raw text (wrong
+    * magic → null), every seventh a TRUNCATED PNG (cut inside the first
+    * IDAT chunk → null).
     *
     * Unlike the pure-DSL generators this one needs a partition-batched
     * encode step (PNG encode is not a Column function); the per-row
@@ -251,11 +266,15 @@ object Multimodal {
         col("lang").as("codec"))
       .as[RasterSrc]
       .mapPartitions(_.map { r =>
+        // every fourth row is written INTERLACED (Adam7) — the oracle's
+        // positional recompute is agnostic to the container's scanline
+        // order, so the same gate pins the deinterlacing path
+        val il = r.media_id % 4 == 0
         val payload = r.kind match {
           case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
           case 2 => // truncated: cut inside the first IDAT chunk's data
-            truncateInsideIdat(encodeRaster("png", r.w, r.h, r.rgba, r.px))
-          case _ => encodeRaster("png", r.w, r.h, r.rgba, r.px)
+            truncateInsideIdat(encodeRaster("png", r.w, r.h, r.rgba, r.px, interlaced = il))
+          case _ => encodeRaster("png", r.w, r.h, r.rgba, r.px, interlaced = il)
         }
         (r.media_id, payload, r.size_bytes, r.origin, r.codec)
       })
@@ -296,7 +315,8 @@ object Multimodal {
     * ImageIO read-back.
     */
   private[graft] def encodeRasterIndexedOrGray(
-      variant: Int, wi: Int, hi: Int, px: String): Array[Byte] = {
+      variant: Int, wi: Int, hi: Int, px: String,
+      interlaced: Boolean = false): Array[Byte] = {
     val img = variant match {
       case 0 =>
         new java.awt.image.BufferedImage(
@@ -327,9 +347,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writeImage(img, "png", quality = -1f, interlaced = interlaced)
   }
 
   final case class PalSrc(
@@ -371,10 +389,13 @@ object Multimodal {
         col("lang").as("codec"))
       .as[PalSrc]
       .mapPartitions(_.map { r =>
+        // every fourth row interlaced, as in [[mediaTablePng]]
+        val il = r.media_id % 4 == 0
         val payload = r.kind match {
           case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
-          case 2 => truncateInsideIdat(encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px))
-          case _ => encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px)
+          case 2 => truncateInsideIdat(
+            encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px, interlaced = il))
+          case _ => encodeRasterIndexedOrGray(r.variant, r.w, r.h, r.px, interlaced = il)
         }
         (r.media_id, payload, r.size_bytes, r.origin, r.codec)
       })

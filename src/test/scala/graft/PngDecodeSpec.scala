@@ -223,7 +223,9 @@ class PngDecodeSpec extends SparkSpec {
     assert(decode(java.util.Arrays.copyOf(good, good.length - 20)).isEmpty)
     assert(decode(java.util.Arrays.copyOf(good, good.length - 1)).isEmpty)
     assert(decode(Multimodal.truncateInsideIdat(good)).isEmpty)
-    // interlaced (Adam7 reorders scanlines — out of scope by design)
+    // an interlace-1 header over a NON-interlaced stream: the Adam7
+    // pass layout implies a different total stream length (33 vs 30
+    // bytes at 3x3 RGB) — a geometry lie, nulled
     assert(decode(sig ++ ihdr(3, 3, interlace = 1) ++
       good.drop(8 + 25)).isEmpty)
     // 16-bit samples; a grayscale header over an RGB-sized stream (the
@@ -455,6 +457,125 @@ class PngDecodeSpec extends SparkSpec {
     val back0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p0))
     val (er, egc, ebc) = Multimodal.paletteEntry(px0.charAt(0).toInt)
     assert((back0.getRGB(0, 0) & 0xffffff) === ((er << 16) | (egc << 8) | ebc))
+  }
+
+  /** Forward Adam7: split the raster into the seven passes (pass p
+    * covers pixels (x0+i·dx, y0+j·dy)), filter each pass's scanlines
+    * independently with the given filter cycle, concatenate, deflate.
+    * The reference encoder for the interlaced coverage.
+    */
+  private def buildPngInterlaced(
+      w: Int, h: Int, colorType: Int, channels: Int, raster: Array[Byte],
+      filters: Seq[Int], plte: Option[Array[Byte]] = None): Array[Byte] = {
+    val x0 = Array(0, 4, 0, 2, 0, 1, 0); val y0 = Array(0, 0, 4, 0, 2, 0, 1)
+    val dx = Array(8, 8, 4, 4, 2, 2, 1); val dy = Array(8, 8, 8, 4, 4, 2, 2)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val out = Array.newBuilder[Byte]
+    for (p <- 0 until 7) {
+      val pw = if (w <= x0(p)) 0 else (w - x0(p) + dx(p) - 1) / dx(p)
+      val ph = if (h <= y0(p)) 0 else (h - y0(p) + dy(p) - 1) / dy(p)
+      if (pw > 0 && ph > 0) {
+        // extract the pass's sub-image
+        val sub = new Array[Byte](ph * pw * channels)
+        for (j <- 0 until ph; i <- 0 until pw; c <- 0 until channels)
+          sub((j * pw + i) * channels + c) =
+            raster(((y0(p) + j * dy(p)) * w + (x0(p) + i * dx(p))) * channels + c)
+        // filter it like a standalone image
+        val stride = pw * channels
+        for (row <- 0 until ph) {
+          val f = filters((p + row) % filters.size)
+          out += f.toByte
+          for (x <- 0 until stride) {
+            val cur = sub(row * stride + x) & 0xff
+            val left = if (x >= channels) sub(row * stride + x - channels) & 0xff else 0
+            val above = if (row > 0) sub((row - 1) * stride + x) & 0xff else 0
+            val diag =
+              if (row > 0 && x >= channels) sub((row - 1) * stride + x - channels) & 0xff
+              else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - above
+              case 3 => cur - ((left + above) >> 1)
+              case 4 => cur - paeth(left, above, diag)
+            }
+            out += v.toByte
+          }
+        }
+      }
+    }
+    val filtered = out.result()
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(buf, n)
+    sig ++ ihdr(w, h, colorType = colorType, interlace = 1) ++
+      plte.map(pl => chunk("PLTE", pl)).getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", z) ++ chunk("IEND", Array.empty)
+  }
+
+  test("Adam7 interlace: pass extraction matches the non-interlaced decode on every shape") {
+    // shapes chosen to exercise empty passes (w or h < the pass origin),
+    // single-row/column images, exact multiples of 8, and off-by-ones
+    val shapes = Seq((1, 1), (2, 3), (3, 2), (8, 8), (9, 7), (16, 5),
+      (3, 9), (1, 9), (9, 1), (7, 6), (8, 1), (1, 8))
+    for ((w, h) <- shapes; channels <- Seq(3, 4)) {
+      val colorType = if (channels == 4) 6 else 2
+      val raster = Array.tabulate(w * h * channels)(i => ((i * 37 + 11) % 256).toByte)
+      val plain = decode(buildPng(w, h, channels, raster, Seq(0)))
+        .getOrElse(fail(s"($w,$h,ct$colorType): plain null"))
+      val inter = decode(buildPngInterlaced(w, h, colorType, channels, raster, Seq(0, 1, 2, 3, 4)))
+        .getOrElse(fail(s"($w,$h,ct$colorType): interlaced null"))
+      assert(inter.toSeq === plain.toSeq, s"($w,$h,ct$colorType)")
+    }
+    // gray and palette interlaced, against the typed plain build
+    val w = 9; val h = 6
+    val gray = Array.tabulate(w * h)(i => ((i * 41 + 3) % 256).toByte)
+    val gPlain = decode(buildPngTyped(w, h, 0, 1, gray, Seq(0))).get
+    val gInter = decode(buildPngInterlaced(w, h, 0, 1, gray, Seq(4))).get
+    assert(gInter.toSeq === gPlain.toSeq)
+    val plte = Array.tabulate(30)(i => ((i * 19 + 7) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => (i % 10).toByte)
+    val pPlain = decode(buildPngTyped(w, h, 3, 1, idx, Seq(0), plte = Some(plte))).get
+    val pInter = decode(buildPngInterlaced(w, h, 3, 1, idx, Seq(1, 2), plte = Some(plte))).get
+    assert(pInter.toSeq === pPlain.toSeq)
+    // truncated interlaced stream still nulls
+    val full = buildPngInterlaced(5, 5, 2, 3,
+      Array.tabulate(75)(i => (i * 3).toByte), Seq(0))
+    assert(decode(Multimodal.truncateInsideIdat(full)).isEmpty)
+  }
+
+  test("javax.imageio progressive (Adam7) round-trip across all five color types") {
+    val hex = "0123456789abcdef" * 25
+    val w = 11; val h = 9 // big enough that every pass is non-empty
+    // RGB / RGBA through encodeRaster(interlaced = true)
+    for (rgba <- Seq(false, true)) {
+      val bpp = if (rgba) 4 else 3
+      val px = hex.substring(0, w * h * bpp)
+      val il = Multimodal.encodeRaster("png", w, h, rgba, px, interlaced = true)
+      assert((il(28) & 0xff) === 1, "writer must emit interlace method 1")
+      val plain = Multimodal.encodeRaster("png", w, h, rgba, px)
+      val a = decode(il).getOrElse(fail(s"rgba=$rgba interlaced null"))
+      val b = decode(plain).get
+      assert(a.toSeq === b.toSeq, s"rgba=$rgba")
+    }
+    // palette / gray / gray+alpha through encodeRasterIndexedOrGray
+    for (variant <- 0 to 2) {
+      val bands = if (variant == 2) 2 else 1
+      val px = hex.substring(0, w * h * bands)
+      val il = Multimodal.encodeRasterIndexedOrGray(variant, w, h, px, interlaced = true)
+      assert((il(28) & 0xff) === 1, s"variant $variant: interlace method 1")
+      val plain = Multimodal.encodeRasterIndexedOrGray(variant, w, h, px)
+      val a = decode(il).getOrElse(fail(s"variant $variant interlaced null"))
+      val b = decode(plain).get
+      assert(a.toSeq === b.toSeq, s"variant $variant")
+    }
   }
 
   test("mediaTablePngPalette: variant/bad row mix decodes as declared") {
