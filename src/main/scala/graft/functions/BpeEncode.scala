@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the Zipfian word distribution (the overwhelmingly common words
   * segment once per task thread, not once per occurrence).
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(
+    child: Expression, merges: Seq[(String, String)], ranked: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = BpeEncode.schema
@@ -43,7 +44,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val encoder = new BpeEncode.Encoder(merges)
+  @transient private lazy val encoder = new BpeEncode.Encoder(merges, ranked)
 
   override def nullSafeEval(input: Any): Any =
     encoder.encode(input.asInstanceOf[UTF8String].toString)
@@ -66,29 +67,51 @@ object BpeEncode {
 
   /** Per-thread word→segmentation cache cap: Zipfian corpora hit a few
     * thousand distinct words constantly; the cap only bounds adversarial
-    * vocabularies (cleared wholesale when full — refilling is cheap).
+    * vocabularies. The cache is access-order LRU (LinkedHashMap with
+    * removeEldestEntry), so a high-cardinality stream evicts one cold
+    * entry per miss instead of dumping and refilling the whole map —
+    * the former clear-wholesale form thrashed on non-Zipfian input.
     */
   val CacheCap = 1 << 16
 
-  final class Encoder(merges: Seq[(String, String)]) extends Serializable {
+  /** `ranked = false`: the oracle-replayable apply (each rule in learned
+    * order, each to fixpoint — what the gates pin). `ranked = true`: the
+    * Sennrich priority apply ([[graft.pipeline.Bpe.encodeWordRanked]]),
+    * whose per-word cost is independent of merge-table size — the
+    * production path at 16k-64k merges. BpeSpec pins the two equal over
+    * the real corpus vocabulary.
+    */
+  final class Encoder(merges: Seq[(String, String)], ranked: Boolean = false)
+      extends Serializable {
     private val table: Array[(String, String)] = merges.toArray
 
+    @transient private lazy val ranks = graft.pipeline.Bpe.rankTable(table.toSeq)
+
     @transient private lazy val cache =
-      new ThreadLocal[java.util.HashMap[String, Array[String]]] {
-        override def initialValue() = new java.util.HashMap[String, Array[String]]()
+      new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+        override def initialValue() =
+          new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean =
+              size() > CacheCap
+          }
       }
 
     private def segment(word: String): Array[String] = {
       val c = cache.get()
       val hit = c.get(word)
       if (hit != null) return hit
-      var toks: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
-      var r = 0
-      while (r < table.length) {
-        toks = graft.pipeline.Bpe.applyRule(toks, table(r)._1, table(r)._2)
-        r += 1
-      }
-      if (c.size() >= CacheCap) c.clear()
+      val toks =
+        if (ranked) graft.pipeline.Bpe.encodeWordRanked(word, ranks)
+        else {
+          var t: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+          var r = 0
+          while (r < table.length) {
+            t = graft.pipeline.Bpe.applyRule(t, table(r)._1, table(r)._2)
+            r += 1
+          }
+          t
+        }
       c.put(word, toks)
       toks
     }
@@ -116,4 +139,7 @@ object BpeEncode {
 
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.toColumn(BpeEncode(ColumnBridge.toExpression(text), merges))
+
+  def apply(text: Column, merges: Seq[(String, String)], ranked: Boolean): Column =
+    ColumnBridge.toColumn(BpeEncode(ColumnBridge.toExpression(text), merges, ranked))
 }

@@ -107,6 +107,72 @@ object Bpe {
     toks
   }
 
+  /** Rank lookup table for [[encodeWordRanked]]: pair (x, y) keyed as
+    * x + '' + y (tokens are `[a-z]+`, so the separator can never
+    * collide), value = learned rank (0 = first merge).
+    */
+  def rankTable(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    var r = 0
+    merges.foreach { case (x, y) => m.put(x + '' + y, r); r += 1 }
+    m
+  }
+
+  /** Segment one word by PRIORITY apply — the Sennrich reference form:
+    * repeatedly merge the LOWEST-RANK adjacent pair present (one
+    * left-to-right non-overlapping pass per pick) until no pair is in
+    * the table. Work per word is O(len² · map-lookup), INDEPENDENT of
+    * merge-table size — the production path at 32k+ merges, where the
+    * replay form's rule-sequential scan pays O(|merges|) per word even
+    * when nothing applies.
+    *
+    * Semantics vs [[encodeWord]] (the oracle-replayable form): identical
+    * except when a later rule's merge CREATES an occurrence of an
+    * earlier rule's pair that the replay pass has already moved past —
+    * only reachable through self-overlap chains (e.g. rule1 (aa,b),
+    * rule2 (a,a) — an order no corpus-trained table produces, since a
+    * rule's constituent tokens always come from EARLIER rules).
+    * BpeSpec pins the divergence set EMPTY over the real corpus
+    * vocabulary; gates stay on the replay form.
+    */
+  def encodeWordRanked(
+      word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    var toks: Array[String] = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+    var continue = toks.length > 1
+    while (continue) {
+      // lowest-rank pair present
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.get(toks(i) + '' + toks(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        // one left-to-right non-overlapping pass of the picked rule —
+        // mergePass semantics, inlined over the rank check
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var j = 0
+        while (j < toks.length) {
+          if (j + 1 < toks.length && {
+                val r = ranks.get(toks(j) + '' + toks(j + 1))
+                r != null && r.intValue() == bestRank
+              }) {
+            out += toks(j) + toks(j + 1)
+            j += 2
+          } else {
+            out += toks(j)
+            j += 1
+          }
+        }
+        toks = out.toArray
+        continue = toks.length > 1
+      }
+    }
+    toks
+  }
+
   /** Train `maxMerges` merges on the corpus: ONE distributed word-count
     * aggregation, then a driver-side loop over the top-`vocabCap` words
     * (≤ a few thousand short strings — the Pq codebook pattern). Stops
@@ -160,6 +226,110 @@ object Bpe {
         merges += ((x, y))
         var k = 0
         while (k < seqs.length) { seqs(k) = applyRule(seqs(k), x, y); k += 1 }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[trainMerges]] with INCREMENTAL pair-count maintenance — the
+    * production trainer at 16k-64k merges, where the naive form's
+    * full-vocab rescan per iteration is O(maxMerges · Σ|word|) and
+    * stops scaling past a few hundred merges.
+    *
+    * Identical output to [[trainMerges]] BY CONSTRUCTION (BpeSpec pins
+    * equality): same ONE distributed word-count aggregation, same
+    * top-`vocabCap` (count DESC, word ASC) training vocab, same argmax
+    * (count DESC, x ASC, y ASC), same per-rule [[applyRule]] fixpoint
+    * application. The difference is bookkeeping only: a TreeSet keyed
+    * (count DESC, x, y) holds every eligible pair, a pair→words index
+    * narrows each iteration's re-segmentation to words that CONTAIN the
+    * picked pair, and count deltas from those words' old/new adjacency
+    * multisets update the TreeSet incrementally — O(affected words ·
+    * word length · log #pairs) per merge instead of O(vocab).
+    */
+  def trainMergesIndexed(
+      docs: DataFrame,
+      textCol: String,
+      vocabCap: Int = 2048,
+      maxMerges: Int = 48,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(vocabCap > 0 && maxMerges >= 0 && minPairCount >= 1)
+    val vocab = docs
+      .select(explode(wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seqs: Array[Array[String]] = vocab.map { case (w, _) =>
+      Array.tabulate(w.length)(i => w.substring(i, i + 1))
+    }
+    val counts = vocab.map(_._2)
+
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def adjacencies(t: Array[String]): Iterator[(String, String)] =
+      (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+
+    var j = 0
+    while (j < seqs.length) {
+      adjacencies(seqs(j)).foreach { k =>
+        pairCount.update(k, pairCount.getOrElse(k, 0L) + counts(j))
+        pairWords.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += j
+      }
+      j += 1
+    }
+
+    // (count DESC, x ASC, y ASC): head() IS the trainMerges argmax.
+    // Entries carry their count so mutation = remove(old) + add(new)
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val sorted = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    pairCount.foreach { case ((x, y), c) => if (c >= minPairCount) sorted += ((c, x, y)) }
+
+    def bump(k: (String, String), delta: Long, wordIdx: Int, add: Boolean): Unit = {
+      val old = pairCount.getOrElse(k, 0L)
+      val nw = old + delta
+      if (old >= minPairCount) sorted -= ((old, k._1, k._2))
+      if (nw > 0) pairCount(k) = nw else pairCount.remove(k)
+      if (nw >= minPairCount) sorted += ((nw, k._1, k._2))
+      val set = pairWords.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty)
+      if (add) set += wordIdx
+      // stale membership after removal is tolerated: the apply loop
+      // skips words whose current seq no longer contains the pair
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (!stop && merges.length < maxMerges) {
+      if (sorted.isEmpty) stop = true
+      else {
+        val (_, x, y) = sorted.head
+        merges += ((x, y))
+        val pair = (x, y)
+        val affected = pairWords.get(pair).map(_.toArray).getOrElse(Array.empty)
+        var a = 0
+        while (a < affected.length) {
+          val idx = affected(a)
+          val before = seqs(idx)
+          val after = applyRule(before, x, y)
+          if (after ne before) {
+            val c = counts(idx)
+            // delta-update: subtract the old adjacency multiset, add the new
+            adjacencies(before).foreach(k => bump(k, -c, idx, add = false))
+            adjacencies(after).foreach(k => bump(k, c, idx, add = true))
+            seqs(idx) = after
+          }
+          a += 1
+        }
+        // the merged pair itself must now be gone everywhere (its delta
+        // updates drove it to zero); force-drop defensively so an
+        // accounting bug can never re-pick the same head forever
+        pairWords.remove(pair)
+        pairCount.remove(pair).foreach { c =>
+          if (c >= minPairCount) sorted -= ((c, x, y))
+        }
       }
     }
     merges.toSeq

@@ -217,6 +217,16 @@ object PlanAudit {
       check("bpe_encode: fused map-only codegen", bpePlan,
         mustContain = Seq("*(1) Project [bpe_encode("),
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+      // the RANKED (Sennrich priority) production path is the same fused
+      // expression — the rank table rides the closure exactly like the
+      // replay table; plan shape must not change with the mode
+      val bpeRankedPlan = plan(docs.select(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.functions.col("text"),
+          Seq(("t", "h"), ("th", "e")), ranked = true).as("r")))
+      check("bpe_encode ranked: same fused map-only shape", bpeRankedPlan,
+        mustContain = Seq("*(1) Project [bpe_encode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
     guarded("line dedup") {

@@ -630,6 +630,97 @@ object ProfScale {
           println(s"PROFSCALE   $toks tokens")
         }
 
+      case "bpeprod" =>
+        // BPE at PRODUCTION vocab scale. The sf corpora replicate a
+        // 31-word vocabulary, so a corpus-trained table saturates at a
+        // few dozen merges and the segmentation cache hides any
+        // table-size cost — this arm instead builds a seeded Zipfian
+        // pseudo-corpus with ~60k DISTINCT words (cache misses dominate,
+        // the honest regime), trains a 32k-merge table with the indexed
+        // trainer, and A/Bs the ranked (Sennrich priority) encode
+        // against the replay (oracle-twin) encode at that table size.
+        import org.apache.spark.sql.functions.col
+        val vocabN = 60000
+        val rng = new scala.util.Random(7)
+        val letters = "aaaabbbccdeefgghiiklmmnnoooprrssttuuvwyz"
+        val vocab: Array[String] = Array.fill(vocabN) {
+          val len = 3 + rng.nextInt(9)
+          (0 until len).map(_ => letters(rng.nextInt(letters.length))).mkString
+        }
+        // Zipf cumulative weights for rank-biased sampling
+        val cum = new Array[Double](vocabN)
+        var acc = 0.0
+        var vi = 0
+        while (vi < vocabN) { acc += 1.0 / (vi + 1); cum(vi) = acc; vi += 1 }
+        val total = acc
+        val bVocab = spark.sparkContext.broadcast(vocab)
+        val bCum = spark.sparkContext.broadcast(cum)
+        val nDocs = 50000
+        val wordsPerDoc = 120
+        import spark.implicits._
+        val pseudo = spark.range(nDocs).as[Long].mapPartitions { ids =>
+          val v = bVocab.value; val c = bCum.value
+          ids.map { id =>
+            val sb = new java.lang.StringBuilder(wordsPerDoc * 9)
+            var i = 0
+            while (i < wordsPerDoc) {
+              // deterministic per (doc, pos), murmur-finalized (a plain
+              // linear combination has no avalanche — every u landed
+              // under cum(0) and the corpus degenerated to ONE word)
+              var h = id * 1315423911L ^ (i * 2654435761L)
+              h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+              h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+              h ^= h >>> 33
+              val u = ((h >>> 9).toDouble / (1L << 55)) * total
+              var lo = 0; var hi = c.length - 1
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (c(mid) < u) lo = mid + 1 else hi = mid
+              }
+              if (i > 0) sb.append(' ')
+              sb.append(v(lo))
+              i += 1
+            }
+            (id, sb.toString)
+          }
+        }.toDF("doc_id", "text").localCheckpoint()
+        val nP = pseudo.count()
+        val distinctWords = pseudo
+          .select(org.apache.spark.sql.functions.explode(
+            graft.pipeline.Bpe.wordsCol(col("text"))).as("w"))
+          .distinct().count()
+        println(s"PROFSCALE bpeprod corpus: $nP docs, $distinctWords distinct words")
+        var bigTable: Seq[(String, String)] = Nil
+        val tTrain = {
+          val t0 = System.nanoTime()
+          bigTable = graft.pipeline.Bpe.trainMergesIndexed(pseudo, "text",
+            vocabCap = 49152, maxMerges = 32768, minPairCount = 2L)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROFSCALE bpeprod train indexed   $tTrain%8.2f s (${bigTable.length} merges)")
+        def encodeTokens(ranked: Boolean): Long = pseudo
+          .select(graft.functions.BpeEncode(col("text"), bigTable, ranked).as("b"))
+          .selectExpr("sum(b.n_tokens)").collect()(0).getLong(0)
+        var toksRanked = 0L
+        val tRanked = timed(s"bpeprod encode RANKED x$nP") { toksRanked = encodeTokens(true) }
+        println(f"PROFSCALE bpeprod ranked ${toksRanked / tRanked / 1e6}%.1f M tokens/s (${toksRanked} tokens)")
+        var toksReplay = 0L
+        val tReplay = timed(s"bpeprod encode REPLAY x$nP") { toksReplay = encodeTokens(false) }
+        println(f"PROFSCALE bpeprod replay ${toksReplay / tReplay / 1e6}%.1f M tokens/s")
+        require(toksRanked == toksReplay,
+          s"ranked/replay token totals diverged: $toksRanked vs $toksReplay")
+        // indexed-vs-naive trainer A/B at a size the naive form can still
+        // do (2048 merges) — the scaling justification for the index
+        val tIdx2k = timed("bpeprod train indexed 2048") {
+          graft.pipeline.Bpe.trainMergesIndexed(pseudo, "text",
+            vocabCap = 16384, maxMerges = 2048, minPairCount = 2L)
+        }
+        val tNaive2k = timed("bpeprod train naive   2048") {
+          graft.pipeline.Bpe.trainMerges(pseudo, "text",
+            vocabCap = 16384, maxMerges = 2048, minPairCount = 2L)
+        }
+        println(f"PROFSCALE bpeprod trainer speedup at 2048: ${tNaive2k / tIdx2k}%.1fx")
+
       case "groupscan" =>
         // the group-prefix machinery (token-budget sampler, length-bucket
         // batcher) solo at scale: one corpus prefix scan each, group/

@@ -101,6 +101,80 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.words("123 !?").toSeq === Seq.empty)
   }
 
+  test("trainMergesIndexed === trainMerges: hand corpus, real corpus, several configs") {
+    val hand = Seq((1L, "the the the cat hat")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesIndexed(hand, "text", vocabCap = 10, maxMerges = 8) ===
+      Bpe.trainMerges(hand, "text", vocabCap = 10, maxMerges = 8))
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+    for ((cap, mm, mpc) <- Seq((2048, 48, 2L), (300, 200, 2L), (100, 500, 1L))) {
+      val naive = Bpe.trainMerges(docs, "text", cap, mm, mpc)
+      val indexed = Bpe.trainMergesIndexed(docs, "text", cap, mm, mpc)
+      assert(indexed === naive, s"cap=$cap maxMerges=$mm minPairCount=$mpc")
+    }
+  }
+
+  test("encodeWordRanked (Sennrich priority apply): picks by rank, not rule order") {
+    // rules learned: 0:(h,e) 1:(t,he) — ranked must merge (h,e) first in
+    // "the" even when scanning finds (t,h) earlier in the word
+    val merges = Seq(("h", "e"), ("t", "he"), ("a", "t"))
+    val ranks = Bpe.rankTable(merges)
+    assert(Bpe.encodeWordRanked("the", ranks).toSeq === Seq("the"))
+    assert(Bpe.encodeWordRanked("cat", ranks).toSeq === Seq("c", "at"))
+    assert(Bpe.encodeWordRanked("hat", ranks).toSeq === Seq("h", "at"))
+    assert(Bpe.encodeWordRanked("x", ranks).toSeq === Seq("x"))
+    // the DOCUMENTED divergence class, pinned from the ranked side:
+    // replay leaves singles between merged pairs ("aa a aa a aa"),
+    // Sennrich's single left-to-right pass per pick packs greedily
+    val aa = Bpe.rankTable(Seq(("a", "a")))
+    assert(Bpe.encodeWordRanked("aaaaaaaa", aa).toSeq === Seq("aa", "aa", "aa", "aa"))
+    assert(Bpe.encodeWord("aaaaaaaa", Seq(("a", "a"))).toSeq ===
+      Seq("aa", "a", "aa", "a", "aa"))
+  }
+
+  test("ranked-vs-replay divergence set is EMPTY over the real corpus vocabulary") {
+    // the production path (ranked) and the oracle-gated twin (replay)
+    // must agree on every word the corpus actually contains — the
+    // divergence class (self-overlap chains re-exposing an earlier
+    // rule) is unreachable from corpus-trained tables on real words
+    val docs = graft.core.Tables.documents(spark, sf("sf0.01"))
+    val merges = Bpe.trainMerges(docs, "text", vocabCap = 2048, maxMerges = 64)
+    val ranks = Bpe.rankTable(merges)
+    val words = docs.select(explode(Bpe.wordsCol(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    assert(words.length > 20, "corpus sanity: distinct words to pin")
+    def divergentIn(ws: Seq[String], m: Seq[(String, String)]): Seq[String] = {
+      val rk = Bpe.rankTable(m)
+      ws.filter(w => Bpe.encodeWord(w, m).toSeq != Bpe.encodeWordRanked(w, rk).toSeq)
+    }
+    assert(divergentIn(words.toSeq, merges).isEmpty,
+      s"divergent corpus words: ${divergentIn(words.toSeq, merges).take(10)}")
+    // breadth: the synthetic corpus has only ~31 distinct words, so also
+    // pin over a seeded pseudo-word corpus (letter-skewed so merges go
+    // deep, including repeated-letter runs) with a table TRAINED ON IT —
+    // the property under test is "corpus-trained table ⇒ no divergence
+    // on that corpus", not anything about hand-built adversarial tables
+    val rng = new scala.util.Random(42)
+    val letters = "aaaabbbccdefgghiiklmnnoooprrssttuu"
+    val pseudo = (0 until 3000).map { _ =>
+      val len = 2 + rng.nextInt(12)
+      (0 until len).map(_ => letters(rng.nextInt(letters.length))).mkString
+    }
+    val pdocs = pseudo.grouped(20).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val pm = Bpe.trainMerges(pdocs, "text", vocabCap = 4096, maxMerges = 300)
+    assert(pm.length > 100, s"pseudo corpus trained ${pm.length} merges")
+    val pd = divergentIn(pseudo.distinct, pm)
+    assert(pd.isEmpty, s"divergent pseudo words: ${pd.take(10)}")
+    // and the fused expression in ranked mode equals the replay mode
+    // end-to-end on whole documents
+    val replay = docs.select(col("doc_id"),
+      BpeEncode(col("text"), merges).getField("segmented").as("s"))
+    val ranked = docs.select(col("doc_id"),
+      BpeEncode(col("text"), merges, ranked = true).getField("segmented").as("s"))
+    assert(replay.exceptAll(ranked).isEmpty && ranked.exceptAll(replay).isEmpty)
+  }
+
   test("BpeEncode expression: counts, segmentation md5 stability, edges") {
     val merges = Seq(("t", "h"), ("th", "e"))
     val df = Seq(
