@@ -85,7 +85,7 @@ object Service {
   *   (NNTSC_QUERY_CANCELLED).
   */
 final class Service(
-    spark: SparkSession,
+    private[serve] val spark: SparkSession,
     data: Map[String, DataFrame],
     streams: Map[String, DataFrame],
     queryTimeoutSec: Long = 0,

@@ -260,19 +260,28 @@ final class WireServer(
             // the backfill then covers everything up to the present
             val histStop = if (stop == 0) Long.MaxValue else stop
             val chunks = service.history(coll, labels, columns, start, histStop)
-            chunks.foreach { c =>
+            // frame encode (JSON/Arrow + compression) runs k chunks wide
+            // on a pool while this thread writes strictly in order — the
+            // encode stage dominates the drain once the prefetch pump
+            // hides compute (ProfScale `encpool` A/B). The per-chunk
+            // lastHist max is computed inside the parallel stage (pure
+            // per-chunk) and folded here in input order, so the seam
+            // values are exactly the serial drain's
+            val encPool = service.spark.conf
+              .get("spark.graft.serve.encodepool", "4").toInt
+            EncodePipeline.mapOrdered(chunks, encPool) { c =>
+              var mx = Long.MinValue
               if (c.rows.nonEmpty) {
                 // one schema per chunk — resolve the index once, not per row
                 val i = c.rows.head.schema.fieldIndex("timestamp")
                 c.rows.foreach { r =>
-                  if (!r.isNullAt(i)) {
-                    val t = r.getLong(i)
-                    lastHist(c.label) =
-                      math.max(lastHist.getOrElse(c.label, Long.MinValue), t)
-                  }
+                  if (!r.isNullAt(i)) mx = math.max(mx, r.getLong(i))
                 }
               }
-              val frame = historyBody(c, arrow, codec)
+              (c.label, mx, historyBody(c, arrow, codec))
+            }.foreach { case (label, mx, frame) =>
+              if (mx != Long.MinValue)
+                lastHist(label) = math.max(lastHist.getOrElse(label, Long.MinValue), mx)
               out.synchronized { out.write(frame); out.flush() }
             }
             // markers registered BEFORE the ack: once the client sees the

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * the duplicate-family structure (minhash/ngram pair recomputes that
   * OOM or blow past the time cap on the full 500k-doc corpus).
   *
-  *   runMain graft.tools.GenSlice <srcDir> <dstDir> <familyMod> <oneInN>
+  *   runMain graft.tools.GenSlice <srcDir> <dstDir> <docMod> <embMod> <oneInN>
   *
   * [[GenScale]] replica k shifts every key by k·(max source key + 1),
   * so a scaled corpus's near-dup family is the residue class
-  * `key % familyMod` (familyMod = the ORIGINAL tier's row count; for a
-  * chained sf0.1→sf1→sf10 corpus the sf0.1 count — residues mod the
+  * `key % familyMod` (familyMod = the ORIGINAL tier's row count — per
+  * table, hence the separate doc/embedding moduli; for a chained
+  * sf0.1→sf1→sf10 corpus the sf0.1 counts — residues mod the
   * smallest tier select whole families at every chain level). Keeping
   * `xxhash64(key % familyMod) % oneInN == 0` keeps 1/oneInN of the
   * FAMILIES with all ~100 members intact — the dup structure the gates
@@ -32,8 +33,9 @@ import org.apache.spark.sql.functions._
   */
 object GenSlice {
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, modStr, oneInNStr) = args.take(4)
-    val familyMod = modStr.toLong
+    val Array(src, dst, docModStr, embModStr, oneInNStr) = args.take(5)
+    val docMod = docModStr.toLong
+    val embMod = embModStr.toLong
     val oneInN = oneInNStr.toLong
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -44,19 +46,19 @@ object GenSlice {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def keep(key: org.apache.spark.sql.Column) =
+    def keep(key: org.apache.spark.sql.Column, familyMod: Long) =
       pmod(xxhash64(pmod(key, lit(familyMod))), lit(oneInN)) === 0
     new java.io.File(dst).mkdirs()
     val docs = spark.read.parquet(s"$src/documents.parquet")
-      .where(keep(col("doc_id")))
+      .where(keep(col("doc_id"), docMod))
     docs.repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
     val nd = spark.read.parquet(s"$dst/documents.parquet").count()
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-      .where(keep(col("vec_id")))
+      .where(keep(col("vec_id"), embMod))
     emb.repartition(8).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     val ne = spark.read.parquet(s"$dst/embeddings.parquet").count()
-    println(s"GENSLICE ok $src -> $dst (families mod $familyMod, 1 in $oneInN): " +
-      s"$nd docs, $ne embeddings")
+    println(s"GENSLICE ok $src -> $dst (families mod docs=$docMod emb=$embMod, " +
+      s"1 in $oneInN): $nd docs, $ne embeddings")
     spark.stop()
   }
 }

@@ -608,6 +608,35 @@ object ProfScale {
           require(ok == nBig, s"decoded $ok of $nBig")
         }
         println(f"PROFSCALE png raster throughput ${rasterBytes / t / 1e6}%.1f MB/s")
+        // the non-truecolor variants (palette lookup / gray expansion)
+        // and Adam7 at the same 64×48 shape — palette is 1 byte/px so
+        // the per-byte rate divides differently; report per-PIXEL rates
+        for ((label, variant, il) <- Seq(
+            ("palette", 0, false), ("gray", 1, false), ("grayalpha", 2, false),
+            ("palette Adam7", 0, true), ("rgb Adam7", -1, true))) {
+          val bpv = variant match { case 2 => 2; case -1 => 3; case _ => 1 }
+          val enc = docsP.select(col("doc_id"), fmd5(col("text")).as("m"))
+            .as[(Long, String)]
+            .mapPartitions(_.map { case (id, m) =>
+              val need = 64 * 48 * bpv
+              val px = (m * 384).substring(0, need)
+              (id,
+                if (variant < 0)
+                  graft.pipeline.Multimodal.encodeRaster(
+                    "png", 64, 48, rgba = false, px, interlaced = il)
+                else
+                  graft.pipeline.Multimodal.encodeRasterIndexedOrGray(
+                    variant, 64, 48, px, interlaced = il))
+            })
+            .toDF("media_id", "payload").localCheckpoint()
+          val nE = enc.count()
+          val tv = timed(s"png_decode $label 64x48 x$nE") {
+            val ok = enc.select(graft.functions.PngDecode(col("payload")).as("d"))
+              .selectExpr("count(d.n_px)").collect()(0).getLong(0)
+            require(ok == nE, s"$label: decoded $ok of $nE")
+          }
+          println(f"PROFSCALE png $label%-14s ${nE * 64L * 48 / tv / 1e6}%.1f Mpx/s")
+        }
 
       case "bpe" =>
         // the real tokenizer solo: training (one word-count agg + driver
@@ -918,6 +947,17 @@ object ProfScale {
         println(f"PROFSCALE pump_backfill_prefetch          $tOn%8.2f s  ($fOn frames)")
         require(fOn == fOff, s"frame counts differ: $fOn vs $fOff")
         println(f"PROFSCALE pump_speedup                    ${tOff / tOn}%8.2fx")
+        // encode-pool A/B on top of the pump (the r12 "next floor": at
+        // sf10 the pump hides compute and ENCODE dominates the drain) —
+        // pool 1 = serial encode, pool 4 = the default
+        spark.conf.set("spark.graft.serve.encodepool", "1")
+        val (tE1, fE1) = backfill()
+        println(f"PROFSCALE pump_backfill_encpool1          $tE1%8.2f s  ($fE1 frames)")
+        spark.conf.set("spark.graft.serve.encodepool", "4")
+        val (tE4, fE4) = backfill()
+        println(f"PROFSCALE pump_backfill_encpool4          $tE4%8.2f s  ($fE4 frames)")
+        require(fE1 == fE4, s"frame counts differ: $fE1 vs $fE4")
+        println(f"PROFSCALE encpool_speedup                 ${tE1 / tE4}%8.2fx")
 
       case "capskew" =>
         // per-group cap on a Zipf-headed corpus (90% of rows in ONE
