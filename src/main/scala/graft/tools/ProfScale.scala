@@ -1093,6 +1093,46 @@ object ProfScale {
         println(f"PROFSCALE wirearrow speedup ${tJ / tA}%.2fx plain, " +
           f"${tJ / tZ}%.2fx zstd (bytes ${bZ.toDouble / bJ}%.2fx of zlib json)")
 
+      case "livearrow" =>
+        // judge-carried candidate: should LIVE frames (Wire.Live, one
+        // frame per foreachBatch commit per label) move from JSON to
+        // Arrow IPC like the backfill's opt-in? The live path is
+        // LATENCY-bound at small batch sizes — measure per-frame encode
+        // cost for both bodies across realistic live batch sizes and
+        // let the crossover decide. (Backfill chunks are 10k rows;
+        // live commits are typically 1-100 rows per label.)
+        import org.apache.spark.sql.functions.col
+        val evRows = Tables.tsEvents(spark, sfDir)
+          .select(col("stream_id"), col("timestamp"), col("value"))
+          .limit(1000).collect()
+        val schema = evRows.head.schema
+        def jsonBody(rs: Array[org.apache.spark.sql.Row]): Array[Byte] = {
+          val body = s"""{"collection":"amp-external","label":"g0",""" +
+            s""""rows":${graft.serve.JsonMini.rows(rs.toSeq)}}"""
+          graft.serve.Wire.pack(graft.serve.Wire.Live, body.getBytes("UTF-8"))
+        }
+        def arrowBody(rs: Array[org.apache.spark.sql.Row]): Array[Byte] =
+          graft.serve.Wire.pack(graft.serve.Wire.Live,
+            graft.serve.ArrowFrames.encode("g0", more = false, freq = 0L,
+              schema, rs.toSeq, codec = None))
+        for (bs <- Seq(1, 10, 100, 1000)) {
+          val batch = evRows.take(bs)
+          val iters = math.max(200, 20000 / bs)
+          def time(f: Array[org.apache.spark.sql.Row] => Array[Byte]): (Double, Int) = {
+            var bytes = 0
+            var i = 0
+            while (i < iters) { bytes = f(batch).length; i += 1 } // warm
+            val t0 = System.nanoTime()
+            i = 0
+            while (i < iters) { bytes = f(batch).length; i += 1 }
+            ((System.nanoTime() - t0) / 1e3 / iters, bytes)
+          }
+          val (tj, bj) = time(jsonBody)
+          val (ta, ba) = time(arrowBody)
+          println(f"PROFSCALE livearrow batch=$bs%-5d json $tj%8.1f us/frame ($bj B)  " +
+            f"arrow $ta%8.1f us/frame ($ba B)  json/arrow ${tj / ta}%.2fx")
+        }
+
       case "detect" =>
         // series detectors: shuffle-by-series + per-partition window sort
         val ev = Tables.tsEvents(spark, sfDir)
