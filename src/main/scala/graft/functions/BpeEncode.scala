@@ -79,7 +79,9 @@ object BpeEncode {
     * Sennrich priority apply ([[graft.pipeline.Bpe.encodeWordRanked]]),
     * whose per-word cost is independent of merge-table size — the
     * production path at 16k-64k merges. BpeSpec pins the two equal over
-    * the real corpus vocabulary.
+    * the real corpus vocabulary at gate scale, and pins the production-
+    * scale (32k-merge) divergence to exactly the self-overlap chain
+    * class at ~1 in 58k words (encodeWordRanked scaladoc).
     */
   final class Encoder(merges: Seq[(String, String)], ranked: Boolean = false)
       extends Serializable {

@@ -74,6 +74,22 @@ object GraftExtensions {
         build(exprs)
       })
 
+  /** Like [[fn]] for a function with optional trailing arguments: any
+    * arity in [minArity, maxArity] passes through to the builder.
+    */
+  private def fnVar(name: String, usage: String, minArity: Int, maxArity: Int)(
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      info(name, usage),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length < minArity || exprs.length > maxArity)
+          throw new IllegalArgumentException(
+            s"$name expects $minArity to $maxArity argument(s) — $usage — got ${exprs.length}")
+        build(exprs)
+      })
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("smoke", "smoke(col) - ntile-20 percentile sketch", 1)(
       exprs => SmokeAggregate(exprs.head)),
@@ -145,10 +161,15 @@ object GraftExtensions {
         "non-interlaced): (width, height, color_type, n_px, sum_r, sum_g, " +
         "sum_b, sum_a, thumb_hex)", 1)(
       exprs => PngDecode(exprs.head)),
-    fn("bpe_encode",
-      "bpe_encode(text, 'x y,xy z,...') - real BPE segmentation with an " +
-        "inline merge table (pairs space-separated, comma-joined, applied " +
-        "in order, each to fixpoint): (n_words, n_tokens, segmented)", 2)(
+    fnVar("bpe_encode",
+      "bpe_encode(text, 'x y,xy z,...' [, ranked]) - real BPE segmentation " +
+        "with an inline merge table (pairs space-separated, comma-joined): " +
+        "(n_words, n_tokens, segmented). ranked=false (default) is the " +
+        "oracle-replayable apply (each rule in learned order, each to " +
+        "fixpoint — what the gates pin); ranked=true is the Sennrich " +
+        "priority apply, the PRODUCTION path at 16k-64k merges (per-word " +
+        "cost independent of table size; BpeSpec pins the two equal over " +
+        "corpus-trained tables up to 32k merges)", 2, 3)(
       exprs => BpeEncode(
         exprs.head,
         strArg(exprs(1), "merges").split(',').toSeq
@@ -157,7 +178,8 @@ object GraftExtensions {
             require(parts.length == 2 && parts.forall(_.nonEmpty),
               s"bpe_encode merge '$p' must be 'left right'")
             (parts(0), parts(1))
-          })),
+          },
+        ranked = exprs.lengthCompare(3) >= 0 && boolArg(exprs(2), "ranked"))),
     fn("platform_ln",
       "platform_ln(x) - natural log via the platform libm (oracle-parity " +
         "ln; Spark's log() is StrictMath)", 1)(

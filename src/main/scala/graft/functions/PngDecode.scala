@@ -38,9 +38,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * palette formula both sides share).
   *
   * Scope (anything else decodes to NULL, the header parsers' "unknown
-  * format" convention): 8-bit samples; color types 0 (grayscale),
-  * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — all five PNG
-  * defines at depth 8; interlace methods 0 (none) and 1 (Adam7 — the
+  * format" convention): 8-bit samples for all five color types —
+  * 0 (grayscale), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) —
+  * plus 16-bit samples for types 0/2/4/6 (the spec defines no 16-bit
+  * palette). The statistics model stays at 8-bit scale at every depth:
+  * 16-bit samples contribute their most-significant byte (see
+  * [[stats]]); filters apply at the byte level with the full
+  * bytes-per-pixel distance, per spec 9. Low bit depths (1/2/4) decode
+  * to null; interlace methods 0 (none) and 1 (Adam7 — the
   * seven spec-defined passes are unfiltered independently and scattered
   * back to image positions); compression 0 / filter method 0
   * (the only values PNG defines). Chunk ordering is ENFORCED where the
@@ -120,7 +125,7 @@ object PngDecode {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
-  /** Samples per pixel for the five depth-8 color types; -1 = unknown. */
+  /** Samples per pixel for the five color types; -1 = unknown. */
   private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // RGB
@@ -130,8 +135,9 @@ object PngDecode {
     case _ => -1
   }
 
-  /** Null on anything that is not a complete, CRC-clean, spec-ordered,
-    * non-interlaced 8-bit PNG of a supported color type.
+  /** Null on anything that is not a complete, CRC-clean, spec-ordered
+    * PNG within the documented scope (depths 8/16, all five color types
+    * at 8, types 0/2/4/6 at 16, interlace 0/1).
     */
   def decode(bytes: Array[Byte]): InternalRow = {
     // signature + at minimum IHDR(25) + IEND(12)
@@ -160,10 +166,15 @@ object PngDecode {
     val filterMethod = bytes(27) & 0xff
     val interlace = bytes(28) & 0xff
     val ch = channelsOf(colorType)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || ch < 0 ||
+    // depth 8 for all five color types; depth 16 for types 0/2/4/6
+    // (the spec does not define 16-bit palette indices, 11.2.2)
+    if (w <= 0 || h <= 0 || ch < 0 ||
+        !(bitDepth == 8 || (bitDepth == 16 && colorType != 3)) ||
         compression != 0 || filterMethod != 0 ||
         (interlace != 0 && interlace != 1)) return null
-    val stride = w.toLong * ch
+    val sw = bitDepth >> 3 // bytes per sample (big-endian at 16)
+    val bpp = ch * sw // filter distance: bytes per pixel (PNG spec 9)
+    val stride = w.toLong * bpp
     // interlace 1 (Adam7): the stream holds seven sub-images, each with
     // its own filter bytes; empty passes (zero width or height at this
     // geometry) contribute no scanlines at all (PNG spec 8.2)
@@ -174,7 +185,7 @@ object PngDecode {
         var p = 0
         while (p < 7) {
           val pw = passWidth(w, p); val ph = passHeight(h, p)
-          if (pw > 0 && ph > 0) t += ph.toLong * (1 + pw.toLong * ch)
+          if (pw > 0 && ph > 0) t += ph.toLong * (1 + pw.toLong * bpp)
           p += 1
         }
         t
@@ -218,11 +229,14 @@ object PngDecode {
           plteOff = pos + 8
           palCount = len / 3
         } else if (t0 == 't' && t1 == 'R' && t2 == 'N' && t3 == 'S') {
-          // type 3: alpha table, after PLTE, before IDAT, <= palette size
-          // (spec 11.3.2); types 4/6 forbid tRNS; types 0/2 use it as a
-          // transparency KEY — outside this kernel's statistics model
+          // type 3: NON-EMPTY alpha table, after PLTE, before IDAT,
+          // <= palette size (spec 11.3.2); types 4/6 forbid tRNS; types
+          // 0/2 use it as a transparency KEY — outside this kernel's
+          // statistics model. len == 0 is rejected like an empty PLTE:
+          // a degenerate empty tRNS would otherwise flag the image as
+          // alpha-bearing (sum_a = 255·n_px) where most decoders reject.
           if (colorType != 3 || plteOff < 0 || sawIdat ||
-              trnsOff >= 0 || len > palCount) return null
+              trnsOff >= 0 || len == 0 || len > palCount) return null
           trnsOff = pos + 8
           trnsLen = len
         }
@@ -278,15 +292,15 @@ object PngDecode {
 
     val istride = stride.toInt
     if (interlace == 0) {
-      if (!unfilter(raw, istride, ch, rowStride = 1 + istride, baseOff = 0, nRows = h))
+      if (!unfilter(raw, istride, bpp, rowStride = 1 + istride, baseOff = 0, nRows = h))
         return null
-      stats(bytes, raw, w, h, colorType, ch,
+      stats(bytes, raw, w, h, colorType, ch, sw,
         rowStride = 1 + istride, firstOffset = 1,
         plteOff, palCount, trnsOff, trnsLen)
     } else {
-      val flat = deinterlace(raw, w, h, ch)
+      val flat = deinterlace(raw, w, h, bpp)
       if (flat == null) return null
-      stats(bytes, flat, w, h, colorType, ch,
+      stats(bytes, flat, w, h, colorType, ch, sw,
         rowStride = istride, firstOffset = 0,
         plteOff, palCount, trnsOff, trnsLen)
     }
@@ -309,16 +323,16 @@ object PngDecode {
     * pixels to final image positions. Returns the flat w·h·ch sample
     * raster, or null on an undefined filter byte.
     */
-  private def deinterlace(raw: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
-    val flat = new Array[Byte](w * h * ch)
+  private def deinterlace(raw: Array[Byte], w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val flat = new Array[Byte](w * h * bpp)
     var base = 0
     var p = 0
     while (p < 7) {
       val pw = passWidth(w, p); val ph = passHeight(h, p)
       if (pw > 0 && ph > 0) {
-        val pstride = pw * ch
+        val pstride = pw * bpp
         val rowBytes = 1 + pstride
-        if (!unfilter(raw, pstride, ch, rowStride = rowBytes, baseOff = base, nRows = ph))
+        if (!unfilter(raw, pstride, bpp, rowStride = rowBytes, baseOff = base, nRows = ph))
           return null
         var j = 0
         while (j < ph) {
@@ -328,9 +342,9 @@ object PngDecode {
           while (i < pw) {
             val x = PassX0(p) + i * PassDx(p)
             var c = 0
-            val s = src + i * ch
-            val d = (y * w + x) * ch
-            while (c < ch) { flat(d + c) = raw(s + c); c += 1 }
+            val s = src + i * bpp
+            val d = (y * w + x) * bpp
+            while (c < bpp) { flat(d + c) = raw(s + c); c += 1 }
             i += 1
           }
           j += 1
@@ -343,12 +357,13 @@ object PngDecode {
   }
 
   /** Unfilter `nRows` scanlines in place (PNG spec 9: filters apply to
-    * bytes, with `ch` as the pixel-offset distance). Rows live at
+    * bytes, with `bpp` — bytes per COMPLETE pixel, so 2·channels at
+    * depth 16 — as the left-pixel distance). Rows live at
     * `baseOff + row*rowStride`, each 1 filter byte + `istride` data
     * bytes. False on an undefined filter type.
     */
   private def unfilter(
-      raw: Array[Byte], istride: Int, ch: Int,
+      raw: Array[Byte], istride: Int, bpp: Int,
       rowStride: Int, baseOff: Int, nRows: Int): Boolean = {
     var row = 0
     while (row < nRows) {
@@ -358,9 +373,9 @@ object PngDecode {
       filter match {
         case 0 => // None
         case 1 => // Sub: add left
-          var x = ch
+          var x = bpp
           while (x < istride) {
-            raw(base + x) = (raw(base + x) + raw(base + x - ch)).toByte
+            raw(base + x) = (raw(base + x) + raw(base + x - bpp)).toByte
             x += 1
           }
         case 2 => // Up: add above
@@ -374,7 +389,7 @@ object PngDecode {
         case 3 => // Average: add floor((left + above)/2)
           var x = 0
           while (x < istride) {
-            val left = if (x >= ch) raw(base + x - ch) & 0xff else 0
+            val left = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
             val above = if (row > 0) raw(prev + x) & 0xff else 0
             raw(base + x) = (raw(base + x) + ((left + above) >> 1)).toByte
             x += 1
@@ -382,9 +397,9 @@ object PngDecode {
         case 4 => // Paeth
           var x = 0
           while (x < istride) {
-            val a = if (x >= ch) raw(base + x - ch) & 0xff else 0
+            val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
             val b = if (row > 0) raw(prev + x) & 0xff else 0
-            val c = if (row > 0 && x >= ch) raw(prev + x - ch) & 0xff else 0
+            val c = if (row > 0 && x >= bpp) raw(prev + x - bpp) & 0xff else 0
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
@@ -402,38 +417,48 @@ object PngDecode {
     * channels. Row `row`'s samples start at `row*rowStride + firstOffset`
     * (filter-byte layouts pass firstOffset 1; flat layouts 0). Null on a
     * palette index past PLTE (spec 11.2.3: an error, not clamped).
+    *
+    * `sw` is bytes per sample (1 at depth 8, 2 at depth 16). The output
+    * model is FIXED at 8-bit scale regardless of depth — 16-bit samples
+    * contribute their MOST-SIGNIFICANT byte (big-endian first byte; the
+    * msb reduction, bit-exact for any v = x·257, i.e. every 8→16
+    * upscaled value), so sums and the thumb mean the same thing for
+    * every depth the kernel accepts and the schema needs no depth
+    * column. The low byte still participates in unfiltering (filters
+    * act on BYTES), so a wrong low byte corrupts downstream msbs too.
     */
   private def stats(
       bytes: Array[Byte], raw: Array[Byte], w: Int, h: Int,
-      colorType: Int, ch: Int, rowStride: Int, firstOffset: Int,
+      colorType: Int, ch: Int, sw: Int, rowStride: Int, firstOffset: Int,
       plteOff: Int, palCount: Int, trnsOff: Int, trnsLen: Int): InternalRow = {
     var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
     val hasAlpha = colorType == 4 || colorType == 6 ||
       (colorType == 3 && trnsOff >= 0)
+    val bpp = ch * sw
     var row = 0
     colorType match {
       case 2 | 6 =>
         while (row < h) {
           var p = row * rowStride + firstOffset
-          val rowEnd = p + w * ch
+          val rowEnd = p + w * bpp
           while (p < rowEnd) {
             sr += raw(p) & 0xff
-            sg += raw(p + 1) & 0xff
-            sb += raw(p + 2) & 0xff
-            if (ch == 4) sa += raw(p + 3) & 0xff
-            p += ch
+            sg += raw(p + sw) & 0xff
+            sb += raw(p + 2 * sw) & 0xff
+            if (ch == 4) sa += raw(p + 3 * sw) & 0xff
+            p += bpp
           }
           row += 1
         }
       case 0 | 4 =>
         while (row < h) {
           var p = row * rowStride + firstOffset
-          val rowEnd = p + w * ch
+          val rowEnd = p + w * bpp
           while (p < rowEnd) {
             val g = raw(p) & 0xff
             sr += g; sg += g; sb += g
-            if (ch == 2) sa += raw(p + 1) & 0xff
-            p += ch
+            if (ch == 2) sa += raw(p + sw) & 0xff
+            p += bpp
           }
           row += 1
         }
@@ -462,12 +487,12 @@ object PngDecode {
       while (tx < 2) {
         val r = (ty * h) / 2
         val c = (tx * w) / 2
-        val off = r * rowStride + firstOffset + ch * c
+        val off = r * rowStride + firstOffset + bpp * c
         colorType match {
           case 2 | 6 =>
             var k = 0
             while (k < 3) {
-              hex2(sbuf, raw(off + k) & 0xff)
+              hex2(sbuf, raw(off + k * sw) & 0xff)
               k += 1
             }
           case 0 | 4 =>

@@ -127,13 +127,16 @@ object Bpe {
     * when nothing applies.
     *
     * Semantics vs [[encodeWord]] (the oracle-replayable form): identical
-    * except when a later rule's merge CREATES an occurrence of an
-    * earlier rule's pair that the replay pass has already moved past —
-    * only reachable through self-overlap chains (e.g. rule1 (aa,b),
-    * rule2 (a,a) — an order no corpus-trained table produces, since a
-    * rule's constituent tokens always come from EARLIER rules).
-    * BpeSpec pins the divergence set EMPTY over the real corpus
-    * vocabulary; gates stay on the replay form.
+    * except on self-overlap chains — a run of one letter long enough
+    * that the table holds BOTH (x,x) and a later chain rule over its
+    * product ((xx,x), (xx,xx), …), where the two applies group the run
+    * differently. At gate scale (<= 64 merges, real corpus) BpeSpec pins
+    * the divergence set EMPTY; at PRODUCTION depth the class is
+    * reachable — a 32k-merge table trained on the ~58k-word Zipf corpus
+    * diverges on exactly ONE word (a 5-run of 'a'; BpeSpec pins the set
+    * to that word and the class shape). Gates stay on the replay form;
+    * token COUNTS typically agree even where grouping differs (the r15
+    * ProfScale parity held on this same corpus).
     */
   def encodeWordRanked(
       word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {

@@ -17,41 +17,58 @@ package graft.serve
   * Memory: at most `parallelism + 1` encoded frames in flight (each a
   * compressed ~10k-row chunk). Failure: the original exception from the
   * encode function rethrows on the consuming thread at the failed
-  * chunk's position, like a serial drain. The pool is per-call and
-  * daemon, shut down when the iterator is exhausted or the consumer
-  * abandons it; an unconsumed tail leaves only daemon threads blocked
-  * on a bounded queue (no leak — they die with the JVM, and the
-  * upstream pump's own abandon timeout reclaims the Spark side).
+  * chunk's position, like a serial drain. The pool is per-call; the
+  * iterator is [[AutoCloseable]] and the consumer MUST close it in a
+  * finally when it may abandon the stream mid-drain (client disconnect)
+  * — close() reaps the pool immediately. As a second line of defence the
+  * pool's core threads time out after 30 s idle, so even an un-closed
+  * abandoned pipeline self-reaps instead of accumulating daemon threads
+  * under client churn in a long-running server.
   */
 object EncodePipeline {
 
   /** `it.map(f)` with `f` evaluated `parallelism`-wide, results in input
     * order. `parallelism <= 1` degrades to a plain serial map (the A/B's
-    * off arm and the conservative default for tiny results).
+    * off arm and the conservative default for tiny results). Always
+    * close() in a finally — a no-op after exhaustion or failure, the
+    * only reclaim path after mid-stream abandonment.
     */
-  def mapOrdered[A, B](it: Iterator[A], parallelism: Int)(f: A => B): Iterator[B] = {
-    if (parallelism <= 1) it.map(f)
-    else new Iterator[B] {
-      private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        parallelism,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-encode-pool")
-          t.setDaemon(true)
-          t
-        })
+  def mapOrdered[A, B](it: Iterator[A], parallelism: Int)(f: A => B): Iterator[B] with AutoCloseable = {
+    if (parallelism <= 1) new Iterator[B] with AutoCloseable {
+      private val m = it.map(f)
+      def hasNext: Boolean = m.hasNext
+      def next(): B = m.next()
+      def close(): Unit = ()
+    }
+    else new Iterator[B] with AutoCloseable {
+      private val pool = {
+        val p = new java.util.concurrent.ThreadPoolExecutor(
+          parallelism, parallelism, 30L, java.util.concurrent.TimeUnit.SECONDS,
+          new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-encode-pool")
+            t.setDaemon(true)
+            t
+          })
+        p.allowCoreThreadTimeOut(true) // abandoned-without-close self-reap
+        p
+      }
       private val inFlight =
         new java.util.ArrayDeque[java.util.concurrent.Future[B]](parallelism + 1)
       private var shut = false
 
-      private def fill(): Unit =
+      private def fill(): Unit = {
+        if (shut) return // a closed pipeline reports exhaustion, never resubmits
         while (inFlight.size() <= parallelism && it.hasNext) {
           val a = it.next()
           inFlight.addLast(pool.submit(() => f(a)))
         }
+      }
 
       private def shutdown(): Unit = if (!shut) { shut = true; pool.shutdown() }
 
       def hasNext: Boolean = {
+        if (shut) return false
         fill()
         val more = !inFlight.isEmpty
         if (!more) shutdown()
@@ -66,6 +83,12 @@ object EncodePipeline {
             shutdown()
             throw e.getCause // the original encode failure, serial-drain style
         }
+      }
+
+      def close(): Unit = {
+        shut = true
+        inFlight.clear()
+        pool.shutdownNow() // queued tasks dropped; running encodes finish and the threads exit
       }
     }
   }

@@ -269,7 +269,7 @@ final class WireServer(
             // values are exactly the serial drain's
             val encPool = service.spark.conf
               .get("spark.graft.serve.encodepool", "4").toInt
-            EncodePipeline.mapOrdered(chunks, encPool) { c =>
+            val enc = EncodePipeline.mapOrdered(chunks, encPool) { c =>
               var mx = Long.MinValue
               if (c.rows.nonEmpty) {
                 // one schema per chunk — resolve the index once, not per row
@@ -279,11 +279,15 @@ final class WireServer(
                 }
               }
               (c.label, mx, historyBody(c, arrow, codec))
-            }.foreach { case (label, mx, frame) =>
+            }
+            // close() in finally: if out.write throws on a client
+            // disconnect mid-backfill, the encode pool is reaped here
+            // instead of leaking `encPool` idle threads per aborted drain
+            try enc.foreach { case (label, mx, frame) =>
               if (mx != Long.MinValue)
                 lastHist(label) = math.max(lastHist.getOrElse(label, Long.MinValue), mx)
               out.synchronized { out.write(frame); out.flush() }
-            }
+            } finally enc.close()
             // markers registered BEFORE the ack: once the client sees the
             // ack, batch commits are guaranteed to reach it. With a live
             // relay present the frames ride it — buffered until finish(),
@@ -618,7 +622,7 @@ private[serve] final class LiveRelay(
   * exactly, like the reference's pickle ints; fractional numbers surface
   * as Double. Convert with `asLong`.
   */
-private[serve] object JsonMini {
+private[graft] object JsonMini {
 
   /** Integral JSON numbers parse as Long, fractional as Double. */
   def asLong(v: Any): Long = v match {

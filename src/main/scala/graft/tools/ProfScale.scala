@@ -669,50 +669,9 @@ object ProfScale {
         // trainer, and A/Bs the ranked (Sennrich priority) encode
         // against the replay (oracle-twin) encode at that table size.
         import org.apache.spark.sql.functions.col
-        val vocabN = 60000
-        val rng = new scala.util.Random(7)
-        val letters = "aaaabbbccdeefgghiiklmmnnoooprrssttuuvwyz"
-        val vocab: Array[String] = Array.fill(vocabN) {
-          val len = 3 + rng.nextInt(9)
-          (0 until len).map(_ => letters(rng.nextInt(letters.length))).mkString
-        }
-        // Zipf cumulative weights for rank-biased sampling
-        val cum = new Array[Double](vocabN)
-        var acc = 0.0
-        var vi = 0
-        while (vi < vocabN) { acc += 1.0 / (vi + 1); cum(vi) = acc; vi += 1 }
-        val total = acc
-        val bVocab = spark.sparkContext.broadcast(vocab)
-        val bCum = spark.sparkContext.broadcast(cum)
-        val nDocs = 50000
-        val wordsPerDoc = 120
-        import spark.implicits._
-        val pseudo = spark.range(nDocs).as[Long].mapPartitions { ids =>
-          val v = bVocab.value; val c = bCum.value
-          ids.map { id =>
-            val sb = new java.lang.StringBuilder(wordsPerDoc * 9)
-            var i = 0
-            while (i < wordsPerDoc) {
-              // deterministic per (doc, pos), murmur-finalized (a plain
-              // linear combination has no avalanche — every u landed
-              // under cum(0) and the corpus degenerated to ONE word)
-              var h = id * 1315423911L ^ (i * 2654435761L)
-              h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-              h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-              h ^= h >>> 33
-              val u = ((h >>> 9).toDouble / (1L << 55)) * total
-              var lo = 0; var hi = c.length - 1
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (c(mid) < u) lo = mid + 1 else hi = mid
-              }
-              if (i > 0) sb.append(' ')
-              sb.append(v(lo))
-              i += 1
-            }
-            (id, sb.toString)
-          }
-        }.toDF("doc_id", "text").localCheckpoint()
+        // shared with BpeSpec's production-scale divergence pin — both
+        // run on the same corpus definition (ZipfCorpus scaladoc)
+        val pseudo = ZipfCorpus.build(spark)
         val nP = pseudo.count()
         val distinctWords = pseudo
           .select(org.apache.spark.sql.functions.explode(
@@ -1010,7 +969,6 @@ object ProfScale {
             "doc_id", "source", "m", q = 0.9)
           val kept = out.count()
           require(kept >= n / 20 && kept <= n / 5, s"kept $kept of $n (expected ~10%)")
-          kept
         }
         println(f"PROFSCALE pergroup quantile on 90%%-hot corpus: ok ($tQg%.2f s)")
 

@@ -175,6 +175,115 @@ class BpeSpec extends SparkSpec {
     assert(replay.exceptAll(ranked).isEmpty && ranked.exceptAll(replay).isEmpty)
   }
 
+  test("PRODUCTION SCALE: 32k-merge divergence is EXACTLY the self-overlap class (~1 in 58k words)") {
+    // the r15 ProfScale bpeprod arm measured the two forms' throughput on
+    // this corpus (shared builder: ZipfCorpus); this pin checks their
+    // EQUALITY at the same scale — and finds the honest result: at 32k
+    // merges a corpus-trained table DOES produce chain orders (e.g.
+    // (a,a) early, (aa,a)/(aa,aa) later), so the documented self-overlap
+    // divergence class is REACHABLE at production depth — measured ONE
+    // word in ~58k ("hguaaaaano", via its "aaaaa" run) — unlike at gate
+    // scale (<= 64 merges, pinned EMPTY above). This test pins the
+    // divergence set to exactly that class and that order of magnitude,
+    // and proves each divergent word diverges under the PLAIN replay too
+    // (ruling out the indexed-replay shortcut as the cause).
+    //
+    // Checking 58k words × 32k-rule plain replay is O(words·merges) —
+    // minutes. An INDEXED replay is exactly equivalent: tokens are always
+    // contiguous substrings of the original word, so a rule (x, y) can
+    // only ever fire when x+y occurs as a substring — every other rule's
+    // applyRule is the identity and can be skipped. Candidate rules are
+    // applied in learned order, each to fixpoint, like the plain form.
+    def substrings(w: String): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](w.length * w.length)
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= w.length) { s.add(w.substring(i, j)); j += 1 }
+        i += 1
+      }
+      s
+    }
+    def replayIndexed(w: String, merges: IndexedSeq[(String, String)],
+        byXy: java.util.HashMap[String, List[Int]]): Seq[String] = {
+      val subs = substrings(w)
+      val cand = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = subs.iterator()
+      while (it.hasNext) {
+        val rs = byXy.get(it.next())
+        if (rs != null) cand ++= rs
+      }
+      val order = cand.toArray
+      java.util.Arrays.sort(order)
+      var t: Array[String] = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+      var k = 0
+      while (k < order.length) {
+        val (x, y) = merges(order(k))
+        t = Bpe.applyRule(t, x, y)
+        k += 1
+      }
+      t.toSeq
+    }
+    def xyIndex(merges: Seq[(String, String)]): java.util.HashMap[String, List[Int]] = {
+      val m = new java.util.HashMap[String, List[Int]](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((x, y), i) =>
+        val k = x + y
+        val prev = m.get(k)
+        m.put(k, if (prev == null) List(i) else prev :+ i)
+      }
+      m
+    }
+    // trust chain, step 1: indexed replay == plain replay on a corpus
+    // where the plain form is affordable (real sf0.01 vocab + its table)
+    val docs = graft.core.Tables.documents(spark, sf("sf0.01"))
+    val smallMerges = Bpe.trainMerges(docs, "text", vocabCap = 2048, maxMerges = 64)
+    val smallWords = docs.select(explode(Bpe.wordsCol(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    val smallIdx = xyIndex(smallMerges)
+    val smallVec = smallMerges.toIndexedSeq
+    smallWords.foreach { w =>
+      assert(replayIndexed(w, smallVec, smallIdx) === Bpe.encodeWord(w, smallMerges).toSeq,
+        s"indexed replay diverged from plain replay on '$w'")
+    }
+    // step 2: the production corpus — train 32k merges with the indexed
+    // trainer, then divergence(replay, ranked) over every distinct word
+    val pseudo = graft.tools.ZipfCorpus.build(spark)
+    val merges = Bpe.trainMergesIndexed(pseudo, "text",
+      vocabCap = 49152, maxMerges = 32768, minPairCount = 2L)
+    assert(merges.length > 16384, s"trained only ${merges.length} merges")
+    val words = pseudo.select(explode(Bpe.wordsCol(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    assert(words.length > 50000, s"corpus sanity: ${words.length} distinct words")
+    val mergesVec = merges.toIndexedSeq
+    val byXy = xyIndex(merges)
+    val ranks = Bpe.rankTable(merges)
+    val divergent = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    java.util.Arrays.stream(words).parallel().forEach { w =>
+      if (replayIndexed(w, mergesVec, byXy) != Bpe.encodeWordRanked(w, ranks).toSeq)
+        divergent.add(w)
+    }
+    val div = divergent.toArray(new Array[String](0))
+    // the divergence RATE stays negligible (the production-path contract:
+    // ranked is true Sennrich; replay exists for SQL-oracle parity)
+    assert(div.length <= words.length / 1000,
+      s"divergence rate blew up: ${div.length} of ${words.length}")
+    div.foreach { w =>
+      // every divergent word carries a self-overlap chain (a run of >= 4
+      // of one letter — the only shape that exposes (x,x)+(xx,·) orders)
+      assert("([a-z])\\1{3,}".r.findFirstIn(w).isDefined,
+        s"divergent word '$w' is outside the self-overlap class")
+      // and the PLAIN replay diverges identically — the indexed replay
+      // shortcut is not the cause (affordable: |div| words, not 58k)
+      assert(Bpe.encodeWord(w, merges).toSeq === replayIndexed(w, mergesVec, byXy),
+        s"indexed replay diverged from plain replay on '$w'")
+    }
+    // the corpus regime is stable: this exact corpus + trainer yields
+    // exactly one divergent word; a generator or trainer change that
+    // shifts the set shows up here as a loud diff, not silence
+    assert(div.toSeq === Seq("hguaaaaano"),
+      s"divergence set changed: ${div.toSeq.take(10)}")
+  }
+
   test("BpeEncode expression: counts, segmentation md5 stability, edges") {
     val merges = Seq(("t", "h"), ("th", "e"))
     val df = Seq(
@@ -210,6 +319,16 @@ class BpeSpec extends SparkSpec {
       spark.sql("SELECT bpe_encode('x', 'abc')").head()
     }
     assert(e.getMessage.contains("must be 'left right'"))
+    // optional third arg selects the ranked (production) apply; on a
+    // corpus-shaped table the two forms agree (the divergence pins above)
+    val rr = spark.sql("SELECT bpe_encode('the theme', 't h, th e', true) AS b")
+      .head().getStruct(0)
+    assert((rr.getLong(0), rr.getLong(1), rr.getString(2)) ===
+      ((2L, 4L, "the the m e")))
+    val eb = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('x', 't h', 'yes')").head()
+    }
+    assert(eb.getMessage.contains("boolean literal"))
   }
 
   test("BpeEncode runs statelessly on a STREAM, identical to batch") {

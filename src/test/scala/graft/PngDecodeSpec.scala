@@ -101,7 +101,10 @@ class PngDecodeSpec extends SparkSpec {
   private def buildPngTyped(
       w: Int, h: Int, colorType: Int, channels: Int, raster: Array[Byte],
       filters: Seq[Int], plte: Option[Array[Byte]] = None,
-      trns: Option[Array[Byte]] = None): Array[Byte] = {
+      trns: Option[Array[Byte]] = None, bitDepth: Int = 8): Array[Byte] = {
+    // `channels` is the BYTE distance filters use — callers pass
+    // samples·bytesPerSample (so ch·2 at depth 16), and `raster` is the
+    // already-byte-serialized scanline data (big-endian at depth 16)
     val stride = w * channels
     val filtered = new Array[Byte](h * (1 + stride))
     def paeth(a: Int, b: Int, c: Int): Int = {
@@ -134,7 +137,7 @@ class PngDecodeSpec extends SparkSpec {
     val n = deflater.deflate(buf)
     deflater.end()
     val z = java.util.Arrays.copyOf(buf, n)
-    sig ++ ihdr(w, h, colorType = colorType) ++
+    sig ++ ihdr(w, h, bitDepth = bitDepth, colorType = colorType) ++
       plte.map(p => chunk("PLTE", p)).getOrElse(Array.empty[Byte]) ++
       trns.map(t => chunk("tRNS", t)).getOrElse(Array.empty[Byte]) ++
       chunk("IDAT", z) ++ chunk("IEND", Array.empty)
@@ -389,6 +392,11 @@ class PngDecodeSpec extends SparkSpec {
     val longTrns = good.take(8 + 25 + 12 + plte.length) ++
       chunk("tRNS", Array[Byte](1, 2, 3, 4, 5)) ++ good.drop(8 + 25 + 12 + plte.length)
     assert(decode(longTrns).isEmpty)
+    // a zero-length tRNS is degenerate (would flip sum_a from null to
+    // 255·n_px); rejected like an empty PLTE
+    val emptyTrns = good.take(8 + 25 + 12 + plte.length) ++
+      chunk("tRNS", Array.empty[Byte]) ++ good.drop(8 + 25 + 12 + plte.length)
+    assert(decode(emptyTrns).isEmpty)
     // a second PLTE
     val doublePlte = good.take(8 + 25) ++ chunk("PLTE", plte) ++ good.drop(8 + 25)
     assert(decode(doublePlte).isEmpty)
@@ -576,6 +584,81 @@ class PngDecodeSpec extends SparkSpec {
       val b = decode(plain).get
       assert(a.toSeq === b.toSeq, s"variant $variant")
     }
+  }
+
+  test("16-bit channel depth: msb sums across types 0/2/4/6, every filter, ImageIO cross-check") {
+    val w = 5; val h = 4
+    // deterministic 16-bit samples exercising BOTH bytes
+    def raster16(n: Int): Array[Int] = Array.tabulate(n)(i => (i * 26541 + 997) & 0xffff)
+    def toBytes(v: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](v.length * 2)
+      var i = 0
+      while (i < v.length) {
+        out(2 * i) = (v(i) >>> 8).toByte; out(2 * i + 1) = v(i).toByte; i += 1
+      }
+      out
+    }
+    // msb sum of every ch-th sample starting at k — the kernel's defined
+    // 16->8 reduction, recomputed positionally from the sample values
+    def msum(vals: Array[Int], ch: Int, k: Int): Long = {
+      var s = 0L; var i = k
+      while (i < vals.length) { s += vals(i) >>> 8; i += ch }
+      s
+    }
+    // type 2 (RGB): per-channel msb sums, every filter type (filters act
+    // on BYTES at distance bpp=6 — the low bytes participate)
+    val rgb = raster16(w * h * 3)
+    for (f <- 0 to 4) {
+      val d = decode(buildPngTyped(w, h, 2, 6, toBytes(rgb), Seq(f), bitDepth = 16))
+        .getOrElse(fail(s"16-bit RGB filter $f: null"))
+      assert((d.getInt(0), d.getInt(1), d.getInt(2)) === ((w, h, 2)), s"filter $f")
+      assert((d.getLong(4), d.getLong(5), d.getLong(6)) ===
+        ((msum(rgb, 3, 0), msum(rgb, 3, 1), msum(rgb, 3, 2))), s"filter $f")
+      assert(d.isNullAt(7), s"filter $f: 16-bit RGB must have null sum_a")
+    }
+    // thumb: msbs at the defined 2x2 grid
+    val d2 = decode(buildPngTyped(w, h, 2, 6, toBytes(rgb), Seq(4), bitDepth = 16)).get
+    val expThumb = (for (ty <- 0 to 1; tx <- 0 to 1) yield {
+      val r = (ty * h) / 2; val c = (tx * w) / 2
+      (0 to 2).map(k => f"${rgb((r * w + c) * 3 + k) >>> 8}%02x").mkString
+    }).mkString
+    assert(d2.getString(8) === expThumb)
+    // type 6 (RGBA): alpha msb sum rides sum_a
+    val rgba = raster16(w * h * 4)
+    val d6 = decode(buildPngTyped(w, h, 6, 8, toBytes(rgba), Seq(1, 3), bitDepth = 16)).get
+    assert((d6.getLong(4), d6.getLong(7)) === ((msum(rgba, 4, 0), msum(rgba, 4, 3))))
+    // type 0 (gray): gray msb expands onto all three of r/g/b
+    val gray = raster16(w * h)
+    val d0 = decode(buildPngTyped(w, h, 0, 2, toBytes(gray), Seq(2), bitDepth = 16)).get
+    val gsum = msum(gray, 1, 0)
+    assert((d0.getLong(4), d0.getLong(5), d0.getLong(6)) === ((gsum, gsum, gsum)))
+    assert(d0.isNullAt(7))
+    // type 4 (gray+alpha)
+    val ga = raster16(w * h * 2)
+    val d4 = decode(buildPngTyped(w, h, 4, 4, toBytes(ga), Seq(4), bitDepth = 16)).get
+    assert((d4.getLong(4), d4.getLong(7)) === ((msum(ga, 2, 0), msum(ga, 2, 1))))
+    // 16-bit palette is undefined by the spec (11.2.2): rejects
+    val idx = Array.tabulate(w * h * 2)(i => (i % 3).toByte)
+    val plte = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    assert(decode(buildPngTyped(w, h, 3, 2, idx, Seq(0),
+      plte = Some(plte), bitDepth = 16)).isEmpty)
+    // geometry lie: an 8-bit-sized stream under a 16-bit header (the
+    // inflated length is half what the header claims)
+    val rgb8 = Array.tabulate(w * h * 3)(i => ((i * 31 + 5) % 256).toByte)
+    assert(decode(buildPngTyped(w, h, 2, 3, rgb8, Seq(0), bitDepth = 16)).isEmpty)
+    // independent cross-check: javax.imageio writes TYPE_USHORT_GRAY as a
+    // 16-bit grayscale PNG — same samples, its own encoder
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val wr = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) wr.setSample(x, y, 0, gray(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val p = bos.toByteArray
+    assert((p(24) & 0xff) === 16, "ImageIO must write depth 16 for USHORT_GRAY")
+    val di = decode(p).getOrElse(fail("ImageIO 16-bit gray decoded to null"))
+    assert((di.getInt(0), di.getInt(1), di.getInt(2)) === ((w, h, 0)))
+    assert((di.getLong(4), di.getLong(5), di.getLong(6)) === ((gsum, gsum, gsum)))
   }
 
   test("mediaTablePngPalette: variant/bad row mix decodes as declared") {
