@@ -52,6 +52,32 @@ object Prefetch {
   private[serve] val QueueChunks = 4
   private[serve] val AbandonTimeoutSec = 900L
 
+  /** Partition-window width for the pump's fetch stage (config
+    * `spark.graft.serve.pump.window`). `toLocalIterator` runs ONE Spark
+    * job per result partition, strictly serially — and on a sorted
+    * history result each of those jobs re-runs that partition's
+    * reduce-side shuffle read + sort on a single task thread, so the
+    * drain's floor is serialized reduce compute, not bytes (ProfScale
+    * `pumpfloor` at sf10: 12.6 s of a 16.7 s chunk drain is the serial
+    * partition-job stream; distributed compute is 3.7 s). With window
+    * k > 1 the pump fetches k partitions CONCURRENTLY (one runJob per
+    * pool thread, EncodePipeline-ordered) and emits them in partition
+    * order — which IS row order, because a global sort range-partitions:
+    * every row of partition i precedes every row of partition i+1.
+    * Output is row-identical to the serial drain (spec-pinned).
+    *
+    * Memory: at most window+1 partition results held on the driver
+    * (vs 1 for toLocalIterator) — size partitions accordingly at scale
+    * (spark.sql.shuffle.partitions already governs this).
+    *
+    * The r12 runJob trap does not apply: that pump java-serialized
+    * GenericRow arrays through the task-result channel (1.5× SLOWER);
+    * this one ships UnsafeRow copies (Externalizable raw bytes) and
+    * converts to external Rows on the pool thread after transfer, with
+    * the exact toLocalIterator deserializer (RowEncoder) for parity.
+    */
+  private[serve] val DefaultPumpWindow = 4
+
   private case object End
   private final case class Err(t: Throwable)
 
@@ -75,12 +101,26 @@ object Prefetch {
             s"prefetch consumer idle > ${AbandonTimeoutSec}s — abandoning pump")
     }
 
+    val window = df.sparkSession.conf
+      .get("spark.graft.serve.pump.window", DefaultPumpWindow.toString).toInt
+
     val pump = new Thread(() => {
+      var fetched: Iterator[Row] with AutoCloseable = null
       try {
         jobGroup.foreach { case (g, d) =>
           sc.setJobGroup(g, d, interruptOnCancel = true)
         }
-        val it = df.toLocalIterator()
+        val it: Iterator[Row] =
+          if (window <= 1) {
+            val j = df.toLocalIterator()
+            new Iterator[Row] {
+              def hasNext: Boolean = j.hasNext
+              def next(): Row = j.next()
+            }
+          } else {
+            fetched = windowedRows(df, window, jobGroup)
+            fetched
+          }
         val buf = new scala.collection.mutable.ArrayBuffer[Row](ChunkRows)
         while (it.hasNext) {
           buf += it.next()
@@ -102,6 +142,10 @@ object Prefetch {
           // best effort: a full queue with a dead consumer drops the
           // marker after the deadline, which is fine — nobody is reading
           try putOrAbandon(Err(t)) catch { case _: IllegalStateException => () }
+      } finally {
+        // reap the windowed fetch pool on every exit path (abandon,
+        // failure, normal end); a no-op after exhaustion
+        if (fetched != null) fetched.close()
       }
     }, "graft-history-prefetch")
     pump.setDaemon(true)
@@ -143,6 +187,62 @@ object Prefetch {
         pos += 1
         r
       }
+    }
+  }
+
+  /** Rows of `df` in result order, partitions fetched `window`-wide
+    * (see [[DefaultPumpWindow]] for why and for the ordering argument).
+    * Each pool call runs ONE single-partition job that collects UnsafeRow
+    * copies (compact Externalizable transfer) and converts them with the
+    * RowEncoder deserializer — the same conversion `toLocalIterator`
+    * applies, instantiated per call because the generated projection is
+    * not thread-safe (codegen cache makes re-creation cheap).
+    *
+    * Runs on the pump thread; `close()` reaps the fetch pool. In-flight
+    * single-partition jobs run to completion after close (at most
+    * `window`), and remain cancellable through the caller's job group —
+    * each pool thread tags itself before submitting.
+    */
+  private def windowedRows(
+      df: DataFrame, window: Int,
+      jobGroup: Option[(String, String)]): Iterator[Row] with AutoCloseable = {
+    val sc = df.sparkSession.sparkContext
+    val internal = df.queryExecution.toRdd
+    val n = internal.getNumPartitions
+    val schema = df.schema
+    val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+      .resolveAndBind()
+    val parts = EncodePipeline.mapOrdered((0 until n).iterator, window) { p =>
+      jobGroup.foreach { case (g, d) =>
+        sc.setJobGroup(g, d, interruptOnCancel = true)
+      }
+      val raw = sc.runJob(
+        internal,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.catalyst.InternalRow]
+          while (it.hasNext) buf += it.next().copy()
+          buf.toArray
+        },
+        Seq(p)).head
+      val fromRow = encoder.createDeserializer()
+      raw.map(fromRow): Array[Row]
+    }
+    new Iterator[Row] with AutoCloseable {
+      private var cur: Array[Row] = null
+      private var pos = 0
+      def hasNext: Boolean = {
+        while ((cur == null || pos >= cur.length) && parts.hasNext) {
+          cur = parts.next(); pos = 0
+        }
+        cur != null && pos < cur.length
+      }
+      def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = cur(pos); pos += 1; r
+      }
+      def close(): Unit = parts.close()
     }
   }
 }

@@ -396,10 +396,13 @@ final class Service(
       name, throw new NoSuchElementException(s"unknown collection: $name"))
 
   /** Chunk a labeled result into HistoryChunks: rows stream out via the
-    * one-ahead prefetch pump ([[Prefetch.rows]] — the named-cursor
-    * replacement, dbselect.py:64-76, with partition i+1 computing while
-    * partition i serializes; `spark.graft.serve.prefetch=false` falls
-    * back to plain toLocalIterator), flushed per label every
+    * prefetch pump ([[Prefetch.rows]] — the named-cursor replacement,
+    * dbselect.py:64-76), which fetches result partitions
+    * `spark.graft.serve.pump.window`-wide (default 4) with ordered
+    * emission while the drain encodes — toLocalIterator's serial
+    * per-partition job stream was the measured drain floor at sf10
+    * (ProfScale `pumpfloor`); `spark.graft.serve.prefetch=false` falls
+    * back to plain toLocalIterator. Rows are flushed per label every
     * HistoryChunkRows with `more=true` between flushes; each chunk
     * carries the label's inferred frequency (W3).
     *

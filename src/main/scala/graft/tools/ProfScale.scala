@@ -917,6 +917,102 @@ object ProfScale {
         println(f"PROFSCALE pump_backfill_encpool4          $tE4%8.2f s  ($fE4 frames)")
         require(fE1 == fE4, s"frame counts differ: $fE1 vs $fE4")
         println(f"PROFSCALE encpool_speedup                 ${tE1 / tE4}%8.2fx")
+        // windowed partition fetch A/B on the full e2e drain (encode pool
+        // at its default): serial toLocalIterator vs 4 concurrent
+        // single-partition jobs with ordered emission
+        spark.conf.set("spark.graft.serve.pump.window", "1")
+        val (tW1, fW1) = backfill()
+        println(f"PROFSCALE pump_backfill_window1           $tW1%8.2f s  ($fW1 frames)")
+        spark.conf.set("spark.graft.serve.pump.window", "4")
+        val (tW4, fW4) = backfill()
+        println(f"PROFSCALE pump_backfill_window4           $tW4%8.2f s  ($fW4 frames)")
+        require(fW1 == fW4, s"frame counts differ: $fW1 vs $fW4")
+        println(f"PROFSCALE pumpwindow_speedup              ${tW1 / tW4}%8.2fx")
+
+      case "pumpfloor" =>
+        // component ceilings of the backfill drain (the r12-carried
+        // "per-label parallel pump" candidate): with the pump hiding
+        // compute and the pool hiding encode, which stage is the FLOOR —
+        // distributed compute, the single pump thread (toLocalIterator
+        // fetch + deserialize), chunk assembly, frame encode, or the
+        // socket? Cumulative stage drains, each full-result:
+        //   compute   — the history plan executed with NO driver fetch
+        //   chunks    — Service.history iterated, rows discarded
+        //               (adds: driver fetch + deserialize + chunking)
+        //   enc1/enc4 — + JSON+zlib frame encode, serial / pooled
+        //   e2e       — the full socket backfill (pump arm's harness)
+        // A per-label parallel pump only pays if (chunks − compute) —
+        // the single-thread driver-fetch component — dominates e2e.
+        import graft.serve.{Service, Wire, JsonMini}
+        val eventsF = Tables.tsEvents(spark, sfDir)
+        val idsF = eventsF.select("stream_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val svcF = new Service(
+          spark,
+          data = Map("amp-external" -> eventsF),
+          streams = Map("amp-external" -> eventsF.select("stream_id").distinct()))
+        val labelsF: Map[String, Seq[Long]] =
+          idsF.zipWithIndex.groupBy(_._2 % 4)
+            .map { case (i, xs) => s"g$i" -> xs.map(_._1).toSeq }
+        def tsec(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def historyIt() = svcF.history(
+          "amp-external", labelsF, Seq("value"),
+          graft.SparkEntry.Start, graft.SparkEntry.Stop)
+        // warmup (codegen + page cache + listing)
+        locally { var n = 0L; historyIt().foreach(c => n += c.rows.length); require(n > 0) }
+        // compute ceiling: same frame, executed without driver collection
+        val histPlan = graft.query.QueryEngine
+          .selectData(eventsF, labelsF, Seq("value"),
+            graft.SparkEntry.Start, graft.SparkEntry.Stop)
+          .withColumn("binstart", org.apache.spark.sql.functions.col("timestamp"))
+          .orderBy(graft.query.QueryEngine.LabelCol, "timestamp")
+        val tCompute = tsec {
+          histPlan.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+        }
+        // fetch ceiling: the same per-partition job stream toLocalIterator
+        // drives, but yielding raw UnsafeRows (copy only, NO external-Row
+        // conversion) — splits the driver component into fetch vs convert
+        val tFetchInternal = tsec {
+          var n = 0L
+          val it = histPlan.queryExecution.toRdd.toLocalIterator
+          while (it.hasNext) { it.next(); n += 1 }
+          require(n > 0)
+        }
+        var rowsN = 0L; var chunksN = 0L
+        spark.conf.set("spark.graft.serve.pump.window", "1")
+        val tChunks = tsec {
+          historyIt().foreach { c => rowsN += c.rows.length; chunksN += 1 }
+        }
+        // the windowed pump (k concurrent single-partition jobs, ordered
+        // emission) against the serial toLocalIterator drain above
+        var rowsW = 0L
+        spark.conf.set("spark.graft.serve.pump.window", "4")
+        val tChunksW = tsec { historyIt().foreach(c => rowsW += c.rows.length) }
+        require(rowsW == rowsN, s"windowed pump row parity broke: $rowsW vs $rowsN")
+        spark.conf.set("spark.graft.serve.pump.window", "1")
+        def encodeChunk(c: Service.HistoryChunk): Array[Byte] = {
+          val body =
+            s"""{"label":${JsonMini.str(c.label)},"more":${c.more},""" +
+              s""""freq":${c.freq},"rows":${JsonMini.rows(c.rows)}}"""
+          Wire.pack(Wire.History, Wire.compress(body.getBytes("UTF-8")))
+        }
+        var b1 = 0L
+        val tEnc1 = tsec { historyIt().foreach(c => b1 += encodeChunk(c).length) }
+        var b4 = 0L
+        val tEnc4 = tsec {
+          val enc = graft.serve.EncodePipeline.mapOrdered(historyIt(), 4)(encodeChunk)
+          try enc.foreach(f => b4 += f.length) finally enc.close()
+        }
+        require(b1 == b4, s"encode byte parity broke: $b1 vs $b4")
+        println(f"PROFSCALE pumpfloor compute               $tCompute%8.2f s  (no driver fetch)")
+        println(f"PROFSCALE pumpfloor fetch_internal        $tFetchInternal%8.2f s  (UnsafeRow, no convert)")
+        println(f"PROFSCALE pumpfloor chunks                $tChunks%8.2f s  ($rowsN rows, $chunksN chunks)")
+        println(f"PROFSCALE pumpfloor chunks_window4        $tChunksW%8.2f s  (${tChunks / tChunksW}%.2fx)")
+        println(f"PROFSCALE pumpfloor chunks+enc1           $tEnc1%8.2f s  (${b1 / 1e6}%.1f MB)")
+        println(f"PROFSCALE pumpfloor chunks+enc4           $tEnc4%8.2f s")
+        println(f"PROFSCALE pumpfloor driver_fetch_component ${tChunks - tCompute}%7.2f s  (chunks - compute)")
 
       case "capskew" =>
         // per-group cap on a Zipf-headed corpus (90% of rows in ONE
