@@ -4737,10 +4737,10 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
         |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
-        |    CAST(doc_id % 3 AS INTEGER) AS v,
+        |    CAST(doc_id % 4 AS INTEGER) AS v,
         |    substr(repeat(md5(text), 5), 1,
         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2)
-        |           * (CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END) AS INTEGER)) AS px,
+        |           * (CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END) AS INTEGER)) AS px,
         |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
         |  FROM documents
         |)
@@ -4748,13 +4748,13 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE w END AS width,
         |  CASE WHEN bad THEN NULL ELSE h END AS height,
         |  CASE WHEN bad THEN NULL
-        |       ELSE CASE v WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 4 END END AS color_type,
+        |       ELSE CASE v WHEN 0 THEN 3 WHEN 2 THEN 4 ELSE 0 END END AS color_type,
         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
         |  CASE WHEN bad THEN NULL
         |       WHEN v = 0 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
-        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |       WHEN v = 1 OR v = 3 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
         |       ELSE CAST(list_sum(list_transform(
@@ -4765,7 +4765,7 @@ object SparkEntry {
         |       WHEN v = 0 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
-        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |       WHEN v = 1 OR v = 3 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
         |       ELSE CAST(list_sum(list_transform(
@@ -4776,7 +4776,7 @@ object SparkEntry {
         |       WHEN v = 0 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
-        |       WHEN v = 1 THEN CAST(list_sum(list_transform(
+        |       WHEN v = 1 OR v = 3 THEN CAST(list_sum(list_transform(
         |         range(0, CAST(w * h AS BIGINT)),
         |         i -> ascii(substr(px, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT)
         |       ELSE CAST(list_sum(list_transform(
@@ -4797,7 +4797,7 @@ object SparkEntry {
         |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
         |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
         |          (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)
-        |        WHEN v = 1 THEN printf('%02x%02x%02x',
+        |        WHEN v = 1 OR v = 3 THEN printf('%02x%02x%02x',
         |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)),
         |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)),
         |          ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)))

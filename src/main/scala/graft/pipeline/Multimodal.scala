@@ -306,13 +306,18 @@ object Multimodal {
   /** Encode a raster through `javax.imageio` as PNG color type 3 (palette,
     * `variant` 0 — px chars are palette INDICES written straight into the
     * index raster, the 256-entry [[paletteEntry]] colormap riding as
-    * PLTE), type 0 (grayscale, variant 1 — px chars are gray samples) or
-    * type 4 (gray+alpha, variant 2 — px char pairs). Samples are set on
-    * the RASTER directly (`setSample`), never through setRGB's
-    * nearest-color quantization, so the written samples are byte-exact —
-    * verified empirically (the JDK writer emits depth-8 type 3/0/4 for
-    * these layouts) and re-asserted in PngDecodeSpec via an independent
-    * ImageIO read-back.
+    * PLTE), type 0 (grayscale, variant 1 — px chars are gray samples),
+    * type 4 (gray+alpha, variant 2 — px char pairs), or 16-BIT type 0
+    * (variant 3 — px char c becomes the 16-bit sample (c<<8) |
+    * ((c*7+13)&0xff): the high byte is the char itself, so the kernel's
+    * msb statistics equal the 8-bit gray formulas, while the low byte is
+    * a DIFFERENT deterministic function — an msb/lsb mixup in the decoder
+    * shifts every sum and fails the hash). Samples are set on the RASTER
+    * directly (`setSample`), never through setRGB's nearest-color
+    * quantization, so the written samples are byte-exact — verified
+    * empirically (the JDK writer emits depth-8 type 3/0/4 and depth-16
+    * type 0 for these layouts) and re-asserted in PngDecodeSpec via an
+    * independent ImageIO read-back.
     */
   private[graft] def encodeRasterIndexedOrGray(
       variant: Int, wi: Int, hi: Int, px: String,
@@ -324,6 +329,9 @@ object Multimodal {
       case 1 =>
         new java.awt.image.BufferedImage(
           wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      case 3 =>
+        new java.awt.image.BufferedImage(
+          wi, hi, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
       case _ =>
         val cm = new java.awt.image.ComponentColorModel(
           java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY),
@@ -340,7 +348,9 @@ object Multimodal {
     while (y < hi) {
       var x = 0
       while (x < wi) {
-        raster.setSample(x, y, 0, px.charAt(i) & 0xff)
+        val c = px.charAt(i) & 0xff
+        if (variant == 3) raster.setSample(x, y, 0, (c << 8) | ((c * 7 + 13) & 0xff))
+        else raster.setSample(x, y, 0, c)
         if (bands == 2) raster.setSample(x, y, 1, px.charAt(i + 1) & 0xff)
         i += bands
         x += 1
@@ -354,25 +364,29 @@ object Multimodal {
       media_id: Long, w: Int, h: Int, variant: Int, px: String, kind: Int,
       size_bytes: Long, origin: String, codec: String)
 
-  /** Synthesize a PNG media table covering the NON-truecolor color types
-    * — palette (3), grayscale (0), gray+alpha (4), cycling by
-    * doc_id mod 3 — with the same oracle-reconstructible raster
-    * convention as [[mediaTablePng]]: samples are the ASCII bytes of
-    * repeat(md5(text), 5) (palette rows read them as INDICES into the
-    * shared [[paletteEntry]] colormap; gray rows as gray samples;
-    * gray+alpha rows as interleaved pairs), encoded as REAL PNG through
-    * `javax.imageio` — independent of [[graft.functions.PngDecode]].
-    * Small dims (w ∈ 2..7, h ∈ 2..6 → ≤ 84 raster chars ≤ the 160
-    * repeated hex chars). Row mix: every fifth row raw text (wrong
-    * magic → null), every seventh truncated inside IDAT (→ null) —
-    * selectors coprime with the mod-3 variant cycle so every color type
-    * appears among good rows.
+  /** Synthesize a PNG media table covering the NON-truecolor formats —
+    * palette (3), grayscale (0), gray+alpha (4), and 16-BIT grayscale
+    * (type 0 at depth 16), cycling by doc_id mod 4 — with the same
+    * oracle-reconstructible raster convention as [[mediaTablePng]]:
+    * samples are the ASCII bytes of repeat(md5(text), 5) (palette rows
+    * read them as INDICES into the shared [[paletteEntry]] colormap;
+    * gray rows as gray samples; gray+alpha rows as interleaved pairs;
+    * 16-bit rows as the HIGH byte of each sample, the low byte a
+    * distinct deterministic function — encodeRasterIndexedOrGray
+    * scaladoc), encoded as REAL PNG through `javax.imageio` —
+    * independent of [[graft.functions.PngDecode]]. Small dims (w ∈
+    * 2..7, h ∈ 2..6 → ≤ 84 raster chars ≤ the 160 repeated hex chars).
+    * Row mix: every fifth row raw text (wrong magic → null), every
+    * seventh truncated inside IDAT (→ null), every THIRD row interlaced
+    * (coprime with the mod-4 variant cycle, so every format appears
+    * both plain and Adam7) — selectors coprime with the variant cycle
+    * so every color type appears among good rows.
     */
   def mediaTablePngPalette(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 6 + 2).cast("int")
     val h = (col("n_chars") % 5 + 2).cast("int")
-    val variant = (col("doc_id") % 3).cast("int")
+    val variant = (col("doc_id") % 4).cast("int")
     val bands = when(variant === 2, 2).otherwise(1)
     val kind = when(col("doc_id") % 5 === 4, 1)
       .when(col("doc_id") % 7 === 3, 2)
@@ -389,8 +403,9 @@ object Multimodal {
         col("lang").as("codec"))
       .as[PalSrc]
       .mapPartitions(_.map { r =>
-        // every fourth row interlaced, as in [[mediaTablePng]]
-        val il = r.media_id % 4 == 0
+        // every third row interlaced (coprime with the mod-4 variant
+        // cycle — %4 would pin interlacing to the palette variant only)
+        val il = r.media_id % 3 == 0
         val payload = r.kind match {
           case 1 => r.px.getBytes("UTF-8") // raw text: wrong magic
           case 2 => truncateInsideIdat(

@@ -573,12 +573,14 @@ class PngDecodeSpec extends SparkSpec {
       val b = decode(plain).get
       assert(a.toSeq === b.toSeq, s"rgba=$rgba")
     }
-    // palette / gray / gray+alpha through encodeRasterIndexedOrGray
-    for (variant <- 0 to 2) {
+    // palette / gray / gray+alpha / 16-bit gray through
+    // encodeRasterIndexedOrGray
+    for (variant <- 0 to 3) {
       val bands = if (variant == 2) 2 else 1
       val px = hex.substring(0, w * h * bands)
       val il = Multimodal.encodeRasterIndexedOrGray(variant, w, h, px, interlaced = true)
       assert((il(28) & 0xff) === 1, s"variant $variant: interlace method 1")
+      if (variant == 3) assert((il(24) & 0xff) === 16, "16-bit variant writes depth 16")
       val plain = Multimodal.encodeRasterIndexedOrGray(variant, w, h, px)
       val a = decode(il).getOrElse(fail(s"variant $variant interlaced null"))
       val b = decode(plain).get
@@ -662,14 +664,15 @@ class PngDecodeSpec extends SparkSpec {
   }
 
   test("mediaTablePngPalette: variant/bad row mix decodes as declared") {
-    // doc_ids chosen so variants 0/1/2 and both bad kinds all appear:
-    // 0 -> palette, 1 -> gray, 2 -> gray+alpha, 3 -> truncated (%7==3),
-    // 4 -> raw text (%5==4), 5 -> gray+alpha (5 % 3 = 2)
-    val docs = (0L to 5L).map(i =>
+    // doc_ids chosen so variants 0/1/2/3 and both bad kinds all appear:
+    // 0 -> palette, 1 -> gray8, 2 -> gray+alpha, 3 -> truncated (%7==3),
+    // 4 -> raw text (%5==4), 5 -> gray8 (5%4=1), 6 -> gray+alpha,
+    // 7 -> 16-BIT gray (7%4=3)
+    val docs = (0L to 7L).map(i =>
       (i, s"document number $i with some text", 20L + i, "web", "en"))
       .toDF("doc_id", "text", "n_chars", "source", "lang")
     val rows = Multimodal.mediaTablePngPalette(spark, docs)
-      .select(col("media_id"), PngDecode(col("payload")).as("d"))
+      .select(col("media_id"), PngDecode(col("payload")).as("d"), col("payload"))
       .orderBy("media_id")
       .collect()
     assert(rows(0).getStruct(1).getInt(2) === 3)
@@ -677,7 +680,20 @@ class PngDecodeSpec extends SparkSpec {
     assert(rows(2).getStruct(1).getInt(2) === 4)
     assert(rows(3).isNullAt(1))
     assert(rows(4).isNullAt(1))
-    assert(rows(5).getStruct(1).getInt(2) === 4)
+    assert(rows(5).getStruct(1).getInt(2) === 0)
+    assert(rows(6).getStruct(1).getInt(2) === 4)
+    // the 16-bit row really is depth 16 on the wire (IHDR bit-depth byte)
+    assert(rows(7).getStruct(1).getInt(2) === 0)
+    assert((rows(7).getAs[Array[Byte]](2)(24) & 0xff) === 16)
+    // and its msb sums equal the gray8 formula (ASCII positional sum) —
+    // the oracle's v=3 arm mirrors v=1
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("document number 7 with some text".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val w7 = (7 % 6 + 2); val h7 = ((20 + 7) % 5 + 2)
+    val px7 = (md5hex * 5).substring(0, w7 * h7)
+    val want = px7.map(_.toLong).sum
+    assert(rows(7).getStruct(1).getLong(4) === want)
   }
 
   test("mediaTablePng: good/raw/truncated row mix and meta survive the batched encode") {
