@@ -228,6 +228,25 @@ object ProfScale {
           Similarity.randomProjection(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
 
+      case "pii" =>
+        // q_pii_scan decomposition: which of the 8 regexp passes (4
+        // counts + 4 layered replaces) carries the cost, and what a
+        // fused hand scanner could win
+        import org.apache.spark.sql.functions.col
+        val docsP = Tables.documents(spark, sfDir).select("doc_id", "text")
+          .localCheckpoint()
+        val n = docsP.count()
+        timed(s"pii counts only x$n")(sink(docsP.select(
+          col("doc_id"),
+          TextAnalysis.emailCount(col("text")).as("n_emails"),
+          TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
+          TextAnalysis.phoneCount(col("text")).as("n_phones"),
+          TextAnalysis.idNumberCount(col("text")).as("n_idnums"))))
+        timed(s"pii redact only x$n")(sink(docsP.select(
+          col("doc_id"), TextAnalysis.piiRedact(col("text")).as("redacted"))))
+        timed(s"pii full scan  x$n")(sink(
+          TextAnalysis.piiScan(docsP, "doc_id", "text")))
+
       case "textfast" =>
         // the sf100-endurance subset of textops: the scale-path
         // operators only (the exact decontaminate join's saturated-

@@ -47,6 +47,39 @@ class ServiceSpec extends SparkSpec {
       0L, Long.MaxValue / 2).nonEmpty)
   }
 
+  test("history timeout cancels through the prefetch pump under BOTH fetch paths") {
+    import org.apache.spark.sql.functions._
+    // the windowed pump runs partition jobs on POOL threads — each must
+    // carry the watchdog job group, or a cancel would leave the fetch
+    // running and the consumer hanging instead of QUERY_CANCELLED
+    val sleepy = udf((v: Double) => { Thread.sleep(100); v })
+    val slow = spark.range(640).select(
+      (col("id") % 4).as("stream_id"),
+      (lit(1704067200L) + col("id")).as("timestamp"),
+      sleepy(col("id").cast("double")).as("value"))
+    val slowSvc = new Service(
+      spark,
+      data = Map("amp-external" -> slow),
+      streams = Map("amp-external" -> streamsDim),
+      queryTimeoutSec = 1)
+    for (w <- Seq(1, 4)) {
+      spark.conf.set("spark.graft.serve.pump.window", w.toString)
+      try {
+        val t0 = System.nanoTime()
+        intercept[Service.QueryCancelledException] {
+          slowSvc.history(
+            "amp-external", Map("a" -> Seq(0L, 1L, 2L, 3L)), Seq("value"),
+            0L, Long.MaxValue / 2).foreach(_ => ())
+        }
+        val elapsedSec = (System.nanoTime() - t0) / 1e9
+        assert(elapsedSec < 15.0, s"window=$w: cancel took $elapsedSec s")
+      } finally spark.conf.unset("spark.graft.serve.pump.window")
+    }
+    // the untimed service still serves history afterwards
+    assert(svc.history(
+      "amp-external", labels, Seq("value"), 0L, Long.MaxValue / 2).nonEmpty)
+  }
+
   test("post-deadline failures keep their identity; only interrupt-like ones are timeouts") {
     val timed = new Service(
       spark,
