@@ -504,6 +504,49 @@ object SparkEntry {
         sparseClamp = true, smokeNearestRank = true), "value_smoke")
     }),
 
+    // ---- REAL WordPiece encode (the BERT tokenizer's apply): greedy
+    //      longest-match-first against a fixed inline vocab, `##`
+    //      continuations, whole-word [UNK] on miss (single-char coverage
+    //      omits 'q', so q-bearing corpus words take the UNK path). The
+    //      oracle replays the greedy loop as 24 unrolled list-op layers
+    //      over the distinct-word state. Same word stream as BPE
+    //      (shared Bpe.words tokenizer) -----------------------------------
+    "q_tokenize_wordpiece" -> ((s, dir) => {
+      import graft.functions.WordPieceEncode
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          WordPieceEncode(col("text"), WordPieceEncode.GateVocab).as("__w"))
+        .select(
+          col("doc_id"),
+          col("__w.n_words").as("n_words"),
+          col("__w.n_tokens").as("n_tokens"),
+          col("__w.n_unk").as("n_unk"),
+          md5(col("__w.segmented")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Winnowing document fingerprints (Schleimer et al. 2003, the
+    //      MOSS algorithm): rightmost-minimum selection over a w=4
+    //      window of trigram md5-60 hashes — positioned fingerprints
+    //      with the guaranteed-detection property (any shared run of
+    //      n+w−1 = 6 words shares a fingerprint). One fused map-only
+    //      pass (monotonic deque); the oracle replays window selection
+    //      relationally (arg_min(pos, [h, -pos]) per window) -------------
+    "q_winnow" -> ((s, dir) => {
+      import graft.functions.WinnowFingerprint
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          WinnowFingerprint(col("text"), 3, 4).as("__f"))
+        .select(
+          col("doc_id"),
+          col("__f.n_grams").as("n_grams"),
+          col("__f.n_fp").as("n_fp"),
+          md5(col("__f.fp_stream")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -618,6 +661,93 @@ object SparkEntry {
           md5(NfcNormalize(accented)).as("norm_md5"),
           (NfcNormalize(accented) =!= accented).as("changed"),
           (NfcNormalize(col("text")) === col("text")).as("raw_identity"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Per-doc token-distribution Shannon entropy (the gibberish /
+    //      keyword-stuffing quality signal): ONE fused map-only pass
+    //      (open-addressing count map per doc, no explode/shuffle) vs
+    //      the oracle's explode → per-token count → join + agg. Exact
+    //      via the PlatformLn recipe: per-term q9(ln(c/n)) quantized
+    //      BEFORE the sum, so the sum is an exact integer ---------------
+    "q_text_entropy" -> ((s, dir) => {
+      import graft.functions.TokenEntropy
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TokenEntropy(col("text")).as("__e"))
+        .select(
+          col("doc_id"),
+          col("__e.n_tokens").as("n_tokens"),
+          col("__e.n_distinct").as("n_distinct"),
+          col("__e.entropy").as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- HTML → text extraction (C4/CCNet boilerplate strip). The
+    //      corpus is wrapped in deterministic markup IN-QUERY (both
+    //      engines build the identical string): title/style/comment/
+    //      attribute tags, entity-encoded body (sequential literal
+    //      replaces — 'a'→'&lt;i&gt;' decodes to literal '<i>' AFTER tag
+    //      stripping, pinning the pass order), an UNCLOSED <script> every
+    //      13th doc (falls through the block pass, loses only its tag),
+    //      and a bare '1<2' every 11th (the tag pass eats to the next
+    //      '>'). One fused map-only expression vs the oracle's
+    //      regexp_replace + replace chain ------------------------------
+    "q_html_extract" -> ((s, dir) => {
+      import graft.functions.HtmlExtract
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title><style>p{margin:"), col("doc_id") % 7,
+        lit("px}</style></head><body><!-- id "), col("doc_id"),
+        lit(" --><h1 class=\"t\">"), col("source"),
+        lit("</h1><p data-k=\"v\">"),
+        expr("replace(replace(text, 'a', '&lt;i&gt;'), 'e', '&amp;')"),
+        lit("</p>"),
+        when(col("doc_id") % 13 === 0, lit("<script>var x=unclosed"))
+          .otherwise(lit("<script type=\"text/javascript\">var id=1;</script>")),
+        when(col("doc_id") % 11 === 0, lit(" 1<2 ")).otherwise(lit("")),
+        lit("</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), HtmlExtract(html).as("clean"))
+        .select(
+          col("doc_id"),
+          md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL parsing + canonicalization (the FIRST pass of a web
+    //      pipeline: URL-level dedup + registered-domain extraction).
+    //      Dirty URLs are built in-query (both engines construct the
+    //      identical string): mixed-case scheme/host, default and
+    //      explicit ports, tracking params, unsorted params, fragments,
+    //      an empty path, a single-label host, a co.uk-style suffix and
+    //      a malformed row every 9th doc (null struct). One fused
+    //      map-only expression vs the oracle's regexp_extract + list-op
+    //      replay of the same contract ---------------------------------
+    "q_url_normalize" -> ((s, dir) => {
+      import graft.functions.UrlParts
+      val url = expr(
+        """CASE CAST(doc_id % 9 AS INT)
+          |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+          |  WHEN 1 THEN 'https://news.example.co.uk:443/a%20b?z=1&utm_campaign=c&y=' || (doc_id % 5)
+          |  WHEN 2 THEN 'https://' || source || '.example.org/docs/' || doc_id
+          |  WHEN 3 THEN 'http://sub.domain.example.net:8080/x?fbclid=abc' || doc_id
+          |  WHEN 4 THEN 'not a url ' || doc_id
+          |  WHEN 5 THEN 'ftp://files.example.com/pub/' || doc_id || '.dat'
+          |  WHEN 6 THEN 'https://Example.com?only=' || doc_id || '&only=' || doc_id
+          |  WHEN 7 THEN 'http://localhost:' || (8000 + doc_id % 100) || '/h?ref=x&p=1'
+          |  ELSE 'https://a.b.example.gov.au/deep/' || doc_id || '?utm_x=1&utm_y=2'
+          |END""".stripMargin)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), UrlParts(url).as("__u"))
+        .select(
+          col("doc_id"),
+          col("__u.scheme").as("scheme"),
+          col("__u.host").as("host"),
+          col("__u.port").as("port"),
+          col("__u.reg_domain").as("reg_domain"),
+          col("__u.n_params").as("n_params"),
+          col("__u.url_norm").as("url_norm"))
         .orderBy("doc_id")
     }),
 
@@ -2755,6 +2885,56 @@ object SparkEntry {
       Bpe.oracleSqlTokenize("documents", vocabCap = 2048, maxMerges = 48,
         minPairCount = 2L),
 
+    // WordPiece greedy apply replayed as 24 unrolled longest-match layers
+    // (pure list ops per layer; 24 = the word regex's length cap)
+    "q_tokenize_wordpiece" ->
+      graft.functions.WordPieceEncode.oracleSql(
+        "documents", graft.functions.WordPieceEncode.GateVocab),
+
+    // winnowing fingerprints replayed relationally: trigram md5-60 hashes
+    // (the MinhashBandedCte idiom), one row per window position, rightmost
+    // minimum via arg_min(pos, [h, -pos]), DISTINCT selected pairs; G < w
+    // collapses to one window (greatest(ng-3, 1)); no-gram docs → md5('')
+    "q_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
+        |  FROM t WHERE len(w) >= 3
+        |), e AS (
+        |  SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos,
+        |         ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h
+        |  FROM sh
+        |), gc AS (
+        |  SELECT doc_id, count(*) AS ng FROM e GROUP BY doc_id
+        |), wp AS (
+        |  SELECT doc_id, unnest(range(1, greatest(ng - 3, 1) + 1)) AS p FROM gc
+        |), win AS (
+        |  -- rightmost minimum: one HUGEINT key (h, -pos) — min h first,
+        |  -- then max pos (arg_min takes no composite comparator)
+        |  SELECT wp.doc_id, wp.p,
+        |    arg_min(e.pos, e.h::HUGEINT * 4294967296 + (4294967295 - e.pos)) AS sel
+        |  FROM wp JOIN e ON e.doc_id = wp.doc_id
+        |    AND e.pos >= wp.p AND e.pos < wp.p + 4
+        |  GROUP BY wp.doc_id, wp.p
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, sel FROM win
+        |), fps AS (
+        |  SELECT f.doc_id, count(*) AS n_fp,
+        |         string_agg(e.h || ':' || f.sel, ' ' ORDER BY f.sel) AS stream
+        |  FROM fp f JOIN e ON e.doc_id = f.doc_id AND e.pos = f.sel
+        |  GROUP BY f.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(gc.ng, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(fps.n_fp, 0) AS BIGINT) AS n_fp,
+        |  md5(coalesce(fps.stream, '')) AS fp_md5
+        |FROM documents d
+        |LEFT JOIN gc ON d.doc_id = gc.doc_id
+        |LEFT JOIN fps ON d.doc_id = fps.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_token_budget_bpe" ->
       Bpe.oracleSqlTokenBudget("documents", vocabCap = 2048, maxMerges = 48,
         minPairCount = 2L, budget = 2000L, salt = "tbb"),
@@ -2852,6 +3032,133 @@ object SparkEntry {
         |  nfc_normalize(text) = text AS raw_identity
         |FROM a
         |ORDER BY doc_id""".stripMargin,
+
+    // token-distribution entropy, relational form: explode → per-token
+    // count → per-doc totals join. Per-occurrence q9(ln(c/n)) quantized
+    // to integers BEFORE the sum (the PlatformLn recipe), grouped as
+    // c·q9(ln(c/n)) per distinct token — identical arithmetic to the
+    // fused expression's count-map fold
+    "q_text_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), u AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM w
+        |), c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2
+        |), n AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.doc_id, n.n AS n_tokens, n.nd AS n_distinct,
+        |  -(CAST(sum(cnt * CAST(floor(
+        |      ln(CAST(cnt AS DOUBLE) / n.n) * 1000000000.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / n.n) / 1000000000.0 AS entropy
+        |FROM c JOIN n USING (doc_id)
+        |GROUP BY c.doc_id, n.n, n.nd
+        |ORDER BY doc_id""".stripMargin,
+
+    // html_extract replayed as the contract's literal pass chain:
+    // script/style/comment block drops, tags → one space, sequential
+    // literal entity replaces, explicit-ASCII whitespace collapse, trim.
+    // The markup wrapper is built identically to the Spark side
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || doc_id || '</title><style>p{margin:'
+        |    || (doc_id % 7) || 'px}</style></head><body><!-- id ' || doc_id
+        |    || ' --><h1 class="t">' || source || '</h1><p data-k="v">'
+        |    || replace(replace(text, 'a', '&lt;i&gt;'), 'e', '&amp;') || '</p>'
+        |    || CASE WHEN doc_id % 13 = 0 THEN '<script>var x=unclosed'
+        |            ELSE '<script type="text/javascript">var id=1;</script>' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' 1<2 ' ELSE '' END
+        |    || '</body></html>' AS html
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '<script[^>]*>.*?</script>', '', 'gs'),
+        |              '<style[^>]*>.*?</style>', '', 'gs'),
+        |            '<!--.*?-->', '', 'gs'),
+        |          '<[^>]*>', ' ', 'gs'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS clean
+        |  FROM h
+        |)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |       length(clean) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // url_parts replayed relationally: the same anchored parse regex via
+    // regexp_extract, authority split on the last ':' + all-digit suffix
+    // (the lazy-group backtracking), public-suffix-lite via negative list
+    // indexing, param filter/sort via list ops — null row when the parse
+    // regex rejects (the malformed every-9th doc)
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 9 AS INT)
+        |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://news.example.co.uk:443/a%20b?z=1&utm_campaign=c&y=' || (doc_id % 5)
+        |      WHEN 2 THEN 'https://' || source || '.example.org/docs/' || doc_id
+        |      WHEN 3 THEN 'http://sub.domain.example.net:8080/x?fbclid=abc' || doc_id
+        |      WHEN 4 THEN 'not a url ' || doc_id
+        |      WHEN 5 THEN 'ftp://files.example.com/pub/' || doc_id || '.dat'
+        |      WHEN 6 THEN 'https://Example.com?only=' || doc_id || '&only=' || doc_id
+        |      WHEN 7 THEN 'http://localhost:' || (8000 + doc_id % 100) || '/h?ref=x&p=1'
+        |      ELSE 'https://a.b.example.gov.au/deep/' || doc_id || '?utm_x=1&utm_y=2'
+        |    END AS url
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, url,
+        |    regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$') AS ok,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2) AS auth,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path_raw,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q_raw
+        |  FROM u
+        |), hp AS (
+        |  SELECT *,
+        |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$')
+        |         THEN lower(regexp_extract(auth, '^(.*?):([0-9]{1,18})$', 1))
+        |         ELSE lower(auth) END AS host,
+        |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$')
+        |         THEN CAST(regexp_extract(auth, '^(.*?):([0-9]{1,18})$', 2) AS BIGINT)
+        |         END AS port
+        |  FROM m
+        |), q AS (
+        |  SELECT *, string_split(host, '.') AS labels,
+        |    list_sort(list_filter(string_split(substr(q_raw, 2), '&'),
+        |      p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+        |        AND string_split(p, '=')[1] NOT IN ('gclid','fbclid','ref','msclkid'))) AS kept
+        |  FROM hp
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ok THEN scheme END AS scheme,
+        |  CASE WHEN ok THEN host END AS host,
+        |  CASE WHEN ok THEN port END AS port,
+        |  CASE WHEN ok THEN
+        |    CASE WHEN len(labels) >= 3 AND length(labels[-1]) = 2
+        |              AND labels[-2] IN ('co','com','net','org','ac','gov','edu')
+        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |         WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+        |         ELSE host END
+        |  END AS reg_domain,
+        |  CASE WHEN ok THEN CAST(len(kept) AS BIGINT) END AS n_params,
+        |  CASE WHEN ok THEN
+        |    scheme || '://' || host ||
+        |    CASE WHEN port IS NOT NULL AND NOT ((scheme = 'http' AND port = 80)
+        |              OR (scheme = 'https' AND port = 443))
+        |         THEN ':' || port ELSE '' END ||
+        |    CASE WHEN path_raw = '' THEN '/' ELSE path_raw END ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |  END AS url_norm
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // dict_scan semantics in portable SQL: presence via contains;
     // n_hits = OVERLAPPING occurrences (brute-force position scan, so

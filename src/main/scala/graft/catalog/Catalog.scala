@@ -62,7 +62,7 @@ object Catalog {
     Ids
       .assignSequential(fresh, keys, maxId.toLong, "stream_id")
       .withColumn("stream_id", col("stream_id").cast("int"))
-      .select(existing.columns.map(col): _*)
+      .select(existing.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Resolve stream ids for result rows by their property tuple (the

@@ -28,7 +28,7 @@ object Ids {
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (startExclusive + i + 1))
     }
     spark.createDataFrame(rdd, schema)

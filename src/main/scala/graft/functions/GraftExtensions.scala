@@ -203,7 +203,35 @@ object GraftExtensions {
       exprs => FilterLines(
         exprs.head, intArg(exprs(1), "min_words"),
         strArg(exprs(2), "ban_words").split(',').toSeq.filter(_.nonEmpty),
-        boolArg(exprs(3), "require_terminal_punct"))))
+        boolArg(exprs(3), "require_terminal_punct"))),
+    fn("token_entropy",
+      "token_entropy(text) - per-doc token-distribution Shannon entropy " +
+        "struct (n_tokens, n_distinct, entropy) — one map-only pass", 1)(
+      exprs => TokenEntropy(exprs.head)),
+    fn("html_extract",
+      "html_extract(html) - C4-style HTML boilerplate strip: drop " +
+        "script/style/comment blocks, tags to spaces, entity decode, " +
+        "whitespace collapse", 1)(
+      exprs => HtmlExtract(exprs.head)),
+    fn("url_parts",
+      "url_parts(url) - URL parse + canonicalization struct (scheme, " +
+        "host, port, path, query, reg_domain, n_params, url_norm); " +
+        "null on non-URL input", 1)(
+      exprs => UrlParts(exprs.head)),
+    fn("wordpiece_encode",
+      "wordpiece_encode(text, 'tok,##cont,...') - WordPiece greedy " +
+        "longest-match segmentation (BERT apply): (n_words, n_tokens, " +
+        "n_unk, segmented); whole-word [UNK] on miss", 2)(
+      exprs => WordPieceEncode(
+        exprs.head,
+        strArg(exprs(1), "vocab").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).distinct)),
+    fn("winnow_fingerprint",
+      "winnow_fingerprint(text, n, w) - MOSS winnowing fingerprints: " +
+        "rightmost window minima over word n-gram md5-60 hashes: " +
+        "(n_grams, n_fp, fp_stream)", 3)(
+      exprs => WinnowFingerprint(
+        exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "w"))))
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit =

@@ -886,7 +886,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
     val w = planeWeights(planes, dims)
     val bits = (0 until planes).map { p =>
-      val proj = graft.functions.VectorOps.dot(vec, array(w(p).map(lit): _*))
+      val proj = graft.functions.VectorOps.dot(vec, array(w(p).toIndexedSeq.map(lit): _*))
       when(proj > 0, shiftleft(lit(1), p)).otherwise(0)
     }
     bits.reduce(_ + _)

@@ -627,7 +627,7 @@ object Splits {
     keyed
       .join(broadcast(thr), col(groupCol) <=> col("__capgrp")) // null group = its own group, like the window
       .filter(col("__capkey") <= col("__thr"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Spec-only reference form of the cap: the direct group-partitioned

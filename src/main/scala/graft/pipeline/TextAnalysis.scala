@@ -724,6 +724,6 @@ object TextAnalysis {
       .withColumnRenamed(groupCol, "__qgrp")
     df.join(broadcast(thr), col(groupCol) <=> col("__qgrp"))
       .filter(col(metricCol) >= col("__thr"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

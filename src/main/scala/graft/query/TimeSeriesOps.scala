@@ -53,7 +53,7 @@ object TimeSeriesOps {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withCarry = carried.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
+    val withCarry = carried.foldLeft(l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     val matchedOnly =

@@ -648,7 +648,7 @@ object IngestStream {
     val streams = readStreams(spark, streamsPath, spec)
     val resolved = Catalog.resolveStreamIds(normalize(batch), streams, spec)
     val dataCols = spec.dataSchema.fieldNames.filter(resolved.columns.contains)
-    val out = resolved.select(dataCols.map(col): _*)
+    val out = resolved.select(dataCols.toIndexedSeq.map(col): _*)
     epoch match {
       case Some(id) =>
         out

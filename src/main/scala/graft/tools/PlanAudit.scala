@@ -627,6 +627,69 @@ object PlanAudit {
         mustNot = Seq("Exchange SinglePartition"))
     }
 
+    guarded("token_entropy") {
+      // 16te. token-distribution entropy: ONE fused map-only expression
+      //       (open-addressing count map per doc) — the relational form
+      //       would explode the corpus and shuffle it twice. No Exchange,
+      //       no Generate, no Join, inside whole-stage codegen.
+      val tePlan = plan(docs.select(
+        graft.functions.TokenEntropy(
+          org.apache.spark.sql.functions.col("text")).as("r")))
+      check("token_entropy: fused map-only codegen", tePlan,
+        mustContain = Seq("*(1) Project [token_entropy("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
+    guarded("html_extract") {
+      // 16he. HTML → text extraction: fused map-only pass (compiled-regex
+      //       chain rides the static kernel) — no Exchange, no Generate,
+      //       whole-stage codegen.
+      val hePlan = plan(docs.select(
+        graft.functions.HtmlExtract(
+          org.apache.spark.sql.functions.col("text")).as("r")))
+      check("html_extract: fused map-only codegen", hePlan,
+        mustContain = Seq("*(1) Project [html_extract("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
+    guarded("url_parts") {
+      // 16up. URL parse + canonicalization: one fused map-only expression
+      //       — URL-level dedup shuffles only the short canonical string,
+      //       never corpus text. No Exchange/Generate/Join, codegen'd.
+      val upPlan = plan(docs.select(
+        graft.functions.UrlParts(
+          org.apache.spark.sql.functions.col("text")).as("r")))
+      check("url_parts: fused map-only codegen", upPlan,
+        mustContain = Seq("*(1) Project [url_parts("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
+    guarded("wordpiece_encode") {
+      // 16wp. WordPiece encode: the vocab rides the closure as per-length
+      //       hash sets — one fused map-only expression, same shape as
+      //       bpe_encode. No Exchange/Generate/Join.
+      val wpPlan = plan(docs.select(
+        graft.functions.WordPieceEncode(
+          org.apache.spark.sql.functions.col("text"),
+          graft.functions.WordPieceEncode.GateVocab).as("r")))
+      check("wordpiece_encode: fused map-only codegen", wpPlan,
+        mustContain = Seq("*(1) Project [wordpiece_encode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
+    guarded("winnow_fingerprint") {
+      // 16wn. winnowing fingerprints: hashing + window selection fused in
+      //       one map-only monotonic-deque pass — the relational form
+      //       explodes grams and joins per window. No Exchange/Generate/
+      //       Join/Window.
+      val wnPlan = plan(docs.select(
+        graft.functions.WinnowFingerprint(
+          org.apache.spark.sql.functions.col("text"), 3, 4).as("r")))
+      check("winnow_fingerprint: fused map-only codegen", wnPlan,
+        mustContain = Seq("*(1) Project [winnow_fingerprint("),
+        mustNot = Seq("Exchange", "Generate", "Join", "Window", "BatchEvalPython"))
+    }
+
     guarded("pii scan") {
       // 17. PII scan: codegen'd regexp projection, map-only
       val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")

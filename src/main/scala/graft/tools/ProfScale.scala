@@ -227,6 +227,25 @@ object ProfScale {
         timed("random_projection")(sink(
           Similarity.randomProjection(
             Tables.embeddings(spark, sfDir), "vec_id", "embedding", 64, 16)))
+        // round-16 additions: fused map-only text expressions, solo
+        locally {
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          timed("token_entropy")(sink(docs.select(
+            graft.functions.TokenEntropy(col("text")).as("e"))))
+          timed("html_extract")(sink(docs.select(
+            graft.functions.HtmlExtract(concat(
+              lit("<html><body><p>"), col("text"),
+              lit("</p><script>x=1</script></body></html>"))).as("c"))))
+          timed("url_parts")(sink(docs.select(
+            graft.functions.UrlParts(concat(
+              lit("https://Host.Example.com:8080/p/"), col("doc_id"),
+              lit("?utm_s=1&b=2&a=3#f"))).as("u"))))
+          timed("wordpiece_encode")(sink(docs.select(
+            graft.functions.WordPieceEncode(
+              col("text"), graft.functions.WordPieceEncode.GateVocab).as("w"))))
+          timed("winnow_fingerprint")(sink(docs.select(
+            graft.functions.WinnowFingerprint(col("text"), 3, 4).as("f"))))
+        }
 
       case "pii" =>
         // q_pii_scan decomposition: which of the 8 regexp passes (4

@@ -63,7 +63,7 @@ class SplitsSpec extends SparkSpec {
       .withColumn("stratum",
         when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
     val rates = Seq("a" -> 0.5, "b" -> 0.25) // c falls to defaultRate 0
-    val kept = graft.pipeline.Splits.stratifiedSample(rows.toDF, "id", "stratum", rates, salt = "z")
+    val kept = graft.pipeline.Splits.stratifiedSample(rows.toDF(), "id", "stratum", rates, salt = "z")
     val counts = kept.groupBy("stratum").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(counts("a") / 10000.0 - 0.5) < 0.03)
@@ -73,7 +73,7 @@ class SplitsSpec extends SparkSpec {
     // input changes nothing (sampleBy's per-partition RNG would)
     val a = kept.select("id").as[Long].collect().sorted.toSeq
     val b = graft.pipeline.Splits.stratifiedSample(
-        rows.toDF.repartition(7), "id", "stratum", rates, salt = "z")
+        rows.toDF().repartition(7), "id", "stratum", rates, salt = "z")
       .select("id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
