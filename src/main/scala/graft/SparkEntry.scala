@@ -726,20 +726,8 @@ object SparkEntry {
     //      replay of the same contract ---------------------------------
     "q_url_normalize" -> ((s, dir) => {
       import graft.functions.UrlParts
-      val url = expr(
-        """CASE CAST(doc_id % 9 AS INT)
-          |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
-          |  WHEN 1 THEN 'https://news.example.co.uk:443/a%20b?z=1&utm_campaign=c&y=' || (doc_id % 5)
-          |  WHEN 2 THEN 'https://' || source || '.example.org/docs/' || doc_id
-          |  WHEN 3 THEN 'http://sub.domain.example.net:8080/x?fbclid=abc' || doc_id
-          |  WHEN 4 THEN 'not a url ' || doc_id
-          |  WHEN 5 THEN 'ftp://files.example.com/pub/' || doc_id || '.dat'
-          |  WHEN 6 THEN 'https://Example.com?only=' || doc_id || '&only=' || doc_id
-          |  WHEN 7 THEN 'http://localhost:' || (8000 + doc_id % 100) || '/h?ref=x&p=1'
-          |  ELSE 'https://a.b.example.gov.au/deep/' || doc_id || '?utm_x=1&utm_y=2'
-          |END""".stripMargin)
       Tables.documents(s, dir)
-        .select(col("doc_id"), UrlParts(url).as("__u"))
+        .select(col("doc_id"), UrlParts(expr(UrlGateCase)).as("__u"))
         .select(
           col("doc_id"),
           col("__u.scheme").as("scheme"),
@@ -749,6 +737,27 @@ object SparkEntry {
           col("__u.n_params").as("n_params"),
           col("__u.url_norm").as("url_norm"))
         .orderBy("doc_id")
+    }),
+
+    // ---- URL-level dedup (the web pipeline's FIRST dedup pass, riding
+    //      url_parts): the gate's collisions are CREATED by
+    //      canonicalization — case/port/tracking/param-order/fragment
+    //      variants of one canonical URL (arms 0 and 1 normalize
+    //      identically), malformed rows dropped. Map-side-combined
+    //      groupBy on the SHORT canonical string — corpus text never
+    //      shuffles ------------------------------------------------------
+    "q_url_dedup" -> ((s, dir) => {
+      import graft.functions.UrlParts
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          UrlParts(expr(UrlDedupCase)).getField("url_norm").as("url_norm"))
+        .filter(col("url_norm").isNotNull)
+        .groupBy("url_norm")
+        .agg(
+          min("doc_id").as("canonical_id"),
+          count(lit(1)).as("n_dupes"))
+        .orderBy("canonical_id")
     }),
 
     // ---- Multi-pattern dictionary scan (Aho–Corasick): one pass over
@@ -2376,6 +2385,96 @@ object SparkEntry {
     * by the incremental-probe oracle so the two stay bit-identical.
     * Ends defining `sig` (doc_id, sg list) and `banded` (doc_id, b, bh).
     */
+  /** The q_url_normalize gate's dirty-URL construction — engine-neutral
+    * SQL passed VERBATIM to both Spark's `expr()` and the DuckDB oracle,
+    * so the two engines build the identical string by construction.
+    */
+  private val UrlGateCase: String =
+    """CASE CAST(doc_id % 9 AS INT)
+      |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+      |  WHEN 1 THEN 'https://news.example.co.uk:443/a%20b?z=1&utm_campaign=c&y=' || (doc_id % 5)
+      |  WHEN 2 THEN 'https://' || source || '.example.org/docs/' || doc_id
+      |  WHEN 3 THEN 'http://sub.domain.example.net:8080/x?fbclid=abc' || doc_id
+      |  WHEN 4 THEN 'not a url ' || doc_id
+      |  WHEN 5 THEN 'ftp://files.example.com/pub/' || doc_id || '.dat'
+      |  WHEN 6 THEN 'https://Example.com?only=' || doc_id || '&only=' || doc_id
+      |  WHEN 7 THEN 'http://localhost:' || (8000 + doc_id % 100) || '/h?ref=x&p=1'
+      |  ELSE 'https://a.b.example.gov.au/deep/' || doc_id || '?utm_x=1&utm_y=2'
+      |END""".stripMargin
+
+  /** The q_url_dedup gate's construction: collisions are CREATED BY
+    * normalization — case/port/tracking/param-order/fragment variants of
+    * the same canonical URL (arms 0 and 1 normalize identically), plus a
+    * malformed arm the dedup must drop.
+    */
+  private val UrlDedupCase: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/item/' || (doc_id % 25) || '?b=2&a=1&utm_source=' || doc_id
+      |  WHEN 1 THEN 'http://www.example.com/item/' || (doc_id % 25) || '?a=1&utm_medium=m&b=2#sec' || doc_id
+      |  WHEN 2 THEN 'https://' || source || '.shop.example.org/p?x=' || (doc_id % 10)
+      |  ELSE 'not a url ' || doc_id
+      |END""".stripMargin
+
+  /** url_parts oracle replay, shared by q_url_normalize and q_url_dedup:
+    * the anchored parse regex via regexp_extract, authority split on the
+    * last ':' + 1..18-digit suffix (the lazy-group backtracking),
+    * public-suffix-lite via negative list indexing, param filter/sort via
+    * list ops. Ends defining `norm` (doc_id, scheme, host, port,
+    * reg_domain, n_params, url_norm — all NULL when the parse regex
+    * rejects).
+    */
+  private def urlNormChainSql(urlCase: String): String =
+    raw"""WITH u AS (
+       |  SELECT doc_id,
+       |    $urlCase AS url
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, url,
+       |    regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$$') AS ok,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$$', 1)) AS scheme,
+       |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$$', 2) AS auth,
+       |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$$', 3) AS path_raw,
+       |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$$', 4) AS q_raw
+       |  FROM u
+       |), hp AS (
+       |  SELECT *,
+       |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$$')
+       |         THEN lower(regexp_extract(auth, '^(.*?):([0-9]{1,18})$$', 1))
+       |         ELSE lower(auth) END AS host,
+       |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$$')
+       |         THEN CAST(regexp_extract(auth, '^(.*?):([0-9]{1,18})$$', 2) AS BIGINT)
+       |         END AS port
+       |  FROM m
+       |), q AS (
+       |  SELECT *, string_split(host, '.') AS labels,
+       |    list_sort(list_filter(string_split(substr(q_raw, 2), '&'),
+       |      p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+       |        AND string_split(p, '=')[1] NOT IN ('gclid','fbclid','ref','msclkid'))) AS kept
+       |  FROM hp
+       |), norm AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ok THEN scheme END AS scheme,
+       |    CASE WHEN ok THEN host END AS host,
+       |    CASE WHEN ok THEN port END AS port,
+       |    CASE WHEN ok THEN
+       |      CASE WHEN len(labels) >= 3 AND length(labels[-1]) = 2
+       |                AND labels[-2] IN ('co','com','net','org','ac','gov','edu')
+       |           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |           WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |           ELSE host END
+       |    END AS reg_domain,
+       |    CASE WHEN ok THEN CAST(len(kept) AS BIGINT) END AS n_params,
+       |    CASE WHEN ok THEN
+       |      scheme || '://' || host ||
+       |      CASE WHEN port IS NOT NULL AND NOT ((scheme = 'http' AND port = 80)
+       |                OR (scheme = 'https' AND port = 443))
+       |           THEN ':' || port ELSE '' END ||
+       |      CASE WHEN path_raw = '' THEN '/' ELSE path_raw END ||
+       |      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+       |    END AS url_norm
+       |  FROM q
+       |)""".stripMargin
+
   private val MinhashBandedCte: String = {
     // base = lower-60-bit md5 of the shingle, plane hash =
     // (base * A_p) mod 2^60 (HUGEINT product — 2^60 divides 2^64, so it
@@ -3094,71 +3193,22 @@ object SparkEntry {
         |       length(clean) AS n_chars_clean
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // url_parts replayed relationally: the same anchored parse regex via
-    // regexp_extract, authority split on the last ':' + all-digit suffix
-    // (the lazy-group backtracking), public-suffix-lite via negative list
-    // indexing, param filter/sort via list ops — null row when the parse
-    // regex rejects (the malformed every-9th doc)
+    // url_parts replayed relationally through the shared normalization
+    // chain (urlNormChainSql) over the shared UrlGateCase construction
     "q_url_normalize" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 9 AS INT)
-        |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
-        |      WHEN 1 THEN 'https://news.example.co.uk:443/a%20b?z=1&utm_campaign=c&y=' || (doc_id % 5)
-        |      WHEN 2 THEN 'https://' || source || '.example.org/docs/' || doc_id
-        |      WHEN 3 THEN 'http://sub.domain.example.net:8080/x?fbclid=abc' || doc_id
-        |      WHEN 4 THEN 'not a url ' || doc_id
-        |      WHEN 5 THEN 'ftp://files.example.com/pub/' || doc_id || '.dat'
-        |      WHEN 6 THEN 'https://Example.com?only=' || doc_id || '&only=' || doc_id
-        |      WHEN 7 THEN 'http://localhost:' || (8000 + doc_id % 100) || '/h?ref=x&p=1'
-        |      ELSE 'https://a.b.example.gov.au/deep/' || doc_id || '?utm_x=1&utm_y=2'
-        |    END AS url
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, url,
-        |    regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$') AS ok,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
-        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2) AS auth,
-        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path_raw,
-        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q_raw
-        |  FROM u
-        |), hp AS (
-        |  SELECT *,
-        |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$')
-        |         THEN lower(regexp_extract(auth, '^(.*?):([0-9]{1,18})$', 1))
-        |         ELSE lower(auth) END AS host,
-        |    CASE WHEN regexp_matches(auth, '^(.*?):([0-9]{1,18})$')
-        |         THEN CAST(regexp_extract(auth, '^(.*?):([0-9]{1,18})$', 2) AS BIGINT)
-        |         END AS port
-        |  FROM m
-        |), q AS (
-        |  SELECT *, string_split(host, '.') AS labels,
-        |    list_sort(list_filter(string_split(substr(q_raw, 2), '&'),
-        |      p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_')
-        |        AND string_split(p, '=')[1] NOT IN ('gclid','fbclid','ref','msclkid'))) AS kept
-        |  FROM hp
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN ok THEN scheme END AS scheme,
-        |  CASE WHEN ok THEN host END AS host,
-        |  CASE WHEN ok THEN port END AS port,
-        |  CASE WHEN ok THEN
-        |    CASE WHEN len(labels) >= 3 AND length(labels[-1]) = 2
-        |              AND labels[-2] IN ('co','com','net','org','ac','gov','edu')
-        |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-        |         WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
-        |         ELSE host END
-        |  END AS reg_domain,
-        |  CASE WHEN ok THEN CAST(len(kept) AS BIGINT) END AS n_params,
-        |  CASE WHEN ok THEN
-        |    scheme || '://' || host ||
-        |    CASE WHEN port IS NOT NULL AND NOT ((scheme = 'http' AND port = 80)
-        |              OR (scheme = 'https' AND port = 443))
-        |         THEN ':' || port ELSE '' END ||
-        |    CASE WHEN path_raw = '' THEN '/' ELSE path_raw END ||
-        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
-        |  END AS url_norm
-        |FROM q ORDER BY doc_id""".stripMargin,
+      s"""${urlNormChainSql(UrlGateCase)}
+         |SELECT doc_id, scheme, host, port, reg_domain, n_params, url_norm
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    // URL-level dedup over the same chain: group by the canonical string,
+    // min doc id is the survivor, malformed (NULL url_norm) rows dropped
+    "q_url_dedup" ->
+      s"""${urlNormChainSql(UrlDedupCase)}
+         |SELECT url_norm, min(doc_id) AS canonical_id,
+         |       CAST(count(*) AS BIGINT) AS n_dupes
+         |FROM norm WHERE url_norm IS NOT NULL
+         |GROUP BY url_norm
+         |ORDER BY canonical_id""".stripMargin,
 
     // dict_scan semantics in portable SQL: presence via contains;
     // n_hits = OVERLAPPING occurrences (brute-force position scan, so

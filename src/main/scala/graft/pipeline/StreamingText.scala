@@ -177,5 +177,10 @@ object StreamingText {
       .withColumn("quality", nanvl(TextAnalysis.qualityOf(col("__p")), lit(0.0)))
       .withColumn("lang_pred", TextAnalysis.langPredOf(col("__p")))
       .withColumn("redacted", TextAnalysis.piiRedact(col(textCol)))
+      // token-distribution entropy (round-16 signal): fused map-only,
+      // stateless like the rest of the annotation set; an empty document
+      // is one empty token → entropy 0, no NaN to clamp
+      .withColumn("entropy",
+        graft.functions.TokenEntropy(col(textCol)).getField("entropy"))
       .drop("__p")
 }

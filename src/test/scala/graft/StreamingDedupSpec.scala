@@ -548,6 +548,23 @@ class StreamingDedupSpec extends SparkSpec {
       val gotQ = spark.table("hygiene_out")
         .select("doc_id", "quality").as[(Long, Double)].collect().toMap
       assert(gotQ === expQ)
+      // entropy annotation: stream == the batch expression, row for row
+      val expE = Seq(
+        (1L, "the quick brown fox is one of the finest of animals"),
+        (2L, "contact a@b.co at 10.0.0.1 or +6491234567"),
+        (3L, "der hund und die katze und das haus ist und und"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TokenEntropy(col("text")).getField("entropy").as("e"))
+        .as[(Long, Double)].collect().toMap
+      val gotE = spark.table("hygiene_out")
+        .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+      assert(gotE === expE)
+      // repetition pulls entropy strictly below the all-distinct ceiling
+      // ln(n): doc 3 has 11 tokens with 'und' repeated 4x
+      assert(gotE(3L) < math.log(11.0))
+      // 6 distinct of 6: exactly −q9(ln(1/6))/1e9 (the operator's formula)
+      assert(gotE(2L) == -math.floor(java.lang.Math.log(1.0 / 6) * 1e9 + 0.5) / 1e9)
     } finally q.stop()
   }
 
