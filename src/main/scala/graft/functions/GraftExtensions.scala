@@ -226,6 +226,11 @@ object GraftExtensions {
         exprs.head,
         strArg(exprs(1), "vocab").split(',').toSeq
           .map(_.trim).filter(_.nonEmpty).distinct)),
+    fn("gif_decode",
+      "gif_decode(bytes) - real GIF pixel decode (from-scratch LZW, " +
+        "sequential + interlaced, first full frame): (width, height, " +
+        "gct_size, n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
+      exprs => GifDecode(exprs.head)),
     fn("winnow_fingerprint",
       "winnow_fingerprint(text, n, w) - MOSS winnowing fingerprints: " +
         "rightmost window minima over word n-gram md5-60 hashes: " +

@@ -420,6 +420,94 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Synthesize a GIF media table from the SAME oracle-reconstructible
+    * convention as [[mediaTablePngPalette]]'s palette variant: px chars
+    * are palette INDICES into the shared 256-entry [[paletteEntry]]
+    * colormap, set on a TYPE_BYTE_INDEXED raster and encoded as REAL GIF
+    * through `javax.imageio` — an LZW encoder independent of
+    * [[graft.functions.GifDecode]], so gate parity proves the
+    * from-scratch LZW + container walk against a second implementation.
+    * Row mix mirrors the PNG gates: every fifth row raw text (wrong
+    * magic → null), every seventh truncated inside the LZW data (→
+    * null), every THIRD row INTERLACED (the GIF writer's progressive
+    * mode — the oracle's positional recompute is scan-order agnostic,
+    * so the same gate pins the 4-pass deinterlace).
+    */
+  def mediaTableGif(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 5).substr(lit(1), (w * h).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val il = r.media_id % 3 == 0
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            // cut inside the LZW sub-block chain: drop the last 40% —
+            // the image descriptor survives, the pixel stream cannot fill
+            val full = encodeGifIndexed(r.w, r.h, r.px, interlaced = il)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length * 2 / 5, 1))
+          case _ => encodeGifIndexed(r.w, r.h, r.px, interlaced = il)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** Index raster → real GIF through javax.imageio ("gif" writer;
+    * progressive mode = the 4-pass interlace). Samples are set on the
+    * raster directly, so the written indices are byte-exact.
+    */
+  private[graft] def encodeGifIndexed(
+      wi: Int, hi: Int, px: String, interlaced: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        raster.setSample(x, y, 0, px.charAt(i) & 0xff)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    // the JDK GIF writer INTERLACES BY DEFAULT (its default stream
+    // metadata sets the flag — probed empirically), so sequential rows
+    // need an explicit MODE_DISABLED; interlace is MODE_DEFAULT
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(
+      if (interlaced) javax.imageio.ImageWriteParam.MODE_DEFAULT
+      else javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
   /** Synthesize a YUV4MPEG2 (y4m) media table with REAL frames: three
     * C444 frames per clip, planes = ASCII md5-hex bytes (the
     * [[mediaTablePpm]] convention — the oracle rebuilds each plane

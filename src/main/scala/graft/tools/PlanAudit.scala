@@ -664,6 +664,19 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("gif_decode") {
+      // 16gd. GIF pixel decode: LZW + container walk ride the static
+      //       kernel — one fused map-only codegen expression, same shape
+      //       as png_decode. No Exchange/Generate/Python.
+      val gifPlan = plan(docs.select(
+        graft.functions.GifDecode(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")).as("r")))
+      check("gif_decode: fused map-only codegen", gifPlan,
+        mustContain = Seq("*(1) Project [gif_decode("),
+        mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
+    }
+
     guarded("wordpiece_encode") {
       // 16wp. WordPiece encode: the vocab rides the closure as per-length
       //       hash sets — one fused map-only expression, same shape as
