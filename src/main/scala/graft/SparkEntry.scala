@@ -1768,6 +1768,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL GIF ENCODE (the write path): palette-exact P6 in,
+    //      from-scratch LZW-compressed GIF out, pinned through the
+    //      decode-of-encode composition (GifDecodeSpec additionally
+    //      decodes this encoder's output with javax.imageio to break
+    //      own-decoder circularity). A poisoned non-palette pixel every
+    //      7th row → null (exact reverse lookup, never quantization) ----
+    "q_multimodal_gif_write" -> ((s, dir) => {
+      import graft.functions.{GifDecode, GifEncode}
+      Multimodal.mediaTablePpmPalette(s, Tables.documents(s, dir))
+        .select(col("media_id"),
+          GifDecode(GifEncode(col("payload"))).as("__g"))
+        .select(
+          col("media_id"),
+          col("__g.width").as("width"),
+          col("__g.height").as("height"),
+          col("__g.n_px").as("n_px"),
+          col("__g.sum_r").as("sum_r"),
+          col("__g.sum_g").as("sum_g"),
+          col("__g.sum_b").as("sum_b"),
+          col("__g.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL PNG ENCODE (the write path): P6 in, from-scratch PNG out
     //      (filter-0 scanlines + Deflater + chunk CRCs), pinned through
     //      the decode-of-encode composition — the encoded BYTES are
@@ -5211,6 +5234,47 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE w END AS width,
         |  CASE WHEN bad THEN NULL ELSE h END AS height,
         |  CASE WHEN bad THEN NULL ELSE CAST(256 AS INTEGER) END AS gct_size,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |      pi -> printf('%02x%02x%02x',
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // GIF encode: decode-of-encode over the palette-exact P6 table —
+    // identical positional recompute to the gif decode oracle (the px
+    // chars ARE the indices), minus gct_size (the composition's internal)
+    "q_multimodal_gif_write" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) AS INTEGER)) AS px,
+        |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
         |    range(0, CAST(w * h AS BIGINT)),

@@ -226,6 +226,11 @@ object GraftExtensions {
         exprs.head,
         strArg(exprs(1), "vocab").split(',').toSeq
           .map(_.trim).filter(_.nonEmpty).distinct)),
+    fn("gif_encode",
+      "gif_encode(p6_bytes) - real GIF encode (the write path): " +
+        "palette-exact binary P6 in, from-scratch LZW GIF89a out; null " +
+        "when a pixel is not a palette color", 1)(
+      exprs => GifEncode(exprs.head)),
     fn("gif_decode",
       "gif_decode(bytes) - real GIF pixel decode (from-scratch LZW, " +
         "sequential + interlaced, first full frame): (width, height, " +

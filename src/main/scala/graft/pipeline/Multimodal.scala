@@ -471,6 +471,60 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Synthesize a P6 media table whose pixels are EXACT colors of the
+    * shared [[paletteEntry]] colormap (index = the md5 px char), for the
+    * GIF WRITE gate: [[graft.functions.GifEncode]]'s reverse lookup must
+    * recover each index exactly. Row mix: every fifth row raw text
+    * (wrong magic → null), every seventh a NON-palette pixel poisoning
+    * the raster (g channel bumped — encode must refuse, not quantize).
+    */
+  def mediaTablePpmPalette(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 5).substr(lit(1), (w * h).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case _ =>
+            val header = s"P6\n${r.w} ${r.h}\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + 3 * r.w * r.h)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var i = 0
+            while (i < r.w * r.h) {
+              val j = r.px.charAt(i) & 0xff
+              val p = header.length + 3 * i
+              out(p) = ((j * 7 + 13) % 256).toByte
+              out(p + 1) = ((j * 11 + 5) % 256).toByte
+              out(p + 2) = ((j * 3 + 77) % 256).toByte
+              i += 1
+            }
+            if (r.kind == 2) // poison one pixel off the palette
+              out(header.length + 1) = (out(header.length + 1) + 1).toByte
+            out
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Index raster → real GIF through javax.imageio ("gif" writer;
     * progressive mode = the 4-pass interlace). Samples are set on the
     * raster directly, so the written indices are byte-exact.

@@ -677,6 +677,19 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
     }
 
+    guarded("gif_encode") {
+      // 16ge. GIF encode→decode composition: both kernels fuse into ONE
+      //       map-only projection — no Exchange, no intermediate
+      //       materialization between write and read paths.
+      val gePlan = plan(docs.select(
+        graft.functions.GifDecode(graft.functions.GifEncode(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8"))).as("r")))
+      check("gif_encode∘gif_decode: one fused map-only projection", gePlan,
+        mustContain = Seq("*(1) Project [gif_decode(gif_encode("),
+        mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
+    }
+
     guarded("wordpiece_encode") {
       // 16wp. WordPiece encode: the vocab rides the closure as per-length
       //       hash sets — one fused map-only expression, same shape as

@@ -117,4 +117,75 @@ class GifDecodeSpec extends SparkSpec {
     val out = spark.sql("SELECT gif_decode(b).n_px AS n FROM gif_docs").head()
     assert(out.getLong(0) == 6L)
   }
+
+  // ---- the write path: GifEncode (from-scratch LZW compressor) ----------
+
+  private def p6Of(wi: Int, hi: Int, idx: Seq[Int]): Array[Byte] = {
+    val header = s"P6\n$wi $hi\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * wi * hi)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (i <- 0 until wi * hi) {
+      val (r, g, b) = pal(idx(i))
+      out(header.length + 3 * i) = r.toByte
+      out(header.length + 3 * i + 1) = g.toByte
+      out(header.length + 3 * i + 2) = b.toByte
+    }
+    out
+  }
+
+  test("encode round-trip: GifDecode(GifEncode(p6)) == raster, JDK reader agrees") {
+    for ((wi, hi) <- Seq((2, 2), (6, 3), (7, 6))) {
+      val idx = (0 until wi * hi).map(i => px.charAt(i).toInt)
+      val gif = graft.functions.GifEncode.encode(p6Of(wi, hi, idx))
+      assert(gif != null)
+      val r = graft.functions.GifDecode.decode(gif)
+      assert(r != null)
+      val (sr, sg, sb, tb) = expected(wi, hi)
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((sr, sg, sb)))
+      assert(r.getString(7) == tb)
+      // independent LZW decoder: the JDK reader reproduces the indices
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      assert(img.getWidth == wi && img.getHeight == hi)
+      for (i <- 0 until wi * hi)
+        assert(img.getRaster.getSample(i % wi, i / wi, 0) == idx(i),
+          s"${wi}x$hi pixel $i (JDK reader vs source index)")
+    }
+  }
+
+  test("encode: table-full CLEAR path (large varied raster) survives both decoders") {
+    // 128x64 = 8192 px of a high-variety deterministic pattern fills the
+    // 4096-entry table and forces the mid-stream CLEAR + reset
+    val wi = 128; val hi = 64
+    val idx = (0 until wi * hi).map(i => (i * 37 + (i * i % 251)) % 256)
+    val gif = graft.functions.GifEncode.encode(p6Of(wi, hi, idx))
+    assert(gif != null)
+    val r = graft.functions.GifDecode.decode(gif)
+    assert(r != null && r.getLong(3) == wi.toLong * hi)
+    var er = 0L
+    idx.foreach(j => er += pal(j)._1)
+    assert(r.getLong(4) == er)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (i <- 0 until wi * hi)
+      assert(img.getRaster.getSample(i % wi, i / wi, 0) == idx(i))
+  }
+
+  test("encode: constant raster compresses (LZW table actually reused)") {
+    val wi = 32; val hi = 32
+    val gif = graft.functions.GifEncode.encode(p6Of(wi, hi, Seq.fill(wi * hi)(55)))
+    assert(gif != null)
+    // 1024 px → far fewer than 1024 code emissions; header+GCT is 781 B
+    assert(gif.length < 781 + 200, s"constant image should compress, got ${gif.length}")
+    val r = graft.functions.GifDecode.decode(gif)
+    assert(r.getLong(4) == 1024L * pal(55)._1)
+  }
+
+  test("encode: non-palette pixel and malformed P6 refuse with null") {
+    val good = p6Of(3, 2, Seq(1, 2, 3, 4, 5, 6))
+    val poisoned = good.clone()
+    poisoned(good.length - 2) = (poisoned(good.length - 2) + 1).toByte // g channel off
+    assert(graft.functions.GifEncode.encode(poisoned) == null)
+    assert(graft.functions.GifEncode.encode("P5\n2 2\n255\n0000".getBytes) == null)
+    assert(graft.functions.GifEncode.encode(java.util.Arrays.copyOf(good, good.length - 1)) == null)
+    assert(graft.functions.GifEncode.encode(Array.empty[Byte]) == null)
+  }
 }
