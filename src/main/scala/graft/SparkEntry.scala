@@ -547,6 +547,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Winnowing candidate pairs (the MOSS detector end-to-end):
+    //      docs sharing >= 2 selected fingerprint hashes, hot cut at
+    //      df > 500 (the boilerplate fingerprints — same lever as
+    //      q_dedup_ngram), overlap over kept-fingerprint set sizes.
+    //      Rides the shared inverted-list pair engine: the fingerprint
+    //      index is ~w x smaller than the shingle miners' ----------------
+    "q_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, w = 4, minShared = 2L, maxDf = Some(500L))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- Exact dedup on documents: md5 grouping (LLM-pipeline op)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "text", "doc_id").orderBy("canonical_id")
@@ -2523,6 +2535,36 @@ object SparkEntry {
        |  FROM q
        |)""".stripMargin
 
+  /** Shared winnowing replay chain (q_winnow + q_winnow_pairs): trigram
+    * md5-60 hashes, one row per w=4 window position, rightmost-minimum
+    * selection via the composite HUGEINT (h, -pos) key. Ends defining
+    * `e` (doc_id, pos, h), `gc` (doc_id, ng) and `fp` (doc_id, sel).
+    */
+  private val WinnowChainCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
+      |  FROM t WHERE len(w) >= 3
+      |), e AS (
+      |  SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos,
+      |         ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h
+      |  FROM sh
+      |), gc AS (
+      |  SELECT doc_id, count(*) AS ng FROM e GROUP BY doc_id
+      |), wp AS (
+      |  SELECT doc_id, unnest(range(1, greatest(ng - 3, 1) + 1)) AS p FROM gc
+      |), win AS (
+      |  SELECT wp.doc_id, wp.p,
+      |    arg_min(e.pos, e.h::HUGEINT * 4294967296 + (4294967295 - e.pos)) AS sel
+      |  FROM wp JOIN e ON e.doc_id = wp.doc_id
+      |    AND e.pos >= wp.p AND e.pos < wp.p + 4
+      |  GROUP BY wp.doc_id, wp.p
+      |), fp AS (
+      |  SELECT DISTINCT doc_id, sel FROM win
+      |)""".stripMargin
+
   private val MinhashBandedCte: String = {
     // base = lower-60-bit md5 of the shingle, plane hash =
     // (base * A_p) mod 2^60 (HUGEINT product — 2^60 divides 2^64, so it
@@ -3043,44 +3085,50 @@ object SparkEntry {
     // minimum via arg_min(pos, [h, -pos]), DISTINCT selected pairs; G < w
     // collapses to one window (greatest(ng-3, 1)); no-gram docs → md5('')
     "q_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS g
-        |  FROM t WHERE len(w) >= 3
-        |), e AS (
-        |  SELECT doc_id, unnest(range(1, len(g) + 1)) AS pos,
-        |         ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h
-        |  FROM sh
-        |), gc AS (
-        |  SELECT doc_id, count(*) AS ng FROM e GROUP BY doc_id
-        |), wp AS (
-        |  SELECT doc_id, unnest(range(1, greatest(ng - 3, 1) + 1)) AS p FROM gc
-        |), win AS (
-        |  -- rightmost minimum: one HUGEINT key (h, -pos) — min h first,
-        |  -- then max pos (arg_min takes no composite comparator)
-        |  SELECT wp.doc_id, wp.p,
-        |    arg_min(e.pos, e.h::HUGEINT * 4294967296 + (4294967295 - e.pos)) AS sel
-        |  FROM wp JOIN e ON e.doc_id = wp.doc_id
-        |    AND e.pos >= wp.p AND e.pos < wp.p + 4
-        |  GROUP BY wp.doc_id, wp.p
-        |), fp AS (
-        |  SELECT DISTINCT doc_id, sel FROM win
-        |), fps AS (
-        |  SELECT f.doc_id, count(*) AS n_fp,
-        |         string_agg(e.h || ':' || f.sel, ' ' ORDER BY f.sel) AS stream
-        |  FROM fp f JOIN e ON e.doc_id = f.doc_id AND e.pos = f.sel
-        |  GROUP BY f.doc_id
-        |)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(gc.ng, 0) AS BIGINT) AS n_grams,
-        |  CAST(coalesce(fps.n_fp, 0) AS BIGINT) AS n_fp,
-        |  md5(coalesce(fps.stream, '')) AS fp_md5
-        |FROM documents d
-        |LEFT JOIN gc ON d.doc_id = gc.doc_id
-        |LEFT JOIN fps ON d.doc_id = fps.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$WinnowChainCte
+         |, fps AS (
+         |  SELECT f.doc_id, count(*) AS n_fp,
+         |         string_agg(e.h || ':' || f.sel, ' ' ORDER BY f.sel) AS stream
+         |  FROM fp f JOIN e ON e.doc_id = f.doc_id AND e.pos = f.sel
+         |  GROUP BY f.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(gc.ng, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(fps.n_fp, 0) AS BIGINT) AS n_fp,
+         |  md5(coalesce(fps.stream, '')) AS fp_md5
+         |FROM documents d
+         |LEFT JOIN gc ON d.doc_id = gc.doc_id
+         |LEFT JOIN fps ON d.doc_id = fps.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // winnow candidate pairs: DISTINCT selected fingerprint hashes per
+    // doc, hot cut (df > 500 dropped — the boilerplate fingerprints), a
+    // doc-pair join on shared hashes, shared >= 2, overlap over the
+    // kept-fingerprint sizes — exactly Dedup.winnowPairs' arithmetic
+    "q_winnow_pairs" ->
+      s"""$WinnowChainCte
+         |, fph AS (
+         |  SELECT DISTINCT f.doc_id, e.h
+         |  FROM fp f JOIN e ON e.doc_id = f.doc_id AND e.pos = f.sel
+         |), dfs AS (
+         |  SELECT h, count(*) AS df FROM fph GROUP BY h
+         |), kept AS (
+         |  SELECT fph.doc_id, fph.h FROM fph JOIN dfs USING (h) WHERE df <= 500
+         |), ksz AS (
+         |  SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, shared,
+         |  CAST(shared AS DOUBLE) / least(ka.nk, kb.nk) AS overlap
+         |FROM pr
+         |JOIN ksz ka ON ka.doc_id = pr.id_a
+         |JOIN ksz kb ON kb.doc_id = pr.id_b
+         |WHERE shared >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_token_budget_bpe" ->
       Bpe.oracleSqlTokenBudget("documents", vocabCap = 2048, maxMerges = 48,

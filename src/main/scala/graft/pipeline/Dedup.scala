@@ -219,6 +219,49 @@ object Dedup {
       .select("__p.*")
   }
 
+  /** Winnowing candidate pairs — the MOSS detector end-to-end: documents
+    * sharing at least `minShared` selected fingerprint hashes
+    * ([[graft.functions.WinnowFingerprint]]), with the guaranteed-
+    * detection property (any shared run of n+w−1 words shares a
+    * fingerprint, so a sufficiently long verbatim overlap CANNOT evade
+    * the pair stage — MinHash gives no such guarantee). Output:
+    * (id_a < id_b, shared, overlap = shared / min(|fp_a|, |fp_b|)).
+    *
+    * Scale shape: fingerprints are a ~1/w SAMPLE of the gram stream, so
+    * the inverted index is w× smaller than the shingle miners' before
+    * the same machinery runs ([[ngramJaccardPairs]]'s inverted-list
+    * generation, hot cut and fail-fast budget — a corpus-hot boilerplate
+    * fingerprint is the same single-key bomb a hot shingle is).
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      w: Int,
+      minShared: Long,
+      maxDf: Option[Long] = None,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    val sets = pin(df
+      .select(
+        col(idCol).as("__id"),
+        graft.functions.WinnowFingerprint(col(textCol), n, w)
+          .getField("fp_stream").as("__fp"))
+      .select(
+        col("__id"),
+        array_sort(array_distinct(transform(
+          // empty stream → split("") = [""], filtered out before the cast
+          filter(split(col("__fp"), " "), s => s =!= ""),
+          s => split(s, ":").getItem(0).cast("long")))).as("__set"))
+      .withColumn("__n", size(col("__set"))))
+    pairSharedCountsFrom(sets, maxDf, maxCandidates, "winnowPairs")
+      .filter(col("shared") >= minShared)
+      .select(
+        col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("overlap"))
+  }
+
   /** Shared engine of the exact pair miners: candidate pairs with exact
     * integer shared-shingle counts and per-doc (hot-cut-corrected) set
     * sizes — (id_a < id_b, shared, n_a, n_b). See [[ngramJaccardPairs]]
@@ -233,8 +276,19 @@ object Dedup {
       n: Int,
       maxDf: Option[Long],
       maxCandidates: Option[Long],
+      what: String): DataFrame =
+    pairSharedCountsFrom(shingleSets(df, idCol, textCol, n), maxDf, maxCandidates, what)
+
+  /** The inverted-list shared-count engine over ANY pinned per-document
+    * key-set frame (__id, __set: distinct 64-bit keys, __n) — shingle
+    * hashes (Jaccard/containment) and winnowing fingerprint hashes ride
+    * the identical machinery.
+    */
+  private def pairSharedCountsFrom(
+      sets: DataFrame,
+      maxDf: Option[Long],
+      maxCandidates: Option[Long],
       what: String): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
     val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
     // fail-fast cost guard: the exact measure generates Σ df·(df−1)/2
     // co-occurrence rows, which is O(|corpus|²) when the shingle

@@ -716,6 +716,17 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "Window", "BatchEvalPython"))
     }
 
+    guarded("winnow pairs") {
+      // 16wnp. winnow pair mining rides the inverted-list engine: the
+      //        pair burst is GENERATED map-side (posexplode + slice), not
+      //        an index self-join; no cartesian anywhere.
+      val wpPairs = graft.pipeline.Dedup.winnowPairs(
+        docs, "doc_id", "text", n = 3, w = 4, minShared = 2L, maxDf = Some(500L))
+      check("winnow pairs: inverted-list generation (no cartesian)", plan(wpPairs),
+        mustContain = Seq("Generate"),
+        mustNot = Seq("Cartesian", "BatchEvalPython"))
+    }
+
     guarded("pii scan") {
       // 17. PII scan: codegen'd regexp projection, map-only
       val pii = graft.pipeline.TextAnalysis.piiScan(docs, "doc_id", "text")

@@ -85,6 +85,37 @@ class WinnowSpec extends SparkSpec {
     assert(sels.toSeq == Seq(4, 5, 6, 7, 8))
   }
 
+  test("winnowPairs equals a driver brute force (incl. the hot cut and overlap)") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val maxDf = 50L
+    val got = graft.pipeline.Dedup.winnowPairs(
+        docs, "doc_id", "text", n = 3, w = 4, minShared = 2L, maxDf = Some(maxDf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // brute force from the fused fingerprints
+    val fps = docs.select(col("doc_id"),
+        graft.functions.WinnowFingerprint(col("text"), 3, 4)
+          .getField("fp_stream").as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).map(_.split(":")(0).toLong).toSet)
+    val df = fps.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val kept = fps.map { case (id, s) => id -> s.filter(h => df(h) <= maxDf) }
+    val exp = (for {
+      i <- kept.indices; j <- (i + 1) until kept.length
+      (ia, sa) = kept(i); (ib, sb) = kept(j)
+      shared = (sa & sb).size.toLong
+      if shared >= 2
+      (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+    } yield (a, b) -> (shared, shared.toDouble / math.min(sa.size, sb.size))).toMap
+    assert(got.keySet == exp.keySet,
+      s"pair sets differ: extra=${got.keySet -- exp.keySet}, missing=${exp.keySet -- got.keySet}")
+    for ((k, v) <- exp) assert(got(k) == v, s"pair $k")
+    assert(exp.nonEmpty, "the corpus must actually produce pairs")
+  }
+
   test("SQL registration works") {
     graft.functions.GraftExtensions.register(spark)
     val out = spark.sql(
