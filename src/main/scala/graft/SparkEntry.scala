@@ -547,6 +547,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- REAL Unigram-LM encode (Kudo 2018 / SentencePiece): Viterbi
+    //      segmentation maximizing total INTEGER piece score — the third
+    //      tokenizer family (BPE replays merges, WordPiece is greedy,
+    //      unigram is globally optimal; spec pins a case where greedy
+    //      and Viterbi differ). The oracle unrolls the forward pass +
+    //      backtrack as 2x24 list-op layers over the distinct-word
+    //      state. Same word stream as the other tokenizers -------------
+    "q_tokenize_unigram" -> ((s, dir) => {
+      import graft.functions.UnigramEncode
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          UnigramEncode(col("text"), UnigramEncode.GateVocab).as("__u"))
+        .select(
+          col("doc_id"),
+          col("__u.n_words").as("n_words"),
+          col("__u.n_tokens").as("n_tokens"),
+          col("__u.n_unk").as("n_unk"),
+          md5(col("__u.segmented")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Winnowing candidate pairs (the MOSS detector end-to-end):
     //      docs sharing >= 2 selected fingerprint hashes, hot cut at
     //      df > 500 (the boilerplate fingerprints — same lever as
@@ -3079,6 +3101,13 @@ object SparkEntry {
     "q_tokenize_wordpiece" ->
       graft.functions.WordPieceEncode.oracleSql(
         "documents", graft.functions.WordPieceEncode.GateVocab),
+
+    // Unigram Viterbi replayed as unrolled forward + backtrack layers
+    // (integer scores — no libm; tie-break = the (−total, j, piece)
+    // struct sort, the operator's contract)
+    "q_tokenize_unigram" ->
+      graft.functions.UnigramEncode.oracleSql(
+        "documents", graft.functions.UnigramEncode.GateVocab),
 
     // winnowing fingerprints replayed relationally: trigram md5-60 hashes
     // (the MinhashBandedCte idiom), one row per window position, rightmost

@@ -236,6 +236,20 @@ object GraftExtensions {
         "sequential + interlaced, first full frame): (width, height, " +
         "gct_size, n_px, sum_r, sum_g, sum_b, thumb_hex)", 1)(
       exprs => GifDecode(exprs.head)),
+    fn("unigram_encode",
+      "unigram_encode(text, 'piece:score,piece:score,...') - Unigram-LM " +
+        "(SentencePiece) Viterbi segmentation over integer piece scores: " +
+        "(n_words, n_tokens, n_unk, segmented); whole-word [UNK] when a " +
+        "position is unreachable", 2)(
+      exprs => UnigramEncode(
+        exprs.head,
+        strArg(exprs(1), "vocab").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty).map { e =>
+            val i = e.lastIndexOf(':')
+            require(i > 0 && i < e.length - 1,
+              s"unigram_encode vocab entry '$e' must be 'piece:score'")
+            (e.substring(0, i), e.substring(i + 1).toLong)
+          })),
     fn("winnow_fingerprint",
       "winnow_fingerprint(text, n, w) - MOSS winnowing fingerprints: " +
         "rightmost window minima over word n-gram md5-60 hashes: " +

@@ -703,6 +703,19 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("unigram_encode") {
+      // 16ue. Unigram Viterbi encode: the model rides the closure as
+      //       per-length hash maps — one fused map-only expression, the
+      //       bpe_encode/wordpiece shape.
+      val uePlan = plan(docs.select(
+        graft.functions.UnigramEncode(
+          org.apache.spark.sql.functions.col("text"),
+          graft.functions.UnigramEncode.GateVocab).as("r")))
+      check("unigram_encode: fused map-only codegen", uePlan,
+        mustContain = Seq("*(1) Project [unigram_encode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+    }
+
     guarded("winnow_fingerprint") {
       // 16wn. winnowing fingerprints: hashing + window selection fused in
       //       one map-only monotonic-deque pass — the relational form
