@@ -1802,6 +1802,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL BMP pixel decode (Windows DIB, 24-bit BI_RGB): the
+    //      bottom-up row order, the 4-byte row padding and the BGR
+    //      sample order are the traps — a flipped decode passes the
+    //      sums and fails the POSITIONED thumb; an unpadded walk
+    //      desyncs every row after the first -----------------------------
+    "q_multimodal_bmp" -> ((s, dir) => {
+      import graft.functions.BmpDecode
+      Multimodal.mediaTableBmp(s, Tables.documents(s, dir))
+        .select(col("media_id"), BmpDecode(col("payload")).as("__b"))
+        .select(
+          col("media_id"),
+          col("__b.width").as("width"),
+          col("__b.height").as("height"),
+          col("__b.n_px").as("n_px"),
+          col("__b.sum_r").as("sum_r"),
+          col("__b.sum_g").as("sum_g"),
+          col("__b.sum_b").as("sum_b"),
+          col("__b.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL GIF ENCODE (the write path): palette-exact P6 in,
     //      from-scratch LZW-compressed GIF out, pinned through the
     //      decode-of-encode composition (GifDecodeSpec additionally
@@ -5332,6 +5353,46 @@ object SparkEntry {
         |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
         |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
         |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // BMP decode: positional recompute over the RGB raster convention
+    // (px chars consumed 3 per pixel — the mediaTablePng arm)
+    "q_multimodal_bmp" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 7), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+        |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> ascii(substr(px, CAST(3 * i + 3 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |      pi -> printf('%02x%02x%02x',
+        |        ascii(substr(px, CAST(3 * pi + 1 AS INTEGER), 1)),
+        |        ascii(substr(px, CAST(3 * pi + 2 AS INTEGER), 1)),
+        |        ascii(substr(px, CAST(3 * pi + 3 AS INTEGER), 1)))),
         |    'string_agg', '')
         |  END AS thumb_hex
         |FROM d ORDER BY media_id""".stripMargin,

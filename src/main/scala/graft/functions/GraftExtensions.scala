@@ -231,6 +231,11 @@ object GraftExtensions {
         "palette-exact binary P6 in, from-scratch LZW GIF89a out; null " +
         "when a pixel is not a palette color", 1)(
       exprs => GifEncode(exprs.head)),
+    fn("bmp_decode",
+      "bmp_decode(bytes) - real BMP pixel decode (24-bit BI_RGB, " +
+        "bottom-up or top-down): (width, height, n_px, sum_r, sum_g, " +
+        "sum_b, thumb_hex)", 1)(
+      exprs => BmpDecode(exprs.head)),
     fn("gif_decode",
       "gif_decode(bytes) - real GIF pixel decode (from-scratch LZW, " +
         "sequential + interlaced, first full frame): (width, height, " +

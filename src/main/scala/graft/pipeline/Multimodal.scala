@@ -471,6 +471,49 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Synthesize a BMP media table from the [[mediaTablePng]] RGB raster
+    * convention (px chars consumed 3 per pixel), encoded as REAL 24-bit
+    * BI_RGB BMP through `javax.imageio` — bottom-up rows, 4-byte row
+    * padding, BGR samples, all of which [[graft.functions.BmpDecode]]
+    * must invert for the positional oracle to match. Every fifth row raw
+    * text (wrong magic → null), every seventh truncated inside the pixel
+    * array (→ null).
+    */
+  def mediaTableBmp(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 7).substr(lit(1), (w * h * 3).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            val full = encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          case _ => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Synthesize a P6 media table whose pixels are EXACT colors of the
     * shared [[paletteEntry]] colormap (index = the md5 px char), for the
     * GIF WRITE gate: [[graft.functions.GifEncode]]'s reverse lookup must

@@ -664,6 +664,17 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("bmp_decode") {
+      // 16bd. BMP pixel decode: fused map-only, the png_decode shape.
+      val bmpPlan = plan(docs.select(
+        graft.functions.BmpDecode(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8")).as("r")))
+      check("bmp_decode: fused map-only codegen", bmpPlan,
+        mustContain = Seq("*(1) Project [bmp_decode("),
+        mustNot = Seq("Exchange", "Generate", "BatchEvalPython"))
+    }
+
     guarded("gif_decode") {
       // 16gd. GIF pixel decode: LZW + container walk ride the static
       //       kernel — one fused map-only codegen expression, same shape
