@@ -69,9 +69,10 @@ object TokenEntropy {
 
     // Open-addressing token→count map over (start, end) slices — no
     // per-token String allocation. Power-of-two capacity ≥ 2n so the
-    // load factor stays ≤ 0.5.
+    // load factor stays ≤ 0.5. The long comparison guards the int
+    // doubling against a pathological >2^30-token document.
     var cap = 8
-    while (cap < n * 2) cap <<= 1
+    while (cap.toLong < n.toLong * 2 && cap < (1 << 30)) cap <<= 1
     val slotStart = new Array[Int](cap)
     val slotEnd = new Array[Int](cap)
     val slotCount = new Array[Int](cap)
