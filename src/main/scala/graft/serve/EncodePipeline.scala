@@ -33,7 +33,29 @@ object EncodePipeline {
     * close() in a finally — a no-op after exhaustion or failure, the
     * only reclaim path after mid-stream abandonment.
     */
-  def mapOrdered[A, B](it: Iterator[A], parallelism: Int)(f: A => B): Iterator[B] with AutoCloseable = {
+  def mapOrdered[A, B](it: Iterator[A], parallelism: Int)(f: A => B): Iterator[B] with AutoCloseable =
+    mapOrderedBudgeted(it, parallelism, Long.MaxValue, (_: B) => 0L)(f)
+
+  /** [[mapOrdered]] with a BYTE BUDGET on completed-but-unconsumed
+    * results: new tasks are submitted only while the bytes of results
+    * sitting in the deque (per `sizeOf`, counted when a task completes,
+    * released when the consumer takes it) stay under `maxBufferedBytes`
+    * — except that ONE task is always allowed in flight, so a budget
+    * smaller than any single result degrades to a serial map rather
+    * than deadlocking. This is the pump-window OOM guard: a mis-sized
+    * partition layout (fat results) shrinks the effective window toward
+    * 1 instead of holding `parallelism + 1` fat buffers on the driver.
+    *
+    * The budget bounds SUBMISSION, not instantaneous residency: tasks
+    * already in flight when the budget trips still complete, so peak
+    * residency is ≤ budget + (parallelism + 1)·(largest single result)
+    * transiently after a healthy→fat transition, converging to
+    * ~1 result once the fat region is reached. Ordering, failure, and
+    * close() semantics are exactly [[mapOrdered]]'s.
+    */
+  def mapOrderedBudgeted[A, B](
+      it: Iterator[A], parallelism: Int,
+      maxBufferedBytes: Long, sizeOf: B => Long)(f: A => B): Iterator[B] with AutoCloseable = {
     if (parallelism <= 1) new Iterator[B] with AutoCloseable {
       private val m = it.map(f)
       def hasNext: Boolean = m.hasNext
@@ -41,6 +63,7 @@ object EncodePipeline {
       def close(): Unit = ()
     }
     else new Iterator[B] with AutoCloseable {
+      private val bufferedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
       private val pool = {
         val p = new java.util.concurrent.ThreadPoolExecutor(
           parallelism, parallelism, 30L, java.util.concurrent.TimeUnit.SECONDS,
@@ -59,9 +82,14 @@ object EncodePipeline {
 
       private def fill(): Unit = {
         if (shut) return // a closed pipeline reports exhaustion, never resubmits
-        while (inFlight.size() <= parallelism && it.hasNext) {
+        while (inFlight.size() <= parallelism && it.hasNext &&
+            (inFlight.isEmpty || bufferedBytes.get() < maxBufferedBytes)) {
           val a = it.next()
-          inFlight.addLast(pool.submit(() => f(a)))
+          inFlight.addLast(pool.submit(() => {
+            val b = f(a)
+            bufferedBytes.addAndGet(sizeOf(b))
+            b
+          }))
         }
       }
 
@@ -77,8 +105,11 @@ object EncodePipeline {
 
       def next(): B = {
         if (!hasNext) throw new NoSuchElementException
-        try inFlight.removeFirst().get()
-        catch {
+        try {
+          val b = inFlight.removeFirst().get()
+          bufferedBytes.addAndGet(-sizeOf(b))
+          b
+        } catch {
           case e: java.util.concurrent.ExecutionException =>
             shutdown()
             throw e.getCause // the original encode failure, serial-drain style

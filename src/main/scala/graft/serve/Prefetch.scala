@@ -67,8 +67,11 @@ object Prefetch {
     * Output is row-identical to the serial drain (spec-pinned).
     *
     * Memory: at most window+1 partition results held on the driver
-    * (vs 1 for toLocalIterator) — size partitions accordingly at scale
-    * (spark.sql.shuffle.partitions already governs this).
+    * (vs 1 for toLocalIterator) on the healthy path, AND at most
+    * [[DefaultMaxBufferedBytes]] of completed results when partitions
+    * turn out fat — the byte budget shrinks the effective window toward
+    * serial instead of letting a mis-sized layout OOM the driver
+    * (spark.sql.shuffle.partitions governs the healthy sizing).
     *
     * The r12 runJob trap does not apply: that pump java-serialized
     * GenericRow arrays through the task-result channel (1.5× SLOWER);
@@ -77,6 +80,15 @@ object Prefetch {
     * the exact toLocalIterator deserializer (RowEncoder) for parity.
     */
   private[serve] val DefaultPumpWindow = 4
+
+  /** Default cap on completed-but-unconsumed partition-result bytes held
+    * by the windowed pump (config `spark.graft.serve.pump.maxBufferedBytes`,
+    * estimated from UnsafeRow sizes). 256 MiB ≈ 4 healthy 64 MiB
+    * partitions — far above the healthy serve path (10k-row chunks), so
+    * the budget only engages when partition sizing is wrong, where it
+    * degrades the window toward the serial drain's 1-partition residency.
+    */
+  private[serve] val DefaultMaxBufferedBytes: Long = 256L << 20
 
   private case object End
   private final case class Err(t: Throwable)
@@ -213,7 +225,21 @@ object Prefetch {
     val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
       .resolveAndBind()
-    val parts = EncodePipeline.mapOrdered((0 until n).iterator, window) { p =>
+    // Byte budget on completed-but-unconsumed partition results (the
+    // 100× OOM guard): window-k concurrency is the HEALTHY-path default,
+    // but a mis-partitioned history (fat partition results) must not pin
+    // window+1 fat buffers on the driver where a serial toLocalIterator
+    // would have survived with 1. Size is estimated from the UnsafeRow
+    // bytes that actually crossed the task-result channel (the external
+    // Row conversion adds a proportional constant on top — the budget is
+    // a governor, not an accountant). One partition is always allowed in
+    // flight, so budget < one partition degrades to the serial drain.
+    val maxBuffered = df.sparkSession.conf
+      .get("spark.graft.serve.pump.maxBufferedBytes",
+        DefaultMaxBufferedBytes.toString).toLong
+    val parts = EncodePipeline.mapOrderedBudgeted(
+      (0 until n).iterator, window, maxBuffered,
+      (r: (Array[Row], Long)) => r._2) { p =>
       jobGroup.foreach { case (g, d) =>
         sc.setJobGroup(g, d, interruptOnCancel = true)
       }
@@ -226,15 +252,21 @@ object Prefetch {
           buf.toArray
         },
         Seq(p)).head
+      var bytes = 0L
+      raw.foreach {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          bytes += u.getSizeInBytes
+        case _ => bytes += 32L + 16L * schema.length // non-Unsafe fallback
+      }
       val fromRow = encoder.createDeserializer()
-      raw.map(fromRow): Array[Row]
+      (raw.map(fromRow): Array[Row], bytes)
     }
     new Iterator[Row] with AutoCloseable {
       private var cur: Array[Row] = null
       private var pos = 0
       def hasNext: Boolean = {
         while ((cur == null || pos >= cur.length) && parts.hasNext) {
-          cur = parts.next(); pos = 0
+          cur = parts.next()._1; pos = 0
         }
         cur != null && pos < cur.length
       }

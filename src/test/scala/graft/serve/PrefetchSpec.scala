@@ -131,6 +131,58 @@ class PrefetchSpec extends graft.SparkSpec {
     assert((poolThreads() -- before).isEmpty, "windowed fetch pool leaked threads")
   }
 
+  test("byte budget: a zero budget degrades mapOrderedBudgeted to a serial map") {
+    // fat-partition OOM guard (VERDICT r16 #4): when completed results'
+    // bytes exceed the budget, only one task may be in flight — the
+    // windowed pump converges to toLocalIterator's 1-partition residency
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val it = EncodePipeline.mapOrderedBudgeted(
+      (0 until 40).iterator, 4, 0L, (_: Int) => 1000L) { i =>
+      val c = inFlight.incrementAndGet()
+      maxConcurrent.updateAndGet(m => math.max(m, c))
+      Thread.sleep(5)
+      inFlight.decrementAndGet()
+      i * 2
+    }
+    try {
+      assert(it.toVector === (0 until 40).map(_ * 2).toVector)
+    } finally it.close()
+    assert(maxConcurrent.get() === 1, "zero budget must serialize the pool")
+  }
+
+  test("byte budget: a generous budget keeps the window concurrent") {
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val it = EncodePipeline.mapOrderedBudgeted(
+      (0 until 40).iterator, 4, 1L << 30, (_: Int) => 1000L) { i =>
+      val c = inFlight.incrementAndGet()
+      maxConcurrent.updateAndGet(m => math.max(m, c))
+      Thread.sleep(20)
+      inFlight.decrementAndGet()
+      i * 2
+    }
+    try {
+      assert(it.toVector === (0 until 40).map(_ * 2).toVector)
+    } finally it.close()
+    assert(maxConcurrent.get() > 1, "healthy-path budget must not serialize")
+  }
+
+  test("byte budget: a starved pump window still yields the exact row sequence") {
+    // budget 1 byte < any partition result: every fetch degrades to
+    // serial, output must stay row-identical to the healthy window
+    val df = spark.range(0, 8000).toDF("id")
+      .withColumn("v", col("id") * 7)
+      .repartition(6)
+      .orderBy("id")
+    val want = df.collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    spark.conf.set("spark.graft.serve.pump.maxBufferedBytes", "1")
+    try withWindow(4) {
+      val got = Prefetch.rows(df, None).map(r => (r.getLong(0), r.getLong(1))).toVector
+      assert(got === want)
+    } finally spark.conf.unset("spark.graft.serve.pump.maxBufferedBytes")
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
     def asScala: Seq[String] = {
       val b = Vector.newBuilder[String]
