@@ -1879,14 +1879,16 @@ object SparkEntry {
     //      swap flips rows across the population) and worst channel
     //      MAE <= 48 (sf10-measured max 40.4 across 285,714 images —
     //      the band carries tail headroom; uniform-noise output
-    //      measures ~85). Decode runs partition-batched through javax.imageio —
-    //      the labeled non-fused seam ----------------------------------
+    //      measures ~85). Decode runs the FROM-SCRATCH baseline kernel
+    //      (JpegDecode: Huffman + dequant + IDCT + bilinear chroma
+    //      upsample) as one fused map-only expression; the encode side
+    //      stays ImageIO, so the gate is a true cross-codec check ------
     "q_multimodal_jpeg" -> ((s, dir) => {
       // booleans ride as int 1/0/NULL: the driver's pandas comparator
       // maps numeric NULL→NaN cleanly, but a NULLABLE BOOLEAN column
       // lands as object-dtype None on one side only
-      Multimodal.decodeJpegBatched(
-          s, Multimodal.mediaTableJpeg(s, Tables.documents(s, dir)),
+      Multimodal.decodeJpegFused(
+          Multimodal.mediaTableJpeg(s, Tables.documents(s, dir)),
           meanTolerance = 3.0, maeTolerance = 48.0)
         .withColumn("in_band_r", col("in_band_r").cast("int"))
         .withColumn("in_band_g", col("in_band_g").cast("int"))

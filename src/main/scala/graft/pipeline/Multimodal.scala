@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.PngDecode]] (from-scratch Inflater + unfilter on
   * core JDK only), PCM WAV via [[graft.functions.PcmDecode]], Y4M via
   * [[graft.functions.Y4mSample]] — all hash-gated with exact sums.
-  * LOSSY codecs (JPEG) decode via `javax.imageio` on a partition-batched
-  * path ([[decodeJpegBatched]]) and are TOLERANCE-gated, because their
-  * decode output is implementation-defined (IDCT rounding) — a
-  * cross-engine exact-hash gate is impossible by the codec's nature, not
-  * by this container's. The deliberately codec-free byte-statistics
+  * LOSSY codecs (JPEG) decode for real too — the from-scratch
+  * [[graft.functions.JpegDecode]] baseline kernel, fused via
+  * [[decodeJpegFused]] — but are TOLERANCE-gated, because their decode
+  * output is implementation-defined (IDCT rounding) — a cross-engine
+  * exact-hash gate is impossible by the codec's nature, not by this
+  * container's. The partition-batched `javax.imageio` path
+  * ([[decodeJpegBatched]]) is retained as the independent cross-decoder
+  * the tolerance spec judges the kernel against. The deliberately codec-free byte-statistics
   * kernel remains only in [[extractFeatures]]/[[extractFeaturesArrow]],
   * whose point is the batched execution SHAPE (the `mapInPandas` seam)
   * rather than any particular codec. Payloads never shuffle except where
@@ -729,6 +732,36 @@ object Multimodal {
     * trades away exactly the high-frequency content that exercises the
     * codec.
     */
+  /** The FUSED tolerance path over the from-scratch kernel
+    * ([[graft.functions.JpegDecode]]): identical output schema and band
+    * semantics to [[decodeJpegBatched]], but decode + judge run as ONE
+    * map-only codegen expression ([[graft.functions.JpegBands]]) — no
+    * mapPartitions seam, no ImageIO. The gate rides this path; the
+    * batched ImageIO seam stays as the independent cross-decoder used
+    * by JpegToleranceSpec (encode is ImageIO there too, so the fused
+    * path is judged end-to-end against a foreign codec).
+    */
+  def decodeJpegFused(
+      media: DataFrame,
+      meanTolerance: Double,
+      maeTolerance: Double): DataFrame = {
+    import graft.functions.JpegBands
+    media
+      .select(
+        col("media_id"),
+        JpegBands(col("payload"), col("expected_px"),
+          meanTolerance, maeTolerance).as("__j"))
+      .select(
+        col("media_id"),
+        col("__j.width").as("width"),
+        col("__j.height").as("height"),
+        col("__j.n_px").as("n_px"),
+        col("__j.in_band_r").as("in_band_r"),
+        col("__j.in_band_g").as("in_band_g"),
+        col("__j.in_band_b").as("in_band_b"),
+        col("__j.in_band_mae").as("in_band_mae"))
+  }
+
   def decodeJpegBatched(
       spark: SparkSession,
       media: DataFrame,
