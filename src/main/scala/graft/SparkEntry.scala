@@ -45,6 +45,15 @@ object SparkEntry {
       _ => Bpe.trainMerges(Tables.documents(spark, dir), "text",
         vocabCap = 2048, maxMerges = 48, minPairCount = 2L))
 
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+
+  private[graft] def unigramVocabFor(
+      spark: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    unigramVocabCache.computeIfAbsent(
+      dir,
+      _ => graft.pipeline.Unigram.train(Tables.documents(spark, dir), "text"))
+
   private[graft] def labelsFor(spark: SparkSession, dir: String): Map[String, Seq[Long]] =
     labelsCache.computeIfAbsent(
       dir,
@@ -560,6 +569,42 @@ object SparkEntry {
         .select(
           col("doc_id"),
           UnigramEncode(col("text"), UnigramEncode.GateVocab).as("__u"))
+        .select(
+          col("doc_id"),
+          col("__u.n_words").as("n_words"),
+          col("__u.n_tokens").as("n_tokens"),
+          col("__u.n_unk").as("n_unk"),
+          md5(col("__u.segmented")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- REAL Unigram-LM TRAINING (Kudo 2018 Viterbi-EM + prune): the
+    //      gate pins the TRAINED VOCAB TABLE itself (rank, piece,
+    //      quantized integer score). The oracle RE-TRAINS in SQL: seed
+    //      substring counts, then per EM round the Viterbi forward +
+    //      backtrack unrolled as 2x24 layers with the vocab carried as
+    //      a list column from the previous round's CTE, then the prune
+    //      and final rescore — nothing inlined from the Spark run ------
+    "q_unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      unigramVocabFor(s, dir)
+        .zipWithIndex
+        .map { case ((p, score, _), i) => (i + 1L, p, score) }
+        .toDF("vrank", "piece", "score")
+        .orderBy("vrank")
+    }),
+
+    // ---- the TRAINED model feeding the production encode expression
+    //      (train → apply end-to-end, the BPE q_tokenize_bpe pattern):
+    //      the oracle RE-TRAINS and then RE-ENCODES with one more
+    //      unrolled Viterbi whose vocab flows from the re-trained CTE --
+    "q_tokenize_unigram_trained" -> ((s, dir) => {
+      import graft.functions.UnigramEncode
+      val vocab = unigramVocabFor(s, dir).map(v => (v._1, v._2))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          UnigramEncode(col("text"), vocab).as("__u"))
         .select(
           col("doc_id"),
           col("__u.n_words").as("n_words"),
@@ -3131,6 +3176,17 @@ object SparkEntry {
     "q_tokenize_unigram" ->
       graft.functions.UnigramEncode.oracleSql(
         "documents", graft.functions.UnigramEncode.GateVocab),
+
+    // Unigram TRAINING replayed end-to-end: seed → EM rounds (each a
+    // full unrolled Viterbi over the word-count state, vocab flowing
+    // between rounds as a CTE) → prune → rescore
+    "q_unigram_vocab" ->
+      graft.pipeline.Unigram.oracleSqlVocab("documents"),
+
+    // train → apply composed: re-train, re-encode with the re-trained
+    // vocab (3×(24+24) unrolled Viterbi layers in total)
+    "q_tokenize_unigram_trained" ->
+      graft.pipeline.Unigram.oracleSqlTokenizeTrained("documents"),
 
     // winnowing fingerprints replayed relationally: trigram md5-60 hashes
     // (the MinhashBandedCte idiom), one row per window position, rightmost

@@ -170,6 +170,12 @@ object UnigramEncode {
       toks
     }
 
+    /** The trainer's E-step surface ([[graft.pipeline.Unigram]]): the
+      * Viterbi pieces of ONE word under this model (`[UNK]` when any
+      * position is unreachable — the trainer skips those).
+      */
+    def segmentWord(word: String): Array[String] = segment(word)
+
     def encode(text: String): InternalRow = {
       val ws = graft.pipeline.Bpe.words(text)
       var nTok = 0L
