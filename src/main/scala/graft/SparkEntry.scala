@@ -2026,10 +2026,24 @@ object SparkEntry {
     //      rebuilds the identical blob in DuckDB and derives the byte
     //      statistics from its hex form. Exact parity with the per-row
     //      form is additionally asserted in MultimodalSpec.
-    "q_multimodal_features" -> ((s, dir) => {
+    "q_multimodal_bytestats" -> ((s, dir) => {
       Multimodal
         .extractFeaturesArrow(s, Multimodal.mediaTableEncoded(Tables.documents(s, dir)))
         .toDF()
+        .orderBy("media_id")
+    }),
+
+    // ---- DECODE-BACKED features over a MIXED-FORMAT corpus: the
+    //      MediaDecode sniff dispatches each payload to its from-scratch
+    //      kernel (P6/PNG/GIF/BMP/JPEG) and folds real channel sums +
+    //      the positioned thumb into the shared schema — the operator a
+    //      crawled corpus needs, where no format column exists. JPEG
+    //      sums are implementation-defined, so the hash gate nulls them
+    //      (q_multimodal_jpeg band-judges that codec); raw text and
+    //      truncated containers are the null rows ----------------------
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal
+        .decodedFeatures(Multimodal.mediaTableMixed(s, Tables.documents(s, dir)))
         .orderBy("media_id")
     }),
 
@@ -5600,11 +5614,84 @@ object SparkEntry {
         |FROM p
         |ORDER BY media_id""".stripMargin,
 
+    // DECODE-BACKED mixed-corpus features: positional recompute per
+    // format over the established raster conventions — RGB (3 chars per
+    // pixel) for ppm/png/bmp, palette indices (1 char per pixel, the
+    // shared formula colormap) for gif, geometry-only for jpeg (sums are
+    // implementation-defined — banded in q_multimodal_jpeg), all-null
+    // for raw text and truncated containers. The oracle never touches
+    // the container bytes
+    "q_multimodal_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    CAST(doc_id % 6 AS INTEGER) AS fmt,
+        |    substr(repeat(md5(text), 7), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) AS INTEGER)) AS px1,
+        |    (doc_id % 7 = 3 OR doc_id % 6 = 5) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE
+        |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+        |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' END
+        |  END AS format,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad OR fmt = 4 THEN NULL
+        |       WHEN fmt = 2 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px1, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px3, CAST(3 * i + 1 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad OR fmt = 4 THEN NULL
+        |       WHEN fmt = 2 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px1, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px3, CAST(3 * i + 2 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad OR fmt = 4 THEN NULL
+        |       WHEN fmt = 2 THEN CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> (ascii(substr(px1, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
+        |       ELSE CAST(list_sum(list_transform(
+        |         range(0, CAST(w * h AS BIGINT)),
+        |         i -> ascii(substr(px3, CAST(3 * i + 3 AS INTEGER), 1)))) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad OR fmt = 4 THEN NULL
+        |       WHEN fmt = 2 THEN list_aggregate(
+        |         list_transform(
+        |           flatten(list_transform([0, 1], ty ->
+        |             list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |           pi -> printf('%02x%02x%02x',
+        |             (ascii(substr(px1, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
+        |             (ascii(substr(px1, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
+        |             (ascii(substr(px1, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)),
+        |         'string_agg', '')
+        |       ELSE list_aggregate(
+        |         list_transform(
+        |           flatten(list_transform([0, 1], ty ->
+        |             flatten(list_transform([0, 1], tx ->
+        |               list_transform([0, 1, 2], ch ->
+        |                 3 * (((ty * h) // 2) * w + (tx * w) // 2) + ch + 1))))),
+        |           pos -> printf('%02x', ascii(substr(px3, CAST(pos AS INTEGER), 1)))),
+        |         'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // byte statistics over the SAME deterministic blob reconstruction as
     // q_multimodal_meta: n_bytes/byte_sum/head_byte derive from the hex
     // form (one int per hex pair), so the Arrow-batched kernel's output
     // is pinned cell-for-cell — no more rows-only entries
-    "q_multimodal_features" ->
+    "q_multimodal_bytestats" ->
       """WITH m AS (
         |  SELECT doc_id,
         |         CAST((n_chars % 300) + 16 AS INTEGER) AS w,

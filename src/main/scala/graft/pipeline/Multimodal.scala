@@ -952,6 +952,85 @@ object Multimodal {
         col("__img.color_type").as("color_type"),
         col("meta.origin").as("origin"))
 
+  /** Synthesize a MIXED-FORMAT media table — one payload column carrying
+    * five real containers plus junk, the shape of a crawled corpus where
+    * no format column exists: doc_id % 6 → 0 P6, 1 PNG (RGB), 2 GIF,
+    * 3 BMP, 4 baseline JPEG, 5 raw text. Raster conventions are the
+    * established oracle-reconstructible ones (md5-hex chars: 3 per pixel
+    * RGB for P6/PNG/BMP/JPEG, 1 per pixel palette INDEX for GIF with the
+    * shared [[paletteEntry]] colormap), so DuckDB recomputes every
+    * decodable row's statistics positionally. Every seventh row is
+    * additionally TRUNCATED inside its container (strict kernels → null).
+    */
+  def mediaTableMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val fmt = (col("doc_id") % 6).cast("int")
+    val kind = when(col("doc_id") % 7 === 3, 2).otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        (fmt === 2).as("rgba"), // reuse RasterSrc: `rgba` carries "is gif"
+        when(fmt === 5, col("text"))
+          .when(fmt === 2,
+            repeat(md5(col("text")), 5).substr(lit(1), (w * h).cast("int")))
+          .otherwise(repeat(md5(col("text")), 7).substr(lit(1), (w * h * 3).cast("int")))
+          .as("px"),
+        (kind + fmt * 4).as("kind"), // kind%4: 0 good / 2 truncated; kind/4: fmt
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val fmt = r.kind / 4
+        val truncated = r.kind % 4 == 2
+        val full: Array[Byte] = fmt match {
+          case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
+            r.px.getBytes("US-ASCII")
+          case 1 => encodeRaster("png", r.w, r.h, rgba = false, r.px)
+          case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = r.media_id % 3 == 0)
+          case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
+          case 4 => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+          case _ => r.px.getBytes("UTF-8")
+        }
+        val payload =
+          if (truncated && fmt != 5)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          else full
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** DECODE-BACKED feature extraction over a mixed-format corpus: the
+    * [[graft.functions.MediaDecode]] sniff-dispatch expression, one
+    * fused map-only pass — real channel statistics and the positioned
+    * thumb from whichever from-scratch kernel claims each payload, null
+    * rows for everything undecodable. JPEG statistics are real but
+    * implementation-defined, so the exact-hash GATE nulls them out
+    * (`q_multimodal_jpeg` band-judges that codec); the geometry stays.
+    */
+  def decodedFeatures(media: DataFrame): DataFrame = {
+    val d = graft.functions.MediaDecode(col("payload"))
+    val isJpeg = col("__d.format") === "jpeg"
+    media
+      .withColumn("__d", d)
+      .select(
+        col("media_id"),
+        col("__d.format").as("format"),
+        col("__d.width").as("width"),
+        col("__d.height").as("height"),
+        col("__d.n_px").as("n_px"),
+        when(isJpeg, lit(null)).otherwise(col("__d.sum_r")).as("sum_r"),
+        when(isJpeg, lit(null)).otherwise(col("__d.sum_g")).as("sum_g"),
+        when(isJpeg, lit(null)).otherwise(col("__d.sum_b")).as("sum_b"),
+        when(isJpeg, lit(null)).otherwise(col("__d.thumb_hex")).as("thumb_hex"))
+  }
+
   /** Batched per-partition feature extraction (the mapInPandas-shaped
     * path). ===== BYTE-STATISTICS KERNEL =====: the features here are
     * deliberately codec-free (byte sum / head byte) because this

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MediaDecode
+import graft.pipeline.Multimodal
+
+/** The sniff-dispatch feature operator: each magic routes to its kernel
+  * and folds to the shared schema with values IDENTICAL to the direct
+  * kernel call; junk and truncated containers are null rows; decode
+  * runs through the codegen path.
+  */
+class MediaDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val px3 = "0123456789abcdef01" // 3x2 RGB
+  private val px1 = "012345"             // 3x2 indices / gray
+
+  test("each container magic dispatches to its kernel with identical statistics") {
+    val ppm = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ px3.getBytes("US-ASCII")
+    val png = Multimodal.encodeRaster("png", 3, 2, rgba = false, px3)
+    val gif = Multimodal.encodeGifIndexed(3, 2, px1, interlaced = false)
+    val bmp = Multimodal.encodeRaster("bmp", 3, 2, rgba = false, px3)
+    val jpeg = Multimodal.encodeRaster("jpeg", 3, 2, rgba = false, px3, quality = 0.97f)
+    val direct = Seq(
+      ("ppm", ppm, graft.functions.PpmDecode.decode(ppm), 2, 3, 4, 6),
+      ("png", png, graft.functions.PngDecode.decode(png), 3, 4, 5, 8),
+      ("gif", gif, graft.functions.GifDecode.decode(gif), 3, 4, 5, 7),
+      ("bmp", bmp, graft.functions.BmpDecode.decode(bmp), 2, 3, 4, 6),
+      ("jpeg", jpeg, graft.functions.JpegDecode.decode(jpeg), 3, 4, 5, 7))
+    for ((fmt, payload, want, nPxOrd, srOrd, sgOrd, thOrd) <- direct) {
+      assert(want != null, s"$fmt: direct kernel refused the seed")
+      val got = MediaDecode.decode(payload)
+      assert(got != null, s"$fmt: sniff refused")
+      assert(got.getUTF8String(0).toString === fmt)
+      assert(got.getInt(1) === want.getInt(0), s"$fmt width")
+      assert(got.getInt(2) === want.getInt(1), s"$fmt height")
+      assert(got.getLong(3) === want.getLong(nPxOrd), s"$fmt n_px")
+      assert(got.getLong(4) === want.getLong(srOrd), s"$fmt sum_r")
+      assert(got.getLong(5) === want.getLong(sgOrd), s"$fmt sum_g")
+      assert(got.getUTF8String(7) === want.getUTF8String(thOrd), s"$fmt thumb")
+    }
+  }
+
+  test("junk, short and truncated payloads are null; wrong-magic never misroutes") {
+    assert(MediaDecode.decode("no magic here".getBytes("UTF-8")) == null)
+    assert(MediaDecode.decode(Array[Byte](1, 2)) == null)
+    val png = Multimodal.encodeRaster("png", 3, 2, rgba = false, px3)
+    assert(MediaDecode.decode(java.util.Arrays.copyOf(png, png.length * 2 / 3)) == null)
+    // a GIF-magic prefix on junk hits GifDecode's strict null, not a throw
+    assert(MediaDecode.decode("GIF8junkjunkjunk".getBytes("US-ASCII")) == null)
+  }
+
+  test("the expression path (codegen) matches eval, nulls included") {
+    val rows = Seq(
+      (1L, Multimodal.encodeRaster("png", 3, 2, rgba = false, px3)),
+      (2L, "raw text".getBytes("UTF-8")),
+      (3L, Multimodal.encodeGifIndexed(3, 2, px1, interlaced = false)))
+    val out = rows.toDF("media_id", "payload")
+      .select(col("media_id"), MediaDecode(col("payload")).as("d"))
+      .select(col("media_id"), col("d.format"), col("d.sum_r"))
+      .orderBy("media_id").collect()
+    assert(out(0).getString(1) === "png")
+    assert(out(1).isNullAt(1))
+    assert(out(2).getString(1) === "gif")
+    val gifDirect = graft.functions.GifDecode.decode(
+      Multimodal.encodeGifIndexed(3, 2, px1, interlaced = false))
+    assert(out(2).getLong(2) === gifDirect.getLong(4))
+  }
+}
