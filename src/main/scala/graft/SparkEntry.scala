@@ -45,6 +45,15 @@ object SparkEntry {
       _ => Bpe.trainMerges(Tables.documents(spark, dir), "text",
         vocabCap = 2048, maxMerges = 48, minPairCount = 2L))
 
+  private val wordPieceVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[graft] def wordPieceVocabFor(spark: SparkSession, dir: String): Seq[String] =
+    wordPieceVocabCache.computeIfAbsent(
+      dir,
+      _ => graft.pipeline.WordPiece.train(Tables.documents(spark, dir), "text",
+        vocabCap = 2048, maxMerges = 48, minPairCount = 2L))
+
   private val unigramVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
 
@@ -591,6 +600,22 @@ object SparkEntry {
         .zipWithIndex
         .map { case ((p, score, _), i) => (i + 1L, p, score) }
         .toDF("vrank", "piece", "score")
+        .orderBy("vrank")
+    }),
+
+    // ---- REAL WordPiece TRAINING (Schuster & Nakajima 2012 / BERT):
+    //      the BPE merge loop with the LIKELIHOOD argmax — pair score
+    //      c(xy)/(c(x)·c(y)), IEEE-double ratios of exact longs, ties
+    //      (score, count, x, y) — and ##-marked symbol state. The gate
+    //      pins the trained vocab (alphabet + merges in learned order);
+    //      the oracle re-trains with unrolled layers (symbol counts +
+    //      pair counts + ratio argmax per layer) ------------------------
+    "q_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      wordPieceVocabFor(s, dir)
+        .zipWithIndex
+        .map { case (e, i) => (i + 1L, e) }
+        .toDF("vrank", "entry")
         .orderBy("vrank")
     }),
 
@@ -3201,6 +3226,12 @@ object SparkEntry {
     // vocab (3×(24+24) unrolled Viterbi layers in total)
     "q_tokenize_unigram_trained" ->
       graft.pipeline.Unigram.oracleSqlTokenizeTrained("documents"),
+
+    // WordPiece training replayed: the BPE trainChain with ##-marked
+    // state, per-layer symbol counts and the likelihood-ratio argmax
+    "q_wordpiece_vocab" ->
+      graft.pipeline.WordPiece.oracleSqlVocab(
+        "documents", vocabCap = 2048, maxMerges = 48, minPairCount = 2L),
 
     // winnowing fingerprints replayed relationally: trigram md5-60 hashes
     // (the MinhashBandedCte idiom), one row per window position, rightmost
