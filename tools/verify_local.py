@@ -86,6 +86,14 @@ def check_gate(con, oracle, name, d):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Spill, don't die: an in-memory DuckDB has NO temp directory, so a
+    # big sort/agg that would spill instead aborts the process — on this
+    # host the practical per-process allocation ceiling (~13 GiB) is hit
+    # by the heaviest single sf10 oracle. A bounded memory_limit + a temp
+    # dir turns that into disk spill; the wordpiece sf10 oracle measures
+    # FASTER spilled at 8 GB (89 s) than unspilled at the default (143 s).
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p).replace(".parquet", "")
         # a table may be a single file (driver tiers) or a directory of
