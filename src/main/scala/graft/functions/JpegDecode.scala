@@ -207,6 +207,12 @@ object JpegDecode {
     val syms: Array[Byte] = symbols
     val look = new Array[Int](256)
 
+    /** False when the BITS counts are not canonically consistent — more
+      * codes of length ≤ l than 2^l prefixes can hold. A malformed DHT
+      * must null the decode, not index past the lookahead table.
+      */
+    var valid = true
+
     {
       var code = 0
       var k = 0
@@ -221,13 +227,15 @@ object JpegDecode {
           k += counts(l - 1)
           maxCode(l) = code - 1
         }
+        if (code > (1 << l)) valid = false // overfull level (T.81 C.2)
         code <<= 1
         l += 1
       }
+      if (!valid) java.util.Arrays.fill(maxCode, -1)
       java.util.Arrays.fill(look, -1)
       // lookahead: every 8-bit window starting with a short code maps
       // straight to (length << 8 | symbol)
-      l = 1
+      l = if (valid) 1 else 9 // skip the fill entirely on a broken table
       while (l <= 8) {
         var c = 0
         while (c < counts(l - 1)) {
@@ -431,6 +439,7 @@ object JpegDecode {
             val syms = java.util.Arrays.copyOfRange(bytes, p, p + total)
             p += total
             val tab = new Huff(counts, syms)
+            if (!tab.valid) return null // overfull canonical level
             if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
           }
           pos = end
@@ -526,6 +535,15 @@ object JpegDecode {
       compH: Array[Int], compV: Array[Int], compQ: Array[Int],
       qt: Array[Array[Int]], scanDc: Array[Huff], scanAc: Array[Huff],
       restartInterval: Int): Raster = {
+    // A single-component scan is NON-INTERLEAVED (T.81 A.2.3): its MCU
+    // is ONE data unit and blocks cover the component at full frame
+    // resolution in raster order — the frame's sampling factors do NOT
+    // scale the grid. Decoding it with the interleaved MCU layout would
+    // place every Huffman-valid block at the wrong raster position
+    // (silently scrambled pixels, not a decode failure). Normalizing
+    // the factors to 1x1 makes the interleaved code path below compute
+    // exactly the non-interleaved grid.
+    if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
     var hMax = 1; var vMax = 1
     var c = 0
     while (c < nComp) {

@@ -989,7 +989,9 @@ object Multimodal {
           case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
             r.px.getBytes("US-ASCII")
           case 1 => encodeRaster("png", r.w, r.h, rgba = false, r.px)
-          case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = r.media_id % 3 == 0)
+          // GIF rows have media_id ≡ 2 (mod 6), so a % 3 predicate would
+          // be unsatisfiable (never interlaced); (id/6) % 2 alternates
+          case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = (r.media_id / 6) % 2 == 0)
           case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
           case 4 => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
           case _ => r.px.getBytes("UTF-8")

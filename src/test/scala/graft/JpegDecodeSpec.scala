@@ -170,6 +170,49 @@ class JpegDecodeSpec extends SparkSpec {
     assert(JpegDecode.decodeRaster(missing) == null)
   }
 
+  test("overfull canonical DHT (more codes than 2^l prefixes) nulls, never throws") {
+    // counts[0] = 3 claims three 1-bit codes — canonically impossible
+    // (T.81 C.2); the lookahead fill would index past its table. Found
+    // by review; reproduced as AIOOBE before the validity guard.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val evil = bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x16, 0x00, 3) ++
+      Array.fill(15)(0.toByte) ++ bytes(0, 1, 2)
+    assert(JpegDecode.decodeRaster(evil) == null)
+    // and through the sniff dispatch too (any FFD8 payload routes here)
+    assert(graft.functions.MediaDecode.decode(evil) == null)
+  }
+
+  test("single-component scan with sampling factors > 1 uses the non-interleaved grid") {
+    // T.81 A.2.3: a one-component scan's MCU is ONE data unit and blocks
+    // cover the frame in raster order — the 2x2 sampling factors in SOF
+    // must NOT scale the grid. Hand-built 32x16 grayscale, 8 DC-only
+    // blocks with distinct flat values: the k-th stream block must land
+    // at raster position (k%4, k/4). An interleaved-grid decode places
+    // stream block 2 at (0,1) instead of (2,0) — Huffman-valid, silently
+    // scrambled.
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val dqt = bytes(0xff, 0xdb, 0x00, 0x43, 0x00) ++ Array.fill(64)(1.toByte)
+    val sof = bytes(0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 16, 0x00, 32, 1, 1, 0x22, 0)
+    val dhtDc = bytes(0xff, 0xc4, 0x00, 0x14, 0x00, 1) ++
+      Array.fill(15)(0.toByte) ++ bytes(0x04) // one 1-bit code -> category 4
+    val dhtAc = bytes(0xff, 0xc4, 0x00, 0x14, 0x10, 1) ++
+      Array.fill(15)(0.toByte) ++ bytes(0x00) // EOB
+    val sos = bytes(0xff, 0xda, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0)
+    // per block: DC "0" + extra "1000" (+8) + EOB "0" = 010000; x8 blocks
+    val entropy = bytes(0x41, 0x04, 0x10, 0x41, 0x04, 0x10)
+    val jpeg = bytes(0xff, 0xd8) ++ dqt ++ sof ++ dhtDc ++ dhtAc ++ sos ++
+      entropy ++ bytes(0xff, 0xd9)
+    val r = JpegDecode.decodeRaster(jpeg)
+    assert(r != null, "2x2-sampled grayscale must decode")
+    assert(r.w === 32 && r.h === 16)
+    // block k carries DC prediction 8(k+1) -> flat pixel 128 + (k+1)
+    for (by <- 0 until 2; bx <- 0 until 4) {
+      val k = by * 4 + bx
+      val px = r.rgb(3 * ((by * 8 + 3) * 32 + bx * 8 + 3)) & 0xff
+      assert(px === 128 + k + 1, s"block ($bx,$by) raster placement")
+    }
+  }
+
   test("expression surface: stats row matches a direct raster fold; null rows stay null") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
