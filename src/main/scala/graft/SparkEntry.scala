@@ -1967,6 +1967,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- PROGRESSIVE JPEG (SOF2, T.81 Annex G): the same tolerance
+    //      gate over REAL multi-scan progressive streams (the JDK
+    //      writer's progressive mode — spectral selection + successive
+    //      approximation), decoded by the same from-scratch kernel's
+    //      Annex-G path: coefficients accumulate across scans (DC
+    //      first/refine, AC first/refine with EOB runs + correction
+    //      bits) and complete at EOI ------------------------------------
+    "q_multimodal_jpeg_prog" -> ((s, dir) => {
+      Multimodal.decodeJpegFused(
+          Multimodal.mediaTableJpeg(s, Tables.documents(s, dir), progressive = true),
+          meanTolerance = 3.0, maeTolerance = 48.0)
+        .withColumn("in_band_r", col("in_band_r").cast("int"))
+        .withColumn("in_band_g", col("in_band_g").cast("int"))
+        .withColumn("in_band_b", col("in_band_b").cast("int"))
+        .withColumn("in_band_mae", col("in_band_mae").cast("int"))
+        .orderBy("media_id")
+    }),
+
     // ---- Audio (WAV/RIFF) container metadata: the AudioHeader walk over
     //      byte-exact synthetic containers ------------------------------
     "q_multimodal_audio" -> ((s, dir) => {
@@ -5549,6 +5567,27 @@ object SparkEntry {
     // bug) flips a boolean and fails the hash. Exact pixel values are
     // spec-only by the codec's nature (implementation-defined IDCT)
     "q_multimodal_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 9 + 8 AS INTEGER) AS w,
+        |    CAST(n_chars % 7 + 8 AS INTEGER) AS h,
+        |    (doc_id % 3 = 2 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_r,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_g,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_b,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_mae
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // identical band-pinning shape over the progressive streams — same
+    // geometry, same bands (quantization tables are the same at the
+    // shared quality; only the scan structure differs)
+    "q_multimodal_jpeg_prog" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,
         |    CAST(doc_id % 9 + 8 AS INTEGER) AS w,

@@ -13,14 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * ITU-T T.81 (JPEG, 1992) — Annex B (syntax), F.2 (baseline decode),
   * A.3.3 (IDCT), plus JFIF 1.02 for the YCbCr↔RGB equations.
   *
-  * Scope (documented): BASELINE SEQUENTIAL DCT only — SOF0, 8-bit
-  * precision, Huffman entropy coding, 1 (grayscale) or 3 (YCbCr)
-  * components, sampling factors 1..4 per axis (covers 4:4:4, 4:2:2,
-  * 4:2:0), one interleaved scan (Ss=0, Se=63, Ah=Al=0), restart
-  * markers honored. Everything else — progressive (SOF2), arithmetic
-  * coding (DAC/SOF9+), 12-bit, hierarchical, 4-component CMYK,
-  * multi-scan non-interleaved files, truncated entropy data — → null,
-  * the strict null-on-malformed contract of the codec family.
+  * Scope (documented): BASELINE SEQUENTIAL (SOF0) and PROGRESSIVE
+  * (SOF2, T.81 Annex G: spectral selection + successive approximation —
+  * DC first/refine, AC first/refine with EOBn run codes and the
+  * correction-bit algorithm, coefficients accumulated across scans and
+  * completed at EOI) — 8-bit precision, Huffman entropy coding,
+  * 1 (grayscale) or 3 (YCbCr) components, sampling factors 1..4 per
+  * axis (covers 4:4:4, 4:2:2, 4:2:0), restart markers honored in both
+  * modes. Everything else — arithmetic coding (DAC/SOF9+), 12-bit,
+  * hierarchical, 4-component CMYK, sequential multi-scan
+  * non-interleaved files, truncated entropy data — → null, the strict
+  * null-on-malformed contract of the codec family.
   *
   * Decode pipeline per T.81 F.2: marker walk (DQT/DHT/DRI/SOF0/SOS) →
   * per-MCU Huffman decode (canonical tables via the F.2.2.3
@@ -378,6 +381,15 @@ object JpegDecode {
 
     var pos = 2
     var sofSeen = false
+    var progressive = false
+    // progressive state: per-component natural-order coefficient
+    // buffers accumulated across scans (MCU-padded block grids), plus
+    // the grid geometry — allocated at the first SOS
+    var coefs: Array[Array[Int]] = null
+    var blockW: Array[Int] = null // MCU-padded block columns per comp
+    var blockH: Array[Int] = null
+    var hMaxP = 1; var vMaxP = 1
+    var anyScan = false
 
     while (true) {
       // markers may be preceded by fill bytes (B.1.1.2)
@@ -388,7 +400,12 @@ object JpegDecode {
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
-        case 0xd9 => return null // EOI before any scan
+        case 0xd9 => // EOI
+          if (progressive && anyScan)
+            return finishProgressive(
+              w, h, nComp, compH, compV, compQ, qt,
+              coefs, blockW, blockH, hMaxP, vMaxP)
+          return null // EOI before any (baseline) scan
         case m if m >= 0xe0 && m <= 0xef => // APPn
           if (pos + 2 > bytes.length) return null
           pos += u16(bytes, pos)
@@ -448,9 +465,10 @@ object JpegDecode {
           if (u16(bytes, pos) != 4) return null
           restartInterval = u16(bytes, pos + 2)
           pos += 4
-        case 0xc0 => // SOF0: baseline sequential
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           if (sofSeen) return null
           sofSeen = true
+          progressive = marker == 0xc2
           if (pos + 2 > bytes.length) return null
           val end = pos + u16(bytes, pos)
           if (end > bytes.length) return null
@@ -480,8 +498,8 @@ object JpegDecode {
           }
           pos = end
         case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
-          return null // progressive / arithmetic / hierarchical / 12-bit
-        case 0xda => // SOS → decode the single interleaved scan
+          return null // arithmetic / hierarchical / 12-bit (SOF0/2 matched above)
+        case 0xda => // SOS: baseline decodes and returns; progressive accumulates
           if (!sofSeen) return null
           if (pos + 2 > bytes.length) return null
           val end = pos + u16(bytes, pos)
@@ -490,25 +508,28 @@ object JpegDecode {
           if (p >= end) return null
           val ns = bytes(p) & 0xff
           p += 1
-          if (ns != nComp) return null // non-interleaved multi-scan: out of scope
-          val scanDc = new Array[Huff](nComp)
-          val scanAc = new Array[Huff](nComp)
+          if (ns < 1 || ns > nComp) return null
+          val scanComp = new Array[Int](ns) // frame component indices
+          val scanDc = new Array[Huff](ns)
+          val scanAc = new Array[Huff](ns)
           var s = 0
+          var prevCi = -1
           while (s < ns) {
             if (p + 2 > end) return null
             val cs = bytes(p) & 0xff
             var ci = -1
             var c = 0
             while (c < nComp) { if (compId(c) == cs) ci = c; c += 1 }
-            if (ci != s) return null // components must appear in frame order
+            // components appear as a subset in frame order (B.2.3)
+            if (ci <= prevCi) return null
+            prevCi = ci
+            scanComp(s) = ci
             val tdta = bytes(p + 1) & 0xff
             val td = tdta >> 4
             val ta = tdta & 0x0f
             if (td > 3 || ta > 3) return null
             scanDc(s) = dcTabs(td)
             scanAc(s) = acTabs(ta)
-            if (scanDc(s) == null || scanAc(s) == null) return null
-            if (qt(compQ(s)) == null) return null
             p += 2
             s += 1
           }
@@ -516,10 +537,64 @@ object JpegDecode {
           val ss = bytes(p) & 0xff
           val se = bytes(p + 1) & 0xff
           val ahal = bytes(p + 2) & 0xff
-          if (ss != 0 || se != 63 || ahal != 0) return null // spectral selection: not baseline
-          return decodeScan(
-            bytes, end, w, h, nComp, compH, compV, compQ, qt,
-            scanDc, scanAc, restartInterval)
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
+          if (!progressive) {
+            // baseline: one full interleaved scan, Ss=0 Se=63 Ah=Al=0
+            if (ns != nComp) return null
+            if (ss != 0 || se != 63 || ahal != 0) return null
+            s = 0
+            while (s < ns) {
+              if (scanComp(s) != s) return null
+              if (scanDc(s) == null || scanAc(s) == null) return null
+              if (qt(compQ(s)) == null) return null
+              s += 1
+            }
+            return decodeScan(
+              bytes, end, w, h, nComp, compH, compV, compQ, qt,
+              scanDc, scanAc, restartInterval)
+          }
+          // progressive (T.81 B.2.3 + G.1): DC scans have Ss=Se=0 and
+          // may interleave; AC scans are single-component with
+          // 1 ≤ Ss ≤ Se ≤ 63; successive approximation refines one bit
+          // at a time (Ah = Al + 1 on refinements)
+          if (ss == 0 && se != 0) return null
+          if (ss > 0 && (ns != 1 || se < ss || se > 63)) return null
+          if (ah != 0 && ah != al + 1) return null
+          if (al > 13) return null // T.81 G.1.1.1.2 bound
+          if (coefs == null) {
+            var c = 0
+            while (c < nComp) {
+              if (compH(c) > hMaxP) hMaxP = compH(c)
+              if (compV(c) > vMaxP) vMaxP = compV(c)
+              c += 1
+            }
+            // a single-component FRAME is full-resolution regardless of
+            // its sampling factors (same normalization as baseline)
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1; hMaxP = 1; vMaxP = 1 }
+            val mcusX = (w + 8 * hMaxP - 1) / (8 * hMaxP)
+            val mcusY = (h + 8 * vMaxP - 1) / (8 * vMaxP)
+            coefs = new Array[Array[Int]](nComp)
+            blockW = new Array[Int](nComp)
+            blockH = new Array[Int](nComp)
+            var bytesTotal = 0L
+            c = 0
+            while (c < nComp) {
+              blockW(c) = mcusX * compH(c)
+              blockH(c) = mcusY * compV(c)
+              bytesTotal += blockW(c).toLong * blockH(c) * 64 * 4
+              if (bytesTotal > 3L * MaxPixels * 4) return null
+              coefs(c) = new Array[Int](blockW(c) * blockH(c) * 64)
+              c += 1
+            }
+          }
+          val next = decodeProgScan(
+            bytes, end, w, h, compH, compV, hMaxP, vMaxP,
+            scanComp, scanDc, scanAc, ss, se, ah, al,
+            restartInterval, coefs, blockW, blockH)
+          if (next < 0) return null
+          anyScan = true
+          pos = next
         case _ => return null // DNL/DAC/unknown: out of scope
       }
     }
@@ -616,38 +691,8 @@ object JpegDecode {
                 k += 1
               }
             }
-            // --- IDCT (A.3.3, separable): rows then columns ---
-            var v = 0
-            while (v < 8) {
-              var x = 0
-              while (x < 8) {
-                var sum = 0.0
-                var u = 0
-                while (u < 8) { sum += coef(v * 8 + u) * CS(u)(x); u += 1 }
-                tmp(v * 8 + x) = sum
-                x += 1
-              }
-              v += 1
-            }
-            val plane = planes(c)
-            val pw = planeW(c)
-            val ox = (mcuX * compH(c) + bx) * 8
-            val oy = (mcuY * compV(c) + by) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              val rowOff = (oy + y) * pw + ox
-              while (x < 8) {
-                var sum = 0.0
-                var vv = 0
-                while (vv < 8) { sum += tmp(vv * 8 + x) * CS(vv)(y); vv += 1 }
-                val px = math.round(sum + 128.0).toInt
-                plane(rowOff + x) =
-                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                x += 1
-              }
-              y += 1
-            }
+            idctBlock(coef, tmp, planes(c), planeW(c),
+              (mcuX * compH(c) + bx) * 8, (mcuY * compV(c) + by) * 8)
             bx += 1
           }
           by += 1
@@ -657,6 +702,316 @@ object JpegDecode {
       mcu += 1
     }
 
+    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax)
+  }
+
+  /** One progressive scan (T.81 G.1.2), accumulated into the
+    * per-component natural-order coefficient buffers:
+    *
+    *   - DC first (Ss=0, Ah=0): diff-coded like baseline, the decoded
+    *     prediction sum stored `<< Al`; may interleave components (the
+    *     MCU grid) or cover one component's own block grid.
+    *   - DC refinement (Ah>0): one raw bit per block ORed in at Al.
+    *   - AC first (Ss≥1, Ah=0, single component): the baseline RLE plus
+    *     EOBn run codes — EOBRUN = 2^r + extra − 1 further all-done
+    *     blocks.
+    *   - AC refinement: the correction-bit algorithm — every NONZERO
+    *     history coefficient passed (including during EOB runs) reads
+    *     one bit, adding ±2^Al if not already set at that magnitude;
+    *     new coefficients arrive as ±2^Al with s ≡ 1. An insert whose
+    *     zero-history slot does not exist before Se is DROPPED (strict
+    *     bound; reference decoders overrun into a padded order table).
+    *
+    * Returns the next marker position, or -1 on malformed/truncated.
+    */
+  private def decodeProgScan(
+      bytes: Array[Byte], scanStart: Int,
+      w: Int, h: Int, compH: Array[Int], compV: Array[Int],
+      hMax: Int, vMax: Int,
+      scanComp: Array[Int], scanDc: Array[Huff], scanAc: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int,
+      coefs: Array[Array[Int]], blockW: Array[Int], blockH: Array[Int]): Int = {
+    val ns = scanComp.length
+    val br = new BitReader(bytes, scanStart)
+    val pred = new Array[Int](ns)
+    var eobrun = 0L
+    val p1 = 1 << al
+    val m1 = -(1 << al)
+
+    // table presence by scan kind
+    var s = 0
+    while (s < ns) {
+      if (ss == 0 && ah == 0 && scanDc(s) == null) return -1
+      if (ss > 0 && scanAc(s) == null) return -1
+      s += 1
+    }
+
+    // ---- per-block decoders over the shared coefficient buffer ----
+    def dcFirst(si: Int, base: Int): Boolean = {
+      val t = br.decodeHuff(scanDc(si))
+      if (br.bad || t < 0 || t > 11) return false
+      val diff = extend(br.receive(t), t)
+      if (br.bad) return false
+      pred(si) += diff
+      coefs(scanComp(si))(base) = pred(si) << al
+      true
+    }
+    def dcRefine(si: Int, base: Int): Boolean = {
+      val bit = br.receive(1)
+      if (br.bad) return false
+      if (bit != 0) coefs(scanComp(si))(base) |= p1
+      true
+    }
+    def acFirst(si: Int, base: Int): Boolean = {
+      val cf = coefs(scanComp(si))
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(scanAc(si))
+        if (br.bad || rs < 0) return false
+        val r = rs >> 4
+        val sz = rs & 0x0f
+        if (sz != 0) {
+          k += r
+          if (k > se) return false
+          cf(base + ZigZag(k)) = extend(br.receive(sz), sz) << al
+          if (br.bad) return false
+          k += 1
+        } else if (r == 15) {
+          k += 16 // ZRL
+        } else {
+          eobrun = (1L << r) - 1
+          if (r > 0) {
+            eobrun += br.receive(r)
+            if (br.bad) return false
+          }
+          return true
+        }
+      }
+      true
+    }
+    def acRefine(si: Int, base: Int): Boolean = {
+      val cf = coefs(scanComp(si))
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = br.decodeHuff(scanAc(si))
+          if (br.bad || rs < 0) return false
+          var r = rs >> 4
+          val sz = rs & 0x0f
+          var insert = 0
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = 1L << r
+              if (r > 0) {
+                eobrun += br.receive(r)
+                if (br.bad) return false
+              }
+              ended = true // remaining band handled by the EOB tail below
+            }
+            // r == 15 (ZRL): pass 16 zero-history positions
+          } else {
+            if (sz != 1) return false // refinement inserts are ±1
+            val bit = br.receive(1)
+            if (br.bad) return false
+            insert = if (bit != 0) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = base + ZigZag(k)
+              val c0 = cf(idx)
+              if (c0 != 0) {
+                val bit = br.receive(1)
+                if (br.bad) return false
+                if (bit != 0 && (c0 & p1) == 0)
+                  cf(idx) = c0 + (if (c0 >= 0) p1 else m1)
+              } else if (r == 0) {
+                if (insert != 0) cf(idx) = insert
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val idx = base + ZigZag(k)
+          val c0 = cf(idx)
+          if (c0 != 0) {
+            val bit = br.receive(1)
+            if (br.bad) return false
+            if (bit != 0 && (c0 & p1) == 0)
+              cf(idx) = c0 + (if (c0 >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def block(si: Int, bx: Int, by: Int): Boolean = {
+      val base = (by * blockW(scanComp(si)) + bx) * 64
+      if (ss == 0) {
+        if (ah == 0) dcFirst(si, base) else dcRefine(si, base)
+      } else {
+        if (ah == 0) acFirst(si, base) else acRefine(si, base)
+      }
+    }
+
+    // ---- MCU walk: interleaved (ns > 1) or the component's own grid ----
+    var rstExpect = 0
+    def atRestart(mcu: Int): Boolean =
+      restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0
+    def restart(): Boolean = {
+      if (!br.restart(rstExpect)) return false
+      rstExpect = (rstExpect + 1) & 7
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+      true
+    }
+
+    if (ns > 1) {
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      val nMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (atRestart(mcu) && !restart()) return -1
+        val mcuX = mcu % mcusX
+        val mcuY = mcu / mcusX
+        var si = 0
+        while (si < ns) {
+          val c = scanComp(si)
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              if (!block(si, mcuX * compH(c) + bx, mcuY * compV(c) + by))
+                return -1
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan: the component's UNPADDED block grid in
+      // raster order (G.1: one data unit per MCU — restart counts blocks)
+      val c = scanComp(0)
+      val bw = ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+      val bh = ((h * compV(c) + vMax - 1) / vMax + 7) / 8
+      var mcu = 0
+      val nMcus = bw * bh
+      while (mcu < nMcus) {
+        if (atRestart(mcu) && !restart()) return -1
+        if (!block(0, mcu % bw, mcu / bw)) return -1
+        mcu += 1
+      }
+    }
+
+    // advance to the next marker through any remaining stuffed bytes
+    var pos = br.pos
+    while (pos + 1 < bytes.length) {
+      if ((bytes(pos) & 0xff) == 0xff) {
+        if ((bytes(pos + 1) & 0xff) == 0x00) pos += 2
+        else return pos
+      } else pos += 1
+    }
+    -1 // ran off the payload without a marker (no EOI): truncated
+  }
+
+  /** Progressive completion at EOI: dequantize every accumulated block
+    * (natural-order coefficients × the component's natural-order quant
+    * table), IDCT into the padded planes, then the shared upsample +
+    * color-convert tail.
+    */
+  private def finishProgressive(
+      w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      qt: Array[Array[Int]],
+      coefs: Array[Array[Int]], blockW: Array[Int], blockH: Array[Int],
+      hMax: Int, vMax: Int): Raster = {
+    val planes = new Array[Array[Byte]](3)
+    val planeW = new Array[Int](3)
+    val coefD = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val qNat = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      if (q == null) return null
+      var k = 0
+      while (k < 64) { qNat(ZigZag(k)) = q(k); k += 1 }
+      planeW(c) = blockW(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * blockH(c) * 8)
+      val cf = coefs(c)
+      var by = 0
+      while (by < blockH(c)) {
+        var bx = 0
+        while (bx < blockW(c)) {
+          val base = (by * blockW(c) + bx) * 64
+          var i = 0
+          while (i < 64) { coefD(i) = cf(base + i).toDouble * qNat(i); i += 1 }
+          idctBlock(coefD, tmp, planes(c), planeW(c), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax)
+  }
+
+  /** Separable 2-D IDCT (A.3.3) of one dequantized block into the
+    * component plane at (ox, oy), with level shift + clamp — shared by
+    * the baseline per-MCU path and the progressive completion pass.
+    */
+  private def idctBlock(
+      coef: Array[Double], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) { sum += coef(v * 8 + u) * CS(u)(x); u += 1 }
+        tmp(v * 8 + x) = sum
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      val rowOff = (oy + y) * pw + ox
+      while (x < 8) {
+        var sum = 0.0
+        var vv = 0
+        while (vv < 8) { sum += tmp(vv * 8 + x) * CS(vv)(y); vv += 1 }
+        val px = math.round(sum + 128.0).toInt
+        plane(rowOff + x) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Shared completion tail (baseline + progressive): upsample the
+    * decoded component planes and color-convert into the RGB raster.
+    */
+  private def rasterFromPlanes(
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int): Raster = {
+    var c = 0
     // --- upsample (replication) + color convert ---
     val rgb = new Array[Byte](w * h * 3)
     if (nComp == 1) {

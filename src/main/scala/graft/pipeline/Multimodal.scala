@@ -650,7 +650,9 @@ object Multimodal {
     * third row raw text (no reader claims it → null), every seventh a
     * corrupted-magic JPEG (first byte flipped → null).
     */
-  def mediaTableJpeg(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def mediaTableJpeg(
+      spark: SparkSession, docs: DataFrame,
+      progressive: Boolean = false): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 9 + 8).cast("int")
     val h = (col("n_chars") % 7 + 8).cast("int")
@@ -680,10 +682,12 @@ object Multimodal {
         val payload = r.kind match {
           case 1 => r.px.getBytes("UTF-8")
           case 2 =>
-            val full = encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+            val full = encodeRaster("jpeg", r.w, r.h, rgba = false, r.px,
+              quality = 0.97f, interlaced = progressive)
             full(0) = (full(0) ^ 0x77).toByte // no longer starts with SOI
             full
-          case _ => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+          case _ => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px,
+            quality = 0.97f, interlaced = progressive)
         }
         // the expected raster rides along for the tolerance judge (bad
         // rows carry null — nothing to judge against)

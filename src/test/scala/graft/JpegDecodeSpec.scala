@@ -31,12 +31,16 @@ class JpegDecodeSpec extends SparkSpec {
     encodeImg(img, quality)
   }
 
-  private def encodeImg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+  private def encodeImg(
+      img: java.awt.image.BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     params.setCompressionQuality(quality)
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val out = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(out)
     try writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
@@ -168,6 +172,73 @@ class JpegDecodeSpec extends SparkSpec {
     // missing restart marker entirely → strict null
     val missing = head ++ bytes(0x3f, 0x3f, 0xff, 0xd9)
     assert(JpegDecode.decodeRaster(missing) == null)
+  }
+
+  test("progressive (SOF2): real multi-scan ImageIO streams decode; parity with the baseline contracts") {
+    // the JDK writer's progressive mode emits genuine SOF2 spectral
+    // selection + successive approximation scans (DC first/refine, AC
+    // first/refine with EOB runs) — a full Annex-G exercise
+    def isProgressive(b: Array[Byte]): Boolean = {
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2) return true
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0) return false
+        i += 1
+      }
+      false
+    }
+    // grayscale: IDCT-rounding-only agreement with ImageIO
+    for ((w, h, q) <- Seq((8, 8, 0.97f), (16, 24, 0.9f), (64, 40, 0.5f))) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 31 + y * 17 + (x * y) % 23) % 256)
+      val bytes = encodeImg(img, q, progressive = true)
+      assert(isProgressive(bytes), "the JDK writer must emit SOF2 here")
+      val r = JpegDecode.decodeRaster(bytes)
+      assert(r != null, s"progressive gray ${w}x$h q=$q decode failed")
+      assert(r.w === w && r.h === h && r.nComp === 1)
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = math.abs(im.getRaster.getSample(x, y, 0) - (r.rgb(3 * (y * w + x)) & 0xff))
+        if (d > maxDiff) maxDiff = d
+      }
+      assert(maxDiff <= 2, s"progressive gray ${w}x$h q=$q: max diff $maxDiff")
+    }
+    // color 4:2:0: mean parity with ImageIO (chroma filters differ)
+    for ((w, h) <- Seq((32, 32), (17, 23), (40, 12))) {
+      val px = (x: Int, y: Int) => ((x * 97 + y * 31) % 256, (x * 53 + y * 71) % 256, (x * 13 + y * 119) % 256)
+      val bytes = encodeRgbP(w, h, px, 0.95f)
+      assert(isProgressive(bytes))
+      val r = JpegDecode.decodeRaster(bytes)
+      assert(r != null, s"progressive color ${w}x$h decode failed")
+      val (_, _, rgbs) = imageioRgb(bytes)
+      var dr = 0L; var dg = 0L; var db = 0L
+      for (i <- 0 until w * h) {
+        dr += (r.rgb(3 * i) & 0xff) - ((rgbs(i) >> 16) & 0xff)
+        dg += (r.rgb(3 * i + 1) & 0xff) - ((rgbs(i) >> 8) & 0xff)
+        db += (r.rgb(3 * i + 2) & 0xff) - (rgbs(i) & 0xff)
+      }
+      val n = (w * h).toDouble
+      assert(math.abs(dr / n) <= 2.0 && math.abs(dg / n) <= 2.0 && math.abs(db / n) <= 2.0,
+        s"progressive ${w}x$h: mean diff vs ImageIO (${dr / n}, ${dg / n}, ${db / n})")
+    }
+    // truncation at every prefix must never throw; mid-stream cuts null
+    val full = encodeRgbP(16, 16, (x, y) => (x * 16, y * 16, 128), 0.9f)
+    for (cut <- 2 until full.length by 7)
+      JpegDecode.decodeRaster(java.util.Arrays.copyOfRange(full, 0, cut))
+    assert(JpegDecode.decodeRaster(
+      java.util.Arrays.copyOfRange(full, 0, full.length - 4)) == null,
+      "no EOI -> null (coefficients incomplete)")
+  }
+
+  private def encodeRgbP(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int), quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+    }
+    encodeImg(img, quality, progressive = true)
   }
 
   test("overfull canonical DHT (more codes than 2^l prefixes) nulls, never throws") {

@@ -75,6 +75,31 @@ class JpegToleranceSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("progressive streams hold the same strict bands; a shifted raster still fails") {
+    // the q_multimodal_jpeg_prog gate's discriminating power, pinned the
+    // same way as the baseline's: real multi-scan SOF2 payloads decode
+    // inside the STRICT bands, and a shifted expected raster flips the
+    // mean band on every row
+    val ids = (0L until 200L).filter(i => i % 3 != 2 && i % 7 != 3).take(30)
+    val docs = docsDf(ids.map(i => i -> s"progressive body $i with text"): _*)
+    val media = Multimodal.mediaTableJpeg(spark, docs, progressive = true).cache()
+    val strict = Multimodal.decodeJpegFused(media, 1.5, 34.0)
+      .where(col("in_band_r") && col("in_band_g") && col("in_band_b") &&
+        col("in_band_mae"))
+      .count()
+    assert(strict === 30L,
+      "progressive decode must hold the baseline's strict bands")
+    val shifted = media.withColumn(
+      "expected_px",
+      when(col("expected_px").isNotNull,
+        translate(col("expected_px"), "0123456789abcdef", "ffffffffffffffff"))
+        .otherwise(col("expected_px")))
+    val fooled = Multimodal.decodeJpegFused(shifted, 3.0, 40.0)
+      .where(col("in_band_r")).count()
+    assert(fooled === 0L)
+    media.unpersist()
+  }
+
   test("the two decode paths agree row-for-row at the gate's bands") {
     // interchangeability behind the gate: same media, same bands, same
     // booleans and geometry from the from-scratch kernel and ImageIO
