@@ -1872,6 +1872,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- 8-bit PALETTE BMP decode: the color-table variant (BGRx
+    //      quads, biClrUsed-0 = full 256-entry table, strict index
+    //      bound) over real javax.imageio bpp=8 DIBs; px chars are
+    //      palette indices into the shared formula colormap, so the
+    //      oracle recomputes positionally like the GIF gate -------------
+    "q_multimodal_bmp_palette" -> ((s, dir) => {
+      import graft.functions.BmpDecode
+      Multimodal.mediaTableBmpPalette(s, Tables.documents(s, dir))
+        .select(col("media_id"), BmpDecode(col("payload")).as("__b"))
+        .select(
+          col("media_id"),
+          col("__b.width").as("width"),
+          col("__b.height").as("height"),
+          col("__b.n_px").as("n_px"),
+          col("__b.sum_r").as("sum_r"),
+          col("__b.sum_g").as("sum_g"),
+          col("__b.sum_b").as("sum_b"),
+          col("__b.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL BMP pixel decode (Windows DIB, 24-bit BI_RGB): the
     //      bottom-up row order, the 4-byte row padding and the BGR
     //      sample order are the traps — a flipped decode passes the
@@ -5453,6 +5474,46 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE w END AS width,
         |  CASE WHEN bad THEN NULL ELSE h END AS height,
         |  CASE WHEN bad THEN NULL ELSE CAST(256 AS INTEGER) END AS gct_size,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    range(0, CAST(w * h AS BIGINT)),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |      pi -> printf('%02x%02x%02x',
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // palette BMP: the GIF gate's positional palette recompute (px chars
+    // are indices into the shared formula colormap), BMP row mix
+    "q_multimodal_bmp_palette" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) AS INTEGER)) AS px,
+        |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
         |    range(0, CAST(w * h AS BIGINT)),

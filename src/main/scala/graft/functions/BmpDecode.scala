@@ -7,22 +7,36 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** REAL BMP pixel decode (Windows DIB): the uncompressed-truecolor member
-  * of the codec family — no entropy coder, but three parsing traps PNG
-  * and GIF don't have, each one a silent statistics-corruptor if missed:
+/** REAL BMP pixel decode (Windows DIB): the no-entropy-coder member of
+  * the codec family, with three parsing traps PNG and GIF don't have,
+  * each a silent statistics-corruptor if missed:
   *
   *   - rows are stored BOTTOM-UP when biHeight > 0 (negative = top-down,
   *     both handled — a flipped decode passes the SUMS and fails the
   *     positioned thumb);
-  *   - each row pads to a 4-byte boundary (stride = ceil(3w/4)·4 — an
-  *     unpadded walk desyncs every row after the first);
-  *   - samples are BGR, not RGB (a channel-order slip swaps sum_r/sum_b).
+  *   - each row pads to a 4-byte boundary (an unpadded walk desyncs
+  *     every row after the first);
+  *   - samples are BGR(A), not RGB (a channel-order slip swaps
+  *     sum_r/sum_b).
   *
   * Scope: BITMAPINFOHEADER (or longer — biSize ≥ 40 skips V4/V5
-  * extensions, which only ADD fields), 24-bit BI_RGB, one plane. Palette
-  * / 32-bit / RLE variants → null (documented; the 24-bit form is what
-  * javax.imageio emits and web thumbnails carry). Output (width, height,
-  * n_px, sum_r, sum_g, sum_b, thumb_hex) — the shared decoder convention.
+  * extensions, which only ADD fields), one plane, four pixel formats:
+  *
+  *   - 24-bit BI_RGB (what javax.imageio emits for truecolor);
+  *   - 32-bit BI_RGB (BGRx quads — the 4th byte is reserved/alpha and
+  *     is IGNORED: the family schema carries RGB statistics);
+  *   - 8-bit BI_RGB palette (BGRx color-table quads; biClrUsed 0 means
+  *     a full 256-entry table; an index past the table → null, the
+  *     strict GIF/PNG palette contract);
+  *   - 8-bit BI_RLE8 (run-length: encoded runs, absolute mode with
+  *     word padding, EOL / EOB / delta escapes; deltas leave SKIPPED
+  *     pixels at index 0 per the DIB convention; RLE is bottom-up by
+  *     definition — a top-down height → null). Runs past the row edge
+  *     or data past EOB → null.
+  *
+  * Everything else (1/4/16-bit, BI_BITFIELDS, core headers) → null.
+  * Output (width, height, n_px, sum_r, sum_g, sum_b, thumb_hex) — the
+  * shared decoder convention.
   *
   * One fused map-only codegen expression; 64 MiB pixel cap.
   */
@@ -83,29 +97,70 @@ object BmpDecode {
     val planes = le16(bytes, 26)
     val bpp = le16(bytes, 28)
     val comp = le32(bytes, 30)
+    val clrUsed = le32(bytes, 46)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-    if (planes != 1 || bpp != 24 || comp != 0) return null
+    if (planes != 1) return null
     // long arithmetic: a crafted biSize near Int.MaxValue overflows
     // `14 + hdrSize` negative and the sanity check passes spuriously
     if (dataOff < 14L + hdrSize) return null
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff.toLong + stride.toLong * h > bytes.length) return null
 
+    if ((bpp == 24 || bpp == 32) && comp == 0) {
+      val bypp = bpp / 8
+      val stride = ((w * bypp + 3) / 4) * 4
+      if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+      statsDirect(bytes, w, h, topDown, dataOff, stride, bypp)
+    } else if (bpp == 8 && (comp == 0 || comp == 1)) {
+      // color table: BGRx quads at the header's end
+      val palCount = if (clrUsed == 0) 256 else clrUsed
+      if (palCount < 1 || palCount > 256) return null
+      val palOff = 14 + hdrSize
+      if (dataOff < palOff.toLong + 4L * palCount) return null
+      if (palOff + 4 * palCount > bytes.length) return null
+      val idx: Array[Byte] =
+        if (comp == 0) {
+          val stride = ((w + 3) / 4) * 4
+          if (dataOff.toLong + stride.toLong * h > bytes.length) return null
+          val out = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            val storedRow = if (topDown) y else h - 1 - y
+            System.arraycopy(bytes, dataOff + storedRow * stride, out, y * w, w)
+            y += 1
+          }
+          out
+        } else {
+          if (topDown) return null // RLE is bottom-up by definition
+          decodeRle8(bytes, dataOff, w, h)
+        }
+      if (idx == null) return null
+      // strict palette bound, like GIF/PNG: an out-of-table index nulls
+      var i = 0
+      while (i < idx.length) {
+        if ((idx(i) & 0xff) >= palCount) return null
+        i += 1
+      }
+      statsPalette(bytes, palOff, idx, w, h)
+    } else null
+  }
+
+  /** 24/32-bit BGR(x) rows straight out of the payload. */
+  private def statsDirect(
+      bytes: Array[Byte], w: Int, h: Int, topDown: Boolean,
+      dataOff: Int, stride: Int, bypp: Int): InternalRow = {
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
       val storedRow = if (topDown) y else h - 1 - y
       var p = dataOff + storedRow * stride
-      val rowEnd = p + w * 3
+      val rowEnd = p + w * bypp
       while (p < rowEnd) {
-        sb += u8(bytes, p)      // BGR order
+        sb += u8(bytes, p)      // BGR(x) order; byte 4 (if any) ignored
         sg += u8(bytes, p + 1)
         sr += u8(bytes, p + 2)
-        p += 3
+        p += bypp
       }
       y += 1
     }
-
     val hx = "0123456789abcdef"
     val sbuf = new java.lang.StringBuilder(24)
     var ty = 0
@@ -114,7 +169,7 @@ object BmpDecode {
       while (tx < 2) {
         val yy = (ty * h) / 2
         val storedRow = if (topDown) yy else h - 1 - yy
-        val p = dataOff + storedRow * stride + 3 * ((tx * w) / 2)
+        val p = dataOff + storedRow * stride + bypp * ((tx * w) / 2)
         var k = 2 // emit RGB: stored B,G,R read back-to-front
         while (k >= 0) {
           val v = u8(bytes, p + k)
@@ -125,9 +180,91 @@ object BmpDecode {
       }
       ty += 1
     }
-
     new GenericInternalRow(Array[Any](
       w, h, w.toLong * h, sr, sg, sb, UTF8String.fromString(sbuf.toString)))
+  }
+
+  /** Palette-expanded statistics over a TOP-DOWN index raster. */
+  private def statsPalette(
+      bytes: Array[Byte], palOff: Int, idx: Array[Byte],
+      w: Int, h: Int): InternalRow = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < idx.length) {
+      val e = palOff + 4 * (idx(i) & 0xff) // BGRx quad
+      sb += u8(bytes, e)
+      sg += u8(bytes, e + 1)
+      sr += u8(bytes, e + 2)
+      i += 1
+    }
+    val hx = "0123456789abcdef"
+    val sbuf = new java.lang.StringBuilder(24)
+    var ty = 0
+    while (ty < 2) {
+      var tx = 0
+      while (tx < 2) {
+        val e = palOff + 4 * (idx(((ty * h) / 2) * w + (tx * w) / 2) & 0xff)
+        var k = 2
+        while (k >= 0) {
+          val v = u8(bytes, e + k)
+          sbuf.append(hx.charAt((v >> 4) & 15)).append(hx.charAt(v & 15))
+          k -= 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    new GenericInternalRow(Array[Any](
+      w, h, w.toLong * h, sr, sg, sb, UTF8String.fromString(sbuf.toString)))
+  }
+
+  /** BI_RLE8 → TOP-DOWN index raster (the stored stream is bottom-up;
+    * rows are flipped as they complete). Null on malformed: runs past
+    * the row edge, deltas off the bitmap, truncation before EOB.
+    * Skipped pixels (deltas, early EOL) stay index 0 — the DIB
+    * convention for undefined RLE pixels.
+    */
+  private def decodeRle8(
+      bytes: Array[Byte], dataOff: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h) // top-down, zero-initialized
+    var p = dataOff
+    var x = 0
+    var row = 0 // bottom-up row index
+    def outRow(r: Int): Int = (h - 1 - r) * w
+    while (p + 1 < bytes.length) {
+      val n = u8(bytes, p)
+      val v = u8(bytes, p + 1)
+      p += 2
+      if (n > 0) {
+        // encoded run: n copies of index v
+        if (row >= h || x + n > w) return null
+        java.util.Arrays.fill(out, outRow(row) + x, outRow(row) + x + n, v.toByte)
+        x += n
+      } else v match {
+        case 0 => // end of line
+          x = 0
+          row += 1
+          if (row > h) return null
+        case 1 => // end of bitmap
+          return out
+        case 2 => // delta
+          if (p + 1 >= bytes.length) return null
+          val dx = u8(bytes, p); val dy = u8(bytes, p + 1)
+          p += 2
+          if (row + dy >= h || x + dx > w) return null
+          x += dx
+          row += dy
+        case cnt => // absolute mode: cnt literal indices, word-padded
+          if (row >= h || x + cnt > w) return null
+          if (p + cnt > bytes.length) return null
+          var i = 0
+          val base = outRow(row) + x
+          while (i < cnt) { out(base + i) = bytes(p + i); i += 1 }
+          x += cnt
+          p += cnt + (cnt & 1) // pad to 16-bit boundary
+      }
+    }
+    null // ran out of data before EOB
   }
 
   def apply(bytes: Column): Column =

@@ -517,6 +517,73 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Index raster → 8-bit palette BMP through `javax.imageio` (the JDK
+    * BMP writer emits bpp=8 BI_RGB with the full 1024-byte BGRx color
+    * table for TYPE_BYTE_INDEXED) — the independent encoder behind the
+    * palette-BMP gate, carrying the same shared [[paletteEntry]]
+    * colormap as the GIF and PNG palette gates.
+    */
+  private[graft] def encodeBmpIndexed(wi: Int, hi: Int, px: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
+    var i = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        img.getRaster.setSample(x, y, 0, px.charAt(i) & 0xff)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize an 8-bit PALETTE BMP media table from the
+    * [[mediaTableGif]] index-raster convention (px chars are palette
+    * indices into the shared formula colormap), encoded as REAL bpp=8
+    * DIBs through `javax.imageio`. Row mix: every fifth row raw text
+    * (wrong magic → null), every seventh truncated inside the pixel
+    * array (→ null).
+    */
+  def mediaTableBmpPalette(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 5).substr(lit(1), (w * h).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            val full = encodeBmpIndexed(r.w, r.h, r.px)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length / 8, 1))
+          case _ => encodeBmpIndexed(r.w, r.h, r.px)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Synthesize a P6 media table whose pixels are EXACT colors of the
     * shared [[paletteEntry]] colormap (index = the md5 px char), for the
     * GIF WRITE gate: [[graft.functions.GifEncode]]'s reverse lookup must
