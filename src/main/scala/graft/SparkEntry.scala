@@ -1872,6 +1872,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- ANIMATED GIF frame sampling (the video-pipeline shape over
+    //      real multi-frame GIFs from ImageIO's sequence writer): every
+    //      2nd composited canvas contributes exact palette-expanded
+    //      sums; thumb of the last sampled canvas. Sub-frame placement,
+    //      transparency and disposal are spec-pinned on hand-built
+    //      payloads (the JDK writes full frames) ------------------------
+    "q_multimodal_gif_anim" -> ((s, dir) => {
+      import graft.functions.GifFrames
+      Multimodal.mediaTableGifAnim(s, Tables.documents(s, dir))
+        .select(col("media_id"), GifFrames(col("payload"), 2).as("__g"))
+        .select(
+          col("media_id"),
+          col("__g.width").as("width"),
+          col("__g.height").as("height"),
+          col("__g.n_frames").as("n_frames"),
+          col("__g.n_sampled").as("n_sampled"),
+          col("__g.sum_r").as("sum_r"),
+          col("__g.sum_g").as("sum_g"),
+          col("__g.sum_b").as("sum_b"),
+          col("__g.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- 8-bit PALETTE BMP decode: the color-table variant (BGRx
     //      quads, biClrUsed-0 = full 256-entry table, strict index
     //      bound) over real javax.imageio bpp=8 DIBs; px chars are
@@ -5491,6 +5514,53 @@ object SparkEntry {
         |    list_transform(
         |      flatten(list_transform([0, 1], ty ->
         |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+        |      pi -> printf('%02x%02x%02x',
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,
+        |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 3 + 77) % 256)),
+        |    'string_agg', '')
+        |  END AS thumb_hex
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // animated GIF: frames 0 and 2 of the 3-frame sequence are sampled
+    // (every=2); each is a full-size raster whose indices are the f-th
+    // w·h slice of the repeated md5 hex — positional palette recompute
+    // summed over the sampled frames, thumb from the last one
+    "q_multimodal_gif_anim" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+        |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 5), 1,
+        |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+        |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE CAST(3 AS BIGINT) END AS n_frames,
+        |  CASE WHEN bad THEN NULL ELSE CAST(2 AS BIGINT) END AS n_sampled,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    flatten([range(0, CAST(w * h AS BIGINT)),
+        |             range(CAST(2 * w * h AS BIGINT), CAST(3 * w * h AS BIGINT))]),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 7 + 13) % 256)) AS BIGINT)
+        |  END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    flatten([range(0, CAST(w * h AS BIGINT)),
+        |             range(CAST(2 * w * h AS BIGINT), CAST(3 * w * h AS BIGINT))]),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 11 + 5) % 256)) AS BIGINT)
+        |  END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+        |    flatten([range(0, CAST(w * h AS BIGINT)),
+        |             range(CAST(2 * w * h AS BIGINT), CAST(3 * w * h AS BIGINT))]),
+        |    i -> (ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) * 3 + 77) % 256)) AS BIGINT)
+        |  END AS sum_b,
+        |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+        |    list_transform(
+        |      flatten(list_transform([0, 1], ty ->
+        |        list_transform([0, 1], tx ->
+        |          2 * w * h + ((ty * h) // 2) * w + (tx * w) // 2))),
         |      pi -> printf('%02x%02x%02x',
         |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 7 + 13) % 256,
         |        (ascii(substr(px, CAST(pi + 1 AS INTEGER), 1)) * 11 + 5) % 256,

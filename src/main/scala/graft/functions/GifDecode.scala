@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * 4-pass interlace); extension blocks skipped by the generic sub-block
   * walk. Everything else — sub-frame placement, zero color tables,
   * LZW code overflow, early stream end, index past the palette — → null.
+  * ANIMATIONS (multi-frame compositing, sub-frame placement, GCE
+  * transparency, disposal) are the sibling operator [[GifFrames]] /
+  * [[GifDecode.decodeFrames]] — this expression stays the cheap
+  * single-frame form.
   *
   * LZW per Appendix F: initial code width = minCodeSize+1; CLEAR resets
   * the table; codes grow the width at 2^width up to 12 bits; when the
@@ -295,4 +299,259 @@ object GifDecode {
 
   def apply(bytes: Column): Column =
     ColumnBridge.toColumn(GifDecode(ColumnBridge.toExpression(bytes)))
+
+  // --------------------------------------------------------------------
+  // ANIMATED GIF: the multi-frame walk behind [[GifFrames]]
+  // --------------------------------------------------------------------
+
+  val framesSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("n_sampled", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("thumb_hex", StringType, nullable = false)))
+
+  /** Frame-count cap: a hostile stream of tiny frames makes the
+    * per-sampled-frame canvas fold quadratic; 1024 frames is far above
+    * any real animation and bounds the walk.
+    */
+  private val MaxFrames = 1024
+
+  /** Animated decode with frame sampling (the video-pipeline shape of
+    * [[graft.functions.Y4mSample]]): frames COMPOSITE onto the logical
+    * screen in order — sub-frame placement (left/top/iw/ih inside the
+    * screen), per-frame local palettes, interlace, GCE transparency
+    * (transparent pixels leave the canvas unchanged) and disposal
+    * methods 0/1 (leave) and 2 (restore rect to the background color)
+    * all honored; disposal 3 (restore-to-previous) → null (documented
+    * scope — needs a canvas snapshot stack no web thumbnail carries).
+    * Every `every`-th composited frame (0, every, 2·every, …)
+    * contributes exact palette-expanded channel sums over the WHOLE
+    * canvas; the thumb is the defined 2×2 NN sample of the LAST sampled
+    * canvas. The canvas starts as the header's background color (black
+    * when the background index is missing or out of table).
+    */
+  def decodeFrames(bytes: Array[Byte], every: Int): InternalRow = {
+    if (bytes.length < 14) return null
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a')
+      return null
+    val sw = le16(bytes, 6)
+    val sh = le16(bytes, 8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxPixels) return null
+    val packed = u8(bytes, 10)
+    val gctFlag = (packed & 0x80) != 0
+    val gctSize = 1 << ((packed & 7) + 1)
+    val bgIndex = u8(bytes, 11)
+    var off = 13
+    var gctOff = -1
+    if (gctFlag) {
+      gctOff = off
+      off += 3 * gctSize
+      if (off > bytes.length) return null
+    }
+    val n = sw * sh
+    val canvas = new Array[Int](n) // packed 0xRRGGBB
+    val bg =
+      if (gctFlag && bgIndex < gctSize) {
+        val e = gctOff + 3 * bgIndex
+        (u8(bytes, e) << 16) | (u8(bytes, e + 1) << 8) | u8(bytes, e + 2)
+      } else 0
+    java.util.Arrays.fill(canvas, bg)
+
+    var nFrames = 0L
+    var nSampled = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var thumb: String = null
+    // pending graphic-control state (applies to the NEXT image)
+    var transIndex = -1
+    var disposal = 0
+    // the PREVIOUS frame's disposal, applied before drawing the next
+    var prevDisposal = 0
+    var prevL = 0; var prevT = 0; var prevW = 0; var prevH = 0
+
+    while (true) {
+      if (off >= bytes.length) return null
+      u8(bytes, off) match {
+        case 0x3b => // trailer
+          if (nFrames == 0) return null
+          return new GenericInternalRow(Array[Any](
+            sw, sh, nFrames, nSampled, sr, sg, sb,
+            UTF8String.fromString(if (thumb == null) "" else thumb)))
+        case 0x21 => // extension
+          if (off + 1 >= bytes.length) return null
+          val label = u8(bytes, off + 1)
+          off += 2
+          if (label == 0xf9) { // graphic control: capture for next image
+            if (off + 5 >= bytes.length) return null
+            if (u8(bytes, off) != 4) return null
+            val p = u8(bytes, off + 1)
+            disposal = (p >> 2) & 7
+            transIndex = if ((p & 1) != 0) u8(bytes, off + 4) else -1
+            if (disposal == 3) return null // restore-to-previous: scope
+            if (disposal > 3) return null
+          }
+          var len = if (off < bytes.length) u8(bytes, off) else return null
+          while (len != 0) {
+            off += 1 + len
+            if (off >= bytes.length) return null
+            len = u8(bytes, off)
+          }
+          off += 1
+        case 0x2c => // image descriptor
+          if (off + 10 > bytes.length) return null
+          val left = le16(bytes, off + 1)
+          val top = le16(bytes, off + 3)
+          val iw = le16(bytes, off + 5)
+          val ih = le16(bytes, off + 7)
+          val ipacked = u8(bytes, off + 9)
+          off += 10
+          if (iw <= 0 || ih <= 0 || left + iw > sw || top + ih > sh) return null
+          val interlacedF = (ipacked & 0x40) != 0
+          val lctFlag = (ipacked & 0x80) != 0
+          var palOff = gctOff
+          var palSize = gctSize
+          if (lctFlag) {
+            palSize = 1 << ((ipacked & 7) + 1)
+            palOff = off
+            off += 3 * palSize
+            if (off > bytes.length) return null
+          }
+          if (palOff < 0) return null
+          if (!gctFlag && !lctFlag) return null
+          if (off >= bytes.length) return null
+          val minCode = u8(bytes, off)
+          off += 1
+          if (minCode < 2 || minCode > 8) return null
+          val data = new java.io.ByteArrayOutputStream(256)
+          var len = if (off < bytes.length) u8(bytes, off) else return null
+          while (len != 0) {
+            if (off + 1 + len > bytes.length) return null
+            data.write(bytes, off + 1, len)
+            off += 1 + len
+            if (off >= bytes.length) return null
+            len = u8(bytes, off)
+          }
+          off += 1
+          val px = lzwDecode(data.toByteArray, minCode, iw * ih)
+          if (px == null) return null
+          val rows =
+            if (!interlacedF) px
+            else {
+              val out = new Array[Byte](px.length)
+              var src = 0
+              val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+              var p = 0
+              while (p < 4) {
+                var y = passes(p)._1
+                while (y < ih) {
+                  System.arraycopy(px, src * iw, out, y * iw, iw)
+                  src += 1
+                  y += passes(p)._2
+                }
+                p += 1
+              }
+              out
+            }
+          // previous frame's disposal, then draw this one
+          if (prevDisposal == 2) {
+            var y = prevT
+            while (y < prevT + prevH) {
+              java.util.Arrays.fill(canvas, y * sw + prevL, y * sw + prevL + prevW, bg)
+              y += 1
+            }
+          }
+          var y = 0
+          while (y < ih) {
+            var x = 0
+            val rowBase = (top + y) * sw + left
+            while (x < iw) {
+              val idx = rows(y * iw + x) & 0xff
+              if (idx != transIndex) {
+                if (idx >= palSize) return null
+                val e = palOff + 3 * idx
+                canvas(rowBase + x) =
+                  (u8(bytes, e) << 16) | (u8(bytes, e + 1) << 8) | u8(bytes, e + 2)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          if (nFrames % every == 0) {
+            var i = 0
+            while (i < n) {
+              val v = canvas(i)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+              i += 1
+            }
+            val sbuf = new java.lang.StringBuilder(24)
+            var ty = 0
+            while (ty < 2) {
+              var tx = 0
+              while (tx < 2) {
+                val v = canvas(((ty * sh) / 2) * sw + (tx * sw) / 2)
+                hex2(sbuf, (v >> 16) & 0xff)
+                hex2(sbuf, (v >> 8) & 0xff)
+                hex2(sbuf, v & 0xff)
+                tx += 1
+              }
+              ty += 1
+            }
+            thumb = sbuf.toString
+            nSampled += 1
+          }
+          nFrames += 1
+          if (nFrames > MaxFrames) return null
+          prevDisposal = disposal
+          prevL = left; prevT = top; prevW = iw; prevH = ih
+          disposal = 0
+          transIndex = -1
+        case _ => return null
+      }
+    }
+    null // unreachable
+  }
+}
+
+/** Frame-sampling decode over ANIMATED GIFs — see
+  * [[GifDecode.decodeFrames]] for the compositing contract. Output
+  * (width, height, n_frames, n_sampled, sum_r, sum_g, sum_b, thumb_hex):
+  * exact palette-expanded channel sums over every `every`-th composited
+  * canvas, thumb of the last sampled one.
+  */
+case class GifFrames(child: Expression, every: Int) extends UnaryExpression {
+
+  override def dataType: DataType = GifDecode.framesSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frames"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gif_frames expects binary, got ${child.dataType.catalogString}")
+    else if (every < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gif_frames sampling step must be >= 1, got $every")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(input: Any): Any =
+    GifDecode.decodeFrames(input.asInstanceOf[Array[Byte]], every)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = (InternalRow) graft.functions.GifDecode.decodeFrames($v, $every);
+      if (${ev.value} == null) ${ev.isNull} = true;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): GifFrames =
+    copy(child = c)
+}
+
+object GifFrames {
+  def apply(bytes: Column, every: Int): Column =
+    ColumnBridge.toColumn(GifFrames(ColumnBridge.toExpression(bytes), every))
 }

@@ -517,6 +517,84 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Frame rasters → ANIMATED GIF through `javax.imageio`'s sequence
+    * writer (`writeToSequence` — full-size frames at (0,0), shared
+    * [[paletteEntry]] colormap, no transparency, disposal none), the
+    * independent encoder behind the animated-GIF gate.
+    */
+  private[graft] def encodeGifAnimated(
+      wi: Int, hi: Int, frames: Seq[String]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(
+          wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
+        var i = 0
+        var y = 0
+        while (y < hi) {
+          var x = 0
+          while (x < wi) {
+            img.getRaster.setSample(x, y, 0, px.charAt(i) & 0xff)
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** Synthesize an ANIMATED GIF media table: 3 full-size frames per
+    * payload, frame f's index raster = the f-th w·h slice of the
+    * repeated md5 hex (so the oracle recomputes every sampled frame
+    * positionally). Row mix: every fifth row raw text (→ null), every
+    * seventh truncated mid-animation (→ null).
+    */
+  def mediaTableGifAnim(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 5).substr(lit(1), (w * h * 3).cast("int")))
+          .as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload = r.kind match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            val frames = Seq(0, 1, 2).map(f => r.px.substring(f * r.w * r.h, (f + 1) * r.w * r.h))
+            val full = encodeGifAnimated(r.w, r.h, frames)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          case _ =>
+            val frames = Seq(0, 1, 2).map(f => r.px.substring(f * r.w * r.h, (f + 1) * r.w * r.h))
+            encodeGifAnimated(r.w, r.h, frames)
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Index raster → 8-bit palette BMP through `javax.imageio` (the JDK
     * BMP writer emits bpp=8 BI_RGB with the full 1024-byte BGRx color
     * table for TYPE_BYTE_INDEXED) — the independent encoder behind the
