@@ -29,10 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     a full 256-entry table; an index past the table → null, the
   *     strict GIF/PNG palette contract);
   *   - 8-bit BI_RLE8 (run-length: encoded runs, absolute mode with
-  *     word padding, EOL / EOB / delta escapes; deltas leave SKIPPED
-  *     pixels at index 0 per the DIB convention; RLE is bottom-up by
-  *     definition — a top-down height → null). Runs past the row edge
-  *     or data past EOB → null.
+  *     word padding, EOL / EOB / delta escapes; pixels skipped by
+  *     deltas or an early EOB stay index 0 per the DIB
+  *     undefined-pixel convention, and bytes after EOB are ignored —
+  *     EOB IS the end of the bitmap; RLE is bottom-up by definition,
+  *     a top-down height → null). Runs past the row edge, deltas off
+  *     the bitmap, or truncation BEFORE EOB → null.
   *
   * Everything else (1/4/16-bit, BI_BITFIELDS, core headers) → null.
   * Output (width, height, n_px, sum_r, sum_g, sum_b, thumb_hex) — the
@@ -133,13 +135,7 @@ object BmpDecode {
           decodeRle8(bytes, dataOff, w, h)
         }
       if (idx == null) return null
-      // strict palette bound, like GIF/PNG: an out-of-table index nulls
-      var i = 0
-      while (i < idx.length) {
-        if ((idx(i) & 0xff) >= palCount) return null
-        i += 1
-      }
-      statsPalette(bytes, palOff, idx, w, h)
+      statsPalette(bytes, palOff, palCount, idx, w, h)
     } else null
   }
 
@@ -184,14 +180,19 @@ object BmpDecode {
       w, h, w.toLong * h, sr, sg, sb, UTF8String.fromString(sbuf.toString)))
   }
 
-  /** Palette-expanded statistics over a TOP-DOWN index raster. */
+  /** Palette-expanded statistics over a TOP-DOWN index raster; the
+    * strict palette bound (an out-of-table index → null, like GIF/PNG)
+    * is folded into the same pass.
+    */
   private def statsPalette(
-      bytes: Array[Byte], palOff: Int, idx: Array[Byte],
+      bytes: Array[Byte], palOff: Int, palCount: Int, idx: Array[Byte],
       w: Int, h: Int): InternalRow = {
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < idx.length) {
-      val e = palOff + 4 * (idx(i) & 0xff) // BGRx quad
+      val j = idx(i) & 0xff
+      if (j >= palCount) return null
+      val e = palOff + 4 * j // BGRx quad
       sb += u8(bytes, e)
       sg += u8(bytes, e + 1)
       sr += u8(bytes, e + 2)

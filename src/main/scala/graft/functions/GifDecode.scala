@@ -151,40 +151,14 @@ object GifDecode {
     // 1-bit image still uses min code size 2 — so 2..8, strictly
     if (minCode < 2 || minCode > 8) return null
 
-    // concatenate the data sub-blocks
-    val data = new java.io.ByteArrayOutputStream(bytes.length - off)
-    var len = if (off < bytes.length) u8(bytes, off) else return null
-    while (len != 0) {
-      if (off + 1 + len > bytes.length) return null
-      data.write(bytes, off + 1, len)
-      off += 1 + len
-      if (off >= bytes.length) return null
-      len = u8(bytes, off)
-    }
-    val lzw = data.toByteArray
+    val collected = collectSubBlocks(bytes, off)
+    if (collected == null) return null
+    val lzw = collected._1
 
     val px = lzwDecode(lzw, minCode, iw * ih)
     if (px == null) return null
 
-    // deinterlace: passes write rows 0,8,.. / 4,12,.. / 2,6,.. / 1,3,..
-    val rows =
-      if (!interlaced) px
-      else {
-        val out = new Array[Byte](px.length)
-        var src = 0
-        val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
-        var p = 0
-        while (p < 4) {
-          var y = passes(p)._1
-          while (y < ih) {
-            System.arraycopy(px, src * iw, out, y * iw, iw)
-            src += 1
-            y += passes(p)._2
-          }
-          p += 1
-        }
-        out
-      }
+    val rows = if (!interlaced) px else deinterlace(px, iw, ih)
 
     // palette-expanded sums; an index past the table is an error
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -219,6 +193,44 @@ object GifDecode {
   private def hex2(sb: java.lang.StringBuilder, v: Int): Unit = {
     val hx = "0123456789abcdef"
     sb.append(hx.charAt((v >> 4) & 15)).append(hx.charAt(v & 15))
+  }
+
+  /** Concatenated data sub-blocks starting at `off`; null on truncation.
+    * Second element is the offset PAST the 0-terminator.
+    */
+  private def collectSubBlocks(bytes: Array[Byte], off0: Int): (Array[Byte], Int) = {
+    var off = off0
+    if (off >= bytes.length) return null
+    val data = new java.io.ByteArrayOutputStream(256)
+    var len = u8(bytes, off)
+    while (len != 0) {
+      if (off + 1 + len > bytes.length) return null
+      data.write(bytes, off + 1, len)
+      off += 1 + len
+      if (off >= bytes.length) return null
+      len = u8(bytes, off)
+    }
+    (data.toByteArray, off + 1)
+  }
+
+  /** Adam-style GIF 4-pass deinterlace: passes write rows 0,8,.. /
+    * 4,12,.. / 2,6,.. / 1,3,..
+    */
+  private def deinterlace(px: Array[Byte], iw: Int, ih: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var src = 0
+    val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+    var p = 0
+    while (p < 4) {
+      var y = passes(p)._1
+      while (y < ih) {
+        System.arraycopy(px, src * iw, out, y * iw, iw)
+        src += 1
+        y += passes(p)._2
+      }
+      p += 1
+    }
+    out
   }
 
   /** GIF variable-code LZW (Appendix F). Returns exactly `need` index
@@ -426,36 +438,12 @@ object GifDecode {
           val minCode = u8(bytes, off)
           off += 1
           if (minCode < 2 || minCode > 8) return null
-          val data = new java.io.ByteArrayOutputStream(256)
-          var len = if (off < bytes.length) u8(bytes, off) else return null
-          while (len != 0) {
-            if (off + 1 + len > bytes.length) return null
-            data.write(bytes, off + 1, len)
-            off += 1 + len
-            if (off >= bytes.length) return null
-            len = u8(bytes, off)
-          }
-          off += 1
-          val px = lzwDecode(data.toByteArray, minCode, iw * ih)
+          val collected = collectSubBlocks(bytes, off)
+          if (collected == null) return null
+          off = collected._2
+          val px = lzwDecode(collected._1, minCode, iw * ih)
           if (px == null) return null
-          val rows =
-            if (!interlacedF) px
-            else {
-              val out = new Array[Byte](px.length)
-              var src = 0
-              val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
-              var p = 0
-              while (p < 4) {
-                var y = passes(p)._1
-                while (y < ih) {
-                  System.arraycopy(px, src * iw, out, y * iw, iw)
-                  src += 1
-                  y += passes(p)._2
-                }
-                p += 1
-              }
-              out
-            }
+          val rows = if (!interlacedF) px else deinterlace(px, iw, ih)
           // previous frame's disposal, then draw this one
           if (prevDisposal == 2) {
             var y = prevT
@@ -470,8 +458,10 @@ object GifDecode {
             val rowBase = (top + y) * sw + left
             while (x < iw) {
               val idx = rows(y * iw + x) & 0xff
+              // bound-check EVERY index — a transparent-index match must
+              // not bypass the strict palette contract
+              if (idx >= palSize) return null
               if (idx != transIndex) {
-                if (idx >= palSize) return null
                 val e = palOff + 3 * idx
                 canvas(rowBase + x) =
                   (u8(bytes, e) << 16) | (u8(bytes, e + 1) << 8) | u8(bytes, e + 2)

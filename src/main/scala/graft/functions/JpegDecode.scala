@@ -389,7 +389,14 @@ object JpegDecode {
     var blockW: Array[Int] = null // MCU-padded block columns per comp
     var blockH: Array[Int] = null
     var hMaxP = 1; var vMaxP = 1
-    var anyScan = false
+    // quant tables LATCHED at each component's first scan (reference
+    // decoders bind tables then; reading them at EOI would let a
+    // mid-frame DQT redefinition silently re-dequantize earlier scans)
+    var compQt: Array[Array[Int]] = null
+    // strictness floor for EOI: every component must have received its
+    // DC FIRST scan (AC-only spectral data is fabrication, and a
+    // truncated-then-EOI-patched stream must not render invented chroma)
+    var dcSeen: Array[Boolean] = null
 
     while (true) {
       // markers may be preceded by fill bytes (B.1.1.2)
@@ -401,10 +408,16 @@ object JpegDecode {
       pos += 2
       marker match {
         case 0xd9 => // EOI
-          if (progressive && anyScan)
+          if (progressive && coefs != null) {
+            var c = 0
+            while (c < nComp) {
+              if (!dcSeen(c)) return null // a component never got its DC scan
+              c += 1
+            }
             return finishProgressive(
-              w, h, nComp, compH, compV, compQ, qt,
+              w, h, nComp, compH, compV, compQt,
               coefs, blockW, blockH, hMaxP, vMaxP)
+          }
           return null // EOI before any (baseline) scan
         case m if m >= 0xe0 && m <= 0xef => // APPn
           if (pos + 2 > bytes.length) return null
@@ -577,6 +590,8 @@ object JpegDecode {
             coefs = new Array[Array[Int]](nComp)
             blockW = new Array[Int](nComp)
             blockH = new Array[Int](nComp)
+            compQt = new Array[Array[Int]](nComp)
+            dcSeen = new Array[Boolean](nComp)
             var bytesTotal = 0L
             c = 0
             while (c < nComp) {
@@ -588,12 +603,23 @@ object JpegDecode {
               c += 1
             }
           }
+          // latch each scanned component's quant table at its FIRST scan
+          s = 0
+          while (s < ns) {
+            val c = scanComp(s)
+            if (compQt(c) == null) {
+              val q = qt(compQ(c))
+              if (q == null) return null // scan before its table arrived
+              compQt(c) = q.clone()
+            }
+            if (ss == 0 && ah == 0) dcSeen(c) = true
+            s += 1
+          }
           val next = decodeProgScan(
             bytes, end, w, h, compH, compV, hMaxP, vMaxP,
             scanComp, scanDc, scanAc, ss, se, ah, al,
             restartInterval, coefs, blockW, blockH)
           if (next < 0) return null
-          anyScan = true
           pos = next
         case _ => return null // DNL/DAC/unknown: out of scope
       }
@@ -933,8 +959,7 @@ object JpegDecode {
     */
   private def finishProgressive(
       w: Int, h: Int, nComp: Int,
-      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
-      qt: Array[Array[Int]],
+      compH: Array[Int], compV: Array[Int], compQt: Array[Array[Int]],
       coefs: Array[Array[Int]], blockW: Array[Int], blockH: Array[Int],
       hMax: Int, vMax: Int): Raster = {
     val planes = new Array[Array[Byte]](3)
@@ -944,7 +969,7 @@ object JpegDecode {
     val qNat = new Array[Int](64)
     var c = 0
     while (c < nComp) {
-      val q = qt(compQ(c))
+      val q = compQt(c) // latched at the component's first scan
       if (q == null) return null
       var k = 0
       while (k < 64) { qNat(ZigZag(k)) = q(k); k += 1 }

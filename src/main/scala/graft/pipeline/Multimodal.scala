@@ -322,6 +322,30 @@ object Multimodal {
     * type 0 for these layouts) and re-asserted in PngDecodeSpec via an
     * independent ImageIO read-back.
     */
+  /** TYPE_BYTE_INDEXED image over the shared [[paletteEntry]] colormap,
+    * filled with px chars as raw palette indices — the one index-raster
+    * builder behind every palette-format encoder (PNG type 3, GIF, BMP
+    * bpp=8, animated GIF frames): a raster-convention change happens in
+    * ONE place or the gate encoders desynchronize from their oracles.
+    */
+  private def indexedImage(wi: Int, hi: Int, px: String): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < hi) {
+      var x = 0
+      while (x < wi) {
+        raster.setSample(x, y, 0, px.charAt(i) & 0xff)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   private[graft] def encodeRasterIndexedOrGray(
       variant: Int, wi: Int, hi: Int, px: String,
       interlaced: Boolean = false): Array[Byte] = {
@@ -531,20 +555,8 @@ object Multimodal {
       writer.setOutput(out)
       writer.prepareWriteSequence(null)
       frames.foreach { px =>
-        val img = new java.awt.image.BufferedImage(
-          wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
-        var i = 0
-        var y = 0
-        while (y < hi) {
-          var x = 0
-          while (x < wi) {
-            img.getRaster.setSample(x, y, 0, px.charAt(i) & 0xff)
-            i += 1
-            x += 1
-          }
-          y += 1
-        }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(indexedImage(wi, hi, px), null, null), null)
       }
       writer.endWriteSequence()
     } finally { writer.dispose(); out.close() }
@@ -602,21 +614,8 @@ object Multimodal {
     * colormap as the GIF and PNG palette gates.
     */
   private[graft] def encodeBmpIndexed(wi: Int, hi: Int, px: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
-    var i = 0
-    var y = 0
-    while (y < hi) {
-      var x = 0
-      while (x < wi) {
-        img.getRaster.setSample(x, y, 0, px.charAt(i) & 0xff)
-        i += 1
-        x += 1
-      }
-      y += 1
-    }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
+    javax.imageio.ImageIO.write(indexedImage(wi, hi, px), "bmp", bos)
     bos.toByteArray
   }
 
@@ -722,20 +721,7 @@ object Multimodal {
     */
   private[graft] def encodeGifIndexed(
       wi: Int, hi: Int, px: String, interlaced: Boolean): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      wi, hi, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, paletteColorModel)
-    val raster = img.getRaster
-    var i = 0
-    var y = 0
-    while (y < hi) {
-      var x = 0
-      while (x < wi) {
-        raster.setSample(x, y, 0, px.charAt(i) & 0xff)
-        i += 1
-        x += 1
-      }
-      y += 1
-    }
+    val img = indexedImage(wi, hi, px)
     // the JDK GIF writer INTERLACES BY DEFAULT (its default stream
     // metadata sets the flag — probed empirically), so sequential rows
     // need an explicit MODE_DISABLED; interlace is MODE_DEFAULT

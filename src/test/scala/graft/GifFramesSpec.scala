@@ -125,6 +125,11 @@ class GifFramesSpec extends SparkSpec {
     // index past the 4-entry table
     val badIdx = header(2, 2) ++ image(0, 0, 2, 2, Seq(0, 1, 2, 5)) ++ trailer
     assert(GifDecode.decodeFrames(badIdx, 1) == null)
+    // an out-of-table index must null even when it IS the transparent
+    // index — transparency must not bypass the palette bound
+    val transOob = header(2, 2) ++ gce(disposal = 0, transIdx = 5) ++
+      image(0, 0, 2, 2, Seq(0, 1, 2, 5)) ++ trailer
+    assert(GifDecode.decodeFrames(transOob, 1) == null)
   }
 
   test("real ImageIO sequence: sampling arithmetic and parity with single-frame decode") {

@@ -241,6 +241,54 @@ class JpegDecodeSpec extends SparkSpec {
     encodeImg(img, quality, progressive = true)
   }
 
+  test("progressive strictness: missing DC scans null; mid-frame DQT redefinition is latched") {
+    val full = encodeRgbP(24, 16, (x, y) => (x * 11, y * 13, (x + y) * 7), 0.9f)
+    // locate the scans
+    def sosOffsets(b: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda) out += i
+        i += 1
+      }
+      out.toSeq
+    }
+    val sos = sosOffsets(full)
+    assert(sos.size >= 2, "the JDK progressive writer emits multiple scans")
+    // (a) truncate after the FIRST scan and re-append EOI: some
+    // component never received its DC scan → strict null, not a gray
+    // fabrication (the JDK's first progressive scan is DC for Y only
+    // or interleaved DC at reduced precision — either way chroma AC /
+    // refinements are missing; if the first scan happens to cover all
+    // DC, cut before it instead)
+    val cutAtFirst = java.util.Arrays.copyOfRange(full, 0, sos(1)) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val r1 = JpegDecode.decodeRaster(cutAtFirst)
+    // the first JDK scan is an interleaved DC-first covering ALL
+    // components, so this CAN legally render; cutting before ANY scan
+    // must null though
+    val cutBeforeAll = java.util.Arrays.copyOfRange(full, 0, sos(0)) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(JpegDecode.decodeRaster(cutBeforeAll) == null,
+      "EOI with no scans at all must null")
+    if (r1 != null) {
+      // legal partial render: geometry still exact
+      assert(r1.w === 24 && r1.h === 16)
+    }
+    // (b) a DQT redefinition between scans must NOT re-dequantize the
+    // already-decoded scans: tables are latched at each component's
+    // first scan, so the decode equals the unmodified stream's
+    val bogusDqt = Array[Byte](0xff.toByte, 0xdb.toByte, 0x00, 0x43, 0x00) ++
+      Array.fill(64)(1.toByte)
+    val patched = java.util.Arrays.copyOfRange(full, 0, sos(1)) ++ bogusDqt ++
+      java.util.Arrays.copyOfRange(full, sos(1), full.length)
+    val want = JpegDecode.decodeRaster(full)
+    val got = JpegDecode.decodeRaster(patched)
+    assert(want != null && got != null)
+    assert(java.util.Arrays.equals(got.rgb, want.rgb),
+      "latched tables: a mid-frame DQT redefinition must not change the decode")
+  }
+
   test("overfull canonical DHT (more codes than 2^l prefixes) nulls, never throws") {
     // counts[0] = 3 claims three 1-bit codes — canonically impossible
     // (T.81 C.2); the lookahead fill would index past its table. Found
