@@ -2011,6 +2011,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- JPEG EXIF metadata walk (APP1 "Exif\0\0" -> TIFF IFD0, BOTH
+    //      byte orders): orientation / datetime / make / model — the
+    //      header-parse operator that decides rotation before decode.
+    //      Payloads carry byte-exact hand-assembled APP1 segments whose
+    //      fields derive from document columns, so the oracle recomputes
+    //      them with no byte introspection -------------------------------
+    "q_multimodal_exif" -> ((s, dir) => {
+      import graft.functions.JpegExif
+      Multimodal.mediaTableExif(s, Tables.documents(s, dir))
+        .select(col("media_id"), JpegExif(col("payload")).as("__e"))
+        .select(
+          col("media_id"),
+          col("__e.orientation").as("orientation"),
+          col("__e.datetime").as("datetime"),
+          col("__e.make").as("make"),
+          col("__e.model").as("model"))
+        .orderBy("media_id")
+    }),
+
     // ---- PROGRESSIVE JPEG (SOF2, T.81 Annex G): the same tolerance
     //      gate over REAL multi-scan progressive streams (the JDK
     //      writer's progressive mode — spectral selection + successive
@@ -5714,6 +5733,21 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_b,
         |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_mae
         |FROM d ORDER BY media_id""".stripMargin,
+
+    // EXIF fields recomputed straight from document columns — the
+    // payload's APP1 bytes were ASSEMBLED from the same expressions
+    "q_multimodal_exif" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |       ELSE printf('2021:%02d:%02d 10:00:%02d',
+        |                   doc_id % 12 + 1, n_chars % 28 + 1, doc_id % 60)
+        |  END AS datetime,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'cam_' || source END AS make,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'mx_' || lang END AS model
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
 
     // identical band-pinning shape over the progressive streams — same
     // geometry, same bands (quantization tables are the same at the

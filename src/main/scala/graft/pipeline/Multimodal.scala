@@ -541,6 +541,93 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Hand-assembled EXIF APP1 segment (JEITA CP-3451 / TIFF 6.0): IFD0
+    * with Orientation (SHORT, inline left-justified), DateTime, Make
+    * and Model (ASCII at offsets), in the chosen byte order — the
+    * byte-exact generator behind the EXIF gate.
+    */
+  private[graft] def exifApp1(
+      little: Boolean, orientation: Int,
+      datetime: String, make: String, model: String): Array[Byte] = {
+    def u16(v: Int): Array[Byte] =
+      if (little) Array[Byte](v.toByte, (v >> 8).toByte)
+      else Array[Byte]((v >> 8).toByte, v.toByte)
+    def u32(v: Int): Array[Byte] =
+      if (little) Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      else Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val dtB = (datetime + "\u0000").getBytes("US-ASCII")
+    val mkB = (make + "\u0000").getBytes("US-ASCII")
+    val mdB = (model + "\u0000").getBytes("US-ASCII")
+    // TIFF layout: header(8) + count(2) + 4 entries(48) + next(4) = 62,
+    // then the three strings
+    val dtOff = 62
+    val mkOff = dtOff + dtB.length
+    val mdOff = mkOff + mkB.length
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]): Array[Byte] =
+      u16(tag) ++ u16(typ) ++ u32(count) ++ value
+    // SHORT values are LEFT-JUSTIFIED in the 4-byte field (TIFF 6.0 §2)
+    val orientVal = u16(orientation) ++ Array[Byte](0, 0)
+    def strVal(off: Int, bl: Int): Array[Byte] = {
+      require(bl > 4, "inline (≤4 byte) ASCII values not generated here")
+      u32(off)
+    }
+    val tiff =
+      (if (little) "II" else "MM").getBytes("US-ASCII") ++ u16(42) ++ u32(8) ++
+        u16(4) ++
+        entry(0x010f, 2, mkB.length, strVal(mkOff, mkB.length)) ++
+        entry(0x0110, 2, mdB.length, strVal(mdOff, mdB.length)) ++
+        entry(0x0112, 3, 1, orientVal) ++
+        entry(0x0132, 2, dtB.length, strVal(dtOff, dtB.length)) ++
+        u32(0) ++ dtB ++ mkB ++ mdB
+    val seg = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((seg.length + 2) >> 8) & 0xff).toByte, ((seg.length + 2) & 0xff).toByte) ++ seg
+  }
+
+  /** Synthesize an EXIF media table: payloads carry SOI + a byte-exact
+    * APP1 Exif segment (fields derived deterministically from document
+    * columns, so the oracle recomputes them with NO byte introspection)
+    * + the [[mediaTableEncoded]]-style body. Every third row has no
+    * EXIF (→ null row); every seventh uses the BIG-ENDIAN (MM) TIFF
+    * byte order, the rest little-endian.
+    */
+  def mediaTableExif(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").as("media_id"),
+        (col("doc_id") % 8 + 1).cast("int").as("w"), // reuse RasterSrc: orientation
+        (col("doc_id") % 12 + 1).cast("int").as("h"), // month
+        (col("doc_id") % 7 === 3).as("rgba"),         // big-endian flag
+        col("text").substr(lit(1), lit(24)).as("px"),
+        when(col("doc_id") % 3 === 2, 1).otherwise(0).as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+        val body = r.px.getBytes("UTF-8")
+        val payload =
+          if (r.kind == 1) soi ++ body // no EXIF → null row
+          else {
+            val day = (r.size_bytes % 28 + 1).toInt
+            val sec = (r.media_id % 60).toInt
+            soi ++ exifApp1(
+              little = !r.rgba,
+              orientation = r.w,
+              datetime = f"2021:${r.h}%02d:$day%02d 10:00:$sec%02d",
+              make = "cam_" + r.origin,
+              model = "mx_" + r.codec) ++ body
+          }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Frame rasters → ANIMATED GIF through `javax.imageio`'s sequence
     * writer (`writeToSequence` — full-size frames at (0,0), shared
     * [[paletteEntry]] colormap, no transparency, disposal none), the
