@@ -342,12 +342,26 @@ object Bench {
     }
     val allLines = minOfPasses(passes)
     val calib = calibJson(calibSamples.toSeq)
-    println(renderJson(allLines, errors.toMap, sfDir,
+    val fullJson = renderJson(allLines, errors.toMap, sfDir,
       raw = if (nPasses > 1) passes else Nil,
-      extra = calib.frag))
+      extra = calib.frag)
+    println(fullJson)
     // bounded-size trailer so a tail-truncated capture keeps the headline
     println(renderSummary(allLines, errors.toMap, sfDir,
       calib.contended, calib.floor, calib.spread))
+    // the committed record must support per-query regression checks
+    // without a judge rerun: the driver's stdout capture tail-truncates
+    // the per-query map past ~53 entries (VERDICT r17 #2), so the FULL
+    // line is also written to a file the round commits
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query JSON -> $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench-out write failed (non-fatal): ${e.getMessage}")
+    }
     printed = true
     spark.stop()
     // rc stays 0 even on per-query errors, mirroring Verify's rationale: a

@@ -61,6 +61,18 @@ case class MediaDecode(child: Expression) extends UnaryExpression {
 
 object MediaDecode {
 
+  /** Test-only decode-call accounting. `Multimodal.decodedFeatures` fans
+    * the decoded struct into 9 field extractions; CollapseProject inlines
+    * the expression into each, and only whole-stage-codegen COMMON
+    * SUBEXPRESSION ELIMINATION folds them back to one evaluation per row
+    * (an interpreted-mode fallback would decode 9× per row). The counter
+    * lets MediaDecodeSpec PIN the once-per-row property on the compiled
+    * plan instead of trusting it. Off by default: one predictable branch
+    * on a volatile in the production path, no atomics touched.
+    */
+  @volatile private[graft] var countEvals = false
+  private[graft] val evalCount = new java.util.concurrent.atomic.LongAdder
+
   val schema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -78,6 +90,7 @@ object MediaDecode {
       UTF8String.fromString(format), width, height, nPx, sr, sg, sb, thumb))
 
   def decode(b: Array[Byte]): InternalRow = {
+    if (countEvals) evalCount.increment()
     if (b.length < 4) return null
     val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
     if (b0 == 'P' && b1 == '6') {

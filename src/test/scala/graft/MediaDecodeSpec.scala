@@ -51,6 +51,35 @@ class MediaDecodeSpec extends SparkSpec {
     assert(MediaDecode.decode("GIF8junkjunkjunk".getBytes("US-ASCII")) == null)
   }
 
+  test("decodedFeatures evaluates the kernel ONCE per row under whole-stage codegen") {
+    // VERDICT r17 #3: decodedFeatures fans the __d struct into 9 field
+    // extractions; CollapseProject inlines the expression into each and
+    // whole-stage-codegen subexpression elimination folds them back. This
+    // pins the once-per-row property on the COMPILED plan — a fallback to
+    // interpreted projection (where no CSE applies across the inlined
+    // copies) would show up here as ~9× the row count.
+    val docs = spark.range(0, 200).selectExpr(
+      "id AS doc_id",
+      "concat('doc text body number ', id) AS text",
+      "CAST(20 + id % 40 AS INT) AS n_chars",
+      "concat('src', id % 3) AS source",
+      "concat('l', id % 2) AS lang")
+    val media = Multimodal.mediaTableMixed(spark, docs)
+    media.cache().count() // materialize: generation must not re-run under count
+    MediaDecode.evalCount.reset()
+    MediaDecode.countEvals = true
+    try {
+      val n = Multimodal.decodedFeatures(media).collect().length
+      assert(n === 200)
+      val evals = MediaDecode.evalCount.sum()
+      assert(evals === 200L,
+        s"kernel evaluated $evals times for 200 rows — codegen CSE not folding the struct fan-out")
+    } finally {
+      MediaDecode.countEvals = false
+      media.unpersist()
+    }
+  }
+
   test("the expression path (codegen) matches eval, nulls included") {
     val rows = Seq(
       (1L, Multimodal.encodeRaster("png", 3, 2, rgba = false, px3)),
