@@ -332,14 +332,25 @@ object GifDecode {
     */
   private val MaxFrames = 1024
 
+  /** CPU cap on the sampled-canvas folds (ADVICE r17): MaxFrames bounds
+    * the frame COUNT but each sampled frame folds the whole canvas, so a
+    * few-KB stream of 1×1 frames on a huge screen could otherwise force
+    * ~MaxFrames·MaxPixels ≈ 3·10^10 additions per row. The cumulative
+    * fold work (Σ canvas pixels over sampled frames) is capped at 2^30 —
+    * a 4K canvas still gets ~128 sampled frames, far above thumbnail
+    * reality, while the hostile amplification is refused as null.
+    */
+  private val MaxFoldWork = 1L << 30
+
   /** Animated decode with frame sampling (the video-pipeline shape of
     * [[graft.functions.Y4mSample]]): frames COMPOSITE onto the logical
     * screen in order — sub-frame placement (left/top/iw/ih inside the
     * screen), per-frame local palettes, interlace, GCE transparency
-    * (transparent pixels leave the canvas unchanged) and disposal
-    * methods 0/1 (leave) and 2 (restore rect to the background color)
-    * all honored; disposal 3 (restore-to-previous) → null (documented
-    * scope — needs a canvas snapshot stack no web thumbnail carries).
+    * (transparent pixels leave the canvas unchanged) and ALL disposal
+    * methods honored: 0/1 (leave), 2 (restore rect to the background
+    * color), 3 (restore-to-previous — the frame's rect is snapshotted
+    * before drawing and written back before the next frame composites;
+    * ONE bounded Int array, allocated only when a frame declares it).
     * Every `every`-th composited frame (0, every, 2·every, …)
     * contributes exact palette-expanded channel sums over the WHOLE
     * canvas; the thumb is the defined 2×2 NN sample of the LAST sampled
@@ -376,6 +387,7 @@ object GifDecode {
 
     var nFrames = 0L
     var nSampled = 0L
+    var foldWork = 0L // Σ canvas pixels over sampled folds (MaxFoldWork)
     var sr = 0L; var sg = 0L; var sb = 0L
     var thumb: String = null
     // pending graphic-control state (applies to the NEXT image)
@@ -384,6 +396,9 @@ object GifDecode {
     // the PREVIOUS frame's disposal, applied before drawing the next
     var prevDisposal = 0
     var prevL = 0; var prevT = 0; var prevW = 0; var prevH = 0
+    // disposal-3 support: the previous frame's rect as it looked BEFORE
+    // that frame drew (row-major iw×ih slice of the canvas)
+    var snapshot: Array[Int] = null
 
     while (true) {
       if (off >= bytes.length) return null
@@ -403,7 +418,6 @@ object GifDecode {
             val p = u8(bytes, off + 1)
             disposal = (p >> 2) & 7
             transIndex = if ((p & 1) != 0) u8(bytes, off + 4) else -1
-            if (disposal == 3) return null // restore-to-previous: scope
             if (disposal > 3) return null
           }
           var len = if (off < bytes.length) u8(bytes, off) else return null
@@ -451,6 +465,24 @@ object GifDecode {
               java.util.Arrays.fill(canvas, y * sw + prevL, y * sw + prevL + prevW, bg)
               y += 1
             }
+          } else if (prevDisposal == 3 && snapshot != null) {
+            // restore-to-previous: write the pre-draw rect back
+            var y = 0
+            while (y < prevH) {
+              System.arraycopy(snapshot, y * prevW, canvas, (prevT + y) * sw + prevL, prevW)
+              y += 1
+            }
+          }
+          if (disposal == 3) {
+            // snapshot THIS frame's rect before it draws (only disposal-3
+            // frames pay the copy; the array is reused when sizes match)
+            if (snapshot == null || snapshot.length != iw * ih)
+              snapshot = new Array[Int](iw * ih)
+            var y = 0
+            while (y < ih) {
+              System.arraycopy(canvas, (top + y) * sw + left, snapshot, y * iw, iw)
+              y += 1
+            }
           }
           var y = 0
           while (y < ih) {
@@ -471,6 +503,8 @@ object GifDecode {
             y += 1
           }
           if (nFrames % every == 0) {
+            foldWork += n
+            if (foldWork > MaxFoldWork) return null // hostile amplification
             var i = 0
             while (i < n) {
               val v = canvas(i)

@@ -171,9 +171,15 @@ object JpegDecode {
     StructField("sum_b", LongType, nullable = false),
     StructField("thumb_hex", StringType, nullable = false)))
 
-  /** Decoded-pixel cap: w·h beyond this rejects (the RGB raster plus the
-    * padded component planes stay under ~100 MiB) — hostile SOF0
+  /** Decoded-pixel cap: w·h beyond this rejects — hostile SOF
     * dimensions must not claim gigabytes, like PngDecode's byte budget.
+    * Worst-case transient residency per row at the cap: BASELINE ~100
+    * MiB (RGB raster + padded byte planes); PROGRESSIVE ~300 MiB — the
+    * per-component coefficient buffers (≤ 3·MaxPixels·4 ≈ 192 MiB,
+    * enforced below) live until EOI, and finishProgressive then adds
+    * the padded planes + the 48 MiB RGB raster before they free
+    * (ADVICE r17: state the true progressive ceiling, don't understate
+    * it).
     */
   val MaxPixels: Int = 16 << 20
 
@@ -319,6 +325,11 @@ object JpegDecode {
         // skip to the marker if stuffing logic hasn't hit it yet
         while (pos < bytes.length && (bytes(pos) & 0xff) != 0xff) pos += 1
       }
+      // T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+      // code — skip the run so only the last 0xFF pairs with RSTm
+      // (ADVICE r17: rejecting fill here nulled valid streams)
+      while (pos + 2 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
       if (pos + 1 >= bytes.length) return false
       if ((bytes(pos) & 0xff) != 0xff) return false
       val m = bytes(pos + 1) & 0xff

@@ -45,7 +45,15 @@ object Bpe {
 
   val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
   val Lower = "abcdefghijklmnopqrstuvwxyz"
-  val WordRegex = "[a-z]{1,24}"
+
+  /** Word-length cap shared by [[WordRegex]] AND every consumer that
+    * enumerates word positions (the Unigram seed oracle iterates
+    * substring starts 1..MaxWordLen — ADVICE r17: a silent hardcoded 25
+    * there would desynchronize from a regex cap change with no error).
+    */
+  val MaxWordLen = 24
+
+  val WordRegex = s"[a-z]{1,$MaxWordLen}"
   private val WordPattern = java.util.regex.Pattern.compile(WordRegex)
 
   /** The tokenizer's Column form — shared by training and any SQL-side

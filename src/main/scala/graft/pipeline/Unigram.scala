@@ -276,7 +276,7 @@ object Unigram {
        |  SELECT substr(word, CAST(st AS INT), CAST(l AS INT)) AS piece,
        |         CAST(sum(cnt) AS BIGINT) AS c
        |  FROM wc
-       |  CROSS JOIN range(1, 25) r1(st)
+       |  CROSS JOIN range(1, ${Bpe.MaxWordLen + 1}) r1(st)
        |  CROSS JOIN range(1, ${maxPieceLen + 1}) r2(l)
        |  WHERE st + l - 1 <= length(word)
        |  GROUP BY 1

@@ -108,10 +108,83 @@ class GifFramesSpec extends SparkSpec {
       ((fr0 + fr1, fg0 + fg1, fb0 + fb1)))
   }
 
-  test("disposal 3 (restore to previous) is out of scope: null") {
-    val f0 = gce(disposal = 3, transIdx = -1) ++ image(0, 0, 2, 2, Seq(0, 1, 2, 3))
-    val b = header(2, 2) ++ f0 ++ trailer
-    assert(GifDecode.decodeFrames(b, 1) == null)
+  test("disposal 3 restores the frame's rect to its pre-draw content") {
+    // 2x2 screen. Frame 0: full idx 0. Frame 1: disposal 3, 1x1 idx 1 at
+    // (0,0) — before frame 2 composites, that rect restores to idx 0.
+    // Frame 2: 1x1 idx 2 at (1,1).
+    val f0 = image(0, 0, 2, 2, Seq(0, 0, 0, 0))
+    val f1 = gce(disposal = 3, transIdx = -1) ++ image(0, 0, 1, 1, Seq(1))
+    val f2 = image(1, 1, 1, 1, Seq(2))
+    val b = header(2, 2) ++ f0 ++ f1 ++ f2 ++ trailer
+    val r = GifDecode.decodeFrames(b, 1)
+    assert(r != null, "disposal-3 animation must decode")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 3L)
+    val c0 = Seq(0, 0, 0, 0)
+    val c1 = Seq(1, 0, 0, 0)          // frame 1 drew
+    val c2 = Seq(0, 0, 0, 2)          // rect restored, then frame 2 drew
+    val exp = Seq(c0, c1, c2).map(sums)
+      .reduce((p, q) => (p._1 + q._1, p._2 + q._2, p._3 + q._3))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) === exp)
+    // thumb of the LAST canvas: (0,0) (0,1) (1,0) (1,1) = idx 0,0,0,2
+    assert(r.getString(7) === "0a141e" + "0a141e" + "0a141e" + "010203")
+  }
+
+  test("consecutive disposal-3 frames of different sizes restore independently") {
+    // 3x1 screen, frame 0 = [0,0,0]. Frame 1: disposal 3, 2x1 idx [1,1]
+    // at (0,0). Frame 2: disposal 3, 1x1 idx 2 at (2,0) — frame 1's rect
+    // restores first, so canvas2 = [0,0,2]; then frame 2's rect restores
+    // before frame 3 = 1x1 idx 3 at (0,0): canvas3 = [3,0,0].
+    val f0 = image(0, 0, 3, 1, Seq(0, 0, 0))
+    val f1 = gce(disposal = 3, transIdx = -1) ++ image(0, 0, 2, 1, Seq(1, 1))
+    val f2 = gce(disposal = 3, transIdx = -1) ++ image(2, 0, 1, 1, Seq(2))
+    val f3 = image(0, 0, 1, 1, Seq(3))
+    val b = header(3, 1) ++ f0 ++ f1 ++ f2 ++ f3 ++ trailer
+    val r = GifDecode.decodeFrames(b, 1)
+    assert(r != null)
+    assert(r.getLong(2) === 4L)
+    val canvases = Seq(
+      Seq(0, 0, 0), Seq(1, 1, 0), Seq(0, 0, 2), Seq(3, 0, 0))
+    val exp = canvases.map(sums)
+      .reduce((p, q) => (p._1 + q._1, p._2 + q._2, p._3 + q._3))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) === exp)
+  }
+
+  test("disposal 3 composes with transparency: only opaque pixels restore away") {
+    // frame 1 draws transparently over half its rect; restore still
+    // brings back the FULL pre-draw rect (snapshot is pre-draw content,
+    // not a diff of what the frame touched)
+    val f0 = image(0, 0, 2, 1, Seq(0, 1))
+    val f1 = gce(disposal = 3, transIdx = 2) ++ image(0, 0, 2, 1, Seq(3, 2))
+    val f2 = image(0, 0, 1, 1, Seq(2))
+    val b = header(2, 1) ++ f0 ++ f1 ++ f2 ++ trailer
+    val r = GifDecode.decodeFrames(b, 1)
+    assert(r != null)
+    val canvases = Seq(
+      Seq(0, 1),  // frame 0
+      Seq(3, 1),  // frame 1: idx 3 lands, transparent idx 2 leaves (1)
+      Seq(2, 1))  // restore [0,1], then frame 2 draws idx 2 at (0,0)
+    val exp = canvases.map(sums)
+      .reduce((p, q) => (p._1 + q._1, p._2 + q._2, p._3 + q._3))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) === exp)
+  }
+
+  test("hostile fold amplification: many tiny frames on a huge canvas -> null") {
+    // 2048x2048 canvas = 4 MiPx per sampled fold; 2^30 work units allow
+    // exactly 256 folds. 250 one-pixel frames pass; 300 exceed the
+    // budget and null — the cap bounds CPU, not just frame count.
+    val sw = 2048
+    def anim(nFrames: Int): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= header(sw, sw)
+      var i = 0
+      while (i < nFrames) { out ++= image(0, 0, 1, 1, Seq(0)); i += 1 }
+      out ++= trailer
+      out.toArray
+    }
+    assert(GifDecode.decodeFrames(anim(250), 1) != null)
+    assert(GifDecode.decodeFrames(anim(300), 1) == null)
+    // sampling divides the fold count: 300 frames at every=4 is 75 folds
+    assert(GifDecode.decodeFrames(anim(300), 4) != null)
   }
 
   test("malformed animations null: frame outside the screen, missing trailer, bad index") {

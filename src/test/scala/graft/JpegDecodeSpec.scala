@@ -172,6 +172,12 @@ class JpegDecodeSpec extends SparkSpec {
     // missing restart marker entirely → strict null
     val missing = head ++ bytes(0x3f, 0x3f, 0xff, 0xd9)
     assert(JpegDecode.decodeRaster(missing) == null)
+    // T.81 B.1.1.2: 0xFF FILL bytes before RSTm are legal — a run of
+    // them must not null the stream (ADVICE r17)
+    val filled = head ++ bytes(0x3f, 0xff, 0xff, 0xff, 0xd0, 0x3f, 0xff, 0xd9)
+    val rf = JpegDecode.decodeRaster(filled)
+    assert(rf != null, "fill bytes before RST0 must decode")
+    assert(rf.rgb.forall(b => (b & 0xff) === 128))
   }
 
   test("progressive (SOF2): real multi-scan ImageIO streams decode; parity with the baseline contracts") {
