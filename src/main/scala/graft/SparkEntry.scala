@@ -2030,6 +2030,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- EXIF-orientation-APPLIED decode: JpegExif's tag walk COMPOSED
+    //      with the pixel kernel — the raster is viewed UPRIGHT before
+    //      any positional statistic, the operator an image-dedup
+    //      pipeline runs on phone-photo corpora. Geometry (swapped for
+    //      orientations 5..8) and the orientation are exact; the
+    //      POSITIONED thumb and whole-raster MAE are in-band booleans
+    //      over smooth gradient rasters, where skipping or misapplying
+    //      the rotation lands ~90-190 counts off (the q_multimodal_jpeg
+    //      band pattern, made positional). No-EXIF rows pass through as
+    //      orientation 1; raw text is the null mix --------------------
+    "q_multimodal_oriented" -> ((s, dir) => {
+      import graft.functions.JpegOrientedBands
+      Multimodal.mediaTableJpegOriented(s, Tables.documents(s, dir))
+        .select(
+          col("media_id"),
+          JpegOrientedBands(col("payload"), col("expected_px"),
+            thumbTol = 12, maeTol = 8.0).as("__j"))
+        .select(
+          col("media_id"),
+          col("__j.width").as("width"),
+          col("__j.height").as("height"),
+          col("__j.orientation").as("orientation"),
+          col("__j.n_px").as("n_px"),
+          col("__j.thumb_ok").cast("int").as("thumb_ok"),
+          col("__j.in_band_mae").cast("int").as("in_band_mae"))
+        .orderBy("media_id")
+    }),
+
     // ---- PROGRESSIVE JPEG (SOF2, T.81 Annex G): the same tolerance
     //      gate over REAL multi-scan progressive streams (the JDK
     //      writer's progressive mode — spectral selection + successive
@@ -5748,6 +5776,30 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'mx_' || lang END AS model
         |FROM documents
         |ORDER BY media_id""".stripMargin,
+
+    // orientation-applied decode: geometry and orientation recompute
+    // straight from document columns (the upright dims are the
+    // generated formulas — a kernel that skips the rotation reports
+    // SWAPPED dims for orientations 5..8 and fails the hash); the
+    // positional bands are pinned TRUE for good rows
+    "q_multimodal_oriented" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 9 + 24 AS INTEGER) AS w,
+        |    CAST(n_chars % 7 + 24 AS INTEGER) AS h,
+        |    CASE WHEN doc_id % 3 = 2 THEN 1
+        |         ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orient,
+        |    (doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE orient END AS orientation,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS thumb_ok,
+        |  CASE WHEN bad THEN NULL ELSE 1 END AS in_band_mae
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // identical band-pinning shape over the progressive streams — same
     // geometry, same bands (quantization tables are the same at the

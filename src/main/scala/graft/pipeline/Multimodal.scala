@@ -931,6 +931,98 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Synthesize an EXIF-ORIENTED JPEG media table for the
+    * orientation-applied decode gate. The UPRIGHT image is a smooth
+    * two-axis gradient — r ramps with x, g with y, b a per-image
+    * md5-derived constant — which JPEG at quality 0.97 decodes within a
+    * couple of counts, so a POSITIONED band can distinguish "decoded"
+    * from "decoded upright": skipping or misapplying the rotation lands
+    * ~90-190 counts off at the thumb corners (and swaps the geometry
+    * for orientations 5..8). The stored raster is the upright one
+    * INVERSE-transformed per the row's orientation (doc_id % 8 + 1),
+    * encoded through `javax.imageio`, with a byte-exact APP1 Exif
+    * segment spliced after SOI; `expected_px` carries the UPRIGHT
+    * raster for [[graft.functions.JpegOrientedBands]]. Every third row
+    * has NO EXIF (the kernel must pass it through as orientation 1 —
+    * its stored raster IS upright); every seventh is raw text (→ null).
+    */
+  def mediaTableJpegOriented(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Orient
+    val w = (col("doc_id") % 9 + 24).cast("int")  // upright width
+    val h = (col("n_chars") % 7 + 24).cast("int") // upright height
+    val kind = when(col("doc_id") % 7 === 3, 1).otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        (col("doc_id") % 3 === 2).as("rgba"), // reuse RasterSrc: "no EXIF"
+        when(kind === 1, col("text")).otherwise(md5(col("text"))).as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        if (r.kind == 1) {
+          (r.media_id, r.px.getBytes("UTF-8"), null: String,
+            r.size_bytes, r.origin, r.codec)
+        } else {
+          val noExif = r.rgba
+          val o = if (noExif) 1 else (r.media_id % 8 + 1).toInt
+          val bw = r.w; val bh = r.h
+          val bConst = r.px.charAt(0) & 0xff
+          val upright = new Array[Char](bw * bh * 3)
+          var y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              val d = 3 * (y * bw + x)
+              upright(d) = ((x * 191) / (bw - 1)).toChar
+              upright(d + 1) = ((y * 191) / (bh - 1)).toChar
+              upright(d + 2) = bConst.toChar
+              x += 1
+            }
+            y += 1
+          }
+          // scatter to the stored raster the camera would have written
+          val (sw, sh) = if (o >= 5) (bh, bw) else (bw, bh)
+          val stored = new Array[Char](bw * bh * 3)
+          y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              val s = 3 * Orient.srcIndex(o, sw, sh, x, y)
+              val d = 3 * (y * bw + x)
+              stored(s) = upright(d); stored(s + 1) = upright(d + 1)
+              stored(s + 2) = upright(d + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val jpeg = encodeRaster(
+            "jpeg", sw, sh, rgba = false, new String(stored), quality = 0.97f)
+          val payload =
+            if (noExif) jpeg
+            else {
+              val day = (r.size_bytes % 28 + 1).toInt
+              val app1 = exifApp1(
+                little = r.media_id % 2 == 0,
+                orientation = o,
+                datetime = f"2022:01:$day%02d 09:00:00",
+                make = "cam_" + r.origin,
+                model = "mx_" + r.codec)
+              jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+            }
+          (r.media_id, payload, new String(upright),
+            r.size_bytes, r.origin, r.codec)
+        }
+      })
+      .toDF("media_id", "payload", "expected_px", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"), col("expected_px"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Lossy-codec decode + tolerance judging, partition-batched through
     * `javax.imageio` — the LABELED NON-FUSED path (a codec library is
     * iterator-in/iterator-out over payload batches, the `mapInPandas`
