@@ -2125,6 +2125,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- FLAC decode, FROM SCRATCH: STREAMINFO walk, frame headers
+    //      with verified CRC-8/CRC-16, constant/verbatim/fixed/LPC
+    //      subframes, Rice residual partitions (both methods + raw
+    //      escapes), all four stereo decorrelations. Samples derive
+    //      from text bytes exactly like the PCM gate, and FLAC is
+    //      LOSSLESS — so this codec gate is HASH-EXACT, no tolerance
+    //      band. Raw-text rows and CRC-corrupted rows are the null mix -
+    "q_multimodal_flac" -> ((s, dir) => {
+      import graft.functions.FlacDecode
+      Multimodal.mediaTableFlac(s, Tables.documents(s, dir))
+        .select(col("media_id"), FlacDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.channels").as("channels"),
+          col("__d.bits").as("bits"),
+          col("__d.n_frames").as("n_frames"),
+          col("__d.sum_c0").as("sum_c0"),
+          col("__d.peak_c0").as("peak_c0"),
+          col("__d.sum_c1").as("sum_c1"),
+          col("__d.peak_c1").as("peak_c1"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL video frame-sampling: YUV4MPEG2 (raw YUV) needs no
     //      codec — every 2nd frame's luma plane folded to exact sums
     //      over byte-exact 3-frame C444 clips; raw-text rows and a C420
@@ -5328,6 +5351,64 @@ object SparkEntry {
         |      ELSE list_transform(range(0, nf), f ->
         |        ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) - 128) END AS c1
         |  FROM d
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN bad THEN NULL ELSE bits END AS bits,
+        |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c0) AS BIGINT), 0) END AS sum_c0,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c0, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c0,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c1) AS BIGINT), 0) END AS sum_c1,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c1
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // FLAC decode: LOSSLESS, so the oracle recomputes the exact samples
+    // from text positions (the q_multimodal_pcm convention — channel c
+    // of frame f at byte offset f*bpf + c*(bits/8); 16-bit signed LE,
+    // 8-bit byte-128); the Rice/LPC/CRC machinery in between is the
+    // engine's own, pinned on hand-built fixtures in FlacDecodeSpec
+    "q_multimodal_flac" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) * (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END) // 8 AS bpf,
+        |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT media_id, text, ch, bits, bpf,
+        |    CAST(length(text) // bpf AS BIGINT) AS nf,
+        |    (bad OR length(text) // bpf = 0) AS bad
+        |  FROM d
+        |), s AS (
+        |  SELECT media_id, ch, bits, nf, bad,
+        |    CASE WHEN bad THEN NULL
+        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
+        |        CASE WHEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |             THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |             ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END)
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128) END AS c0,
+        |    CASE WHEN bad OR ch = 1 THEN NULL
+        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
+        |        CASE WHEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |             THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |             ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END)
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128) END AS c1
+        |  FROM d2
         |)
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL ELSE ch END AS channels,

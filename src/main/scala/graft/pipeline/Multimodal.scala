@@ -1177,6 +1177,334 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** MSB-first bit writer for the FLAC encoder below. */
+  private final class BitSink {
+    private val buf = new java.io.ByteArrayOutputStream(512)
+    private var acc = 0L
+    private var nb = 0
+    def put(v: Long, n: Int): Unit = {
+      var k = n
+      while (k > 0) {
+        val take = math.min(k, 56 - nb)
+        acc = (acc << take) | ((v >>> (k - take)) & ((1L << take) - 1))
+        nb += take
+        k -= take
+        while (nb >= 8) {
+          buf.write(((acc >>> (nb - 8)) & 0xff).toInt)
+          nb -= 8
+        }
+      }
+    }
+    def align(): Unit = if (nb > 0) put(0, 8 - nb)
+    def bytes: Array[Byte] = buf.toByteArray
+    def size: Int = buf.size
+  }
+
+  /** From-scratch FLAC ENCODER — the generator behind the FLAC gate
+    * (no independent FLAC encoder exists on the core JDK the way
+    * `javax.imageio` does for images, so encoder and decoder here are
+    * SEPARATE implementations sharing only the format spec and the
+    * spec-vector-pinned CRC routines; the decoder is additionally
+    * pinned on hand-built byte-exact fixtures in FlacDecodeSpec).
+    * 192-sample fixed-blocking frames (explicit 16-bit size for the
+    * final partial block); the subframe strategy, stereo decorrelation
+    * mode, Rice method, partition order and escape usage all cycle
+    * deterministically on (mediaId, frame, channel) so a corpus covers
+    * CONSTANT/VERBATIM/FIXED-1/FIXED-2/LPC-1/LPC-2, independent +
+    * left/side + right/side + mid/side, both Rice methods, partition
+    * order 2 and raw-escape partitions. Samples must fit `bits`
+    * (8/16) signed.
+    */
+  private[graft] def encodeFlac(
+      samples: Array[Array[Int]], bits: Int, mediaId: Long): Array[Byte] = {
+    import graft.functions.FlacDecode.{crc8, crc16}
+    val ch = samples.length
+    val n = samples(0).length
+    require(ch >= 1 && ch <= 2 && (bits == 8 || bits == 16))
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO (last metadata block): min/max block 192, frame sizes 0
+    // (unknown), rate 8000, ch-1, bps-1, total samples; md5 zeros
+    val si = new BitSink
+    si.put(1, 1); si.put(0, 7); si.put(34, 24)
+    si.put(192, 16); si.put(192, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(ch - 1, 3); si.put(bits - 1, 5)
+    si.put(n.toLong, 36)
+    var z = 0
+    while (z < 16) { si.put(0, 8); z += 1 } // md5: unknown, all-zero
+    out.write(si.bytes)
+    val full = new java.io.ByteArrayOutputStream(1024)
+    full.write(out.toByteArray)
+
+    def rice(sink: BitSink, res: Array[Int], from: Int, until: Int, p: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val r = res(i)
+        val u = (r << 1) ^ (r >> 31)
+        val q = u >>> p
+        var k = 0
+        while (k < q) { sink.put(0, 1); k += 1 }
+        sink.put(1, 1)
+        if (p > 0) sink.put(u & ((1 << p) - 1), p)
+        i += 1
+      }
+    }
+    def bestParam(res: Array[Int], from: Int, until: Int, maxP: Int): Int = {
+      var mean = 0L
+      var i = from
+      while (i < until) {
+        val r = res(i)
+        mean += ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+        i += 1
+      }
+      if (until > from) mean /= (until - from)
+      var p = 0
+      while ((mean >> p) > 1 && p < maxP) p += 1
+      p
+    }
+
+    def subframe(
+        sink: BitSink, s: Array[Int], off: Int, bs: Int, bps: Int,
+        strategy: Int, escape: Boolean, rice5: Boolean, partOrd: Int): Unit = {
+      var allEq = true
+      var i = 1
+      while (i < bs && allEq) { if (s(off + i) != s(off)) allEq = false; i += 1 }
+      val strat =
+        if (strategy == 0 && allEq) -1 // constant
+        else if (bs < 5) 1
+        else if (strategy == 0) 1
+        else strategy
+      sink.put(0, 1) // padding
+      if (strat == -1) {
+        sink.put(0, 6); sink.put(0, 1) // CONSTANT, no wasted bits
+        sink.put(s(off).toLong & ((1L << bps) - 1), bps)
+        return
+      }
+      if (strat == 1) {
+        sink.put(1, 6); sink.put(0, 1) // VERBATIM
+        i = 0
+        while (i < bs) { sink.put(s(off + i).toLong & ((1L << bps) - 1), bps); i += 1 }
+        return
+      }
+      val (order, lpc) = strat match {
+        case 2 => (1, false)
+        case 3 => (2, false)
+        case 4 => (1, true)
+        case _ => (2, true)
+      }
+      if (lpc) sink.put(0x20 | (order - 1), 6) else sink.put(0x08 | order, 6)
+      sink.put(0, 1) // no wasted bits
+      i = 0
+      while (i < order) { sink.put(s(off + i).toLong & ((1L << bps) - 1), bps); i += 1 }
+      val coef: Array[Int] = if (!lpc) null else if (order == 1) Array(3) else Array(5, -2)
+      val prec = if (!lpc) 0 else if (order == 1) 4 else 5
+      val shift = if (!lpc) 0 else if (order == 1) 1 else 2
+      if (lpc) {
+        sink.put(prec - 1, 4)
+        sink.put(shift, 5)
+        i = 0
+        while (i < order) { sink.put(coef(i).toLong & ((1L << prec) - 1), prec); i += 1 }
+      }
+      val res = new Array[Int](bs)
+      i = order
+      while (i < bs) {
+        val pred: Long =
+          if (lpc) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += coef(j).toLong * s(off + i - 1 - j); j += 1 }
+            acc >> shift
+          } else if (order == 1) s(off + i - 1).toLong
+          else 2L * s(off + i - 1) - s(off + i - 2)
+        res(i) = (s(off + i) - pred).toInt
+        i += 1
+      }
+      // residual partitions
+      val method = if (rice5) 1 else 0
+      val paramBits = if (rice5) 5 else 4
+      val esc = (1 << paramBits) - 1
+      val po = if (bs % (1 << partOrd) == 0 && (bs >> partOrd) > order) partOrd else 0
+      sink.put(method, 2)
+      sink.put(po, 4)
+      val parts = 1 << po
+      val per = bs >> po
+      var p = 0
+      while (p < parts) {
+        val from = if (p == 0) order else p * per
+        val until = (p + 1) * per
+        if (escape && p == 0) {
+          sink.put(esc, paramBits)
+          val raw = bps + 4
+          sink.put(raw, 5)
+          var k = from
+          while (k < until) {
+            sink.put(res(k).toLong & ((1L << raw) - 1), raw); k += 1
+          }
+        } else {
+          val param = bestParam(res, from, until, esc - 1)
+          sink.put(param, paramBits)
+          rice(sink, res, from, until, param)
+        }
+        p += 1
+      }
+    }
+
+    // UTF-8-style coded number (frame index < 2^31 here)
+    def coded(sink: BitSink, v: Long): Unit = {
+      if (v < 0x80) sink.put(v, 8)
+      else if (v < 0x800) {
+        sink.put(0xc0 | (v >> 6), 8); sink.put(0x80 | (v & 0x3f), 8)
+      } else if (v < 0x10000) {
+        sink.put(0xe0 | (v >> 12), 8); sink.put(0x80 | ((v >> 6) & 0x3f), 8)
+        sink.put(0x80 | (v & 0x3f), 8)
+      } else {
+        sink.put(0xf0 | (v >> 18), 8); sink.put(0x80 | ((v >> 12) & 0x3f), 8)
+        sink.put(0x80 | ((v >> 6) & 0x3f), 8); sink.put(0x80 | (v & 0x3f), 8)
+      }
+    }
+
+    var pos = 0
+    var frameIdx = 0L
+    while (pos < n) {
+      val bs = math.min(192, n - pos)
+      val sink = new BitSink
+      sink.put(0xff, 8); sink.put(0xf8, 8) // sync + reserved0 + fixed blocking
+      val bsCode = if (bs == 192) 1 else 7
+      sink.put(bsCode, 4)
+      sink.put(0, 4) // sample rate: from STREAMINFO
+      val mode = if (ch == 1) -1 else ((mediaId + frameIdx) % 4).toInt
+      val chAsgn = mode match {
+        case -1 => 0
+        case 0 => 1 // 2 independent channels
+        case 1 => 8 // left/side
+        case 2 => 9 // right/side
+        case _ => 10 // mid/side
+      }
+      sink.put(chAsgn, 4)
+      sink.put(if (bits == 8) 1 else 4, 3)
+      sink.put(0, 1)
+      coded(sink, frameIdx)
+      if (bsCode == 7) sink.put(bs - 1, 16)
+      // CRC-8 over the header so far
+      val hdr = sink.bytes
+      sink.put(crc8(hdr, 0, hdr.length), 8)
+      // subframes
+      val escape = mediaId % 11 == 5 && frameIdx == 0 && bs > 8
+      val rice5 = mediaId % 7 == 2
+      val partOrd = if (bs == 192 && frameIdx % 3 == 0) 2 else 0
+      def strat(c: Int) = ((mediaId + frameIdx * 7 + c * 3) % 6).toInt
+      if (ch == 1) {
+        subframe(sink, samples(0), pos, bs, bits, strat(0), escape, rice5, partOrd)
+      } else {
+        val l = samples(0); val r = samples(1)
+        mode match {
+          case 0 =>
+            subframe(sink, l, pos, bs, bits, strat(0), escape, rice5, partOrd)
+            subframe(sink, r, pos, bs, bits, strat(1), escape = false, rice5, partOrd)
+          case 1 => // left/side
+            val side = new Array[Int](bs)
+            var i = 0
+            while (i < bs) { side(i) = l(pos + i) - r(pos + i); i += 1 }
+            subframe(sink, l, pos, bs, bits, strat(0), escape, rice5, partOrd)
+            subframe(sink, side, 0, bs, bits + 1, strat(1), escape = false, rice5, partOrd)
+          case 2 => // right/side: side FIRST
+            val side = new Array[Int](bs)
+            var i = 0
+            while (i < bs) { side(i) = l(pos + i) - r(pos + i); i += 1 }
+            subframe(sink, side, 0, bs, bits + 1, strat(0), escape, rice5, partOrd)
+            subframe(sink, r, pos, bs, bits, strat(1), escape = false, rice5, partOrd)
+          case _ => // mid/side
+            val mid = new Array[Int](bs)
+            val side = new Array[Int](bs)
+            var i = 0
+            while (i < bs) {
+              mid(i) = (l(pos + i) + r(pos + i)) >> 1
+              side(i) = l(pos + i) - r(pos + i)
+              i += 1
+            }
+            subframe(sink, mid, 0, bs, bits, strat(0), escape, rice5, partOrd)
+            subframe(sink, side, 0, bs, bits + 1, strat(1), escape = false, rice5, partOrd)
+        }
+      }
+      sink.align()
+      val frame = sink.bytes
+      full.write(frame)
+      val c16 = crc16(frame, 0, frame.length)
+      full.write((c16 >> 8) & 0xff); full.write(c16 & 0xff)
+      pos += bs
+      frameIdx += 1
+    }
+    full.toByteArray
+  }
+
+  /** Synthesize a FLAC media table: samples derive from the document's
+    * text bytes exactly like the PCM WAV gate (16-bit: signed LE byte
+    * pairs; 8-bit: byte − 128), so the DuckDB oracle recomputes the
+    * per-channel sums/peaks positionally with no blob introspection —
+    * and FLAC being lossless, the gate is HASH-EXACT (the one codec
+    * family member needing no tolerance band). bits cycles 16/8 and
+    * channels 1/2 on decoupled selectors so all four combinations
+    * appear; [[encodeFlac]]'s strategy cycling covers every subframe
+    * type and stereo mode across the corpus. Every third row is raw
+    * text (wrong magic → null); every seventh has its final frame's
+    * CRC-16 corrupted (verified CRC → null, never fabricated samples).
+    */
+  def mediaTableFlac(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val bits = when(col("doc_id") % 4 < 2, 16).otherwise(8).cast("int")
+    val kind = when(col("doc_id") % 3 === 2, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), ch.as("w"), bits.as("h"),
+        lit(false).as("rgba"),
+        col("text").as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload: Array[Byte] =
+          if (r.kind == 1) r.px.getBytes("UTF-8")
+          else {
+            val chN = r.w; val bitsN = r.h
+            val bpf = chN * bitsN / 8
+            val t = r.px
+            val nf = t.length / bpf
+            val samples = Array.ofDim[Int](chN, math.max(nf, 1))
+            var f = 0
+            while (f < nf) {
+              var c = 0
+              while (c < chN) {
+                val o = f * bpf + c * (bitsN / 8)
+                samples(c)(f) =
+                  if (bitsN == 8) (t.charAt(o) & 0xff) - 128
+                  else {
+                    val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
+                    if (u >= 0x8000) u - 0x10000 else u
+                  }
+                c += 1
+              }
+              f += 1
+            }
+            val flac =
+              if (nf == 0) "fLaC-empty".getBytes("US-ASCII") // undecodable
+              else encodeFlac(samples.map(_.take(nf)), bitsN, r.media_id)
+            if (r.kind == 2 && flac.length > 2)
+              flac(flac.length - 1) = (flac(flac.length - 1) ^ 0x5a).toByte
+            flac
+          }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Synthesize an ENCODED video table: payloads carry real MP4/ISO-BMFF
     * box structures (ftyp + moov[mvhd + trak[tkhd]] + mdat around the
     * document bytes, big-endian fields) with brand / duration / pixel
