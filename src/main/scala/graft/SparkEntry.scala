@@ -2125,6 +2125,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- CMYK / YCCK JPEG (Adobe APP14): 4-component decode with the
+    //      transform-dependent RGB contract. The payloads are flat
+    //      DC-only streams, which a JPEG decodes EXACTLY (nothing for
+    //      quantization to lose) — so this lossy-container gate is
+    //      HASH-EXACT: the oracle recomputes the converted RGB straight
+    //      from the md5-derived component values. Cycles Adobe-CMYK /
+    //      YCCK / plain (no marker); raw text is the null mix ---------
+    "q_multimodal_cmyk" -> ((s, dir) => {
+      import graft.functions.JpegDecode
+      Multimodal.mediaTableCmyk(s, Tables.documents(s, dir))
+        .select(col("media_id"), JpegDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.n_comp").as("n_comp"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- FLAC decode, FROM SCRATCH: STREAMINFO walk, frame headers
     //      with verified CRC-8/CRC-16, constant/verbatim/fixed/LPC
     //      subframes, Rice residual partitions (both methods + raw
@@ -5367,6 +5391,55 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
         |  END AS peak_c1
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // CMYK/YCCK JPEG: flat DC-only payloads decode EXACTLY, so the
+    // oracle recomputes the transform-dependent RGB from the same
+    // md5-derived component values (Adobe-inverted c·k/255; YCCK via
+    // the JFIF equations with floor(x+0.5) rounding and 0..255 clamp;
+    // plain CMYK inverts first) — hash-exact despite the lossy container
+    "q_multimodal_cmyk" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 9 + 8 AS INTEGER) AS w,
+        |    CAST(n_chars % 7 + 8 AS INTEGER) AS h,
+        |    ascii(substr(md5(text), 1, 1)) AS c0,
+        |    ascii(substr(md5(text), 2, 1)) AS c1,
+        |    ascii(substr(md5(text), 3, 1)) AS c2,
+        |    ascii(substr(md5(text), 4, 1)) AS c3,
+        |    CAST(doc_id % 3 AS INTEGER) AS tf,
+        |    (doc_id % 7 = 3) AS bad
+        |  FROM documents
+        |), conv AS (
+        |  SELECT media_id, w, h, bad,
+        |    CASE tf
+        |      WHEN 0 THEN (c0 * c3 + 127) // 255
+        |      WHEN 1 THEN (GREATEST(0, LEAST(255,
+        |        CAST(floor(c0 + 1.402 * (c2 - 128) + 0.5) AS INTEGER))) * c3 + 127) // 255
+        |      ELSE ((255 - c0) * (255 - c3) + 127) // 255 END AS r,
+        |    CASE tf
+        |      WHEN 0 THEN (c1 * c3 + 127) // 255
+        |      WHEN 1 THEN (GREATEST(0, LEAST(255,
+        |        CAST(floor(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128) + 0.5)
+        |          AS INTEGER))) * c3 + 127) // 255
+        |      ELSE ((255 - c1) * (255 - c3) + 127) // 255 END AS g,
+        |    CASE tf
+        |      WHEN 0 THEN (c2 * c3 + 127) // 255
+        |      WHEN 1 THEN (GREATEST(0, LEAST(255,
+        |        CAST(floor(c0 + 1.772 * (c1 - 128) + 0.5) AS INTEGER))) * c3 + 127) // 255
+        |      ELSE ((255 - c2) * (255 - c3) + 127) // 255 END AS b
+        |  FROM d
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE 4 END AS n_comp,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h * r AS BIGINT) END AS sum_r,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h * g AS BIGINT) END AS sum_g,
+        |  CASE WHEN bad THEN NULL ELSE CAST(w * h * b AS BIGINT) END AS sum_b,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE repeat(printf('%02x%02x%02x', r, g, b), 4) END AS thumb_hex
+        |FROM conv ORDER BY media_id""".stripMargin,
 
     // FLAC decode: LOSSLESS, so the oracle recomputes the exact samples
     // from text positions (the q_multimodal_pcm convention — channel c

@@ -18,12 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * DC first/refine, AC first/refine with EOBn run codes and the
   * correction-bit algorithm, coefficients accumulated across scans and
   * completed at EOI) — 8-bit precision, Huffman entropy coding,
-  * 1 (grayscale) or 3 (YCbCr) components, sampling factors 1..4 per
-  * axis (covers 4:4:4, 4:2:2, 4:2:0), restart markers honored in both
-  * modes. Everything else — arithmetic coding (DAC/SOF9+), 12-bit,
-  * hierarchical, 4-component CMYK, sequential multi-scan
-  * non-interleaved files, truncated entropy data — → null, the strict
-  * null-on-malformed contract of the codec family.
+  * 1 (grayscale), 3 (YCbCr) or 4 (CMYK family: Adobe APP14 transform 2
+  * = YCCK, transform 0 = Adobe-inverted CMYK, no marker = plain CMYK —
+  * see rasterFromPlanes for the exact RGB contract) components,
+  * sampling factors 1..4 per axis (covers 4:4:4, 4:2:2, 4:2:0),
+  * restart markers honored in both modes. Everything else — arithmetic
+  * coding (DAC/SOF9+), 12-bit, hierarchical, 3-component Adobe RGB,
+  * sequential multi-scan non-interleaved files, truncated entropy
+  * data — → null, the strict null-on-malformed contract of the family.
   *
   * Decode pipeline per T.81 F.2: marker walk (DQT/DHT/DRI/SOF0/SOS) →
   * per-MCU Huffman decode (canonical tables via the F.2.2.3
@@ -387,8 +389,11 @@ object JpegDecode {
     var restartInterval = 0
 
     var w = 0; var h = 0; var nComp = 0
-    val compH = new Array[Int](3); val compV = new Array[Int](3)
-    val compQ = new Array[Int](3); val compId = new Array[Int](3)
+    val compH = new Array[Int](4); val compV = new Array[Int](4)
+    val compQ = new Array[Int](4); val compId = new Array[Int](4)
+    // APP14 Adobe transform flag: -1 = no marker; 0 = CMYK (4-comp,
+    // Adobe-inverted) / RGB (3-comp, out of scope); 1 = YCbCr; 2 = YCCK
+    var adobeTransform = -1
 
     var pos = 2
     var sofSeen = false
@@ -427,12 +432,21 @@ object JpegDecode {
             }
             return finishProgressive(
               w, h, nComp, compH, compV, compQt,
-              coefs, blockW, blockH, hMaxP, vMaxP)
+              coefs, blockW, blockH, hMaxP, vMaxP, adobeTransform)
           }
           return null // EOI before any (baseline) scan
         case m if m >= 0xe0 && m <= 0xef => // APPn
           if (pos + 2 > bytes.length) return null
-          pos += u16(bytes, pos)
+          val alen = u16(bytes, pos)
+          // APP14 "Adobe": version(2) flags0(2) flags1(2) transform(1)
+          // after the 5-byte tag — the transform decides 4-component
+          // color interpretation (CMYK vs YCCK) below
+          if (m == 0xee && alen >= 2 + 12 && pos + 2 + 12 <= bytes.length &&
+            bytes(pos + 2) == 'A' && bytes(pos + 3) == 'd' &&
+            bytes(pos + 4) == 'o' && bytes(pos + 5) == 'b' &&
+            bytes(pos + 6) == 'e')
+            adobeTransform = bytes(pos + 13) & 0xff
+          pos += alen
         case 0xfe => // COM
           if (pos + 2 > bytes.length) return null
           pos += u16(bytes, pos)
@@ -505,7 +519,7 @@ object JpegDecode {
           p += 6
           if (precision != 8) return null
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-          if (nComp != 1 && nComp != 3) return null
+          if (nComp != 1 && nComp != 3 && nComp != 4) return null
           var c = 0
           while (c < nComp) {
             if (p + 3 > end) return null
@@ -576,7 +590,7 @@ object JpegDecode {
             }
             return decodeScan(
               bytes, end, w, h, nComp, compH, compV, compQ, qt,
-              scanDc, scanAc, restartInterval)
+              scanDc, scanAc, restartInterval, adobeTransform)
           }
           // progressive (T.81 B.2.3 + G.1): DC scans have Ss=Se=0 and
           // may interleave; AC scans are single-component with
@@ -646,7 +660,7 @@ object JpegDecode {
       w: Int, h: Int, nComp: Int,
       compH: Array[Int], compV: Array[Int], compQ: Array[Int],
       qt: Array[Array[Int]], scanDc: Array[Huff], scanAc: Array[Huff],
-      restartInterval: Int): Raster = {
+      restartInterval: Int, adobeTransform: Int): Raster = {
     // A single-component scan is NON-INTERLEAVED (T.81 A.2.3): its MCU
     // is ONE data unit and blocks cover the component at full frame
     // resolution in raster order — the frame's sampling factors do NOT
@@ -666,8 +680,8 @@ object JpegDecode {
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     // padded component planes (MCU-aligned)
-    val planeW = new Array[Int](3)
-    val planes = new Array[Array[Byte]](3)
+    val planeW = new Array[Int](4)
+    val planes = new Array[Array[Byte]](4)
     var planeBytes = 0L
     c = 0
     while (c < nComp) {
@@ -680,7 +694,7 @@ object JpegDecode {
     }
 
     val br = new BitReader(bytes, scanStart)
-    val pred = new Array[Int](3)
+    val pred = new Array[Int](4)
     val coef = new Array[Double](64)
     val tmp = new Array[Double](64)
 
@@ -739,7 +753,8 @@ object JpegDecode {
       mcu += 1
     }
 
-    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax)
+    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax,
+      adobeTransform)
   }
 
   /** One progressive scan (T.81 G.1.2), accumulated into the
@@ -972,9 +987,9 @@ object JpegDecode {
       w: Int, h: Int, nComp: Int,
       compH: Array[Int], compV: Array[Int], compQt: Array[Array[Int]],
       coefs: Array[Array[Int]], blockW: Array[Int], blockH: Array[Int],
-      hMax: Int, vMax: Int): Raster = {
-    val planes = new Array[Array[Byte]](3)
-    val planeW = new Array[Int](3)
+      hMax: Int, vMax: Int, adobeTransform: Int): Raster = {
+    val planes = new Array[Array[Byte]](4)
+    val planeW = new Array[Int](4)
     val coefD = new Array[Double](64)
     val tmp = new Array[Double](64)
     val qNat = new Array[Int](64)
@@ -1001,7 +1016,8 @@ object JpegDecode {
       }
       c += 1
     }
-    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax)
+    rasterFromPlanes(planes, planeW, w, h, nComp, compH, compV, hMax, vMax,
+      adobeTransform)
   }
 
   /** Separable 2-D IDCT (A.3.3) of one dequantized block into the
@@ -1042,11 +1058,27 @@ object JpegDecode {
 
   /** Shared completion tail (baseline + progressive): upsample the
     * decoded component planes and color-convert into the RGB raster.
+    *
+    * Color interpretation by component count + APP14 Adobe transform:
+    *   - 1 comp: grayscale replicated to RGB;
+    *   - 3 comp, transform 1 or no marker: JFIF YCbCr; transform 0
+    *     (Adobe RGB) or 2 → null (out of scope / invalid);
+    *   - 4 comp, transform 2 (YCCK): YCbCr→R'G'B' per JFIF, then
+    *     RGB = R'G'B' · k / 255 with the stored (Adobe-INVERTED) K —
+    *     Adobe writers store CMYK inverted, so the stored values ARE
+    *     the ink-free fractions;
+    *   - 4 comp, transform 0 (Adobe CMYK, inverted): RGB = c·k / 255
+    *     per channel on the stored values;
+    *   - 4 comp, NO Adobe marker: plain (non-inverted) CMYK:
+    *     RGB = (255−C)(255−K) / 255;
+    *   - 4 comp, transform 1 → null (invalid combination).
+    * The ·/255 products round half-up for determinism.
     */
   private def rasterFromPlanes(
       planes: Array[Array[Byte]], planeW: Array[Int],
       w: Int, h: Int, nComp: Int,
-      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int): Raster = {
+      compH: Array[Int], compV: Array[Int], hMax: Int, vMax: Int,
+      adobeTransform: Int): Raster = {
     var c = 0
     // --- upsample (replication) + color convert ---
     val rgb = new Array[Byte](w * h * 3)
@@ -1075,7 +1107,11 @@ object JpegDecode {
       // is the identity. Interpolation clamps to the component's TRUE
       // sample extent (ceil(w·hi/hMax)), not the MCU-padded plane — the
       // padding columns are encoder fill, not image.
-      val up = new Array[Array[Byte]](3)
+      if (nComp == 3 && (adobeTransform == 0 || adobeTransform == 2))
+        return null // Adobe RGB (scope) / YCCK needs 4 components
+      if (nComp == 4 && (adobeTransform == 1 ||
+        (adobeTransform > 2 && adobeTransform != -1))) return null
+      val up = new Array[Array[Byte]](4)
       c = 0
       while (c < nComp) {
         if (compH(c) == hMax && compV(c) == vMax) {
@@ -1096,24 +1132,55 @@ object JpegDecode {
         }
         c += 1
       }
-      val yU = up(0); val cbU = up(1); val crU = up(2)
       val n0 = w * h
       var i = 0
       var o = 0
-      while (i < n0) {
-        val yy = yU(i) & 0xff
-        val cb = (cbU(i) & 0xff) - 128
-        val cr = (crU(i) & 0xff) - 128
-        // JFIF 1.02 §7 with round-half-up and clamp
-        var r = math.round(yy + 1.402 * cr).toInt
-        var g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
-        var b = math.round(yy + 1.772 * cb).toInt
-        if (r < 0) r = 0 else if (r > 255) r = 255
-        if (g < 0) g = 0 else if (g > 255) g = 255
-        if (b < 0) b = 0 else if (b > 255) b = 255
-        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
-        o += 3
-        i += 1
+      if (nComp == 3) {
+        val yU = up(0); val cbU = up(1); val crU = up(2)
+        while (i < n0) {
+          val yy = yU(i) & 0xff
+          val cb = (cbU(i) & 0xff) - 128
+          val cr = (crU(i) & 0xff) - 128
+          // JFIF 1.02 §7 with round-half-up and clamp
+          var r = math.round(yy + 1.402 * cr).toInt
+          var g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
+          var b = math.round(yy + 1.772 * cb).toInt
+          if (r < 0) r = 0 else if (r > 255) r = 255
+          if (g < 0) g = 0 else if (g > 255) g = 255
+          if (b < 0) b = 0 else if (b > 255) b = 255
+          rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+          o += 3
+          i += 1
+        }
+      } else { // nComp == 4: CMYK family (see scaladoc contract)
+        val c0 = up(0); val c1 = up(1); val c2 = up(2); val kU = up(3)
+        val ycck = adobeTransform == 2
+        val plain = adobeTransform == -1 // no Adobe marker: non-inverted
+        while (i < n0) {
+          val k = if (plain) 255 - (kU(i) & 0xff) else kU(i) & 0xff
+          var r = 0; var g = 0; var b = 0
+          if (ycck) {
+            val yy = c0(i) & 0xff
+            val cb = (c1(i) & 0xff) - 128
+            val cr = (c2(i) & 0xff) - 128
+            r = math.round(yy + 1.402 * cr).toInt
+            g = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
+            b = math.round(yy + 1.772 * cb).toInt
+            if (r < 0) r = 0 else if (r > 255) r = 255
+            if (g < 0) g = 0 else if (g > 255) g = 255
+            if (b < 0) b = 0 else if (b > 255) b = 255
+          } else if (plain) {
+            r = 255 - (c0(i) & 0xff); g = 255 - (c1(i) & 0xff)
+            b = 255 - (c2(i) & 0xff)
+          } else { // Adobe CMYK: stored values are already inverted
+            r = c0(i) & 0xff; g = c1(i) & 0xff; b = c2(i) & 0xff
+          }
+          rgb(o) = ((r * k + 127) / 255).toByte
+          rgb(o + 1) = ((g * k + 127) / 255).toByte
+          rgb(o + 2) = ((b * k + 127) / 255).toByte
+          o += 3
+          i += 1
+        }
       }
     }
     new Raster(w, h, nComp, rgb)

@@ -1177,6 +1177,118 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Minimal baseline JPEG with FLAT component values (1×1 sampling,
+    * all-1s quant table, DC-only blocks): per component the first MCU's
+    * DC diff is 8·(value−128) and later MCUs code diff 0, so the IDCT
+    * lands EXACTLY on the value everywhere — which is what makes a
+    * HASH-EXACT gate possible for a lossy container (the lossiness
+    * lives in quantization, and a flat image has nothing to quantize
+    * away). `transform` = -1 → no APP14 marker; else the Adobe
+    * transform byte (0 = CMYK, 2 = YCCK). Behind the CMYK gate and the
+    * byte-exact decoder fixtures in JpegDecodeSpec.
+    */
+  private[graft] def encodeFlatJpeg(
+      comps: Seq[Int], transform: Int, w: Int, h: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u8(v: Int): Unit = out += v.toByte
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v & 0xff) }
+    u16(0xffd8) // SOI
+    if (transform >= 0) {
+      u16(0xffee); u16(2 + 12)
+      "Adobe".foreach(c => u8(c))
+      u16(0x0065); u16(0); u16(0) // version, flags0, flags1
+      u8(transform)
+    }
+    u16(0xffdb); u16(2 + 1 + 64); u8(0) // DQT table 0, 8-bit, all 1s
+    (0 until 64).foreach(_ => u8(1))
+    u16(0xffc0); u16(8 + 3 * comps.length); u8(8); u16(h); u16(w) // SOF0
+    u8(comps.length)
+    comps.indices.foreach { c => u8(c + 1); u8(0x11); u8(0) }
+    // DC table 0: 12 codes of length 4 → categories 0..11 (code == symbol)
+    u16(0xffc4); u16(2 + 1 + 16 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    // AC table 0: one 1-bit code → EOB
+    u16(0xffc4); u16(2 + 1 + 16 + 1); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
+    u8(0x00)
+    u16(0xffda); u16(6 + 2 * comps.length); u8(comps.length) // SOS
+    comps.indices.foreach { c => u8(c + 1); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    var acc = 0L; var nb = 0
+    val body = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def bits(v: Long, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nb += n
+      while (nb >= 8) {
+        val b = ((acc >> (nb - 8)) & 0xff).toInt
+        body += b.toByte
+        if (b == 0xff) body += 0x00.toByte // byte stuffing
+        nb -= 8
+      }
+    }
+    val mcus = ((w + 7) / 8) * ((h + 7) / 8)
+    var m = 0
+    while (m < mcus) {
+      comps.foreach { v =>
+        val diff = if (m == 0) 8 * (v - 128) else 0
+        var t = 0
+        var mag = math.abs(diff)
+        while (mag > 0) { t += 1; mag >>= 1 }
+        bits(t.toLong, 4)
+        if (t > 0) bits(if (diff > 0) diff.toLong else (diff + (1 << t) - 1).toLong, t)
+        bits(0, 1) // AC EOB
+      }
+      m += 1
+    }
+    if (nb > 0) bits((1 << (8 - nb)) - 1, 8 - nb) // 1-pad to byte
+    out ++= body
+    u16(0xffd9)
+    out.toArray
+  }
+
+  /** Synthesize a CMYK/YCCK JPEG media table: flat 4-component DC-only
+    * payloads (see [[encodeFlatJpeg]]) whose component values derive
+    * from md5 chars of the text, with the APP14 condition cycling
+    * Adobe-CMYK / YCCK / no-marker-plain-CMYK — flat DC-only decode is
+    * EXACT, so the oracle recomputes the converted RGB from the same
+    * fields and the gate is hash-exact despite the lossy container.
+    * Every seventh row is raw text (→ null).
+    */
+  def mediaTableCmyk(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 9 + 8).cast("int")
+    val h = (col("n_chars") % 7 + 8).cast("int")
+    val kind = when(col("doc_id") % 7 === 3, 1).otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text")).otherwise(md5(col("text"))).as("px"),
+        kind.as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val payload =
+          if (r.kind == 1) r.px.getBytes("UTF-8")
+          else {
+            val comps = (0 until 4).map(i => r.px.charAt(i) & 0xff)
+            val transform = (r.media_id % 3) match {
+              case 0 => 0 // Adobe CMYK (inverted)
+              case 1 => 2 // YCCK
+              case _ => -1 // no marker: plain CMYK
+            }
+            encodeFlatJpeg(comps, transform, r.w, r.h)
+          }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** MSB-first bit writer for the FLAC encoder below. */
   private final class BitSink {
     private val buf = new java.io.ByteArrayOutputStream(512)

@@ -358,4 +358,60 @@ class JpegDecodeSpec extends SparkSpec {
     assert(df(2).getInt(1) === 9 && df(2).getInt(2) === 1)
     assert(df(2).getString(4).length === 24)
   }
+
+  // ---- CMYK / APP14 (4-component) fixtures: DC-only blocks make the
+  //      decode EXACT (IDCT of a constant block is flat), so the color
+  //      contract is pinned byte-precisely without a lossy band ----
+
+  /** The shared flat DC-only builder (the generator behind the CMYK
+    * gate); the DECODER under test is independent of it and the
+    * expected values below are hand-worked from the spec's transforms.
+    */
+  private def flatJpeg(comps: Seq[Int], transform: Int, w: Int = 8, h: Int = 8): Array[Byte] =
+    graft.pipeline.Multimodal.encodeFlatJpeg(comps, transform, w, h)
+
+  private def flatRgbOf(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    val r = JpegDecode.decodeRaster(payload)
+    assert(r != null, "CMYK fixture must decode")
+    // flat: every pixel identical — assert that and return pixel 0
+    for (i <- 0 until r.w * r.h; c <- 0 until 3)
+      assert(r.rgb(3 * i + c) === r.rgb(c), s"raster not flat at $i/$c")
+    (r.nComp, r.rgb(0) & 0xff, r.rgb(1) & 0xff, r.rgb(2) & 0xff)
+  }
+
+  test("CMYK (APP14 transform 0, Adobe-inverted): RGB = c·k/255 exactly") {
+    val (n, r, g, b) = flatRgbOf(flatJpeg(Seq(100, 150, 200, 250), transform = 0))
+    assert(n === 4)
+    assert((r, g, b) === ((98, 147, 196)))
+  }
+
+  test("YCCK (APP14 transform 2): JFIF YCbCr then ·k/255 exactly") {
+    // Y=120 Cb=148 Cr=108 → R'G'B' = (92, 127, 155); k=230
+    val (n, r, g, b) = flatRgbOf(flatJpeg(Seq(120, 148, 108, 230), transform = 2))
+    assert(n === 4)
+    assert((r, g, b) === ((83, 115, 140)))
+  }
+
+  test("4-component with NO Adobe marker: plain (non-inverted) CMYK") {
+    val (n, r, g, b) = flatRgbOf(flatJpeg(Seq(55, 105, 155, 5), transform = -1))
+    assert(n === 4)
+    assert((r, g, b) === ((196, 147, 98)))
+  }
+
+  test("multi-MCU flat CMYK: later MCUs carry zero diffs, decode stays exact") {
+    val (n, r, g, b) = flatRgbOf(flatJpeg(Seq(100, 150, 200, 250), transform = 0, w = 13, h = 11))
+    assert(n === 4)
+    assert((r, g, b) === ((98, 147, 196)))
+    val rast = JpegDecode.decodeRaster(flatJpeg(Seq(100, 150, 200, 250), 0, 13, 11))
+    assert(rast.w === 13 && rast.h === 11)
+  }
+
+  test("invalid transform combinations null: YCbCr-coded 4-comp, Adobe RGB 3-comp") {
+    assert(JpegDecode.decodeRaster(flatJpeg(Seq(1, 2, 3, 4), transform = 1)) == null)
+    assert(JpegDecode.decodeRaster(flatJpeg(Seq(1, 2, 3), transform = 0)) == null)
+    // sanity: the same 3-comp stream without APP14 decodes (as YCbCr)
+    assert(JpegDecode.decodeRaster(flatJpeg(Seq(128, 128, 128), transform = -1)) != null)
+    // 5 components stays out of scope
+    assert(JpegDecode.decodeRaster(flatJpeg(Seq(1, 2, 3, 4, 5), transform = 0)) == null)
+  }
 }
