@@ -28,11 +28,13 @@ import graft.functions.UnigramEncode
   *     the driver holds only the vocab) and counts piece occurrences
   *     weighted by word frequency; the M-step drops multi-char pieces
   *     with zero count, floors surviving characters at count 1, and
-  *     rescores. Kudo's soft EM computes forward-backward posteriors;
-  *     the Viterbi variant (documented in the same paper's framing as
-  *     the decoding counterpart) keeps every quantity an exact integer,
-  *     which is what makes the oracle replay possible — the divergence
-  *     is scoped here, not hidden.
+  *     rescores. Kudo's soft EM computes forward-backward posteriors —
+  *     implemented as [[trainSoft]] and spec-compared to this form on a
+  *     corpus where they provably differ (UnigramTrainSpec); the
+  *     Viterbi variant stays the ORACLE-GATED form because it keeps
+  *     every quantity an exact integer, which is what makes the DuckDB
+  *     replay possible — the divergence is scoped AND exercised, not
+  *     hidden.
   *   - SCORES: integer quantized log-probs, the established q9 recipe —
   *     score(p) = q9(ln(c_p)) − q9(ln(Σc)) with q9(x) = ⌊x·1e9 + 0.5⌋
   *     (platform `Math.log` on both engines; see
@@ -145,6 +147,173 @@ object Unigram {
       rescore((cs ++ keptMultis).map(v => (v._1, v._3)))
         .sortBy(v => (-v._3, v._1))
     } finally wc.unpersist()
+  }
+
+  /** SOFT-EM training (Kudo's actual E-step): forward-backward
+    * POSTERIOR expected counts instead of the Viterbi variant's hard
+    * assignments — this closes the documented scoped divergence (the
+    * scaladoc above) at SPEC level. The E-step computes, per distinct
+    * word, α/β lattice sums in log space and credits every vocabulary
+    * piece its posterior occupancy × word frequency; the M-step drops
+    * multi-char pieces whose expected count vanishes (< 1e-9), floors
+    * characters at 1.0, and rescores with the same q9 recipe on the
+    * (now fractional) counts. Where every word has a UNIQUE
+    * segmentation the posteriors are 1 and this coincides with
+    * [[train]] exactly; where segmentations are ambiguous it keeps
+    * fractional mass on pieces Viterbi starves to zero — the
+    * spec-pinned divergence (UnigramTrainSpec). The ORACLE-GATED form
+    * stays [[train]]: integer counts are what make the DuckDB replay
+    * exact.
+    *
+    * Same scale shape: `emRounds` distributed passes over the
+    * word-count aggregate; the driver holds only the vocab.
+    */
+  def trainSoft(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = GateMaxPieceLen,
+      seedSize: Int = GateSeedSize,
+      minCount: Long = GateMinCount,
+      vocabSize: Int = GateVocabSize,
+      emRounds: Int = GateEmRounds): Seq[(String, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxPieceLen >= 1 && seedSize >= 1 && vocabSize >= 1 && emRounds >= 0)
+
+    def rescoreD(pieces: Seq[(String, Double)]): Seq[(String, Long, Double)] = {
+      val total = pieces.iterator.map(_._2).sum
+      def q9(x: Double) = math.floor(Math.log(x) * 1e9 + 0.5).toLong
+      val qTotal = q9(total)
+      pieces.map { case (p, c) => (p, q9(c) - qTotal, c) }
+    }
+
+    val wc = docs
+      .select(explode(Bpe.wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .cache()
+    try {
+      val subs = wc
+        .flatMap { case (w, c) =>
+          for {
+            st <- 0 until w.length
+            l <- 1 to math.min(maxPieceLen, w.length - st)
+          } yield (w.substring(st, st + l), c)
+        }
+        .toDF("piece", "c")
+        .groupBy("piece").agg(sum("c").as("c"))
+      val chars = subs.where(length(col("piece")) === 1)
+        .as[(String, Long)].collect().sortBy(_._1)
+      val multis = subs
+        .where(length(col("piece")) > 1 && col("c") >= minCount)
+        .orderBy(col("c").desc, col("piece").asc)
+        .limit(math.max(0, seedSize - chars.length))
+        .as[(String, Long)].collect()
+      var vocab: Seq[(String, Long, Double)] =
+        rescoreD((chars ++ multis).toSeq.map(v => (v._1, v._2.toDouble)))
+      if (vocab.isEmpty) return Seq.empty
+
+      var round = 0
+      while (round < emRounds) {
+        // log-probs from the fractional counts (not the quantized scores:
+        // posteriors deserve full double precision)
+        val total = vocab.iterator.map(_._3).sum
+        val logp: Map[String, Double] =
+          vocab.iterator.map(v => v._1 -> (Math.log(v._3) - Math.log(total))).toMap
+        val maxLen = vocab.iterator.map(_._1.length).max
+        val counts: Map[String, Double] = wc
+          .mapPartitions(_.flatMap { case (w, c) =>
+            expectedCounts(w, logp, maxLen).iterator.map { case (p, e) => (p, e * c) }
+          })
+          .toDF("piece", "e")
+          .groupBy("piece").agg(sum("e").as("e"))
+          .as[(String, Double)].collect().toMap
+        val next = vocab.flatMap { case (p, _, _) =>
+          val c = counts.getOrElse(p, 0.0)
+          if (p.length == 1) Some((p, math.max(c, 1.0)))
+          else if (c > 1e-9) Some((p, c))
+          else None
+        }
+        vocab = rescoreD(next)
+        round += 1
+      }
+
+      val (cs, ms) = vocab.partition(_._1.length == 1)
+      val keptMultis = ms
+        .sortBy(v => (-v._3, v._1))
+        .take(math.max(0, vocabSize - cs.length))
+      rescoreD((cs ++ keptMultis).map(v => (v._1, v._3)))
+        .sortBy(v => (-v._3, v._1))
+    } finally wc.unpersist()
+  }
+
+  /** Forward-backward posterior expected piece counts for one word
+    * under the current unigram model (log-space, logsumexp-stable).
+    * Returns (piece → expected occurrences); empty when the word is
+    * uncoverable (cannot happen with full character coverage).
+    */
+  private[graft] def expectedCounts(
+      w: String, logp: Map[String, Double], maxLen: Int): Map[String, Double] = {
+    val n = w.length
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val alpha = Array.fill(n + 1)(NegInf)
+    val beta = Array.fill(n + 1)(NegInf)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        if (alpha(i - l) != NegInf) {
+          logp.get(w.substring(i - l, i)) match {
+            case Some(lp) => alpha(i) = lse(alpha(i), alpha(i - l) + lp)
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == NegInf) return Map.empty
+    beta(n) = 0.0
+    var j = n - 1
+    while (j >= 0) {
+      var l = 1
+      while (l <= math.min(maxLen, n - j)) {
+        if (beta(j + l) != NegInf) {
+          logp.get(w.substring(j, j + l)) match {
+            case Some(lp) => beta(j) = lse(beta(j), lp + beta(j + l))
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      j -= 1
+    }
+    val out = scala.collection.mutable.HashMap.empty[String, Double]
+    j = 0
+    while (j < n) {
+      if (alpha(j) != NegInf) {
+        var l = 1
+        while (l <= math.min(maxLen, n - j)) {
+          if (beta(j + l) != NegInf) {
+            val p = w.substring(j, j + l)
+            logp.get(p) match {
+              case Some(lp) =>
+                val post = math.exp(alpha(j) + lp + beta(j + l) - alpha(n))
+                out(p) = out.getOrElse(p, 0.0) + post
+              case None => ()
+            }
+          }
+          l += 1
+        }
+      }
+      j += 1
+    }
+    out.toMap
   }
 
   // ------------------------------------------------------------------

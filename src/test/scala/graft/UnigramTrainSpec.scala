@@ -82,4 +82,62 @@ class UnigramTrainSpec extends SparkSpec {
     assert(one.exists(_._1 == "a"))
     assert(one.exists(_._1 == "aaa"))
   }
+
+  test("soft EM keeps fractional mass on pieces Viterbi starves to zero (the divergence case)") {
+    // corpus of the single word "abc": with maxPieceLen 2 the seed is
+    // {a, b, c, ab, bc}, all count N, so the two 2-piece segmentations
+    // [ab, c] and [a, bc] tie. Viterbi awards the whole count to ONE of
+    // them and the loser's piece is pruned at the M-step; soft EM's
+    // posteriors split the mass, so BOTH survive with positive counts.
+    val d = docs(Seq.fill(6)("abc").mkString(" "))
+    val hard = Unigram.train(d, "text",
+      maxPieceLen = 2, seedSize = 50, minCount = 1, vocabSize = 50, emRounds = 1)
+    val soft = Unigram.trainSoft(d, "text",
+      maxPieceLen = 2, seedSize = 50, minCount = 1, vocabSize = 50, emRounds = 1)
+    val hardMultis = hard.map(_._1).filter(_.length > 1).toSet
+    val softMultis = soft.map(_._1).filter(_.length > 1).toSet
+    assert(hardMultis.size === 1 && (hardMultis == Set("ab") || hardMultis == Set("bc")),
+      s"Viterbi must keep exactly one of ab/bc, got $hardMultis")
+    assert(softMultis === Set("ab", "bc"),
+      s"soft EM must keep BOTH ambiguous pieces, got $softMultis")
+    // the posterior split is an honest share, not a floor artifact
+    val softAb = soft.find(_._1 == "ab").get._3
+    val softBc = soft.find(_._1 == "bc").get._3
+    assert(softAb > 0.5 && softBc > 0.5, s"fractional masses: ab=$softAb bc=$softBc")
+  }
+
+  test("soft EM coincides with Viterbi EM when every segmentation is unique") {
+    // minCount high enough that NO multi-char piece seeds: every word
+    // segments char-by-char with posterior 1 — expected counts equal the
+    // hard counts exactly and both trainers produce the same vocab
+    val hard = Unigram.train(corpus, "text",
+      maxPieceLen = 3, seedSize = 120, minCount = 1000, vocabSize = 60, emRounds = 2)
+    val soft = Unigram.trainSoft(corpus, "text",
+      maxPieceLen = 3, seedSize = 120, minCount = 1000, vocabSize = 60, emRounds = 2)
+    // counts are doubles built from exp(α+lp+β−αN) — exactly-1
+    // posteriors up to ulp accumulation order, so equal-count TIE ORDER
+    // can shuffle; content and scores must coincide exactly
+    assert(hard.map(v => (v._1, v._2)).toMap === soft.map(v => (v._1, v._2)).toMap)
+    val hardC = hard.map(v => v._1 -> v._3).toMap
+    soft.foreach { case (p, _, cs) =>
+      assert(math.abs(cs - hardC(p)) < 1e-6, s"$p: soft $cs vs hard ${hardC(p)}")
+    }
+  }
+
+  test("expectedCounts: posteriors sum to the lattice occupancy and split ties evenly") {
+    val logp = Map("a" -> math.log(0.2), "b" -> math.log(0.2), "c" -> math.log(0.2),
+      "ab" -> math.log(0.2), "bc" -> math.log(0.2))
+    val e = Unigram.expectedCounts("abc", logp, 2)
+    // three segmentations: [a,b,c] p^3, [ab,c] p^2, [a,bc] p^2 with
+    // p = 0.2 → weights 0.008, 0.04, 0.04 → posterior of ab = bc =
+    // 0.04/0.088; a appears in [a,b,c] and [a,bc] → (0.008+0.04)/0.088
+    val z = 0.008 + 0.04 + 0.04
+    assert(math.abs(e("ab") - 0.04 / z) < 1e-12)
+    assert(math.abs(e("bc") - 0.04 / z) < 1e-12)
+    assert(math.abs(e("a") - (0.008 + 0.04) / z) < 1e-12)
+    assert(math.abs(e("c") - (0.008 + 0.04) / z) < 1e-12)
+    assert(math.abs(e("b") - 0.008 / z) < 1e-12)
+    // uncoverable word → empty
+    assert(Unigram.expectedCounts("xyz", logp, 2).isEmpty)
+  }
 }
