@@ -46,12 +46,19 @@ object EncodePipeline {
     * partition layout (fat results) shrinks the effective window toward
     * 1 instead of holding `parallelism + 1` fat buffers on the driver.
     *
-    * The budget bounds SUBMISSION, not instantaneous residency: tasks
-    * already in flight when the budget trips still complete, so peak
-    * residency is ≤ budget + (parallelism + 1)·(largest single result)
-    * transiently after a healthy→fat transition, converging to
-    * ~1 result once the fat region is reached. Ordering, failure, and
-    * close() semantics are exactly [[mapOrdered]]'s.
+    * The budget bounds SUBMISSION with a submission-time ESTIMATE
+    * (VERDICT r17 #4): each in-flight task RESERVES the running EWMA of
+    * completed result sizes, and the gate checks completed + reserved
+    * bytes — so once any result has completed, a fat region stops
+    * admissions while results are still computing, instead of only
+    * after they land. The residual transient is the FIRST window into a
+    * fat region (estimates still reflect the healthy sizes), bounded by
+    * budget + (parallelism + 1)·(largest single result), converging to
+    * ~1 result in flight once one fat completion updates the estimate
+    * (spec-pinned in PrefetchSpec; ProfScale A/B in ROUND_NOTES shows
+    * the healthy path keeps its pump speedup — estimate 0 until the
+    * first completion, so warm-up admission is unchanged). Ordering,
+    * failure, and close() semantics are exactly [[mapOrdered]]'s.
     */
   def mapOrderedBudgeted[A, B](
       it: Iterator[A], parallelism: Int,
@@ -64,6 +71,10 @@ object EncodePipeline {
     }
     else new Iterator[B] with AutoCloseable {
       private val bufferedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      // submission-time accounting: estimates reserved for in-flight
+      // tasks + the EWMA estimator over completed result sizes
+      private val reservedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      private val estSize = new java.util.concurrent.atomic.AtomicLong(0L)
       private val pool = {
         val p = new java.util.concurrent.ThreadPoolExecutor(
           parallelism, parallelism, 30L, java.util.concurrent.TimeUnit.SECONDS,
@@ -83,11 +94,21 @@ object EncodePipeline {
       private def fill(): Unit = {
         if (shut) return // a closed pipeline reports exhaustion, never resubmits
         while (inFlight.size() <= parallelism && it.hasNext &&
-            (inFlight.isEmpty || bufferedBytes.get() < maxBufferedBytes)) {
+            (inFlight.isEmpty ||
+              bufferedBytes.get() + reservedBytes.get() < maxBufferedBytes)) {
           val a = it.next()
+          val est = estSize.get() // 0 until the first completion: warm-up
+          reservedBytes.addAndGet(est)
           inFlight.addLast(pool.submit(() => {
             val b = f(a)
-            bufferedBytes.addAndGet(sizeOf(b))
+            val s = sizeOf(b)
+            bufferedBytes.addAndGet(s)
+            reservedBytes.addAndGet(-est)
+            // EWMA(1/2): adapts within one completion in either direction;
+            // lost updates under race only stale the ESTIMATE, never the
+            // budget's completed-bytes accounting
+            val prev = estSize.get()
+            estSize.set(if (prev == 0L) s else (prev + s) / 2)
             b
           }))
         }

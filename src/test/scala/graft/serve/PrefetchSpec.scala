@@ -168,6 +168,37 @@ class PrefetchSpec extends graft.SparkSpec {
     assert(maxConcurrent.get() > 1, "healthy-path budget must not serialize")
   }
 
+  test("byte budget: submission-time estimates gate admissions before results land") {
+    // VERDICT r17 #4: once a completion has taught the estimator, each
+    // in-flight task RESERVES the estimate — with budget 2500 and
+    // ~1000-byte results, at most 3 blocked tasks may be admitted
+    // (1000·k < 2500 admits k = 1, 2, then the third saturates), where
+    // completed-bytes-only accounting would have admitted the full
+    // window of 5 against an empty buffer
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val blockedStarted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val it = EncodePipeline.mapOrderedBudgeted(
+      (0 until 20).iterator, 4, 2500L, (_: Int) => 1000L) { i =>
+      if (i >= 5) { blockedStarted.incrementAndGet(); latch.await() }
+      i * 2
+    }
+    try {
+      // drain the 5 fast results; blocked items (≥5) admit only behind
+      // them (admission is iterator-ordered), each reserving the
+      // by-then-learned ~1000-byte estimate
+      val first5 = (0 until 5).map(_ => it.next())
+      assert(first5 === (0 until 5).map(_ * 2))
+      assert(it.hasNext) // buffer is drained; reservations gate admission
+      Thread.sleep(200)  // no background admission exists; state is stable
+      val started = blockedStarted.get()
+      assert(started >= 1 && started <= 3,
+        s"reservations must cap blocked admissions at 3 (old behavior: 5), got $started")
+      latch.countDown()
+      assert((5 until 20).map(_ => it.next()) === (5 until 20).map(_ * 2))
+      assert(!it.hasNext)
+    } finally { latch.countDown(); it.close() }
+  }
+
   test("byte budget: a starved pump window still yields the exact row sequence") {
     // budget 1 byte < any partition result: every fetch degrades to
     // serial, output must stay row-identical to the healthy window
