@@ -2172,6 +2172,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- MIXED-FORMAT audio sniff: AudioDecode dispatches each payload
+    //      by magic (RIFF/WAVE -> PcmDecode, fLaC -> FlacDecode) and
+    //      folds real per-channel sample statistics into one schema —
+    //      the crawled-corpus audio operator, where no codec column
+    //      exists. Both kernels are LOSSLESS, so unlike the image sniff
+    //      this mixed gate is hash-exact end to end; raw text and
+    //      format-appropriate corruptions are the null mix ------------
+    "q_multimodal_audio_mixed" -> ((s, dir) => {
+      import graft.functions.AudioDecode
+      Multimodal.mediaTableAudioMixed(s, Tables.documents(s, dir))
+        .select(col("media_id"), AudioDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.format").as("format"),
+          col("__d.channels").as("channels"),
+          col("__d.bits").as("bits"),
+          col("__d.n_frames").as("n_frames"),
+          col("__d.sum_c0").as("sum_c0"),
+          col("__d.peak_c0").as("peak_c0"),
+          col("__d.sum_c1").as("sum_c1"),
+          col("__d.peak_c1").as("peak_c1"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL video frame-sampling: YUV4MPEG2 (raw YUV) needs no
     //      codec — every 2nd frame's luma plane folded to exact sums
     //      over byte-exact 3-frame C444 clips; raw-text rows and a C420
@@ -5440,6 +5464,65 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL
         |       ELSE repeat(printf('%02x%02x%02x', r, g, b), 4) END AS thumb_hex
         |FROM conv ORDER BY media_id""".stripMargin,
+
+    // mixed-audio sniff: identical sample recompute to the FLAC oracle
+    // with the format decided by doc_id%3 (0 wav / 1 flac / 2 raw text)
+    // and the corruption arm (doc_id%7=3) null for BOTH formats
+    "q_multimodal_audio_mixed" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) * (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END) // 8 AS bpf,
+        |    CAST(doc_id % 3 AS INTEGER) AS fmt,
+        |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT media_id, text, ch, bits, bpf, fmt,
+        |    CAST(length(text) // bpf AS BIGINT) AS nf,
+        |    (bad OR (fmt = 1 AND length(text) // bpf = 0)) AS bad
+        |  FROM d
+        |), s AS (
+        |  SELECT media_id, ch, bits, nf, fmt, bad,
+        |    CASE WHEN bad THEN NULL
+        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
+        |        CASE WHEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |             THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |             ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END)
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128) END AS c0,
+        |    CASE WHEN bad OR ch = 1 THEN NULL
+        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
+        |        CASE WHEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |             THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |             ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END)
+        |      ELSE list_transform(range(0, nf), f ->
+        |        ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128) END AS c1
+        |  FROM d2
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN fmt = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CASE WHEN bad THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN bad THEN NULL ELSE bits END AS bits,
+        |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c0) AS BIGINT), 0) END AS sum_c0,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c0, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c0,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE coalesce(CAST(list_sum(c1) AS BIGINT), 0) END AS sum_c1,
+        |  CASE WHEN bad OR ch = 1 THEN NULL
+        |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
+        |  END AS peak_c1
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // FLAC decode: LOSSLESS, so the oracle recomputes the exact samples
     // from text positions (the q_multimodal_pcm convention — channel c

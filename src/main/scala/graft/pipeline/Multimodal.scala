@@ -1617,6 +1617,84 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** Synthesize a MIXED-FORMAT audio table — WAV and FLAC payloads over
+    * the SAME sample derivation (channel c of frame f at text byte
+    * offset f·bpf + c·bits/8; 16-bit signed LE, 8-bit byte−128), the
+    * shape of a crawled corpus where no codec column exists: doc_id%3 →
+    * 0 canonical-header PCM WAV, 1 FLAC via [[encodeFlac]], 2 raw text
+    * (→ null). Every seventh row is corrupted in a format-appropriate
+    * way (WAV: data chunk size overruns the payload; FLAC: final frame
+    * CRC flipped) — both kernels must null, never fabricate samples.
+    * Both formats are lossless, so the sniff gate stays hash-exact.
+    */
+  def mediaTableAudioMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val bits = when(col("doc_id") % 4 < 2, 16).otherwise(8).cast("int")
+    val fmt = (col("doc_id") % 3).cast("int")
+    val kind = when(col("doc_id") % 7 === 3, 4).otherwise(0) + fmt
+    docs
+      .select(
+        col("doc_id").as("media_id"), ch.as("w"), bits.as("h"),
+        lit(false).as("rgba"),
+        col("text").as("px"),
+        kind.as("kind"), // kind%4: fmt (0 wav / 1 flac / 2 text); kind/4: corrupt
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val fmtK = r.kind % 4
+        val corrupt = r.kind / 4 == 1
+        val chN = r.w; val bitsN = r.h
+        val bpf = chN * bitsN / 8
+        val t = r.px
+        val payload: Array[Byte] = fmtK match {
+          case 2 => t.getBytes("UTF-8")
+          case 1 =>
+            val nf = t.length / bpf
+            if (nf == 0) t.getBytes("UTF-8")
+            else {
+              val samples = Array.tabulate(chN, nf) { (c, f) =>
+                val o = f * bpf + c * (bitsN / 8)
+                if (bitsN == 8) (t.charAt(o) & 0xff) - 128
+                else {
+                  val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
+                  if (u >= 0x8000) u - 0x10000 else u
+                }
+              }
+              val flac = encodeFlac(samples, bitsN, r.media_id)
+              if (corrupt && flac.length > 2)
+                flac(flac.length - 1) = (flac(flac.length - 1) ^ 0x5a).toByte
+              flac
+            }
+          case _ =>
+            // canonical 44-byte PCM WAV around the raw text bytes
+            val data = t.getBytes("UTF-8")
+            val rate = 8000
+            val byteRate = rate * bpf
+            val bos = new java.io.ByteArrayOutputStream(44 + data.length)
+            def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+            def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+            bos.write("RIFF".getBytes("US-ASCII"))
+            le32(36 + data.length)
+            bos.write("WAVEfmt ".getBytes("US-ASCII"))
+            le32(16); le16(1); le16(chN); le32(rate); le32(byteRate)
+            le16(bpf); le16(bitsN)
+            bos.write("data".getBytes("US-ASCII"))
+            // corrupt arm: declare more data than the payload carries
+            le32(if (corrupt) data.length + 64 else data.length)
+            bos.write(data)
+            bos.toByteArray
+        }
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Synthesize an ENCODED video table: payloads carry real MP4/ISO-BMFF
     * box structures (ftyp + moov[mvhd + trak[tkhd]] + mdat around the
     * document bytes, big-endian fields) with brand / duration / pixel
