@@ -361,6 +361,7 @@ object FlacDecode {
       val r = new Bits(bytes)
       r.pos = off.toLong << 3
       // sync (14) + reserved(1) + blocking strategy(1)
+      if (off + 2 > bytes.length) return null // lone trailing byte
       if ((bytes(off) & 0xff) != 0xff) return null
       val b1 = bytes(off + 1) & 0xff
       if ((b1 & 0xfe) != 0xf8) return null // includes the mandatory 0 bit

@@ -1188,7 +1188,8 @@ object Multimodal {
     * byte-exact decoder fixtures in JpegDecodeSpec.
     */
   private[graft] def encodeFlatJpeg(
-      comps: Seq[Int], transform: Int, w: Int, h: Int): Array[Byte] = {
+      comps: Seq[Int], transform: Int, w: Int, h: Int,
+      progressive: Boolean = false): Array[Byte] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
     def u8(v: Int): Unit = out += v.toByte
     def u16(v: Int): Unit = { u8(v >> 8); u8(v & 0xff) }
@@ -1201,7 +1202,11 @@ object Multimodal {
     }
     u16(0xffdb); u16(2 + 1 + 64); u8(0) // DQT table 0, 8-bit, all 1s
     (0 until 64).foreach(_ => u8(1))
-    u16(0xffc0); u16(8 + 3 * comps.length); u8(8); u16(h); u16(w) // SOF0
+    // SOF0 baseline / SOF2 progressive (the progressive form carries ONE
+    // interleaved DC-first scan and completes at EOI — legal Annex G,
+    // and still exactly flat)
+    u16(if (progressive) 0xffc2 else 0xffc0)
+    u16(8 + 3 * comps.length); u8(8); u16(h); u16(w)
     u8(comps.length)
     comps.indices.foreach { c => u8(c + 1); u8(0x11); u8(0) }
     // DC table 0: 12 codes of length 4 → categories 0..11 (code == symbol)
@@ -1214,7 +1219,8 @@ object Multimodal {
     u8(0x00)
     u16(0xffda); u16(6 + 2 * comps.length); u8(comps.length) // SOS
     comps.indices.foreach { c => u8(c + 1); u8(0x00) }
-    u8(0); u8(63); u8(0)
+    if (progressive) { u8(0); u8(0); u8(0) } // DC scan: Ss=Se=0, Ah=Al=0
+    else { u8(0); u8(63); u8(0) }
     var acc = 0L; var nb = 0
     val body = scala.collection.mutable.ArrayBuffer.empty[Byte]
     def bits(v: Long, n: Int): Unit = {
@@ -1236,7 +1242,7 @@ object Multimodal {
         while (mag > 0) { t += 1; mag >>= 1 }
         bits(t.toLong, 4)
         if (t > 0) bits(if (diff > 0) diff.toLong else (diff + (1 << t) - 1).toLong, t)
-        bits(0, 1) // AC EOB
+        if (!progressive) bits(0, 1) // AC EOB (DC-only scans code no AC)
       }
       m += 1
     }

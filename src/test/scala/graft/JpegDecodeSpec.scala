@@ -398,6 +398,22 @@ class JpegDecodeSpec extends SparkSpec {
     assert((r, g, b) === ((196, 147, 98)))
   }
 
+  test("PROGRESSIVE 4-component CMYK/YCCK: the Annex-G path shares the color contract") {
+    // SOF2 with one interleaved DC scan, completing at EOI — the same
+    // flat values must decode byte-identically to the baseline form
+    val p0 = graft.pipeline.Multimodal.encodeFlatJpeg(
+      Seq(100, 150, 200, 250), transform = 0, w = 13, h = 11, progressive = true)
+    val r0 = JpegDecode.decodeRaster(p0)
+    assert(r0 != null, "progressive CMYK must decode")
+    assert(r0.nComp === 4 && r0.w === 13)
+    assert((r0.rgb(0) & 0xff, r0.rgb(1) & 0xff, r0.rgb(2) & 0xff) === ((98, 147, 196)))
+    val p2 = graft.pipeline.Multimodal.encodeFlatJpeg(
+      Seq(120, 148, 108, 230), transform = 2, w = 8, h = 8, progressive = true)
+    val r2 = JpegDecode.decodeRaster(p2)
+    assert(r2 != null)
+    assert((r2.rgb(0) & 0xff, r2.rgb(1) & 0xff, r2.rgb(2) & 0xff) === ((83, 115, 140)))
+  }
+
   test("multi-MCU flat CMYK: later MCUs carry zero diffs, decode stays exact") {
     val (n, r, g, b) = flatRgbOf(flatJpeg(Seq(100, 150, 200, 250), transform = 0, w = 13, h = 11))
     assert(n === 4)
