@@ -5533,8 +5533,11 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS INTEGER) AS bits,
-        |    (doc_id % 2 + 1) * (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END) // 8 AS bpf,
+        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16
+        |              WHEN doc_id % 4 = 2 THEN 8 ELSE 24 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) *
+        |      (CASE WHEN doc_id % 4 < 2 THEN 16
+        |            WHEN doc_id % 4 = 2 THEN 8 ELSE 24 END) // 8 AS bpf,
         |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
         |  FROM documents
         |), d2 AS (
@@ -5545,25 +5548,49 @@ object SparkEntry {
         |), s AS (
         |  SELECT media_id, ch, bits, nf, bad,
         |    CASE WHEN bad THEN NULL
-        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
-        |        CASE WHEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
-        |             THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
-        |             ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END)
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128) END AS c0,
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) END
+        |        END) END AS c0,
         |    CASE WHEN bad OR ch = 1 THEN NULL
-        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
-        |        CASE WHEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
-        |             THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
-        |             ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END)
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128) END AS c1
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) END
+        |        END) END AS c1
         |  FROM d2
         |)
         |SELECT media_id,

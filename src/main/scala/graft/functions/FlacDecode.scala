@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * Rice-coded residual partitions, inter-channel decorrelation, CRCs.
   *
   * Scope (documented, the family's strict contract): "fLaC" magic with
-  * STREAMINFO first; 1-2 channels; 8/16 bits per sample; subframe types
+  * STREAMINFO first; 1-2 channels; 8/16/24 bits per sample (24 is the
+  * dominant hi-res depth in real FLAC corpora); subframe types
   * CONSTANT, VERBATIM, FIXED (orders 0-4) and LPC (orders 1-32); both
   * residual methods (4-bit and 5-bit Rice parameters), partition orders
   * 0-15, escape partitions (raw n-bit residuals); wasted bits; all four
@@ -340,7 +341,7 @@ object FlacDecode {
           ((bytes(si + 14) & 0xffL) << 24) | ((bytes(si + 15) & 0xffL) << 16) |
           ((bytes(si + 16) & 0xffL) << 8) | (bytes(si + 17) & 0xffL)
         if (channels < 1 || channels > 2) return null // family scope
-        if (bps != 8 && bps != 16) return null
+        if (bps != 8 && bps != 16 && bps != 24) return null
         if (totalSamples > MaxSamples) return null
         first = false
       }

@@ -1338,7 +1338,7 @@ object Multimodal {
     import graft.functions.FlacDecode.{crc8, crc16}
     val ch = samples.length
     val n = samples(0).length
-    require(ch >= 1 && ch <= 2 && (bits == 8 || bits == 16))
+    require(ch >= 1 && ch <= 2 && (bits == 8 || bits == 16 || bits == 24))
     val out = new java.io.ByteArrayOutputStream(1024)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO (last metadata block): min/max block 192, frame sizes 0
@@ -1499,7 +1499,7 @@ object Multimodal {
         case _ => 10 // mid/side
       }
       sink.put(chAsgn, 4)
-      sink.put(if (bits == 8) 1 else 4, 3)
+      sink.put(bits match { case 8 => 1; case 16 => 4; case _ => 6 }, 3)
       sink.put(0, 1)
       coded(sink, frameIdx)
       if (bsCode == 7) sink.put(bs - 1, 16)
@@ -1508,7 +1508,9 @@ object Multimodal {
       sink.put(crc8(hdr, 0, hdr.length), 8)
       // subframes
       val escape = mediaId % 11 == 5 && frameIdx == 0 && bs > 8
-      val rice5 = mediaId % 7 == 2
+      // 24-bit residuals need parameters past the 4-bit method's 14 cap
+      // (p ~ 22-24 on noise samples) — always use the 5-bit method there
+      val rice5 = mediaId % 7 == 2 || bits == 24
       val partOrd = if (bs == 192 && frameIdx % 3 == 0) 2 else 0
       def strat(c: Int) = ((mediaId + frameIdx * 7 + c * 3) % 6).toInt
       if (ch == 1) {
@@ -1560,9 +1562,10 @@ object Multimodal {
     * pairs; 8-bit: byte − 128), so the DuckDB oracle recomputes the
     * per-channel sums/peaks positionally with no blob introspection —
     * and FLAC being lossless, the gate is HASH-EXACT (the one codec
-    * family member needing no tolerance band). bits cycles 16/8 and
-    * channels 1/2 on decoupled selectors so all four combinations
-    * appear; [[encodeFlac]]'s strategy cycling covers every subframe
+    * family member needing no tolerance band). bits cycles 16/8/24
+    * (24-bit = signed LE byte triples — the hi-res depth) and
+    * channels 1/2 on decoupled selectors so every combination
+    * appears; [[encodeFlac]]'s strategy cycling covers every subframe
     * type and stereo mode across the corpus. Every third row is raw
     * text (wrong magic → null); every seventh has its final frame's
     * CRC-16 corrupted (verified CRC → null, never fabricated samples).
@@ -1570,7 +1573,8 @@ object Multimodal {
   def mediaTableFlac(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    val bits = when(col("doc_id") % 4 < 2, 16).otherwise(8).cast("int")
+    val bits = when(col("doc_id") % 4 < 2, 16)
+      .when(col("doc_id") % 4 === 2, 8).otherwise(24).cast("int")
     val kind = when(col("doc_id") % 3 === 2, 1)
       .when(col("doc_id") % 7 === 3, 2)
       .otherwise(0)
@@ -1600,9 +1604,13 @@ object Multimodal {
                 val o = f * bpf + c * (bitsN / 8)
                 samples(c)(f) =
                   if (bitsN == 8) (t.charAt(o) & 0xff) - 128
-                  else {
+                  else if (bitsN == 16) {
                     val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
                     if (u >= 0x8000) u - 0x10000 else u
+                  } else { // 24-bit: signed LE byte triple
+                    val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8) |
+                      ((t.charAt(o + 2) & 0xff) << 16)
+                    if (u >= 0x800000) u - 0x1000000 else u
                   }
                 c += 1
               }

@@ -135,10 +135,10 @@ class FlacDecodeSpec extends SparkSpec {
     // tail and tiny blocks
     for {
       mediaId <- 0L to 16L
-      (ch, bits) <- Seq((1, 8), (2, 8), (1, 16), (2, 16))
+      (ch, bits) <- Seq((1, 8), (2, 8), (1, 16), (2, 16), (1, 24), (2, 24))
       n <- Seq(5, 192, 200, 500)
     } {
-      val lim = if (bits == 8) 127 else 32767
+      val lim = if (bits == 8) 127 else if (bits == 16) 32767 else 8388607
       val samples = Array.fill(ch, n)(rnd.nextInt(2 * lim + 1) - lim)
       val payload = Multimodal.encodeFlac(samples, bits, mediaId)
       val r = FlacDecode.decode(payload)
