@@ -5472,8 +5472,9 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS INTEGER) AS bits,
-        |    (doc_id % 2 + 1) * (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END) // 8 AS bpf,
+        |    CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) *
+        |      (CASE WHEN (doc_id // 2) % 2 = 0 THEN 16 ELSE 8 END) // 8 AS bpf,
         |    CAST(doc_id % 3 AS INTEGER) AS fmt,
         |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
         |  FROM documents
@@ -5533,11 +5534,11 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN doc_id % 4 < 2 THEN 16
-        |              WHEN doc_id % 4 = 2 THEN 8 ELSE 24 END AS INTEGER) AS bits,
+        |    CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |              WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
         |    (doc_id % 2 + 1) *
-        |      (CASE WHEN doc_id % 4 < 2 THEN 16
-        |            WHEN doc_id % 4 = 2 THEN 8 ELSE 24 END) // 8 AS bpf,
+        |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
         |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
         |  FROM documents
         |), d2 AS (

@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * channel assignments (independent, left/side, right/side, mid/side —
   * the side channel carries its spec-mandated extra bit); fixed AND
   * variable blocking strategies; explicit and table block sizes. Frame
-  * header CRC-8 and frame CRC-16 are VERIFIED — a corrupted stream
-  * nulls, never fabricates samples. Everything else — other bit depths,
+  * header CRC-8 and frame CRC-16 are VERIFIED, and reconstructed
+  * samples are RANGE-CHECKED against the subframe's bit depth
+  * (libFLAC-style) — a corrupted or hostile stream nulls, never
+  * fabricates samples. Everything else — other bit depths,
   * >2 channels, a declared-total-samples mismatch, trailing garbage,
   * truncation — → null.
   *
@@ -305,6 +307,18 @@ object FlacDecode {
     if (wasted > 0) {
       var i = 0
       while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+    // post-reconstruction range check (libFLAC-style): a CRC-valid but
+    // hostile stream (max-magnitude LPC coefficients/warmups) can drive
+    // the predictor recurrence past Int range, where (acc >> shift).toInt
+    // silently wraps — the strict contract is NULL, never fabricated
+    // samples (review r18: abs(Int.MinValue) would also corrupt peaks)
+    val lo = -(1 << (bps - 1)); val hi = (1 << (bps - 1)) - 1
+    var vi = 0
+    while (vi < blockSize) {
+      val v = out(vi)
+      if (v < lo || v > hi) return false
+      vi += 1
     }
     true
   }

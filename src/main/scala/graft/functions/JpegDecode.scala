@@ -175,10 +175,11 @@ object JpegDecode {
 
   /** Decoded-pixel cap: w·h beyond this rejects — hostile SOF
     * dimensions must not claim gigabytes, like PngDecode's byte budget.
-    * Worst-case transient residency per row at the cap: BASELINE ~100
-    * MiB (RGB raster + padded byte planes); PROGRESSIVE ~300 MiB — the
-    * per-component coefficient buffers (≤ 3·MaxPixels·4 ≈ 192 MiB,
-    * enforced below) live until EOI, and finishProgressive then adds
+    * Worst-case transient residency per row at the cap: BASELINE ~130
+    * MiB (RGB raster + padded byte planes, 4-component worst case);
+    * PROGRESSIVE ~380 MiB — the per-component coefficient buffers
+    * (≤ 4·MaxPixels·4 = 256 MiB, enforced below; 4 components since
+    * CMYK is in scope) live until EOI, and finishProgressive then adds
     * the padded planes + the 48 MiB RGB raster before they free
     * (ADVICE r17: state the true progressive ceiling, don't understate
     * it).
@@ -623,7 +624,10 @@ object JpegDecode {
               blockW(c) = mcusX * compH(c)
               blockH(c) = mcusY * compV(c)
               bytesTotal += blockW(c).toLong * blockH(c) * 64 * 4
-              if (bytesTotal > 3L * MaxPixels * 4) return null
+              // 4L: a full-resolution 4-component (CMYK) frame at the
+              // pixel cap is IN scope — a 3L bound would null progressive
+              // CMYK images the baseline path decodes (review r18)
+              if (bytesTotal > 4L * MaxPixels * 4) return null
               coefs(c) = new Array[Int](blockW(c) * blockH(c) * 64)
               c += 1
             }
@@ -688,7 +692,7 @@ object JpegDecode {
       planeW(c) = mcusX * compH(c) * 8
       val ph = mcusY * compV(c) * 8
       planeBytes += planeW(c).toLong * ph
-      if (planeBytes > 3L * MaxPixels * 4) return null // padded-plane cap
+      if (planeBytes > 4L * MaxPixels * 4) return null // padded-plane cap (4 comps in scope)
       planes(c) = new Array[Byte](planeW(c) * ph)
       c += 1
     }

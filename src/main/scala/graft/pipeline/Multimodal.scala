@@ -211,6 +211,9 @@ object Multimodal {
     * measures the DECODE kernels instead of payload synthesis; the
     * written bytes are unchanged (same writer class, same parameters —
     * `writer.reset()` between uses restores the fresh-writer state).
+    * Retention is bounded by (threads × formats ≤ 4) small writer
+    * instances for the life of each generator thread — generator/bench
+    * surface only, never the decode kernels.
     */
   private val writerCache =
     new ThreadLocal[scala.collection.mutable.HashMap[String, javax.imageio.ImageWriter]] {
@@ -1573,8 +1576,12 @@ object Multimodal {
   def mediaTableFlac(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    val bits = when(col("doc_id") % 4 < 2, 16)
-      .when(col("doc_id") % 4 === 2, 8).otherwise(24).cast("int")
+    // (doc_id/2) % 3, NOT doc_id % k: a doc_id-modulus selector shares
+    // parity with the channel selector (review r18 — doc_id%4 made
+    // 8-bit always mono and 24-bit always stereo); /2 first makes the
+    // six (ch, bits) combinations all appear
+    val bits = when(floor(col("doc_id") / 2) % 3 === 0, 16)
+      .when(floor(col("doc_id") / 2) % 3 === 1, 8).otherwise(24).cast("int")
     val kind = when(col("doc_id") % 3 === 2, 1)
       .when(col("doc_id") % 7 === 3, 2)
       .otherwise(0)
@@ -1644,7 +1651,9 @@ object Multimodal {
   def mediaTableAudioMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    val bits = when(col("doc_id") % 4 < 2, 16).otherwise(8).cast("int")
+    // (doc_id/2) % 2: decoupled from BOTH the channel (doc_id%2) and
+    // format (doc_id%3) selectors — all (ch, bits, fmt) combos appear
+    val bits = when(floor(col("doc_id") / 2) % 2 === 0, 16).otherwise(8).cast("int")
     val fmt = (col("doc_id") % 3).cast("int")
     val kind = when(col("doc_id") % 7 === 3, 4).otherwise(0) + fmt
     docs

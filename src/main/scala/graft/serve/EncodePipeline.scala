@@ -100,16 +100,17 @@ object EncodePipeline {
           val est = estSize.get() // 0 until the first completion: warm-up
           reservedBytes.addAndGet(est)
           inFlight.addLast(pool.submit(() => {
-            val b = f(a)
-            val s = sizeOf(b)
-            bufferedBytes.addAndGet(s)
-            reservedBytes.addAndGet(-est)
-            // EWMA(1/2): adapts within one completion in either direction;
-            // lost updates under race only stale the ESTIMATE, never the
-            // budget's completed-bytes accounting
-            val prev = estSize.get()
-            estSize.set(if (prev == 0L) s else (prev + s) / 2)
-            b
+            try {
+              val b = f(a)
+              val s = sizeOf(b)
+              bufferedBytes.addAndGet(s)
+              // EWMA(1/2): adapts within one completion in either
+              // direction; lost updates under race only stale the
+              // ESTIMATE, never the budget's completed-bytes accounting
+              val prev = estSize.get()
+              estSize.set(if (prev == 0L) s else (prev + s) / 2)
+              b
+            } finally reservedBytes.addAndGet(-est) // release even when f throws
           }))
         }
       }
