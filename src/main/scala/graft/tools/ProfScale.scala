@@ -610,6 +610,53 @@ object ProfScale {
         require(h100 == hN, s"hit-count parity broke: ac $h100 vs naive $hN")
         println(s"PROFSCALE dictscan hits: 100=$h100 1000=$h1000 5000=$h5000")
 
+      case "mm18" =>
+        // the round-18 kernels solo: payloads materialized once
+        // (localCheckpoint) so timings isolate DECODE from the
+        // fixtures' generator cost; all four are map-only fused
+        // expressions, expected ~linear in corpus size
+        import org.apache.spark.sql.functions.col
+        val docs18 = Tables.documents(spark, sfDir)
+        val flacTab = Multimodal.mediaTableFlac(spark, docs18)
+          .select("media_id", "payload").localCheckpoint()
+        val nFl = flacTab.count()
+        var flacSamples = 0L
+        val tFl = timed(s"flac_decode x$nFl") {
+          val r = flacTab
+            .select(graft.functions.FlacDecode(col("payload")).as("d"))
+            .selectExpr("sum(d.n_frames)", "count(d.n_frames)").collect()(0)
+          require(r.getLong(1) > 0, "no flac decoded")
+          flacSamples = r.getLong(0)
+        }
+        println(f"PROFSCALE flac throughput ${flacSamples / tFl / 1e6}%.1f Msamples/s")
+        val audTab = Multimodal.mediaTableAudioMixed(spark, docs18)
+          .select("media_id", "payload").localCheckpoint()
+        val nAu = audTab.count()
+        timed(s"audio_sniff x$nAu") {
+          val r = audTab
+            .select(graft.functions.AudioDecode(col("payload")).as("d"))
+            .selectExpr("count(d.format)").collect()(0)
+          require(r.getLong(0) > 0, "no audio decoded")
+        }
+        val oriTab = Multimodal.mediaTableJpegOriented(spark, docs18)
+          .select("media_id", "payload").localCheckpoint()
+        val nOr = oriTab.count()
+        timed(s"jpeg_oriented x$nOr") {
+          val r = oriTab
+            .select(graft.functions.JpegOriented(col("payload")).as("d"))
+            .selectExpr("count(d.orientation)").collect()(0)
+          require(r.getLong(0) > 0, "no oriented jpeg decoded")
+        }
+        val cmykTab = Multimodal.mediaTableCmyk(spark, docs18)
+          .select("media_id", "payload").localCheckpoint()
+        val nCk = cmykTab.count()
+        timed(s"cmyk_decode x$nCk") {
+          val r = cmykTab
+            .select(graft.functions.JpegDecode(col("payload")).as("d"))
+            .selectExpr("count(d.n_px)").collect()(0)
+          require(r.getLong(0) > 0, "no cmyk decoded")
+        }
+
       case "png" =>
         // the real PNG decode kernel solo: payloads are materialized once
         // (localCheckpoint) so the timing isolates the Inflater+unfilter
