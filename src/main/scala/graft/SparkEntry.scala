@@ -2125,6 +2125,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- PERCEPTUAL IMAGE HASH (dHash): the image-dedup primitive —
+    //      per-cell area-mean grayscale, one bit per adjacent-cell
+    //      comparison, integer-exact throughout (cross-multiplied
+    //      means, no division) so the hash itself is oracle-gatable.
+    //      Gate grid 3x2 over the P6 table (its tiny images also
+    //      exercise the too-small-for-grid null); images below the
+    //      grid, raw text and truncated rasters are the null mix.
+    //      JPEG payloads hash with EXIF orientation APPLIED —
+    //      spec-pinned (tag-only-rotated photos hash identically) ----
+    "q_image_dhash" -> ((s, dir) => {
+      import graft.functions.ImageDHash
+      Multimodal.mediaTablePpm(Tables.documents(s, dir))
+        .select(col("media_id"), ImageDHash(col("payload"), 3, 2).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.format").as("format"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.dhash").as("dhash"))
+        .orderBy("media_id")
+    }),
+
     // ---- CMYK / YCCK JPEG (Adobe APP14): 4-component decode with the
     //      transform-dependent RGB contract. The payloads are flat
     //      DC-only streams, which a JPEG decodes EXACTLY (nothing for
@@ -5415,6 +5437,48 @@ object SparkEntry {
         |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
         |  END AS peak_c1
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // dHash: the oracle recomputes the full hash positionally — per-cell
+    // gray sums over floor-bounded cell rectangles, cross-multiplied
+    // mean comparisons, row-major bit packing (built programmatically:
+    // 6 cells, 4 bits for the 3x2 gate grid)
+    "q_image_dhash" -> {
+      def cellSum(cx: Int, cy: Int) =
+        s"""coalesce(list_sum(list_transform(list_filter(
+           |      range(0, CAST(w*h AS BIGINT)),
+           |      i -> (i % w) >= ($cx * w) // 3 AND (i % w) < (${cx + 1} * w) // 3
+           |       AND (i // w) >= ($cy * h) // 2 AND (i // w) < (${cy + 1} * h) // 2),
+           |      i -> ascii(substr(px, CAST(3*i+1 AS INTEGER), 1))
+           |         + ascii(substr(px, CAST(3*i+2 AS INTEGER), 1))
+           |         + ascii(substr(px, CAST(3*i+3 AS INTEGER), 1)))), 0)""".stripMargin
+      def cellCnt(cx: Int, cy: Int) =
+        s"((${cx + 1}*w)//3 - ($cx*w)//3) * ((${cy + 1}*h)//2 - ($cy*h)//2)"
+      val cellCols = (for (cy <- 0 to 1; cx <- 0 to 2) yield
+        s"${cellSum(cx, cy)} AS s$cx$cy,\n    ${cellCnt(cx, cy)} AS c$cx$cy").mkString(",\n    ")
+      val bitTerms = (for (cy <- 0 to 1; cx <- 0 to 1) yield {
+        val bit = 1L << (cy * 2 + cx)
+        s"CASE WHEN s${cx + 1}$cy * c$cx$cy > s$cx$cy * c${cx + 1}$cy THEN $bit ELSE 0 END"
+      }).mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+         |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+         |    substr(repeat(md5(text), 5), 1,
+         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
+         |    (doc_id % 3 = 2 OR doc_id % 7 = 3 OR doc_id % 6 + 2 < 3) AS bad
+         |  FROM documents
+         |), cells AS (
+         |  SELECT media_id, w, h, bad,
+         |    $cellCols
+         |  FROM d
+         |)
+         |SELECT media_id,
+         |  CASE WHEN bad THEN NULL ELSE 'ppm' END AS format,
+         |  CASE WHEN bad THEN NULL ELSE w END AS width,
+         |  CASE WHEN bad THEN NULL ELSE h END AS height,
+         |  CASE WHEN bad THEN NULL ELSE CAST($bitTerms AS BIGINT) END AS dhash
+         |FROM cells ORDER BY media_id""".stripMargin
+    },
 
     // CMYK/YCCK JPEG: flat DC-only payloads decode EXACTLY, so the
     // oracle recomputes the transform-dependent RGB from the same

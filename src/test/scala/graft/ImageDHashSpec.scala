@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ImageDHash, Orient}
+import graft.pipeline.Multimodal
+
+/** Perceptual dHash: hand-pinned bit semantics on P6 gradients, the
+  * EXIF-orientation composition (tag-only-rotated JPEGs hash
+  * identically — the image-dedup property the operator exists for),
+  * strict nulls, and the codegen path.
+  */
+class ImageDHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def p6(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val o = header.length + 3 * (y * w + x)
+      out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+    }
+    out
+  }
+
+  test("x-gradient sets every bit; the mirrored gradient clears every bit") {
+    // 6x4, gray strictly increasing with x → every right cell mean
+    // exceeds its left neighbor → all 4 bits of the 3x2 grid
+    val inc = p6(6, 4, (x, _) => (x * 40, x * 40, x * 40))
+    val dec = p6(6, 4, (x, _) => ((5 - x) * 40, (5 - x) * 40, (5 - x) * 40))
+    val ri = ImageDHash.hash(inc, 3, 2)
+    val rd = ImageDHash.hash(dec, 3, 2)
+    assert(ri != null && rd != null)
+    assert(ri.getUTF8String(0).toString === "ppm")
+    assert(ri.getInt(1) === 6 && ri.getInt(2) === 4)
+    assert(ri.getLong(3) === 15L, "increasing gradient: all bits set")
+    assert(rd.getLong(3) === 0L, "decreasing gradient: no bits set")
+    // a y-gradient is flat along x: horizontal comparisons all false
+    val yGrad = p6(6, 4, (_, y) => (y * 60, y * 60, y * 60))
+    assert(ImageDHash.hash(yGrad, 3, 2).getLong(3) === 0L)
+  }
+
+  test("unequal cell sizes compare by MEAN (cross-multiplied), not by sum") {
+    // w=5 with gw=3 → cells of width 1, 2, 2. A flat image must produce
+    // zero bits even though the wider cells' SUMS are double.
+    val flat = p6(5, 2, (_, _) => (100, 100, 100))
+    assert(ImageDHash.hash(flat, 3, 2).getLong(3) === 0L)
+  }
+
+  test("images below the grid, junk, and truncated rasters are null") {
+    assert(ImageDHash.hash(p6(2, 4, (_, _) => (1, 2, 3)), 3, 2) == null)
+    assert(ImageDHash.hash(p6(6, 1, (_, _) => (1, 2, 3)), 3, 2) == null)
+    assert(ImageDHash.hash("not an image".getBytes("UTF-8"), 3, 2) == null)
+    val ok = p6(6, 4, (x, y) => (x, y, x + y))
+    assert(ImageDHash.hash(java.util.Arrays.copyOf(ok, ok.length - 5), 3, 2) == null)
+  }
+
+  /** Upright-gradient JPEG stored under EXIF orientation o (the
+    * JpegOrientedSpec generator shape).
+    */
+  private def orientedJpeg(o: Int, bw: Int, bh: Int): Array[Byte] = {
+    val upright = new Array[Char](bw * bh * 3)
+    for (y <- 0 until bh; x <- 0 until bw) {
+      val d = 3 * (y * bw + x)
+      upright(d) = ((x * 191) / (bw - 1)).toChar
+      upright(d + 1) = ((y * 191) / (bh - 1)).toChar
+      upright(d + 2) = 90.toChar
+    }
+    val (sw, sh) = if (o >= 5) (bh, bw) else (bw, bh)
+    val stored = new Array[Char](bw * bh * 3)
+    for (y <- 0 until bh; x <- 0 until bw) {
+      val s = 3 * Orient.srcIndex(o, sw, sh, x, y)
+      val d = 3 * (y * bw + x)
+      stored(s) = upright(d); stored(s + 1) = upright(d + 1); stored(s + 2) = upright(d + 2)
+    }
+    val jpeg = Multimodal.encodeRaster(
+      "jpeg", sw, sh, rgba = false, new String(stored), quality = 0.97f)
+    if (o == 1) jpeg
+    else jpeg.take(2) ++ Multimodal.exifApp1(
+      little = true, orientation = o,
+      datetime = "2022:01:05 09:00:00", make = "cam_x", model = "mx_y") ++ jpeg.drop(2)
+  }
+
+  test("EXIF composition: tag-only-rotated JPEGs hash IDENTICALLY (9x8, 64-bit)") {
+    val base = ImageDHash.hash(orientedJpeg(1, 36, 32), 9, 8)
+    assert(base != null && base.getUTF8String(0).toString === "jpeg")
+    assert(base.getInt(1) === 36 && base.getInt(2) === 32)
+    for (o <- 2 to 8) {
+      val r = ImageDHash.hash(orientedJpeg(o, 36, 32), 9, 8)
+      assert(r != null, s"o=$o")
+      assert(r.getInt(1) === 36 && r.getInt(2) === 32, s"o=$o upright dims")
+      assert(r.getLong(3) === base.getLong(3),
+        s"o=$o: dhash must match the upright original (dedup property)")
+    }
+    // and the hash DISCRIMINATES: an x-flipped source is a different image
+    val flipped = ImageDHash.hash(orientedJpeg(1, 36, 32) match {
+      case j =>
+        // re-encode the horizontally mirrored gradient directly
+        val bw = 36; val bh = 32
+        val px = new Array[Char](bw * bh * 3)
+        for (y <- 0 until bh; x <- 0 until bw) {
+          val d = 3 * (y * bw + x)
+          px(d) = (((bw - 1 - x) * 191) / (bw - 1)).toChar
+          px(d + 1) = ((y * 191) / (bh - 1)).toChar
+          px(d + 2) = 90.toChar
+        }
+        Multimodal.encodeRaster("jpeg", bw, bh, rgba = false, new String(px), quality = 0.97f)
+    }, 9, 8)
+    assert(flipped.getLong(3) !== base.getLong(3), "mirrored image must hash differently")
+  }
+
+  test("the expression path (codegen) matches eval, nulls included") {
+    val rows = Seq(
+      (1L, p6(6, 4, (x, _) => (x * 40, x * 40, x * 40))),
+      (2L, "junk".getBytes("UTF-8")),
+      (3L, orientedJpeg(6, 36, 32)))
+    val out = rows.toDF("media_id", "payload")
+      .select(col("media_id"), ImageDHash(col("payload"), 3, 2).as("d"))
+      .select(col("media_id"), col("d.format"), col("d.dhash"))
+      .orderBy("media_id").collect()
+    assert(out(0).getString(1) === "ppm" && out(0).getLong(2) === 15L)
+    assert(out(1).isNullAt(1))
+    assert(out(2).getString(1) === "jpeg")
+    val direct = ImageDHash.hash(rows(2)._2, 3, 2)
+    assert(out(2).getLong(2) === direct.getLong(3))
+  }
+}
