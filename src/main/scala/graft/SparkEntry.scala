@@ -2147,6 +2147,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- IMAGE NEAR-DUP PAIRS over the perceptual dHash: 16-bit
+    //      quarter blocking (pigeonhole: hamming <= 3 of 64 bits agrees
+    //      on >= 1 quarter) + exact popcount verify — the simhashPairs
+    //      inverted-list shape on the image hash. The table plants one
+    //      near-dup per doc (one channel of one pixel bumped: <= 2
+    //      dHash bits move, so blocking MUST find the pair); the oracle
+    //      re-mines the pairs from scratch: per-cell sums, bits, band
+    //      keys, the band self-join and the hamming filter ------------
+    "q_image_dhash_dup" -> ((s, dir) => {
+      Dedup.imageDhashPairs(
+          Multimodal.mediaTablePpmPairs(Tables.documents(s, dir)),
+          "media_id", "payload", maxHamming = 2,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- CMYK / YCCK JPEG (Adobe APP14): 4-component decode with the
     //      transform-dependent RGB contract. The payloads are flat
     //      DC-only streams, which a JPEG decodes EXACTLY (nothing for
@@ -5479,6 +5495,74 @@ object SparkEntry {
          |  CASE WHEN bad THEN NULL ELSE CAST($bitTerms AS BIGINT) END AS dhash
          |FROM cells ORDER BY media_id""".stripMargin
     },
+
+    // image near-dup pairs: the oracle RE-MINES from scratch — rebuilds
+    // both rasters per doc (base + one-char-bumped copy), computes every
+    // image's 64 dHash bits via per-cell gray sums grouped by the
+    // floor-cell mapping, derives the four 16-bit band keys from the
+    // bits, self-joins on (band, key), and applies the popcount filter
+    "q_image_dhash_dup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 + 10 AS INTEGER) AS w,
+        |    CAST(n_chars % 3 + 9 AS INTEGER) AS h,
+        |    substr(repeat(md5(text), 14), 1,
+        |      CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 AS INTEGER)) AS px0,
+        |    CAST(doc_id % ((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3) AS INTEGER) AS p,
+        |    doc_id % 5 = 4 AS bad
+        |  FROM documents
+        |), imgs AS (
+        |  SELECT doc_id * 2 + v AS media_id, w, h,
+        |    CASE WHEN v = 0 THEN px0
+        |         ELSE substr(px0, 1, p) || chr(ascii(substr(px0, p + 1, 1)) + 1)
+        |              || substr(px0, p + 2) END AS px
+        |  FROM docs2, (SELECT unnest([0, 1]) AS v)
+        |  WHERE NOT bad
+        |), pix AS (
+        |  SELECT media_id, w, h, i % w AS x, i // w AS y,
+        |    ascii(substr(px, CAST(3*i+1 AS INTEGER), 1))
+        |      + ascii(substr(px, CAST(3*i+2 AS INTEGER), 1))
+        |      + ascii(substr(px, CAST(3*i+3 AS INTEGER), 1)) AS g
+        |  FROM (SELECT media_id, w, h, px, unnest(range(0, CAST(w*h AS BIGINT))) AS i
+        |        FROM imgs)
+        |), cells AS (
+        |  SELECT media_id,
+        |    (len(list_filter(range(8), c -> (c*h)//8 <= y)) - 1) * 9
+        |      + (len(list_filter(range(9), c -> (c*w)//9 <= x)) - 1) AS cell,
+        |    CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM pix GROUP BY 1, 2
+        |), arrs AS (
+        |  SELECT media_id,
+        |    list(s ORDER BY cell) AS ss, list(c ORDER BY cell) AS cc
+        |  FROM cells GROUP BY media_id
+        |), bits AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN ss[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |              > ss[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |           THEN 1 ELSE 0 END) AS b
+        |  FROM arrs
+        |), bands AS (
+        |  SELECT media_id, k, b,
+        |    list_sum(list_transform(range(0, 16), j ->
+        |      b[CAST(16*k + j + 1 AS INTEGER)] * (1 << CAST(j AS INTEGER)))) AS key
+        |  FROM bits, (SELECT unnest(range(0, 4)) AS k)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        |    a.b AS ba, b2.b AS bb
+        |  FROM bands a JOIN bands b2
+        |    ON a.k = b2.k AND a.key = b2.key AND a.media_id < b2.media_id
+        |)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(0, 64), i ->
+        |      abs(ba[CAST(i+1 AS INTEGER)] - bb[CAST(i+1 AS INTEGER)]))) AS INTEGER)
+        |      AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // CMYK/YCCK JPEG: flat DC-only payloads decode EXACTLY, so the
     // oracle recomputes the transform-dependent RGB from the same

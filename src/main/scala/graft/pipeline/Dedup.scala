@@ -986,6 +986,57 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** IMAGE near-dup pairs over the perceptual dHash
+    * ([[graft.functions.ImageDHash]], 9×8 → 64 bits, EXIF orientation
+    * applied inside the kernel): block on 16-bit QUARTERS of the hash
+    * (pigeonhole: a pair within hamming ≤ 3 of 64 bits agrees on at
+    * least one quarter), verify with an exact popcount — simhashPairs'
+    * inverted-list shape with the text fingerprint swapped for the
+    * image hash. Payloads that no raster kernel claims (or below the
+    * 9×8 grid) simply emit no hash and join nothing. Same fail-fast
+    * candidate-volume contract as every other pair emitter.
+    */
+  def imageDhashPairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    val fp = pin(media
+      .select(
+        col(idCol).as("__id"),
+        graft.functions.ImageDHash(col(payloadCol), 9, 8)
+          .getField("dhash").as("dhash"))
+      .filter(col("dhash").isNotNull))
+    val blocked = fp.select(
+      col("__id"),
+      col("dhash"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(3)),
+          q => call_function("shiftright", col("dhash"), q * 16).bitwiseAND(0xffff)))
+        .as(Seq("__q", "__qk")))
+    selfPairGuard(blocked, Seq("__q", "__qk"), maxCandidates,
+      "imageDhashPairs",
+      "quarter blocks are saturated (near-identical images — e.g. a " +
+        "corpus of flat thumbnails); run exact dedup on payload digests " +
+        "first, or lower maxHamming")
+    val l = blocked.select(col("__q"), col("__qk"), col("__id").as("id_a"), col("dhash").as("__fa"))
+    val r = blocked.select(col("__q"), col("__qk"), col("__id").as("id_b"), col("dhash").as("__fb"))
+    val x = col("__fa").bitwiseXOR(col("__fb"))
+    def quarterMatches(j: Int) = shiftright(x, 16 * j).bitwiseAND(0xffff) === 0
+    val firstMatch = when(quarterMatches(0), 0)
+      .when(quarterMatches(1), 1)
+      .when(quarterMatches(2), 2)
+      .otherwise(3)
+    l.join(r, Seq("__q", "__qk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__q") === firstMatch)
+      .withColumn("hamming", bit_count(x))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Connected components over a near-dup pair frame — the step that turns
     * pairwise similarity (MinHash/SimHash/embedding pairs) into dedup
     * GROUPS: transitive closure assigns every document the minimum id of

@@ -140,6 +140,46 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** Synthesize a P6 table with PLANTED NEAR-DUP PAIRS for the image
+    * dedup gate: each doc emits TWO images — the base md5-derived
+    * raster and a copy with ONE channel of ONE pixel bumped by 1 (media
+    * ids 2·doc and 2·doc+1). The perturbation moves one 9×8 dHash cell
+    * sum by 1, flipping at most the two comparisons that cell joins —
+    * so the pair sits within hamming ≤ 2 and the quarter blocking must
+    * find it. Dims ≥ the 9×8 grid (w 10..13, h 9..11); every fifth doc
+    * emits raw text twice (no hash → no pair). Pure Column DSL.
+    */
+  def mediaTablePpmPairs(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 4 + 10).cast("int")
+    val h = (col("n_chars") % 3 + 9).cast("int")
+    val n3 = (w * h * 3).cast("int")
+    val base = repeat(md5(col("text")), 14).substr(lit(1), n3)
+    val p = (col("doc_id") % n3).cast("int") // 0-based perturb position
+    val perturbed = concat(
+      base.substr(lit(1), p),
+      call_function("char", ascii(base.substr(p + 1, lit(1))) + 1),
+      base.substr(p + 2, n3))
+    val header = concat(
+      lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"))
+    val bad = col("doc_id") % 5 === 4
+    docs
+      .select(
+        col("doc_id"), col("text"),
+        explode(array(
+          struct((col("doc_id") * 2).as("media_id"),
+            when(bad, col("text")).otherwise(concat(header, base)).as("body")),
+          struct((col("doc_id") * 2 + 1).as("media_id"),
+            when(bad, col("text")).otherwise(concat(header, perturbed)).as("body"))))
+          .as("img"))
+      .select(
+        col("img.media_id").as("media_id"),
+        encode(col("img.body"), "UTF-8").as("payload"),
+        struct(
+          length(col("text")).as("size_bytes"),
+          lit("pairgen").as("origin"),
+          lit("p6").as("codec")).as("meta"))
+  }
+
   final case class RasterSrc(
       media_id: Long, w: Int, h: Int, rgba: Boolean, px: String, kind: Int,
       size_bytes: Long, origin: String, codec: String)

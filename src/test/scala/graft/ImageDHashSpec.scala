@@ -111,6 +111,24 @@ class ImageDHashSpec extends SparkSpec {
     assert(flipped.getLong(3) !== base.getLong(3), "mirrored image must hash differently")
   }
 
+  test("near-dup pair mining: planted one-pixel perturbations are found, raw-text docs are not") {
+    val docs = spark.range(0, 20).selectExpr(
+      "id AS doc_id",
+      "concat('image pair corpus doc number ', id, ' with some body text') AS text",
+      "CAST(30 + id % 11 AS INT) AS n_chars",
+      "'s' AS source", "'l' AS lang")
+    val pairs = graft.pipeline.Dedup.imageDhashPairs(
+        Multimodal.mediaTablePpmPairs(docs), "media_id", "payload", maxHamming = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = (0L until 20L).filter(_ % 5 != 4).map(d => (2 * d, 2 * d + 1)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet === want,
+      "exactly the planted pairs (raw-text docs excluded)")
+    pairs.foreach { case (a, b, hd) =>
+      assert(hd >= 0 && hd <= 2, s"pair ($a,$b) hamming $hd out of the planted bound")
+    }
+  }
+
   test("the expression path (codegen) matches eval, nulls included") {
     val rows = Seq(
       (1L, p6(6, 4, (x, _) => (x * 40, x * 40, x * 40))),
