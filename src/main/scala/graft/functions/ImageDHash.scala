@@ -68,16 +68,24 @@ object ImageDHash {
     StructField("dhash", LongType, nullable = false)))
 
   /** Gray accessor over an interleaved-RGB raster at byte offset
-    * `base` (P6 rasters are hashed IN PLACE in the payload): r+g+b.
+    * `base` (P6 rasters are hashed IN PLACE in the payload), with the
+    * EXIF orientation applied by INDEX REMAPPING — no upright copy is
+    * ever materialized (the fused-kernel convention): (x, y) are
+    * UPRIGHT coordinates, (sw, sh) the stored dims.
     */
-  private def gray(rgb: Array[Byte], base: Int, w: Int, x: Int, y: Int): Long = {
-    val j = base + 3 * (y * w + x)
+  private def gray(
+      rgb: Array[Byte], base: Int, sw: Int, sh: Int, o: Int, x: Int, y: Int): Long = {
+    val j = base + 3 * Orient.srcIndex(o, sw, sh, x, y)
     (rgb(j) & 0xff).toLong + (rgb(j + 1) & 0xff) + (rgb(j + 2) & 0xff)
   }
 
-  /** dHash of an interleaved-RGB raster (exposed for spec use). */
+  /** dHash of an interleaved-RGB raster viewed upright under EXIF
+    * orientation `o` over its STORED (sw × sh) layout (exposed for
+    * spec use; w/h below are the UPRIGHT dims).
+    */
   private[graft] def hashRaster(
-      rgb: Array[Byte], base: Int, w: Int, h: Int, gw: Int, gh: Int): Long = {
+      rgb: Array[Byte], base: Int, sw: Int, sh: Int, o: Int, gw: Int, gh: Int): Long = {
+    val (w, h) = Orient.outDims(o, sw, sh)
     // per-cell gray sums + pixel counts (floor-bounded cells)
     val sums = new Array[Long](gw * gh)
     val cnts = new Array[Long](gw * gh)
@@ -91,7 +99,7 @@ object ImageDHash {
         var y = ylo
         while (y < yhi) {
           var x = xlo
-          while (x < xhi) { s += gray(rgb, base, w, x, y); x += 1 }
+          while (x < xhi) { s += gray(rgb, base, sw, sh, o, x, y); x += 1 }
           y += 1
         }
         sums(cy * gw + cx) = s
@@ -122,15 +130,16 @@ object ImageDHash {
       val hd = PpmDecode.parseHeader(bytes)
       if (hd == null) return null
       if (hd.w < gw || hd.h < gh) return null
-      row("ppm", hd.w, hd.h, hashRaster(bytes, hd.base, hd.w, hd.h, gw, gh))
+      row("ppm", hd.w, hd.h, hashRaster(bytes, hd.base, hd.w, hd.h, 1, gw, gh))
     } else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       val r = JpegDecode.decodeRaster(bytes)
       if (r == null) return null
-      // orientation APPLIED: tag-only-rotated photos hash identically
+      // orientation APPLIED by index remapping inside the cell sums —
+      // tag-only-rotated photos hash identically, no upright copy
       val o = JpegOriented.orientationOf(bytes)
-      val up = if (o == 1) r else Orient.transformRaster(r, o)
-      if (up.w < gw || up.h < gh) return null
-      row("jpeg", up.w, up.h, hashRaster(up.rgb, 0, up.w, up.h, gw, gh))
+      val (uw, uh) = Orient.outDims(o, r.w, r.h)
+      if (uw < gw || uh < gh) return null
+      row("jpeg", uw, uh, hashRaster(r.rgb, 0, r.w, r.h, o, gw, gh))
     } else null
   }
 

@@ -949,31 +949,48 @@ object Dedup {
       maxHamming: Int = 3,
       maxCandidates: Option[Long] = None): DataFrame = {
     val fp = pin(simhash(df, idCol, textCol))
-    val blocked = fp.select(
-      col(idCol).as("__id"),
-      col("simhash"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(3)),
-          q => call_function("shiftright", col("simhash"), q * 15).bitwiseAND(0x7fff)))
-        .as(Seq("__q", "__qk")))
+      .select(col(idCol).as("__id"), col("simhash").as("__fp"))
     // a corpus of near-identical fingerprints collapses the quarter
     // blocks (the sf10 GenScale caveat: unigram features survive word
     // permutation) — same fail-fast contract as the other pair emitters
-    selfPairGuard(blocked, Seq("__q", "__qk"), maxCandidates,
+    bandedHammingPairs(fp, quarterBits = 15, maxHamming, maxCandidates,
       "simhashPairs",
       "quarter blocks are saturated (near-identical fingerprints); run " +
         "`exact` dedup first, or use minhashLshPairs with a higher " +
         "threshold (shingle features separate reordered near-dups)")
-    // fingerprints are single longs, so both sides carry them through the
-    // block join; duplicates (a pair agreeing on several quarters) are
-    // eliminated AT THE SOURCE by keeping only the first matching quarter —
-    // no distinct() shuffle, no fingerprint re-join: the join output flows
-    // through codegen filters straight to the (tiny) result.
-    val l = blocked.select(col("__q"), col("__qk"), col("__id").as("id_a"), col("simhash").as("__fa"))
-    val r = blocked.select(col("__q"), col("__qk"), col("__id").as("id_b"), col("simhash").as("__fb"))
+  }
+
+  /** The shared quarter-block Hamming pair miner behind [[simhashPairs]]
+    * (15-bit quarters of a 60-bit text fingerprint) and
+    * [[imageDhashPairs]] (16-bit quarters of the 64-bit image hash):
+    * block on the 4 quarters (pigeonhole: hamming ≤ 3 agrees on ≥ 1),
+    * verify with an exact popcount. `fp` must carry (__id, __fp).
+    *
+    * Fingerprints are single longs, so both sides carry them through the
+    * block join; duplicates (a pair agreeing on several quarters) are
+    * eliminated AT THE SOURCE by keeping only the first matching quarter —
+    * no distinct() shuffle, no fingerprint re-join: the join output flows
+    * through codegen filters straight to the (tiny) result.
+    */
+  private def bandedHammingPairs(
+      fp: DataFrame, quarterBits: Int, maxHamming: Int,
+      maxCandidates: Option[Long], opName: String, alternative: String): DataFrame = {
+    val mask = (1 << quarterBits) - 1
+    val blocked = fp.select(
+      col("__id"),
+      col("__fp"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(3)),
+          q => call_function("shiftright", col("__fp"), q * quarterBits)
+            .bitwiseAND(mask)))
+        .as(Seq("__q", "__qk")))
+    selfPairGuard(blocked, Seq("__q", "__qk"), maxCandidates, opName, alternative)
+    val l = blocked.select(col("__q"), col("__qk"), col("__id").as("id_a"), col("__fp").as("__fa"))
+    val r = blocked.select(col("__q"), col("__qk"), col("__id").as("id_b"), col("__fp").as("__fb"))
     val x = col("__fa").bitwiseXOR(col("__fb"))
-    def quarterMatches(j: Int) = shiftright(x, 15 * j).bitwiseAND(0x7fff) === 0
+    def quarterMatches(j: Int) =
+      shiftright(x, quarterBits * j).bitwiseAND(mask) === 0
     val firstMatch = when(quarterMatches(0), 0)
       .when(quarterMatches(1), 1)
       .when(quarterMatches(2), 2)
@@ -1006,35 +1023,13 @@ object Dedup {
       .select(
         col(idCol).as("__id"),
         graft.functions.ImageDHash(col(payloadCol), 9, 8)
-          .getField("dhash").as("dhash"))
-      .filter(col("dhash").isNotNull))
-    val blocked = fp.select(
-      col("__id"),
-      col("dhash"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(3)),
-          q => call_function("shiftright", col("dhash"), q * 16).bitwiseAND(0xffff)))
-        .as(Seq("__q", "__qk")))
-    selfPairGuard(blocked, Seq("__q", "__qk"), maxCandidates,
+          .getField("dhash").as("__fp"))
+      .filter(col("__fp").isNotNull))
+    bandedHammingPairs(fp, quarterBits = 16, maxHamming, maxCandidates,
       "imageDhashPairs",
       "quarter blocks are saturated (near-identical images — e.g. a " +
         "corpus of flat thumbnails); run exact dedup on payload digests " +
         "first, or lower maxHamming")
-    val l = blocked.select(col("__q"), col("__qk"), col("__id").as("id_a"), col("dhash").as("__fa"))
-    val r = blocked.select(col("__q"), col("__qk"), col("__id").as("id_b"), col("dhash").as("__fb"))
-    val x = col("__fa").bitwiseXOR(col("__fb"))
-    def quarterMatches(j: Int) = shiftright(x, 16 * j).bitwiseAND(0xffff) === 0
-    val firstMatch = when(quarterMatches(0), 0)
-      .when(quarterMatches(1), 1)
-      .when(quarterMatches(2), 2)
-      .otherwise(3)
-    l.join(r, Seq("__q", "__qk"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("__q") === firstMatch)
-      .withColumn("hamming", bit_count(x))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Connected components over a near-dup pair frame — the step that turns

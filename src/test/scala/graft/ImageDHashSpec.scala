@@ -129,6 +129,32 @@ class ImageDHashSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end image dedup: pairs -> components -> keep one per cluster") {
+    // the full pipeline an image corpus runs: hash, mine pairs, close
+    // components, anti-join non-roots — each doc's two planted
+    // near-dups collapse to one survivor; raw-text docs keep both rows
+    val docs = spark.range(0, 15).selectExpr(
+      "id AS doc_id",
+      "concat('image pair corpus doc number ', id, ' with some body text') AS text",
+      "CAST(30 + id % 11 AS INT) AS n_chars",
+      "'s' AS source", "'l' AS lang")
+    val media = Multimodal.mediaTablePpmPairs(docs)
+    val pairs = graft.pipeline.Dedup.imageDhashPairs(
+      media, "media_id", "payload", maxHamming = 2)
+    val kept = graft.pipeline.Dedup.dedupByComponents(media, "media_id", pairs)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val goodDocs = (0L until 15L).filter(_ % 5 != 4)
+    // every good doc keeps exactly its base image (min id = component root)
+    goodDocs.foreach { d =>
+      assert(kept.contains(2 * d), s"doc $d must keep its base image")
+      assert(!kept.contains(2 * d + 1), s"doc $d must drop the near-dup copy")
+    }
+    // raw-text docs joined no pair: both rows survive
+    (0L until 15L).filter(_ % 5 == 4).foreach { d =>
+      assert(kept.contains(2 * d) && kept.contains(2 * d + 1), s"raw doc $d untouched")
+    }
+  }
+
   test("the expression path (codegen) matches eval, nulls included") {
     val rows = Seq(
       (1L, p6(6, 4, (x, _) => (x * 40, x * 40, x * 40))),
