@@ -199,8 +199,12 @@ object FlacDecode {
     if (r.bad) return false
     val parts = 1 << partOrder
     if (blockSize % parts != 0) return false
+    // blockSize >> partitionOrder must EXCEED the predictor order (FLAC
+    // spec: the first partition holds perPart - order residuals and may
+    // not be empty) — at ANY partition order, not just the 1-partition
+    // case (review r18: partOrder > 0 with perPart == order slipped by)
     val perPart = blockSize >> partOrder
-    if (perPart <= order && parts == 1) return false
+    if (perPart <= order) return false
     var p = 0
     var idx = order
     while (p < parts) {
@@ -474,10 +478,21 @@ object FlacDecode {
       if (crc16(bytes, frameStart, cpos) != want) return null
       off = cpos + 2
 
-      // fold this block
+      // fold this block — re-checking the DECLARED bit-depth range
+      // post-decorrelation: the subframe check ran per-subframe at the
+      // side channel's bps+1, so a CRC-valid hostile left/side,
+      // right/side, or mid/side frame can carry in-range side values
+      // whose reconstructed left/right exceed bps (review r18) — the
+      // strict contract is null, never fabricated sums/peaks
+      val chLo = -(1 << (bps - 1)); val chHi = (1 << (bps - 1)) - 1
       var i = 0
       while (i < blockSize) {
         val v0 = ch0(i)
+        if (v0 < chLo || v0 > chHi) return null
+        if (channels == 2) {
+          val v1 = ch1(i)
+          if (v1 < chLo || v1 > chHi) return null
+        }
         s0 += v0
         val a0 = math.abs(v0)
         if (a0 > p0) p0 = a0

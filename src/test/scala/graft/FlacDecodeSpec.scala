@@ -125,6 +125,51 @@ class FlacDecodeSpec extends SparkSpec {
     assert(r.getInt(4) === 8)
   }
 
+  test("left/side reconstruction past the declared bit depth nulls (review r18)") {
+    // stereo 8-bit, chAsgn 8 (left/side): left CONSTANT 127 (8 bits,
+    // in range), side CONSTANT -128 (9 bits, in range for bps+1) —
+    // but right = left - side = 255, outside 8-bit [-128, 127]. The
+    // per-subframe checks both pass; only the post-decorrelation
+    // re-check can catch the fabricated channel.
+    def lsFrame(left: Int, side: Int): Array[Byte] = {
+      val hdr = new B()
+        .put(0xff, 8).put(0xf8, 8)
+        .put(6, 4).put(0, 4).put(8, 4).put(1, 3).put(0, 1)
+        .put(0, 8).put(3, 8)
+      withCrcs(hdr, b => {
+        b.put(0, 1).put(0, 6).put(0, 1) // subframe 0: CONSTANT, 8 bits
+        b.put(left & 0xff, 8)
+        b.put(0, 1).put(0, 6).put(0, 1) // subframe 1: CONSTANT, 9 bits (side)
+        b.put(side & 0x1ff, 9)
+      })
+    }
+    // control: in-range left/side decodes (left 10, side 3 → right 7)
+    val ok = FlacDecode.decode(streamInfo(2, 8, 4) ++ lsFrame(10, 3))
+    assert(ok != null, "control left/side frame must decode")
+    assert(ok.getLong(3) === 40L && ok.getLong(5) === 28L)
+    // hostile: right lands at 255 → strict null, never fabricated sums
+    assert(FlacDecode.decode(streamInfo(2, 8, 4) ++ lsFrame(127, -128)) === null)
+  }
+
+  test("empty first residual partition (perPart == order, partOrder > 0) nulls (review r18)") {
+    // FIXED order 1, blockSize 4, partition order 2 → perPart 1 ==
+    // order: the spec requires blockSize >> partOrder to EXCEED the
+    // predictor order at ANY partition order, not just parts == 1
+    val hdr = new B()
+      .put(0xff, 8).put(0xf8, 8)
+      .put(6, 4).put(0, 4).put(0, 4).put(1, 3).put(0, 1)
+      .put(0, 8).put(3, 8)
+    val frame = withCrcs(hdr, b => {
+      b.put(0, 1).put(0x09, 6).put(0, 1) // FIXED order 1
+      b.put(10, 8)                        // warmup
+      b.put(0, 2).put(2, 4)               // method 0, partition order 2
+      b.put(1, 4)                         // partition 0: param only (0 residuals)
+      var p = 1
+      while (p < 4) { b.put(1, 4).put(2, 2); p += 1 } // param 1, residual 0 ("10")
+    })
+    assert(FlacDecode.decode(streamInfo(1, 8, 4) ++ frame) === null)
+  }
+
   private def sums(s: Array[Int]): (Long, Int) =
     (s.map(_.toLong).sum, s.map(math.abs).foldLeft(0)(math.max))
 

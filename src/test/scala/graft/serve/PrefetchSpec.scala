@@ -189,6 +189,12 @@ class PrefetchSpec extends graft.SparkSpec {
       val first5 = (0 until 5).map(_ => it.next())
       assert(first5 === (0 until 5).map(_ * 2))
       assert(it.hasNext) // buffer is drained; reservations gate admission
+      // admission is synchronous in fill(), but task START is not: await
+      // the first blocked start (generous bound) before asserting the
+      // upper cap, so a loaded CI box can't see 0 (review r18)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (blockedStarted.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(5)
       Thread.sleep(200)  // no background admission exists; state is stable
       val started = blockedStarted.get()
       assert(started >= 1 && started <= 3,
