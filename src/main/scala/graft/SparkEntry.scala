@@ -2129,14 +2129,18 @@ object SparkEntry {
     //      per-cell area-mean grayscale, one bit per adjacent-cell
     //      comparison, integer-exact throughout (cross-multiplied
     //      means, no division) so the hash itself is oracle-gatable.
-    //      Gate grid 3x2 over the P6 table (its tiny images also
-    //      exercise the too-small-for-grid null); images below the
-    //      grid, raw text and truncated rasters are the null mix.
-    //      JPEG payloads hash with EXIF orientation APPLIED —
-    //      spec-pinned (tag-only-rotated photos hash identically) ----
+    //      Gate grid 3x2 over the MIXED-FORMAT table (r18 #1): fmt
+    //      cycles P6 / PNG (both interlace orders) / GIF (palette-
+    //      expanded through the shared formula colormap) / BMP / flat
+    //      DC-only JPEG (decodes exactly to a uniform raster — dhash 0
+    //      by definition, geometry pinned). Images below the grid, raw
+    //      text and truncated containers are the null mix. Tagged JPEG
+    //      hashes with EXIF orientation APPLIED — spec-pinned
+    //      (tag-only-rotated photos hash identically), as is P6 == PNG
+    //      == BMP hash equality on the same raster ---------------------
     "q_image_dhash" -> ((s, dir) => {
       import graft.functions.ImageDHash
-      Multimodal.mediaTablePpm(Tables.documents(s, dir))
+      Multimodal.mediaTableDhashMixed(s, Tables.documents(s, dir))
         .select(col("media_id"), ImageDHash(col("payload"), 3, 2).as("__d"))
         .select(
           col("media_id"),
@@ -2150,14 +2154,19 @@ object SparkEntry {
     // ---- IMAGE NEAR-DUP PAIRS over the perceptual dHash: 16-bit
     //      quarter blocking (pigeonhole: hamming <= 3 of 64 bits agrees
     //      on >= 1 quarter) + exact popcount verify — the simhashPairs
-    //      inverted-list shape on the image hash. The table plants one
-    //      near-dup per doc (one channel of one pixel bumped: <= 2
+    //      inverted-list shape on the image hash, now over the MIXED
+    //      formats a crawl contains (P6/PNG/GIF/BMP cycling on
+    //      doc_id//4; JPEG stays out — a lossy hash is not
+    //      oracle-re-minable and exact flat payloads are all-uniform,
+    //      which would degenerate the mine to an all-pairs clique).
+    //      The table plants one near-dup per doc (RGB: one channel of
+    //      one pixel +1; GIF: one palette index +1 — either way <= 2
     //      dHash bits move, so blocking MUST find the pair); the oracle
-    //      re-mines the pairs from scratch: per-cell sums, bits, band
-    //      keys, the band self-join and the hamming filter ------------
+    //      re-mines the pairs from scratch: per-format gray, per-cell
+    //      sums, bits, band keys, the band self-join, hamming filter --
     "q_image_dhash_dup" -> ((s, dir) => {
       Dedup.imageDhashPairs(
-          Multimodal.mediaTablePpmPairs(Tables.documents(s, dir)),
+          Multimodal.mediaTableImagePairs(s, Tables.documents(s, dir)),
           "media_id", "payload", maxHamming = 2,
           maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
         .orderBy("id_a", "id_b")
@@ -5410,33 +5419,73 @@ object SparkEntry {
         |FROM s ORDER BY media_id""".stripMargin,
 
     // PCM decode: data chunk = the document's UTF-8 bytes (ASCII corpus),
-    // so samples recompute from text positions — 16-bit mono (even docs):
-    // frame f = signed LE of chars (2f, 2f+1); 8-bit stereo (odd docs):
-    // c0/c1 = char(2f)/char(2f+1) - 128. Trailing odd byte ignored
+    // so samples recompute from text positions — channel c of frame f at
+    // byte offset f*bpf + c*(bits/8); bits cycles 16/8/24 on (doc_id//2)%3
+    // decoupled from the doc_id%2 channel selector (the FLAC-gate
+    // convention; 24-bit closes the WAV/FLAC depth asymmetry, r18 #3).
+    // Trailing partial frame ignored; zero frames still decode (sums 0)
     "q_multimodal_pcm" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
-        |    CAST(length(text) // 2 AS BIGINT) AS nf,
+        |    CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |              WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) *
+        |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
         |    doc_id % 3 = 2 AS bad
         |  FROM documents
+        |), d2 AS (
+        |  SELECT media_id, text, ch, bits, bpf,
+        |    CAST(length(text) // bpf AS BIGINT) AS nf, bad
+        |  FROM d
         |), s AS (
         |  SELECT media_id, ch, bits, nf, bad,
         |    CASE WHEN bad THEN NULL
-        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
-        |        CASE WHEN ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) >= 32768
-        |             THEN ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) - 65536
-        |             ELSE ascii(substr(text, CAST(2*f+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) END)
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(2*f+1 AS INTEGER), 1)) - 128) END AS c0,
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) END
+        |        END) END AS c0,
         |    CASE WHEN bad OR ch = 1 THEN NULL
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(2*f+2 AS INTEGER), 1)) - 128) END AS c1
-        |  FROM d
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) END
+        |        END) END AS c1
+        |  FROM d2
         |)
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL ELSE ch END AS channels,
@@ -5455,18 +5504,27 @@ object SparkEntry {
         |FROM s ORDER BY media_id""".stripMargin,
 
     // dHash: the oracle recomputes the full hash positionally — per-cell
-    // gray sums over floor-bounded cell rectangles, cross-multiplied
-    // mean comparisons, row-major bit packing (built programmatically:
-    // 6 cells, 4 bits for the 3x2 gate grid)
+    // gray sums over floor-bounded cell rectangles (per-FORMAT gray:
+    // RGB ascii triples for P6/PNG/BMP, the palette formula for GIF),
+    // cross-multiplied mean comparisons, row-major bit packing (built
+    // programmatically: 6 cells, 4 bits for the 3x2 gate grid). Flat
+    // DC-only JPEG rows are uniform, so their hash is literally 0.
     "q_image_dhash" -> {
+      val grayGif =
+        """(ascii(substr(px1, CAST(i+1 AS INTEGER), 1)) * 7 + 13) % 256
+          |         + (ascii(substr(px1, CAST(i+1 AS INTEGER), 1)) * 11 + 5) % 256
+          |         + (ascii(substr(px1, CAST(i+1 AS INTEGER), 1)) * 3 + 77) % 256""".stripMargin
+      val grayRgb =
+        """ascii(substr(px3, CAST(3*i+1 AS INTEGER), 1))
+          |         + ascii(substr(px3, CAST(3*i+2 AS INTEGER), 1))
+          |         + ascii(substr(px3, CAST(3*i+3 AS INTEGER), 1))""".stripMargin
       def cellSum(cx: Int, cy: Int) =
         s"""coalesce(list_sum(list_transform(list_filter(
            |      range(0, CAST(w*h AS BIGINT)),
            |      i -> (i % w) >= ($cx * w) // 3 AND (i % w) < (${cx + 1} * w) // 3
            |       AND (i // w) >= ($cy * h) // 2 AND (i // w) < (${cy + 1} * h) // 2),
-           |      i -> ascii(substr(px, CAST(3*i+1 AS INTEGER), 1))
-           |         + ascii(substr(px, CAST(3*i+2 AS INTEGER), 1))
-           |         + ascii(substr(px, CAST(3*i+3 AS INTEGER), 1)))), 0)""".stripMargin
+           |      i -> CASE WHEN fmt = 2 THEN $grayGif
+           |           ELSE $grayRgb END)), 0)""".stripMargin
       def cellCnt(cx: Int, cy: Int) =
         s"((${cx + 1}*w)//3 - ($cx*w)//3) * ((${cy + 1}*h)//2 - ($cy*h)//2)"
       val cellCols = (for (cy <- 0 to 1; cx <- 0 to 2) yield
@@ -5479,20 +5537,28 @@ object SparkEntry {
          |  SELECT doc_id AS media_id,
          |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
          |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+         |    CAST(doc_id % 5 AS INTEGER) AS fmt,
+         |    substr(repeat(md5(text), 7), 1,
+         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
          |    substr(repeat(md5(text), 5), 1,
-         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px,
-         |    (doc_id % 3 = 2 OR doc_id % 7 = 3 OR doc_id % 6 + 2 < 3) AS bad
+         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) AS INTEGER)) AS px1,
+         |    (doc_id % 11 = 5 OR doc_id % 7 = 3 OR doc_id % 6 + 2 < 3) AS bad
          |  FROM documents
          |), cells AS (
-         |  SELECT media_id, w, h, bad,
+         |  SELECT media_id, w, h, fmt, bad,
          |    $cellCols
          |  FROM d
          |)
          |SELECT media_id,
-         |  CASE WHEN bad THEN NULL ELSE 'ppm' END AS format,
+         |  CASE WHEN bad THEN NULL ELSE
+         |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+         |             WHEN 3 THEN 'bmp' ELSE 'jpeg' END
+         |  END AS format,
          |  CASE WHEN bad THEN NULL ELSE w END AS width,
          |  CASE WHEN bad THEN NULL ELSE h END AS height,
-         |  CASE WHEN bad THEN NULL ELSE CAST($bitTerms AS BIGINT) END AS dhash
+         |  CASE WHEN bad THEN NULL
+         |       WHEN fmt = 4 THEN 0
+         |       ELSE CAST($bitTerms AS BIGINT) END AS dhash
          |FROM cells ORDER BY media_id""".stripMargin
     },
 
@@ -5506,13 +5572,19 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(doc_id % 4 + 10 AS INTEGER) AS w,
         |    CAST(n_chars % 3 + 9 AS INTEGER) AS h,
-        |    substr(repeat(md5(text), 14), 1,
-        |      CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 AS INTEGER)) AS px0,
-        |    CAST(doc_id % ((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3) AS INTEGER) AS p,
+        |    CAST((doc_id // 4) % 4 AS INTEGER) AS fmt,
+        |    CASE WHEN (doc_id // 4) % 4 = 2
+        |      THEN substr(repeat(md5(text), 5), 1,
+        |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) AS INTEGER))
+        |      ELSE substr(repeat(md5(text), 14), 1,
+        |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 AS INTEGER)) END AS px0,
+        |    CAST(doc_id % (CASE WHEN (doc_id // 4) % 4 = 2
+        |        THEN (doc_id % 4 + 10) * (n_chars % 3 + 9)
+        |        ELSE (doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 END) AS INTEGER) AS p,
         |    doc_id % 5 = 4 AS bad
         |  FROM documents
         |), imgs AS (
-        |  SELECT doc_id * 2 + v AS media_id, w, h,
+        |  SELECT doc_id * 2 + v AS media_id, w, h, fmt,
         |    CASE WHEN v = 0 THEN px0
         |         ELSE substr(px0, 1, p) || chr(ascii(substr(px0, p + 1, 1)) + 1)
         |              || substr(px0, p + 2) END AS px
@@ -5520,10 +5592,14 @@ object SparkEntry {
         |  WHERE NOT bad
         |), pix AS (
         |  SELECT media_id, w, h, i % w AS x, i // w AS y,
-        |    ascii(substr(px, CAST(3*i+1 AS INTEGER), 1))
+        |    CASE WHEN fmt = 2 THEN
+        |        (ascii(substr(px, CAST(i+1 AS INTEGER), 1)) * 7 + 13) % 256
+        |      + (ascii(substr(px, CAST(i+1 AS INTEGER), 1)) * 11 + 5) % 256
+        |      + (ascii(substr(px, CAST(i+1 AS INTEGER), 1)) * 3 + 77) % 256
+        |    ELSE ascii(substr(px, CAST(3*i+1 AS INTEGER), 1))
         |      + ascii(substr(px, CAST(3*i+2 AS INTEGER), 1))
-        |      + ascii(substr(px, CAST(3*i+3 AS INTEGER), 1)) AS g
-        |  FROM (SELECT media_id, w, h, px, unnest(range(0, CAST(w*h AS BIGINT))) AS i
+        |      + ascii(substr(px, CAST(3*i+3 AS INTEGER), 1)) END AS g
+        |  FROM (SELECT media_id, w, h, fmt, px, unnest(range(0, CAST(w*h AS BIGINT))) AS i
         |        FROM imgs)
         |), cells AS (
         |  SELECT media_id,
@@ -5620,9 +5696,11 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id AS media_id, text,
         |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |    CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |              WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
         |    (doc_id % 2 + 1) *
-        |      (CASE WHEN (doc_id // 2) % 2 = 0 THEN 16 ELSE 8 END) // 8 AS bpf,
+        |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
         |    CAST(doc_id % 3 AS INTEGER) AS fmt,
         |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
         |  FROM documents
@@ -5634,25 +5712,49 @@ object SparkEntry {
         |), s AS (
         |  SELECT media_id, ch, bits, nf, fmt, bad,
         |    CASE WHEN bad THEN NULL
-        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
-        |        CASE WHEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
-        |             THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
-        |             ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END)
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128) END AS c0,
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) END
+        |        END) END AS c0,
         |    CASE WHEN bad OR ch = 1 THEN NULL
-        |      WHEN bits = 16 THEN list_transform(range(0, nf), f ->
-        |        CASE WHEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
-        |             THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
-        |             ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |                  + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END)
         |      ELSE list_transform(range(0, nf), f ->
-        |        ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128) END AS c1
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) END
+        |        END) END AS c1
         |  FROM d2
         |)
         |SELECT media_id,
@@ -6327,6 +6429,9 @@ object SparkEntry {
         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
         |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
         |    CAST(doc_id % 6 AS INTEGER) AS fmt,
+        |    -- JPEG rows carry an EXIF orientation cycling 1..8; the
+        |    -- ORIENTED sniff reports upright geometry: o >= 5 swaps w/h
+        |    CAST((doc_id // 6) % 8 + 1 AS INTEGER) AS o,
         |    substr(repeat(md5(text), 7), 1,
         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
         |    substr(repeat(md5(text), 5), 1,
@@ -6339,8 +6444,10 @@ object SparkEntry {
         |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
         |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' END
         |  END AS format,
-        |  CASE WHEN bad THEN NULL ELSE w END AS width,
-        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN fmt = 4 AND o >= 5 THEN h ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN fmt = 4 AND o >= 5 THEN w ELSE h END AS height,
         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
         |  CASE WHEN bad OR fmt = 4 THEN NULL
         |       WHEN fmt = 2 THEN CAST(list_sum(list_transform(
@@ -6434,7 +6541,8 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id, source,
         |         CAST(1 + (doc_id % 2) AS INTEGER) AS ch,
-        |         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+        |         CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |                   WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
         |         CAST(8000 * (1 + (n_chars % 4)) AS INTEGER) AS rate,
         |         octet_length(encode(text)) AS ds,
         |         doc_id % 3 AS fmt

@@ -86,7 +86,61 @@ object BmpDecode {
   private def le32(b: Array[Byte], i: Int): Int =
     le16(b, i) | (le16(b, i + 2) << 16)
 
+  /** Parsed DIB layout — the shared front-end behind the statistics
+    * fold ([[decode]]) and the expanded-RGB seam ([[decodeRaster]]).
+    * Direct (24/32-bit) payloads carry `idx == null` and the stored-row
+    * geometry; palette payloads carry the TOP-DOWN index raster.
+    */
+  private final class Dib(
+      val w: Int, val h: Int,
+      val topDown: Boolean, val dataOff: Int, val stride: Int, val bypp: Int,
+      val idx: Array[Byte], val palOff: Int, val palCount: Int)
+
+  /** Expanded interleaved-RGB raster, top-down (the
+    * [[JpegDecode.Raster]] shape) — the seam that lets raster consumers
+    * ([[ImageDHash]], positional features) run over BMP payloads:
+    * direct rows re-ordered upright with BGR swapped to RGB, palette
+    * indices through the BGRx color table (an out-of-table index nulls,
+    * like the statistics fold). Same strict scope as [[decode]].
+    */
+  def decodeRaster(bytes: Array[Byte]): JpegDecode.Raster = {
+    val d = parse(bytes)
+    if (d == null) return null
+    val out = new Array[Byte](3 * d.w * d.h)
+    if (d.idx == null) {
+      var y = 0
+      var o = 0
+      while (y < d.h) {
+        val storedRow = if (d.topDown) y else d.h - 1 - y
+        var p = d.dataOff + storedRow * d.stride
+        val rowEnd = p + d.w * d.bypp
+        while (p < rowEnd) {
+          out(o) = bytes(p + 2); out(o + 1) = bytes(p + 1); out(o + 2) = bytes(p)
+          o += 3; p += d.bypp
+        }
+        y += 1
+      }
+    } else {
+      var i = 0
+      while (i < d.idx.length) {
+        val j = d.idx(i) & 0xff
+        if (j >= d.palCount) return null
+        val e = d.palOff + 4 * j // BGRx quad
+        out(3 * i) = bytes(e + 2); out(3 * i + 1) = bytes(e + 1); out(3 * i + 2) = bytes(e)
+        i += 1
+      }
+    }
+    new JpegDecode.Raster(d.w, d.h, 3, out)
+  }
+
   def decode(bytes: Array[Byte]): InternalRow = {
+    val d = parse(bytes)
+    if (d == null) return null
+    if (d.idx == null) statsDirect(bytes, d.w, d.h, d.topDown, d.dataOff, d.stride, d.bypp)
+    else statsPalette(bytes, d.palOff, d.palCount, d.idx, d.w, d.h)
+  }
+
+  private def parse(bytes: Array[Byte]): Dib = {
     if (bytes.length < 54) return null
     if (bytes(0) != 'B' || bytes(1) != 'M') return null
     val dataOff = le32(bytes, 10)
@@ -110,7 +164,7 @@ object BmpDecode {
       val bypp = bpp / 8
       val stride = ((w * bypp + 3) / 4) * 4
       if (dataOff.toLong + stride.toLong * h > bytes.length) return null
-      statsDirect(bytes, w, h, topDown, dataOff, stride, bypp)
+      new Dib(w, h, topDown, dataOff, stride, bypp, null, -1, 0)
     } else if (bpp == 8 && (comp == 0 || comp == 1)) {
       // color table: BGRx quads at the header's end
       val palCount = if (clrUsed == 0) 256 else clrUsed
@@ -135,7 +189,7 @@ object BmpDecode {
           decodeRle8(bytes, dataOff, w, h)
         }
       if (idx == null) return null
-      statsPalette(bytes, palOff, palCount, idx, w, h)
+      new Dib(w, h, topDown, dataOff, 0, 0, idx, palOff, palCount)
     } else null
   }
 

@@ -82,7 +82,75 @@ object GifDecode {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
+  /** First-image INDEX raster (row-major, deinterlaced) plus the
+    * palette window — the shared front-end behind the statistics fold
+    * ([[decode]]) and the expanded-RGB seam ([[decodeRaster]]).
+    */
+  private final class Indexed(
+      val rows: Array[Byte], val w: Int, val h: Int,
+      val palOff: Int, val palSize: Int, val gctSize: Int)
+
+  /** Expanded interleaved-RGB raster (the [[JpegDecode.Raster]] shape):
+    * the first image's indices through its active color table — the
+    * seam that lets raster consumers ([[ImageDHash]], positional
+    * features) run over GIF payloads. An index past the table nulls,
+    * like the statistics fold; same strict scope (full-frame first
+    * image, both interlace orders).
+    */
+  def decodeRaster(bytes: Array[Byte]): JpegDecode.Raster = {
+    val d = decodeIndexed(bytes)
+    if (d == null) return null
+    val n = d.w * d.h
+    val out = new Array[Byte](3 * n)
+    var i = 0
+    while (i < n) {
+      val idx = d.rows(i) & 0xff
+      if (idx >= d.palSize) return null
+      val e = d.palOff + 3 * idx
+      out(3 * i) = bytes(e); out(3 * i + 1) = bytes(e + 1); out(3 * i + 2) = bytes(e + 2)
+      i += 1
+    }
+    new JpegDecode.Raster(d.w, d.h, 3, out)
+  }
+
   def decode(bytes: Array[Byte]): InternalRow = {
+    val d = decodeIndexed(bytes)
+    if (d == null) return null
+    val rows = d.rows
+    val iw = d.w; val ih = d.h
+    val palOff = d.palOff; val palSize = d.palSize
+
+    // palette-expanded sums; an index past the table is an error
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    val n = iw * ih
+    while (i < n) {
+      val idx = rows(i) & 0xff
+      if (idx >= palSize) return null
+      val e = palOff + 3 * idx
+      sr += u8(bytes, e); sg += u8(bytes, e + 1); sb += u8(bytes, e + 2)
+      i += 1
+    }
+
+    val sbuf = new java.lang.StringBuilder(24)
+    var ty = 0
+    while (ty < 2) {
+      var tx = 0
+      while (tx < 2) {
+        val idx = rows(((ty * ih) / 2) * iw + (tx * iw) / 2) & 0xff
+        val e = palOff + 3 * idx
+        hex2(sbuf, u8(bytes, e)); hex2(sbuf, u8(bytes, e + 1)); hex2(sbuf, u8(bytes, e + 2))
+        tx += 1
+      }
+      ty += 1
+    }
+
+    new GenericInternalRow(Array[Any](
+      iw, ih, d.gctSize, n.toLong, sr, sg, sb,
+      UTF8String.fromString(sbuf.toString)))
+  }
+
+  private def decodeIndexed(bytes: Array[Byte]): Indexed = {
     if (bytes.length < 14) return null
     // signature: GIF87a or GIF89a
     if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
@@ -159,35 +227,7 @@ object GifDecode {
     if (px == null) return null
 
     val rows = if (!interlaced) px else deinterlace(px, iw, ih)
-
-    // palette-expanded sums; an index past the table is an error
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var i = 0
-    val n = iw * ih
-    while (i < n) {
-      val idx = rows(i) & 0xff
-      if (idx >= palSize) return null
-      val e = palOff + 3 * idx
-      sr += u8(bytes, e); sg += u8(bytes, e + 1); sb += u8(bytes, e + 2)
-      i += 1
-    }
-
-    val sbuf = new java.lang.StringBuilder(24)
-    var ty = 0
-    while (ty < 2) {
-      var tx = 0
-      while (tx < 2) {
-        val idx = rows(((ty * ih) / 2) * iw + (tx * iw) / 2) & 0xff
-        val e = palOff + 3 * idx
-        hex2(sbuf, u8(bytes, e)); hex2(sbuf, u8(bytes, e + 1)); hex2(sbuf, u8(bytes, e + 2))
-        tx += 1
-      }
-      ty += 1
-    }
-
-    new GenericInternalRow(Array[Any](
-      iw, ih, if (gctFlag) gctSize else 0, n.toLong, sr, sg, sb,
-      UTF8String.fromString(sbuf.toString)))
+    new Indexed(rows, iw, ih, palOff, palSize, if (gctFlag) gctSize else 0)
   }
 
   private def hex2(sb: java.lang.StringBuilder, v: Int): Unit = {

@@ -118,9 +118,15 @@ object MediaDecode {
       row("bmp", r.getInt(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(6))
     } else if (b0 == 0xff && b1 == 0xd8) {
-      val r = JpegDecode.decode(b)
+      // ORIENTED: EXIF orientation is applied (upright geometry, thumb
+      // positioned by index remapping; sums are rotation-invariant), so
+      // the sniff's positional features agree with [[ImageDHash]] and
+      // [[JpegOriented]] on tag-rotated photos — the same photo no
+      // longer yields two different geometries depending on which
+      // operator you ask (VERDICT r18 #2)
+      val r = JpegOriented.decode(b)
       if (r == null) return null
-      // (width, height, n_comp, n_px, sum_r, sum_g, sum_b, thumb_hex)
+      // (width, height, orientation, n_px, sum_r, sum_g, sum_b, thumb_hex)
       row("jpeg", r.getInt(0), r.getInt(1), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getUTF8String(7))
     } else null

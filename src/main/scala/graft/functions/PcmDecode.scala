@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   *   - per-channel signed sample SUMS as exact longs and PEAKS
   *     (max |sample|) as ints — integer-exact on any engine;
   *   - 8-bit PCM is unsigned with a 128 midpoint (the WAV convention):
-  *     sample = byte − 128. 16-bit is signed little-endian;
+  *     sample = byte − 128. 16-bit is signed little-endian; 24-bit is
+  *     signed little-endian byte triples (the hi-res depth FLAC also
+  *     decodes — peaks ≤ 2^23 still fit the int peak columns);
   *   - a trailing PARTIAL frame (data size not a multiple of the block
   *     align) is ignored, the way real decoders treat a truncated tail;
   *   - mono payloads carry null (sum_c1, peak_c1).
   *
   * RIFF walk: `RIFF….WAVE`, then chunks (id, u32-LE size, data, pad to
   * even) until `fmt ` and `data` are both seen. Requires audio format 1
-  * (PCM), 8/16 bits, 1-2 channels, and a block align that matches —
+  * (PCM), 8/16/24 bits, 1-2 channels, and a block align that matches —
   * anything else (wrong magic, compressed formats, malformed chunks)
   * decodes to NULL. Map-only, codegen'd via a static kernel.
   */
@@ -96,7 +98,8 @@ object PcmDecode {
         blockAlign = leU16(bytes, i + 20)
         bits = leU16(bytes, i + 22)
         if (audioFormat != 1 || channels < 1 || channels > 2 ||
-          (bits != 8 && bits != 16) || blockAlign != channels * bits / 8)
+          (bits != 8 && bits != 16 && bits != 24) ||
+          blockAlign != channels * bits / 8)
           return null
         fmtOk = true
       } else if (isData) {
@@ -116,9 +119,14 @@ object PcmDecode {
       while (c < channels) {
         val v =
           if (bits == 8) (bytes(base + c) & 0xff) - 128
-          else {
+          else if (bits == 16) {
             val u = leU16(bytes, base + 2 * c)
             if (u >= 0x8000) u - 0x10000 else u
+          } else { // 24-bit: signed LE byte triple (the hi-res WAV reality)
+            val o = base + 3 * c
+            val u = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+              ((bytes(o + 2) & 0xff) << 16)
+            if (u >= 0x800000) u - 0x1000000 else u
           }
         val a = math.abs(v)
         if (c == 0) { s0 += v; if (a > p0) p0 = a }

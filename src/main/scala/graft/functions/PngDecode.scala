@@ -135,11 +135,76 @@ object PngDecode {
     case _ => -1
   }
 
+  /** The unfiltered (and, for Adam7, deinterlaced) sample raster plus
+    * the layout needed to walk it — the shared front-end behind both
+    * the statistics fold ([[decode]]) and the expanded-RGB seam
+    * ([[decodeRaster]]). Row `row`'s samples start at
+    * `row*rowStride + firstOffset`.
+    */
+  private final class Decoded(
+      val raw: Array[Byte], val w: Int, val h: Int, val colorType: Int,
+      val ch: Int, val sw: Int, val rowStride: Int, val firstOffset: Int,
+      val plteOff: Int, val palCount: Int, val trnsOff: Int, val trnsLen: Int)
+
   /** Null on anything that is not a complete, CRC-clean, spec-ordered
     * PNG within the documented scope (depths 8/16, all five color types
     * at 8, types 0/2/4/6 at 16, interlace 0/1).
     */
   def decode(bytes: Array[Byte]): InternalRow = {
+    val d = decodeRaw(bytes)
+    if (d == null) return null
+    stats(bytes, d.raw, d.w, d.h, d.colorType, d.ch, d.sw,
+      d.rowStride, d.firstOffset, d.plteOff, d.palCount, d.trnsOff, d.trnsLen)
+  }
+
+  /** Expanded interleaved-RGB raster at 8-bit scale (the
+    * [[JpegDecode.Raster]] shape) — the seam that lets raster consumers
+    * ([[ImageDHash]], positional features) run over PNG payloads: gray
+    * and gray+alpha replicate the gray sample, palette indices expand
+    * through PLTE (an out-of-table index nulls, like the statistics
+    * fold), 16-bit samples reduce to their MOST-SIGNIFICANT byte (the
+    * msb reduction [[stats]] documents). Same strict null contract and
+    * byte budget as [[decode]]; alpha does not premultiply (the
+    * statistics model).
+    */
+  def decodeRaster(bytes: Array[Byte]): JpegDecode.Raster = {
+    val d = decodeRaw(bytes)
+    if (d == null) return null
+    if (3L * d.w * d.h > MaxRasterBytes) return null
+    val out = new Array[Byte](3 * d.w * d.h)
+    val bpp = d.ch * d.sw
+    var o = 0
+    var row = 0
+    while (row < d.h) {
+      var p = row * d.rowStride + d.firstOffset
+      val rowEnd = p + d.w * bpp
+      d.colorType match {
+        case 2 | 6 =>
+          while (p < rowEnd) {
+            out(o) = d.raw(p); out(o + 1) = d.raw(p + d.sw); out(o + 2) = d.raw(p + 2 * d.sw)
+            o += 3; p += bpp
+          }
+        case 0 | 4 =>
+          while (p < rowEnd) {
+            val g = d.raw(p)
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+            o += 3; p += bpp
+          }
+        case 3 =>
+          while (p < rowEnd) {
+            val idx = d.raw(p) & 0xff
+            if (idx >= d.palCount) return null
+            val e = d.plteOff + 3 * idx
+            out(o) = bytes(e); out(o + 1) = bytes(e + 1); out(o + 2) = bytes(e + 2)
+            o += 3; p += 1
+          }
+      }
+      row += 1
+    }
+    new JpegDecode.Raster(d.w, d.h, 3, out)
+  }
+
+  private def decodeRaw(bytes: Array[Byte]): Decoded = {
     // signature + at minimum IHDR(25) + IEND(12)
     if (bytes == null || bytes.length < 8 + 25 + 12) return null
     var i = 0
@@ -294,13 +359,13 @@ object PngDecode {
     if (interlace == 0) {
       if (!unfilter(raw, istride, bpp, rowStride = 1 + istride, baseOff = 0, nRows = h))
         return null
-      stats(bytes, raw, w, h, colorType, ch, sw,
+      new Decoded(raw, w, h, colorType, ch, sw,
         rowStride = 1 + istride, firstOffset = 1,
         plteOff, palCount, trnsOff, trnsLen)
     } else {
       val flat = deinterlace(raw, w, h, bpp)
       if (flat == null) return null
-      stats(bytes, flat, w, h, colorType, ch, sw,
+      new Decoded(flat, w, h, colorType, ch, sw,
         rowStride = istride, firstOffset = 0,
         plteOff, palCount, trnsOff, trnsLen)
     }

@@ -1199,7 +1199,11 @@ object Multimodal {
   def mediaTableEncodedAudio(docs: DataFrame): DataFrame = {
     val textBytes = encode(col("text"), "UTF-8")
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    val bits = when(col("doc_id") % 2 === 0, 16).otherwise(8)
+    // (doc_id/2) % 3: decoupled from the channel selector (the r18
+    // convention), cycling 16/8/24 — 24-bit signed LE triples close the
+    // depth asymmetry with the FLAC gate (VERDICT r18 #3)
+    val bits = when(floor(col("doc_id") / 2) % 3 === 0, 16)
+      .when(floor(col("doc_id") / 2) % 3 === 1, 8).otherwise(24)
     val rate = ((col("n_chars") % 4 + 1) * 8000).cast("int")
     val blockAlign = ((ch * bits) / 8).cast("int")
     val byteRate = (rate * blockAlign).cast("int")
@@ -1691,9 +1695,11 @@ object Multimodal {
   def mediaTableAudioMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    // (doc_id/2) % 2: decoupled from BOTH the channel (doc_id%2) and
-    // format (doc_id%3) selectors — all (ch, bits, fmt) combos appear
-    val bits = when(floor(col("doc_id") / 2) % 2 === 0, 16).otherwise(8).cast("int")
+    // (doc_id/2) % 3: decoupled from BOTH the channel (doc_id%2) and
+    // format (doc_id%3) selectors — all (ch, bits, fmt) combos appear;
+    // cycles 16/8/24 so the sniff sees the hi-res depth on BOTH codecs
+    val bits = when(floor(col("doc_id") / 2) % 3 === 0, 16)
+      .when(floor(col("doc_id") / 2) % 3 === 1, 8).otherwise(24).cast("int")
     val fmt = (col("doc_id") % 3).cast("int")
     val kind = when(col("doc_id") % 7 === 3, 4).otherwise(0) + fmt
     docs
@@ -1721,9 +1727,13 @@ object Multimodal {
               val samples = Array.tabulate(chN, nf) { (c, f) =>
                 val o = f * bpf + c * (bitsN / 8)
                 if (bitsN == 8) (t.charAt(o) & 0xff) - 128
-                else {
+                else if (bitsN == 16) {
                   val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
                   if (u >= 0x8000) u - 0x10000 else u
+                } else { // 24-bit signed LE triple
+                  val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8) |
+                    ((t.charAt(o + 2) & 0xff) << 16)
+                  if (u >= 0x800000) u - 0x1000000 else u
                 }
               }
               val flac = encodeFlac(samples, bitsN, r.media_id)
@@ -1870,6 +1880,128 @@ object Multimodal {
     * decodable row's statistics positionally. Every seventh row is
     * additionally TRUNCATED inside its container (strict kernels → null).
     */
+  /** Mixed-format media table for the PERCEPTUAL-HASH gate — the r18
+    * verdict's #1: image dedup must cover what a crawl contains, so the
+    * dHash gate cycles fmt = doc_id % 5 (coprime with the w/h selectors:
+    * 0 P6, 1 PNG truecolor, 2 GIF indexed through the shared
+    * [[paletteEntry]] colormap, 3 BMP 24-bit, 4 flat DC-only JPEG — the
+    * one lossy arm that still decodes EXACTLY, to a uniform raster
+    * whose dHash is 0 by definition). PNG/GIF rows alternate
+    * sequential/interlaced on media_id % 3. Null mix: raw text
+    * (doc_id % 11 = 5), a truncated container (doc_id % 7 = 3), and
+    * the below-grid dims the small-w rows produce naturally.
+    */
+  def mediaTableDhashMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val fmt = (col("doc_id") % 5).cast("int")
+    val kind = when(col("doc_id") % 11 === 5, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .when(fmt === 2,
+            repeat(md5(col("text")), 5).substr(lit(1), (w * h).cast("int")))
+          .when(fmt === 4, md5(col("text")))
+          .otherwise(repeat(md5(col("text")), 7).substr(lit(1), (w * h * 3).cast("int")))
+          .as("px"),
+        (kind + fmt * 4).as("kind"), // kind%4: 0 good / 1 raw / 2 truncated; kind/4: fmt
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val fmt = r.kind / 4
+        val k = r.kind % 4
+        val full: Array[Byte] =
+          if (k == 1) r.px.getBytes("UTF-8")
+          else fmt match {
+            case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
+              r.px.getBytes("US-ASCII")
+            case 1 => encodeRaster("png", r.w, r.h, rgba = false, r.px,
+              interlaced = r.media_id % 3 == 0)
+            case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = r.media_id % 3 == 0)
+            case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
+            case _ => encodeFlatJpeg(
+              Seq(r.px.charAt(0) & 0xff, r.px.charAt(1) & 0xff, r.px.charAt(2) & 0xff),
+              transform = -1, r.w, r.h)
+          }
+        val payload =
+          if (k == 2) java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          else full
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** Mixed-format near-dup PAIRS table for the dHash pair-mining gate:
+    * per doc, a base image and a one-sample-bumped copy, cycling fmt =
+    * (doc_id / 4) % 4 (decoupled from the doc_id % 4 width selector:
+    * 0 P6, 1 PNG, 2 GIF indexed, 3 BMP). RGB formats bump ONE channel
+    * of one pixel by +1 (≤ 2 dHash bits move); GIF bumps one palette
+    * INDEX by +1 (Δgray 21 through the [[paletteEntry]] formula — still
+    * one cell, ≤ 2 bits). JPEG is deliberately absent: a lossy hash is
+    * not oracle-re-minable, and the exactly-decodable flat payloads are
+    * all-uniform (dHash 0), which would degenerate the pair mine to an
+    * all-pairs clique. Every fifth doc is raw text (hashes nothing,
+    * joins nothing).
+    */
+  def mediaTableImagePairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 4 + 10).cast("int")
+    val h = (col("n_chars") % 3 + 9).cast("int")
+    val fmt = expr("CAST((doc_id div 4) % 4 AS INT)")
+    val len = when(fmt === 2, w * h).otherwise(w * h * 3).cast("int")
+    val base = when(fmt === 2, repeat(md5(col("text")), 5))
+      .otherwise(repeat(md5(col("text")), 14)).substr(lit(1), len)
+    val kind = when(col("doc_id") % 5 === 4, 1).otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text")).otherwise(base).as("px"),
+        (kind + fmt * 4 + (col("doc_id") % len).cast("int") * 16).as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.flatMap { r =>
+        val fmt = (r.kind / 4) % 4
+        val k = r.kind % 4
+        val p = r.kind / 16 // 0-based perturb position
+        def enc(px: String): Array[Byte] = fmt match {
+          case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
+            px.getBytes("US-ASCII")
+          case 1 => encodeRaster("png", r.w, r.h, rgba = false, px)
+          case 2 => encodeGifIndexed(r.w, r.h, px, interlaced = false)
+          case _ => encodeRaster("bmp", r.w, r.h, rgba = false, px)
+        }
+        if (k == 1) {
+          val raw = r.px.getBytes("UTF-8")
+          Iterator(
+            (r.media_id * 2, raw, r.size_bytes, r.origin, r.codec),
+            (r.media_id * 2 + 1, raw, r.size_bytes, r.origin, r.codec))
+        } else {
+          val bumped = r.px.substring(0, p) +
+            (r.px.charAt(p) + 1).toChar + r.px.substring(p + 1)
+          Iterator(
+            (r.media_id * 2, enc(r.px), r.size_bytes, r.origin, r.codec),
+            (r.media_id * 2 + 1, enc(bumped), r.size_bytes, r.origin, r.codec))
+        }
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   def mediaTableMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 6 + 2).cast("int")
@@ -1901,7 +2033,19 @@ object Multimodal {
           // be unsatisfiable (never interlaced); (id/6) % 2 alternates
           case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = (r.media_id / 6) % 2 == 0)
           case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
-          case 4 => encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+          case 4 =>
+            // tag-rotated JPEG rows: the stored raster stays (w, h); the
+            // EXIF orientation o (cycling 1..8 on media_id/6 — JPEG rows
+            // are media_id ≡ 4 mod 6, so /6 varies freely) makes the
+            // ORIENTED sniff report the swapped upright geometry for
+            // o ≥ 5 — the oracle pins the swap (VERDICT r18 #2)
+            val jpeg = encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
+            val o = ((r.media_id / 6) % 8 + 1).toInt
+            if (o == 1) jpeg
+            else jpeg.take(2) ++ exifApp1(
+              little = r.media_id % 2 == 0, orientation = o,
+              datetime = "2022:01:01 09:00:00",
+              make = "cam_" + r.origin, model = "mx_" + r.codec) ++ jpeg.drop(2)
           case _ => r.px.getBytes("UTF-8")
         }
         val payload =

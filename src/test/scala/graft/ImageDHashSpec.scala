@@ -111,6 +111,57 @@ class ImageDHashSpec extends SparkSpec {
     assert(flipped.getLong(3) !== base.getLong(3), "mirrored image must hash differently")
   }
 
+  test("the same raster as P6, PNG and BMP hashes IDENTICALLY (lossless => bit-equal)") {
+    // VERDICT r18 #1: a lossless re-encode of an image must land at
+    // Hamming distance 0 — pinned here on the full 9x8 / 64-bit grid
+    val px = ("0123456789abcdef" * 24).substring(0, 10 * 9 * 3) // 10x9 RGB
+    val ppm = ("P6\n10 9\n255\n" + px).getBytes("US-ASCII")
+    val png = Multimodal.encodeRaster("png", 10, 9, rgba = false, px)
+    val pngIl = Multimodal.encodeRaster("png", 10, 9, rgba = false, px, interlaced = true)
+    val bmp = Multimodal.encodeRaster("bmp", 10, 9, rgba = false, px)
+    val want = ImageDHash.hash(ppm, 9, 8)
+    assert(want != null)
+    for ((fmt, payload) <- Seq(("png", png), ("png", pngIl), ("bmp", bmp))) {
+      val got = ImageDHash.hash(payload, 9, 8)
+      assert(got != null, s"$fmt hash")
+      assert(got.getUTF8String(0).toString === fmt)
+      assert(got.getInt(1) === 10 && got.getInt(2) === 9)
+      assert(got.getLong(3) === want.getLong(3), s"$fmt dhash must equal the P6 hash")
+    }
+  }
+
+  test("GIF hashes its palette-EXPANDED raster: equal to the P6 of the expanded colors") {
+    val idx = "0123456789ab" * 8 // 12x8 indices
+    val gif = Multimodal.encodeGifIndexed(12, 8, idx, interlaced = false)
+    val gifIl = Multimodal.encodeGifIndexed(12, 8, idx, interlaced = true)
+    // P6 with each index expanded through the shared palette formula
+    val expanded = idx.map { c =>
+      val (r, g, b) = Multimodal.paletteEntry(c & 0xff)
+      new String(Array(r.toChar, g.toChar, b.toChar))
+    }.mkString
+    val asP6 = ("P6\n12 8\n255\n").getBytes("US-ASCII") ++
+      expanded.map(c => (c & 0xff).toByte).toArray
+    val want = ImageDHash.hash(asP6, 9, 8)
+    assert(want != null)
+    for (payload <- Seq(gif, gifIl)) {
+      val got = ImageDHash.hash(payload, 9, 8)
+      assert(got != null)
+      assert(got.getUTF8String(0).toString === "gif")
+      assert(got.getLong(3) === want.getLong(3), "gif dhash == palette-expanded P6 hash")
+    }
+  }
+
+  test("PNG/GIF/BMP payloads below the grid or truncated are null") {
+    val px = "0123456789abcdef01" // 3x2
+    assert(ImageDHash.hash(
+      Multimodal.encodeRaster("png", 3, 2, rgba = false, px), 9, 8) == null)
+    val png = Multimodal.encodeRaster("png", 10, 9,
+      rgba = false, ("0123456789abcdef" * 24).substring(0, 270))
+    assert(ImageDHash.hash(java.util.Arrays.copyOf(png, png.length / 2), 9, 8) == null)
+    assert(ImageDHash.hash(
+      Multimodal.encodeGifIndexed(3, 2, "012345", interlaced = false), 9, 8) == null)
+  }
+
   test("near-dup pair mining: planted one-pixel perturbations are found, raw-text docs are not") {
     val docs = spark.range(0, 20).selectExpr(
       "id AS doc_id",

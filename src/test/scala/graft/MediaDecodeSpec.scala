@@ -27,7 +27,9 @@ class MediaDecodeSpec extends SparkSpec {
       ("png", png, graft.functions.PngDecode.decode(png), 3, 4, 5, 8),
       ("gif", gif, graft.functions.GifDecode.decode(gif), 3, 4, 5, 7),
       ("bmp", bmp, graft.functions.BmpDecode.decode(bmp), 2, 3, 4, 6),
-      ("jpeg", jpeg, graft.functions.JpegDecode.decode(jpeg), 3, 4, 5, 7))
+      // JPEG dispatches through the ORIENTED kernel (VERDICT r18 #2):
+      // no-tag payloads are orientation 1, where oriented == plain
+      ("jpeg", jpeg, graft.functions.JpegOriented.decode(jpeg), 3, 4, 5, 7))
     for ((fmt, payload, want, nPxOrd, srOrd, sgOrd, thOrd) <- direct) {
       assert(want != null, s"$fmt: direct kernel refused the seed")
       val got = MediaDecode.decode(payload)
@@ -39,6 +41,34 @@ class MediaDecodeSpec extends SparkSpec {
       assert(got.getLong(4) === want.getLong(srOrd), s"$fmt sum_r")
       assert(got.getLong(5) === want.getLong(sgOrd), s"$fmt sum_g")
       assert(got.getUTF8String(7) === want.getUTF8String(thOrd), s"$fmt thumb")
+    }
+  }
+
+  test("tag-rotated JPEG: sniff == oriented kernel row-for-row, geometry swapped") {
+    // a 4x2 photo stored with orientation 6 (rotate 90 CW to view):
+    // the sniff must report the UPRIGHT geometry (2x4) and the same
+    // positioned thumb as JpegOriented — not the stored-raster features
+    val px = "0123456789abcdef01234567" // 4x2 RGB
+    val jpeg = Multimodal.encodeRaster("jpeg", 4, 2, rgba = false, px, quality = 0.97f)
+    for (o <- 1 to 8) {
+      val tagged =
+        if (o == 1) jpeg
+        else jpeg.take(2) ++ Multimodal.exifApp1(
+          little = o % 2 == 0, orientation = o,
+          datetime = "2022:01:01 09:00:00", make = "maker", model = "model") ++ jpeg.drop(2)
+      val want = graft.functions.JpegOriented.decode(tagged)
+      val got = MediaDecode.decode(tagged)
+      assert(want != null && got != null, s"o=$o decode")
+      assert(got.getUTF8String(0).toString === "jpeg")
+      assert(got.getInt(1) === want.getInt(0), s"o=$o upright width")
+      assert(got.getInt(2) === want.getInt(1), s"o=$o upright height")
+      if (o >= 5) assert(got.getInt(1) === 2 && got.getInt(2) === 4, s"o=$o must swap")
+      else assert(got.getInt(1) === 4 && got.getInt(2) === 2)
+      assert(got.getLong(3) === want.getLong(3), s"o=$o n_px")
+      assert(got.getLong(4) === want.getLong(4), s"o=$o sum_r")
+      assert(got.getLong(5) === want.getLong(5), s"o=$o sum_g")
+      assert(got.getLong(6) === want.getLong(6), s"o=$o sum_b")
+      assert(got.getUTF8String(7) === want.getUTF8String(7), s"o=$o thumb")
     }
   }
 

@@ -60,6 +60,23 @@ class PcmDecodeSpec extends SparkSpec {
     assert((d.getLong(5), d.getInt(6)) === ((127L - 127L, 127)))
   }
 
+  test("24-bit stereo: signed LE triples, hi-res sums and peaks exact (r18 #3)") {
+    // frames (c0, c1): (1, -2), (8388607, -8388608), plus 2 trailing
+    // bytes (partial frame) that must be ignored
+    def tri(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    val data = tri(1) ++ tri(-2) ++ tri(8388607) ++ tri(-8388608) ++ Array[Byte](9, 9)
+    val d = decode(wav(2, 24, data)).get
+    assert((d.getInt(0), d.getInt(1), d.getLong(2)) === ((2, 24, 2L)))
+    assert((d.getLong(3), d.getInt(4)) === ((1L + 8388607L, 8388607)))
+    assert((d.getLong(5), d.getInt(6)) === ((-2L - 8388608L, 8388608)))
+    // mono too: channel layout at the 3-byte block align
+    val m = decode(wav(1, 24, tri(-1) ++ tri(5))).get
+    assert((m.getInt(0), m.getInt(1), m.getLong(2)) === ((1, 24, 2L)))
+    assert((m.getLong(3), m.getInt(4)) === ((4L, 5)))
+    assert(m.isNullAt(5) && m.isNullAt(6))
+  }
+
   test("chunk walk: unknown pre-chunks (odd-sized, padded) are skipped") {
     val data = Array[Byte](10, 0)
     val full = wav(1, 16, data,
@@ -72,7 +89,7 @@ class PcmDecodeSpec extends SparkSpec {
     val data = Array[Byte](1, 0)
     assert(decode(wav(1, 16, data, fmtTag = 85)).isEmpty) // MP3 tag: stub land
     assert(decode(wav(3, 16, data)).isEmpty) // >2 channels out of scope
-    assert(decode(wav(1, 24, data)).isEmpty) // 24-bit out of scope
+    assert(decode(wav(1, 20, data)).isEmpty) // odd depth out of scope
     assert(decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty) // no chunks
     assert(decode("just text".getBytes("UTF-8")).isEmpty)
     // a chunk whose declared size overruns the payload
