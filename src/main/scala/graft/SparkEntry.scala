@@ -2243,6 +2243,42 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- PERCEPTUAL AUDIO FINGERPRINT: the audio sibling of dHash —
+    //      the decoded sample stream's amplitude envelope in nWin floor
+    //      windows, one bit per adjacent-window mean comparison
+    //      (cross-multiplied, integer-exact → the fingerprint itself is
+    //      oracle-gatable). Gate windows 9 (8 bits) over the mixed
+    //      WAV/FLAC table — short clips (nf < 9), raw text and corrupt
+    //      streams are the null mix; both codecs fingerprint the SAME
+    //      derivation so the oracle is codec-blind ---------------------
+    "q_audio_fp" -> ((s, dir) => {
+      import graft.functions.AudioFingerprint
+      Multimodal.mediaTableAudioMixed(s, Tables.documents(s, dir))
+        .select(col("media_id"), AudioFingerprint(col("payload"), 9).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.format").as("format"),
+          col("__d.n_frames").as("n_frames"),
+          col("__d.fp").as("fp"))
+        .orderBy("media_id")
+    }),
+
+    // ---- AUDIO NEAR-DUP PAIRS over the 65-window / 64-bit production
+    //      fingerprint: the shared 16-bit quarter-block miner
+    //      (pigeonhole + exact popcount). The table plants CROSS-CODEC
+    //      near-dups — base clip as PCM WAV, one-sample-bumped copy as
+    //      FLAC (one envelope window moves → <= 2 bits) — so the gate
+    //      pins both the miner and the lossless cross-codec invariance;
+    //      the oracle re-mines from the sample derivation: windows,
+    //      bits, band keys, self-join, hamming filter ------------------
+    "q_audio_fp_dup" -> ((s, dir) => {
+      Dedup.audioFpPairs(
+          Multimodal.mediaTableAudioPairs(s, Tables.documents(s, dir)),
+          "media_id", "payload", maxHamming = 2,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- REAL video frame-sampling: YUV4MPEG2 (raw YUV) needs no
     //      codec — every 2nd frame's luma plane folded to exact sums
     //      over byte-exact 3-frame C444 clips; raw-text rows and a C420
@@ -2981,6 +3017,78 @@ object SparkEntry {
       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |)""".stripMargin
+
+  /** Shared WAV/FLAC sample-recompute CTEs (d/d2/s) behind the
+    * mixed-audio sniff and fingerprint oracles: the codec-blind
+    * per-channel sample lists from text positions, with the 3-way
+    * bits cycle and the corruption/format null arms. Margins are
+    * stripped by the consuming entries after concatenation.
+    */
+  private val AudioMixedSampleCtes: String =
+    """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |              WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
+        |    (doc_id % 2 + 1) *
+        |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
+        |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
+        |    CAST(doc_id % 3 AS INTEGER) AS fmt,
+        |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
+        |  FROM documents
+        |), d2 AS (
+        |  SELECT media_id, text, ch, bits, bpf, fmt,
+        |    CAST(length(text) // bpf AS BIGINT) AS nf,
+        |    (bad OR (fmt = 1 AND length(text) // bpf = 0)) AS bad
+        |  FROM d
+        |), s AS (
+        |  SELECT media_id, ch, bits, nf, fmt, bad,
+        |    CASE WHEN bad THEN NULL
+        |      ELSE list_transform(range(0, nf), f ->
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) END
+        |        END) END AS c0,
+        |    CASE WHEN bad OR ch = 1 THEN NULL
+        |      ELSE list_transform(range(0, nf), f ->
+        |        CASE bits
+        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128
+        |          WHEN 16 THEN CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
+        |            THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
+        |            ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END
+        |          ELSE CASE WHEN
+        |              ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) >= 8388608
+        |            THEN ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) - 16777216
+        |            ELSE ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
+        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
+        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) END
+        |        END) END AS c1
+        |  FROM d2
+        |)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -5693,70 +5801,7 @@ object SparkEntry {
     // with the format decided by doc_id%3 (0 wav / 1 flac / 2 raw text)
     // and the corruption arm (doc_id%7=3) null for BOTH formats
     "q_multimodal_audio_mixed" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, text,
-        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
-        |    CAST(CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
-        |              WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END AS INTEGER) AS bits,
-        |    (doc_id % 2 + 1) *
-        |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
-        |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
-        |    CAST(doc_id % 3 AS INTEGER) AS fmt,
-        |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
-        |  FROM documents
-        |), d2 AS (
-        |  SELECT media_id, text, ch, bits, bpf, fmt,
-        |    CAST(length(text) // bpf AS BIGINT) AS nf,
-        |    (bad OR (fmt = 1 AND length(text) // bpf = 0)) AS bad
-        |  FROM d
-        |), s AS (
-        |  SELECT media_id, ch, bits, nf, fmt, bad,
-        |    CASE WHEN bad THEN NULL
-        |      ELSE list_transform(range(0, nf), f ->
-        |        CASE bits
-        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1)) - 128
-        |          WHEN 16 THEN CASE WHEN
-        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) >= 32768
-        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 65536
-        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) END
-        |          ELSE CASE WHEN
-        |              ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) >= 8388608
-        |            THEN ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) - 16777216
-        |            ELSE ascii(substr(text, CAST(f*bpf+1 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1)) END
-        |        END) END AS c0,
-        |    CASE WHEN bad OR ch = 1 THEN NULL
-        |      ELSE list_transform(range(0, nf), f ->
-        |        CASE bits
-        |          WHEN 8 THEN ascii(substr(text, CAST(f*bpf+2 AS INTEGER), 1)) - 128
-        |          WHEN 16 THEN CASE WHEN
-        |              ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) >= 32768
-        |            THEN ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) - 65536
-        |            ELSE ascii(substr(text, CAST(f*bpf+3 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1)) END
-        |          ELSE CASE WHEN
-        |              ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) >= 8388608
-        |            THEN ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) - 16777216
-        |            ELSE ascii(substr(text, CAST(f*bpf+4 AS INTEGER), 1))
-        |              + 256 * ascii(substr(text, CAST(f*bpf+5 AS INTEGER), 1))
-        |              + 65536 * ascii(substr(text, CAST(f*bpf+6 AS INTEGER), 1)) END
-        |        END) END AS c1
-        |  FROM d2
-        |)
+      (AudioMixedSampleCtes + """
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL
         |       WHEN fmt = 0 THEN 'wav' ELSE 'flac' END AS format,
@@ -5773,7 +5818,100 @@ object SparkEntry {
         |  CASE WHEN bad OR ch = 1 THEN NULL
         |       ELSE CAST(coalesce(list_max(list_transform(c1, v -> abs(v))), 0) AS INTEGER)
         |  END AS peak_c1
-        |FROM s ORDER BY media_id""".stripMargin,
+        |FROM s ORDER BY media_id""").stripMargin,
+
+    // audio fingerprint: the oracle recomputes the envelope positionally
+    // from the SAME codec-blind sample derivation (both formats are
+    // lossless) — 9 floor windows over the channel-summed mix, one bit
+    // per adjacent-window cross-multiplied mean comparison
+    "q_audio_fp" -> {
+      val winCols = (0 to 8).map(k =>
+        s"""coalesce(list_sum(list_transform(list_filter(range(0, nf),
+           |      f -> (f*9)//nf = $k), f -> abs(mix[CAST(f+1 AS INTEGER)]))), 0) AS s$k,
+           |    len(list_filter(range(0, nf), f -> (f*9)//nf = $k)) AS n$k""".stripMargin)
+        .mkString(",\n    ")
+      val bitTerms = (0 to 7).map(k =>
+        s"CASE WHEN s${k + 1} * n$k > s$k * n${k + 1} THEN ${1L << k} ELSE 0 END")
+        .mkString("\n    + ")
+      (AudioMixedSampleCtes + s"""
+        |, m AS (
+        |  SELECT media_id, fmt, nf, (bad OR nf < 9) AS bad,
+        |    CASE WHEN bad THEN NULL
+        |      ELSE list_transform(range(0, nf), f ->
+        |        c0[CAST(f+1 AS INTEGER)]
+        |        + CASE WHEN ch = 2 THEN c1[CAST(f+1 AS INTEGER)] ELSE 0 END) END AS mix
+        |  FROM s
+        |), w AS (
+        |  SELECT media_id, fmt, nf, bad,
+        |    $winCols
+        |  FROM m
+        |)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN NULL
+        |       WHEN fmt = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
+        |  CASE WHEN bad THEN NULL ELSE CAST($bitTerms AS BIGINT) END AS fp
+        |FROM w ORDER BY media_id""").stripMargin
+    },
+
+    // audio near-dup pairs: the oracle RE-MINES from scratch — rebuilds
+    // both clips' samples per doc (base + one-sample-bumped copy; the
+    // codecs are lossless so the derivation is codec-blind), computes
+    // every clip's 64 fingerprint bits via 65 floor-window envelopes,
+    // derives the four 16-bit band keys, self-joins on (band, key), and
+    // applies the popcount filter — the q_image_dhash_dup shape in 1-D
+    "q_audio_fp_dup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 100 + 130 AS INTEGER) AS L,
+        |    substr(repeat(md5(text), 8), 1,
+        |      CAST(doc_id % 100 + 130 AS INTEGER)) AS px0,
+        |    CAST(doc_id % (doc_id % 100 + 130) AS INTEGER) AS p,
+        |    doc_id % 5 = 4 AS bad
+        |  FROM documents
+        |), clips AS (
+        |  SELECT doc_id * 2 + v AS media_id, L, v, p, px0
+        |  FROM docs2, (SELECT unnest([0, 1]) AS v)
+        |  WHERE NOT bad
+        |), wins AS (
+        |  SELECT media_id, k, CAST(SUM(a) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT media_id, (f * 65) // L AS k,
+        |      abs(ascii(substr(px0, CAST(f+1 AS INTEGER), 1)) - 128
+        |          + CASE WHEN v = 1 AND f = p THEN 1 ELSE 0 END) AS a
+        |    FROM (SELECT media_id, L, v, p, px0,
+        |            unnest(range(0, CAST(L AS BIGINT))) AS f
+        |          FROM clips))
+        |  GROUP BY media_id, k
+        |), arrs AS (
+        |  SELECT media_id, list(s ORDER BY k) AS ss, list(n ORDER BY k) AS nn
+        |  FROM wins GROUP BY media_id
+        |), bits AS (
+        |  SELECT media_id, list_transform(range(0, 64), i ->
+        |    CASE WHEN ss[CAST(i+2 AS INTEGER)] * nn[CAST(i+1 AS INTEGER)]
+        |            > ss[CAST(i+1 AS INTEGER)] * nn[CAST(i+2 AS INTEGER)]
+        |         THEN 1 ELSE 0 END) AS b
+        |  FROM arrs
+        |), bands AS (
+        |  SELECT media_id, k, b,
+        |    list_sum(list_transform(range(0, 16), j ->
+        |      b[CAST(16*k + j + 1 AS INTEGER)] * (1 << CAST(j AS INTEGER)))) AS key
+        |  FROM bits, (SELECT unnest(range(0, 4)) AS k)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        |    a.b AS ba, b2.b AS bb
+        |  FROM bands a JOIN bands b2
+        |    ON a.k = b2.k AND a.key = b2.key AND a.media_id < b2.media_id
+        |)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(0, 64), i ->
+        |      abs(ba[CAST(i+1 AS INTEGER)] - bb[CAST(i+1 AS INTEGER)]))) AS INTEGER)
+        |      AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
 
     // FLAC decode: LOSSLESS, so the oracle recomputes the exact samples
     // from text positions (the q_multimodal_pcm convention — channel c

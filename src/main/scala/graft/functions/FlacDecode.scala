@@ -327,7 +327,13 @@ object FlacDecode {
     true
   }
 
-  def decode(bytes: Array[Byte]): InternalRow = {
+  def decode(bytes: Array[Byte]): InternalRow = decode(bytes, null)
+
+  /** Decode with an optional streaming [[MixSink]] tap (fingerprint
+    * consumers); `sink` null-safe — the stats fold is byte-identical
+    * with or without it.
+    */
+  private[graft] def decode(bytes: Array[Byte], sink: MixSink): InternalRow = {
     if (bytes.length < 4 + 4 + 34) return null
     if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' || bytes(3) != 'C')
       return null
@@ -361,6 +367,7 @@ object FlacDecode {
         if (channels < 1 || channels > 2) return null // family scope
         if (bps != 8 && bps != 16 && bps != 24) return null
         if (totalSamples > MaxSamples) return null
+        if (sink != null) sink.init(totalSamples)
         first = false
       }
       off += 4 + len
@@ -489,19 +496,17 @@ object FlacDecode {
       while (i < blockSize) {
         val v0 = ch0(i)
         if (v0 < chLo || v0 > chHi) return null
-        if (channels == 2) {
-          val v1 = ch1(i)
-          if (v1 < chLo || v1 > chHi) return null
-        }
         s0 += v0
         val a0 = math.abs(v0)
         if (a0 > p0) p0 = a0
         if (channels == 2) {
           val v1 = ch1(i)
+          if (v1 < chLo || v1 > chHi) return null
           s1 += v1
           val a1 = math.abs(v1)
           if (a1 > p1) p1 = a1
-        }
+          if (sink != null) sink.accept(v0 + v1)
+        } else if (sink != null) sink.accept(v0)
         i += 1
       }
       nFrames += blockSize

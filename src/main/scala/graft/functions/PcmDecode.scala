@@ -74,7 +74,13 @@ object PcmDecode {
   private def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
-  def decode(bytes: Array[Byte]): InternalRow = {
+  def decode(bytes: Array[Byte]): InternalRow = decode(bytes, null)
+
+  /** Decode with an optional streaming [[MixSink]] tap (fingerprint
+    * consumers); `sink` null-safe — the stats fold is byte-identical
+    * with or without it.
+    */
+  private[graft] def decode(bytes: Array[Byte], sink: MixSink): InternalRow = {
     if (bytes.length < 12 ||
       bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
@@ -110,11 +116,13 @@ object PcmDecode {
     }
     if (!fmtOk || dataOff < 0) return null
     val frames = dataLen / blockAlign // trailing partial frame ignored
+    if (sink != null) sink.init(frames.toLong)
     var s0 = 0L; var s1 = 0L
     var p0 = 0; var p1 = 0
     var f = 0
     while (f < frames) {
       val base = dataOff + f * blockAlign
+      var mix = 0
       var c = 0
       while (c < channels) {
         val v =
@@ -131,8 +139,10 @@ object PcmDecode {
         val a = math.abs(v)
         if (c == 0) { s0 += v; if (a > p0) p0 = a }
         else { s1 += v; if (a > p1) p1 = a }
+        mix += v
         c += 1
       }
+      if (sink != null) sink.accept(mix)
       f += 1
     }
     new GenericInternalRow(Array[Any](

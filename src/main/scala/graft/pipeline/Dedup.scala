@@ -961,8 +961,8 @@ object Dedup {
   }
 
   /** The shared quarter-block Hamming pair miner behind [[simhashPairs]]
-    * (15-bit quarters of a 60-bit text fingerprint) and
-    * [[imageDhashPairs]] (16-bit quarters of the 64-bit image hash):
+    * (15-bit quarters of a 60-bit text fingerprint), [[imageDhashPairs]]
+    * and [[audioFpPairs]] (16-bit quarters of 64-bit perceptual hashes):
     * block on the 4 quarters (pigeonhole: hamming ≤ 3 agrees on ≥ 1),
     * verify with an exact popcount. `fp` must carry (__id, __fp).
     *
@@ -1030,6 +1030,37 @@ object Dedup {
       "quarter blocks are saturated (near-identical images — e.g. a " +
         "corpus of flat thumbnails); run exact dedup on payload digests " +
         "first, or lower maxHamming")
+  }
+
+  /** AUDIO near-dup pairs over the perceptual envelope fingerprint
+    * ([[graft.functions.AudioFingerprint]], 65 windows → 64 bits,
+    * WAV/FLAC dispatched through the streaming sample seam): block on
+    * 16-bit QUARTERS of the fingerprint, verify with an exact popcount —
+    * the same shared quarter-block miner as [[imageDhashPairs]] and
+    * [[simhashPairs]]. Because both codecs are lossless, a clip and its
+    * FLAC re-encode land at Hamming 0, so CROSS-CODEC near-dups mine
+    * like same-codec ones. Payloads no audio kernel claims (or with
+    * fewer frames than windows / unknown FLAC totals) emit no
+    * fingerprint and join nothing. Same fail-fast candidate-volume
+    * contract as every other pair emitter.
+    */
+  def audioFpPairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    val fp = pin(media
+      .select(
+        col(idCol).as("__id"),
+        graft.functions.AudioFingerprint(col(payloadCol), 65)
+          .getField("fp").as("__fp"))
+      .filter(col("__fp").isNotNull))
+    bandedHammingPairs(fp, quarterBits = 16, maxHamming, maxCandidates,
+      "audioFpPairs",
+      "quarter blocks are saturated (near-identical envelopes — e.g. a " +
+        "corpus of silence or constant tones); run exact dedup on payload " +
+        "digests first, or lower maxHamming")
   }
 
   /** Connected components over a near-dup pair frame — the step that turns

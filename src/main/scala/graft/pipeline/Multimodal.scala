@@ -1768,6 +1768,67 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
+  /** CROSS-CODEC audio near-dup PAIRS table for the fingerprint gate:
+    * per doc, the base clip encoded as 8-bit mono PCM WAV and a
+    * few-samples-bumped copy encoded as FLAC (one sample +1 at a
+    * doc-derived position — the envelope moves in ONE window, so ≤ 2
+    * fingerprint bits flip). Lossless codecs both ways, so the pair
+    * mines cross-codec exactly like a same-codec near-dup — the
+    * property [[graft.functions.AudioFingerprint]] exists for. Clip
+    * length 130..229 frames (≥ 2 frames per 65-window production
+    * fingerprint). Every fifth doc is raw text (fingerprints nothing,
+    * joins nothing).
+    */
+  def mediaTableAudioPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val len = (col("doc_id") % 100 + 130).cast("int")
+    val base = repeat(md5(col("text")), 8).substr(lit(1), len)
+    val kind = when(col("doc_id") % 5 === 4, 1).otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), len.as("w"), lit(0).as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text")).otherwise(base).as("px"),
+        (kind + (col("doc_id") % len).cast("int") * 4).as("kind"),
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.flatMap { r =>
+        val k = r.kind % 4
+        val p = r.kind / 4 // 0-based bump position
+        if (k == 1) {
+          val raw = r.px.getBytes("UTF-8")
+          Iterator(
+            (r.media_id * 2, raw, r.size_bytes, r.origin, r.codec),
+            (r.media_id * 2 + 1, raw, r.size_bytes, r.origin, r.codec))
+        } else {
+          val data = r.px.getBytes("US-ASCII")
+          // canonical 44-byte 8-bit mono PCM WAV around the base bytes
+          val bos = new java.io.ByteArrayOutputStream(44 + data.length)
+          def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+          def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+          bos.write("RIFF".getBytes("US-ASCII")); le32(36 + data.length)
+          bos.write("WAVEfmt ".getBytes("US-ASCII"))
+          le32(16); le16(1); le16(1); le32(8000); le32(8000); le16(1); le16(8)
+          bos.write("data".getBytes("US-ASCII")); le32(data.length)
+          bos.write(data)
+          // bumped samples as FLAC (same 128-midpoint sample model)
+          val bumped = Array.tabulate(data.length) { f =>
+            (data(f) & 0xff) - 128 + (if (f == p) 1 else 0)
+          }
+          Iterator(
+            (r.media_id * 2, bos.toByteArray, r.size_bytes, r.origin, r.codec),
+            (r.media_id * 2 + 1, encodeFlac(Array(bumped), 8, r.media_id),
+              r.size_bytes, r.origin, r.codec))
+        }
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
   /** Synthesize an ENCODED video table: payloads carry real MP4/ISO-BMFF
     * box structures (ftyp + moov[mvhd + trak[tkhd]] + mdat around the
     * document bytes, big-endian fields) with brand / duration / pixel
