@@ -2279,6 +2279,43 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- VIDEO FRAME SIGNATURES: frame sampling composed with the
+    //      dHash primitive — every 2nd frame's luma dHash on a 9x7 grid
+    //      (56 bits: the signature long stays BIGINT-exact in the
+    //      oracle), EXPLODED to scalar rows (media_id, k, sig). The
+    //      oracle recomputes each sampled frame's hash positionally
+    //      from the clip derivation — per-cell luma sums, floor cells,
+    //      cross-multiplied means, bit packing -------------------------
+    "q_video_sigs" -> ((s, dir) => {
+      import graft.functions.VideoFrameSigs
+      Multimodal.mediaTableVideoPairs(Tables.documents(s, dir))
+        .select(col("media_id"), VideoFrameSigs(col("payload"), 2, 9, 7).as("__v"))
+        .select(
+          col("media_id"),
+          col("__v.format").as("format"),
+          col("__v.width").as("width"),
+          col("__v.height").as("height"),
+          col("__v.n_frames").as("n_frames"),
+          col("__v.n_sampled").as("n_sampled"),
+          posexplode_outer(col("__v.sigs")).as(Seq("k", "sig")))
+        .withColumn("k", col("k").cast("long"))
+        .orderBy("media_id", "k")
+    }),
+
+    // ---- VIDEO NEAR-DUP PAIRS on shared sampled-frame hashes: the
+    //      inverted-list shape (explode signatures -> equi-join on the
+    //      hash value, never all-pairs) over the production 9x8 grid.
+    //      The table plants one cross-clip shared frame per doc (clip B
+    //      reuses clip A's frame 0); the oracle re-mines from the frame
+    //      derivation, joining videos on the full 64-bit signature ----
+    "q_video_sig_dup" -> ((s, dir) => {
+      Dedup.videoFrameSigPairs(
+          Multimodal.mediaTableVideoPairs(Tables.documents(s, dir)),
+          "media_id", "payload", step = 2, gw = 9, gh = 8,
+          maxCandidates = Some(Dedup.defaultVolumeBudget(s)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- REAL video frame-sampling: YUV4MPEG2 (raw YUV) needs no
     //      codec — every 2nd frame's luma plane folded to exact sums
     //      over byte-exact 3-frame C444 clips; raw-text rows and a C420
@@ -5525,6 +5562,120 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(y) AS BIGINT) END AS y_sum,
         |  CASE WHEN bad THEN NULL ELSE CAST(list_max(y) AS INTEGER) END AS y_peak
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // video frame signatures: the oracle recomputes each sampled frame's
+    // 9x7 luma dHash positionally from the clip derivation (sampled set
+    // {0, 2} at step 2; frame k's luma = the first w*h chars of its
+    // source hex at offset k*2*fb) — per-cell sums via the floor-cell
+    // membership trick, cross-multiplied means, 56-bit packing (BIGINT
+    // exact). Bad docs surface as one null row per video via LEFT JOIN
+    "q_video_sigs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 + 9 AS INTEGER) AS w,
+        |    CAST(n_chars % 3 + 8 AS INTEGER) AS h,
+        |    repeat(md5(text), 34) AS hxA,
+        |    repeat(md5(text || 'B'), 34) AS hxB,
+        |    doc_id % 5 = 4 AS bad
+        |  FROM documents
+        |), vids AS (
+        |  SELECT doc_id * 2 + v AS media_id, w, h, v, hxA, hxB, bad
+        |  FROM d, (SELECT unnest([0, 1]) AS v)
+        |), frames AS (
+        |  SELECT media_id, w, h, k,
+        |    CASE WHEN k = 0 OR v = 0 THEN hxA ELSE hxB END AS src,
+        |    k * 2 * (w * h * 3) AS off
+        |  FROM vids, (SELECT unnest([0, 1]) AS k)
+        |  WHERE NOT bad
+        |), pix AS (
+        |  SELECT media_id, k, w, h, i % w AS x, i // w AS y,
+        |    ascii(substr(src, CAST(off + i + 1 AS INTEGER), 1)) AS g
+        |  FROM (SELECT media_id, k, w, h, src, off,
+        |          unnest(range(0, CAST(w*h AS BIGINT))) AS i
+        |        FROM frames)
+        |), cells AS (
+        |  SELECT media_id, k,
+        |    (len(list_filter(range(7), c -> (c*h)//7 <= y)) - 1) * 9
+        |      + (len(list_filter(range(9), c -> (c*w)//9 <= x)) - 1) AS cell,
+        |    CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM pix GROUP BY 1, 2, 3
+        |), arrs AS (
+        |  SELECT media_id, k, list(s ORDER BY cell) AS ss, list(c ORDER BY cell) AS cc
+        |  FROM cells GROUP BY media_id, k
+        |), sigs AS (
+        |  SELECT media_id, k,
+        |    CAST(list_sum(list_transform(range(0, 56), i ->
+        |      CASE WHEN ss[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |              > ss[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |           ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM arrs
+        |)
+        |SELECT v.media_id,
+        |  CASE WHEN v.bad THEN NULL ELSE 'y4m' END AS format,
+        |  CASE WHEN v.bad THEN NULL ELSE v.w END AS width,
+        |  CASE WHEN v.bad THEN NULL ELSE v.h END AS height,
+        |  CASE WHEN v.bad THEN NULL ELSE CAST(3 AS BIGINT) END AS n_frames,
+        |  CASE WHEN v.bad THEN NULL ELSE CAST(2 AS BIGINT) END AS n_sampled,
+        |  CAST(s.k AS BIGINT) AS k, s.sig AS sig
+        |FROM vids v LEFT JOIN sigs s ON v.media_id = s.media_id
+        |ORDER BY v.media_id, s.k""".stripMargin,
+
+    // video near-dup pairs: the oracle re-mines on the production 9x8
+    // grid — per-frame 64 bits compared as bit LISTS (no 64-bit pack
+    // needed), distinct per video, equi-joined across videos, shared
+    // counts grouped — the inverted-list shape the engine runs
+    "q_video_sig_dup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 + 9 AS INTEGER) AS w,
+        |    CAST(n_chars % 3 + 8 AS INTEGER) AS h,
+        |    repeat(md5(text), 34) AS hxA,
+        |    repeat(md5(text || 'B'), 34) AS hxB,
+        |    doc_id % 5 = 4 AS bad
+        |  FROM documents
+        |), vids AS (
+        |  SELECT doc_id * 2 + v AS media_id, w, h, v, hxA, hxB
+        |  FROM d, (SELECT unnest([0, 1]) AS v)
+        |  WHERE NOT bad
+        |), frames AS (
+        |  SELECT media_id, w, h, k,
+        |    CASE WHEN k = 0 OR v = 0 THEN hxA ELSE hxB END AS src,
+        |    k * 2 * (w * h * 3) AS off
+        |  FROM vids, (SELECT unnest([0, 1]) AS k)
+        |), pix AS (
+        |  SELECT media_id, k, w, h, i % w AS x, i // w AS y,
+        |    ascii(substr(src, CAST(off + i + 1 AS INTEGER), 1)) AS g
+        |  FROM (SELECT media_id, k, w, h, src, off,
+        |          unnest(range(0, CAST(w*h AS BIGINT))) AS i
+        |        FROM frames)
+        |), cells AS (
+        |  SELECT media_id, k,
+        |    (len(list_filter(range(8), c -> (c*h)//8 <= y)) - 1) * 9
+        |      + (len(list_filter(range(9), c -> (c*w)//9 <= x)) - 1) AS cell,
+        |    CAST(sum(g) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM pix GROUP BY 1, 2, 3
+        |), arrs AS (
+        |  SELECT media_id, k, list(s ORDER BY cell) AS ss, list(c ORDER BY cell) AS cc
+        |  FROM cells GROUP BY media_id, k
+        |), sigset AS (
+        |  SELECT DISTINCT media_id,
+        |    CAST(list_transform(range(0, 64), i ->
+        |      CASE WHEN ss[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |              > ss[CAST((i//8)*9 + (i%8) + 1 AS INTEGER)]
+        |                 * cc[CAST((i//8)*9 + (i%8) + 2 AS INTEGER)]
+        |           THEN 1 ELSE 0 END) AS VARCHAR) AS sig
+        |  FROM arrs
+        |)
+        |SELECT id_a, id_b, CAST(count(*) AS INTEGER) AS n_shared
+        |FROM (SELECT a.media_id AS id_a, b2.media_id AS id_b
+        |      FROM sigset a JOIN sigset b2
+        |        ON a.sig = b2.sig AND a.media_id < b2.media_id)
+        |GROUP BY id_a, id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // PCM decode: data chunk = the document's UTF-8 bytes (ASCII corpus),
     // so samples recompute from text positions — channel c of frame f at

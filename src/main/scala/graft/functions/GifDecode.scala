@@ -397,7 +397,15 @@ object GifDecode {
     * canvas. The canvas starts as the header's background color (black
     * when the background index is missing or out of table).
     */
-  def decodeFrames(bytes: Array[Byte], every: Int): InternalRow = {
+  def decodeFrames(bytes: Array[Byte], every: Int): InternalRow =
+    decodeFrames(bytes, every, null)
+
+  /** Animated decode with an optional streaming [[FrameSink]] tap
+    * (per-frame signature consumers see each SAMPLED composited canvas);
+    * `sink` null-safe — the stats fold is byte-identical without it.
+    */
+  private[graft] def decodeFrames(
+      bytes: Array[Byte], every: Int, sink: FrameSink): InternalRow = {
     if (bytes.length < 14) return null
     if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
       bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a')
@@ -566,6 +574,7 @@ object GifDecode {
             }
             thumb = sbuf.toString
             nSampled += 1
+            if (sink != null) sink.acceptCanvas(canvas, sw, sh)
           }
           nFrames += 1
           if (nFrames > MaxFrames) return null

@@ -110,13 +110,81 @@ object ImageDHash {
       }
       cy += 1
     }
+    packBits(sums, cnts, gw, gh) // meanR > meanL per adjacent pair, division-free
+  }
+
+  /** dHash over a single-byte GRAY plane at `base` (the Y4M luma shape):
+    * same floor cells, cross-multiplied means, row-major packing as
+    * [[hashRaster]] — gray is the plane byte itself. Caller guarantees
+    * w ≥ gw, h ≥ gh.
+    */
+  private[graft] def hashLuma(
+      bytes: Array[Byte], base: Int, w: Int, h: Int, gw: Int, gh: Int): Long = {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val ylo = cy * h / gh; val yhi = (cy + 1) * h / gh
+      var cx = 0
+      while (cx < gw) {
+        val xlo = cx * w / gw; val xhi = (cx + 1) * w / gw
+        var s = 0L
+        var y = ylo
+        while (y < yhi) {
+          var x = xlo
+          while (x < xhi) { s += bytes(base + y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        sums(cy * gw + cx) = s
+        cnts(cy * gw + cx) = (xhi - xlo).toLong * (yhi - ylo)
+        cx += 1
+      }
+      cy += 1
+    }
+    packBits(sums, cnts, gw, gh)
+  }
+
+  /** dHash over a packed-0xRRGGBB canvas (the composited-GIF shape):
+    * gray = r + g + b, same cells/bits. Caller guarantees w ≥ gw,
+    * h ≥ gh.
+    */
+  private[graft] def hashPacked(
+      px: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Long = {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val ylo = cy * h / gh; val yhi = (cy + 1) * h / gh
+      var cx = 0
+      while (cx < gw) {
+        val xlo = cx * w / gw; val xhi = (cx + 1) * w / gw
+        var s = 0L
+        var y = ylo
+        while (y < yhi) {
+          var x = xlo
+          while (x < xhi) {
+            val v = px(y * w + x)
+            s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(cy * gw + cx) = s
+        cnts(cy * gw + cx) = (xhi - xlo).toLong * (yhi - ylo)
+        cx += 1
+      }
+      cy += 1
+    }
+    packBits(sums, cnts, gw, gh)
+  }
+
+  private def packBits(sums: Array[Long], cnts: Array[Long], gw: Int, gh: Int): Long = {
     var hashv = 0L
-    cy = 0
+    var cy = 0
     while (cy < gh) {
       var cx = 0
       while (cx < gw - 1) {
         val l = cy * gw + cx; val r = l + 1
-        // meanR > meanL, division-free
         if (sums(r) * cnts(l) > sums(l) * cnts(r))
           hashv |= 1L << (cy * (gw - 1) + cx)
         cx += 1

@@ -14,6 +14,19 @@ package graft.functions
   * The decode's null contract is unchanged: a consumer must discard
   * sink state whenever the decode itself returns null.
   */
+/** Streaming tap on a frame-sampling walk — the video analog of
+  * [[MixSink]]: [[Y4mSample]] calls `acceptLuma` with each SAMPLED
+  * frame's luma plane in place (no copy), [[GifDecode.decodeFrames]]
+  * calls `acceptCanvas` with each sampled COMPOSITED canvas. Consumers
+  * ([[VideoFrameSigs]]) fold per-frame reductions without a second
+  * container walk. A consumer must discard sink state whenever the
+  * walk itself returns null.
+  */
+private[graft] trait FrameSink {
+  def acceptLuma(bytes: Array[Byte], off: Int, w: Int, h: Int): Unit
+  def acceptCanvas(canvas: Array[Int], w: Int, h: Int): Unit
+}
+
 private[graft] trait MixSink {
   /** Declared inter-channel frame total (PCM: data size / block align;
     * FLAC: STREAMINFO total samples — 0 means UNKNOWN, and streaming

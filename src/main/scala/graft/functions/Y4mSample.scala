@@ -75,7 +75,13 @@ object Y4mSample {
     true
   }
 
-  def sample(bytes: Array[Byte], step: Int): InternalRow = {
+  def sample(bytes: Array[Byte], step: Int): InternalRow = sample(bytes, step, null)
+
+  /** Sample with an optional streaming [[FrameSink]] tap (per-frame
+    * signature consumers); `sink` null-safe — the stats fold is
+    * byte-identical with or without it.
+    */
+  private[graft] def sample(bytes: Array[Byte], step: Int, sink: FrameSink): InternalRow = {
     if (!startsWith(bytes, 0, Magic)) return null
     var i = Magic.length
     var w = -1; var h = -1; var c444 = false
@@ -132,6 +138,7 @@ object Y4mSample {
           if (v > yPeak) yPeak = v
           p += 1
         }
+        if (sink != null) sink.acceptLuma(bytes, i, w, h)
       }
       i += frameBytes.toInt
       frames += 1

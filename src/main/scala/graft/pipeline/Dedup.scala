@@ -1063,6 +1063,45 @@ object Dedup {
         "digests first, or lower maxHamming")
   }
 
+  /** VIDEO near-dup pairs over per-frame perceptual signatures
+    * ([[graft.functions.VideoFrameSigs]]: every step-th sampled frame's
+    * dHash): two clips pair when they SHARE any sampled frame hash —
+    * the inverted-list shape (explode signatures → equi-join on the
+    * hash value), never all-pairs. Emits (id_a, id_b, n_shared) with
+    * n_shared = distinct shared signature values. Payloads neither
+    * container walk claims (or with below-grid frames) emit no
+    * signatures and join nothing. Same fail-fast candidate-volume
+    * contract as every other pair emitter — a corpus of near-identical
+    * clips (constant-color frames) saturates the hash buckets exactly
+    * like saturated LSH bands.
+    */
+  def videoFrameSigPairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      step: Int = 2,
+      gw: Int = 9,
+      gh: Int = 8,
+      maxCandidates: Option[Long] = None): DataFrame = {
+    val sigs = pin(media
+      .select(
+        col(idCol).as("__id"),
+        graft.functions.VideoFrameSigs(col(payloadCol), step, gw, gh)
+          .getField("sigs").as("__sigs"))
+      .filter(col("__sigs").isNotNull)
+      .select(col("__id"), explode(array_distinct(col("__sigs"))).as("__sig")))
+    selfPairGuard(sigs, Seq("__sig"), maxCandidates, "videoFrameSigPairs",
+      "signature buckets are saturated (near-identical frames — e.g. " +
+        "constant-color clips); run exact dedup on payload digests first, " +
+        "or use a finer hash grid")
+    val l = sigs.select(col("__sig"), col("__id").as("id_a"))
+    val r = sigs.select(col("__sig"), col("__id").as("id_b"))
+    l.join(r, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+  }
+
   /** Connected components over a near-dup pair frame — the step that turns
     * pairwise similarity (MinHash/SimHash/embedding pairs) into dedup
     * GROUPS: transitive closure assigns every document the minimum id of

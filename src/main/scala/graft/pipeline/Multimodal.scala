@@ -913,6 +913,52 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  /** VIDEO near-dup PAIRS table for the frame-signature gate: per doc,
+    * two 3-frame YUV4MPEG2 clips (C444, the codec-free exact format)
+    * that SHARE frame 0 — clip A's frames all derive from md5(text),
+    * clip B reuses A's frame 0 but draws frames 1-2 from md5(text||'B').
+    * At sampling step 2 the sampled set is {0, 2}: the shared frame is
+    * sampled, the differing tail frame too, so the planted pair mines
+    * on exactly one shared signature. Frame dims 9..12 × 8..10 clear
+    * both the 9×7 and 9×8 hash grids. Every fifth doc is raw text
+    * (signatures nothing, joins nothing). Pure DSL — the payload is
+    * concatenative, no encoder step needed.
+    */
+  def mediaTableVideoPairs(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 4 + 9).cast("int")
+    val h = (col("n_chars") % 3 + 8).cast("int")
+    val fb = w * h * 3
+    val hxA = repeat(md5(col("text")), 34)
+    val hxB = repeat(md5(concat(col("text"), lit("B"))), 34)
+    def frame(hx: org.apache.spark.sql.Column, k: Int) =
+      concat(lit("FRAME\n"), hx.substr(fb * k + 1, fb))
+    val header = concat(
+      lit("YUV4MPEG2 W"), w.cast("string"),
+      lit(" H"), h.cast("string"), lit(" F25:1 C444\n"))
+    val clipA = encode(
+      concat(header, frame(hxA, 0), frame(hxA, 1), frame(hxA, 2)), "UTF-8")
+    val clipB = encode(
+      concat(header, frame(hxA, 0), frame(hxB, 1), frame(hxB, 2)), "UTF-8")
+    val bad = col("doc_id") % 5 === 4
+    val raw = encode(col("text"), "UTF-8")
+    docs
+      .select(
+        col("text"),
+        explode(array(
+          struct((col("doc_id") * 2).as("media_id"),
+            when(bad, raw).otherwise(clipA).as("body")),
+          struct((col("doc_id") * 2 + 1).as("media_id"),
+            when(bad, raw).otherwise(clipB).as("body"))))
+          .as("v"))
+      .select(
+        col("v.media_id").as("media_id"),
+        col("v.body").as("payload"),
+        struct(
+          length(col("text")).as("size_bytes"),
+          lit("pairgen").as("origin"),
+          lit("y4m").as("codec")).as("meta"))
+  }
+
   /** Synthesize a baseline-JPEG media table from the SAME md5-hex raster
     * convention as [[mediaTablePng]] (RGB only — JPEG has no alpha),
     * encoded through `javax.imageio` at a fixed quality, carrying the
