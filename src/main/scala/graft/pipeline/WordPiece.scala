@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the [[Bpe.trainMerges]] pattern — ONE distributed
   * word-count aggregation + top-`vocabCap` selection, then a driver
-  * loop over the capped vocab (the oracle-replayable rescan form;
-  * [[Bpe.trainMergesIndexed]]'s delta bookkeeping is the upgrade path
-  * if 16k+ merge WordPiece training is ever needed).
+  * loop over the capped vocab. [[train]] is the oracle-replayable
+  * rescan form the gate runs; [[trainIndexed]] is the delta-update form
+  * for 16k+ merge vocabularies (output spec-pinned identical).
   */
 object WordPiece {
 
@@ -144,6 +144,162 @@ object WordPiece {
         merges += mergeSym(x, y)
         var k = 0
         while (k < seqs.length) { seqs(k) = applyRule(seqs(k), x, y); k += 1 }
+      }
+    }
+    alphabet.toSeq ++ merges.toSeq
+  }
+
+  /** The INDEXED trainer (VERDICT r18 #6) — [[Bpe.trainMergesIndexed]]'s
+    * TreeSet-argmax + delta-update bookkeeping ported to the
+    * LIKELIHOOD-RATIO argmax, so 16k+ merge WordPiece vocabularies train
+    * at the BPE trainer's speed instead of rescanning the whole capped
+    * vocab per merge. Output is IDENTICAL to [[train]] (spec-pinned on
+    * the gate corpus and on a Zipf pseudo-corpus at 2k+ merges); the
+    * gate itself stays on the oracle-replayable rescan form.
+    *
+    * The likelihood score c(xy)/(c(x)·c(y)) differs from BPE's raw count
+    * in one structural way: it depends on SYMBOL counts, which a merge
+    * changes — so beyond the pairs whose counts were delta'd in affected
+    * words, every surviving pair CONTAINING a count-changed symbol must
+    * be re-scored. A symbol→pairs index (`symPairs`) makes that set
+    * exact; scores are recomputed with the same double expression as the
+    * rescan (ratio of exact longs — bit-identical argmax, same
+    * (score DESC, count DESC, x, y) tiebreak).
+    */
+  def trainIndexed(
+      docs: DataFrame,
+      textCol: String,
+      vocabCap: Int = 2048,
+      maxMerges: Int = 48,
+      minPairCount: Long = 2L): Seq[String] = {
+    require(vocabCap > 0 && maxMerges >= 0 && minPairCount >= 1)
+    val vocab = docs
+      .select(explode(Bpe.wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seqs: Array[Array[String]] = vocab.map(v => toSymbols(v._1))
+    val counts = vocab.map(_._2)
+    val alphabet = scala.collection.SortedSet.empty[String] ++ seqs.iterator.flatten
+
+    val symCount = scala.collection.mutable.HashMap.empty[String, Long]
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val symPairs = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[(String, String)]]
+    def adjacencies(t: Array[String]): Iterator[(String, String)] =
+      (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+
+    def applyPairDelta(k: (String, String), delta: Long): Unit = {
+      val old = pairCount.getOrElse(k, 0L)
+      val nw = old + delta
+      if (nw > 0) {
+        pairCount(k) = nw
+        if (old == 0) {
+          symPairs.getOrElseUpdate(k._1, scala.collection.mutable.HashSet.empty) += k
+          symPairs.getOrElseUpdate(k._2, scala.collection.mutable.HashSet.empty) += k
+        }
+      } else {
+        pairCount.remove(k)
+        pairWords.remove(k)
+        if (old > 0) {
+          symPairs.get(k._1).foreach(_ -= k)
+          symPairs.get(k._2).foreach(_ -= k)
+        }
+      }
+    }
+
+    var j = 0
+    while (j < seqs.length) {
+      val c = counts(j)
+      seqs(j).foreach(s => symCount.update(s, symCount.getOrElse(s, 0L) + c))
+      adjacencies(seqs(j)).foreach { k =>
+        applyPairDelta(k, c)
+        pairWords.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += j
+      }
+      j += 1
+    }
+
+    // (score DESC, count DESC, x ASC, y ASC): head() IS the rescan argmax
+    implicit val ord: Ordering[(Double, Long, String, String)] =
+      Ordering.Tuple4(
+        Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse,
+        Ordering.String, Ordering.String)
+    val sorted = scala.collection.mutable.TreeSet.empty[(Double, Long, String, String)]
+    val entry = scala.collection.mutable.HashMap.empty[(String, String), (Double, Long)]
+
+    // the rescan's exact double expression — bit-identical scores
+    def scoreOf(k: (String, String), c: Long): Double =
+      c.toDouble / (symCount(k._1).toDouble * symCount(k._2).toDouble)
+
+    def refresh(k: (String, String)): Unit = {
+      entry.remove(k).foreach { case (s, c) => sorted -= ((s, c, k._1, k._2)) }
+      val c = pairCount.getOrElse(k, 0L)
+      if (c >= minPairCount) {
+        val s = scoreOf(k, c)
+        sorted += ((s, c, k._1, k._2))
+        entry(k) = (s, c)
+      }
+    }
+    pairCount.keysIterator.toArray.foreach(refresh)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    while (!stop && merges.length < maxMerges) {
+      if (sorted.isEmpty) stop = true
+      else {
+        val (_, _, x, y) = sorted.head
+        merges += mergeSym(x, y)
+        val pair = (x, y)
+        val dirty = scala.collection.mutable.HashSet.empty[(String, String)]
+        val changedSyms = scala.collection.mutable.HashSet.empty[String]
+        val affected = pairWords.get(pair).map(_.toArray).getOrElse(Array.empty)
+        var a = 0
+        while (a < affected.length) {
+          val idx = affected(a)
+          val before = seqs(idx)
+          val after = applyRule(before, x, y)
+          if (after ne before) {
+            val c = counts(idx)
+            // net pair deltas for this word (transient zero-sum churn on
+            // unrelated pairs stays out of the dirty set)
+            val pd = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            adjacencies(before).foreach(k => pd.update(k, pd.getOrElse(k, 0L) - c))
+            adjacencies(after).foreach(k => pd.update(k, pd.getOrElse(k, 0L) + c))
+            adjacencies(after).foreach(k =>
+              pairWords.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += idx)
+            pd.foreach { case (k, d) =>
+              if (d != 0L) { applyPairDelta(k, d); dirty += k }
+            }
+            val sd = scala.collection.mutable.HashMap.empty[String, Long]
+            before.foreach(s => sd.update(s, sd.getOrElse(s, 0L) - c))
+            after.foreach(s => sd.update(s, sd.getOrElse(s, 0L) + c))
+            sd.foreach { case (s, d) =>
+              if (d != 0L) {
+                val nw = symCount.getOrElse(s, 0L) + d
+                if (nw > 0) symCount(s) = nw else symCount.remove(s)
+                changedSyms += s
+              }
+            }
+            seqs(idx) = after
+          }
+          a += 1
+        }
+        // every surviving pair containing a count-changed symbol is
+        // re-scored — the likelihood ratio moved even where the pair
+        // count did not
+        changedSyms.foreach(s => symPairs.get(s).foreach(dirty ++= _))
+        dirty.foreach(refresh)
+        // defensively force-drop the merged pair (its deltas drove it to
+        // zero; an accounting bug must never re-pick the same head)
+        pairWords.remove(pair)
+        pairCount.remove(pair)
+        entry.remove(pair).foreach { case (s, c) => sorted -= ((s, c, x, y)) }
+        symPairs.get(x).foreach(_ -= pair)
+        symPairs.get(y).foreach(_ -= pair)
       }
     }
     alphabet.toSeq ++ merges.toSeq

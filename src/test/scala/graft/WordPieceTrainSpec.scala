@@ -76,4 +76,37 @@ class WordPieceTrainSpec extends SparkSpec {
     }.reduce((p, q) => (p._1 + q._1, p._2 + q._2))
     assert(full < chars, s"merges must shorten the stream ($full vs $chars)")
   }
+
+  test("trainIndexed === train: hand corpus, gate corpus, several configs") {
+    val hand = docs(
+      "the then that there those them they math hat tooth",
+      "qz qz qz", "abab abab cdcd")
+    assert(WordPiece.trainIndexed(hand, "text", vocabCap = 20, maxMerges = 12) ===
+      WordPiece.train(hand, "text", vocabCap = 20, maxMerges = 12))
+    val corpus = graft.core.Tables.documents(spark, sf("sf0.001"))
+    for ((cap, mm, mpc) <- Seq((2048, 48, 2L), (300, 200, 2L), (100, 500, 1L))) {
+      val rescan = WordPiece.train(corpus, "text", cap, mm, mpc)
+      val indexed = WordPiece.trainIndexed(corpus, "text", cap, mm, mpc)
+      assert(indexed === rescan, s"cap=$cap maxMerges=$mm minPairCount=$mpc")
+    }
+  }
+
+  test("trainIndexed === train on a Zipf pseudo-corpus at 2k+ merges") {
+    // the configuration the indexed trainer EXISTS for (VERDICT r18 #6):
+    // a production-shaped corpus with thousands of likelihood-argmax
+    // picks — delta-updated symbol counts, symbol->pair re-scoring and
+    // the TreeSet head must replay the rescan bit-for-bit
+    val pseudo = graft.tools.ZipfCorpus.build(spark, nDocs = 8000)
+    val t0 = System.nanoTime()
+    val indexed = WordPiece.trainIndexed(pseudo, "text",
+      vocabCap = 8192, maxMerges = 2048, minPairCount = 2L)
+    val t1 = System.nanoTime()
+    val rescan = WordPiece.train(pseudo, "text",
+      vocabCap = 8192, maxMerges = 2048, minPairCount = 2L)
+    val t2 = System.nanoTime()
+    assert(indexed === rescan)
+    assert(indexed.length > 2048, s"trained only ${indexed.length - 2048} merges")
+    info(f"indexed ${(t1 - t0) / 1e9}%.1f s vs rescan ${(t2 - t1) / 1e9}%.1f s " +
+      f"(${(t2 - t1).toDouble / math.max(t1 - t0, 1)}%.1fx)")
+  }
 }
