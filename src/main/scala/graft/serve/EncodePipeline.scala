@@ -27,6 +27,17 @@ package graft.serve
   */
 object EncodePipeline {
 
+  /** The budgeted pipe's consumer handle: iteration + close, plus the
+    * DEFERRED-RELEASE seam — in `releaseOnTake = false` mode the
+    * consumer gives result bytes back with [[release]] as it actually
+    * drains them (e.g. chunk by chunk within a partition result), so a
+    * taken-but-undrained fat result keeps gating admissions instead of
+    * silently leaving the budget the moment it is dequeued.
+    */
+  trait OrderedPipe[B] extends Iterator[B] with AutoCloseable {
+    def release(n: Long): Unit
+  }
+
   /** `it.map(f)` with `f` evaluated `parallelism`-wide, results in input
     * order. `parallelism <= 1` degrades to a plain serial map (the A/B's
     * off arm and the conservative default for tiny results). Always
@@ -62,14 +73,16 @@ object EncodePipeline {
     */
   def mapOrderedBudgeted[A, B](
       it: Iterator[A], parallelism: Int,
-      maxBufferedBytes: Long, sizeOf: B => Long)(f: A => B): Iterator[B] with AutoCloseable = {
-    if (parallelism <= 1) new Iterator[B] with AutoCloseable {
+      maxBufferedBytes: Long, sizeOf: B => Long,
+      releaseOnTake: Boolean = true)(f: A => B): OrderedPipe[B] = {
+    if (parallelism <= 1) new OrderedPipe[B] {
       private val m = it.map(f)
       def hasNext: Boolean = m.hasNext
       def next(): B = m.next()
       def close(): Unit = ()
+      def release(n: Long): Unit = ()
     }
-    else new Iterator[B] with AutoCloseable {
+    else new OrderedPipe[B] {
       private val bufferedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
       // submission-time accounting: estimates reserved for in-flight
       // tasks + the EWMA estimator over completed result sizes
@@ -129,7 +142,10 @@ object EncodePipeline {
         if (!hasNext) throw new NoSuchElementException
         try {
           val b = inFlight.removeFirst().get()
-          bufferedBytes.addAndGet(-sizeOf(b))
+          // deferred mode (releaseOnTake false): the consumer keeps the
+          // result inside the budget until it release()s the bytes it
+          // has actually drained — a taken fat result still gates
+          if (releaseOnTake) bufferedBytes.addAndGet(-sizeOf(b))
           b
         } catch {
           case e: java.util.concurrent.ExecutionException =>
@@ -143,6 +159,8 @@ object EncodePipeline {
         inFlight.clear()
         pool.shutdownNow() // queued tasks dropped; running encodes finish and the threads exit
       }
+
+      def release(n: Long): Unit = bufferedBytes.addAndGet(-n)
     }
   }
 }

@@ -237,9 +237,15 @@ object Prefetch {
     val maxBuffered = df.sparkSession.conf
       .get("spark.graft.serve.pump.maxBufferedBytes",
         DefaultMaxBufferedBytes.toString).toLong
+    // INTRA-PARTITION release (r18 builder note / VERDICT r19 brief #7):
+    // a taken partition result stays inside the byte budget and is
+    // released ROW BY ROW as the drain actually consumes it
+    // (proportional integer shares — Σ increments == the exact total),
+    // so a fat result being slowly drained keeps gating admissions
+    // instead of leaving the budget the moment it is dequeued.
     val parts = EncodePipeline.mapOrderedBudgeted(
       (0 until n).iterator, window, maxBuffered,
-      (r: (Array[Row], Long)) => r._2) { p =>
+      (r: (Array[Row], Long)) => r._2, releaseOnTake = false) { p =>
       jobGroup.foreach { case (g, d) =>
         sc.setJobGroup(g, d, interruptOnCancel = true)
       }
@@ -263,16 +269,27 @@ object Prefetch {
     }
     new Iterator[Row] with AutoCloseable {
       private var cur: Array[Row] = null
+      private var curBytes = 0L
       private var pos = 0
       def hasNext: Boolean = {
         while ((cur == null || pos >= cur.length) && parts.hasNext) {
-          cur = parts.next()._1; pos = 0
+          // an empty partition (or a zero-size estimate) releases whole
+          val taken = parts.next()
+          cur = taken._1; curBytes = taken._2; pos = 0
+          if (cur.isEmpty && curBytes > 0) { parts.release(curBytes); curBytes = 0 }
         }
         cur != null && pos < cur.length
       }
       def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val r = cur(pos); pos += 1; r
+        val r = cur(pos)
+        // proportional share: bytes·(pos+1)/len − bytes·pos/len; the
+        // increments telescope to exactly curBytes over the partition
+        val len = cur.length
+        parts.release(
+          curBytes * (pos + 1) / len - curBytes * pos.toLong / len)
+        pos += 1
+        r
       }
       def close(): Unit = parts.close()
     }

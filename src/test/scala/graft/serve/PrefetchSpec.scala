@@ -205,6 +205,35 @@ class PrefetchSpec extends graft.SparkSpec {
     } finally { latch.countDown(); it.close() }
   }
 
+  test("byte budget: deferred release keeps a TAKEN result inside the budget until drained") {
+    // releaseOnTake = false: results the consumer has DEQUEUED but not
+    // yet release()d stay inside the budget — after the warm-up window
+    // (estimate 0 admits parallelism+1) completes and four results are
+    // taken without release, buffered bytes still exceed the budget and
+    // no further task may start; release() reopens admission
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val it = EncodePipeline.mapOrderedBudgeted(
+      (0 until 10).iterator, 4, 1500L, (_: Int) => 1000L,
+      releaseOnTake = false) { i => started.incrementAndGet(); i * 2 }
+    try {
+      // take 4 of the 5 warm-up results, releasing NOTHING: buffered
+      // stays 5000 (4 held by the consumer + 1 still in the deque)
+      assert((0 until 4).map(_ => it.next()) === (0 until 4).map(_ * 2))
+      assert(it.hasNext) // triggers fill: 5000 >= 1500 must gate
+      Thread.sleep(150)
+      assert(started.get() === 5,
+        s"taken-but-unreleased results must keep gating, started ${started.get()}")
+      it.release(4000L) // the consumer drained the four taken results
+      assert(it.hasNext) // fill: 1000 < 1500 reopens admission
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (started.get() <= 5 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(started.get() > 5, "release must reopen admission")
+      (4 until 10).foreach { i => assert(it.next() === i * 2); it.release(1000L) }
+      assert(!it.hasNext)
+      assert(started.get() === 10)
+    } finally it.close()
+  }
+
   test("byte budget: a starved pump window still yields the exact row sequence") {
     // budget 1 byte < any partition result: every fetch degrades to
     // serial, output must stay row-identical to the healthy window
