@@ -2279,6 +2279,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- LOSSLESS WebP (VP8L), decoded from scratch: LSB-first
+    //      bitstream, canonical prefix codes (simple + code-length-coded
+    //      with repeats), color cache, LZ77 plain backward references,
+    //      and all four transforms (14 predictor modes, color,
+    //      subtract-green, color-indexing with bundling). The generator
+    //      is graft's own VP8L ENCODER (no JDK WebP writer exists) —
+    //      arms cycle every decoder feature; VP8L is lossless, so the
+    //      gate is HASH-EXACT on sums, alpha and the positioned thumb.
+    //      Raw text and truncated payloads are the null mix ------------
+    "q_multimodal_webp" -> ((s, dir) => {
+      import graft.functions.WebpDecode
+      Multimodal.mediaTableWebp(s, Tables.documents(s, dir))
+        .select(col("media_id"), WebpDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
+          col("__d.sum_a").as("sum_a"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
     // ---- VIDEO FRAME SIGNATURES: frame sampling composed with the
     //      dHash primitive — every 2nd frame's luma dHash on a 9x7 grid
     //      (56 bits: the signature long stays BIGINT-exact in the
@@ -5562,6 +5588,61 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(y) AS BIGINT) END AS y_sum,
         |  CASE WHEN bad THEN NULL ELSE CAST(list_max(y) AS INTEGER) END AS y_peak
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // lossless WebP: the oracle recomputes the exact ARGB pixels from
+    // each arm's derivation (the transforms are invisible — lossless):
+    // 0/1 ARGB quads from the hex chars, 2 the shared palette formula
+    // over idx%4, 3 row-constant, 4 two-tone by parity, 5/6 RGB triples
+    "q_multimodal_webp" -> {
+      def ch(name: String, palM: Int, palA: Int, o3: Int, o4: Int): String =
+        s"""CASE arm
+           |        WHEN 2 THEN ((ascii(substr(hx, CAST(i+1 AS INTEGER), 1)) % 4) * $palM + $palA) % 256
+           |        WHEN 3 THEN ascii(substr(hx, CAST(3*(i//w)+$o3 AS INTEGER), 1))
+           |        WHEN 4 THEN ascii(substr(hx, CAST(3*(i%2)+$o3 AS INTEGER), 1))
+           |        WHEN 5 THEN ascii(substr(hx, CAST(3*i+$o3 AS INTEGER), 1))
+           |        WHEN 6 THEN ascii(substr(hx, CAST(3*i+$o3 AS INTEGER), 1))
+           |        ELSE ascii(substr(hx, CAST(4*i+$o4 AS INTEGER), 1)) END""".stripMargin
+      val rE = ch("r", 7, 13, 1, 2)
+      val gE = ch("g", 11, 5, 2, 3)
+      val bE = ch("b", 3, 77, 3, 4)
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
+         |    CAST(n_chars % 7 + 4 AS INTEGER) AS h,
+         |    CAST(doc_id % 7 AS INTEGER) AS arm,
+         |    repeat(md5(text), 16) AS hx,
+         |    (doc_id % 11 = 5 OR doc_id % 13 = 3) AS bad
+         |  FROM documents
+         |), px AS (
+         |  SELECT media_id, w, h, arm, bad,
+         |    CASE WHEN bad THEN NULL ELSE
+         |      list_transform(range(0, CAST(w*h AS BIGINT)), i -> $rE) END AS rs,
+         |    CASE WHEN bad THEN NULL ELSE
+         |      list_transform(range(0, CAST(w*h AS BIGINT)), i -> $gE) END AS gs,
+         |    CASE WHEN bad THEN NULL ELSE
+         |      list_transform(range(0, CAST(w*h AS BIGINT)), i -> $bE) END AS bs,
+         |    CASE WHEN bad THEN NULL
+         |      WHEN arm <= 1 THEN list_transform(range(0, CAST(w*h AS BIGINT)),
+         |        i -> ascii(substr(hx, CAST(4*i+1 AS INTEGER), 1)))
+         |      ELSE list_transform(range(0, CAST(w*h AS BIGINT)), i -> 255) END AS as_
+         |  FROM d
+         |)
+         |SELECT media_id,
+         |  CASE WHEN bad THEN NULL ELSE w END AS width,
+         |  CASE WHEN bad THEN NULL ELSE h END AS height,
+         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(rs) AS BIGINT) END AS sum_r,
+         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(gs) AS BIGINT) END AS sum_g,
+         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(bs) AS BIGINT) END AS sum_b,
+         |  CASE WHEN bad THEN NULL ELSE CAST(list_sum(as_) AS BIGINT) END AS sum_a,
+         |  CASE WHEN bad THEN NULL ELSE list_aggregate(list_transform(
+         |    flatten(list_transform([0, 1], ty ->
+         |      list_transform([0, 1], tx -> ((ty*h)//2)*w + (tx*w)//2))),
+         |    p -> printf('%02x%02x%02x',
+         |      rs[CAST(p+1 AS INTEGER)], gs[CAST(p+1 AS INTEGER)],
+         |      bs[CAST(p+1 AS INTEGER)])), 'string_agg', '') END AS thumb_hex
+         |FROM px ORDER BY media_id""".stripMargin
+    },
 
     // video frame signatures: the oracle recomputes each sampled frame's
     // 9x7 luma dHash positionally from the clip derivation (sampled set

@@ -216,6 +216,10 @@ object ImageDHash {
       upright("gif", GifDecode.decodeRaster(bytes), gw, gh)
     } else if (bytes(0) == 'B' && bytes(1) == 'M') {
       upright("bmp", BmpDecode.decodeRaster(bytes), gw, gh)
+    } else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+      bytes(10) == 'B' && bytes(11) == 'P') {
+      upright("webp", WebpDecode.decodeRaster(bytes), gw, gh)
     } else null
   }
 

@@ -117,6 +117,16 @@ object MediaDecode {
       // (width, height, n_px, sum_r, sum_g, sum_b, thumb_hex)
       row("bmp", r.getInt(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(6))
+    } else if (b0 == 'R' && b1 == 'I' && b.length >= 12 &&
+      (b(2) & 0xff) == 'F' && (b(3) & 0xff) == 'F' &&
+      (b(8) & 0xff) == 'W' && (b(9) & 0xff) == 'E' &&
+      (b(10) & 0xff) == 'B' && (b(11) & 0xff) == 'P') {
+      val r = WebpDecode.decode(b)
+      if (r == null) return null
+      // (width, height, n_px, sum_r, sum_g, sum_b, sum_a, thumb_hex) —
+      // alpha dropped to the family schema, like PNG
+      row("webp", r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(7))
     } else if (b0 == 0xff && b1 == 0xd8) {
       // ORIENTED: EXIF orientation is applied (upright geometry, thumb
       // positioned by index remapping; sums are rotation-invariant), so

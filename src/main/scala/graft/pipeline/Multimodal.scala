@@ -913,6 +913,425 @@ object Multimodal {
         col("lang").as("codec")).as("meta"))
   }
 
+  // ---------------------------------------------------------------------
+  // VP8L (lossless WebP) ENCODER — the generator behind the WebP gate.
+  // No independent WebP writer exists on the core JDK (javax.imageio has
+  // none), so like FLAC the encoder and decoder are SEPARATE
+  // implementations sharing only the spec and the transform arithmetic
+  // ([[graft.functions.WebpDecode.predict]]/[[graft.functions.WebpDecode.ctDelta]]
+  // — the forward transform must be the exact inverse of the decoder's,
+  // the way the FLAC encoder shares the CRC routines); the decoder is
+  // additionally pinned on hand-built bit-exact fixtures in
+  // WebpDecodeSpec. The encoding strategy cycles deterministically:
+  // plain literals, subtract-green, color-indexing (bundled and
+  // unbundled), LZ77 left-runs (plain distance codes), a color cache,
+  // a uniform predictor mode, and a uniform color transform — every
+  // decoder feature the gate can drive, each hash-exact (lossless).
+  // ---------------------------------------------------------------------
+
+  /** LSB-first bit writer (VP8L packing); prefix-code bits are written
+    * MSB-first via [[code]].
+    */
+  private final class LsbWriter {
+    private val buf = new java.io.ByteArrayOutputStream(256)
+    private var acc = 0
+    private var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= ((v >> i) & 1) << nb
+        nb += 1
+        if (nb == 8) { buf.write(acc); acc = 0; nb = 0 }
+        i += 1
+      }
+    }
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { put((c >> i) & 1, 1); i -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (nb > 0) { buf.write(acc); acc = 0; nb = 0 }
+      buf.toByteArray
+    }
+  }
+
+  /** Canonical codes from lengths (DEFLATE assignment — by increasing
+    * length then symbol order), mirroring the decoder's builder.
+    */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = lengths.max
+    val blCount = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var c = 0
+    var l = 1
+    while (l <= maxLen) { c = (c + blCount(l - 1)) << 1; nextCode(l) = c; l += 1 }
+    val codes = new Array[Int](lengths.length)
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) > 0) { codes(i) = nextCode(lengths(i)); nextCode(lengths(i)) += 1 }
+      i += 1
+    }
+    codes
+  }
+
+  /** One prefix code in the stream's SIMPLE form (1 symbol, 0 bits per
+    * decode).
+    */
+  private def writeSimple1(bw: LsbWriter, sym: Int): Unit = {
+    bw.put(1, 1) // simple
+    bw.put(0, 1) // num_symbols - 1 = 0
+    if (sym <= 1) { bw.put(0, 1); bw.put(sym, 1) }
+    else { bw.put(1, 1); bw.put(sym, 8) }
+  }
+
+  /** One prefix code in the NORMAL form from explicit per-symbol
+    * lengths, written as literal+16-repeat runs through a complete
+    * uniform-weight code-length code. Lengths must tile the alphabet in
+    * CONTIGUOUS runs of equal values (the uniform layouts below do).
+    */
+  private def writeNormal(bw: LsbWriter, lengths: Array[Int]): Unit = {
+    bw.put(0, 1) // not simple
+    // code-length code over the distinct lengths used + the repeat 16
+    val used = (lengths.distinct.filter(_ > 0) :+ 16).distinct.sorted
+    val u = used.length
+    var clBits = 0
+    while ((1 << clBits) < u) clBits += 1
+    val extras = (1 << clBits) - u // this many get the shorter length
+    val clLengths = new Array[Int](19)
+    used.zipWithIndex.foreach { case (s, i) =>
+      clLengths(s) = if (u == 1) 1 else if (i < extras) clBits - 1 else clBits
+    }
+    val clCodes = canonicalCodes(clLengths)
+    // num_code_lengths = 19 so every symbol's 3-bit length is explicit
+    bw.put(15, 4)
+    val order = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    order.foreach(s => bw.put(clLengths(s), 3))
+    bw.put(0, 1) // no max-symbol shortcut
+    def clSym(s: Int): Unit =
+      if (u > 1) bw.code(clCodes(s), clLengths(s)) // single-symbol: 0 bits
+    // emit runs: literal once, then 16-repeats (3..6 each)
+    var i = 0
+    while (i < lengths.length) {
+      val v = lengths(i)
+      var run = 1
+      while (i + run < lengths.length && lengths(i + run) == v) run += 1
+      clSym(v)
+      var left = run - 1
+      while (left >= 3) {
+        val take = math.min(left, 6)
+        clSym(16); bw.put(take - 3, 2)
+        left -= take
+      }
+      while (left > 0) { clSym(v); left -= 1 }
+      i += run
+    }
+  }
+
+  /** value → (prefix code, extra bit count, extra bits) per the spec's
+    * LZ77 prefix coding.
+    */
+  private def lz77Prefix(value: Int): (Int, Int, Int) = {
+    if (value <= 4) return (value - 1, 0, 0)
+    var extra = 0
+    while (true) {
+      val evenOff = 2 << extra
+      val oddOff = 3 << extra
+      if (value - 1 >= evenOff && value - 1 < oddOff)
+        return (2 * extra + 2, extra, value - 1 - evenOff)
+      if (value - 1 >= oddOff && value - 1 < (2 << (extra + 1)))
+        return (2 * extra + 3, extra, value - 1 - oddOff)
+      extra += 1
+    }
+    throw new IllegalStateException
+  }
+
+  /** Uniform-length layout for a green alphabet of 256 literals + 24
+    * length codes + `cacheSize` cache codes; kraft-complete by
+    * construction for cacheSize 0 and 16.
+    */
+  private def greenLengths(cacheSize: Int): Array[Int] = {
+    val a = new Array[Int](256 + 24 + cacheSize)
+    java.util.Arrays.fill(a, 0, 256, 9) // 256/512
+    if (cacheSize == 0) {
+      java.util.Arrays.fill(a, 256, 264, 5)  // 8/32  = 1/4
+      java.util.Arrays.fill(a, 264, 280, 6)  // 16/64 = 1/4
+    } else {
+      require(cacheSize == 16)
+      java.util.Arrays.fill(a, 256, 264, 5)  // 8/32  = 1/4
+      java.util.Arrays.fill(a, 264, 296, 7)  // 32/128 = 1/4
+    }
+    a
+  }
+
+  /** Entropy-code one image's pixels (0xAARRGGBB): literals through the
+    * uniform green/red/blue codes (constant channels collapse to simple
+    * codes), optional left-run LZ77 (plain distance 1) and optional
+    * 16-entry color cache. Writes the full spatial-image section
+    * (meta-huffman flag only at top level).
+    */
+  private def writePixels(
+      bw: LsbWriter, px: Array[Int], topLevel: Boolean,
+      useLz: Boolean, useCache: Boolean): Unit = {
+    if (topLevel) bw.put(0, 1) // no meta prefix image
+    val cacheBits = 4
+    val cacheSize = if (useCache) 1 << cacheBits else 0
+    if (useCache) { bw.put(1, 1); bw.put(cacheBits, 4) } else bw.put(0, 1)
+
+    def channel(shift: Int): Array[Int] = px.map(p => (p >>> shift) & 0xff)
+    val reds = channel(16); val blues = channel(0); val alphas = channel(24)
+    def constOf(a: Array[Int]): Int = if (a.forall(_ == a(0))) a(0) else -1
+
+    val gl = greenLengths(cacheSize)
+    val gCodes = canonicalCodes(gl)
+    writeNormal(bw, gl)
+    val flat = Array.fill(256)(8)
+    val flatCodes = canonicalCodes(flat)
+    val redC = constOf(reds); val blueC = constOf(blues); val alphaC = constOf(alphas)
+    if (redC >= 0) writeSimple1(bw, redC) else writeNormal(bw, flat)
+    if (blueC >= 0) writeSimple1(bw, blueC) else writeNormal(bw, flat)
+    if (alphaC >= 0) writeSimple1(bw, alphaC) else writeNormal(bw, flat)
+    writeSimple1(bw, 13) // distance: only plain distance 1 (code value 13)
+
+    val cache = if (useCache) new Array[Int](cacheSize) else null
+    val cacheSeen = if (useCache) new Array[Boolean](cacheSize) else null
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      if (useLz && i > 0 && px(i - 1) == p) {
+        var run = 0
+        while (i + run < px.length && px(i + run) == p) run += 1
+        val (lc, leb, lev) = lz77Prefix(run)
+        bw.code(gCodes(256 + lc), gl(256 + lc))
+        bw.put(lev, leb)
+        // distance 1 → plain code 121 → prefix code 13 + 5 extra bits
+        val (dc, deb, dev) = lz77Prefix(121)
+        require(dc == 13)
+        bw.put(dev, deb) // the distance tree itself is 0-bit simple
+        if (cache != null) {
+          val slot = (0x1e35a7bd * p) >>> (32 - cacheBits)
+          cache(slot) = p; cacheSeen(slot) = true
+        }
+        i += run
+      } else {
+        val slot = if (useCache) (0x1e35a7bd * p) >>> (32 - cacheBits) else 0
+        if (useCache && cacheSeen(slot) && cache(slot) == p) {
+          bw.code(gCodes(280 + slot), gl(280 + slot)) // cache hit
+        } else {
+          val g = (p >>> 8) & 0xff
+          bw.code(gCodes(g), gl(g))
+          if (redC < 0) bw.code(flatCodes((p >>> 16) & 0xff), 8)
+          if (blueC < 0) bw.code(flatCodes(p & 0xff), 8)
+          if (alphaC < 0) bw.code(flatCodes((p >>> 24) & 0xff), 8)
+          if (useCache) { cache(slot) = p; cacheSeen(slot) = true }
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    var out = 0
+    var i = 0
+    while (i < 32) {
+      out |= ((((a >>> i) & 0xff) - ((b >>> i) & 0xff)) & 0xff) << i
+      i += 8
+    }
+    out
+  }
+
+  /** Encode an ARGB raster as a lossless-WebP payload. `arm` selects
+    * the decoder feature under test: 0 plain literals, 1 subtract-green,
+    * 2 color-indexing (pixels must index into `palette`), 3 LZ77
+    * left-runs, 4 color cache, 5 uniform predictor `mode`, 6 uniform
+    * color transform `cte`.
+    */
+  private[graft] def encodeVp8l(
+      w: Int, h: Int, argb: Array[Int], arm: Int,
+      palette: Array[Int] = null, mode: Int = 1, cte: Int = 0): Array[Byte] = {
+    import graft.functions.WebpDecode.{ctDelta, predict}
+    val bw = new LsbWriter
+    bw.put(w - 1, 14); bw.put(h - 1, 14)
+    bw.put(0, 1) // alpha hint
+    bw.put(0, 3) // version
+    arm match {
+      case 1 =>
+        bw.put(1, 1); bw.put(2, 2) // subtract-green
+        bw.put(0, 1)
+        val t = argb.map { p =>
+          val g = (p >>> 8) & 0xff
+          (p & 0xff00ff00) |
+            (((((p >>> 16) & 0xff) - g) & 0xff) << 16) | (((p & 0xff) - g) & 0xff)
+        }
+        writePixels(bw, t, topLevel = true, useLz = false, useCache = false)
+      case 2 =>
+        bw.put(1, 1); bw.put(3, 2) // color indexing
+        bw.put(palette.length - 1, 8)
+        // palette is stored subtraction-coded as a palSize x 1 image
+        val delta = palette.zipWithIndex.map { case (p, i) =>
+          if (i == 0) p else subPixels(p, palette(i - 1))
+        }
+        writePixels(bw, delta, topLevel = false, useLz = false, useCache = false)
+        bw.put(0, 1) // end of transforms
+        val widthBits =
+          if (palette.length <= 2) 3 else if (palette.length <= 4) 2
+          else if (palette.length <= 16) 1 else 0
+        val bpp = 8 >> widthBits
+        val packedW = (w + (1 << widthBits) - 1) >> widthBits
+        val byIdx = palette.zipWithIndex.toMap
+        val packed = new Array[Int](packedW * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = byIdx(argb(y * w + x))
+          val pi = y * packedW + (x >> widthBits)
+          val shift = (x & ((1 << widthBits) - 1)) * bpp
+          packed(pi) |= (idx << shift) << 8 // bundled into the green channel
+        }
+        // packed pixels need defined non-green channels: alpha 255
+        var i = 0
+        while (i < packed.length) { packed(i) |= 0xff000000; i += 1 }
+        writePixels(bw, packed, topLevel = true, useLz = false, useCache = false)
+      case 5 =>
+        bw.put(1, 1); bw.put(0, 2) // predictor
+        val tb = 4 // tile size bits (any; mode is uniform)
+        bw.put(tb - 2, 3)
+        val sw = (w + (1 << tb) - 1) >> tb
+        val sh = (h + (1 << tb) - 1) >> tb
+        writePixels(bw, Array.fill(sw * sh)(0xff000000 | (mode << 8)),
+          topLevel = false, useLz = false, useCache = false)
+        bw.put(0, 1)
+        val res = new Array[Int](argb.length)
+        var i = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          res(i) = subPixels(argb(i), predict(mode, argb, w, x, y, i))
+          i += 1
+        }
+        writePixels(bw, res, topLevel = true, useLz = false, useCache = false)
+      case 6 =>
+        bw.put(1, 1); bw.put(1, 2) // color transform
+        val tb = 4
+        bw.put(tb - 2, 3)
+        val sw = (w + (1 << tb) - 1) >> tb
+        val sh = (h + (1 << tb) - 1) >> tb
+        writePixels(bw, Array.fill(sw * sh)(0xff000000 | cte),
+          topLevel = false, useLz = false, useCache = false)
+        bw.put(0, 1)
+        val g2r = cte & 0xff; val g2b = (cte >>> 8) & 0xff; val r2b = (cte >>> 16) & 0xff
+        val t = argb.map { p =>
+          val g = (p >>> 8) & 0xff
+          val red = (p >>> 16) & 0xff
+          val blue = p & 0xff
+          val tr = (red - ctDelta(g2r, g)) & 0xff
+          val tbl = (blue - ctDelta(g2b, g) - ctDelta(r2b, red)) & 0xff
+          (p & 0xff00ff00) | (tr << 16) | tbl
+        }
+        writePixels(bw, t, topLevel = true, useLz = false, useCache = false)
+      case a =>
+        bw.put(0, 1) // no transforms
+        writePixels(bw, argb, topLevel = true, useLz = a == 3, useCache = a == 4)
+    }
+    val payload = Array[Byte](0x2f) ++ bw.bytes
+    val chunkLen = payload.length
+    val bos = new java.io.ByteArrayOutputStream(12 + 8 + chunkLen + 1)
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    bos.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 8 + chunkLen + (chunkLen & 1))
+    bos.write("WEBP".getBytes("US-ASCII"))
+    bos.write("VP8L".getBytes("US-ASCII"))
+    le32(chunkLen)
+    bos.write(payload)
+    if ((chunkLen & 1) == 1) bos.write(0) // RIFF odd-length pad
+    bos.toByteArray
+  }
+
+  /** Synthesize a lossless-WebP media table through [[encodeVp8l]] (the
+    * independent generator encoder — scaladoc above). Arms cycle
+    * doc_id % 7, each an oracle-reconstructible pixel derivation:
+    *
+    *   0/1 (literals / subtract-green): ARGB quads straight from
+    *       repeat(md5(text), 10) — alpha REAL;
+    *   2 (color-indexing, 4-color bundled): indices = px1 chars % 4
+    *       through the shared [[paletteEntry]] colormap;
+    *   3 (LZ77 left-runs): row-constant pixels (row y = px3 chars at
+    *       3y), so every row is one literal + one maximal run;
+    *   4 (color cache): two colors alternating by pixel parity;
+    *   5 (uniform predictor, mode (doc_id/7) % 14) and 6 (uniform color
+    *       transform): px3 RGB triples, alpha 255 — the transform is
+    *       invisible to the oracle (lossless), it only drives the
+    *       decoder path.
+    *
+    * Null mix: raw text (doc_id % 11 = 5) and a truncated payload
+    * (doc_id % 13 = 3). All arms are HASH-EXACT (VP8L is lossless).
+    */
+  def mediaTableWebp(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 9 + 4).cast("int")
+    val h = (col("n_chars") % 7 + 4).cast("int")
+    val arm = (col("doc_id") % 7).cast("int")
+    val kind = when(col("doc_id") % 11 === 5, 1)
+      .when(col("doc_id") % 13 === 3, 2)
+      .otherwise(0)
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        lit(false).as("rgba"),
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 16)).as("px"), // >= 4*w*h chars
+        (kind + arm * 4).as("kind"), // kind%4: 0 good/1 raw/2 trunc; kind/4: arm
+        col("n_chars").cast("long").as("size_bytes"),
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val arm = r.kind / 4
+        val k = r.kind % 4
+        val full: Array[Byte] =
+          if (k == 1) r.px.getBytes("UTF-8")
+          else {
+            val n = r.w * r.h
+            val hx = r.px
+            def c(i: Int): Int = hx.charAt(i) & 0xff
+            val argb: Array[Int] = arm match {
+              case 2 => Array.tabulate(n)(i => palArgb(c(i) % 4))
+              case 3 => Array.tabulate(n) { i =>
+                val y = i / r.w
+                0xff000000 | (c(3 * y) << 16) | (c(3 * y + 1) << 8) | c(3 * y + 2)
+              }
+              case 4 =>
+                val a = 0xff000000 | (c(0) << 16) | (c(1) << 8) | c(2)
+                val b = 0xff000000 | (c(3) << 16) | (c(4) << 8) | c(5)
+                Array.tabulate(n)(i => if (i % 2 == 0) a else b)
+              case 5 | 6 => Array.tabulate(n)(i =>
+                0xff000000 | (c(3 * i) << 16) | (c(3 * i + 1) << 8) | c(3 * i + 2))
+              case _ => Array.tabulate(n)(i =>
+                (c(4 * i) << 24) | (c(4 * i + 1) << 16) | (c(4 * i + 2) << 8) | c(4 * i + 3))
+            }
+            arm match {
+              case 2 => encodeVp8l(r.w, r.h, argb, 2, palette = Array.tabulate(4)(palArgb))
+              case 5 => encodeVp8l(r.w, r.h, argb, 5, mode = ((r.media_id / 7) % 14).toInt)
+              case 6 => encodeVp8l(r.w, r.h, argb, 6,
+                cte = (c(6) << 16) | (c(7) << 8) | c(8))
+              case a => encodeVp8l(r.w, r.h, argb, a)
+            }
+          }
+        val payload =
+          if (k == 2) java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          else full
+        (r.media_id, payload, r.size_bytes, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  private def palArgb(j: Int): Int = {
+    val (pr, pg, pb) = paletteEntry(j)
+    0xff000000 | (pr << 16) | (pg << 8) | pb
+  }
+
   /** VIDEO near-dup PAIRS table for the frame-signature gate: per doc,
     * two 3-frame YUV4MPEG2 clips (C444, the codec-free exact format)
     * that SHARE frame 0 — clip A's frames all derive from md5(text),

@@ -203,6 +203,36 @@ object PlanAudit {
         mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
     }
 
+    guarded("perceptual media kernels") {
+      // r19: the round's fused kernels stay map-only inside whole-stage
+      // codegen — webp decode, the audio envelope fingerprint and the
+      // video frame-signature fold all read payload bytes once in place
+      val payload = org.apache.spark.sql.functions.encode(
+        org.apache.spark.sql.functions.col("text"), "UTF-8")
+      val webpPlan = plan(docs.select(graft.functions.WebpDecode(payload).as("r")))
+      check("webp_decode: fused map-only codegen", webpPlan,
+        mustContain = Seq("*(1) Project [webp_decode("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+      val afpPlan = plan(docs.select(
+        graft.functions.AudioFingerprint(payload, 65).as("r")))
+      check("audio_fingerprint: fused map-only codegen", afpPlan,
+        mustContain = Seq("*(1) Project [audio_fingerprint("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+      val vfsPlan = plan(docs.select(
+        graft.functions.VideoFrameSigs(payload, 2, 9, 8).as("r")))
+      check("video_frame_sigs: fused map-only codegen", vfsPlan,
+        mustContain = Seq("*(1) Project [video_frame_sigs("),
+        mustNot = Seq("Exchange", "Generate", "Join", "BatchEvalPython"))
+      // the video pair mine is an equi-join on signature VALUES (the
+      // inverted-list shape) — never a cartesian/broadcast-nested-loop
+      val vpPlan = plan(graft.pipeline.Dedup.videoFrameSigPairs(
+        graft.pipeline.Multimodal.mediaTableVideoPairs(docs),
+        "media_id", "payload"))
+      check("video sig pairs: signature equi-join, no cartesian", vpPlan,
+        mustContain = Seq("Join"),
+        mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    }
+
     guarded("bpe_encode") {
       // 6a³d. BPE corpus encode is one fused map-only reference-object
       //       expression: the merge table rides the closure — no join

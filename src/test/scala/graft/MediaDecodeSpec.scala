@@ -22,6 +22,9 @@ class MediaDecodeSpec extends SparkSpec {
     val gif = Multimodal.encodeGifIndexed(3, 2, px1, interlaced = false)
     val bmp = Multimodal.encodeRaster("bmp", 3, 2, rgba = false, px3)
     val jpeg = Multimodal.encodeRaster("jpeg", 3, 2, rgba = false, px3, quality = 0.97f)
+    val webp = Multimodal.encodeVp8l(3, 2, Array.tabulate(6)(i =>
+      0xff000000 | ((px3.charAt(3 * i) & 0xff) << 16) |
+        ((px3.charAt(3 * i + 1) & 0xff) << 8) | (px3.charAt(3 * i + 2) & 0xff)), 0)
     val direct = Seq(
       ("ppm", ppm, graft.functions.PpmDecode.decode(ppm), 2, 3, 4, 6),
       ("png", png, graft.functions.PngDecode.decode(png), 3, 4, 5, 8),
@@ -29,7 +32,8 @@ class MediaDecodeSpec extends SparkSpec {
       ("bmp", bmp, graft.functions.BmpDecode.decode(bmp), 2, 3, 4, 6),
       // JPEG dispatches through the ORIENTED kernel (VERDICT r18 #2):
       // no-tag payloads are orientation 1, where oriented == plain
-      ("jpeg", jpeg, graft.functions.JpegOriented.decode(jpeg), 3, 4, 5, 7))
+      ("jpeg", jpeg, graft.functions.JpegOriented.decode(jpeg), 3, 4, 5, 7),
+      ("webp", webp, graft.functions.WebpDecode.decode(webp), 2, 3, 4, 7))
     for ((fmt, payload, want, nPxOrd, srOrd, sgOrd, thOrd) <- direct) {
       assert(want != null, s"$fmt: direct kernel refused the seed")
       val got = MediaDecode.decode(payload)

@@ -114,6 +114,25 @@ class MediaFuzzSpec extends SparkSpec {
       "2021:01:01 00:00:00", "cam_a", "mx_b") ++ j.drop(2)
   }
 
+  // VP8L seeds: one per encoder arm family — mutations reach the
+  // huffman/code-length machinery, the cache/LZ77 paths and all four
+  // inverse transforms
+  private def webpPx(n: Int): Array[Int] =
+    Array.tabulate(n)(i => ((i * 31 & 0xff) << 24) | ((i * 17 & 0xff) << 16) |
+      ((i * 13 & 0xff) << 8) | (i * 7 & 0xff))
+  private val validWebp =
+    graft.pipeline.Multimodal.encodeVp8l(9, 7, webpPx(63), 0)
+  private val validWebpPal = {
+    val pal = Array(0xff112233, 0xff445566, 0xff778899, 0xffaabbcc)
+    graft.pipeline.Multimodal.encodeVp8l(9, 7,
+      Array.tabulate(63)(i => pal(i % 4)), 2, palette = pal)
+  }
+  private val validWebpPred =
+    graft.pipeline.Multimodal.encodeVp8l(9, 7, webpPx(63), 5, mode = 11)
+  private val validWebpCache =
+    graft.pipeline.Multimodal.encodeVp8l(9, 7,
+      Array.tabulate(63)(i => if (i % 2 == 0) 0xff102030 else 0xffccddee), 4)
+
   private val validJpegGray = {
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -159,6 +178,9 @@ class MediaFuzzSpec extends SparkSpec {
       rand ++ mutate(validFlac, 3000))
     neverThrows("AudioDecode", graft.functions.AudioDecode.decode)(
       rand ++ mutate(validFlac, 1000) ++ mutate(validWav, 1000))
+    neverThrows("WebpDecode", graft.functions.WebpDecode.decode)(
+      rand ++ mutate(validWebp, 1500) ++ mutate(validWebpPal, 1500) ++
+        mutate(validWebpPred, 1500) ++ mutate(validWebpCache, 1500))
     // perceptual-hash wrappers (VERDICT r18 #8): the grid/orientation
     // logic and the window envelope sit ABOVE fuzzed kernels, but the
     // wrappers' own guards (below-grid nulls, quarter packing, window
@@ -206,6 +228,25 @@ class MediaFuzzSpec extends SparkSpec {
     // after — stresses the frame-header/CRC/subframe guards
     neverThrows("FlacDecode/prefixed", graft.functions.FlacDecode.decode)(
       prefixed(validFlac.take(4 + 4 + 34)))
+    // WebP deep-parse fuzz: container + VP8L signature + dims intact,
+    // random entropy soup after — stresses the huffman/transform guards
+    neverThrows("WebpDecode/prefixed", graft.functions.WebpDecode.decode)(
+      randomBuffers(2000, 64).map { tail =>
+        val body = validWebp.slice(20, 25) ++ tail
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("RIFF".getBytes("US-ASCII"))
+        val chunkLen = body.length
+        def le32(v: Int): Unit = {
+          bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+        }
+        le32(4 + 8 + chunkLen + (chunkLen & 1))
+        bos.write("WEBPVP8L".getBytes("US-ASCII"))
+        le32(chunkLen)
+        bos.write(body)
+        if ((chunkLen & 1) == 1) bos.write(0)
+        bos.toByteArray
+      })
     neverThrows("ImageDHash/prefixed", b => graft.functions.ImageDHash.hash(b, 9, 8))(
       prefixed(validPng.take(33)) ++ prefixed(validGif.take(13 + 3 * 256)))
     neverThrows("AudioFingerprint/prefixed",
@@ -265,6 +306,10 @@ class MediaFuzzSpec extends SparkSpec {
     assert(graft.functions.JpegDecode.decode(validCmyk) != null)
     assert(graft.functions.JpegOriented.decode(validOriented) != null)
     assert(graft.functions.AudioDecode.decode(validFlac) != null)
+    assert(graft.functions.WebpDecode.decode(validWebp) != null)
+    assert(graft.functions.WebpDecode.decode(validWebpPal) != null)
+    assert(graft.functions.WebpDecode.decode(validWebpPred) != null)
+    assert(graft.functions.WebpDecode.decode(validWebpCache) != null)
     // expression-path spot check (codegen kernels share the statics)
     val r = Seq((validPpm, validWav, validY4m)).toDF("p", "w", "y")
       .select(
