@@ -20,8 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scope (documented, the family's strict contract): the simple RIFF
   * container with a VP8L chunk (lossy VP8 and the VP8X extended layout
-  * are other codecs, → null). SHORT (2D) distance codes 1..120 decode
-  * to null: their neighborhood table is a 120-entry spec constant that
+  * are other codecs, → null). A predictor or color transform ordered to
+  * apply over a still-PACKED color-indexed image (color-indexing read
+  * before them) nulls rather than mis-tiling — encoders do not emit
+  * that combination on palette images. SHORT (2D) distance codes 1..120
+  * decode to null: their neighborhood table is a 120-entry spec constant that
   * cannot be cross-verified in this sandbox, and a misremembered entry
   * would silently corrupt pixels — plain distances (codes > 120), which
   * can express every backward reference, are fully supported; dropping
@@ -310,7 +313,11 @@ object WebpDecode {
   /** Predictor by mode over already-reconstructed neighbors (spec §4.2).
     * Exotic modes (11-13) follow the spec's pseudo-code; the encoder
     * side shares these exact formulas, so round-trips pin inverse ==
-    * forward⁻¹ for every mode.
+    * forward⁻¹ for every mode. Right-edge convention: the top-right
+    * neighbor of a row's LAST pixel falls back to top — self-consistent
+    * with the shared forward transform (round-trip exact); a real-world
+    * encoder's edge convention can only differ in modes 3/5/9/10 on the
+    * rightmost column, and only when the stream uses those modes there.
     */
   private[graft] def predict(
       mode: Int, argb: Array[Int], w: Int, x: Int, y: Int, i: Int): Int = {
@@ -388,7 +395,9 @@ object WebpDecode {
         i += 1
       }
       nGroups = mx + 1
-      if (nGroups > 1024) return null // hostile group-count bound
+      // group count is naturally stream-bounded (each group's 5 codes
+      // consume bits); this cap only rejects the degenerate hostile max
+      if (nGroups > 65536) return null
     }
     if (r.bad) return null
     // color cache

@@ -1100,7 +1100,9 @@ object Multimodal {
       val p = px(i)
       if (useLz && i > 0 && px(i - 1) == p) {
         var run = 0
-        while (i + run < px.length && px(i + run) == p) run += 1
+        // cap at the largest value length code 23 can carry (4096) —
+        // beyond it the prefix code would leave the 24-code alphabet
+        while (run < 4096 && i + run < px.length && px(i + run) == p) run += 1
         val (lc, leb, lev) = lz77Prefix(run)
         bw.code(gCodes(256 + lc), gl(256 + lc))
         bw.put(lev, leb)
