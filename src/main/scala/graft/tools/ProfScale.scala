@@ -657,6 +657,54 @@ object ProfScale {
           require(r.getLong(0) > 0, "no cmyk decoded")
         }
 
+      case "mm19" =>
+        // the round-19 kernels solo, mm18 conventions: payloads
+        // materialized once so timings isolate the fused kernels
+        import org.apache.spark.sql.functions.col
+        val docs19 = Tables.documents(spark, sfDir)
+        val webpTab = Multimodal.mediaTableWebp(spark, docs19)
+          .select("media_id", "payload").localCheckpoint()
+        val nWp = webpTab.count()
+        var wpPx = 0L
+        val tWp = timed(s"webp_decode x$nWp") {
+          val r = webpTab
+            .select(graft.functions.WebpDecode(col("payload")).as("d"))
+            .selectExpr("sum(d.n_px)", "count(d.n_px)").collect()(0)
+          require(r.getLong(1) > 0, "no webp decoded")
+          wpPx = r.getLong(0)
+        }
+        println(f"PROFSCALE webp throughput ${wpPx / tWp / 1e6}%.1f Mpx/s")
+        val fpTab = Multimodal.mediaTableAudioMixed(spark, docs19)
+          .select("media_id", "payload").localCheckpoint()
+        val nFp = fpTab.count()
+        var fpFrames = 0L
+        val tFp = timed(s"audio_fingerprint x$nFp") {
+          val r = fpTab
+            .select(graft.functions.AudioFingerprint(col("payload"), 9).as("d"))
+            .selectExpr("sum(d.n_frames)", "count(d.fp)").collect()(0)
+          require(r.getLong(1) > 0, "no audio fingerprinted")
+          fpFrames = r.getLong(0)
+        }
+        println(f"PROFSCALE audiofp throughput ${fpFrames / tFp / 1e6}%.1f Mframes/s")
+        val vidTab = Multimodal.mediaTableVideoPairs(docs19)
+          .select("media_id", "payload").localCheckpoint()
+        val nVd = vidTab.count()
+        timed(s"video_frame_sigs x$nVd") {
+          val r = vidTab
+            .select(graft.functions.VideoFrameSigs(col("payload"), 2, 9, 8).as("d"))
+            .selectExpr("count(d.n_sampled)").collect()(0)
+          require(r.getLong(0) > 0, "no video signatures")
+        }
+        val dhTab = Multimodal.mediaTableDhashMixed(spark, docs19)
+          .select("media_id", "payload").localCheckpoint()
+        val nDh = dhTab.count()
+        timed(s"image_dhash_mixed x$nDh") {
+          val r = dhTab
+            .select(graft.functions.ImageDHash(col("payload"), 9, 8).as("d"))
+            .selectExpr("count(d.dhash)").collect()(0)
+          require(r.getLong(0) >= 0, "dhash failed")
+        }
+
       case "png" =>
         // the real PNG decode kernel solo: payloads are materialized once
         // (localCheckpoint) so the timing isolates the Inflater+unfilter
