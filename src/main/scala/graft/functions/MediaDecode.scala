@@ -10,8 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Container-sniffing image decode: ONE expression that dispatches an
   * opaque binary payload to the right from-scratch kernel by magic
   * bytes — P6 → [[PpmDecode]], PNG → [[PngDecode]], GIF87a/89a →
-  * [[GifDecode]], BM → [[BmpDecode]], SOI → [[JpegDecode]] — and folds
-  * every result into the family's SHARED feature schema:
+  * [[GifDecode]], BM → [[BmpDecode]], RIFF/WEBP → [[WebpDecode]],
+  * SOI → the ORIENTED JPEG path ([[JpegOriented]]: EXIF applied, so
+  * the sniff's geometry/thumb agree with [[ImageDHash]] on
+  * tag-rotated photos) — and folds every result into the family's
+  * SHARED feature schema:
   *
   *   (format, width, height, n_px, sum_r, sum_g, sum_b, thumb_hex)
   *

@@ -259,7 +259,8 @@ class MediaFuzzSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = Seq(
       (1L, validPpm), (2L, validWav), (3L, validY4m),
-      (4L, "junk".getBytes("UTF-8")), (5L, validPng), (6L, validFlac))
+      (4L, "junk".getBytes("UTF-8")), (5L, validPng), (6L, validFlac),
+      (7L, validWebp), (8L, validWebpPal))
     def features(df: org.apache.spark.sql.DataFrame) =
       df.select(
         col("id"),
@@ -272,6 +273,10 @@ class MediaFuzzSpec extends SparkSpec {
         graft.functions.FlacDecode(col("b")).getField("sum_c0").as("fc"),
         graft.functions.AudioDecode(col("b")).getField("format").as("afmt"),
         graft.functions.JpegOriented(col("b")).getField("orientation").as("ori"),
+        graft.functions.WebpDecode(col("b")).getField("sum_a").as("wa"),
+        graft.functions.AudioFingerprint(col("b"), 9).getField("fp").as("afp"),
+        graft.functions.VideoFrameSigs(col("b"), 2, 3, 2).getField("n_sampled").as("vfs"),
+        graft.functions.ImageDHash(col("b"), 3, 2).getField("dhash").as("dh"),
         md5(graft.functions.PpmResize(col("b"), 2, 2)).as("rz"))
     val batch = features(rows.toDF("id", "b")).orderBy("id").collect().toSeq
     val in = MemoryStream[(Long, Array[Byte])](spark)

@@ -210,28 +210,49 @@ class PrefetchSpec extends graft.SparkSpec {
     // yet release()d stay inside the budget — after the warm-up window
     // (estimate 0 admits parallelism+1) completes and four results are
     // taken without release, buffered bytes still exceed the budget and
-    // no further task may start; release() reopens admission
+    // no further task may start; release() reopens admission. All
+    // assertions wait for COMPLETION visibility first (the r18 de-flake
+    // lesson: never assert counts against in-flight pool scheduling).
     val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
     val it = EncodePipeline.mapOrderedBudgeted(
       (0 until 10).iterator, 4, 1500L, (_: Int) => 1000L,
-      releaseOnTake = false) { i => started.incrementAndGet(); i * 2 }
+      releaseOnTake = false) { i =>
+      started.incrementAndGet()
+      gate.await() // hold the warm-up open so its width is deterministic
+      val r = i * 2
+      done.incrementAndGet()
+      r
+    }
     try {
-      // take 4 of the 5 warm-up results, releasing NOTHING: buffered
+      val deadline = System.nanoTime() + 10_000_000_000L
+      assert(it.hasNext) // warm-up fill: estimate 0, empty buffer → admits 5
+      // 4 pool workers START while gated; the 5th admission sits queued
+      while (started.get() < 4 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(started.get() === 4, "warm-up starts must fill the pool width")
+      gate.countDown()
+      while (done.get() < 5 && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(done.get() === 5)
+      Thread.sleep(100) // completion-side accounting is straight-line code
+      // take 4 of the 5 completed results, releasing NOTHING: buffered
       // stays 5000 (4 held by the consumer + 1 still in the deque)
       assert((0 until 4).map(_ => it.next()) === (0 until 4).map(_ * 2))
       assert(it.hasNext) // triggers fill: 5000 >= 1500 must gate
-      Thread.sleep(150)
+      Thread.sleep(100)
       assert(started.get() === 5,
         s"taken-but-unreleased results must keep gating, started ${started.get()}")
       it.release(4000L) // the consumer drained the four taken results
-      assert(it.hasNext) // fill: 1000 < 1500 reopens admission
-      val deadline = System.nanoTime() + 5_000_000_000L
-      while (started.get() <= 5 && System.nanoTime() < deadline) Thread.sleep(5)
-      assert(started.get() > 5, "release must reopen admission")
+      assert(it.hasNext) // fill: buffered 1000 < 1500 reopens admission —
+      // exactly ONE more (its est-1000 reservation re-closes the gate)
+      while (started.get() < 6 && System.nanoTime() < deadline) Thread.sleep(5)
+      Thread.sleep(100)
+      assert(started.get() === 6,
+        s"release must admit exactly one more at est 1000, got ${started.get()}")
       (4 until 10).foreach { i => assert(it.next() === i * 2); it.release(1000L) }
       assert(!it.hasNext)
       assert(started.get() === 10)
-    } finally it.close()
+    } finally { gate.countDown(); it.close() }
   }
 
   test("byte budget: a starved pump window still yields the exact row sequence") {
