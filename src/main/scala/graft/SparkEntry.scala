@@ -5877,7 +5877,7 @@ object SparkEntry {
          |  SELECT doc_id AS media_id,
          |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
          |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
-         |    CAST(doc_id % 5 AS INTEGER) AS fmt,
+         |    CAST((doc_id // 6) % 6 AS INTEGER) AS fmt,
          |    substr(repeat(md5(text), 7), 1,
          |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
          |    substr(repeat(md5(text), 5), 1,
@@ -5892,7 +5892,7 @@ object SparkEntry {
          |SELECT media_id,
          |  CASE WHEN bad THEN NULL ELSE
          |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-         |             WHEN 3 THEN 'bmp' ELSE 'jpeg' END
+         |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' ELSE 'webp' END
          |  END AS format,
          |  CASE WHEN bad THEN NULL ELSE w END AS width,
          |  CASE WHEN bad THEN NULL ELSE h END AS height,
@@ -5912,13 +5912,13 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(doc_id % 4 + 10 AS INTEGER) AS w,
         |    CAST(n_chars % 3 + 9 AS INTEGER) AS h,
-        |    CAST((doc_id // 4) % 4 AS INTEGER) AS fmt,
-        |    CASE WHEN (doc_id // 4) % 4 = 2
+        |    CAST((doc_id // 4) % 5 AS INTEGER) AS fmt,
+        |    CASE WHEN (doc_id // 4) % 5 = 2
         |      THEN substr(repeat(md5(text), 5), 1,
         |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) AS INTEGER))
         |      ELSE substr(repeat(md5(text), 14), 1,
         |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 AS INTEGER)) END AS px0,
-        |    CAST(doc_id % (CASE WHEN (doc_id // 4) % 4 = 2
+        |    CAST(doc_id % (CASE WHEN (doc_id // 4) % 5 = 2
         |        THEN (doc_id % 4 + 10) * (n_chars % 3 + 9)
         |        ELSE (doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 END) AS INTEGER) AS p,
         |    doc_id % 5 = 4 AS bad

@@ -2410,20 +2410,23 @@ object Multimodal {
     */
   /** Mixed-format media table for the PERCEPTUAL-HASH gate — the r18
     * verdict's #1: image dedup must cover what a crawl contains, so the
-    * dHash gate cycles fmt = doc_id % 5 (coprime with the w/h selectors:
-    * 0 P6, 1 PNG truecolor, 2 GIF indexed through the shared
-    * [[paletteEntry]] colormap, 3 BMP 24-bit, 4 flat DC-only JPEG — the
-    * one lossy arm that still decodes EXACTLY, to a uniform raster
-    * whose dHash is 0 by definition). PNG/GIF rows alternate
-    * sequential/interlaced on media_id % 3. Null mix: raw text
-    * (doc_id % 11 = 5), a truncated container (doc_id % 7 = 3), and
-    * the below-grid dims the small-w rows produce naturally.
+    * dHash gate cycles fmt = (doc_id div 6) % 6 — DECOUPLED from the
+    * doc_id % 6 width selector (the r18 lesson: a same-modulus pick
+    * would pin every P6 row below the grid): 0 P6, 1 PNG
+    * truecolor, 2 GIF indexed through the shared [[paletteEntry]]
+    * colormap, 3 BMP 24-bit, 4 flat DC-only JPEG — the one lossy arm
+    * that still decodes EXACTLY, to a uniform raster whose dHash is 0
+    * by definition — 5 lossless WebP over the SAME RGB triples as
+    * P6/PNG/BMP). PNG/GIF rows alternate sequential/interlaced on
+    * media_id % 3. Null mix: raw text (doc_id % 11 = 5), a truncated
+    * container (doc_id % 7 = 3), and the below-grid dims the small-w
+    * rows produce naturally.
     */
   def mediaTableDhashMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 6 + 2).cast("int")
     val h = (col("n_chars") % 5 + 2).cast("int")
-    val fmt = (col("doc_id") % 5).cast("int")
+    val fmt = expr("CAST((doc_id div 6) % 6 AS INT)")
     val kind = when(col("doc_id") % 11 === 5, 1)
       .when(col("doc_id") % 7 === 3, 2)
       .otherwise(0)
@@ -2454,6 +2457,12 @@ object Multimodal {
               interlaced = r.media_id % 3 == 0)
             case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = r.media_id % 3 == 0)
             case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
+            case 5 => encodeVp8l(r.w, r.h,
+              Array.tabulate(r.w * r.h)(i => 0xff000000 |
+                ((r.px.charAt(3 * i) & 0xff) << 16) |
+                ((r.px.charAt(3 * i + 1) & 0xff) << 8) |
+                (r.px.charAt(3 * i + 2) & 0xff)),
+              arm = ((r.media_id / 36) % 2).toInt) // literal / subtract-green
             case _ => encodeFlatJpeg(
               Seq(r.px.charAt(0) & 0xff, r.px.charAt(1) & 0xff, r.px.charAt(2) & 0xff),
               transform = -1, r.w, r.h)
@@ -2471,21 +2480,21 @@ object Multimodal {
 
   /** Mixed-format near-dup PAIRS table for the dHash pair-mining gate:
     * per doc, a base image and a one-sample-bumped copy, cycling fmt =
-    * (doc_id / 4) % 4 (decoupled from the doc_id % 4 width selector:
-    * 0 P6, 1 PNG, 2 GIF indexed, 3 BMP). RGB formats bump ONE channel
-    * of one pixel by +1 (≤ 2 dHash bits move); GIF bumps one palette
-    * INDEX by +1 (Δgray 21 through the [[paletteEntry]] formula — still
-    * one cell, ≤ 2 bits). JPEG is deliberately absent: a lossy hash is
-    * not oracle-re-minable, and the exactly-decodable flat payloads are
-    * all-uniform (dHash 0), which would degenerate the pair mine to an
-    * all-pairs clique. Every fifth doc is raw text (hashes nothing,
-    * joins nothing).
+    * (doc_id / 4) % 5 (decoupled from the doc_id % 4 width selector:
+    * 0 P6, 1 PNG, 2 GIF indexed, 3 BMP, 4 lossless WebP over the same
+    * RGB triples). RGB formats bump ONE channel of one pixel by +1
+    * (≤ 2 dHash bits move); GIF bumps one palette INDEX by +1 (Δgray 21
+    * through the [[paletteEntry]] formula — still one cell, ≤ 2 bits).
+    * JPEG is deliberately absent: a lossy hash is not oracle-re-minable,
+    * and the exactly-decodable flat payloads are all-uniform (dHash 0),
+    * which would degenerate the pair mine to an all-pairs clique. Every
+    * fifth doc is raw text (hashes nothing, joins nothing).
     */
   def mediaTableImagePairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 4 + 10).cast("int")
     val h = (col("n_chars") % 3 + 9).cast("int")
-    val fmt = expr("CAST((doc_id div 4) % 4 AS INT)")
+    val fmt = expr("CAST((doc_id div 4) % 5 AS INT)")
     val len = when(fmt === 2, w * h).otherwise(w * h * 3).cast("int")
     val base = when(fmt === 2, repeat(md5(col("text")), 5))
       .otherwise(repeat(md5(col("text")), 14)).substr(lit(1), len)
@@ -2495,20 +2504,26 @@ object Multimodal {
         col("doc_id").as("media_id"), w.as("w"), h.as("h"),
         lit(false).as("rgba"),
         when(kind === 1, col("text")).otherwise(base).as("px"),
-        (kind + fmt * 4 + (col("doc_id") % len).cast("int") * 16).as("kind"),
+        // pack: bits 0-1 kind, 2-4 fmt (0..4), 5+ the perturb position
+        (kind + fmt * 4 + (col("doc_id") % len).cast("int") * 32).as("kind"),
         col("n_chars").cast("long").as("size_bytes"),
         col("source").as("origin"),
         col("lang").as("codec"))
       .as[RasterSrc]
       .mapPartitions(_.flatMap { r =>
-        val fmt = (r.kind / 4) % 4
+        val fmt = (r.kind / 4) % 8
         val k = r.kind % 4
-        val p = r.kind / 16 // 0-based perturb position
+        val p = r.kind / 32 // 0-based perturb position
         def enc(px: String): Array[Byte] = fmt match {
           case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
             px.getBytes("US-ASCII")
           case 1 => encodeRaster("png", r.w, r.h, rgba = false, px)
           case 2 => encodeGifIndexed(r.w, r.h, px, interlaced = false)
+          case 4 => encodeVp8l(r.w, r.h,
+            Array.tabulate(r.w * r.h)(i => 0xff000000 |
+              ((px.charAt(3 * i) & 0xff) << 16) |
+              ((px.charAt(3 * i + 1) & 0xff) << 8) |
+              (px.charAt(3 * i + 2) & 0xff)), arm = 0)
           case _ => encodeRaster("bmp", r.w, r.h, rgba = false, px)
         }
         if (k == 1) {
