@@ -6798,7 +6798,7 @@ object SparkEntry {
         |  SELECT doc_id AS media_id,
         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
         |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
-        |    CAST(doc_id % 6 AS INTEGER) AS fmt,
+        |    CAST(doc_id % 7 AS INTEGER) AS fmt,
         |    -- JPEG rows carry an EXIF orientation cycling 1..8; the
         |    -- ORIENTED sniff reports upright geometry: o >= 5 swaps w/h
         |    CAST((doc_id // 6) % 8 + 1 AS INTEGER) AS o,
@@ -6806,13 +6806,13 @@ object SparkEntry {
         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
         |    substr(repeat(md5(text), 5), 1,
         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) AS INTEGER)) AS px1,
-        |    (doc_id % 7 = 3 OR doc_id % 6 = 5) AS bad
+        |    (doc_id % 13 = 3 OR doc_id % 7 = 5) AS bad
         |  FROM documents
         |)
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL ELSE
         |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-        |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' END
+        |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' WHEN 6 THEN 'webp' END
         |  END AS format,
         |  CASE WHEN bad THEN NULL
         |       WHEN fmt = 4 AND o >= 5 THEN h ELSE w END AS width,

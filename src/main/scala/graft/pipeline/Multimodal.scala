@@ -2549,8 +2549,11 @@ object Multimodal {
     import spark.implicits._
     val w = (col("doc_id") % 6 + 2).cast("int")
     val h = (col("n_chars") % 5 + 2).cast("int")
-    val fmt = (col("doc_id") % 6).cast("int")
-    val kind = when(col("doc_id") % 7 === 3, 2).otherwise(0)
+    // % 7 (r19): adds the lossless-WebP arm AND decouples the format
+    // from the doc_id % 6 width selector; the truncation arm moves to
+    // % 13 so it no longer shares the format modulus
+    val fmt = (col("doc_id") % 7).cast("int")
+    val kind = when(col("doc_id") % 13 === 3, 2).otherwise(0)
     docs
       .select(
         col("doc_id").as("media_id"), w.as("w"), h.as("h"),
@@ -2572,14 +2575,14 @@ object Multimodal {
           case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
             r.px.getBytes("US-ASCII")
           case 1 => encodeRaster("png", r.w, r.h, rgba = false, r.px)
-          // GIF rows have media_id ≡ 2 (mod 6), so a % 3 predicate would
-          // be unsatisfiable (never interlaced); (id/6) % 2 alternates
-          case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = (r.media_id / 6) % 2 == 0)
+          // GIF rows are media_id ≡ 2 (mod 7); (id/7) % 2 alternates the
+          // interlace flag across them
+          case 2 => encodeGifIndexed(r.w, r.h, r.px, interlaced = (r.media_id / 7) % 2 == 0)
           case 3 => encodeRaster("bmp", r.w, r.h, rgba = false, r.px)
           case 4 =>
             // tag-rotated JPEG rows: the stored raster stays (w, h); the
             // EXIF orientation o (cycling 1..8 on media_id/6 — JPEG rows
-            // are media_id ≡ 4 mod 6, so /6 varies freely) makes the
+            // are media_id ≡ 4 mod 7, so /6 varies freely) makes the
             // ORIENTED sniff report the swapped upright geometry for
             // o ≥ 5 — the oracle pins the swap (VERDICT r18 #2)
             val jpeg = encodeRaster("jpeg", r.w, r.h, rgba = false, r.px, quality = 0.97f)
@@ -2589,6 +2592,12 @@ object Multimodal {
               little = r.media_id % 2 == 0, orientation = o,
               datetime = "2022:01:01 09:00:00",
               make = "cam_" + r.origin, model = "mx_" + r.codec) ++ jpeg.drop(2)
+          case 6 => encodeVp8l(r.w, r.h, // lossless WebP over the same triples
+            Array.tabulate(r.w * r.h)(i => 0xff000000 |
+              ((r.px.charAt(3 * i) & 0xff) << 16) |
+              ((r.px.charAt(3 * i + 1) & 0xff) << 8) |
+              (r.px.charAt(3 * i + 2) & 0xff)),
+            arm = ((r.media_id / 7) % 2).toInt)
           case _ => r.px.getBytes("UTF-8")
         }
         val payload =
