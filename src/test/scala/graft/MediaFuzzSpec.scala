@@ -189,7 +189,7 @@ class MediaFuzzSpec extends SparkSpec {
       rand ++ mutate(validPpm, 1000) ++ mutate(validPng, 1000) ++
         mutate(validPngPal, 1000) ++ mutate(validGif, 1000) ++
         mutate(validBmp, 1000) ++ mutate(validJpeg, 1000) ++
-        mutate(validOriented, 1000))
+        mutate(validOriented, 1000) ++ mutate(validWebp, 1000))
     neverThrows("ImageDHash/3x2", b => graft.functions.ImageDHash.hash(b, 3, 2))(
       mutate(validPpm, 500) ++ mutate(validGifIl, 500) ++ mutate(validPngIl, 500))
     neverThrows("AudioFingerprint", b => graft.functions.AudioFingerprint.fingerprint(b, 65))(
