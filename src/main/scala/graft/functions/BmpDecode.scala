@@ -106,6 +106,9 @@ object BmpDecode {
   def decodeRaster(bytes: Array[Byte]): JpegDecode.Raster = {
     val d = parse(bytes)
     if (d == null) return null
+    // the PNG seam's 64 MiB expansion budget (RLE8 can inflate a small
+    // payload toward MaxPixels; direct payloads carry their own bytes)
+    if (3L * d.w * d.h > (64 << 20)) return null
     val out = new Array[Byte](3 * d.w * d.h)
     if (d.idx == null) {
       var y = 0

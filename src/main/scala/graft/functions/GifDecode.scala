@@ -95,12 +95,17 @@ object GifDecode {
     * seam that lets raster consumers ([[ImageDHash]], positional
     * features) run over GIF payloads. An index past the table nulls,
     * like the statistics fold; same strict scope (full-frame first
-    * image, both interlace orders).
+    * image, both interlace orders). The EXPANSION carries the PNG
+    * seam's 64 MiB byte budget: LZW can inflate a few-KB hostile
+    * stream to MaxPixels, and the raster consumers should not pay 3×
+    * that in RGB bytes — the statistics fold (which never expands)
+    * still accepts those images.
     */
   def decodeRaster(bytes: Array[Byte]): JpegDecode.Raster = {
     val d = decodeIndexed(bytes)
     if (d == null) return null
     val n = d.w * d.h
+    if (3L * n > (64 << 20)) return null
     val out = new Array[Byte](3 * n)
     var i = 0
     while (i < n) {
