@@ -2220,12 +2220,13 @@ object SparkEntry {
     }),
 
     // ---- MIXED-FORMAT audio sniff: AudioDecode dispatches each payload
-    //      by magic (RIFF/WAVE -> PcmDecode, fLaC -> FlacDecode) and
-    //      folds real per-channel sample statistics into one schema —
-    //      the crawled-corpus audio operator, where no codec column
-    //      exists. Both kernels are LOSSLESS, so unlike the image sniff
-    //      this mixed gate is hash-exact end to end; raw text and
-    //      format-appropriate corruptions are the null mix ------------
+    //      by magic (RIFF/WAVE -> PcmDecode, fLaC -> FlacDecode,
+    //      FORM/AIFF -> AiffDecode) and folds real per-channel sample
+    //      statistics into one schema — the crawled-corpus audio
+    //      operator, where no codec column exists. All three kernels
+    //      are LOSSLESS, so unlike the image sniff this mixed gate is
+    //      hash-exact end to end; raw text and format-appropriate
+    //      corruptions are the null mix ------------------------------
     "q_multimodal_audio_mixed" -> ((s, dir) => {
       import graft.functions.AudioDecode
       Multimodal.mediaTableAudioMixed(s, Tables.documents(s, dir))
@@ -2301,6 +2302,32 @@ object SparkEntry {
           col("__d.sum_g").as("sum_g"),
           col("__d.sum_b").as("sum_b"),
           col("__d.sum_a").as("sum_a"),
+          col("__d.thumb_hex").as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
+    // ---- Baseline TIFF, decoded from scratch: both byte orders, the
+    //      tag directory with inline/offset values, strip-split pixel
+    //      data under none/LZW/Deflate/PackBits compression (plus the
+    //      horizontal predictor on the LZW/Deflate arms), and all four
+    //      photometrics incl. WHITE-IS-ZERO inversion and the 16-bit
+    //      SHORT palette. Every arm is lossless, so the gate is
+    //      HASH-EXACT on sums and the positioned thumb; predictor,
+    //      byte order and strip split change bytes but not pixels, so
+    //      the oracle needs only (photometric, px). Raw text and
+    //      payloads truncated inside the strip data are the null mix --
+    "q_multimodal_tiff" -> ((s, dir) => {
+      import graft.functions.TiffDecode
+      Multimodal.mediaTableTiff(s, Tables.documents(s, dir))
+        .select(col("media_id"), TiffDecode(col("payload")).as("__d"))
+        .select(
+          col("media_id"),
+          col("__d.width").as("width"),
+          col("__d.height").as("height"),
+          col("__d.n_px").as("n_px"),
+          col("__d.sum_r").as("sum_r"),
+          col("__d.sum_g").as("sum_g"),
+          col("__d.sum_b").as("sum_b"),
           col("__d.thumb_hex").as("thumb_hex"))
         .orderBy("media_id")
     }),
@@ -3096,8 +3123,8 @@ object SparkEntry {
         |    (doc_id % 2 + 1) *
         |      (CASE WHEN (doc_id // 2) % 3 = 0 THEN 16
         |            WHEN (doc_id // 2) % 3 = 1 THEN 8 ELSE 24 END) // 8 AS bpf,
-        |    CAST(doc_id % 3 AS INTEGER) AS fmt,
-        |    doc_id % 3 = 2 OR doc_id % 7 = 3 AS bad
+        |    CAST((doc_id // 4) % 4 AS INTEGER) AS fmt,
+        |    (doc_id // 4) % 4 = 2 OR doc_id % 7 = 3 AS bad
         |  FROM documents
         |), d2 AS (
         |  SELECT media_id, text, ch, bits, bpf, fmt,
@@ -5592,6 +5619,54 @@ object SparkEntry {
     // lossless WebP: the oracle recomputes the exact ARGB pixels from
     // each arm's derivation (the transforms are invisible — lossless):
     // 0/1 ARGB quads from the hex chars, 2 the shared palette formula
+    // TIFF: positional recompute per photometric — RGB triplets, gray,
+    // WHITE-IS-ZERO inverted gray, or the palette formula (colormap
+    // entries are paletteEntry×257, so the decoder's >>8 lands exactly
+    // on (j*7+13)%256 / (j*11+5)%256 / (j*3+77)%256); byte order,
+    // compression, predictor and strip split are byte-level choices
+    // the pixel oracle is invariant to
+    "q_multimodal_tiff" -> {
+      def px1(idx: String): String =
+        s"ascii(substr(px, CAST($idx + 1 AS INTEGER), 1))"
+      def chan(c: Int): String = {
+        val mul = Seq(7, 11, 3)(c); val add = Seq(13, 5, 77)(c)
+        s"""CASE WHEN p = 2 THEN ${px1(s"3*pi + $c")}
+           |      WHEN p = 1 THEN ${px1("pi")}
+           |      WHEN p = 0 THEN 255 - ${px1("pi")}
+           |      ELSE (${px1("pi")} * $mul + $add) % 256 END""".stripMargin
+      }
+      def sumCol(c: Int, name: String): String =
+        s"""CASE WHEN bad THEN NULL ELSE CAST(list_sum(list_transform(
+           |    range(0, CAST(w * h AS BIGINT)), pi -> ${chan(c)})) AS BIGINT)
+           |  END AS $name""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+         |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
+         |    CAST((doc_id // 2) % 4 AS INTEGER) AS p,
+         |    substr(repeat(md5(text), 7), 1,
+         |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) *
+         |        (CASE WHEN (doc_id // 2) % 4 = 2 THEN 3 ELSE 1 END) AS INTEGER)) AS px,
+         |    (doc_id % 5 = 4 OR doc_id % 7 = 3) AS bad
+         |  FROM documents
+         |)
+         |SELECT media_id,
+         |  CASE WHEN bad THEN NULL ELSE w END AS width,
+         |  CASE WHEN bad THEN NULL ELSE h END AS height,
+         |  CASE WHEN bad THEN NULL ELSE CAST(w * h AS BIGINT) END AS n_px,
+         |  ${sumCol(0, "sum_r")},
+         |  ${sumCol(1, "sum_g")},
+         |  ${sumCol(2, "sum_b")},
+         |  CASE WHEN bad THEN NULL ELSE list_aggregate(
+         |    list_transform(
+         |      flatten(list_transform([0, 1], ty ->
+         |        list_transform([0, 1], tx -> ((ty * h) // 2) * w + (tx * w) // 2))),
+         |      pi -> printf('%02x%02x%02x', ${chan(0)}, ${chan(1)}, ${chan(2)})),
+         |    'string_agg', '')
+         |  END AS thumb_hex
+         |FROM d ORDER BY media_id""".stripMargin
+    },
+
     // over idx%4, 3 row-constant, 4 two-tone by parity, 5/6 RGB triples
     "q_multimodal_webp" -> {
       def ch(name: String, palM: Int, palA: Int, o3: Int, o4: Int): String =
@@ -6036,7 +6111,8 @@ object SparkEntry {
       (AudioMixedSampleCtes + """
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL
-        |       WHEN fmt = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |       WHEN fmt = 0 THEN 'wav' WHEN fmt = 1 THEN 'flac'
+        |       ELSE 'aiff' END AS format,
         |  CASE WHEN bad THEN NULL ELSE ch END AS channels,
         |  CASE WHEN bad THEN NULL ELSE bits END AS bits,
         |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
@@ -6080,7 +6156,8 @@ object SparkEntry {
         |)
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL
-        |       WHEN fmt = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |       WHEN fmt = 0 THEN 'wav' WHEN fmt = 1 THEN 'flac'
+        |       ELSE 'aiff' END AS format,
         |  CASE WHEN bad THEN NULL ELSE nf END AS n_frames,
         |  CASE WHEN bad THEN NULL ELSE CAST($bitTerms AS BIGINT) END AS fp
         |FROM w ORDER BY media_id""").stripMargin

@@ -10,9 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Container-sniffing AUDIO decode — the audio sibling of
   * [[MediaDecode]]: ONE expression that dispatches an opaque binary
   * payload by magic bytes to the right from-scratch sample kernel —
-  * RIFF/WAVE → [[PcmDecode]], fLaC → [[FlacDecode]] — and folds the
-  * result into the family's shared sample-statistics schema plus the
-  * detected format:
+  * RIFF/WAVE → [[PcmDecode]], fLaC → [[FlacDecode]], FORM/AIFF →
+  * [[AiffDecode]] — and folds the result into the family's shared
+  * sample-statistics schema plus the detected format:
   *
   *   (format, channels, bits, n_frames, sum_c0, peak_c0, sum_c1, peak_c1)
   *
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the operator. A payload matching no magic, or matching but failing
   * its kernel's strict decode (malformed chunks, corrupted CRCs,
   * out-of-scope parameters), is one null row — the kernels' null
-  * contracts compose. Because both kernels are lossless sample
+  * contracts compose. Because all three kernels are lossless sample
   * decoders, the MIXED gate stays hash-exact end to end (unlike the
   * image sniff, where JPEG rows need their own band gate).
   *
@@ -69,6 +69,11 @@ object AudioDecode {
       val r = FlacDecode.decode(b)
       if (r == null) return null
       wrap("flac", r)
+    } else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') {
+      val r = AiffDecode.decode(b)
+      if (r == null) return null
+      wrap("aiff", r)
     } else null
   }
 

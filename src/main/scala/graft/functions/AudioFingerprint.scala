@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * comparison into a fabricated bit.
   *
   * Codec dispatch mirrors [[AudioDecode]]: RIFF/WAVE → [[PcmDecode]],
-  * fLaC → [[FlacDecode]], each TAPPED through the streaming [[MixSink]]
+  * fLaC → [[FlacDecode]], FORM/AIFF → [[AiffDecode]], each TAPPED
+  * through the streaming [[MixSink]]
   * seam — O(nWin) state, never a materialized sample array (an audio
   * clip at crawl scale can run tens of millions of frames). Because
   * both kernels are lossless, THE SAME CLIP STORED AS WAV AND AS FLAC
@@ -115,6 +116,10 @@ object AudioFingerprint {
       } else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') {
         if (FlacDecode.decode(bytes, sink) == null) return null
         "flac"
+      } else if (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M' &&
+        bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F') {
+        if (AiffDecode.decode(bytes, sink) == null) return null
+        "aiff"
       } else return null
     if (!sink.valid) return null
     var fp = 0L

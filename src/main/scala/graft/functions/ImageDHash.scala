@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (raster read in place), JPEG — where the EXIF ORIENTATION IS
   * APPLIED first ([[Orient]]), so two byte-distinct photos differing
   * only in the orientation tag hash identically (spec-pinned) — and
-  * PNG/GIF/BMP through their kernels' expanded-raster seams
+  * PNG/GIF/BMP/WebP/TIFF through their kernels' expanded-raster seams
   * (`decodeRaster`, VERDICT r18 #1). Lossless containers share one
   * guarantee the specs pin: the same raster stored as P6 and as PNG
   * (or BMP) is bit-equal, so it hashes IDENTICALLY — cross-format
@@ -220,6 +220,9 @@ object ImageDHash {
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
       bytes(10) == 'B' && bytes(11) == 'P') {
       upright("webp", WebpDecode.decodeRaster(bytes), gw, gh)
+    } else if ((bytes(0) == 'I' && bytes(1) == 'I' && (bytes(2) & 0xff) == 42 && bytes(3) == 0) ||
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && (bytes(3) & 0xff) == 42)) {
+      upright("tiff", TiffDecode.decodeRaster(bytes), gw, gh)
     } else null
   }
 

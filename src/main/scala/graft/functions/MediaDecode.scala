@@ -11,6 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * opaque binary payload to the right from-scratch kernel by magic
   * bytes — P6 → [[PpmDecode]], PNG → [[PngDecode]], GIF87a/89a →
   * [[GifDecode]], BM → [[BmpDecode]], RIFF/WEBP → [[WebpDecode]],
+  * II·42/MM·42 → [[TiffDecode]],
   * SOI → the ORIENTED JPEG path ([[JpegOriented]]: EXIF applied, so
   * the sniff's geometry/thumb agree with [[ImageDHash]] on
   * tag-rotated photos) — and folds every result into the family's
@@ -130,6 +131,13 @@ object MediaDecode {
       // alpha dropped to the family schema, like PNG
       row("webp", r.getInt(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(7))
+    } else if ((b0 == 'I' && b1 == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+      (b0 == 'M' && b1 == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)) {
+      val r = TiffDecode.decode(b)
+      if (r == null) return null
+      // (width, height, n_px, sum_r, sum_g, sum_b, thumb_hex)
+      row("tiff", r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getUTF8String(6))
     } else if (b0 == 0xff && b1 == 0xd8) {
       // ORIENTED: EXIF orientation is applied (upright geometry, thumb
       // positioned by index remapping; sums are rotation-invariant), so

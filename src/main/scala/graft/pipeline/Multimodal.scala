@@ -2149,25 +2149,346 @@ object Multimodal {
         struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
   }
 
-  /** Synthesize a MIXED-FORMAT audio table — WAV and FLAC payloads over
-    * the SAME sample derivation (channel c of frame f at text byte
-    * offset f·bpf + c·bits/8; 16-bit signed LE, 8-bit byte−128), the
-    * shape of a crawled corpus where no codec column exists: doc_id%3 →
-    * 0 canonical-header PCM WAV, 1 FLAC via [[encodeFlac]], 2 raw text
-    * (→ null). Every seventh row is corrupted in a format-appropriate
-    * way (WAV: data chunk size overruns the payload; FLAC: final frame
-    * CRC flipped) — both kernels must null, never fabricate samples.
-    * Both formats are lossless, so the sniff gate stays hash-exact.
+  // ---------------------------------------------------------------------
+  // Baseline-TIFF ENCODER — the generator behind the TIFF gate. The JDK
+  // TIFF writer (present since Java 9) can't reach every decoder arm
+  // (it writes MM only, never the horizontal predictor, and its palette
+  // path is its own), so like FLAC/VP8L the gate generator is graft's
+  // own encoder cycling every arm — SEPARATE from
+  // graft.functions.TiffDecode, sharing only the TIFF 6.0 spec; the
+  // specs referee BOTH implementations against javax.imageio in both
+  // directions (ImageIO-written files decode exactly; graft-written
+  // files ImageIO-read exactly).
+  // ---------------------------------------------------------------------
+
+  /** TIFF-LZW compress (MSB-first variable codes, Clear/EOI, EARLY
+    * width change at table size 2^w−1 — the timeline every mainstream
+    * writer uses, mirrored by the decoder).
+    */
+  private def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var acc = 0L; var nb = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | (code & ((1L << width) - 1))
+      nb += width
+      while (nb >= 8) { out.write(((acc >>> (nb - 8)) & 0xff).toInt); nb -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var next = 258
+    put(256) // leading Clear
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          dict.put(key, next); next += 1
+          // early change AFTER the add — the decoder's exact timeline
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next == 4094) { // stay inside 12 bits: flush the table
+            put(256)
+            dict.clear(); next = 258; width = 9
+          }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    put(257) // EOI
+    if (nb > 0) out.write(((acc << (8 - nb)) & 0xff).toInt) // zero-pad tail
+    out.toByteArray
+  }
+
+  /** PackBits compress (TIFF 6.0 §9): runs ≥ 3 become repeat packets,
+    * the rest literal packets of ≤ 128.
+    */
+  private def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run); out.write(data(i) & 0xff)
+        i += run
+      } else {
+        var lit = i + run
+        var litRun = 1
+        while (lit < data.length && lit - i < 128 && litRun < 3) {
+          litRun = 1
+          while (lit + litRun < data.length && litRun < 3 && data(lit + litRun) == data(lit))
+            litRun += 1
+          if (litRun < 3) lit += 1
+        }
+        val n = math.min(lit - i, 128)
+        out.write(n - 1)
+        out.write(data, i, n)
+        i += n
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Byte-exact baseline-TIFF writer: `photometric` 0 (white-is-zero
+    * gray — stored samples are the px chars, DISPLAYED inverted), 1
+    * (gray), 2 (RGB: px char triplets), 3 (palette: px chars are
+    * indices, colormap = [[paletteEntry]] scaled ×257 so the decoder's
+    * `>> 8` lands back on the formula); `compression` 1/5/8/32773;
+    * `predictor` 2 pre-differences rows before compression (5/8 only);
+    * strips of `rowsPerStrip` rows each compressed INDEPENDENTLY;
+    * both byte orders. The IFD keeps tags ascending per the spec.
+    */
+  private[graft] def encodeTiff(
+      le: Boolean, photometric: Int, compression: Int, predictor: Int,
+      rowsPerStrip: Int, wi: Int, hi: Int, px: String): Array[Byte] = {
+    val spp = if (photometric == 2) 3 else 1
+    val rowBytes = wi * spp
+    val plane = new Array[Byte](rowBytes * hi)
+    var i = 0
+    while (i < plane.length) { plane(i) = (px.charAt(i) & 0xff).toByte; i += 1 }
+    // strips, predictor applied per row before compression
+    val nStrips = (hi + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, hi - s * rowsPerStrip)
+      val raw = java.util.Arrays.copyOfRange(
+        plane, s * rowsPerStrip * rowBytes, (s * rowsPerStrip + rows) * rowBytes)
+      if (predictor == 2) {
+        var y = 0
+        while (y < rows) {
+          var x = rowBytes - 1
+          while (x >= spp) {
+            raw(y * rowBytes + x) = (raw(y * rowBytes + x) - raw(y * rowBytes + x - spp)).toByte
+            x -= 1
+          }
+          y += 1
+        }
+      }
+      compression match {
+        case 1 => raw
+        case 5 => tiffLzwEncode(raw)
+        case 32773 => packBitsEncode(raw)
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length * 2 + 64)
+          val n = d.deflate(buf)
+          require(d.finished(), "deflate buffer undersized")
+          d.end()
+          java.util.Arrays.copyOf(buf, n)
+      }
+    }
+    // ---- assemble: header + IFD + out-of-line arrays + strip data
+    val bos = new java.io.ByteArrayOutputStream(256 + strips.map(_.length).sum)
+    def p16(v: Int): Unit =
+      if (le) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def p32(v: Int): Unit =
+      if (le) { p16(v & 0xffff); p16((v >>> 16) & 0xffff) }
+      else { p16((v >>> 16) & 0xffff); p16(v & 0xffff) }
+    val hasPredictorTag = predictor == 2
+    val hasCmap = photometric == 3
+    val nTags = 10 + (if (hasPredictorTag) 1 else 0) + (if (hasCmap) 1 else 0)
+    val ifdSize = 2 + 12 * nTags + 4
+    var ext = 8 + ifdSize // out-of-line area cursor
+    val bitsOff = if (spp == 3) { val o = ext; ext += 6; o } else -1
+    val stripOffOff = if (nStrips > 1) { val o = ext; ext += 4 * nStrips; o } else -1
+    val stripCntOff = if (nStrips > 1) { val o = ext; ext += 4 * nStrips; o } else -1
+    val cmapOff = if (hasCmap) { val o = ext; ext += 2 * 768; o } else -1
+    val dataOff = ext
+    val stripOffsets = strips.scanLeft(dataOff)((acc, s) => acc + s.length).init
+    // header
+    bos.write(if (le) 'I' else 'M'); bos.write(if (le) 'I' else 'M')
+    p16(42); p32(8)
+    // IFD — ascending tags; inline values left-justified in their field
+    p16(nTags)
+    def tag(t: Int, typ: Int, count: Int)(value: => Unit): Unit = {
+      p16(t); p16(typ); p32(count)
+      val before = bos.size()
+      value
+      while (bos.size() < before + 4) bos.write(0) // left-justify inline
+    }
+    tag(256, 3, 1)(p16(wi))
+    tag(257, 3, 1)(p16(hi))
+    if (spp == 3) tag(258, 3, 3)(p32(bitsOff)) else tag(258, 3, 1)(p16(8))
+    tag(259, 3, 1)(p16(compression))
+    tag(262, 3, 1)(p16(photometric))
+    if (nStrips > 1) tag(273, 4, nStrips)(p32(stripOffOff))
+    else tag(273, 4, 1)(p32(stripOffsets.head))
+    tag(277, 3, 1)(p16(spp))
+    tag(278, 3, 1)(p16(rowsPerStrip))
+    if (nStrips > 1) tag(279, 4, nStrips)(p32(stripCntOff))
+    else tag(279, 4, 1)(p32(strips.head.length))
+    tag(284, 3, 1)(p16(1))
+    if (hasPredictorTag) tag(317, 3, 1)(p16(2))
+    if (hasCmap) tag(320, 3, 768)(p32(cmapOff))
+    p32(0) // no next IFD
+    // out-of-line arrays in the order reserved above
+    if (bitsOff >= 0) { p16(8); p16(8); p16(8) }
+    if (nStrips > 1) {
+      stripOffsets.foreach(p32)
+      strips.foreach(s => p32(s.length))
+    }
+    if (hasCmap) {
+      var c = 0
+      while (c < 3) {
+        var j = 0
+        while (j < 256) {
+          val e = paletteEntry(j)
+          val v = (if (c == 0) e._1 else if (c == 1) e._2 else e._3) * 257
+          p16(v)
+          j += 1
+        }
+        c += 1
+      }
+    }
+    strips.foreach(s => bos.write(s, 0, s.length))
+    val out = bos.toByteArray
+    require(out.length >= dataOff, "layout bookkeeping broke")
+    out
+  }
+
+  /** Synthesize a baseline-TIFF media table cycling every decoder arm
+    * over the positional-raster convention (px = repeat(md5(text), 7)
+    * ASCII chars): photometric (doc_id/2)%4 ∈ {0 white-is-zero gray, 1
+    * gray, 2 RGB, 3 palette via the [[paletteEntry]] formula ×257},
+    * compression (doc_id/3)%4 → {none, LZW, Deflate, PackBits},
+    * horizontal predictor on the LZW/Deflate arms when (doc_id/5)%2=1,
+    * byte order (doc_id/11)%2, rows-per-strip (doc_id/7)%3+1 (so
+    * multi-strip boundaries are exercised at every height). Predictor,
+    * byte order and strip split change the BYTES but not the decoded
+    * pixels — the oracle needs only (photometric, px). Every fifth row
+    * is raw text (wrong magic → null), every seventh truncated inside
+    * the strip data (→ null).
+    */
+  def mediaTableTiff(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 6 + 2).cast("int")
+    val h = (col("n_chars") % 5 + 2).cast("int")
+    val p = (floor(col("doc_id") / 2) % 4).cast("int")
+    val kind = when(col("doc_id") % 5 === 4, 1)
+      .when(col("doc_id") % 7 === 3, 2)
+      .otherwise(0)
+    // arm selector packed into `kind` (RasterSrc has no spare columns):
+    // kind = base + 4*(comp + 4*(pred + 2*(rps-1 + 3*le)))
+    val comp = (floor(col("doc_id") / 3) % 4).cast("int")
+    val pred = when(
+      (floor(col("doc_id") / 5) % 2 === 1) && (comp === 1 || comp === 2), 1).otherwise(0)
+    val rps = (floor(col("doc_id") / 7) % 3).cast("int")
+    val leSel = (floor(col("doc_id") / 11) % 2).cast("int")
+    val arm = kind + (comp + (pred + (rps + leSel * 3) * 2) * 4) * 4
+    val pxLen = (w * h * when(p === 2, 3).otherwise(1)).cast("int")
+    docs
+      .select(
+        col("doc_id").as("media_id"), w.as("w"), h.as("h"),
+        (p === 2).as("rgba"), // repurposed: true = RGB triplets
+        when(kind === 1, col("text"))
+          .otherwise(repeat(md5(col("text")), 7).substr(lit(1), pxLen))
+          .as("px"),
+        arm.as("kind"),
+        p.cast("long").as("size_bytes"), // repurposed: photometric
+        col("source").as("origin"),
+        col("lang").as("codec"))
+      .as[RasterSrc]
+      .mapPartitions(_.map { r =>
+        val base = r.kind % 4
+        val comp = Seq(1, 5, 8, 32773)((r.kind / 4) % 4)
+        val pred = if ((r.kind / 16) % 2 == 1) 2 else 1
+        val rps = (r.kind / 32) % 3 + 1
+        val le = (r.kind / 96) % 2 == 1
+        val photometric = r.size_bytes.toInt
+        val payload: Array[Byte] = base match {
+          case 1 => r.px.getBytes("UTF-8")
+          case 2 =>
+            val full = encodeTiff(le, photometric, comp, pred, rps, r.w, r.h, r.px)
+            java.util.Arrays.copyOf(full, full.length - math.max(full.length / 3, 1))
+          case _ => encodeTiff(le, photometric, comp, pred, rps, r.w, r.h, r.px)
+        }
+        (r.media_id, payload, 0L, r.origin, r.codec)
+      })
+      .toDF("media_id", "payload", "size_bytes", "origin", "codec")
+      .select(
+        col("media_id"), col("payload"),
+        struct(col("size_bytes"), col("origin"), col("codec")).as("meta"))
+  }
+
+  /** Canonical AIFF encode for the mixed-audio gates: FORM/AIFF with a
+    * COMM (channels, DECLARED frame count, sample size, rate 8000 as an
+    * 80-bit extended float — exponent 16383+12, mantissa 8000·2^51) and
+    * an SSND (offset 0, blockSize 0) of interleaved BIG-ENDIAN signed
+    * frames — 8-bit SIGNED, the container's divergence from WAV. The
+    * corrupt arm declares one more frame than SSND carries (the AIFF
+    * malformation analog of WAV's oversized data declaration) →
+    * [[graft.functions.AiffDecode]] nulls.
+    */
+  private[graft] def encodeAiff(
+      samples: Array[Array[Int]], bits: Int, declareExtraFrame: Boolean): Array[Byte] = {
+    val ch = samples.length
+    val n = samples(0).length
+    require(ch >= 1 && ch <= 2 && (bits == 8 || bits == 16 || bits == 24))
+    val frameBytes = ch * bits / 8
+    val ssndSz = 8 + n * frameBytes
+    val formSz = 4 + 8 + 18 + 8 + ssndSz + (ssndSz & 1)
+    val bos = new java.io.ByteArrayOutputStream(8 + formSz)
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xffff); be16(v & 0xffff) }
+    bos.write("FORM".getBytes("US-ASCII")); be32(formSz)
+    bos.write("AIFF".getBytes("US-ASCII"))
+    bos.write("COMM".getBytes("US-ASCII")); be32(18)
+    be16(ch); be32(if (declareExtraFrame) n + 1 else n); be16(bits)
+    // 8000 Hz as 80-bit extended: 8000 = 0x1F40 (13 bits) — exponent
+    // 16383+12, mantissa 8000 << 51 (explicit integer bit at bit 63)
+    be16(16383 + 12)
+    val mant = 8000L << 51
+    be32((mant >>> 32).toInt); be32(mant.toInt)
+    bos.write("SSND".getBytes("US-ASCII")); be32(ssndSz)
+    be32(0); be32(0) // offset, blockSize
+    var f = 0
+    while (f < n) {
+      var c = 0
+      while (c < ch) {
+        val v = samples(c)(f)
+        if (bits == 8) bos.write(v & 0xff)
+        else if (bits == 16) be16(v & 0xffff)
+        else { bos.write((v >> 16) & 0xff); bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+        c += 1
+      }
+      f += 1
+    }
+    if ((ssndSz & 1) == 1) bos.write(0) // chunk pad to even
+    bos.toByteArray
+  }
+
+  /** Synthesize a MIXED-FORMAT audio table — WAV, FLAC and AIFF
+    * payloads over the SAME sample derivation (channel c of frame f at
+    * text byte offset f·bpf + c·bits/8; 16-bit signed LE, 8-bit
+    * byte−128), the shape of a crawled corpus where no codec column
+    * exists: (doc_id/4)%4 → 0 canonical-header PCM WAV, 1 FLAC via
+    * [[encodeFlac]], 2 raw text (→ null), 3 AIFF via [[encodeAiff]]
+    * (big-endian signed container around the same values). Every
+    * seventh row is corrupted in a format-appropriate way (WAV: data
+    * chunk size overruns the payload; FLAC: final frame CRC flipped;
+    * AIFF: COMM declares a frame SSND can't cover) — every kernel must
+    * null, never fabricate samples. All three codecs are lossless, so
+    * the sniff gate stays hash-exact.
     */
   def mediaTableAudioMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val ch = (col("doc_id") % 2 + 1).cast("int")
-    // (doc_id/2) % 3: decoupled from BOTH the channel (doc_id%2) and
-    // format (doc_id%3) selectors — all (ch, bits, fmt) combos appear;
-    // cycles 16/8/24 so the sniff sees the hi-res depth on BOTH codecs
+    // selector decoupling: ch = doc_id%2, bits = (doc_id/2)%3, fmt =
+    // (doc_id/4)%4 — all (ch, bits, fmt) combos appear over doc_id mod
+    // 48 (fmt moved off doc_id%N when AIFF made the format count even:
+    // doc_id%4 would have pinned wav/text to even ids = mono only);
+    // bits cycles 16/8/24 so every codec sees the hi-res depth
     val bits = when(floor(col("doc_id") / 2) % 3 === 0, 16)
       .when(floor(col("doc_id") / 2) % 3 === 1, 8).otherwise(24).cast("int")
-    val fmt = (col("doc_id") % 3).cast("int")
+    val fmt = (floor(col("doc_id") / 4) % 4).cast("int")
     val kind = when(col("doc_id") % 7 === 3, 4).otherwise(0) + fmt
     docs
       .select(
@@ -2185,29 +2506,37 @@ object Multimodal {
         val chN = r.w; val bitsN = r.h
         val bpf = chN * bitsN / 8
         val t = r.px
+        // the codec-blind sample derivation (the WAV byte convention) —
+        // FLAC and AIFF encode THESE values, so the oracle recomputes
+        // one derivation for every format
+        def deriveSamples(nf: Int): Array[Array[Int]] =
+          Array.tabulate(chN, nf) { (c, f) =>
+            val o = f * bpf + c * (bitsN / 8)
+            if (bitsN == 8) (t.charAt(o) & 0xff) - 128
+            else if (bitsN == 16) {
+              val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
+              if (u >= 0x8000) u - 0x10000 else u
+            } else { // 24-bit signed LE triple
+              val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8) |
+                ((t.charAt(o + 2) & 0xff) << 16)
+              if (u >= 0x800000) u - 0x1000000 else u
+            }
+          }
         val payload: Array[Byte] = fmtK match {
           case 2 => t.getBytes("UTF-8")
           case 1 =>
             val nf = t.length / bpf
             if (nf == 0) t.getBytes("UTF-8")
             else {
-              val samples = Array.tabulate(chN, nf) { (c, f) =>
-                val o = f * bpf + c * (bitsN / 8)
-                if (bitsN == 8) (t.charAt(o) & 0xff) - 128
-                else if (bitsN == 16) {
-                  val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8)
-                  if (u >= 0x8000) u - 0x10000 else u
-                } else { // 24-bit signed LE triple
-                  val u = (t.charAt(o) & 0xff) | ((t.charAt(o + 1) & 0xff) << 8) |
-                    ((t.charAt(o + 2) & 0xff) << 16)
-                  if (u >= 0x800000) u - 0x1000000 else u
-                }
-              }
-              val flac = encodeFlac(samples, bitsN, r.media_id)
+              val flac = encodeFlac(deriveSamples(nf), bitsN, r.media_id)
               if (corrupt && flac.length > 2)
                 flac(flac.length - 1) = (flac(flac.length - 1) ^ 0x5a).toByte
               flac
             }
+          case 3 =>
+            // AIFF: same derived samples, big-endian signed container;
+            // the corrupt arm DECLARES one frame more than SSND carries
+            encodeAiff(deriveSamples(t.length / bpf), bitsN, declareExtraFrame = corrupt)
           case _ =>
             // canonical 44-byte PCM WAV around the raw text bytes
             val data = t.getBytes("UTF-8")

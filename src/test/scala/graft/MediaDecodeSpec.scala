@@ -25,6 +25,7 @@ class MediaDecodeSpec extends SparkSpec {
     val webp = Multimodal.encodeVp8l(3, 2, Array.tabulate(6)(i =>
       0xff000000 | ((px3.charAt(3 * i) & 0xff) << 16) |
         ((px3.charAt(3 * i + 1) & 0xff) << 8) | (px3.charAt(3 * i + 2) & 0xff)), 0)
+    val tiff = Multimodal.encodeTiff(le = false, 2, 5, 2, 1, 3, 2, px3)
     val direct = Seq(
       ("ppm", ppm, graft.functions.PpmDecode.decode(ppm), 2, 3, 4, 6),
       ("png", png, graft.functions.PngDecode.decode(png), 3, 4, 5, 8),
@@ -33,7 +34,8 @@ class MediaDecodeSpec extends SparkSpec {
       // JPEG dispatches through the ORIENTED kernel (VERDICT r18 #2):
       // no-tag payloads are orientation 1, where oriented == plain
       ("jpeg", jpeg, graft.functions.JpegOriented.decode(jpeg), 3, 4, 5, 7),
-      ("webp", webp, graft.functions.WebpDecode.decode(webp), 2, 3, 4, 7))
+      ("webp", webp, graft.functions.WebpDecode.decode(webp), 2, 3, 4, 7),
+      ("tiff", tiff, graft.functions.TiffDecode.decode(tiff), 2, 3, 4, 6))
     for ((fmt, payload, want, nPxOrd, srOrd, sgOrd, thOrd) <- direct) {
       assert(want != null, s"$fmt: direct kernel refused the seed")
       val got = MediaDecode.decode(payload)

@@ -133,6 +133,23 @@ class MediaFuzzSpec extends SparkSpec {
     graft.pipeline.Multimodal.encodeVp8l(9, 7,
       Array.tabulate(63)(i => if (i % 2 == 0) 0xff102030 else 0xffccddee), 4)
 
+  // TIFF seeds: one per compression family (incl. predictor) plus the
+  // palette photometric — mutations reach the IFD walk, the strip
+  // machinery and each decompressor's guards
+  private val validTiffLzw = graft.pipeline.Multimodal.encodeTiff(
+    le = true, 2, 5, 2, 2, 5, 4, "0123456789abcdef0123456789abcdef" * 2)
+  private val validTiffPack = graft.pipeline.Multimodal.encodeTiff(
+    le = false, 1, 32773, 1, 4, 5, 4, "01234567890123456789")
+  private val validTiffZip = graft.pipeline.Multimodal.encodeTiff(
+    le = false, 0, 8, 2, 1, 5, 4, "fedcba9876543210fedc")
+  private val validTiffPal = graft.pipeline.Multimodal.encodeTiff(
+    le = true, 3, 1, 1, 4, 5, 4, "abcdefghijklmnopqrst")
+  // AIFF seed: stereo 16-bit — mutations reach the chunk walk, the
+  // extended-float parser and the frame-declaration guard
+  private val validAiff = graft.pipeline.Multimodal.encodeAiff(
+    Array(Array.tabulate(80)(i => i * 7 - 280), Array.tabulate(80)(i => 100 - i * 3)),
+    16, declareExtraFrame = false)
+
   private val validJpegGray = {
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -177,10 +194,16 @@ class MediaFuzzSpec extends SparkSpec {
     neverThrows("FlacDecode", graft.functions.FlacDecode.decode)(
       rand ++ mutate(validFlac, 3000))
     neverThrows("AudioDecode", graft.functions.AudioDecode.decode)(
-      rand ++ mutate(validFlac, 1000) ++ mutate(validWav, 1000))
+      rand ++ mutate(validFlac, 1000) ++ mutate(validWav, 1000) ++
+        mutate(validAiff, 1000))
     neverThrows("WebpDecode", graft.functions.WebpDecode.decode)(
       rand ++ mutate(validWebp, 1500) ++ mutate(validWebpPal, 1500) ++
         mutate(validWebpPred, 1500) ++ mutate(validWebpCache, 1500))
+    neverThrows("TiffDecode", graft.functions.TiffDecode.decode)(
+      rand ++ mutate(validTiffLzw, 1500) ++ mutate(validTiffPack, 1500) ++
+        mutate(validTiffZip, 1500) ++ mutate(validTiffPal, 1500))
+    neverThrows("AiffDecode", graft.functions.AiffDecode.decode)(
+      rand ++ mutate(validAiff, 2500))
     // perceptual-hash wrappers (VERDICT r18 #8): the grid/orientation
     // logic and the window envelope sit ABOVE fuzzed kernels, but the
     // wrappers' own guards (below-grid nulls, quarter packing, window
@@ -189,11 +212,13 @@ class MediaFuzzSpec extends SparkSpec {
       rand ++ mutate(validPpm, 1000) ++ mutate(validPng, 1000) ++
         mutate(validPngPal, 1000) ++ mutate(validGif, 1000) ++
         mutate(validBmp, 1000) ++ mutate(validJpeg, 1000) ++
-        mutate(validOriented, 1000) ++ mutate(validWebp, 1000))
+        mutate(validOriented, 1000) ++ mutate(validWebp, 1000) ++
+        mutate(validTiffLzw, 1000))
     neverThrows("ImageDHash/3x2", b => graft.functions.ImageDHash.hash(b, 3, 2))(
       mutate(validPpm, 500) ++ mutate(validGifIl, 500) ++ mutate(validPngIl, 500))
     neverThrows("AudioFingerprint", b => graft.functions.AudioFingerprint.fingerprint(b, 65))(
-      rand ++ mutate(validFlac, 1500) ++ mutate(validWav, 1500))
+      rand ++ mutate(validFlac, 1500) ++ mutate(validWav, 1500) ++
+        mutate(validAiff, 1500))
     neverThrows("AudioFingerprint/9", b => graft.functions.AudioFingerprint.fingerprint(b, 9))(
       mutate(validFlac, 500) ++ mutate(validWav, 500))
     // prefix-targeted fuzz: buffers that START like each format stress
@@ -247,12 +272,21 @@ class MediaFuzzSpec extends SparkSpec {
         if ((chunkLen & 1) == 1) bos.write(0)
         bos.toByteArray
       })
+    // TIFF deep-parse fuzz: header + IFD entry count intact, random
+    // entry soup after — stresses the tag/type/offset guards
+    neverThrows("TiffDecode/prefixed", graft.functions.TiffDecode.decode)(
+      prefixed(validTiffLzw.take(10)) ++ prefixed(validTiffPack.take(10)))
+    // AIFF deep-parse fuzz: FORM/AIFF magic intact, random chunk soup
+    neverThrows("AiffDecode/prefixed", graft.functions.AiffDecode.decode)(
+      prefixed("FORM    AIFF".getBytes("US-ASCII")))
     neverThrows("ImageDHash/prefixed", b => graft.functions.ImageDHash.hash(b, 9, 8))(
-      prefixed(validPng.take(33)) ++ prefixed(validGif.take(13 + 3 * 256)))
+      prefixed(validPng.take(33)) ++ prefixed(validGif.take(13 + 3 * 256)) ++
+        prefixed(validTiffLzw.take(10)))
     neverThrows("AudioFingerprint/prefixed",
       b => graft.functions.AudioFingerprint.fingerprint(b, 65))(
       prefixed(validFlac.take(4 + 4 + 34)) ++
-        prefixed("RIFF    WAVE".getBytes("US-ASCII")))
+        prefixed("RIFF    WAVE".getBytes("US-ASCII")) ++
+        prefixed("FORM    AIFF".getBytes("US-ASCII")))
   }
 
   test("media kernels run statelessly on a STREAM, identical to batch") {
@@ -315,6 +349,11 @@ class MediaFuzzSpec extends SparkSpec {
     assert(graft.functions.WebpDecode.decode(validWebpPal) != null)
     assert(graft.functions.WebpDecode.decode(validWebpPred) != null)
     assert(graft.functions.WebpDecode.decode(validWebpCache) != null)
+    assert(graft.functions.TiffDecode.decode(validTiffLzw) != null)
+    assert(graft.functions.TiffDecode.decode(validTiffPack) != null)
+    assert(graft.functions.TiffDecode.decode(validTiffZip) != null)
+    assert(graft.functions.TiffDecode.decode(validTiffPal) != null)
+    assert(graft.functions.AiffDecode.decode(validAiff) != null)
     // expression-path spot check (codegen kernels share the statics)
     val r = Seq((validPpm, validWav, validY4m)).toDF("p", "w", "y")
       .select(
