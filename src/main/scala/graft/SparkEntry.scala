@@ -2133,7 +2133,9 @@ object SparkEntry {
     //      cycles P6 / PNG (both interlace orders) / GIF (palette-
     //      expanded through the shared formula colormap) / BMP / flat
     //      DC-only JPEG (decodes exactly to a uniform raster — dhash 0
-    //      by definition, geometry pinned). Images below the grid, raw
+    //      by definition, geometry pinned) / lossless WebP / baseline
+    //      TIFF (byte order + compression cycling). Images below the
+    //      grid, raw
     //      text and truncated containers are the null mix. Tagged JPEG
     //      hashes with EXIF orientation APPLIED — spec-pinned
     //      (tag-only-rotated photos hash identically), as is P6 == PNG
@@ -2155,8 +2157,8 @@ object SparkEntry {
     //      quarter blocking (pigeonhole: hamming <= 3 of 64 bits agrees
     //      on >= 1 quarter) + exact popcount verify — the simhashPairs
     //      inverted-list shape on the image hash, now over the MIXED
-    //      formats a crawl contains (P6/PNG/GIF/BMP cycling on
-    //      doc_id//4; JPEG stays out — a lossy hash is not
+    //      formats a crawl contains (P6/PNG/GIF/BMP/WebP/TIFF cycling
+    //      on doc_id//4; JPEG stays out — a lossy hash is not
     //      oracle-re-minable and exact flat payloads are all-uniform,
     //      which would degenerate the mine to an all-pairs clique).
     //      The table plants one near-dup per doc (RGB: one channel of
@@ -5952,7 +5954,7 @@ object SparkEntry {
          |  SELECT doc_id AS media_id,
          |    CAST(doc_id % 6 + 2 AS INTEGER) AS w,
          |    CAST(n_chars % 5 + 2 AS INTEGER) AS h,
-         |    CAST((doc_id // 6) % 6 AS INTEGER) AS fmt,
+         |    CAST((doc_id // 6) % 7 AS INTEGER) AS fmt,
          |    substr(repeat(md5(text), 7), 1,
          |      CAST((doc_id % 6 + 2) * (n_chars % 5 + 2) * 3 AS INTEGER)) AS px3,
          |    substr(repeat(md5(text), 5), 1,
@@ -5967,7 +5969,8 @@ object SparkEntry {
          |SELECT media_id,
          |  CASE WHEN bad THEN NULL ELSE
          |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-         |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' ELSE 'webp' END
+         |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'webp'
+         |             ELSE 'tiff' END
          |  END AS format,
          |  CASE WHEN bad THEN NULL ELSE w END AS width,
          |  CASE WHEN bad THEN NULL ELSE h END AS height,
@@ -5987,13 +5990,13 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(doc_id % 4 + 10 AS INTEGER) AS w,
         |    CAST(n_chars % 3 + 9 AS INTEGER) AS h,
-        |    CAST((doc_id // 4) % 5 AS INTEGER) AS fmt,
-        |    CASE WHEN (doc_id // 4) % 5 = 2
+        |    CAST((doc_id // 4) % 6 AS INTEGER) AS fmt,
+        |    CASE WHEN (doc_id // 4) % 6 = 2
         |      THEN substr(repeat(md5(text), 5), 1,
         |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) AS INTEGER))
         |      ELSE substr(repeat(md5(text), 14), 1,
         |        CAST((doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 AS INTEGER)) END AS px0,
-        |    CAST(doc_id % (CASE WHEN (doc_id // 4) % 5 = 2
+        |    CAST(doc_id % (CASE WHEN (doc_id // 4) % 6 = 2
         |        THEN (doc_id % 4 + 10) * (n_chars % 3 + 9)
         |        ELSE (doc_id % 4 + 10) * (n_chars % 3 + 9) * 3 END) AS INTEGER) AS p,
         |    doc_id % 5 = 4 AS bad

@@ -2739,23 +2739,24 @@ object Multimodal {
     */
   /** Mixed-format media table for the PERCEPTUAL-HASH gate — the r18
     * verdict's #1: image dedup must cover what a crawl contains, so the
-    * dHash gate cycles fmt = (doc_id div 6) % 6 — DECOUPLED from the
+    * dHash gate cycles fmt = (doc_id div 6) % 7 — DECOUPLED from the
     * doc_id % 6 width selector (the r18 lesson: a same-modulus pick
     * would pin every P6 row below the grid): 0 P6, 1 PNG
     * truecolor, 2 GIF indexed through the shared [[paletteEntry]]
     * colormap, 3 BMP 24-bit, 4 flat DC-only JPEG — the one lossy arm
     * that still decodes EXACTLY, to a uniform raster whose dHash is 0
-    * by definition — 5 lossless WebP over the SAME RGB triples as
-    * P6/PNG/BMP). PNG/GIF rows alternate sequential/interlaced on
-    * media_id % 3. Null mix: raw text (doc_id % 11 = 5), a truncated
-    * container (doc_id % 7 = 3), and the below-grid dims the small-w
-    * rows produce naturally.
+    * by definition — 5 lossless WebP, 6 baseline TIFF (byte order and
+    * compression cycling) over the SAME RGB triples as P6/PNG/BMP).
+    * PNG/GIF rows alternate sequential/interlaced on media_id % 3.
+    * Null mix: raw text (doc_id % 11 = 5), a truncated container
+    * (doc_id % 7 = 3), and the below-grid dims the small-w rows
+    * produce naturally.
     */
   def mediaTableDhashMixed(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val w = (col("doc_id") % 6 + 2).cast("int")
     val h = (col("n_chars") % 5 + 2).cast("int")
-    val fmt = expr("CAST((doc_id div 6) % 6 AS INT)")
+    val fmt = expr("CAST((doc_id div 6) % 7 AS INT)")
     val kind = when(col("doc_id") % 11 === 5, 1)
       .when(col("doc_id") % 7 === 3, 2)
       .otherwise(0)
@@ -2792,6 +2793,10 @@ object Multimodal {
                 ((r.px.charAt(3 * i + 1) & 0xff) << 8) |
                 (r.px.charAt(3 * i + 2) & 0xff)),
               arm = ((r.media_id / 36) % 2).toInt) // literal / subtract-green
+            case 6 => encodeTiff( // byte order + compression cycle; pixels invariant
+              le = (r.media_id / 84) % 2 == 0, photometric = 2,
+              compression = Seq(1, 5, 8, 32773)(((r.media_id / 42) % 4).toInt),
+              predictor = 1, rowsPerStrip = 2, r.w, r.h, r.px)
             case _ => encodeFlatJpeg(
               Seq(r.px.charAt(0) & 0xff, r.px.charAt(1) & 0xff, r.px.charAt(2) & 0xff),
               transform = -1, r.w, r.h)
@@ -2809,8 +2814,9 @@ object Multimodal {
 
   /** Mixed-format near-dup PAIRS table for the dHash pair-mining gate:
     * per doc, a base image and a one-sample-bumped copy, cycling fmt =
-    * (doc_id / 4) % 5 (decoupled from the doc_id % 4 width selector:
-    * 0 P6, 1 PNG, 2 GIF indexed, 3 BMP, 4 lossless WebP over the same
+    * (doc_id / 4) % 6 (decoupled from the doc_id % 4 width selector:
+    * 0 P6, 1 PNG, 2 GIF indexed, 3 BMP, 4 lossless WebP, 5 baseline
+    * TIFF — byte order and compression cycling — over the same
     * RGB triples). RGB formats bump ONE channel of one pixel by +1
     * (≤ 2 dHash bits move); GIF bumps one palette INDEX by +1 (Δgray 21
     * through the [[paletteEntry]] formula — still one cell, ≤ 2 bits).
@@ -2823,7 +2829,7 @@ object Multimodal {
     import spark.implicits._
     val w = (col("doc_id") % 4 + 10).cast("int")
     val h = (col("n_chars") % 3 + 9).cast("int")
-    val fmt = expr("CAST((doc_id div 4) % 5 AS INT)")
+    val fmt = expr("CAST((doc_id div 4) % 6 AS INT)")
     val len = when(fmt === 2, w * h).otherwise(w * h * 3).cast("int")
     val base = when(fmt === 2, repeat(md5(col("text")), 5))
       .otherwise(repeat(md5(col("text")), 14)).substr(lit(1), len)
@@ -2853,6 +2859,10 @@ object Multimodal {
               ((px.charAt(3 * i) & 0xff) << 16) |
               ((px.charAt(3 * i + 1) & 0xff) << 8) |
               (px.charAt(3 * i + 2) & 0xff)), arm = 0)
+          case 5 => encodeTiff(
+            le = r.media_id % 2 == 0, photometric = 2,
+            compression = Seq(1, 5, 8, 32773)(((r.media_id / 24) % 4).toInt),
+            predictor = 1, rowsPerStrip = 4, r.w, r.h, px)
           case _ => encodeRaster("bmp", r.w, r.h, rgba = false, px)
         }
         if (k == 1) {
