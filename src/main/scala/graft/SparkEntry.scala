@@ -2415,12 +2415,12 @@ object SparkEntry {
 
     // ---- DECODE-BACKED features over a MIXED-FORMAT corpus: the
     //      MediaDecode sniff dispatches each payload to its from-scratch
-    //      kernel (P6/PNG/GIF/BMP/JPEG) and folds real channel sums +
-    //      the positioned thumb into the shared schema — the operator a
-    //      crawled corpus needs, where no format column exists. JPEG
-    //      sums are implementation-defined, so the hash gate nulls them
-    //      (q_multimodal_jpeg band-judges that codec); raw text and
-    //      truncated containers are the null rows ----------------------
+    //      kernel (P6/TIFF/PNG/GIF/BMP/JPEG/WebP) and folds real channel
+    //      sums + the positioned thumb into the shared schema — the
+    //      operator a crawled corpus needs, where no format column
+    //      exists. JPEG sums are implementation-defined, so the hash
+    //      gate nulls them (q_multimodal_jpeg band-judges that codec);
+    //      raw text and truncated containers are the null rows ---------
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal
         .decodedFeatures(Multimodal.mediaTableMixed(s, Tables.documents(s, dir)))
@@ -6891,7 +6891,9 @@ object SparkEntry {
         |)
         |SELECT media_id,
         |  CASE WHEN bad THEN NULL ELSE
-        |    CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+        |    CASE fmt WHEN 0 THEN
+        |               (CASE WHEN (media_id // 7) % 2 = 1 THEN 'tiff' ELSE 'ppm' END)
+        |             WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
         |             WHEN 3 THEN 'bmp' WHEN 4 THEN 'jpeg' WHEN 6 THEN 'webp' END
         |  END AS format,
         |  CASE WHEN bad THEN NULL

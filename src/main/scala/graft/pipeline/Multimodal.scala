@@ -2728,14 +2728,17 @@ object Multimodal {
         col("meta.origin").as("origin"))
 
   /** Synthesize a MIXED-FORMAT media table — one payload column carrying
-    * five real containers plus junk, the shape of a crawled corpus where
-    * no format column exists: doc_id % 6 → 0 P6, 1 PNG (RGB), 2 GIF,
-    * 3 BMP, 4 baseline JPEG, 5 raw text. Raster conventions are the
-    * established oracle-reconstructible ones (md5-hex chars: 3 per pixel
-    * RGB for P6/PNG/BMP/JPEG, 1 per pixel palette INDEX for GIF with the
-    * shared [[paletteEntry]] colormap), so DuckDB recomputes every
-    * decodable row's statistics positionally. Every seventh row is
-    * additionally TRUNCATED inside its container (strict kernels → null).
+    * seven real containers plus junk, the shape of a crawled corpus
+    * where no format column exists: doc_id % 7 → 0 P6 alternating with
+    * baseline TIFF on (doc_id/7) % 2 (same raster, same statistics —
+    * only the sniffed format differs), 1 PNG (RGB), 2 GIF, 3 BMP,
+    * 4 EXIF-tagged JPEG (orientation cycling 1..8), 5 raw text,
+    * 6 lossless WebP. Raster conventions are the established
+    * oracle-reconstructible ones (md5-hex chars: 3 per pixel RGB, 1 per
+    * pixel palette INDEX for GIF with the shared [[paletteEntry]]
+    * colormap), so DuckDB recomputes every decodable row's statistics
+    * positionally. Every thirteenth row is additionally TRUNCATED
+    * inside its container (strict kernels → null).
     */
   /** Mixed-format media table for the PERCEPTUAL-HASH gate — the r18
     * verdict's #1: image dedup must cover what a crawl contains, so the
@@ -2911,6 +2914,14 @@ object Multimodal {
         val fmt = r.kind / 4
         val truncated = r.kind % 4 == 2
         val full: Array[Byte] = fmt match {
+          // arm 0 alternates P6 / baseline TIFF on (id/7) % 2 — same
+          // raster, same statistics, only the sniffed format differs
+          // (TIFF additionally cycles byte order and compression, which
+          // the pixel oracle is invariant to)
+          case 0 if (r.media_id / 7) % 2 == 1 => encodeTiff(
+            le = (r.media_id / 14) % 2 == 0, photometric = 2,
+            compression = Seq(1, 5, 8, 32773)(((r.media_id / 28) % 4).toInt),
+            predictor = 1, rowsPerStrip = 3, r.w, r.h, r.px)
           case 0 => ("P6\n" + r.w + " " + r.h + "\n255\n").getBytes("US-ASCII") ++
             r.px.getBytes("US-ASCII")
           case 1 => encodeRaster("png", r.w, r.h, rgba = false, r.px)
