@@ -2189,8 +2189,12 @@ object Multimodal {
         else {
           put(cur)
           dict.put(key, next); next += 1
-          // early change AFTER the add — the decoder's exact timeline
-          if (next == (1 << width) - 1 && width < 12) width += 1
+          // the decoder adds its k-th entry only after reading code
+          // k+1, so it lags this table by ONE add — the encoder's
+          // width bump therefore fires at table size 2^w where the
+          // decoder's early-change check (2^w − 1) fires, keeping the
+          // width of every code aligned across the lag
+          if (next == (1 << width) && width < 12) width += 1
           if (next == 4094) { // stay inside 12 bits: flush the table
             put(256)
             dict.clear(); next = 258; width = 9

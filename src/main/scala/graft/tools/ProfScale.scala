@@ -705,6 +705,58 @@ object ProfScale {
           require(r.getLong(0) >= 0, "dhash failed")
         }
 
+      case "mm20" =>
+        // the round-19 second-sitting kernels solo, mm18 conventions:
+        // TIFF (gate arms + a 64×48 LZW raster for per-byte throughput)
+        // and the AIFF-inclusive audio sniff
+        import org.apache.spark.sql.functions.{col, md5 => fmd5}
+        import spark.implicits._
+        val docs20 = Tables.documents(spark, sfDir)
+        val tiffTab = Multimodal.mediaTableTiff(spark, docs20)
+          .select("media_id", "payload").localCheckpoint()
+        val nTf = tiffTab.count()
+        timed(s"tiff_decode gate-arms x$nTf") {
+          val r = tiffTab
+            .select(graft.functions.TiffDecode(col("payload")).as("d"))
+            .selectExpr("count(d.n_px)").collect()(0)
+          require(r.getLong(0) > 0, "no tiff decoded")
+        }
+        val bigTiff = docs20.select(col("doc_id"), fmd5(col("text")).as("m"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, m) =>
+            val need = 64 * 48 * 3
+            val sb = new java.lang.StringBuilder(need)
+            while (sb.length < need) sb.append(m)
+            val comp = Seq(5, 8, 32773, 1)((id % 4).toInt)
+            (id, Multimodal.encodeTiff(
+              le = id % 2 == 0, photometric = 2, compression = comp,
+              predictor = if (id % 3 == 0 && (comp == 5 || comp == 8)) 2 else 1,
+              rowsPerStrip = 16, 64, 48, sb.substring(0, need)))
+          })
+          .toDF("media_id", "payload").localCheckpoint()
+        val nBig = bigTiff.count()
+        var tfPx = 0L
+        val tBig = timed(s"tiff_decode 64x48 x$nBig") {
+          val r = bigTiff
+            .select(graft.functions.TiffDecode(col("payload")).as("d"))
+            .selectExpr("sum(d.n_px)", "count(d.n_px)").collect()(0)
+          require(r.getLong(1) == nBig, "big tiff rows dropped")
+          tfPx = r.getLong(0)
+        }
+        println(f"PROFSCALE tiff throughput ${tfPx / tBig / 1e6}%.1f Mpx/s")
+        val audTab20 = Multimodal.mediaTableAudioMixed(spark, docs20)
+          .select("media_id", "payload").localCheckpoint()
+        val nAu = audTab20.count()
+        var auFrames = 0L
+        val tAu = timed(s"audio_sniff wav/flac/aiff x$nAu") {
+          val r = audTab20
+            .select(graft.functions.AudioDecode(col("payload")).as("d"))
+            .selectExpr("sum(d.n_frames)", "count(d.n_frames)").collect()(0)
+          require(r.getLong(1) > 0, "no audio decoded")
+          auFrames = r.getLong(0)
+        }
+        println(f"PROFSCALE audio_sniff throughput ${auFrames / tAu / 1e6}%.1f Mframes/s")
+
       case "png" =>
         // the real PNG decode kernel solo: payloads are materialized once
         // (localCheckpoint) so the timing isolates the Inflater+unfilter

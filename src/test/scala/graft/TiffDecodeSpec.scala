@@ -267,6 +267,42 @@ class TiffDecodeSpec extends SparkSpec {
     assert(TiffDecode.decode(Array[Byte](73, 73)) == null)
   }
 
+  test("LZW code-width boundaries (511/1023/2047): big strips, refereed both ways") {
+    // 128×96 RGB = 36,864 bytes/strip-set — the dictionary crosses every
+    // width bump (the gate's tiny images never leave 9-bit codes, which
+    // is exactly where an encoder/decoder early-change misalignment
+    // hides; regression for the one found during development)
+    val w = 128; val h = 96
+    val px = {
+      val sb = new java.lang.StringBuilder(w * h * 3)
+      var i = 0
+      while (sb.length < w * h * 3) { sb.append("%08x".format(i * 2654435761L & 0xffffffffL)); i += 1 }
+      sb.substring(0, w * h * 3)
+    }
+    val expected = (0 until w * h).map(i => (px.charAt(3 * i) & 0xff).toLong).sum
+    for (le <- Seq(true, false); pred <- Seq(1, 2); rps <- Seq(h, 17)) {
+      val bytes = Multimodal.encodeTiff(le, 2, 5, pred, rps, w, h, px)
+      val r = TiffDecode.decode(bytes)
+      assert(r != null, s"le=$le pred=$pred rps=$rps")
+      assert(r.getLong(3) === expected, s"le=$le pred=$pred rps=$rps")
+      // referee: the JDK reader accepts the same bytes pixel-for-pixel
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected le=$le pred=$pred rps=$rps")
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w) sr += (img.getRGB(x, y) >> 16) & 0xff
+      assert(sr === expected, s"ImageIO read differs le=$le pred=$pred rps=$rps")
+    }
+    // and the other direction: a JDK-written LZW image of the same size
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      img.setRGB(x, y, ((px.charAt(3 * i) & 0xff) << 16) |
+        ((px.charAt(3 * i + 1) & 0xff) << 8) | (px.charAt(3 * i + 2) & 0xff))
+    }
+    val r2 = TiffDecode.decode(writeImageIoTiff(img, "LZW"))
+    assert(r2 != null && r2.getLong(3) === expected, "JDK-encoded big LZW")
+  }
+
   test("the expression path (codegen) matches eval, nulls included") {
     val rows = Seq(
       (1L, Multimodal.encodeTiff(le = false, 2, 8, 2, 2, 3, 3, "0123456789abcdefghijklmnopq")),
