@@ -101,7 +101,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     spark.catalog.clearCache()
     val t0 = System.nanoTime()
-    graft.core.Tables.lineitem(spark, sfDir)
+    // RAW load, not Tables.lineitem: the r19 small-input fan-out would add
+    // an exchange here, changing the sentinel's fixed shape and making its
+    // floor incomparable with earlier rounds' captures (the floor IS the
+    // cross-capture machine-speed signal — see calibJson)
+    graft.core.Tables.load(spark, sfDir, "lineitem")
       .agg(sum("l_extendedprice"), avg("l_quantity"), count(lit(1)))
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9

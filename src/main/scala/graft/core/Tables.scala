@@ -17,6 +17,62 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Input-skew remediation for the FACT tables (optimization guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"): the test corpus writes each table as ONE parquet file with
+    * ONE row group, so the scan — and every fused map kernel, regex pass
+    * and decimal aggregation above it — runs as a single task while the
+    * other `defaultParallelism − 1` cores idle until the first exchange.
+    *
+    * The round-robin repartition is applied ONLY when the input is small
+    * enough that reshuffling it is trivially cheap (`graft.fanout
+    * .maxInputBytes`, default 64 MiB — a sub-second shuffle locally) AND
+    * the file would produce fewer splits than cores. At production scale
+    * a fact table is many row groups across many files, the scan already
+    * fans out, and this is the identity — the threshold exists so the
+    * remediation can never add a corpus-sized shuffle. Parallelism
+    * follows `defaultParallelism`, so the driver's reduced-core bench
+    * sees the same adaptive behaviour. Set `graft.fanout.maxInputBytes=0`
+    * to disable.
+    *
+    * The spread uses HASH partitioning on the table's unique key, not
+    * round-robin: keyless `repartition(n)` first pays a local sort of the
+    * (single, whole-table) input partition (SPARK-23207), which is most
+    * of what the fan-out is trying to escape; hashing a deterministic
+    * high-cardinality id is sort-free, deterministic under retries, and
+    * skew-free. Every declared query's result is invariant to input
+    * partitioning (verified against the DuckDB oracle at sf0.01/sf0.1 in
+    * the r19 optimization round).
+    */
+  private def fanOutSmall(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val maxBytes = spark.conf.getOption("graft.fanout.maxInputBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (maxBytes <= 0) return df
+    val par = spark.sparkContext.defaultParallelism
+    if (par <= 1) return df
+    val len = try new java.io.File(path).length() catch { case _: Throwable => 0L }
+    val splitBytes = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(128L << 20)
+    if (len > 0 && len < maxBytes && len / splitBytes + 1 < par)
+      df.repartition(par, key)
+    else df
+  }
+
+  /** Fact-table load with the small-input fan-out (dimension tables keep
+    * the plain single-task load — they broadcast, and fanning them out
+    * only adds empty tasks).
+    */
+  private def loadFact(
+      spark: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val df = load(spark, dir, name)
+    fanOutSmall(spark, df, s"$dir/$name.parquet", col(key))
+  }
+
   /** events → NNTSC-shaped data frame. The corpus generator has shipped
     * `ts` under three physical encodings across refreshes — TIMESTAMP(NANOS)
     * (read as raw nanos LONG via `spark.sql.legacy.parquet.nanosAsLong`),
@@ -65,7 +121,11 @@ object Tables {
     // future corpus refresh narrows the integer ids to int32 or value to
     // float32, the engine contract stays (BIGINT ids, DOUBLE value) — the
     // oracle view applies the same casts (SparkEntry.OracleEvents)
-    ev.select(
+    // event_id (unique) as the spread key: measured better than
+    // stream-keyed spreading (tier builds +0.9 s under stream keying at
+    // sf0.1 — 1500 streams hash unevenly into 32 partitions, and the
+    // hoped-for window-exchange elision never paid for it).
+    fanOutSmall(spark, ev, s"$dir/events.parquet", col("event_id")).select(
       col("user_id").cast("long").as("stream_id"),
       tsSec.cast("long").as("timestamp"),
       col("event_id").cast("long").as("event_id"),
@@ -74,13 +134,16 @@ object Tables {
       col("props"))
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    loadFact(spark, dir, "lineitem", "l_orderkey")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    loadFact(spark, dir, "documents", "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    loadFact(spark, dir, "embeddings", "vec_id")
 }

@@ -45,6 +45,12 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the audit pins OPERATOR shapes (map-only, no-exchange contracts);
+      // the r19 small-input scan fan-out (Tables.loadFact — a bench-scale
+      // input-skew remediation, identity at production scale) would put a
+      // repartition Exchange under every such check. Its own gating is
+      // pinned in TablesFanoutSpec.
+      .config("graft.fanout.maxInputBytes", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

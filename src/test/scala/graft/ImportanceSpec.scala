@@ -170,4 +170,39 @@ class ImportanceSpec extends SparkSpec {
     // \s+ split); "a b": 2 + 1
     assert(out === Map(1L -> 1L, 2L -> 3L, 3L -> 3L))
   }
+
+  test("fused ImportanceBuckets equals the relational md5/xxhash bucket chain") {
+    // the r19 fused bucketing must emit the SAME multiset of bucket ids
+    // as explode(concat(WordNgrams 1, 2)) -> pmod(hash, B), both families,
+    // including whitespace edges, unicode and the empty/null rows
+    val texts = Seq(
+      (1L, "spark join window join"),
+      (2L, " padded  run "),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "naïve café — δξ tokens"),
+      (7L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    for (md5Fam <- Seq(true, false); b <- Seq(17, 4096)) {
+      val relBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (md5Fam)
+          g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(b.toLong))
+        else g => pmod(xxhash64(g), lit(b.toLong))
+      val rel = df.select(
+          col("doc_id"),
+          explode(concat(
+            graft.functions.WordNgrams(col("text"), 1),
+            graft.functions.WordNgrams(col("text"), 2))).as("__g"))
+        .select(col("doc_id"), relBucket(col("__g")).as("__f"))
+        .as[(Long, Long)].collect().toSeq.groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      val fused = df.select(
+          col("doc_id"),
+          explode(graft.functions.ImportanceBuckets(col("text"), b, md5Fam)).as("__f"))
+        .as[(Long, Long)].collect().toSeq.groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted).toMap
+      assert(fused === rel, s"md5Family=$md5Fam buckets=$b")
+    }
+  }
 }

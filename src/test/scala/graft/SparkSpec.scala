@@ -13,6 +13,11 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // specs pin OPERATOR plan shapes (map-only, codegen spans); the r19
+    // bench-level small-input scan fan-out (Tables.loadFact) would put a
+    // repartition Exchange under every such assertion. Off here; the
+    // fan-out's own gating is pinned in TablesFanoutSpec.
+    .config("graft.fanout.maxInputBytes", "0")
     .getOrCreate()
 
   def sf(dir: String): String = s"/root/testdata/$dir"
