@@ -213,6 +213,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing sizes reduce partitions by BYTES; this engine's
+      // reduce stages are CPU-dense (decimal partials, percentile grids,
+      // object aggregates), so the 1 MB default minimum collapsed
+      // sub-core-count-MB shuffles onto 4-10 tasks while the rest of the
+      // machine idled (job-level profile: the tier build's 0.86 s reduce
+      // ran on 5 of 32 cores). 16k lets such stages keep the session's
+      // full parallelism; it is byte-based and self-limiting at scale —
+      // partitions are still capped by spark.sql.shuffle.partitions, and
+      // IO-bound large shuffles are untouched. Env-overridable for
+      // deployments whose reduce stages are IO-bound.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // deterministic execution order: args order when given, else by name

@@ -102,6 +102,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet has carried TIMESTAMP(NANOS); read as raw long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same CPU-dense-reduce coalescing floor as Bench (see its builder
+      // note) so the correctness dump runs the bench's plans
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = dump(spark, sfDir, outDir, only)

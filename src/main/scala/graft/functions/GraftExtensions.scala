@@ -258,7 +258,7 @@ object GraftExtensions {
     fn("winnow_fingerprint",
       "winnow_fingerprint(text, n, w) - MOSS winnowing fingerprints: " +
         "rightmost window minima over word n-gram md5-60 hashes: " +
-        "(n_grams, n_fp, fp_stream)", 3)(
+        "(n_grams, n_fp, fp_stream, fp_hashes)", 3)(
       exprs => WinnowFingerprint(
         exprs.head, intArg(exprs(1), "n"), intArg(exprs(2), "w"))))
 

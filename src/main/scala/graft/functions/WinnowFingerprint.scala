@@ -69,14 +69,24 @@ object WinnowFingerprint {
   val schema: StructType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
     StructField("n_fp", LongType, nullable = false),
-    StructField("fp_stream", StringType, nullable = false)))
+    StructField("fp_stream", StringType, nullable = false),
+    // r19: the selected hashes as a SORTED DISTINCT long array — the set
+    // the pair miner blocks on. The relational form it replaces re-parsed
+    // fp_stream per row (split → filter → split(":") → cast, four
+    // interpreted higher-order passes over a string the expression had
+    // just built from these very longs).
+    StructField("fp_hashes", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  private val EmptyHashes =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
 
   def fingerprint(text: String, n: Int, w: Int): InternalRow = {
     val (starts, ends) = Tokenize.boundaries(text)
     val ntok = starts.length
     val g = ntok - n + 1
     if (g <= 0)
-      return new GenericInternalRow(Array[Any](0L, 0L, UTF8String.EMPTY_UTF8))
+      return new GenericInternalRow(Array[Any](0L, 0L, UTF8String.EMPTY_UTF8, EmptyHashes))
 
     val h = new Array[Long](g)
     val sb = new java.lang.StringBuilder(64)
@@ -99,6 +109,8 @@ object WinnowFingerprint {
     var head = 0
     var tail = 0 // exclusive
     val out = new java.lang.StringBuilder(g * 4)
+    val selHashes = new Array[Long](g) // ≤ one selection per gram
+    var nSel = 0
     var nFp = 0L
     var lastSel = -1
     val firstWindowEnd = math.min(w, g) // G < w → one window over all
@@ -113,6 +125,8 @@ object WinnowFingerprint {
         if (sel != lastSel) {
           if (out.length > 0) out.append(' ')
           out.append(h(sel)).append(':').append(sel + 1) // 1-based pos
+          selHashes(nSel) = h(sel)
+          nSel += 1
           nFp += 1
           lastSel = sel
         }
@@ -120,8 +134,20 @@ object WinnowFingerprint {
       i += 1
     }
 
+    // sorted distinct hash set (array_sort(array_distinct(...)) parity)
+    java.util.Arrays.sort(selHashes, 0, nSel)
+    var uniq = 0
+    var k = 0
+    while (k < nSel) {
+      if (uniq == 0 || selHashes(k) != selHashes(uniq - 1)) {
+        selHashes(uniq) = selHashes(k); uniq += 1
+      }
+      k += 1
+    }
     new GenericInternalRow(Array[Any](
-      g.toLong, nFp, UTF8String.fromString(out.toString)))
+      g.toLong, nFp, UTF8String.fromString(out.toString),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(selHashes, uniq))))
   }
 
   def apply(text: Column, n: Int, w: Int): Column =

@@ -242,17 +242,16 @@ object Dedup {
       minShared: Long,
       maxDf: Option[Long] = None,
       maxCandidates: Option[Long] = None): DataFrame = {
+    // fp_hashes: the expression's own sorted-distinct selected-hash array
+    // (r19) — the stream re-parse this replaces (split → filter →
+    // split(":") → cast under array_sort(array_distinct(...))) paid four
+    // interpreted higher-order passes per row to recover longs the fused
+    // kernel had just stringified; WinnowSpec pins fp_hashes == the parse
     val sets = pin(df
       .select(
         col(idCol).as("__id"),
         graft.functions.WinnowFingerprint(col(textCol), n, w)
-          .getField("fp_stream").as("__fp"))
-      .select(
-        col("__id"),
-        array_sort(array_distinct(transform(
-          // empty stream → split("") = [""], filtered out before the cast
-          filter(split(col("__fp"), " "), s => s =!= ""),
-          s => split(s, ":").getItem(0).cast("long")))).as("__set"))
+          .getField("fp_hashes").as("__set"))
       .withColumn("__n", size(col("__set"))))
     pairSharedCountsFrom(sets, maxDf, maxCandidates, "winnowPairs")
       .filter(col("shared") >= minShared)

@@ -48,6 +48,12 @@ object ProfOpt {
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v)
       println(s"PROF objectHashAggregate.sortBased.fallbackThreshold=$v")
     }
+    // generic conf override hook for A/B runs: GRAFT_CONF="k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"PROF conf $k=$v")
+    })
 
     val ev = Tables.tsEvents(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
@@ -93,6 +99,50 @@ object ProfOpt {
       tier3600.unpersist()
     }
 
+    if (sections("jobs")) {
+      // per-job/stage wall breakdown of single queries (warm 3rd run):
+      // distinguishes driver/scheduling gaps from stage compute
+      import org.apache.spark.scheduler._
+      val names = if (args.length > 2) args.drop(2).toSeq
+        else Seq("q_agg_tier_bins", "q_containment", "q_tier_smoke_nr", "q_dedup_minhash")
+      names.foreach { qn =>
+        val fn = graft.SparkEntry.queries(qn)
+        (1 to 2).foreach { _ => // warm codegen
+          graft.pipeline.Dedup.unpersistIntermediates(); spark.catalog.clearCache()
+          noop(fn(spark, sfDir))
+        }
+        graft.pipeline.Dedup.unpersistIntermediates(); spark.catalog.clearCache()
+        val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int)]
+        val listener = new SparkListener {
+          private val starts = scala.collection.mutable.Map.empty[Int, Long]
+          override def onJobStart(j: SparkListenerJobStart): Unit =
+            starts(j.jobId) = j.time
+          override def onJobEnd(j: SparkListenerJobEnd): Unit =
+            jobs += ((j.jobId, starts.getOrElse(j.jobId, 0L), j.time))
+          override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+            val si = s.stageInfo
+            stages += ((si.stageId, si.name.take(40),
+              si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+              si.numTasks))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        val jobSpan = jobs.map { case (_, s, e) => e - s }.sum / 1e3
+        println(f"PROFJOB $qn wall=$wall%.3f s, ${jobs.size} jobs (sum ${jobSpan}%.3f s), " +
+          f"gaps=${wall - jobSpan}%.3f s")
+        jobs.sortBy(_._2).foreach { case (id, s, e) =>
+          println(f"PROFJOB   job $id%3d ${(e - s) / 1e3}%7.3f s") }
+        stages.sortBy(-_._3).take(8).foreach { case (id, nm, d, nt) =>
+          println(f"PROFJOB   stage $id%4d ${d / 1e3}%7.3f s tasks=$nt%3d  $nm") }
+      }
+    }
+
     if (sections("fold")) {
       // decompose the serve fold's aggregate: which buffer family costs?
       val tier600 = Rollup.buildMulti(ev, 600, Seq("value"), smokeCols = Seq("value"),
@@ -118,6 +168,24 @@ object ProfOpt {
       time("fold stats+19 long slot sums")(noop(agg(statsOnly ++ lngSlots)))
       time("fold full 38-slot (dec+long)")(noop(
         agg(statsOnly ++ decSlots ++ lngSlots)))
+      // candidate replacement: TWO array-summing TypedImperativeAggregates
+      val arrSums = Seq(
+        graft.functions.DecimalSlotSums(col("smoke__value"), 19, 38, 6).as("sarr"),
+        graft.functions.LongSlotSums(col("smoken__value"), 19).as("snarr"))
+      time("fold stats+2 array-sum aggs")(noop(agg(statsOnly ++ arrSums)))
+      // parity check: element-wise equality with the per-slot sums
+      val a = agg(statsOnly ++ decSlots ++ lngSlots).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((0 until 19).map(i => r.get(6 + i)), (0 until 19).map(i => r.get(25 + i))))
+        .toMap
+      val b = agg(statsOnly ++ arrSums).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((0 until 19).map(i => r.getSeq[Any](6).apply(i)),
+            (0 until 19).map(i => r.getSeq[Any](7).apply(i))))
+        .toMap
+      val mismatch = a.keys.filter(k => a(k) != b(k))
+      println(s"PROF arr-sum parity: groups=${a.size} mismatches=${mismatch.size}" +
+        mismatch.take(2).map(k => s" e.g. $k a=${a(k)} b=${b(k)}").mkString)
       tier600.unpersist()
     }
 
@@ -201,6 +269,52 @@ object ProfOpt {
             sum("n_ipv4").as("ipv4s"), sum("n_phones").as("phones"),
             sum("n_idnums").as("idnums"), min("redacted").as("redacted_min"))
           .orderBy("event_type")))
+    }
+
+    if (sections("dedupstages")) {
+      // manual restatement of pairSharedCountsFrom's stages (diagnostic
+      // snapshot — keep in sync with Dedup.scala) to find where the
+      // containment/ngram ~2 s floor lives
+      import graft.pipeline.Dedup
+      val t0 = System.nanoTime()
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      println(f"PROF stage sets pin            ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
+      val t1 = System.nanoTime()
+      val dfs = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
+      dfs.persist().count()
+      println(f"PROF stage dfs pin             ${(System.nanoTime() - t1) / 1e9}%7.3f s")
+      val t2 = System.nanoTime()
+      val est = dfs.filter(col("__df") <= 500)
+        .agg(coalesce(sum(col("__df").cast("double") * (col("__df") - 1)), lit(0.0)))
+        .collect()(0).getDouble(0) / 2
+      println(f"PROF stage budget est collect  ${(System.nanoTime() - t2) / 1e9}%7.3f s (est=$est%.0f)")
+      val t3 = System.nanoTime()
+      val hot = dfs.filter(col("__df") > 500).select("__s")
+      val lost = exploded
+        .join(broadcast(hot), Seq("__s"), "left_semi")
+        .groupBy("__id").agg(count(lit(1)).as("__lost"))
+      lost.persist().count()
+      println(f"PROF stage lost pin            ${(System.nanoTime() - t3) / 1e9}%7.3f s")
+      val t4 = System.nanoTime()
+      val kept = exploded.join(broadcast(hot), Seq("__s"), "left_anti")
+      val sizes = sets.select(col("__id"), col("__n"))
+        .join(lost, Seq("__id"), "left_outer")
+        .select(col("__id"), (col("__n") - coalesce(col("__lost"), lit(0))).as("__n"))
+      val inv = kept.groupBy("__s").agg(sort_array(collect_list("__id")).as("__docs"))
+      val shared = inv
+        .select(posexplode(col("__docs")).as(Seq("__i", "id_a")), col("__docs"))
+        .select(col("id_a"),
+          explode(expr("slice(__docs, __i + 2, size(__docs))")).as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"))
+      val pairs = shared
+        .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      noop(pairs)
+      println(f"PROF stage mining+joins        ${(System.nanoTime() - t4) / 1e9}%7.3f s")
+      dfs.unpersist(); lost.unpersist()
+      Dedup.unpersistIntermediates()
     }
 
     if (sections("dedup")) {

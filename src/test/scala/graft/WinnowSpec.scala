@@ -67,6 +67,18 @@ class WinnowSpec extends SparkSpec {
     assert(fp("").getLong(0) == 0L)
   }
 
+  test("fp_hashes is the sorted distinct hash set of fp_stream (the r19 pair-miner field)") {
+    val docs = graft.core.Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).limit(200).collect().map(_.getString(0)) ++
+      Seq("", "a b", "a b c", "x x x x x x x x x x", " padded  run of words here ")
+    docs.foreach { t =>
+      val r = fp(t)
+      val parsed = r.getString(2).split(" ").filter(_.nonEmpty)
+        .map(_.split(":")(0).toLong).distinct.sorted.toSeq
+      assert(r.getSeq[Long](3) == parsed, s"fp_hashes diverged on '${t.take(60)}'")
+    }
+  }
+
   test("guarantee: a shared n+w-1 word run yields a shared fingerprint hash") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 = 3+4-1 words
     val a = s"one two $shared three four"
