@@ -225,6 +225,10 @@ object Bench {
       // deployments whose reduce stages are IO-bound.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
+      // small-input fan-out ceiling (Tables.fanOutSmall); env knob so the
+      // remediation is tunable per deployment without a code change
+      .config("graft.fanout.maxInputBytes",
+        sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX", (64L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // deterministic execution order: args order when given, else by name
