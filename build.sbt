@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` stdout and parses the
+// one-line JSON contract; sbt's default LoggedOutput strategy prefixes
+// every forked-process line with "[info] ", which has made the line
+// unparseable to the driver since r15 (BENCH_r*.json: parsed=null).
+// StdoutOutput passes the forked JVM's stdout through undecorated.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
