@@ -207,29 +207,10 @@ object Bench {
     // optional args restrict the run to the named queries (local iteration;
     // the driver passes none)
     val only = args.toSet
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing sizes reduce partitions by BYTES; this engine's
-      // reduce stages are CPU-dense (decimal partials, percentile grids,
-      // object aggregates), so the 1 MB default minimum collapsed
-      // sub-core-count-MB shuffles onto 4-10 tasks while the rest of the
-      // machine idled (job-level profile: the tier build's 0.86 s reduce
-      // ran on 5 of 32 cores). 16k lets such stages keep the session's
-      // full parallelism; it is byte-based and self-limiting at scale —
-      // partitions are still capped by spark.sql.shuffle.partitions, and
-      // IO-bound large shuffles are untouched. Env-overridable for
-      // deployments whose reduce stages are IO-bound.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
-      // small-input fan-out ceiling (Tables.fanOutSmall); env knob so the
-      // remediation is tunable per deployment without a code change
-      .config("graft.fanout.maxInputBytes",
-        sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX", (64L << 20).toString))
-      .getOrCreate()
+    // the shared engine session (graft.core.Sessions): harness contract
+    // (local[$cpus], shuffle partitions = cores) + the engine's tuning
+    // posture (AQE coalescing floor, fan-out ceiling — rationale there)
+    val spark = graft.core.Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // deterministic execution order: args order when given, else by name
     // (Map iteration order made "which query absorbs JVM warmup" random)

@@ -1239,7 +1239,13 @@ object SparkEntry {
           sum("n_ipv4").as("ipv4s"),
           sum("n_phones").as("phones"),
           sum("n_idnums").as("idnums"),
-          min("redacted").as("redacted_min"))
+          // min over a STRING: the builtin's var-length buffer forced the
+          // whole 6-function aggregate to SortAggregate (both levels
+          // sorting their full input). MinUtf8 is the typed-imperative
+          // twin — same binary-collation minimum (spec-pinned against
+          // min() itself), but the operator becomes ObjectHashAggregate:
+          // no sort on either level (guide: expressions and codegen)
+          graft.functions.MinUtf8(col("redacted")).as("redacted_min"))
         .orderBy("event_type")
     }),
 
@@ -2491,13 +2497,20 @@ object SparkEntry {
       // (Band-checking is a verification query: the 3-label window sort
       // is one task per label — fine here; a production-scale rank needs
       // range partitioning, which the gate's tiny label count defeats.)
-      val ns = ev.groupBy("nntsclabel").agg(count(lit(1)).as("__n"))
+      // __n as a WINDOW count over the SAME per-label partitioning the
+      // rank already establishes (r20, guide §2.4 shared exchange): the
+      // r19 shape computed it as a separate groupBy pass over ev — a
+      // whole extra scan + label-attach join — and broadcast it back in.
+      // The count window reuses the rank window's exchange and sort
+      // (unbounded frame, no added order), so q_sketches drops from 4
+      // full passes over events to 3.
       val rn = row_number().over(
         Window.partitionBy("nntsclabel").orderBy("value"))
       def bandAt(q: Double) = max(when(
         col("rn") === greatest(lit(1L), ceil(col("__n") * lit(q)).cast("long")),
         col("value")))
-      val bands = ev.join(broadcast(ns), "nntsclabel")
+      val bands = ev
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("nntsclabel")))
         .withColumn("rn", rn)
         .groupBy("nntsclabel")
         .agg(

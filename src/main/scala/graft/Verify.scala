@@ -95,18 +95,9 @@ object Verify {
     // optional: further args restrict the dump to the named queries
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet has carried TIMESTAMP(NANOS); read as raw long nanos
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same CPU-dense-reduce coalescing floor as Bench (see its builder
-      // note) so the correctness dump runs the bench's plans
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
-      .getOrCreate()
+    // the shared engine session (graft.core.Sessions) so the correctness
+    // dump certifies exactly the bench's plans
+    val spark = graft.core.Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = dump(spark, sfDir, outDir, only)
     val json = SparkEntry.oracleSql

@@ -49,12 +49,33 @@ object Tables {
       df: DataFrame,
       path: String,
       key: org.apache.spark.sql.Column): DataFrame = {
+    // byte-string parse (64m etc.), matching every adjacent Spark size
+    // conf — a bare toLong threw on the format maxPartitionBytes accepts
+    // three lines below (ADVICE r19)
     val maxBytes = spark.conf.getOption("graft.fanout.maxInputBytes")
-      .map(_.toLong).getOrElse(64L << 20)
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(64L << 20)
     if (maxBytes <= 0) return df
     val par = spark.sparkContext.defaultParallelism
     if (par <= 1) return df
-    val len = try new java.io.File(path).length() catch { case _: Throwable => 0L }
+    // the gate sizes PLAIN FILES only. A directory-layout dataset (the
+    // standard multi-file Spark output) previously measured as its dirent
+    // size (~4 KB) and slipped under the gate — at production scale that
+    // is exactly the corpus-sized shuffle the threshold exists to forbid
+    // (ADVICE r19). A directory with ONE visible data file is the
+    // single-file corpus in directory clothing (sized by that file);
+    // more than one data file already scans as multiple splits → identity.
+    // Non-local filesystems (length 0 / not a File) stay identity too.
+    val len = try {
+      val f = new java.io.File(path)
+      if (f.isFile) f.length()
+      else if (f.isDirectory) {
+        val data = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(c => c.isFile &&
+            !c.getName.startsWith("_") && !c.getName.startsWith("."))
+        if (data.length == 1) data(0).length() else 0L
+      } else 0L
+    } catch { case _: Throwable => 0L }
     val splitBytes = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(128L << 20)

@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   *     INTERPRETED (no codegen) and Catalyst freely inlines their inputs
   *     into every consumer — a shingle array referenced by 64 hash lambdas
   *     is recomputed 64×/row (~35 ms/doc measured). So: per-document
-  *     arrays are computed ONCE into a persisted (eagerly materialized)
-  *     frame, and all hot loops are relational — explode + codegen'd
-  *     scalar functions + map-side-combined aggregation.
+  *     arrays are computed ONCE into a persisted frame, and all hot
+  *     loops are relational — explode + codegen'd scalar functions +
+  *     map-side-combined aggregation.
   *   - Candidate generation is blocking-based (hash buckets / shared
   *     shingles / LSH bands), never an all-pairs cross join; candidate
   *     pairs carry only ids, signatures re-join afterwards.
@@ -64,7 +64,7 @@ object Dedup {
           alternative)
     }
 
-  /** A pipeline-scoped registry of the eager per-document set/signature
+  /** A pipeline-scoped registry of the per-document set/signature
     * caches the pair builders pin. The RETURNED pair frames are lazy plans
     * over these caches, so they cannot be unpersisted inside the builders;
     * the owner calls [[release]] once the results are materialized
@@ -103,12 +103,26 @@ object Dedup {
   def withPinScope[T](scope: PinScope)(body: => T): T =
     currentScope.withValue(scope)(body)
 
-  /** Persist + eagerly materialize an intermediate frame and register it
-    * with the active scope.
+  /** Persist an intermediate frame and register it with the active scope.
+    *
+    * `eager = false` (r20, guide §1.2 step 1 / §5): the unconditional
+    * `df.count()` this carried was one extra job and one extra full pass
+    * PER PIN — the pair-mine gate queries stacked three. A lazy pin is
+    * safe whenever a DRIVER-SIDE ACTION consumes the frame before any
+    * parallel fan-out (the miners' fail-fast budget collect): that first
+    * action populates the cache sequentially and every later consumer
+    * reads it. It is NOT safe when the first consumption is a
+    * multi-branch job (a self-join reading the pin from two concurrent
+    * stages): both branches race to compute the still-empty cache and
+    * the work runs twice — measured q_dedup_cluster 1.31 → 1.47-1.93 s
+    * when its guard-less simhash fingerprints went lazy. Callers
+    * therefore pass `eager = <no budget collect will run>`; Catalyst
+    * substitutes the InMemoryRelation at PLAN time either way, so the
+    * anti-inlining guarantee (object doc) is unaffected.
     */
-  private def pin(df: DataFrame): DataFrame = {
+  private def pin(df: DataFrame, eager: Boolean = false): DataFrame = {
     df.persist()
-    df.count() // eager: one pass computes and pins the frame
+    if (eager) df.count()
     currentScope.value.add(df)
     df
   }
@@ -117,6 +131,19 @@ object Dedup {
     * pipelines release their own `PinScope` instead.
     */
   def unpersistIntermediates(): Unit = defaultScope.release()
+
+  /** The engine-wide per-query intermediate cache hook (r20): other
+    * operator families (TextAnalysis, SparkEntry gate bodies) reuse the
+    * dedup pipelines' pin registry for intermediates that several plan
+    * branches read, so ONE release lifecycle covers every engine cache —
+    * Bench calls [[unpersistIntermediates]] before each timed query and
+    * Verify after each dump; scoped pipelines release their own
+    * [[PinScope]]. Same eagerness contract as [[pin]] (lazy only when a
+    * driver-side action — a broadcast build counts — materializes the
+    * frame before any parallel fan-out).
+    */
+  def pinIntermediate(df: DataFrame, eager: Boolean = false): DataFrame =
+    pin(df, eager)
 
   /** Exact dedup: group rows by content digest, keep the smallest id as the
     * canonical document. Hashing first means the shuffle moves 16-byte
@@ -136,18 +163,20 @@ object Dedup {
   }
 
   /** Materialized per-document shingle sets: (__id, __set: sorted distinct
-    * 64-bit shingle hashes, __n). Persisted AND eagerly counted — every
-    * consumer reads plain columns from the cache instead of re-running the
-    * interpreted array build.
+    * 64-bit shingle hashes, __n). Persisted (lazily — see [[pin]]) so every
+    * consumer reads plain columns from one computed cache instead of
+    * re-running the fused array build per consumer.
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      eager: Boolean = true): DataFrame = {
     pin(df
       .select(
         col(idCol).as("__id"),
         // fused native expression: ~40× the interpreted lambda pipeline,
         // bit-identical hashes (graft.functions.WordNgramHashes)
         graft.functions.WordNgramHashes(col(textCol), n).as("__set"))
-      .withColumn("__n", size(col("__set"))))
+      .withColumn("__n", size(col("__set"))), eager)
   }
 
   /** n-gram Jaccard near-duplicate pairs, exact: inverted-index self-join
@@ -252,7 +281,7 @@ object Dedup {
         col(idCol).as("__id"),
         graft.functions.WinnowFingerprint(col(textCol), n, w)
           .getField("fp_hashes").as("__set"))
-      .withColumn("__n", size(col("__set"))))
+      .withColumn("__n", size(col("__set"))), eager = maxCandidates.isEmpty)
     pairSharedCountsFrom(sets, maxDf, maxCandidates, "winnowPairs")
       .filter(col("shared") >= minShared)
       .select(
@@ -276,7 +305,9 @@ object Dedup {
       maxDf: Option[Long],
       maxCandidates: Option[Long],
       what: String): DataFrame =
-    pairSharedCountsFrom(shingleSets(df, idCol, textCol, n), maxDf, maxCandidates, what)
+    pairSharedCountsFrom(
+      shingleSets(df, idCol, textCol, n, eager = maxCandidates.isEmpty),
+      maxDf, maxCandidates, what)
 
   /** The inverted-list shared-count engine over ANY pinned per-document
     * key-set frame (__id, __set: distinct 64-bit keys, __n) — shingle
@@ -297,10 +328,11 @@ object Dedup {
     // combined agg over the index; over budget, abort with the scale
     // path's name instead of launching a multi-billion-row shuffle.
     // one shared df table serves BOTH the budget estimate and the hot cut
-    // (pinned: the cut references it across the anti/semi join sides, and
-    // recomputing a full index agg for the estimate would double the
-    // pipeline's heaviest shuffle)
-    lazy val dfs = pin(exploded.groupBy("__s").agg(count(lit(1)).as("__df")))
+    // (pinned: recomputing a full index agg for the estimate would double
+    // the pipeline's heaviest shuffle). Lazy when the budget collect will
+    // populate it; eager otherwise (see pin's race note)
+    lazy val dfs = pin(exploded.groupBy("__s").agg(count(lit(1)).as("__df")),
+      eager = maxCandidates.isEmpty)
     maxCandidates.foreach { budget =>
       // DOUBLE estimate: an exact Long Σdf(df−1) overflows silently at
       // df ≳ 3e9 — the dense regime the guard exists to catch
@@ -318,23 +350,19 @@ object Dedup {
     val (kept, sizes) = maxDf.fold((exploded, sets.select("__id", "__n"))) { cap =>
       // the HOT set (df > cap) is small by construction — one map-side-
       // combined aggregation finds it, the cut is then a broadcast
-      // anti-join and the per-doc size correction is arithmetic
-      // (|kept| = |set| − |doc ∩ hot|) — no window, no re-join of
-      // recomputed frames (measured 2.4× slower as groupBy+semi+re-join)
+      // anti-join. The corrected per-doc size is counted from `kept`
+      // ITSELF (|kept ∩ doc| — one map-side-combined agg): this replaces
+      // the r19 shape's semi-join `lost` table + its pin + the left-outer
+      // size-correction join (three operators and one persisted frame,
+      // guide §1.2 step 1). Equivalent by construction: exploded has one
+      // row per (doc, distinct shingle), so per-doc kept rows = |set| −
+      // |doc ∩ hot|. A doc whose whole set is hot has no kept rows and
+      // drops out of `sizes` — harmless, it has no index rows either and
+      // can never reach a pair (the sizes joins below are inner on pair
+      // ids).
       val hot = dfs.filter(col("__df") > cap).select("__s")
-      // NOTE: `lost` is one row per document touching a hot shingle — in
-      // the boilerplate-heavy case the cut exists for, that is close to
-      // |corpus|. No broadcast hint: AQE broadcasts it when it is small
-      // (the local case) and falls back to a shuffle join when it is not
-      // (the 100 TB case); only `hot` is small by construction.
-      val lost = pin(exploded
-        .join(broadcast(hot), Seq("__s"), "left_semi")
-        .groupBy("__id").agg(count(lit(1)).as("__lost")))
-      (exploded.join(broadcast(hot), Seq("__s"), "left_anti"),
-        sets.select("__id", "__n")
-          .join(lost, Seq("__id"), "left_outer")
-          .select(col("__id"),
-            (col("__n") - coalesce(col("__lost"), lit(0))).as("__n")))
+      val k = exploded.join(broadcast(hot), Seq("__s"), "left_anti")
+      (k, k.groupBy("__id").agg(count(lit(1)).as("__n")))
     }
     // Shared-shingle counts by INVERTED-LIST PAIR GENERATION, not an
     // index self-join: groupBy(shingle) → sorted doc list, then
@@ -656,7 +684,7 @@ object Dedup {
       textCol: String,
       n: Int,
       numHashes: Int): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    val sets = shingleSets(df, idCol, textCol, n, eager = false)
     sets
       .filter(size(col("__set")) > 0)
       .select(
@@ -710,10 +738,15 @@ object Dedup {
         col(groupCol).as("__grp"),
         graft.functions.MinHashSignatureMd5(col(textCol), n, numHashes).as("__sig"))
       .filter(size(col("__sig")) > 0)
-    val sketch = sigs
+    // pinned (r20): the a/b sides below both read the sketch, and unpinned
+    // it recomputed the full corpus signature pass twice (the sketch
+    // itself is groups × numHashes rows — a trivial cache). Lazy is safe
+    // here: the b side's BROADCAST build materializes the cache before
+    // the join's stream-side stage runs.
+    val sketch = pin(sigs
       .select(col("__grp"), posexplode(col("__sig")).as(Seq("__p", "__v")))
       .groupBy("__grp", "__p")
-      .agg(min("__v").as("__mh"))
+      .agg(min("__v").as("__mh")))
     val a = sketch.select(
       col("__grp").as("source_a"), col("__p"), col("__mh").as("__ma"))
     val b = sketch.select(
@@ -753,7 +786,8 @@ object Dedup {
       maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val probe = pin(probeSigs.select(col(idCol), col("signature")))
+    val probe = pin(probeSigs.select(col(idCol), col("signature")),
+      eager = maxCandidates.isEmpty)
     // union over the PINNED probe: the batch's signature scan runs once
     // and its cache serves both the probe bands and the all-side bands.
     // Ids may OVERLAP between probe and index (a replayed / already-
@@ -768,7 +802,8 @@ object Dedup {
     val all = pin(
       probe.unionByName(
         indexSigs.select(col(idCol), col("signature"))
-          .join(probe.select(col(idCol)), Seq(idCol), "left_anti")))
+          .join(probe.select(col(idCol)), Seq(idCol), "left_anti")),
+      eager = maxCandidates.isEmpty)
     def bandedOf(sigs: DataFrame) = sigs.select(
       col(idCol).as("__id"),
       posexplode(
@@ -828,7 +863,8 @@ object Dedup {
       maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = pin(minhashSignatures(df, idCol, textCol, n, numHashes))
+    val sigs = pin(minhashSignatures(df, idCol, textCol, n, numHashes),
+      eager = maxCandidates.isEmpty)
     val banded = sigs.select(
       col(idCol).as("__id"),
       posexplode(
@@ -887,7 +923,8 @@ object Dedup {
       maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = pin(minhashSignaturesMd5(df, idCol, textCol, n, numHashes))
+    val sigs = pin(minhashSignaturesMd5(df, idCol, textCol, n, numHashes),
+      eager = maxCandidates.isEmpty)
     val banded = sigs.select(
       col(idCol).as("__id"),
       posexplode(
@@ -947,8 +984,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxCandidates: Option[Long] = None): DataFrame = {
-    val fp = pin(simhash(df, idCol, textCol))
-      .select(col(idCol).as("__id"), col("simhash").as("__fp"))
+    val fp = pin(
+      simhash(df, idCol, textCol)
+        .select(col(idCol).as("__id"), col("simhash").as("__fp")),
+      eager = maxCandidates.isEmpty)
     // a corpus of near-identical fingerprints collapses the quarter
     // blocks (the sf10 GenScale caveat: unigram features survive word
     // permutation) — same fail-fast contract as the other pair emitters
@@ -1023,7 +1062,7 @@ object Dedup {
         col(idCol).as("__id"),
         graft.functions.ImageDHash(col(payloadCol), 9, 8)
           .getField("dhash").as("__fp"))
-      .filter(col("__fp").isNotNull))
+      .filter(col("__fp").isNotNull), eager = maxCandidates.isEmpty)
     bandedHammingPairs(fp, quarterBits = 16, maxHamming, maxCandidates,
       "imageDhashPairs",
       "quarter blocks are saturated (near-identical images — e.g. a " +
@@ -1054,7 +1093,7 @@ object Dedup {
         col(idCol).as("__id"),
         graft.functions.AudioFingerprint(col(payloadCol), 65)
           .getField("fp").as("__fp"))
-      .filter(col("__fp").isNotNull))
+      .filter(col("__fp").isNotNull), eager = maxCandidates.isEmpty)
     bandedHammingPairs(fp, quarterBits = 16, maxHamming, maxCandidates,
       "audioFpPairs",
       "quarter blocks are saturated (near-identical envelopes — e.g. a " +
@@ -1088,7 +1127,8 @@ object Dedup {
         graft.functions.VideoFrameSigs(col(payloadCol), step, gw, gh)
           .getField("sigs").as("__sigs"))
       .filter(col("__sigs").isNotNull)
-      .select(col("__id"), explode(array_distinct(col("__sigs"))).as("__sig")))
+      .select(col("__id"), explode(array_distinct(col("__sigs"))).as("__sig")),
+      eager = maxCandidates.isEmpty)
     selfPairGuard(sigs, Seq("__sig"), maxCandidates, "videoFrameSigPairs",
       "signature buckets are saturated (near-identical frames — e.g. " +
         "constant-color clips); run exact dedup on payload digests first, " +
@@ -1351,10 +1391,12 @@ object Dedup {
       n: Int,
       broadcastBench: Boolean = true,
       maxMatches: Option[Long] = None): DataFrame = {
-    val trainIdx = shingleSets(train, idCol, textCol, n)
+    // lazy pins when the maxMatches collect below will populate both
+    // caches sequentially; eager otherwise (pin's race note)
+    val trainIdx = shingleSets(train, idCol, textCol, n, eager = maxMatches.isEmpty)
       .select(col("__id"), explode(col("__set")).as("__s"))
     // per-(bench doc, shingle) rows are already distinct: __set is a set
-    val benchIdx = shingleSets(bench, idCol, textCol, n)
+    val benchIdx = shingleSets(bench, idCol, textCol, n, eager = maxMatches.isEmpty)
       .select(col("__id").as("__bid"), explode(col("__set")).as("__s"))
     // fail-fast cost guard, same contract as ngramJaccardPairs'
     // maxCandidates: the exact per-doc distinct-bench-doc count emits

@@ -536,20 +536,33 @@ object Splits {
       valueCol: String,
       hashHex: Column,
       broadcastBases: Boolean): DataFrame = {
-    val keyed = df.withColumn("__ord",
-      concat(groupOrderKey(groupCol), lit("-"), hashHex, lit("-"),
-        idPad(col(idCol))))
-    val cum = Packing.withPrefixSum(keyed, "__ord", valueCol, "__cum")
+    // NARROW scan + join-back (r20, guide §2.3 "project before the
+    // exchange" / §6): the prefix scan range-shuffles its input and
+    // freezes it through a localCheckpoint, which is an optimizer
+    // barrier — column pruning cannot pierce it, so running the scan
+    // over the caller's full row width materialized every payload column
+    // (document text included) through the exchange AND the checkpoint.
+    // The scan only ever needs (id, group, value); the cumulative joins
+    // back over the unique id, and the payload moves zero extra times
+    // (the join side prunes to whatever the caller's output uses). Ids
+    // are the operators' documented unique non-null keys.
+    val narrow = df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("__ord",
+        concat(groupOrderKey(groupCol), lit("-"), hashHex, lit("-"),
+          idPad(col(idCol))))
+    val cum = Packing.withPrefixSum(narrow, "__ord", valueCol, "__cum")
     // the group's base = the cumulative BEFORE its first row: cum - own
     // is the preceding cumulative, minimized at the group's first row
     val bases0 = cum
       .groupBy(col(groupCol).as("__g"))
       .agg(min(col("__cum") - col(valueCol)).as("__base"))
     val bases = if (broadcastBases) broadcast(bases0) else bases0
-    cum
+    val gcum = cum
       .join(bases, col(groupCol) === col("__g"))
-      .withColumn("__gcum", col("__cum") - col("__base"))
-      .drop("__ord", "__cum", "__g", "__base")
+      .select(
+        col(idCol).as("__gpk"),
+        (col("__cum") - col("__base")).as("__gcum"))
+    df.join(gcum, col(idCol) === col("__gpk")).drop("__gpk")
   }
 
   // ---- deterministic per-group caps ------------------------------------
@@ -1057,6 +1070,15 @@ object Splits {
       df,
       concat(hashHex, lit("-"), idPad(col(idCol)), lit("-"), idPad(col(epochCol))))
 
+  // NOTE (r20, measured negative): a narrow (key, __ord) prefix scan with
+  // a join-back over the unique key — the groupPrefix economy — was tried
+  // here too and REVERTED: q_shuffle_epochs 0.93 → 1.2-1.4 s (the
+  // upstream recompute + the extra join shuffle cost more at bench scale
+  // than the payload-through-checkpoint it saves, and at 100 TB the
+  // payload crosses the network once under either shape: range exchange
+  // vs join exchange). groupPrefix keeps the narrow form because there
+  // the caller's payload NEVER needs to ride the scan (its output filter
+  // keeps a budget-bounded subset and the join side column-prunes).
   private def orderedByKey(df: DataFrame, ord: Column): DataFrame =
     Packing.withPrefixSum(
         df.withColumn("__ord", ord).withColumn("__one", lit(1L)),

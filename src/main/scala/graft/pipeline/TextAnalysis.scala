@@ -380,16 +380,22 @@ object TextAnalysis {
         col(idCol),
         explode(tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0) // codegen'd, not a filter() lambda
-    // document frequency: distinct docs per term (not raw occurrences —
-    // a term spammed by one document is not thereby common)
-    val vocab = toks.distinct()
-      .groupBy("__t").agg(count(lit(1)).as("__df"))
-    toks
-      .join(vocab, "__t")
+    // ONE tokenize pass (r20, guide §2.4): fold to (doc, term, tf) first;
+    // document frequency — distinct docs per term, not raw occurrences —
+    // is then a COUNT WINDOW over the term key (tf has exactly one row
+    // per (doc, term)). The r19 shape tokenized the corpus twice (once
+    // into the distinct→vocab aggregate, once into the occurrence side of
+    // the join) and paid a vocabulary join; per-doc totals recover from
+    // Σtf, and rare occurrences from Σ(tf | df < minDf).
+    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    tf
+      .withColumn("__df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__t")))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+        sum(col("__tf")).as("n_tokens"),
+        sum(when(col("__df") < minDf, col("__tf")).otherwise(0L)).as("n_rare"))
       .select(
         col(idCol),
         col("n_tokens"),
@@ -422,7 +428,18 @@ object TextAnalysis {
         col(idCol),
         explode(tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0)
-    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    // tf PINNED (r20, guide §1.2 step 1): the vocabulary derives from tf
+    // AND the join probes tf, so the unpinned plan computed the whole
+    // tokenize+explode+aggregate subtree twice (two parquet scans visible
+    // in plans/r20/q_tfidf_before.txt). Eager: under AQE the vocab-agg
+    // stage and the probe stage are independent leaves submitted
+    // concurrently — a lazy cache would be raced (Dedup.pin's note). The
+    // broadcast join + WindowGroupLimit top-k shape is kept verbatim (a
+    // window-count df was measured WORSE: it trades the broadcast for a
+    // full tf shuffle and sort by term).
+    val tf = graft.pipeline.Dedup.pinIntermediate(
+      toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf")),
+      eager = true)
     val vocab = tf.groupBy("__t").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)

@@ -23,13 +23,8 @@ object ProfOpt {
     val sections =
       if (args.length > 1) args.drop(1).toSet else Set("tier", "importance", "pii", "dedup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // shared engine session — profiles must decompose the bench's plans
+    val spark = graft.core.Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String, reps: Int = 3)(f: => Unit): Unit = {

@@ -46,6 +46,41 @@ class TablesFanoutSpec extends SparkSpec {
     }
   }
 
+  test("directory inputs: single-data-file sized by the file, multi-file identity, byte-string conf") {
+    import java.nio.file.{Files, Paths}
+    val prev = spark.conf.getOption("graft.fanout.maxInputBytes")
+    val tmp = Files.createTempDirectory("fanout_dir").toString
+    try {
+      // a directory-layout copy of the small corpus: one data part +
+      // the _SUCCESS marker Spark writes (ADVICE r19: the dirent-size
+      // measurement previously made ANY directory pass the gate)
+      Tables.load(spark, sf("sf0.001"), "documents")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // byte-string value — the format every adjacent size conf accepts
+      spark.conf.set("graft.fanout.maxInputBytes", "64m")
+      val single = Tables.documents(spark, tmp)
+      assert(hasRepart(single), "single-data-file directory must fan out")
+      assert(single.count() ===
+        Tables.load(spark, sf("sf0.001"), "documents").count())
+      // second data file → already-split → identity
+      val part = Files.list(Paths.get(s"$tmp/documents.parquet")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, Paths.get(s"$tmp/documents.parquet/part-copy.parquet"))
+      assert(!hasRepart(Tables.documents(spark, tmp)),
+        "multi-data-file directory is already split → identity")
+    } finally {
+      prev.fold(spark.conf.unset("graft.fanout.maxInputBytes"))(
+        spark.conf.set("graft.fanout.maxInputBytes", _))
+      // best-effort cleanup
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   test("dimension tables never fan out") {
     val prev = spark.conf.getOption("graft.fanout.maxInputBytes")
     try {
