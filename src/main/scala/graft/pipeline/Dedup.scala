@@ -432,12 +432,21 @@ object Dedup {
       n: Int,
       minOccurrences: Long = 2L): DataFrame = {
     // corpus-wide occurrence counts — count(), not collect_list(): map-side
-    // combine keeps a hot gram's cost at one partial per partition
-    val dup = posGramIndex(df, idCol, textCol, n)
+    // combine keeps a hot gram's cost at one partial per partition.
+    // The positional index is PINNED (r20, guide §1.2 step 1): the
+    // duplicated-gram counts AND the coverage tail's flagged-position
+    // semi-join consume the same index, and unpinned the fused
+    // tokenize+hash explode ran twice. Eager: both consumers are
+    // independent AQE leaves (pin's race note). At scale this persists a
+    // token-positional index for the one query execution — the same
+    // one-scan-then-ids economy as the miners' set frames.
+    val pos = pin(posGramIndex(df, idCol, textCol, n), eager = true)
+    val dup = pos
       .groupBy("__s").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
       .select("__s")
-    spanCoverageAgainst(df, idCol, textCol, n, dup, bcastFlagged = false)
+    spanCoverageAgainst(df, idCol, textCol, n, dup, bcastFlagged = false,
+      posIdx = Some(pos))
   }
 
   /** Positional gram index: one row per (doc, gram start), hashes from the
@@ -463,8 +472,9 @@ object Dedup {
       textCol: String,
       n: Int,
       flagged: DataFrame,
-      bcastFlagged: Boolean): DataFrame = {
-    val pos = posGramIndex(df, idCol, textCol, n)
+      bcastFlagged: Boolean,
+      posIdx: Option[DataFrame] = None): DataFrame = {
+    val pos = posIdx.getOrElse(posGramIndex(df, idCol, textCol, n))
     val flaggedPos = pos.join(
       if (bcastFlagged) broadcast(flagged) else flagged, Seq("__s"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
@@ -507,11 +517,14 @@ object Dedup {
       textCol: String,
       n: Int,
       minOccurrences: Long = 2L): DataFrame = {
-    val dup = posGramIndex(df, idCol, textCol, n)
+    // shared pinned positional index — the dupSpanCoverage economy
+    val pos = pin(posGramIndex(df, idCol, textCol, n), eager = true)
+    val dup = pos
       .groupBy("__s").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
       .select("__s")
-    spanCleanAgainst(df, idCol, textCol, n, dup, bcastFlagged = false)
+    spanCleanAgainst(df, idCol, textCol, n, dup, bcastFlagged = false,
+      posIdx = Some(pos))
   }
 
   /** Shared span-removal tail: rebuild each document with every token
@@ -524,9 +537,10 @@ object Dedup {
       textCol: String,
       n: Int,
       flagged: DataFrame,
-      bcastFlagged: Boolean): DataFrame = {
+      bcastFlagged: Boolean,
+      posIdx: Option[DataFrame] = None): DataFrame = {
     val toksArr = split(trim(col(textCol)), "\\s+")
-    val pos = posGramIndex(df, idCol, textCol, n)
+    val pos = posIdx.getOrElse(posGramIndex(df, idCol, textCol, n))
     val flaggedPos = pos.join(
       if (bcastFlagged) broadcast(flagged) else flagged, Seq("__s"), "left_semi")
     // covered token positions (distinct: overlapping spans union)
@@ -1391,21 +1405,38 @@ object Dedup {
       n: Int,
       broadcastBench: Boolean = true,
       maxMatches: Option[Long] = None): DataFrame = {
-    // lazy pins when the maxMatches collect below will populate both
-    // caches sequentially; eager otherwise (pin's race note)
-    val trainIdx = shingleSets(train, idCol, textCol, n, eager = maxMatches.isEmpty)
+    // train sets lazy always (single consumer: the matched pin's job);
+    // bench sets lazy when the guard collect populates them first
+    val trainIdx = shingleSets(train, idCol, textCol, n, eager = false)
       .select(col("__id"), explode(col("__set")).as("__s"))
     // per-(bench doc, shingle) rows are already distinct: __set is a set
     val benchIdx = shingleSets(bench, idCol, textCol, n, eager = maxMatches.isEmpty)
       .select(col("__id").as("__bid"), explode(col("__set")).as("__s"))
+    val benchShingles = benchIdx.select("__s").distinct()
+    // the MATCHED corpus index rows, computed ONCE and pinned (r20,
+    // guide §1.2 step 1): the budget estimate, the n_ngrams aggregate
+    // and the (doc, bench-doc) join all consume exactly this stream —
+    // before the pin, each re-ran the full corpus shingle explode (three
+    // passes). Lazy when the guard collect below populates it (the
+    // estimate's cdf is the first action); eager otherwise — benchDocs
+    // and nGrams are independent AQE leaves (pin's race note). Size is
+    // bounded by the true contamination volume (matched index rows
+    // only), the quantity the maxMatches budget already reasons about.
+    val matched = pin(
+      trainIdx.join(
+        if (broadcastBench) broadcast(benchShingles) else benchShingles,
+        Seq("__s"), "left_semi"),
+      eager = maxMatches.isEmpty)
     // fail-fast cost guard, same contract as ngramJaccardPairs'
     // maxCandidates: the exact per-doc distinct-bench-doc count emits
     // Σ_shingle (corpus_df × bench_df) join rows, which is quadratic in
     // corpus density when the vocabulary saturates (measured 62× time for
-    // 10× data on the dense synthetic corpus at sf10). The estimate joins
-    // the two per-shingle df aggregates — both vocabulary-sized.
+    // 10× data on the dense synthetic corpus at sf10). Counting the
+    // corpus df over `matched` instead of the whole index is the SAME
+    // estimate (a shingle with no bench twin contributes nothing to the
+    // join) with a matched-sized aggregate.
     maxMatches.foreach { budget =>
-      val cdf = trainIdx.groupBy("__s").agg(count(lit(1)).as("__cdf"))
+      val cdf = matched.groupBy("__s").agg(count(lit(1)).as("__cdf"))
       val bdf = benchIdx.groupBy("__s").agg(count(lit(1)).as("__bdf"))
       // DOUBLE estimate — same overflow rationale as ngramJaccardPairs'
       val est = cdf.join(bdf, Seq("__s"))
@@ -1424,18 +1455,14 @@ object Dedup {
     // plain-count aggs, NOT two countDistincts in one agg: the distinct
     // rewrite's Expand would double the join output, the pipeline's
     // widest point (the round-6 q_sketches trap in join clothing)
-    val benchDocs = trainIdx
+    val benchDocs = matched
       .join(benchSide, Seq("__s"))
       .groupBy(col("__id"), col("__bid")).agg(count(lit(1)).as("__m"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_bench_docs"))
-    // n_ngrams never needed the bench-doc multiplication at all: a
-    // semi-join against the DISTINCT bench shingle set keeps this side
-    // linear in matched corpus shingles
-    val benchShingles = benchIdx.select("__s").distinct()
-    val nGrams = trainIdx
-      .join(
-        if (broadcastBench) broadcast(benchShingles) else benchShingles,
-        Seq("__s"), "left_semi")
+    // n_ngrams never needed the bench-doc multiplication at all: the
+    // matched stream IS the semi-join against the distinct bench shingle
+    // set — one map-side-combined count per doc over the cache
+    val nGrams = matched
       .groupBy(col("__id")).agg(count(lit(1)).as("n_ngrams"))
     // every contaminated doc has >= 1 matched shingle, so it appears on
     // both sides — inner join

@@ -527,10 +527,22 @@ object TextAnalysis {
       logForm: Boolean = false,
       hotK: Int = 0,
       saltFanout: Int = 32): org.apache.spark.sql.DataFrame = {
-    val grams = df.select(
-      col(idCol),
-      explode(graft.functions.WordNgrams(col(textCol), 2)).as("__g"))
-    val c2 = grams.groupBy("__g").agg(count(lit(1)).as("__c2"))
+    // ONE corpus explode (r20, guide §1.2 step 1): fold the occurrence
+    // stream to (doc, gram, tf) first and PIN it — the LM's corpus counts
+    // AND the scoring join both read this frame, and unpinned the full
+    // tokenize+explode ran twice (the q_tfidf economy). Eager: the c2
+    // branch and the scoring join are independent AQE leaves (pin's race
+    // note). Exactness is unchanged — c2 = Σtf per gram, per-doc
+    // n_bigrams = Σtf, and the quantized contribution of a gram's tf
+    // occurrences is floor(p·quant+0.5)·tf, the same long arithmetic as
+    // summing tf identical per-occurrence terms.
+    val grams = graft.pipeline.Dedup.pinIntermediate(
+      df.select(
+          col(idCol),
+          explode(graft.functions.WordNgrams(col(textCol), 2)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__tf")),
+      eager = true)
+    val c2 = grams.groupBy("__g").agg(sum(col("__tf")).as("__c2"))
     val c1 = c2
       .groupBy(split(col("__g"), " ").getItem(0).as("__w1"))
       .agg(sum(col("__c2")).as("__c1"))
@@ -571,8 +583,9 @@ object TextAnalysis {
     occs
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(floor(contrib * lit(quant) + lit(0.5)).cast("long")).as("__sq"))
+        sum(col("__tf")).as("n_bigrams"),
+        sum(floor(contrib * lit(quant) + lit(0.5)).cast("long") * col("__tf"))
+          .as("__sq"))
       .select(
         col(idCol),
         col("n_bigrams"),
@@ -640,11 +653,18 @@ object TextAnalysis {
     // — position 0 is the only place an empty can appear; the DedupSpec
     // tokenizer-edge cases pin this), and blank/empty text is [""]:
     // both cases reduce to "subtract 1 when the first token is empty"
-    val dl = df.select(
-      col(idCol),
-      (size(toks).cast("long") -
-        when(element_at(toks, 1) === "", lit(1L)).otherwise(lit(0L)))
-        .as("__dl"))
+    // dl PINNED (r20, guide §1.2 step 1): the corpus stats aggregate AND
+    // the scoring join both read it — unpinned, the tokenize ran twice.
+    // Eager: the two consumers are independent AQE leaves (Dedup.pin's
+    // race note). Same economy for tf below (the dfreq fold + the probe
+    // side): four full tokenize passes become two.
+    val dl = graft.pipeline.Dedup.pinIntermediate(
+      df.select(
+        col(idCol),
+        (size(toks).cast("long") -
+          when(element_at(toks, 1) === "", lit(1L)).otherwise(lit(0L)))
+          .as("__dl")),
+      eager = true)
     val stats = dl.agg(
       count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
@@ -654,11 +674,13 @@ object TextAnalysis {
     // filter-inside-the-array lambda would bound the GENERATE too, but
     // runs interpreted — the lambda form measured 24.3 s vs 1.9 s for
     // this one end-to-end at sf1)
-    val tf = df
-      .select(col(idCol), explode(toks).as("__t"))
-      .filter(col("__t").isin(queryTerms.map(x => x: Any): _*))
-      .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
+    val tf = graft.pipeline.Dedup.pinIntermediate(
+      df
+        .select(col(idCol), explode(toks).as("__t"))
+        .filter(col("__t").isin(queryTerms.map(x => x: Any): _*))
+        .groupBy(col(idCol), col("__t"))
+        .agg(count(lit(1)).as("__tf")),
+      eager = true)
     // document frequency folds from tf (one row per doc-term already)
     val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val idfRational =

@@ -163,24 +163,11 @@ object ProfOpt {
       time("fold stats+19 long slot sums")(noop(agg(statsOnly ++ lngSlots)))
       time("fold full 38-slot (dec+long)")(noop(
         agg(statsOnly ++ decSlots ++ lngSlots)))
-      // candidate replacement: TWO array-summing TypedImperativeAggregates
-      val arrSums = Seq(
-        graft.functions.DecimalSlotSums(col("smoke__value"), 19, 38, 6).as("sarr"),
-        graft.functions.LongSlotSums(col("smoken__value"), 19).as("snarr"))
-      time("fold stats+2 array-sum aggs")(noop(agg(statsOnly ++ arrSums)))
-      // parity check: element-wise equality with the per-slot sums
-      val a = agg(statsOnly ++ decSlots ++ lngSlots).collect()
-        .map(r => (r.getString(0), r.getLong(1)) ->
-          ((0 until 19).map(i => r.get(6 + i)), (0 until 19).map(i => r.get(25 + i))))
-        .toMap
-      val b = agg(statsOnly ++ arrSums).collect()
-        .map(r => (r.getString(0), r.getLong(1)) ->
-          ((0 until 19).map(i => r.getSeq[Any](6).apply(i)),
-            (0 until 19).map(i => r.getSeq[Any](7).apply(i))))
-        .toMap
-      val mismatch = a.keys.filter(k => a(k) != b(k))
-      println(s"PROF arr-sum parity: groups=${a.size} mismatches=${mismatch.size}" +
-        mismatch.take(2).map(k => s" e.g. $k a=${a(k)} b=${b(k)}").mkString)
+      // The r19 array-summing TypedImperativeAggregate candidate
+      // (SlotSums) was re-judged here on a clean window in r20 and
+      // DELETED: full 38-slot 1.100 s vs array-sum 1.009 s — a ~0.09 s
+      // marginal that would trade the fold's whole-stage-codegen
+      // HashAggregate for ObjectHashAggregate (OPTIMIZATION_r20.md).
       tier600.unpersist()
     }
 
